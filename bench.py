@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (count() materializes the full plan —
+results are small aggregates/top-ks, so count ~= full execution cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from databricks_import_pyspark_scripts_spark.querylib import all_queries
+from databricks_import_pyspark_scripts_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_unshipped_revenue",
+    "q5_region_supplier_volume",
+    "join_broadcast_brand_volume",
+    "agg_distinct_counts",
+    "window_topk_per_group",
+    "window_running_balance",
+    "scalar_json_extraction",
+    "cdc_filter_event",
+    "text_quality_score",
+    "dedup_exact_fingerprint",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk_bruteforce",
+    "similarity_topk_lsh",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("spark_graft_bench")
+    qs = all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        # warm the scan cache lightly by building the plan first
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,72 @@
+"""CLI entry point mirroring the reference's argparse surface (operator C1,
+/root/reference/unload_databricks_data_to_s3.py:412-459) without the
+Databricks-isms: SQL comes from ``--sql`` or ``--sql-file`` instead of a
+secrets service; credentials come from the environment / Hadoop conf.
+
+Usage:
+    python -m databricks_import_pyspark_scripts_spark.cli \
+        --source-root /data/tables \
+        --table-versions-map "events=0-3" \
+        --sql "SELECT * FROM events" \
+        --output-path /tmp/export --format parquet
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .operators.cdc import DATA_TYPES
+from .operators.partitioning import MAX_RECORDS_PER_OUTPUT_FILE, STRATEGIES
+from .plans.pipeline import UnloadJob, run_unload
+from .session import get_spark
+from .sinks.writers import FORMATS
+from .sources.versioned import parse_table_versions_map
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="spark-graft unload/export job")
+    p.add_argument("--source-root", required=True,
+                   help="root dir of versioned tables (<root>/<table>/v=N, <root>/<table>_changes)")
+    p.add_argument("--table-versions-map", required=True,
+                   help='e.g. "events=0-3,users=2-5"; start==0 means snapshot-of-end')
+    p.add_argument("--sql", help="transformation SQL over the table views")
+    p.add_argument("--sql-file", help="file containing the transformation SQL")
+    p.add_argument("--output-path", required=True)
+    p.add_argument("--data-type", default="EVENT", choices=DATA_TYPES)
+    p.add_argument("--format", default="parquet", choices=FORMATS)
+    p.add_argument("--partitioning-strategy", default="none", choices=STRATEGIES)
+    p.add_argument("--max-records-per-file", type=int,
+                   default=MAX_RECORDS_PER_OUTPUT_FILE)
+    p.add_argument("--target-partitions", type=int, default=None)
+    p.add_argument("--ingestion-in-mutability-mode", action="store_true")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if not args.sql and not args.sql_file:
+        print("one of --sql / --sql-file is required", file=sys.stderr)
+        return 2
+    sql = args.sql or open(args.sql_file).read()
+    spark = get_spark("spark_graft_unload")
+    job = UnloadJob(
+        source_root=args.source_root,
+        table_versions=parse_table_versions_map(args.table_versions_map),
+        sql=sql,
+        output_path=args.output_path,
+        data_type=args.data_type,
+        fmt=args.format,
+        partitioning_strategy=args.partitioning_strategy,
+        max_records_per_file=args.max_records_per_file,
+        target_partitions=args.target_partitions,
+        mutability_mode=args.ingestion_in_mutability_mode,
+    )
+    report = run_unload(spark, job)
+    print(json.dumps(report, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

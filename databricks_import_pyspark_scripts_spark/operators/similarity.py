@@ -1,0 +1,108 @@
+"""Embedding similarity search: brute-force cosine top-k (baseline) and a
+sign-random-projection LSH-bucketed variant (the scale path).
+
+North-star extensions (SURVEY.md §7 Phase 5). Design for 100 TB:
+
+* Brute force broadcasts the (small) query set and computes cosine per
+  (query, candidate) pair — a broadcast nested loop, no shuffle of the big
+  side, then a per-query top-k window. Fine when |queries| is small.
+* LSH: each vector gets a bucket from the SIGNS of its dot products with
+  ``NUM_PLANES`` fixed Rademacher (+1/-1) hyperplanes; queries only score
+  candidates in their own bucket — candidate volume drops ~2^NUM_PLANES x.
+  Bucketing is computed on round(x*1000) integer-quantized embeddings so the
+  dot-product sign is exact integer math — bit-identical across engines and
+  summation orders (this is what makes the LSH variant fully
+  oracle-checkable, unusual for ANN).
+
+Cosine itself is computed on the original float vectors (cast to double,
+sequential fold) and rounded for cross-engine comparison.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+NUM_PLANES = 8
+EMBED_DIM = 64
+QUANT_SCALE = 1000  # embedding quantization for exact-integer bucket math
+
+
+def rademacher_planes(num_planes: int = NUM_PLANES, dim: int = EMBED_DIM,
+                      seed: int = 42) -> list[list[int]]:
+    """Deterministic +1/-1 hyperplanes shared by Spark code and oracle SQL."""
+    rng = random.Random(seed)
+    return [[rng.choice((-1, 1)) for _ in range(dim)] for _ in range(num_planes)]
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double (same order both engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / F.sqrt(dot_col(a, a) * dot_col(b, b))
+
+
+def lsh_bucket_col(vec: Column,
+                   planes: list[list[int]] | None = None) -> Column:
+    """Integer LSH bucket id from sign bits of quantized dot products."""
+    planes = planes or rademacher_planes()
+    q = F.transform(vec, lambda x: F.round(x.cast("double") * QUANT_SCALE).cast("long"))
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        signed = F.zip_with(
+            q, F.array(*[F.lit(w) for w in plane]), lambda x, w: x * w)
+        dot = F.aggregate(signed, F.lit(0).cast("long"), lambda acc, v: acc + v)
+        bucket = bucket + F.when(dot >= 0, F.lit(2 ** i)).otherwise(F.lit(0)).cast("long")
+    return bucket
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("cosine").desc(), F.col("vec_id")))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "cosine", "rank"))
+
+
+def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Exact cosine top-k: broadcast queries x all vectors.
+
+    ``vectors``/``queries`` need columns (vec_id|query_id, embedding).
+    Excludes self-matches. Ties broken by vec_id.
+    """
+    scored = (
+        vectors.join(F.broadcast(queries),
+                     vectors.vec_id != queries.query_id)
+        .select("query_id", "vec_id",
+                F.round(cosine_col(F.col("q_embedding"), F.col("embedding")), 4)
+                .alias("cosine"))
+    )
+    return _topk(scored, k)
+
+
+def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+             planes: list[list[int]] | None = None) -> DataFrame:
+    """Approximate top-k: score only same-LSH-bucket candidates.
+
+    The bucket equi-join replaces the nested loop — at 1000 executors the
+    big side shuffles once on bucket id (or not at all if pre-bucketed at
+    write time), and each bucket is a small local top-k.
+    """
+    planes = planes or rademacher_planes()
+    v = vectors.withColumn("bucket", lsh_bucket_col(F.col("embedding"), planes))
+    qk = queries.withColumn("bucket", lsh_bucket_col(F.col("q_embedding"), planes))
+    scored = (
+        v.join(F.broadcast(qk), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id",
+                F.round(cosine_col(F.col("q_embedding"), F.col("embedding")), 4)
+                .alias("cosine"))
+    )
+    return _topk(scored, k)

@@ -1,0 +1,102 @@
+r"""Text-analysis column builders: token counts, quality score, language-ID
+heuristic, document fingerprints.
+
+North-star extension operators (not in the reference, SURVEY.md §7 Phase 5)
+for the LLM-pre-training-pipeline use case. Everything here is a pure builtin
+column expression (regexp / higher-order functions / md5) — per-row, zero
+shuffle, whole-stage-codegen'd, so at 100 TB these run at parquet scan speed.
+
+Each builder has an exact DuckDB-SQL twin in querylib (the correctness gate);
+the arithmetic is written so both engines produce bit-identical results
+(integer counts, single-expression double math, md5 for hashing — md5 is the
+one hash both engines implement identically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword lang-ID heuristic.
+# Deliberately short — the heuristic is a deterministic capability exemplar.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "a", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "zu", "mit"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est"),
+}
+
+TOKEN_PATTERN = "[a-z0-9]+"  # BPE-ish: lowercase alnum runs
+
+
+def words_col(text: Column) -> Column:
+    """Whitespace-split word array."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def word_count_col(text: Column) -> Column:
+    return F.size(words_col(text))
+
+
+def tokens_col(text: Column) -> Column:
+    """Lowercased alnum-run tokens (regexp_extract_all)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_PATTERN), 0)
+
+
+def token_count_col(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def punct_count_col(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(r"[^a-zA-Z0-9\s]"), 0))
+
+
+def quality_score_col(text: Column) -> Column:
+    """Heuristic quality in [0,1]: 0.4*length-saturation + 0.3*(1 - punct
+    ratio) + 0.3*word-count saturation. Mirrors the standard corpus-filter
+    shape (length / symbol ratio / word count)."""
+    n = F.length(text)
+    length_sat = F.least(n / F.lit(500.0), F.lit(1.0))
+    punct_ratio = F.least(
+        punct_count_col(text) * F.lit(1.0) / F.greatest(n, F.lit(1)), F.lit(1.0))
+    word_sat = F.least(word_count_col(text) / F.lit(100.0), F.lit(1.0))
+    return (F.lit(0.4) * length_sat
+            + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+            + F.lit(0.3) * word_sat)
+
+
+def stopword_hits_col(text: Column, lang: str) -> Column:
+    """How many tokens are stopwords of ``lang``."""
+    stops = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    return F.size(F.filter(tokens_col(text), lambda t: F.array_contains(stops, t)))
+
+
+def lang_id_col(text: Column) -> Column:
+    """Argmax-stopword-hits language guess; 'und' (undetermined) when no
+    language scores a hit. Ties break alphabetically (deterministic)."""
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    # alphabetical scan with strict > : the alphabetically-first max wins ties
+    for lang in sorted(LANG_STOPWORDS):
+        hits = stopword_hits_col(text, lang)
+        best_lang = F.when(hits > best_hits, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.greatest(hits, best_hits)
+    return best_lang
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Exact-content fingerprint: md5 of the token-normalized text (lowercase
+    alnum tokens joined by single spaces), so whitespace/punctuation noise
+    doesn't change the fingerprint. md5 is implemented identically in Spark
+    and DuckDB — portable across the oracle boundary."""
+    return F.md5(F.array_join(tokens_col(text), " "))
+
+
+def shingles_col(text: Column, k: int = 3) -> Column:
+    """Array of k-token shingle strings (distinct), the MinHash input unit."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array(F.array_join(toks, " "))).otherwise(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))))

@@ -1,0 +1,164 @@
+"""The unload pipeline: versioned reads -> CDC filter -> views -> user SQL ->
+sized write, with the reference's two-level latest-only retry.
+
+Reference shape (/root/reference/unload_databricks_data_to_s3.py:256-408,
+484-512; SURVEY.md §3):
+
+* per table: fetch version range -> CDC filter -> register temp view
+* run the user-supplied SQL over the views (the entire relational algebra is
+  delegated to Catalyst here)
+* size partitions, write JSON or zstd-Parquet, write meta/log sidecars
+* E2: if building one table's view hits a missing-change-file error, that
+  table silently narrows to latest-snapshot-only ([end,end]) and the incident
+  is recorded in table_results.
+* E3: lazy evaluation defers read errors to the write; a top-level catch
+  re-runs the whole job with force_latest_only=True.
+
+Design deltas vs the reference (SURVEY.md §4 known inefficiencies — all are
+scale wins at 100 TB):
+
+* Views are registered under the ORIGINAL table identifiers, so there is no
+  textual ``sql.replace(table, view)`` rewrite (which corrupts SQL when one
+  table name prefixes another or appears in a string literal).
+* No double execution: the count needed for metadata/partition math is
+  collected DURING the write via ``df.observe`` instead of a separate
+  ``count()`` job that re-runs the entire pipeline.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.cdc import filter_data
+from ..operators.partitioning import (
+    MAX_RECORDS_PER_OUTPUT_FILE,
+    calculate_num_partitions,
+    size_output,
+)
+from ..sinks.writers import write_export, write_json_sidecar, write_meta_data, write_text_sidecar
+from ..sources.versioned import extract_missing_cdf_error_signature, fetch_data
+
+
+@dataclass
+class UnloadJob:
+    """Everything the reference's 12 CLI args carry (C1), minus Databricks."""
+
+    source_root: str
+    table_versions: dict[str, list[int]]  # {table: [start, end]}; start==0 -> snapshot
+    sql: str
+    output_path: str
+    data_type: str = "EVENT"
+    fmt: str = "parquet"
+    partitioning_strategy: str = "none"
+    max_records_per_file: int = MAX_RECORDS_PER_OUTPUT_FILE
+    target_partitions: int | None = None
+    mutability_mode: bool = False
+    run_id: str = field(default_factory=lambda: uuid.uuid4().hex)
+
+
+def build_views_for_tables(spark: SparkSession, job: UnloadJob,
+                           table_results: dict[str, dict[str, Any]],
+                           force_latest_only: bool = False) -> None:
+    """Register one temp view per source table, with per-table latest-only
+    fallback on missing-change-file errors (E2)."""
+    for table, (start, end) in job.table_versions.items():
+        result: dict[str, Any] = {
+            "initialStartVersion": start,
+            "initialEndVersion": end,
+        }
+        # latest-only = snapshot of the end version (start==0 convention,
+        # mirroring the reference's narrow-to-[end,end] CDF fallback).
+        use_start, use_end = (0, end) if (force_latest_only and start != 0) else (start, end)
+        try:
+            df = fetch_data(spark, job.source_root, table, use_start, use_end)
+        except Exception as err:  # noqa: BLE001 — classify, then fall back or re-raise
+            sig = extract_missing_cdf_error_signature(err)
+            if sig is None or use_start == 0:
+                raise
+            result["initialFetchError"] = f"{sig}: {err}"
+            use_start, use_end = 0, end
+            df = fetch_data(spark, job.source_root, table, use_start, use_end)
+        df = filter_data(df, job.data_type, job.mutability_mode)
+        # View named exactly like the table (no textual SQL rewrite needed).
+        df.createOrReplaceTempView(f"`{table}`")
+        result["finalStartVersion"] = use_start
+        result["finalEndVersion"] = use_end
+        table_results[table] = result
+
+
+def _write_with_observed_count(spark: SparkSession, job: UnloadJob,
+                               df: DataFrame) -> tuple[int, int]:
+    """Write the export, collecting the row count during the write itself.
+
+    Returns (row_count, partition_count_used_for_metadata). Only the
+    ``repartition`` strategy needs a pre-write count (its partition math is an
+    input to the shuffle); ``coalesce``/``none`` write in one pass with an
+    observe() metric.
+    """
+    if job.partitioning_strategy == "repartition" and job.target_partitions is None:
+        n = df.count()  # unavoidable: the partition count feeds the shuffle
+        sized = size_output(df, "repartition", job.max_records_per_file,
+                            precomputed_count=n)
+        write_export(sized, job.output_path, job.fmt)
+        return n, calculate_num_partitions(df, job.max_records_per_file,
+                                           precomputed_count=n)
+    from pyspark.sql import Observation
+
+    obs = Observation(f"unload_{job.run_id}")
+    observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+    if job.partitioning_strategy == "coalesce":
+        # coalesce partition math needs target_partitions or a count; with
+        # neither, the global maxRecordsPerFile conf already caps file size,
+        # so coalesce only honors an explicit target here.
+        if job.target_partitions is not None:
+            observed = observed.coalesce(job.target_partitions)
+    elif job.target_partitions is not None:
+        observed = observed.repartition(job.target_partitions)
+    write_export(observed, job.output_path, job.fmt)
+    row_count = int(obs.get["rows"])  # collected during the write — no 2nd job
+    return row_count, calculate_num_partitions(
+        df, job.max_records_per_file, job.target_partitions,
+        precomputed_count=row_count)
+
+
+def run_unload(spark: SparkSession, job: UnloadJob) -> dict[str, Any]:
+    """Execute the full unload with the two-level retry (E3). Returns the run
+    report that also lands in ``<output>/logs/run_<id>/table_results.json``."""
+    t0 = time.time()
+    table_results: dict[str, dict[str, Any]] = {}
+    logs: list[str] = []
+
+    def attempt(force_latest_only: bool) -> tuple[int, int]:
+        table_results.clear()
+        build_views_for_tables(spark, job, table_results, force_latest_only)
+        export_df = spark.sql(job.sql)
+        return _write_with_observed_count(spark, job, export_df)
+
+    try:
+        rows, parts = attempt(force_latest_only=False)
+    except Exception as err:  # noqa: BLE001
+        sig = extract_missing_cdf_error_signature(err)
+        if sig is None:
+            raise
+        logs.append(f"write failed with {sig}; retrying latest-only")
+        rows, parts = attempt(force_latest_only=True)
+
+    write_meta_data(spark, job.output_path, rows, parts)
+    report = {
+        "run_id": job.run_id,
+        "rows": rows,
+        "partitions": parts,
+        "seconds": round(time.time() - t0, 3),
+        "table_results": table_results,
+        "logs": logs,
+    }
+    base = f"{job.output_path.rstrip('/')}/logs/run_{job.run_id}"
+    write_json_sidecar(spark, f"{base}/table_results.json", table_results)
+    write_text_sidecar(spark, f"{base}/logs.txt", "\n".join(logs) or "ok")
+    return report

@@ -1,0 +1,167 @@
+"""Dedup queries over ``documents`` with fully value-checked DuckDB oracles.
+
+The oracle SQL for MinHash/SimHash is GENERATED from the same constants the
+Spark operators use (operators.dedup), so the two sides cannot silently
+drift. All hashing is md5-based — the one hash both engines share.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    NUM_BANDS,
+    NUM_HASHES,
+    ROWS_PER_BAND,
+    SHINGLE_K,
+    SIMHASH_BITS,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_col,
+)
+from ..operators.text import fingerprint_col
+from ..sources.registry import load_table
+from . import register
+
+# ---------------------------------------------------------------- SQL pieces
+
+_TOKENS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+# k-token shingles, distinct, matching operators.text.shingles_col
+_SHINGLES_SQL = f"""
+    CASE WHEN len({_TOKENS_SQL}) < {SHINGLE_K}
+         THEN [array_to_string({_TOKENS_SQL}, ' ')]
+         ELSE list_distinct(list_transform(
+                generate_series(1, len({_TOKENS_SQL}) - {SHINGLE_K - 1}),
+                i -> array_to_string({_TOKENS_SQL}[i:i + {SHINGLE_K - 1}], ' ')))
+    END"""
+
+
+def _minhash_oracle(threshold: float) -> str:
+    sig_exprs = ",\n           ".join(
+        f"list_min(list_transform(sh, s -> md5('{j}:' || s))) AS sig{j}"
+        for j in range(NUM_HASHES))
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, md5({concat}) AS band_hash FROM sig".format(
+            b=b,
+            concat=" || ".join(
+                f"sig{j}" for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)))
+        for b in range(NUM_BANDS))
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+    ), sig AS (
+      SELECT doc_id,
+           {sig_exprs}
+      FROM sh
+    ), bands AS (
+      {band_selects}
+    ), cand AS (
+      SELECT DISTINCT b1.doc_id AS id_a, b2.doc_id AS id_b
+      FROM bands b1
+      JOIN bands b2 ON b1.band_idx = b2.band_idx
+                   AND b1.band_hash = b2.band_hash
+                   AND b1.doc_id < b2.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT cand.id_a, cand.id_b,
+             ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
+                   / GREATEST(len(list_distinct(list_concat(a.sh, b.sh))), 1), 4)
+               AS jaccard
+      FROM cand
+      JOIN sh a ON cand.id_a = a.doc_id
+      JOIN sh b ON cand.id_b = b.doc_id)
+    WHERE jaccard >= {threshold}
+    """
+
+
+def _simhash_oracle() -> str:
+    bit_terms = []
+    for i in range(SIMHASH_BITS):
+        hex_pos = i // 4 + 1
+        shift = 3 - (i % 4)
+        term = (
+            f"CASE WHEN list_sum(list_transform(hs, h -> "
+            f"CASE WHEN ((instr('0123456789abcdef', substr(h, {hex_pos}, 1)) - 1) // {2 ** shift}) % 2 = 1 "
+            f"THEN 1 ELSE -1 END)) >= 0 THEN {2 ** i} ELSE 0 END")
+        bit_terms.append(term)
+    total = "\n         + ".join(bit_terms)
+    return f"""
+    WITH hs AS (
+      SELECT doc_id, list_transform({_TOKENS_SQL}, t -> md5(t)) AS hs
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST({total} AS BIGINT) AS simhash
+    FROM hs
+    """
+
+
+# ------------------------------------------------------------------- queries
+
+@register(
+    "dedup_exact_fingerprint",
+    f"""
+    SELECT md5(array_to_string({_TOKENS_SQL}, ' ')) AS fingerprint,
+           MIN(doc_id) AS doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Exact dedup on the token-normalized md5 fingerprint: one hash "
+        "shuffle on the fingerprint, deterministic min-id representative.")
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    with_fp = d.select(fingerprint_col(F.col("text")).alias("fingerprint"), "doc_id")
+    return exact_dedup(with_fp, ["fingerprint"], "doc_id")
+
+
+@register(
+    "dedup_minhash_lsh",
+    _minhash_oracle(threshold=0.5),
+    doc=f"MinHash-LSH near-dup pairs: {NUM_HASHES} md5-minhashes, "
+        f"{NUM_BANDS} bands x {ROWS_PER_BAND} rows, exact-Jaccard verify "
+        ">= 0.5. Fully value-checked against DuckDB (md5-portable LSH).")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", threshold=0.5)
+
+
+@register(
+    "dedup_simhash",
+    _simhash_oracle(),
+    doc=f"{SIMHASH_BITS}-bit SimHash signature per document (bit-majority "
+        "over token md5s) — integer-exact across engines.")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash_col(F.col("text")).alias("simhash"))
+
+
+@register(
+    "dedup_ngram_jaccard_blocked",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, lang, source, n_chars // 100 AS len_bucket,
+             {_SHINGLES_SQL} AS sh
+      FROM documents
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
+                   / GREATEST(len(list_distinct(list_concat(a.sh, b.sh))), 1), 4)
+               AS jaccard
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source
+                         AND a.len_bucket = b.len_bucket
+                         AND a.doc_id < b.doc_id)
+    WHERE jaccard >= 0.2
+    """,
+    doc="Exact n-gram Jaccard pairs within (lang, source, length-bucket) "
+        "blocks — the blocked exact-verify pattern; block keys bound the "
+        "pair explosion to O(sum block^2).")
+def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (load_table(spark, sf_dir, "documents")
+         .withColumn("len_bucket", F.floor(F.col("n_chars") / 100)))
+    return ngram_jaccard_pairs(d, "doc_id", "text",
+                               ["lang", "source", "len_bucket"], threshold=0.2)

@@ -1,0 +1,543 @@
+"""Core relational surface: scans, filters, joins (all strategies), hash
+aggregation, rollup/cube, windows, sort/limit/top-k, set ops, scalar and
+higher-order functions, JSON extraction.
+
+This is SURVEY.md §2b made explicit: the reference delegates all of this to
+``spark.sql`` (operator Q1, /root/reference/unload_databricks_data_to_s3.py:371);
+here each family is a first-class, oracle-verified query.
+
+Scale notes are attached per query: which side broadcasts, where the shuffles
+are, and why the plan survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.registry import load_table
+from . import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- aggregation
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+           ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+           COUNT(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style scan->filter->hash agg. Map-side partial agg + one "
+        "shuffle on the tiny (flag,status) key space; AQE coalesces the "
+        "post-shuffle partitions. Filter and 7-column pruning push to parquet.")
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_distinct_counts",
+    """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*)                  AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="COUNT(DISTINCT) expands to a two-phase agg in Spark (partial "
+        "distinct per partition, then final) — no driver involvement, scales "
+        "linearly in distinct keys.")
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP = grouping-sets expansion inside one hash-agg pass; NULL "
+        "markers distinguish subtotal rows (hash-compared as NULLs).")
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "agg_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(AVG(o_totalprice), 4) AS avg_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over a 3x5 key space — grouping-set expansion is output-bounded "
+        "regardless of input scale.")
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+    )
+
+
+# --------------------------------------------------------------------- joins
+
+@register(
+    "q3_unshipped_revenue",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3-style 3-way join + agg + deterministic top-10 (ties broken "
+        "by l_orderkey). customer is the small filtered side -> broadcast; "
+        "orders-lineitem is the big shuffle join on orderkey. TakeOrdered "
+        "avoids a global sort.")
+def q3_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .select("l_orderkey", "revenue",
+                F.col("o_orderdate").cast("date").alias("orderdate"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_supplier_volume",
+    """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5-style 6-way join. region/nation/supplier/customer all "
+        "broadcast (small dims); only orders-lineitem shuffles on orderkey. "
+        "At 100 TB the dim broadcasts keep this to ONE big shuffle.")
+def q5_region_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+              & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@register(
+    "join_broadcast_brand_volume",
+    """
+    SELECT p_brand,
+           ROUND(SUM(l_quantity), 2) AS total_qty,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    doc="Fact-to-dim broadcast join: part ships to every executor, lineitem "
+        "never shuffles for the join (only the final small agg shuffles).")
+def join_broadcast_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@register(
+    "join_semi_active_customers",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    """,
+    doc="Left-semi join = EXISTS. Semi joins short-circuit on first match and "
+        "never duplicate the left side.")
+def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "join_anti_idle_customers",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="Left-anti join = NOT EXISTS; null-safe by construction (unlike "
+        "NOT IN with nullable keys).")
+def join_anti_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@register(
+    "join_full_outer_nation_counts",
+    """
+    SELECT n_name,
+           COALESCE(cust.n_cust, 0) AS n_cust,
+           COALESCE(supp.n_supp, 0) AS n_supp
+    FROM nation
+    LEFT JOIN (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) cust
+           ON n_nationkey = cust.c_nationkey
+    LEFT JOIN (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) supp
+           ON n_nationkey = supp.s_nationkey
+    """,
+    doc="Outer joins with pre-aggregated (already-reduced) sides: aggregate "
+        "BEFORE joining so the join input is |keys|, not |rows|.")
+def join_full_outer_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    cust = (_t(spark, sf_dir, "customer").groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_cust")))
+    supp = (_t(spark, sf_dir, "supplier").groupBy("s_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_supp")))
+    return (
+        n.join(cust, n.n_nationkey == cust.c_nationkey, "left")
+        .join(supp, n.n_nationkey == supp.s_nationkey, "left")
+        .select("n_name",
+                F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+                F.coalesce("n_supp", F.lit(0)).alias("n_supp"))
+    )
+
+
+# ------------------------------------------------------------------- windows
+
+@register(
+    "window_topk_per_group",
+    """
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+    FROM (
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      FROM lineitem)
+    WHERE rn <= 5
+    """,
+    doc="Top-K per group via ROW_NUMBER with full tiebreak. One shuffle on "
+        "the partition key; Spark pushes a per-partition top-K (WindowGroupLimit) "
+        "below the shuffle so 100 TB never fully sorts.")
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (Window.partitionBy("l_returnflag")
+         .orderBy(F.col("l_extendedprice").desc(), F.col("l_orderkey"),
+                  F.col("l_linenumber")))
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+@register(
+    "window_running_balance",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_spend,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS order_seq
+    FROM orders
+    """,
+    doc="Running aggregate with an explicit ROWS frame; deterministic via "
+        "(o_orderdate, o_orderkey) ordering.")
+def window_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey", "o_orderkey",
+            F.round(F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .alias("running_spend"),
+            F.row_number().over(w).alias("order_seq"),
+        )
+    )
+
+
+@register(
+    "window_lag_lead_sessions",
+    """
+    SELECT user_id, event_id,
+           LAG(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+           CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+                WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 THEN 1
+                ELSE 0 END AS session_start
+    FROM events
+    """,
+    doc="LAG/LEAD + sessionization marker (30-min gap rule) — the batch "
+        "equivalent of session windows; one shuffle on user_id.")
+def window_lag_lead_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts"))
+    lag_us = F.lag(ts_us).over(w)
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id", "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+            F.when(lag_us.isNull(), 1)
+             .when(ts_us - lag_us > 1800 * 1_000_000, 1)
+             .otherwise(0).alias("session_start"),
+        )
+    )
+
+
+# ------------------------------------------------------------------- set ops
+
+@register(
+    "setops_nation_coverage",
+    """
+    WITH cust_nations AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+         supp_nations AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+    SELECT 'both' AS side, nationkey FROM cust_nations INTERSECT
+      SELECT 'both' AS side, nationkey FROM supp_nations
+    UNION ALL
+    (SELECT 'cust_only' AS side, nationkey FROM cust_nations
+     EXCEPT
+     SELECT 'cust_only' AS side, nationkey FROM supp_nations)
+    """,
+    doc="INTERSECT / EXCEPT / UNION ALL over distinct key sets; set ops "
+        "reduce to aggregates+joins in Catalyst.")
+def setops_nation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (_t(spark, sf_dir, "customer")
+            .select(F.col("c_nationkey").alias("nationkey")).distinct())
+    supp = (_t(spark, sf_dir, "supplier")
+            .select(F.col("s_nationkey").alias("nationkey")).distinct())
+    both = (cust.intersect(supp)
+            .select(F.lit("both").alias("side"), "nationkey"))
+    cust_only = (cust.exceptAll(supp)
+                 .select(F.lit("cust_only").alias("side"), "nationkey"))
+    return both.unionAll(cust_only)
+
+
+# ------------------------------------------------------- scalar fn families
+
+@register(
+    "scalar_string_functions",
+    """
+    SELECT p_partkey,
+           UPPER(p_brand)                                   AS brand_upper,
+           SUBSTRING(p_name, 1, 8)                          AS name_prefix,
+           LENGTH(p_name)                                   AS name_len,
+           CONCAT(p_brand, ':', p_type)                     AS brand_type,
+           REPLACE(p_type, ' ', '_')                        AS type_snake,
+           CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END AS is_green,
+           SPLIT_PART(p_type, ' ', 1)                       AS type_head
+    FROM part
+    """,
+    doc="String function family: case, substring, length, concat, replace, "
+        "LIKE, split_part — all codegen'd JVM expressions.")
+def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.when(F.col("p_name").like("%green%"), 1).otherwise(0).alias("is_green"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+    )
+
+
+@register(
+    "scalar_datetime_functions",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE)             AS order_date,
+           YEAR(o_orderdate)                     AS order_year,
+           MONTH(o_orderdate)                    AS order_month,
+           DAYOFWEEK(o_orderdate)                AS order_dow,
+           CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE)    AS due_date
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    """,
+    doc="Date/time family: extract, trunc, interval arithmetic. Both sides "
+        "emit 0-based-Sunday dow (Spark dayofweek is 1-based, DuckDB 0-based; "
+        "Spark subtracts 1).")
+def scalar_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        (F.dayofweek("o_orderdate") - 1).alias("order_dow"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+    )
+
+
+@register(
+    "scalar_json_extraction",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+           event_type
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    """,
+    doc="JSON scalar extraction from the events.props string column "
+        "(get_json_object — the pattern the reference's customers use on "
+        "Amplitude property blobs).")
+def scalar_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return (
+        e.filter(k.isNotNull())
+        .select("event_id", k.cast("bigint").alias("prop_k"), "event_type")
+    )
+
+
+@register(
+    "scalar_conditional_bucketing",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 50000  THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS price_band,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_norm,
+           IF(o_orderpriority IN ('1-URGENT', '2-HIGH'), 1, 0) AS is_urgent
+    FROM orders
+    """,
+    doc="CASE/COALESCE/NULLIF/IF/IN conditional family.")
+def scalar_conditional_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < 50000, "small")
+         .when(F.col("o_totalprice") < 150000, "medium")
+         .otherwise("large").alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING"))
+         .alias("status_norm"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+         .otherwise(0).alias("is_urgent"),
+    )
+
+
+@register(
+    "hof_embedding_norms",
+    """
+    SELECT vec_id, label,
+           LEN(embedding) AS dim,
+           ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sq_norm,
+           ROUND(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4)  AS max_val
+    FROM embeddings
+    """,
+    doc="Higher-order array functions (transform + aggregate/fold + max) over "
+        "the FLOAT[64] embedding column — per-row, no shuffle; both engines "
+        "fold the list in order so doubles match exactly.")
+def hof_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id", "label",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.aggregate(as_double, F.lit(0.0),
+                        lambda acc, x: acc + x * x), 4).alias("sq_norm"),
+        F.round(F.array_max(as_double), 4).alias("max_val"),
+    )

@@ -1,0 +1,52 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+The reference relies on the ambient Databricks session
+(``/root/reference/unload_databricks_data_to_s3.py:464``); here we own session
+construction so the same code runs on a laptop (local[N]) and on a real
+cluster. Every config below is a public Spark conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Shuffle parallelism default: on local[N] match cores; AQE coalesces down at
+# runtime so a modest over-estimate is safe at any scale.
+_DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Pin per-file record cap globally (the reference sets it only on the
+    # coalesce path — SURVEY.md §4 known-inefficiency #4).
+    "spark.sql.files.maxRecordsPerFile": "100000",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "spark_graft", master: str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) a session.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when unset so tests and
+    bench share one code path; on a cluster, spark-submit supplies the master
+    and this argument stays None without overriding it.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and not os.environ.get("SPARK_MASTER"):
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    conf = dict(_DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

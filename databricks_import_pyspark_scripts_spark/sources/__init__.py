@@ -1,0 +1,19 @@
+from .registry import TABLES, load_table, register_views
+from .versioned import (
+    ChangelogNotFoundError,
+    fetch_data,
+    parse_table_versions_map,
+    read_changes,
+    read_snapshot,
+)
+
+__all__ = [
+    "TABLES",
+    "load_table",
+    "register_views",
+    "ChangelogNotFoundError",
+    "fetch_data",
+    "parse_table_versions_map",
+    "read_changes",
+    "read_snapshot",
+]

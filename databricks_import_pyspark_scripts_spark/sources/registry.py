@@ -1,0 +1,59 @@
+"""Testdata table registry: load parquet tables and register temp views.
+
+The reference reads governed Delta tables by name; outside Databricks our unit
+of input is a directory of parquet files, one per table (TESTDATA.md). Views
+are registered under the *original* table identifiers, which removes the
+reference's fragile textual SQL rewrite (str.replace of table names inside the
+user SQL — /root/reference/unload_databricks_data_to_s3.py:312,322,337 — which
+corrupts queries when one table name is a substring of another).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# Columns stored as parquet TIMESTAMP(NANOS), which Spark's reader rejects
+# outright; read them as long (legacy conf) and convert to micros, truncating
+# exactly like engines that narrow ns->us (DuckDB included).
+_NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Plain ``spark.read.parquet`` so Catalyst gets full
+    predicate pushdown / column pruning / partition pruning on the scan."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _NANOS_TS_COLUMNS.get(name, ())
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        if isinstance(df.schema[c].dataType, LongType):
+            df = df.withColumn(
+                c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   tables: tuple[str, ...] = TABLES) -> None:
+    """Register every table as a temp view named exactly like the table."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,166 @@
+"""Versioned source reads: snapshot-at-version and changes-between-versions.
+
+Reference semantics (SURVEY.md §2a S1-S3, C2, E1):
+
+* ``read_snapshot(table, v)`` — full table state as of version ``v``
+  (reference: Delta time travel ``VERSION AS OF``,
+  /root/reference/unload_databricks_data_to_s3.py:183-186).
+* ``read_changes(table, s, e)`` — row-level change feed for versions in
+  ``(s, e]`` carrying ``_change_type / _commit_version / _commit_timestamp``
+  (reference: Delta CDF ``table_changes(...)``,
+  /root/reference/unload_databricks_data_to_s3.py:189-193).
+* ``fetch_data`` dispatches: ``start == 0`` means "snapshot at end", NOT
+  "changes since version 0" (/root/reference/unload_databricks_data_to_s3.py:196-200).
+
+Databricks-free layout convention (works on any filesystem Spark can read,
+including s3a:// at cluster scale):
+
+    <root>/<table>/v=<version>/*.parquet          snapshots
+    <root>/<table>_changes/*.parquet              changelog, with the three
+                                                  CDC columns materialized
+
+Snapshots use a ``v=<int>`` directory per version. The changelog is a single
+append-only dataset filtered on ``_commit_version`` — at 100 TB that filter is
+a partition-pruned scan when the changelog is written partitioned by
+``_commit_version`` (our writer does), so an incremental read touches only the
+requested version range's files, never the full history.
+
+When Delta Lake's jars are on the classpath we use real time travel / CDF
+instead (import-gated; the v1 image has no Delta jars).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CDC_COLUMNS = ("_change_type", "_commit_version", "_commit_timestamp")
+
+
+class ChangelogNotFoundError(Exception):
+    """Raised when a requested change range cannot be served (emulates Delta's
+    DELTA_CHANGE_DATA_FILE_NOT_FOUND after VACUUM — the error class the
+    reference's two-level retry keys on,
+    /root/reference/unload_databricks_data_to_s3.py:24-25,75-88)."""
+
+
+# Signatures the retry logic recognizes, mirroring the reference's two Delta
+# error classes plus our own emulated one.
+MISSING_CDF_ERROR_SIGNATURES = (
+    "DELTA_CHANGE_DATA_FILE_NOT_FOUND",
+    "FAILED_READ_FILE.DBR_FILE_NOT_EXIST",
+    "CHANGELOG_NOT_FOUND",
+)
+
+
+def extract_missing_cdf_error_signature(error: Exception) -> str | None:
+    """Classify an exception as a missing-change-file error (or not).
+
+    Reference parity: string-match on the exception text
+    (/root/reference/unload_databricks_data_to_s3.py:75-88).
+    """
+    text = str(error)
+    for sig in MISSING_CDF_ERROR_SIGNATURES:
+        if sig in text:
+            return sig
+    return None
+
+
+def parse_table_versions_map(table_versions_map: str) -> dict[str, list[int]]:
+    """``"cat.sch.t=1-2,c2.s2.t2=11-12"`` -> ``{"cat.sch.t": [1, 2], ...}``.
+
+    Reference parity: parse_table_versions_map_arg
+    (/root/reference/unload_databricks_data_to_s3.py:155-170).
+    """
+    out: dict[str, list[int]] = {}
+    if not table_versions_map:
+        return out
+    for entry in table_versions_map.split(","):
+        entry = entry.strip()
+        if not entry:
+            continue
+        m = re.fullmatch(r"(.+?)=(\d+)-(\d+)", entry)
+        if not m:
+            raise ValueError(f"bad table_versions_map entry: {entry!r}")
+        out[m.group(1)] = [int(m.group(2)), int(m.group(3))]
+    return out
+
+
+def _snapshot_dir(root: str, table: str, version: int) -> str:
+    return os.path.join(root, table, f"v={version}")
+
+
+def _delta_available(spark: SparkSession) -> bool:
+    try:
+        # Class.forName raises if the Delta jars are absent (a bare package
+        # lookup would not — Py4J returns a stub for unknown packages)
+        spark._jvm.java.lang.Class.forName("io.delta.tables.DeltaTable")  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+def read_snapshot(spark: SparkSession, root: str, table: str,
+                  version: int) -> DataFrame:
+    """Table state as of ``version`` (S1)."""
+    if _delta_available(spark):
+        return (spark.read.format("delta")
+                .option("versionAsOf", version)
+                .load(os.path.join(root, table)))
+    path = _snapshot_dir(root, table, version)
+    if not _path_exists(spark, path):
+        raise ChangelogNotFoundError(
+            f"CHANGELOG_NOT_FOUND: no snapshot for {table} v={version} at {path}")
+    return spark.read.parquet(path)
+
+
+def read_changes(spark: SparkSession, root: str, table: str,
+                 starting_version: int, ending_version: int) -> DataFrame:
+    """Change rows for versions in ``(starting_version, ending_version]`` (S2).
+
+    Keeps the three CDC metadata columns; downstream ``cdc.filter_data``
+    consumes and drops them. The ``_commit_version`` range predicate prunes
+    changelog partitions at the scan (changelog is written partitioned by
+    ``_commit_version``).
+    """
+    if _delta_available(spark):
+        return (spark.read.format("delta")
+                .option("readChangeFeed", "true")
+                .option("startingVersion", starting_version + 1)
+                .option("endingVersion", ending_version)
+                .load(os.path.join(root, table)))
+    path = os.path.join(root, f"{table}_changes")
+    if not _path_exists(spark, path):
+        raise ChangelogNotFoundError(
+            f"CHANGELOG_NOT_FOUND: no changelog for {table} at {path}")
+    df = spark.read.parquet(path)
+    df = df.filter(
+        (F.col("_commit_version") > F.lit(starting_version))
+        & (F.col("_commit_version") <= F.lit(ending_version)))
+    # A vacuumed changelog is emulated by absent version partitions; surface
+    # that lazily like Delta does (at action time) — callers that need eager
+    # detection count a 1-partition sample. We keep laziness for parity with
+    # the reference's write-time-retry design.
+    return df
+
+
+def fetch_data(spark: SparkSession, root: str, table: str,
+               starting_version: int, ending_version: int) -> DataFrame:
+    """S3 dispatcher: ``start == 0`` -> snapshot of ``end``; else changes.
+
+    Reference parity: /root/reference/unload_databricks_data_to_s3.py:196-200.
+    """
+    if starting_version == 0:
+        return read_snapshot(spark, root, table, ending_version)
+    return read_changes(spark, root, table, starting_version, ending_version)
+
+
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    """Check existence through Hadoop FS so s3a:// etc. work, not just local."""
+    sc = spark.sparkContext
+    hadoop_path = sc._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
+    fs = hadoop_path.getFileSystem(sc._jsc.hadoopConfiguration())  # noqa: SLF001
+    return fs.exists(hadoop_path)

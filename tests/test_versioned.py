@@ -1,0 +1,88 @@
+"""Source layer: versions-map parser, snapshot/changelog reads, dispatcher,
+error classifier. Mirrors the reference's pure-function tests
+(/root/reference/test/unload_databricks_data_to_s3_tests.py:14-28) and closes
+its untested gaps (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from databricks_import_pyspark_scripts_spark.sources.versioned import (
+    ChangelogNotFoundError,
+    extract_missing_cdf_error_signature,
+    fetch_data,
+    parse_table_versions_map,
+    read_changes,
+    read_snapshot,
+)
+
+
+def test_parse_single_table():
+    assert parse_table_versions_map("cat.sch.t=1-2") == {"cat.sch.t": [1, 2]}
+
+
+def test_parse_two_tables():
+    assert parse_table_versions_map("cat.sch.t=1-2,c2.s2.t2=11-12") == {
+        "cat.sch.t": [1, 2],
+        "c2.s2.t2": [11, 12],
+    }
+
+
+def test_parse_empty_and_bad():
+    assert parse_table_versions_map("") == {}
+    with pytest.raises(ValueError):
+        parse_table_versions_map("nonsense")
+
+
+def test_error_classifier():
+    assert extract_missing_cdf_error_signature(
+        Exception("DELTA_CHANGE_DATA_FILE_NOT_FOUND: gone")) == "DELTA_CHANGE_DATA_FILE_NOT_FOUND"
+    assert extract_missing_cdf_error_signature(
+        Exception("FAILED_READ_FILE.DBR_FILE_NOT_EXIST boom")) == "FAILED_READ_FILE.DBR_FILE_NOT_EXIST"
+    assert extract_missing_cdf_error_signature(Exception("other")) is None
+
+
+@pytest.fixture(scope="module")
+def versioned_root(spark, tmp_path_factory):
+    """<root>/t/v=1, <root>/t/v=2 snapshots + <root>/t_changes changelog."""
+    root = str(tmp_path_factory.mktemp("versioned"))
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, val string")
+    v2 = spark.createDataFrame([(1, "a"), (2, "b2"), (3, "c")], "id int, val string")
+    v1.write.parquet(f"{root}/t/v=1")
+    v2.write.parquet(f"{root}/t/v=2")
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", "update_postimage", 2, "2024-01-01T00:00:00"),
+            (2, "b", "update_preimage", 2, "2024-01-01T00:00:00"),
+            (3, "c", "insert", 2, "2024-01-01T00:00:00"),
+        ],
+        "id int, val string, _change_type string, _commit_version long, _commit_timestamp string",
+    )
+    changes.write.partitionBy("_commit_version").parquet(f"{root}/t_changes")
+    return root
+
+
+def test_read_snapshot(spark, versioned_root):
+    assert read_snapshot(spark, versioned_root, "t", 1).count() == 2
+    assert read_snapshot(spark, versioned_root, "t", 2).count() == 3
+
+
+def test_read_changes_range(spark, versioned_root):
+    df = read_changes(spark, versioned_root, "t", 1, 2)
+    assert df.count() == 3
+    assert set(df.columns) >= {"_change_type", "_commit_version", "_commit_timestamp"}
+    # (2, 2] is empty
+    assert read_changes(spark, versioned_root, "t", 2, 2).count() == 0
+
+
+def test_fetch_data_dispatch(spark, versioned_root):
+    # start==0 -> snapshot of end, NOT "changes since 0"
+    assert fetch_data(spark, versioned_root, "t", 0, 2).count() == 3
+    assert "_change_type" in fetch_data(spark, versioned_root, "t", 1, 2).columns
+
+
+def test_missing_snapshot_raises(spark, versioned_root):
+    with pytest.raises(ChangelogNotFoundError):
+        read_snapshot(spark, versioned_root, "t", 99)
+    with pytest.raises(ChangelogNotFoundError):
+        read_changes(spark, versioned_root, "missing_table", 1, 2)
