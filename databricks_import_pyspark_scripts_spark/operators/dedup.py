@@ -49,30 +49,47 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_copies")))
 
 
-def minhash_signature_cols(text: Column, num_hashes: int = NUM_HASHES,
-                           k: int = SHINGLE_K) -> list[Column]:
-    """num_hashes independent minhash values (md5-hex strings) of the k-token
-    shingle set."""
-    shingles = shingles_col(text, k)
-    return [
-        F.array_min(F.transform(
-            shingles, lambda s, j=j: F.md5(F.concat(F.lit(f"{j}:"), s))))
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       num_hashes: int = NUM_HASHES,
+                       k: int = SHINGLE_K) -> DataFrame:
+    """(id, sig0..sigN-1): per-document minhash signature.
+
+    Implementation is explode -> per-shingle md5 x num_hashes -> hash-agg
+    MIN per doc, NOT an array fold: Spark's higher-order-function lambdas run
+    interpreted (no codegen), ~10x slower than this shape, and the exploded
+    form also gets map-side partial aggregation for free — at 100 TB the
+    shuffle carries only |docs| x num_hashes minima, never the shingles.
+    """
+    base = df.select(F.col(id_col), F.col(text_col))
+    # Spread the md5-heavy explode across all cores even when the source is a
+    # single (unsplittable) file; hash-partitioning on the id also makes the
+    # groupBy below shuffle-free and lets the self-join in
+    # minhash_lsh_pairs reuse this exchange for both sides.
+    base = base.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    exploded = base.select(
+        F.col(id_col),
+        F.explode(shingles_col(F.col(text_col), k)).alias("s"))
+    return exploded.groupBy(id_col).agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"sig{j}")
         for j in range(num_hashes)
-    ]
+    ])
 
 
 def minhash_bands(df: DataFrame, id_col: str, text_col: str,
                   num_hashes: int = NUM_HASHES, num_bands: int = NUM_BANDS,
                   k: int = SHINGLE_K) -> DataFrame:
     """(id, band_idx, band_hash): one row per band per document."""
-    sigs = minhash_signature_cols(F.col(text_col), num_hashes, k)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k)
     rows = num_hashes // num_bands
     bands = F.array(*[
         F.struct(F.lit(b).alias("band_idx"),
-                 F.md5(F.concat(*sigs[b * rows:(b + 1) * rows])).alias("band_hash"))
+                 F.md5(F.concat(*[F.col(f"sig{j}")
+                                  for j in range(b * rows, (b + 1) * rows)]))
+                 .alias("band_hash"))
         for b in range(num_bands)
     ])
-    return (df.select(F.col(id_col), F.explode(bands).alias("band"))
+    return (sigs.select(F.col(id_col), F.explode(bands).alias("band"))
             .select(id_col, "band.band_idx", "band.band_hash"))
 
 
