@@ -1,0 +1,243 @@
+"""Advanced relational surface: as-of join, correlated/IN subqueries,
+grouping sets, pivot/unpivot, exact percentiles, approximate sketches, and a
+vectorized Pandas-UDF exemplar.
+
+The as-of join is the canonical "operator Spark lacks" case (SURVEY.md §2b):
+implemented as a composition of built-in ops (tagged union + ignore-nulls
+running LAST over a (ts, tag) window) — one shuffle on the join key, no
+cartesian, no Python. The oracle uses DuckDB's native ASOF JOIN, so the
+composition is verified against a first-class implementation.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+from pyspark.sql.window import Window
+
+from ..sources.registry import load_table, register_views
+from . import register
+
+
+@register(
+    "asof_join_last_purchase",
+    """
+    WITH p AS (SELECT user_id, ts, MAX(value) AS pvalue
+               FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+         c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT c.event_id,
+           p.pvalue AS last_purchase_value,
+           epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
+    FROM c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    doc="As-of join: each click gets the user's most recent purchase at or "
+        "before it. Spark composition: tagged union + ignore-nulls running "
+        "last() over (ts, tag); purchases deduped per (user, ts) so the "
+        "match is deterministic. One shuffle on user_id; at 100 TB this "
+        "beats a range-join explosion outright.")
+def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    p = (e.filter(F.col("event_type") == "purchase")
+         .groupBy("user_id", "ts").agg(F.max("value").alias("pvalue")))
+    c = (e.filter(F.col("event_type") == "click")
+         .select("event_id", "user_id", "ts"))
+    tagged = (
+        p.select("user_id", "ts", F.lit(0).alias("tag"), "pvalue",
+                 F.lit(None).cast("long").alias("event_id"))
+        .unionByName(
+            c.select("user_id", "ts", F.lit(1).alias("tag"),
+                     F.lit(None).cast("double").alias("pvalue"), "event_id"))
+    )
+    w = (Window.partitionBy("user_id").orderBy("ts", "tag")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ts_us = F.unix_micros(F.col("ts"))
+    return (
+        tagged
+        .withColumn("last_purchase_value", F.last("pvalue", ignorenulls=True).over(w))
+        .withColumn("last_purchase_us",
+                    F.last(F.when(F.col("tag") == 0, ts_us), ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+        .select("event_id", "last_purchase_value",
+                (ts_us - F.col("last_purchase_us")).alias("gap_us"))
+    )
+
+
+@register(
+    "subquery_correlated_above_avg",
+    """
+    SELECT o_orderkey, o_custkey
+    FROM orders o
+    WHERE o_totalprice > (SELECT 1.5 * AVG(o2.o_totalprice)
+                          FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+    """,
+    doc="Correlated scalar subquery (decorrelated by Catalyst into an "
+        "aggregate + join — no per-row re-execution).")
+def subquery_correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey
+        FROM orders o
+        WHERE o_totalprice > (SELECT 1.5 * AVG(o2.o_totalprice)
+                              FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+    """)
+
+
+@register(
+    "subquery_in_and_exists",
+    """
+    SELECT p_partkey, p_brand
+    FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_partkey = p_partkey AND l_returnflag = 'R')
+    """,
+    doc="IN + correlated EXISTS subqueries (both become semi joins).")
+def subquery_in_and_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("part", "lineitem"))
+    return spark.sql("""
+        SELECT p_partkey, p_brand
+        FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_partkey = p_partkey AND l_returnflag = 'R')
+    """)
+
+
+@register(
+    "grouping_sets_explicit",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="Explicit GROUPING SETS (the general form behind rollup/cube).")
+def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+@register(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="PIVOT (wide conditional aggregation). Spark .pivot with explicit "
+        "value list = single-pass agg, no second job to discover values.")
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pivoted = (o.groupBy("o_orderpriority")
+               .pivot("o_orderstatus", ["O", "F", "P"])
+               .count())
+    return (pivoted
+            .select("o_orderpriority",
+                    F.coalesce("O", F.lit(0)).alias("n_open"),
+                    F.coalesce("F", F.lit(0)).alias("n_filled"),
+                    F.coalesce("P", F.lit(0)).alias("n_pending")))
+
+
+@register(
+    "unpivot_acctbal",
+    """
+    SELECT n_nationkey, 'customer_total' AS measure, v FROM (
+      SELECT c_nationkey AS n_nationkey, ROUND(SUM(c_acctbal), 2) AS v
+      FROM customer GROUP BY c_nationkey)
+    UNION ALL
+    SELECT s_nationkey, 'supplier_total' AS measure, v FROM (
+      SELECT s_nationkey, ROUND(SUM(s_acctbal), 2) AS v
+      FROM supplier GROUP BY s_nationkey)
+    """,
+    doc="UNPIVOT / melt: wide measures to (key, measure, value) rows via "
+        "stack() — narrow, no shuffle beyond the input aggs.")
+def unpivot_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (load_table(spark, sf_dir, "customer").groupBy("c_nationkey")
+            .agg(F.round(F.sum("c_acctbal"), 2).alias("customer_total")))
+    supp = (load_table(spark, sf_dir, "supplier").groupBy("s_nationkey")
+            .agg(F.round(F.sum("s_acctbal"), 2).alias("supplier_total")))
+    joined = (cust.join(supp, cust.c_nationkey == supp.s_nationkey, "full")
+              .select(F.coalesce("c_nationkey", "s_nationkey").alias("n_nationkey"),
+                      "customer_total", "supplier_total"))
+    return (joined.selectExpr(
+        "n_nationkey",
+        "stack(2, 'customer_total', customer_total, "
+        "'supplier_total', supplier_total) AS (measure, v)")
+        .filter(F.col("v").isNotNull()))
+
+
+@register(
+    "percentiles_exact",
+    """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 2) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+           ROUND(MAX(o_totalprice), 2) AS p100
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Exact linear-interpolated percentiles per group (Spark percentile "
+        "== DuckDB quantile_cont). For 100 TB use percentile_approx — see "
+        "approx_sketches.")
+def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 2).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.50)), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 2).alias("p75"),
+        F.round(F.max("o_totalprice"), 2).alias("p100"),
+    ))
+
+
+@register(
+    "approx_sketches",
+    None,  # approximate by design: rows-only check
+    doc="Sketch aggregates for 100 TB interactive profiling: HLL distinct "
+        "counts and approximate percentiles (single pass, fixed memory, "
+        "mergeable across partitions). No oracle: approximation differs per "
+        "engine by construction.")
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("approx_median"),
+    ))
+
+
+@register(
+    "pandas_udf_sigmoid",
+    """
+    SELECT event_id,
+           ROUND(1.0 / (1.0 + EXP(-value)), 4) AS sigmoid
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+    doc="Vectorized Pandas UDF exemplar (Arrow-batched, ~10-100x over "
+        "row-at-a-time Python). The UDF itself is deliberately trivial so "
+        "the oracle can restate it in SQL; real use is model scoring / "
+        "tokenizers that builtins can't express.")
+def pandas_udf_sigmoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    @F.pandas_udf(DoubleType())
+    def sigmoid(s: pd.Series) -> pd.Series:
+        return 1.0 / (1.0 + np.exp(-s))
+
+    e = load_table(spark, sf_dir, "events")
+    return (e.filter(F.col("event_type") == "purchase")
+            .select("event_id", F.round(sigmoid("value"), 4).alias("sigmoid")))

@@ -47,8 +47,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     for c in ns_cols:
         if isinstance(df.schema[c].dataType, LongType):
-            df = df.withColumn(
-                c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")))
+            # integer `div`, NOT `/`: double division loses the low microsecond
+            # digits at epoch-nanos magnitude (~1.7e18 > 2^53)
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 
