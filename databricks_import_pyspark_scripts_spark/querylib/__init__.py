@@ -69,4 +69,5 @@ def _load() -> None:
     from . import text  # noqa: F401
     from . import dedup  # noqa: F401
     from . import similarity  # noqa: F401
+    from . import multimodal_queries  # noqa: F401
     _LOADED = True

@@ -1,0 +1,74 @@
+"""Structured Streaming upgrade path for the batch-incremental pipeline.
+
+The reference is batch micro-ingest: "incremental" means CDF version ranges
+replayed per scheduled run (SURVEY.md §2b). These helpers provide the
+equivalent continuous form:
+
+* ``stream_changelog`` — readStream over the same changelog-parquet layout
+  the batch source uses, so one data convention serves both modes.
+* ``cdc_filtered_stream`` — the F1 CDC filter applied to a stream (the
+  operator is expression-based, so it composes unchanged).
+* ``windowed_event_counts`` — watermarked tumbling-window aggregation (the
+  late-data handling the batch pipeline delegates to its external
+  scheduler).
+* ``run_to_memory`` — drives a stream to completion synchronously against a
+  memory sink (local smoke / tests).
+
+At scale: the changelog layout is append-only parquet partitioned by
+``_commit_version``; maxFilesPerTrigger bounds per-batch work, watermark
+bounds state. State-store partitioning follows shuffle partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.cdc import filter_data
+
+
+def stream_changelog(spark: SparkSession, root: str, table: str,
+                     schema, max_files_per_trigger: int = 16) -> DataFrame:
+    """readStream over ``<root>/<table>_changes`` (same layout as the batch
+    changelog source). Streaming parquet needs an explicit schema."""
+    return (spark.readStream
+            .schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(f"{root}/{table}_changes"))
+
+
+def cdc_filtered_stream(changes: DataFrame, data_type: str,
+                        mutability_mode: bool = False) -> DataFrame:
+    """F1 CDC semantics on a stream — identical operator, streaming input."""
+    return filter_data(changes, data_type, mutability_mode)
+
+
+def windowed_event_counts(events: DataFrame, ts_col: str = "ts",
+                          key_col: str = "event_type",
+                          window: str = "5 minutes",
+                          watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window counts/sums; append-mode compatible."""
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("value").alias("total_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    key_col, "n", "total_value"))
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> None:
+    """Drive all available input through ``df`` into an in-memory table
+    (results at ``SELECT * FROM <name>``), synchronously.
+
+    For windowed aggregations over a finite source use
+    ``output_mode="complete"``: in append mode a window only emits once the
+    watermark passes its end, which never happens when all input arrives in
+    the final batch."""
+    q = (df.writeStream.outputMode(output_mode)
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

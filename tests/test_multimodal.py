@@ -1,0 +1,73 @@
+"""Multimodal column plumbing: schema, metadata-first filtering, Arrow batch
+shape, decode stubbing (FIXTURES: no codec libs in this container — the
+decoder is stubbed; the Spark-side plumbing is real)."""
+
+from __future__ import annotations
+
+import pytest
+
+from databricks_import_pyspark_scripts_spark.operators.multimodal import (
+    IMAGE_FEATURE_DIM,
+    audio_window_plan,
+    decode_image_batch,
+    deterministic_fake_decoder,
+    frame_sample_plan,
+    image_features,
+    synthesize_media_table,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = synthesize_media_table(spark, 30)
+    df.cache().count()
+    return df
+
+
+def test_media_schema(media):
+    t = dict(media.dtypes)["media"]
+    assert "content:binary" in t and "mime:string" in t and "duration_ms:bigint" in t
+
+
+def test_decode_stub_raises(media):
+    with pytest.raises(Exception) as ei:
+        image_features(media).count()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError)
+
+
+def test_image_features_with_injected_decoder(media):
+    out = image_features(media, decoder=deterministic_fake_decoder)
+    rows = out.collect()
+    assert len(rows) == 10  # media_id % 3 == 0 -> image
+    assert all(r.mime == "image/png" for r in rows)
+    assert all(len(r.feature) == IMAGE_FEATURE_DIM for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r.feature)
+    # deterministic: same input -> same features
+    again = image_features(media, decoder=deterministic_fake_decoder).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+def test_frame_sample_plan_counts(media):
+    plan = frame_sample_plan(media, every_ms=1000)
+    per = {r.media_id: r.n for r in
+           plan.groupBy("media_id").count().withColumnRenamed("count", "n").collect()}
+    # duration (media_id%10+1)*2000 ms sampled at 1000ms -> duration/1000 frames
+    row = media.filter("media_id = 2").select("media.duration_ms").collect()[0]
+    assert per[2] == row.duration_ms // 1000
+    # only videos
+    assert all(mid % 3 == 2 for mid in per)
+
+
+def test_audio_window_plan_bounds(media):
+    plan = audio_window_plan(media, window_ms=5000)
+    rows = plan.filter("media_id = 1").orderBy("window_start_ms").collect()
+    assert rows[0].window_start_ms == 0 and rows[0].sample_rate == 16000
+    dur = media.filter("media_id = 1").select("media.duration_ms").collect()[0].duration_ms
+    assert rows[-1].window_end_ms == dur  # clamped to duration
+
+
+def test_decode_stub_is_explicit():
+    import pandas as pd
+    with pytest.raises(NotImplementedError):
+        decode_image_batch(pd.Series([b"x"]))

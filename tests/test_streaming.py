@@ -1,0 +1,71 @@
+"""Structured Streaming equivalents: changelog stream + CDC filter + windowed
+watermarked aggregation, driven synchronously through a memory sink."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from databricks_import_pyspark_scripts_spark.streaming.pipeline import (
+    cdc_filtered_stream,
+    run_to_memory,
+    stream_changelog,
+    windowed_event_counts,
+)
+
+CHANGE_SCHEMA = StructType([
+    StructField("id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("ts", TimestampType()),
+    StructField("_change_type", StringType()),
+    StructField("_commit_version", LongType()),
+    StructField("_commit_timestamp", TimestampType()),
+])
+
+
+@pytest.fixture(scope="module")
+def stream_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("stream_src"))
+    rows = [
+        (1, "click", 1.0, "2024-01-01 00:00:30", "insert", 1, "2024-01-01 00:01:00"),
+        (2, "click", 2.0, "2024-01-01 00:02:30", "insert", 1, "2024-01-01 00:03:00"),
+        (3, "view", 3.0, "2024-01-01 00:06:00", "insert", 2, "2024-01-01 00:06:30"),
+        (3, "view", 9.9, "2024-01-01 00:06:00", "update_preimage", 2, "2024-01-01 00:06:30"),
+        (4, "view", 4.0, "2024-01-01 00:07:00", "delete", 2, "2024-01-01 00:07:30"),
+    ]
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], r[4], r[5], r[6]) for r in rows],
+        "id long, event_type string, value double, ts string, _change_type string, _commit_version long, _commit_timestamp string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")) \
+     .withColumn("_commit_timestamp", F.col("_commit_timestamp").cast("timestamp"))
+    df.write.parquet(f"{root}/ev_changes")
+    return root
+
+
+def test_streaming_cdc_filter(spark, stream_root):
+    stream = stream_changelog(spark, stream_root, "ev", CHANGE_SCHEMA)
+    assert stream.isStreaming
+    filtered = cdc_filtered_stream(stream, "EVENT")
+    run_to_memory(filtered.select("id", "event_type", "value"), "cdc_out")
+    got = {r.id for r in spark.sql("SELECT * FROM cdc_out").collect()}
+    assert got == {1, 2, 3}  # inserts only; preimage+delete dropped
+
+
+def test_streaming_windowed_counts(spark, stream_root):
+    stream = stream_changelog(spark, stream_root, "ev", CHANGE_SCHEMA)
+    events = cdc_filtered_stream(stream, "EVENT")
+    agg = windowed_event_counts(events, window="5 minutes", watermark="10 minutes")
+    run_to_memory(agg, "win_out", output_mode="complete")
+    rows = {(r.window_start.minute, r.event_type): r.n
+            for r in spark.sql("SELECT * FROM win_out").collect()}
+    assert rows[(0, "click")] == 2   # 00:00 window: ids 1,2
+    assert rows[(5, "view")] == 1    # 00:05 window: id 3
