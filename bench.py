@@ -34,8 +34,12 @@ HEADLINE = [
     "dedup_exact_fingerprint",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "similarity_topk_bruteforce",
     "similarity_topk_lsh",
+    "asof_join_last_purchase",
+    "pandas_udf_sigmoid",
+    "multimodal_image_features",
 ]
 
 
@@ -44,10 +48,11 @@ def main() -> int:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("spark_graft_bench")
     qs = all_queries()
+    # JVM/codegen warmup so the first timed query isn't charged session startup
+    spark.range(1000).selectExpr("sum(id)").collect()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        # warm the scan cache lightly by building the plan first
         t0 = time.time()
         fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)

@@ -71,6 +71,31 @@ def cdc_filter_property(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "void_scrub_projection",
+    """
+    SELECT event_id, value AS v, event_type
+    FROM events
+    """,
+    doc="VOID/NullType scrub (reference P1/P2) in the correctness gate: a "
+        "VOID column and a struct with a VOID member are synthesized, "
+        "drop_void_fields removes them, and the surviving nested value is "
+        "projected out. A semantic drift in the scrub breaks schema or "
+        "values here.")
+def void_scrub_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.void_scrub import drop_void_fields
+
+    e = load_table(spark, sf_dir, "events")
+    dirty = (e.withColumn("ghost", F.lit(None))
+             .withColumn("payload", F.struct(
+                 F.col("value").alias("v"),
+                 F.lit(None).alias("dead"),
+             )))
+    clean = drop_void_fields(dirty)
+    assert "ghost" not in clean.columns
+    return clean.select("event_id", F.col("payload.v").alias("v"), "event_type")
+
+
+@register(
     "cdc_mutability_passthrough",
     """
     SELECT event_id, user_id, event_type

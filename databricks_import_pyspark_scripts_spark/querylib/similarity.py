@@ -103,3 +103,43 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors = load_table(spark, sf_dir, "embeddings")
     return lsh_topk(vectors, _queries_df(spark, sf_dir), k=TOP_K)
+
+
+_PAIR_COS_SQL = ("list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+                 " / sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))"
+                 " * list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))")
+
+NEAR_DUP_THRESHOLD = 0.3
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH v AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+               FROM embeddings)
+    SELECT id_a, id_b, cosine FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND({_PAIR_COS_SQL}, 4) AS cosine
+      FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    WHERE cosine >= {NEAR_DUP_THRESHOLD}
+    """,
+    doc="Embedding-cosine near-duplicate pairs: LSH-bucket self-join (no "
+        "cartesian) + cosine verify over the threshold — the semantic-dedup "
+        "pattern for embedding-indexed corpora; bucket join shuffles O(n), "
+        "not O(n^2). Threshold 0.3 fits the synthetic corpus's similarity "
+        "range (real corpora use ~0.95).")
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_col, lsh_bucket_col
+
+    v = (load_table(spark, sf_dir, "embeddings")
+         .withColumn("bucket", lsh_bucket_col(F.col("embedding"))))
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"),
+                 "bucket")
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"),
+                 "bucket")
+    return (a.join(b, ["bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.round(cosine_col(F.col("emb_a"), F.col("emb_b")), 4)
+                    .alias("cosine"))
+            .filter(F.col("cosine") >= NEAR_DUP_THRESHOLD))
