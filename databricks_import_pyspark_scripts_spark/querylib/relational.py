@@ -519,6 +519,36 @@ def scalar_conditional_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_math_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(ABS(l_discount - 0.05), 4)                    AS disc_dev,
+           ROUND(SQRT(l_extendedprice), 4)                     AS price_sqrt,
+           ROUND(LN(l_extendedprice + 1.0), 4)                 AS price_ln,
+           ROUND(POWER(l_quantity, 2), 2)                      AS qty_sq,
+           CAST(FLOOR(l_extendedprice / 1000) AS BIGINT)       AS price_kband,
+           CAST(CEIL(l_quantity / 10.0) AS BIGINT)             AS qty_decile,
+           MOD(CAST(l_orderkey AS BIGINT), 7)                  AS key_mod
+    FROM lineitem
+    WHERE l_linenumber = 1
+    """,
+    doc="Math scalar family: abs/sqrt/ln/power/floor/ceil/mod — codegen'd "
+        "JVM expressions; rounded for cross-engine libm drift.")
+def scalar_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1.0), 4).alias("price_ln"),
+        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("bigint").alias("price_kband"),
+        F.ceil(F.col("l_quantity") / 10.0).cast("bigint").alias("qty_decile"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@register(
     "hof_embedding_norms",
     """
     SELECT vec_id, label,

@@ -11,12 +11,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.text import (
+    LANG_STOPWORDS,
+    lang_id_col,
     quality_score_col,
     token_count_col,
     word_count_col,
 )
 from ..sources.registry import load_table
 from . import register
+
+
+def _lang_id_oracle() -> str:
+    """DuckDB twin of operators.text.lang_id_col: stopword-hit counts per
+    language, argmax with alphabetical-first tie-break, 'und' when all 0."""
+    langs = sorted(LANG_STOPWORDS)
+    hits = ",\n             ".join(
+        "len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), "
+        f"t -> list_contains({list(LANG_STOPWORDS[lang])}, t))) AS h_{lang}"
+        for lang in langs)
+    m = f"GREATEST({', '.join('h_' + lang for lang in langs)})"
+    first_max = " ".join(f"WHEN h_{lang} = m THEN '{lang}'" for lang in langs)
+    return f"""
+    WITH hits AS (
+      SELECT doc_id, lang,
+             {hits}
+      FROM documents
+    )
+    SELECT doc_id, lang AS declared_lang,
+           CASE WHEN m = 0 THEN 'und' {first_max} END AS guessed_lang
+    FROM (SELECT *, {m} AS m FROM hits)
+    """
 
 
 @register(
@@ -59,3 +83,17 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id",
                     F.round(quality_score_col(F.col("text")), 4).alias("quality"))
+
+
+@register(
+    "text_lang_id",
+    _lang_id_oracle(),
+    doc="n-gram/stopword language-ID heuristic: per-language stopword hit "
+        "counts, argmax with alphabetical tie-break, 'und' when nothing "
+        "hits. (The synthetic corpus's lang labels are random — this checks "
+        "the operator, not model accuracy.)")
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    F.col("lang").alias("declared_lang"),
+                    lang_id_col(F.col("text")).alias("guessed_lang"))

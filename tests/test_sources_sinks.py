@@ -1,0 +1,66 @@
+"""Source/sink format coverage: JSON, CSV, ORC roundtrips plus the export
+writer's zstd-parquet and VOID-scrub behavior (reference W1/W2 semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_import_pyspark_scripts_spark.sinks.writers import write_export
+from databricks_import_pyspark_scripts_spark.sources.registry import load_table
+
+
+@pytest.fixture(scope="module")
+def nation(spark, sf_dir):
+    return load_table(spark, sf_dir, "nation")
+
+
+def test_json_roundtrip(spark, nation, tmp_path):
+    out = str(tmp_path / "j")
+    nation.write.mode("overwrite").json(out)
+    back = spark.read.schema(nation.schema).json(out)
+    assert sorted(r.n_name for r in back.collect()) == \
+           sorted(r.n_name for r in nation.collect())
+
+
+def test_csv_roundtrip(spark, nation, tmp_path):
+    out = str(tmp_path / "c")
+    nation.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema(nation.schema).option("header", True).csv(out)
+    assert back.count() == nation.count()
+    assert dict(back.dtypes) == dict(nation.dtypes)  # explicit schema, no inference
+
+
+def test_orc_roundtrip(spark, nation, tmp_path):
+    out = str(tmp_path / "o")
+    nation.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.count() == nation.count()
+
+
+def test_export_parquet_is_zstd_and_void_free(spark, tmp_path):
+    df = (spark.range(10)
+          .withColumn("ghost", F.lit(None))           # VOID column
+          .withColumn("v", F.col("id") * 2))
+    out = str(tmp_path / "exp")
+    write_export(df, out, "parquet")
+    back = spark.read.parquet(out)
+    assert "ghost" not in back.columns                # W2 scrubs before write
+    assert back.count() == 10
+    import glob
+    import pyarrow.parquet as pq
+    f = glob.glob(f"{out}/part-*.parquet")[0]
+    meta = pq.ParquetFile(f).metadata
+    assert meta.row_group(0).column(0).compression.lower() == "zstd"
+
+
+def test_export_json_keeps_nulls(spark, tmp_path):
+    df = spark.range(3).withColumn("ghost", F.lit(None))
+    out = str(tmp_path / "expj")
+    write_export(df, out, "json")                     # W1: JSON not scrubbed
+    assert spark.read.json(f"{out}/part-*").count() == 3
+
+
+def test_bad_format_rejected(spark):
+    with pytest.raises(ValueError):
+        write_export(spark.range(1), "/tmp/x", "xml")
