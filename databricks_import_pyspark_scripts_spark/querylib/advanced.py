@@ -220,6 +220,34 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_salted_skew",
+    """
+    SELECT event_type,
+           ROUND(SUM(value), 2) AS total_value,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Two-phase salted aggregation (hot-key mitigation): groupBy(key, "
+        "salt) partial -> groupBy(key) merge. Salt derived from event_id so "
+        "the result is deterministic; the oracle is the PLAIN group-by — "
+        "salting must be invisible in results.")
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_agg
+
+    e = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        e, ["event_type"],
+        aggs=[F.round(F.sum("s"), 2).alias("total_value"),
+              F.sum("n").alias("n")],
+        partial_aggs=[F.sum("value").alias("s"),
+                      F.count(F.lit(1)).alias("n")],
+        num_salts=16,
+        salt_by=F.col("event_id"))
+    return out
+
+
+@register(
     "pandas_udf_sigmoid",
     """
     SELECT event_id,

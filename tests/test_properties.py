@@ -1,0 +1,37 @@
+"""Property-based tests (hypothesis): invariants that must hold for ANY
+input, driver-side logic only (fast, no Spark jobs per example)."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from databricks_import_pyspark_scripts_spark.operators.partitioning import (
+    get_partition_count,
+)
+from databricks_import_pyspark_scripts_spark.sources.versioned import (
+    parse_table_versions_map,
+)
+
+table_names = st.from_regex(r"[a-z][a-z0-9_]{0,10}(\.[a-z][a-z0-9_]{0,10}){0,2}",
+                            fullmatch=True)
+
+
+@given(st.dictionaries(table_names, st.tuples(
+    st.integers(0, 10**9), st.integers(0, 10**9)), min_size=0, max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_versions_map_roundtrip(d):
+    s = ",".join(f"{t}={a}-{b}" for t, (a, b) in d.items())
+    assert parse_table_versions_map(s) == {t: [a, b] for t, (a, b) in d.items()}
+
+
+@given(st.integers(0, 10**12), st.integers(1, 10**9))
+@settings(max_examples=500, deadline=None)
+def test_partition_count_invariants(n, m):
+    p = get_partition_count(n, m)
+    assert p >= 1                        # never zero partitions
+    assert p == max(1, math.ceil(n / m))
+    assert (p - 1) * m < max(n, 1)       # no overshoot: p-1 files can't hold n
+    assert p * m >= n                    # p files always suffice
