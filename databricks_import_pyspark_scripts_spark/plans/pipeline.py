@@ -134,19 +134,32 @@ def run_unload(spark: SparkSession, job: UnloadJob) -> dict[str, Any]:
     table_results: dict[str, dict[str, Any]] = {}
     logs: list[str] = []
 
+    def log_info(message: str) -> None:
+        # timestamped, print-based (reference C5: avoids Log4j config
+        # conflicts), accumulated for the log sidecar (W4)
+        line = f"{time.strftime('%Y-%m-%d %H:%M:%S')} {message}"
+        print(line)
+        logs.append(line)
+
     def attempt(force_latest_only: bool) -> tuple[int, int]:
         table_results.clear()
         build_views_for_tables(spark, job, table_results, force_latest_only)
         export_df = spark.sql(job.sql)
-        return _write_with_observed_count(spark, job, export_df)
+        ta = time.time()
+        counts = _write_with_observed_count(spark, job, export_df)
+        log_info(f"write finished in {time.time() - ta:.3f}s "
+                 f"(format={job.fmt}, strategy={job.partitioning_strategy})")
+        return counts
 
+    log_info(f"run {job.run_id}: tables={list(job.table_versions)} "
+             f"data_type={job.data_type} latest_only=False")
     try:
         rows, parts = attempt(force_latest_only=False)
     except Exception as err:  # noqa: BLE001
         sig = extract_missing_cdf_error_signature(err)
         if sig is None:
             raise
-        logs.append(f"write failed with {sig}; retrying latest-only")
+        log_info(f"write failed with {sig}; retrying latest-only")
         rows, parts = attempt(force_latest_only=True)
 
     write_meta_data(spark, job.output_path, rows, parts)

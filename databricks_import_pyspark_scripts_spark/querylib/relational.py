@@ -519,6 +519,54 @@ def scalar_conditional_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_ordered_collect",
+    """
+    SELECT n.n_name,
+           array_to_string(list_sort(list(s.s_name)), '|') AS suppliers,
+           COUNT(*) AS n_supp
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="Ordered string aggregation: collect_list is order-nondeterministic "
+        "in a distributed engine, so sort the array before joining — the "
+        "portable deterministic form.")
+def agg_ordered_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("s_name")), "|")
+            .alias("suppliers"),
+            F.count(F.lit(1)).alias("n_supp"),
+        )
+    )
+
+
+@register(
+    "window_ntile_ranks",
+    """
+    SELECT c_custkey,
+           NTILE(4)       OVER (ORDER BY c_acctbal DESC, c_custkey) AS wealth_quartile,
+           ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pct_rank,
+           ROUND(CUME_DIST()    OVER (ORDER BY c_acctbal, c_custkey), 6) AS cume
+    FROM customer
+    """,
+    doc="Distribution window functions: ntile / percent_rank / cume_dist "
+        "with unique-key tiebreaks for determinism.")
+def window_ntile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    desc = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    asc = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.ntile(4).over(desc).alias("wealth_quartile"),
+        F.round(F.percent_rank().over(asc), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(asc), 6).alias("cume"),
+    )
+
+
+@register(
     "scalar_math_functions",
     """
     SELECT l_orderkey, l_linenumber,

@@ -86,6 +86,32 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_word_frequencies",
+    r"""
+    SELECT token, n FROM (
+      SELECT token, COUNT(*) AS n,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rnk
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+            FROM documents)
+      GROUP BY token)
+    WHERE rnk <= 20
+    """,
+    doc="Corpus token frequencies (the canonical explode -> count): top-20 "
+        "tokens, count-desc with token tiebreak. Map-side partial counts "
+        "keep the shuffle at |vocab|, not |tokens|.")
+def text_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens_col
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (d.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+              .groupBy("token").agg(F.count(F.lit(1)).alias("n")))
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return (counts.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 20).select("token", "n"))
+
+
+@register(
     "text_lang_id",
     _lang_id_oracle(),
     doc="n-gram/stopword language-ID heuristic: per-language stopword hit "
