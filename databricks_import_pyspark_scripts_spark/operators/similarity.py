@@ -63,6 +63,34 @@ def lsh_bucket_col(vec: Column,
     return bucket
 
 
+def lsh_buckets_df(df: DataFrame, id_col: str, vec_col: str,
+                   planes: list[list[int]] | None = None) -> DataFrame:
+    """(id, bucket) via posexplode + broadcast plane-weight join + codegen'd
+    sum aggregation — the scale path for bulk bucketing (the column-expression
+    form ``lsh_bucket_col`` folds arrays in interpreted lambdas; this shape
+    keeps everything in whole-stage codegen and partial-aggregates map-side).
+    Bit math is identical (integer-exact quantization), so both forms give
+    byte-identical buckets."""
+    planes = planes or rademacher_planes()
+    spark = df.sparkSession
+    plane_rows = [(pos, *[planes[i][pos] for i in range(len(planes))])
+                  for pos in range(len(planes[0]))]
+    schema = "pos int, " + ", ".join(f"w{i} long" for i in range(len(planes)))
+    weights = F.broadcast(spark.createDataFrame(plane_rows, schema))
+    exploded = df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "x"))
+    q = F.round(F.col("x").cast("double") * QUANT_SCALE).cast("long")
+    sums = (exploded.withColumn("q", q).join(weights, "pos")
+            .groupBy(id_col)
+            .agg(*[F.sum(F.col("q") * F.col(f"w{i}")).alias(f"s{i}")
+                   for i in range(len(planes))]))
+    bucket = sum(
+        (F.when(F.col(f"s{i}") >= 0, F.lit(2 ** i)).otherwise(F.lit(0))
+         for i in range(len(planes))),
+        F.lit(0).cast("long"))
+    return sums.select(F.col(id_col), bucket.cast("long").alias("bucket"))
+
+
 def _topk(scored: DataFrame, k: int) -> DataFrame:
     w = (Window.partitionBy("query_id")
          .orderBy(F.col("cosine").desc(), F.col("vec_id")))
@@ -71,17 +99,27 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
             .select("query_id", "vec_id", "cosine", "rank"))
 
 
+def _pair_cosine(q: Column, v: Column, qn2: Column, vn2: Column) -> Column:
+    """Cosine from precomputed squared norms: ONE array fold per pair instead
+    of three (array lambdas run interpreted — the norms of each row must not
+    be recomputed per candidate pair). Expression shape (dot/sqrt(na*nb))
+    matches the oracle SQL exactly."""
+    return dot_col(q, v) / F.sqrt(qn2 * vn2)
+
+
 def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     """Exact cosine top-k: broadcast queries x all vectors.
 
     ``vectors``/``queries`` need columns (vec_id|query_id, embedding).
     Excludes self-matches. Ties broken by vec_id.
     """
+    v = vectors.withColumn("_n2", dot_col(F.col("embedding"), F.col("embedding")))
+    q = queries.withColumn("_qn2", dot_col(F.col("q_embedding"), F.col("q_embedding")))
     scored = (
-        vectors.join(F.broadcast(queries),
-                     vectors.vec_id != queries.query_id)
+        v.join(F.broadcast(q), v.vec_id != q.query_id)
         .select("query_id", "vec_id",
-                F.round(cosine_col(F.col("q_embedding"), F.col("embedding")), 4)
+                F.round(_pair_cosine(F.col("q_embedding"), F.col("embedding"),
+                                     F.col("_qn2"), F.col("_n2")), 4)
                 .alias("cosine"))
     )
     return _topk(scored, k)
@@ -96,13 +134,18 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     write time), and each bucket is a small local top-k.
     """
     planes = planes or rademacher_planes()
-    v = vectors.withColumn("bucket", lsh_bucket_col(F.col("embedding"), planes))
-    qk = queries.withColumn("bucket", lsh_bucket_col(F.col("q_embedding"), planes))
+    v = (vectors
+         .join(lsh_buckets_df(vectors, "vec_id", "embedding", planes), "vec_id")
+         .withColumn("_n2", dot_col(F.col("embedding"), F.col("embedding"))))
+    qk = (queries
+          .withColumn("bucket", lsh_bucket_col(F.col("q_embedding"), planes))
+          .withColumn("_qn2", dot_col(F.col("q_embedding"), F.col("q_embedding"))))
     scored = (
         v.join(F.broadcast(qk), "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id",
-                F.round(cosine_col(F.col("q_embedding"), F.col("embedding")), 4)
+                F.round(_pair_cosine(F.col("q_embedding"), F.col("embedding"),
+                                     F.col("_qn2"), F.col("_n2")), 4)
                 .alias("cosine"))
     )
     return _topk(scored, k)

@@ -129,17 +129,19 @@ NEAR_DUP_THRESHOLD = 0.3
         "not O(n^2). Threshold 0.3 fits the synthetic corpus's similarity "
         "range (real corpora use ~0.95).")
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import cosine_col, lsh_bucket_col
+    from ..operators.similarity import _pair_cosine, dot_col, lsh_buckets_df
 
-    v = (load_table(spark, sf_dir, "embeddings")
-         .withColumn("bucket", lsh_bucket_col(F.col("embedding"))))
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = (emb.join(lsh_buckets_df(emb, "vec_id", "embedding"), "vec_id")
+         .withColumn("n2", dot_col(F.col("embedding"), F.col("embedding"))))
     a = v.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"),
-                 "bucket")
+                 F.col("n2").alias("n2_a"), "bucket")
     b = v.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"),
-                 "bucket")
+                 F.col("n2").alias("n2_b"), "bucket")
     return (a.join(b, ["bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b",
-                    F.round(cosine_col(F.col("emb_a"), F.col("emb_b")), 4)
+                    F.round(_pair_cosine(F.col("emb_a"), F.col("emb_b"),
+                                         F.col("n2_a"), F.col("n2_b")), 4)
                     .alias("cosine"))
             .filter(F.col("cosine") >= NEAR_DUP_THRESHOLD))
