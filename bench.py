@@ -48,8 +48,16 @@ def main() -> int:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("spark_graft_bench")
     qs = all_queries()
-    # JVM/codegen warmup so the first timed query isn't charged session startup
+    # JVM/codegen + Python-worker-pool warmup so the first timed query isn't
+    # charged session startup
     spark.range(1000).selectExpr("sum(id)").collect()
+    import pandas as _pd
+
+    def _noop(it):
+        yield from it
+    n_workers = spark.sparkContext.defaultParallelism
+    spark.range(n_workers * 8).repartition(n_workers).mapInPandas(
+        _noop, "id long").count()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
