@@ -25,18 +25,12 @@ from ..operators.text import fingerprint_col
 from ..sources.registry import load_table
 from . import register
 
-# ---------------------------------------------------------------- SQL pieces
+# ------------------------------------------------------------------ SQL twins
 
-_TOKENS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+from ..functions.portable import TOKENS_SQL as _TOKENS_SQL  # noqa: E402
+from ..functions.portable import shingles_sql  # noqa: E402
 
-# k-token shingles, distinct, matching operators.text.shingles_col
-_SHINGLES_SQL = f"""
-    CASE WHEN len({_TOKENS_SQL}) < {SHINGLE_K}
-         THEN [array_to_string({_TOKENS_SQL}, ' ')]
-         ELSE list_distinct(list_transform(
-                generate_series(1, len({_TOKENS_SQL}) - {SHINGLE_K - 1}),
-                i -> array_to_string({_TOKENS_SQL}[i:i + {SHINGLE_K - 1}], ' ')))
-    END"""
+_SHINGLES_SQL = shingles_sql(SHINGLE_K)
 
 
 def _minhash_oracle(threshold: float) -> str:

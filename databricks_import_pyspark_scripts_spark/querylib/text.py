@@ -17,6 +17,7 @@ from ..operators.text import (
     token_count_col,
     word_count_col,
 )
+from ..functions.portable import TOKENS_SQL
 from ..sources.registry import load_table
 from . import register
 
@@ -26,7 +27,7 @@ def _lang_id_oracle() -> str:
     language, argmax with alphabetical-first tie-break, 'und' when all 0."""
     langs = sorted(LANG_STOPWORDS)
     hits = ",\n             ".join(
-        "len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), "
+        f"len(list_filter({TOKENS_SQL}, "
         f"t -> list_contains({list(LANG_STOPWORDS[lang])}, t))) AS h_{lang}"
         for lang in langs)
     m = f"GREATEST({', '.join('h_' + lang for lang in langs)})"
