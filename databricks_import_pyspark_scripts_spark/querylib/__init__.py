@@ -64,6 +64,7 @@ def _load() -> None:
     if _LOADED:
         return
     from . import relational  # noqa: F401
+    from . import tpch_like  # noqa: F401
     from . import advanced  # noqa: F401
     from . import cdc_queries  # noqa: F401
     from . import text  # noqa: F401

@@ -1,0 +1,210 @@
+"""TPC-H-style battery adapted to the testdata schema (TESTDATA.md): the
+classic analytic shapes a reference user would run through the delegated SQL
+surface (Q1/Q3/Q5 live in relational.py). Each is plan-reviewed: predicates
+pushed, dims broadcast, one wide shuffle per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from . import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure scan-filter-agg, every predicate pushed to "
+        "parquet (range + between + comparison), no shuffle beyond the "
+        "single-row final agg.")
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_lines")))
+
+
+@register(
+    "q4_priority_with_late_lines",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (commit<receipt adapted to shipped-after-ordered): "
+        "correlated EXISTS -> left-semi join, then tiny agg.")
+def q4_priority_with_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(li, (o.o_orderkey == li.l_orderkey)
+                  & (li.l_shipdate > o.o_orderdate), "left_semi")
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "q14_promo_revenue_share",
+    """
+    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+    doc="TPC-H Q14 shape: conditional aggregation ratio over a broadcast "
+        "dim join.")
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp")))
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .agg(F.round(
+                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                              .otherwise(0.0)) / F.sum(rev), 4)
+                .alias("promo_pct")))
+
+
+@register(
+    "q18_large_volume_orders",
+    """
+    SELECT c_name, o_orderkey, ROUND(o_totalprice, 2) AS totalprice,
+           ROUND(total_qty, 2) AS total_qty
+    FROM (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(l_quantity) > 150) big
+    JOIN orders   ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q18 shape: HAVING over a big agg, join back to orders + "
+        "customer, deterministic top-20. The agg reduces BEFORE the joins, "
+        "so joins see |big orders|, not |lineitem|.")
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("total_qty"))
+           .filter(F.col("total_qty") > 150))
+    return (big.join(o, big.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .select("c_name", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("totalprice"),
+                    F.round("total_qty", 2).alias("total_qty"))
+            .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
+            .limit(20))
+
+
+@register(
+    "q19_disjunctive_predicates",
+    """
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 20)
+       OR (p_type  = 'ECONOMY'  AND p_size BETWEEN 20 AND 50 AND l_quantity >= 30)
+    """,
+    doc="TPC-H Q19 shape: disjunctive multi-column predicates across both "
+        "join sides — Catalyst still pushes the common join key and prunes "
+        "columns; the OR tree evaluates post-join in one codegen stage.")
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(10, 30)
+           & (F.col("l_quantity") >= 20))
+        | ((F.col("p_type") == "ECONOMY") & F.col("p_size").between(20, 50)
+           & (F.col("l_quantity") >= 30)))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .filter(cond)
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "q22_idle_rich_customers",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_cust,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+    doc="TPC-H Q22 shape: uncorrelated scalar subquery (broadcast single "
+        "row) + anti join (no-urgent-orders customers) + agg.")
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.registry import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql("""
+        SELECT c_mktsegment,
+               COUNT(*) AS n_cust,
+               ROUND(SUM(c_acctbal), 2) AS total_bal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
+    """)
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    SELECT s_name, n_name, s_acctbal, s_suppkey
+    FROM (SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+                 ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                                    ORDER BY s_acctbal DESC, s_suppkey) AS rn
+          FROM supplier) ranked
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE rn = 1
+    """,
+    doc="TPC-H Q2 shape (min-per-group + join back): window rank instead of "
+        "a correlated MIN subquery — one shuffle, no re-scan of the group.")
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    ranked = (s.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1))
+    return (ranked.join(F.broadcast(n), ranked.s_nationkey == n.n_nationkey)
+            .select("s_name", "n_name", "s_acctbal", "s_suppkey"))
