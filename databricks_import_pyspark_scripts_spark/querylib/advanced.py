@@ -248,6 +248,31 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouped_map_zscore",
+    """
+    SELECT event_id, event_type,
+           ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+                 / STDDEV_POP(value) OVER (PARTITION BY event_type), 4) AS zscore
+    FROM events
+    """,
+    doc="Grouped-map applyInPandas exemplar: per-group pandas DataFrame in/"
+        "out (z-score normalization per event_type). The oracle restates it "
+        "as window functions — the grouped-map result must agree with the "
+        "declarative form.")
+def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        mean = v.sum() / len(v)          # explicit sums: match SQL AVG exactly
+        var = ((v - mean) ** 2).sum() / len(v)
+        pdf["zscore"] = ((v - mean) / (var ** 0.5)).round(4)
+        return pdf[["event_id", "event_type", "zscore"]]
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return e.groupBy("event_type").applyInPandas(
+        zscore, "event_id long, event_type string, zscore double")
+
+
+@register(
     "pandas_udf_sigmoid",
     """
     SELECT event_id,

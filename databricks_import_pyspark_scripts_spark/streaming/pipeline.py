@@ -58,6 +58,32 @@ def windowed_event_counts(events: DataFrame, ts_col: str = "ts",
                     key_col, "n", "total_value"))
 
 
+def stateful_user_totals(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-key running
+    event count and value total carried in explicit state across micro-
+    batches (the pattern for operators watermark windows can't express —
+    counters, custom sessionization, model state). State is one small tuple
+    per key, partitioned with the shuffle — bounded memory at any scale."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        import pandas as pdlib
+        yield pdlib.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    return (events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> None:
     """Drive all available input through ``df`` into an in-memory table
     (results at ``SELECT * FROM <name>``), synchronously.

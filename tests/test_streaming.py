@@ -17,6 +17,7 @@ from pyspark.sql.types import (
 from databricks_import_pyspark_scripts_spark.streaming.pipeline import (
     cdc_filtered_stream,
     run_to_memory,
+    stateful_user_totals,
     stream_changelog,
     windowed_event_counts,
 )
@@ -69,3 +70,15 @@ def test_streaming_windowed_counts(spark, stream_root):
             for r in spark.sql("SELECT * FROM win_out").collect()}
     assert rows[(0, "click")] == 2   # 00:00 window: ids 1,2
     assert rows[(5, "view")] == 1    # 00:05 window: id 3
+
+
+def test_stateful_user_totals(spark, stream_root):
+    stream = stream_changelog(spark, stream_root, "ev", CHANGE_SCHEMA)
+    events = (cdc_filtered_stream(stream, "EVENT")
+              .withColumnRenamed("id", "user_id"))
+    out = stateful_user_totals(events)
+    run_to_memory(out, "state_out", output_mode="update")
+    rows = {r.user_id: (r.n_events, r.total_value)
+            for r in spark.sql("SELECT * FROM state_out").collect()}
+    # inserts only: ids 1, 2, 3 with one event each
+    assert rows[1] == (1, 1.0) and rows[2] == (1, 2.0) and rows[3] == (1, 3.0)
