@@ -54,3 +54,55 @@ def filter_data(df: DataFrame, data_type: str,
     if not mutability_mode:
         df = df.filter(cdc_keep_predicate(data_type))
     return df.drop(*CDC_COLUMNS)
+
+
+def derive_changes(old: DataFrame, new: DataFrame, keys: list[str],
+                   commit_version: int) -> DataFrame:
+    """Derive CDF-shaped change rows from two snapshots (what Delta computes
+    from its transaction log, re-expressed as a relational diff):
+
+    * key only in ``new``              -> 'insert' (new values)
+    * key only in ``old``              -> 'delete' (old values)
+    * key in both, any column differs  -> 'update_preimage' (old) +
+                                          'update_postimage' (new)
+
+    One shuffle per side on the key columns; the value comparison is a
+    null-safe struct equality (codegen'd), so unchanged rows cost one
+    comparison and produce nothing. Output carries the three CDC metadata
+    columns the reference consumes (`_commit_timestamp` is the wall-clock of
+    derivation, matching Delta's commit-time semantics).
+    """
+    value_cols = [c for c in new.columns if c not in keys]
+    if old.columns != new.columns:
+        raise ValueError(f"schema mismatch: {old.columns} vs {new.columns}")
+
+    def tagged(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            *[F.col(k).alias(f"{side}_{k}") for k in keys],
+            F.struct(*[F.col(c).alias(c) for c in value_cols]).alias(f"{side}_v"))
+
+    o, n = tagged(old, "o"), tagged(new, "n")
+    cond = None
+    for k in keys:
+        c = F.col(f"o_{k}").eqNullSafe(F.col(f"n_{k}"))
+        cond = c if cond is None else (cond & c)
+    j = o.join(n, cond, "full_outer")
+
+    in_old = F.col(f"o_{keys[0]}").isNotNull()
+    in_new = F.col(f"n_{keys[0]}").isNotNull()
+    changed = in_old & in_new & ~F.col("o_v").eqNullSafe(F.col("n_v"))
+
+    def emit(side: str, change_type) -> DataFrame:
+        src = j.filter(change_type[1])
+        return src.select(
+            *[F.col(f"{side}_{k}").alias(k) for k in keys],
+            *[F.col(f"{side}_v.{c}").alias(c) for c in value_cols],
+            F.lit(change_type[0]).alias("_change_type"))
+
+    inserts = emit("n", ("insert", in_new & ~in_old))
+    deletes = emit("o", ("delete", in_old & ~in_new))
+    pre = emit("o", ("update_preimage", changed))
+    post = emit("n", ("update_postimage", changed))
+    out = inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+    return (out.withColumn("_commit_version", F.lit(commit_version).cast("long"))
+            .withColumn("_commit_timestamp", F.current_timestamp()))
