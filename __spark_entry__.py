@@ -8,9 +8,16 @@ schema + order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# importable regardless of the caller's cwd
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 from databricks_import_pyspark_scripts_spark.plans.flagship import flagship
 from databricks_import_pyspark_scripts_spark.querylib import all_oracles, all_queries
