@@ -166,6 +166,38 @@ def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
     return out
 
 
+def simhash_df(df: DataFrame, id_col: str, text_col: str,
+               bits: int = SIMHASH_BITS) -> DataFrame:
+    """(id, simhash) via explode -> one md5 per token -> 16 codegen'd bit
+    votes -> sum per doc. Same bits as ``simhash_col`` (same md5, same bit
+    order) but whole-stage-codegen'd with map-side partial aggregation —
+    the bulk/scale form (array folds run interpreted).
+
+    Docs with zero tokens don't survive the explode; they are re-attached
+    with the empty-signature value (all bit-majorities >= 0 -> all bits set).
+    """
+    base = df.select(F.col(id_col), F.col(text_col))
+    base = base.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    tok = base.select(F.col(id_col),
+                      F.explode(tokens_col(F.col(text_col))).alias("t"))
+    h = F.md5(F.col("t"))
+    votes = []
+    for i in range(bits):
+        hex_pos = i // 4 + 1
+        shift = 3 - (i % 4)
+        bit = F.floor(_hex_digit_val(F.substring(h, hex_pos, 1)) / (2 ** shift)) % 2
+        votes.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{i}"))
+    sums = tok.groupBy(id_col).agg(*votes)
+    sig = sum((F.when(F.col(f"v{i}") >= 0, F.lit(2 ** i)).otherwise(F.lit(0))
+               for i in range(bits)), F.lit(0)).cast("long")
+    with_sig = sums.select(F.col(id_col), sig.alias("simhash"))
+    empty = (df.filter(F.size(tokens_col(F.col(text_col))) == 0)
+             .select(F.col(id_col),
+                     F.lit(2 ** bits - 1).cast("long").alias("simhash")))
+    return with_sig.unionByName(empty)
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         block_cols: list[str], threshold: float = 0.3,
                         k: int = SHINGLE_K) -> DataFrame:

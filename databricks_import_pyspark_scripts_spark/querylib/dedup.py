@@ -20,6 +20,7 @@ from ..operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_col,
+    simhash_df,
 )
 from ..operators.text import fingerprint_col
 from ..sources.registry import load_table
@@ -130,7 +131,64 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "over token md5s) — integer-exact across engines.")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash_col(F.col("text")).alias("simhash"))
+    return simhash_df(d, "doc_id", "text")
+
+
+_SIMHASH_PAIR_HAMMING = 3
+
+
+def _simhash_pairs_oracle() -> str:
+    """Banded SimHash near-dup: candidates share the low or high 8-bit half,
+    verified by hamming distance (xor + bit_count) <= threshold."""
+    return f"""
+    WITH s AS ({_simhash_oracle()}),
+    halves AS (
+      SELECT doc_id, simhash, simhash % 256 AS half, 0 AS half_idx FROM s
+      UNION ALL
+      SELECT doc_id, simhash, simhash // 256 AS half, 1 AS half_idx FROM s
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM halves a JOIN halves b
+        ON a.half_idx = b.half_idx AND a.half = b.half AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming FROM cand)
+    WHERE hamming <= {_SIMHASH_PAIR_HAMMING}
+    """
+
+
+@register(
+    "dedup_simhash_pairs",
+    _simhash_pairs_oracle(),
+    doc="SimHash near-dup pairs: 8-bit half-signature banding for candidates "
+        "(a pair within hamming<=8 of a 16-bit code must agree on one half "
+        "— pigeonhole), then exact hamming verify via xor+bit_count. "
+        "Equi-join on halves, never O(n^2).")
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    s = simhash_df(d, "doc_id", "text")
+    halves = (
+        s.select("doc_id", "simhash", (F.col("simhash") % 256).alias("half"),
+                 F.lit(0).alias("half_idx"))
+        .unionByName(
+            s.select("doc_id", "simhash",
+                     F.floor(F.col("simhash") / 256).alias("half"),
+                     F.lit(1).alias("half_idx"))))
+    a, b = halves.alias("a"), halves.alias("b")
+    cand = (a.join(b, (F.col("a.half_idx") == F.col("b.half_idx"))
+                   & (F.col("a.half") == F.col("b.half"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"),
+                    F.col("a.simhash").alias("sh_a"),
+                    F.col("b.simhash").alias("sh_b"))
+            .distinct())
+    return (cand.select(
+        "id_a", "id_b",
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .filter(F.col("hamming") <= _SIMHASH_PAIR_HAMMING))
 
 
 @register(

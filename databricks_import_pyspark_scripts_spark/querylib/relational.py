@@ -410,6 +410,23 @@ def setops_nation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionAll(cust_only)
 
 
+@register(
+    "setops_bag_semantics",
+    """
+    SELECT o_orderpriority FROM orders WHERE YEAR(o_orderdate) = 1997
+    INTERSECT ALL
+    SELECT o_orderpriority FROM orders WHERE YEAR(o_orderdate) = 1998
+    """,
+    doc="Duplicate-preserving INTERSECT ALL (bag semantics): per priority, "
+        "min(count_1997, count_1998) copies survive — compiles to counted "
+        "aggregation, not row-pairing.")
+def setops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    y97 = o.filter(F.year("o_orderdate") == 1997).select("o_orderpriority")
+    y98 = o.filter(F.year("o_orderdate") == 1998).select("o_orderpriority")
+    return y97.intersectAll(y98)
+
+
 # ------------------------------------------------------- scalar fn families
 
 @register(
@@ -438,6 +455,59 @@ def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
         F.when(F.col("p_name").like("%green%"), 1).otherwise(0).alias("is_green"),
         F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+    )
+
+
+@register(
+    "scalar_regexp_functions",
+    r"""
+    SELECT p_partkey,
+           CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS INT) AS brand_num,
+           regexp_replace(p_name, '[aeiou]', '_', 'g')            AS name_devoweled,
+           CASE WHEN regexp_matches(p_name, '^[a-z]+ ')
+                THEN 1 ELSE 0 END                                 AS starts_lower_word
+    FROM part
+    """,
+    doc="Regexp family: capture-group extraction, replacement, match test. "
+        "(Spark regexp_replace is replace-all; DuckDB needs the 'g' flag.)")
+def scalar_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("int").alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("name_devoweled"),
+        F.when(F.col("p_name").rlike(r"^[a-z]+ "), 1).otherwise(0)
+        .alias("starts_lower_word"),
+    )
+
+
+@register(
+    "hof_array_ops",
+    """
+    SELECT l_orderkey, l_linenumber,
+           len(seq) AS n,
+           seq[2] AS second_elem,
+           list_position(seq, CAST(l_linenumber AS BIGINT)) AS self_pos,
+           list_contains(seq, CAST(3 AS BIGINT)) AS has_three,
+           list_reverse(seq)[1] AS last_elem,
+           array_to_string(seq, ',') AS joined
+    FROM (SELECT l_orderkey, l_linenumber,
+                 generate_series(1, CAST(l_linenumber AS BIGINT)) AS seq
+          FROM lineitem WHERE l_linenumber >= 5)
+    """,
+    doc="Array-construction/manipulation family: sequence, indexing, "
+        "position, contains, reverse, join — all per-row JVM expressions.")
+def hof_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") >= 5)
+    seq = F.sequence(F.lit(1).cast("long"), F.col("l_linenumber").cast("long"))
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.size(seq).alias("n"),
+        F.element_at(seq, 2).alias("second_elem"),
+        F.array_position(seq, F.col("l_linenumber").cast("long")).alias("self_pos"),
+        F.array_contains(seq, F.lit(3).cast("long")).alias("has_three"),
+        F.element_at(F.reverse(seq), 1).alias("last_elem"),
+        F.array_join(seq, ",").alias("joined"),
     )
 
 
