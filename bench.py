@@ -58,6 +58,9 @@ def main() -> int:
     n_workers = spark.sparkContext.defaultParallelism
     spark.range(n_workers * 8).repartition(n_workers).mapInPandas(
         _noop, "id long").count()
+    # One timed run per query. (A warmed steady-state pass was tried and
+    # reverted: this host throttles sustained CPU, so doubling bench work
+    # degraded later queries far more than codegen warmup saved.)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]

@@ -15,6 +15,11 @@ from pyspark.sql import SparkSession
 # Shuffle parallelism default: on local[N] match cores; AQE coalesces down at
 # runtime so a modest over-estimate is safe at any scale.
 _DEFAULT_CONF: dict[str, str] = {
+    # local mode is a single JVM: the driver heap IS executor memory. The
+    # 1g default thrashes GC with 32 concurrent tasks (measured 10x
+    # slowdowns on later queries in a session); only effective at session
+    # creation time.
+    "spark.driver.memory": "48g",
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
