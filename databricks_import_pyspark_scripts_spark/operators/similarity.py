@@ -125,6 +125,65 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 5) -> Data
     return _topk(scored, k)
 
 
+CENTROID_MOD = 250  # vec_id % CENTROID_MOD == 0 -> centroid (deterministic "training")
+
+
+def ivf_assignments(vectors: DataFrame, centroids: DataFrame,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, cell): nearest-centroid assignment (IVF coarse quantizer).
+
+    Centroids broadcast; cosine to each centroid; argmax with
+    (rounded cosine desc, centroid_id) tie-break so the assignment is
+    deterministic and reproducible in the oracle engine. At 100 TB the
+    assignment is computed once at ingest and stored as a plain column
+    (partition/bucket key), exactly like the LSH bucket.
+    """
+    v = vectors.select(F.col(id_col), F.col(vec_col).alias("_v"),
+                       dot_col(F.col(vec_col), F.col(vec_col)).alias("_vn2"))
+    c = centroids.select(F.col("centroid_id"), F.col(vec_col).alias("_c"),
+                         dot_col(F.col(vec_col), F.col(vec_col)).alias("_cn2"))
+    scored = (v.join(F.broadcast(c))
+              .select(id_col, "centroid_id",
+                      F.round(dot_col(F.col("_v"), F.col("_c"))
+                              / F.sqrt(F.col("_vn2") * F.col("_cn2")), 8)
+                      .alias("_cos")))
+    w = (Window.partitionBy(id_col)
+         .orderBy(F.col("_cos").desc(), F.col("centroid_id")))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, F.col("centroid_id").alias("cell")))
+
+
+def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+             centroid_mod: int = CENTROID_MOD) -> DataFrame:
+    """IVF (inverted-file) ANN top-k with probe=1: vectors assigned to their
+    nearest centroid cell; each query scores only its own cell's list.
+    Centroids are the vectors with ``vec_id % centroid_mod == 0`` —
+    a deterministic stand-in for k-means training (which would be run
+    offline at scale; the search-path plumbing is identical)."""
+    cents = (vectors.filter(F.col("vec_id") % centroid_mod == 0)
+             .select((F.col("vec_id") / centroid_mod).cast("long").alias("centroid_id"),
+                     "embedding"))
+    v_cells = ivf_assignments(vectors, cents)
+    q_cells = ivf_assignments(
+        queries.select(F.col("query_id").alias("vec_id"),
+                       F.col("q_embedding").alias("embedding")),
+        cents).select(F.col("vec_id").alias("query_id"),
+                      F.col("cell").alias("q_cell"))
+    v = (vectors.join(v_cells, "vec_id")
+         .withColumn("_n2", dot_col(F.col("embedding"), F.col("embedding"))))
+    q = (queries.join(F.broadcast(q_cells), "query_id")
+         .withColumn("_qn2", dot_col(F.col("q_embedding"), F.col("q_embedding"))))
+    scored = (
+        v.join(F.broadcast(q), v.cell == q.q_cell)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id",
+                F.round(_pair_cosine(F.col("q_embedding"), F.col("embedding"),
+                                     F.col("_qn2"), F.col("_n2")), 4)
+                .alias("cosine")))
+    return _topk(scored, k)
+
+
 def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
              planes: list[list[int]] | None = None) -> DataFrame:
     """Approximate top-k: score only same-LSH-bucket candidates.

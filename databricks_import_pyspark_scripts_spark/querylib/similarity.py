@@ -105,6 +105,59 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(vectors, _queries_df(spark, sf_dir), k=TOP_K)
 
 
+from ..operators.similarity import CENTROID_MOD  # noqa: E402
+
+_ASSIGN_COS_SQL = (
+    "list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))"
+    " / sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[]))"
+    " * list_dot_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[])))")
+
+_IVF_ORACLE = f"""
+    WITH cents AS (
+      SELECT vec_id // {CENTROID_MOD} AS centroid_id, embedding AS c_emb
+      FROM embeddings WHERE vec_id % {CENTROID_MOD} = 0),
+    assign AS (
+      SELECT vec_id, centroid_id AS cell FROM (
+        SELECT x.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                  ORDER BY ROUND({_ASSIGN_COS_SQL}, 8) DESC,
+                                           c.centroid_id) AS rn
+        FROM embeddings x CROSS JOIN cents c)
+      WHERE rn = 1),
+    v AS (SELECT e.vec_id, e.embedding, a.cell
+          FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
+    q AS (SELECT e.vec_id AS query_id, e.embedding AS q_embedding, a.cell
+          FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+          WHERE e.vec_id % {QUERY_MOD} = 0),
+    scored AS (
+      SELECT q.query_id, v.vec_id,
+             ROUND({_COS_SQL}, 4) AS cosine
+      FROM v JOIN q ON v.cell = q.cell
+      WHERE v.vec_id <> q.query_id)
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored)
+    WHERE rank <= {TOP_K}
+    """
+
+
+@register(
+    "similarity_topk_ivf",
+    _IVF_ORACLE,
+    doc="IVF (inverted-file) ANN top-k, probe=1: deterministic centroid set "
+        "(every 250th vector standing in for offline k-means), nearest-"
+        "centroid cell assignment (rounded-cosine argmax, id tie-break), "
+        "per-cell candidate scoring. The cell id is a plain column — at "
+        "scale it's computed at ingest and used as the partition key.")
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    vectors = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(vectors, _queries_df(spark, sf_dir), k=TOP_K)
+
+
 _PAIR_COS_SQL = ("list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
                  " / sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))"
                  " * list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))")
