@@ -411,6 +411,66 @@ def setops_nation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_value_functions",
+    """
+    SELECT o_orderkey, o_custkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey)  OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND UNBOUNDED FOLLOWING) AS last_order,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_order,
+           COUNT(*) OVER (PARTITION BY o_custkey) AS cust_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="Window value functions: first/last/nth value with explicit frames "
+        "(last_value needs the full-partition frame — the classic trap) "
+        "plus an unordered partition aggregate (count).")
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wfull = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+             .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    wagg = Window.partitionBy("o_custkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(wfull).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        F.count(F.lit(1)).over(wagg).alias("cust_orders"),
+    )
+
+
+@register(
+    "map_functions",
+    """
+    SELECT event_id,
+           array_to_string(map_keys(m), ',')   AS keys_joined,
+           (m['etype'])[1]                     AS etype_val,
+           len(map_keys(m))                    AS n_keys
+    FROM (SELECT event_id,
+                 MAP {'etype': event_type, 'uid': CAST(user_id AS VARCHAR)} AS m
+          FROM events)
+    """,
+    doc="Map construction + access family: map_from_arrays/create_map, "
+        "map_keys, element access — output flattened to scalars so the "
+        "hash compare is engine-neutral.")
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("etype"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"))
+    return e.select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("keys_joined"),
+        F.element_at(m, "etype").alias("etype_val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+@register(
     "setops_bag_semantics",
     """
     SELECT o_orderpriority FROM orders WHERE YEAR(o_orderdate) = 1997
