@@ -67,6 +67,7 @@ def _load() -> None:
     from . import tpch_like  # noqa: F401
     from . import advanced  # noqa: F401
     from . import cdc_queries  # noqa: F401
+    from . import product_analytics  # noqa: F401
     from . import text  # noqa: F401
     from . import dedup  # noqa: F401
     from . import similarity  # noqa: F401

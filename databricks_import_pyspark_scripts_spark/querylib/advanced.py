@@ -183,9 +183,9 @@ def unpivot_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     "percentiles_exact",
     """
     SELECT o_orderpriority,
-           ROUND(quantile_cont(o_totalprice, 0.25), 2) AS p25,
-           ROUND(quantile_cont(o_totalprice, 0.50), 2) AS p50,
-           ROUND(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
            ROUND(MAX(o_totalprice), 2) AS p100
     FROM orders
     GROUP BY o_orderpriority
@@ -196,9 +196,9 @@ def unpivot_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
 def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (o.groupBy("o_orderpriority").agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.25)), 2).alias("p25"),
-        F.round(F.percentile("o_totalprice", F.lit(0.50)), 2).alias("p50"),
-        F.round(F.percentile("o_totalprice", F.lit(0.75)), 2).alias("p75"),
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
         F.round(F.max("o_totalprice"), 2).alias("p100"),
     ))
 

@@ -1,0 +1,131 @@
+"""Product-analytics queries over ``events`` — the workload the reference's
+exports actually feed (Amplitude-style event analytics): daily active users,
+sequential funnels, cohort retention, per-user engagement.
+
+All pure DataFrame compositions; shuffles only on user_id / date keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from . import register
+
+
+@register(
+    "events_daily_active_users",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(DISTINCT user_id) AS dau,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    """,
+    doc="DAU time series: distinct users + volume per day. Two-phase "
+        "distinct agg; at scale pre-aggregate (day, user) first or use "
+        "approx_count_distinct (see approx_sketches).")
+def events_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (e.groupBy(F.col("ts").cast("date").alias("day"))
+            .agg(F.countDistinct("user_id").alias("dau"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("total_value")))
+
+
+@register(
+    "events_funnel_signup_click_purchase",
+    """
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts >= s1.t1
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+           GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM s1) AS step1_signup,
+           (SELECT COUNT(*) FROM s2) AS step2_click,
+           (SELECT COUNT(*) FROM s3) AS step3_purchase
+    """,
+    doc="Sequential funnel (signup -> click -> purchase, order-enforcing): "
+        "each step is a conditional min-timestamp agg joined to the prior "
+        "step — shuffles on user_id only, no window over full history.")
+def events_funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    s1 = (e.filter(F.col("event_type") == "signup")
+          .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    s2 = (e.filter(F.col("event_type") == "click").join(s1, "user_id")
+          .filter(F.col("ts") >= F.col("t1"))
+          .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    s3 = (e.filter(F.col("event_type") == "purchase").join(s2, "user_id")
+          .filter(F.col("ts") >= F.col("t2"))
+          .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    counts = [df.agg(F.count(F.lit(1)).alias(name))
+              for df, name in ((s1, "step1_signup"), (s2, "step2_click"),
+                               (s3, "step3_purchase"))]
+    return counts[0].crossJoin(counts[1]).crossJoin(counts[2])
+
+
+@register(
+    "events_weekly_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+      FROM events)
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT a.user_id) AS active_users
+    FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+    GROUP BY f.cohort_week, week_offset
+    """,
+    doc="Cohort retention: users grouped by first-seen week, counted in each "
+        "subsequent active week. Two aggregations + one join on user_id.")
+def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    first_seen = (e.groupBy("user_id")
+                  .agg(F.min(week).alias("cohort_week")))
+    activity = e.select("user_id", week.alias("active_week")).distinct()
+    return (activity.join(first_seen, "user_id")
+            .groupBy("cohort_week",
+                     (F.datediff("active_week", "cohort_week") / 7)
+                     .cast("bigint").alias("week_offset"))
+            .agg(F.countDistinct("user_id").alias("active_users")))
+
+
+@register(
+    "events_user_engagement",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
+           ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2)
+             AS purchase_value,
+           CAST(MIN(ts) AS DATE) AS first_day,
+           CAST(MAX(ts) AS DATE) AS last_day
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Per-user engagement profile: the single-pass multi-aggregate shape "
+        "(counts, distincts, conditional sums, extrema) every event "
+        "warehouse runs; one shuffle on user_id.")
+def events_user_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.countDistinct(F.col("ts").cast("date")).alias("active_days"),
+        F.round(F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))
+                      .otherwise(0.0)), 2).alias("purchase_value"),
+        F.min("ts").cast("date").alias("first_day"),
+        F.max("ts").cast("date").alias("last_day"),
+    ))

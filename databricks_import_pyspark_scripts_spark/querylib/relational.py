@@ -32,8 +32,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
            ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)  AS sum_charge,
            ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
            ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
            ROUND(AVG(l_discount), 4)                                        AS avg_disc,
@@ -54,8 +54,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -135,7 +135,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_unshipped_revenue",
     """
     SELECT l_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
            CAST(o_orderdate AS DATE) AS orderdate
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -160,7 +160,7 @@ def q3_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
              .alias("revenue"))
         .select("l_orderkey", "revenue",
                 F.col("o_orderdate").cast("date").alias("orderdate"))
@@ -173,7 +173,7 @@ def q3_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_supplier_volume",
     """
     SELECT n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -202,7 +202,7 @@ def q5_region_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
              .alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
@@ -620,6 +620,77 @@ def scalar_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(k.isNotNull())
         .select("event_id", k.cast("bigint").alias("prop_k"), "event_type")
     )
+
+
+@register(
+    "scalar_json_parse_struct",
+    """
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT) AS k_val,
+           CASE WHEN json_valid(props) THEN 1 ELSE 0 END AS is_valid
+    FROM events
+    """,
+    doc="Schema-directed JSON parsing: from_json into a typed struct (vs "
+        "get_json_object string extraction in scalar_json_extraction) + "
+        "validity probe.")
+def scalar_json_parse_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    return e.select(
+        "event_id",
+        parsed.getField("k").alias("k_val"),
+        F.when(F.try_parse_json(F.col("props")).isNotNull(), 1).otherwise(0)
+        .alias("is_valid"),
+    )
+
+
+@register(
+    "customer_360_kitchen_sink",
+    """
+    WITH spend AS (
+      SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spend,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey),
+    returns AS (
+      SELECT o_custkey, COUNT(*) AS n_returned_lines
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_returnflag = 'R'
+      GROUP BY o_custkey)
+    SELECT c_custkey, c_mktsegment, n_name,
+           total_spend, n_orders,
+           COALESCE(n_returned_lines, 0) AS n_returned_lines,
+           ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                              ORDER BY total_spend DESC, c_custkey) AS segment_rank
+    FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN spend  ON c_custkey = spend.o_custkey
+      LEFT JOIN returns ON c_custkey = returns.o_custkey
+    """,
+    doc="Composed multi-CTE 'customer 360': two pre-aggregations, inner + "
+        "left joins, COALESCE, segment ranking window — the CTE-chained "
+        "report shape; each CTE reduces before joining.")
+def customer_360_kitchen_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    spend = (o.groupBy("o_custkey")
+             .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+                  F.count(F.lit(1)).alias("n_orders")))
+    returns = (o.join(li.filter(F.col("l_returnflag") == "R"),
+                      o.o_orderkey == li.l_orderkey)
+               .groupBy("o_custkey")
+               .agg(F.count(F.lit(1)).alias("n_returned_lines"))
+               .withColumnRenamed("o_custkey", "r_custkey"))
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("total_spend").desc(), F.col("c_custkey"))
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(spend, c.c_custkey == spend.o_custkey)
+            .join(returns, c.c_custkey == returns.r_custkey, "left")
+            .select("c_custkey", "c_mktsegment", "n_name",
+                    "total_spend", "n_orders",
+                    F.coalesce("n_returned_lines", F.lit(0)).alias("n_returned_lines"),
+                    F.row_number().over(w).alias("segment_rank")))
 
 
 @register(
