@@ -192,6 +192,39 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cluster_representatives",
+    f"""
+    WITH pairs AS ({_minhash_oracle(threshold=0.5)}),
+    edges AS (
+      SELECT id_a AS id, id_b AS nbr FROM pairs
+      UNION ALL SELECT id_b AS id, id_a AS nbr FROM pairs
+      UNION ALL SELECT doc_id AS id, doc_id AS nbr FROM documents
+    )
+    SELECT id AS doc_id, MIN(nbr) AS cluster_repr,
+           COUNT(*) - 1 AS n_neighbors
+    FROM edges GROUP BY id
+    """,
+    doc="Near-dup cluster representative assignment: one min-id propagation "
+        "step over the MinHash-LSH pair graph (each doc adopts the smallest "
+        "id among itself + verified neighbors). At scale this is the body of "
+        "the iterate-until-fixpoint connected-components loop (large-star/"
+        "small-star); a single deterministic step keeps it oracle-checkable.")
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.5)
+    edges = (
+        pairs.select(F.col("id_a").alias("id"), F.col("id_b").alias("nbr"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("nbr")))
+        .unionByName(
+            d.select(F.col("doc_id").alias("id"), F.col("doc_id").alias("nbr"))))
+    return (edges.groupBy("id")
+            .agg(F.min("nbr").alias("cluster_repr"),
+                 (F.count(F.lit(1)) - 1).alias("n_neighbors"))
+            .select(F.col("id").alias("doc_id"), "cluster_repr", "n_neighbors"))
+
+
+@register(
     "dedup_ngram_jaccard_blocked",
     f"""
     WITH sh AS (

@@ -97,13 +97,14 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(total_qty, 2) AS total_qty
     FROM (SELECT l_orderkey, SUM(l_quantity) AS total_qty
           FROM lineitem GROUP BY l_orderkey
-          HAVING SUM(l_quantity) > 150) big
+          HAVING SUM(l_quantity) > 150.005) big
     JOIN orders   ON o_orderkey = big.l_orderkey
     JOIN customer ON c_custkey = o_custkey
     ORDER BY totalprice DESC, o_orderkey
     LIMIT 20
     """,
-    doc="TPC-H Q18 shape: HAVING over a big agg, join back to orders + "
+    doc="TPC-H Q18 shape: HAVING over a big agg (off-grid threshold so an "
+        "exactly-150.00 sum can't flip across engines), join back to orders + "
         "customer, deterministic top-20. The agg reduces BEFORE the joins, "
         "so joins see |big orders|, not |lineitem|.")
 def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,7 +113,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     big = (li.groupBy("l_orderkey")
            .agg(F.sum("l_quantity").alias("total_qty"))
-           .filter(F.col("total_qty") > 150))
+           .filter(F.col("total_qty") > 150.005))
     return (big.join(o, big.l_orderkey == o.o_orderkey)
             .join(F.broadcast(c), o.o_custkey == c.c_custkey)
             .select("c_name", "o_orderkey",
