@@ -1,0 +1,61 @@
+"""Connected components by iterative min-label propagation — the fixpoint
+behind near-duplicate CLUSTERING (docs joined by any chain of near-dup pairs
+collapse to one canonical representative).
+
+The driver loop iterates DataFrame plans (never collects data): each round,
+every vertex adopts the minimum label among itself and its neighbors;
+convergence when no label changes. Rounds needed = graph diameter (tiny for
+near-dup clusters); each round is one join + one aggregation on vertex id.
+For web-scale graphs swap in the large-star/small-star variant — the same
+join/agg primitives, fewer rounds. Checkpointing truncates the lineage so
+round N's plan doesn't replay rounds 1..N-1.
+
+The fixpoint (min reachable id per vertex) is unique, so results are
+deterministic regardless of iteration order — which is what lets the gate
+check this iterative algorithm against a DuckDB recursive-CTE oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(vertices: DataFrame, edges: DataFrame,
+                         id_col: str = "id", src_col: str = "src",
+                         dst_col: str = "dst", max_iter: int = 20) -> DataFrame:
+    """(id, component): component = min vertex id reachable from ``id``.
+
+    ``edges`` are undirected (symmetrized internally).
+    """
+    spark = vertices.sparkSession
+    sc = spark.sparkContext
+    if not sc.getCheckpointDir():
+        sc.setCheckpointDir("/tmp/spark_graft_checkpoints")
+    sym = (edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+           .unionByName(
+               edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+           .distinct()
+           # materialize once: the edge list may be an expensive pipeline
+           # (e.g. the MinHash candidate join) and is reused every round
+           .checkpoint(eager=True))
+    labels = vertices.select(F.col(id_col).alias("id"),
+                             F.col(id_col).alias("component"))
+    for _ in range(max_iter):
+        nbr_min = (sym.join(labels, sym.b == labels.id)
+                   .groupBy("a").agg(F.min("component").alias("nbr_component")))
+        new_labels = (labels.join(nbr_min, labels.id == nbr_min.a, "left")
+                      .select("id",
+                              F.least("component",
+                                      F.coalesce("nbr_component", "component"))
+                              .alias("component")))
+        # convergence check + lineage truncation in one materialization
+        new_labels = new_labels.checkpoint(eager=True)
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+                   .filter(F.col("n.component") != F.col("o.component"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -225,6 +225,39 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "dedup_connected_components",
+    f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle(threshold=0.5)}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.a AS id, reach.r
+      FROM edges e JOIN reach ON e.b = reach.id
+    )
+    SELECT id AS doc_id, MIN(r) AS component
+    FROM reach GROUP BY id
+    """,
+    doc="True connected components over the MinHash near-dup graph: "
+        "iterative min-label propagation to fixpoint (Spark driver loop of "
+        "join+agg rounds with checkpoint lineage truncation) vs a DuckDB "
+        "recursive-CTE transitive closure. The unique fixpoint makes an "
+        "iterative algorithm oracle-checkable.")
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.5)
+    vertices = d.select(F.col("doc_id").alias("id"))
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(vertices, edges)
+    return cc.select(F.col("id").alias("doc_id"), "component")
+
+
+@register(
     "dedup_ngram_jaccard_blocked",
     f"""
     WITH sh AS (

@@ -1,0 +1,68 @@
+"""MERGE/CDC-apply emulation and connected components."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_import_pyspark_scripts_spark.operators.cdc import derive_changes
+from databricks_import_pyspark_scripts_spark.operators.graph import connected_components
+from databricks_import_pyspark_scripts_spark.operators.merge import apply_changes, merge_upsert
+
+
+def rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_merge_upsert(spark):
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    source = spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string")
+    got = merge_upsert(target, source, ["id"])
+    assert rows(got, "id", "v") == [(1, "a"), (2, "B"), (3, "c")]
+
+
+def test_apply_changes_roundtrip(spark):
+    """derive_changes(v1, v2) applied to v1 must reproduce v2 exactly."""
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, score double")
+    v2 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 25.0), (4, "d", 40.0)],
+        "id long, name string, score double")
+    ch = derive_changes(v1, v2, ["id"], commit_version=2)
+    got = apply_changes(v1, ch, ["id"])
+    assert rows(got, "id", "name", "score") == rows(v2, "id", "name", "score")
+
+
+def test_apply_changes_latest_version_wins(spark):
+    snap = spark.createDataFrame([(1, "old")], "id long, v string")
+    ch = spark.createDataFrame(
+        [(1, "mid", "update_postimage", 2, "2024-01-02"),
+         (1, "new", "update_postimage", 3, "2024-01-03"),
+         (2, "x", "insert", 2, "2024-01-02"),
+         (2, None, "delete", 3, "2024-01-03")],
+        "id long, v string, _change_type string, _commit_version long, _commit_timestamp string",
+    ).withColumn("_commit_timestamp", F.col("_commit_timestamp").cast("timestamp"))
+    got = apply_changes(snap, ch, ["id"])
+    # id 1: version-3 postimage wins; id 2: version-3 delete wins
+    assert rows(got, "id", "v") == [(1, "new")]
+
+
+def test_connected_components(spark):
+    vertices = spark.createDataFrame([(i,) for i in range(1, 9)], "id long")
+    # components: {1,2,3,4} (chain), {5,6} and {7}, {8}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "src long, dst long")
+    got = {r.id: r.component for r in
+           connected_components(vertices, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7, 8: 8}
+
+
+def test_connected_components_long_chain(spark):
+    n = 12
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long")
+    got = {r.id: r.component for r in
+           connected_components(vertices, edges).collect()}
+    assert all(v == 0 for v in got.values())  # one big component
