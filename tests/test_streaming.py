@@ -72,6 +72,21 @@ def test_streaming_windowed_counts(spark, stream_root):
     assert rows[(5, "view")] == 1    # 00:05 window: id 3
 
 
+def test_stream_unload_foreachbatch(spark, stream_root, tmp_path):
+    from databricks_import_pyspark_scripts_spark.streaming.pipeline import stream_unload
+
+    stream = stream_changelog(spark, stream_root, "ev", CHANGE_SCHEMA)
+    filtered = cdc_filtered_stream(stream, "EVENT").select("id", "event_type", "value")
+    q = stream_unload(filtered, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert sorted(r.id for r in got.collect()) == [1, 2, 3]
+    assert "batch_id" in got.columns  # partitioned by micro-batch
+
+
 def test_stateful_user_totals(spark, stream_root):
     stream = stream_changelog(spark, stream_root, "ev", CHANGE_SCHEMA)
     events = (cdc_filtered_stream(stream, "EVENT")
