@@ -54,24 +54,37 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        k: int = SHINGLE_K) -> DataFrame:
     """(id, sig0..sigN-1): per-document minhash signature.
 
-    Implementation is explode -> per-shingle md5 x num_hashes -> hash-agg
-    MIN per doc, NOT an array fold: Spark's higher-order-function lambdas run
-    interpreted (no codegen), ~10x slower than this shape, and the exploded
-    form also gets map-side partial aggregation for free — at 100 TB the
-    shuffle carries only |docs| x num_hashes minima, never the shingles.
+    Shape: explode shingles -> ONE md5 per shingle -> two 52-bit integers
+    (h1, h2) from its hex halves -> hash-agg MIN(h1 + j*h2) per doc for the
+    num_hashes affine hash functions. Why this exact shape:
+
+    * explode + hash-agg, NOT an array fold: Spark's higher-order-function
+      lambdas run interpreted (no codegen), measured ~10x slower; the
+      exploded form also gets map-side partial aggregation, so at 100 TB the
+      shuffle carries only |docs| x num_hashes minima, never the shingles.
+    * affine family over one md5, NOT num_hashes independent md5s: 16x less
+      hashing, and the aggregate's generated code is tiny integer ops
+      instead of 16 string-hash pipelines (wide string-min aggs measured
+      multi-second whole-stage-codegen compile times).
+    * h1/h2 are 13-hex-digit (52-bit) values so h1 + 15*h2 < 2^56 — exact
+      in both int64 and float64, hence portable to any oracle engine.
     """
     base = df.select(F.col(id_col), F.col(text_col))
-    # Spread the md5-heavy explode across all cores even when the source is a
-    # single (unsplittable) file; hash-partitioning on the id also makes the
-    # groupBy below shuffle-free and lets the self-join in
+    # Spread the hash-heavy explode across all cores even when the source is
+    # a single (unsplittable) file; hash-partitioning on the id also makes
+    # the groupBy below shuffle-free and lets the self-join in
     # minhash_lsh_pairs reuse this exchange for both sides.
     base = base.repartition(
         df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
-    exploded = base.select(
+    h = F.md5(F.col("s"))
+    exploded = (base.select(
         F.col(id_col),
         F.explode(shingles_col(F.col(text_col), k)).alias("s"))
+        .select(F.col(id_col),
+                F.conv(F.substring(h, 1, 13), 16, 10).cast("long").alias("h1"),
+                F.conv(F.substring(h, 14, 13), 16, 10).cast("long").alias("h2")))
     return exploded.groupBy(id_col).agg(*[
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"sig{j}")
+        F.min(F.col("h1") + F.lit(j) * F.col("h2")).alias(f"sig{j}")
         for j in range(num_hashes)
     ])
 
@@ -84,8 +97,8 @@ def minhash_bands(df: DataFrame, id_col: str, text_col: str,
     rows = num_hashes // num_bands
     bands = F.array(*[
         F.struct(F.lit(b).alias("band_idx"),
-                 F.md5(F.concat(*[F.col(f"sig{j}")
-                                  for j in range(b * rows, (b + 1) * rows)]))
+                 F.md5(F.concat_ws(",", *[F.col(f"sig{j}").cast("string")
+                                          for j in range(b * rows, (b + 1) * rows)]))
                  .alias("band_hash"))
         for b in range(num_bands)
     ])

@@ -34,23 +34,39 @@ from ..functions.portable import shingles_sql  # noqa: E402
 _SHINGLES_SQL = shingles_sql(SHINGLE_K)
 
 
+def _hex_to_bigint_sql(expr: str, start: int, width: int = 13) -> str:
+    """Parse hex chars [start, start+width) of ``expr`` into a BIGINT
+    (DuckDB has no conv(); instr over the hex alphabet is portable)."""
+    return "(" + " + ".join(
+        f"(instr('0123456789abcdef', substr({expr}, {start + i}, 1)) - 1)"
+        f" * {16 ** (width - 1 - i)}"
+        for i in range(width)) + ")"
+
+
 def _minhash_oracle(threshold: float) -> str:
+    # twin of operators.dedup.minhash_signatures: one md5 per shingle, 52-bit
+    # hex-half integers, affine family min(h1 + j*h2)
     sig_exprs = ",\n           ".join(
-        f"list_min(list_transform(sh, s -> md5('{j}:' || s))) AS sig{j}"
-        for j in range(NUM_HASHES))
+        f"MIN(h1 + {j} * h2) AS sig{j}" for j in range(NUM_HASHES))
     band_selects = "\n      UNION ALL ".join(
         "SELECT doc_id, {b} AS band_idx, md5({concat}) AS band_hash FROM sig".format(
             b=b,
-            concat=" || ".join(
-                f"sig{j}" for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)))
+            concat=" || ',' || ".join(
+                f"CAST(sig{j} AS VARCHAR)"
+                for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)))
         for b in range(NUM_BANDS))
     return f"""
     WITH sh AS (
       SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+    ), hs AS (
+      SELECT doc_id,
+             {_hex_to_bigint_sql('h', 1)} AS h1,
+             {_hex_to_bigint_sql('h', 14)} AS h2
+      FROM (SELECT doc_id, md5(unnest(sh)) AS h FROM sh)
     ), sig AS (
       SELECT doc_id,
            {sig_exprs}
-      FROM sh
+      FROM hs GROUP BY doc_id
     ), bands AS (
       {band_selects}
     ), cand AS (
