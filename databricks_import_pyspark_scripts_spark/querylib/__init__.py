@@ -66,6 +66,7 @@ def _load() -> None:
     from . import relational  # noqa: F401
     from . import tpch_like  # noqa: F401
     from . import advanced  # noqa: F401
+    from . import advanced2  # noqa: F401
     from . import cdc_queries  # noqa: F401
     from . import product_analytics  # noqa: F401
     from . import text  # noqa: F401

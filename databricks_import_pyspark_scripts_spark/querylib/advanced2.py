@@ -1,0 +1,168 @@
+"""Second advanced batch: bucketized range join, Python UDTF, share-of-total
+and NOT-IN shapes (TPC-H Q11/Q16 style), full sessionization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.registry import load_table, register_views
+from . import register
+
+RANGE_WINDOW_S = 300  # +/- 5 minutes
+
+
+@register(
+    "range_join_close_events",
+    f"""
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND b.ts >= a.ts - INTERVAL {RANGE_WINDOW_S} SECOND
+     AND b.ts <= a.ts + INTERVAL {RANGE_WINDOW_S} SECOND
+    """,
+    doc="Range join (same-user event pairs within +/-5 min) decomposed "
+        "Spark-first: equi-join on (user, time-bucket) with the probe side "
+        "exploded to its 3 adjacent buckets, then the exact range filter. "
+        "Turns an unbounded theta-join into an equi-join whose shuffle "
+        "volume is O(rows x 3) — the standard interval-join strategy at "
+        "scale. Oracle states the naive inequality join.")
+def range_join_close_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    bucket = F.floor(ts_us / (RANGE_WINDOW_S * 1_000_000))
+    a = (e.select(F.col("event_id").alias("id_a"), "user_id",
+                  ts_us.alias("ts_a"), bucket.alias("bkt"))
+         .withColumn("probe_bkt", F.explode(F.array(
+             F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1)))
+         .drop("bkt"))
+    b = e.select(F.col("event_id").alias("id_b"),
+                 F.col("user_id").alias("user_b"),
+                 ts_us.alias("ts_b"), bucket.alias("probe_bkt"))
+    win_us = RANGE_WINDOW_S * 1_000_000
+    return (
+        a.join(b, ["probe_bkt"])
+        .filter((F.col("user_id") == F.col("user_b"))
+                & (F.col("id_a") < F.col("id_b"))
+                & (F.col("ts_b") >= F.col("ts_a") - win_us)
+                & (F.col("ts_b") <= F.col("ts_a") + win_us))
+        .select("id_a", "id_b", (F.col("ts_b") - F.col("ts_a")).alias("gap_us"))
+    )
+
+
+@register(
+    "udtf_document_tokens",
+    """
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+    FROM documents WHERE doc_id < 50
+    """,
+    doc="Python UDTF (table function) exemplar: one row per token per "
+        "document — the lateral-view/flatMap API surface. (In production "
+        "explode() does this JVM-side; the UDTF path is for logic builtins "
+        "can't express, e.g. real tokenizers.)")
+def udtf_document_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, token string")
+    class Tokenize:
+        def eval(self, doc_id: int, text: str):
+            for tok in re.findall(r"[a-z0-9]+", text.lower()):
+                yield doc_id, tok
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    # UDTF invoked per input row via lateral join
+    d.createOrReplaceTempView("udtf_docs_in")
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    return spark.sql("""
+        SELECT t.doc_id, t.token
+        FROM udtf_docs_in, LATERAL tokenize_udtf(doc_id, text) t
+    """)
+
+
+@register(
+    "q11_important_stock_share",
+    """
+    SELECT s_nationkey,
+           ROUND(SUM(s_acctbal), 2) AS nation_bal
+    FROM supplier
+    GROUP BY s_nationkey
+    HAVING SUM(s_acctbal) > (SELECT SUM(s_acctbal) * 0.15 FROM supplier)
+    """,
+    doc="TPC-H Q11 shape: group sums filtered against a share of the global "
+        "total (uncorrelated scalar subquery in HAVING; the single global "
+        "row broadcasts).")
+def q11_important_stock_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("supplier",))
+    return spark.sql("""
+        SELECT s_nationkey,
+               ROUND(SUM(s_acctbal), 2) AS nation_bal
+        FROM supplier
+        GROUP BY s_nationkey
+        HAVING SUM(s_acctbal) > (SELECT SUM(s_acctbal) * 0.15 FROM supplier)
+    """)
+
+
+@register(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_type, p_size
+    """,
+    doc="TPC-H Q16 shape: NOT IN subquery (null-aware anti join) + distinct "
+        "count over a join, with IN-list and inequality predicates pushed.")
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("part", "lineitem", "supplier"))
+    return spark.sql("""
+        SELECT p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_type, p_size
+    """)
+
+
+@register(
+    "window_sessionization_ids",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_id
+    FROM (
+      SELECT user_id, event_id, ts,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events)
+    """,
+    doc="Full sessionization: gap marker (30-min rule) -> running sum = "
+        "per-user session id. The batch twin of session_window(); one "
+        "shuffle on user_id, two window passes over the same sort order "
+        "(Catalyst collapses them into one Window exec).")
+def window_sessionization_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts"))
+    lag_us = F.lag(ts_us).over(w)
+    marked = e.select(
+        "user_id", "event_id", "ts",
+        F.when(lag_us.isNull() | (ts_us - lag_us > 1800 * 1_000_000), 1)
+         .otherwise(0).alias("is_start"))
+    return marked.select(
+        "user_id", "event_id",
+        F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"))
