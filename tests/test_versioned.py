@@ -81,6 +81,18 @@ def test_fetch_data_dispatch(spark, versioned_root):
     assert "_change_type" in fetch_data(spark, versioned_root, "t", 1, 2).columns
 
 
+def test_changelog_read_is_partition_pruned(spark, versioned_root):
+    """The version-range predicate must land in PartitionFilters (the
+    changelog is written partitioned by _commit_version), so an incremental
+    read lists only the requested versions' files — O(delta), not
+    O(history), at any scale."""
+    df = read_changes(spark, versioned_root, "t", 1, 2)
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "_commit_version" in pf
+
+
 def test_missing_snapshot_raises(spark, versioned_root):
     with pytest.raises(ChangelogNotFoundError):
         read_snapshot(spark, versioned_root, "t", 99)
