@@ -71,6 +71,33 @@ def cdc_filter_property(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "flagship_event_shaping",
+    """
+    SELECT epoch_ms(ts)                                   AS time,
+           user_id,
+           event_type,
+           value                                          AS prop_value,
+           CAST(props->>'$.k' AS BIGINT)                  AS prop_k,
+           'group_B'                                      AS group_a_member
+    FROM events
+    """,
+    doc="The reference's canary transformation (event shaping: epoch millis, "
+        "property extraction, group-membership literals — "
+        "/root/reference/unload_databricks_data_to_s3.py:411) flattened for "
+        "the value gate; the struct-shaped original runs in entry().")
+def flagship_event_shaping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        F.unix_millis(F.col("ts")).alias("time"),
+        "user_id",
+        "event_type",
+        F.col("value").alias("prop_value"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+        F.lit("group_B").alias("group_a_member"),
+    )
+
+
+@register(
     "void_scrub_projection",
     """
     SELECT event_id, value AS v, event_type

@@ -130,6 +130,34 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_exact_with_duplicates",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT md5(array_to_string({_TOKENS_SQL}, ' ')) AS fingerprint,
+           MIN(doc_id) AS doc_id,
+           COUNT(*) AS n_copies
+    FROM corpus
+    GROUP BY 1
+    """,
+    doc="Exact dedup over a corpus that actually CONTAINS duplicates (every "
+        "third doc re-ingested under a new id): duplicated fingerprints "
+        "collapse to the min-id original with n_copies=2 — the "
+        "representative-election semantics shown doing real work.")
+def dedup_exact_with_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = (d.filter(F.col("doc_id") % 3 == 0)
+             .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    corpus = d.unionByName(dupes)
+    with_fp = corpus.select(fingerprint_col(F.col("text")).alias("fingerprint"),
+                            "doc_id")
+    return exact_dedup(with_fp, ["fingerprint"], "doc_id")
+
+
+@register(
     "dedup_minhash_lsh",
     _minhash_oracle(threshold=0.5),
     doc=f"MinHash-LSH near-dup pairs: {NUM_HASHES} md5-minhashes, "

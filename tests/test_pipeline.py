@@ -102,6 +102,20 @@ def test_per_table_latest_only_fallback(spark, root, tmp_path):
     assert "CHANGELOG_NOT_FOUND" in tr["initialFetchError"]
 
 
+def test_non_cdf_errors_are_not_retried(spark, root, tmp_path):
+    """E3 retries ONLY on missing-change-file signatures; a plain SQL error
+    must surface immediately (silent latest-only retry would mask bugs)."""
+    job = UnloadJob(
+        source_root=root,
+        table_versions={"ev": [0, 2]},
+        sql="SELECT nonexistent_column FROM ev",
+        output_path=str(tmp_path / "never"),
+    )
+    with pytest.raises(Exception) as ei:
+        run_unload(spark, job)
+    assert "CHANGELOG_NOT_FOUND" not in str(ei.value)
+
+
 def test_sidecars_written(spark, root, tmp_path):
     out = str(tmp_path / "out5")
     job = UnloadJob(
