@@ -113,6 +113,53 @@ def text_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_clean_normalize",
+    r"""
+    SELECT doc_id,
+           LENGTH(text) AS len_raw,
+           LENGTH(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+                                 ' +', ' ', 'g')) AS len_clean,
+           substr(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+                                 ' +', ' ', 'g'), 1, 40) AS clean_prefix
+    FROM documents
+    """,
+    doc="Corpus cleaning: lowercase -> strip non-alnum -> collapse "
+        "whitespace -> trim. Pure regexp chain, scan-speed; before/after "
+        "lengths quantify the cleaning.")
+def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    clean = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+        " +", " "))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("len_raw"),
+        F.length(clean).alias("len_clean"),
+        F.substring(clean, 1, 40).alias("clean_prefix"),
+    )
+
+
+@register(
+    "text_redact_numbers",
+    r"""
+    SELECT event_id,
+           regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_redacted,
+           LEN(regexp_extract_all(props, '[0-9]+')) AS n_redacted
+    FROM events
+    """,
+    doc="Pattern redaction (the PII-scrub shape): digit runs replaced with a "
+        "sentinel + redaction count, over the JSON property blobs.")
+def text_redact_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.regexp_replace("props", "[0-9]+", "<NUM>").alias("props_redacted"),
+        F.size(F.regexp_extract_all(F.col("props"), F.lit("[0-9]+"), 0))
+        .alias("n_redacted"),
+    )
+
+
+@register(
     "text_lang_id",
     _lang_id_oracle(),
     doc="n-gram/stopword language-ID heuristic: per-language stopword hit "
