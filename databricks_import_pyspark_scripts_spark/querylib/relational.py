@@ -32,8 +32,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
            ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)  AS sum_charge,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0
+                                                                            AS sum_disc_price,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) / 1000000.0
+                                                                            AS sum_charge,
            ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
            ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
            ROUND(AVG(l_discount), 4)                                        AS avg_disc,
@@ -54,8 +56,16 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+            # exact-integer money math: terms live on a fixed decimal grid
+            # (price 2dp x discount 2dp -> 4dp; x tax -> 6dp), so scale to
+            # that grid, sum as BIGINT (exact at any data scale), divide
+            # back. Rounding a double BELOW its grid is never cross-engine
+            # safe: Spark rounds the shortest-decimal repr, DuckDB the
+            # binary value, and grid points sit exactly on .5 boundaries.
+            (F.sum(F.round(disc_price * 10000).cast("long")) / 10000.0)
+            .alias("sum_disc_price"),
+            (F.sum(F.round(disc_price * (1 + F.col("l_tax")) * 1000000).cast("long"))
+             / 1000000.0).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
