@@ -294,3 +294,31 @@ def pandas_udf_sigmoid(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return (e.filter(F.col("event_type") == "purchase")
             .select("event_id", F.round(sigmoid("value"), 4).alias("sigmoid")))
+
+
+@register(
+    "pandas_udaf_rms",
+    """
+    SELECT event_type,
+           ROUND(SQRT(AVG(value * value)), 6) AS rms_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Grouped-aggregate Pandas UDF (true UDAF): per-group root-mean-"
+        "square computed in a vectorized Arrow batch per group. Spark plans "
+        "it as a full-group aggregation (no partial agg — grouped-agg UDFs "
+        "shuffle the group's rows), so at 100 TB you pre-aggregate what you "
+        "can with builtins and reserve the UDAF for what SQL can't say; the "
+        "deliberately-SQL-expressible body is what makes it oracle-checkable.")
+def pandas_udaf_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    @F.pandas_udf(DoubleType())
+    def rms(v: pd.Series) -> float:
+        return float(np.sqrt((v * v).mean()))
+
+    e = load_table(spark, sf_dir, "events")
+    # NB: Spark forbids mixing grouped-agg pandas UDFs with builtin
+    # aggregates in one agg() — the UDAF stands alone here.
+    return (e.groupBy("event_type")
+            .agg(F.round(rms("value"), 6).alias("rms_value")))

@@ -20,15 +20,29 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.void_scrub import drop_void_fields
 
-FORMATS = ("json", "parquet")
+FORMATS = ("json", "parquet", "csv", "orc")
 
 
 def write_export(df: DataFrame, path: str, fmt: str = "parquet") -> None:
-    """Overwrite-mode export write (W1/W2)."""
+    """Overwrite-mode export write.
+
+    ``json``/``parquet`` are reference parity (W1/W2); ``csv``/``orc``
+    round out the delegated-surface sink formats (SURVEY.md §2b). Columnar
+    formats are VOID-scrubbed first (neither Parquet nor ORC can store
+    NullType); JSON is not (it can carry nulls). CSV is flat-only by the
+    format's nature — nested columns raise Spark's own AnalysisException so
+    the caller flattens deliberately rather than getting mangled output.
+    """
     if fmt not in FORMATS:
         raise ValueError(f"unknown format {fmt!r}; expected one of {FORMATS}")
     if fmt == "json":
         df.write.mode("overwrite").json(path)
+    elif fmt == "csv":
+        df.write.mode("overwrite").option("header", "true").csv(path)
+    elif fmt == "orc":
+        (drop_void_fields(df).write.mode("overwrite")
+         .option("compression", "zstd")
+         .orc(path))
     else:
         (drop_void_fields(df).write.mode("overwrite")
          .option("compression", "zstd")

@@ -1,4 +1,4 @@
-from .registry import TABLES, load_table, register_views
+from .registry import TABLES, load_table, read_source, register_views
 from .versioned import (
     ChangelogNotFoundError,
     fetch_data,
@@ -10,6 +10,7 @@ from .versioned import (
 __all__ = [
     "TABLES",
     "load_table",
+    "read_source",
     "register_views",
     "ChangelogNotFoundError",
     "fetch_data",

@@ -58,3 +58,29 @@ def register_views(spark: SparkSession, sf_dir: str,
     """Register every table as a temp view named exactly like the table."""
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_source(spark: SparkSession, path: str, fmt: str = "parquet",
+                schema=None) -> DataFrame:
+    """Format-dispatched batch scan: parquet/orc/json/csv.
+
+    The symmetric read side of ``sinks.writers.write_export`` — together they
+    make every SURVEY.md §2b source/sink format a first-class round trip.
+    Columnar formats carry their own schema; for json/csv pass ``schema``
+    to skip the inference pass (an extra full read of the data — at 100 TB
+    always pass the schema, or sample: inference there is a second scan).
+    """
+    if fmt not in ("parquet", "orc", "json", "csv"):
+        raise ValueError(f"unknown format {fmt!r}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "parquet":
+        return reader.parquet(path)
+    if fmt == "orc":
+        return reader.orc(path)
+    if fmt == "json":
+        return reader.json(path)
+    return (reader.option("header", "true")
+            .option("inferSchema", "true" if schema is None else "false")
+            .csv(path))

@@ -64,3 +64,33 @@ def test_export_json_keeps_nulls(spark, tmp_path):
 def test_bad_format_rejected(spark):
     with pytest.raises(ValueError):
         write_export(spark.range(1), "/tmp/x", "xml")
+
+
+def test_export_csv_and_read_source_roundtrip(spark, nation, tmp_path):
+    from databricks_import_pyspark_scripts_spark.sources.registry import read_source
+
+    out = str(tmp_path / "expc")
+    write_export(nation, out, "csv")
+    back = read_source(spark, out, "csv", schema=nation.schema)
+    assert back.count() == nation.count()
+    assert dict(back.dtypes) == dict(nation.dtypes)
+
+
+def test_export_orc_zstd_and_void_free(spark, tmp_path):
+    from databricks_import_pyspark_scripts_spark.sources.registry import read_source
+
+    df = (spark.range(10)
+          .withColumn("ghost", F.lit(None))
+          .withColumn("v", F.col("id") * 2))
+    out = str(tmp_path / "expo")
+    write_export(df, out, "orc")
+    back = read_source(spark, out, "orc")
+    assert "ghost" not in back.columns                # ORC scrubbed like parquet
+    assert back.count() == 10
+
+
+def test_read_source_rejects_unknown_format(spark):
+    from databricks_import_pyspark_scripts_spark.sources.registry import read_source
+
+    with pytest.raises(ValueError):
+        read_source(spark, "/tmp/x", "avro")
