@@ -121,3 +121,44 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> None
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def sessionized_event_stats(events: DataFrame, ts_col: str = "ts",
+                            key_col: str = "user_id",
+                            gap: str = "5 minutes",
+                            watermark: str = "10 minutes") -> DataFrame:
+    """Session-window aggregation: variable-length windows that close after
+    ``gap`` of per-key inactivity (F.session_window — the streaming form of
+    the batch lag/lead sessionization in window_sessionization_ids). State
+    per open session, closed by the watermark — bounded at any scale."""
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.session_window(F.col(ts_col), gap).alias("s"),
+                     F.col(key_col))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("total_value"))
+            .select(F.col("s.start").alias("session_start"),
+                    F.col("s.end").alias("session_end"),
+                    key_col, "n_events", "total_value"))
+
+
+def stream_static_enrich(stream: DataFrame, dim: DataFrame,
+                         on: str) -> DataFrame:
+    """Stream-static join: enrich a stream with a batch dimension table.
+    The static side is re-read per micro-batch (fresh dim data) and planned
+    like any batch join — broadcast when small. No state, no watermark
+    needed: the canonical pattern for reference-data lookup at any scale."""
+    return stream.join(dim, on, "left_outer")
+
+
+def dedup_stream(events: DataFrame, id_cols: list[str],
+                 ts_col: str = "ts", watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key within the
+    watermark horizon (dropDuplicatesWithinWatermark). State holds one entry
+    per key seen inside the horizon, evicted as the watermark advances —
+    the streaming form of the batch exact_dedup, and the standard guard in
+    an at-least-once ingest pipeline (the reference's retry semantics can
+    re-deliver whole version ranges; this operator makes that idempotent)."""
+    return (events
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(id_cols))

@@ -97,3 +97,58 @@ def test_stateful_user_totals(spark, stream_root):
             for r in spark.sql("SELECT * FROM state_out").collect()}
     # inserts only: ids 1, 2, 3 with one event each
     assert rows[1] == (1, 1.0) and rows[2] == (1, 2.0) and rows[3] == (1, 3.0)
+
+
+def test_session_window_stream(spark, stream_root):
+    from databricks_import_pyspark_scripts_spark.streaming.pipeline import (
+        sessionized_event_stats,
+    )
+
+    stream = stream_changelog(spark, stream_root, "ev", CHANGE_SCHEMA)
+    events = (cdc_filtered_stream(stream, "EVENT")
+              .withColumnRenamed("id", "user_id"))
+    out = sessionized_event_stats(events, gap="5 minutes")
+    run_to_memory(out, "sess_out", output_mode="complete")
+    rows = spark.sql("SELECT * FROM sess_out").collect()
+    by_user = {r.user_id: r for r in rows}
+    # users 1,2,3 each have one event -> one session each, gap-extended end
+    assert len(rows) == 3
+    assert by_user[1].n_events == 1
+    assert (by_user[1].session_end - by_user[1].session_start).seconds == 300
+
+
+def test_stream_static_enrich(spark, stream_root):
+    from databricks_import_pyspark_scripts_spark.streaming.pipeline import (
+        stream_static_enrich,
+    )
+
+    stream = stream_changelog(spark, stream_root, "ev", CHANGE_SCHEMA)
+    events = cdc_filtered_stream(stream, "EVENT")
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "passive")],
+        "event_type string, category string")
+    out = stream_static_enrich(events, dim, "event_type")
+    assert out.isStreaming
+    run_to_memory(out.select("id", "category"), "enrich_out")
+    got = {r.id: r.category for r in spark.sql("SELECT * FROM enrich_out").collect()}
+    assert got == {1: "engagement", 2: "engagement", 3: "passive"}
+
+
+def test_dedup_stream(spark, tmp_path):
+    from databricks_import_pyspark_scripts_spark.streaming.pipeline import dedup_stream
+
+    # duplicated delivery of id=1 within the watermark horizon
+    df = spark.createDataFrame(
+        [(1, "click", 1.0, "2024-01-01 00:00:30"),
+         (1, "click", 1.0, "2024-01-01 00:01:00"),   # re-delivery
+         (2, "view", 2.0, "2024-01-01 00:02:00")],
+        "id long, event_type string, value double, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "dedup_src")
+    df.write.parquet(src)
+    stream = (spark.readStream.schema(
+        "id long, event_type string, value double, ts timestamp").parquet(src))
+    out = dedup_stream(stream, ["id"])
+    run_to_memory(out.select("id"), "dedup_out")
+    got = sorted(r.id for r in spark.sql("SELECT * FROM dedup_out").collect())
+    assert got == [1, 2]  # duplicate dropped
