@@ -123,7 +123,20 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
 
     Plan shape at scale: bands explode (narrow) -> shuffle on band_hash ->
     pair generation within buckets -> distinct pairs -> join shingle arrays
-    back (shuffle on id) -> per-row Jaccard verify. No cartesian anywhere.
+    back -> per-row Jaccard verify. No cartesian anywhere. The verify joins
+    pair a tiny side (candidate pairs) with the corpus-wide shingle
+    projection; AQE picks the broadcast side from runtime stats (locally
+    the corpus side is small enough to broadcast; at scale it flips to
+    broadcasting the candidates so corpus shingle arrays never shuffle —
+    the second corpus pass is then pure map-side CPU).
+
+    Measured alternative (rejected): semi-joining the corpus down to
+    candidate ids before the shingle projection re-executes the whole
+    candidate pipeline once per verify side unless the candidates are
+    persisted, and persisting splits the single lazy DAG into extra jobs —
+    min-of-5 at sf0.1: 3.5 s lazy form, 4.4 s semi-join form, 8.6 s
+    persisted+broadcast form. Worth revisiting only for corpora where
+    tokenize+shingle dominates the scan itself.
     """
     bands = minhash_bands(df, id_col, text_col, num_hashes, num_bands, k)
     b1 = bands.alias("b1")
