@@ -29,9 +29,10 @@ _COS_SQL = ("list_dot_product(CAST(q.q_embedding AS DOUBLE[]), CAST(v.embedding 
             " * list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])))")
 
 
-def _bucket_sql(vec_expr: str) -> str:
-    """Generated bucket expression: must mirror operators.similarity.lsh_bucket_col."""
-    planes = rademacher_planes()
+def _bucket_sql(vec_expr: str, planes: list[list[int]] | None = None) -> str:
+    """Generated bucket expression: must mirror operators.similarity.lsh_bucket_col
+    (or, when passed a per-table plane slice, one table of lsh_table_buckets_df)."""
+    planes = planes if planes is not None else rademacher_planes()
     q = (f"list_transform(CAST({vec_expr} AS DOUBLE[]), "
          f"x -> CAST(round(x * {QUANT_SCALE}) AS BIGINT))")
     terms = []
@@ -76,19 +77,35 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(vectors, _queries_df(spark, sf_dir), k=TOP_K)
 
 
-@register(
-    "similarity_topk_lsh",
-    f"""
-    WITH v AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
-               FROM embeddings),
-    q AS (SELECT vec_id AS query_id, embedding AS q_embedding,
-                 {_bucket_sql('embedding')} AS bucket
-          FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+def _multi_table_lsh_oracle() -> str:
+    from ..operators.similarity import NUM_TABLES, PLANES_PER_TABLE
+
+    planes = rademacher_planes(NUM_TABLES * PLANES_PER_TABLE)
+    branches = []
+    for t in range(NUM_TABLES):
+        sl = planes[t * PLANES_PER_TABLE:(t + 1) * PLANES_PER_TABLE]
+        branches.append(
+            f"SELECT vec_id, {t} AS tbl, {_bucket_sql('embedding', sl)} AS bucket "
+            f"FROM embeddings")
+    vb = "\n      UNION ALL ".join(branches)
+    return f"""
+    WITH vb AS (
+      {vb}
+    ),
+    qb AS (SELECT vec_id AS query_id, tbl, bucket FROM vb
+           WHERE vec_id % {QUERY_MOD} = 0),
+    cand AS (
+      SELECT DISTINCT qb.query_id, vb.vec_id
+      FROM vb JOIN qb ON vb.tbl = qb.tbl AND vb.bucket = qb.bucket
+      WHERE vb.vec_id <> qb.query_id),
     scored AS (
-      SELECT q.query_id, v.vec_id,
+      SELECT c.query_id, c.vec_id,
              ROUND({_COS_SQL}, 4) AS cosine
-      FROM v JOIN q ON v.bucket = q.bucket
-      WHERE v.vec_id <> q.query_id
+      FROM cand c
+      JOIN embeddings v ON c.vec_id = v.vec_id
+      JOIN (SELECT vec_id AS query_id, embedding AS q_embedding
+            FROM embeddings WHERE vec_id % {QUERY_MOD} = 0) q
+        ON c.query_id = q.query_id
     )
     SELECT query_id, vec_id, cosine, rank FROM (
       SELECT query_id, vec_id, cosine,
@@ -96,13 +113,23 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY cosine DESC, vec_id) AS rank
       FROM scored)
     WHERE rank <= {TOP_K}
-    """,
-    doc="ANN top-k via 8-plane sign-random-projection LSH buckets; "
-        "integer-quantized bucket math makes the approximate result "
-        "deterministic and value-checkable across engines.")
+    """
+
+
+@register(
+    "similarity_topk_lsh",
+    _multi_table_lsh_oracle(),
+    doc="ANN top-k via multi-table sign-random-projection LSH (16 tables x "
+        "5 planes, OR-amplified): candidates collide in >= 1 table, scored "
+        "once. Measured recall@10 = 0.71 on the near-random synthetic "
+        "corpus vs 0.005 single-table (operators/similarity.py). Integer-"
+        "quantized bucket math keeps the approximation deterministic and "
+        "value-checkable across engines.")
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import lsh_multi_topk
+
     vectors = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk(vectors, _queries_df(spark, sf_dir), k=TOP_K)
+    return lsh_multi_topk(vectors, _queries_df(spark, sf_dir), k=TOP_K)
 
 
 from ..operators.similarity import CENTROID_MOD  # noqa: E402

@@ -132,3 +132,33 @@ def test_lsh_topk_subset_of_bucket(spark):
     got = lsh_topk(vecs, qs, k=3).collect()
     assert 0 < len(got) <= 3
     assert all(r.query_id == 1 and r.vec_id != 1 for r in got)
+
+
+def test_ann_recall_floor(spark):
+    """Recall regression gate for the ANN paths on the sf0.01 embeddings:
+    multi-table LSH and IVF must both recover >= 60% of the exact top-10,
+    and multi-table LSH must dominate the single-table form (whose 8-plane
+    AND-only bucket measured recall 0.005 — the motivating bug)."""
+    from databricks_import_pyspark_scripts_spark.operators.similarity import (
+        ivf_topk,
+        lsh_multi_topk,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.registry import load_table
+
+    vectors = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = (vectors.filter(F.col("vec_id") % 25 == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_embedding")))
+    k = 10
+
+    def pairs(df):
+        return {(r.query_id, r.vec_id) for r in df.collect()}
+
+    truth = pairs(brute_force_topk(vectors, queries, k))
+    multi = pairs(lsh_multi_topk(vectors, queries, k))
+    ivf = pairs(ivf_topk(vectors, queries, k))
+    single = pairs(lsh_topk(vectors, queries, k))
+    recall = lambda got: len(truth & got) / len(truth)  # noqa: E731
+    assert recall(multi) >= 0.6       # measured 0.71 (L=16, b=5)
+    assert recall(ivf) >= 0.6         # measured 0.705 (probe=1)
+    assert recall(multi) > recall(single) + 0.3
