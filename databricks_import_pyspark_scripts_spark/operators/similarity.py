@@ -154,22 +154,45 @@ def ivf_assignments(vectors: DataFrame, centroids: DataFrame,
             .select(id_col, F.col("centroid_id").alias("cell")))
 
 
+def ivf_query_cells(queries: DataFrame, centroids: DataFrame,
+                    nprobe: int) -> DataFrame:
+    """(query_id, q_cell): the ``nprobe`` nearest centroid cells per query —
+    same scoring/tie-break as ivf_assignments, keeping ranks <= nprobe."""
+    q = queries.select(F.col("query_id"), F.col("q_embedding").alias("_v"),
+                       dot_col(F.col("q_embedding"), F.col("q_embedding")).alias("_vn2"))
+    c = centroids.select(F.col("centroid_id"), F.col("embedding").alias("_c"),
+                         dot_col(F.col("embedding"), F.col("embedding")).alias("_cn2"))
+    scored = (q.join(F.broadcast(c))
+              .select("query_id", "centroid_id",
+                      F.round(dot_col(F.col("_v"), F.col("_c"))
+                              / F.sqrt(F.col("_vn2") * F.col("_cn2")), 8)
+                      .alias("_cos")))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("_cos").desc(), F.col("centroid_id")))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= nprobe)
+            .select("query_id", F.col("centroid_id").alias("q_cell")))
+
+
+IVF_NPROBE = 2
+
+
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
-             centroid_mod: int = CENTROID_MOD) -> DataFrame:
-    """IVF (inverted-file) ANN top-k with probe=1: vectors assigned to their
-    nearest centroid cell; each query scores only its own cell's list.
+             centroid_mod: int = CENTROID_MOD,
+             nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF (inverted-file) ANN top-k: vectors assigned to their nearest
+    centroid cell; each query scores the lists of its ``nprobe`` nearest
+    cells (probe=1 measured recall@10 = 0.705 on the synthetic corpus;
+    probe=2 recovers neighbors that fall just across a cell boundary).
     Centroids are the vectors with ``vec_id % centroid_mod == 0`` —
     a deterministic stand-in for k-means training (which would be run
-    offline at scale; the search-path plumbing is identical)."""
+    offline at scale; the search-path plumbing is identical). Cells are
+    disjoint per vector, so multi-probe adds no duplicate candidates."""
     cents = (vectors.filter(F.col("vec_id") % centroid_mod == 0)
              .select((F.col("vec_id") / centroid_mod).cast("long").alias("centroid_id"),
                      "embedding"))
     v_cells = ivf_assignments(vectors, cents)
-    q_cells = ivf_assignments(
-        queries.select(F.col("query_id").alias("vec_id"),
-                       F.col("q_embedding").alias("embedding")),
-        cents).select(F.col("vec_id").alias("query_id"),
-                      F.col("cell").alias("q_cell"))
+    q_cells = ivf_query_cells(queries, cents, nprobe)
     v = (vectors.join(v_cells, "vec_id")
          .withColumn("_n2", dot_col(F.col("embedding"), F.col("embedding"))))
     q = (queries.join(F.broadcast(q_cells), "query_id")

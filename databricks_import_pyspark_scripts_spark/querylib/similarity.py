@@ -139,22 +139,27 @@ _ASSIGN_COS_SQL = (
     " / sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[]))"
     " * list_dot_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[])))")
 
+from ..operators.similarity import IVF_NPROBE  # noqa: E402
+
 _IVF_ORACLE = f"""
     WITH cents AS (
       SELECT vec_id // {CENTROID_MOD} AS centroid_id, embedding AS c_emb
       FROM embeddings WHERE vec_id % {CENTROID_MOD} = 0),
+    ranked AS (
+      SELECT x.vec_id, c.centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                ORDER BY ROUND({_ASSIGN_COS_SQL}, 8) DESC,
+                                         c.centroid_id) AS rn
+      FROM embeddings x CROSS JOIN cents c),
     assign AS (
-      SELECT vec_id, centroid_id AS cell FROM (
-        SELECT x.vec_id, c.centroid_id,
-               ROW_NUMBER() OVER (PARTITION BY x.vec_id
-                                  ORDER BY ROUND({_ASSIGN_COS_SQL}, 8) DESC,
-                                           c.centroid_id) AS rn
-        FROM embeddings x CROSS JOIN cents c)
-      WHERE rn = 1),
+      SELECT vec_id, centroid_id AS cell FROM ranked WHERE rn = 1),
+    qassign AS (
+      SELECT vec_id, centroid_id AS cell FROM ranked
+      WHERE rn <= {IVF_NPROBE} AND vec_id % {QUERY_MOD} = 0),
     v AS (SELECT e.vec_id, e.embedding, a.cell
           FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
     q AS (SELECT e.vec_id AS query_id, e.embedding AS q_embedding, a.cell
-          FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+          FROM embeddings e JOIN qassign a ON e.vec_id = a.vec_id
           WHERE e.vec_id % {QUERY_MOD} = 0),
     scored AS (
       SELECT q.query_id, v.vec_id,
@@ -173,11 +178,12 @@ _IVF_ORACLE = f"""
 @register(
     "similarity_topk_ivf",
     _IVF_ORACLE,
-    doc="IVF (inverted-file) ANN top-k, probe=1: deterministic centroid set "
+    doc="IVF (inverted-file) ANN top-k, nprobe=2: deterministic centroid set "
         "(every 250th vector standing in for offline k-means), nearest-"
         "centroid cell assignment (rounded-cosine argmax, id tie-break), "
-        "per-cell candidate scoring. The cell id is a plain column — at "
-        "scale it's computed at ingest and used as the partition key.")
+        "each query scoring its 2 nearest cells' lists. The cell id is a "
+        "plain column — at scale it's computed at ingest and used as the "
+        "partition key.")
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_topk
 

@@ -160,5 +160,5 @@ def test_ann_recall_floor(spark):
     single = pairs(lsh_topk(vectors, queries, k))
     recall = lambda got: len(truth & got) / len(truth)  # noqa: E731
     assert recall(multi) >= 0.6       # measured 0.71 (L=16, b=5)
-    assert recall(ivf) >= 0.6         # measured 0.705 (probe=1)
+    assert recall(ivf) >= 0.6         # nprobe=2; sf0.01 has 2 cells -> 1.0
     assert recall(multi) > recall(single) + 0.3
