@@ -43,7 +43,16 @@ def get_spark(app_name: str = "spark_graft", master: str | None = None,
     """
     builder = SparkSession.builder.appName(app_name)
     if master is None and not os.environ.get("SPARK_MASTER"):
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        if not cpus:
+            # Default to HALF the logical CPUs: on hyperthreaded/vCPU hosts,
+            # local[all-logical] makes compute-bound stages (md5 loops, JIT
+            # compilation) contend with their own sibling threads — measured
+            # headline-bench totals on a 32-vCPU box: 16 threads 34.8 s,
+            # 32 threads 47.9-117.9 s (the wide agg's codegen compile alone
+            # degraded 7.6 s -> 22-52 s under 32-thread contention).
+            # An explicit SPARK_GRAFT_CPUS always wins.
+            cpus = str(max(1, (os.cpu_count() or 2) // 2))
         master = f"local[{cpus}]"
     if master:
         builder = builder.master(master)
