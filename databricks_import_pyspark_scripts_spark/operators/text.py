@@ -100,3 +100,18 @@ def shingles_col(text: Column, k: int = 3) -> Column:
     return F.when(n < k, F.array(F.array_join(toks, " "))).otherwise(
         F.array_distinct(
             F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))))
+
+
+def split_bucket_col(id_col: Column, num_buckets: int = 100) -> Column:
+    """Deterministic split bucket in [0, num_buckets): md5 of the id's
+    string form, first 8 hex digits as an integer, mod buckets.
+
+    The reproducible train/val/holdout split for a training-data pipeline:
+    a pure column expression (no rand(), no state), stable across runs,
+    engines, partitionings and cluster sizes — md5 is the hash Spark and
+    DuckDB share, so split membership is oracle-checkable. At 100 TB the
+    bucket is computed at ingest and stored; downstream jobs filter on it
+    and the predicate pushes down to the scan."""
+    h = F.md5(id_col.cast("string"))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+            % F.lit(num_buckets)).cast("int")

@@ -166,3 +166,67 @@ def window_sessionization_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_start").over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("session_id"))
+
+
+@register(
+    "scalar_try_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity = 25 THEN NULL
+                ELSE ROUND(l_extendedprice / NULLIF(l_quantity - 25, 0), 4)
+           END AS price_per_extra_unit,
+           TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+           CAST(CASE WHEN l_linenumber = 1 THEN l_linenumber ELSE NULL END AS BIGINT) AS first_elem
+    FROM lineitem
+    WHERE l_orderkey % 1000 = 0
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="Error-safe scalar surface: try_divide (NULL on /0 instead of "
+        "error/inf), try_cast (NULL on bad parse), try_element_at (NULL "
+        "out of bounds) — ANSI-mode-safe expressions a pipeline uses so "
+        "one malformed row can't kill a 100 TB job. Oracle restates them "
+        "with CASE/NULLIF/TRY_CAST (DuckDB's equivalents).")
+def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 1000 == 0)
+    return (li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.try_divide(F.col("l_extendedprice"),
+                             F.col("l_quantity") - 25), 4)
+         .alias("price_per_extra_unit"),
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+        F.try_element_at(F.array(F.col("l_linenumber")),
+                         F.col("l_linenumber").cast("int"))
+         .cast("long").alias("first_elem"))
+        .orderBy("l_orderkey", "l_linenumber"))
+
+
+@register(
+    "lateral_top_suppliers",
+    """
+    SELECT n_name, s.s_name, s.acctbal
+    FROM nation, LATERAL (
+      SELECT s_name, ROUND(s_acctbal, 2) AS acctbal
+      FROM supplier
+      WHERE s_nationkey = n_nationkey
+      ORDER BY s_acctbal DESC, s_name
+      LIMIT 2) s
+    ORDER BY n_name, acctbal DESC, s_name
+    """,
+    doc="Correlated LATERAL subquery (SQL-standard lateral join): per-nation "
+        "top-2 suppliers. Catalyst rewrites the correlated limit into a "
+        "DomainJoin + window-rank — same physical shape as the window-topk "
+        "formulation, no per-row re-execution.")
+def lateral_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.registry import register_views
+
+    register_views(spark, sf_dir, ("nation", "supplier"))
+    return spark.sql("""
+        SELECT n_name, s.s_name, s.acctbal
+        FROM nation, LATERAL (
+          SELECT s_name, ROUND(s_acctbal, 2) AS acctbal
+          FROM supplier
+          WHERE s_nationkey = n_nationkey
+          ORDER BY s_acctbal DESC, s_name
+          LIMIT 2) s
+        ORDER BY n_name, acctbal DESC, s_name
+    """)

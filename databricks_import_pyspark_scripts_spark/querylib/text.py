@@ -171,3 +171,41 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id",
                     F.col("lang").alias("declared_lang"),
                     lang_id_col(F.col("text")).alias("guessed_lang"))
+
+
+@register(
+    "split_train_holdout",
+    """
+    SELECT CASE WHEN bucket < 90 THEN 'train' ELSE 'holdout' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc_id
+    FROM (SELECT doc_id, n_chars,
+                 CAST((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 268435456
+                    + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16777216
+                    + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 1048576
+                    + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 65536
+                    + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 4096
+                    + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 6, 1)) - 1) * 256
+                    + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 7, 1)) - 1) * 16
+                    + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 8, 1)) - 1)
+                  AS BIGINT) % 100 AS bucket
+          FROM documents)
+    GROUP BY 1
+    """,
+    doc="Deterministic 90/10 train/holdout split on an md5 id-hash bucket "
+        "(operators.text.split_bucket_col): reproducible across runs, "
+        "engines and cluster sizes — no rand(), no state. The canonical "
+        "training-data split; at scale the bucket is stored at ingest and "
+        "split filters push down to the scan.")
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import split_bucket_col
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = split_bucket_col(F.col("doc_id"))
+    return (d.select(F.when(bucket < 90, "train").otherwise("holdout").alias("split"),
+                     "n_chars", "doc_id")
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.min("doc_id").alias("min_doc_id")))
