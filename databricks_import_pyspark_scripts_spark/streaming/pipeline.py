@@ -162,3 +162,26 @@ def dedup_stream(events: DataFrame, id_cols: list[str],
     return (events
             .withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(id_cols))
+
+
+def stream_stream_join(clicks: DataFrame, purchases: DataFrame,
+                       key_col: str = "user_id",
+                       within: str = "10 minutes",
+                       watermark: str = "20 minutes") -> DataFrame:
+    """Watermarked stream-stream inner join: purchase within ``within``
+    AFTER the click, matched per key. Both sides buffer state; the time-
+    range condition + watermarks bound it (rows older than watermark+range
+    are evicted) — without the interval bound the join state would grow
+    forever. The streaming form of the batch as-of/range join."""
+    c = (clicks.withWatermark("ts", watermark)
+         .select(F.col(key_col), F.col("ts").alias("click_ts"),
+                 F.col("event_id").alias("click_id")))
+    p = (purchases.withWatermark("ts", watermark)
+         .select(F.col(key_col).alias("p_user"), F.col("ts").alias("purchase_ts"),
+                 F.col("event_id").alias("purchase_id"),
+                 F.col("value").alias("purchase_value")))
+    return c.join(
+        p, (F.col(key_col) == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+        "inner").drop("p_user")

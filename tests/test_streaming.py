@@ -152,3 +152,33 @@ def test_dedup_stream(spark, tmp_path):
     run_to_memory(out.select("id"), "dedup_out")
     got = sorted(r.id for r in spark.sql("SELECT * FROM dedup_out").collect())
     assert got == [1, 2]  # duplicate dropped
+
+
+def test_stream_stream_join(spark, tmp_path):
+    from databricks_import_pyspark_scripts_spark.streaming.pipeline import (
+        stream_stream_join,
+    )
+
+    rows = [
+        (1, 10, "click", 0.0, "2024-01-01 00:00:00"),
+        (1, 11, "purchase", 9.99, "2024-01-01 00:05:00"),   # within 10 min -> joins
+        (1, 12, "purchase", 5.00, "2024-01-01 00:20:00"),   # too late -> dropped
+        (2, 20, "click", 0.0, "2024-01-01 00:00:00"),       # no purchase -> no row
+        (3, 31, "purchase", 7.00, "2024-01-01 00:01:00"),   # no click -> no row
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, value double, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "ss_src")
+    df.write.parquet(src)
+    schema = "user_id long, event_id long, event_type string, value double, ts timestamp"
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stream_stream_join(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"))
+    assert out.isStreaming
+    run_to_memory(out.select("user_id", "click_id", "purchase_id", "purchase_value"),
+                  "ssj_out")
+    got = [(r.user_id, r.click_id, r.purchase_id)
+           for r in spark.sql("SELECT * FROM ssj_out").collect()]
+    assert got == [(1, 10, 11)]  # only the in-window pair
