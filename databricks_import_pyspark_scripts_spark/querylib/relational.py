@@ -830,3 +830,66 @@ def hof_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
                         lambda acc, x: acc + x * x), 4).alias("sq_norm"),
         F.round(F.array_max(as_double), 4).alias("max_val"),
     )
+
+
+@register(
+    "agg_statistical_moments",
+    """
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), 6)            AS sd_qty,
+           ROUND(VAR_SAMP(l_quantity), 6)               AS var_qty,
+           ROUND(SKEWNESS(l_quantity), 4)               AS skew_qty,
+           ROUND(KURTOSIS(l_quantity), 4)               AS kurt_qty,
+           ROUND(CORR(l_quantity, l_extendedprice), 6)  AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS covar_qty_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Statistical-moment aggregates (stddev/variance/skewness/kurtosis/"
+        "corr/covar): single-pass distributed moment accumulation with "
+        "map-side partials — the profiling pass a data pipeline runs before "
+        "normalization. NB Spark's kurtosis() and DuckDB's kurtosis() both "
+        "compute excess sample kurtosis here; 2nd-order moments round at 6dp, "
+        "3rd/4th-order at 4dp (engines' moment-update formulas diverge in "
+        "the 6th decimal).")
+def agg_statistical_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+                 F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+                 F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
+                 F.round(F.kurtosis("l_quantity"), 4).alias("kurt_qty"),
+                 F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+                 .alias("corr_qty_price"),
+                 F.round(F.covar_samp("l_quantity", "l_discount"), 6)
+                 .alias("covar_qty_disc")))
+
+
+@register(
+    "agg_argmin_argmax",
+    """
+    SELECT o_orderpriority,
+           ARG_MAX(o_orderkey, printf('%020.4f|%020d', o_totalprice, o_orderkey))
+             AS biggest_order,
+           ARG_MIN(o_orderkey, printf('%020.4f|%020d', o_totalprice, o_orderkey))
+             AS smallest_order,
+           ROUND(MAX(o_totalprice), 2) AS max_price,
+           ROUND(MIN(o_totalprice), 2) AS min_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="argmin/argmax aggregates (min_by/max_by): the key of the extreme "
+        "row without a join-back or window — one hash-agg pass carrying "
+        "(value, key) partials. The ordering value is a fixed-width "
+        "printf composite (price|orderkey), a total order, so duplicated "
+        "prices (one exists in the data) can never make the argmax "
+        "engine-dependent.")
+def agg_argmin_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    okey = F.format_string("%020.4f|%020d", F.col("o_totalprice"),
+                           F.col("o_orderkey"))
+    return (o.groupBy("o_orderpriority")
+            .agg(F.max_by("o_orderkey", okey).alias("biggest_order"),
+                 F.min_by("o_orderkey", okey).alias("smallest_order"),
+                 F.round(F.max("o_totalprice"), 2).alias("max_price"),
+                 F.round(F.min("o_totalprice"), 2).alias("min_price")))
