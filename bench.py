@@ -40,6 +40,7 @@ HEADLINE = [
     "asof_join_last_purchase",
     "pandas_udf_sigmoid",
     "multimodal_image_features",
+    "corpus_prep_pipeline",
 ]
 
 

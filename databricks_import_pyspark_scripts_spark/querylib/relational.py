@@ -893,3 +893,47 @@ def agg_argmin_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min_by("o_orderkey", okey).alias("smallest_order"),
                  F.round(F.max("o_totalprice"), 2).alias("max_price"),
                  F.round(F.min("o_totalprice"), 2).alias("min_price")))
+
+
+@register(
+    "null_semantics_battery",
+    """
+    WITH flagged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS status,
+             o_totalprice
+      FROM orders WHERE o_orderkey % 100 < 3),
+    ref AS (
+      SELECT DISTINCT CASE WHEN o_orderkey % 14 = 0 THEN NULL
+                           ELSE o_orderstatus END AS status
+      FROM orders WHERE o_orderkey % 100 < 3)
+    SELECT f.status, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN f.status IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+    FROM flagged f JOIN ref r ON f.status IS NOT DISTINCT FROM r.status
+    GROUP BY f.status
+    ORDER BY f.status NULLS FIRST
+    """,
+    doc="Null-semantics battery: null-injected keys, a null-safe equi-join "
+        "(Spark <=> / eqNullSafe = SQL IS NOT DISTINCT FROM, so NULL keys "
+        "MATCH each other — the F1 CDC filter's comparison semantics "
+        "exercised as a join), aggregation over a nullable group key, and "
+        "explicit NULLS FIRST ordering (Spark's default for ASC; stated "
+        "explicitly so the oracle can't differ).")
+def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 < 3)
+    flagged = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+         .otherwise(F.col("o_orderstatus")).alias("status"),
+        "o_totalprice")
+    ref = (o.select(
+        F.when(F.col("o_orderkey") % 14 == 0, F.lit(None))
+         .otherwise(F.col("o_orderstatus")).alias("status"))
+        .distinct()
+        .select(F.col("status").alias("r_status")))
+    return (flagged.join(ref, flagged.status.eqNullSafe(F.col("r_status")))
+            .groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(F.col("status").isNull(), 1).otherwise(0))
+                 .cast("long").alias("n_null"))
+            .orderBy(F.col("status").asc_nulls_first()))

@@ -209,3 +209,96 @@ def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_chars").alias("total_chars"),
                  F.min("doc_id").alias("min_doc_id")))
+
+
+def _corpus_pipeline_oracle() -> str:
+    from .dedup import _hex_to_bigint_sql
+
+    bucket = (_hex_to_bigint_sql("md5(CAST(doc_id AS VARCHAR))", 1, 8)
+              + " % 100")
+    # lang-id twin (argmax stopword hits, alphabetical tie-break to 'und')
+    langs = {
+        "en": ("the", "of", "and", "a", "to", "in", "is", "it"),
+        "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+        "de": ("der", "die", "und", "das", "ist", "ein", "zu", "mit"),
+        "fr": ("le", "la", "et", "les", "des", "un", "une", "est"),
+    }
+    toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    hit_exprs = {
+        lang: ("len(list_filter(" + toks + ", t -> list_contains(["
+               + ", ".join(f"'{w}'" for w in ws) + "], t)))")
+        for lang, ws in langs.items()}
+    best = "'und'"
+    best_hits = "0"
+    for lang in sorted(langs):
+        h = hit_exprs[lang]
+        best = f"CASE WHEN {h} > {best_hits} THEN '{lang}' ELSE {best} END"
+        best_hits = f"GREATEST({h}, {best_hits})"
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, n_chars,
+             {best} AS lang_guess,
+             0.4 * LEAST(length(text) / 500.0, 1.0)
+             + 0.3 * (1.0 - LEAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) * 1.0
+                                  / GREATEST(length(text), 1), 1.0))
+             + 0.3 * LEAST(len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0)
+               AS quality,
+             md5(array_to_string({toks}, ' ')) AS fingerprint,
+             CAST({bucket} AS INTEGER) AS bucket
+      FROM documents),
+    kept AS (
+      SELECT * FROM scored WHERE quality >= 0.5),
+    dedup AS (
+      SELECT fingerprint, MIN(doc_id) AS doc_id FROM kept GROUP BY fingerprint),
+    final AS (
+      SELECT k.* FROM kept k JOIN dedup d ON k.doc_id = d.doc_id)
+    SELECT lang_guess,
+           CASE WHEN bucket < 90 THEN 'train' ELSE 'holdout' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM final
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """
+
+
+@register(
+    "corpus_prep_pipeline",
+    _corpus_pipeline_oracle(),
+    doc="The capstone LLM-corpus preparation pipeline as ONE composed "
+        "query: quality scoring -> threshold filter -> language ID -> "
+        "exact dedup (min-id representative per fingerprint) -> "
+        "deterministic train/holdout split -> per-(lang, split) corpus "
+        "stats. Every stage is a narrow per-row expression except: the "
+        "dedup agg (one hash shuffle on fingerprint), the semi-join back "
+        "to representatives (two more exchanges to co-locate on doc_id — "
+        "the representative set is corpus-sized, so it does NOT broadcast "
+        "at scale), and the tiny final stats agg: 4 exchanges total, "
+        "verified in the executed plan. Every stage reuses an operator "
+        "verified on its own elsewhere in the gate.")
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import (
+        fingerprint_col,
+        lang_id_col,
+        quality_score_col,
+        split_bucket_col,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "n_chars",
+        lang_id_col(F.col("text")).alias("lang_guess"),
+        quality_score_col(F.col("text")).alias("quality"),
+        fingerprint_col(F.col("text")).alias("fingerprint"),
+        split_bucket_col(F.col("doc_id")).alias("bucket"))
+    kept = scored.filter(F.col("quality") >= 0.5)
+    dedup = kept.groupBy("fingerprint").agg(F.min("doc_id").alias("rep_id"))
+    final = kept.join(dedup, kept.doc_id == dedup.rep_id, "left_semi")
+    return (final.select(
+        "lang_guess",
+        F.when(F.col("bucket") < 90, "train").otherwise("holdout").alias("split"),
+        "n_chars")
+        .groupBy("lang_guess", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang_guess", "split"))
