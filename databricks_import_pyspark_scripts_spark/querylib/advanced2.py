@@ -230,3 +230,35 @@ def lateral_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
           LIMIT 2) s
         ORDER BY n_name, acctbal DESC, s_name
     """)
+
+
+@register(
+    "window_range_interval_frame",
+    """
+    SELECT user_id, event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           ROUND(SUM(value) OVER w, 4) AS value_last_hour
+    FROM (SELECT *, epoch_us(ts) // 1000000 AS ts_s
+          FROM events WHERE user_id % 10 = 0)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    doc="RANGE frame over time with an interval bound — the sliding "
+        "time-window aggregate (trailing 1h per user). Both engines "
+        "order on TRUNCATED epoch seconds (Spark ts.cast(long), DuckDB "
+        "epoch_us//1e6): the data has sub-second timestamps, and a true "
+        "microsecond INTERVAL bound vs truncated seconds disagree "
+        "whenever a pair straddles the boundary inside one second — "
+        "probed, then pinned to the same grid on both sides. RANGE "
+        "includes ts-peer rows (unlike ROWS), so duplicates stay "
+        "well-defined. One shuffle on user_id.")
+def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    w = (Window.partitionBy("user_id").orderBy(F.col("ts").cast("long"))
+         .rangeBetween(-3600, Window.currentRow))
+    return (e.select(
+        "user_id", "event_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 4).alias("value_last_hour"))
+        .orderBy("user_id", "event_id"))
