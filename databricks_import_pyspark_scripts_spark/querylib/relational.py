@@ -937,3 +937,31 @@ def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when(F.col("status").isNull(), 1).otherwise(0))
                  .cast("long").alias("n_null"))
             .orderBy(F.col("status").asc_nulls_first()))
+
+
+@register(
+    "agg_rollup_grouping_markers",
+    """
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY g_flag, g_status, returnflag, linestatus
+    """,
+    doc="GROUPING() markers on a rollup: distinguishes a real NULL group "
+        "key from a subtotal row (the marker is 1 on aggregated-away "
+        "columns) — the standard way to label subtotal/grand-total rows "
+        "without ambiguity. Same single hash-agg pass as plain rollup.")
+def agg_rollup_grouping_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.grouping("l_returnflag").cast("long").alias("g_flag"),
+                 F.grouping("l_linestatus").cast("long").alias("g_status"))
+            .select(F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+                    F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+                    "g_flag", "g_status", "n")
+            .orderBy("g_flag", "g_status", "returnflag", "linestatus"))

@@ -71,7 +71,8 @@ def read_source(spark: SparkSession, path: str, fmt: str = "parquet",
     always pass the schema, or sample: inference there is a second scan).
     """
     if fmt not in ("parquet", "orc", "json", "csv"):
-        raise ValueError(f"unknown format {fmt!r}")
+        raise ValueError(
+            f"unknown format {fmt!r}; expected one of parquet/orc/json/csv")
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
