@@ -19,9 +19,13 @@ from .multimodal import (
 from .partitioning import calculate_num_partitions, get_partition_count, size_output
 from .similarity import (
     brute_force_topk,
+    ivf_assignments,
+    ivf_query_cells,
     ivf_topk,
     lsh_bucket_col,
     lsh_buckets_df,
+    lsh_multi_topk,
+    lsh_table_buckets_df,
     lsh_topk,
 )
 from .skew import salted, salted_agg, salted_join
@@ -30,6 +34,7 @@ from .text import (
     lang_id_col,
     quality_score_col,
     shingles_col,
+    split_bucket_col,
     token_count_col,
     tokens_col,
     word_count_col,
@@ -45,9 +50,11 @@ __all__ = [
     "audio_window_plan", "frame_sample_plan", "image_features",
     "synthesize_media_table",
     "calculate_num_partitions", "get_partition_count", "size_output",
-    "brute_force_topk", "ivf_topk", "lsh_bucket_col", "lsh_buckets_df", "lsh_topk",
+    "brute_force_topk", "ivf_assignments", "ivf_query_cells", "ivf_topk",
+    "lsh_bucket_col", "lsh_buckets_df", "lsh_multi_topk",
+    "lsh_table_buckets_df", "lsh_topk",
     "salted", "salted_agg", "salted_join",
     "fingerprint_col", "lang_id_col", "quality_score_col", "shingles_col",
-    "token_count_col", "tokens_col", "word_count_col",
+    "split_bucket_col", "token_count_col", "tokens_col", "word_count_col",
     "drop_void_fields",
 ]
