@@ -198,34 +198,68 @@ _PAIR_COS_SQL = ("list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embeddi
 NEAR_DUP_THRESHOLD = 0.3
 
 
+def _embedding_dedup_oracle() -> str:
+    from ..operators.similarity import NUM_TABLES, PLANES_PER_TABLE
+
+    planes = rademacher_planes(NUM_TABLES * PLANES_PER_TABLE)
+    branches = []
+    for t in range(NUM_TABLES):
+        sl = planes[t * PLANES_PER_TABLE:(t + 1) * PLANES_PER_TABLE]
+        branches.append(
+            f"SELECT vec_id, {t} AS tbl, {_bucket_sql('embedding', sl)} AS bucket "
+            f"FROM embeddings")
+    vb = "\n      UNION ALL ".join(branches)
+    return f"""
+    WITH vb AS (
+      {vb}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM vb a JOIN vb b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                         AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cosine FROM (
+      SELECT c.id_a, c.id_b,
+             ROUND({_PAIR_COS_SQL}, 4) AS cosine
+      FROM cand c
+      JOIN embeddings a ON c.id_a = a.vec_id
+      JOIN embeddings b ON c.id_b = b.vec_id)
+    WHERE cosine >= {NEAR_DUP_THRESHOLD}
+    """
+
+
 @register(
     "dedup_embedding_cosine",
-    f"""
-    WITH v AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
-               FROM embeddings)
-    SELECT id_a, id_b, cosine FROM (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             ROUND({_PAIR_COS_SQL}, 4) AS cosine
-      FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-    WHERE cosine >= {NEAR_DUP_THRESHOLD}
-    """,
-    doc="Embedding-cosine near-duplicate pairs: LSH-bucket self-join (no "
-        "cartesian) + cosine verify over the threshold — the semantic-dedup "
-        "pattern for embedding-indexed corpora; bucket join shuffles O(n), "
-        "not O(n^2). Threshold 0.3 fits the synthetic corpus's similarity "
-        "range (real corpora use ~0.95).")
+    _embedding_dedup_oracle(),
+    doc="Embedding-cosine near-duplicate pairs: multi-table LSH candidate "
+        "self-join (16 tables x 5 planes, same OR-amplification as the "
+        "top-k path — the single-bucket form measured 1.1% pair recall, "
+        "11 of 990 true pairs) + exact-cosine verify over the threshold. "
+        "Candidates are an equi-join on (tbl, bucket) — O(L x n / 2^b) "
+        "pairs, never a cartesian. Threshold 0.3 fits the synthetic "
+        "corpus's similarity range; at a production ~0.95 threshold the "
+        "per-table collision probability is near 1 and recall approaches "
+        "100% at far lower candidate volume.")
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import _pair_cosine, dot_col, lsh_buckets_df
+    from ..operators.similarity import (
+        _pair_cosine,
+        dot_col,
+        lsh_table_buckets_df,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    v = (emb.join(lsh_buckets_df(emb, "vec_id", "embedding"), "vec_id")
-         .withColumn("n2", dot_col(F.col("embedding"), F.col("embedding"))))
-    a = v.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"),
-                 F.col("n2").alias("n2_a"), "bucket")
-    b = v.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"),
-                 F.col("n2").alias("n2_b"), "bucket")
-    return (a.join(b, ["bucket"])
+    vb = lsh_table_buckets_df(emb, "vec_id", "embedding")
+    a = vb.select(F.col("vec_id").alias("id_a"), "tbl", "bucket")
+    b = vb.select(F.col("vec_id").alias("id_b"), "tbl", "bucket")
+    cand = (a.join(b, ["tbl", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct())
+    v = emb.withColumn("n2", dot_col(F.col("embedding"), F.col("embedding")))
+    va = v.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"),
+                  F.col("n2").alias("n2_a"))
+    vvb = v.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"),
+                   F.col("n2").alias("n2_b"))
+    return (cand.join(va, "id_a").join(vvb, "id_b")
             .select("id_a", "id_b",
                     F.round(_pair_cosine(F.col("emb_a"), F.col("emb_b"),
                                          F.col("n2_a"), F.col("n2_b")), 4)

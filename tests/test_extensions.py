@@ -162,3 +162,30 @@ def test_ann_recall_floor(spark):
     assert recall(multi) >= 0.6       # measured 0.71 (L=16, b=5)
     assert recall(ivf) >= 0.6         # nprobe=2; sf0.01 has 2 cells -> 1.0
     assert recall(multi) > recall(single) + 0.3
+
+
+def test_embedding_dedup_pair_recall_floor(spark):
+    """The multi-table-LSH near-dup pair query must recover >= 60% of the
+    exact cosine>=0.3 pairs (the single-bucket form measured 1.1%)."""
+    from databricks_import_pyspark_scripts_spark.querylib import all_queries
+    from databricks_import_pyspark_scripts_spark.operators.similarity import dot_col
+    from databricks_import_pyspark_scripts_spark.sources.registry import load_table
+
+    sf = "/root/testdata/sf0.01"
+    got = {(r.id_a, r.id_b)
+           for r in all_queries()["dedup_embedding_cosine"](spark, sf).collect()}
+    emb = load_table(spark, sf, "embeddings")
+    v = emb.withColumn("n2", dot_col(F.col("embedding"), F.col("embedding")))
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
+                 F.col("n2").alias("na"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
+                 F.col("n2").alias("nb"))
+    from databricks_import_pyspark_scripts_spark.operators.similarity import _pair_cosine
+    exact = {(r.id_a, r.id_b) for r in
+             a.join(b, F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     _pair_cosine(F.col("ea"), F.col("eb"),
+                                  F.col("na"), F.col("nb")).alias("c"))
+             .filter(F.col("c") >= 0.3).collect()}
+    assert len(exact) > 0
+    assert len(got & exact) / len(exact) >= 0.6   # measured 0.777
