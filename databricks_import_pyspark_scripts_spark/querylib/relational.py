@@ -965,3 +965,44 @@ def agg_rollup_grouping_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
                     "g_flag", "g_status", "n")
             .orderBy("g_flag", "g_status", "returnflag", "linestatus"))
+
+
+@register(
+    "crossjoin_coverage_grid",
+    """
+    SELECT r_name, status,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_orders
+    FROM region
+    CROSS JOIN (SELECT DISTINCT o_orderstatus AS status FROM orders) s
+    LEFT JOIN (
+      SELECT n_regionkey, o_orderstatus, COUNT(*) AS n
+      FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY n_regionkey, o_orderstatus) agg
+      ON agg.n_regionkey = (SELECT r2.r_regionkey FROM region r2
+                            WHERE r2.r_name = region.r_name)
+     AND agg.o_orderstatus = s.status
+    ORDER BY r_name, status
+    """,
+    doc="Explicit CROSS JOIN building the full (region x status) coverage "
+        "grid, then a left join fills counts with 0 for empty cells — the "
+        "dense-report shape where absent combinations must still appear. "
+        "Both cross-join sides are tiny dims (BroadcastNestedLoopJoin); "
+        "the count aggregation reduces the fact side before joining.")
+def crossjoin_coverage_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    statuses = o.select(F.col("o_orderstatus").alias("status")).distinct()
+    grid = r.select("r_name", "r_regionkey").crossJoin(statuses)
+    agg = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+           .groupBy("n_regionkey", "o_orderstatus")
+           .agg(F.count(F.lit(1)).alias("n")))
+    return (grid.join(agg, (grid.r_regionkey == agg.n_regionkey)
+                      & (grid.status == agg.o_orderstatus), "left_outer")
+            .select("r_name", "status",
+                    F.coalesce("n", F.lit(0)).cast("long").alias("n_orders"))
+            .orderBy("r_name", "status"))

@@ -189,3 +189,36 @@ def test_embedding_dedup_pair_recall_floor(spark):
              .filter(F.col("c") >= 0.3).collect()}
     assert len(exact) > 0
     assert len(got & exact) / len(exact) >= 0.6   # measured 0.777
+
+
+def test_sampling_deterministic_with_seed(spark, sf_dir):
+    """sample()/sampleBy() with a fixed seed: identical row sets across
+    runs and plans (the reproducible-subset requirement of a training
+    pipeline), and fraction within binomial tolerance. NB: Spark seeds are
+    NOT portable to other engines — cross-engine reproducible splits use
+    split_bucket_col (md5) instead; these APIs are for within-Spark
+    subsampling.
+
+    Footgun (probed): ``df.sample(0.2, seed=7)`` — fraction positional —
+    silently DROPS the seed (PySpark's withReplacement/fraction arg
+    juggling) and every call draws a fresh random seed. Always pass
+    ``fraction=`` by keyword."""
+    from databricks_import_pyspark_scripts_spark.sources.registry import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    n = o.count()
+    s1 = {r.o_orderkey for r in o.sample(fraction=0.2, seed=7)
+          .select("o_orderkey").collect()}
+    s2 = {r.o_orderkey for r in load_table(spark, sf_dir, "orders")
+          .sample(fraction=0.2, seed=7).select("o_orderkey").collect()}
+    assert s1 == s2                       # same seed -> same subset
+    assert abs(len(s1) / n - 0.2) < 0.05  # fraction within tolerance
+
+    strata = (o.sampleBy("o_orderstatus", {"O": 0.5, "F": 0.1, "P": 1.0}, seed=7)
+              .groupBy("o_orderstatus").count().collect())
+    by = {r.o_orderstatus: r["count"] for r in strata}
+    totals = {r.o_orderstatus: r["count"]
+              for r in o.groupBy("o_orderstatus").count().collect()}
+    assert abs(by["O"] / totals["O"] - 0.5) < 0.08
+    assert abs(by["F"] / totals["F"] - 0.1) < 0.08
+    assert by["P"] == totals["P"]         # fraction 1.0 keeps every row
