@@ -96,7 +96,11 @@ def stream_unload(filtered: DataFrame, output_path: str,
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         out = batch_df if fmt == "json" else drop_void_fields(batch_df)
-        (out.write.mode("append")
+        # overwrite, not append: foreachBatch re-delivers a batch id after a
+        # restart-before-checkpoint, and append would duplicate its rows.
+        # Overwriting the batch-id dir makes redelivery idempotent — that's
+        # the at-least-once -> effectively-once upgrade this sink claims.
+        (out.write.mode("overwrite")
          .option("compression", "zstd")
          .format(fmt)
          .save(f"{output_path}/batch_id={batch_id}"))

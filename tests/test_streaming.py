@@ -182,3 +182,27 @@ def test_stream_stream_join(spark, tmp_path):
     got = [(r.user_id, r.click_id, r.purchase_id)
            for r in spark.sql("SELECT * FROM ssj_out").collect()]
     assert got == [(1, 10, 11)]  # only the in-window pair
+
+
+def test_stream_unload_idempotent_on_batch_redelivery(spark, stream_root, tmp_path):
+    """foreachBatch can re-deliver a batch id after restart-before-
+    checkpoint; the per-batch overwrite must not duplicate rows."""
+    from databricks_import_pyspark_scripts_spark.streaming.pipeline import stream_unload
+
+    stream = stream_changelog(spark, stream_root, "ev", CHANGE_SCHEMA)
+    filtered = cdc_filtered_stream(stream, "EVENT").select("id", "event_type", "value")
+    q = stream_unload(filtered, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # simulate redelivery of batch 0: new query, fresh checkpoint, same output
+    stream2 = stream_changelog(spark, stream_root, "ev", CHANGE_SCHEMA)
+    filtered2 = cdc_filtered_stream(stream2, "EVENT").select("id", "event_type", "value")
+    q2 = stream_unload(filtered2, str(tmp_path / "out"), str(tmp_path / "ckpt2"))
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert sorted(r.id for r in got.collect()) == [1, 2, 3]  # no duplicates
