@@ -77,9 +77,14 @@ def derive_changes(old: DataFrame, new: DataFrame, keys: list[str],
         raise ValueError(f"schema mismatch: {old.columns} vs {new.columns}")
 
     def tagged(df: DataFrame, side: str) -> DataFrame:
+        # presence marker, NOT key-isNotNull: the join matches NULL keys via
+        # eqNullSafe, so a NULL-key row IS present — detecting presence from
+        # the key column would classify it as absent on both sides and
+        # silently drop it from the changelog
         return df.select(
             *[F.col(k).alias(f"{side}_{k}") for k in keys],
-            F.struct(*[F.col(c).alias(c) for c in value_cols]).alias(f"{side}_v"))
+            F.struct(*[F.col(c).alias(c) for c in value_cols]).alias(f"{side}_v"),
+            F.lit(True).alias(f"{side}_present"))
 
     o, n = tagged(old, "o"), tagged(new, "n")
     cond = None
@@ -88,8 +93,8 @@ def derive_changes(old: DataFrame, new: DataFrame, keys: list[str],
         cond = c if cond is None else (cond & c)
     j = o.join(n, cond, "full_outer")
 
-    in_old = F.col(f"o_{keys[0]}").isNotNull()
-    in_new = F.col(f"n_{keys[0]}").isNotNull()
+    in_old = F.col("o_present").isNotNull()
+    in_new = F.col("n_present").isNotNull()
     changed = in_old & in_new & ~F.col("o_v").eqNullSafe(F.col("n_v"))
 
     def emit(side: str, change_type) -> DataFrame:

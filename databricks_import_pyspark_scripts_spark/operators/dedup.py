@@ -200,7 +200,11 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str,
     the bulk/scale form (array folds run interpreted).
 
     Docs with zero tokens don't survive the explode; they are re-attached
-    with the empty-signature value (all bit-majorities >= 0 -> all bits set).
+    with the value simhash_col computes for them: all bits set for an EMPTY
+    token array (every bit-majority over zero votes is >= 0), and 0 for a
+    NULL text (the fold over a NULL array is NULL, so no when() branch adds
+    a bit). Without the NULL branch those docs vanished from the output
+    entirely (tokens_col(NULL) is NULL; size(NULL) is not 0).
     """
     base = df.select(F.col(id_col), F.col(text_col))
     base = base.repartition(
@@ -218,10 +222,13 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str,
     sig = sum((F.when(F.col(f"v{i}") >= 0, F.lit(2 ** i)).otherwise(F.lit(0))
                for i in range(bits)), F.lit(0)).cast("long")
     with_sig = sums.select(F.col(id_col), sig.alias("simhash"))
-    empty = (df.filter(F.size(tokens_col(F.col(text_col))) == 0)
+    empty = (df.filter(F.col(text_col).isNotNull()
+                       & (F.size(tokens_col(F.col(text_col))) == 0))
              .select(F.col(id_col),
                      F.lit(2 ** bits - 1).cast("long").alias("simhash")))
-    return with_sig.unionByName(empty)
+    null_text = (df.filter(F.col(text_col).isNull())
+                 .select(F.col(id_col), F.lit(0).cast("long").alias("simhash")))
+    return with_sig.unionByName(empty).unionByName(null_text)
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,

@@ -57,5 +57,9 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
                    .limit(1).count())
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge within max_iter={max_iter} "
+        f"rounds (graph diameter exceeds the budget) — returning would "
+        f"silently split true components; raise max_iter or switch to the "
+        f"large-star/small-star variant for high-diameter graphs")

@@ -45,12 +45,19 @@ def apply_changes(snapshot: DataFrame, changes: DataFrame,
     * when one key has several change rows in the batch, the one with the
       highest (_commit_version, _commit_timestamp) wins — resolved with a
       window rank, exactly how a mutable consumer of the reference's export
-      applies its rows.
+      applies its rows. Ties WITHIN one commit (legal in Delta CDF when a
+      row is deleted and re-inserted in the same transaction: delete +
+      insert share version AND timestamp) resolve by change-type precedence
+      insert/update_postimage over delete — the transaction's NET effect is
+      that the row exists — instead of a nondeterministic row_number pick.
     """
     eff = changes.filter(
         F.col("_change_type").isin("insert", "update_postimage", "delete"))
+    type_rank = (F.when(F.col("_change_type") == "delete", 0)
+                 .otherwise(1))
     w = Window.partitionBy(*keys).orderBy(
-        F.col("_commit_version").desc(), F.col("_commit_timestamp").desc())
+        F.col("_commit_version").desc(), F.col("_commit_timestamp").desc(),
+        type_rank.desc())
     latest = (eff.withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") == 1).drop("_rn"))
     upserts = (latest.filter(F.col("_change_type") != "delete")

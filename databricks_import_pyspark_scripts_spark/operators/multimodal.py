@@ -120,6 +120,10 @@ def frame_sample_plan(media_df: DataFrame, id_col: str = "media_id",
     dur = F.col(f"{media_col}.duration_ms")
     return (media_df
             .filter(F.col(f"{media_col}.mime").startswith("video/"))
+            # zero/negative duration (corrupt or empty clip) -> zero planned
+            # frames; without the guard sequence(0, -1) raises Illegal
+            # sequence boundaries and kills the whole job at action time
+            .filter(dur > 0)
             .select(F.col(id_col).alias("media_id"),
                     F.explode(
                         F.sequence(F.lit(0).cast("long"), dur - 1,
@@ -133,6 +137,7 @@ def audio_window_plan(media_df: DataFrame, id_col: str = "media_id",
     dur = F.col(f"{media_col}.duration_ms")
     return (media_df
             .filter(F.col(f"{media_col}.mime").startswith("audio/"))
+            .filter(dur > 0)              # same zero-duration guard as frames
             .select(F.col(id_col).alias("media_id"),
                     F.col(f"{media_col}.sample_rate").alias("sample_rate"),
                     dur.alias("duration_ms"),

@@ -50,7 +50,17 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     side across all salts, join on (key, salt). Shuffle partitions for a hot
     key drop from 1 to ``num_salts``; the small side is replicated
     ``num_salts``x (keep it genuinely small — this is the non-broadcastable
-    middle ground between broadcast and plain SMJ)."""
+    middle ground between broadcast and plain SMJ).
+
+    Only inner and big-side-outer (``left``) joins are sound: the small side
+    is replicated per salt, so in a right/full outer join an UNMATCHED
+    small-side row would survive once per salt — ``num_salts`` duplicate
+    outputs. Rejected explicitly rather than silently corrupting."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only (got {how!r}): the "
+            f"salt-replicated small side emits unmatched rows once PER SALT "
+            f"under right/full outer semantics")
     b = salted(big, "_salt", num_salts)
     s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1))))

@@ -62,6 +62,34 @@ class UnloadJob:
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex)
 
 
+def quote_dotted_identifiers(sql: str, tables: list[str]) -> str:
+    """Backtick-quote dotted table identifiers in the user SQL.
+
+    Temp views are single-part: ``createOrReplaceTempView("`cat.sch.t`")``
+    registers a view whose NAME contains dots, and an unquoted ``cat.sch.t``
+    in the SQL resolves as catalog.schema.table instead (verified:
+    REQUIRES_SINGLE_PART_NAMESPACE). So for dotted names the exact
+    identifier occurrence is rewritten to its backticked form. Unlike the
+    reference's bare ``str.replace`` (which corrupts prefixes and string
+    literals — /root/reference/unload_databricks_data_to_s3.py:312), this
+    match is identifier-bounded (no [A-Za-z0-9_.`] on either side) and
+    skips single-quoted string literals.
+    """
+    import re
+
+    dotted = [t for t in tables if "." in t]
+    if not dotted:
+        return sql
+    # longest-first so cat.sch.t2 is never half-matched by cat.sch.t
+    pattern = "|".join(re.escape(t) for t in sorted(dotted, key=len, reverse=True))
+    ident = re.compile(rf"(?<![\w.`])({pattern})(?![\w.`])")
+    # split on single-quoted literals; rewrite only the code segments
+    parts = re.split(r"('(?:[^']|'')*')", sql)
+    return "".join(
+        p if i % 2 else ident.sub(lambda m: f"`{m.group(1)}`", p)
+        for i, p in enumerate(parts))
+
+
 def build_views_for_tables(spark: SparkSession, job: UnloadJob,
                            table_results: dict[str, dict[str, Any]],
                            force_latest_only: bool = False) -> None:
@@ -118,7 +146,11 @@ def _write_with_observed_count(spark: SparkSession, job: UnloadJob,
         # so coalesce only honors an explicit target here.
         if job.target_partitions is not None:
             observed = observed.coalesce(job.target_partitions)
-    elif job.target_partitions is not None:
+    elif (job.partitioning_strategy == "repartition"
+          and job.target_partitions is not None):
+        # target override applies to the repartition strategy only;
+        # strategy 'none' means NO shuffle regardless of target (matching
+        # size_output's documented semantics)
         observed = observed.repartition(job.target_partitions)
     write_export(observed, job.output_path, job.fmt)
     row_count = int(obs.get["rows"])  # collected during the write — no 2nd job
@@ -144,7 +176,8 @@ def run_unload(spark: SparkSession, job: UnloadJob) -> dict[str, Any]:
     def attempt(force_latest_only: bool) -> tuple[int, int]:
         table_results.clear()
         build_views_for_tables(spark, job, table_results, force_latest_only)
-        export_df = spark.sql(job.sql)
+        export_df = spark.sql(
+            quote_dotted_identifiers(job.sql, list(job.table_versions)))
         ta = time.time()
         counts = _write_with_observed_count(spark, job, export_df)
         log_info(f"write finished in {time.time() - ta:.3f}s "

@@ -43,8 +43,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ns_cols = _NANOS_TS_COLUMNS.get(name, ())
     if not ns_cols:
         return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    # scope the legacy conf to THIS read: the parquet schema is captured at
+    # read time (verified: collect after restore works), and leaving it set
+    # would make every later nanos-parquet read in the session silently
+    # yield raw long values instead of failing fast
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
     for c in ns_cols:
         if isinstance(df.schema[c].dataType, LongType):
             # integer `div`, NOT `/`: double division loses the low microsecond

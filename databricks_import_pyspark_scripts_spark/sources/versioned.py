@@ -136,15 +136,25 @@ def read_changes(spark: SparkSession, root: str, table: str,
     if not _path_exists(spark, path):
         raise ChangelogNotFoundError(
             f"CHANGELOG_NOT_FOUND: no changelog for {table} at {path}")
+    # A vacuumed changelog is emulated by deleted version partitions. A plain
+    # parquet scan would just list no files for them and return a silently
+    # PARTIAL result — no exception means the E2/E3 latest-only retry never
+    # fires and missing change rows ship. So detect the vacuumed head
+    # eagerly: VACUUM removes a prefix of versions, so if the oldest
+    # partition still present is newer than the first requested version, the
+    # range can't be served. (Gaps in the middle are legal — a commit with
+    # no change rows writes no partition.) The listing is one driver-side
+    # FS call over partition dirs, not a data read.
+    available = _list_changelog_versions(spark, path)
+    if available and min(available) > starting_version + 1:
+        raise ChangelogNotFoundError(
+            f"CHANGELOG_NOT_FOUND: changelog for {table} starts at version "
+            f"{min(available)}; requested changes from {starting_version + 1} "
+            f"(vacuumed?)")
     df = spark.read.parquet(path)
-    df = df.filter(
+    return df.filter(
         (F.col("_commit_version") > F.lit(starting_version))
         & (F.col("_commit_version") <= F.lit(ending_version)))
-    # A vacuumed changelog is emulated by absent version partitions; surface
-    # that lazily like Delta does (at action time) — callers that need eager
-    # detection count a 1-partition sample. We keep laziness for parity with
-    # the reference's write-time-retry design.
-    return df
 
 
 def fetch_data(spark: SparkSession, root: str, table: str,
@@ -164,3 +174,20 @@ def _path_exists(spark: SparkSession, path: str) -> bool:
     hadoop_path = sc._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
     fs = hadoop_path.getFileSystem(sc._jsc.hadoopConfiguration())  # noqa: SLF001
     return fs.exists(hadoop_path)
+
+
+def _list_changelog_versions(spark: SparkSession, path: str) -> list[int]:
+    """Versions present as ``_commit_version=N`` partition dirs (Hadoop FS,
+    so s3a:// works)."""
+    sc = spark.sparkContext
+    hadoop_path = sc._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
+    fs = hadoop_path.getFileSystem(sc._jsc.hadoopConfiguration())  # noqa: SLF001
+    out: list[int] = []
+    for status in fs.listStatus(hadoop_path):
+        name = status.getPath().getName()
+        if name.startswith("_commit_version="):
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return out

@@ -31,3 +31,28 @@ def test_lsh_bucket_forms_agree(spark, sf_dir):
     df_form = {r.vec_id: r.bucket for r in
                lsh_buckets_df(e, "vec_id", "embedding").collect()}
     assert col_form == df_form
+
+
+def test_simhash_forms_agree_on_null_and_empty(spark):
+    """simhash_df must match simhash_col on the degenerate inputs too:
+    NULL text (col form yields 0) and token-less text (all bits set) —
+    previously NULL-text docs vanished from simhash_df entirely."""
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.operators.dedup import (
+        SIMHASH_BITS,
+        simhash_col,
+        simhash_df,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "!!! ???"), (4, "")],
+        "doc_id long, text string")
+    col_form = {r.doc_id: r.s for r in
+                df.select("doc_id", simhash_col(F.col("text")).alias("s")).collect()}
+    df_form = {r.doc_id: r.simhash for r in
+               simhash_df(df, "doc_id", "text").collect()}
+    assert set(df_form) == {1, 2, 3, 4}           # nobody vanishes
+    assert df_form == col_form                     # bit-identical forms
+    assert df_form[2] == 0                         # NULL text
+    assert df_form[3] == 2 ** SIMHASH_BITS - 1     # tokenless text

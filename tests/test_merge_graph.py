@@ -66,3 +66,19 @@ def test_connected_components_long_chain(spark):
     got = {r.id: r.component for r in
            connected_components(vertices, edges).collect()}
     assert all(v == 0 for v in got.values())  # one big component
+
+
+def test_derive_changes_null_keys(spark):
+    """NULL join keys match via eqNullSafe, so NULL-key rows must flow
+    through the diff (insert/update/delete), not silently vanish."""
+    from databricks_import_pyspark_scripts_spark.operators.cdc import derive_changes
+
+    old = spark.createDataFrame([(None, 1), (1, 10)], "id long, v int")
+    new = spark.createDataFrame([(None, 2), (2, 20)], "id long, v int")
+    rows = {(r.id, r.v, r._change_type)
+            for r in derive_changes(old, new, ["id"], 7).collect()}
+    assert (None, 1, "update_preimage") in rows
+    assert (None, 2, "update_postimage") in rows
+    assert (1, 10, "delete") in rows
+    assert (2, 20, "insert") in rows
+    assert len(rows) == 4

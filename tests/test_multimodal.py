@@ -71,3 +71,24 @@ def test_decode_stub_is_explicit():
     import pandas as pd
     with pytest.raises(NotImplementedError):
         decode_image_batch(pd.Series([b"x"]))
+
+
+def test_zero_duration_media_planned_as_empty(spark):
+    """duration_ms=0 (corrupt/empty clip) must yield zero planned rows, not
+    an Illegal-sequence-boundaries crash at action time."""
+    from databricks_import_pyspark_scripts_spark.operators.multimodal import (
+        audio_window_plan,
+        frame_sample_plan,
+    )
+
+    rows = [(1, ("video/mp4", b"x", 0, 0, 0, 0)),
+            (2, ("video/mp4", b"y", 0, 0, 2500, 0)),
+            (3, ("audio/wav", b"z", 0, 0, 0, 16000))]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, media struct<mime string, content binary, width int, "
+        "height int, duration_ms long, sample_rate int>")
+    frames = frame_sample_plan(df).collect()
+    assert {r.media_id for r in frames} == {2}     # zero-duration planned away
+    assert len(frames) == 3                        # 0, 1000, 2000 ms
+    assert audio_window_plan(df).count() == 0      # the only audio row is empty

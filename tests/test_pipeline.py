@@ -128,3 +128,41 @@ def test_sidecars_written(spark, root, tmp_path):
     logs = spark.read.text(f"{out}/logs/run_{report['run_id']}/table_results.json")
     payload = json.loads("".join(r.value for r in logs.collect()))
     assert payload["ev"]["finalEndVersion"] == 2
+
+
+def test_dotted_table_identifiers_resolve():
+    """Qualified names (cat.sch.t — the format the reference's versions-map
+    carries) must resolve in the user SQL: temp views are single-part, so
+    the pipeline backtick-quotes the dotted identifier occurrences."""
+    from databricks_import_pyspark_scripts_spark.plans.pipeline import (
+        quote_dotted_identifiers,
+    )
+
+    assert quote_dotted_identifiers(
+        "SELECT * FROM cat.sch.t JOIN cat.sch.t2 ON 1=1 WHERE x = 'cat.sch.t'",
+        ["cat.sch.t", "cat.sch.t2"],
+    ) == "SELECT * FROM `cat.sch.t` JOIN `cat.sch.t2` ON 1=1 WHERE x = 'cat.sch.t'"
+    # already-backticked occurrences stay untouched
+    assert quote_dotted_identifiers(
+        "SELECT * FROM `cat.sch.t`", ["cat.sch.t"]) == "SELECT * FROM `cat.sch.t`"
+    # undotted names need no rewrite
+    assert quote_dotted_identifiers("SELECT * FROM t", ["t"]) == "SELECT * FROM t"
+
+
+def test_unload_with_dotted_table_name(spark, tmp_path):
+    import os
+
+    from databricks_import_pyspark_scripts_spark.plans.pipeline import UnloadJob, run_unload
+
+    root = str(tmp_path / "src")
+    os.makedirs(f"{root}/cat.sch.events/v=1", exist_ok=True)
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string") \
+        .write.mode("overwrite").parquet(f"{root}/cat.sch.events/v=1")
+    out = str(tmp_path / "out")
+    job = UnloadJob(
+        source_root=root,
+        table_versions={"cat.sch.events": [0, 1]},
+        sql="SELECT id, v FROM cat.sch.events WHERE id > 0",
+        output_path=out, fmt="json")
+    report = run_unload(spark, job)
+    assert report["rows"] == 2

@@ -98,3 +98,30 @@ def test_missing_snapshot_raises(spark, versioned_root):
         read_snapshot(spark, versioned_root, "t", 99)
     with pytest.raises(ChangelogNotFoundError):
         read_changes(spark, versioned_root, "missing_table", 1, 2)
+
+
+def test_vacuumed_changelog_head_detected(spark, tmp_path):
+    """Deleted leading version partitions (the VACUUM emulation) must raise
+    the classifiable error, not return a silently partial result."""
+    import pytest as _pytest
+
+    from databricks_import_pyspark_scripts_spark.sources.versioned import (
+        ChangelogNotFoundError,
+        extract_missing_cdf_error_signature,
+        read_changes,
+    )
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path)
+    df = spark.createDataFrame(
+        [(i, "insert", v) for v in (3, 4, 5) for i in range(2)],
+        "id long, _change_type string, _commit_version long")
+    (df.withColumn("_commit_timestamp", F.current_timestamp())
+       .write.partitionBy("_commit_version").parquet(f"{root}/t_changes"))
+    # versions 3..5 exist; asking for (2,5] is fine...
+    assert read_changes(spark, root, "t", 2, 5).count() == 6
+    # ...but (1,5] needs version 2, which was "vacuumed"
+    with _pytest.raises(ChangelogNotFoundError) as ei:
+        read_changes(spark, root, "t", 1, 5)
+    assert extract_missing_cdf_error_signature(ei.value) == "CHANGELOG_NOT_FOUND"
