@@ -49,7 +49,15 @@ def main(argv: list[str] | None = None) -> int:
     if not args.sql and not args.sql_file:
         print("one of --sql / --sql-file is required", file=sys.stderr)
         return 2
-    sql = args.sql or open(args.sql_file).read()
+    if args.sql:
+        sql = args.sql
+    else:
+        try:
+            with open(args.sql_file, encoding="utf-8") as f:
+                sql = f.read()
+        except OSError as err:
+            print(f"cannot read --sql-file {args.sql_file}: {err}", file=sys.stderr)
+            return 2
     spark = get_spark("spark_graft_unload")
     job = UnloadJob(
         source_root=args.source_root,

@@ -182,20 +182,26 @@ _SIMHASH_PAIR_HAMMING = 3
 
 
 def _simhash_pairs_oracle() -> str:
-    """Banded SimHash near-dup: candidates share the low or high 8-bit half,
-    verified by hamming distance (xor + bit_count) <= threshold."""
+    """Banded SimHash near-dup: candidates share at least one 4-bit band of
+    the 16-bit code, verified by hamming (xor + bit_count) <= threshold.
+    4 bands is the pigeonhole minimum for hamming<=3: the differing bits
+    can corrupt at most 3 bands, so one band always survives intact. (The
+    earlier 2-half banding only guaranteed hamming<=1 and silently missed
+    pairs with one flipped bit in each half.)"""
+    bands = "\n      UNION ALL ".join(
+        f"SELECT doc_id, simhash, (simhash // {16 ** b}) % 16 AS band, "
+        f"{b} AS band_idx FROM s"
+        for b in range(4))
     return f"""
     WITH s AS ({_simhash_oracle()}),
-    halves AS (
-      SELECT doc_id, simhash, simhash % 256 AS half, 0 AS half_idx FROM s
-      UNION ALL
-      SELECT doc_id, simhash, simhash // 256 AS half, 1 AS half_idx FROM s
+    bands AS (
+      {bands}
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
              a.simhash AS sh_a, b.simhash AS sh_b
-      FROM halves a JOIN halves b
-        ON a.half_idx = b.half_idx AND a.half = b.half AND a.doc_id < b.doc_id
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
     )
     SELECT id_a, id_b, hamming FROM (
       SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming FROM cand)
@@ -206,23 +212,25 @@ def _simhash_pairs_oracle() -> str:
 @register(
     "dedup_simhash_pairs",
     _simhash_pairs_oracle(),
-    doc="SimHash near-dup pairs: 8-bit half-signature banding for candidates "
-        "(a pair within hamming<=8 of a 16-bit code must agree on one half "
-        "— pigeonhole), then exact hamming verify via xor+bit_count. "
-        "Equi-join on halves, never O(n^2).")
+    doc="SimHash near-dup pairs: 4-band (4 bits each) banding for "
+        "candidates — hamming<=3 corrupts at most 3 bands, so a true pair "
+        "always shares >= 1 intact band (pigeonhole at exactly the verify "
+        "threshold; 2-half banding only guaranteed hamming<=1). Exact "
+        "hamming verify via xor+bit_count; equi-join on bands, never "
+        "O(n^2).")
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     s = simhash_df(d, "doc_id", "text")
-    halves = (
-        s.select("doc_id", "simhash", (F.col("simhash") % 256).alias("half"),
-                 F.lit(0).alias("half_idx"))
-        .unionByName(
-            s.select("doc_id", "simhash",
-                     F.floor(F.col("simhash") / 256).alias("half"),
-                     F.lit(1).alias("half_idx"))))
-    a, b = halves.alias("a"), halves.alias("b")
-    cand = (a.join(b, (F.col("a.half_idx") == F.col("b.half_idx"))
-                   & (F.col("a.half") == F.col("b.half"))
+    bands = None
+    for b_idx in range(4):
+        part = s.select(
+            "doc_id", "simhash",
+            (F.floor(F.col("simhash") / (16 ** b_idx)) % 16).alias("band"),
+            F.lit(b_idx).alias("band_idx"))
+        bands = part if bands is None else bands.unionByName(part)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("id_a"),
                     F.col("b.doc_id").alias("id_b"),

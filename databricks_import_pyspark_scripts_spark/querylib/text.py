@@ -216,13 +216,11 @@ def _corpus_pipeline_oracle() -> str:
 
     bucket = (_hex_to_bigint_sql("md5(CAST(doc_id AS VARCHAR))", 1, 8)
               + " % 100")
-    # lang-id twin (argmax stopword hits, alphabetical tie-break to 'und')
-    langs = {
-        "en": ("the", "of", "and", "a", "to", "in", "is", "it"),
-        "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
-        "de": ("der", "die", "und", "das", "ist", "ein", "zu", "mit"),
-        "fr": ("le", "la", "et", "les", "des", "un", "une", "est"),
-    }
+    # lang-id twin (argmax stopword hits, alphabetical tie-break to 'und'),
+    # GENERATED from the shared constants so the oracle cannot drift from
+    # the Spark operator (a literal copy here would go stale silently the
+    # moment LANG_STOPWORDS changes)
+    from ..operators.text import LANG_STOPWORDS as langs
     toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
     hit_exprs = {
         lang: ("len(list_filter(" + toks + ", t -> list_contains(["

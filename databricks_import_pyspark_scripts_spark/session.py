@@ -42,7 +42,12 @@ def get_spark(app_name: str = "spark_graft", master: str | None = None,
     and this argument stays None without overriding it.
     """
     builder = SparkSession.builder.appName(app_name)
-    if master is None and not os.environ.get("SPARK_MASTER"):
+    if master is None:
+        # an explicit cluster master from the environment wins; previously
+        # the env var was CHECKED but never USED, so SPARK_MASTER=spark://…
+        # silently ran the job on the submit host's local[*]
+        master = os.environ.get("SPARK_MASTER")
+    if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         if not cpus:
             # Default to HALF the logical CPUs: on hyperthreaded/vCPU hosts,

@@ -23,8 +23,14 @@ def write_snapshot(df: DataFrame, root: str, table: str, version: int) -> None:
 
 
 def append_changes(changes: DataFrame, root: str, table: str) -> None:
-    """Append CDF-shaped rows (must carry the three CDC meta columns)."""
-    (changes.write.mode("append").partitionBy("_commit_version")
+    """Write CDF-shaped rows (must carry the three CDC meta columns),
+    overwriting ONLY the version partitions present in ``changes`` (dynamic
+    partition overwrite). Re-running a commit therefore replaces that
+    version's change rows instead of appending duplicates — the same
+    redelivery-idempotence requirement the streaming sink has."""
+    (changes.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("_commit_version")
      .parquet(f"{root}/{table}_changes"))
 
 
@@ -32,10 +38,20 @@ def commit_snapshot(spark: SparkSession, df: DataFrame, root: str, table: str,
                     version: int, keys: list[str],
                     base_version: int | None = None) -> None:
     """Write ``df`` as version ``version``; if a base snapshot exists, derive
-    and append its change rows (insert/delete/update pre+post)."""
+    and write its change rows (insert/delete/update pre+post).
+
+    Ordering: snapshot FIRST, then changes. A crash between the two leaves a
+    snapshot without change rows — a re-run regenerates them idempotently
+    (dynamic partition overwrite). The old order left changelog rows for a
+    version whose snapshot never landed, which read_changes would happily
+    serve; retrying then appended the same rows twice."""
     if base_version is not None and _path_exists(
             spark, _snapshot_dir(root, table, base_version)):
         old = read_snapshot(spark, root, table, base_version)
         changes = derive_changes(old, df, keys, commit_version=version)
+        # derive_changes reads the base snapshot lazily; materialize the diff
+        # BEFORE write_snapshot can touch any files it scans
+        write_snapshot(df, root, table, version)
         append_changes(changes, root, table)
-    write_snapshot(df, root, table, version)
+    else:
+        write_snapshot(df, root, table, version)

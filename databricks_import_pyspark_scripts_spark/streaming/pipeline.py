@@ -45,6 +45,7 @@ def cdc_filtered_stream(changes: DataFrame, data_type: str,
 
 def windowed_event_counts(events: DataFrame, ts_col: str = "ts",
                           key_col: str = "event_type",
+                          value_col: str = "value",
                           window: str = "5 minutes",
                           watermark: str = "10 minutes") -> DataFrame:
     """Watermarked tumbling-window counts/sums; append-mode compatible."""
@@ -52,13 +53,14 @@ def windowed_event_counts(events: DataFrame, ts_col: str = "ts",
             .withWatermark(ts_col, watermark)
             .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum("value").alias("total_value"))
+                 F.sum(value_col).alias("total_value"))
             .select(F.col("w.start").alias("window_start"),
                     F.col("w.end").alias("window_end"),
                     key_col, "n", "total_value"))
 
 
-def stateful_user_totals(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+def stateful_user_totals(events: DataFrame, key_col: str = "user_id",
+                         value_col: str = "value") -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-key running
     event count and value total carried in explicit state across micro-
     batches (the pattern for operators watermark windows can't express —
@@ -70,15 +72,18 @@ def stateful_user_totals(events: DataFrame, key_col: str = "user_id") -> DataFra
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
+            total += float(pdf[value_col].sum())
         state.update((n, total))
         import pandas as pdlib
+        # the output key column carries the caller's key_col name — a
+        # hardcoded "user_id" here would silently mislabel session/device
+        # keys for downstream joins
         yield pdlib.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+            {key_col: [key[0]], "n_events": [n], "total_value": [total]})
 
     return (events.groupBy(key_col).applyInPandasWithState(
         update,
-        outputStructType="user_id long, n_events long, total_value double",
+        outputStructType=f"{key_col} long, n_events long, total_value double",
         stateStructType="n long, total double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout))
@@ -92,18 +97,18 @@ def stream_unload(filtered: DataFrame, output_path: str,
     once with idempotent-by-batch-id overwrite semantics — the streaming
     analogue of the reference's overwrite-per-run export. Returns the
     StreamingQuery (caller stops it)."""
-    from ..operators.void_scrub import drop_void_fields
+    from ..sinks.writers import write_export
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        out = batch_df if fmt == "json" else drop_void_fields(batch_df)
-        # overwrite, not append: foreachBatch re-delivers a batch id after a
-        # restart-before-checkpoint, and append would duplicate its rows.
-        # Overwriting the batch-id dir makes redelivery idempotent — that's
+        # Reuse the batch export writer VERBATIM per micro-batch: same
+        # VOID-scrub rules, same per-format compression (a hand-rolled
+        # option("compression","zstd") here crashed json/csv outright —
+        # Spark's text writers have no zstd codec: CODEC_NOT_AVAILABLE).
+        # write_export overwrites its target, and the target is the
+        # batch-id dir: foreachBatch re-delivers a batch id after a
+        # restart-before-checkpoint, and overwrite makes that idempotent —
         # the at-least-once -> effectively-once upgrade this sink claims.
-        (out.write.mode("overwrite")
-         .option("compression", "zstd")
-         .format(fmt)
-         .save(f"{output_path}/batch_id={batch_id}"))
+        write_export(batch_df, f"{output_path}/batch_id={batch_id}", fmt)
 
     return (filtered.writeStream
             .foreachBatch(write_batch)
@@ -129,6 +134,7 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> None
 
 def sessionized_event_stats(events: DataFrame, ts_col: str = "ts",
                             key_col: str = "user_id",
+                            value_col: str = "value",
                             gap: str = "5 minutes",
                             watermark: str = "10 minutes") -> DataFrame:
     """Session-window aggregation: variable-length windows that close after
@@ -140,7 +146,7 @@ def sessionized_event_stats(events: DataFrame, ts_col: str = "ts",
             .groupBy(F.session_window(F.col(ts_col), gap).alias("s"),
                      F.col(key_col))
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.sum("value").alias("total_value"))
+                 F.sum(value_col).alias("total_value"))
             .select(F.col("s.start").alias("session_start"),
                     F.col("s.end").alias("session_end"),
                     key_col, "n_events", "total_value"))

@@ -65,3 +65,21 @@ def test_commit_roundtrip(spark, v1, v2, tmp_path):
     # USER_PROPERTY semantics: insert + postimage
     up = {r.id: r.score for r in filter_data(inc, "USER_PROPERTY").collect()}
     assert up == {4: 40.0, 2: 25.0}
+
+
+def test_commit_retry_is_idempotent(spark, tmp_path):
+    """Re-running commit_snapshot for the same version must not duplicate
+    change rows (dynamic partition overwrite of that version's partition)."""
+    from databricks_import_pyspark_scripts_spark.sinks.versioned_writer import (
+        commit_snapshot,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.versioned import read_changes
+
+    root = str(tmp_path)
+    v1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    v2 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    commit_snapshot(spark, v1, root, "t", 1, ["id"])
+    commit_snapshot(spark, v2, root, "t", 2, ["id"], base_version=1)
+    commit_snapshot(spark, v2, root, "t", 2, ["id"], base_version=1)  # retry
+    ch = read_changes(spark, root, "t", 1, 2).collect()
+    assert len(ch) == 1 and ch[0]["_change_type"] == "insert"  # not doubled
