@@ -21,3 +21,14 @@ def shingles_sql(k: int = SHINGLE_K, tokens_sql: str = TOKENS_SQL) -> str:
                 generate_series(1, len({tokens_sql}) - {k - 1}),
                 i -> array_to_string({tokens_sql}[i:i + {k - 1}], ' ')))
     END"""
+
+
+# twin of operators.text.quality_score_col — the single source for every
+# oracle that restates the quality formula (text_quality_score and the
+# corpus_prep_pipeline both use this; a literal copy in either would drift
+# silently when the formula changes)
+QUALITY_SQL = (
+    "(0.4 * LEAST(length(text) / 500.0, 1.0)"
+    " + 0.3 * (1.0 - LEAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) * 1.0"
+    " / GREATEST(length(text), 1), 1.0))"
+    " + 0.3 * LEAST(len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0))")

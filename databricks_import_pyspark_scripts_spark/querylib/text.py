@@ -17,6 +17,7 @@ from ..operators.text import (
     token_count_col,
     word_count_col,
 )
+from ..functions.portable import QUALITY_SQL as _QUALITY_SQL
 from ..functions.portable import TOKENS_SQL
 from ..sources.registry import load_table
 from . import register
@@ -67,14 +68,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_quality_score",
-    r"""
+    f"""
     SELECT doc_id,
-           ROUND(
-             0.4 * LEAST(LENGTH(text) / 500.0, 1.0)
-           + 0.3 * (1.0 - LEAST(LEN(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0
-                                / GREATEST(LENGTH(text), 1), 1.0))
-           + 0.3 * LEAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) / 100.0, 1.0)
-           , 4) AS quality
+           ROUND({_QUALITY_SQL}, 4) AS quality
     FROM documents
     """,
     doc="Heuristic quality score in [0,1]: length saturation, punctuation "
@@ -232,15 +228,12 @@ def _corpus_pipeline_oracle() -> str:
         h = hit_exprs[lang]
         best = f"CASE WHEN {h} > {best_hits} THEN '{lang}' ELSE {best} END"
         best_hits = f"GREATEST({h}, {best_hits})"
+    q = _QUALITY_SQL
     return f"""
     WITH scored AS (
       SELECT doc_id, n_chars,
              {best} AS lang_guess,
-             0.4 * LEAST(length(text) / 500.0, 1.0)
-             + 0.3 * (1.0 - LEAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) * 1.0
-                                  / GREATEST(length(text), 1), 1.0))
-             + 0.3 * LEAST(len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0)
-               AS quality,
+             {q} AS quality,
              md5(array_to_string({toks}, ' ')) AS fingerprint,
              CAST({bucket} AS INTEGER) AS bucket
       FROM documents),
