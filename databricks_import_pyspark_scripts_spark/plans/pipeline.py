@@ -80,9 +80,13 @@ def quote_dotted_identifiers(sql: str, tables: list[str]) -> str:
     dotted = [t for t in tables if "." in t]
     if not dotted:
         return sql
-    # longest-first so cat.sch.t2 is never half-matched by cat.sch.t
+    # longest-first so cat.sch.t2 is never half-matched by cat.sch.t.
+    # Trailing dot IS allowed in the lookahead: `cat.sch.t.col` is a
+    # qualified COLUMN reference on the view and must also be rewritten
+    # (to `cat.sch.t`.col); a following identifier char still blocks, so
+    # cat.sch.t never half-matches inside cat.sch.t2.
     pattern = "|".join(re.escape(t) for t in sorted(dotted, key=len, reverse=True))
-    ident = re.compile(rf"(?<![\w.`])({pattern})(?![\w.`])")
+    ident = re.compile(rf"(?<![\w.`])({pattern})(?![\w`])")
     # split on single-quoted literals; rewrite only the code segments
     parts = re.split(r"('(?:[^']|'')*')", sql)
     return "".join(

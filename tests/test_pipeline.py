@@ -166,3 +166,20 @@ def test_unload_with_dotted_table_name(spark, tmp_path):
         output_path=out, fmt="json")
     report = run_unload(spark, job)
     assert report["rows"] == 2
+
+
+def test_dotted_identifier_column_references():
+    from databricks_import_pyspark_scripts_spark.plans.pipeline import (
+        quote_dotted_identifiers,
+    )
+
+    # qualified column refs on the dotted view get rewritten too
+    assert quote_dotted_identifiers(
+        "SELECT cat.sch.t.id FROM cat.sch.t WHERE cat.sch.t.id > 1",
+        ["cat.sch.t"],
+    ) == "SELECT `cat.sch.t`.id FROM `cat.sch.t` WHERE `cat.sch.t`.id > 1"
+    # prefix table never half-matches inside the longer name
+    assert quote_dotted_identifiers(
+        "SELECT cat.sch.t2.id FROM cat.sch.t2",
+        ["cat.sch.t", "cat.sch.t2"],
+    ) == "SELECT `cat.sch.t2`.id FROM `cat.sch.t2`"
