@@ -5,8 +5,10 @@ from .dedup import (
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    simhash_bands_df,
     simhash_col,
     simhash_df,
+    simhash_pairs,
 )
 from .graph import connected_components
 from .merge import apply_changes, merge_upsert
@@ -44,7 +46,8 @@ from .void_scrub import drop_void_fields
 __all__ = [
     "DATA_TYPES", "derive_changes", "filter_data",
     "exact_dedup", "minhash_bands", "minhash_lsh_pairs", "minhash_signatures",
-    "ngram_jaccard_pairs", "simhash_col", "simhash_df",
+    "ngram_jaccard_pairs", "simhash_bands_df", "simhash_col", "simhash_df",
+    "simhash_pairs",
     "connected_components",
     "apply_changes", "merge_upsert",
     "audio_window_plan", "frame_sample_plan", "image_features",

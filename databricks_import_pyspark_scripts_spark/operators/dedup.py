@@ -8,8 +8,8 @@ North-star extensions (SURVEY.md §7 Phase 5) built for 100 TB:
   self-join on (band, bucket) for candidates -> exact Jaccard verify. The
   candidate join is an equi-join on the band hash, so the shuffle volume is
   O(docs x bands), NOT O(docs^2); skewed buckets are AQE-split.
-* **SimHash**: 16-bit bit-majority signature from token md5s; near-dup pairs
-  join on the signature (or banded halves for 1-2 bit tolerance).
+* **SimHash**: 60-bit bit-majority signature from token md5s; near-dup pairs
+  join on 15-bit bands (pigeonhole: hamming<=3 leaves >=1 of 4 bands intact).
 * **n-gram Jaccard**: exact verify step, also usable standalone within
   same-language blocks.
 
@@ -35,7 +35,17 @@ NUM_BANDS = 4          # 4 bands x 4 rows: catches ~Jaccard >= ~0.6 candidates
 ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
 SHINGLE_K = 3
 
-SIMHASH_BITS = 16      # 4 md5 hex chars x 4 bits
+# 60 bits = 15 md5 hex chars x 4 bits. 60, not 64: both engines do signed
+# 64-bit integer arithmetic, so a 60-bit non-negative code keeps every
+# operation (sum of 2^i terms, // banding, xor, bit_count) exact and portable
+# with zero sign-bit special cases. Band cardinality is what kills or saves
+# LSH at scale: 4 bands x 15 bits = 32768 values per band, so the band
+# self-join fans out O(n x bands) with ~n/32768 docs per bucket — vs the
+# earlier 16-bit/4-bit-band design whose 16 possible band values made the
+# join quadratic (~4n^2/16) on any large corpus.
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4      # pigeonhole minimum for hamming <= SIMHASH_BANDS-1 = 3
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15 -> 2^15 band values
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -160,41 +170,46 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
-def _hex_digit_val(ch: Column) -> Column:
-    """hex char -> 0..15, portable (instr on the hex alphabet)."""
-    return F.instr(F.lit("0123456789abcdef"), ch) - 1
+def token_hash_col(tok: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Token -> ``bits``-bit non-negative BIGINT: the first bits/4 hex chars
+    of its md5 parsed as one integer. Parsing ONCE per token (instead of
+    re-deriving instr/substr chains per bit) is what keeps the 60 per-bit
+    majority votes as trivial shift/mask integer ops. Bit i of the simhash
+    is bit i of this value — identical definition in the DuckDB oracle
+    (querylib.dedup parses the same hex span)."""
+    return F.conv(F.substring(F.md5(tok), 1, bits // 4), 16, 10).cast("long")
 
 
 def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
     """bit-majority SimHash over token md5s, as a BIGINT of ``bits`` bits.
 
-    Bit i (i in 0..bits-1) comes from hex char i//4, bit i%4 of each token's
-    md5. Weight +1 when set, -1 when clear; majority >= 0 sets the bit.
-    Pure integer arithmetic -> bit-exact across engines.
+    Bit i (i in 0..bits-1) is the majority of bit i across the tokens'
+    ``token_hash_col`` values: weight +1 when set, -1 when clear; majority
+    >= 0 sets the bit. Pure integer arithmetic -> bit-exact across engines.
+    Degenerate inputs: zero tokens -> every empty majority is >= 0 -> all
+    bits set; NULL text -> the fold is NULL -> 0.
     """
     toks = tokens_col(text)
-    hashes = F.transform(toks, lambda t: F.md5(t))
+    vs = F.transform(toks, lambda t: token_hash_col(t, bits))
     out = F.lit(0).cast("long")
 
-    def bit_vote(hex_pos: int, shift: int):
+    def bit_vote(i: int):
         # closure factory: Spark inspects lambda arity, so defaults can't be
         # used to capture loop variables
-        def fold(acc, h):
-            bit = F.floor(_hex_digit_val(F.substring(h, hex_pos, 1)) / (2 ** shift)) % 2
+        def fold(acc, v):
+            bit = F.shiftright(v, i) % 2
             return acc + F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
         return fold
 
     for i in range(bits):
-        hex_pos = i // 4 + 1          # 1-based substr position
-        shift = 3 - (i % 4)           # bit 0 of i%4 = MSB of the nibble
-        contrib = F.aggregate(hashes, F.lit(0).cast("long"), bit_vote(hex_pos, shift))
+        contrib = F.aggregate(vs, F.lit(0).cast("long"), bit_vote(i))
         out = out + F.when(contrib >= 0, F.lit(2 ** i)).otherwise(F.lit(0)).cast("long")
     return out
 
 
 def simhash_df(df: DataFrame, id_col: str, text_col: str,
                bits: int = SIMHASH_BITS) -> DataFrame:
-    """(id, simhash) via explode -> one md5 per token -> 16 codegen'd bit
+    """(id, simhash) via explode -> one md5 per token -> per-bit codegen'd
     votes -> sum per doc. Same bits as ``simhash_col`` (same md5, same bit
     order) but whole-stage-codegen'd with map-side partial aggregation —
     the bulk/scale form (array folds run interpreted).
@@ -211,15 +226,16 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str,
         df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     tok = base.select(F.col(id_col),
                       F.explode(tokens_col(F.col(text_col))).alias("t"))
-    h = F.md5(F.col("t"))
-    votes = []
-    for i in range(bits):
-        hex_pos = i // 4 + 1
-        shift = 3 - (i % 4)
-        bit = F.floor(_hex_digit_val(F.substring(h, hex_pos, 1)) / (2 ** shift)) % 2
-        votes.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{i}"))
-    sums = tok.groupBy(id_col).agg(*votes)
-    sig = sum((F.when(F.col(f"v{i}") >= 0, F.lit(2 ** i)).otherwise(F.lit(0))
+    # one md5 parse per token, then each bit's majority is SUM((v>>i)&1)
+    # against COUNT: 2*ones >= n  <=>  (+1/-1 vote sum) >= 0
+    wv = tok.select(F.col(id_col), token_hash_col(F.col("t"), bits).alias("v"))
+    aggs = [F.count(F.lit(1)).alias("cnt")] + [
+        F.sum(F.shiftright(F.col("v"), i) % 2).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    sums = wv.groupBy(id_col).agg(*aggs)
+    sig = sum((F.when(F.col(f"s{i}") * 2 >= F.col("cnt"),
+                      F.lit(2 ** i)).otherwise(F.lit(0))
                for i in range(bits)), F.lit(0)).cast("long")
     with_sig = sums.select(F.col(id_col), sig.alias("simhash"))
     empty = (df.filter(F.col(text_col).isNotNull()
@@ -229,6 +245,62 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str,
     null_text = (df.filter(F.col(text_col).isNull())
                  .select(F.col(id_col), F.lit(0).cast("long").alias("simhash")))
     return with_sig.unionByName(empty).unionByName(null_text)
+
+
+def simhash_bands_df(sigs: DataFrame, id_col: str = "doc_id",
+                     sim_col: str = "simhash",
+                     band_bits: int = SIMHASH_BAND_BITS,
+                     num_bands: int = SIMHASH_BANDS) -> DataFrame:
+    """(id, simhash, band_idx, band): one row per band per signature.
+
+    Band b is bits [b*band_bits, (b+1)*band_bits) extracted with shiftright —
+    NOT float division: the code is up to 2^60, past float64's 53-bit
+    mantissa, so ``floor(x / 2^k)`` would silently corrupt high bands.
+    """
+    parts = [
+        sigs.select(
+            F.col(id_col), F.col(sim_col),
+            (F.shiftright(F.col(sim_col), band_bits * b)
+             % (2 ** band_bits)).alias("band"),
+            F.lit(b).alias("band_idx"))
+        for b in range(num_bands)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def simhash_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                  sim_col: str = "simhash",
+                  max_hamming: int = SIMHASH_BANDS - 1) -> DataFrame:
+    """(id_a, id_b, hamming) near-dup pairs from simhash signatures.
+
+    Banded equi-join for candidates (never O(n^2): shuffle keys on
+    (band_idx, band) with 2^15 values per band), exact hamming verify via
+    xor + bit_count. Pigeonhole: hamming <= num_bands-1 can corrupt at most
+    that many bands, so a true pair always shares >= 1 intact band.
+
+    The band DataFrame is persisted before the self-join: each side of the
+    join (and each union branch feeding it) would otherwise re-execute the
+    whole signature aggregation — measured 8 re-executions, ~30 s at
+    sf0.01 vs ~3 s persisted. Signatures are one BIGINT per doc x 4 bands,
+    so the cached footprint is tiny even at 100 TB corpus scale.
+    """
+    bands = simhash_bands_df(sigs, id_col, sim_col).persist()
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.band") == F.col("b.band"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.col(f"a.{sim_col}").alias("sh_a"),
+                    F.col(f"b.{sim_col}").alias("sh_b"))
+            .distinct())
+    return (cand.select(
+        "id_a", "id_b",
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming))
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,

@@ -15,12 +15,15 @@ from ..operators.dedup import (
     NUM_HASHES,
     ROWS_PER_BAND,
     SHINGLE_K,
+    SIMHASH_BAND_BITS,
+    SIMHASH_BANDS,
     SIMHASH_BITS,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_col,
     simhash_df,
+    simhash_pairs,
 )
 from ..operators.text import fingerprint_col
 from ..sources.registry import load_table
@@ -88,24 +91,38 @@ def _minhash_oracle(threshold: float) -> str:
     """
 
 
-def _simhash_oracle() -> str:
+def _simhash_oracle(from_sql: str = "documents") -> str:
+    """Degenerate-input semantics made EXPLICIT so the two engines cannot
+    drift (they did, silently, before COALESCE was added here):
+
+    * zero-token text ('!!!'): every vote list is empty; DuckDB
+      list_sum([]) is NULL, so without COALESCE each bit term fell to
+      ELSE 0 while Spark's empty-majority (>= 0) sets every bit. COALESCE
+      pins both engines to all-bits-set.
+    * NULL text: hs is NULL -> explicit CASE emits 0, matching
+      simhash_df's null_text branch.
+
+    Twin of operators.dedup.token_hash_col / simhash_df: each token's md5
+    is parsed ONCE into a 60-bit integer (first 15 hex chars), then bit i
+    of the code is the majority of bit i across tokens.
+    """
     bit_terms = []
     for i in range(SIMHASH_BITS):
-        hex_pos = i // 4 + 1
-        shift = 3 - (i % 4)
         term = (
-            f"CASE WHEN list_sum(list_transform(hs, h -> "
-            f"CASE WHEN ((instr('0123456789abcdef', substr(h, {hex_pos}, 1)) - 1) // {2 ** shift}) % 2 = 1 "
-            f"THEN 1 ELSE -1 END)) >= 0 THEN {2 ** i} ELSE 0 END")
+            f"CASE WHEN COALESCE(list_sum(list_transform(hs, v -> "
+            f"CASE WHEN (v // {2 ** i}) % 2 = 1 THEN 1 ELSE -1 END)), 0) >= 0 "
+            f"THEN {2 ** i} ELSE 0 END")
         bit_terms.append(term)
     total = "\n         + ".join(bit_terms)
+    tok_hash = _hex_to_bigint_sql("md5(t)", 1, SIMHASH_BITS // 4)
     return f"""
     WITH hs AS (
-      SELECT doc_id, list_transform({_TOKENS_SQL}, t -> md5(t)) AS hs
-      FROM documents
+      SELECT doc_id, list_transform({_TOKENS_SQL}, t -> {tok_hash}) AS hs
+      FROM {from_sql}
     )
     SELECT doc_id,
-           CAST({total} AS BIGINT) AS simhash
+           CASE WHEN hs IS NULL THEN CAST(0 AS BIGINT)
+                ELSE CAST({total} AS BIGINT) END AS simhash
     FROM hs
     """
 
@@ -178,22 +195,38 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_df(d, "doc_id", "text")
 
 
-_SIMHASH_PAIR_HAMMING = 3
+_SIMHASH_PAIR_HAMMING = SIMHASH_BANDS - 1
+
+# The raw synthetic corpus has no near-dups at 60-bit resolution (random
+# pairs sit at hamming ~30), so the pairs query injects mutated copies —
+# every 5th doc re-ingested with one appended token — the same
+# corpus-with-actual-duplicates pattern dedup_exact_with_duplicates uses.
+# One extra token nudges each bit's vote sum by +-1, flipping only
+# boundary bits: long docs land within hamming<=3 of their original.
+_MUTATED_CORPUS_SQL = """(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' qq' AS text
+  FROM documents WHERE doc_id % 5 = 0
+)"""
 
 
 def _simhash_pairs_oracle() -> str:
-    """Banded SimHash near-dup: candidates share at least one 4-bit band of
-    the 16-bit code, verified by hamming (xor + bit_count) <= threshold.
-    4 bands is the pigeonhole minimum for hamming<=3: the differing bits
-    can corrupt at most 3 bands, so one band always survives intact. (The
-    earlier 2-half banding only guaranteed hamming<=1 and silently missed
-    pairs with one flipped bit in each half.)"""
+    """Banded SimHash near-dup: candidates share at least one of the 4
+    15-bit bands of the 60-bit code, verified by hamming (xor + bit_count)
+    <= 3. 4 bands is the pigeonhole minimum for hamming<=3: the differing
+    bits can corrupt at most 3 bands, so one band always survives intact.
+    15-bit bands give 32768 values per band, so bucket sizes stay ~n/2^15
+    and the candidate join is O(n x bands) — the earlier 4-bit bands had
+    only 16 values and went quadratic on any large corpus."""
+    band_width = 2 ** SIMHASH_BAND_BITS
     bands = "\n      UNION ALL ".join(
-        f"SELECT doc_id, simhash, (simhash // {16 ** b}) % 16 AS band, "
+        f"SELECT doc_id, simhash, "
+        f"(simhash // {2 ** (SIMHASH_BAND_BITS * b)}) % {band_width} AS band, "
         f"{b} AS band_idx FROM s"
-        for b in range(4))
+        for b in range(SIMHASH_BANDS))
     return f"""
-    WITH s AS ({_simhash_oracle()}),
+    WITH s AS ({_simhash_oracle(from_sql=_MUTATED_CORPUS_SQL)}),
     bands AS (
       {bands}
     ),
@@ -212,35 +245,20 @@ def _simhash_pairs_oracle() -> str:
 @register(
     "dedup_simhash_pairs",
     _simhash_pairs_oracle(),
-    doc="SimHash near-dup pairs: 4-band (4 bits each) banding for "
-        "candidates — hamming<=3 corrupts at most 3 bands, so a true pair "
-        "always shares >= 1 intact band (pigeonhole at exactly the verify "
-        "threshold; 2-half banding only guaranteed hamming<=1). Exact "
-        "hamming verify via xor+bit_count; equi-join on bands, never "
-        "O(n^2).")
+    doc=f"SimHash near-dup pairs over a corpus with injected mutated "
+        f"copies: {SIMHASH_BANDS} bands x {SIMHASH_BAND_BITS} bits of the "
+        f"{SIMHASH_BITS}-bit code for candidates (pigeonhole at exactly the "
+        f"hamming<={_SIMHASH_PAIR_HAMMING} verify threshold; 2^15 values "
+        "per band keeps the join linear), exact hamming verify via "
+        "xor+bit_count.")
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    s = simhash_df(d, "doc_id", "text")
-    bands = None
-    for b_idx in range(4):
-        part = s.select(
-            "doc_id", "simhash",
-            (F.floor(F.col("simhash") / (16 ** b_idx)) % 16).alias("band"),
-            F.lit(b_idx).alias("band_idx"))
-        bands = part if bands is None else bands.unionByName(part)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
-                   & (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("id_a"),
-                    F.col("b.doc_id").alias("id_b"),
-                    F.col("a.simhash").alias("sh_a"),
-                    F.col("b.simhash").alias("sh_b"))
-            .distinct())
-    return (cand.select(
-        "id_a", "id_b",
-        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
-        .filter(F.col("hamming") <= _SIMHASH_PAIR_HAMMING))
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = (d.filter(F.col("doc_id") % 5 == 0)
+               .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                       F.concat(F.col("text"), F.lit(" qq")).alias("text")))
+    corpus = d.unionByName(mutated)
+    s = simhash_df(corpus, "doc_id", "text")
+    return simhash_pairs(s, max_hamming=_SIMHASH_PAIR_HAMMING)
 
 
 @register(

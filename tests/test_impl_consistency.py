@@ -56,3 +56,54 @@ def test_simhash_forms_agree_on_null_and_empty(spark):
     assert df_form == col_form                     # bit-identical forms
     assert df_form[2] == 0                         # NULL text
     assert df_form[3] == 2 ** SIMHASH_BITS - 1     # tokenless text
+
+
+def test_simhash_oracle_parity_on_degenerate_docs(spark):
+    """The DuckDB oracle must agree with simhash_df on the inputs that
+    previously drifted silently: a punctuation-only (zero-token) doc, where
+    DuckDB's list_sum([]) is NULL and only COALESCE pins both engines to
+    all-bits-set, and a NULL-text doc (both emit 0)."""
+    import duckdb
+
+    from databricks_import_pyspark_scripts_spark.querylib.dedup import _simhash_oracle
+
+    rows = [(1, "hello world hello again"), (2, None), (3, "!!! ???"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.simhash for r in simhash_df(df, "doc_id", "text").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {int(a): int(b) for a, b in con.execute(_simhash_oracle()).fetchall()}
+    assert got == want
+
+
+def test_simhash_band_candidates_stay_linear(spark):
+    """15-bit bands (32768 values) must keep the LSH candidate join within a
+    small multiple of corpus size. The old 4-bit bands had 16 possible
+    values, so ~4n^2/32 pairs collided (~45k on this corpus). With 2^15
+    band values collisions drop ~2000x per band; what remains (~6.5n here)
+    is the corpus's real near-dup structure: the synthetic docs share
+    template vocabulary, so simhash bits are correlated and similar docs
+    legitimately co-bucket — that is the recall the banding exists to
+    provide, and the verify step prunes it with exact hamming."""
+    from databricks_import_pyspark_scripts_spark.operators.dedup import (
+        simhash_bands_df,
+    )
+    from pyspark.sql import functions as F
+
+    d = (load_table(spark, "/root/testdata/sf0.01", "documents")
+         .select("doc_id", "text"))
+    mutated = (d.filter(F.col("doc_id") % 5 == 0)
+               .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                       F.concat(F.col("text"), F.lit(" qq")).alias("text")))
+    corpus = d.unionByName(mutated)
+    n_docs = corpus.count()
+    bands = simhash_bands_df(simhash_df(corpus, "doc_id", "text")).persist()
+    a, b = bands.alias("a"), bands.alias("b")
+    n_cand = (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                     & (F.col("a.band") == F.col("b.band"))
+                     & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .select(F.col("a.doc_id"), F.col("b.doc_id"))
+              .distinct().count())
+    # old 4-bit-band scheme: ~45_000 on this corpus; 15-bit bands: ~3_900
+    assert n_cand <= 15 * n_docs
