@@ -33,6 +33,48 @@ def test_lsh_bucket_forms_agree(spark, sf_dir):
     assert col_form == df_form
 
 
+def test_lsh_table_bucket_arrow_form_agrees(spark, sf_dir):
+    """The Arrow int-matmul bucket build must be byte-identical to the
+    exploded-aggregation form on real float32 embeddings — both feed queries
+    that share one DuckDB oracle. (The docstring's exactness argument —
+    x*1000 exact in double, no representable round-half ties — is what this
+    asserts empirically.)"""
+    from databricks_import_pyspark_scripts_spark.operators.similarity import (
+        lsh_table_buckets_df,
+        lsh_table_buckets_pd_df,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    expr_form = {(r.vec_id, r.tbl): r.bucket
+                 for r in lsh_table_buckets_df(e, "vec_id", "embedding").collect()}
+    arrow_form = {(r.vec_id, r.tbl): r.bucket
+                  for r in lsh_table_buckets_pd_df(e, "vec_id", "embedding").collect()}
+    assert expr_form == arrow_form
+
+
+def test_dot_product_arrow_form_is_bit_identical(spark, sf_dir):
+    """dot_pd_col accumulates dimension-by-dimension (vectorized across
+    rows), reproducing dot_col's sequential-fold IEEE operation order —
+    the doubles must be BIT-identical (no rounding tolerance) or the
+    rounded-to-4dp gate values could flip at a boundary."""
+    from databricks_import_pyspark_scripts_spark.operators.similarity import (
+        dot_col,
+        dot_pd_col,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("id_a") == (F.col("id_b") + 7) % 500)
+    rows = pairs.select(
+        "id_a", "id_b",
+        dot_col(F.col("ea"), F.col("eb")).alias("jvm"),
+        dot_pd_col(F.col("ea"), F.col("eb")).alias("arrow")).collect()
+    assert rows
+    for r in rows:
+        assert r.jvm == r.arrow  # exact float64 equality
+
+
 def test_simhash_forms_agree_on_null_and_empty(spark):
     """simhash_df must match simhash_col on the degenerate inputs too:
     NULL text (col form yields 0) and token-less text (all bits set) —
