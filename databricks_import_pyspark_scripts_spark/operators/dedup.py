@@ -140,15 +140,18 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     broadcasting the candidates so corpus shingle arrays never shuffle —
     the second corpus pass is then pure map-side CPU).
 
-    Measured alternative (rejected): semi-joining the corpus down to
-    candidate ids before the shingle projection re-executes the whole
-    candidate pipeline once per verify side unless the candidates are
-    persisted, and persisting splits the single lazy DAG into extra jobs —
-    min-of-5 at sf0.1: 3.5 s lazy form, 4.4 s semi-join form, 8.6 s
-    persisted+broadcast form. Worth revisiting only for corpora where
-    tokenize+shingle dominates the scan itself.
+    The band DataFrame is persisted before the self-join (same pattern as
+    ``simhash_pairs``): lazily, BOTH join sides re-execute the whole
+    shingle+signature pipeline — measured min-of-5 at sf0.1 (warm session):
+    3.5 s persisted vs 4.2 s lazy, and far more stable (persisted spread
+    3.5-3.6 s; lazy 4.2-19.9 s, because the doubled signature work runs
+    long enough for this host's CPU throttling to kick in — also why the
+    round-1 cold BENCH recorded 18.0 s where the then-docstring claimed a
+    warm-measured 3.5 s; cold plan/codegen compile accounts for the rest).
+    The cached footprint is num_bands rows of (id, band_idx, 32-char hash)
+    per doc — safe at any corpus scale.
     """
-    bands = minhash_bands(df, id_col, text_col, num_hashes, num_bands, k)
+    bands = minhash_bands(df, id_col, text_col, num_hashes, num_bands, k).persist()
     b1 = bands.alias("b1")
     b2 = bands.alias("b2")
     cand = (
