@@ -73,7 +73,12 @@ def quote_dotted_identifiers(sql: str, tables: list[str]) -> str:
     reference's bare ``str.replace`` (which corrupts prefixes and string
     literals — /root/reference/unload_databricks_data_to_s3.py:312), this
     match is identifier-bounded (no [A-Za-z0-9_.`] on either side) and
-    skips single-quoted string literals.
+    skips string literals and comments: single-quoted (with both
+    ''-doubling and backslash escapes — Spark's default non-ANSI mode eats
+    ``\'``), double-quoted (a STRING literal in Spark's default mode, and
+    an already-quoted identifier under ANSI double-quoted-identifiers —
+    neither may be rewritten), ``--`` line comments, and bracketed
+    comments.
     """
     import re
 
@@ -87,8 +92,17 @@ def quote_dotted_identifiers(sql: str, tables: list[str]) -> str:
     # cat.sch.t never half-matches inside cat.sch.t2.
     pattern = "|".join(re.escape(t) for t in sorted(dotted, key=len, reverse=True))
     ident = re.compile(rf"(?<![\w.`])({pattern})(?![\w`])")
-    # split on single-quoted literals; rewrite only the code segments
-    parts = re.split(r"('(?:[^']|'')*')", sql)
+    # split on literals/comments; rewrite only the code segments (odd
+    # indices are the captured skip-spans)
+    skip = re.compile(
+        r"("
+        r"'(?:[^'\\]|\\.|'')*'"          # single-quoted string literal
+        r"|\"(?:[^\"\\]|\\.|\"\")*\""    # double-quoted literal/identifier
+        r"|--[^\n]*"                     # line comment
+        r"|/\*.*?\*/"                    # bracketed comment
+        r")",
+        re.S)
+    parts = skip.split(sql)
     return "".join(
         p if i % 2 else ident.sub(lambda m: f"`{m.group(1)}`", p)
         for i, p in enumerate(parts))
@@ -137,7 +151,8 @@ def _write_with_observed_count(spark: SparkSession, job: UnloadJob,
         n = df.count()  # unavoidable: the partition count feeds the shuffle
         sized = size_output(df, "repartition", job.max_records_per_file,
                             precomputed_count=n)
-        write_export(sized, job.output_path, job.fmt)
+        write_export(sized, job.output_path, job.fmt,
+                     max_records_per_file=job.max_records_per_file)
         return n, calculate_num_partitions(df, job.max_records_per_file,
                                            precomputed_count=n)
     from pyspark.sql import Observation
@@ -146,8 +161,9 @@ def _write_with_observed_count(spark: SparkSession, job: UnloadJob,
     observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
     if job.partitioning_strategy == "coalesce":
         # coalesce partition math needs target_partitions or a count; with
-        # neither, the global maxRecordsPerFile conf already caps file size,
-        # so coalesce only honors an explicit target here.
+        # neither, the per-write maxRecordsPerFile option caps file size in
+        # one pass (README "Migration deltas"), so coalesce only honors an
+        # explicit target here.
         if job.target_partitions is not None:
             observed = observed.coalesce(job.target_partitions)
     elif (job.partitioning_strategy == "repartition"
@@ -156,7 +172,8 @@ def _write_with_observed_count(spark: SparkSession, job: UnloadJob,
         # strategy 'none' means NO shuffle regardless of target (matching
         # size_output's documented semantics)
         observed = observed.repartition(job.target_partitions)
-    write_export(observed, job.output_path, job.fmt)
+    write_export(observed, job.output_path, job.fmt,
+                 max_records_per_file=job.max_records_per_file)
     row_count = int(obs.get["rows"])  # collected during the write — no 2nd job
     return row_count, calculate_num_partitions(
         df, job.max_records_per_file, job.target_partitions,

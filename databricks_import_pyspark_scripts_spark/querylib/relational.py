@@ -835,23 +835,31 @@ def hof_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_statistical_moments",
     """
-    SELECT l_returnflag,
+    WITH mu AS (
+      SELECT l_returnflag, AVG(CAST(l_quantity AS DOUBLE)) AS m
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag,
            ROUND(STDDEV_SAMP(l_quantity), 6)            AS sd_qty,
            ROUND(VAR_SAMP(l_quantity), 6)               AS var_qty,
-           ROUND(SKEWNESS(l_quantity), 4)               AS skew_qty,
-           ROUND(KURTOSIS(l_quantity), 4)               AS kurt_qty,
+           ROUND(AVG(POWER(l_quantity - mu.m, 3))
+                 / POWER(AVG(POWER(l_quantity - mu.m, 2)), 1.5), 4) AS skew_qty,
+           ROUND(AVG(POWER(l_quantity - mu.m, 4))
+                 / POWER(AVG(POWER(l_quantity - mu.m, 2)), 2) - 3, 4) AS kurt_qty,
            ROUND(CORR(l_quantity, l_extendedprice), 6)  AS corr_qty_price,
            ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS covar_qty_disc
-    FROM lineitem
-    GROUP BY l_returnflag
+    FROM lineitem l JOIN mu ON l.l_returnflag = mu.l_returnflag
+    GROUP BY l.l_returnflag
     """,
     doc="Statistical-moment aggregates (stddev/variance/skewness/kurtosis/"
         "corr/covar): single-pass distributed moment accumulation with "
         "map-side partials — the profiling pass a data pipeline runs before "
-        "normalization. NB Spark's kurtosis() and DuckDB's kurtosis() both "
-        "compute excess sample kurtosis here; 2nd-order moments round at 6dp, "
-        "3rd/4th-order at 4dp (engines' moment-update formulas diverge in "
-        "the 6th decimal).")
+        "normalization. Spark's skewness()/kurtosis() are POPULATION "
+        "statistics (g1 = m3/m2^1.5, excess g2 = m4/m2^2 - 3); DuckDB's "
+        "builtins are bias-corrected SAMPLE statistics, so the oracle "
+        "computes the population forms explicitly from two-pass central "
+        "moments — exact agreement by construction, not hidden by a large "
+        "per-group n under 4dp rounding (the ~3/n correction would flip "
+        "the 4th decimal on small/sparse groups).")
 def agg_statistical_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (li.groupBy("l_returnflag")

@@ -34,6 +34,21 @@ def append_changes(changes: DataFrame, root: str, table: str) -> None:
      .parquet(f"{root}/{table}_changes"))
 
 
+def _ensure_version_marker(spark: SparkSession, root: str, table: str,
+                           version: int) -> None:
+    """Create the ``_commit_version=<v>`` partition directory even when the
+    commit produced zero change rows. Without the marker, an empty leading
+    diff is indistinguishable from a VACUUMed prefix in
+    ``read_changes``'s eager check, and a fully servable range would
+    spuriously error and silently downgrade an incremental export to a
+    latest-only snapshot. An empty dir contributes no files to the scan."""
+    sc = spark.sparkContext
+    path = sc._jvm.org.apache.hadoop.fs.Path(  # noqa: SLF001
+        f"{root}/{table}_changes/_commit_version={version}")
+    fs = path.getFileSystem(sc._jsc.hadoopConfiguration())  # noqa: SLF001
+    fs.mkdirs(path)
+
+
 def commit_snapshot(spark: SparkSession, df: DataFrame, root: str, table: str,
                     version: int, keys: list[str],
                     base_version: int | None = None) -> None:
@@ -44,14 +59,25 @@ def commit_snapshot(spark: SparkSession, df: DataFrame, root: str, table: str,
     snapshot without change rows — a re-run regenerates them idempotently
     (dynamic partition overwrite). The old order left changelog rows for a
     version whose snapshot never landed, which read_changes would happily
-    serve; retrying then appended the same rows twice."""
+    serve; retrying then appended the same rows twice.
+
+    NOTE the diff stays LAZY across write_snapshot: it executes inside
+    append_changes, and by then write_snapshot has already overwritten the
+    ``version`` directory. That is safe precisely because the diff only
+    scans the ``base_version`` directory — hence the guard below:
+    ``version == base_version`` would have the lazy diff read files the
+    snapshot write just replaced."""
+    if version == base_version:
+        raise ValueError(
+            f"commit_snapshot: version == base_version ({version}); the "
+            "change diff would read the same snapshot directory the commit "
+            "overwrites")
     if base_version is not None and _path_exists(
             spark, _snapshot_dir(root, table, base_version)):
         old = read_snapshot(spark, root, table, base_version)
         changes = derive_changes(old, df, keys, commit_version=version)
-        # derive_changes reads the base snapshot lazily; materialize the diff
-        # BEFORE write_snapshot can touch any files it scans
         write_snapshot(df, root, table, version)
         append_changes(changes, root, table)
+        _ensure_version_marker(spark, root, table, version)
     else:
         write_snapshot(df, root, table, version)

@@ -23,7 +23,8 @@ from ..operators.void_scrub import drop_void_fields
 FORMATS = ("json", "parquet", "csv", "orc")
 
 
-def write_export(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+def write_export(df: DataFrame, path: str, fmt: str = "parquet",
+                 max_records_per_file: int | None = None) -> None:
     """Overwrite-mode export write.
 
     ``json``/``parquet`` are reference parity (W1/W2); ``csv``/``orc``
@@ -32,20 +33,28 @@ def write_export(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     NullType); JSON is not (it can carry nulls). CSV is flat-only by the
     format's nature — nested columns raise Spark's own AnalysisException so
     the caller flattens deliberately rather than getting mangled output.
+
+    ``max_records_per_file`` sets the per-WRITE ``maxRecordsPerFile``
+    option: a job budget differing from the session-wide conf
+    (session.py) must bind to this write, not to whatever the session
+    default happens to be — this per-file cap is what lets the coalesce/
+    none strategies skip the reference's count-then-repartition double
+    execution entirely.
     """
     if fmt not in FORMATS:
         raise ValueError(f"unknown format {fmt!r}; expected one of {FORMATS}")
+    out = df if fmt in ("json", "csv") else drop_void_fields(df)
+    w = out.write.mode("overwrite")
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
     if fmt == "json":
-        df.write.mode("overwrite").json(path)
+        w.json(path)
     elif fmt == "csv":
-        df.write.mode("overwrite").option("header", "true").csv(path)
+        w.option("header", "true").csv(path)
     elif fmt == "orc":
-        (drop_void_fields(df).write.mode("overwrite")
-         .option("compression", "zstd")
-         .orc(path))
+        w.option("compression", "zstd").orc(path)
     else:
-        (drop_void_fields(df).write.mode("overwrite")
-         .option("compression", "zstd")
+        (w.option("compression", "zstd")
          .option("parquet.compression.codec.zstd.level", "3")
          .parquet(path))
 

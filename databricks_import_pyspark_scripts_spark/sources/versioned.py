@@ -142,9 +142,13 @@ def read_changes(spark: SparkSession, root: str, table: str,
     # fires and missing change rows ship. So detect the vacuumed head
     # eagerly: VACUUM removes a prefix of versions, so if the oldest
     # partition still present is newer than the first requested version, the
-    # range can't be served. (Gaps in the middle are legal — a commit with
-    # no change rows writes no partition.) The listing is one driver-side
-    # FS call over partition dirs, not a data read.
+    # range can't be served. Zero-change commits are NOT misread as vacuum:
+    # commit_snapshot leaves an empty ``_commit_version=<v>`` marker dir for
+    # every committed version, so the listing sees them (a changelog written
+    # by some other tool without markers degrades to latest-only for ranges
+    # starting at an empty leading diff — fail-safe, never partial data).
+    # The listing is one driver-side FS call over partition dirs, not a
+    # data read.
     available = _list_changelog_versions(spark, path)
     if available and min(available) > starting_version + 1:
         raise ChangelogNotFoundError(

@@ -183,3 +183,61 @@ def test_dotted_identifier_column_references():
         "SELECT cat.sch.t2.id FROM cat.sch.t2",
         ["cat.sch.t", "cat.sch.t2"],
     ) == "SELECT `cat.sch.t2`.id FROM `cat.sch.t2`"
+
+
+def test_dotted_identifier_rewrite_skips_comments_and_double_quotes():
+    from databricks_import_pyspark_scripts_spark.plans.pipeline import (
+        quote_dotted_identifiers,
+    )
+
+    t = ["cat.sch.t"]
+    # -- line comment: harmless either way, but must stay byte-identical
+    assert quote_dotted_identifiers(
+        "SELECT * FROM cat.sch.t -- reads cat.sch.t\nWHERE x = 1", t,
+    ) == "SELECT * FROM `cat.sch.t` -- reads cat.sch.t\nWHERE x = 1"
+    # bracketed comment spanning lines
+    assert quote_dotted_identifiers(
+        "SELECT * /* cat.sch.t\n more cat.sch.t */ FROM cat.sch.t", t,
+    ) == "SELECT * /* cat.sch.t\n more cat.sch.t */ FROM `cat.sch.t`"
+    # double-quoted literal (Spark default mode: a STRING) must not be
+    # corrupted with backticks
+    assert quote_dotted_identifiers(
+        'SELECT * FROM cat.sch.t WHERE x = "cat.sch.t"', t,
+    ) == 'SELECT * FROM `cat.sch.t` WHERE x = "cat.sch.t"'
+    # backslash-escaped quote inside a single-quoted literal must not
+    # desynchronize the literal/code split
+    assert quote_dotted_identifiers(
+        r"SELECT * FROM cat.sch.t WHERE x = 'it\'s cat.sch.t'", t,
+    ) == r"SELECT * FROM `cat.sch.t` WHERE x = 'it\'s cat.sch.t'"
+    # ''-doubling still recognized
+    assert quote_dotted_identifiers(
+        "SELECT * FROM cat.sch.t WHERE x = 'a''cat.sch.t'", t,
+    ) == "SELECT * FROM `cat.sch.t` WHERE x = 'a''cat.sch.t'"
+
+
+def test_coalesce_without_target_delta(spark, tmp_path):
+    """Documented migration delta (README): the coalesce strategy with no
+    target does NOT coalesce — the global maxRecordsPerFile conf bounds
+    file sizes in one pass instead of the reference's count-then-coalesce
+    double execution. Pin both halves: no partition-count change, and the
+    per-file record cap still enforced at write time."""
+    import glob
+    import os
+
+    from databricks_import_pyspark_scripts_spark.plans.pipeline import UnloadJob, run_unload
+
+    root = str(tmp_path / "src")
+    os.makedirs(f"{root}/ev/v=1", exist_ok=True)
+    spark.range(1000).selectExpr("id", "id * 2 AS v") \
+        .write.mode("overwrite").parquet(f"{root}/ev/v=1")
+    out = str(tmp_path / "out")
+    job = UnloadJob(
+        source_root=root, table_versions={"ev": [0, 1]},
+        sql="SELECT * FROM ev", output_path=out, fmt="json",
+        partitioning_strategy="coalesce", max_records_per_file=100)
+    report = run_unload(spark, job)
+    assert report["rows"] == 1000
+    # maxRecordsPerFile=100 (session conf) caps every output file
+    for f in glob.glob(f"{out}/*.json"):
+        with open(f) as fh:
+            assert sum(1 for _ in fh) <= 100

@@ -125,3 +125,76 @@ def test_vacuumed_changelog_head_detected(spark, tmp_path):
     with _pytest.raises(ChangelogNotFoundError) as ei:
         read_changes(spark, root, "t", 1, 5)
     assert extract_missing_cdf_error_signature(ei.value) == "CHANGELOG_NOT_FOUND"
+
+
+def test_delta_branch_option_plumbing(spark, monkeypatch):
+    """The Delta branch (the reference's primary source,
+    /root/reference/unload_databricks_data_to_s3.py:183-200) can't run in
+    this jars-free sandbox, so pin its option plumbing with a mocked
+    reader: versionAsOf for snapshots; readChangeFeed with
+    startingVersion = s+1 (the (s, e] range convention) for changes."""
+    from unittest import mock
+
+    from databricks_import_pyspark_scripts_spark.sources import versioned
+
+    reader = mock.MagicMock()
+    reader.format.return_value = reader
+    reader.option.return_value = reader
+    reader.load.return_value = mock.sentinel.df
+    monkeypatch.setattr(versioned, "_delta_available", lambda _spark: True)
+    with mock.patch.object(type(spark), "read",
+                           new_callable=mock.PropertyMock,
+                           return_value=reader):
+        out = versioned.read_snapshot(spark, "/r", "t", 7)
+        assert out is mock.sentinel.df
+        reader.format.assert_called_once_with("delta")
+        reader.option.assert_called_once_with("versionAsOf", 7)
+        reader.load.assert_called_once_with("/r/t")
+
+        reader.reset_mock()
+        out = versioned.read_changes(spark, "/r", "t", 3, 9)
+        assert out is mock.sentinel.df
+        reader.format.assert_called_once_with("delta")
+        assert reader.option.call_args_list == [
+            mock.call("readChangeFeed", "true"),
+            mock.call("startingVersion", 4),
+            mock.call("endingVersion", 9),
+        ]
+        reader.load.assert_called_once_with("/r/t")
+
+
+def test_empty_leading_diff_is_not_vacuum(spark, tmp_path):
+    """A committed version with ZERO change rows (identical snapshots) must
+    stay readable as an incremental range: commit_snapshot leaves an empty
+    _commit_version marker dir, so the eager vacuum check doesn't misread
+    the empty leading diff and downgrade the export to latest-only."""
+    from databricks_import_pyspark_scripts_spark.sinks.versioned_writer import (
+        commit_snapshot,
+    )
+
+    root = str(tmp_path)
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, val string")
+    commit_snapshot(spark, v1, root, "t", version=1, keys=["id"])
+    # v2 == v1: empty diff; v3 adds a row
+    commit_snapshot(spark, v1, root, "t", version=2, keys=["id"], base_version=1)
+    v3 = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id int, val string")
+    commit_snapshot(spark, v3, root, "t", version=3, keys=["id"], base_version=2)
+    # (1, 3] starts at the empty diff v2 — must serve, not raise
+    df = read_changes(spark, root, "t", 1, 3)
+    assert df.count() == 1
+    assert df.filter(df._commit_version == 3).count() == 1
+
+
+def test_commit_snapshot_rejects_version_equal_base(spark, tmp_path):
+    """version == base_version would have the lazy diff read the snapshot
+    directory the commit just overwrote — rejected eagerly."""
+    import pytest as _pytest
+
+    from databricks_import_pyspark_scripts_spark.sinks.versioned_writer import (
+        commit_snapshot,
+    )
+
+    v1 = spark.createDataFrame([(1, "a")], "id int, val string")
+    with _pytest.raises(ValueError, match="base_version"):
+        commit_snapshot(spark, v1, str(tmp_path), "t", version=1, keys=["id"],
+                        base_version=1)
