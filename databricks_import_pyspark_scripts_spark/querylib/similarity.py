@@ -246,19 +246,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_table_buckets_pd_df,
     )
 
+    from ..operators.dedup import bucket_pairs
+
     emb = load_table(spark, sf_dir, "embeddings")
-    # Persist the bucket table before the self-join: both join sides would
-    # otherwise re-execute the whole bucket pipeline — the round-1 bench's
-    # dominant cost (VERDICT r1: 30.7 s, 35% of the bench). The cached
-    # footprint is (id, tbl, bucket) = L rows x 3 ints per vector — tiny at
-    # any scale. The bucket build itself is the Arrow int-matmul form
-    # (byte-identical buckets, ~10x the exploded-aggregation form).
-    vb = lsh_table_buckets_pd_df(emb, "vec_id", "embedding").persist()
-    a = vb.select(F.col("vec_id").alias("id_a"), "tbl", "bucket")
-    b = vb.select(F.col("vec_id").alias("id_b"), "tbl", "bucket")
-    cand = (a.join(b, ["tbl", "bucket"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
+    # Candidates via within-bucket pair explode (operators.dedup.bucket_pairs)
+    # rather than a bucket-table self-join: the Arrow int-matmul bucket build
+    # then executes exactly once into a single groupBy — nothing to persist
+    # (the earlier shape persisted the bucket table to stop both join sides
+    # re-executing it, and those pins accumulated across queries in a
+    # long-lived session).
+    vb = lsh_table_buckets_pd_df(emb, "vec_id", "embedding")
+    cand = (bucket_pairs(vb, ["tbl", "bucket"], F.col("vec_id"))
+            .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
             .distinct())
     v = emb.withColumn("n2", dot_col(F.col("embedding"), F.col("embedding")))
     va = v.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"),

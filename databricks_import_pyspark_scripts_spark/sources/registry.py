@@ -14,7 +14,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -62,6 +62,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer `div`, NOT `/`: double division loses the low microsecond
             # digits at epoch-nanos magnitude (~1.7e18 > 2^53)
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return _normalize_ntz(df)
+
+
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Relabel TIMESTAMP_NTZ columns as session-TZ TIMESTAMP.
+
+    Parquet written without timezone metadata (the pandas/pyarrow default) is
+    inferred as TIMESTAMP_NTZ under Spark 4's
+    ``spark.sql.parquet.inferTimestampNTZ.enabled=true``, and NTZ is rejected
+    by ``unix_millis``/``unix_micros``/``cast(.. as long)`` at analysis time.
+    The session timezone is pinned UTC (session.py), so NTZ -> LTZ is a
+    deterministic relabel of the same instant — identical epoch values, and
+    DuckDB's ``epoch_us`` on the same file agrees. Normalizing here, at the
+    single source choke point, keeps every downstream query engine-agnostic
+    about how the fixture writer chose to stamp its timestamps.
+    """
+    ntz = [f.name for f in df.schema.fields
+           if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

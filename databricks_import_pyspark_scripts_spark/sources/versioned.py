@@ -114,7 +114,8 @@ def read_snapshot(spark: SparkSession, root: str, table: str,
     if not _path_exists(spark, path):
         raise ChangelogNotFoundError(
             f"CHANGELOG_NOT_FOUND: no snapshot for {table} v={version} at {path}")
-    return spark.read.parquet(path)
+    from .registry import _normalize_ntz
+    return _normalize_ntz(spark.read.parquet(path))
 
 
 def read_changes(spark: SparkSession, root: str, table: str,
@@ -155,7 +156,8 @@ def read_changes(spark: SparkSession, root: str, table: str,
             f"CHANGELOG_NOT_FOUND: changelog for {table} starts at version "
             f"{min(available)}; requested changes from {starting_version + 1} "
             f"(vacuumed?)")
-    df = spark.read.parquet(path)
+    from .registry import _normalize_ntz
+    df = _normalize_ntz(spark.read.parquet(path))
     return df.filter(
         (F.col("_commit_version") > F.lit(starting_version))
         & (F.col("_commit_version") <= F.lit(ending_version)))

@@ -259,3 +259,22 @@ def test_kmeans_centroids_improve_ivf_recall(spark):
                               centroids=kmeans_centroids(emb, 16)))
     assert trained > standin
     assert trained >= 0.40
+
+
+def test_lsh_queries_leave_no_pinned_caches(spark, sf_dir):
+    """Round-2 task #4: the LSH pair generators used to persist their band
+    tables and never release them — in a long-lived session those pins
+    accumulated without bound. The bucket-grouped pair-explode shape
+    computes bands exactly once, so nothing is persisted at all."""
+    from databricks_import_pyspark_scripts_spark.querylib import all_queries
+
+    qs = all_queries()
+    # delta-based: other tests sharing this session fixture may hold their
+    # own (test-scoped) persists; these queries must not ADD any
+    baseline = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    for name in ("dedup_minhash_lsh", "dedup_simhash_pairs",
+                 "dedup_embedding_cosine"):
+        qs[name](spark, sf_dir).count()
+        n_pinned = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        assert n_pinned == baseline, \
+            f"{name} left {n_pinned - baseline} new pinned RDDs"

@@ -149,3 +149,43 @@ def test_simhash_band_candidates_stay_linear(spark):
               .distinct().count())
     # old 4-bit-band scheme: ~45_000 on this corpus; 15-bit bands: ~3_900
     assert n_cand <= 15 * n_docs
+
+
+def test_minhash_arrow_form_agrees(spark, sf_dir):
+    """The Arrow minhash fast path must produce bit-identical signatures to
+    the exploded md5/conv aggregation on the real documents table — both
+    feed band hashes that the DuckDB oracle value-matches."""
+    from databricks_import_pyspark_scripts_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_pd,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    expr_form = {r.doc_id: tuple(r)[1:] for r in
+                 minhash_signatures(d, "doc_id", "text").collect()}
+    arrow_form = {r.doc_id: tuple(r)[1:] for r in
+                  minhash_signatures_pd(d, "doc_id", "text").collect()}
+    assert expr_form == arrow_form
+
+
+def test_minhash_arrow_form_agrees_on_short_docs(spark):
+    """Degenerate inputs: fewer tokens than the shingle width k (single
+    joined shingle), empty text (md5 of ""), NULL text (both forms keep the
+    row with all-NULL signatures: the exploded form's lone NULL shingle
+    flows md5(NULL) -> NULL minima)."""
+    from databricks_import_pyspark_scripts_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_pd,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, ""), (3, None), (4, "a b c d e f"),
+         (5, "dup dup dup dup")],
+        "doc_id long, text string")
+    expr_form = {r.doc_id: tuple(r)[1:] for r in
+                 minhash_signatures(df, "doc_id", "text").collect()}
+    arrow_form = {r.doc_id: tuple(r)[1:] for r in
+                  minhash_signatures_pd(df, "doc_id", "text").collect()}
+    assert set(expr_form) == {1, 2, 3, 4, 5}
+    assert expr_form[3] == (None,) * 16     # NULL text -> NULL sigs
+    assert expr_form == arrow_form

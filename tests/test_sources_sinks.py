@@ -94,3 +94,34 @@ def test_read_source_rejects_unknown_format(spark):
 
     with pytest.raises(ValueError):
         read_source(spark, "/tmp/x", "avro")
+
+
+def test_load_table_normalizes_ntz_timestamps(spark, tmp_path):
+    """Pinned: a tz-less timestamp[us] parquet (pandas/pyarrow default, and
+    what the driver's fixture generator emits since round 3) must come back
+    as session-TZ TIMESTAMP with the exact same epoch values — NOT
+    TIMESTAMP_NTZ, which unix_millis/unix_micros/cast-to-long all reject."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    from databricks_import_pyspark_scripts_spark.sources.registry import (
+        load_table,
+    )
+
+    micros = [1_700_000_000_000_000, 1_700_000_123_456_789]
+    table = pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array(micros, pa.timestamp("us")),  # NO timezone metadata
+    })
+    d = tmp_path / "ntzfix"
+    d.mkdir()
+    pq.write_table(table, str(d / "events.parquet"))
+
+    df = load_table(spark, str(d), "events")
+    assert isinstance(df.schema["ts"].dataType, TimestampType), \
+        f"expected TIMESTAMP, got {df.schema['ts'].dataType}"
+    assert not isinstance(df.schema["ts"].dataType, TimestampNTZType)
+    got = {r.event_id: r.us for r in
+           df.selectExpr("event_id", "unix_micros(ts) AS us").collect()}
+    assert got == {1: micros[0], 2: micros[1]}
