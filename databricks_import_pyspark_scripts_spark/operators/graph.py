@@ -17,7 +17,7 @@ check this iterative algorithm against a DuckDB recursive-CTE oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -41,22 +41,30 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
            .checkpoint(eager=True))
     labels = vertices.select(F.col(id_col).alias("id"),
                              F.col(id_col).alias("component"))
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr_min = (sym.join(labels, sym.b == labels.id)
                    .groupBy("a").agg(F.min("component").alias("nbr_component")))
+        # The convergence probe rides the SAME job that materializes the
+        # round's checkpoint: labels only ever decrease, so "changed" is
+        # (new < old) computed where old is still in scope, and observe()
+        # sums the flags in an accumulator during the checkpoint action —
+        # one job per round, where the earlier shape ran a second full
+        # old-vs-new join+count job per round just to ask "done yet?".
+        obs = Observation(f"cc_round_{it}")
         new_labels = (labels.join(nbr_min, labels.id == nbr_min.a, "left")
                       .select("id",
                               F.least("component",
                                       F.coalesce("nbr_component", "component"))
-                              .alias("component")))
-        # convergence check + lineage truncation in one materialization
-        new_labels = new_labels.checkpoint(eager=True)
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-                   .filter(F.col("n.component") != F.col("o.component"))
-                   .limit(1).count())
+                              .alias("component"),
+                              (F.coalesce("nbr_component", "component")
+                               < F.col("component")).cast("long")
+                              .alias("changed")))
+        new_labels = (new_labels
+                      .observe(obs, F.sum("changed").alias("n_changed"))
+                      .drop("changed")
+                      .checkpoint(eager=True))
         labels = new_labels
-        if changed == 0:
+        if not obs.get["n_changed"]:
             return labels
     raise RuntimeError(
         f"connected_components did not converge within max_iter={max_iter} "

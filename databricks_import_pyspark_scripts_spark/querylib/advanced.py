@@ -205,17 +205,56 @@ def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_sketches",
-    None,  # approximate by design: rows-only check
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey)                          AS exact_orders,
+           COUNT(DISTINCT l_partkey)                           AS exact_parts,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4)       AS exact_median,
+           ABS(approx_count_distinct(l_orderkey) - COUNT(DISTINCT l_orderkey))
+             <= 0.05 * COUNT(DISTINCT l_orderkey)              AS orders_ok,
+           ABS(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+             <= 0.05 * COUNT(DISTINCT l_partkey)               AS parts_ok,
+           ABS(approx_quantile(l_extendedprice, 0.5) - quantile_cont(l_extendedprice, 0.5))
+             <= 0.05 * quantile_cont(l_extendedprice, 0.5)     AS median_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     doc="Sketch aggregates for 100 TB interactive profiling: HLL distinct "
         "counts and approximate percentiles (single pass, fixed memory, "
-        "mergeable across partitions). No oracle: approximation differs per "
-        "engine by construction.")
+        "mergeable across partitions). Sketch VALUES differ per engine by "
+        "construction, so the hash-checked contract is (a) the exact "
+        "columns, engine-independent, and (b) tolerance booleans asserting "
+        "each engine's OWN sketch lands within 5% of the exact value — "
+        "deterministically TRUE in both engines when the sketches honor "
+        "their accuracy bounds (Spark HLL rsd=0.01, percentile_approx "
+        "accuracy=10000; DuckDB HLL / t-digest defaults are tighter than "
+        "5% at this cardinality).")
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return (li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    # Two aggregations joined on the tiny group key, NOT one combined agg:
+    # mixing COUNT(DISTINCT ...) with sketch aggregates makes Spark plan the
+    # sketches inside the Expand-rewrite's keyed partial aggregate — i.e.
+    # one HLL++ buffer (thousands of words at rsd=0.01) and one percentile
+    # buffer PER (returnflag, orderkey, partkey, gid) group, millions of
+    # allocations (measured 227 s at sf0.1 vs 0.3 s + 2.6 s split).
+    sketches = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("approx_median"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("raw_median"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000))
+            .alias("approx_median"))
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"))
+    return (exact.join(F.broadcast(sketches), "l_returnflag").select(
+        "l_returnflag", "exact_orders", "exact_parts",
+        F.round(F.col("raw_median"), 4).alias("exact_median"),
+        (F.abs(F.col("approx_orders") - F.col("exact_orders"))
+         <= 0.05 * F.col("exact_orders")).alias("orders_ok"),
+        (F.abs(F.col("approx_parts") - F.col("exact_parts"))
+         <= 0.05 * F.col("exact_parts")).alias("parts_ok"),
+        (F.abs(F.col("approx_median") - F.col("raw_median"))
+         <= 0.05 * F.col("raw_median")).alias("median_ok"),
     ))
 
 

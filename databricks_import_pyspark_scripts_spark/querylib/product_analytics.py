@@ -129,3 +129,34 @@ def events_user_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").cast("date").alias("first_day"),
         F.max("ts").cast("date").alias("last_day"),
     ))
+
+
+@register(
+    "events_tumbling_window_counts",
+    """
+    SELECT epoch_ms(time_bucket(INTERVAL '5 minutes', ts))          AS window_start_ms,
+           epoch_ms(time_bucket(INTERVAL '5 minutes', ts)) + 300000 AS window_end_ms,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    doc="Batch twin of streaming.pipeline.windowed_event_counts: the SAME "
+        "tumbling-window aggregation (F.window + count/sum, watermark is a "
+        "batch no-op) driven through the correctness gate against DuckDB "
+        "time_bucket — attesting the window-boundary arithmetic the "
+        "streaming tier relies on (both engines align 5-minute buckets "
+        "identically: Spark's epoch origin and DuckDB's 2000-01-03 origin "
+        "are both whole multiples of 300 s). Window bounds are emitted as "
+        "epoch millis so the value hash is timezone-representation-proof.")
+def events_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import windowed_event_counts
+
+    e = load_table(spark, sf_dir, "events")
+    w = windowed_event_counts(e)  # batch plan: watermark ignored, F.window real
+    return w.select(
+        F.unix_millis(F.col("window_start")).alias("window_start_ms"),
+        F.unix_millis(F.col("window_end")).alias("window_end_ms"),
+        "event_type", "n",
+        F.round(F.col("total_value"), 4).alias("total_value"))
