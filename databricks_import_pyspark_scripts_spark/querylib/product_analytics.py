@@ -160,3 +160,48 @@ def events_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         F.unix_millis(F.col("window_end")).alias("window_end_ms"),
         "event_type", "n",
         F.round(F.col("total_value"), 4).alias("total_value"))
+
+
+@register(
+    "events_session_window_stats",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 300000000
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_seq
+      FROM marked
+    )
+    SELECT user_id,
+           epoch_ms(MIN(ts))          AS session_start_ms,
+           epoch_ms(MAX(ts)) + 300000 AS session_end_ms,
+           COUNT(*)                   AS n_events,
+           ROUND(SUM(value), 4)       AS total_value
+    FROM sess
+    GROUP BY user_id, sess_seq
+    """,
+    doc="Batch twin of streaming.pipeline.sessionized_event_stats: the SAME "
+        "F.session_window aggregation (watermark is a batch no-op) gated "
+        "against a DuckDB gaps-and-islands oracle. Semantics pinned by the "
+        "oracle: Spark merges per-event windows [ts, ts+gap) only when they "
+        "OVERLAP, so a gap of exactly 300 s starts a NEW session — hence "
+        "the oracle's >= (not >) on the lag difference; session_end is "
+        "last-event ts + gap. Bounds emitted as epoch millis so the value "
+        "hash is timezone-representation-proof.")
+def events_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import sessionized_event_stats
+
+    e = load_table(spark, sf_dir, "events")
+    s = sessionized_event_stats(e)  # batch plan: watermark ignored
+    return s.select(
+        "user_id",
+        F.unix_millis(F.col("session_start")).alias("session_start_ms"),
+        F.unix_millis(F.col("session_end")).alias("session_end_ms"),
+        "n_events",
+        F.round(F.col("total_value"), 4).alias("total_value"))
