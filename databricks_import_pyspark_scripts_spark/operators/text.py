@@ -115,3 +115,35 @@ def split_bucket_col(id_col: Column, num_buckets: int = 100) -> Column:
     h = F.md5(id_col.cast("string"))
     return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
             % F.lit(num_buckets)).cast("int")
+
+
+def pack_sequences(df, id_col: str, shard_col: str, tokens_col_name: str,
+                   budget: int):
+    """Assign each document a ``pack_id``: consecutive docs (by ``id_col``
+    within a ``shard_col`` shard) bin into fixed-token-budget packs by
+    cumulative token offset — pack = floor(tokens_before_this_doc / budget).
+
+    The sequence-packing step of an LLM training-data pipeline (group
+    documents into ~context-length batches). This is the *streaming* pack:
+    a doc whose tokens straddle a budget boundary belongs to the pack its
+    FIRST token falls in (training pipelines truncate/continue across the
+    boundary), which is what makes the assignment a pure prefix-sum —
+    deterministic, order-stable, and expressible in any engine with window
+    functions, unlike greedy first-fit bin packing (which needs a running
+    reset no SQL window can express).
+
+    Scale: ONE shuffle, on the shard key. Each shard's prefix sum is an
+    independent ordered window — shards are the parallelism unit (use
+    enough buckets that a shard's docs fit a task; the md5 id-hash bucket
+    from ``split_bucket_col`` spreads uniformly). No global ordering, no
+    driver involvement.
+    """
+    from pyspark.sql.window import Window
+
+    w = (Window.partitionBy(shard_col).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum(tokens_col_name).over(w),
+                            F.lit(0).cast("long"))
+    # float floor is exact here: cumulative token counts are far below 2^53
+    return df.withColumn(
+        "pack_id", F.floor(cum_before / F.lit(budget)).cast("long"))

@@ -82,6 +82,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_clean_normalize",
     "text_redact_numbers",
     "split_train_holdout",
+    "text_sequence_packing",
     "corpus_prep_pipeline",
     "multimodal_image_features",
     "multimodal_frame_plan",

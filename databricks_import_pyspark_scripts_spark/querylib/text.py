@@ -293,3 +293,57 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.sum("n_chars").alias("total_chars"))
         .orderBy("lang_guess", "split"))
+
+
+def _sequence_packing_oracle() -> str:
+    from .dedup import _hex_to_bigint_sql
+
+    shard = (_hex_to_bigint_sql("md5(CAST(doc_id AS VARCHAR))", 1, 8)
+             + " % 10")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST({shard} AS INT) AS shard,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                    PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / 2048.0) AS BIGINT) AS pack_id
+      FROM toks
+    )
+    SELECT shard, pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM packed
+    GROUP BY shard, pack_id
+    """
+
+
+@register(
+    "text_sequence_packing",
+    _sequence_packing_oracle(),
+    doc="Sequence packing for LLM training batches: docs bin into fixed "
+        "2048-token-budget packs by cumulative token offset within md5-"
+        "bucketed shards (operators.text.pack_sequences). Prefix-sum "
+        "semantics (straddling docs belong to the pack of their first "
+        "token) keep the assignment deterministic and window-expressible "
+        "in both engines; one shuffle on the shard key at any scale.")
+def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import pack_sequences, split_bucket_col, token_count_col
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        split_bucket_col(F.col("doc_id"), 10).alias("shard"),
+        token_count_col(F.col("text")).alias("n_tokens"))
+    packed = pack_sequences(base, "doc_id", "shard", "n_tokens", 2048)
+    return (packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc")))

@@ -278,3 +278,28 @@ def test_lsh_queries_leave_no_pinned_caches(spark, sf_dir):
         n_pinned = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
         assert n_pinned == baseline, \
             f"{name} left {n_pinned - baseline} new pinned RDDs"
+
+
+def test_pack_sequences_prefix_sum_semantics(spark):
+    """Packing is by cumulative token OFFSET: a doc straddling the budget
+    boundary belongs to the pack its first token falls in, and pack ids are
+    contiguous from 0 within each shard."""
+    from databricks_import_pyspark_scripts_spark.operators.text import (
+        pack_sequences,
+    )
+
+    rows = [(i, 0, 600) for i in range(1, 8)]      # 7 docs x 600 tokens
+    df = spark.createDataFrame(rows, "doc_id long, shard int, n_tokens long")
+    got = {r.doc_id: r.pack_id for r in
+           pack_sequences(df, "doc_id", "shard", "n_tokens", 2048).collect()}
+    # offsets 0,600,1200,1800,2400,3000,3600 // 2048 -> 0,0,0,0,1,1,1
+    assert got == {1: 0, 2: 0, 3: 0, 4: 0, 5: 1, 6: 1, 7: 1}
+
+    two_shards = spark.createDataFrame(
+        [(1, 0, 2048), (2, 0, 1), (3, 1, 2047), (4, 1, 1), (5, 1, 1)],
+        "doc_id long, shard int, n_tokens long")
+    got2 = {r.doc_id: r.pack_id for r in
+            pack_sequences(two_shards, "doc_id", "shard", "n_tokens",
+                           2048).collect()}
+    # shard 0: offsets 0, 2048 -> packs 0, 1; shard 1: 0, 2047, 2048 -> 0, 0, 1
+    assert got2 == {1: 0, 2: 1, 3: 0, 4: 0, 5: 1}
