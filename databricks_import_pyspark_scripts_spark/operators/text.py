@@ -147,3 +147,42 @@ def pack_sequences(df, id_col: str, shard_col: str, tokens_col_name: str,
     # float floor is exact here: cumulative token counts are far below 2^53
     return df.withColumn(
         "pack_id", F.floor(cum_before / F.lit(budget)).cast("long"))
+
+
+def dup_line_frac_col(text: Column) -> Column:
+    """Fraction of duplicated lines: 1 - distinct_lines/total_lines. A
+    per-row expression (no shuffle) — the classic boilerplate/repetition
+    signal from corpus-quality filtering (high values = templated or
+    machine-generated text)."""
+    lines = F.split(text, "\n")
+    n = F.size(lines)
+    return (F.lit(1.0)
+            - F.size(F.array_distinct(lines)) / F.greatest(n, F.lit(1)))
+
+
+def top_bigram_stats(df, id_col: str, text_col: str):
+    """(id, top_n, total): occurrence count of the most frequent token
+    bigram and the total bigram count per document — the numerator and
+    denominator of the top-2-gram-fraction repetition signal.
+
+    Codegen-friendly shape: posexplode tokens -> per-doc window lead(1) to
+    form bigrams -> two hash aggregations. One shuffle on the doc id (the
+    window and both groupBys share the partitioning; docs with < 2 tokens
+    drop out — callers re-attach them with fraction 0). Interpreted
+    higher-order lambdas are deliberately avoided in this corpus-wide path.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "tok"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bigrams = (toks
+               .withColumn("nxt", F.lead("tok").over(w))
+               .filter(F.col("nxt").isNotNull())
+               .select(F.col(id_col),
+                       F.concat_ws(" ", "tok", "nxt").alias("bg")))
+    counts = bigrams.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("n"))
+    return counts.groupBy(id_col).agg(
+        F.max("n").alias("top_n"),
+        F.sum("n").alias("total"))

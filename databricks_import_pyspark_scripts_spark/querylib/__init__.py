@@ -81,6 +81,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_word_frequencies",
     "text_clean_normalize",
     "text_redact_numbers",
+    "text_repetition_filter",
+    "dedup_decontaminate_benchmark",
     "split_train_holdout",
     "text_sequence_packing",
     "corpus_prep_pipeline",

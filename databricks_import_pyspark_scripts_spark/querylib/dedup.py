@@ -353,3 +353,50 @@ def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
          .withColumn("len_bucket", F.floor(F.col("n_chars") / 100)))
     return ngram_jaccard_pairs(d, "doc_id", "text",
                                ["lang", "source", "len_bucket"], threshold=0.2)
+
+
+@register(
+    "dedup_decontaminate_benchmark",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+    ), bench AS (
+      SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 100 = 0
+    ), corpus AS (
+      SELECT DISTINCT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 100 <> 0
+    ), hits AS (
+      SELECT corpus.doc_id, COUNT(*) AS n_shared
+      FROM corpus JOIN bench ON corpus.s = bench.s
+      GROUP BY corpus.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared_shingles,
+           COALESCE(n_shared, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 100 <> 0) d
+    LEFT JOIN hits ON d.doc_id = hits.doc_id
+    """,
+    doc="Benchmark decontamination: flag training docs sharing any token "
+        "3-shingle with the eval set (docs with doc_id % 100 = 0 stand in "
+        "for a benchmark). The canonical n-gram-overlap decontamination "
+        "pass of an LLM data pipeline. Plan shape at 100 TB: the benchmark "
+        "shingle set is tiny and BROADCAST, so the corpus scan streams "
+        "map-side through the semi-join — the corpus never shuffles until "
+        "the per-doc count, which carries only matching (doc, shingle) "
+        "rows. Never O(corpus x benchmark).")
+def dedup_decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import shingles_col
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", shingles_col(F.col("text"), SHINGLE_K).alias("sh"))
+    bench = (sh.filter(F.col("doc_id") % 100 == 0)
+             .select(F.explode("sh").alias("s")).distinct())
+    corpus = (sh.filter(F.col("doc_id") % 100 != 0)
+              .select("doc_id", F.explode("sh").alias("s")).distinct())
+    hits = (corpus.join(F.broadcast(bench), "s")
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shared")))
+    base = d.filter(F.col("doc_id") % 100 != 0).select("doc_id")
+    return (base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_shared"), F.lit(0).cast("long"))
+            .alias("n_shared_shingles"),
+        (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias("contaminated")))

@@ -347,3 +347,57 @@ def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("pack_tokens"),
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc")))
+
+
+def _repetition_oracle() -> str:
+    from ..functions.portable import TOKENS_SQL
+
+    return f"""
+    WITH bg AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) AS bgs
+      FROM (SELECT doc_id, {TOKENS_SQL} AS t FROM documents)
+      WHERE len(t) >= 2
+    ), cnt AS (
+      SELECT doc_id, bg, COUNT(*) AS n
+      FROM (SELECT doc_id, unnest(bgs) AS bg FROM bg)
+      GROUP BY doc_id, bg
+    ), top AS (
+      SELECT doc_id, MAX(n) AS top_n, SUM(n) AS total FROM cnt GROUP BY doc_id
+    ), lines AS (
+      SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+    )
+    SELECT l.doc_id,
+           ROUND(1.0 - len(list_distinct(ls)) * 1.0 / GREATEST(len(ls), 1), 4)
+             AS dup_line_frac,
+           ROUND(COALESCE(top_n * 1.0 / total, 0), 4) AS top_bigram_frac,
+           (1.0 - len(list_distinct(ls)) * 1.0 / GREATEST(len(ls), 1)) > 0.30
+             OR COALESCE(top_n * 1.0 / total, 0) > 0.18 AS is_repetitive
+    FROM lines l LEFT JOIN top ON l.doc_id = top.doc_id
+    """
+
+
+@register(
+    "text_repetition_filter",
+    _repetition_oracle(),
+    doc="Repetition quality filters (the Gopher-rule family): duplicate-"
+        "line fraction (per-row expression, zero shuffle) and top-bigram "
+        "fraction (posexplode + lead window + two hash aggs, one shuffle "
+        "on doc_id via operators.text.top_bigram_stats). is_repetitive "
+        "flags docs over the published thresholds (dup lines > 0.30, "
+        "top 2-gram > 0.18); the booleans compare UNROUNDED ratios — "
+        "small-integer divisions that are bit-identical across engines.")
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import dup_line_frac_col, top_bigram_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    stats = top_bigram_stats(d, "doc_id", "text")
+    dup = dup_line_frac_col(F.col("text"))
+    base = d.select("doc_id", dup.alias("dlf"))
+    joined = base.join(stats, "doc_id", "left")
+    top_frac = F.coalesce(F.col("top_n") / F.col("total"), F.lit(0.0))
+    return joined.select(
+        "doc_id",
+        F.round(F.col("dlf"), 4).alias("dup_line_frac"),
+        F.round(top_frac, 4).alias("top_bigram_frac"),
+        ((F.col("dlf") > 0.30) | (top_frac > 0.18)).alias("is_repetitive"))
