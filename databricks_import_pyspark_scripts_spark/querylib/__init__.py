@@ -94,6 +94,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_user_engagement",
     "events_tumbling_window_counts",
     "events_session_window_stats",
+    "events_sliding_window_counts",
     "asof_join_last_purchase",
     "range_join_close_events",
     "agg_salted_skew",

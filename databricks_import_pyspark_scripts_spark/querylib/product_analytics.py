@@ -205,3 +205,38 @@ def events_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(F.col("session_end")).alias("session_end_ms"),
         "n_events",
         F.round(F.col("total_value"), 4).alias("total_value"))
+
+
+@register(
+    "events_sliding_window_counts",
+    """
+    SELECT epoch_ms(ws)          AS window_start_ms,
+           epoch_ms(ws) + 600000 AS window_end_ms,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM (
+      SELECT event_type, value,
+             time_bucket(INTERVAL '5 minutes', ts)
+               - k * INTERVAL '5 minutes' AS ws
+      FROM events CROSS JOIN (VALUES (0), (1)) AS offs(k)
+    )
+    GROUP BY 1, 2, 3
+    """,
+    doc="Batch twin of the SLIDING window shape (F.window with width 10 min, "
+        "slide 5 min — each event lands in exactly width/slide = 2 windows). "
+        "The DuckDB oracle derives the same window set arithmetically: both "
+        "engines align sliding starts to multiples of the slide from an "
+        "origin that is itself a multiple of 5 min, so window k for an "
+        "event is time_bucket(slide, ts) - k*slide. Completes the gated "
+        "window-shape coverage: tumbling, session, sliding.")
+def events_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import windowed_event_counts
+
+    e = load_table(spark, sf_dir, "events")
+    w = windowed_event_counts(e, window="10 minutes", slide="5 minutes")
+    return w.select(
+        F.unix_millis(F.col("window_start")).alias("window_start_ms"),
+        F.unix_millis(F.col("window_end")).alias("window_end_ms"),
+        "event_type", "n",
+        F.round(F.col("total_value"), 4).alias("total_value"))

@@ -47,11 +47,16 @@ def windowed_event_counts(events: DataFrame, ts_col: str = "ts",
                           key_col: str = "event_type",
                           value_col: str = "value",
                           window: str = "5 minutes",
-                          watermark: str = "10 minutes") -> DataFrame:
-    """Watermarked tumbling-window counts/sums; append-mode compatible."""
+                          watermark: str = "10 minutes",
+                          slide: str | None = None) -> DataFrame:
+    """Watermarked tumbling-window counts/sums; append-mode compatible.
+    Pass ``slide`` (< window) for overlapping sliding windows — each event
+    then lands in window/slide windows."""
+    win = (F.window(F.col(ts_col), window, slide) if slide
+           else F.window(F.col(ts_col), window))
     return (events
             .withWatermark(ts_col, watermark)
-            .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+            .groupBy(win.alias("w"), F.col(key_col))
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(value_col).alias("total_value"))
             .select(F.col("w.start").alias("window_start"),
