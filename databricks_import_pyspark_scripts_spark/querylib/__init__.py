@@ -85,6 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_decontaminate_benchmark",
     "split_train_holdout",
     "text_sequence_packing",
+    "corpus_sample_weighted",
     "corpus_prep_pipeline",
     "multimodal_image_features",
     "multimodal_frame_plan",

@@ -401,3 +401,54 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("dlf"), 4).alias("dup_line_frac"),
         F.round(top_frac, 4).alias("top_bigram_frac"),
         ((F.col("dlf") > 0.30) | (top_frac > 0.18)).alias("is_repetitive"))
+
+
+# Per-language keep rates (per-mille) for the temperature-sampling exemplar:
+# up-weight high-resource, down-weight the rest — the data-mixing shape of
+# an LLM pre-training pipeline. Shared by the Spark query and its oracle.
+SAMPLING_WEIGHTS: dict[str, int] = {"en": 900, "fr": 750, "es": 500, "de": 250}
+SAMPLING_DEFAULT = 100
+
+
+def _weighted_sample_oracle() -> str:
+    from .dedup import _hex_to_bigint_sql
+
+    bucket = (_hex_to_bigint_sql("md5(CAST(doc_id AS VARCHAR))", 1, 8)
+              + " % 1000")
+    thr = ("CASE " + " ".join(
+        f"WHEN lang = '{lg}' THEN {w}"
+        for lg, w in SAMPLING_WEIGHTS.items())
+        + f" ELSE {SAMPLING_DEFAULT} END")
+    return f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN {bucket} < {thr} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM documents
+    GROUP BY lang
+    """
+
+
+@register(
+    "corpus_sample_weighted",
+    _weighted_sample_oracle(),
+    doc="Deterministic temperature sampling (data mixing): each doc keeps "
+        "with a per-language probability via its md5 id-hash bucket — no "
+        "rand(), so membership is reproducible across runs, engines and "
+        "cluster sizes, and the keep decision is a pushdown-friendly "
+        "per-row predicate at ingest (same mechanism as split_bucket_col, "
+        "1000 buckets). The thresholds are shared constants, so the oracle "
+        "cannot drift from the Spark side.")
+def corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import split_bucket_col
+
+    d = load_table(spark, sf_dir, "documents")
+    thr = None
+    for lg, w in SAMPLING_WEIGHTS.items():
+        cond = F.when(F.col("lang") == lg, F.lit(w))
+        thr = cond if thr is None else thr.when(F.col("lang") == lg, F.lit(w))
+    thr = thr.otherwise(F.lit(SAMPLING_DEFAULT))
+    kept = (split_bucket_col(F.col("doc_id"), 1000) < thr).cast("long")
+    return (d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept).alias("n_kept")))
