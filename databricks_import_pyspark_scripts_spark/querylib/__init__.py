@@ -102,11 +102,12 @@ _PRIORITY: tuple[str, ...] = (
     "grouped_map_zscore",
     "pandas_udf_sigmoid",
     "pandas_udaf_rms",
-    "udtf_document_tokens",
     "approx_sketches",
-    "percentiles_exact",
     "window_sessionization_ids",
     "window_range_interval_frame",
+    # attested green in r3 — safe past the ~50-query window edge
+    "udtf_document_tokens",
+    "percentiles_exact",
     "subquery_correlated_above_avg",
     "subquery_in_and_exists",
     "grouping_sets_explicit",
