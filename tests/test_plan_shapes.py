@@ -1,0 +1,70 @@
+"""Plan-shape regression tests: the scale-critical physical-plan properties
+SCALE.md claims (broadcasts, single signature execution) must survive
+refactors — a silently changed plan shape is a 100 TB regression even when
+results stay correct.
+
+Node counting: `explainString("formatted")` prints every node twice (tree
+skeleton + "(N) NodeName" detail header), so nodes are counted via the
+detail-header regex. One logical pandas_udf can also surface as a stacked
+ArrowEvalPython pair, so execution counts are asserted through SCAN counts
+(a re-executed pipeline always re-scans its source)."""
+
+from __future__ import annotations
+
+import re
+
+from databricks_import_pyspark_scripts_spark.querylib import all_queries
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(  # noqa: SLF001
+        df.sparkSession._jvm.org.apache.spark.sql.execution  # noqa: SLF001
+        .ExplainMode.fromString("formatted"))
+
+
+def _nodes(plan: str, name: str) -> int:
+    return len(re.findall(rf"^\(\d+\) {name}\s*$", plan, re.MULTILINE))
+
+
+def _scans(plan: str, table: str) -> int:
+    return plan.count(f"{table}.parquet]")
+
+
+def test_minhash_signature_pipeline_executes_once(spark, sf_dir):
+    """The Arrow signature stage must appear exactly once and documents must
+    scan exactly 3 times (1 signature pipeline + 2 shingle-verify sides):
+    the bucket-pair restructure exists to stop the band table's consumers
+    re-executing the signature pipeline (the old self-join shape ran it
+    twice unless persisted)."""
+    df = all_queries()["dedup_minhash_lsh"](spark, sf_dir)
+    plan = _plan(df)
+    assert _nodes(plan, "ArrowEvalPython") == 1
+    assert _scans(plan, "documents") == 3
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    """The benchmark shingle set must broadcast: the corpus side streams
+    map-side through the candidate join and never shuffles its shingles."""
+    df = all_queries()["dedup_decontaminate_benchmark"](spark, sf_dir)
+    plan = _plan(df)
+    assert _nodes(plan, "BroadcastHashJoin") >= 1
+
+
+def test_q5_dimensions_all_broadcast(spark, sf_dir):
+    """TPC-H Q5 shape: every dimension side broadcasts; only the
+    orders-lineitem fact join shuffles — the one-big-shuffle plan that
+    holds at 100 TB."""
+    df = all_queries()["q5_region_supplier_volume"](spark, sf_dir)
+    plan = _plan(df)
+    assert _nodes(plan, "BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_dedup_single_bucket_build(spark, sf_dir):
+    """The Arrow bucket build runs once: embeddings scan exactly 3 times
+    (1 bucket pipeline + 2 cosine-verify sides). A 4th scan means the
+    bucket-table self-join shape crept back."""
+    df = all_queries()["dedup_embedding_cosine"](spark, sf_dir)
+    plan = _plan(df)
+    assert _scans(plan, "embeddings") == 3
