@@ -24,7 +24,9 @@ FORMATS = ("json", "parquet", "csv", "orc")
 
 
 def write_export(df: DataFrame, path: str, fmt: str = "parquet",
-                 max_records_per_file: int | None = None) -> None:
+                 max_records_per_file: int | None = None,
+                 cluster_by: list[str] | None = None,
+                 cluster_partitions: int | None = None) -> None:
     """Overwrite-mode export write.
 
     ``json``/``parquet`` are reference parity (W1/W2); ``csv``/``orc``
@@ -40,10 +42,29 @@ def write_export(df: DataFrame, path: str, fmt: str = "parquet",
     default happens to be — this per-file cap is what lets the coalesce/
     none strategies skip the reference's count-then-repartition double
     execution entirely.
+
+    ``cluster_by`` range-clusters the output on the given columns
+    (``repartitionByRange`` + ``sortWithinPartitions``): each output file
+    then covers a narrow, mostly-disjoint key range, so parquet/orc footer
+    min/max stats let later scans with predicates on those columns skip
+    whole files/row groups. At 100 TB this is the difference between a
+    point-lookup reading one file and reading the dataset; it costs one
+    range shuffle at write time (sampling pass included). The Z-order-lite
+    answer for the single-dimension case — multi-dimension clustering
+    belongs in a table format, not a plain-parquet writer.
+    ``cluster_partitions`` pins the range-partition count (= file count
+    before per-file caps); left None, AQE sizes the ranges by its advisory
+    partition bytes — the right default at scale.
     """
     if fmt not in FORMATS:
         raise ValueError(f"unknown format {fmt!r}; expected one of {FORMATS}")
     out = df if fmt in ("json", "csv") else drop_void_fields(df)
+    if cluster_by:
+        if cluster_partitions is not None:
+            out = out.repartitionByRange(cluster_partitions, *cluster_by)
+        else:
+            out = out.repartitionByRange(*cluster_by)
+        out = out.sortWithinPartitions(*cluster_by)
     w = out.write.mode("overwrite")
     if max_records_per_file is not None:
         w = w.option("maxRecordsPerFile", max_records_per_file)

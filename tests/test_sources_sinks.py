@@ -125,3 +125,38 @@ def test_load_table_normalizes_ntz_timestamps(spark, tmp_path):
     got = {r.event_id: r.us for r in
            df.selectExpr("event_id", "unix_micros(ts) AS us").collect()}
     assert got == {1: micros[0], 2: micros[1]}
+
+
+def test_clustered_write_produces_disjoint_file_ranges(spark, tmp_path):
+    """cluster_by range-clusters output files: per-file min/max footer
+    stats over the cluster column must be (near-)disjoint so predicate
+    scans can skip whole files — the property the option exists for."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from databricks_import_pyspark_scripts_spark.sinks.writers import (
+        write_export,
+    )
+
+    df = (spark.range(0, 10_000)
+          .selectExpr("id", "id % 97 AS k", "CAST(id AS STRING) AS s")
+          .repartition(8))  # deliberately scrambled input
+    out = str(tmp_path / "clustered")
+    write_export(df, out, "parquet", cluster_by=["id"], cluster_partitions=6)
+    ranges = []
+    for f in sorted(glob.glob(f"{out}/part-*.parquet")):
+        meta = pq.ParquetFile(f).metadata
+        idx = meta.schema.names.index("id")
+        los, his = [], []
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            los.append(st.min)
+            his.append(st.max)
+        ranges.append((min(los), max(his)))
+    assert len(ranges) > 1, "expected multiple range-clustered files"
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"file ranges overlap: {(lo1, hi1)} vs {(lo2, hi2)}"
+    # every row survived the clustering shuffle
+    assert spark.read.parquet(out).count() == 10_000
