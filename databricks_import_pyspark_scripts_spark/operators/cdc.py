@@ -71,10 +71,28 @@ def derive_changes(old: DataFrame, new: DataFrame, keys: list[str],
     comparison and produce nothing. Output carries the three CDC metadata
     columns the reference consumes (`_commit_timestamp` is the wall-clock of
     derivation, matching Delta's commit-time semantics).
+
+    Additive schema evolution (Delta behavior): a column present in only
+    one snapshot is NULL-padded on the other side before the diff, so
+    adding a column does not reject the commit — an old row whose only
+    difference is the new column being non-NULL in ``new`` becomes a
+    regular update pair. A column whose TYPE differs between snapshots is
+    still rejected (Delta requires an explicit overwriteSchema for that).
     """
+    for c in set(old.columns) & set(new.columns):
+        ot, nt = old.schema[c].dataType, new.schema[c].dataType
+        if ot != nt:
+            raise ValueError(
+                f"column {c!r} changed type {ot} -> {nt}; additive "
+                f"evolution only (NULL-padding cannot relabel types)")
+    for c in new.columns:
+        if c not in old.columns:
+            old = old.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
+    for c in old.columns:
+        if c not in new.columns:
+            new = new.withColumn(c, F.lit(None).cast(old.schema[c].dataType))
+    new = new.select(*old.columns)  # one canonical column order
     value_cols = [c for c in new.columns if c not in keys]
-    if old.columns != new.columns:
-        raise ValueError(f"schema mismatch: {old.columns} vs {new.columns}")
 
     def tagged(df: DataFrame, side: str) -> DataFrame:
         # presence marker, NOT key-isNotNull: the join matches NULL keys via

@@ -119,13 +119,22 @@ def read_snapshot(spark: SparkSession, root: str, table: str,
 
 
 def read_changes(spark: SparkSession, root: str, table: str,
-                 starting_version: int, ending_version: int) -> DataFrame:
+                 starting_version: int, ending_version: int,
+                 merge_schema: bool = True) -> DataFrame:
     """Change rows for versions in ``(starting_version, ending_version]`` (S2).
 
     Keeps the three CDC metadata columns; downstream ``cdc.filter_data``
     consumes and drops them. The ``_commit_version`` range predicate prunes
     changelog partitions at the scan (changelog is written partitioned by
     ``_commit_version``).
+
+    ``merge_schema`` (default on) makes the scan schema the UNION of all
+    version partitions' schemas: a column added in a later table version
+    reads as NULL for earlier versions' change rows instead of vanishing —
+    Delta CDF's additive schema-evolution behavior, which a long-lived
+    changelog WILL hit. The cost is a footer read per file at planning
+    time, bounded by the version-range pruning that already limits which
+    files are listed.
     """
     if _delta_available(spark):
         return (spark.read.format("delta")
@@ -157,7 +166,10 @@ def read_changes(spark: SparkSession, root: str, table: str,
             f"{min(available)}; requested changes from {starting_version + 1} "
             f"(vacuumed?)")
     from .registry import _normalize_ntz
-    df = _normalize_ntz(spark.read.parquet(path))
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = _normalize_ntz(reader.parquet(path))
     return df.filter(
         (F.col("_commit_version") > F.lit(starting_version))
         & (F.col("_commit_version") <= F.lit(ending_version)))

@@ -198,3 +198,40 @@ def test_commit_snapshot_rejects_version_equal_base(spark, tmp_path):
     with _pytest.raises(ValueError, match="base_version"):
         commit_snapshot(spark, v1, str(tmp_path), "t", version=1, keys=["id"],
                         base_version=1)
+
+
+def test_changelog_schema_evolution_union(spark, tmp_path):
+    """Additive schema evolution across versions (Delta CDF behavior): a
+    column introduced in a later version must surface as NULL on earlier
+    versions' change rows when reading a range spanning both — without
+    mergeSchema, whichever partition Spark sampled first would silently
+    decide the schema and the other version's column would vanish."""
+    from databricks_import_pyspark_scripts_spark.sinks.versioned_writer import (
+        commit_snapshot,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.versioned import (
+        read_changes,
+    )
+
+    root = str(tmp_path / "evo")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string")
+    commit_snapshot(spark, v1, root, "t", version=1, keys=["id"])
+    v2 = spark.createDataFrame(
+        [(1, "a", 0.5), (2, "b2", 0.7), (3, "c", 0.9)],
+        "id long, val string, score double")
+    commit_snapshot(spark, v2, root, "t", version=2, keys=["id"],
+                    base_version=1)
+
+    ch = read_changes(spark, root, "t", 1, 2)
+    assert "score" in ch.columns
+    # the old side of the diff never had `score`: preimages are NULL-padded
+    pre = ch.filter("_change_type = 'update_preimage'").collect()
+    assert pre and all(r.score is None for r in pre)
+    # id 1 changed ONLY in the new column — still a real update pair
+    assert {r.id for r in pre} == {1, 2}
+    post = {r.id: r.score for r in
+            ch.filter("_change_type = 'update_postimage'").collect()}
+    assert post == {1: 0.5, 2: 0.7}
+    ins = {r.id: r.score for r in
+           ch.filter("_change_type = 'insert'").collect()}
+    assert ins == {3: 0.9}
