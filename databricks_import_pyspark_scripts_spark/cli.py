@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default=MAX_RECORDS_PER_OUTPUT_FILE)
     p.add_argument("--target-partitions", type=int, default=None)
     p.add_argument("--ingestion-in-mutability-mode", action="store_true")
+    p.add_argument("--cluster-by", default=None,
+                   help="comma-separated columns to range-cluster output "
+                        "files on (file-level data skipping for downstream "
+                        "scans; supersedes the partitioning strategy's layout)")
     return p
 
 
@@ -70,6 +74,8 @@ def main(argv: list[str] | None = None) -> int:
         max_records_per_file=args.max_records_per_file,
         target_partitions=args.target_partitions,
         mutability_mode=args.ingestion_in_mutability_mode,
+        cluster_by=([c.strip() for c in args.cluster_by.split(",") if c.strip()]
+                    if args.cluster_by else None),
     )
     report = run_unload(spark, job)
     print(json.dumps(report, default=str))

@@ -59,6 +59,11 @@ class UnloadJob:
     max_records_per_file: int = MAX_RECORDS_PER_OUTPUT_FILE
     target_partitions: int | None = None
     mutability_mode: bool = False
+    # range-cluster output files on these columns (file-level data skipping
+    # for downstream scans); adds one range shuffle at write time and makes
+    # a repartition/coalesce strategy's layout moot (the range exchange is
+    # the final layout)
+    cluster_by: list[str] | None = None
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex)
 
 
@@ -147,6 +152,25 @@ def _write_with_observed_count(spark: SparkSession, job: UnloadJob,
     input to the shuffle); ``coalesce``/``none`` write in one pass with an
     observe() metric.
     """
+    from pyspark.sql import Observation
+
+    if job.cluster_by:
+        # Clustering IS the final layout (range exchange), so every
+        # strategy takes the observe path. The observe node must sit ABOVE
+        # the range exchange: repartitionByRange runs a separate sampling
+        # job over its child subtree to pick range bounds, and a
+        # CollectMetrics inside that subtree would be executed twice —
+        # measured: the row metric doubled.
+        clustered = (df.repartitionByRange(*job.cluster_by)
+                     .sortWithinPartitions(*job.cluster_by))
+        obs = Observation(f"unload_{job.run_id}")
+        observed = clustered.observe(obs, F.count(F.lit(1)).alias("rows"))
+        write_export(observed, job.output_path, job.fmt,
+                     max_records_per_file=job.max_records_per_file)
+        row_count = int(obs.get["rows"])
+        return row_count, calculate_num_partitions(
+            df, job.max_records_per_file, job.target_partitions,
+            precomputed_count=row_count)
     if job.partitioning_strategy == "repartition" and job.target_partitions is None:
         n = df.count()  # unavoidable: the partition count feeds the shuffle
         sized = size_output(df, "repartition", job.max_records_per_file,
@@ -155,8 +179,6 @@ def _write_with_observed_count(spark: SparkSession, job: UnloadJob,
                      max_records_per_file=job.max_records_per_file)
         return n, calculate_num_partitions(df, job.max_records_per_file,
                                            precomputed_count=n)
-    from pyspark.sql import Observation
-
     obs = Observation(f"unload_{job.run_id}")
     observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
     if job.partitioning_strategy == "coalesce":

@@ -42,3 +42,49 @@ def test_cli_requires_sql(tmp_path):
         capture_output=True, text=True, cwd="/root/repo", timeout=60,
     )
     assert proc.returncode == 2
+
+
+def test_cli_cluster_by_produces_range_clustered_parquet(spark, tmp_path):
+    """--cluster-by flows CLI -> UnloadJob -> write_export: the export's
+    parquet files carry narrow, disjoint ranges of the cluster column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    spark.range(0, 2000).selectExpr("id", "id % 7 AS grp") \
+        .repartition(4).write.parquet(f"{root}/tbl/v=1")
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "databricks_import_pyspark_scripts_spark.cli",
+         "--source-root", root,
+         "--table-versions-map", "tbl=0-1",
+         "--sql", "SELECT id, grp FROM tbl",
+         "--output-path", out,
+         "--format", "parquet",
+         "--cluster-by", "id",
+         "--max-records-per-file", "500"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        env={"SPARK_GRAFT_CPUS": "4", "PATH": "/usr/bin:/bin",
+             "HOME": "/root", "JAVA_HOME": __import__("os").environ.get("JAVA_HOME", "")},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["rows"] == 2000
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) >= 2  # maxRecordsPerFile=500 over 2000 rows
+    ranges = []
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        idx = meta.schema.names.index("id")
+        stats = [meta.row_group(rg).column(idx).statistics
+                 for rg in range(meta.num_row_groups)]
+        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    ranges.sort()
+    overlaps = sum(1 for (l1, h1), (l2, h2) in zip(ranges, ranges[1:])
+                   if h1 > l2)
+    # AQE may coalesce the tiny range shuffle into one partition which
+    # maxRecordsPerFile then splits sequentially — still perfectly
+    # clustered; assert no overlapping file ranges either way
+    assert overlaps == 0, f"overlapping file ranges: {ranges}"
