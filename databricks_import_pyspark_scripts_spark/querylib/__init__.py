@@ -65,6 +65,7 @@ _PRIORITY: tuple[str, ...] = (
     "void_scrub_projection",
     "dedup_exact_fingerprint",
     "dedup_exact_with_duplicates",
+    "dedup_incremental_new_docs",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_pairs",

@@ -400,3 +400,39 @@ def dedup_decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame
         F.coalesce(F.col("n_shared"), F.lit(0).cast("long"))
             .alias("n_shared_shingles"),
         (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias("contaminated")))
+
+
+@register(
+    "dedup_incremental_new_docs",
+    f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string({_TOKENS_SQL}, ' ')) AS fingerprint
+      FROM documents
+    ), history AS (
+      SELECT DISTINCT fingerprint FROM fp WHERE doc_id < 400
+    )
+    SELECT f.doc_id, f.fingerprint,
+           h.fingerprint IS NOT NULL AS seen_before
+    FROM fp f LEFT JOIN history h ON f.fingerprint = h.fingerprint
+    WHERE f.doc_id >= 400
+    """,
+    doc="Incremental ingest dedup: fingerprint the NEW batch (doc_id >= "
+        "400) and mark which docs already exist in the historical corpus "
+        "(doc_id < 400) by md5 content fingerprint. The batch-incremental "
+        "form of exact dedup a continuously-fed pipeline runs on every "
+        "ingest: at 100 TB the history side is a fingerprint-only "
+        "projection (32-byte hashes, not documents) read from the "
+        "fingerprint column stored at ingest, and the new batch is tiny — "
+        "AQE broadcasts it, so the history scan streams map-side and "
+        "nothing large shuffles.")
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", fingerprint_col(F.col("text")).alias("fingerprint"))
+    history = (fp.filter(F.col("doc_id") < 400)
+               .select("fingerprint").distinct()
+               .withColumn("seen", F.lit(True)))
+    new_batch = fp.filter(F.col("doc_id") >= 400)
+    return (new_batch.join(history, "fingerprint", "left")
+            .select("doc_id", "fingerprint",
+                    F.coalesce(F.col("seen"), F.lit(False)).alias("seen_before")))
