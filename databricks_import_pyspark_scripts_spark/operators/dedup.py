@@ -105,6 +105,45 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     ])
 
 
+_TOKEN_RE = re.compile(TOKEN_PATTERN)
+
+
+def _py_shingles(text: str, k: int) -> list[str]:
+    """Python twin of ``shingles_col`` (same regex, same join, distinct),
+    shared by the Arrow signature and shingle paths so they cannot drift."""
+    toks = _TOKEN_RE.findall(text.lower())
+    if len(toks) < k:
+        return [" ".join(toks)]
+    # dict.fromkeys = distinct; set SEMANTICS are what downstream consumers
+    # rely on (min over hashes, intersect/union sizes), so order is free
+    return list(dict.fromkeys(
+        " ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)))
+
+
+def shingles_pd_df(df: DataFrame, id_col: str, text_col: str,
+                   k: int = SHINGLE_K) -> DataFrame:
+    """(id, sh): distinct shingle arrays via an Arrow batch UDF.
+
+    Same sets as ``shingles_col`` but ~10x faster on a corpus-wide
+    projection: the expression form's nested transform/slice lambdas run
+    interpreted (measured 2.3 s single-threaded at sf0.1 — the dominant
+    cost of the LSH verify stage), while this is one Python pass per Arrow
+    batch, repartitioned across cores. Element ORDER differs from the
+    expression form; every consumer (Jaccard intersect/union sizes) is
+    order-insensitive by construction.
+    """
+
+    @pandas_udf("array<string>")
+    def _sh(texts: pd.Series) -> pd.Series:
+        return pd.Series([
+            None if t is None else _py_shingles(t, k) for t in texts])
+
+    base = df.select(F.col(id_col), F.col(text_col))
+    base = base.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    return base.select(F.col(id_col), _sh(F.col(text_col)).alias("sh"))
+
+
 def minhash_signatures_pd(df: DataFrame, id_col: str, text_col: str,
                           num_hashes: int = NUM_HASHES,
                           k: int = SHINGLE_K) -> DataFrame:
@@ -129,8 +168,6 @@ def minhash_signatures_pd(df: DataFrame, id_col: str, text_col: str,
     exploded form: there, the lone NULL shingle flows md5(NULL) -> NULL
     h1/h2 -> NULL minima (NULL text does NOT drop the document).
     """
-    token_re = re.compile(TOKEN_PATTERN)
-
     @pandas_udf("array<long>")
     def _sigs(texts: pd.Series) -> pd.Series:
         js = np.arange(num_hashes, dtype=np.int64)
@@ -139,13 +176,7 @@ def minhash_signatures_pd(df: DataFrame, id_col: str, text_col: str,
             if t is None:
                 out.append(None)
                 continue
-            toks = token_re.findall(t.lower())
-            if len(toks) < k:
-                sh = [" ".join(toks)]
-            else:
-                # dict.fromkeys = distinct; order is irrelevant under min
-                sh = list(dict.fromkeys(
-                    " ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)))
+            sh = _py_shingles(t, k)
             h1 = np.empty(len(sh), dtype=np.int64)
             h2 = np.empty(len(sh), dtype=np.int64)
             for ix, s in enumerate(sh):
@@ -249,7 +280,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     cand = (bucket_pairs(bands, ["band_idx", "band_hash"], F.col(id_col))
             .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
             .distinct())
-    sh = df.select(F.col(id_col), shingles_col(F.col(text_col), k).alias("sh"))
+    sh = shingles_pd_df(df, id_col, text_col, k)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     return (

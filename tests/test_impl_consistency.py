@@ -189,3 +189,23 @@ def test_minhash_arrow_form_agrees_on_short_docs(spark):
     assert set(expr_form) == {1, 2, 3, 4, 5}
     assert expr_form[3] == (None,) * 16     # NULL text -> NULL sigs
     assert expr_form == arrow_form
+
+
+def test_shingle_arrow_form_agrees_as_sets(spark, sf_dir):
+    """shingles_pd_df must produce the same shingle SETS as shingles_col on
+    the real documents table (order may differ; all consumers — Jaccard
+    intersect/union sizes, minhash minima — are order-insensitive)."""
+    from databricks_import_pyspark_scripts_spark.operators.dedup import (
+        shingles_pd_df,
+    )
+    from databricks_import_pyspark_scripts_spark.operators.text import (
+        shingles_col,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    expr_form = {r.doc_id: frozenset(r.sh) for r in
+                 d.select("doc_id",
+                          shingles_col(F.col("text")).alias("sh")).collect()}
+    arrow_form = {r.doc_id: frozenset(r.sh) for r in
+                  shingles_pd_df(d, "doc_id", "text").collect()}
+    assert expr_form == arrow_form

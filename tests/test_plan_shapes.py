@@ -31,14 +31,14 @@ def _scans(plan: str, table: str) -> int:
 
 
 def test_minhash_signature_pipeline_executes_once(spark, sf_dir):
-    """The Arrow signature stage must appear exactly once and documents must
-    scan exactly 3 times (1 signature pipeline + 2 shingle-verify sides):
-    the bucket-pair restructure exists to stop the band table's consumers
-    re-executing the signature pipeline (the old self-join shape ran it
-    twice unless persisted)."""
+    """Documents must scan exactly 3 times (1 signature pipeline + 2
+    Arrow-shingle verify sides) with 3 Arrow stages (1 signature + 2
+    shingle): the bucket-pair restructure exists to stop the band table's
+    consumers re-executing the signature pipeline (the old self-join shape
+    ran it twice unless persisted — a 4th scan means it crept back)."""
     df = all_queries()["dedup_minhash_lsh"](spark, sf_dir)
     plan = _plan(df)
-    assert _nodes(plan, "ArrowEvalPython") == 1
+    assert _nodes(plan, "ArrowEvalPython") == 3
     assert _scans(plan, "documents") == 3
 
 
