@@ -206,3 +206,22 @@ def test_stream_unload_idempotent_on_batch_redelivery(spark, stream_root, tmp_pa
         q2.stop()
     got = spark.read.parquet(str(tmp_path / "out"))
     assert sorted(r.id for r in got.collect()) == [1, 2, 3]  # no duplicates
+
+
+def test_streaming_sliding_windowed_counts(spark, stream_root):
+    """slide < window on a real stream: each event lands in exactly
+    window/slide overlapping windows (id 1 at 00:00:30 belongs to the
+    [23:55,00:05) and [00:00,00:10) 10-minute windows)."""
+    stream = stream_changelog(spark, stream_root, "ev", CHANGE_SCHEMA)
+    events = cdc_filtered_stream(stream, "EVENT")
+    agg = windowed_event_counts(events, window="10 minutes",
+                                slide="5 minutes", watermark="10 minutes")
+    run_to_memory(agg, "slide_out", output_mode="complete")
+    rows = spark.sql("SELECT * FROM slide_out").collect()
+    # 3 insert events, each in exactly 2 windows -> total n sums to 6
+    assert sum(r.n for r in rows) == 6
+    per_event = {}
+    for r in rows:
+        per_event.setdefault(r.event_type, 0)
+        per_event[r.event_type] += r.n
+    assert per_event == {"click": 4, "view": 2}
