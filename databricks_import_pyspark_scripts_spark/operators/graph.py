@@ -71,3 +71,94 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
         f"rounds (graph diameter exceeds the budget) — returning would "
         f"silently split true components; raise max_iter or switch to the "
         f"large-star/small-star variant for high-diameter graphs")
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    return (edges.select("a", "b")
+            .unionByName(edges.select(F.col("b").alias("a"),
+                                      F.col("a").alias("b")))
+            .filter(F.col("a") != F.col("b")))
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star or small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond").
+
+    For each node u with neighborhood G(u) and m = min(G(u) + {u}):
+    large-star links every neighbor v > u to m; small-star links every
+    v <= u in G(u) + {u} (except m itself) to m. One shuffle each (the
+    groupBy and the join share the partitioning on u).
+    """
+    nbr = _symmetric(edges)
+    mins = (nbr.groupBy("a")
+            .agg(F.min("b").alias("_minb"))
+            .select("a", F.least(F.col("a"), F.col("_minb")).alias("m")))
+    j = nbr.join(mins, "a")
+    if large:
+        out = (j.filter(F.col("b") > F.col("a"))
+               .select(F.col("b").alias("a"), F.col("m").alias("b")))
+    else:
+        tail = (j.filter(F.col("b") <= F.col("a"))
+                .select(F.col("b").alias("a"), F.col("m").alias("b")))
+        self_link = mins.select(F.col("a"), F.col("m").alias("b"))
+        out = tail.unionByName(self_link)
+    return out.filter(F.col("a") != F.col("b")).distinct()
+
+
+def connected_components_star(vertices: DataFrame, edges: DataFrame,
+                              id_col: str = "id", src_col: str = "src",
+                              dst_col: str = "dst",
+                              max_iter: int = 30) -> DataFrame:
+    """(id, component) via alternating large-star/small-star contraction —
+    the O(log n)-round form of connected components for HIGH-DIAMETER
+    graphs, where ``connected_components``'s per-round neighbor-min
+    propagation needs diameter-many rounds (a path graph of length 10^6
+    needs 10^6 rounds there, ~40 here: each alternation roughly halves
+    tree heights, so rounds grow with log(diameter), not diameter).
+
+    Same unique fixpoint (every node linked to its component minimum), so
+    it is gate-checkable against the same recursive-CTE oracle. Each
+    round is two star contractions, checkpointed; the convergence probe
+    rides the checkpoint job via observe() on a (count, hash-sum) edge-set
+    signature, and a stable signature is confirmed with one EXACT
+    set-difference before returning (the signature alone is
+    probabilistic; the confirmation makes termination exact).
+    """
+    spark = vertices.sparkSession
+    sc = spark.sparkContext
+    if not sc.getCheckpointDir():
+        sc.setCheckpointDir("/tmp/spark_graft_checkpoints")
+    e = (_symmetric(edges.select(F.col(src_col).alias("a"),
+                                 F.col(dst_col).alias("b")))
+         .distinct().checkpoint(eager=True))
+    prev_sig = None
+    for it in range(max_iter):
+        stepped = _star_round(_star_round(e, large=True), large=False)
+        obs = Observation(f"cc_star_{it}")
+        stepped = (stepped.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-independent and overflow-free (sum of hashes
+            # trips ANSI long-overflow); xor-cancellation needs the SAME
+            # edge twice, and the set is distinct
+            F.bit_xor(F.xxhash64("a", "b")).alias("h"))
+            .checkpoint(eager=True))
+        sig = (obs.get["n"], obs.get["h"])
+        if sig == prev_sig:
+            # exact confirmation: signatures are probabilistic
+            if (stepped.exceptAll(e).unionByName(e.exceptAll(stepped))
+                    .limit(1).count() == 0):
+                e = stepped
+                break
+        prev_sig = sig
+        e = stepped
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge within "
+            f"max_iter={max_iter} alternations")
+    roots = e.groupBy("a").agg(F.min("b").alias("root"))
+    labels = vertices.select(F.col(id_col).alias("id"))
+    return (labels.join(roots, labels.id == roots.a, "left")
+            .select("id",
+                    F.least(F.col("id"), F.coalesce("root", "id"))
+                    .alias("component")))

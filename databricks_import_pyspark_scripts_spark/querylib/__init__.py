@@ -71,6 +71,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard_blocked",
     "dedup_connected_components",
+    "dedup_connected_components_star",
     "dedup_cluster_representatives",
     "dedup_embedding_cosine",
     "similarity_topk_bruteforce",
@@ -102,11 +103,11 @@ _PRIORITY: tuple[str, ...] = (
     "agg_salted_skew",
     "grouped_map_zscore",
     "pandas_udf_sigmoid",
-    "pandas_udaf_rms",
     "approx_sketches",
     "window_sessionization_ids",
     "window_range_interval_frame",
     # attested green in r3 — safe past the ~50-query window edge
+    "pandas_udaf_rms",
     "udtf_document_tokens",
     "percentiles_exact",
     "subquery_correlated_above_avg",

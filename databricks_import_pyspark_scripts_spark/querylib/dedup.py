@@ -436,3 +436,38 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (new_batch.join(history, "fingerprint", "left")
             .select("doc_id", "fingerprint",
                     F.coalesce(F.col("seen"), F.lit(False)).alias("seen_before")))
+
+
+@register(
+    "dedup_connected_components_star",
+    f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle(threshold=0.5)}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.a AS id, reach.r
+      FROM edges e JOIN reach ON e.b = reach.id
+    )
+    SELECT id AS doc_id, MIN(r) AS component
+    FROM reach GROUP BY id
+    """,
+    doc="Connected components via alternating large-star/small-star "
+        "contraction (Kiveris et al.) over the same MinHash near-dup "
+        "graph — the O(log n)-round scale path for HIGH-diameter graphs, "
+        "where per-round min-label propagation needs diameter-many rounds. "
+        "Identical unique fixpoint, so it shares the recursive-CTE oracle "
+        "with dedup_connected_components; tests additionally pin equality "
+        "of both algorithms on random and 400-node-path graphs.")
+def dedup_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components_star
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.5)
+    vertices = d.select(F.col("doc_id").alias("id"))
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components_star(vertices, edges)
+    return cc.select(F.col("id").alias("doc_id"), "component")

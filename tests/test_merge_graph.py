@@ -82,3 +82,55 @@ def test_derive_changes_null_keys(spark):
     assert (1, 10, "delete") in rows
     assert (2, 20, "insert") in rows
     assert len(rows) == 4
+
+
+def test_star_cc_matches_label_propagation_on_random_graph(spark):
+    """Large-star/small-star must reach the exact same fixpoint as the
+    label-propagation form on an arbitrary graph (unique fixpoint: min
+    reachable id per vertex)."""
+    import random
+
+    from databricks_import_pyspark_scripts_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(42)
+    n = 300
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(250)]
+    edges = [(a, b) for a, b in edges if a != b]
+    v = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    base = {r.id: r.component
+            for r in connected_components(v, e, max_iter=50).collect()}
+    star = {r.id: r.component
+            for r in connected_components_star(v, e).collect()}
+    assert star == base
+
+
+def test_star_cc_handles_high_diameter_path(spark):
+    """A 400-node path has diameter 400: label propagation needs ~400
+    rounds (its per-round budget raises), while star contraction closes it
+    in O(log n) alternations — the reason the variant exists."""
+    from databricks_import_pyspark_scripts_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    n = 400
+    v = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    e = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                              "src long, dst long")
+    star = {r.id: r.component for r in
+            connected_components_star(v, e, max_iter=30).collect()}
+    assert star == {i: 0 for i in range(n)}
+
+
+def test_star_cc_isolated_vertices_self_label(spark):
+    from databricks_import_pyspark_scripts_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    v = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    e = spark.createDataFrame([], "src long, dst long")
+    got = {r.id: r.component for r in connected_components_star(v, e).collect()}
+    assert got == {1: 1, 2: 2, 3: 3}
