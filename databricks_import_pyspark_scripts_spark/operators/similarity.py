@@ -52,7 +52,7 @@ def cosine_col(a: Column, b: Column) -> Column:
     return dot_col(a, b) / F.sqrt(dot_col(a, a) * dot_col(b, b))
 
 
-def dot_pd_col(a: Column, b: Column) -> Column:
+def dot_pd_col(a: Column, b: Column, deterministic: bool = True) -> Column:
     """Arrow-vectorized dot product, BIT-IDENTICAL to ``dot_col``.
 
     ``dot_col`` is a sequential left fold: acc = (...((0 + x0*y0) + x1*y1)...).
@@ -81,6 +81,13 @@ def dot_pd_col(a: Column, b: Column) -> Column:
             acc = acc + A[:, i] * B[:, i]
         return pd.Series(acc)
 
+    if not deterministic:
+        # a white lie: the UDF IS deterministic, but the marking stops
+        # Catalyst cloning it into a pushed-down filter on its output
+        # column (the clone re-ran the whole Arrow stage — two stacked
+        # ArrowEvalPython nodes). Use from call sites that filter on the
+        # result; values are unchanged either way.
+        return _dot.asNondeterministic()(a, b)
     return _dot(a, b)
 
 
@@ -142,11 +149,13 @@ def _pair_cosine(q: Column, v: Column, qn2: Column, vn2: Column) -> Column:
     return dot_col(q, v) / F.sqrt(qn2 * vn2)
 
 
-def _pair_cosine_pd(q: Column, v: Column, qn2: Column, vn2: Column) -> Column:
+def _pair_cosine_pd(q: Column, v: Column, qn2: Column, vn2: Column,
+                    deterministic: bool = True) -> Column:
     """``_pair_cosine`` with the Arrow dot product (bit-identical doubles —
-    see ``_dot_fold_pd``) for candidate-pair verify/score stages, where the
-    pair count dwarfs the row count."""
-    return dot_pd_col(q, v) / F.sqrt(qn2 * vn2)
+    see ``dot_pd_col``) for candidate-pair verify/score stages, where the
+    pair count dwarfs the row count. Pass ``deterministic=False`` from
+    call sites that FILTER on the result (see dot_pd_col's note)."""
+    return dot_pd_col(q, v, deterministic) / F.sqrt(qn2 * vn2)
 
 
 def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
@@ -365,7 +374,8 @@ def lsh_table_buckets_pd_df(df: DataFrame, id_col: str, vec_col: str,
     One int64 matmul per Arrow batch replaces the posexplode x 80-column
     aggregation (measured 8.8 s -> sub-second at sf0.1): quantize, multiply
     by the (dim x L*b) +-1 plane matrix, take sign bits, pack per-table
-    bucket ids, posexplode the length-L result array so pos == tbl.
+    bucket ids, and emit the exploded (id, tbl, bucket) rows straight from
+    the batch (mapInPandas — see the inline note on why not posexplode).
 
     Exactness argument (why no consistency gap with the expression form or
     the DuckDB oracle is possible on float32 embeddings):
@@ -386,19 +396,32 @@ def lsh_table_buckets_pd_df(df: DataFrame, id_col: str, vec_col: str,
     planes = planes or rademacher_planes(num_tables * planes_per_table)
     W = np.array(planes, dtype=np.int64).T          # (dim, L*b)
     band_w = (np.int64(1) << np.arange(planes_per_table, dtype=np.int64))
+    tbl_idx = np.arange(num_tables, dtype=np.int32)
 
-    @pandas_udf("array<long>")
-    def _buckets(vs: pd.Series) -> pd.Series:
-        if not len(vs):
-            return pd.Series([], dtype=object)
-        X = np.stack(vs.to_numpy()).astype(np.float64) * QUANT_SCALE
-        Q = np.rint(X).astype(np.int64)
-        bits = (Q @ W >= 0).astype(np.int64)        # (n, L*b)
-        buckets = bits.reshape(len(bits), num_tables, planes_per_table) @ band_w
-        return pd.Series(list(buckets))
+    # mapInPandas emitting the exploded (id, tbl, bucket) rows directly —
+    # NOT pandas_udf + posexplode: Catalyst duplicates a generator-input
+    # UDF expression into the generate's size()>0 pre-filter, so the
+    # posexplode form ran the whole matmul TWICE (two stacked
+    # ArrowEvalPython nodes in the plan; test_plan_shapes pins the single
+    # Python stage).
+    def _bucket_rows(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * QUANT_SCALE
+            Q = np.rint(X).astype(np.int64)
+            bits = (Q @ W >= 0).astype(np.int64)    # (n, L*b)
+            buckets = (bits.reshape(len(bits), num_tables, planes_per_table)
+                       @ band_w)
+            yield pd.DataFrame({
+                id_col: np.repeat(pdf[id_col].to_numpy(), num_tables),
+                "tbl": np.tile(tbl_idx, len(pdf)),
+                "bucket": buckets.reshape(-1),
+            })
 
-    return (df.select(F.col(id_col), _buckets(F.col(vec_col)).alias("bk"))
-            .select(F.col(id_col), F.posexplode("bk").alias("tbl", "bucket")))
+    return (df.select(F.col(id_col), F.col(vec_col))
+            .mapInPandas(_bucket_rows,
+                         schema=f"{id_col} long, tbl int, bucket long"))
 
 
 def lsh_multi_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,

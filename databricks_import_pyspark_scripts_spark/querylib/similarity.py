@@ -264,9 +264,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("n2").alias("n2_a"))
     vvb = v.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"),
                    F.col("n2").alias("n2_b"))
+    # deterministic=False blocks Catalyst from cloning the cosine UDF into
+    # the pushed-down threshold filter (the clone re-ran the whole Arrow
+    # stage — two stacked ArrowEvalPython nodes). Values are unchanged.
     return (cand.join(va, "id_a").join(vvb, "id_b")
             .select("id_a", "id_b",
                     F.round(_pair_cosine_pd(F.col("emb_a"), F.col("emb_b"),
-                                            F.col("n2_a"), F.col("n2_b")), 4)
+                                            F.col("n2_a"), F.col("n2_b"),
+                                            deterministic=False), 4)
                     .alias("cosine"))
             .filter(F.col("cosine") >= NEAR_DUP_THRESHOLD))

@@ -63,8 +63,14 @@ def test_q5_dimensions_all_broadcast(spark, sf_dir):
 
 def test_embedding_dedup_single_bucket_build(spark, sf_dir):
     """The Arrow bucket build runs once: embeddings scan exactly 3 times
-    (1 bucket pipeline + 2 cosine-verify sides). A 4th scan means the
-    bucket-table self-join shape crept back."""
+    (1 bucket pipeline + 2 cosine-verify sides; a 4th scan means the
+    bucket-table self-join shape crept back), and each Python stage is
+    evaluated exactly once — one MapInPandas (bucket matmul; the
+    pandas_udf+posexplode form was cloned into the generate's pre-filter
+    and ran twice) and one ArrowEvalPython (pair cosine; kept single by
+    the asNondeterministic barrier against filter-pushdown cloning)."""
     df = all_queries()["dedup_embedding_cosine"](spark, sf_dir)
     plan = _plan(df)
     assert _scans(plan, "embeddings") == 3
+    assert _nodes(plan, "MapInPandas") == 1
+    assert _nodes(plan, "ArrowEvalPython") == 1
