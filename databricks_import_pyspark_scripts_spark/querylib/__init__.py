@@ -101,12 +101,13 @@ _PRIORITY: tuple[str, ...] = (
     "asof_join_last_purchase",
     "range_join_close_events",
     "agg_salted_skew",
-    "grouped_map_zscore",
-    "pandas_udf_sigmoid",
     "approx_sketches",
+    "approx_heavy_hitters",
     "window_sessionization_ids",
     "window_range_interval_frame",
     # attested green in r3 — safe past the ~50-query window edge
+    "grouped_map_zscore",
+    "pandas_udf_sigmoid",
     "pandas_udaf_rms",
     "udtf_document_tokens",
     "percentiles_exact",

@@ -361,3 +361,48 @@ def pandas_udaf_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregates in one agg() — the UDAF stands alone here.
     return (e.groupBy("event_type")
             .agg(F.round(rms("value"), 6).alias("rms_value")))
+
+
+@register(
+    "approx_heavy_hitters",
+    """
+    WITH exact AS (
+      SELECT l_returnflag, COUNT(*) AS exact_n
+      FROM lineitem GROUP BY l_returnflag
+    ), tot AS (SELECT COUNT(*) AS n FROM lineitem)
+    SELECT l_returnflag,
+           exact_n,
+           exact_n >= 0.40 * (SELECT n FROM tot) AS is_heavy
+    FROM exact
+    """,
+    doc="Count-min-sketch heavy hitters: estimate per-key frequencies from "
+        "a CMS built in ONE pass (eps=0.1%, conf=99%) and flag keys above "
+        "a 40% frequency threshold (l_returnflag is ~50/25/25, so exactly "
+        "one key is heavy). CMS only over-counts (hash collisions add), "
+        "never under-counts, and the ~15-point margins dwarf the 0.1% "
+        "error bound — the is_heavy booleans are engine-independent even "
+        "though DuckDB has no CMS: the oracle computes them exactly. The "
+        "mergeable sketch is the 100 TB path (one pass, fixed memory, "
+        "partial sketches merged across partitions by the aggregate).")
+def approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # the sketch is BUILT distributed (one pass, partial sketches merged by
+    # the aggregate — the 100 TB path); the serialized ~KB sketch is then
+    # probed per candidate key on the driver, which is how CMS is used
+    # operationally (Spark 4.1 has no count_min_sketch_estimate SQL probe)
+    row = li.agg(
+        F.count_min_sketch("l_returnflag", F.lit(0.001), F.lit(0.99),
+                           F.lit(42)).alias("sk"),
+        F.count(F.lit(1)).alias("total")).collect()[0]
+    jvm = spark._jvm  # noqa: SLF001
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(row.sk)))
+    keys = [r.l_returnflag for r in li.select("l_returnflag").distinct().collect()]
+    est = spark.createDataFrame(
+        [(k, int(cms.estimateCount(k))) for k in keys],
+        "l_returnflag string, approx_n long")
+    exact = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("exact_n"))
+    return (exact.join(F.broadcast(est), "l_returnflag")
+            .select("l_returnflag", "exact_n",
+                    (F.col("approx_n") >= 0.40 * F.lit(int(row.total)))
+                    .alias("is_heavy")))
