@@ -63,13 +63,16 @@ def range_join_close_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Python UDTF (table function) exemplar: one row per token per "
         "document — the lateral-view/flatMap API surface. (In production "
         "explode() does this JVM-side; the UDTF path is for logic builtins "
-        "can't express, e.g. real tokenizers.)")
+        "can't express, e.g. real tokenizers.) useArrow=True swaps the "
+        "default row-at-a-time pickle transport (BatchEvalPython in the "
+        "plan) for Arrow batches (ArrowEvalPython) — eval is still called "
+        "per row, but rows cross the JVM/Python boundary columnar.")
 def udtf_document_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     import re
 
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="doc_id bigint, token string")
+    @udtf(returnType="doc_id bigint, token string", useArrow=True)
     class Tokenize:
         def eval(self, doc_id: int, text: str):
             for tok in re.findall(r"[a-z0-9]+", text.lower()):
