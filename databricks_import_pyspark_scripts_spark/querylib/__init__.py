@@ -84,6 +84,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_clean_normalize",
     "text_redact_numbers",
     "text_repetition_filter",
+    "text_gopher_rules",
     "dedup_decontaminate_benchmark",
     "split_train_holdout",
     "text_sequence_packing",
@@ -100,12 +101,12 @@ _PRIORITY: tuple[str, ...] = (
     "events_sliding_window_counts",
     "asof_join_last_purchase",
     "range_join_close_events",
-    "agg_salted_skew",
     "approx_sketches",
     "approx_heavy_hitters",
     "window_sessionization_ids",
     "window_range_interval_frame",
     # attested green in r3 — safe past the ~50-query window edge
+    "agg_salted_skew",
     "grouped_map_zscore",
     "pandas_udf_sigmoid",
     "pandas_udaf_rms",

@@ -452,3 +452,65 @@ def corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(kept).alias("n_kept")))
+
+
+def _gopher_rules_oracle() -> str:
+    from ..operators.text import LANG_STOPWORDS
+
+    en_stops = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+             regexp_extract_all(lower(text), '[a-z]+') AS alpha
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(CASE WHEN len(toks) = 0 THEN 0
+                 ELSE list_sum(list_transform(toks, x -> len(x))) * 1.0
+                      / len(toks) END, 4)                    AS mean_word_len,
+           ROUND(len(alpha) * 1.0 / GREATEST(len(toks), 1), 4) AS alpha_frac,
+           len(list_filter(toks, x -> list_contains([{en_stops}], x))) >= 2
+                                                             AS has_stopwords,
+           (CASE WHEN len(toks) = 0 THEN 0
+                 ELSE list_sum(list_transform(toks, x -> len(x))) * 1.0
+                      / len(toks) END) BETWEEN 3 AND 10
+             AND len(alpha) * 1.0 / GREATEST(len(toks), 1) >= 0.7
+             AND len(list_filter(toks, x -> list_contains([{en_stops}], x))) >= 2
+                                                             AS passes
+    FROM t
+    """
+
+
+@register(
+    "text_gopher_rules",
+    _gopher_rules_oracle(),
+    doc="The remaining Gopher-style quality rules (with the repetition "
+        "rules in text_repetition_filter this completes the family): mean "
+        "word length in [3,10], alphabetic-token fraction >= 0.7, and >= 2 "
+        "English stopword hits (the 'real prose' signal). Pure per-row "
+        "column expressions — zero shuffle, scan-speed at 100 TB. The "
+        "pass/fail booleans compare unrounded small-integer ratios, "
+        "bit-identical across engines; stopword list shared with the "
+        "lang-id operator so the oracle cannot drift.")
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import LANG_STOPWORDS, tokens_col
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    alpha = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    n = F.size(toks)
+    total_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
+    mean_len = F.when(n == 0, F.lit(0.0)).otherwise(total_len * 1.0 / n)
+    alpha_frac = F.size(alpha) * 1.0 / F.greatest(n, F.lit(1))
+    stops = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    passes = (mean_len.between(3, 10) & (alpha_frac >= 0.7)
+              & (stop_hits >= 2))
+    return d.select(
+        "doc_id",
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(alpha_frac, 4).alias("alpha_frac"),
+        (stop_hits >= 2).alias("has_stopwords"),
+        passes.alias("passes"))
