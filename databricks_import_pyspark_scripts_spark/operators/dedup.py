@@ -53,6 +53,18 @@ SIMHASH_BITS = 60
 SIMHASH_BANDS = 4      # pigeonhole minimum for hamming <= SIMHASH_BANDS-1 = 3
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15 -> 2^15 band values
 
+# Degenerate-bucket guard for bucket_pairs. LSH banding bounds the EXPECTED
+# bucket size (~n/2^band_bits), but an adversarial corpus — millions of
+# byte-identical documents — lands its whole duplicate mass in one bucket and
+# the within-bucket pair explode goes quadratic (10M ids -> ~5e13 pairs).
+# The contract is: exact-duplicate mass MUST be collapsed to one
+# representative before near-dup LSH (collapse_exact_reps — wired into
+# minhash_lsh_pairs and the embedding dedup query by default); the cap is the
+# safety valve for near-identical-but-not-exact mass that survives collapse.
+# An honest near-dup bucket larger than this is indistinguishable from "these
+# are all duplicates of each other" — pair-level resolution adds nothing.
+MAX_BUCKET = 1000
+
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """One representative row id (the min id) per distinct key tuple.
@@ -220,8 +232,34 @@ def jaccard_col(a: Column, b: Column) -> Column:
     return inter / F.greatest(union, F.lit(1))
 
 
+def collapse_exact_reps(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, text) with exact-duplicate texts collapsed to the min-id
+    representative (dedup on the token-normalized md5 fingerprint, the same
+    key ``exact_dedup`` queries use).
+
+    The mandatory pre-pass before near-dup LSH on a duplicate-heavy corpus:
+    N byte-identical documents produce N identical signatures, land in one
+    LSH bucket, and explode ~N^2/2 candidate pairs — all of which carry zero
+    information (exact duplicates ARE duplicates; no verify needed). One
+    hash shuffle on the fingerprint; min_by keeps the representative's text
+    deterministically (and any member's text would do — equal fingerprints
+    mean equal token streams, hence equal shingles and signatures).
+
+    Members map to their representative via ``exact_dedup`` output; near-dup
+    pairs among representatives then extend to members transitively.
+    """
+    fp = df.select(F.col(id_col), F.col(text_col),
+                   F.md5(F.array_join(tokens_col(F.col(text_col)), " "))
+                   .alias("_fp"))
+    return (fp.groupBy("_fp")
+            .agg(F.min(id_col).alias(id_col),
+                 F.min_by(text_col, id_col).alias(text_col))
+            .select(id_col, text_col))
+
+
 def bucket_pairs(bands: DataFrame, bucket_cols: list[str],
-                 item_col: Column) -> DataFrame:
+                 item_col: Column,
+                 max_bucket: int | None = None) -> DataFrame:
     """All unordered within-bucket pairs: group rows by ``bucket_cols``,
     sort each bucket's items, explode every (i < j) combination as
     ``(a, b)`` structs.
@@ -243,11 +281,24 @@ def bucket_pairs(bands: DataFrame, bucket_cols: list[str],
     would stream — but its quadratic PAIR OUTPUT is the real bound in both
     shapes, and banding with 2^15+ values per band is what keeps buckets
     small. AQE skew handling applies to the groupBy shuffle as usual.
+
+    ``max_bucket`` is the degenerate-bucket guard: buckets larger than the
+    cap are DROPPED before the pair explode, bounding output at
+    O(buckets x cap^2). (The bucket's id ARRAY still materializes once in
+    the aggregate — linear, ~8 bytes/id, fine even for a pathological
+    10M-id bucket; it is the quadratic explode the cap prevents.)
+    Contract (see ``MAX_BUCKET``): exact-duplicate mass must be collapsed by
+    ``collapse_exact_reps``/``exact_dedup`` FIRST — an over-cap bucket on a
+    collapsed corpus means near-identical mass where pair-level resolution
+    carries no information. The size filter rides the same aggregate that
+    builds the bucket (no extra pass); None = unbounded.
     """
     sorted_items = F.array_sort(F.collect_list(item_col))
     buckets = (bands.groupBy(*bucket_cols)
                .agg(sorted_items.alias("items"))
                .filter(F.size("items") >= 2))
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("items") <= max_bucket)
     pair_arr = F.flatten(F.transform(
         F.col("items"),
         lambda x, i: F.transform(
@@ -260,9 +311,19 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       threshold: float = 0.5,
                       num_hashes: int = NUM_HASHES,
                       num_bands: int = NUM_BANDS,
-                      k: int = SHINGLE_K) -> DataFrame:
+                      k: int = SHINGLE_K,
+                      collapse_exact: bool = True,
+                      max_bucket: int | None = MAX_BUCKET) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard) via MinHash-LSH candidates
     verified with exact Jaccard >= threshold.
+
+    Duplicate-heavy corpora: with ``collapse_exact`` (the default), exact-
+    duplicate texts are collapsed to their min-id representative BEFORE
+    signatures (``collapse_exact_reps``), so N byte-identical documents
+    contribute one band row instead of an N^2/2 pair explosion; output pairs
+    are between representatives (members rejoin via ``exact_dedup``).
+    ``max_bucket`` additionally drops degenerate buckets — the safety valve
+    for near-identical-but-not-exact mass (see ``MAX_BUCKET``).
 
     Plan shape at scale: Arrow minhash signatures (narrow) -> band explode ->
     ONE shuffle on (band_idx, band_hash) -> within-bucket pair explode
@@ -276,8 +337,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     scale it broadcasts the candidates so corpus shingle arrays never
     shuffle — the second corpus pass is then pure map-side CPU).
     """
-    bands = minhash_bands(df, id_col, text_col, num_hashes, num_bands, k)
-    cand = (bucket_pairs(bands, ["band_idx", "band_hash"], F.col(id_col))
+    base = collapse_exact_reps(df, id_col, text_col) if collapse_exact else df
+    bands = minhash_bands(base, id_col, text_col, num_hashes, num_bands, k)
+    cand = (bucket_pairs(bands, ["band_idx", "band_hash"], F.col(id_col),
+                         max_bucket=max_bucket)
             .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
             .distinct())
     sh = shingles_pd_df(df, id_col, text_col, k)
@@ -394,7 +457,8 @@ def simhash_bands_df(sigs: DataFrame, id_col: str = "doc_id",
 
 def simhash_pairs(sigs: DataFrame, id_col: str = "doc_id",
                   sim_col: str = "simhash",
-                  max_hamming: int = SIMHASH_BANDS - 1) -> DataFrame:
+                  max_hamming: int = SIMHASH_BANDS - 1,
+                  max_bucket: int | None = MAX_BUCKET) -> DataFrame:
     """(id_a, id_b, hamming) near-dup pairs from simhash signatures.
 
     Banded bucket grouping for candidates (never O(n^2): one shuffle on
@@ -407,10 +471,15 @@ def simhash_pairs(sigs: DataFrame, id_col: str = "doc_id",
     the earlier self-join shape re-executed it per join side (measured 8
     re-executions, ~30 s at sf0.01) unless persisted, and that persist
     leaked pinned blocks into long-lived sessions.
+
+    ``max_bucket`` drops degenerate buckets before the pair explode; exact-
+    duplicate mass (identical signatures) must be collapsed upstream — see
+    ``MAX_BUCKET``/``collapse_exact_reps``.
     """
     bands = simhash_bands_df(sigs, id_col, sim_col)
     item = F.struct(F.col(id_col).alias("id"), F.col(sim_col).alias("sh"))
-    cand = (bucket_pairs(bands, ["band_idx", "band"], item)
+    cand = (bucket_pairs(bands, ["band_idx", "band"], item,
+                         max_bucket=max_bucket)
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                     F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
             .distinct())

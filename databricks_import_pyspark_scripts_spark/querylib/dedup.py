@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    MAX_BUCKET,
     NUM_BANDS,
     NUM_HASHES,
     ROWS_PER_BAND,
@@ -48,7 +49,10 @@ def _hex_to_bigint_sql(expr: str, start: int, width: int = 13) -> str:
 
 def _minhash_oracle(threshold: float) -> str:
     # twin of operators.dedup.minhash_signatures: one md5 per shingle, 52-bit
-    # hex-half integers, affine family min(h1 + j*h2)
+    # hex-half integers, affine family min(h1 + j*h2). Mirrors the Spark
+    # side's exact-dup pre-collapse (collapse_exact_reps: bands computed over
+    # min-id fingerprint representatives) and the MAX_BUCKET degenerate-
+    # bucket guard (buckets over the cap emit no candidate pairs).
     sig_exprs = ",\n           ".join(
         f"MIN(h1 + {j} * h2) AS sig{j}" for j in range(NUM_HASHES))
     band_selects = "\n      UNION ALL ".join(
@@ -59,25 +63,38 @@ def _minhash_oracle(threshold: float) -> str:
                 for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)))
         for b in range(NUM_BANDS))
     return f"""
-    WITH sh AS (
+    WITH reps AS (
+      SELECT MIN(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+      FROM (SELECT doc_id, text,
+                   md5(array_to_string({_TOKENS_SQL}, ' ')) AS f
+            FROM documents)
+      GROUP BY f
+    ), sh AS (
       SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+    ), rsh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM reps
     ), hs AS (
       SELECT doc_id,
              {_hex_to_bigint_sql('h', 1)} AS h1,
              {_hex_to_bigint_sql('h', 14)} AS h2
-      FROM (SELECT doc_id, md5(unnest(sh)) AS h FROM sh)
+      FROM (SELECT doc_id, md5(unnest(sh)) AS h FROM rsh)
     ), sig AS (
       SELECT doc_id,
            {sig_exprs}
       FROM hs GROUP BY doc_id
     ), bands AS (
       {band_selects}
+    ), ok AS (
+      SELECT band_idx, band_hash FROM bands
+      GROUP BY band_idx, band_hash
+      HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET}
     ), cand AS (
       SELECT DISTINCT b1.doc_id AS id_a, b2.doc_id AS id_b
       FROM bands b1
       JOIN bands b2 ON b1.band_idx = b2.band_idx
                    AND b1.band_hash = b2.band_hash
                    AND b1.doc_id < b2.doc_id
+      JOIN ok ON b1.band_idx = ok.band_idx AND b1.band_hash = ok.band_hash
     )
     SELECT id_a, id_b, jaccard FROM (
       SELECT cand.id_a, cand.id_b,
@@ -230,11 +247,17 @@ def _simhash_pairs_oracle() -> str:
     bands AS (
       {bands}
     ),
+    ok AS (
+      SELECT band_idx, band FROM bands
+      GROUP BY band_idx, band
+      HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET}
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
              a.simhash AS sh_a, b.simhash AS sh_b
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
+      JOIN ok ON a.band_idx = ok.band_idx AND a.band = ok.band
     )
     SELECT id_a, id_b, hamming FROM (
       SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming FROM cand)

@@ -199,6 +199,7 @@ NEAR_DUP_THRESHOLD = 0.3
 
 
 def _embedding_dedup_oracle() -> str:
+    from ..operators.dedup import MAX_BUCKET
     from ..operators.similarity import NUM_TABLES, PLANES_PER_TABLE
 
     planes = rademacher_planes(NUM_TABLES * PLANES_PER_TABLE)
@@ -207,16 +208,26 @@ def _embedding_dedup_oracle() -> str:
         sl = planes[t * PLANES_PER_TABLE:(t + 1) * PLANES_PER_TABLE]
         branches.append(
             f"SELECT vec_id, {t} AS tbl, {_bucket_sql('embedding', sl)} AS bucket "
-            f"FROM embeddings")
+            f"FROM reps")
     vb = "\n      UNION ALL ".join(branches)
     return f"""
-    WITH vb AS (
+    WITH reps AS (
+      SELECT embedding, MIN(vec_id) AS vec_id
+      FROM embeddings GROUP BY embedding
+    ),
+    vb AS (
       {vb}
+    ),
+    ok AS (
+      SELECT tbl, bucket FROM vb
+      GROUP BY tbl, bucket
+      HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET}
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       FROM vb a JOIN vb b ON a.tbl = b.tbl AND a.bucket = b.bucket
-                         AND a.vec_id < b.vec_id)
+                         AND a.vec_id < b.vec_id
+      JOIN ok ON a.tbl = ok.tbl AND a.bucket = ok.bucket)
     SELECT id_a, id_b, cosine FROM (
       SELECT c.id_a, c.id_b,
              ROUND({_PAIR_COS_SQL}, 4) AS cosine
@@ -248,6 +259,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.dedup import bucket_pairs
 
+    from ..operators.dedup import MAX_BUCKET
+
     emb = load_table(spark, sf_dir, "embeddings")
     # Candidates via within-bucket pair explode (operators.dedup.bucket_pairs)
     # rather than a bucket-table self-join: the Arrow int-matmul bucket build
@@ -255,8 +268,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the earlier shape persisted the bucket table to stop both join sides
     # re-executing it, and those pins accumulated across queries in a
     # long-lived session).
-    vb = lsh_table_buckets_pd_df(emb, "vec_id", "embedding")
-    cand = (bucket_pairs(vb, ["tbl", "bucket"], F.col("vec_id"))
+    # Exact-dup pre-collapse (byte-identical vectors -> min-id representative,
+    # one shuffle on the vector) plus the MAX_BUCKET guard bound the pair
+    # explode on duplicate-heavy corpora — N identical vectors would land in
+    # one bucket of every table and explode ~N^2/2 pairs per table otherwise.
+    reps = (emb.groupBy("embedding").agg(F.min("vec_id").alias("vec_id"))
+            .select("vec_id", "embedding"))
+    vb = lsh_table_buckets_pd_df(reps, "vec_id", "embedding")
+    cand = (bucket_pairs(vb, ["tbl", "bucket"], F.col("vec_id"),
+                         max_bucket=MAX_BUCKET)
             .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
             .distinct())
     v = emb.withColumn("n2", dot_col(F.col("embedding"), F.col("embedding")))

@@ -1,0 +1,101 @@
+"""Degenerate-input guards for the near-dup LSH operators: exact-duplicate
+pre-collapse and the MAX_BUCKET bucket-size cap (operators.dedup).
+
+The adversarial input these defend against: a corpus where one document
+appears millions of times. Every copy gets the identical signature, the whole
+mass lands in ONE bucket of every band/table, and the within-bucket pair
+explode goes quadratic (10M copies -> ~5e13 pairs). The contract is
+(a) collapse exact-duplicate mass to a min-id representative before LSH
+(collapse_exact_reps — on by default in minhash_lsh_pairs and the embedding
+dedup query), and (b) cap residual bucket sizes (bucket_pairs max_bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from databricks_import_pyspark_scripts_spark.operators.dedup import (
+    MAX_BUCKET,
+    bucket_pairs,
+    collapse_exact_reps,
+    minhash_lsh_pairs,
+    simhash_df,
+    simhash_pairs,
+)
+
+N_COPIES = 10_000
+
+
+def _dup_heavy_corpus(spark):
+    """10k byte-identical copies of one document, plus a handful of distinct
+    docs including one genuine near-dup pair (ids 1 and 2)."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    distinct = spark.createDataFrame(
+        [(1, base), (2, base + " ok"),
+         (3, "completely different content about spark query engines")],
+        "doc_id long, text string")
+    copies = spark.range(100, 100 + N_COPIES).select(
+        F.col("id").alias("doc_id"),
+        F.lit("copied boilerplate text repeated verbatim across the whole "
+              "corpus many many times").alias("text"))
+    return distinct.unionByName(copies)
+
+
+def test_collapse_exact_reps_min_id_per_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(5, "Hello, World!"), (2, "hello world"),  # same token stream
+         (9, "different doc")],
+        "doc_id long, text string")
+    reps = {r.doc_id: r.text for r in
+            collapse_exact_reps(df, "doc_id", "text").collect()}
+    # token-normalized fingerprint collapses punctuation/case variants;
+    # min-id representative keeps ITS text
+    assert set(reps) == {2, 9}
+    assert reps[2] == "hello world"
+
+
+def test_bucket_pairs_cap_drops_degenerate_bucket(spark):
+    rows = ([("big", i) for i in range(12)]
+            + [("small", i) for i in range(3)])
+    bands = spark.createDataFrame(rows, "bucket string, id long")
+    capped = bucket_pairs(bands, ["bucket"], F.col("id"), max_bucket=10).collect()
+    # the 12-item bucket is dropped; the 3-item bucket yields C(3,2)=3 pairs
+    assert len(capped) == 3
+    uncapped = bucket_pairs(bands, ["bucket"], F.col("id")).collect()
+    assert len(uncapped) == 12 * 11 // 2 + 3
+
+
+def test_minhash_lsh_bounded_on_duplicate_mass(spark):
+    """10k exact copies must NOT explode: the mass collapses to one
+    representative before signatures, so the pair output stays tiny and the
+    genuine near-dup pair is still found."""
+    df = _dup_heavy_corpus(spark)
+    pairs = {(r.id_a, r.id_b)
+             for r in minhash_lsh_pairs(df, "doc_id", "text",
+                                        threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    # without collapse this would be ~N_COPIES^2/2 = 5e7 pairs
+    assert len(pairs) < 10
+    assert not any(a >= 100 and b >= 100 for a, b in pairs)
+
+
+def test_minhash_lsh_cap_bounds_even_without_collapse(spark):
+    """The cap alone (collapse disabled) drops the degenerate bucket: the
+    duplicate mass produces no pairs instead of ~5e7."""
+    df = _dup_heavy_corpus(spark)
+    pairs = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5,
+                              collapse_exact=False,
+                              max_bucket=MAX_BUCKET).collect()
+    assert len(pairs) < 10
+    assert not any(r.id_a >= 100 and r.id_b >= 100 for r in pairs)
+
+
+def test_simhash_pairs_cap_bounds_duplicate_mass(spark):
+    """simhash_pairs takes precomputed signatures (it cannot collapse texts
+    itself), so the cap is the guard: 10k identical signatures -> one over-cap
+    bucket -> zero pairs from the mass, near-dup pair preserved."""
+    df = _dup_heavy_corpus(spark)
+    sigs = simhash_df(df, "doc_id", "text")
+    pairs = {(r.id_a, r.id_b) for r in simhash_pairs(sigs).collect()}
+    assert len(pairs) < 10
+    assert not any(a >= 100 and b >= 100 for a, b in pairs)
