@@ -73,13 +73,13 @@ def main() -> int:
     for name in HEADLINE:
         fn = qs[name]
         try:
-            best = None
             for _ in range(runs):
                 t0 = time.time()
                 fn(spark, sf_dir).count()
                 dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 3)
+                # best-so-far recorded after EVERY successful run: a run-2
+                # failure must not lose the valid run-1 measurement
+                timings[name] = round(min(timings.get(name, dt), dt), 3)
         except Exception as ex:  # noqa: BLE001 — record and keep benching
             errors[name] = f"{type(ex).__name__}: {str(ex)[:300]}"
     total = round(sum(timings.values()), 3)

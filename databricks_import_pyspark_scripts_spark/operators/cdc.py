@@ -85,6 +85,18 @@ def derive_changes(old: DataFrame, new: DataFrame, keys: list[str],
             raise ValueError(
                 f"column {c!r} changed type {ot} -> {nt}; additive "
                 f"evolution only (NULL-padding cannot relabel types)")
+    # NULL-padding is for VALUE columns only. A key column missing from one
+    # side must stay a hard error: the join is eqNullSafe (NULL == NULL is
+    # TRUE), so a padded all-NULL key conjunct would match every old row to
+    # every new row — a silent cross join emitted as bogus update pairs.
+    for k in keys:
+        missing = [s for s, d in (("old", old), ("new", new))
+                   if k not in d.columns]
+        if missing:
+            raise ValueError(
+                f"key column {k!r} missing from {' and '.join(missing)} "
+                f"snapshot; keys cannot be NULL-padded (eqNullSafe would "
+                f"cross-join)")
     for c in new.columns:
         if c not in old.columns:
             old = old.withColumn(c, F.lit(None).cast(new.schema[c].dataType))

@@ -419,9 +419,12 @@ def lsh_table_buckets_pd_df(df: DataFrame, id_col: str, vec_col: str,
                 "bucket": buckets.reshape(-1),
             })
 
+    # id type derived from the input schema — a hardcoded `long` would fail
+    # (or silently coerce) string/UUID doc ids at Arrow conversion
+    id_type = df.schema[id_col].dataType.simpleString()
     return (df.select(F.col(id_col), F.col(vec_col))
             .mapInPandas(_bucket_rows,
-                         schema=f"{id_col} long, tbl int, bucket long"))
+                         schema=f"{id_col} {id_type}, tbl int, bucket long"))
 
 
 def lsh_multi_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,

@@ -166,7 +166,7 @@ def events_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     "events_session_window_stats",
     """
     WITH marked AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 300000000
                   THEN 1 ELSE 0 END AS is_start
@@ -174,7 +174,11 @@ def events_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, ts, value,
-             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+             -- same deterministic (ts, event_id) order as the marked window:
+             -- ordering by ts alone leaves duplicate-(user_id, ts) tie order
+             -- unspecified, so a session-start row could be framed AFTER its
+             -- tied peers and misassign them to the previous session
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS sess_seq
       FROM marked
     )

@@ -209,3 +209,26 @@ def test_shingle_arrow_form_agrees_as_sets(spark, sf_dir):
     arrow_form = {r.doc_id: frozenset(r.sh) for r in
                   shingles_pd_df(d, "doc_id", "text").collect()}
     assert expr_form == arrow_form
+
+
+def test_lsh_table_buckets_pd_preserves_id_type(spark):
+    """The mapInPandas output schema derives the id field's type from the
+    input: string doc ids must survive (a hardcoded `long` failed or
+    silently coerced them at Arrow conversion)."""
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.operators.similarity import (
+        lsh_table_buckets_df,
+        lsh_table_buckets_pd_df,
+    )
+
+    vecs = spark.createDataFrame(
+        [("doc-a", [0.1] * 64), ("doc-b", [-0.2] * 64)],
+        "vec_id string, embedding array<float>")
+    out = lsh_table_buckets_pd_df(vecs, "vec_id", "embedding")
+    assert dict(out.dtypes)["vec_id"] == "string"
+    got = {(r.vec_id, r.tbl): r.bucket for r in out.collect()}
+    # byte-identical buckets vs the expression form on the same string-id df
+    want = {(r.vec_id, r.tbl): r.bucket
+            for r in lsh_table_buckets_df(vecs, "vec_id", "embedding").collect()}
+    assert got == want and len(got) == 32

@@ -83,3 +83,16 @@ def test_commit_retry_is_idempotent(spark, tmp_path):
     commit_snapshot(spark, v2, root, "t", 2, ["id"], base_version=1)  # retry
     ch = read_changes(spark, root, "t", 1, 2).collect()
     assert len(ch) == 1 and ch[0]["_change_type"] == "insert"  # not doubled
+
+
+def test_derive_changes_rejects_missing_key_column(spark):
+    """A key column absent from one snapshot must be a hard error, not
+    NULL-padded: the join is eqNullSafe, so an all-NULL key conjunct would
+    match every old row to every new row (a silent quadratic cross join
+    emitted as bogus update pairs)."""
+    old = spark.createDataFrame([(1, "a")], "id long, v string")
+    new = spark.createDataFrame([("b",)], "v string")  # no id column
+    with pytest.raises(ValueError, match="key column 'id' missing from new"):
+        derive_changes(old, new, ["id"], 2)
+    with pytest.raises(ValueError, match="missing from old"):
+        derive_changes(new, old, ["id"], 2)
