@@ -431,6 +431,59 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str,
     return with_sig.unionByName(empty).unionByName(null_text)
 
 
+def simhash_pd_df(df: DataFrame, id_col: str, text_col: str,
+                  bits: int = SIMHASH_BITS) -> DataFrame:
+    """Arrow fast path for ``simhash_df`` — bit-identical signatures.
+
+    One vectorized pass per Arrow batch replaces the token explode + 60-sum
+    hash aggregate (the wide aggregate's codegen cost is what made
+    dedup_simhash the one bench regression after the 16->60-bit widening):
+    tokenize in Python (same regex as ``tokens_col``), one md5 per DISTINCT
+    token with its occurrence count, then all 60 bit-majorities as a single
+    (counts @ bit-matrix) int64 matmul per document. Exactness: each
+    token's code is the same first-15-hex-chars md5 integer
+    (``token_hash_col``), bit votes are exact integer counts, and the
+    2*ones >= n majority is the same comparison the codegen'd form makes —
+    ``tests/test_impl_consistency.py`` pins frame equality on the real
+    documents table.
+
+    Degenerate inputs match ``simhash_col``/``simhash_df`` exactly:
+    zero-token text -> all bits set (every empty majority is >= 0);
+    NULL text -> 0. Same pattern as ``minhash_signatures_pd``.
+    """
+    from collections import Counter
+
+    shifts = np.arange(bits, dtype=np.int64)
+    powers = (np.int64(1) << shifts)
+
+    @pandas_udf("long")
+    def _sim(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.int64)
+        for ix, t in enumerate(texts):
+            if t is None:
+                out[ix] = 0
+                continue
+            counts = Counter(_TOKEN_RE.findall(t.lower()))
+            if not counts:
+                out[ix] = (1 << bits) - 1
+                continue
+            toks = list(counts)
+            vs = np.empty(len(toks), dtype=np.int64)
+            for j, tok in enumerate(toks):
+                d = hashlib.md5(tok.encode("utf-8")).hexdigest()  # noqa: S324
+                vs[j] = int(d[:bits // 4], 16)
+            cnt = np.fromiter(counts.values(), dtype=np.int64, count=len(toks))
+            ones = cnt @ ((vs[:, None] >> shifts[None, :]) & 1)
+            out[ix] = powers[2 * ones >= cnt.sum()].sum()
+        return pd.Series(out)
+
+    base = df.select(F.col(id_col), F.col(text_col))
+    # spread hash work across all cores even from a single-file source
+    base = base.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    return base.select(F.col(id_col), _sim(F.col(text_col)).alias("simhash"))
+
+
 def simhash_bands_df(sigs: DataFrame, id_col: str = "doc_id",
                      sim_col: str = "simhash",
                      band_bits: int = SIMHASH_BAND_BITS,

@@ -22,9 +22,8 @@ from ..operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
-    simhash_col,
-    simhash_df,
     simhash_pairs,
+    simhash_pd_df,
 )
 from ..operators.text import fingerprint_col
 from ..sources.registry import load_table
@@ -206,10 +205,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash",
     _simhash_oracle(),
     doc=f"{SIMHASH_BITS}-bit SimHash signature per document (bit-majority "
-        "over token md5s) — integer-exact across engines.")
+        "over token md5s) — integer-exact across engines; Arrow-vectorized "
+        "(simhash_pd_df, bit-identical to the codegen form by test).")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return simhash_df(d, "doc_id", "text")
+    return simhash_pd_df(d, "doc_id", "text")
 
 
 _SIMHASH_PAIR_HAMMING = SIMHASH_BANDS - 1
@@ -280,7 +280,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
                        F.concat(F.col("text"), F.lit(" qq")).alias("text")))
     corpus = d.unionByName(mutated)
-    s = simhash_df(corpus, "doc_id", "text")
+    s = simhash_pd_df(corpus, "doc_id", "text")
     return simhash_pairs(s, max_hamming=_SIMHASH_PAIR_HAMMING)
 
 

@@ -232,3 +232,29 @@ def test_lsh_table_buckets_pd_preserves_id_type(spark):
     want = {(r.vec_id, r.tbl): r.bucket
             for r in lsh_table_buckets_df(vecs, "vec_id", "embedding").collect()}
     assert got == want and len(got) == 32
+
+
+def test_simhash_arrow_form_agrees(spark, sf_dir):
+    """The Arrow (Counter + bit-matrix matmul) simhash must be bit-identical
+    to the codegen'd explode form on the real documents table, including the
+    degenerate rows (zero-token -> all bits set, NULL text -> 0) — both feed
+    queries that share one DuckDB oracle."""
+    from databricks_import_pyspark_scripts_spark.operators.dedup import (
+        simhash_pd_df,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    bulk = {r.doc_id: r.simhash for r in simhash_df(d, "doc_id", "text").collect()}
+    arrow = {r.doc_id: r.simhash
+             for r in simhash_pd_df(d, "doc_id", "text").collect()}
+    assert arrow == bulk
+
+    edge = spark.createDataFrame(
+        [(1, "!!!"), (2, None), (3, "one token alpha")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.simhash
+           for r in simhash_pd_df(edge, "doc_id", "text").collect()}
+    want = {r.doc_id: r.simhash
+            for r in simhash_df(edge, "doc_id", "text").collect()}
+    assert got == want
+    assert got[1] == 2 ** 60 - 1 and got[2] == 0
