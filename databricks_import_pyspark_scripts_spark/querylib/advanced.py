@@ -383,26 +383,58 @@ def pandas_udaf_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "error bound — the is_heavy booleans are engine-independent even "
         "though DuckDB has no CMS: the oracle computes them exactly. The "
         "mergeable sketch is the 100 TB path (one pass, fixed memory, "
-        "partial sketches merged across partitions by the aggregate).")
+        "partial sketches merged across partitions by the aggregate); "
+        "probe candidates come from a bounded freqItems pre-pass (at most "
+        "~1/threshold keys collected, any cardinality — see "
+        "cms_heavy_hitters).")
 def approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    # the sketch is BUILT distributed (one pass, partial sketches merged by
-    # the aggregate — the 100 TB path); the serialized ~KB sketch is then
-    # probed per candidate key on the driver, which is how CMS is used
-    # operationally (Spark 4.1 has no count_min_sketch_estimate SQL probe)
-    row = li.agg(
-        F.count_min_sketch("l_returnflag", F.lit(0.001), F.lit(0.99),
-                           F.lit(42)).alias("sk"),
+    return cms_heavy_hitters(li, "l_returnflag", frac_threshold=0.40)
+
+
+HEAVY_FRAC = 0.40
+
+
+def cms_heavy_hitters(df: DataFrame, key_col: str,
+                      frac_threshold: float = HEAVY_FRAC,
+                      candidates: list | None = None,
+                      eps: float = 0.001, confidence: float = 0.99,
+                      seed: int = 42) -> DataFrame:
+    """(key, exact_n, is_heavy): flag keys whose frequency exceeds
+    ``frac_threshold`` by probing a one-pass count-min sketch.
+
+    The sketch is BUILT distributed (partial sketches merged by the
+    aggregate — the 100 TB path); the serialized ~KB sketch is then probed
+    per CANDIDATE key on the driver, which is how CMS is used operationally
+    (Spark 4.1 has no count_min_sketch_estimate SQL probe). Candidates are
+    BOUNDED: either the caller's explicit list, or a freqItems pre-pass at
+    the same support threshold — a single-pass Misra-Gries-style scan whose
+    output is at most ~1/threshold items regardless of key cardinality, and
+    which guarantees every key with true frequency >= threshold is included.
+    (The earlier form collected distinct(key) — unbounded on a
+    high-cardinality key; this never collects more than the candidate cap.)
+    Keys outside the candidate list are therefore provably not heavy:
+    is_heavy coalesces to false for them, so the output still covers every
+    key.
+    """
+    spark = df.sparkSession
+    row = df.agg(
+        F.count_min_sketch(key_col, F.lit(eps), F.lit(confidence),
+                           F.lit(seed)).alias("sk"),
         F.count(F.lit(1)).alias("total")).collect()[0]
+    if candidates is None:
+        candidates = list(
+            df.stat.freqItems([key_col], support=frac_threshold)
+            .collect()[0][0])
     jvm = spark._jvm  # noqa: SLF001
     cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
         jvm.java.io.ByteArrayInputStream(bytes(row.sk)))
-    keys = [r.l_returnflag for r in li.select("l_returnflag").distinct().collect()]
     est = spark.createDataFrame(
-        [(k, int(cms.estimateCount(k))) for k in keys],
-        "l_returnflag string, approx_n long")
-    exact = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("exact_n"))
-    return (exact.join(F.broadcast(est), "l_returnflag")
-            .select("l_returnflag", "exact_n",
-                    (F.col("approx_n") >= 0.40 * F.lit(int(row.total)))
-                    .alias("is_heavy")))
+        [(k, int(cms.estimateCount(k))) for k in candidates],
+        f"{key_col} {df.schema[key_col].dataType.simpleString()}, approx_n long")
+    exact = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("exact_n"))
+    return (exact.join(F.broadcast(est), key_col, "left")
+            .select(key_col, "exact_n",
+                    F.coalesce(
+                        F.col("approx_n") >= frac_threshold * F.lit(int(row.total)),
+                        F.lit(False)).alias("is_heavy")))

@@ -303,3 +303,30 @@ def test_pack_sequences_prefix_sum_semantics(spark):
                            2048).collect()}
     # shard 0: offsets 0, 2048 -> packs 0, 1; shard 1: 0, 2047, 2048 -> 0, 0, 1
     assert got2 == {1: 0, 2: 1, 3: 0, 4: 0, 5: 1}
+
+
+def test_cms_heavy_hitters_bounded_candidates_high_cardinality(spark):
+    """The CMS probe must stay bounded on a high-cardinality key: the
+    freqItems pre-pass collects at most ~1/threshold candidates (not the
+    distinct key set), yet every truly-heavy key is still flagged and
+    non-candidate keys coalesce to not-heavy."""
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.querylib.advanced import (
+        cms_heavy_hitters,
+    )
+
+    # one heavy key (50%) + 5000 distinct long-tail keys
+    df = (spark.range(10_000)
+          .select(F.when(F.col("id") < 5_000, F.lit("heavy"))
+                  .otherwise(F.concat(F.lit("k"), (F.col("id") % 5_000)
+                                      .cast("string"))).alias("k")))
+    out = cms_heavy_hitters(df, "k", frac_threshold=0.4)
+    heavy = {r.k for r in out.filter("is_heavy").collect()}
+    assert heavy == {"heavy"}
+    assert out.count() == 5_001  # every key still present in the output
+    # explicit candidate list path: bounded by the caller
+    out2 = cms_heavy_hitters(df, "k", frac_threshold=0.4,
+                             candidates=["heavy", "k7"])
+    got = {r.k: r.is_heavy for r in out2.collect()}
+    assert got["heavy"] is True and got["k7"] is False and len(got) == 5_001
