@@ -20,7 +20,7 @@ import sys
 from .operators.cdc import DATA_TYPES
 from .operators.partitioning import MAX_RECORDS_PER_OUTPUT_FILE, STRATEGIES
 from .plans.pipeline import UnloadJob, run_unload
-from .session import get_spark
+from .session import configure_s3a_credentials, get_spark
 from .sinks.writers import FORMATS
 from .sources.versioned import parse_table_versions_map
 
@@ -63,6 +63,9 @@ def main(argv: list[str] | None = None) -> int:
             print(f"cannot read --sql-file {args.sql_file}: {err}", file=sys.stderr)
             return 2
     spark = get_spark("spark_graft_unload")
+    # reference C3 parity: AWS env credentials -> fs.s3a.* Hadoop conf so
+    # s3a:// output paths work without cluster-level configuration
+    configure_s3a_credentials(spark)
     job = UnloadJob(
         source_root=args.source_root,
         table_versions=parse_table_versions_map(args.table_versions_map),

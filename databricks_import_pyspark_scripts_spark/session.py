@@ -33,6 +33,42 @@ _DEFAULT_CONF: dict[str, str] = {
 }
 
 
+def configure_s3a_credentials(spark: SparkSession,
+                              env: dict[str, str] | None = None) -> list[str]:
+    """Map AWS environment variables onto the session's ``fs.s3a.*`` Hadoop
+    conf; returns the conf keys that were set.
+
+    Reference parity (C3): the reference pulls AWS keys from Databricks
+    secrets and sets ``fs.s3a.access.key`` / ``fs.s3a.secret.key`` /
+    ``fs.s3a.session.token`` plus ``TemporaryAWSCredentialsProvider``
+    (/root/reference/unload_databricks_data_to_s3.py:464-476). Portable
+    form: standard AWS env vars, set on ``hadoopConfiguration`` so every
+    Hadoop FS call (reads, writes, sidecars) sees them — session-token
+    credentials select the temporary-credentials provider exactly like the
+    reference. A custom endpoint (AWS_ENDPOINT_URL, e.g. MinIO) maps to
+    ``fs.s3a.endpoint``. No-op for keys that are absent, so IAM-role /
+    instance-profile clusters are untouched.
+    """
+    env = os.environ if env is None else env
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+    mapping = [
+        ("AWS_ACCESS_KEY_ID", "fs.s3a.access.key"),
+        ("AWS_SECRET_ACCESS_KEY", "fs.s3a.secret.key"),
+        ("AWS_SESSION_TOKEN", "fs.s3a.session.token"),
+        ("AWS_ENDPOINT_URL", "fs.s3a.endpoint"),
+    ]
+    set_keys: list[str] = []
+    for env_key, conf_key in mapping:
+        if env.get(env_key):
+            hconf.set(conf_key, env[env_key])
+            set_keys.append(conf_key)
+    if env.get("AWS_SESSION_TOKEN"):
+        hconf.set("fs.s3a.aws.credentials.provider",
+                  "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider")
+        set_keys.append("fs.s3a.aws.credentials.provider")
+    return set_keys
+
+
 def get_spark(app_name: str = "spark_graft", master: str | None = None,
               extra_conf: dict[str, str] | None = None) -> SparkSession:
     """Build (or fetch) a session.
