@@ -41,7 +41,47 @@ HEADLINE = [
     "pandas_udf_sigmoid",
     "multimodal_image_features",
     "corpus_prep_pipeline",
+    # zipf-skew stress pair (grouped-map: no partial agg, so the hot key is
+    # a one-worker straggler unsalted): the salted row must not exceed the
+    # unsalted one — SCALE.md's skew-handling evidence
+    "skew_groupmap_hot_key_unsalted",
+    "skew_groupmap_hot_key_salted",
 ]
+
+
+def _bench_unload_e2e(spark, sf_dir: str) -> float:
+    """The reference's actual job shape, timed end-to-end: versioned
+    snapshot read -> CDC filter -> SQL transform -> sized zstd-parquet
+    write + sidecars. Write-path regressions become visible here the way
+    query regressions show in the headline rows. Setup (staging the events
+    table into the versioned layout) is untimed."""
+    import shutil
+    import tempfile
+
+    from databricks_import_pyspark_scripts_spark.plans.flagship import FLAGSHIP_SQL
+    from databricks_import_pyspark_scripts_spark.plans.pipeline import (
+        UnloadJob,
+        run_unload,
+    )
+
+    work = tempfile.mkdtemp(prefix="bench_unload_")
+    try:
+        (spark.read.parquet(f"{sf_dir}/events.parquet")
+         .write.mode("overwrite").parquet(f"{work}/src/events/v=1"))
+        job = UnloadJob(
+            source_root=f"{work}/src",
+            table_versions={"events": [0, 1]},  # start==0 -> snapshot of v1
+            sql=FLAGSHIP_SQL,
+            output_path=f"{work}/out",
+            data_type="EVENT",
+            fmt="parquet",
+            partitioning_strategy="none",
+        )
+        t0 = time.time()
+        run_unload(spark, job)
+        return time.time() - t0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def main() -> int:
@@ -82,6 +122,13 @@ def main() -> int:
                 timings[name] = round(min(timings.get(name, dt), dt), 3)
         except Exception as ex:  # noqa: BLE001 — record and keep benching
             errors[name] = f"{type(ex).__name__}: {str(ex)[:300]}"
+    try:
+        for _ in range(runs):
+            dt = _bench_unload_e2e(spark, sf_dir)
+            timings["unload_e2e_events"] = round(
+                min(timings.get("unload_e2e_events", dt), dt), 3)
+    except Exception as ex:  # noqa: BLE001
+        errors["unload_e2e_events"] = f"{type(ex).__name__}: {str(ex)[:300]}"
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",

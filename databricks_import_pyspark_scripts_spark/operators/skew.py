@@ -66,3 +66,31 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1))))
     out = b.join(s, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def salted_topk(df: DataFrame, keys: list[str], order: list[Column],
+                k: int, num_salts: int = 32,
+                salt_by: Column | None = None,
+                rank_col: str = "rank") -> DataFrame:
+    """Two-phase top-k per key for skewed keys: rank within (keys, salt) and
+    keep k per salt, then rank the surviving num_salts*k rows per key.
+
+    Window ranking is the aggregation shape with NO map-side reduction — a
+    plain row_number over a zipf-hot key sorts that key's entire row set in
+    ONE task (the canonical straggler). Salting splits it into num_salts
+    parallel sorts; the final pass ranks only num_salts*k rows per key.
+    Correct for any deterministic total order: every global top-k row is by
+    definition in its own salt's top-k, so phase 1 never discards a winner.
+    ``order`` must break ties (include a unique column) for cross-engine
+    determinism, like every top-k in the query library.
+    """
+    from pyspark.sql.window import Window
+
+    s = salted(df, "_salt", num_salts, by=salt_by)
+    w1 = Window.partitionBy(*keys, "_salt").orderBy(*order)
+    survivors = (s.withColumn("_rn1", F.row_number().over(w1))
+                 .filter(F.col("_rn1") <= k)
+                 .drop("_rn1", "_salt"))
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return (survivors.withColumn(rank_col, F.row_number().over(w2))
+            .filter(F.col(rank_col) <= k))

@@ -55,6 +55,10 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # say so too).  Names absent from this list follow in registration order.
 _PRIORITY: tuple[str, ...] = (
     # --- new queries this round go HERE (never attested) ---
+    "skew_topk_hot_key_unsalted",
+    "skew_topk_hot_key_salted",
+    "skew_groupmap_hot_key_unsalted",
+    "skew_groupmap_hot_key_salted",
     # --- stale tier: last driver attestation r1/r2 (behind the r4 window),
     #     front-loaded so CORRECTNESS_r05 re-attests them on current code ---
     "q1_pricing_summary",

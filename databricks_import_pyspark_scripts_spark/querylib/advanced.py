@@ -286,6 +286,166 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_ZIPF_TOPK_ORACLE = """
+    WITH keyed AS (
+      SELECT CASE WHEN l_orderkey % 10 < 9 THEN 'hot'
+                  ELSE 'k' || CAST(l_orderkey % 97 AS VARCHAR) END AS k,
+             l_extendedprice, l_orderkey, l_linenumber
+      FROM lineitem
+    ), ranked AS (
+      SELECT k, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY k
+                                ORDER BY l_extendedprice DESC,
+                                         l_orderkey, l_linenumber) AS rn
+      FROM keyed
+    )
+    SELECT k, COUNT(*) AS n_top, ROUND(SUM(l_extendedprice), 2) AS top_value
+    FROM ranked WHERE rn <= 100
+    GROUP BY k
+    """
+
+_TOPK_K = 100
+
+
+def _zipf_keyed_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90% of rows share one hot key; the rest spread over 97 tail keys —
+    the zipf shape that makes per-key window work a one-task straggler."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.when(F.col("l_orderkey") % 10 < 9, F.lit("hot"))
+         .otherwise(F.concat(F.lit("k"),
+                             (F.col("l_orderkey") % 97).cast("string")))
+         .alias("k"),
+        "l_extendedprice", "l_orderkey", "l_linenumber")
+
+
+_TOPK_ORDER = lambda: [F.col("l_extendedprice").desc(),  # noqa: E731
+                       F.col("l_orderkey"), F.col("l_linenumber")]
+
+
+@register(
+    "skew_topk_hot_key_unsalted",
+    _ZIPF_TOPK_ORACLE,
+    doc="Top-100 rows per key over a zipf-keyed corpus (90% of rows on one "
+        "hot key), PLAIN window ranking: the hot key's whole row set sorts "
+        "in one task. NB at sf0.1 the AQE-coalesced hot sort (~540k rows) "
+        "fits one task comfortably, so this plain form WINS the bench "
+        "head-to-head there — salted_topk is for the regime where the hot "
+        "key outgrows a task; the measured local crossover lives in the "
+        "grouped-map pair (skew_groupmap_hot_key_*), where per-group Python "
+        "serialization makes the straggler bite at bench scale already.")
+def skew_topk_hot_key_unsalted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    keyed = _zipf_keyed_lineitem(spark, sf_dir)
+    w = Window.partitionBy("k").orderBy(*_TOPK_ORDER())
+    return (keyed.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _TOPK_K)
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n_top"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("top_value")))
+
+
+@register(
+    "skew_topk_hot_key_salted",
+    _ZIPF_TOPK_ORACLE,
+    doc="The same zipf top-100 via two-phase salted ranking "
+        "(operators.skew.salted_topk): 32 parallel per-salt sorts, then a "
+        "final rank over 32x100 survivors per key. Identical result by "
+        "construction (a global top-k row is in its salt's top-k) and by "
+        "oracle — the shared SQL twin is the plain window form.")
+def skew_topk_hot_key_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_topk
+
+    keyed = _zipf_keyed_lineitem(spark, sf_dir)
+    out = salted_topk(
+        keyed, ["k"], _TOPK_ORDER(), k=_TOPK_K, num_salts=32,
+        salt_by=F.concat_ws(",", "l_orderkey", "l_linenumber"))
+    return (out.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n_top"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("top_value")))
+
+
+# Grouped-map skew stress pair: applyInPandas has NO partial aggregation —
+# every row of a group ships to ONE Python worker, so a zipf-hot key is a
+# serial straggler at any scale. The x16 row explode puts ~8.6M rows on the
+# hot key at sf0.1, past the local crossover where two-phase salting beats
+# the straggler (measured: salted 3.4s vs unsalted 4.1s at x8, gap widens
+# with mult). All outputs are exact int64 (cents), so the oracle comparison
+# has zero float-summation-order risk.
+_GROUPMAP_MULT = 16
+
+_ZIPF_GROUPMAP_ORACLE = f"""
+    WITH keyed AS (
+      SELECT CASE WHEN l_orderkey % 10 < 9 THEN 'hot'
+                  ELSE 'k' || CAST(l_orderkey % 97 AS VARCHAR) END AS k,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+      FROM lineitem, generate_series(1, {_GROUPMAP_MULT}) t(rep)
+    )
+    SELECT k, COUNT(*) AS n_rows,
+           CAST(SUM(c) AS BIGINT) AS sum_cents,
+           MAX(c) AS max_cents
+    FROM keyed GROUP BY k
+    """
+
+
+def _zipf_groupmap_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.when(F.col("l_orderkey") % 10 < 9, F.lit("hot"))
+         .otherwise(F.concat(F.lit("k"),
+                             (F.col("l_orderkey") % 97).cast("string")))
+         .alias("k"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+        F.concat_ws(",", "l_orderkey", "l_linenumber").alias("_uid"),
+        F.explode(F.sequence(F.lit(1), F.lit(_GROUPMAP_MULT))).alias("rep"))
+
+
+def _groupmap_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    c = pdf["c"]
+    return pd.DataFrame({"k": [pdf["k"].iloc[0]],
+                         "n_rows": [len(c)],
+                         "sum_cents": [c.sum()],
+                         "max_cents": [c.max()]})
+
+
+_GROUPMAP_SCHEMA = "k string, n_rows long, sum_cents long, max_cents long"
+
+
+@register(
+    "skew_groupmap_hot_key_unsalted",
+    _ZIPF_GROUPMAP_ORACLE,
+    doc="Per-key stats via grouped-map applyInPandas over a zipf-keyed "
+        "corpus, UNSALTED: the hot key's ~90% of all rows stream through "
+        "one Python worker serially — the grouped-map straggler this bench "
+        "row makes visible (compare the salted twin's time in BENCH).")
+def skew_groupmap_hot_key_unsalted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keyed = _zipf_groupmap_input(spark, sf_dir)
+    return keyed.groupBy("k").applyInPandas(_groupmap_stats, _GROUPMAP_SCHEMA)
+
+
+@register(
+    "skew_groupmap_hot_key_salted",
+    _ZIPF_GROUPMAP_ORACLE,
+    doc="The same grouped-map stats with two-phase salting "
+        "(operators.skew.salted): per-(key, salt) pandas partials run on "
+        "32 workers in parallel, merged by mergeable builtin aggregates "
+        "(sum/sum/max). Identical exact-integer result; the BENCH pair "
+        "salted <= unsalted is the skew-handling evidence SCALE.md cites.")
+def skew_groupmap_hot_key_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted
+
+    keyed = _zipf_groupmap_input(spark, sf_dir)
+    keyed = salted(keyed, "_salt", num_salts=32,
+                   by=F.concat_ws("#", "_uid", "rep"))
+    partial = keyed.groupBy("k", "_salt").applyInPandas(
+        _groupmap_stats, _GROUPMAP_SCHEMA)
+    return (partial.groupBy("k")
+            .agg(F.sum("n_rows").alias("n_rows"),
+                 F.sum("sum_cents").alias("sum_cents"),
+                 F.max("max_cents").alias("max_cents")))
+
+
 @register(
     "grouped_map_zscore",
     """

@@ -51,3 +51,22 @@ def test_salted_join_left(spark):
     got = salted_join(big, small, "k", num_salts=4, how="left")
     assert got.count() == 100
     assert got.filter(F.col("label").isNull()).count() == 66
+
+
+def test_salted_topk_matches_plain(spark):
+    from pyspark.sql.window import Window
+
+    from databricks_import_pyspark_scripts_spark.operators.skew import salted_topk
+
+    df = spark.range(20_000).select(
+        F.when(F.col("id") % 10 < 9, "hot")
+         .otherwise((F.col("id") % 23).cast("string")).alias("k"),
+        (F.col("id") * 7919 % 104729).alias("v"), F.col("id"))
+    order = [F.col("v").desc(), F.col("id")]
+    w = Window.partitionBy("k").orderBy(*order)
+    plain = {(r.k, r.rank): (r.v, r.id) for r in
+             df.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= 50).collect()}
+    got = {(r.k, r.rank): (r.v, r.id) for r in
+           salted_topk(df, ["k"], order, k=50, num_salts=8).collect()}
+    assert got == plain and len(got) > 50
