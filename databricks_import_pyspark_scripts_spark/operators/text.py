@@ -186,3 +186,22 @@ def top_bigram_stats(df, id_col: str, text_col: str):
     return counts.groupBy(id_col).agg(
         F.max("n").alias("top_n"),
         F.sum("n").alias("total"))
+
+
+def bigrams_df(df, id_col: str, text_col: str):
+    """(id, bg): one row per consecutive token bigram per document.
+
+    Codegen shape shared with ``top_bigram_stats``: posexplode tokens ->
+    per-doc window lead(1) -> concat. One shuffle on the doc id; docs with
+    fewer than 2 tokens produce no rows (callers left-join them back).
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "tok"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    return (toks
+            .withColumn("nxt", F.lead("tok").over(w))
+            .filter(F.col("nxt").isNotNull())
+            .select(F.col(id_col), F.concat_ws(" ", "tok", "nxt").alias("bg")))

@@ -494,3 +494,64 @@ def dedup_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFra
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     cc = connected_components_star(vertices, edges)
     return cc.select(F.col("id").alias("doc_id"), "component")
+
+
+@register(
+    "dedup_corpus_kept",
+    f"""
+    WITH RECURSIVE fp AS (
+      SELECT doc_id, md5(array_to_string({_TOKENS_SQL}, ' ')) AS f
+      FROM documents
+    ), rep AS (
+      SELECT f, MIN(doc_id) AS rid FROM fp GROUP BY f
+    ), doc2rep AS (
+      SELECT fp.doc_id, rep.rid FROM fp JOIN rep ON fp.f IS NOT DISTINCT FROM rep.f
+    ), pairs AS ({_minhash_oracle(threshold=0.5)}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT rid AS id, rid AS r FROM rep
+      UNION
+      SELECT e.a AS id, reach.r
+      FROM edges e JOIN reach ON e.b = reach.id
+    ),
+    comp AS (
+      SELECT id, MIN(r) AS c FROM reach GROUP BY id
+    )
+    SELECT comp.c AS kept_doc_id,
+           COUNT(*) AS n_members,
+           COUNT(DISTINCT d2r.rid) AS n_neardup_groups
+    FROM doc2rep d2r JOIN comp ON d2r.rid = comp.id
+    GROUP BY comp.c
+    """,
+    doc="End-to-end dedup APPLICATION — the query a training pipeline "
+        "actually runs to shrink the corpus: exact duplicates collapse to "
+        "min-id representatives (fingerprint groupBy), MinHash-LSH pairs + "
+        "connected components merge near-duplicate representatives, and "
+        "each final cluster keeps its min-id doc. One row per kept "
+        "document with its member count (exact copies + near-dups "
+        "absorbed) and how many exact-dup groups the cluster merged. "
+        "Composes collapse_exact_reps/minhash_lsh_pairs/"
+        "connected_components — every stage is the already-plan-audited "
+        "scale shape; the extra cost over pair mining is one fingerprint "
+        "join and the O(log n)-round CC loop over the (tiny) rep pair "
+        "graph.")
+def dedup_corpus_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", fingerprint_col(F.col("text")).alias("f"))
+    rep = fp.groupBy("f").agg(F.min("doc_id").alias("rid"))
+    doc2rep = (fp.join(rep.withColumnRenamed("f", "f2"),
+                       fp["f"].eqNullSafe(F.col("f2")))
+               .select("doc_id", "rid"))
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.5)
+    vertices = rep.select(F.col("rid").alias("id"))
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(vertices, edges)
+    final = doc2rep.join(cc, doc2rep["rid"] == cc["id"])
+    return (final.groupBy(F.col("component").alias("kept_doc_id"))
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.countDistinct("rid").alias("n_neardup_groups")))

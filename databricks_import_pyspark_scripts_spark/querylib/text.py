@@ -514,3 +514,59 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(alpha_frac, 4).alias("alpha_frac"),
         (stop_hits >= 2).alias("has_stopwords"),
         passes.alias("passes"))
+
+
+@register(
+    "text_lm_quality_score",
+    f"""
+    WITH bgs AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)),
+                                   i -> tk[i] || ' ' || tk[i+1])) AS bg
+      FROM (SELECT doc_id, {TOKENS_SQL} AS tk FROM documents)
+    ), ref AS (
+      SELECT bg, COUNT(*) AS n FROM bgs WHERE doc_id % 10 = 0 GROUP BY bg
+    ), scored AS (
+      SELECT c.doc_id, COUNT(*) AS n_bigrams,
+             AVG(ln(1 + COALESCE(ref.n, 0))) AS s
+      FROM (SELECT doc_id, bg FROM bgs WHERE doc_id % 10 <> 0) c
+      LEFT JOIN ref ON c.bg = ref.bg
+      GROUP BY c.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           ROUND(COALESCE(s, 0), 4) AS lm_score
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+    LEFT JOIN scored ON d.doc_id = scored.doc_id
+    """,
+    doc="CCNet-style n-gram LM quality scoring — the canonical LM-based "
+        "corpus filter: 'train' bigram counts on a reference corpus (docs "
+        "with doc_id % 10 = 0 stand in for the high-quality set), score "
+        "every other doc by its mean log(1 + ref_count) over its own "
+        "bigrams (higher = more reference-like; unseen bigrams contribute "
+        "ln 1 = 0, a smoothed OOV penalty). Plan shape at 100 TB: the "
+        "count table is a groupBy on the bigram key; scoring is one hash "
+        "join on bigram + one groupBy on doc id — no broadcast assumption "
+        "(the bigram vocabulary grows with the reference corpus), "
+        "everything partial-aggregates map-side. Docs with < 2 tokens "
+        "re-attach with score 0 via the left join.")
+def text_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bigrams_df
+
+    d = load_table(spark, sf_dir, "documents")
+    bgs = bigrams_df(d, "doc_id", "text")
+    ref = (bgs.filter(F.col("doc_id") % 10 == 0)
+           .groupBy("bg").agg(F.count(F.lit(1)).alias("n")))
+    corpus = bgs.filter(F.col("doc_id") % 10 != 0)
+    scored = (corpus.join(ref, "bg", "left")
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                   F.avg(F.log(F.lit(1) + F.coalesce(F.col("n"), F.lit(0))))
+                    .alias("s")))
+    base = d.filter(F.col("doc_id") % 10 != 0).select("doc_id")
+    return (base.join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long"))
+                     .alias("n_bigrams"),
+                    F.round(F.coalesce(F.col("s"), F.lit(0.0)), 4)
+                     .alias("lm_score")))
