@@ -598,3 +598,49 @@ def cms_heavy_hitters(df: DataFrame, key_col: str,
                     F.coalesce(
                         F.col("approx_n") >= frac_threshold * F.lit(int(row.total)),
                         F.lit(False)).alias("is_heavy")))
+
+
+@register(
+    "approx_hll_mergeable_sketches",
+    """
+    SELECT 'day-' || CAST(CAST(ts AS DATE) AS VARCHAR) AS scope,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS est_ok
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT 'total' AS scope,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS est_ok
+    FROM events
+    """,
+    doc="Mergeable HLL sketch columns (Apache DataSketches via "
+        "hll_sketch_agg/hll_union_agg/hll_sketch_estimate) — THE 100 TB "
+        "distinct-count pattern: build one per-day sketch at ingest, store "
+        "it as a column, and answer any-day-range distinct questions by "
+        "UNIONING stored sketches without touching raw data (the 'total' "
+        "row is estimated purely from the 30 daily sketches). Default "
+        "lgConfigK=12 gives ~1.6% standard error; the gate compares "
+        "estimate-vs-exact within a 5% tolerance boolean, which is "
+        "engine-independent (DuckDB computes the exact side only).")
+def approx_hll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (load_table(spark, sf_dir, "events")
+         .withColumn("day", F.col("ts").cast("date")))
+    daily_sk = e.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    daily_est = daily_sk.select(
+        "day", F.hll_sketch_estimate("sk").alias("est"))
+    daily_exact = e.groupBy("day").agg(
+        F.countDistinct("user_id").alias("exact_users"))
+    day_rows = (daily_exact.join(daily_est, "day")
+                .select(F.concat(F.lit("day-"), F.col("day").cast("string"))
+                        .alias("scope"),
+                        "exact_users",
+                        (F.abs(F.col("est") - F.col("exact_users"))
+                         <= 0.05 * F.col("exact_users")).alias("est_ok")))
+    total_est = daily_sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    total_exact = e.agg(F.countDistinct("user_id").alias("exact_users"))
+    total_row = (total_exact.crossJoin(total_est)
+                 .select(F.lit("total").alias("scope"), "exact_users",
+                         (F.abs(F.col("est") - F.col("exact_users"))
+                          <= 0.05 * F.col("exact_users")).alias("est_ok")))
+    return day_rows.unionByName(total_row)
