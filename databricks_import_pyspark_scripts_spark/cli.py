@@ -45,6 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-separated columns to range-cluster output "
                         "files on (file-level data skipping for downstream "
                         "scans; supersedes the partitioning strategy's layout)")
+    p.add_argument("--partition-by", default=None,
+                   help="comma-separated columns for hive-style output "
+                        "directory partitioning (col=value/...; coarse "
+                        "partition pruning for downstream scans — keep these "
+                        "low-cardinality)")
     return p
 
 
@@ -79,6 +84,8 @@ def main(argv: list[str] | None = None) -> int:
         mutability_mode=args.ingestion_in_mutability_mode,
         cluster_by=([c.strip() for c in args.cluster_by.split(",") if c.strip()]
                     if args.cluster_by else None),
+        partition_by=([c.strip() for c in args.partition_by.split(",") if c.strip()]
+                      if args.partition_by else None),
     )
     report = run_unload(spark, job)
     print(json.dumps(report, default=str))

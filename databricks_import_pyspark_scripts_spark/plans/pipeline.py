@@ -64,6 +64,10 @@ class UnloadJob:
     # a repartition/coalesce strategy's layout moot (the range exchange is
     # the final layout)
     cluster_by: list[str] | None = None
+    # hive-style output directory partitioning (col=value/...): the
+    # coarse pruning axis — compose with cluster_by for within-partition
+    # file skipping
+    partition_by: list[str] | None = None
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex)
 
 
@@ -166,7 +170,8 @@ def _write_with_observed_count(spark: SparkSession, job: UnloadJob,
         obs = Observation(f"unload_{job.run_id}")
         observed = clustered.observe(obs, F.count(F.lit(1)).alias("rows"))
         write_export(observed, job.output_path, job.fmt,
-                     max_records_per_file=job.max_records_per_file)
+                     max_records_per_file=job.max_records_per_file,
+                     partition_by=job.partition_by)
         row_count = int(obs.get["rows"])
         return row_count, calculate_num_partitions(
             df, job.max_records_per_file, job.target_partitions,
@@ -176,7 +181,8 @@ def _write_with_observed_count(spark: SparkSession, job: UnloadJob,
         sized = size_output(df, "repartition", job.max_records_per_file,
                             precomputed_count=n)
         write_export(sized, job.output_path, job.fmt,
-                     max_records_per_file=job.max_records_per_file)
+                     max_records_per_file=job.max_records_per_file,
+                     partition_by=job.partition_by)
         return n, calculate_num_partitions(df, job.max_records_per_file,
                                            precomputed_count=n)
     obs = Observation(f"unload_{job.run_id}")
@@ -195,7 +201,8 @@ def _write_with_observed_count(spark: SparkSession, job: UnloadJob,
         # size_output's documented semantics)
         observed = observed.repartition(job.target_partitions)
     write_export(observed, job.output_path, job.fmt,
-                 max_records_per_file=job.max_records_per_file)
+                 max_records_per_file=job.max_records_per_file,
+                 partition_by=job.partition_by)
     row_count = int(obs.get["rows"])  # collected during the write — no 2nd job
     return row_count, calculate_num_partitions(
         df, job.max_records_per_file, job.target_partitions,

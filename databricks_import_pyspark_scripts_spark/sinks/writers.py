@@ -26,7 +26,8 @@ FORMATS = ("json", "parquet", "csv", "orc")
 def write_export(df: DataFrame, path: str, fmt: str = "parquet",
                  max_records_per_file: int | None = None,
                  cluster_by: list[str] | None = None,
-                 cluster_partitions: int | None = None) -> None:
+                 cluster_partitions: int | None = None,
+                 partition_by: list[str] | None = None) -> None:
     """Overwrite-mode export write.
 
     ``json``/``parquet`` are reference parity (W1/W2); ``csv``/``orc``
@@ -55,6 +56,17 @@ def write_export(df: DataFrame, path: str, fmt: str = "parquet",
     ``cluster_partitions`` pins the range-partition count (= file count
     before per-file caps); left None, AQE sizes the ranges by its advisory
     partition bytes — the right default at scale.
+
+    ``partition_by`` writes a hive-style directory layout
+    (``col=value/...``): the coarse-grained pruning axis — a downstream
+    scan with an equality/range predicate on a partition column lists only
+    the matching directories (PartitionFilters, zero data read for pruned
+    values), where ``cluster_by`` is the fine-grained axis (file/row-group
+    skipping WITHIN what's scanned via footer min/max). Compose them:
+    partition on the low-cardinality filter column (day, lang), cluster on
+    the high-cardinality one (user, timestamp). Keep partition columns
+    low-cardinality — every distinct value is a directory and at least one
+    file.
     """
     if fmt not in FORMATS:
         raise ValueError(f"unknown format {fmt!r}; expected one of {FORMATS}")
@@ -66,6 +78,8 @@ def write_export(df: DataFrame, path: str, fmt: str = "parquet",
             out = out.repartitionByRange(*cluster_by)
         out = out.sortWithinPartitions(*cluster_by)
     w = out.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
     if max_records_per_file is not None:
         w = w.option("maxRecordsPerFile", max_records_per_file)
     if fmt == "json":
