@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "directory partitioning (col=value/...; coarse "
                         "partition pruning for downstream scans — keep these "
                         "low-cardinality)")
+    p.add_argument("--zorder-by", default=None,
+                   help="comma-separated columns to Z-order output files on "
+                        "(multi-dimension file skipping; mutually exclusive "
+                        "with --cluster-by)")
     return p
 
 
@@ -86,6 +90,8 @@ def main(argv: list[str] | None = None) -> int:
                     if args.cluster_by else None),
         partition_by=([c.strip() for c in args.partition_by.split(",") if c.strip()]
                       if args.partition_by else None),
+        zorder_by=([c.strip() for c in args.zorder_by.split(",") if c.strip()]
+                   if args.zorder_by else None),
     )
     report = run_unload(spark, job)
     print(json.dumps(report, default=str))

@@ -68,6 +68,10 @@ class UnloadJob:
     # coarse pruning axis — compose with cluster_by for within-partition
     # file skipping
     partition_by: list[str] | None = None
+    # multi-dimension clustering: range-cluster on a Morton key over these
+    # columns (operators.layout) so footer min/max serve predicates on ANY
+    # of them; mutually exclusive with cluster_by
+    zorder_by: list[str] | None = None
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex)
 
 
@@ -158,15 +162,25 @@ def _write_with_observed_count(spark: SparkSession, job: UnloadJob,
     """
     from pyspark.sql import Observation
 
-    if job.cluster_by:
+    if job.cluster_by or job.zorder_by:
         # Clustering IS the final layout (range exchange), so every
         # strategy takes the observe path. The observe node must sit ABOVE
         # the range exchange: repartitionByRange runs a separate sampling
         # job over its child subtree to pick range bounds, and a
         # CollectMetrics inside that subtree would be executed twice —
         # measured: the row metric doubled.
-        clustered = (df.repartitionByRange(*job.cluster_by)
-                     .sortWithinPartitions(*job.cluster_by))
+        if job.zorder_by:
+            from ..operators.layout import with_zorder_key
+
+            if job.cluster_by:
+                raise ValueError("cluster_by and zorder_by are mutually "
+                                 "exclusive (z-order IS the clustering)")
+            clustered = (with_zorder_key(df, job.zorder_by)
+                         .repartitionByRange("_zorder")
+                         .sortWithinPartitions("_zorder").drop("_zorder"))
+        else:
+            clustered = (df.repartitionByRange(*job.cluster_by)
+                         .sortWithinPartitions(*job.cluster_by))
         obs = Observation(f"unload_{job.run_id}")
         observed = clustered.observe(obs, F.count(F.lit(1)).alias("rows"))
         write_export(observed, job.output_path, job.fmt,

@@ -27,7 +27,8 @@ def write_export(df: DataFrame, path: str, fmt: str = "parquet",
                  max_records_per_file: int | None = None,
                  cluster_by: list[str] | None = None,
                  cluster_partitions: int | None = None,
-                 partition_by: list[str] | None = None) -> None:
+                 partition_by: list[str] | None = None,
+                 zorder_by: list[str] | None = None) -> None:
     """Overwrite-mode export write.
 
     ``json``/``parquet`` are reference parity (W1/W2); ``csv``/``orc``
@@ -50,9 +51,8 @@ def write_export(df: DataFrame, path: str, fmt: str = "parquet",
     min/max stats let later scans with predicates on those columns skip
     whole files/row groups. At 100 TB this is the difference between a
     point-lookup reading one file and reading the dataset; it costs one
-    range shuffle at write time (sampling pass included). The Z-order-lite
-    answer for the single-dimension case — multi-dimension clustering
-    belongs in a table format, not a plain-parquet writer.
+    range shuffle at write time (sampling pass included). For MULTI-
+    dimension skipping use ``zorder_by`` instead.
     ``cluster_partitions`` pins the range-partition count (= file count
     before per-file caps); left None, AQE sizes the ranges by its advisory
     partition bytes — the right default at scale.
@@ -67,10 +67,32 @@ def write_export(df: DataFrame, path: str, fmt: str = "parquet",
     the high-cardinality one (user, timestamp). Keep partition columns
     low-cardinality — every distinct value is a directory and at least one
     file.
+
+    ``zorder_by`` is the MULTI-dimension clustering axis (mutually
+    exclusive with ``cluster_by``, which it generalizes): rows are range-
+    clustered on a Morton key interleaving the quantized columns
+    (operators.layout), so footer min/max bounds tighten on every listed
+    column at once — predicates on ANY of them skip files, where linear
+    clustering serves only its own column. Costs the same single range
+    shuffle plus one min/max agg for quantization bounds.
     """
     if fmt not in FORMATS:
         raise ValueError(f"unknown format {fmt!r}; expected one of {FORMATS}")
+    if cluster_by and zorder_by:
+        raise ValueError("cluster_by and zorder_by are mutually exclusive "
+                         "(z-order IS the clustering)")
     out = df if fmt in ("json", "csv") else drop_void_fields(df)
+    if zorder_by:
+        from ..operators.layout import with_zorder_key
+
+        out = with_zorder_key(out, zorder_by)
+        if cluster_partitions is not None:
+            out = out.repartitionByRange(cluster_partitions, "_zorder")
+        else:
+            out = out.repartitionByRange("_zorder")
+        # the projection dropping the key is narrow: range partitioning and
+        # within-partition order survive it
+        out = out.sortWithinPartitions("_zorder").drop("_zorder")
     if cluster_by:
         if cluster_partitions is not None:
             out = out.repartitionByRange(cluster_partitions, *cluster_by)
