@@ -62,6 +62,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_lm_quality_score",
     "dedup_corpus_kept",
     "approx_hll_mergeable_sketches",
+    "text_chunk_documents",
     # --- stale tier: last driver attestation r1/r2 (behind the r4 window),
     #     front-loaded so CORRECTNESS_r05 re-attests them on current code ---
     "q1_pricing_summary",

@@ -15,6 +15,7 @@ from ..operators.text import (
     lang_id_col,
     quality_score_col,
     token_count_col,
+    tokens_col,
     word_count_col,
 )
 from ..functions.portable import QUALITY_SQL as _QUALITY_SQL
@@ -570,3 +571,74 @@ def text_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("n_bigrams"),
                     F.round(F.coalesce(F.col("s"), F.lit(0.0)), 4)
                      .alias("lm_score")))
+
+
+# chunking geometry: 100-token windows advancing by 80 (20-token overlap)
+CHUNK_TOKENS = 100
+CHUNK_OVERLAP = 20
+CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+@register(
+    "text_chunk_documents",
+    f"""
+    WITH long_docs AS (
+      SELECT doc_id, text || ' ' || text || ' ' || text || ' ' || text AS text
+      FROM documents
+    ), t AS (
+      SELECT doc_id, {TOKENS_SQL} AS tk FROM long_docs
+    ), sized AS (
+      SELECT doc_id, tk, len(tk) AS n FROM t WHERE tk IS NOT NULL
+    ), chunks AS (
+      SELECT doc_id, tk, n,
+             unnest(range(0, GREATEST(CAST(CEIL((n - {CHUNK_OVERLAP})
+                                             / {CHUNK_STRIDE}.0) AS BIGINT),
+                                      1))) AS chunk_idx
+      FROM sized
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(tk[chunk_idx * {CHUNK_STRIDE} + 1 :
+                       chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}])
+                AS BIGINT) AS n_tokens,
+           md5(array_to_string(tk[chunk_idx * {CHUNK_STRIDE} + 1 :
+                                  chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
+                               ' ')) AS chunk_md5
+    FROM chunks
+    """,
+    doc=f"Document chunking for training prep: {CHUNK_TOKENS}-token windows "
+        f"advancing by {CHUNK_STRIDE} ({CHUNK_OVERLAP}-token overlap so no "
+        "span is lost at a boundary), the standard context-window splitting "
+        "step before packing/tokenization. Pure column expressions — "
+        "sequence + explode + slice, zero shuffle, scan-speed at 100 TB; "
+        "chunk content is emitted as an md5 (value-hashable cross-engine) "
+        "plus its token count. Docs shorter than one stride yield exactly "
+        "one chunk; NULL-text docs yield none. The corpus is inflated 4x "
+        "(text self-concatenated) so the multi-chunk and boundary-overlap "
+        "paths actually execute — the raw synthetic docs all fit one "
+        "window.")
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F.concat, not concat_ws: concat_ws SKIPS nulls (NULL text would become
+    # '' and gain a chunk) where both `||` and F.concat propagate NULL
+    sep = F.lit(" ")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat("text", sep, "text", sep, "text", sep, "text").alias("text"))
+    toks = tokens_col(F.col("text"))
+    sized = (d.select("doc_id", toks.alias("tk"))
+             .filter(F.col("tk").isNotNull())
+             .withColumn("n", F.size("tk")))
+    n_chunks = F.greatest(
+        F.ceil((F.col("n") - CHUNK_OVERLAP) / F.lit(float(CHUNK_STRIDE)))
+         .cast("long"),
+        F.lit(1).cast("long"))
+    chunks = sized.select(
+        "doc_id", "tk",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1))
+         .alias("chunk_idx"))
+    chunk = F.slice(F.col("tk"),
+                    (F.col("chunk_idx") * CHUNK_STRIDE + 1).cast("int"),
+                    CHUNK_TOKENS)
+    return chunks.select(
+        "doc_id", "chunk_idx",
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"))
