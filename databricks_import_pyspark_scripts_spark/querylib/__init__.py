@@ -63,6 +63,8 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_corpus_kept",
     "approx_hll_mergeable_sketches",
     "text_chunk_documents",
+    "cdc_merge_upsert",
+    "cdc_apply_changes",
     # --- stale tier: last driver attestation r1/r2 (behind the r4 window),
     #     front-loaded so CORRECTNESS_r05 re-attests them on current code ---
     "q1_pricing_summary",

@@ -134,3 +134,87 @@ def cdc_mutability_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = _synthetic_change_feed(spark, sf_dir)
     return (filter_data(feed, "EVENT", mutability_mode=True)
             .select("event_id", "user_id", "event_type"))
+
+
+@register(
+    "cdc_merge_upsert",
+    """
+    WITH target AS (
+      SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ), source AS (
+      SELECT o_orderkey, o_custkey, ROUND(o_totalprice * 2, 2) AS price
+      FROM orders WHERE o_orderkey % 5 = 0
+    )
+    SELECT t.o_orderkey, t.o_custkey, t.price
+    FROM target t
+    WHERE NOT EXISTS (SELECT 1 FROM source s
+                      WHERE s.o_orderkey = t.o_orderkey)
+    UNION ALL
+    SELECT o_orderkey, o_custkey, price FROM source
+    """,
+    doc="MERGE INTO ... WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT "
+        "without Delta (operators.merge.merge_upsert): target rows whose "
+        "key has a source row are replaced, the rest kept, new keys "
+        "appended — one anti join + union. At 100 TB the source side is a "
+        "version's delta and broadcasts; the target never shuffles more "
+        "than its key column requires. Oracle restates the merge as "
+        "NOT EXISTS + UNION ALL.")
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import merge_upsert
+
+    o = load_table(spark, sf_dir, "orders")
+    target = (o.filter(F.col("o_orderkey") % 3 != 0)
+              .select("o_orderkey", "o_custkey",
+                      F.round("o_totalprice", 2).alias("price")))
+    source = (o.filter(F.col("o_orderkey") % 5 == 0)
+              .select("o_orderkey", "o_custkey",
+                      F.round(F.col("o_totalprice") * 2, 2).alias("price")))
+    return merge_upsert(target, source, ["o_orderkey"])
+
+
+@register(
+    "cdc_apply_changes",
+    """
+    WITH kept AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 11 = 0
+                  THEN ROUND(o_totalprice + 1000, 2)
+                  ELSE ROUND(o_totalprice, 2) END AS price
+      FROM orders
+      WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0)
+    ), ins AS (
+      SELECT o_orderkey + 10000000 AS k, 1.0 AS price
+      FROM orders WHERE o_orderkey % 13 = 0
+    )
+    SELECT k, price FROM kept
+    UNION ALL
+    SELECT k, price FROM ins
+    """,
+    doc="CDF batch application (operators.merge.apply_changes — the inverse "
+        "of derive_changes): deletes remove their key, postimages/inserts "
+        "upsert, and a key carrying BOTH a delete and a postimage in the "
+        "same commit (keys divisible by 77 here) resolves by change-type "
+        "precedence to 'row exists' — the transaction's net effect, "
+        "exercised deliberately so the tie branch is gate-checked, not just "
+        "unit-tested. Oracle computes the net final snapshot directly.")
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import apply_changes
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("price"))
+    deletes = (o.filter(F.col("k") % 7 == 0)
+               .withColumn("_change_type", F.lit("delete")))
+    posts = (o.filter(F.col("k") % 11 == 0)
+             .select("k", (F.col("price") + 1000).alias("price"))
+             .withColumn("_change_type", F.lit("update_postimage")))
+    ins = (o.filter(F.col("k") % 13 == 0)
+           .select((F.col("k") + 10_000_000).alias("k"),
+                   F.lit(1.0).alias("price"))
+           .withColumn("_change_type", F.lit("insert")))
+    changes = (deletes.unionByName(posts).unionByName(ins)
+               .withColumn("_commit_version", F.lit(2).cast("long"))
+               .withColumn("_commit_timestamp",
+                           F.lit("2024-01-01 00:00:00").cast("timestamp")))
+    out = apply_changes(o, changes, ["k"])
+    return out.select("k", F.round("price", 2).alias("price"))
