@@ -330,3 +330,54 @@ def test_cms_heavy_hitters_bounded_candidates_high_cardinality(spark):
                              candidates=["heavy", "k7"])
     got = {r.k: r.is_heavy for r in out2.collect()}
     assert got["heavy"] is True and got["k7"] is False and len(got) == 5_001
+
+
+def test_chunking_invariants_cover_all_tokens(spark):
+    """Chunk geometry invariants over every length 0..250: chunk count
+    matches max(1, ceil((n-overlap)/stride)), consecutive full windows
+    overlap by exactly CHUNK_OVERLAP, and re-assembling stride prefixes
+    plus the last chunk reproduces the whole token sequence (no token is
+    lost at a boundary)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.querylib.text import (
+        CHUNK_OVERLAP,
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+
+    docs = [(n, " ".join(f"t{i}" for i in range(n))) for n in range(0, 251)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    toks = F.regexp_extract_all(F.lower(F.col("text")),
+                                F.lit("[a-z0-9]+"), 0)
+    sized = (df.select("doc_id", toks.alias("tk"))
+             .withColumn("n", F.size("tk")))
+    n_chunks = F.greatest(
+        F.ceil((F.col("n") - CHUNK_OVERLAP) / F.lit(float(CHUNK_STRIDE)))
+         .cast("long"), F.lit(1).cast("long"))
+    rows = (sized.select(
+        "doc_id", "n",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1))
+         .alias("ci"),
+        F.slice(F.col("tk"), (F.col("ci") * CHUNK_STRIDE + 1).cast("int"),
+                CHUNK_TOKENS).alias("chunk"))
+        .collect())
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for n, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.ci)
+        want = max(1, math.ceil((n - CHUNK_OVERLAP) / CHUNK_STRIDE))
+        assert len(chunks) == want, (n, len(chunks), want)
+        # stride prefixes + final chunk reassemble the doc exactly
+        rebuilt = []
+        for r in chunks[:-1]:
+            rebuilt.extend(r.chunk[:CHUNK_STRIDE])
+        rebuilt.extend(chunks[-1].chunk)
+        assert rebuilt == [f"t{i}" for i in range(n)], n
+        # consecutive full windows overlap by exactly CHUNK_OVERLAP
+        for a, b in zip(chunks, chunks[1:]):
+            if len(a.chunk) == CHUNK_TOKENS:
+                assert a.chunk[CHUNK_STRIDE:] == b.chunk[:CHUNK_OVERLAP], n
