@@ -54,7 +54,31 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-separated columns to Z-order output files on "
                         "(multi-dimension file skipping; mutually exclusive "
                         "with --cluster-by)")
+    p.add_argument("--zorder-bounds", default=None,
+                   help='quantization bounds per z-order column, e.g. '
+                        '"x=0:1000,y=-5:5" — supply from table statistics; '
+                        'omitted bounds cost one extra pipeline execution '
+                        'to compute min/max')
     return p
+
+
+def _parse_zorder_bounds(arg: str | None) -> dict[str, tuple[float, float]] | None:
+    """``"x=0:1000,y=-5:5"`` -> ``{"x": (0.0, 1000.0), "y": (-5.0, 5.0)}``."""
+    if not arg:
+        return None
+    out: dict[str, tuple[float, float]] = {}
+    for entry in arg.split(","):
+        entry = entry.strip()
+        if not entry:
+            continue
+        try:
+            col, span = entry.split("=", 1)
+            lo, hi = span.split(":", 1)
+            out[col.strip()] = (float(lo), float(hi))
+        except ValueError:
+            raise SystemExit(
+                f"bad --zorder-bounds entry {entry!r}; expected col=lo:hi")
+    return out
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -92,6 +116,7 @@ def main(argv: list[str] | None = None) -> int:
                       if args.partition_by else None),
         zorder_by=([c.strip() for c in args.zorder_by.split(",") if c.strip()]
                    if args.zorder_by else None),
+        zorder_bounds=_parse_zorder_bounds(args.zorder_bounds),
     )
     report = run_unload(spark, job)
     print(json.dumps(report, default=str))

@@ -72,6 +72,12 @@ class UnloadJob:
     # columns (operators.layout) so footer min/max serve predicates on ANY
     # of them; mutually exclusive with cluster_by
     zorder_by: list[str] | None = None
+    # {col: (lo, hi)} quantization bounds for zorder_by. Supply them from
+    # table statistics in production: when None they are computed with a
+    # min/max aggregate that RE-EXECUTES the read->transform pipeline once
+    # (the same double execution the observe-count design exists to avoid —
+    # acceptable for ad-hoc exports, not for the 100 TB path)
+    zorder_bounds: dict[str, tuple[float, float]] | None = None
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex)
 
 
@@ -175,7 +181,8 @@ def _write_with_observed_count(spark: SparkSession, job: UnloadJob,
             if job.cluster_by:
                 raise ValueError("cluster_by and zorder_by are mutually "
                                  "exclusive (z-order IS the clustering)")
-            clustered = (with_zorder_key(df, job.zorder_by)
+            clustered = (with_zorder_key(df, job.zorder_by,
+                                         bounds=job.zorder_bounds)
                          .repartitionByRange("_zorder")
                          .sortWithinPartitions("_zorder").drop("_zorder"))
         else:

@@ -130,3 +130,34 @@ def test_unload_job_zorder_roundtrip(spark, tmp_path):
     back = (spark.read.option("pathGlobFilter", "*.parquet").parquet(out))
     assert set(back.columns) == {"x", "y", "payload"}  # key dropped
     assert back.count() == 5_000
+
+
+def test_zorder_bounds_passthrough_and_cli_parse(spark, tmp_path):
+    """Supplied bounds skip the min/max pre-pass (no extra pipeline
+    execution) and still produce a valid clustered layout; the CLI bounds
+    grammar parses and rejects malformed entries."""
+    import pytest
+
+    from databricks_import_pyspark_scripts_spark.cli import _parse_zorder_bounds
+    from databricks_import_pyspark_scripts_spark.plans.pipeline import (
+        UnloadJob,
+        run_unload,
+    )
+
+    assert _parse_zorder_bounds("x=0:1000, y=-5:5") == {
+        "x": (0.0, 1000.0), "y": (-5.0, 5.0)}
+    assert _parse_zorder_bounds(None) is None
+    with pytest.raises(SystemExit, match="bad --zorder-bounds"):
+        _parse_zorder_bounds("x=nope")
+
+    src = str(tmp_path / "src")
+    _two_dim_df(spark, 2_000).write.parquet(f"{src}/t/v=1")
+    out = str(tmp_path / "out")
+    job = UnloadJob(source_root=src, table_versions={"t": [0, 1]},
+                    sql="SELECT x, y, payload FROM t", output_path=out,
+                    zorder_by=["x", "y"],
+                    zorder_bounds={"x": (0.0, 999.0), "y": (0.0, 999.0)})
+    report = run_unload(spark, job)
+    assert report["rows"] == 2_000
+    back = spark.read.option("pathGlobFilter", "*.parquet").parquet(out)
+    assert back.count() == 2_000
