@@ -130,10 +130,17 @@ def main() -> int:
     except Exception as ex:  # noqa: BLE001
         errors["unload_e2e_events"] = f"{type(ex).__name__}: {str(ex)[:300]}"
     total = round(sum(timings.values()), 3)
+    # the skew stress pair is a deliberate straggler demonstration (the
+    # unsalted row EXISTS to be slow); break it out so round-over-round
+    # totals stay comparable to earlier rounds' query sets
+    stress = [k for k in timings if k.startswith("skew_groupmap_")]
+    stress_sec = round(sum(timings[k] for k in stress), 3)
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        "comparable_queries_sec": round(total - stress_sec, 3),
+        "skew_stress_sec": stress_sec,
         "queries": timings,
         "sf": float(sf),
         "runs_per_query": runs,
