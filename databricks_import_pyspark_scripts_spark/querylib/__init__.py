@@ -65,6 +65,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_chunk_documents",
     "cdc_merge_upsert",
     "cdc_apply_changes",
+    "events_resample_forward_fill",
+    "events_scd2_user_value",
     # --- stale tier: last driver attestation r1/r2 (behind the r4 window),
     #     front-loaded so CORRECTNESS_r05 re-attests them on current code ---
     "q1_pricing_summary",

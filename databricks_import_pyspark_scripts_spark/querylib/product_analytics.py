@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources.registry import load_table
 from . import register
@@ -244,3 +245,96 @@ def events_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(F.col("window_end")).alias("window_end_ms"),
         "event_type", "n",
         F.round(F.col("total_value"), 4).alias("total_value"))
+
+
+@register(
+    "events_resample_forward_fill",
+    """
+    WITH obs AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), b AS (
+      SELECT user_id, MIN(ts) AS lo, MAX(ts) AS hi FROM obs GROUP BY user_id
+    ), g AS (
+      SELECT user_id,
+             unnest(generate_series(date_trunc('hour', lo), hi,
+                                    INTERVAL 1 HOUR)) AS gts
+      FROM b
+    )
+    SELECT g.user_id, epoch_ms(g.gts) AS grid_ms,
+           ROUND(obs.value, 4) AS last_value
+    FROM g ASOF LEFT JOIN obs
+      ON g.user_id = obs.user_id AND g.gts >= obs.ts
+    """,
+    doc="Time-series resampling with forward fill: each user's purchase "
+        "stream re-sampled onto an hourly grid (hour-truncated first event "
+        "through last event), each grid point carrying the most recent "
+        "observation at or before it — the gap-filling shape every metrics "
+        "warehouse needs. Spark composition is the tagged-union as-of "
+        "pattern (grid rows + observation rows, one user_id shuffle, "
+        "ignore-nulls running last) — never a per-grid-point range join; "
+        "grid points before the first observation stay NULL (ASOF LEFT). "
+        "Ties at an exact grid==event timestamp take the event (>= "
+        "semantics, observation sorts first). Oracle uses DuckDB's native "
+        "generate_series + ASOF JOIN against the composition.")
+def events_resample_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    obs = (e.filter(F.col("event_type") == "purchase")
+           .select("user_id", "ts", "value"))
+    bounds = obs.groupBy("user_id").agg(F.min("ts").alias("lo"),
+                                        F.max("ts").alias("hi"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence(F.date_trunc("hour", F.col("lo")),
+                             F.col("hi"),
+                             F.expr("INTERVAL 1 HOUR"))).alias("gts"))
+    tagged = (obs.select("user_id", F.col("ts").alias("t"),
+                         F.lit(0).alias("tag"), "value",
+                         F.lit(None).cast("timestamp_ntz").alias("gts"))
+              .unionByName(
+                  grid.select("user_id", F.col("gts").alias("t"),
+                              F.lit(1).alias("tag"),
+                              F.lit(None).cast("double").alias("value"),
+                              "gts")))
+    w = (Window.partitionBy("user_id").orderBy("t", "tag")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (tagged
+            .withColumn("last_value", F.last("value", ignorenulls=True).over(w))
+            .filter(F.col("tag") == 1)
+            .select("user_id", F.unix_millis(F.col("gts")).alias("grid_ms"),
+                    F.round("last_value", 4).alias("last_value")))
+
+
+@register(
+    "events_scd2_user_value",
+    """
+    WITH changes AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           epoch_ms(ts) AS valid_from_ms,
+           epoch_ms(lead(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, value)) AS valid_to_ms,
+           ROUND(value, 4) AS value,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, value) IS NULL AS is_current
+    FROM changes
+    """,
+    doc="SCD2 (slowly-changing-dimension) interval build from a change "
+        "stream: each user's purchase value becomes a versioned dimension "
+        "row with [valid_from, valid_to) bounds and an is_current flag — "
+        "the standard warehouse shape a CDC feed materializes into. One "
+        "window over (user_id, ts); valid_to is the NEXT change's "
+        "timestamp, open-ended (NULL) for the current row. Ties on ts "
+        "break by value so both engines order identically.")
+def events_scd2_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ch = (e.filter(F.col("event_type") == "purchase")
+          .select("user_id", "ts", "value"))
+    w = Window.partitionBy("user_id").orderBy("ts", "value")
+    nxt = F.lead("ts").over(w)
+    return ch.select(
+        "user_id",
+        F.unix_millis("ts").alias("valid_from_ms"),
+        F.unix_millis(nxt).alias("valid_to_ms"),
+        F.round("value", 4).alias("value"),
+        nxt.isNull().alias("is_current"))
