@@ -55,6 +55,8 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # say so too).  Names absent from this list follow in registration order.
 _PRIORITY: tuple[str, ...] = (
     # --- new queries this round go HERE (never attested) ---
+    "cluster_kmeans_assign",
+    "cluster_balanced_sample",
     "skew_topk_hot_key_unsalted",
     "skew_topk_hot_key_salted",
     "skew_groupmap_hot_key_unsalted",
@@ -223,4 +225,5 @@ def _load() -> None:
     from . import dedup  # noqa: F401
     from . import similarity  # noqa: F401
     from . import multimodal_queries  # noqa: F401
+    from . import clustering  # noqa: F401
     _LOADED = True
