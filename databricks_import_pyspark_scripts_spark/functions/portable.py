@@ -32,3 +32,15 @@ QUALITY_SQL = (
     " + 0.3 * (1.0 - LEAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) * 1.0"
     " / GREATEST(length(text), 1), 1.0))"
     " + 0.3 * LEAST(len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0))")
+
+
+def md5_bucket_sql(id_expr: str, buckets: int) -> str:
+    """Twin of operators.text.split_bucket_col at arbitrary bucket count:
+    first 8 md5 hex digits of the id's string form as an integer, mod
+    buckets. Spelled with instr() hex parsing (no from_hex/conv, which not
+    every engine shares)."""
+    h = f"md5(CAST({id_expr} AS VARCHAR))"
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8))
+    return f"(CAST({terms} AS BIGINT) % {buckets})"

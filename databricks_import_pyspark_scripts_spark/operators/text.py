@@ -205,3 +205,87 @@ def bigrams_df(df, id_col: str, text_col: str):
             .withColumn("nxt", F.lead("tok").over(w))
             .filter(F.col("nxt").isNotNull())
             .select(F.col(id_col), F.concat_ws(" ", "tok", "nxt").alias("bg")))
+
+
+BOILER_NGRAM = 3     # n-gram width for boilerplate detection
+BOILER_MIN_DF = 5    # an n-gram in >= this many docs is corpus-frequent
+BOILER_FLAG_FRAC = 0.2  # flag a doc when this fraction of its n-grams is frequent
+
+
+def boilerplate_ngram_stats(df, id_col: str, text_col: str,
+                            n: int = BOILER_NGRAM,
+                            min_df: int = BOILER_MIN_DF,
+                            flag_frac: float = BOILER_FLAG_FRAC):
+    """(id, n_ngrams, n_boiler, boiler_frac, is_boilerplate): how much of a
+    document is made of corpus-frequent n-grams — the template/boilerplate
+    detector (navigation chrome, license headers, SEO spam) that per-doc
+    repetition rules (``dup_line_frac_col``) cannot see because the
+    repetition lives ACROSS documents.
+
+    Shape: distinct per-doc n-grams (``shingles_col`` — distinct, so the
+    per-n-gram count below is a document frequency) -> explode -> one
+    shuffle on the n-gram for the DF count -> the frequent subset joins
+    back against the exploded view -> one shuffle on the doc id to
+    re-aggregate. The frequent set is the heavy-hitter tail (151 of 16k
+    distinct 3-grams at sf0.01), so AQE broadcasts it and the corpus side
+    of the membership join never shuffles; at 100 TB, if the frequent set
+    outgrows broadcast, the same statistic runs off a count-min-sketch
+    (``querylib.advanced.approx_heavy_hitters`` is that machinery) at the
+    cost of overcounting rare n-grams.
+
+    ``boiler_frac`` divides two exact int64s; the quotient is identical
+    IEEE math in any engine, and 4-dp round boundaries (odd multiples of
+    1e-5) are not representable as dyadic rationals, so the round cannot
+    split engines.
+    """
+    sh = df.select(F.col(id_col),
+                   F.explode(shingles_col(F.col(text_col), n)).alias("ng"))
+    freq = (sh.groupBy("ng").agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") >= min_df)
+            .select("ng", F.lit(1).alias("_hit")))
+    joined = sh.join(freq, "ng", "left")
+    frac = F.col("n_boiler") * 1.0 / F.col("n_ngrams")
+    return (joined.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_ngrams"),
+                 F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_boiler"))
+            .select(id_col, "n_ngrams", "n_boiler",
+                    F.round(frac, 4).alias("boiler_frac"),
+                    (frac >= flag_frac).alias("is_boilerplate")))
+
+
+MIX_BUCKETS = 10000  # md5 hash-bucket resolution for mixture sampling
+
+
+def mixture_budget_keep(df, id_col: str, source_col: str, ntok_col: str,
+                        weight_col, budget_num: int = 2, budget_den: int = 5,
+                        buckets: int = MIX_BUCKETS):
+    """Token-budget mixture sampling: keep a deterministic subset of each
+    source so the kept corpus approaches ``budget = total_tokens *
+    budget_num / budget_den`` tokens split across sources by integer
+    percentage ``weight_col`` (a Column, e.g. a CASE over the source name;
+    weights sum to 100).
+
+    Per-source keep rate is ``budget * w / (100 * src_tokens)`` (capped at
+    1 implicitly — the bucket can never exceed its range), applied through
+    the md5 id-hash bucket every sampling operator here uses. The keep
+    decision compares CROSS-MULTIPLIED int64s — ``bucket * src_tokens <
+    budget * w * (buckets / 100)`` — so there is no floating-point rate and
+    membership is bit-stable across engines (both factors stay < 1e17 for
+    petabyte-scale token counts, inside int64).
+
+    Shape: one groupBy shuffle for per-source token totals (tiny result,
+    broadcast back), one 1-row total-tokens aggregate cross-joined in, then
+    a pure per-row predicate — at 100 TB the expensive pass is the token
+    count, which a real pipeline has stored at ingest anyway.
+    """
+    per_src = df.groupBy(source_col).agg(F.sum(ntok_col).alias("_src_tok"))
+    budget = df.agg(
+        ((F.sum(ntok_col) * budget_num
+          - (F.sum(ntok_col) * budget_num) % budget_den) / budget_den)
+        .cast("long").alias("_budget"))
+    bucket = split_bucket_col(F.col(id_col), buckets)
+    return (df.join(F.broadcast(per_src), source_col)
+            .crossJoin(F.broadcast(budget))
+            .withColumn("_bucket", bucket.cast("long"))
+            .filter(F.col("_bucket") * F.col("_src_tok")
+                    < F.col("_budget") * weight_col * F.lit(buckets // 100)))

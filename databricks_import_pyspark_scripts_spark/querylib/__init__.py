@@ -57,6 +57,8 @@ _PRIORITY: tuple[str, ...] = (
     # --- new queries this round go HERE (never attested) ---
     "cluster_kmeans_assign",
     "cluster_balanced_sample",
+    "text_boilerplate_ngrams",
+    "corpus_mixture_budget_sample",
     "skew_topk_hot_key_unsalted",
     "skew_topk_hot_key_salted",
     "skew_groupmap_hot_key_unsalted",

@@ -19,7 +19,7 @@ from ..operators.text import (
     word_count_col,
 )
 from ..functions.portable import QUALITY_SQL as _QUALITY_SQL
-from ..functions.portable import TOKENS_SQL
+from ..functions.portable import TOKENS_SQL, shingles_sql
 from ..sources.registry import load_table
 from . import register
 
@@ -642,3 +642,90 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "chunk_idx",
         F.size(chunk).cast("long").alias("n_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"))
+
+
+def _boilerplate_oracle() -> str:
+    from ..operators.text import BOILER_FLAG_FRAC, BOILER_MIN_DF, BOILER_NGRAM
+
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({shingles_sql(BOILER_NGRAM)}) AS ng FROM documents),
+    freq AS (SELECT ng FROM sh GROUP BY ng HAVING COUNT(*) >= {BOILER_MIN_DF}),
+    j AS (SELECT s.doc_id,
+                 CASE WHEN f.ng IS NULL THEN 0 ELSE 1 END AS hit
+          FROM sh s LEFT JOIN freq f USING (ng))
+    SELECT doc_id,
+           COUNT(*) AS n_ngrams,
+           CAST(SUM(hit) AS BIGINT) AS n_boiler,
+           ROUND(SUM(hit) * 1.0 / COUNT(*), 4) AS boiler_frac,
+           SUM(hit) * 1.0 / COUNT(*) >= {BOILER_FLAG_FRAC} AS is_boilerplate
+    FROM j GROUP BY doc_id
+    """
+
+
+@register(
+    "text_boilerplate_ngrams",
+    _boilerplate_oracle(),
+    doc="Corpus-frequent n-gram boilerplate detection: the fraction of each "
+        "document's distinct 3-grams that occur in >= 5 documents — the "
+        "cross-document template/chrome signal per-doc repetition rules "
+        "cannot see. One n-gram-count shuffle + heavy-hitter-set join "
+        "(AQE-broadcast) + one doc re-aggregate; constants shared with the "
+        "operator so the oracle cannot drift.")
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import boilerplate_ngram_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return boilerplate_ngram_stats(d, "doc_id", "text")
+
+
+# mixture-sampling weights: integer percents by source-name length — the 10
+# single-digit sources (src0..src9, length 4) are "priority" at 6% each, the
+# 10 double-digit sources 4% each (sums to 100 on the 20-source testdata)
+MIX_W_SHORT, MIX_W_LONG = 6, 4
+MIX_NUM, MIX_DEN = 2, 5  # token budget = 2/5 of corpus tokens
+
+
+def _mixture_oracle() -> str:
+    from ..functions.portable import md5_bucket_sql
+    from ..operators.text import MIX_BUCKETS
+
+    w = f"CASE WHEN length(source) = 4 THEN {MIX_W_SHORT} ELSE {MIX_W_LONG} END"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len({TOKENS_SQL}) AS BIGINT) AS n_tokens,
+             CAST({md5_bucket_sql('doc_id', MIX_BUCKETS)} AS BIGINT) AS bucket
+      FROM documents),
+    per_src AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tok
+                FROM t GROUP BY source),
+    b AS (SELECT CAST((SUM(n_tokens) * {MIX_NUM}
+                       - (SUM(n_tokens) * {MIX_NUM}) % {MIX_DEN})
+                      // {MIX_DEN} AS BIGINT) AS budget FROM t)
+    SELECT t.doc_id, t.source, t.n_tokens
+    FROM t JOIN per_src USING (source) CROSS JOIN b
+    WHERE t.bucket * per_src.src_tok
+          < b.budget * ({w}) * {MIX_BUCKETS // 100}
+    """
+
+
+@register(
+    "corpus_mixture_budget_sample",
+    _mixture_oracle(),
+    doc="Token-budget mixture sampling: keep a deterministic md5-bucket "
+        "subset of each source so the kept corpus approaches 2/5 of total "
+        "tokens, split 6%/4% by source tier. The keep predicate compares "
+        "cross-multiplied int64s (no floating-point rate), so membership "
+        "is bit-stable across engines, runs and cluster sizes.")
+def corpus_mixture_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import mixture_budget_keep, token_count_col
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "source",
+        token_count_col(F.col("text")).cast("long").alias("n_tokens"))
+    w = (F.when(F.length("source") == 4, F.lit(MIX_W_SHORT))
+         .otherwise(F.lit(MIX_W_LONG)))
+    kept = mixture_budget_keep(base, "doc_id", "source", "n_tokens", w,
+                               budget_num=MIX_NUM, budget_den=MIX_DEN)
+    return kept.select("doc_id", "source", "n_tokens")

@@ -381,3 +381,65 @@ def test_chunking_invariants_cover_all_tokens(spark):
         for a, b in zip(chunks, chunks[1:]):
             if len(a.chunk) == CHUNK_TOKENS:
                 assert a.chunk[CHUNK_STRIDE:] == b.chunk[:CHUNK_OVERLAP], n
+
+
+def test_boilerplate_flags_template_docs(spark):
+    from databricks_import_pyspark_scripts_spark.operators.text import (
+        boilerplate_ngram_stats,
+    )
+
+    # 6 docs share a template prefix; 2 are fully distinct text
+    tmpl = "click here to subscribe to our newsletter today"
+    rows = [(i, f"{tmpl} unique body {i} alpha beta") for i in range(6)]
+    rows += [(10, "entirely different prose about rivers and stones"),
+             (11, "another unrelated passage with fresh vocabulary")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = boilerplate_ngram_stats(df, "doc_id", "text", n=3, min_df=5,
+                                  flag_frac=0.3)
+    got = {r.doc_id: r for r in out.collect()}
+    assert all(got[i].is_boilerplate for i in range(6))
+    assert not got[10].is_boilerplate and not got[11].is_boilerplate
+    # counts are exact: template contributes 6 shared 3-grams per doc
+    assert got[0].n_boiler >= 6
+    assert got[10].n_boiler == 0
+
+
+def test_mixture_budget_keep_rates_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.operators.text import (
+        mixture_budget_keep,
+    )
+
+    # two sources, equal token mass; weights 80/20 with budget=1/2 of
+    # tokens -> target keep rates 0.8 and 0.2
+    rows = [(i, "a" if i % 2 == 0 else "b", 10) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    w = F.when(F.col("source") == "a", F.lit(80)).otherwise(F.lit(20))
+    kept = mixture_budget_keep(df, "doc_id", "source", "n_tok", w,
+                               budget_num=1, budget_den=2)
+    sizes = {r.source: r.n for r in
+             kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # md5 buckets are uniform: expect ~800 and ~200 of 1000 each, loose bounds
+    assert 700 <= sizes["a"] <= 900, sizes
+    assert 140 <= sizes["b"] <= 260, sizes
+    again = mixture_budget_keep(df, "doc_id", "source", "n_tok", w,
+                                budget_num=1, budget_den=2)
+    assert sorted(map(tuple, kept.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_mixture_rate_caps_at_one(spark):
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.operators.text import (
+        mixture_budget_keep,
+    )
+
+    # a tiny source with a huge weight: implied rate > 1 must keep ALL of it
+    rows = [(i, "big", 10) for i in range(1000)] + [(5000 + i, "tiny", 10)
+                                                    for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    w = F.when(F.col("source") == "tiny", F.lit(90)).otherwise(F.lit(10))
+    kept = mixture_budget_keep(df, "doc_id", "source", "n_tok", w,
+                               budget_num=1, budget_den=2)
+    assert kept.filter(F.col("source") == "tiny").count() == 5
