@@ -343,11 +343,27 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                          max_bucket=max_bucket)
             .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
             .distinct())
+    # melt-join verify: the corpus-wide shingle projection executes ONCE.
+    # The earlier two-sided form joined `sh` as both sh_a and sh_b, which
+    # re-ran the Arrow shingle stage per side (2 corpus scans just for
+    # verify). Here each candidate pair melts into two (pair, id) rows, the
+    # single `sh` joins by id (candidates broadcast — the corpus side
+    # streams map-side and never shuffles), and a groupBy on the pair
+    # reassembles (sh_a, sh_b) via max_by on the role flag — shuffling only
+    # the MATCHED shingle arrays, which are candidate-bounded, not
+    # corpus-bounded.
     sh = shingles_pd_df(df, id_col, text_col, k)
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    melted = cand.select(
+        "id_a", "id_b",
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col))
+    pairs = (melted.join(sh, id_col)
+             .groupBy("id_a", "id_b")
+             .agg(F.max_by("sh", (F.col(id_col) == F.col("id_a")).cast("int"))
+                  .alias("sh_a"),
+                  F.max_by("sh", (F.col(id_col) == F.col("id_b")).cast("int"))
+                  .alias("sh_b")))
     return (
-        cand.join(a, "id_a").join(b, "id_b")
+        pairs
         .select("id_a", "id_b",
                 F.round(jaccard_col(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)

@@ -279,18 +279,31 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                          max_bucket=MAX_BUCKET)
             .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
             .distinct())
+    # melt-join verify: ONE corpus scan instead of a scan per join side —
+    # each candidate pair melts into two (pair, vec_id) rows, the corpus
+    # joins by id (candidates broadcast, corpus streams map-side), and a
+    # groupBy on the pair reassembles the two vectors via max_by on the
+    # role flag. Only MATCHED vectors shuffle (candidate-bounded).
     v = emb.withColumn("n2", dot_col(F.col("embedding"), F.col("embedding")))
-    va = v.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"),
-                  F.col("n2").alias("n2_a"))
-    vvb = v.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"),
-                   F.col("n2").alias("n2_b"))
+    melted = cand.select(
+        "id_a", "id_b",
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("vec_id"))
+    pairs = (melted.join(v, "vec_id")
+             .groupBy("id_a", "id_b")
+             .agg(F.max_by(F.struct(F.col("embedding"), F.col("n2")),
+                           (F.col("vec_id") == F.col("id_a")).cast("int"))
+                  .alias("va"),
+                  F.max_by(F.struct(F.col("embedding"), F.col("n2")),
+                           (F.col("vec_id") == F.col("id_b")).cast("int"))
+                  .alias("vb")))
     # deterministic=False blocks Catalyst from cloning the cosine UDF into
     # the pushed-down threshold filter (the clone re-ran the whole Arrow
     # stage — two stacked ArrowEvalPython nodes). Values are unchanged.
-    return (cand.join(va, "id_a").join(vvb, "id_b")
+    return (pairs
             .select("id_a", "id_b",
-                    F.round(_pair_cosine_pd(F.col("emb_a"), F.col("emb_b"),
-                                            F.col("n2_a"), F.col("n2_b"),
+                    F.round(_pair_cosine_pd(F.col("va.embedding"),
+                                            F.col("vb.embedding"),
+                                            F.col("va.n2"), F.col("vb.n2"),
                                             deterministic=False), 4)
                     .alias("cosine"))
             .filter(F.col("cosine") >= NEAR_DUP_THRESHOLD))

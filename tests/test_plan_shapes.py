@@ -31,15 +31,15 @@ def _scans(plan: str, table: str) -> int:
 
 
 def test_minhash_signature_pipeline_executes_once(spark, sf_dir):
-    """Documents must scan exactly 3 times (1 signature pipeline + 2
-    Arrow-shingle verify sides) with 3 Arrow stages (1 signature + 2
-    shingle): the bucket-pair restructure exists to stop the band table's
-    consumers re-executing the signature pipeline (the old self-join shape
-    ran it twice unless persisted — a 4th scan means it crept back)."""
+    """Documents must scan exactly 2 times (1 signature pipeline + 1
+    melt-join Arrow-shingle verify) with 2 Arrow stages: the bucket-pair
+    restructure stops the band table's consumers re-executing the
+    signature pipeline, and the melt-join verify stops the shingle stage
+    running once per join side (a 3rd scan means either crept back)."""
     df = all_queries()["dedup_minhash_lsh"](spark, sf_dir)
     plan = _plan(df)
-    assert _nodes(plan, "ArrowEvalPython") == 3
-    assert _scans(plan, "documents") == 3
+    assert _nodes(plan, "ArrowEvalPython") == 2
+    assert _scans(plan, "documents") == 2
 
 
 def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
@@ -62,15 +62,16 @@ def test_q5_dimensions_all_broadcast(spark, sf_dir):
 
 
 def test_embedding_dedup_single_bucket_build(spark, sf_dir):
-    """The Arrow bucket build runs once: embeddings scan exactly 3 times
-    (1 bucket pipeline + 2 cosine-verify sides; a 4th scan means the
-    bucket-table self-join shape crept back), and each Python stage is
-    evaluated exactly once — one MapInPandas (bucket matmul; the
-    pandas_udf+posexplode form was cloned into the generate's pre-filter
-    and ran twice) and one ArrowEvalPython (pair cosine; kept single by
-    the asNondeterministic barrier against filter-pushdown cloning)."""
+    """The Arrow bucket build runs once: embeddings scan exactly 2 times
+    (1 bucket pipeline + 1 melt-join cosine verify; a 3rd scan means the
+    per-join-side verify or the bucket-table self-join crept back), and
+    each Python stage is evaluated exactly once — one MapInPandas (bucket
+    matmul; the pandas_udf+posexplode form was cloned into the generate's
+    pre-filter and ran twice) and one ArrowEvalPython (pair cosine; kept
+    single by the asNondeterministic barrier against filter-pushdown
+    cloning)."""
     df = all_queries()["dedup_embedding_cosine"](spark, sf_dir)
     plan = _plan(df)
-    assert _scans(plan, "embeddings") == 3
+    assert _scans(plan, "embeddings") == 2
     assert _nodes(plan, "MapInPandas") == 1
     assert _nodes(plan, "ArrowEvalPython") == 1
