@@ -289,3 +289,34 @@ def mixture_budget_keep(df, id_col: str, source_col: str, ntok_col: str,
             .withColumn("_bucket", bucket.cast("long"))
             .filter(F.col("_bucket") * F.col("_src_tok")
                     < F.col("_budget") * weight_col * F.lit(buckets // 100)))
+
+
+def ngram_total_col(text: Column, n: int = BOILER_NGRAM) -> Column:
+    """Total (NON-distinct) n-gram count: max(token_count - n + 1, 1) —
+    matching shingles_col's short-text convention of one whole-text
+    shingle."""
+    return F.greatest(token_count_col(text) - F.lit(n - 1), F.lit(1)).cast("long")
+
+
+def self_repetition_stats(df, id_col: str, text_col: str,
+                          n: int = BOILER_NGRAM):
+    """(id, n_ngrams_total, n_ngrams_distinct, self_rep_frac): the
+    WITHIN-document repetition signal (looping generations, copy-paste
+    spam, template chrome repeated inside one page) — 1 minus the
+    distinct/total n-gram ratio. Complements ``boilerplate_ngram_stats``
+    (ACROSS-document repetition) and the Gopher dup-line/top-bigram rules
+    (line- and bigram-granular): pure per-row column expressions, zero
+    shuffle, scan-speed at 100 TB.
+
+    Exactness: both counts are int64; the fraction divides two exact ints
+    (identical IEEE result in any engine; 4-dp round boundaries are not
+    dyadic, so the round cannot split engines).
+    """
+    total = ngram_total_col(F.col(text_col), n)
+    distinct = F.size(shingles_col(F.col(text_col), n)).cast("long")
+    frac = F.lit(1.0) - distinct * 1.0 / total
+    return df.select(
+        F.col(id_col),
+        total.alias("n_ngrams_total"),
+        distinct.alias("n_ngrams_distinct"),
+        F.round(frac, 4).alias("self_rep_frac"))

@@ -58,6 +58,7 @@ _PRIORITY: tuple[str, ...] = (
     "cluster_kmeans_assign",
     "cluster_balanced_sample",
     "text_boilerplate_ngrams",
+    "text_self_repetition",
     "corpus_mixture_budget_sample",
     "skew_topk_hot_key_unsalted",
     "skew_topk_hot_key_salted",

@@ -729,3 +729,33 @@ def corpus_mixture_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = mixture_budget_keep(base, "doc_id", "source", "n_tokens", w,
                                budget_num=MIX_NUM, budget_den=MIX_DEN)
     return kept.select("doc_id", "source", "n_tokens")
+
+
+def _self_repetition_oracle() -> str:
+    from ..operators.text import BOILER_NGRAM
+
+    total = f"GREATEST(CAST(len({TOKENS_SQL}) AS BIGINT) - {BOILER_NGRAM - 1}, 1)"
+    distinct = f"CAST(len({shingles_sql(BOILER_NGRAM)}) AS BIGINT)"
+    return f"""
+    SELECT doc_id,
+           {total} AS n_ngrams_total,
+           {distinct} AS n_ngrams_distinct,
+           ROUND(1.0 - {distinct} * 1.0 / {total}, 4) AS self_rep_frac
+    FROM documents
+    """
+
+
+@register(
+    "text_self_repetition",
+    _self_repetition_oracle(),
+    doc="Within-document n-gram repetition (1 - distinct/total 3-grams): "
+        "the looping-generation / copy-paste signal, complementing the "
+        "cross-document boilerplate detector. Pure per-row column "
+        "expressions — zero shuffle, scan-speed at 100 TB; shingle "
+        "semantics shared with the MinHash family so the oracle cannot "
+        "drift.")
+def text_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import self_repetition_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return self_repetition_stats(d, "doc_id", "text")

@@ -443,3 +443,20 @@ def test_mixture_rate_caps_at_one(spark):
     kept = mixture_budget_keep(df, "doc_id", "source", "n_tok", w,
                                budget_num=1, budget_den=2)
     assert kept.filter(F.col("source") == "tiny").count() == 5
+
+
+def test_self_repetition_counts(spark):
+    from databricks_import_pyspark_scripts_spark.operators.text import (
+        self_repetition_stats,
+    )
+
+    rows = [(1, "a b c a b c a b c"),   # 7 total 3-grams, 3 distinct
+            (2, "one two three four"),  # 2 total, 2 distinct
+            (3, "x y")]                 # short text: 1 whole-text shingle
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           self_repetition_stats(df, "doc_id", "text").collect()}
+    assert (got[1].n_ngrams_total, got[1].n_ngrams_distinct) == (7, 3)
+    assert got[1].self_rep_frac == round(1 - 3 / 7, 4)
+    assert got[2].self_rep_frac == 0.0
+    assert (got[3].n_ngrams_total, got[3].n_ngrams_distinct) == (1, 1)
