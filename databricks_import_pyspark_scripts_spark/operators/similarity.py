@@ -459,3 +459,112 @@ def lsh_multi_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
                                               F.col("_qn2"), F.col("_n2")), 4)
                       .alias("cosine")))
     return _topk(scored, k)
+
+
+# --- Product quantization (PQ / ADC) -----------------------------------------
+#
+# The memory-compression scale path: each vector stores M small codes (one
+# byte each here) instead of `dim` floats — 64 floats -> 8 codes = 32x
+# compression — and queries score candidates through per-subspace distance
+# TABLES (asymmetric distance computation), never touching the raw vectors.
+# At 100 TB this is what makes an in-memory ANN index possible at all;
+# composes with IVF (ivf_topk) as classic IVF-PQ: coarse cells prune the
+# candidate list, PQ codes score the survivors.
+#
+# Everything is exact int64 math on round(x*1000)-quantized vectors (the
+# module's shared precision model), with deterministic codebooks (the
+# subvectors of the first PQ_K vectors by id — the same every-Nth stand-in
+# policy the IVF quantizer uses), so encode, tables and ADC scores are
+# oracle-checkable; a trained codebook (per-subspace k-means) drops in
+# through the `codebook` argument without touching the search path.
+
+PQ_M = 8    # subspaces (dim 64 -> 8 dims each)
+PQ_K = 16   # codewords per subspace (4-bit codes)
+
+
+def pq_codebook(vectors: DataFrame, id_col: str, vec_col: str,
+                dim: int = EMBED_DIM, m: int = PQ_M,
+                k: int = PQ_K) -> DataFrame:
+    """(m, j, cbv): deterministic PQ codebooks — subspace ``m``'s codeword
+    ``j`` is the m-th subvector of the vector with id ``j`` (ids 0..k-1;
+    inject a trained codebook for production). Tiny (m*k rows) —
+    broadcast everywhere it's used."""
+    d_sub = dim // m
+    from .clustering import quantize_vec
+    base = (vectors.filter(F.col(id_col) < k)
+            .select(F.col(id_col).alias("j"),
+                    quantize_vec(F.col(vec_col)).alias("qv")))
+    subs = F.array(*[
+        F.struct(F.lit(mm).alias("m"),
+                 F.slice(F.col("qv"), mm * d_sub + 1, d_sub).alias("cbv"))
+        for mm in range(m)])
+    return (base.select("j", F.explode(subs).alias("s"))
+            .select("s.m", "j", "s.cbv"))
+
+
+def _sq_dist_long(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def pq_encode(vectors: DataFrame, codebook: DataFrame, id_col: str,
+              vec_col: str, dim: int = EMBED_DIM, m: int = PQ_M) -> DataFrame:
+    """(id, m, code): each vector's nearest codeword per subspace (ties to
+    the smallest code). The encode pass is explode-by-subspace x broadcast
+    codebook — m*k distance evaluations per vector, map-side only, done
+    ONCE at ingest in a real pipeline (codes are then stored columnar)."""
+    d_sub = dim // m
+    from .clustering import quantize_vec
+    subs = F.array(*[
+        F.struct(F.lit(mm).alias("m"),
+                 F.slice(F.col("qv"), mm * d_sub + 1, d_sub).alias("sv"))
+        for mm in range(m)])
+    sv = (vectors
+          .select(F.col(id_col), quantize_vec(F.col(vec_col)).alias("qv"))
+          .select(F.col(id_col), F.explode(subs).alias("s"))
+          .select(F.col(id_col), F.col("s.m").alias("m"), F.col("s.sv").alias("sv")))
+    scored = (sv.join(F.broadcast(codebook), "m")
+              .withColumn("_d", _sq_dist_long(F.col("sv"), F.col("cbv"))))
+    return (scored.groupBy(id_col, "m")
+            .agg(F.min(F.struct(F.col("_d"), F.col("j"))).alias("_mn"))
+            .select(id_col, "m", F.col("_mn.j").alias("code")))
+
+
+def pq_adc_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+                dim: int = EMBED_DIM, m: int = PQ_M,
+                codebook: DataFrame | None = None) -> DataFrame:
+    """(query_id, vec_id, adc_dist, rank): per-query top-k by asymmetric
+    PQ distance — sum over subspaces of the exact distance from the query's
+    subvector to the candidate's CODEWORD.
+
+    Scale shape: codes are 3 small ints per (vector, subspace); the
+    query-side distance tables (|Q| * m * k rows) broadcast; the big side
+    joins map-side on (m, code) and one shuffle on (query, vec) sums the m
+    partial distances. The raw corpus vectors are read only by the encode
+    pass. ADC score ties and rank ties both break deterministically (min
+    code at encode, vec_id at rank)."""
+    cb = codebook if codebook is not None else pq_codebook(
+        vectors, "vec_id", "embedding", dim, m)
+    codes = pq_encode(vectors, cb, "vec_id", "embedding", dim, m)
+    d_sub = dim // m
+    from .clustering import quantize_vec
+    qsubs = F.array(*[
+        F.struct(F.lit(mm).alias("m"),
+                 F.slice(F.col("qv"), mm * d_sub + 1, d_sub).alias("sv"))
+        for mm in range(m)])
+    qtab = (queries
+            .select(F.col("query_id"), quantize_vec(F.col("q_embedding")).alias("qv"))
+            .select("query_id", F.explode(qsubs).alias("s"))
+            .select("query_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+            .join(F.broadcast(cb), "m")
+            .select("query_id", "m", F.col("j").alias("code"),
+                    _sq_dist_long(F.col("sv"), F.col("cbv")).alias("td")))
+    scored = (codes.join(F.broadcast(qtab), ["m", "code"])
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .groupBy("query_id", "vec_id")
+              .agg(F.sum("td").alias("adc_dist")))
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(),
+                                               F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "adc_dist", "rank"))

@@ -60,6 +60,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_boilerplate_ngrams",
     "text_self_repetition",
     "corpus_mixture_budget_sample",
+    "similarity_topk_pq",
     "skew_topk_hot_key_unsalted",
     "skew_topk_hot_key_salted",
     "skew_groupmap_hot_key_unsalted",

@@ -460,3 +460,43 @@ def test_self_repetition_counts(spark):
     assert got[1].self_rep_frac == round(1 - 3 / 7, 4)
     assert got[2].self_rep_frac == 0.0
     assert (got[3].n_ngrams_total, got[3].n_ngrams_distinct) == (1, 1)
+
+
+def test_pq_encode_and_adc_recall(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from databricks_import_pyspark_scripts_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        brute_force_topk,
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = pq_codebook(emb, "vec_id", "embedding")
+    assert cb.count() == PQ_M * PQ_K
+    codes = pq_encode(emb, cb, "vec_id", "embedding")
+    n = emb.count()
+    # every vector gets exactly one code per subspace, codes in range
+    assert codes.count() == n * PQ_M
+    rng = codes.agg(F.min("code"), F.max("code")).first()
+    assert rng[0] >= 0 and rng[1] < PQ_K
+    # a codebook seed vector reconstructs itself exactly: vec j's subspace
+    # codes must all be j (distance 0 to its own codeword)
+    own = codes.filter(F.col("vec_id") == 3).select("code").collect()
+    assert all(r.code == 3 for r in own)
+    # ADC is an approximation; require real recall against the exact top-k
+    q = (emb.filter(F.col("vec_id") % 10 == 0)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_embedding")))
+    exact = {(r.query_id, r.vec_id)
+             for r in brute_force_topk(emb, q, k=10).collect()}
+    approx = {(r.query_id, r.vec_id)
+              for r in pq_adc_topk(emb, q, k=10).collect()}
+    recall = len(exact & approx) / len(exact)
+    # near-random synthetic embeddings are the hardest ANN case; this
+    # measures 0.168 at sf0.001 and 0.216 at sf0.01 (vs 0.02 random at
+    # sf0.01), fully deterministic — the floor just pins it from regressing
+    assert recall >= 0.15, recall
