@@ -568,3 +568,56 @@ def pq_adc_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "vec_id", "adc_dist", "rank"))
+
+
+def ivf_pq_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+                centroid_mod: int = CENTROID_MOD, nprobe: int = IVF_NPROBE,
+                dim: int = EMBED_DIM, m: int = PQ_M,
+                centroids: DataFrame | None = None,
+                codebook: DataFrame | None = None) -> DataFrame:
+    """IVF-PQ: the production ANN shape — IVF cells prune the candidate
+    list (each query scores only its ``nprobe`` nearest cells), PQ codes
+    score the survivors by asymmetric distance, raw vectors touched by
+    neither at query time.
+
+    Scale shape: both the cell id and the PQ codes are ingest-time columns;
+    a query touches |cells probed| / |cells| of the corpus and reads 8
+    small ints per candidate instead of 64 floats. The cell join and the
+    distance-table join both broadcast their small side; one shuffle on
+    (query, vec) sums the per-subspace distances.
+    """
+    cents = centroids if centroids is not None else (
+        vectors.filter(F.col("vec_id") % centroid_mod == 0)
+        .select((F.col("vec_id") / centroid_mod).cast("long").alias("centroid_id"),
+                "embedding"))
+    cb = codebook if codebook is not None else pq_codebook(
+        vectors, "vec_id", "embedding", dim, m)
+    v_cells = ivf_assignments(vectors, cents)
+    q_cells = ivf_query_cells(queries, cents, nprobe)
+    codes = pq_encode(vectors, cb, "vec_id", "embedding", dim, m)
+    d_sub = dim // m
+    from .clustering import quantize_vec
+    qsubs = F.array(*[
+        F.struct(F.lit(mm).alias("m"),
+                 F.slice(F.col("qv"), mm * d_sub + 1, d_sub).alias("sv"))
+        for mm in range(m)])
+    qtab = (queries
+            .select(F.col("query_id"), quantize_vec(F.col("q_embedding")).alias("qv"))
+            .select("query_id", F.explode(qsubs).alias("s"))
+            .select("query_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+            .join(F.broadcast(cb), "m")
+            .select("query_id", "m", F.col("j").alias("code"),
+                    _sq_dist_long(F.col("sv"), F.col("cbv")).alias("td")))
+    cand = (v_cells.join(F.broadcast(q_cells),
+                         v_cells.cell == q_cells.q_cell)
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id"))
+    scored = (cand.join(codes, "vec_id")
+              .join(F.broadcast(qtab), ["query_id", "m", "code"])
+              .groupBy("query_id", "vec_id")
+              .agg(F.sum("td").alias("adc_dist")))
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(),
+                                               F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "adc_dist", "rank"))

@@ -61,6 +61,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_self_repetition",
     "corpus_mixture_budget_sample",
     "similarity_topk_pq",
+    "similarity_topk_ivfpq",
     "skew_topk_hot_key_unsalted",
     "skew_topk_hot_key_salted",
     "skew_groupmap_hot_key_unsalted",

@@ -369,3 +369,85 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vectors = load_table(spark, sf_dir, "embeddings")
     return pq_adc_topk(vectors, _queries_df(spark, sf_dir), k=TOP_K)
+
+
+def _ivf_pq_oracle() -> str:
+    from ..operators.similarity import IVF_NPROBE, PQ_K, PQ_M
+
+    d_sub = 64 // PQ_M
+    sq = ("list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))"
+          " - 2 * list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+          " + list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))")
+    sub = f"q.qv[mm.m * {d_sub} + 1 : mm.m * {d_sub} + {d_sub}]"
+    return f"""
+    WITH q AS (
+      SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                                    x -> CAST(round(x * {QUANT_SCALE}) AS BIGINT)) AS qv
+      FROM embeddings),
+    ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+    cb AS (
+      SELECT mm.m, q.vec_id AS j, {sub} AS cbv
+      FROM q, ms mm WHERE q.vec_id < {PQ_K}),
+    sv AS (
+      SELECT q.vec_id, mm.m, {sub} AS sub FROM q, ms mm),
+    enc AS (
+      SELECT vec_id, m, j AS code FROM (
+        SELECT sv.vec_id, sv.m, cb.j,
+               ROW_NUMBER() OVER (
+                 PARTITION BY sv.vec_id, sv.m
+                 ORDER BY {sq.format(a='sv.sub', b='cb.cbv')}, cb.j) AS rn
+        FROM sv JOIN cb ON sv.m = cb.m)
+      WHERE rn = 1),
+    qsv AS (
+      SELECT vec_id AS query_id, m, sub FROM sv WHERE vec_id % {QUERY_MOD} = 0),
+    qtab AS (
+      SELECT qsv.query_id, qsv.m, cb.j AS code,
+             {sq.format(a='qsv.sub', b='cb.cbv')} AS td
+      FROM qsv JOIN cb ON qsv.m = cb.m),
+    cents AS (
+      SELECT vec_id // {CENTROID_MOD} AS centroid_id, embedding AS c_emb
+      FROM embeddings WHERE vec_id % {CENTROID_MOD} = 0),
+    ranked AS (
+      SELECT x.vec_id, c.centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                ORDER BY ROUND({_ASSIGN_COS_SQL}, 8) DESC,
+                                         c.centroid_id) AS rn
+      FROM embeddings x CROSS JOIN cents c),
+    assign AS (
+      SELECT vec_id, centroid_id AS cell FROM ranked WHERE rn = 1),
+    qassign AS (
+      SELECT vec_id AS query_id, centroid_id AS cell FROM ranked
+      WHERE rn <= {IVF_NPROBE} AND vec_id % {QUERY_MOD} = 0),
+    cand AS (
+      SELECT qa.query_id, a.vec_id
+      FROM assign a JOIN qassign qa ON a.cell = qa.cell
+      WHERE a.vec_id <> qa.query_id),
+    scored AS (
+      SELECT c.query_id, c.vec_id, CAST(SUM(qtab.td) AS BIGINT) AS adc_dist
+      FROM cand c
+      JOIN enc ON enc.vec_id = c.vec_id
+      JOIN qtab ON qtab.query_id = c.query_id
+              AND qtab.m = enc.m AND qtab.code = enc.code
+      GROUP BY c.query_id, c.vec_id)
+    SELECT query_id, vec_id, adc_dist, rank FROM (
+      SELECT query_id, vec_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, vec_id) AS rank
+      FROM scored)
+    WHERE rank <= {TOP_K}
+    """
+
+
+@register(
+    "similarity_topk_ivfpq",
+    _ivf_pq_oracle(),
+    doc="IVF-PQ ANN top-k — the production shape: IVF cells prune "
+        "candidates (nprobe=2), PQ codes score survivors by asymmetric "
+        "distance; raw vectors are touched by neither at query time. Both "
+        "index columns are ingest-time artifacts; at 100 TB a query reads "
+        "nprobe/k-cells of the corpus at 8 bytes per candidate.")
+def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_pq_topk
+
+    vectors = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(vectors, _queries_df(spark, sf_dir), k=TOP_K)

@@ -500,3 +500,25 @@ def test_pq_encode_and_adc_recall(spark, sf_dir):
     # measures 0.168 at sf0.001 and 0.216 at sf0.01 (vs 0.02 random at
     # sf0.01), fully deterministic — the floor just pins it from regressing
     assert recall >= 0.15, recall
+
+
+def test_ivf_pq_is_subset_scoring_of_pq(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from databricks_import_pyspark_scripts_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_adc_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = (emb.filter(F.col("vec_id") % 10 == 0)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_embedding")))
+    full = {(r.query_id, r.vec_id): r.adc_dist
+            for r in pq_adc_topk(emb, q, k=10 ** 6, m=8).collect()}
+    pruned = ivf_pq_topk(emb, q, k=5, centroid_mod=10, nprobe=2).collect()
+    assert len(pruned) > 0
+    # every IVF-PQ result must carry the exact same ADC distance the
+    # unpruned PQ scorer assigns that pair (cells prune, never rescore)
+    for r in pruned:
+        assert full[(r.query_id, r.vec_id)] == r.adc_dist
