@@ -62,6 +62,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_mixture_budget_sample",
     "similarity_topk_pq",
     "similarity_topk_ivfpq",
+    "dedup_incremental_neardup",
     "skew_topk_hot_key_unsalted",
     "skew_topk_hot_key_salted",
     "skew_groupmap_hot_key_unsalted",

@@ -555,3 +555,98 @@ def dedup_corpus_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (final.groupBy(F.col("component").alias("kept_doc_id"))
             .agg(F.count(F.lit(1)).alias("n_members"),
                  F.countDistinct("rid").alias("n_neardup_groups")))
+
+
+NEW_BATCH_START = 400  # doc_id boundary: history < 400, new batch >= 400
+
+
+def _side_sig_band_ctes(src: str, p: str) -> str:
+    """sig + bands CTEs over source CTE ``src`` (columns doc_id, text),
+    prefixed ``p`` — the per-side building block for the incremental
+    near-dup oracle (same 52-bit affine MinHash as _minhash_oracle)."""
+    sig_exprs = ",\n           ".join(
+        f"MIN(h1 + {j} * h2) AS sig{j}" for j in range(NUM_HASHES))
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, md5({concat}) AS band_hash FROM {p}sig".format(
+            b=b, p=p,
+            concat=" || ',' || ".join(
+                f"CAST(sig{j} AS VARCHAR)"
+                for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)))
+        for b in range(NUM_BANDS))
+    from .dedup import _hex_to_bigint_sql  # self-import safe at call time
+    return f"""
+    {p}sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM {src}
+    ), {p}hs AS (
+      SELECT doc_id,
+             {_hex_to_bigint_sql('h', 1)} AS h1,
+             {_hex_to_bigint_sql('h', 14)} AS h2
+      FROM (SELECT doc_id, md5(unnest(sh)) AS h FROM {p}sh)
+    ), {p}sig AS (
+      SELECT doc_id,
+           {sig_exprs}
+      FROM {p}hs GROUP BY doc_id
+    ), {p}bands AS (
+      {band_selects}
+    )"""
+
+
+def _incremental_neardup_oracle(threshold: float = 0.5) -> str:
+    return f"""
+    WITH hist AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < {NEW_BATCH_START}
+    ), newb AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= {NEW_BATCH_START}
+    ), {_side_sig_band_ctes('hist', 'h_')},
+    {_side_sig_band_ctes('newb', 'n_')},
+    ok AS (
+      SELECT band_idx, band_hash FROM h_bands
+      GROUP BY band_idx, band_hash HAVING COUNT(*) <= {MAX_BUCKET}
+    ), cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id
+      FROM n_bands n
+      JOIN h_bands h ON n.band_idx = h.band_idx AND n.band_hash = h.band_hash
+      JOIN ok ON h.band_idx = ok.band_idx AND h.band_hash = ok.band_hash
+    ), scored AS (
+      SELECT new_id, hist_id, jaccard FROM (
+        SELECT cand.new_id, cand.hist_id,
+               ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
+                     / GREATEST(len(list_distinct(list_concat(a.sh, b.sh))), 1), 4)
+                 AS jaccard
+        FROM cand
+        JOIN n_sh a ON cand.new_id = a.doc_id
+        JOIN h_sh b ON cand.hist_id = b.doc_id)
+      WHERE jaccard >= {threshold}
+    ), best AS (
+      SELECT new_id, hist_id, jaccard FROM (
+        SELECT new_id, hist_id, jaccard,
+               ROW_NUMBER() OVER (PARTITION BY new_id
+                                  ORDER BY jaccard DESC, hist_id) AS rn
+        FROM scored)
+      WHERE rn = 1
+    )
+    SELECT nb.doc_id,
+           best.hist_id IS NOT NULL AS has_near_dup,
+           best.hist_id AS best_match_id,
+           best.jaccard AS best_jaccard
+    FROM newb nb LEFT JOIN best ON nb.doc_id = best.new_id
+    """
+
+
+@register(
+    "dedup_incremental_neardup",
+    _incremental_neardup_oracle(),
+    doc="Batch-incremental NEAR-dup: each new document (doc_id >= 400) gets "
+        "its best MinHash-LSH near-duplicate from the historical corpus "
+        "(doc_id < 400), argmax jaccard with id tie-break, or "
+        "has_near_dup=false. The every-ingest complement to "
+        "dedup_incremental_new_docs (exact): at 100 TB the history bands "
+        "are a stored index, the new batch broadcasts, nothing "
+        "history-sized shuffles.")
+def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import incremental_neardup
+
+    d = load_table(spark, sf_dir, "documents")
+    hist = d.filter(F.col("doc_id") < NEW_BATCH_START).select("doc_id", "text")
+    newb = d.filter(F.col("doc_id") >= NEW_BATCH_START).select("doc_id", "text")
+    return incremental_neardup(hist, newb, "doc_id", "text", threshold=0.5)

@@ -99,3 +99,55 @@ def test_simhash_pairs_cap_bounds_duplicate_mass(spark):
     pairs = {(r.id_a, r.id_b) for r in simhash_pairs(sigs).collect()}
     assert len(pairs) < 10
     assert not any(a >= 100 and b >= 100 for a, b in pairs)
+
+
+def test_incremental_neardup_finds_planted_dup(spark):
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.operators.dedup import (
+        incremental_neardup,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then naps "
+            "in the warm afternoon sun beside the old oak tree")
+    hist = spark.createDataFrame(
+        [(1, base),
+         (2, "completely unrelated historical text about query engines"),
+         (3, base + " today")],  # another near-dup of base, higher id
+        "doc_id long, text string")
+    newb = spark.createDataFrame(
+        [(100, base + " again"),   # near-dup of 1 and 3
+         (101, "fresh new content sharing nothing with the history")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           incremental_neardup(hist, newb, "doc_id", "text",
+                               threshold=0.5).collect()}
+    assert len(got) == 2
+    assert got[100].has_near_dup
+    # argmax jaccard; both 1 and 3 are candidates — the reported match
+    # must carry the maximal jaccard of the two
+    assert got[100].best_match_id in (1, 3)
+    assert got[100].best_jaccard >= 0.5
+    assert not got[101].has_near_dup
+    assert got[101].best_match_id is None
+
+
+def test_incremental_neardup_degenerate_history_band_capped(spark):
+    from databricks_import_pyspark_scripts_spark.operators.dedup import (
+        incremental_neardup,
+    )
+
+    # 50 identical history docs: one band value holds all of them. With
+    # max_bucket=10 the band is dropped, so the new dup reports NO match —
+    # bounded work instead of 50 candidates per new doc.
+    txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    hist = spark.createDataFrame([(i, txt) for i in range(50)],
+                                 "doc_id long, text string")
+    newb = spark.createDataFrame([(100, txt + " extra")],
+                                 "doc_id long, text string")
+    capped = incremental_neardup(hist, newb, "doc_id", "text",
+                                 threshold=0.5, max_bucket=10).collect()
+    assert len(capped) == 1 and not capped[0].has_near_dup
+    uncapped = incremental_neardup(hist, newb, "doc_id", "text",
+                                   threshold=0.5, max_bucket=None).collect()
+    assert uncapped[0].has_near_dup
