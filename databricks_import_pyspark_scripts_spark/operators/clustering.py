@@ -107,7 +107,9 @@ def update_centroids(assigned: DataFrame, prev: DataFrame,
     new_cq = F.array(*[floordiv_col(F.col(f"_s{i}"), F.col("_n"))
                        for i in range(dim)])
     upd = sums.select("cid", new_cq.alias("_new_cq"))
-    return (prev.join(upd, "cid", "left")
+    # both sides are k rows; broadcast the update so the join never falls
+    # back to a sort-merge exchange inside the lazy iteration chain
+    return (prev.join(F.broadcast(upd), "cid", "left")
             .select("cid", F.coalesce(F.col("_new_cq"), F.col("cq")).alias("cq")))
 
 
