@@ -238,8 +238,14 @@ def boilerplate_ngram_stats(df, id_col: str, text_col: str,
     1e-5) are not representable as dyadic rationals, so the round cannot
     split engines.
     """
-    sh = df.select(F.col(id_col),
-                   F.explode(shingles_col(F.col(text_col), n)).alias("ng"))
+    # Arrow shingles, not the expression form: this projection executes
+    # twice (the DF-count branch and the membership join below), and the
+    # nested transform/slice lambdas run interpreted — the same 2.3 s/pass
+    # cost the LSH verify stage eliminated (operators.dedup.shingles_pd_df,
+    # identical sets, pinned by test_impl_consistency).
+    from .dedup import shingles_pd_df
+    sh = (shingles_pd_df(df, id_col, text_col, n)
+          .select(F.col(id_col), F.explode("sh").alias("ng")))
     freq = (sh.groupBy("ng").agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") >= min_df)
             .select("ng", F.lit(1).alias("_hit")))

@@ -49,10 +49,11 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # The driver's correctness gate checks a bounded window of queries (the first
 # ~50 by iteration order).  Rotation policy: every round front-loads the
 # queries whose last driver attestation is OLDEST, so attestations stay fresh
-# on current code.  Round 4 attested the 50 names now in the bottom tier; the
-# 63 above them were last attested on r1/r2 code (the r4 verdict's sweep says
-# they are green on current code — this rotation makes the driver's record
-# say so too).  Names absent from this list follow in registration order.
+# on current code.  r5 window: the never-attested r5 additions first
+# (clustering, boilerplate/self-repetition, mixture, PQ/IVF-PQ, incremental
+# near-dup, skew stress, CDC-merge, resample/SCD2...), then the stale tier
+# whose last attestation was r1/r2.  Round 4 attested the names in the bottom
+# tier.  Names absent from this list follow in registration order.
 _PRIORITY: tuple[str, ...] = (
     # --- new queries this round go HERE (never attested) ---
     "cluster_kmeans_assign",

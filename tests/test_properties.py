@@ -35,3 +35,21 @@ def test_partition_count_invariants(n, m):
     assert p == max(1, math.ceil(n / m))
     assert (p - 1) * m < max(n, 1)       # no overshoot: p-1 files can't hold n
     assert p * m >= n                    # p files always suffice
+
+
+@given(st.integers(0, 9999),            # md5 bucket
+       st.integers(1, 10 ** 13),        # per-source token total
+       st.integers(1, 10 ** 13),        # corpus token budget
+       st.integers(1, 100))             # integer weight percent
+@settings(max_examples=300, deadline=None)
+def test_mixture_predicate_equals_rational_rate(bucket, src_tok, budget, w):
+    """The cross-multiplied int64 keep predicate must agree EXACTLY with
+    the rational keep rate bucket/10000 < budget*w/(100*src_tok) — and
+    never overflow int64 — for petabyte-scale token counts."""
+    from fractions import Fraction
+
+    lhs = bucket * src_tok
+    rhs = budget * w * 100  # buckets // 100 with MIX_BUCKETS = 10000
+    assert lhs < 2 ** 63 and rhs < 2 ** 63
+    exact = Fraction(bucket, 10000) < Fraction(budget * w, 100 * src_tok)
+    assert (lhs < rhs) == exact
