@@ -155,3 +155,64 @@ def cluster_balanced_sample(assignment: DataFrame, id_col: str,
             .withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= cap)
             .select(id_col, "cluster_id", "rk"))
+
+
+def assign_clusters_np(q: DataFrame, cents_rows: list, id_col: str) -> DataFrame:
+    """Arrow twin of ``assign_clusters`` for the materialized production
+    path: centroids arrive as COLLECTED rows (k rows — driver-bounded, the
+    same legitimacy class as the CMS probe) and each Arrow batch computes
+    all squared distances as one int64 matmul, ``|q|^2 - 2 qC^T + |c|^2``.
+
+    Bit-identity with the expression form: every operand is an exact int64
+    (dots bounded far below 2^63 for round(x*1000)-quantized embeddings),
+    and ``argmin`` returns the FIRST minimum — centroids are sorted by cid,
+    so ties break to the smallest cid exactly like ``min(struct(d, cid))``.
+    Asserted on real data by tests/test_clustering.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(cents_rows, key=lambda r: r.cid)
+    c_mat = np.array([list(r.cq) for r in rows], dtype=np.int64)
+    cids = np.array([r.cid for r in rows], dtype=np.int64)
+    cn2 = (c_mat * c_mat).sum(axis=1)
+    id_type = q.schema[id_col].dataType.simpleString()
+
+    def _assign(it):
+        for pdf in it:
+            qm = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            d = ((qm * qm).sum(axis=1)[:, None]
+                 - 2 * (qm @ c_mat.T) + cn2[None, :])
+            idx = d.argmin(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "qv": pdf["qv"],
+                                "cid": cids[idx]})
+
+    return q.mapInPandas(
+        _assign, schema=f"{id_col} {id_type}, qv array<long>, cid long")
+
+
+def kmeans_assign_arrow(vectors: DataFrame, id_col: str, vec_col: str,
+                        dim: int, centroid_mod: int = CENTROID_MOD,
+                        iters: int = KMEANS_ITERS,
+                        scale: int = KMEANS_SCALE) -> DataFrame:
+    """(id, cluster_id): the production form of ``kmeans_assign`` — eager
+    per round (centroids collect to the driver: k rows), Arrow-matmul
+    assignment, localCheckpointed assignments. Identical output to the
+    lazy expression form (tests pin frame equality); use this for many
+    rounds / large k where k interpreted-lambda distance evaluations per
+    row per round dominate (measured 23.4 s -> 9.3 s end-to-end on
+    200k x 16d x 64 centroids x 3 rounds, local[16]; the remaining cost is
+    checkpoint IO + the update shuffles, not assignment compute)."""
+    q = vectors.select(F.col(id_col),
+                       quantize_vec(F.col(vec_col), scale).alias("qv"))
+    cents = init_centroids(q, id_col, centroid_mod)
+    cents_rows = cents.collect()
+    for _ in range(iters):
+        assigned = assign_clusters_np(q, cents_rows, id_col)
+        assigned = assigned.localCheckpoint(eager=True)
+        prev = vectors.sparkSession.createDataFrame(
+            [(int(r.cid), list(r.cq)) for r in cents_rows],
+            "cid long, cq array<long>")
+        cents_rows = update_centroids(assigned, prev, dim).collect()
+    final = assign_clusters_np(q, cents_rows, id_col)
+    return final.select(F.col(id_col), F.col("cid").alias("cluster_id"))

@@ -97,3 +97,29 @@ def test_balanced_sample_caps_every_cluster(spark):
     # deterministic: same input -> same kept set
     again = cluster_balanced_sample(asg, "vec_id", cap=7)
     assert sorted(map(tuple, kept.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_arrow_kmeans_bit_identical_to_expression_form(spark):
+    from databricks_import_pyspark_scripts_spark.operators.clustering import (
+        kmeans_assign_arrow,
+    )
+
+    rows = [(i, [float((i * 7) % 13) - 6.0, float((i * 3) % 11) / 2,
+                 float(i % 5) * 1.5]) for i in range(90)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    expr = kmeans_assign(df, "vec_id", "embedding", dim=3,
+                         centroid_mod=15, iters=3)
+    arrow = kmeans_assign_arrow(df, "vec_id", "embedding", dim=3,
+                                centroid_mod=15, iters=3)
+    assert sorted(map(tuple, expr.collect())) == sorted(map(tuple, arrow.collect()))
+
+
+def test_arrow_kmeans_on_real_embeddings(spark, sf_dir):
+    from databricks_import_pyspark_scripts_spark.operators.clustering import (
+        kmeans_assign_arrow,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    expr = kmeans_assign(emb, "vec_id", "embedding", dim=64)
+    arrow = kmeans_assign_arrow(emb, "vec_id", "embedding", dim=64)
+    assert sorted(map(tuple, expr.collect())) == sorted(map(tuple, arrow.collect()))
