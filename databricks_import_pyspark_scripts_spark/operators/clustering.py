@@ -127,6 +127,11 @@ def kmeans_assign(vectors: DataFrame, id_col: str, vec_col: str, dim: int,
     localCheckpoints each round's assignment (same lineage-breaking policy
     as graph.min_label_propagation), making cost linear in ``iters`` — the
     100 TB form, at the price of eager execution.
+
+    Seed contract: at least one id divisible by ``centroid_mod`` must
+    exist, else the lazy plan returns an EMPTY assignment (there is no
+    cheap lazy check; ``kmeans_assign_arrow`` raises on the same input
+    because it collects the seeds anyway).
     """
     q = vectors.select(F.col(id_col),
                        quantize_vec(F.col(vec_col), scale).alias("qv"))
@@ -207,6 +212,11 @@ def kmeans_assign_arrow(vectors: DataFrame, id_col: str, vec_col: str,
                        quantize_vec(F.col(vec_col), scale).alias("qv"))
     cents = init_centroids(q, id_col, centroid_mod)
     cents_rows = cents.collect()
+    if not cents_rows:
+        raise ValueError(
+            f"no seed centroids: no {id_col} is divisible by "
+            f"{centroid_mod} (the lazy kmeans_assign would silently return "
+            f"an empty assignment on the same input)")
     for _ in range(iters):
         assigned = assign_clusters_np(q, cents_rows, id_col)
         assigned = assigned.localCheckpoint(eager=True)

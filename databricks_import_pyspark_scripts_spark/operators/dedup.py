@@ -122,9 +122,14 @@ _TOKEN_RE = re.compile(TOKEN_PATTERN)
 # shared shingle-md5 memo for the Arrow signature path (see _sigs): lives in
 # the Python worker process, so it persists across Arrow batches of the same
 # executor and is rebuilt per worker — never shipped, never a correctness
-# input.
+# input. Both caps are load-bearing for the memory bound: entry count alone
+# does not bound bytes when shingles are built from pathological tokens
+# (URLs, base64, minified JS), so keys longer than _SIGS_MEMO_MAX_KEY are
+# hashed but never memoized. Worst case ~= 2^18 * (256 B + overhead) ~ 50 MB
+# per worker.
 _sigs_memo: dict[str, tuple[int, int]] = {}
 _SIGS_MEMO_MAX = 1 << 18
+_SIGS_MEMO_MAX_KEY = 256
 
 
 def _py_shingles(text: str, k: int) -> list[str]:
@@ -210,7 +215,8 @@ def minhash_signatures_pd(df: DataFrame, id_col: str, text_col: str,
                 if v is None:
                     d = hashlib.md5(s.encode("utf-8")).hexdigest()  # noqa: S324
                     v = (int(d[:13], 16), int(d[13:26], 16))
-                    if len(memo) < _SIGS_MEMO_MAX:
+                    if (len(memo) < _SIGS_MEMO_MAX
+                            and len(s) <= _SIGS_MEMO_MAX_KEY):
                         memo[s] = v
                 h1[ix], h2[ix] = v
             out.append((h1[:, None] + js[None, :] * h2[:, None]).min(axis=0))
@@ -637,9 +643,20 @@ def incremental_neardup(history: DataFrame, new_batch: DataFrame,
             .join(F.broadcast(nb.select(F.col(id_col).alias("new_id"),
                                         "band_idx", "band_hash")),
                   ["band_idx", "band_hash"])
-            .select("new_id", "hist_id").distinct())
+            .select("new_id", "hist_id").distinct()
+            # materialize the (new-batch-bounded, tiny) candidate list so it
+            # can bound the history shingle pass below WITHOUT re-executing
+            # the band pipelines — the classic double-execution trap any
+            # second reference to `cand` would otherwise spring
+            .localCheckpoint(eager=True))
     sh_new = shingles_pd_df(new_batch, id_col, text_col, k)
-    sh_hist = shingles_pd_df(history, id_col, text_col, k)
+    # shingle ONLY candidate history docs: the verify stage must never run
+    # a second corpus-wide Arrow pass over 100 TB of history when the
+    # candidate set is new-batch-bounded
+    hist_cand = history.join(
+        F.broadcast(cand.select(F.col("hist_id").alias(id_col)).distinct()),
+        id_col, "left_semi")
+    sh_hist = shingles_pd_df(hist_cand, id_col, text_col, k)
     scored = (cand
               .join(F.broadcast(sh_new.select(F.col(id_col).alias("new_id"),
                                               F.col("sh").alias("sh_n"))),

@@ -482,29 +482,42 @@ PQ_M = 8    # subspaces (dim 64 -> 8 dims each)
 PQ_K = 16   # codewords per subspace (4-bit codes)
 
 
+def _pq_check_dim(dim: int, m: int) -> int:
+    """dim must split evenly into m subspaces — a silent remainder would
+    mean trailing dimensions never influence codes, tables, or distances
+    (quietly-wrong results, the worst failure mode)."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} is not divisible by m={m} subspaces: "
+                         f"the trailing {dim % m} dimensions would be "
+                         f"silently ignored")
+    return dim // m
+
+
+def _pq_subspaces(dim: int, m: int, field: str) -> Column:
+    """array<struct<m, {field}>>: the m subvector slices of quantized
+    vector column ``qv`` — the one definition every PQ path explodes."""
+    d_sub = _pq_check_dim(dim, m)
+    return F.array(*[
+        F.struct(F.lit(mm).alias("m"),
+                 F.slice(F.col("qv"), mm * d_sub + 1, d_sub).alias(field))
+        for mm in range(m)])
+
+
 def pq_codebook(vectors: DataFrame, id_col: str, vec_col: str,
                 dim: int = EMBED_DIM, m: int = PQ_M,
                 k: int = PQ_K) -> DataFrame:
     """(m, j, cbv): deterministic PQ codebooks — subspace ``m``'s codeword
-    ``j`` is the m-th subvector of the vector with id ``j`` (ids 0..k-1;
-    inject a trained codebook for production). Tiny (m*k rows) —
-    broadcast everywhere it's used."""
-    d_sub = dim // m
+    ``j`` is the m-th subvector of the vector with id ``j``. Contract: ids
+    0..k-1 must exist (the testdata tables' sequential-id guarantee); a
+    corpus without them yields a short codebook and empty downstream
+    results, so inject a trained codebook for production corpora. Tiny
+    (m*k rows) — broadcast everywhere it's used."""
     from .clustering import quantize_vec
     base = (vectors.filter(F.col(id_col) < k)
             .select(F.col(id_col).alias("j"),
                     quantize_vec(F.col(vec_col)).alias("qv")))
-    subs = F.array(*[
-        F.struct(F.lit(mm).alias("m"),
-                 F.slice(F.col("qv"), mm * d_sub + 1, d_sub).alias("cbv"))
-        for mm in range(m)])
-    return (base.select("j", F.explode(subs).alias("s"))
+    return (base.select("j", F.explode(_pq_subspaces(dim, m, "cbv")).alias("s"))
             .select("s.m", "j", "s.cbv"))
-
-
-def _sq_dist_long(a: Column, b: Column) -> Column:
-    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-                       F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def pq_encode(vectors: DataFrame, codebook: DataFrame, id_col: str,
@@ -513,21 +526,33 @@ def pq_encode(vectors: DataFrame, codebook: DataFrame, id_col: str,
     the smallest code). The encode pass is explode-by-subspace x broadcast
     codebook — m*k distance evaluations per vector, map-side only, done
     ONCE at ingest in a real pipeline (codes are then stored columnar)."""
-    d_sub = dim // m
-    from .clustering import quantize_vec
-    subs = F.array(*[
-        F.struct(F.lit(mm).alias("m"),
-                 F.slice(F.col("qv"), mm * d_sub + 1, d_sub).alias("sv"))
-        for mm in range(m)])
+    from .clustering import quantize_vec, sq_dist_col
     sv = (vectors
           .select(F.col(id_col), quantize_vec(F.col(vec_col)).alias("qv"))
-          .select(F.col(id_col), F.explode(subs).alias("s"))
+          .select(F.col(id_col), F.explode(_pq_subspaces(dim, m, "sv")).alias("s"))
           .select(F.col(id_col), F.col("s.m").alias("m"), F.col("s.sv").alias("sv")))
     scored = (sv.join(F.broadcast(codebook), "m")
-              .withColumn("_d", _sq_dist_long(F.col("sv"), F.col("cbv"))))
+              .withColumn("_d", sq_dist_col(F.col("sv"), F.col("cbv"))))
     return (scored.groupBy(id_col, "m")
             .agg(F.min(F.struct(F.col("_d"), F.col("j"))).alias("_mn"))
             .select(id_col, "m", F.col("_mn.j").alias("code")))
+
+
+def pq_query_tables(queries: DataFrame, cb: DataFrame,
+                    dim: int = EMBED_DIM, m: int = PQ_M) -> DataFrame:
+    """(query_id, m, code, td): per-query ADC distance tables — the exact
+    int64 distance from each query subvector to every codeword. The ONE
+    builder both pq_adc_topk and ivf_pq_topk use (the IVF-PQ subset test
+    pins that both paths assign identical distances, which must not depend
+    on hand-synchronized copies). |Q| * m * k rows — broadcast."""
+    from .clustering import quantize_vec, sq_dist_col
+    return (queries
+            .select(F.col("query_id"), quantize_vec(F.col("q_embedding")).alias("qv"))
+            .select("query_id", F.explode(_pq_subspaces(dim, m, "sv")).alias("s"))
+            .select("query_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+            .join(F.broadcast(cb), "m")
+            .select("query_id", "m", F.col("j").alias("code"),
+                    sq_dist_col(F.col("sv"), F.col("cbv")).alias("td")))
 
 
 def pq_adc_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
@@ -546,19 +571,7 @@ def pq_adc_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     cb = codebook if codebook is not None else pq_codebook(
         vectors, "vec_id", "embedding", dim, m)
     codes = pq_encode(vectors, cb, "vec_id", "embedding", dim, m)
-    d_sub = dim // m
-    from .clustering import quantize_vec
-    qsubs = F.array(*[
-        F.struct(F.lit(mm).alias("m"),
-                 F.slice(F.col("qv"), mm * d_sub + 1, d_sub).alias("sv"))
-        for mm in range(m)])
-    qtab = (queries
-            .select(F.col("query_id"), quantize_vec(F.col("q_embedding")).alias("qv"))
-            .select("query_id", F.explode(qsubs).alias("s"))
-            .select("query_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
-            .join(F.broadcast(cb), "m")
-            .select("query_id", "m", F.col("j").alias("code"),
-                    _sq_dist_long(F.col("sv"), F.col("cbv")).alias("td")))
+    qtab = pq_query_tables(queries, cb, dim, m)
     scored = (codes.join(F.broadcast(qtab), ["m", "code"])
               .filter(F.col("vec_id") != F.col("query_id"))
               .groupBy("query_id", "vec_id")
@@ -595,19 +608,7 @@ def ivf_pq_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     v_cells = ivf_assignments(vectors, cents)
     q_cells = ivf_query_cells(queries, cents, nprobe)
     codes = pq_encode(vectors, cb, "vec_id", "embedding", dim, m)
-    d_sub = dim // m
-    from .clustering import quantize_vec
-    qsubs = F.array(*[
-        F.struct(F.lit(mm).alias("m"),
-                 F.slice(F.col("qv"), mm * d_sub + 1, d_sub).alias("sv"))
-        for mm in range(m)])
-    qtab = (queries
-            .select(F.col("query_id"), quantize_vec(F.col("q_embedding")).alias("qv"))
-            .select("query_id", F.explode(qsubs).alias("s"))
-            .select("query_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
-            .join(F.broadcast(cb), "m")
-            .select("query_id", "m", F.col("j").alias("code"),
-                    _sq_dist_long(F.col("sv"), F.col("cbv")).alias("td")))
+    qtab = pq_query_tables(queries, cb, dim, m)
     cand = (v_cells.join(F.broadcast(q_cells),
                          v_cells.cell == q_cells.q_cell)
             .filter(F.col("vec_id") != F.col("query_id"))

@@ -283,7 +283,18 @@ def mixture_budget_keep(df, id_col: str, source_col: str, ntok_col: str,
     broadcast back), one 1-row total-tokens aggregate cross-joined in, then
     a pure per-row predicate — at 100 TB the expensive pass is the token
     count, which a real pipeline has stored at ingest anyway.
+
+    ``buckets`` must be a multiple of 100: the predicate folds the percent
+    denominator into ``buckets // 100`` to keep both int64 factors under
+    overflow headroom at petabyte token counts, and that folding is only
+    exact when 100 divides buckets (buckets=50 would silently keep nothing,
+    buckets=150 would under-keep by a third).
     """
+    if buckets % 100 != 0:
+        raise ValueError(
+            f"buckets must be a multiple of 100 (got {buckets}): the keep "
+            f"predicate folds the integer-percent denominator into "
+            f"buckets // 100")
     per_src = df.groupBy(source_col).agg(F.sum(ntok_col).alias("_src_tok"))
     budget = df.agg(
         ((F.sum(ntok_col) * budget_num

@@ -573,7 +573,6 @@ def _side_sig_band_ctes(src: str, p: str) -> str:
                 f"CAST(sig{j} AS VARCHAR)"
                 for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)))
         for b in range(NUM_BANDS))
-    from .dedup import _hex_to_bigint_sql  # self-import safe at call time
     return f"""
     {p}sh AS (
       SELECT doc_id, {_SHINGLES_SQL} AS sh FROM {src}

@@ -309,7 +309,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("cosine") >= NEAR_DUP_THRESHOLD))
 
 
-def _pq_oracle() -> str:
+def _pq_ctes() -> str:
+    """The q/ms/cb/sv/enc/qsv/qtab CTE block shared by the PQ and IVF-PQ
+    oracles — one definition, so the subset-scoring invariant the Spark
+    side pins (pq_query_tables) holds in the SQL twins too."""
     from ..operators.similarity import PQ_K, PQ_M
 
     d_sub = 64 // PQ_M
@@ -318,7 +321,7 @@ def _pq_oracle() -> str:
           " + list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))")
     sub = f"q.qv[mm.m * {d_sub} + 1 : mm.m * {d_sub} + {d_sub}]"
     return f"""
-    WITH q AS (
+    q AS (
       SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
                                     x -> CAST(round(x * {QUANT_SCALE}) AS BIGINT)) AS qv
       FROM embeddings),
@@ -341,7 +344,12 @@ def _pq_oracle() -> str:
     qtab AS (
       SELECT qsv.query_id, qsv.m, cb.j AS code,
              {sq.format(a='qsv.sub', b='cb.cbv')} AS td
-      FROM qsv JOIN cb ON qsv.m = cb.m),
+      FROM qsv JOIN cb ON qsv.m = cb.m)"""
+
+
+def _pq_oracle() -> str:
+    return f"""
+    WITH {_pq_ctes()},
     scored AS (
       SELECT qtab.query_id, enc.vec_id, CAST(SUM(td) AS BIGINT) AS adc_dist
       FROM enc JOIN qtab ON enc.m = qtab.m AND enc.code = qtab.code
@@ -372,38 +380,10 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_pq_oracle() -> str:
-    from ..operators.similarity import IVF_NPROBE, PQ_K, PQ_M
+    from ..operators.similarity import IVF_NPROBE
 
-    d_sub = 64 // PQ_M
-    sq = ("list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))"
-          " - 2 * list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
-          " + list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))")
-    sub = f"q.qv[mm.m * {d_sub} + 1 : mm.m * {d_sub} + {d_sub}]"
     return f"""
-    WITH q AS (
-      SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
-                                    x -> CAST(round(x * {QUANT_SCALE}) AS BIGINT)) AS qv
-      FROM embeddings),
-    ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
-    cb AS (
-      SELECT mm.m, q.vec_id AS j, {sub} AS cbv
-      FROM q, ms mm WHERE q.vec_id < {PQ_K}),
-    sv AS (
-      SELECT q.vec_id, mm.m, {sub} AS sub FROM q, ms mm),
-    enc AS (
-      SELECT vec_id, m, j AS code FROM (
-        SELECT sv.vec_id, sv.m, cb.j,
-               ROW_NUMBER() OVER (
-                 PARTITION BY sv.vec_id, sv.m
-                 ORDER BY {sq.format(a='sv.sub', b='cb.cbv')}, cb.j) AS rn
-        FROM sv JOIN cb ON sv.m = cb.m)
-      WHERE rn = 1),
-    qsv AS (
-      SELECT vec_id AS query_id, m, sub FROM sv WHERE vec_id % {QUERY_MOD} = 0),
-    qtab AS (
-      SELECT qsv.query_id, qsv.m, cb.j AS code,
-             {sq.format(a='qsv.sub', b='cb.cbv')} AS td
-      FROM qsv JOIN cb ON qsv.m = cb.m),
+    WITH {_pq_ctes()},
     cents AS (
       SELECT vec_id // {CENTROID_MOD} AS centroid_id, embedding AS c_emb
       FROM embeddings WHERE vec_id % {CENTROID_MOD} = 0),

@@ -269,15 +269,26 @@ def test_lsh_queries_leave_no_pinned_caches(spark, sf_dir):
     from databricks_import_pyspark_scripts_spark.querylib import all_queries
 
     qs = all_queries()
-    # delta-based: other tests sharing this session fixture may hold their
-    # own (test-scoped) persists; these queries must not ADD any
-    baseline = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    def pinned_ids() -> set:
+        it = (spark.sparkContext._jsc.sc()  # noqa: SLF001
+              .getPersistentRDDs().keysIterator())
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    # id-set delta, not a count compare: other tests' localCheckpoint RDDs
+    # (kmeans materialize, incremental near-dup candidates, graph CC) are
+    # cleaned ASYNCHRONOUSLY by the ContextCleaner, so the raw count can
+    # legitimately DROP mid-test; only NEW ids mean these queries pinned
+    # something
+    baseline = pinned_ids()
     for name in ("dedup_minhash_lsh", "dedup_simhash_pairs",
                  "dedup_embedding_cosine"):
         qs[name](spark, sf_dir).count()
-        n_pinned = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-        assert n_pinned == baseline, \
-            f"{name} left {n_pinned - baseline} new pinned RDDs"
+        added = pinned_ids() - baseline
+        assert not added, f"{name} left new pinned RDDs: {added}"
 
 
 def test_pack_sequences_prefix_sum_semantics(spark):
@@ -522,3 +533,30 @@ def test_ivf_pq_is_subset_scoring_of_pq(spark, sf_dir):
     # unpruned PQ scorer assigns that pair (cells prune, never rescore)
     for r in pruned:
         assert full[(r.query_id, r.vec_id)] == r.adc_dist
+
+
+def test_parameter_guards_raise(spark):
+    import pytest as _pytest
+
+    from databricks_import_pyspark_scripts_spark.operators.clustering import (
+        kmeans_assign_arrow,
+    )
+    from databricks_import_pyspark_scripts_spark.operators.similarity import (
+        pq_codebook,
+    )
+    from databricks_import_pyspark_scripts_spark.operators.text import (
+        mixture_budget_keep,
+    )
+
+    df = spark.createDataFrame([(1, "a", 10)],
+                               "doc_id long, source string, n_tok long")
+    with _pytest.raises(ValueError, match="multiple of 100"):
+        mixture_budget_keep(df, "doc_id", "source", "n_tok",
+                            F.lit(50), buckets=50)
+    vecs = spark.createDataFrame([(1, [0.0, 0.0])],
+                                 "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="no seed centroids"):
+        kmeans_assign_arrow(vecs, "vec_id", "embedding", dim=2,
+                            centroid_mod=100)
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_codebook(vecs, "vec_id", "embedding", dim=60, m=8)
