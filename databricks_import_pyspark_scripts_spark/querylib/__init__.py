@@ -64,6 +64,7 @@ _PRIORITY: tuple[str, ...] = (
     "similarity_topk_pq",
     "similarity_topk_ivfpq",
     "dedup_incremental_neardup",
+    "scalar_variant_shredding",
     "skew_topk_hot_key_unsalted",
     "skew_topk_hot_key_salted",
     "skew_groupmap_hot_key_unsalted",

@@ -265,3 +265,39 @@ def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("long").alias("n_last_hour"),
         F.round(F.sum("value").over(w), 4).alias("value_last_hour"))
         .orderBy("user_id", "event_id"))
+
+
+@register(
+    "scalar_variant_shredding",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract(props, '$.missing') AS BIGINT) AS missing_path,
+           json_valid(CASE WHEN event_id % 2 = 1
+                           THEN substr(props, 1, length(props) - 1)
+                           ELSE props END) AS parse_ok
+    FROM events
+    """,
+    doc="Spark 4 VARIANT family over the JSON property blobs: parse_json "
+        "-> try_variant_get typed path extraction (long and string casts "
+        "of the same path, a missing path as NULL), plus try_parse_json's "
+        "NULL-not-throw contract probed with deliberately corrupted JSON "
+        "on odd event ids. VARIANT is the modern semi-structured scan "
+        "path: the binary encoding pushes typed path access down without "
+        "per-row string re-parsing.")
+def scalar_variant_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    # corruption = drop the closing brace: rejected by BOTH engines'
+    # parsers (a dropped OPENING brace leaves '"k": 69}', which Spark's
+    # lenient Jackson front-end accepts while DuckDB does not)
+    corrupt = F.when(F.col("event_id") % 2 == 1,
+                     F.expr("substring(props, 1, length(props) - 1)")) \
+               .otherwise(F.col("props"))
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "long").alias("k"),
+        F.try_variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.missing", "long").alias("missing_path"),
+        F.try_parse_json(corrupt).isNotNull().alias("parse_ok"))
