@@ -200,3 +200,62 @@ def stream_stream_join(clicks: DataFrame, purchases: DataFrame,
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
         "inner").drop("p_user")
+
+
+def make_first_seen_processor(id_col: str, fp_col: str):
+    """StatefulProcessor class for ``dedup_stream_stateful``, built at
+    module level so its batch logic is unit-testable with a stub handle
+    (the container lacks protobuf, which the transformWithState
+    state-server needs, so the full-engine test auto-skips — the pure
+    Python row logic is covered regardless)."""
+    import pandas as pdlib
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class FirstSeen(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._seen = handle.getValueState("seen", "seen boolean")
+
+        def handleInputRows(self, key, rows, timer_values):
+            seen_before_batch = self._seen.exists()
+            batch = pdlib.concat(list(rows), ignore_index=True)
+            batch = batch.sort_values(id_col, kind="mergesort")
+            flags = [True] * len(batch)
+            if not seen_before_batch and len(batch) > 0:
+                flags[0] = False
+            self._seen.update((True,))
+            yield pdlib.DataFrame({
+                id_col: batch[id_col].values,
+                fp_col: [key[0]] * len(batch),
+                "seen_before": flags,
+            })
+
+        def close(self) -> None:
+            pass
+
+    return FirstSeen
+
+
+def dedup_stream_stateful(docs: DataFrame, id_col: str = "doc_id",
+                          fp_col: str = "fingerprint") -> DataFrame:
+    """First-seen dedup across ALL micro-batches via Spark 4's
+    ``transformWithStateInPandas`` (the successor API to
+    applyInPandasWithState): one ValueState flag per content fingerprint,
+    emitting every row tagged ``seen_before``.
+
+    Unlike ``dedup_stream`` (dropDuplicates bounded by a watermark
+    horizon), the fingerprint state here has no time horizon — it is the
+    STREAMING twin of the batch incremental-ingest dedup
+    (querylib.dedup.dedup_incremental_new_docs): the state store plays the
+    historical fingerprint index. Within a batch, the smallest id is the
+    first-seen row (deterministic tie order); rows after it, and all rows
+    in later batches, report ``seen_before = true``. State is one boolean
+    per distinct fingerprint, partitioned with the shuffle — at scale this
+    is RocksDB-backed and effectively the stored index, and a production
+    deployment sets a state TTL at the dedup horizon it wants.
+    """
+    cls = make_first_seen_processor(id_col, fp_col)
+    return (docs.groupBy(fp_col).transformWithStateInPandas(
+        cls(),
+        outputStructType=f"{id_col} long, {fp_col} string, seen_before boolean",
+        outputMode="Append",
+        timeMode="None"))
