@@ -207,14 +207,14 @@ def bigrams_df(df, id_col: str, text_col: str):
             .select(F.col(id_col), F.concat_ws(" ", "tok", "nxt").alias("bg")))
 
 
-BOILER_NGRAM = 3     # n-gram width for boilerplate detection
-BOILER_MIN_DF = 5    # an n-gram in >= this many docs is corpus-frequent
+BOILER_NGRAM = 3      # n-gram width for boilerplate detection
+BOILER_MIN_DF_PCT = 1  # an n-gram in >= this PERCENT of docs is corpus-frequent
 BOILER_FLAG_FRAC = 0.2  # flag a doc when this fraction of its n-grams is frequent
 
 
 def boilerplate_ngram_stats(df, id_col: str, text_col: str,
                             n: int = BOILER_NGRAM,
-                            min_df: int = BOILER_MIN_DF,
+                            min_df_pct: int = BOILER_MIN_DF_PCT,
                             flag_frac: float = BOILER_FLAG_FRAC):
     """(id, n_ngrams, n_boiler, boiler_frac, is_boilerplate): how much of a
     document is made of corpus-frequent n-grams — the template/boilerplate
@@ -222,9 +222,18 @@ def boilerplate_ngram_stats(df, id_col: str, text_col: str,
     repetition rules (``dup_line_frac_col``) cannot see because the
     repetition lives ACROSS documents.
 
+    The frequency threshold is RELATIVE — an n-gram is corpus-frequent
+    when it appears in at least ``min_df_pct`` percent of documents
+    (integer-exact compare ``cnt * 100 >= pct * n_docs``, no float
+    boundary) — because an absolute document count cannot survive a
+    corpus-size change: a fixed min_df=5 classified 98% of every
+    document's n-grams as "frequent" on a 10x denser corpus and emptied
+    the downstream pipeline.
+
     Shape: distinct per-doc n-grams (``shingles_col`` — distinct, so the
     per-n-gram count below is a document frequency) -> explode -> one
-    shuffle on the n-gram for the DF count -> the frequent subset joins
+    shuffle on the n-gram for the DF count (plus a scan-only COUNT(*) of
+    the corpus for the relative threshold) -> the frequent subset joins
     back against the exploded view -> one shuffle on the doc id to
     re-aggregate. The frequent set is the heavy-hitter tail (151 of 16k
     distinct 3-grams at sf0.01), so AQE broadcasts it and the corpus side
@@ -246,8 +255,10 @@ def boilerplate_ngram_stats(df, id_col: str, text_col: str,
     from .dedup import shingles_pd_df
     sh = (shingles_pd_df(df, id_col, text_col, n)
           .select(F.col(id_col), F.explode("sh").alias("ng")))
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n_docs"))
     freq = (sh.groupBy("ng").agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") >= min_df)
+            .crossJoin(F.broadcast(n_docs))
+            .filter(F.col("_df") * 100 >= min_df_pct * F.col("_n_docs"))
             .select("ng", F.lit(1).alias("_hit")))
     joined = sh.join(freq, "ng", "left")
     frac = F.col("n_boiler") * 1.0 / F.col("n_ngrams")
@@ -296,9 +307,12 @@ def mixture_budget_keep(df, id_col: str, source_col: str, ntok_col: str,
             f"predicate folds the integer-percent denominator into "
             f"buckets // 100")
     per_src = df.groupBy(source_col).agg(F.sum(ntok_col).alias("_src_tok"))
-    budget = df.agg(
-        ((F.sum(ntok_col) * budget_num
-          - (F.sum(ntok_col) * budget_num) % budget_den) / budget_den)
+    # budget derives from per_src (sum of per-source sums == total), NOT
+    # from a second aggregate over df: an expensive upstream feeding df
+    # would otherwise execute once per reference
+    budget = per_src.agg(
+        ((F.sum("_src_tok") * budget_num
+          - (F.sum("_src_tok") * budget_num) % budget_den) / budget_den)
         .cast("long").alias("_budget"))
     bucket = split_bucket_col(F.col(id_col), buckets)
     return (df.join(F.broadcast(per_src), source_col)

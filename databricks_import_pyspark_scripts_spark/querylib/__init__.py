@@ -65,6 +65,7 @@ _PRIORITY: tuple[str, ...] = (
     "similarity_topk_ivfpq",
     "dedup_incremental_neardup",
     "scalar_variant_shredding",
+    "corpus_prep_pipeline_v2",
     "skew_topk_hot_key_unsalted",
     "skew_topk_hot_key_salted",
     "skew_groupmap_hot_key_unsalted",

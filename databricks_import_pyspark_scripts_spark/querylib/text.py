@@ -645,12 +645,18 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _boilerplate_oracle() -> str:
-    from ..operators.text import BOILER_FLAG_FRAC, BOILER_MIN_DF, BOILER_NGRAM
+    from ..operators.text import (
+        BOILER_FLAG_FRAC,
+        BOILER_MIN_DF_PCT,
+        BOILER_NGRAM,
+    )
 
     return f"""
     WITH sh AS (
       SELECT doc_id, unnest({shingles_sql(BOILER_NGRAM)}) AS ng FROM documents),
-    freq AS (SELECT ng FROM sh GROUP BY ng HAVING COUNT(*) >= {BOILER_MIN_DF}),
+    freq AS (SELECT ng FROM sh GROUP BY ng
+             HAVING COUNT(*) * 100 >= {BOILER_MIN_DF_PCT}
+                    * (SELECT COUNT(*) FROM documents)),
     j AS (SELECT s.doc_id,
                  CASE WHEN f.ng IS NULL THEN 0 ELSE 1 END AS hit
           FROM sh s LEFT JOIN freq f USING (ng))
@@ -667,7 +673,8 @@ def _boilerplate_oracle() -> str:
     "text_boilerplate_ngrams",
     _boilerplate_oracle(),
     doc="Corpus-frequent n-gram boilerplate detection: the fraction of each "
-        "document's distinct 3-grams that occur in >= 5 documents — the "
+        "document's distinct 3-grams that occur in >= 1% of documents — "
+        "the "
         "cross-document template/chrome signal per-doc repetition rules "
         "cannot see. One n-gram-count shuffle + heavy-hitter-set join "
         "(AQE-broadcast) + one doc re-aggregate; constants shared with the "
@@ -759,3 +766,118 @@ def text_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return self_repetition_stats(d, "doc_id", "text")
+
+
+def _corpus_pipeline_v2_oracle() -> str:
+    from ..functions.portable import md5_bucket_sql
+    from ..operators.text import (
+        BOILER_FLAG_FRAC,
+        BOILER_MIN_DF_PCT,
+        BOILER_NGRAM,
+        MIX_BUCKETS,
+    )
+
+    total = f"GREATEST(CAST(len({TOKENS_SQL}) AS BIGINT) - {BOILER_NGRAM - 1}, 1)"
+    distinct = f"CAST(len({shingles_sql(BOILER_NGRAM)}) AS BIGINT)"
+    w = f"CASE WHEN length(source) = 4 THEN {MIX_W_SHORT} ELSE {MIX_W_LONG} END"
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             CAST(len({TOKENS_SQL}) AS BIGINT) AS n_tokens,
+             {_QUALITY_SQL} AS quality,
+             1.0 - {distinct} * 1.0 / {total} AS self_rep,
+             md5(array_to_string({TOKENS_SQL}, ' ')) AS fingerprint,
+             CAST({md5_bucket_sql('doc_id', MIX_BUCKETS)} AS BIGINT) AS bucket
+      FROM documents),
+    sh AS (
+      SELECT doc_id, unnest({shingles_sql(BOILER_NGRAM)}) AS ng FROM documents),
+    freq AS (SELECT ng FROM sh GROUP BY ng
+             HAVING COUNT(*) * 100 >= {BOILER_MIN_DF_PCT}
+                    * (SELECT COUNT(*) FROM documents)),
+    bstat AS (
+      SELECT s.doc_id,
+             SUM(CASE WHEN f.ng IS NULL THEN 0 ELSE 1 END) * 1.0 / COUNT(*)
+               AS boiler_frac
+      FROM sh s LEFT JOIN freq f USING (ng) GROUP BY s.doc_id),
+    surv AS (
+      SELECT b.* FROM base b JOIN bstat USING (doc_id)
+      WHERE b.quality >= 0.5 AND b.self_rep < 0.3
+        AND bstat.boiler_frac < {BOILER_FLAG_FRAC}),
+    reps AS (
+      SELECT fingerprint, MIN(doc_id) AS rep_id FROM surv GROUP BY fingerprint),
+    final AS (
+      SELECT s.* FROM surv s JOIN reps r ON s.doc_id = r.rep_id),
+    per_src AS (
+      SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tok
+      FROM final GROUP BY source),
+    bgt AS (
+      SELECT CAST((SUM(n_tokens) * {MIX_NUM}
+                   - (SUM(n_tokens) * {MIX_NUM}) % {MIX_DEN})
+                  // {MIX_DEN} AS BIGINT) AS budget FROM final),
+    mixed AS (
+      SELECT f.* FROM final f JOIN per_src USING (source) CROSS JOIN bgt
+      WHERE f.bucket * per_src.src_tok
+            < bgt.budget * ({w}) * {MIX_BUCKETS // 100})
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_kept,
+           MIN(doc_id) AS min_doc_id
+    FROM mixed GROUP BY source ORDER BY source
+    """
+
+
+@register(
+    "corpus_prep_pipeline_v2",
+    _corpus_pipeline_v2_oracle(),
+    doc="The r5 capstone: quality + self-repetition per-row filters -> "
+        "cross-document boilerplate filter (corpus-frequent n-grams) -> "
+        "exact dedup (min-id representative) -> token-budget mixture "
+        "sampling (2/5 of SURVIVING tokens, 6%/4% source tiers) -> "
+        "per-source corpus stats, all composed in ONE DataFrame DAG. "
+        "Every stage reuses an operator that is gate-verified on its own; "
+        "the only wide stages are the n-gram DF count, the fingerprint "
+        "dedup, and the two tiny mixture aggregates.")
+def corpus_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import (
+        BOILER_NGRAM,
+        boilerplate_ngram_stats,
+        fingerprint_col,
+        mixture_budget_keep,
+        ngram_total_col,
+        quality_score_col,
+        shingles_col,
+        split_bucket_col,  # noqa: F401  (bucket comes via mixture_budget_keep)
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    self_rep = (F.lit(1.0)
+                - F.size(shingles_col(F.col("text"), BOILER_NGRAM)).cast("long")
+                * 1.0 / ngram_total_col(F.col("text"), BOILER_NGRAM))
+    base = d.select(
+        "doc_id", "source",
+        token_count_col(F.col("text")).cast("long").alias("n_tokens"),
+        quality_score_col(F.col("text")).alias("quality"),
+        self_rep.alias("self_rep"),
+        fingerprint_col(F.col("text")).alias("fingerprint"))
+    bp_ok = (boilerplate_ngram_stats(d, "doc_id", "text")
+             .filter(~F.col("is_boilerplate")).select("doc_id"))
+    surv = (base.filter((F.col("quality") >= 0.5) & (F.col("self_rep") < 0.3))
+            .join(bp_ok, "doc_id", "left_semi"))
+    reps = surv.groupBy("fingerprint").agg(F.min("doc_id").alias("rep_id"))
+    # mixture references its input twice (row stream + per-source totals);
+    # checkpointing the tiny survivor projection stops the whole
+    # quality/boilerplate/dedup upstream executing once per reference
+    final = (surv.join(reps, surv.doc_id == reps.rep_id, "left_semi")
+             .select("doc_id", "source", "n_tokens")
+             .localCheckpoint(eager=True))
+    w = (F.when(F.length("source") == 4, F.lit(MIX_W_SHORT))
+         .otherwise(F.lit(MIX_W_LONG)))
+    mixed = mixture_budget_keep(
+        final,
+        "doc_id", "source", "n_tokens", w,
+        budget_num=MIX_NUM, budget_den=MIX_DEN)
+    return (mixed.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens_kept"),
+                 F.min("doc_id").alias("min_doc_id"))
+            .orderBy("source"))

@@ -405,7 +405,9 @@ def test_boilerplate_flags_template_docs(spark):
     rows += [(10, "entirely different prose about rivers and stones"),
              (11, "another unrelated passage with fresh vocabulary")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    out = boilerplate_ngram_stats(df, "doc_id", "text", n=3, min_df=5,
+    # 8 docs, relative threshold 63% -> frequent means >= ceil(8*0.63) = 6
+    # docs, exactly the 6 template copies
+    out = boilerplate_ngram_stats(df, "doc_id", "text", n=3, min_df_pct=63,
                                   flag_frac=0.3)
     got = {r.doc_id: r for r in out.collect()}
     assert all(got[i].is_boilerplate for i in range(6))
