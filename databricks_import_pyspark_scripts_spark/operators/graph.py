@@ -162,3 +162,58 @@ def connected_components_star(vertices: DataFrame, edges: DataFrame,
             .select("id",
                     F.least(F.col("id"), F.coalesce("root", "id"))
                     .alias("component")))
+
+
+PR_SCALE = 10 ** 12   # fixed-point PageRank scale (1.0 == 10^12)
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100   # damping 0.85 as an exact rational
+PR_ITERS = 2
+
+
+def pagerank_exact(vertices: DataFrame, edges: DataFrame,
+                   iters: int = PR_ITERS,
+                   scale: int = PR_SCALE) -> DataFrame:
+    """(id, pr): fixed-point integer PageRank after ``iters`` rounds —
+    exact int64 arithmetic throughout, so the iterative algorithm is
+    oracle-checkable (the same trick as the floor-mean k-means: floats
+    would make the neighbor-sum order observable, and Spark aggregation
+    order is nondeterministic).
+
+    Semantics (undirected: edges are symmetrized like the CC operators):
+    pr starts at ``scale`` (== 1.0); each round every vertex emits
+    ``pr div degree`` to each neighbor, and new pr =
+    ``(1-d)*scale + d * sum(contributions)`` with the damped term computed
+    as ``(85 * sum) div 100`` — every div is exact integer floor division
+    on non-negative values, so any engine agrees bit-for-bit. Isolated
+    vertices hold the teleport mass ``(1-d)*scale``. The floor drift vs
+    float PageRank is bounded by iters * (max_degree + 1) ulps of 1e-12 —
+    irrelevant for ranking, essential for checkability.
+
+    Scale shape per round: one shuffle to aggregate contributions on the
+    destination id, degree computed once and joined back (both keyed on
+    vertex id, AQE-planned). ``iters`` is small and the chain stays lazy;
+    at many rounds, localCheckpoint per round exactly like
+    ``min_label_propagation``.
+    """
+    sym = (edges.select("src", "dst")
+           .unionByName(edges.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+           .filter(F.col("src") != F.col("dst")))
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg"))
+    base = ((PR_DAMP_DEN - PR_DAMP_NUM) * scale) // PR_DAMP_DEN
+    pr = vertices.select("id", F.lit(scale).cast("long").alias("pr"))
+    for _ in range(iters):
+        # SQL `div`, never floor(a/b): converting a >2^53 int64 to double
+        # for `/` silently rounds, and these fixed-point values reach 1e17
+        contrib = (sym.join(pr, sym.src == pr.id)
+                   .join(deg, deg.id == sym.src)
+                   .select(F.col("dst").alias("to_id"),
+                           F.expr("pr div deg").alias("c")))
+        sums = contrib.groupBy("to_id").agg(F.sum("c").alias("s"))
+        pr = (vertices.join(sums, vertices.id == sums.to_id, "left")
+              .select(
+                  "id",
+                  (F.lit(base)
+                   + F.expr(f"({PR_DAMP_NUM} * coalesce(s, 0L)) "
+                            f"div {PR_DAMP_DEN}")).alias("pr")))
+    return pr

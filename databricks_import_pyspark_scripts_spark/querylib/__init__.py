@@ -66,6 +66,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_incremental_neardup",
     "scalar_variant_shredding",
     "corpus_prep_pipeline_v2",
+    "graph_pagerank_exact",
     "skew_topk_hot_key_unsalted",
     "skew_topk_hot_key_salted",
     "skew_groupmap_hot_key_unsalted",

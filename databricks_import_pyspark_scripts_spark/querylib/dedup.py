@@ -649,3 +649,51 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = d.filter(F.col("doc_id") < NEW_BATCH_START).select("doc_id", "text")
     newb = d.filter(F.col("doc_id") >= NEW_BATCH_START).select("doc_id", "text")
     return incremental_neardup(hist, newb, "doc_id", "text", threshold=0.5)
+
+
+def _pagerank_oracle() -> str:
+    from ..operators.graph import PR_DAMP_DEN, PR_DAMP_NUM, PR_ITERS, PR_SCALE
+
+    base = ((PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE) // PR_DAMP_DEN
+    parts = [f"""
+    pairs AS ({_minhash_oracle(threshold=0.5)}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+    deg AS (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY src),
+    pr0 AS (SELECT doc_id AS id, CAST({PR_SCALE} AS BIGINT) AS pr
+            FROM documents)"""]
+    for i in range(PR_ITERS):
+        parts.append(f"""
+    c{i} AS (
+      SELECT e.dst AS to_id, pr.pr // d.deg AS c
+      FROM edges e JOIN pr{i} pr ON e.src = pr.id JOIN deg d ON d.id = e.src),
+    s{i} AS (SELECT to_id, CAST(SUM(c) AS BIGINT) AS s FROM c{i} GROUP BY to_id),
+    pr{i + 1} AS (
+      SELECT v.id,
+             CAST({base} + ({PR_DAMP_NUM} * COALESCE(s.s, 0)) // {PR_DAMP_DEN}
+                  AS BIGINT) AS pr
+      FROM pr0 v LEFT JOIN s{i} s ON v.id = s.to_id)""")
+    return ("WITH RECURSIVE " + ",".join(parts)
+            + f"\n    SELECT id AS doc_id, pr FROM pr{PR_ITERS}")
+
+
+@register(
+    "graph_pagerank_exact",
+    _pagerank_oracle(),
+    doc="Fixed-point integer PageRank (2 rounds, damping 85/100, scale "
+        "1e12) over the MinHash near-duplicate graph: every contribution "
+        "and damped sum is exact int64 floor arithmetic, so the iterative "
+        "algorithm value-checks against unrolled CTEs — floats would make "
+        "Spark's nondeterministic aggregation order observable. Per round: "
+        "one shuffle on the destination id; isolated docs hold the "
+        "teleport mass.")
+def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank_exact
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.5)
+    vertices = d.select(F.col("doc_id").alias("id"))
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    pr = pagerank_exact(vertices, edges)
+    return pr.select(F.col("id").alias("doc_id"), "pr")

@@ -134,3 +134,38 @@ def test_star_cc_isolated_vertices_self_label(spark):
     e = spark.createDataFrame([], "src long, dst long")
     got = {r.id: r.component for r in connected_components_star(v, e).collect()}
     assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_pagerank_exact_known_values(spark):
+    from databricks_import_pyspark_scripts_spark.operators.graph import (
+        PR_SCALE,
+        pagerank_exact,
+    )
+
+    # path graph 1-2-3 plus isolated 4
+    v = spark.createDataFrame([(1,), (2,), (3,), (4,)], "id long")
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {r.id: r.pr for r in pagerank_exact(v, e, iters=1).collect()}
+    base = (15 * PR_SCALE) // 100
+    # deg: 1->1, 2->2, 3->1. After one round from uniform PR_SCALE:
+    # node1 gets from 2: PR_SCALE div 2 ; node2 gets from 1 and 3: 2*PR_SCALE
+    # node3 symmetric to 1; node4 isolated -> teleport only
+    assert got[4] == base
+    assert got[1] == base + (85 * (PR_SCALE // 2)) // 100
+    assert got[2] == base + (85 * (2 * PR_SCALE)) // 100
+    assert got[3] == got[1]
+
+
+def test_pagerank_mass_reasonable_multiround(spark):
+    from databricks_import_pyspark_scripts_spark.operators.graph import (
+        PR_SCALE,
+        pagerank_exact,
+    )
+
+    # ring of 6: every vertex keeps exactly PR_SCALE (up to floor drift)
+    v = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    e = spark.createDataFrame([(i, (i + 1) % 6) for i in range(6)],
+                              "src long, dst long")
+    got = {r.id: r.pr for r in pagerank_exact(v, e, iters=3).collect()}
+    for pr in got.values():
+        assert abs(pr - PR_SCALE) <= 10  # floor drift only
