@@ -46,7 +46,22 @@ HEADLINE = [
     # unsalted one — SCALE.md's skew-handling evidence
     "skew_groupmap_hot_key_unsalted",
     "skew_groupmap_hot_key_salted",
+    # r5 extension tier — timed for visibility, broken out of the
+    # comparable total (earlier rounds didn't run these)
+    "cluster_kmeans_assign",
+    "similarity_topk_pq",
+    "similarity_topk_ivfpq",
+    "dedup_incremental_neardup",
+    "text_boilerplate_ngrams",
+    "corpus_prep_pipeline_v2",
+    "graph_pagerank_exact",
 ]
+
+EXTENSION_ROWS = {
+    "cluster_kmeans_assign", "similarity_topk_pq", "similarity_topk_ivfpq",
+    "dedup_incremental_neardup", "text_boilerplate_ngrams",
+    "corpus_prep_pipeline_v2", "graph_pagerank_exact",
+}
 
 
 def _bench_unload_e2e(spark, sf_dir: str) -> float:
@@ -135,12 +150,14 @@ def main() -> int:
     # totals stay comparable to earlier rounds' query sets
     stress = [k for k in timings if k.startswith("skew_groupmap_")]
     stress_sec = round(sum(timings[k] for k in stress), 3)
+    ext_sec = round(sum(timings[k] for k in timings if k in EXTENSION_ROWS), 3)
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "comparable_queries_sec": round(total - stress_sec, 3),
+        "comparable_queries_sec": round(total - stress_sec - ext_sec, 3),
         "skew_stress_sec": stress_sec,
+        "r5_extension_sec": ext_sec,
         "queries": timings,
         "sf": float(sf),
         "runs_per_query": runs,
