@@ -53,3 +53,27 @@ def test_mixture_predicate_equals_rational_rate(bucket, src_tok, budget, w):
     assert lhs < 2 ** 63 and rhs < 2 ** 63
     exact = Fraction(bucket, 10000) < Fraction(budget * w, 100 * src_tok)
     assert (lhs < rhs) == exact
+
+
+@given(st.lists(st.tuples(st.integers(0, 11), st.integers(0, 11)),
+                min_size=0, max_size=20))
+@settings(max_examples=12, deadline=None)
+def test_pagerank_exact_mass_bounds_random_graphs(edge_list):
+    """On ANY graph: every vertex's fixed-point PR stays within
+    [teleport base, n*scale], and the total never exceeds the initial
+    mass plus teleport top-up (floors only ever REMOVE mass)."""
+    from databricks_import_pyspark_scripts_spark.operators.graph import (
+        PR_SCALE,
+        pagerank_exact,
+    )
+    from databricks_import_pyspark_scripts_spark.session import get_spark
+
+    spark = get_spark("spark_graft_tests", master="local[4]")
+    n = 12
+    v = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    e = spark.createDataFrame(edge_list or [(0, 0)], "src long, dst long")
+    prs = [r.pr for r in pagerank_exact(v, e, iters=2).collect()]
+    base = (15 * PR_SCALE) // 100
+    assert len(prs) == n
+    assert all(base <= p <= n * PR_SCALE for p in prs)
+    assert sum(prs) <= n * PR_SCALE + n  # floors only remove mass
