@@ -1,0 +1,220 @@
+"""Lexical search over the document corpus: inverted-index build and BM25
+ranking, plus duplicated-passage detection (the fixed-window approximation of
+exact-substring dedup) and shingle-containment scoring.
+
+The reference engine delegates all query logic to SQL and has no search tier
+(`unload_databricks_data_to_s3.py` is an unload job); this module is part of
+the LLM-training-data extension surface alongside operators/dedup.py and
+operators/similarity.py.
+
+Determinism model (what makes BM25 oracle-checkable across engines):
+
+* **ln-free BM25.** Classic BM25 idf uses ``ln((N-df+0.5)/(df+0.5)+1)``, but
+  ``ln`` is not required to be correctly rounded by IEEE 754, so Spark (JVM
+  libm) and DuckDB (C libm) may disagree in the last ulp. We use the
+  *rational* idf ``(N - df + 0.5) / (df + 0.5)`` instead — built only from
+  ``+ - * /``, which ARE correctly rounded, so both engines produce
+  bit-identical doubles for the same expression tree.
+* **Fixed-point contributions.** Per-(term, doc) contributions are quantized
+  to 1e-6 fixed point (BIGINT) *before* the per-query sum, so the sum is
+  exact integer arithmetic and immune to float summation-order differences
+  between engines.
+* **Single-source formula.** The contribution expression is one SQL string
+  (``BM25_CONTRIB_SQL``) evaluated by Spark via ``F.expr`` and pasted
+  verbatim into the DuckDB oracle — the two engines cannot drift.
+
+Scale notes (100 TB):
+* The inverted index is one shuffle (groupBy doc,term) over the token
+  explode; document frequency is a second map-side-combinable aggregate on
+  the postings — both partial-agg friendly, no row explosion beyond tokens.
+* Query terms and the (n_docs, avgdl) scalar row are tiny and broadcast;
+  the postings scan streams once per search batch.
+* Top-k per query uses a per-partition window after the score aggregate;
+  for huge query batches switch to the bucketed top-k pattern in
+  operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens_col
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_FIXED = 1_000_000  # 1e-6 fixed-point quantum for contributions
+BM25_TOPK = 5
+
+# the single-source per-(term,doc) contribution: evaluated by Spark via
+# F.expr and embedded verbatim in the DuckDB oracle. Operand columns:
+# n_docs, df, tf, dl (BIGINT) and avgdl (DOUBLE). Only correctly-rounded
+# IEEE ops (+ - * /) so both engines agree bitwise; ROUND->BIGINT quantizes
+# before any multi-term summation.
+BM25_CONTRIB_SQL = (
+    f"CAST(ROUND(((n_docs - df + 0.5) / (df + 0.5)) * "
+    f"((tf * ({BM25_K1} + 1.0)) / "
+    f"(tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * (dl / avgdl)))) "
+    f"* {BM25_FIXED}.0) AS BIGINT)")
+
+
+def term_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Inverted-index postings: (id, term, tf). One explode + one
+    map-side-combinable aggregate."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("term"))
+    return toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+
+
+def doc_lengths(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, dl): token count per document."""
+    return docs.select(
+        F.col(id_col),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("dl"))
+
+
+def top_terms_as_queries(postings: DataFrame, n_terms: int,
+                         terms_per_query: int) -> DataFrame:
+    """Derive a deterministic query workload from the corpus itself: the
+    ``n_terms`` most frequent terms (count desc, term asc — total order),
+    chunked into consecutive groups of ``terms_per_query``; qid is the
+    chunk index. Returns (qid, term).
+
+    The global top-n is an aggregate + single-partition window over n rows,
+    fine at any corpus size (the aggregate is partial; only n_terms rows
+    reach the window)."""
+    from pyspark.sql import Window
+
+    totals = postings.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    ranked = totals.select(
+        "term", F.row_number().over(w).alias("rk")).filter(
+        F.col("rk") <= n_terms)
+    # FLOOR, not a bare cast: Spark's double->long cast truncates but
+    # DuckDB's rounds, so the oracle twin must (and does) spell FLOOR too
+    return ranked.select(
+        F.floor((F.col("rk") - 1) / terms_per_query).cast("long").alias("qid"),
+        "term")
+
+
+def bm25_topk(docs: DataFrame, queries: DataFrame, id_col: str,
+              text_col: str, k: int = BM25_TOPK) -> DataFrame:
+    """BM25 top-k documents per query. ``queries`` is (qid, term).
+
+    Plan: postings ⋈ broadcast(queries) ⋈ doc-lengths ⋈ broadcast(scalars),
+    fixed-point contribution per (qid, doc, term), exact integer sum per
+    (qid, doc), per-qid window top-k. Returns (qid, rank, id, score_fx,
+    score)."""
+    from pyspark.sql import Window
+
+    post = term_postings(docs, id_col, text_col)
+    dfreq = post.groupBy("term").agg(F.count("*").alias("df"))
+    dls = doc_lengths(docs, id_col, text_col)
+    scalars = dls.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    scored = (post
+              .join(F.broadcast(queries), "term")
+              .join(F.broadcast(dfreq.join(queries, "term").select("term", "df")),
+                    "term")
+              .join(dls, id_col)
+              .join(F.broadcast(scalars))
+              .withColumn("contrib_fx", F.expr(BM25_CONTRIB_SQL)))
+    per_doc = scored.groupBy("qid", id_col).agg(
+        F.sum("contrib_fx").alias("score_fx"))
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("score_fx"), F.asc(id_col))
+    return (per_doc
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", id_col, "score_fx",
+                    F.round(F.col("score_fx") / F.lit(float(BM25_FIXED)), 4)
+                    .alias("score")))
+
+
+# --- duplicated-passage detection (fixed-window exact-substring dedup) -----
+
+PASSAGE_W = 12  # tokens per window, stride 1
+
+
+def passage_windows_col(text: Column, w: int = PASSAGE_W) -> Column:
+    """All w-token windows (stride 1, duplicates KEPT — positions matter);
+    whole text as a single window when shorter than w. The non-distinct
+    sibling of text.shingles_col."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - w, F.lit(0)))
+    return F.when(n < w, F.array(F.array_join(toks, " "))).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, w), " ")))
+
+
+def duplicate_passage_stats(docs: DataFrame, id_col: str, text_col: str,
+                            w: int = PASSAGE_W) -> DataFrame:
+    """Per-document duplicated-passage profile: of the document's w-token
+    windows, how many also occur (as md5-identical token windows) in at
+    least one OTHER document. The fixed-window approximation of
+    suffix-array exact-substring dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better") — windows hash-join instead of
+    suffix-sort, so it's two shuffles at any scale.
+
+    Returns (id, n_windows, n_dup_windows, dup_frac, has_dup_passage).
+    """
+    wins = docs.select(
+        F.col(id_col),
+        F.posexplode(passage_windows_col(F.col(text_col), w))
+        .alias("widx", "win"))
+    hashed = wins.select(id_col, F.md5(F.col("win")).alias("h"))
+    # windows appearing in >= 2 distinct docs; distinct-doc count is
+    # partial-agg friendly after the (h, id) dedup
+    multi = (hashed.distinct().groupBy("h")
+             .agg(F.count("*").alias("ndocs"))
+             .filter(F.col("ndocs") >= 2)
+             .select("h"))
+    flagged = hashed.join(multi, "h", "left_semi")
+    per_doc = (hashed.groupBy(id_col).agg(F.count("*").alias("n_windows"))
+               .join(flagged.groupBy(id_col)
+                     .agg(F.count("*").alias("n_dup_windows")),
+                     id_col, "left")
+               .na.fill({"n_dup_windows": 0}))
+    return per_doc.select(
+        id_col, "n_windows", "n_dup_windows",
+        F.round(F.col("n_dup_windows") * F.lit(1.0) / F.col("n_windows"), 4)
+        .alias("dup_frac"),
+        (F.col("n_dup_windows") > 0).alias("has_dup_passage"))
+
+
+# --- shingle containment (asymmetric near-superset detection) --------------
+
+CONTAIN_MIN_SHARED = 5  # candidate pairs must share >= this many shingles
+
+
+def containment_pairs(docs: DataFrame, id_col: str, text_col: str,
+                      k: int = 3,
+                      min_shared: int = CONTAIN_MIN_SHARED) -> DataFrame:
+    """Asymmetric containment |A∩B| / |A| for document pairs sharing at
+    least ``min_shared`` distinct k-shingles. Containment (unlike Jaccard)
+    catches a small document embedded inside a large one — quote farms,
+    concatenated dumps.
+
+    Candidate generation is the shingle self-join (same shape as
+    dedup.ngram-jaccard); at scale the LSH bucket pre-filter from
+    operators/dedup.py bounds the join, and the ``min_shared`` HAVING
+    collapses the long tail before the size join. Returns
+    (a, b, n_shared, n_a, containment_a) with a < b.
+    """
+    from .text import shingles_col
+
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("s"))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = sh.select(F.col(id_col).alias("a"), "s")
+    b = sh.select(F.col(id_col).alias("b"), "s")
+    shared = (a.join(b, "s")
+              .filter(F.col("a") < F.col("b"))
+              .groupBy("a", "b").agg(F.count("*").alias("n_shared"))
+              .filter(F.col("n_shared") >= min_shared))
+    return (shared
+            .join(sizes.select(F.col(id_col).alias("a"),
+                               F.col("n").alias("n_a")), "a")
+            .select("a", "b", "n_shared", "n_a",
+                    F.round(F.col("n_shared") * F.lit(1.0) / F.col("n_a"), 4)
+                    .alias("containment_a")))

@@ -56,6 +56,11 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # tier.  Names absent from this list follow in registration order.
 _PRIORITY: tuple[str, ...] = (
     # --- new queries this round go HERE (never attested) ---
+    "text_bm25_search",
+    "er_customer_blocking",
+    "text_duplicate_passages",
+    "dedup_containment_pairs",
+    "events_anomaly_mad",
     "cluster_kmeans_assign",
     "cluster_balanced_sample",
     "text_boilerplate_ngrams",
@@ -236,4 +241,5 @@ def _load() -> None:
     from . import similarity  # noqa: F401
     from . import multimodal_queries  # noqa: F401
     from . import clustering  # noqa: F401
+    from . import search_linkage  # noqa: F401
     _LOADED = True

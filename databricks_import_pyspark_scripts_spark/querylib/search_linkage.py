@@ -1,0 +1,241 @@
+"""Search, record-linkage, passage-dedup, and anomaly-detection queries —
+the r5 second-wave extension tier. All fully value-checked against DuckDB:
+
+* BM25 is made cross-engine-exact by the ln-free rational idf + fixed-point
+  contribution quantization (operators/search.py docstring has the proof
+  sketch); the contribution formula is a single shared SQL string.
+* Record linkage uses integer levenshtein — identical classical definition
+  in both engines.
+* Passage/containment metrics are md5-set arithmetic — integer-exact.
+* MAD anomaly flags compare exact half-integer medians of integer counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.portable import TOKENS_SQL, shingles_sql
+from ..operators.linkage import LINKAGE_MAX_DIST, edit_distance_matches
+from ..operators.search import (
+    BM25_CONTRIB_SQL,
+    BM25_FIXED,
+    BM25_TOPK,
+    CONTAIN_MIN_SHARED,
+    PASSAGE_W,
+    bm25_topk,
+    containment_pairs,
+    duplicate_passage_stats,
+    term_postings,
+    top_terms_as_queries,
+)
+from ..sources.registry import load_table
+from . import register
+
+BM25_N_TERMS = 9
+BM25_TERMS_PER_QUERY = 3
+
+
+def _bm25_oracle() -> str:
+    return f"""
+    WITH post AS (
+      SELECT doc_id, t AS term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest({TOKENS_SQL}) AS t FROM documents)
+      GROUP BY doc_id, t),
+    dls AS (SELECT doc_id, len({TOKENS_SQL}) AS dl FROM documents),
+    scalars AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dls),
+    totals AS (SELECT term, SUM(tf) AS cnt FROM post GROUP BY term),
+    ranked AS (
+      SELECT term, ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS rk
+      FROM totals),
+    queries AS (
+      SELECT CAST(FLOOR((rk - 1) * 1.0 / {BM25_TERMS_PER_QUERY}) AS BIGINT)
+               AS qid, term
+      FROM ranked WHERE rk <= {BM25_N_TERMS}),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+    contrib AS (
+      SELECT q.qid, p.doc_id,
+             {BM25_CONTRIB_SQL} AS contrib_fx
+      FROM post p
+      JOIN queries q USING (term)
+      JOIN dfreq USING (term)
+      JOIN dls USING (doc_id)
+      CROSS JOIN scalars),
+    per_doc AS (
+      SELECT qid, doc_id, CAST(SUM(contrib_fx) AS BIGINT) AS score_fx
+      FROM contrib GROUP BY qid, doc_id)
+    SELECT qid, rank, doc_id, score_fx,
+           ROUND(score_fx / {BM25_FIXED}.0, 4) AS score
+    FROM (SELECT qid, doc_id, score_fx,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY score_fx DESC, doc_id ASC) AS rank
+          FROM per_doc)
+    WHERE rank <= {BM25_TOPK}
+    """
+
+
+@register(
+    "text_bm25_search",
+    _bm25_oracle(),
+    doc="BM25 lexical search: inverted-index postings, document-frequency "
+        "idf, length-normalized tf, top-5 docs per query. The query workload "
+        "is derived deterministically from the corpus (top-9 terms chunked "
+        "in threes). ln-free rational idf + 1e-6 fixed-point contribution "
+        "quantization make the scores bit-identical across engines; the "
+        "contribution formula is one shared SQL string (BM25_CONTRIB_SQL), "
+        "so Spark and the oracle cannot drift. Plan: two partial-agg "
+        "shuffles (postings, df) + broadcast query/scalar joins + per-qid "
+        "window top-k.")
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    post = term_postings(docs, "doc_id", "text")
+    queries = top_terms_as_queries(post, BM25_N_TERMS, BM25_TERMS_PER_QUERY)
+    out = bm25_topk(docs, queries, "doc_id", "text", BM25_TOPK)
+    return out.select("qid", "rank", "doc_id", "score_fx", "score")
+
+
+def _er_oracle() -> str:
+    return f"""
+    SELECT a.c_nationkey AS c_nationkey,
+           a.c_custkey AS id_a, b.c_custkey AS id_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           levenshtein(a.c_name, b.c_name) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= {LINKAGE_MAX_DIST}
+    """
+
+
+@register(
+    "er_customer_blocking",
+    _er_oracle(),
+    doc="Record linkage with blocking: candidate pairs only within the "
+        "c_nationkey block (never a global cross join), then JVM-native "
+        "levenshtein(name, name) <= 1 as the match rule — integer-exact "
+        "across engines. The ER pipeline shape for a 100 TB entity table: "
+        "block key = shuffle key, blocks perfectly parallel, skewed "
+        "mega-blocks bounded by key refinement (operators/linkage.py).")
+def er_customer_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey")
+    return edit_distance_matches(
+        cust, "c_custkey", "c_name", ["c_nationkey"], LINKAGE_MAX_DIST)
+
+
+def _windows_sql(w: int) -> str:
+    """DuckDB twin of operators.search.passage_windows_col: all w-token
+    windows, stride 1, duplicates kept, whole text when shorter."""
+    return f"""
+    CASE WHEN len({TOKENS_SQL}) < {w}
+         THEN [array_to_string({TOKENS_SQL}, ' ')]
+         ELSE list_transform(
+                generate_series(1, len({TOKENS_SQL}) - {w - 1}),
+                i -> array_to_string({TOKENS_SQL}[i:i + {w - 1}], ' '))
+    END"""
+
+
+def _passage_oracle() -> str:
+    return f"""
+    WITH wins AS (
+      SELECT doc_id, md5(unnest({_windows_sql(PASSAGE_W)})) AS h
+      FROM documents),
+    multi AS (
+      SELECT h FROM (SELECT DISTINCT doc_id, h FROM wins)
+      GROUP BY h HAVING COUNT(*) >= 2),
+    per_doc AS (
+      SELECT w.doc_id,
+             COUNT(*) AS n_windows,
+             CAST(SUM(CASE WHEN m.h IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_dup_windows
+      FROM wins w LEFT JOIN multi m USING (h)
+      GROUP BY w.doc_id)
+    SELECT doc_id, n_windows, n_dup_windows,
+           ROUND(n_dup_windows * 1.0 / n_windows, 4) AS dup_frac,
+           n_dup_windows > 0 AS has_dup_passage
+    FROM per_doc
+    """
+
+
+@register(
+    "text_duplicate_passages",
+    _passage_oracle(),
+    doc=f"Duplicated-passage detection: every {PASSAGE_W}-token window "
+        "(stride 1) md5-hashed; windows occurring in >= 2 distinct docs "
+        "mark their spans as cross-document duplicates — the fixed-window "
+        "hash-join approximation of suffix-array exact-substring dedup "
+        "(Lee et al. 2022), two shuffles at any scale instead of a global "
+        "suffix sort. Integer-exact md5-set arithmetic.")
+def text_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_passage_stats(docs, "doc_id", "text", PASSAGE_W)
+
+
+def _containment_oracle() -> str:
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({shingles_sql()}) AS s FROM documents),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {CONTAIN_MIN_SHARED})
+    SELECT s.a, s.b, s.n_shared, z.n AS n_a,
+           ROUND(s.n_shared * 1.0 / z.n, 4) AS containment_a
+    FROM shared s JOIN sizes z ON z.doc_id = s.a
+    """
+
+
+@register(
+    "dedup_containment_pairs",
+    _containment_oracle(),
+    doc="Asymmetric shingle containment |A∩B|/|A| for pairs sharing >= "
+        f"{CONTAIN_MIN_SHARED} distinct 3-shingles — catches a small doc "
+        "embedded in a large one (quote farms, concatenated dumps), which "
+        "symmetric Jaccard under-scores. Same candidate shape as the "
+        "ngram-Jaccard query; at scale the LSH bucket pre-filter bounds "
+        "the shingle self-join.")
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, "doc_id", "text", 3, CONTAIN_MIN_SHARED)
+
+
+MAD_SIGMA = 3  # flag days beyond 3x the median absolute deviation
+
+
+def _mad_oracle() -> str:
+    return f"""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    m AS (SELECT event_type, median(cnt) AS med FROM d GROUP BY 1),
+    md AS (SELECT d.event_type, median(abs(cnt - med)) AS mad
+           FROM d JOIN m USING (event_type) GROUP BY 1)
+    SELECT d.event_type, d.day, d.cnt, m.med, md.mad,
+           abs(d.cnt - m.med) > {MAD_SIGMA} * md.mad AS is_anomaly
+    FROM d JOIN m USING (event_type) JOIN md USING (event_type)
+    """
+
+
+@register(
+    "events_anomaly_mad",
+    _mad_oracle(),
+    doc="Robust time-series anomaly detection on daily event volumes: "
+        "median + median-absolute-deviation per event type, flag days "
+        f"beyond {MAD_SIGMA}x MAD. Medians of integer counts are exact "
+        "half-integers (interpolated identically in Spark and DuckDB), so "
+        "the flags are deterministic — no float tolerance needed. The "
+        "daily rollup is the only full shuffle; the per-type median runs "
+        "over ~days rows per type.")
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = (ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+         .agg(F.count("*").alias("cnt")))
+    med = d.groupBy("event_type").agg(F.median("cnt").alias("med"))
+    j = d.join(F.broadcast(med), "event_type")
+    mad = (j.groupBy("event_type")
+           .agg(F.median(F.abs(F.col("cnt") - F.col("med"))).alias("mad")))
+    return (j.join(F.broadcast(mad), "event_type")
+            .select("event_type", "day", "cnt", "med", "mad",
+                    (F.abs(F.col("cnt") - F.col("med"))
+                     > F.lit(MAD_SIGMA) * F.col("mad")).alias("is_anomaly")))

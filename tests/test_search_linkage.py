@@ -1,0 +1,214 @@
+"""Search / linkage / passage-dedup / anomaly operator tests: BM25 ranking
+semantics on a hand-checkable corpus, window-edge behavior, containment
+bounds, blocked-ER invariants, and MAD flag recomputation."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from databricks_import_pyspark_scripts_spark.operators.linkage import (
+    blocked_candidate_pairs,
+    edit_distance_matches,
+)
+from databricks_import_pyspark_scripts_spark.operators.search import (
+    BM25_B,
+    BM25_FIXED,
+    BM25_K1,
+    bm25_topk,
+    containment_pairs,
+    doc_lengths,
+    duplicate_passage_stats,
+    passage_windows_col,
+    term_postings,
+    top_terms_as_queries,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --- BM25 ------------------------------------------------------------------
+
+def _py_bm25(corpus: dict[int, str], query_terms: list[str]) -> dict[int, int]:
+    """Reference fixed-point BM25 in plain Python, mirroring the operator's
+    rational-idf + quantize-then-sum model."""
+    toks = {d: t.lower().split() for d, t in corpus.items()}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {}
+    for t in toks.values():
+        for term in set(t):
+            df[term] = df.get(term, 0) + 1
+    out = {}
+    for d, t in toks.items():
+        dl = len(t)
+        s = 0
+        for term in query_terms:
+            tf = t.count(term)
+            if tf == 0 or term not in df:
+                continue
+            idf = (n - df[term] + 0.5) / (df[term] + 0.5)
+            tfn = (tf * (BM25_K1 + 1.0)) / (
+                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * (dl / avgdl)))
+            s += int(round(idf * tfn * BM25_FIXED))
+        if s:
+            out[d] = s
+    return out
+
+
+def test_bm25_matches_python_reference(spark):
+    corpus = {
+        0: "spark shuffle join shuffle",
+        1: "spark scan",
+        2: "join join join filter",
+        3: "filter scan spark spark spark",
+    }
+    docs = _docs(spark, list(corpus.items()))
+    queries = spark.createDataFrame(
+        [(0, "spark"), (0, "join"), (1, "filter")], "qid long, term string")
+    got = {(r.qid, r.doc_id): r.score_fx
+           for r in bm25_topk(docs, queries, "doc_id", "text", 10).collect()}
+    want_q0 = _py_bm25(corpus, ["spark", "join"])
+    want_q1 = _py_bm25(corpus, ["filter"])
+    assert {d: s for (q, d), s in got.items() if q == 0} == want_q0
+    assert {d: s for (q, d), s in got.items() if q == 1} == want_q1
+
+
+def test_bm25_rank_ordering_and_k(spark):
+    docs = _docs(spark, [(i, "alpha " * (i + 1) + "beta") for i in range(8)])
+    queries = spark.createDataFrame([(0, "alpha")], "qid long, term string")
+    rows = bm25_topk(docs, queries, "doc_id", "text", 3).collect()
+    assert len(rows) == 3
+    ranks = sorted(r.rank for r in rows)
+    assert ranks == [1, 2, 3]
+    by_rank = sorted(rows, key=lambda r: r.rank)
+    assert all(by_rank[i].score_fx >= by_rank[i + 1].score_fx
+               for i in range(len(by_rank) - 1))
+
+
+def test_top_terms_chunking(spark):
+    docs = _docs(spark, [(0, "a a a b b c d"), (1, "a b c c d e")])
+    post = term_postings(docs, "doc_id", "text")
+    q = top_terms_as_queries(post, 4, 2).collect()
+    # counts: a=4 b=3 c=3 d=2 e=1 -> top4 a,b,c,d; qids (0,0,1,1)
+    got = {r.term: r.qid for r in q}
+    assert got == {"a": 0, "b": 0, "c": 1, "d": 1}
+
+
+def test_term_not_in_corpus_is_ignored(spark):
+    docs = _docs(spark, [(0, "x y z")])
+    queries = spark.createDataFrame(
+        [(0, "x"), (0, "missing")], "qid long, term string")
+    rows = bm25_topk(docs, queries, "doc_id", "text", 5).collect()
+    assert len(rows) == 1 and rows[0].doc_id == 0
+
+
+# --- passage windows -------------------------------------------------------
+
+def test_passage_windows_short_doc_single_window(spark):
+    df = _docs(spark, [(0, "only three tokens")])
+    wins = df.select(passage_windows_col(F.col("text"), 5).alias("w")).head().w
+    assert wins == ["only three tokens"]
+
+
+def test_passage_windows_stride_one_count(spark):
+    text = " ".join(f"t{i}" for i in range(10))
+    df = _docs(spark, [(0, text)])
+    wins = df.select(passage_windows_col(F.col("text"), 4).alias("w")).head().w
+    assert len(wins) == 7  # 10 - 4 + 1
+    assert wins[0] == "t0 t1 t2 t3" and wins[-1] == "t6 t7 t8 t9"
+
+
+def test_duplicate_passage_stats_flags_shared_span(spark):
+    shared = " ".join(f"s{i}" for i in range(12))
+    docs = _docs(spark, [
+        (0, shared + " unique0 tail0"),
+        (1, "head1 " + shared + " tail1"),
+        (2, " ".join(f"u{i}" for i in range(15))),
+    ])
+    rows = {r.doc_id: r for r in
+            duplicate_passage_stats(docs, "doc_id", "text", 12).collect()}
+    assert rows[0].has_dup_passage and rows[1].has_dup_passage
+    assert not rows[2].has_dup_passage
+    assert rows[2].n_dup_windows == 0
+    # doc0: 14 tokens -> 3 windows, exactly 1 (the leading span) shared
+    assert rows[0].n_windows == 3 and rows[0].n_dup_windows == 1
+
+
+# --- containment -----------------------------------------------------------
+
+def test_containment_detects_embedded_doc(spark):
+    small = "alpha beta gamma delta epsilon zeta eta theta"
+    big = "prefix words here " + small + " and a long suffix of more words"
+    docs = _docs(spark, [(1, small), (2, big)])
+    rows = containment_pairs(docs, "doc_id", "text", 3, 3).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.a, r.b) == (1, 2)
+    # every shingle of the small doc appears in the big one
+    assert r.n_shared == r.n_a and r.containment_a == 1.0
+
+
+def test_containment_bounds_and_threshold(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = containment_pairs(docs, "doc_id", "text", 3, 5).collect()
+    for r in rows:
+        assert r.a < r.b
+        assert r.n_shared >= 5
+        assert 0.0 < r.containment_a <= 1.0
+
+
+# --- record linkage --------------------------------------------------------
+
+def test_blocked_pairs_never_cross_blocks(spark):
+    recs = spark.createDataFrame(
+        [(1, "ann", 10), (2, "ann", 10), (3, "ann", 20)],
+        "id long, name string, blk int")
+    pairs = blocked_candidate_pairs(recs, "id", ["blk"]).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+
+
+def test_edit_distance_matches_threshold(spark):
+    recs = spark.createDataFrame(
+        [(1, "smith", 1), (2, "smyth", 1), (3, "smithe", 1), (4, "jones", 1)],
+        "id long, name string, blk int")
+    got = {(r.id_a, r.id_b): r.dist
+           for r in edit_distance_matches(recs, "id", "name", ["blk"], 1)
+           .collect()}
+    assert got == {(1, 2): 1, (1, 3): 1}  # smyth(sub), smithe(ins); jones far
+
+
+def test_er_on_testdata_is_symmetric_free_and_blocked(spark):
+    cust = spark.read.parquet(f"{SF}/customer.parquet").select(
+        "c_custkey", "c_name", "c_nationkey")
+    rows = edit_distance_matches(
+        cust, "c_custkey", "c_name", ["c_nationkey"], 1).collect()
+    seen = set()
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert r.dist <= 1
+        assert (r.id_a, r.id_b) not in seen
+        seen.add((r.id_a, r.id_b))
+
+
+# --- MAD anomaly -----------------------------------------------------------
+
+def test_mad_flags_match_pandas_recompute(spark):
+    from databricks_import_pyspark_scripts_spark.querylib.search_linkage import (
+        MAD_SIGMA,
+        events_anomaly_mad,
+    )
+
+    pdf = events_anomaly_mad(spark, SF).toPandas()
+    for etype, g in pdf.groupby("event_type"):
+        med = g["cnt"].median()
+        mad = (g["cnt"] - med).abs().median()
+        for _, row in g.iterrows():
+            want = abs(row["cnt"] - med) > MAD_SIGMA * mad
+            assert bool(row["is_anomaly"]) == bool(want), (etype, row)
+            assert math.isclose(row["med"], med) and math.isclose(row["mad"], mad)
