@@ -55,12 +55,16 @@ HEADLINE = [
     "text_boilerplate_ngrams",
     "corpus_prep_pipeline_v2",
     "graph_pagerank_exact",
+    "text_bm25_search",
+    "text_duplicate_passages",
+    "er_customer_blocking",
 ]
 
 EXTENSION_ROWS = {
     "cluster_kmeans_assign", "similarity_topk_pq", "similarity_topk_ivfpq",
     "dedup_incremental_neardup", "text_boilerplate_ngrams",
     "corpus_prep_pipeline_v2", "graph_pagerank_exact",
+    "text_bm25_search", "text_duplicate_passages", "er_customer_blocking",
 }
 
 
