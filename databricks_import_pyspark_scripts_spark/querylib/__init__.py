@@ -57,6 +57,8 @@ def register(name: str, oracle: str | None, doc: str = ""):
 _PRIORITY: tuple[str, ...] = (
     # --- new queries this round go HERE (never attested) ---
     "text_bm25_search",
+    "ann_recall_eval",
+    "multimodal_asset_dedup",
     "er_customer_blocking",
     "text_duplicate_passages",
     "dedup_containment_pairs",
@@ -242,4 +244,5 @@ def _load() -> None:
     from . import multimodal_queries  # noqa: F401
     from . import clustering  # noqa: F401
     from . import search_linkage  # noqa: F401
+    from . import ann_eval  # noqa: F401
     _LOADED = True

@@ -73,3 +73,34 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_media_table(spark, N_MEDIA)
     return frame_sample_plan(media, every_ms=1000)
+
+
+DUP_MOD = 40  # payload seed modulus: 256 assets -> 40 distinct payloads
+
+
+@register(
+    "multimodal_asset_dedup",
+    f"""
+    SELECT md5('payload-' || CAST(media_id % {DUP_MOD} AS VARCHAR))
+             AS content_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           MIN(media_id) AS canonical_id
+    FROM range(0, {N_MEDIA}) t(media_id)
+    GROUP BY 1
+    """,
+    doc="Exact dedup for binary media assets: md5 over the raw content "
+        "bytes (JVM-side, no decode), group to copy-count + min-id "
+        "canonical asset — the first stage of any multimodal ingest (most "
+        "crawled media duplicates byte-identically). The duplicate-bearing "
+        "corpus is synthesized by modding the payload seed; Spark hashes "
+        "the actual BINARY column, the oracle the identical utf-8 string.")
+def multimodal_asset_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_media_table(spark, N_MEDIA)
+    dup_content = F.encode(
+        F.concat(F.lit("payload-"),
+                 (F.col("media_id") % DUP_MOD).cast("string")), "utf-8")
+    return (media
+            .select("media_id", F.md5(dup_content).alias("content_md5"))
+            .groupBy("content_md5")
+            .agg(F.count("*").cast("long").alias("n_copies"),
+                 F.min("media_id").alias("canonical_id")))

@@ -109,17 +109,21 @@ def _er_oracle() -> str:
 @register(
     "er_customer_blocking",
     _er_oracle(),
-    doc="Record linkage with blocking: candidate pairs only within the "
-        "c_nationkey block (never a global cross join), then JVM-native "
-        "levenshtein(name, name) <= 1 as the match rule — integer-exact "
-        "across engines. The ER pipeline shape for a 100 TB entity table: "
-        "block key = shuffle key, blocks perfectly parallel, skewed "
-        "mega-blocks bounded by key refinement (operators/linkage.py).")
+    doc="Record linkage via FastSS delete-1 neighborhoods: each name "
+        "explodes into its ~(len+1) single-deletion keys; candidates "
+        "equi-join on (nation block, key) — near-linear, never the "
+        "quadratic block self-join — then one JVM levenshtein verify per "
+        "deduped candidate pair. Exactly equivalent to the quadratic "
+        "baseline (pinned by test_search_linkage); the oracle states the "
+        "quadratic semantics directly. Integer distances, exact across "
+        "engines.")
 def er_customer_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkage import deletion_neighborhood_matches
+
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey")
-    return edit_distance_matches(
-        cust, "c_custkey", "c_name", ["c_nationkey"], LINKAGE_MAX_DIST)
+    return deletion_neighborhood_matches(
+        cust, "c_custkey", "c_name", ["c_nationkey"])
 
 
 def _windows_sql(w: int) -> str:

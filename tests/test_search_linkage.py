@@ -8,8 +8,12 @@ import math
 
 from pyspark.sql import functions as F
 
+from pyspark.sql import functions as _F
+
 from databricks_import_pyspark_scripts_spark.operators.linkage import (
     blocked_candidate_pairs,
+    deletion_neighborhood_matches,
+    deletion_variants_col,
     edit_distance_matches,
 )
 from databricks_import_pyspark_scripts_spark.operators.search import (
@@ -181,6 +185,36 @@ def test_edit_distance_matches_threshold(spark):
            for r in edit_distance_matches(recs, "id", "name", ["blk"], 1)
            .collect()}
     assert got == {(1, 2): 1, (1, 3): 1}  # smyth(sub), smithe(ins); jones far
+
+
+def test_deletion_variants_include_self_and_all_deletes(spark):
+    df = spark.createDataFrame([("abc",), ("",)], "s string")
+    got = {r.s: r.v for r in
+           df.select("s", deletion_variants_col(_F.col("s")).alias("v"))
+           .collect()}
+    assert sorted(got["abc"]) == sorted(["abc", "bc", "ac", "ab"])
+    assert got[""] == [""]
+
+
+def test_deletion_neighborhood_equals_quadratic_baseline(spark):
+    cust = spark.read.parquet(f"{SF}/customer.parquet").select(
+        "c_custkey", "c_name", "c_nationkey")
+    base = {(r.id_a, r.id_b, r.dist) for r in edit_distance_matches(
+        cust, "c_custkey", "c_name", ["c_nationkey"], 1).collect()}
+    fast = {(r.id_a, r.id_b, r.dist) for r in deletion_neighborhood_matches(
+        cust, "c_custkey", "c_name", ["c_nationkey"]).collect()}
+    assert fast == base and base  # identical and non-empty
+
+
+def test_deletion_neighborhood_edge_cases(spark):
+    recs = spark.createDataFrame(
+        [(1, "ab", 0), (2, "ba", 0),      # transposition: dist 2, must NOT match
+         (3, "x", 0), (4, "", 0),         # 1-char vs empty: dist 1 via delete
+         (5, "same", 1), (6, "same", 1)], # exact duplicates: dist 0
+        "id long, name string, blk int")
+    got = {(r.id_a, r.id_b): r.dist for r in deletion_neighborhood_matches(
+        recs, "id", "name", ["blk"]).collect()}
+    assert got == {(3, 4): 1, (5, 6): 0}
 
 
 def test_er_on_testdata_is_symmetric_free_and_blocked(spark):
