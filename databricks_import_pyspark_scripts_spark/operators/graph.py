@@ -217,3 +217,27 @@ def pagerank_exact(vertices: DataFrame, edges: DataFrame,
                    + F.expr(f"({PR_DAMP_NUM} * coalesce(s, 0L)) "
                             f"div {PR_DAMP_DEN}")).alias("pr")))
     return pr
+
+
+def triangle_count(edges: DataFrame, group_col: str | None = None) -> DataFrame:
+    """Triangles per group (or one global row with group_col=None) over an
+    oriented edge list (src < dst required — orientation means each
+    triangle is enumerated exactly once, as (a<b<c)).
+
+    Plan: two self-joins — wedge build (a-b, b-c) then closure probe
+    (a-c exists). At 100 TB the standard mitigation for high-degree hubs
+    is degree orientation (point edges from lower- to higher-degree
+    endpoint) so wedge counts are bounded by arboricity; id orientation is
+    the deterministic stand-in here and the join shape is identical.
+    """
+    cols = [group_col] if group_col else []
+    e = edges.select(*cols, "src", "dst")
+    e1 = e.select(*cols, F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = e.select(*cols, F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = e.select(*cols, F.col("src").alias("a"), F.col("dst").alias("c"))
+    wedges = e1.join(e2, [*cols, "b"])
+    tris = wedges.join(e3, [*cols, "a", "c"], "left_semi")
+    if group_col:
+        return tris.groupBy(group_col).agg(
+            F.count("*").alias("n_triangles"))
+    return tris.agg(F.count("*").alias("n_triangles"))

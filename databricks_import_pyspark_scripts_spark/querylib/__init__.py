@@ -59,6 +59,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_bm25_search",
     "ann_recall_eval",
     "multimodal_asset_dedup",
+    "graph_triangle_count",
+    "stats_equiwidth_histogram",
     "er_customer_blocking",
     "text_duplicate_passages",
     "dedup_containment_pairs",

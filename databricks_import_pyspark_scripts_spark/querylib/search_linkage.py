@@ -243,3 +243,82 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "day", "cnt", "med", "mad",
                     (F.abs(F.col("cnt") - F.col("med"))
                      > F.lit(MAD_SIGMA) * F.col("mad")).alias("is_anomaly")))
+
+
+def _triangle_oracle() -> str:
+    from . import REGISTRY
+
+    er = REGISTRY["er_customer_blocking"].oracle
+    return f"""
+    WITH er AS ({er}),
+    e AS (SELECT c_nationkey, id_a AS src, id_b AS dst FROM er)
+    SELECT e1.c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e1.dst = e2.src AND e1.c_nationkey = e2.c_nationkey
+    JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+            AND e3.c_nationkey = e1.c_nationkey
+    GROUP BY e1.c_nationkey
+    """
+
+
+@register(
+    "graph_triangle_count",
+    _triangle_oracle(),
+    doc="Per-nation triangle count over the record-linkage match graph — "
+        "the cohesion signal that separates dense duplicate clusters from "
+        "chains of borderline matches. Edges come from the GATED "
+        "er_customer_blocking definition (oracle composed verbatim via "
+        "nested WITH). Oriented enumeration (a<b<c): two self-joins — "
+        "wedge build + left-semi closure probe; at scale degree "
+        "orientation bounds wedge fan-out (operators/graph.py).")
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import REGISTRY
+    from ..operators.graph import triangle_count
+
+    er = REGISTRY["er_customer_blocking"].spark_fn(spark, sf_dir)
+    edges = er.select("c_nationkey",
+                      F.col("id_a").alias("src"),
+                      F.col("id_b").alias("dst"))
+    return triangle_count(edges, "c_nationkey")
+
+
+HIST_BUCKETS = 20
+
+
+def _hist_oracle() -> str:
+    return f"""
+    WITH s AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+               FROM lineitem)
+    SELECT LEAST(CAST(FLOOR((l_extendedprice - lo) * {HIST_BUCKETS}
+                            / (hi - lo)) AS BIGINT),
+                 {HIST_BUCKETS - 1}) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(l_extendedprice), 2) AS bucket_sum
+    FROM lineitem CROSS JOIN s
+    GROUP BY 1
+    """
+
+
+@register(
+    "stats_equiwidth_histogram",
+    _hist_oracle(),
+    doc=f"Equi-width {HIST_BUCKETS}-bucket histogram of l_extendedprice — "
+        "the table-statistics build a cost-based optimizer and the "
+        "zone-map sidecars feed on. Two passes: a min/max scalar "
+        "(broadcast) then one partial-aggregable bucket rollup. Bucket "
+        "boundaries use only correctly-rounded IEEE ops, so bucket "
+        "assignment is bit-identical across engines; max value clamps "
+        "into the last bucket.")
+def stats_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.agg(F.min("l_extendedprice").alias("lo"),
+               F.max("l_extendedprice").alias("hi"))
+    x = F.col("l_extendedprice")
+    bucket = F.least(
+        F.floor((x - F.col("lo")) * HIST_BUCKETS / (F.col("hi") - F.col("lo")))
+        .cast("long"),
+        F.lit(HIST_BUCKETS - 1))
+    return (li.join(F.broadcast(s))
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").alias("cnt"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("bucket_sum")))

@@ -246,3 +246,35 @@ def test_mad_flags_match_pandas_recompute(spark):
             want = abs(row["cnt"] - med) > MAD_SIGMA * mad
             assert bool(row["is_anomaly"]) == bool(want), (etype, row)
             assert math.isclose(row["med"], med) and math.isclose(row["mad"], mad)
+
+
+# --- triangles / histogram -------------------------------------------------
+
+def test_triangle_count_on_known_graph(spark):
+    from databricks_import_pyspark_scripts_spark.operators.graph import (
+        triangle_count,
+    )
+
+    # K4 on {1,2,3,4} (4 triangles) in group 0; one open wedge in group 1
+    k4 = [(0, a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(
+        k4 + [(1, 1, 2), (1, 2, 3)], "g int, src long, dst long")
+    got = {r.g: r.n_triangles for r in triangle_count(edges, "g").collect()}
+    assert got == {0: 4}
+    total = triangle_count(
+        edges.filter(F.col("g") == 0)).head().n_triangles
+    assert total == 4
+
+
+def test_histogram_covers_all_rows_and_clamps_max(spark):
+    from databricks_import_pyspark_scripts_spark.querylib.search_linkage import (
+        HIST_BUCKETS,
+        stats_equiwidth_histogram,
+    )
+
+    rows = stats_equiwidth_histogram(spark, SF).collect()
+    assert all(0 <= r.bucket < HIST_BUCKETS for r in rows)
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    assert sum(r.cnt for r in rows) == li.count()
+    # the max value lands in the last bucket (clamp), never bucket==BUCKETS
+    assert max(r.bucket for r in rows) == HIST_BUCKETS - 1
