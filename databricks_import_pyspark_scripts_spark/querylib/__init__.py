@@ -61,6 +61,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_asset_dedup",
     "graph_triangle_count",
     "stats_equiwidth_histogram",
+    "sql_recursive_cte_rollup",
     "er_customer_blocking",
     "text_duplicate_passages",
     "dedup_containment_pairs",

@@ -322,3 +322,35 @@ def stats_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(bucket.alias("bucket"))
             .agg(F.count("*").alias("cnt"),
                  F.round(F.sum("l_extendedprice"), 2).alias("bucket_sum")))
+
+
+# parent(k) = floor((k-1)/4): a deterministic 4-ary forest over part keys
+_RC_BODY = """
+    WITH RECURSIVE anc AS (
+      SELECT p_partkey AS node, p_partkey AS anc FROM {part}
+      UNION ALL
+      SELECT node, CAST(FLOOR((anc - 1) / 4.0) AS BIGINT) AS anc
+      FROM anc WHERE anc > 0
+    )
+    SELECT a.anc AS ancestor,
+           CAST(COUNT(*) AS BIGINT) AS n_desc,
+           CAST(SUM(CAST(ROUND(p.p_retailprice * 100) AS BIGINT)) AS BIGINT)
+             AS subtree_value_cents
+    FROM anc a JOIN {part} p ON p.p_partkey = a.node
+    GROUP BY a.anc
+"""
+
+
+@register(
+    "sql_recursive_cte_rollup",
+    _RC_BODY.format(part="part"),
+    doc="Spark 4 WITH RECURSIVE executed by the engine itself (not an "
+        "iterative-DataFrame emulation): BOM-style subtree rollup over a "
+        "deterministic 4-ary forest on part keys — each ancestor's "
+        "descendant count and subtree value. Depth is log4(n) (~8 at "
+        "sf0.1), so the recursion is bounded and linear per level; money "
+        "summed on the exact integer cents grid. The oracle is the "
+        "IDENTICAL SQL text run by DuckDB.")
+def sql_recursive_cte_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_rc")
+    return spark.sql(_RC_BODY.format(part="part_rc"))

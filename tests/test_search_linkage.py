@@ -278,3 +278,23 @@ def test_histogram_covers_all_rows_and_clamps_max(spark):
     assert sum(r.cnt for r in rows) == li.count()
     # the max value lands in the last bucket (clamp), never bucket==BUCKETS
     assert max(r.bucket for r in rows) == HIST_BUCKETS - 1
+
+
+def test_recursive_cte_rollup_tree_invariants(spark):
+    from databricks_import_pyspark_scripts_spark.querylib.search_linkage import (
+        sql_recursive_cte_rollup,
+    )
+
+    rows = {r.ancestor: r for r in sql_recursive_cte_rollup(spark, SF).collect()}
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    maxkey = part.agg(F.max("p_partkey")).head()[0]
+    n = part.count()
+    # a leaf (no children: 4*k+1 > maxkey) covers only itself
+    leaf = maxkey  # the largest key is always a leaf
+    assert rows[leaf].n_desc == 1
+    # every node is its own descendant, so total pair count >= n and the
+    # root(s) dominate: ancestor 0 covers the whole forest reachable from it
+    assert sum(r.n_desc for r in rows.values()) >= n
+    # every key's parent chain floor((k-1)/4) terminates at 0, so the root
+    # ancestor covers the entire forest
+    assert rows[0].n_desc == n
