@@ -66,3 +66,34 @@ def apply_changes(snapshot: DataFrame, changes: DataFrame,
     untouched = snapshot.alias("t").join(
         touched.alias("s"), _key_cond("t", "s", keys), "left_anti")
     return untouched.unionByName(upserts)
+
+
+def maintain_agg(mv_old: DataFrame, delta: DataFrame, keys: list[str],
+                 op_col: str = "_op") -> DataFrame:
+    """Incremental materialized-view maintenance for count/sum aggregates:
+    apply an insert/delete changelog to a maintained (keys, cnt, total)
+    aggregate WITHOUT rescanning base history.
+
+    ``mv_old`` has columns (keys..., cnt, total); ``delta`` has
+    (keys..., total-contribution column ``val``, op_col in {'I','D'}).
+    Deletes subtract, inserts add; groups whose maintained count reaches 0
+    disappear (the relational-view semantics — a group exists iff it has
+    rows). Returns the updated (keys..., cnt, total).
+
+    Scale shape: the delta aggregate is partial-agg friendly and usually
+    tiny vs the view; the merge is one outer join on the view's key — the
+    view never re-derives from base data, which is the entire point at
+    100 TB (the base scan is the cost being amortized away).
+    """
+    sign = F.when(F.col(op_col) == "I", F.lit(1)).otherwise(F.lit(-1))
+    d = (delta.groupBy(*keys)
+         .agg(F.sum(sign).alias("_dcnt"),
+              F.sum(sign * F.col("val")).alias("_dtotal")))
+    merged = mv_old.join(d, keys, "full_outer")
+    new_cnt = F.coalesce(F.col("cnt"), F.lit(0)) + F.coalesce(F.col("_dcnt"),
+                                                              F.lit(0))
+    new_total = (F.coalesce(F.col("total"), F.lit(0))
+                 + F.coalesce(F.col("_dtotal"), F.lit(0)))
+    return (merged
+            .select(*keys, new_cnt.alias("cnt"), new_total.alias("total"))
+            .filter(F.col("cnt") > 0))

@@ -62,6 +62,7 @@ _PRIORITY: tuple[str, ...] = (
     "graph_triangle_count",
     "stats_equiwidth_histogram",
     "sql_recursive_cte_rollup",
+    "mv_incremental_maintenance",
     "er_customer_blocking",
     "text_duplicate_passages",
     "dedup_containment_pairs",

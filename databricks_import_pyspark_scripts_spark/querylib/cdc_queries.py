@@ -218,3 +218,37 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.lit("2024-01-01 00:00:00").cast("timestamp")))
     out = apply_changes(o, changes, ["k"])
     return out.select("k", F.round("price", 2).alias("price"))
+
+
+@register(
+    "mv_incremental_maintenance",
+    """
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS total
+    FROM events WHERE event_id % 20 <> 5
+    GROUP BY 1, 2
+    """,
+    doc="Incremental materialized-view maintenance: a (type, day) "
+        "count/sum view built over the base partition (event_id % 10 <> 0) "
+        "is updated by applying an insert delta (% 10 = 0) and a delete "
+        "delta (% 20 = 5) through operators/merge.py:maintain_agg — one "
+        "outer join on the view key, NO base rescan. The oracle states the "
+        "equivalent full recompute (all events except the deleted slice), "
+        "so the gate proves incremental == recompute. Values on the exact "
+        "integer cents grid; zero-count groups drop per view semantics.")
+def mv_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import maintain_agg
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("ts").cast("date").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("val"))
+    base = ev.filter(F.col("event_id") % 10 != 0)
+    mv_old = base.groupBy("event_type", "day").agg(
+        F.count("*").alias("cnt"), F.sum("val").alias("total"))
+    delta = (ev.filter(F.col("event_id") % 10 == 0)
+             .withColumn("_op", F.lit("I"))
+             .unionByName(base.filter(F.col("event_id") % 20 == 5)
+                          .withColumn("_op", F.lit("D"))))
+    return maintain_agg(mv_old, delta, ["event_type", "day"])

@@ -169,3 +169,22 @@ def test_pagerank_mass_reasonable_multiround(spark):
     got = {r.id: r.pr for r in pagerank_exact(v, e, iters=3).collect()}
     for pr in got.values():
         assert abs(pr - PR_SCALE) <= 10  # floor drift only
+
+
+def test_maintain_agg_applies_deltas_and_drops_empty_groups(spark):
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.operators.merge import (
+        maintain_agg,
+    )
+
+    mv = spark.createDataFrame(
+        [("a", 2, 100), ("b", 1, 7)], "k string, cnt long, total long")
+    delta = spark.createDataFrame(
+        [("a", 10, "I"),       # a: +1 row, +10
+         ("b", 7, "D"),        # b: last row deleted -> group vanishes
+         ("c", 5, "I")],       # c: brand-new group
+        "k string, val long, _op string")
+    got = {r.k: (r.cnt, r.total)
+           for r in maintain_agg(mv, delta, ["k"]).collect()}
+    assert got == {"a": (3, 110), "c": (1, 5)}
