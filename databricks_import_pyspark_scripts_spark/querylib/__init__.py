@@ -63,6 +63,7 @@ _PRIORITY: tuple[str, ...] = (
     "stats_equiwidth_histogram",
     "sql_recursive_cte_rollup",
     "mv_incremental_maintenance",
+    "dq_constraint_audit",
     "er_customer_blocking",
     "text_duplicate_passages",
     "dedup_containment_pairs",

@@ -354,3 +354,54 @@ _RC_BODY = """
 def sql_recursive_cte_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "part").createOrReplaceTempView("part_rc")
     return spark.sql(_RC_BODY.format(part="part_rc"))
+
+
+_DQ_BODY = """
+    SELECT 'orders_null_custkey' AS check_name,
+           CAST(COUNT_IF(o_custkey IS NULL) AS BIGINT) AS violations,
+           CAST(COUNT(*) AS BIGINT) AS checked
+    FROM {orders}
+    UNION ALL
+    SELECT 'orders_duplicate_pk',
+           CAST(COALESCE(SUM(c - 1), 0) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT o_orderkey, COUNT(*) AS c FROM {orders} GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'orders_nonpositive_total',
+           CAST(COUNT_IF(o_totalprice <= 0) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM {orders}
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           CAST(COUNT_IF(o.o_orderkey IS NULL) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM {lineitem} l LEFT JOIN {orders} o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           CAST(COUNT_IF(c.c_custkey IS NULL) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM {orders} o LEFT JOIN {customer} c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem_bad_quantity_or_discount',
+           CAST(COUNT_IF(l_quantity <= 0 OR l_discount < 0 OR l_discount > 0.5)
+                AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM {lineitem}
+"""
+
+
+@register(
+    "dq_constraint_audit",
+    _DQ_BODY.format(orders="orders", lineitem="lineitem", customer="customer"),
+    doc="Data-quality constraint audit as one report: PK-null and "
+        "PK-duplicate counts, value-range violations, referential-"
+        "integrity orphans (left-join COUNT_IF — at scale the dimension "
+        "side broadcasts), and date-ordering violations. The shape every "
+        "ingest pipeline runs before promoting a batch; each check is a "
+        "single partial-agg pass or broadcast-join count. Identical SQL "
+        "text on both engines.")
+def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "lineitem", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_dq")
+    return spark.sql(_DQ_BODY.format(
+        orders="orders_dq", lineitem="lineitem_dq", customer="customer_dq"))
