@@ -1,0 +1,108 @@
+"""BPE (byte-pair-encoding) merge-rule learning over the corpus vocabulary,
+bounded to K iterations — the vocabulary-construction step of a tokenizer
+training pipeline, expressed as pure DataFrame ops.
+
+Model (standard BPE on the word vocabulary, simplified: no end-of-word
+marker; documented):
+1. vocab = (word, wcount) from the token explode — the corpus collapses to
+   its vocabulary immediately, so every later step runs on |vocab| rows,
+   not |corpus| (at 100 TB this is THE property that makes tokenizer
+   training a Spark job: one full-corpus aggregate, then tiny iterations).
+2. Each word starts as its character sequence. Per iteration: count all
+   adjacent symbol pairs weighted by wcount, pick the max-count pair
+   (count desc, then lexicographic left, right — total order), merge it
+   greedily left-to-right in every word, repeat.
+
+Determinism / oracle portability:
+* The symbol sequence is represented as a STRING: symbols joined by TWO
+  spaces, wrapped in single spaces (`' a  b  c '`). Symbols never contain
+  spaces (tokens are [a-z0-9] runs; merges concatenate), so the pair
+  `(p, q)` occurs in a word iff `' p  q '` occurs in the string — and
+  consecutive occurrences (`a a a a`) keep their shared boundary because
+  each symbol carries its own wrapping spaces.
+* The greedy left-to-right non-overlapping merge IS `replace(s, ' p  q ',
+  ' pq ')`: both Spark (Java String.replace) and DuckDB scan left to
+  right and continue after each replacement — `[a,a,a,a]` -> `[aa,aa]`,
+  `[a,a,a]` -> `[aa,a]`, matching BPE's merge rule exactly.
+* All pair weights are exact integer sums; ties break lexicographically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BPE_ITERS = 4
+
+
+def word_vocab(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, wcount) vocabulary from the corpus token explode."""
+    from .text import tokens_col
+
+    return (docs
+            .select(F.explode(tokens_col(F.col(text_col))).alias("word"))
+            .groupBy("word").agg(F.count("*").alias("wcount")))
+
+
+def _char_seq(word: Column) -> Column:
+    """Initial symbol string: characters joined by two spaces, wrapped."""
+    # Spark's split keeps a trailing '' (limit -1 semantics) — drop it so
+    # the encoding is exactly one wrapped double-space-joined symbol list
+    chars = F.array_remove(F.split(word, "(?!^)"), "")
+    return F.concat(F.lit(" "), F.array_join(chars, "  "), F.lit(" "))
+
+
+def _pair_counts(seqs: DataFrame) -> DataFrame:
+    """Adjacent-pair occurrence counts over all words, weighted by wcount.
+    Overlapping positions each count (standard BPE)."""
+    syms = F.split(F.trim(F.col("s")), "  ")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(syms) - 1, F.lit(0))),
+        lambda j: F.struct(F.element_at(syms, j).alias("left"),
+                           F.element_at(syms, j + 1).alias("right")))
+    # sequence(1, 0) would yield [1, 0]; single-symbol words are filtered
+    # out before the explode instead
+    ex = (seqs.filter(F.size(syms) >= 2)
+          .select("wcount", F.explode(pairs).alias("p")))
+    return (ex.groupBy(F.col("p.left").alias("left"),
+                       F.col("p.right").alias("right"))
+            .agg(F.sum("wcount").alias("pair_weight")))
+
+
+def _best_pair(counts: DataFrame) -> DataFrame:
+    """The merge winner: max weight, lexicographic tie-break. One row."""
+    return (counts
+            .orderBy(F.desc("pair_weight"), F.asc("left"), F.asc("right"))
+            .limit(1))
+
+
+def bpe_learn_merges(docs: DataFrame, text_col: str,
+                     iters: int = BPE_ITERS) -> DataFrame:
+    """Learn ``iters`` BPE merge rules. Returns (iter, left, right, merged,
+    pair_weight) — one row per learned rule, in learning order.
+
+    Fully lazy: each iteration's winner joins back in as a broadcast
+    1-row frame (no driver collect), the same unrolled-chain shape as
+    operators/clustering.kmeans_assign.
+    """
+    seqs = word_vocab(docs, text_col).select(
+        "word", "wcount", _char_seq(F.col("word")).alias("s"))
+    merges = None
+    for i in range(1, iters + 1):
+        best = _best_pair(_pair_counts(seqs)).select(
+            F.lit(i).alias("iter"), "left", "right",
+            F.concat(F.col("left"), F.col("right")).alias("merged"),
+            "pair_weight")
+        merges = best if merges is None else merges.unionByName(best)
+        if i < iters:
+            b = best.select(F.col("left").alias("_l"),
+                            F.col("right").alias("_r"))
+            seqs = (seqs.join(F.broadcast(b))
+                    .select("word", "wcount",
+                            F.replace(
+                                F.col("s"),
+                                F.concat(F.lit(" "), F.col("_l"), F.lit("  "),
+                                         F.col("_r"), F.lit(" ")),
+                                F.concat(F.lit(" "), F.col("_l"), F.col("_r"),
+                                         F.lit(" "))).alias("s")))
+    return merges

@@ -64,6 +64,7 @@ _PRIORITY: tuple[str, ...] = (
     "sql_recursive_cte_rollup",
     "mv_incremental_maintenance",
     "dq_constraint_audit",
+    "tokenizer_bpe_merges",
     "er_customer_blocking",
     "text_duplicate_passages",
     "dedup_containment_pairs",
@@ -250,4 +251,5 @@ def _load() -> None:
     from . import clustering  # noqa: F401
     from . import search_linkage  # noqa: F401
     from . import ann_eval  # noqa: F401
+    from . import tokenizer  # noqa: F401
     _LOADED = True

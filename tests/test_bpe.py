@@ -1,0 +1,83 @@
+"""BPE merge-learning tests: the Spark chain against a plain-Python
+reference BPE, plus the greedy-merge string-encoding edge cases."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from databricks_import_pyspark_scripts_spark.operators.bpe import (
+    _char_seq,
+    bpe_learn_merges,
+    word_vocab,
+)
+
+
+def _py_bpe(word_counts: dict[str, int], iters: int):
+    """Reference BPE: overlapping pair counts, max-count winner with
+    lexicographic tie-break, greedy left-to-right merge."""
+    seqs = {w: list(w) for w in word_counts}
+    out = []
+    for i in range(1, iters + 1):
+        counts = Counter()
+        for w, syms in seqs.items():
+            for j in range(len(syms) - 1):
+                counts[(syms[j], syms[j + 1])] += word_counts[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), c = best
+        out.append((i, l, r, l + r, c))
+        for w, syms in seqs.items():
+            merged, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == l and syms[j + 1] == r:
+                    merged.append(l + r)
+                    j += 2
+                else:
+                    merged.append(syms[j])
+                    j += 1
+            seqs[w] = merged
+    return out
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bpe_matches_python_reference(spark):
+    corpus = [
+        (0, "low low low lower lower newest newest newest"),
+        (1, "newest widest widest low"),
+        (2, "lowest newest low low"),
+    ]
+    text = " ".join(t for _, t in corpus)
+    wc = Counter(text.split())
+    want = _py_bpe(dict(wc), 5)
+    got = [(r.iter, r.left, r.right, r.merged, r.pair_weight)
+           for r in bpe_learn_merges(_docs(spark, corpus), "text", 5)
+           .orderBy("iter").collect()]
+    assert got == want
+
+
+def test_bpe_greedy_merge_odd_runs(spark):
+    # 'aaa': pairs (a,a) x2 -> merge once greedily -> [aa, a]; next round
+    # the winner is (aa, a)
+    docs = _docs(spark, [(0, "aaa aaa")])
+    got = [(r.left, r.right) for r in
+           bpe_learn_merges(docs, "text", 2).orderBy("iter").collect()]
+    assert got == [("a", "a"), ("aa", "a")]
+    assert got == [(l, r) for _, l, r, _, _ in _py_bpe({"aaa": 2}, 2)]
+
+
+def test_char_seq_encoding(spark):
+    df = _docs(spark, [(0, "ab")]).select(
+        _char_seq(F.lit("abc")).alias("s"))
+    assert df.head().s == " a  b  c "
+
+
+def test_word_vocab_counts(spark):
+    docs = _docs(spark, [(0, "x y x"), (1, "y x")])
+    got = {r.word: r.wcount for r in word_vocab(docs, "text").collect()}
+    assert got == {"x": 3, "y": 2}
