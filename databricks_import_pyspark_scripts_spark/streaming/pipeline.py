@@ -259,3 +259,52 @@ def dedup_stream_stateful(docs: DataFrame, id_col: str = "doc_id",
         outputStructType=f"{id_col} long, {fp_col} string, seen_before boolean",
         outputMode="Append",
         timeMode="None"))
+
+
+def stream_maintain_agg(deltas: DataFrame, mv_root: str, checkpoint_dir: str,
+                        keys: list[str]):
+    """Streaming materialized-view maintenance: each micro-batch of an
+    insert/delete changelog (columns keys..., val, _op in {'I','D'}) updates
+    a persisted (keys..., cnt, total) aggregate via
+    operators/merge.maintain_agg — the view is maintained continuously
+    without ever rescanning base history.
+
+    The view is versioned per batch id under ``mv_root/v=<batch_id>`` (the
+    streaming analogue of the snapshot convention in
+    sinks/versioned_writer.py); the highest version is the current view.
+    Redelivered batch ids overwrite their own version directory. Local-FS
+    path layout (os.listdir); a lakehouse deployment swaps the read-modify-
+    write for a transactional MERGE on the view table — the maintain_agg
+    delta algebra is identical. Returns the StreamingQuery.
+    """
+    import os
+
+    spark = deltas.sparkSession
+
+    def _latest_version(root: str, below: int) -> int | None:
+        """Highest committed version STRICTLY below ``below``: a redelivered
+        batch id must rebase on its predecessor, not on its own earlier
+        (possibly partial) write — otherwise the delta applies twice."""
+        if not os.path.isdir(root):
+            return None
+        vs = [int(d[2:]) for d in os.listdir(root)
+              if d.startswith("v=") and d[2:].isdigit() and int(d[2:]) < below]
+        return max(vs) if vs else None
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.merge import maintain_agg
+
+        prev_v = _latest_version(mv_root, batch_id)
+        if prev_v is None:
+            mv_old = (batch_df.select(*keys).limit(0)
+                      .withColumn("cnt", F.lit(0).cast("long"))
+                      .withColumn("total", F.lit(0).cast("long")))
+        else:
+            mv_old = spark.read.parquet(f"{mv_root}/v={prev_v}")
+        new = maintain_agg(mv_old, batch_df, keys)
+        new.write.mode("overwrite").parquet(f"{mv_root}/v={batch_id}")
+
+    return (deltas.writeStream
+            .foreachBatch(apply_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .start())

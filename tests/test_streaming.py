@@ -310,3 +310,39 @@ def test_first_seen_processor_logic_with_stub_state():
     out2 = pd.concat(list(proc.handleInputRows(
         ("aaa",), iter([pd.DataFrame({"doc_id": [9]})]), None)))
     assert list(zip(out2.doc_id, out2.seen_before)) == [(9, True)]
+
+
+def test_stream_maintain_agg_matches_recompute(spark, tmp_path):
+    from databricks_import_pyspark_scripts_spark.streaming.pipeline import (
+        stream_maintain_agg,
+    )
+
+    src = tmp_path / "deltas"
+    schema = "k string, val long, _op string"
+    # two files -> two micro-batches (maxFilesPerTrigger=1)
+    spark.createDataFrame(
+        [("a", 10, "I"), ("a", 5, "I"), ("b", 7, "I")], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [("a", 5, "D"), ("b", 7, "D"), ("c", 3, "I")], schema
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src / "*")))
+    q = stream_maintain_agg(stream, str(tmp_path / "mv"),
+                            str(tmp_path / "ckpt"), ["k"])
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    import os
+    versions = sorted(int(d[2:]) for d in os.listdir(tmp_path / "mv")
+                      if d.startswith("v="))
+    assert len(versions) >= 2  # the deltas arrived over multiple batches
+    final = {r.k: (r.cnt, r.total) for r in spark.read.parquet(
+        f"{tmp_path}/mv/v={versions[-1]}").collect()}
+    # recompute from the union of all deltas: a: +10+5-5, b: +7-7 (gone),
+    # c: +3
+    assert final == {"a": (1, 10), "c": (1, 3)}
