@@ -81,3 +81,52 @@ def commit_snapshot(spark: SparkSession, df: DataFrame, root: str, table: str,
         _ensure_version_marker(spark, root, table, version)
     else:
         write_snapshot(df, root, table, version)
+
+
+def vacuum_table(spark: SparkSession, root: str, table: str,
+                 keep_from_version: int) -> dict[str, list[int]]:
+    """Retention enforcement for the versioned convention — the operation
+    whose AFTERMATH the reference's two-level retry exists to survive
+    (`unload_databricks_data_to_s3.py:256-340`: missing CDF files after
+    Delta VACUUM). Removes snapshot dirs and changelog partitions for
+    versions strictly below ``keep_from_version``; an incremental read
+    whose range needs a removed version then raises the classified
+    missing-CDF error (sources/versioned.py E1) and the pipeline downgrades
+    per-table to latest-only (E2) — the exact reference semantics, now
+    exercised end-to-end by a first-class vacuum instead of hand-deleted
+    dirs in tests.
+
+    Hadoop-FS based (works on any scheme the session can reach). Returns
+    {"snapshots": [...], "changes": [...]} — the versions removed.
+    """
+    sc = spark.sparkContext
+    jvm = sc._jvm  # noqa: SLF001
+    conf = sc._jsc.hadoopConfiguration()  # noqa: SLF001
+
+    def _rm(path_str: str) -> bool:
+        p = jvm.org.apache.hadoop.fs.Path(path_str)
+        fs = p.getFileSystem(conf)
+        return bool(fs.exists(p) and fs.delete(p, True))
+
+    def _list_versions(dir_str: str, prefix: str) -> list[int]:
+        p = jvm.org.apache.hadoop.fs.Path(dir_str)
+        fs = p.getFileSystem(conf)
+        if not fs.exists(p):
+            return []
+        out = []
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith(prefix) and name[len(prefix):].isdigit():
+                out.append(int(name[len(prefix):]))
+        return sorted(out)
+
+    removed_snaps = []
+    for v in _list_versions(f"{root}/{table}", "v="):
+        if v < keep_from_version and _rm(f"{root}/{table}/v={v}"):
+            removed_snaps.append(v)
+    removed_changes = []
+    for v in _list_versions(f"{root}/{table}_changes", "_commit_version="):
+        if v < keep_from_version and _rm(
+                f"{root}/{table}_changes/_commit_version={v}"):
+            removed_changes.append(v)
+    return {"snapshots": removed_snaps, "changes": removed_changes}

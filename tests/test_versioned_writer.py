@@ -96,3 +96,42 @@ def test_derive_changes_rejects_missing_key_column(spark):
         derive_changes(old, new, ["id"], 2)
     with pytest.raises(ValueError, match="missing from old"):
         derive_changes(new, old, ["id"], 2)
+
+
+def test_vacuum_table_removes_prefix_and_triggers_cdf_error(spark, tmp_path):
+    import pytest as _pytest
+
+    from databricks_import_pyspark_scripts_spark.sinks.versioned_writer import (
+        commit_snapshot,
+        vacuum_table,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.versioned import (
+        ChangelogNotFoundError,
+        extract_missing_cdf_error_signature,
+        read_changes,
+        read_snapshot,
+    )
+
+    root = str(tmp_path)
+    for v in (1, 2, 3):
+        df = spark.createDataFrame(
+            [(i, f"v{v}") for i in range(3 + v)], "id long, payload string")
+        commit_snapshot(spark, df, root, "t", v, ["id"],
+                        base_version=v - 1 if v > 1 else None)
+    # full range readable before the vacuum
+    assert read_changes(spark, root, "t", 1, 3).count() > 0
+
+    removed = vacuum_table(spark, root, "t", keep_from_version=3)
+    assert removed["snapshots"] == [1, 2]
+    # the first commit has no base, so no v=1 changelog partition exists
+    assert set(removed["changes"]) == {2}
+
+    # the latest snapshot survives; the vacuumed prefix raises the
+    # CLASSIFIED error (E1), which the pipeline's E2 fallback consumes
+    assert read_snapshot(spark, root, "t", 3).count() == 6
+    with _pytest.raises(ChangelogNotFoundError) as ei:
+        read_changes(spark, root, "t", 1, 3)
+    assert extract_missing_cdf_error_signature(ei.value) == "CHANGELOG_NOT_FOUND"
+    # idempotent: a second vacuum removes nothing
+    assert vacuum_table(spark, root, "t", 3) == {
+        "snapshots": [], "changes": []}
