@@ -28,9 +28,13 @@ def _two_dim_df(spark, n=40_000):
 
 
 def _skippable_fraction(path: str, col: str, lo: int, hi: int) -> float:
-    """Fraction of row groups whose [min, max] for ``col`` is disjoint from
-    the predicate range [lo, hi] — i.e., skippable by footer stats alone."""
-    total = skippable = 0
+    """ROW-weighted fraction of the table whose row groups' [min, max] for
+    ``col`` is disjoint from the predicate range [lo, hi] — i.e., skippable
+    by footer stats alone. Row-weighted, not group-counted: range
+    partitioning leaves tiny tail row groups (a partition's last file may
+    hold a handful of rows) whose min/max can miss any 5%-wide range by
+    chance, and skipping those is noise, not pruning."""
+    total = skippable = groups = 0
     for f in glob.glob(f"{path}/*.parquet"):
         md = pq.ParquetFile(f).metadata
         for rg in range(md.num_row_groups):
@@ -38,10 +42,11 @@ def _skippable_fraction(path: str, col: str, lo: int, hi: int) -> float:
             stats = {g.column(i).path_in_schema: g.column(i).statistics
                      for i in range(g.num_columns)}
             s = stats[col]
-            total += 1
+            groups += 1
+            total += g.num_rows
             if s.max < lo or s.min > hi:
-                skippable += 1
-    assert total >= 8, f"layout produced too few row groups ({total})"
+                skippable += g.num_rows
+    assert groups >= 8, f"layout produced too few row groups ({groups})"
     return skippable / total
 
 
@@ -91,8 +96,9 @@ def test_zorder_layout_skips_on_both_dimensions(spark, tmp_path):
     z_y = _skippable_fraction(zpath, "y", 100, 150)
     l_x = _skippable_fraction(lpath, "x", 100, 150)
     l_y = _skippable_fraction(lpath, "y", 100, 150)
-    # linear-on-x: excellent on x, useless on y
-    assert l_x >= 0.8 and l_y == 0.0
+    # linear-on-x: excellent on x, useless on y (<=1% of rows — only
+    # chance-disjoint tail groups, never real pruning)
+    assert l_x >= 0.8 and l_y <= 0.01
     # z-order: substantial skipping on BOTH dimensions
     assert z_x >= 0.5 and z_y >= 0.5
     # and the data survives intact
