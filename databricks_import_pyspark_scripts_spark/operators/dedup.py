@@ -271,14 +271,22 @@ def collapse_exact_reps(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Members map to their representative via ``exact_dedup`` output; near-dup
     pairs among representatives then extend to members transitively.
+
+    Shuffle shape: the fingerprint groupBy carries ONLY (fp, id) — 16-byte
+    rows — never the texts (the earlier ``min_by(text)`` form shuffled the
+    whole corpus text through the aggregate). Texts come back via a semi-join
+    on the representative ids: AQE broadcasts the id list when it is small,
+    and at 100 TB the semi-join's hash exchange on ``id`` is the same
+    partitioning the downstream signature stage repartitions to anyway, so
+    the text movement it adds was already being paid there.
     """
-    fp = df.select(F.col(id_col), F.col(text_col),
+    fp = df.select(F.col(id_col),
                    F.md5(F.array_join(tokens_col(F.col(text_col)), " "))
                    .alias("_fp"))
-    return (fp.groupBy("_fp")
-            .agg(F.min(id_col).alias(id_col),
-                 F.min_by(text_col, id_col).alias(text_col))
-            .select(id_col, text_col))
+    reps = (fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+            .select(id_col))
+    return (df.join(reps, id_col, "left_semi")
+            .select(F.col(id_col), F.col(text_col)))
 
 
 def bucket_pairs(bands: DataFrame, bucket_cols: list[str],
