@@ -622,3 +622,66 @@ def ivf_pq_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "vec_id", "adc_dist", "rank"))
+
+
+SEMDEDUP_EPS_COS = 0.3  # drop when cosine to a smaller-id cluster-mate >= this
+
+
+def semdedup_flags(vectors: DataFrame, centroids: DataFrame,
+                   threshold: float = SEMDEDUP_EPS_COS,
+                   max_bucket: int | None = None,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) semantic-dedup flags:
+    cluster the embeddings with a coarse quantizer, then WITHIN each cluster
+    drop every item whose cosine to a smaller-id cluster-mate reaches
+    ``threshold``. Returns (id, cell, is_dropped, max_sim_smaller) — one row
+    per input vector, keep/drop decided per item with no transitive
+    closure (the paper's rule: dedup against earlier items in the cluster).
+
+    Scale shape — the whole point of the cluster stage is to confine the
+    O(m^2) pairwise cosine to cluster-sized m:
+
+    * assignment is one broadcast-centroid map pass (``ivf_assignments``;
+      at 100 TB it is an ingest-time column / partition key),
+    * candidate pairs come from ONE shuffle on the cell id
+      (``bucket_pairs`` — the same single-execution within-bucket explode
+      the LSH dedups use, with the same ``max_bucket`` degenerate guard),
+    * the exact-cosine verify is the melt-join: each pair melts to two
+      (pair, id) rows, the corpus joins by id once (candidates broadcast,
+      vectors stream map-side), Arrow-batched cosine on the reassembled
+      pairs. Nothing corpus-sized shuffles except the one cell exchange.
+    """
+    from .dedup import bucket_pairs
+
+    cells = ivf_assignments(vectors, centroids, id_col, vec_col)
+    # one cell per id -> within-cell (a < b) pairs are already distinct
+    cand = (bucket_pairs(cells, ["cell"], F.col(id_col),
+                         max_bucket=max_bucket)
+            .select(F.col("a").alias("id_a"), F.col("b").alias("id_b")))
+    v = vectors.select(F.col(id_col), F.col(vec_col).alias("_e"),
+                       dot_col(F.col(vec_col), F.col(vec_col)).alias("_n2"))
+    melted = cand.select(
+        "id_a", "id_b",
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col))
+    pairs = (melted.join(v, id_col)
+             .groupBy("id_a", "id_b")
+             .agg(F.max_by(F.struct(F.col("_e"), F.col("_n2")),
+                           (F.col(id_col) == F.col("id_a")).cast("int"))
+                  .alias("va"),
+                  F.max_by(F.struct(F.col("_e"), F.col("_n2")),
+                           (F.col(id_col) == F.col("id_b")).cast("int"))
+                  .alias("vb")))
+    scored = pairs.select(
+        "id_a", "id_b",
+        F.round(_pair_cosine_pd(F.col("va._e"), F.col("vb._e"),
+                                F.col("va._n2"), F.col("vb._n2"),
+                                deterministic=False), 4).alias("cosine"))
+    # pairs are (smaller, larger): the LARGER id is the one SemDeDup drops
+    dropped = (scored.filter(F.col("cosine") >= threshold)
+               .groupBy("id_b")
+               .agg(F.max("cosine").alias("max_sim_smaller")))
+    return (cells.join(dropped, cells[id_col] == dropped["id_b"], "left")
+            .select(F.col(id_col), F.col("cell"),
+                    F.col("max_sim_smaller").isNotNull().alias("is_dropped"),
+                    F.col("max_sim_smaller")))

@@ -431,3 +431,62 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vectors = load_table(spark, sf_dir, "embeddings")
     return ivf_pq_topk(vectors, _queries_df(spark, sf_dir), k=TOP_K)
+
+
+def _semdedup_oracle() -> str:
+    from ..operators.dedup import MAX_BUCKET
+    from ..operators.similarity import SEMDEDUP_EPS_COS
+
+    return f"""
+    WITH cents AS (
+      SELECT vec_id // {CENTROID_MOD} AS centroid_id, embedding AS c_emb
+      FROM embeddings WHERE vec_id % {CENTROID_MOD} = 0),
+    ranked AS (
+      SELECT x.vec_id, c.centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                ORDER BY ROUND({_ASSIGN_COS_SQL}, 8) DESC,
+                                         c.centroid_id) AS rn
+      FROM embeddings x CROSS JOIN cents c),
+    assign AS (
+      SELECT vec_id, centroid_id AS cell FROM ranked WHERE rn = 1),
+    ok AS (
+      SELECT cell FROM assign GROUP BY cell
+      HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET}),
+    av AS (
+      SELECT e.vec_id, e.embedding, a.cell
+      FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND({_PAIR_COS_SQL}, 4) AS cosine
+      FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN ok ON a.cell = ok.cell),
+    dropped AS (
+      SELECT id_b AS vec_id, MAX(cosine) AS max_sim_smaller
+      FROM pairs WHERE cosine >= {SEMDEDUP_EPS_COS}
+      GROUP BY id_b)
+    SELECT a.vec_id, a.cell,
+           d.vec_id IS NOT NULL AS is_dropped,
+           d.max_sim_smaller
+    FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    """
+
+
+@register(
+    "dedup_semantic_semdedup",
+    _semdedup_oracle(),
+    doc="SemDeDup (Abbas et al. 2023) semantic dedup flags: coarse-quantizer "
+        "clusters confine the pairwise cosine to within-cluster pairs; an "
+        "item is dropped when its cosine to a smaller-id cluster-mate "
+        "reaches the eps threshold (the paper's keep-earliest rule — no "
+        "transitive closure). One broadcast-centroid assignment pass, one "
+        "shuffle on the cell id, Arrow melt-join exact-cosine verify; the "
+        "max_bucket guard bounds degenerate clusters.")
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import MAX_BUCKET
+    from ..operators.similarity import semdedup_flags
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
+             .select((F.col("vec_id") / CENTROID_MOD).cast("long")
+                     .alias("centroid_id"), "embedding"))
+    return semdedup_flags(emb, cents, max_bucket=MAX_BUCKET)

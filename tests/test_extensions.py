@@ -562,3 +562,33 @@ def test_parameter_guards_raise(spark):
                             centroid_mod=100)
     with _pytest.raises(ValueError, match="not divisible"):
         pq_codebook(vecs, "vec_id", "embedding", dim=60, m=8)
+
+
+def test_semdedup_keep_earliest_within_cluster(spark):
+    """SemDeDup rule: an item is dropped iff a SMALLER-id cluster-mate is
+    within eps — the earliest member of each near-group survives, and
+    near-identical vectors in DIFFERENT clusters are never compared."""
+    from databricks_import_pyspark_scripts_spark.operators.similarity import (
+        semdedup_flags,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id long, embedding array<double>")
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.01]),    # cluster 0, first of a near-pair -> kept
+         (2, [1.0, 0.011]),   # near-dup of 1, larger id -> dropped
+         (3, [0.9, 0.5]),     # cluster 0 but far from 1/2 at thr=0.999
+         (10, [0.01, 1.0]),   # cluster 1: near-identical to vec 2's
+                              # DIRECTION? no — different cluster, and
+                              # never compared against cluster 0 members
+         (11, [0.011, 1.0])], # near-dup of 10 -> dropped
+        "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in semdedup_flags(
+        vecs, cents, threshold=0.999).collect()}
+    assert not out[1].is_dropped and out[2].is_dropped
+    assert not out[3].is_dropped          # same cluster, below threshold
+    assert not out[10].is_dropped and out[11].is_dropped
+    assert out[2].max_sim_smaller >= 0.999
+    # cluster assignment sanity: the two groups landed in different cells
+    assert out[1].cell != out[10].cell
