@@ -106,3 +106,57 @@ def bpe_learn_merges(docs: DataFrame, text_col: str,
                                 F.concat(F.lit(" "), F.col("_l"), F.col("_r"),
                                          F.lit(" "))).alias("s")))
     return merges
+
+
+def bpe_apply_merges(docs: DataFrame, text_col: str,
+                     iters: int = BPE_ITERS) -> DataFrame:
+    """(word, wcount, s): the vocabulary's symbol sequences after learning
+    AND applying all ``iters`` merge rules (``bpe_learn_merges`` advances
+    sequences only through iteration ``iters - 1`` — enough to CHOOSE the
+    last winner; encoding needs the last merge applied too).
+
+    Same fully-lazy unrolled chain: each winner joins back as a broadcast
+    1-row frame. Lineage re-executes the vocab pipeline O(iters^2) times —
+    fine because everything after the one corpus-collapsing aggregate runs
+    on |vocab| rows (materialize the vocab upstream for large iters).
+    """
+    seqs = word_vocab(docs, text_col).select(
+        "word", "wcount", _char_seq(F.col("word")).alias("s"))
+    for _ in range(iters):
+        b = _best_pair(_pair_counts(seqs)).select(
+            F.col("left").alias("_l"), F.col("right").alias("_r"))
+        seqs = (seqs.join(F.broadcast(b))
+                .select("word", "wcount",
+                        F.replace(
+                            F.col("s"),
+                            F.concat(F.lit(" "), F.col("_l"), F.lit("  "),
+                                     F.col("_r"), F.lit(" ")),
+                            F.concat(F.lit(" "), F.col("_l"), F.col("_r"),
+                                     F.lit(" "))).alias("s")))
+    return seqs
+
+
+def bpe_token_counts(docs: DataFrame, id_col: str, text_col: str,
+                     iters: int = BPE_ITERS) -> DataFrame:
+    """(id, n_words, n_bpe_tokens): per-document token counts under the
+    learned BPE merges — the tokenizer-APPLICATION half (training-cost
+    estimation, sequence budgeting) of the BPE pair.
+
+    Scale shape: the corpus is encoded at the VOCABULARY level — the merge
+    chain runs once over |vocab| rows, never per occurrence — and documents
+    join their words to the encoded vocab's symbol counts (vocab broadcast:
+    it is language-bounded, not corpus-bounded). One shuffle on the doc id
+    for the final per-document sum; docs with zero tokens vanish with the
+    explode (no words -> no row), same as the oracle's join semantics.
+    """
+    from .text import tokens_col
+
+    enc = bpe_apply_merges(docs, text_col, iters).select(
+        "word",
+        F.size(F.split(F.trim(F.col("s")), "  ")).alias("n_tok"))
+    words = docs.select(F.col(id_col),
+                        F.explode(tokens_col(F.col(text_col))).alias("word"))
+    return (words.join(F.broadcast(enc), "word")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("n_tok").cast("long").alias("n_bpe_tokens")))

@@ -82,3 +82,38 @@ def _bpe_oracle(iters: int = BPE_ITERS) -> str:
 def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return bpe_learn_merges(docs, "text", BPE_ITERS)
+
+
+def _bpe_encode_oracle(iters: int = BPE_ITERS) -> str:
+    ctes = _vocab_cte() + "".join("," + _iter_ctes(i)
+                                  for i in range(1, iters + 1))
+    return f"""
+    WITH {ctes},
+    wtok AS (
+      SELECT word, len(string_split(trim(s), '  ')) AS n_tok
+      FROM s{iters}),
+    docw AS (
+      SELECT doc_id, unnest({TOKENS_SQL}) AS word FROM documents)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens
+    FROM docw JOIN wtok USING (word)
+    GROUP BY doc_id
+    """
+
+
+@register(
+    "tokenizer_bpe_encode",
+    _bpe_encode_oracle(),
+    doc=f"BPE tokenizer APPLICATION: per-document token counts under the "
+        f"{BPE_ITERS} learned merge rules. The corpus is encoded at the "
+        "vocabulary level (the merge chain runs over |vocab| rows, never "
+        "per occurrence), then documents join their words to the encoded "
+        "vocab's symbol counts — vocab broadcast, one shuffle on doc id. "
+        "Oracle extends the learning CTE chain with the final merged "
+        "sequences and the same join.")
+def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_token_counts(docs, "doc_id", "text", BPE_ITERS)

@@ -81,3 +81,55 @@ def test_word_vocab_counts(spark):
     docs = _docs(spark, [(0, "x y x"), (1, "y x")])
     got = {r.word: r.wcount for r in word_vocab(docs, "text").collect()}
     assert got == {"x": 3, "y": 2}
+
+
+def _py_bpe_seqs(word_counts: dict[str, int], iters: int):
+    """Reference BPE sequences AFTER applying all ``iters`` merges."""
+    seqs = {w: list(w) for w in word_counts}
+    for _ in range(iters):
+        counts = Counter()
+        for w, syms in seqs.items():
+            for j in range(len(syms) - 1):
+                counts[(syms[j], syms[j + 1])] += word_counts[w]
+        if not counts:
+            break
+        (l, r), _c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, syms in seqs.items():
+            merged, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == l and syms[j + 1] == r:
+                    merged.append(l + r)
+                    j += 2
+                else:
+                    merged.append(syms[j])
+                    j += 1
+            seqs[w] = merged
+    return seqs
+
+
+def test_bpe_token_counts_match_python_reference(spark):
+    from databricks_import_pyspark_scripts_spark.operators.bpe import (
+        bpe_token_counts,
+    )
+
+    corpus = [
+        (0, "low low low lower lower newest newest newest"),
+        (1, "newest widest widest low"),
+        (2, "lowest newest low low"),
+    ]
+    text = " ".join(t for _, t in corpus)
+    wc = Counter(text.split())
+    seqs = _py_bpe_seqs(dict(wc), 3)
+    want = {}
+    for did, t in corpus:
+        words = t.split()
+        want[did] = (len(words), sum(len(seqs[w]) for w in words))
+    got = {r.doc_id: (r.n_words, r.n_bpe_tokens)
+           for r in bpe_token_counts(_docs(spark, corpus), "doc_id",
+                                     "text", 3).collect()}
+    assert got == want
+    # encoding compresses: token count strictly below character count,
+    # at or above word count
+    for did, t in corpus:
+        chars = sum(len(w) for w in t.split())
+        assert want[did][0] <= got[did][1] < chars
