@@ -241,3 +241,56 @@ def triangle_count(edges: DataFrame, group_col: str | None = None) -> DataFrame:
         return tris.groupBy(group_col).agg(
             F.count("*").alias("n_triangles"))
     return tris.agg(F.count("*").alias("n_triangles"))
+
+
+def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 4,
+               src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """(node, degree): the subgraph surviving ``rounds`` of k-core peeling —
+    each round SIMULTANEOUSLY removes every node whose current degree is
+    below ``k`` (degree computed before any of the round's removals), the
+    standard distributed k-core schedule. ``degree`` is the node's degree
+    within the surviving subgraph. At the fixpoint this IS the k-core; the
+    round bound is what makes the iterative algorithm oracle-checkable
+    (the oracle unrolls the same fixed schedule as CTE stages), and the
+    loop exits early once a round removes nothing — a no-op round chain,
+    so early exit returns exactly the fixed-``rounds`` result.
+
+    Scale shape: per round, one hash aggregate on node id (map-side
+    partial) + two left-semi joins against the (small, shrinking) survivor
+    id set — AQE broadcasts the survivor side long before the edge list
+    would shuffle. Checkpointing truncates lineage so round N never
+    replays rounds 1..N-1 (the edge pipeline itself may be an expensive
+    candidate join). Edges must be unique undirected pairs; symmetrized
+    and de-duplicated here.
+    """
+    spark = edges.sparkSession
+    sc = spark.sparkContext
+    if not sc.getCheckpointDir():
+        sc.setCheckpointDir("/tmp/spark_graft_checkpoints")
+    sym = (edges.select(F.col(src_col).alias("node"),
+                        F.col(dst_col).alias("nbr"))
+           .unionByName(edges.select(F.col(dst_col).alias("node"),
+                                     F.col(src_col).alias("nbr")))
+           .filter(F.col("node") != F.col("nbr"))
+           .distinct()
+           .checkpoint(eager=True))
+    alive = sym
+    prev_n = None
+    for it in range(rounds):
+        surv = (alive.groupBy("node")
+                .agg(F.count(F.lit(1)).alias("_deg"))
+                .filter(F.col("_deg") >= k)
+                .select("node"))
+        obs = Observation(f"kcore_round_{it}")
+        alive = (alive
+                 .join(surv, "node", "left_semi")
+                 .join(surv.select(F.col("node").alias("nbr")), "nbr",
+                       "left_semi")
+                 .observe(obs, F.count(F.lit(1)).alias("n_edges"))
+                 .checkpoint(eager=True))
+        n = obs.get["n_edges"]
+        if n == prev_n:
+            break  # fixpoint: the remaining rounds are no-ops
+        prev_n = n
+    return (alive.groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree")))

@@ -405,3 +405,55 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_dq")
     return spark.sql(_DQ_BODY.format(
         orders="orders_dq", lineitem="lineitem_dq", customer="customer_dq"))
+
+
+KCORE_K = 2
+KCORE_ROUNDS = 4
+
+
+def _kcore_oracle(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    from . import REGISTRY
+
+    er = REGISTRY["er_customer_blocking"].oracle
+    stages = []
+    for i in range(1, rounds + 1):
+        p = f"s{i - 1}"
+        stages.append(f"""
+    d{i} AS (
+      SELECT node FROM {p} GROUP BY node HAVING COUNT(*) >= {k}),
+    s{i} AS (
+      SELECT s.node, s.nbr FROM {p} s
+      JOIN d{i} x ON s.node = x.node
+      JOIN d{i} y ON s.nbr = y.node)""")
+    return f"""
+    WITH er AS ({er}),
+    s0 AS (
+      SELECT DISTINCT node, nbr FROM (
+        SELECT id_a AS node, id_b AS nbr FROM er
+        UNION ALL
+        SELECT id_b AS node, id_a AS nbr FROM er)
+      WHERE node <> nbr),{",".join(stages)}
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM s{rounds} GROUP BY node
+    """
+
+
+@register(
+    "graph_kcore",
+    _kcore_oracle(),
+    doc=f"k-core decomposition (k={KCORE_K}, {KCORE_ROUNDS} peel rounds) of "
+        "the record-linkage match graph: iteratively removing sub-k-degree "
+        "nodes strips chains of borderline matches and leaves the densely "
+        "interlinked duplicate cores. Edges compose the GATED "
+        "er_customer_blocking definition verbatim. Per round: one node-id "
+        "aggregate + two left-semi joins vs the shrinking survivor set "
+        "(AQE-broadcast); checkpoints truncate the lineage; the loop "
+        "early-exits at the fixpoint, which equals the fixed-round result "
+        "the oracle unrolls (no-op tail rounds).")
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import REGISTRY
+    from ..operators.graph import kcore_peel
+
+    er = REGISTRY["er_customer_blocking"].spark_fn(spark, sf_dir)
+    edges = er.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return kcore_peel(edges, KCORE_K, KCORE_ROUNDS)

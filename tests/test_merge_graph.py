@@ -188,3 +188,50 @@ def test_maintain_agg_applies_deltas_and_drops_empty_groups(spark):
     got = {r.k: (r.cnt, r.total)
            for r in maintain_agg(mv, delta, ["k"]).collect()}
     assert got == {"a": (3, 110), "c": (1, 5)}
+
+
+def test_kcore_peel_semantics_and_convergence(spark):
+    from databricks_import_pyspark_scripts_spark.operators.graph import (
+        kcore_peel,
+    )
+
+    # path 1-2-3-4 + triangle 10-11-12 with a pendant 13 off node 10:
+    # 2-core must peel the whole path AND the pendant, keep the triangle
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),
+         (10, 11), (11, 12), (10, 12), (10, 13)],
+        "src long, dst long")
+    got = {r.node: r.degree for r in kcore_peel(edges, k=2, rounds=6).collect()}
+    assert got == {10: 2, 11: 2, 12: 2}
+    # a long path needs one round per end-node pair: rounds short of
+    # convergence leave the middle -- fixed-round semantics, not fixpoint
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "src long, dst long")
+    partial = {r.node for r in kcore_peel(path, k=2, rounds=2).collect()}
+    assert partial == {3, 4, 5, 6}          # two peels: ends stripped twice
+    assert kcore_peel(path, k=2, rounds=10).count() == 0  # converged: empty
+
+
+def test_kcore_gate_rounds_converge_at_gate_scale(spark):
+    """The gate's fixed round budget reaches the true fixpoint on the gate
+    graph (so the query's 'k-core' claim is the real k-core, not a
+    partial peel): one extra round changes nothing."""
+    from databricks_import_pyspark_scripts_spark.operators.graph import (
+        kcore_peel,
+    )
+    from databricks_import_pyspark_scripts_spark.querylib import REGISTRY
+    from databricks_import_pyspark_scripts_spark.querylib.search_linkage import (
+        KCORE_K,
+        KCORE_ROUNDS,
+    )
+    from pyspark.sql import functions as F
+
+    er = REGISTRY["er_customer_blocking"].spark_fn(
+        spark, "/root/testdata/sf0.001")
+    edges = (er.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+             .localCheckpoint(eager=True))
+    a = {(r.node, r.degree) for r in
+         kcore_peel(edges, KCORE_K, KCORE_ROUNDS).collect()}
+    b = {(r.node, r.degree) for r in
+         kcore_peel(edges, KCORE_K, KCORE_ROUNDS + 2).collect()}
+    assert a == b
