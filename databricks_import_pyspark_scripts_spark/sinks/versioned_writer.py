@@ -13,6 +13,7 @@ what makes incremental reads partition-pruned at any scale.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.cdc import derive_changes
 from ..sources.versioned import _path_exists, _snapshot_dir, read_snapshot
@@ -108,25 +109,82 @@ def vacuum_table(spark: SparkSession, root: str, table: str,
         fs = p.getFileSystem(conf)
         return bool(fs.exists(p) and fs.delete(p, True))
 
-    def _list_versions(dir_str: str, prefix: str) -> list[int]:
-        p = jvm.org.apache.hadoop.fs.Path(dir_str)
-        fs = p.getFileSystem(conf)
-        if not fs.exists(p):
-            return []
-        out = []
-        for st in fs.listStatus(p):
-            name = st.getPath().getName()
-            if name.startswith(prefix) and name[len(prefix):].isdigit():
-                out.append(int(name[len(prefix):]))
-        return sorted(out)
-
     removed_snaps = []
-    for v in _list_versions(f"{root}/{table}", "v="):
+    for v in _list_versions(spark, f"{root}/{table}", "v="):
         if v < keep_from_version and _rm(f"{root}/{table}/v={v}"):
             removed_snaps.append(v)
     removed_changes = []
-    for v in _list_versions(f"{root}/{table}_changes", "_commit_version="):
+    for v in _list_versions(spark, f"{root}/{table}_changes",
+                            "_commit_version="):
         if v < keep_from_version and _rm(
                 f"{root}/{table}_changes/_commit_version={v}"):
             removed_changes.append(v)
     return {"snapshots": removed_snaps, "changes": removed_changes}
+
+
+def _list_versions(spark: SparkSession, dir_str: str,
+                   prefix: str) -> list[int]:
+    """Sorted numeric suffixes of ``<prefix><n>`` children of ``dir_str``
+    (Hadoop FS — any scheme the session reaches)."""
+    sc = spark.sparkContext
+    p = sc._jvm.org.apache.hadoop.fs.Path(dir_str)  # noqa: SLF001
+    fs = p.getFileSystem(sc._jsc.hadoopConfiguration())  # noqa: SLF001
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith(prefix) and name[len(prefix):].isdigit():
+            out.append(int(name[len(prefix):]))
+    return sorted(out)
+
+
+def optimize_table(spark: SparkSession, root: str, table: str,
+                   target_partitions: int | None = None,
+                   zorder_by: list[str] | None = None) -> dict:
+    """OPTIMIZE for the versioned convention — Delta's small-file
+    compaction (and optional Z-ORDER BY re-clustering), re-expressed for
+    the parquet version layout: read the latest snapshot, rewrite it as
+    sized (optionally Morton-clustered) files, and COMMIT THE REWRITE AS A
+    NEW VERSION with an empty changelog marker.
+
+    Why a new version instead of an in-place rewrite: the rewrite reads
+    the very directory it would replace (the commit_snapshot guard's
+    trap), and an in-place overwrite that crashes mid-write destroys the
+    only copy. A new version is crash-safe (the old snapshot stays
+    readable until ``vacuum_table`` retires it — exactly Delta's
+    OPTIMIZE-then-VACUUM lifecycle), and the empty ``_commit_version``
+    marker tells incremental readers this commit changed LAYOUT, not data
+    (a zero-row diff, not a vacuumed hole).
+
+    Sizing: ``target_partitions`` -> coalesce/repartition count (defaults
+    to the session's sized-output math via a plain repartition to the
+    cluster parallelism); ``zorder_by`` -> range-partition by the Morton
+    key (operators/layout.py) so footer min/max prune on every clustered
+    dimension. Returns versions and file counts.
+    """
+    versions = _list_versions(spark, f"{root}/{table}", "v=")
+    if not versions:
+        raise ValueError(f"optimize_table: no snapshots under {root}/{table}")
+    latest = versions[-1]
+    df = read_snapshot(spark, root, table, latest)
+    files_before = len(df.inputFiles())
+    if zorder_by:
+        from ..operators.layout import with_zorder_key
+
+        keyed = with_zorder_key(df, zorder_by, key_col="_zorder")
+        n = target_partitions or spark.sparkContext.defaultParallelism
+        out = (keyed.repartitionByRange(n, F.col("_zorder"))
+               .sortWithinPartitions("_zorder")
+               .drop("_zorder"))
+    elif target_partitions is not None:
+        out = df.coalesce(target_partitions)
+    else:
+        out = df.repartition(spark.sparkContext.defaultParallelism)
+    new_version = latest + 1
+    write_snapshot(out, root, table, new_version)
+    _ensure_version_marker(spark, root, table, new_version)
+    files_after = len(
+        read_snapshot(spark, root, table, new_version).inputFiles())
+    return {"from_version": latest, "to_version": new_version,
+            "files_before": files_before, "files_after": files_after}

@@ -34,6 +34,7 @@ from __future__ import annotations
 import os
 import re
 
+from pyspark.errors.exceptions.captured import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -169,7 +170,28 @@ def read_changes(spark: SparkSession, root: str, table: str,
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    df = _normalize_ntz(reader.parquet(path))
+    try:
+        df = _normalize_ntz(reader.parquet(path))
+    except AnalysisException as ex:
+        if "UNABLE_TO_INFER_SCHEMA" not in str(ex):
+            raise
+        # The changelog exists but holds only empty marker dirs: every
+        # commit so far was zero-change or layout-only (optimize_table).
+        # That is a VALID empty diff, not an error — shape it as the
+        # ending snapshot's schema plus the CDC meta columns, zero rows.
+        from pyspark.sql.types import LongType, StringType, StructField, TimestampType
+
+        snap_schema = (spark.read
+                       .parquet(_snapshot_dir(root, table, ending_version))
+                       .schema)
+        fields = list(snap_schema.fields) + [
+            StructField("_change_type", StringType()),
+            StructField("_commit_version", LongType()),
+            StructField("_commit_timestamp", TimestampType()),
+        ]
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType(fields))
     return df.filter(
         (F.col("_commit_version") > F.lit(starting_version))
         & (F.col("_commit_version") <= F.lit(ending_version)))

@@ -5,6 +5,7 @@ CDC filter — the full Databricks-free Delta-CDF-equivalent cycle."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from databricks_import_pyspark_scripts_spark.operators.cdc import derive_changes, filter_data
 from databricks_import_pyspark_scripts_spark.sinks.versioned_writer import commit_snapshot
@@ -135,3 +136,80 @@ def test_vacuum_table_removes_prefix_and_triggers_cdf_error(spark, tmp_path):
     # idempotent: a second vacuum removes nothing
     assert vacuum_table(spark, root, "t", 3) == {
         "snapshots": [], "changes": []}
+
+
+def test_optimize_table_compacts_and_preserves_data(spark, tmp_path):
+    """OPTIMIZE: many small files -> a new version with few sized files,
+    identical data, and an empty changelog marker (layout commit, not a
+    data commit) -- so snapshot readers get the compacted files and
+    incremental readers see a zero-row diff, not a vacuumed hole."""
+    from databricks_import_pyspark_scripts_spark.sinks.versioned_writer import (
+        commit_snapshot,
+        optimize_table,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.versioned import (
+        read_changes,
+        read_snapshot,
+    )
+
+    root = str(tmp_path)
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("grp"))
+    commit_snapshot(spark, df.repartition(64), root, "t", 1, keys=["id"])
+    report = optimize_table(spark, root, "t", target_partitions=4)
+    assert report == {"from_version": 1, "to_version": 2,
+                      "files_before": 64, "files_after": 4}
+    back = read_snapshot(spark, root, "t", 2)
+    assert back.count() == 10_000
+    assert back.orderBy("id").collect() == df.orderBy("id").collect()
+    # the layout commit serves an EMPTY incremental diff, not an error
+    assert read_changes(spark, root, "t", 1, 2).count() == 0
+    # old version intact until vacuum retires it (OPTIMIZE-then-VACUUM)
+    assert read_snapshot(spark, root, "t", 1).count() == 10_000
+
+
+def test_optimize_table_zorder_clusters_new_version(spark, tmp_path):
+    """zorder_by recluster: the new version's files carry tight min/max
+    footer bounds on BOTH dimensions (row-weighted skippable fraction
+    measured from the written row groups, same metric as test_zorder)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from databricks_import_pyspark_scripts_spark.sinks.versioned_writer import (
+        optimize_table,
+        write_snapshot,
+    )
+
+    root = str(tmp_path)
+    df = spark.range(40_000).select(
+        (F.col("id") % 1000).alias("x"),
+        F.pmod(F.hash("id"), F.lit(1000)).alias("y"))
+    write_snapshot(df.repartition(32), root, "t", 1)
+    report = optimize_table(spark, root, "t", target_partitions=16,
+                            zorder_by=["x", "y"])
+    assert report["to_version"] == 2 and report["files_after"] <= 16
+
+    def skippable(col):
+        total = skip = 0
+        for f in glob.glob(f"{root}/t/v=2/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                s = {g.column(i).path_in_schema: g.column(i).statistics
+                     for i in range(g.num_columns)}[col]
+                total += g.num_rows
+                if s.max < 100 or s.min > 150:
+                    skip += g.num_rows
+        return skip / total
+
+    assert skippable("x") >= 0.5 and skippable("y") >= 0.5
+
+
+def test_optimize_table_requires_snapshot(spark, tmp_path):
+    from databricks_import_pyspark_scripts_spark.sinks.versioned_writer import (
+        optimize_table,
+    )
+
+    with pytest.raises(ValueError, match="no snapshots"):
+        optimize_table(spark, str(tmp_path), "missing")
