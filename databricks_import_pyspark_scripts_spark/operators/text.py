@@ -351,3 +351,41 @@ def self_repetition_stats(df, id_col: str, text_col: str,
         total.alias("n_ngrams_total"),
         distinct.alias("n_ngrams_distinct"),
         F.round(frac, 4).alias("self_rep_frac"))
+
+
+def stratified_sample_exact(df, strata_cols: list[str], keep_num: int,
+                            keep_den: int, id_col: str):
+    """EXACT stratified sampling: within every stratum (the distinct
+    ``strata_cols`` tuple), keep precisely ``floor(n * keep_num/keep_den)``
+    rows — the floor-quota guarantee a per-row hash threshold
+    (``split_bucket_col``) only hits in expectation. Row selection is the
+    md5 rank of the id within the stratum: deterministic, engine-portable,
+    stable across partitionings.
+
+    The keep decision is the CROSS-MULTIPLIED integer comparison
+    ``rank * keep_den <= n * keep_num`` — ``floor(0.2 * n)`` via float
+    multiplication loses quota rows on exact multiples (0.2*15 =
+    2.999...96 floors to 2), and the integer form cannot.
+
+    Scale shape: ONE shuffle on the strata columns serves both the
+    per-stratum count and the rank (same window partitioning); the cost
+    over the hash-threshold form is the per-stratum SORT of md5 ranks.
+    That is the price of exactness — use this for budget-critical strata
+    (eval/holdout carve-outs, per-language quotas), and the O(1)-per-row
+    ``split_bucket_col`` where binomial jitter is acceptable. Skewed
+    stratum sizes are the usual window straggler story; for one giant
+    stratum, pre-filter with a loose md5-bucket threshold, then exact-rank
+    only the survivors.
+    """
+    from pyspark.sql.window import Window
+
+    if keep_num < 0 or keep_den <= 0:
+        raise ValueError(f"bad keep fraction {keep_num}/{keep_den}")
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(id_col).asc())
+    wn = Window.partitionBy(*strata_cols)
+    return (df
+            .withColumn("_rn", F.row_number().over(w).cast("long"))
+            .withColumn("_n", F.count(F.lit(1)).over(wn).cast("long"))
+            .filter(F.col("_rn") * keep_den <= F.col("_n") * keep_num)
+            .drop("_rn", "_n"))

@@ -881,3 +881,37 @@ def corpus_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_tokens").alias("n_tokens_kept"),
                  F.min("doc_id").alias("min_doc_id"))
             .orderBy("source"))
+
+
+STRAT_NUM, STRAT_DEN = 1, 5  # keep exactly floor(n/5) per (lang, source)
+
+
+@register(
+    "corpus_stratified_split",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang, source) AS n
+      FROM documents)
+    SELECT doc_id, lang, source
+    FROM ranked
+    WHERE rn * {STRAT_DEN} <= n * {STRAT_NUM}
+    """,
+    doc=f"EXACT stratified holdout carve-out: precisely floor(n * "
+        f"{STRAT_NUM}/{STRAT_DEN}) documents per (lang, source) stratum, "
+        "selected by md5 rank of the id — deterministic, engine-portable, "
+        "and quota-exact where the per-row hash-bucket split "
+        "(split_train_holdout) is only exact in expectation. The keep "
+        "predicate is the cross-multiplied integer comparison (a float "
+        "floor(frac*n) loses quota rows on exact multiples). One shuffle "
+        "on the strata serves both the count and the rank.")
+def corpus_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import stratified_sample_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample_exact(
+        docs, ["lang", "source"], STRAT_NUM, STRAT_DEN,
+        "doc_id").select("doc_id", "lang", "source")

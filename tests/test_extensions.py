@@ -592,3 +592,34 @@ def test_semdedup_keep_earliest_within_cluster(spark):
     assert out[2].max_sim_smaller >= 0.999
     # cluster assignment sanity: the two groups landed in different cells
     assert out[1].cell != out[10].cell
+
+
+def test_stratified_sample_exact_quotas(spark):
+    """Every stratum keeps EXACTLY floor(n * num/den) rows, including the
+    float-trap sizes (0.2*15 floats to 2.999...96): integer cross-multiply
+    must keep 3. Determinism: same input -> same ids."""
+    from databricks_import_pyspark_scripts_spark.operators.text import (
+        stratified_sample_exact,
+    )
+
+    rows = []
+    sizes = {"a": 15, "b": 4, "c": 5, "d": 1}
+    i = 0
+    for s, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, s))
+            i += 1
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = stratified_sample_exact(df, ["grp"], 1, 5, "id")
+    got = out.groupBy("grp").count().collect()
+    counts = {r.grp: r["count"] for r in got}
+    assert counts == {"a": 3, "b": 0 , "c": 1, "d": 0} or counts == {"a": 3, "c": 1}
+    a = sorted(r.id for r in out.collect())
+    b = sorted(r.id for r in stratified_sample_exact(
+        df, ["grp"], 1, 5, "id").collect())
+    assert a == b
+
+    import pytest
+
+    with pytest.raises(ValueError, match="bad keep fraction"):
+        stratified_sample_exact(df, ["grp"], 1, 0, "id")
