@@ -73,3 +73,61 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "method", "hits",
         F.round(F.col("hits") * F.lit(1.0) / TOP_K, 4).alias("recall_at_k"))
+
+
+RRF_C = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
+RRF_METHODS = ("similarity_topk_lsh", "similarity_topk_pq")
+
+
+def _rrf_oracle() -> str:
+    a = REGISTRY[RRF_METHODS[0]].oracle
+    b = REGISTRY[RRF_METHODS[1]].oracle
+    return f"""
+    WITH ra AS ({a}),
+    rb AS ({b}),
+    f AS (
+      SELECT COALESCE(ra.query_id, rb.query_id) AS query_id,
+             COALESCE(ra.vec_id, rb.vec_id) AS vec_id,
+             ROUND(COALESCE(CAST(1 AS DOUBLE) / ({RRF_C} + ra.rank), 0)
+                   + COALESCE(CAST(1 AS DOUBLE) / ({RRF_C} + rb.rank), 0),
+                   6) AS rrf_score
+      FROM ra FULL JOIN rb
+        ON ra.query_id = rb.query_id AND ra.vec_id = rb.vec_id)
+    SELECT query_id, vec_id, rrf_score, rank FROM (
+      SELECT query_id, vec_id, rrf_score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rrf_score DESC, vec_id) AS rank
+      FROM f)
+    WHERE rank <= {TOP_K}
+    """
+
+
+@register(
+    "similarity_hybrid_rrf",
+    _rrf_oracle(),
+    doc=f"Reciprocal-rank fusion (C={RRF_C}) of the two approximate "
+        "indexes' rankings (multi-table sign-LSH and PQ-ADC): the "
+        "standard zero-tuning retrieval ensemble — items ranked by "
+        "sum(1/(C+rank)) across lists, per-query top-k re-cut. Composes "
+        "the registered queries verbatim (nested WITH); fusion math is "
+        "IEEE-double identical across engines, rounded for the value "
+        "hash. Candidate lists are per-query-bounded, so the fusion join "
+        "and window touch k-sized data no matter the corpus size.")
+def similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ra = (REGISTRY[RRF_METHODS[0]].spark_fn(spark, sf_dir)
+          .select("query_id", "vec_id", F.col("rank").alias("r_a")))
+    rb = (REGISTRY[RRF_METHODS[1]].spark_fn(spark, sf_dir)
+          .select("query_id", "vec_id", F.col("rank").alias("r_b")))
+    f = (ra.join(rb, ["query_id", "vec_id"], "full_outer")
+         .select("query_id", "vec_id",
+                 F.round(
+                     F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("r_a")),
+                                F.lit(0.0))
+                     + F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("r_b")),
+                                  F.lit(0.0)), 6).alias("rrf_score")))
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf_score").desc(),
+                                               F.col("vec_id"))
+    return (f.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K))
