@@ -338,3 +338,47 @@ def events_scd2_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(nxt).alias("valid_to_ms"),
         F.round("value", 4).alias("value"),
         nxt.isNull().alias("is_current"))
+
+
+@register(
+    "events_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    c AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2),
+    t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM c
+          GROUP BY from_type)
+    SELECT c.from_type, c.to_type, c.n,
+           ROUND(c.n * 1.0 / t.n_from, 4) AS p
+    FROM c JOIN t ON c.from_type = t.from_type
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+        "sequences: lead-window next-event per user (deterministic "
+        "(ts, event_id) order), transition counts, and row-normalized "
+        "probabilities — the user-path model behind next-action "
+        "prediction and funnel discovery. One shuffle on user_id for the "
+        "sequencing window, one aggregate on the (from, to) pair; the "
+        "per-from totals join is a broadcast (|event types| rows).")
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "event_type",
+                    F.lead("event_type").over(w).alias("next_type"))
+    c = (seq.filter(F.col("next_type").isNotNull())
+         .groupBy(F.col("event_type").alias("from_type"),
+                  F.col("next_type").alias("to_type"))
+         .agg(F.count(F.lit(1)).alias("n")))
+    t = c.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (c.join(F.broadcast(t), "from_type")
+            .select("from_type", "to_type", "n",
+                    F.round(F.col("n") * F.lit(1.0) / F.col("n_from"), 4)
+                    .alias("p")))
