@@ -58,6 +58,11 @@ HEADLINE = [
     "text_bm25_search",
     "text_duplicate_passages",
     "er_customer_blocking",
+    "dedup_semantic_semdedup",
+    "tokenizer_bpe_encode",
+    "graph_kcore",
+    "corpus_stratified_split",
+    "events_transition_matrix",
 ]
 
 EXTENSION_ROWS = {
@@ -65,6 +70,8 @@ EXTENSION_ROWS = {
     "dedup_incremental_neardup", "text_boilerplate_ngrams",
     "corpus_prep_pipeline_v2", "graph_pagerank_exact",
     "text_bm25_search", "text_duplicate_passages", "er_customer_blocking",
+    "dedup_semantic_semdedup", "tokenizer_bpe_encode", "graph_kcore",
+    "corpus_stratified_split", "events_transition_matrix",
 }
 
 
