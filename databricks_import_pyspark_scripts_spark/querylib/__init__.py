@@ -56,6 +56,12 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # tier.  Names absent from this list follow in registration order.
 _PRIORITY: tuple[str, ...] = (
     # --- new queries this round go HERE (never attested) ---
+    "dedup_semantic_semdedup",
+    "tokenizer_bpe_encode",
+    "graph_kcore",
+    "corpus_stratified_split",
+    "similarity_hybrid_rrf",
+    "events_transition_matrix",
     "text_bm25_search",
     "ann_recall_eval",
     "multimodal_asset_dedup",
