@@ -188,3 +188,34 @@ def optimize_table(spark: SparkSession, root: str, table: str,
         read_snapshot(spark, root, table, new_version).inputFiles())
     return {"from_version": latest, "to_version": new_version,
             "files_before": files_before, "files_after": files_after}
+
+
+def schema_drift_report(spark: SparkSession, root: str, table: str,
+                        from_version: int, to_version: int) -> list[dict]:
+    """Column-level drift between two snapshot versions: one record per
+    added / removed / type-changed column — the pre-flight check an
+    incremental consumer runs before trusting ``read_changes`` across a
+    schema boundary (additive columns read as NULL for older rows via
+    mergeSchema; a TYPE change is the case derive_changes rejects and a
+    consumer must handle by re-baselining).
+
+    Driver-side footer reads only (two parquet schema loads, no data
+    scan). Returns [{column, change, from_type, to_type}, ...] sorted by
+    column name; empty list = no drift.
+    """
+    old = spark.read.parquet(_snapshot_dir(root, table, from_version)).schema
+    new = spark.read.parquet(_snapshot_dir(root, table, to_version)).schema
+    o = {f.name: f.dataType.simpleString() for f in old.fields}
+    n = {f.name: f.dataType.simpleString() for f in new.fields}
+    out = []
+    for c in sorted(o.keys() | n.keys()):
+        if c not in n:
+            out.append({"column": c, "change": "removed",
+                        "from_type": o[c], "to_type": None})
+        elif c not in o:
+            out.append({"column": c, "change": "added",
+                        "from_type": None, "to_type": n[c]})
+        elif o[c] != n[c]:
+            out.append({"column": c, "change": "type_changed",
+                        "from_type": o[c], "to_type": n[c]})
+    return out

@@ -213,3 +213,26 @@ def test_optimize_table_requires_snapshot(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no snapshots"):
         optimize_table(spark, str(tmp_path), "missing")
+
+
+def test_schema_drift_report(spark, tmp_path):
+    from databricks_import_pyspark_scripts_spark.sinks.versioned_writer import (
+        schema_drift_report,
+        write_snapshot,
+    )
+
+    root = str(tmp_path)
+    v1 = spark.createDataFrame([(1, "a", 1.5)], "id long, s string, v double")
+    v2 = spark.createDataFrame([(1, 2, True)], "id long, v int, flag boolean")
+    write_snapshot(v1, root, "t", 1)
+    write_snapshot(v2, root, "t", 2)
+    got = schema_drift_report(spark, root, "t", 1, 2)
+    assert got == [
+        {"column": "flag", "change": "added",
+         "from_type": None, "to_type": "boolean"},
+        {"column": "s", "change": "removed",
+         "from_type": "string", "to_type": None},
+        {"column": "v", "change": "type_changed",
+         "from_type": "double", "to_type": "int"},
+    ]
+    assert schema_drift_report(spark, root, "t", 1, 1) == []
