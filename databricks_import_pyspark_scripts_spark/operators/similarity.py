@@ -654,7 +654,12 @@ def semdedup_flags(vectors: DataFrame, centroids: DataFrame,
     """
     from .dedup import bucket_pairs
 
-    cells = ivf_assignments(vectors, centroids, id_col, vec_col)
+    # cells has TWO consumers (pair mining + the final flag join); the
+    # assignment pipeline would re-execute per consumer, so materialize the
+    # tiny (id, cell) projection once. At 100 TB the cell id is an
+    # ingest-time stored column and this is a plain scan either way.
+    cells = (ivf_assignments(vectors, centroids, id_col, vec_col)
+             .localCheckpoint(eager=True))
     # one cell per id -> within-cell (a < b) pairs are already distinct
     cand = (bucket_pairs(cells, ["cell"], F.col(id_col),
                          max_bucket=max_bucket)

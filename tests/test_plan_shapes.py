@@ -31,15 +31,17 @@ def _scans(plan: str, table: str) -> int:
 
 
 def test_minhash_signature_pipeline_executes_once(spark, sf_dir):
-    """Documents must scan exactly 2 times (1 signature pipeline + 1
-    melt-join Arrow-shingle verify) with 2 Arrow stages: the bucket-pair
-    restructure stops the band table's consumers re-executing the
-    signature pipeline, and the melt-join verify stops the shingle stage
-    running once per join side (a 3rd scan means either crept back)."""
+    """Documents must scan exactly 3 times — 1 fingerprint projection for
+    the exact-collapse pre-pass, 1 signature pipeline behind its rep-id
+    semi-join (the semi-join shape keeps corpus TEXTS out of the collapse
+    shuffle: only (fp, id) pairs shuffle, texts re-enter via a column-
+    pruned scan), 1 melt-join Arrow-shingle verify — with 2 Arrow stages.
+    A 4th scan means a band consumer or per-join-side verify crept back;
+    2 scans means the collapse went back to shuffling texts."""
     df = all_queries()["dedup_minhash_lsh"](spark, sf_dir)
     plan = _plan(df)
     assert _nodes(plan, "ArrowEvalPython") == 2
-    assert _scans(plan, "documents") == 2
+    assert _scans(plan, "documents") == 3
 
 
 def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
@@ -75,3 +77,19 @@ def test_embedding_dedup_single_bucket_build(spark, sf_dir):
     assert _scans(plan, "embeddings") == 2
     assert _nodes(plan, "MapInPandas") == 1
     assert _nodes(plan, "ArrowEvalPython") == 1
+
+
+def test_semdedup_single_assignment_and_verify(spark, sf_dir):
+    """SemDeDup: the cell assignment is eagerly checkpointed (it has two
+    consumers — pair mining and the final flag join — and would re-execute
+    per consumer otherwise), so the final plan must show exactly ONE
+    embeddings parquet scan (the melt-join cosine verify) plus the two
+    checkpoint reads, and the Arrow pair cosine evaluates once (the
+    asNondeterministic barrier against filter-pushdown cloning, same trap
+    as embedding dedup)."""
+    df = all_queries()["dedup_semantic_semdedup"](spark, sf_dir)
+    plan = _plan(df)
+    assert _scans(plan, "embeddings") == 1
+    assert _nodes(plan, "Scan ExistingRDD") == 2  # the checkpointed cells
+    assert _nodes(plan, "ArrowEvalPython") == 1
+    assert "CartesianProduct" not in plan
