@@ -97,3 +97,74 @@ def maintain_agg(mv_old: DataFrame, delta: DataFrame, keys: list[str],
     return (merged
             .select(*keys, new_cnt.alias("cnt"), new_total.alias("total"))
             .filter(F.col("cnt") > 0))
+
+
+def compact_changes(changes: DataFrame, keys: list[str]) -> DataFrame:
+    """Squash a changelog spanning many commits into the NET change per key
+    — CDC log compaction. The guarantee (round-trip tested):
+    ``apply_changes(base, compact_changes(log)) == apply_changes(base, log)``
+    for any base, at a fraction of the rows. This is what keeps an
+    every-commit changelog consumable after months of churn at 100 TB:
+    readers replay O(|live keys|) rows, not O(|history|).
+
+    Net rules, from the first/last event per key in
+    (_commit_version, type-precedence) order — precedence within a commit
+    is preimage < delete < postimage < insert, matching ``apply_changes``'s
+    same-commit delete+reinsert resolution:
+
+    * first=insert,  last=delete               -> nothing (never visible)
+    * first=insert,  last=insert/postimage     -> 'insert' with final values
+    * first=existed, last=insert/postimage     -> 'update_postimage' (final)
+    * first=existed, last=delete               -> 'delete' with the last
+      delete row's values
+
+    ('existed' = the first event is a preimage/postimage/delete — evidence
+    the key predated the window.) 'update_preimage' rows are consumed for
+    the existence signal but not re-emitted: apply-style consumers ignore
+    them, and consumers that need every intermediate image keep the raw
+    log — compaction is by definition lossy about intermediates.
+
+    PRECONDITION: the log must be WELL-FORMED CDF — 'insert' only for keys
+    absent at that commit, postimage/delete only for present keys — which
+    is exactly what Delta CDF and ``derive_changes`` emit. On a malformed
+    log (an 'insert' for a key that already exists in the base) the
+    insert-then-delete -> nothing rule would wrongly skip the tombstone
+    the full log carries.
+
+    One hash shuffle on the key columns; all picks are min_by/max_by over
+    an integer rank (conditional-NULL ordering keys make max_by skip
+    non-qualifying rows), so the aggregate is a single map-side-partial
+    pass. Output carries ``_commit_version`` = the window's max commit and
+    that commit's timestamp.
+    """
+    value_cols = [c for c in changes.columns
+                  if c not in keys and c not in CDC_COLUMNS]
+    type_rank = (F.when(F.col("_change_type") == "update_preimage", 0)
+                 .when(F.col("_change_type") == "delete", 1)
+                 .when(F.col("_change_type") == "update_postimage", 2)
+                 .when(F.col("_change_type") == "insert", 3))
+    rk = F.col("_commit_version") * 4 + type_rank
+    vals = F.struct(*[F.col(c) for c in value_cols])
+    upsert_rk = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), rk)
+    delete_rk = F.when(F.col("_change_type") == "delete", rk)
+    agg = (changes.groupBy(*keys).agg(
+        F.min_by("_change_type", rk).alias("_first_type"),
+        F.max_by("_change_type", rk).alias("_last_type"),
+        F.max_by(vals, upsert_rk).alias("_up_vals"),
+        F.max_by(vals, delete_rk).alias("_del_vals"),
+        F.max("_commit_version").alias("_commit_version"),
+        F.max_by("_commit_timestamp", rk).alias("_commit_timestamp")))
+    exists_after = F.col("_last_type").isin("insert", "update_postimage")
+    existed_before = F.col("_first_type") != "insert"
+    net_type = (F.when(exists_after & existed_before,
+                       F.lit("update_postimage"))
+                .when(exists_after, F.lit("insert"))
+                .otherwise(F.lit("delete")))
+    net_vals = F.when(exists_after, F.col("_up_vals")).otherwise(
+        F.col("_del_vals"))
+    return (agg.filter(existed_before | exists_after)
+            .select(*keys,
+                    *[net_vals.getField(c).alias(c) for c in value_cols],
+                    net_type.alias("_change_type"),
+                    "_commit_version", "_commit_timestamp"))

@@ -57,6 +57,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 _PRIORITY: tuple[str, ...] = (
     # --- new queries this round go HERE (never attested) ---
     "dedup_semantic_semdedup",
+    "cdc_compact_changelog",
     "tokenizer_bpe_encode",
     "graph_kcore",
     "corpus_stratified_split",

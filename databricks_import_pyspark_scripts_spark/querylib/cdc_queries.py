@@ -252,3 +252,117 @@ def mv_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
              .unionByName(base.filter(F.col("event_id") % 20 == 5)
                           .withColumn("_op", F.lit("D"))))
     return maintain_agg(mv_old, delta, ["event_type", "day"])
+
+
+_COMPACT_FEED_SQL = """
+      SELECT o_orderkey AS k, ROUND(o_totalprice, 2) AS price,
+             'update_preimage' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, ROUND(o_totalprice, 2) + 1, 'update_postimage', 1
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, ROUND(o_totalprice, 2) + 1, 'delete', 2
+      FROM orders WHERE o_orderkey % 6 = 0
+      UNION ALL
+      SELECT o_orderkey + 20000000, 1.0, 'insert', 2
+      FROM orders WHERE o_orderkey % 5 = 1
+      UNION ALL
+      SELECT o_orderkey + 20000000, 1.0, 'delete', 3
+      FROM orders WHERE o_orderkey % 10 = 1
+      UNION ALL
+      SELECT o_orderkey, ROUND(o_totalprice, 2) + 2, 'update_postimage', 3
+      FROM orders WHERE o_orderkey % 9 = 0 AND o_orderkey % 6 <> 0
+                    AND o_orderkey % 7 <> 0
+      UNION ALL
+      SELECT o_orderkey, ROUND(o_totalprice, 2), 'delete', 3
+      FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 6 <> 0
+      UNION ALL
+      SELECT o_orderkey, ROUND(o_totalprice, 2) + 3, 'update_postimage', 3
+      FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 6 <> 0
+"""
+
+
+@register(
+    "cdc_compact_changelog",
+    f"""
+    WITH feed AS ({_COMPACT_FEED_SQL}),
+    r AS (
+      SELECT *, _commit_version * 4 + CASE _change_type
+               WHEN 'update_preimage' THEN 0
+               WHEN 'delete' THEN 1
+               WHEN 'update_postimage' THEN 2
+               ELSE 3 END AS rk
+      FROM feed),
+    f AS (SELECT k, _change_type AS first_type FROM (
+            SELECT k, _change_type,
+                   ROW_NUMBER() OVER (PARTITION BY k ORDER BY rk) AS rn
+            FROM r) WHERE rn = 1),
+    l AS (SELECT k, _change_type AS last_type FROM (
+            SELECT k, _change_type,
+                   ROW_NUMBER() OVER (PARTITION BY k ORDER BY rk DESC) AS rn
+            FROM r) WHERE rn = 1),
+    u AS (SELECT k, price AS up_price FROM (
+            SELECT k, price,
+                   ROW_NUMBER() OVER (PARTITION BY k ORDER BY rk DESC) AS rn
+            FROM r WHERE _change_type IN ('insert', 'update_postimage'))
+          WHERE rn = 1),
+    d AS (SELECT k, price AS del_price FROM (
+            SELECT k, price,
+                   ROW_NUMBER() OVER (PARTITION BY k ORDER BY rk DESC) AS rn
+            FROM r WHERE _change_type = 'delete') WHERE rn = 1),
+    m AS (SELECT k, MAX(_commit_version) AS _commit_version FROM r GROUP BY k)
+    SELECT f.k,
+           CASE WHEN l.last_type IN ('insert', 'update_postimage')
+                THEN (CASE WHEN f.first_type = 'insert'
+                           THEN 'insert' ELSE 'update_postimage' END)
+                ELSE 'delete' END AS _change_type,
+           ROUND(CASE WHEN l.last_type IN ('insert', 'update_postimage')
+                      THEN u.up_price ELSE d.del_price END, 2) AS price,
+           m._commit_version
+    FROM f JOIN l ON f.k = l.k JOIN m ON f.k = m.k
+    LEFT JOIN u ON f.k = u.k LEFT JOIN d ON f.k = d.k
+    WHERE NOT (f.first_type = 'insert' AND l.last_type = 'delete')
+    """,
+    doc="CDC changelog compaction (operators.merge.compact_changes): a "
+        "3-commit churn feed over the orders keys — in-window "
+        "insert+delete, insert+update, update chains, delete-only, and "
+        "the same-commit delete+postimage tie — squashed to the net change "
+        "per key. Contract (round-trip pytest): applying the compacted log "
+        "equals applying the full log. One hash shuffle; min_by/max_by "
+        "picks over an integer (commit, type-precedence) rank. Oracle "
+        "restates the same picks as window functions over an identical "
+        "feed CTE.")
+def cdc_compact_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import compact_changes
+
+    o = (load_table(spark, sf_dir, "orders")
+         .select(F.col("o_orderkey").alias("k"),
+                 F.round("o_totalprice", 2).alias("price")))
+    t = F.lit("2024-01-01 00:00:00").cast("timestamp")
+
+    def part(cond, price, ct, cv, shift=0):
+        return (o.filter(cond)
+                .select((F.col("k") + shift).alias("k"), price.alias("price"),
+                        F.lit(ct).alias("_change_type"),
+                        F.lit(cv).cast("long").alias("_commit_version"),
+                        t.alias("_commit_timestamp")))
+
+    k = F.col("k")
+    p = F.col("price")
+    feed = (
+        part(k % 3 == 0, p, "update_preimage", 1)
+        .unionByName(part(k % 3 == 0, p + 1, "update_postimage", 1))
+        .unionByName(part(k % 6 == 0, p + 1, "delete", 2))
+        .unionByName(part(k % 5 == 1, F.lit(1.0), "insert", 2,
+                          shift=20_000_000))
+        .unionByName(part(k % 10 == 1, F.lit(1.0), "delete", 3,
+                          shift=20_000_000))
+        .unionByName(part((k % 9 == 0) & (k % 6 != 0) & (k % 7 != 0),
+                          p + 2, "update_postimage", 3))
+        .unionByName(part((k % 7 == 0) & (k % 6 != 0), p, "delete", 3))
+        .unionByName(part((k % 7 == 0) & (k % 6 != 0), p + 3,
+                          "update_postimage", 3)))
+    out = compact_changes(feed, ["k"])
+    return out.select("k", "_change_type",
+                      F.round("price", 2).alias("price"), "_commit_version")

@@ -235,3 +235,90 @@ def test_kcore_gate_rounds_converge_at_gate_scale(spark):
     b = {(r.node, r.degree) for r in
          kcore_peel(edges, KCORE_K, KCORE_ROUNDS + 2).collect()}
     assert a == b
+
+
+def test_compact_changes_round_trip_and_rules(spark):
+    """compact_changes contract: applying the compacted log equals applying
+    the full log, for every rule branch -- insert+delete (nothing),
+    insert+update (net insert), update-only (net postimage), delete-only
+    (net delete), same-commit delete+postimage tie (net exists), multi-
+    commit churn -- plus a pseudo-random bulk equivalence check."""
+    from databricks_import_pyspark_scripts_spark.operators.merge import (
+        apply_changes,
+        compact_changes,
+    )
+    from pyspark.sql import functions as F
+
+    def chg(rows):
+        return spark.createDataFrame(
+            rows, "k long, v string, _change_type string, "
+                  "_commit_version long, _commit_timestamp timestamp")
+
+    base = spark.createDataFrame(
+        [(1, "a0"), (2, "b0"), (3, "c0"), (4, "d0")], "k long, v string")
+    ts = "2024-01-01 00:00:00"
+    import datetime
+
+    t = datetime.datetime(2024, 1, 1)
+    log = chg([
+        # k=10: insert v1, delete v3 -> net nothing
+        (10, "x", "insert", 1, t), (10, "x", "delete", 3, t),
+        # k=11: insert v1, postimage v2 -> net insert with final value
+        (11, "n1", "insert", 1, t), (11, "n1", "update_preimage", 2, t),
+        (11, "n2", "update_postimage", 2, t),
+        # k=1 (in base): preimage+postimage v1, postimage v3 -> net postimage final
+        (1, "a0", "update_preimage", 1, t), (1, "a1", "update_postimage", 1, t),
+        (1, "a1", "update_preimage", 3, t), (1, "a2", "update_postimage", 3, t),
+        # k=2 (in base): delete v2 -> net delete
+        (2, "b0", "delete", 2, t),
+        # k=3 (in base): same-commit delete + postimage (tie) -> net exists
+        (3, "c0", "delete", 2, t), (3, "c9", "update_postimage", 2, t),
+        # k=4 (in base): postimage v1 then delete v2 -> net delete
+        (4, "d1", "update_postimage", 1, t), (4, "d1", "delete", 2, t),
+    ])
+    compacted = compact_changes(log, ["k"])
+    got = {(r.k, r._change_type, r.v, r._commit_version)
+           for r in compacted.collect()}
+    assert got == {
+        (11, "insert", "n2", 2),
+        (1, "update_postimage", "a2", 3),
+        (2, "delete", "b0", 2),
+        (3, "update_postimage", "c9", 2),
+        (4, "delete", "d1", 2),
+    }
+    full = {(r.k, r.v) for r in apply_changes(base, log, ["k"]).collect()}
+    comp = {(r.k, r.v)
+            for r in apply_changes(base, compacted, ["k"]).collect()}
+    assert full == comp == {(1, "a2"), (3, "c9"), (11, "n2")}
+
+    # bulk pseudo-random churn: 200 keys x 5 commits of md5-derived ops,
+    # generated STATEFULLY so the log is well-formed CDF (insert only when
+    # absent, update/delete only when present -- the compact_changes
+    # precondition, and what derive_changes/Delta CDF actually emit)
+    ev = []
+    present = {k for k in range(0, 200, 2)}  # mirrors base2 below
+    for commit in (1, 2, 3, 4, 5):
+        for k in range(200):
+            h = int(
+                __import__("hashlib").md5(f"{k}:{commit}".encode())
+                .hexdigest()[:4], 16)
+            if h % 3 == 0:
+                continue
+            if k in present:
+                if h % 3 == 1:
+                    ev.append((k, f"v{commit}_{k}", "update_postimage",
+                               commit, t))
+                else:
+                    ev.append((k, f"v{commit}_{k}", "delete", commit, t))
+                    present.discard(k)
+            elif h % 3 == 1:
+                ev.append((k, f"v{commit}_{k}", "insert", commit, t))
+                present.add(k)
+    log2 = chg(ev)
+    base2 = spark.createDataFrame(
+        [(k, f"base_{k}") for k in range(0, 200, 2)], "k long, v string")
+    a = {(r.k, r.v) for r in apply_changes(base2, log2, ["k"]).collect()}
+    b = {(r.k, r.v) for r in apply_changes(
+        base2, compact_changes(log2, ["k"]), ["k"]).collect()}
+    assert a == b
+    assert compact_changes(log2, ["k"]).count() <= log2.count()
