@@ -58,6 +58,7 @@ _PRIORITY: tuple[str, ...] = (
     # --- new queries this round go HERE (never attested) ---
     "dedup_semantic_semdedup",
     "cdc_compact_changelog",
+    "dedup_cluster_keep_best",
     "tokenizer_bpe_encode",
     "graph_kcore",
     "corpus_stratified_split",

@@ -697,3 +697,64 @@ def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     pr = pagerank_exact(vertices, edges)
     return pr.select(F.col("id").alias("doc_id"), "pr")
+
+
+from ..functions.portable import QUALITY_SQL as _QUALITY_SQL  # noqa: E402
+
+
+@register(
+    "dedup_cluster_keep_best",
+    f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle(threshold=0.5)}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.a AS id, reach.r
+      FROM edges e JOIN reach ON e.b = reach.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+    q AS (SELECT doc_id, ROUND({_QUALITY_SQL}, 4) AS quality FROM documents),
+    j AS (SELECT comp.component, comp.doc_id, q.quality
+          FROM comp JOIN q ON comp.doc_id = q.doc_id)
+    SELECT component, doc_id AS best_doc_id, quality AS best_quality,
+           cluster_size
+    FROM (
+      SELECT component, doc_id, quality,
+             ROW_NUMBER() OVER (PARTITION BY component
+                                ORDER BY quality DESC, doc_id ASC) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT)
+               AS cluster_size
+      FROM j)
+    WHERE rn = 1
+    """,
+    doc="Content-aware dedup keeper selection: per near-dup cluster "
+        "(connected components over the MinHash pair graph), keep the "
+        "HIGHEST-QUALITY member instead of the min-id one — the policy a "
+        "production corpus actually wants (near-dup groups usually contain "
+        "one clean copy and several mangled ones). Quality is the gated "
+        "heuristic score rounded to a shared 4-dp grid so the argmax is "
+        "engine-portable; ties break on doc_id. One aggregate over the CC "
+        "labels; the quality join is by doc id (no extra corpus shuffle "
+        "beyond the label join itself).")
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+    from ..operators.text import quality_score_col
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.5)
+    vertices = d.select(F.col("doc_id").alias("id"))
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(vertices, edges)
+    q = d.select(F.col("doc_id"),
+                 F.round(quality_score_col(F.col("text")), 4).alias("quality"))
+    j = cc.join(q, cc.id == q.doc_id).select("component", "doc_id", "quality")
+    return (j.groupBy("component")
+            .agg(F.max_by("doc_id",
+                          F.struct(F.col("quality"), (-F.col("doc_id"))))
+                 .alias("best_doc_id"),
+                 F.max("quality").alias("best_quality"),
+                 F.count(F.lit(1)).alias("cluster_size")))
