@@ -59,6 +59,8 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_semantic_semdedup",
     "cdc_compact_changelog",
     "dedup_cluster_keep_best",
+    "text_quality_percentile_by_lang",
+    "text_vocab_coverage_curve",
     "tokenizer_bpe_encode",
     "graph_kcore",
     "corpus_stratified_split",

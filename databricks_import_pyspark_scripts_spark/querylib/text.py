@@ -915,3 +915,92 @@ def corpus_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample_exact(
         docs, ["lang", "source"], STRAT_NUM, STRAT_DEN,
         "doc_id").select("doc_id", "lang", "source")
+
+
+@register(
+    "text_quality_percentile_by_lang",
+    f"""
+    WITH q AS (
+      SELECT doc_id, lang, ROUND({_QUALITY_SQL}, 4) AS quality
+      FROM documents)
+    SELECT doc_id, lang, quality,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY lang
+                                      ORDER BY quality, doc_id), 4)
+             AS quality_pctl
+    FROM q
+    """,
+    doc="Per-language quantile normalization of the quality score: each "
+        "document's percent_rank within its language — the calibration "
+        "that makes one quality THRESHOLD meaningful across languages "
+        "whose raw score distributions differ (the standard multi-lingual "
+        "corpus-filter correction). Deterministic rank (doc_id tie-break "
+        "inside the ordering); one shuffle on lang. Skew note: a dominant "
+        "language makes this a classic window straggler — at 100 TB "
+        "compute per-lang quantile BOUNDARIES with approx_percentile and "
+        "broadcast-join them instead of ranking every row.")
+def text_quality_percentile_by_lang(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.text import quality_score_col
+
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select("doc_id", "lang",
+                 F.round(quality_score_col(F.col("text")), 4).alias("quality"))
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    return q.select("doc_id", "lang", "quality",
+                    F.round(F.percent_rank().over(w), 4).alias("quality_pctl"))
+
+
+VOCAB_CURVE_SIZES = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+
+@register(
+    "text_vocab_coverage_curve",
+    f"""
+    WITH tok AS (
+      SELECT unnest({TOKENS_SQL}) AS token FROM documents),
+    counts AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tok GROUP BY token),
+    ranked AS (
+      SELECT token, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rnk,
+             CAST(SUM(n) OVER (ORDER BY n DESC, token
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(SUM(n) OVER () AS BIGINT) AS total
+      FROM counts)
+    SELECT rnk AS vocab_size, cum AS tokens_covered,
+           ROUND(cum * 1.0 / total, 4) AS coverage
+    FROM ranked
+    WHERE rnk IN ({", ".join(str(s) for s in VOCAB_CURVE_SIZES)})
+    """,
+    doc="Vocabulary coverage curve: for vocab sizes 1..4096 (powers of "
+        "two), the fraction of all token OCCURRENCES covered by the top-N "
+        "types — the Zipf-shaped curve that sizes a tokenizer's vocab "
+        "budget. The corpus collapses to its (token, count) vocabulary in "
+        "one scan+aggregate; the cumulative window then runs over |vocab| "
+        "rows (language-bounded), so the single-partition window is a "
+        "non-issue at any corpus scale. Deterministic (count desc, token) "
+        "order; integer cumulative sums.")
+def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.text import tokens_col
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (d.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+              .groupBy("token").agg(F.count(F.lit(1)).alias("n")))
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    wall = Window.partitionBy()
+    ranked = counts.select(
+        "token", "n",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("n").over(wall).alias("total"))
+    return (ranked.filter(F.col("rnk").isin(*VOCAB_CURVE_SIZES))
+            .select(F.col("rnk").cast("long").alias("vocab_size"),
+                    F.col("cum").alias("tokens_covered"),
+                    F.round(F.col("cum") * F.lit(1.0) / F.col("total"), 4)
+                    .alias("coverage")))
