@@ -61,6 +61,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_cluster_keep_best",
     "text_quality_percentile_by_lang",
     "text_vocab_coverage_curve",
+    "corpus_systematic_pps_sample",
     "tokenizer_bpe_encode",
     "graph_kcore",
     "corpus_stratified_split",

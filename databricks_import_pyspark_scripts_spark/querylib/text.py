@@ -1004,3 +1004,58 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cum").alias("tokens_covered"),
                     F.round(F.col("cum") * F.lit(1.0) / F.col("total"), 4)
                     .alias("coverage")))
+
+
+PPS_K = 100  # sample size
+
+
+@register(
+    "corpus_systematic_pps_sample",
+    f"""
+    WITH w AS (
+      SELECT doc_id, n_chars,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_chars,
+             CAST(SUM(n_chars) OVER (ORDER BY h, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum,
+             CAST(SUM(n_chars) OVER () AS BIGINT) AS total
+      FROM w)
+    SELECT doc_id, n_chars,
+           CAST(cum * {PPS_K} // total
+                - (cum - n_chars) * {PPS_K} // total AS BIGINT) AS n_hits
+    FROM c
+    WHERE cum * {PPS_K} // total > (cum - n_chars) * {PPS_K} // total
+    """,
+    doc=f"Systematic PPS (probability-proportional-to-size) sampling, "
+        f"k={PPS_K}, weight = n_chars: items laid out in deterministic "
+        "md5 order along the cumulative-weight axis; an item is selected "
+        "when a k-grid point lands in its weight interval (n_hits > 1 = "
+        "a heavy item spanning several grid points). ALL math is integer "
+        "(cumulative sums and floor-divided grid positions — no "
+        "transcendentals, unlike exponential-keys A-ES, so the sample is "
+        "bit-identical across engines). Inclusion probability is exactly "
+        "min(1, k*w/W) in one pass. Scale note: the global-order window "
+        "serializes — at 100 TB run per md5-shard with k proportional to "
+        "the shard's weight share (broadcast the shard totals), which "
+        "preserves the PPS property within shards.")
+def corpus_systematic_pps_sample(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.orderBy(h, "doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    c = d.select("doc_id", "n_chars",
+                 F.sum("n_chars").over(w).alias("cum"),
+                 F.sum("n_chars").over(wall).alias("total"))
+    # `div` is Spark's 64-bit INTEGRAL division (IntegralDivide) — exact at
+    # any magnitude, unlike floor(a / b) whose double division degrades
+    # past 2^53 (a real risk for char-count cumsums at 100 TB)
+    hits = F.expr(f"(cum * {PPS_K}) div total"
+                  f" - ((cum - n_chars) * {PPS_K}) div total")
+    return (c.filter(hits > 0)
+            .select("doc_id", "n_chars", hits.cast("long").alias("n_hits")))
