@@ -308,3 +308,48 @@ def stream_maintain_agg(deltas: DataFrame, mv_root: str, checkpoint_dir: str,
             .foreachBatch(apply_batch)
             .option("checkpointLocation", checkpoint_dir)
             .start())
+
+
+def stream_apply_compacted_changes(changes: DataFrame, mirror_root: str,
+                                   checkpoint_dir: str, keys: list[str]):
+    """Streaming CDC consumer: each micro-batch of CDF rows is COMPACTED to
+    its net change per key (operators/merge.compact_changes — a batch may
+    span many buffered commits after downtime) and applied to the
+    maintained mirror snapshot (apply_changes), committing one version per
+    batch id under ``mirror_root/v=<batch_id>`` — the continuously-
+    maintained replica of a changelog-fed table.
+
+    Compaction before apply is what bounds the upsert join: after a
+    backlog drain the raw batch is O(churn history) while the compacted
+    batch is O(touched live keys). Redelivered batch ids rebase on their
+    PREDECESSOR version (same redelivery-idempotence discipline as
+    ``stream_maintain_agg``). Returns the StreamingQuery.
+    """
+    import os
+
+    spark = changes.sparkSession
+
+    def _latest_version(root: str, below: int) -> int | None:
+        if not os.path.isdir(root):
+            return None
+        vs = [int(d[2:]) for d in os.listdir(root)
+              if d.startswith("v=") and d[2:].isdigit() and int(d[2:]) < below]
+        return max(vs) if vs else None
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.merge import apply_changes, compact_changes
+        from ..sources.versioned import CDC_COLUMNS
+
+        prev_v = _latest_version(mirror_root, batch_id)
+        if prev_v is None:
+            base = batch_df.drop(*CDC_COLUMNS).limit(0)
+        else:
+            base = spark.read.parquet(f"{mirror_root}/v={prev_v}")
+        net = compact_changes(batch_df, keys)
+        new = apply_changes(base, net, keys)
+        new.write.mode("overwrite").parquet(f"{mirror_root}/v={batch_id}")
+
+    return (changes.writeStream
+            .foreachBatch(apply_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .start())

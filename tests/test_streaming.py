@@ -346,3 +346,50 @@ def test_stream_maintain_agg_matches_recompute(spark, tmp_path):
     # recompute from the union of all deltas: a: +10+5-5, b: +7-7 (gone),
     # c: +3
     assert final == {"a": (1, 10), "c": (1, 3)}
+
+
+def test_stream_apply_compacted_changes_mirrors_log(spark, tmp_path):
+    """Streaming CDC mirror: batches of CDF rows (incl. in-batch churn that
+    compaction nets out) maintain a replica equal to replaying the full
+    log. Batch 1: inserts + an insert-then-delete key (never lands).
+    Batch 2: update chain + delete + re-insert-style tie."""
+    from databricks_import_pyspark_scripts_spark.streaming.pipeline import (
+        stream_apply_compacted_changes,
+    )
+
+    src = tmp_path / "cdf"
+    schema = ("k long, v string, _change_type string, "
+              "_commit_version long, _commit_timestamp timestamp")
+    import datetime
+
+    t = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(1, "a1", "insert", 1, t), (2, "b1", "insert", 1, t),
+         (3, "c1", "insert", 1, t), (3, "c1", "delete", 2, t)],
+        schema).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [(1, "a1", "update_preimage", 3, t),
+         (1, "a2", "update_postimage", 3, t),
+         (1, "a2", "update_preimage", 4, t),
+         (1, "a3", "update_postimage", 4, t),
+         (2, "b1", "delete", 3, t),
+         (4, "d1", "insert", 4, t)],
+        schema).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src / "*")))
+    q = stream_apply_compacted_changes(
+        stream, str(tmp_path / "mirror"), str(tmp_path / "ckpt"), ["k"])
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    import os
+    versions = sorted(int(d[2:]) for d in os.listdir(tmp_path / "mirror")
+                      if d.startswith("v="))
+    assert len(versions) >= 2
+    final = {r.k: r.v for r in spark.read.parquet(
+        f"{tmp_path}/mirror/v={versions[-1]}").collect()}
+    assert final == {1: "a3", 4: "d1"}
