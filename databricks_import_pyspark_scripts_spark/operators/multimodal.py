@@ -172,3 +172,55 @@ def synthesize_media_table(spark, n: int = 64) -> DataFrame:
             F.when(~mime.startswith("image/"), (F.col("media_id") % 10 + 1) * 2000)
              .cast("long").alias("duration_ms"),
         ).alias("media"))
+
+
+def phash_col(feature, dim: int = IMAGE_FEATURE_DIM):
+    """Average-hash perceptual code from a decoded feature vector: bit i is
+    set iff feature[i] >= the vector's mean — the classic aHash
+    binarization, robust to uniform brightness/contrast shifts (any
+    monotone per-vector affine transform preserves the comparisons). A
+    ``dim``-bit non-negative integer column."""
+    avg = F.aggregate(feature, F.lit(0.0), lambda a, x: a + x) / F.lit(dim)
+    out = F.lit(0).cast("long")
+    for i in range(dim):
+        out = out + (F.when(F.element_at(feature, i + 1) >= avg,
+                            F.lit(2 ** i)).otherwise(F.lit(0))).cast("long")
+    return out
+
+
+def phash_pairs(media_df: DataFrame, id_col: str = "media_id",
+                media_col: str = "media",
+                decoder: Callable[[pd.Series], pd.Series] | None = None,
+                dim: int = IMAGE_FEATURE_DIM,
+                num_bands: int = 2, max_hamming: int = 1,
+                max_bucket: int | None = None) -> DataFrame:
+    """(id_a, id_b, hamming): near-duplicate IMAGE pairs by perceptual hash
+    — decode (mapInPandas, metadata-pruned to image/*) -> aHash code ->
+    banded bucket candidates -> exact hamming verify. The visual-dedup
+    stage of a multimodal ingest pipeline, downstream of the byte-exact
+    ``multimodal_asset_dedup`` (which needs no decode at all).
+
+    Same scale skeleton as the text SimHash pairing: one shuffle on
+    (band_idx, band), within-bucket pair explode (``bucket_pairs`` with
+    the same degenerate-bucket cap), pigeonhole guarantee hamming <=
+    num_bands-1 survives banding. The decode runs ONCE per asset (the
+    hash pipeline feeds a single groupBy); codec stubbed as everywhere in
+    this module — inject a real decoder in production.
+    """
+    from .dedup import bucket_pairs, simhash_bands_df
+
+    feats = image_features(media_df, id_col, media_col, decoder)
+    codes = feats.select(F.col("media_id"),
+                         phash_col(F.col("feature"), dim).alias("phash"))
+    bands = simhash_bands_df(codes, "media_id", "phash",
+                             band_bits=dim // num_bands, num_bands=num_bands)
+    item = F.struct(F.col("media_id").alias("id"), F.col("phash").alias("ph"))
+    cand = (bucket_pairs(bands, ["band_idx", "band"], item,
+                         max_bucket=max_bucket)
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.col("a.ph").alias("ph_a"), F.col("b.ph").alias("ph_b"))
+            .distinct())
+    return (cand.select(
+        "id_a", "id_b",
+        F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming))

@@ -5,6 +5,7 @@ decoder is stubbed; the Spark-side plumbing is real)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from databricks_import_pyspark_scripts_spark.operators.multimodal import (
     IMAGE_FEATURE_DIM,
@@ -92,3 +93,48 @@ def test_zero_duration_media_planned_as_empty(spark):
     assert {r.media_id for r in frames} == {2}     # zero-duration planned away
     assert len(frames) == 3                        # 0, 1000, 2000 ms
     assert audio_window_plan(df).count() == 0      # the only audio row is empty
+
+
+def test_phash_col_bit_math(spark):
+    from databricks_import_pyspark_scripts_spark.operators.multimodal import (
+        phash_col,
+    )
+
+    df = spark.createDataFrame([([0.1, 0.9, 0.5, 0.5],)], "feature array<double>")
+    # mean = 0.5 -> bits where feature >= 0.5: positions 1, 2, 3 -> 0b1110
+    got = df.select(phash_col(F.col("feature"), dim=4).alias("h")).head().h
+    assert got == 0b1110
+    # uniform vector: every element equals the mean -> all bits set
+    df2 = spark.createDataFrame([([0.3, 0.3, 0.3, 0.3],)], "feature array<double>")
+    assert df2.select(phash_col(F.col("feature"), dim=4).alias("h")).head().h == 0b1111
+
+
+def test_phash_pairs_find_duplicate_payloads(spark):
+    """Byte-identical image payloads hash identically (hamming 0) through
+    the full decode->hash->band->verify pipeline; distinct payloads under
+    the md5 fake decoder scramble apart and must not flood the output."""
+    from databricks_import_pyspark_scripts_spark.operators.multimodal import (
+        deterministic_fake_decoder,
+        phash_pairs,
+    )
+
+    rows = []
+    for i in range(40):
+        payload = f"img-{i % 10}".encode()  # 10 distinct payloads x 4 copies
+        rows.append((i, (bytearray(payload), "image/png", 64, 64,
+                         None, None, None)))
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, media struct<content:binary, mime:string, "
+        "width:int, height:int, sample_rate:int, channels:int, "
+        "duration_ms:bigint>")
+    pairs = phash_pairs(media, decoder=deterministic_fake_decoder,
+                        max_hamming=0)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # every copy-pair (same payload group) must be found
+    must = {(a, b) for a in range(40) for b in range(40)
+            if a < b and a % 10 == b % 10}
+    assert must <= got
+    # 8-bit hashes collide by chance, but the output must stay far from
+    # the all-pairs explosion
+    assert len(got) < 200
