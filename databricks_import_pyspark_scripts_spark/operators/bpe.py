@@ -123,16 +123,25 @@ def bpe_apply_merges(docs: DataFrame, text_col: str,
     seqs = word_vocab(docs, text_col).select(
         "word", "wcount", _char_seq(F.col("word")).alias("s"))
     for _ in range(iters):
+        # LEFT join on a constant key, not a cross join: when the merge
+        # supply runs out early (every word already a single symbol ->
+        # _pair_counts empty -> 0-row winner), a cross join would EMPTY the
+        # vocabulary and silently drop every document downstream; the left
+        # join keeps sequences unchanged — the Python-reference
+        # `if not counts: break` behavior, expressed lazily.
         b = _best_pair(_pair_counts(seqs)).select(
+            F.lit(1).alias("_j"),
             F.col("left").alias("_l"), F.col("right").alias("_r"))
-        seqs = (seqs.join(F.broadcast(b))
+        merged = F.replace(
+            F.col("s"),
+            F.concat(F.lit(" "), F.col("_l"), F.lit("  "),
+                     F.col("_r"), F.lit(" ")),
+            F.concat(F.lit(" "), F.col("_l"), F.col("_r"), F.lit(" ")))
+        seqs = (seqs.withColumn("_j", F.lit(1))
+                .join(F.broadcast(b), "_j", "left")
                 .select("word", "wcount",
-                        F.replace(
-                            F.col("s"),
-                            F.concat(F.lit(" "), F.col("_l"), F.lit("  "),
-                                     F.col("_r"), F.lit(" ")),
-                            F.concat(F.lit(" "), F.col("_l"), F.col("_r"),
-                                     F.lit(" "))).alias("s")))
+                        F.when(F.col("_l").isNotNull(), merged)
+                        .otherwise(F.col("s")).alias("s")))
     return seqs
 
 

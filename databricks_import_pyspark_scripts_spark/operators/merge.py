@@ -107,16 +107,20 @@ def compact_changes(changes: DataFrame, keys: list[str]) -> DataFrame:
     every-commit changelog consumable after months of churn at 100 TB:
     readers replay O(|live keys|) rows, not O(|history|).
 
-    Net rules, from the first/last event per key in
-    (_commit_version, type-precedence) order — precedence within a commit
-    is preimage < delete < postimage < insert, matching ``apply_changes``'s
-    same-commit delete+reinsert resolution:
+    Net rules. The outcome is decided by the last ACTIONABLE event per key
+    (insert/postimage vs delete, compared by their (_commit_version,
+    type-precedence) rank — precedence within a commit is preimage <
+    delete < postimage < insert, matching ``apply_changes``'s same-commit
+    delete+reinsert resolution); preimages are existence evidence only:
 
-    * first=insert,  last=delete               -> nothing (never visible)
-    * first=insert,  last=insert/postimage     -> 'insert' with final values
-    * first=existed, last=insert/postimage     -> 'update_postimage' (final)
-    * first=existed, last=delete               -> 'delete' with the last
-      delete row's values
+    * first=insert,  last-actionable=delete            -> nothing
+    * first=insert,  last-actionable=insert/postimage  -> 'insert' (final
+      values)
+    * first=existed, last-actionable=insert/postimage  -> 'update_postimage'
+      (final values)
+    * first=existed, last-actionable=delete            -> 'delete' with the
+      last delete row's values
+    * no actionable event at all (preimage-only slice)  -> nothing
 
     ('existed' = the first event is a preimage/postimage/delete — evidence
     the key predated the window.) 'update_preimage' rows are consumed for
@@ -150,12 +154,26 @@ def compact_changes(changes: DataFrame, keys: list[str]) -> DataFrame:
     delete_rk = F.when(F.col("_change_type") == "delete", rk)
     agg = (changes.groupBy(*keys).agg(
         F.min_by("_change_type", rk).alias("_first_type"),
-        F.max_by("_change_type", rk).alias("_last_type"),
+        F.max(upsert_rk).alias("_up_rk"),
+        F.max(delete_rk).alias("_del_rk"),
         F.max_by(vals, upsert_rk).alias("_up_vals"),
         F.max_by(vals, delete_rk).alias("_del_vals"),
         F.max("_commit_version").alias("_commit_version"),
         F.max_by("_commit_timestamp", rk).alias("_commit_timestamp")))
-    exists_after = F.col("_last_type").isin("insert", "update_postimage")
+    # the net outcome is decided by the last ACTIONABLE event — the max
+    # upsert rank vs the max delete rank. Preimages are informational:
+    # they count as existence evidence (first-event test below) but never
+    # decide the outcome. Deciding on the last event OVERALL would let a
+    # trailing preimage mask an earlier postimage (net dropped) or, for a
+    # key whose batch slice carries only preimage rows, fabricate a
+    # spurious 'delete' — either way corrupting a maintained mirror when
+    # a commit's rows are split across stream batches.
+    exists_after = (F.col("_up_rk").isNotNull()
+                    & (F.col("_up_rk") > F.coalesce(F.col("_del_rk"),
+                                                    F.lit(-1))))
+    deleted_after = (F.col("_del_rk").isNotNull()
+                     & (F.col("_del_rk") > F.coalesce(F.col("_up_rk"),
+                                                      F.lit(-1))))
     existed_before = F.col("_first_type") != "insert"
     net_type = (F.when(exists_after & existed_before,
                        F.lit("update_postimage"))
@@ -163,7 +181,7 @@ def compact_changes(changes: DataFrame, keys: list[str]) -> DataFrame:
                 .otherwise(F.lit("delete")))
     net_vals = F.when(exists_after, F.col("_up_vals")).otherwise(
         F.col("_del_vals"))
-    return (agg.filter(existed_before | exists_after)
+    return (agg.filter((existed_before & deleted_after) | exists_after)
             .select(*keys,
                     *[net_vals.getField(c).alias(c) for c in value_cols],
                     net_type.alias("_change_type"),

@@ -298,31 +298,29 @@ _COMPACT_FEED_SQL = """
             SELECT k, _change_type,
                    ROW_NUMBER() OVER (PARTITION BY k ORDER BY rk) AS rn
             FROM r) WHERE rn = 1),
-    l AS (SELECT k, _change_type AS last_type FROM (
-            SELECT k, _change_type,
-                   ROW_NUMBER() OVER (PARTITION BY k ORDER BY rk DESC) AS rn
-            FROM r) WHERE rn = 1),
-    u AS (SELECT k, price AS up_price FROM (
-            SELECT k, price,
+    u AS (SELECT k, price AS up_price, rk AS up_rk FROM (
+            SELECT k, price, rk,
                    ROW_NUMBER() OVER (PARTITION BY k ORDER BY rk DESC) AS rn
             FROM r WHERE _change_type IN ('insert', 'update_postimage'))
           WHERE rn = 1),
-    d AS (SELECT k, price AS del_price FROM (
-            SELECT k, price,
+    d AS (SELECT k, price AS del_price, rk AS del_rk FROM (
+            SELECT k, price, rk,
                    ROW_NUMBER() OVER (PARTITION BY k ORDER BY rk DESC) AS rn
             FROM r WHERE _change_type = 'delete') WHERE rn = 1),
     m AS (SELECT k, MAX(_commit_version) AS _commit_version FROM r GROUP BY k)
     SELECT f.k,
-           CASE WHEN l.last_type IN ('insert', 'update_postimage')
+           CASE WHEN COALESCE(u.up_rk, -1) > COALESCE(d.del_rk, -1)
                 THEN (CASE WHEN f.first_type = 'insert'
                            THEN 'insert' ELSE 'update_postimage' END)
                 ELSE 'delete' END AS _change_type,
-           ROUND(CASE WHEN l.last_type IN ('insert', 'update_postimage')
+           ROUND(CASE WHEN COALESCE(u.up_rk, -1) > COALESCE(d.del_rk, -1)
                       THEN u.up_price ELSE d.del_price END, 2) AS price,
            m._commit_version
-    FROM f JOIN l ON f.k = l.k JOIN m ON f.k = m.k
+    FROM f JOIN m ON f.k = m.k
     LEFT JOIN u ON f.k = u.k LEFT JOIN d ON f.k = d.k
-    WHERE NOT (f.first_type = 'insert' AND l.last_type = 'delete')
+    WHERE COALESCE(u.up_rk, -1) > COALESCE(d.del_rk, -1)
+       OR (f.first_type <> 'insert'
+           AND COALESCE(d.del_rk, -1) > COALESCE(u.up_rk, -1))
     """,
     doc="CDC changelog compaction (operators.merge.compact_changes): a "
         "3-commit churn feed over the orders keys — in-window "

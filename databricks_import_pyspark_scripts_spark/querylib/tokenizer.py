@@ -50,9 +50,11 @@ def _iter_ctes(i: int) -> str:
       ORDER BY pair_weight DESC, lft ASC, rgt ASC LIMIT 1),
     s{i} AS (
       SELECT word, wcount,
-             replace(s, ' ' || b.lft || '  ' || b.rgt || ' ',
-                     ' ' || b.lft || b.rgt || ' ') AS s
-      FROM {prev} CROSS JOIN b{i} b)"""
+             CASE WHEN b.lft IS NOT NULL
+                  THEN replace(s, ' ' || b.lft || '  ' || b.rgt || ' ',
+                               ' ' || b.lft || b.rgt || ' ')
+                  ELSE s END AS s
+      FROM {prev} LEFT JOIN b{i} b ON TRUE)"""
 
 
 def _bpe_oracle(iters: int = BPE_ITERS) -> str:

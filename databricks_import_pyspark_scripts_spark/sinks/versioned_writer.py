@@ -16,7 +16,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.cdc import derive_changes
-from ..sources.versioned import _path_exists, _snapshot_dir, read_snapshot
+from ..sources.versioned import (
+    _path_exists,
+    _snapshot_dir,
+    list_versions as _list_versions,
+    read_snapshot,
+)
 
 
 def write_snapshot(df: DataFrame, root: str, table: str, version: int) -> None:
@@ -120,23 +125,6 @@ def vacuum_table(spark: SparkSession, root: str, table: str,
                 f"{root}/{table}_changes/_commit_version={v}"):
             removed_changes.append(v)
     return {"snapshots": removed_snaps, "changes": removed_changes}
-
-
-def _list_versions(spark: SparkSession, dir_str: str,
-                   prefix: str) -> list[int]:
-    """Sorted numeric suffixes of ``<prefix><n>`` children of ``dir_str``
-    (Hadoop FS — any scheme the session reaches)."""
-    sc = spark.sparkContext
-    p = sc._jvm.org.apache.hadoop.fs.Path(dir_str)  # noqa: SLF001
-    fs = p.getFileSystem(sc._jsc.hadoopConfiguration())  # noqa: SLF001
-    if not fs.exists(p):
-        return []
-    out = []
-    for st in fs.listStatus(p):
-        name = st.getPath().getName()
-        if name.startswith(prefix) and name[len(prefix):].isdigit():
-            out.append(int(name[len(prefix):]))
-    return sorted(out)
 
 
 def optimize_table(spark: SparkSession, root: str, table: str,

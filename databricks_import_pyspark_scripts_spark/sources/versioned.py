@@ -179,11 +179,18 @@ def read_changes(spark: SparkSession, root: str, table: str,
         # commit so far was zero-change or layout-only (optimize_table).
         # That is a VALID empty diff, not an error — shape it as the
         # ending snapshot's schema plus the CDC meta columns, zero rows.
+        # The snapshot read goes through the SAME mergeSchema option and
+        # NTZ normalization as the non-empty path: a TIMESTAMP_NTZ column
+        # must surface identically whether the diff is empty or not, or
+        # the one query shape that works on data crashes on its absence.
         from pyspark.sql.types import LongType, StringType, StructField, TimestampType
 
-        snap_schema = (spark.read
-                       .parquet(_snapshot_dir(root, table, ending_version))
-                       .schema)
+        snap_reader = spark.read
+        if merge_schema:
+            snap_reader = snap_reader.option("mergeSchema", "true")
+        snap_schema = _normalize_ntz(
+            snap_reader.parquet(
+                _snapshot_dir(root, table, ending_version))).schema
         fields = list(snap_schema.fields) + [
             StructField("_change_type", StringType()),
             StructField("_commit_version", LongType()),
@@ -216,18 +223,22 @@ def _path_exists(spark: SparkSession, path: str) -> bool:
     return fs.exists(hadoop_path)
 
 
-def _list_changelog_versions(spark: SparkSession, path: str) -> list[int]:
-    """Versions present as ``_commit_version=N`` partition dirs (Hadoop FS,
-    so s3a:// works)."""
+def list_versions(spark: SparkSession, dir_str: str, prefix: str) -> list[int]:
+    """Sorted numeric suffixes of ``<prefix><n>`` children of ``dir_str`` —
+    the ONE version-listing helper for the convention (Hadoop FS, so
+    s3a:// works); missing dir -> []."""
     sc = spark.sparkContext
-    hadoop_path = sc._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
-    fs = hadoop_path.getFileSystem(sc._jsc.hadoopConfiguration())  # noqa: SLF001
+    p = sc._jvm.org.apache.hadoop.fs.Path(dir_str)  # noqa: SLF001
+    fs = p.getFileSystem(sc._jsc.hadoopConfiguration())  # noqa: SLF001
+    if not fs.exists(p):
+        return []
     out: list[int] = []
-    for status in fs.listStatus(hadoop_path):
+    for status in fs.listStatus(p):
         name = status.getPath().getName()
-        if name.startswith("_commit_version="):
-            try:
-                out.append(int(name.split("=", 1)[1]))
-            except ValueError:
-                continue
-    return out
+        if name.startswith(prefix) and name[len(prefix):].isdigit():
+            out.append(int(name[len(prefix):]))
+    return sorted(out)
+
+
+def _list_changelog_versions(spark: SparkSession, path: str) -> list[int]:
+    return list_versions(spark, path, "_commit_version=")

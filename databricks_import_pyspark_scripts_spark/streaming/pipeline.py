@@ -261,6 +261,21 @@ def dedup_stream_stateful(docs: DataFrame, id_col: str = "doc_id",
         timeMode="None"))
 
 
+def _latest_version(root: str, below: int) -> int | None:
+    """Highest committed version STRICTLY below ``below`` in a ``v=<n>``
+    directory layout: a redelivered batch id must rebase on its
+    PREDECESSOR, not on its own earlier (possibly partial) write —
+    otherwise the delta applies twice. Shared by every foreachBatch
+    maintainer in this module."""
+    import os
+
+    if not os.path.isdir(root):
+        return None
+    vs = [int(d[2:]) for d in os.listdir(root)
+          if d.startswith("v=") and d[2:].isdigit() and int(d[2:]) < below]
+    return max(vs) if vs else None
+
+
 def stream_maintain_agg(deltas: DataFrame, mv_root: str, checkpoint_dir: str,
                         keys: list[str]):
     """Streaming materialized-view maintenance: each micro-batch of an
@@ -277,19 +292,7 @@ def stream_maintain_agg(deltas: DataFrame, mv_root: str, checkpoint_dir: str,
     write for a transactional MERGE on the view table — the maintain_agg
     delta algebra is identical. Returns the StreamingQuery.
     """
-    import os
-
     spark = deltas.sparkSession
-
-    def _latest_version(root: str, below: int) -> int | None:
-        """Highest committed version STRICTLY below ``below``: a redelivered
-        batch id must rebase on its predecessor, not on its own earlier
-        (possibly partial) write — otherwise the delta applies twice."""
-        if not os.path.isdir(root):
-            return None
-        vs = [int(d[2:]) for d in os.listdir(root)
-              if d.startswith("v=") and d[2:].isdigit() and int(d[2:]) < below]
-        return max(vs) if vs else None
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.merge import maintain_agg
@@ -324,17 +327,16 @@ def stream_apply_compacted_changes(changes: DataFrame, mirror_root: str,
     batch is O(touched live keys). Redelivered batch ids rebase on their
     PREDECESSOR version (same redelivery-idempotence discipline as
     ``stream_maintain_agg``). Returns the StreamingQuery.
+
+    Batch-boundary caveat: compaction is robust to a commit's PREIMAGE
+    rows landing in a different batch than their postimage (preimages are
+    inert in compact_changes), but a same-commit delete+reinsert TIE split
+    across two batches resolves by arrival order rather than by the
+    in-commit precedence — a hazard shared with raw per-batch
+    apply_changes. Sources that emit whole commits per batch (the normal
+    CDF stream contract) never hit it.
     """
-    import os
-
     spark = changes.sparkSession
-
-    def _latest_version(root: str, below: int) -> int | None:
-        if not os.path.isdir(root):
-            return None
-        vs = [int(d[2:]) for d in os.listdir(root)
-              if d.startswith("v=") and d[2:].isdigit() and int(d[2:]) < below]
-        return max(vs) if vs else None
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.merge import apply_changes, compact_changes

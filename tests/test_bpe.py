@@ -133,3 +133,22 @@ def test_bpe_token_counts_match_python_reference(spark):
     for did, t in corpus:
         chars = sum(len(w) for w in t.split())
         assert want[did][0] <= got[did][1] < chars
+
+
+def test_bpe_merge_supply_exhaustion_keeps_vocab(spark):
+    """When every word collapses to one symbol before `iters` runs out,
+    remaining iterations are no-ops: the vocabulary must survive and
+    token counts equal one per word occurrence -- not vanish."""
+    from databricks_import_pyspark_scripts_spark.operators.bpe import (
+        bpe_apply_merges,
+        bpe_token_counts,
+    )
+
+    docs = _docs(spark, [(0, "ab ab ab"), (1, "ab")])
+    # merge 1 fuses a+b; afterwards no pairs remain anywhere
+    seqs = {r.word: r.s for r in
+            bpe_apply_merges(docs, "text", iters=4).collect()}
+    assert seqs == {"ab": " ab "}
+    got = {r.doc_id: (r.n_words, r.n_bpe_tokens)
+           for r in bpe_token_counts(docs, "doc_id", "text", 4).collect()}
+    assert got == {0: (3, 3), 1: (1, 1)}

@@ -613,7 +613,9 @@ def test_stratified_sample_exact_quotas(spark):
     out = stratified_sample_exact(df, ["grp"], 1, 5, "id")
     got = out.groupBy("grp").count().collect()
     counts = {r.grp: r["count"] for r in got}
-    assert counts == {"a": 3, "b": 0 , "c": 1, "d": 0} or counts == {"a": 3, "c": 1}
+    # zero-quota strata produce NO output rows (the filter drops them
+    # before the groupBy), so only a and c appear
+    assert counts == {"a": 3, "c": 1}
     a = sorted(r.id for r in out.collect())
     b = sorted(r.id for r in stratified_sample_exact(
         df, ["grp"], 1, 5, "id").collect())

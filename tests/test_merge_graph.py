@@ -212,7 +212,7 @@ def test_kcore_peel_semantics_and_convergence(spark):
     assert kcore_peel(path, k=2, rounds=10).count() == 0  # converged: empty
 
 
-def test_kcore_gate_rounds_converge_at_gate_scale(spark):
+def test_kcore_gate_rounds_converge_at_gate_scale(spark, sf_dir):
     """The gate's fixed round budget reaches the true fixpoint on the gate
     graph (so the query's 'k-core' claim is the real k-core, not a
     partial peel): one extra round changes nothing."""
@@ -226,8 +226,7 @@ def test_kcore_gate_rounds_converge_at_gate_scale(spark):
     )
     from pyspark.sql import functions as F
 
-    er = REGISTRY["er_customer_blocking"].spark_fn(
-        spark, "/root/testdata/sf0.001")
+    er = REGISTRY["er_customer_blocking"].spark_fn(spark, sf_dir)
     edges = (er.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
              .localCheckpoint(eager=True))
     a = {(r.node, r.degree) for r in
@@ -322,3 +321,30 @@ def test_compact_changes_round_trip_and_rules(spark):
         base2, compact_changes(log2, ["k"]), ["k"]).collect()}
     assert a == b
     assert compact_changes(log2, ["k"]).count() <= log2.count()
+
+
+def test_compact_changes_preimage_slices_are_inert(spark):
+    """Stream batches can slice a commit's rows apart: a key seen only
+    through preimage rows must compact to NOTHING (not a spurious delete),
+    and a trailing preimage must not mask an earlier postimage."""
+    import datetime
+
+    from databricks_import_pyspark_scripts_spark.operators.merge import (
+        compact_changes,
+    )
+
+    t = datetime.datetime(2024, 1, 1)
+    log = spark.createDataFrame(
+        [
+            # k=1: ONLY the preimage half of a split commit
+            (1, "old", "update_preimage", 5, t),
+            # k=2: postimage v3, then a stray later preimage (v5) whose
+            # postimage half landed in the next batch
+            (2, "n1", "update_postimage", 3, t),
+            (2, "n1", "update_preimage", 5, t),
+        ],
+        "k long, v string, _change_type string, _commit_version long, "
+        "_commit_timestamp timestamp")
+    got = {(r.k, r._change_type, r.v)
+           for r in compact_changes(log, ["k"]).collect()}
+    assert got == {(2, "update_postimage", "n1")}
