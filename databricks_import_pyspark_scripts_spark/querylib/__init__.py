@@ -58,6 +58,7 @@ _PRIORITY: tuple[str, ...] = (
     # --- new queries this round go HERE (never attested) ---
     "dedup_semantic_semdedup",
     "cdc_compact_changelog",
+    "cdc_derive_changes",
     "dedup_cluster_keep_best",
     "text_quality_percentile_by_lang",
     "text_vocab_coverage_curve",

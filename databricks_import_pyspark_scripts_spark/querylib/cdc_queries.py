@@ -364,3 +364,52 @@ def cdc_compact_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = compact_changes(feed, ["k"])
     return out.select("k", "_change_type",
                       F.round("price", 2).alias("price"), "_commit_version")
+
+
+@register(
+    "cdc_derive_changes",
+    """
+    WITH old AS (
+      SELECT o_orderkey AS k, ROUND(o_totalprice, 2) AS price
+      FROM orders WHERE o_orderkey % 13 <> 0
+    ), new AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 11 = 0
+                  THEN ROUND(o_totalprice + 500, 2)
+                  ELSE ROUND(o_totalprice, 2) END AS price
+      FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT n.k, n.price, 'insert' AS _change_type
+    FROM new n LEFT JOIN old o ON n.k = o.k WHERE o.k IS NULL
+    UNION ALL
+    SELECT o.k, o.price, 'delete'
+    FROM old o LEFT JOIN new n ON o.k = n.k WHERE n.k IS NULL
+    UNION ALL
+    SELECT o.k, o.price, 'update_preimage'
+    FROM old o JOIN new n ON o.k = n.k WHERE o.price <> n.price
+    UNION ALL
+    SELECT n.k, n.price, 'update_postimage'
+    FROM old o JOIN new n ON o.k = n.k WHERE o.price <> n.price
+    """,
+    doc="Relational snapshot diff (operators.cdc.derive_changes — what "
+        "Delta computes from its transaction log, re-expressed as one "
+        "full-outer join with null-safe struct value comparison): two "
+        "deterministic orders-derived snapshots (keys dropped on each "
+        "side, a third updated) diffed into insert/delete/update pre+post "
+        "rows. One shuffle per side on the key; unchanged rows cost one "
+        "codegen'd struct comparison and emit nothing. Oracle restates "
+        "the diff as four join branches.")
+def cdc_derive_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cdc import derive_changes
+
+    o = load_table(spark, sf_dir, "orders")
+    old = (o.filter(F.col("o_orderkey") % 13 != 0)
+           .select(F.col("o_orderkey").alias("k"),
+                   F.round("o_totalprice", 2).alias("price")))
+    new = (o.filter(F.col("o_orderkey") % 7 != 0)
+           .select(F.col("o_orderkey").alias("k"),
+                   F.when(F.col("o_orderkey") % 11 == 0,
+                          F.round(F.col("o_totalprice") + 500, 2))
+                   .otherwise(F.round("o_totalprice", 2)).alias("price")))
+    return (derive_changes(old, new, ["k"], commit_version=2)
+            .select("k", "price", "_change_type"))
