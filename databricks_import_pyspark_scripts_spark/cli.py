@@ -29,11 +29,27 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="spark-graft unload/export job")
     p.add_argument("--source-root", required=True,
                    help="root dir of versioned tables (<root>/<table>/v=N, <root>/<table>_changes)")
-    p.add_argument("--table-versions-map", required=True,
-                   help='e.g. "events=0-3,users=2-5"; start==0 means snapshot-of-end')
+    p.add_argument("--table-versions-map",
+                   help='e.g. "events=0-3,users=2-5"; start==0 means '
+                        'snapshot-of-end (required unless --maintenance)')
+    p.add_argument("--maintenance", choices=("optimize", "vacuum", "drift"),
+                   help="run a table-maintenance operation instead of an "
+                        "unload: optimize = compact the latest snapshot "
+                        "into a new version; vacuum = drop versions below "
+                        "--keep-from-version; drift = schema-drift report "
+                        "between --drift-from and --drift-to")
+    p.add_argument("--table", help="table name for --maintenance")
+    p.add_argument("--keep-from-version", type=int,
+                   help="vacuum: retain versions >= this")
+    p.add_argument("--optimize-partitions", type=int, default=None,
+                   help="optimize: target file count (default: cluster "
+                        "parallelism)")
+    p.add_argument("--drift-from", type=int, help="drift: base version")
+    p.add_argument("--drift-to", type=int, help="drift: target version")
     p.add_argument("--sql", help="transformation SQL over the table views")
     p.add_argument("--sql-file", help="file containing the transformation SQL")
-    p.add_argument("--output-path", required=True)
+    p.add_argument("--output-path",
+                   help="export destination (required unless --maintenance)")
     p.add_argument("--data-type", default="EVENT", choices=DATA_TYPES)
     p.add_argument("--format", default="parquet", choices=FORMATS)
     p.add_argument("--partitioning-strategy", default="none", choices=STRATEGIES)
@@ -81,8 +97,50 @@ def _parse_zorder_bounds(arg: str | None) -> dict[str, tuple[float, float]] | No
     return out
 
 
+def _run_maintenance(args) -> int:
+    from .sinks.versioned_writer import (
+        optimize_table,
+        schema_drift_report,
+        vacuum_table,
+    )
+
+    if args.maintenance == "vacuum" and args.keep_from_version is None:
+        print("--keep-from-version is required for vacuum", file=sys.stderr)
+        return 2
+    if args.maintenance == "drift" and (args.drift_from is None
+                                        or args.drift_to is None):
+        print("--drift-from/--drift-to are required for drift",
+              file=sys.stderr)
+        return 2
+    spark = get_spark("spark_graft_maintenance")
+    configure_s3a_credentials(spark)
+    if args.maintenance == "optimize":
+        zorder = ([c.strip() for c in args.zorder_by.split(",") if c.strip()]
+                  if args.zorder_by else None)
+        report = optimize_table(spark, args.source_root, args.table,
+                                target_partitions=args.optimize_partitions,
+                                zorder_by=zorder)
+    elif args.maintenance == "vacuum":
+        report = vacuum_table(spark, args.source_root, args.table,
+                              args.keep_from_version)
+    else:
+        report = schema_drift_report(spark, args.source_root, args.table,
+                                     args.drift_from, args.drift_to)
+    print(json.dumps(report, default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.maintenance:
+        if not args.table:
+            print("--table is required with --maintenance", file=sys.stderr)
+            return 2
+        return _run_maintenance(args)
+    if not args.table_versions_map or not args.output_path:
+        print("--table-versions-map and --output-path are required "
+              "(unless --maintenance)", file=sys.stderr)
+        return 2
     if not args.sql and not args.sql_file:
         print("one of --sql / --sql-file is required", file=sys.stderr)
         return 2

@@ -88,3 +88,38 @@ def test_cli_cluster_by_produces_range_clustered_parquet(spark, tmp_path):
     # maxRecordsPerFile then splits sequentially — still perfectly
     # clustered; assert no overlapping file ranges either way
     assert overlaps == 0, f"overlapping file ranges: {ranges}"
+
+
+def test_cli_maintenance_lifecycle(spark, tmp_path):
+    """optimize -> drift -> vacuum through the CLI: compaction commits a
+    new version, the drift report is empty (same schema), vacuum retires
+    the original, and the compacted snapshot still serves reads."""
+    import json
+
+    root = str(tmp_path / "lake")
+    (spark.range(5000).selectExpr("id", "id % 5 AS grp")
+     .repartition(16).write.parquet(f"{root}/t/v=1"))
+
+    def run(*extra):
+        return subprocess.run(
+            [sys.executable, "-m", "databricks_import_pyspark_scripts_spark.cli",
+             "--source-root", root, "--table", "t", *extra],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300)
+
+    p1 = run("--maintenance", "optimize", "--optimize-partitions", "2")
+    assert p1.returncode == 0, p1.stderr[-2000:]
+    rep = json.loads(p1.stdout.strip().splitlines()[-1])
+    assert rep["to_version"] == 2 and rep["files_after"] == 2
+
+    p2 = run("--maintenance", "drift", "--drift-from", "1", "--drift-to", "2")
+    assert p2.returncode == 0, p2.stderr[-2000:]
+    assert json.loads(p2.stdout.strip().splitlines()[-1]) == []
+
+    p3 = run("--maintenance", "vacuum", "--keep-from-version", "2")
+    assert p3.returncode == 0, p3.stderr[-2000:]
+    assert json.loads(p3.stdout.strip().splitlines()[-1])["snapshots"] == [1]
+    assert spark.read.parquet(f"{root}/t/v=2").count() == 5000
+
+    # arg validation: maintenance needs --table; vacuum needs the version
+    p4 = run("--maintenance", "vacuum")
+    assert p4.returncode == 2
