@@ -93,3 +93,23 @@ def test_semdedup_single_assignment_and_verify(spark, sf_dir):
     assert _nodes(plan, "Scan ExistingRDD") == 2  # the checkpointed cells
     assert _nodes(plan, "ArrowEvalPython") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_join_strategy_hints_control_physical_join(spark, sf_dir):
+    """The three join strategies are selectable per-side: AQE/size picks
+    broadcast for dims, and a shuffle_hash hint replaces sort-merge for a
+    mid-size side (hash-building the smaller side beats sorting BOTH
+    sides when it fits executor memory but not the broadcast threshold —
+    the standard fact-to-mid-dim tuning at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    smj = li.join(orders.hint("merge"),
+                  li.l_orderkey == orders.o_orderkey)
+    shj = li.join(orders.hint("shuffle_hash"),
+                  li.l_orderkey == orders.o_orderkey)
+    assert _nodes(_plan(smj), "SortMergeJoin") == 1
+    p = _plan(shj)
+    assert _nodes(p, "ShuffledHashJoin") == 1
+    assert _nodes(p, "Sort") == 0  # the whole point: no sort on either side
