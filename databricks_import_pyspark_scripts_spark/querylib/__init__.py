@@ -59,6 +59,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_semantic_semdedup",
     "cdc_compact_changelog",
     "cdc_derive_changes",
+    "agg_decimal_exact_money",
     "dedup_cluster_keep_best",
     "text_quality_percentile_by_lang",
     "text_vocab_coverage_curve",

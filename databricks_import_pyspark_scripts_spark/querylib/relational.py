@@ -1014,3 +1014,36 @@ def crossjoin_coverage_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("r_name", "status",
                     F.coalesce("n", F.lit(0)).cast("long").alias("n_orders"))
             .orderBy("r_name", "status"))
+
+
+@register(
+    "agg_decimal_exact_money",
+    """
+    SELECT l_returnflag,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 2)))
+                     AS DECIMAL(38, 2)) AS VARCHAR) AS gross,
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18, 2))
+                              * (1 - CAST(l_discount AS DECIMAL(18, 4)))
+                              AS DECIMAL(28, 6))) AS DECIMAL(38, 6))
+                AS VARCHAR) AS net
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact DECIMAL money aggregation: prices fixed to DECIMAL(18,2), "
+        "discounts to DECIMAL(18,4), products carried at DECIMAL(28,6) — "
+        "no floating point anywhere, so the sums are exact by type system "
+        "rather than by rounding-grid tricks (the q1 approach). Both "
+        "engines promote to a shared output scale for the value hash. "
+        "Map-side partial aggregation applies to decimal sums exactly as "
+        "to longs. Outputs compare as scale-preserving strings because "
+        "pandas conversion would degrade DECIMAL to float64 and destroy "
+        "the exactness being demonstrated.")
+def agg_decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return (li.groupBy("l_returnflag")
+            .agg(F.sum(price).cast("decimal(38,2)").cast("string")
+                 .alias("gross"),
+                 F.sum((price * (F.lit(1) - disc)).cast("decimal(28,6)"))
+                 .cast("decimal(38,6)").cast("string").alias("net")))
