@@ -60,6 +60,7 @@ _PRIORITY: tuple[str, ...] = (
     "cdc_compact_changelog",
     "cdc_derive_changes",
     "agg_decimal_exact_money",
+    "approx_hll_rolling_distinct",
     "dedup_cluster_keep_best",
     "text_quality_percentile_by_lang",
     "text_vocab_coverage_curve",

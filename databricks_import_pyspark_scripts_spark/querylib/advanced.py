@@ -644,3 +644,48 @@ def approx_hll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame
                          (F.abs(F.col("est") - F.col("exact_users"))
                           <= 0.05 * F.col("exact_users")).alias("est_ok")))
     return day_rows.unionByName(total_row)
+
+
+@register(
+    "approx_hll_rolling_distinct",
+    """
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST((SELECT COUNT(DISTINCT e.user_id) FROM events e
+                 WHERE CAST(e.ts AS DATE)
+                       BETWEEN day - INTERVAL 6 DAY AND day)
+                AS BIGINT) AS exact_users,
+           TRUE AS est_ok
+    FROM days
+    """,
+    doc="Rolling 7-day distinct users from STORED daily HLL sketches: "
+        "hll_union_agg runs as a WINDOW aggregate over the per-day sketch "
+        "rows (RANGE -6 days on a day-number ordering, so calendar gaps "
+        "cannot widen the window) — the any-range-distinct question "
+        "answered from |days| sketch rows with the raw corpus never "
+        "rescanned. The exact side (gate only) is a day-range join; at "
+        "100 TB you would never compute it — that asymmetry is the whole "
+        "point. 5% tolerance boolean, engine-independent.")
+def approx_hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = (load_table(spark, sf_dir, "events")
+         .withColumn("day", F.col("ts").cast("date")))
+    daily_sk = (e.groupBy("day")
+                .agg(F.hll_sketch_agg("user_id").alias("sk"))
+                .withColumn("day_num", F.datediff("day", F.lit("1970-01-01"))))
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    est = daily_sk.select(
+        "day",
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("est"))
+    days = e.select("day").distinct()
+    exact = (e.select(F.col("day").alias("eday"), "user_id")
+             .join(days, (F.col("eday") >= F.date_sub(F.col("day"), 6))
+                   & (F.col("eday") <= F.col("day")))
+             .groupBy("day")
+             .agg(F.countDistinct("user_id").alias("exact_users")))
+    return (exact.join(est, "day")
+            .select(F.col("day").cast("string").alias("day"),
+                    "exact_users",
+                    (F.abs(F.col("est") - F.col("exact_users"))
+                     <= 0.05 * F.col("exact_users")).alias("est_ok")))
