@@ -61,6 +61,7 @@ _PRIORITY: tuple[str, ...] = (
     "cdc_derive_changes",
     "agg_decimal_exact_money",
     "approx_hll_rolling_distinct",
+    "agg_winsorized_mean",
     "dedup_cluster_keep_best",
     "text_quality_percentile_by_lang",
     "text_vocab_coverage_curve",

@@ -689,3 +689,45 @@ def approx_hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "exact_users",
                     (F.abs(F.col("est") - F.col("exact_users"))
                      <= 0.05 * F.col("exact_users")).alias("est_ok")))
+
+
+@register(
+    "agg_winsorized_mean",
+    """
+    WITH b AS (
+      SELECT o_orderpriority,
+             ROUND(quantile_cont(o_totalprice, 0.05), 4) AS lo,
+             ROUND(quantile_cont(o_totalprice, 0.95), 4) AS hi
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o.o_orderpriority,
+           ROUND(AVG(LEAST(GREATEST(o.o_totalprice, b.lo), b.hi)), 4)
+             AS winsorized_mean,
+           ROUND(AVG(o.o_totalprice), 4) AS raw_mean,
+           CAST(SUM(CASE WHEN o.o_totalprice < b.lo
+                           OR o.o_totalprice > b.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+    FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Winsorized (5%-clamped) mean per group — the robust-statistics "
+        "answer to outlier-polluted metrics: per-group p05/p95 bounds "
+        "(exact interpolated percentiles, rounded to a shared 4-dp grid "
+        "BEFORE clamping so both engines clamp identically), values "
+        "clamped, mean + clamp count reported beside the raw mean. Two "
+        "passes: a percentile aggregate whose |groups|-row result "
+        "broadcast-joins back onto the fact scan — the second pass is "
+        "map-side only.")
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    b = (o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.05)), 4).alias("lo"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("hi")))
+    clamped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")),
+                      F.col("hi"))
+    out_of_band = ((F.col("o_totalprice") < F.col("lo"))
+                   | (F.col("o_totalprice") > F.col("hi"))).cast("long")
+    return (o.join(F.broadcast(b), "o_orderpriority")
+            .groupBy("o_orderpriority")
+            .agg(F.round(F.avg(clamped), 4).alias("winsorized_mean"),
+                 F.round(F.avg("o_totalprice"), 4).alias("raw_mean"),
+                 F.sum(out_of_band).alias("n_clamped")))
