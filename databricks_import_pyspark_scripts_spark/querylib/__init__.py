@@ -62,6 +62,8 @@ _PRIORITY: tuple[str, ...] = (
     "agg_decimal_exact_money",
     "approx_hll_rolling_distinct",
     "agg_winsorized_mean",
+    "sql_not_in_null_trap",
+    "sql_correlated_scalar_select",
     "dedup_cluster_keep_best",
     "text_quality_percentile_by_lang",
     "text_vocab_coverage_curve",

@@ -457,3 +457,73 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     er = REGISTRY["er_customer_blocking"].spark_fn(spark, sf_dir)
     edges = er.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     return kcore_peel(edges, KCORE_K, KCORE_ROUNDS)
+
+
+_NOTIN_BODY = """
+    SELECT 'not_in_with_null' AS variant,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM {customer}
+    WHERE c_custkey NOT IN (
+        SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                    ELSE o_custkey END
+        FROM {orders} WHERE o_totalprice > 100000)
+    UNION ALL
+    SELECT 'not_in_null_free',
+           CAST(COUNT(*) AS BIGINT)
+    FROM {customer}
+    WHERE c_custkey NOT IN (
+        SELECT o_custkey FROM {orders}
+        WHERE o_totalprice > 100000 AND o_custkey IS NOT NULL)
+    UNION ALL
+    SELECT 'anti_join_form',
+           CAST(COUNT(*) AS BIGINT)
+    FROM {customer} c
+    WHERE NOT EXISTS (SELECT 1 FROM {orders} o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 100000)
+    """
+
+
+@register(
+    "sql_not_in_null_trap",
+    _NOTIN_BODY.format(customer="customer", orders="orders"),
+    doc="The NOT IN null trap, preserved exactly: a NULL in the subquery "
+        "list makes every NOT IN comparison UNKNOWN, so the first variant "
+        "returns ZERO rows — while the null-filtered NOT IN and the "
+        "NOT EXISTS anti-join (null-immune, what a migration should use) "
+        "agree with each other. ANSI three-valued logic is the kind of "
+        "semantics a 'just rewrite it as a join' port silently breaks; "
+        "the IDENTICAL SQL text runs on both engines.")
+def sql_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_ni")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ni")
+    return spark.sql(_NOTIN_BODY.format(customer="customer_ni",
+                                        orders="orders_ni"))
+
+
+_SCALAR_SUB_BODY = """
+    SELECT c_custkey, c_name,
+           (SELECT ROUND(MAX(o_totalprice), 2) FROM {orders} o
+            WHERE o.o_custkey = c.c_custkey) AS max_order,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {orders} o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderstatus = 'O') AS open_orders
+    FROM {customer} c
+    WHERE c_custkey % 10 = 0
+    """
+
+
+@register(
+    "sql_correlated_scalar_select",
+    _SCALAR_SUB_BODY.format(customer="customer", orders="orders"),
+    doc="Correlated SCALAR subqueries in the SELECT list (two per row, one "
+        "aggregating, one counting with an extra predicate): customers "
+        "with no orders surface NULL max and 0 count — the outer-join-"
+        "with-default semantics Catalyst de-correlates into aggregate + "
+        "left join automatically. The IDENTICAL SQL text runs on both "
+        "engines.")
+def sql_correlated_scalar_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_ss")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ss")
+    return spark.sql(_SCALAR_SUB_BODY.format(customer="customer_ss",
+                                             orders="orders_ss"))
