@@ -113,3 +113,18 @@ def test_join_strategy_hints_control_physical_join(spark, sf_dir):
     p = _plan(shj)
     assert _nodes(p, "ShuffledHashJoin") == 1
     assert _nodes(p, "Sort") == 0  # the whole point: no sort on either side
+
+
+def test_filter_and_projection_reach_the_scan(spark, sf_dir):
+    """Pushdown evidence as a pinned test (PLANS.md shows it, this keeps
+    it true): a filtered two-column projection must land its predicate in
+    PushedFilters and read ONLY those columns (ReadSchema), so the 100 TB
+    scan skips row groups and never decodes untouched columns."""
+    df = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+          .filter("o_totalprice > 100000")
+          .select("o_orderkey", "o_totalprice"))
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,100000.0)]" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(m.group(1).split(",")) == {
+        "o_orderkey:bigint", "o_totalprice:double"}
