@@ -64,6 +64,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_winsorized_mean",
     "sql_not_in_null_trap",
     "sql_correlated_scalar_select",
+    "events_trending_week_over_week",
     "dedup_cluster_keep_best",
     "text_quality_percentile_by_lang",
     "text_vocab_coverage_curve",

@@ -382,3 +382,44 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("from_type", "to_type", "n",
                     F.round(F.col("n") * F.lit(1.0) / F.col("n_from"), 4)
                     .alias("p")))
+
+
+@register(
+    "events_trending_week_over_week",
+    """
+    WITH w AS (
+      SELECT event_type,
+             CAST(date_trunc('week', ts) AS DATE) AS week,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    l AS (
+      SELECT event_type, week, n,
+             LAG(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+      FROM w)
+    SELECT CAST(week AS VARCHAR) AS week, event_type, n, prev_n,
+           ROUND(n * 1.0 / prev_n, 4) AS wow_ratio
+    FROM l
+    WHERE prev_n IS NOT NULL
+    """,
+    doc="Week-over-week trend ratios per event type (ISO-Monday "
+        "date_trunc in both engines): weekly counts, lag window, ratio — "
+        "the movers report behind anomaly triage and launch monitoring. "
+        "The aggregate collapses the corpus to |types| x |weeks| rows "
+        "before any window runs; first weeks (no predecessor) are "
+        "excluded rather than emitted with NULL ratios.")
+def events_trending_week_over_week(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (e.groupBy("event_type",
+                   F.date_trunc("week", F.col("ts")).cast("date")
+                   .alias("week"))
+         .agg(F.count(F.lit(1)).alias("n")))
+    lagw = Window.partitionBy("event_type").orderBy("week")
+    return (w.withColumn("prev_n", F.lag("n").over(lagw))
+            .filter(F.col("prev_n").isNotNull())
+            .select(F.col("week").cast("string").alias("week"),
+                    "event_type", "n", "prev_n",
+                    F.round(F.col("n") * F.lit(1.0) / F.col("prev_n"), 4)
+                    .alias("wow_ratio")))
