@@ -423,3 +423,55 @@ def events_trending_week_over_week(spark: SparkSession,
                     "event_type", "n", "prev_n",
                     F.round(F.col("n") * F.lit(1.0) / F.col("prev_n"), 4)
                     .alias("wow_ratio")))
+
+
+@register(
+    "events_conversion_latency",
+    """
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS purchase_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      GROUP BY e.user_id),
+    lat AS (
+      SELECT CAST(date_trunc('week', s.signup_ts) AS DATE) AS cohort_week,
+             CAST(epoch(p.purchase_ts) - epoch(s.signup_ts) AS BIGINT)
+               AS latency_s
+      FROM s JOIN p ON s.user_id = p.user_id)
+    SELECT CAST(cohort_week AS VARCHAR) AS cohort_week,
+           CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(quantile_cont(latency_s, 0.50), 4) AS p50_s,
+           ROUND(quantile_cont(latency_s, 0.90), 4) AS p90_s
+    FROM lat GROUP BY cohort_week
+    """,
+    doc="Conversion-latency percentiles per signup cohort: first signup -> "
+        "first SUBSEQUENT purchase per user, p50/p90 seconds by ISO "
+        "cohort week — the time-to-convert report behind funnel triage. "
+        "Two per-user min-aggregates (map-side partial), one user-keyed "
+        "join, then percentiles over the |users|-bounded latency set; "
+        "the >= guard keeps pre-signup purchases (returning users) from "
+        "producing negative latencies.")
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    s = (e.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("signup_ts")))
+    p = (e.filter(F.col("event_type") == "purchase")
+         .join(s, "user_id")
+         .filter(F.col("ts") >= F.col("signup_ts"))
+         .groupBy("user_id").agg(F.min("ts").alias("purchase_ts")))
+    lat = (s.join(p, "user_id")
+           .select(F.date_trunc("week", "signup_ts").cast("date")
+                   .alias("cohort_week"),
+                   (F.unix_timestamp("purchase_ts")
+                    - F.unix_timestamp("signup_ts")).alias("latency_s")))
+    return (lat.groupBy("cohort_week")
+            .agg(F.count(F.lit(1)).alias("n_converted"),
+                 F.round(F.percentile("latency_s", F.lit(0.50)), 4)
+                 .alias("p50_s"),
+                 F.round(F.percentile("latency_s", F.lit(0.90)), 4)
+                 .alias("p90_s"))
+            .select(F.col("cohort_week").cast("string").alias("cohort_week"),
+                    "n_converted", "p50_s", "p90_s"))
