@@ -438,22 +438,24 @@ def events_trending_week_over_week(spark: SparkSession,
       GROUP BY e.user_id),
     lat AS (
       SELECT CAST(date_trunc('week', s.signup_ts) AS DATE) AS cohort_week,
-             CAST(epoch(p.purchase_ts) - epoch(s.signup_ts) AS BIGINT)
-               AS latency_s
+             epoch_us(p.purchase_ts) - epoch_us(s.signup_ts) AS latency_us
       FROM s JOIN p ON s.user_id = p.user_id)
     SELECT CAST(cohort_week AS VARCHAR) AS cohort_week,
            CAST(COUNT(*) AS BIGINT) AS n_converted,
-           ROUND(quantile_cont(latency_s, 0.50), 4) AS p50_s,
-           ROUND(quantile_cont(latency_s, 0.90), 4) AS p90_s
+           ROUND(quantile_cont(latency_us, 0.50), 4) AS p50_us,
+           ROUND(quantile_cont(latency_us, 0.90), 4) AS p90_us
     FROM lat GROUP BY cohort_week
     """,
     doc="Conversion-latency percentiles per signup cohort: first signup -> "
-        "first SUBSEQUENT purchase per user, p50/p90 seconds by ISO "
-        "cohort week — the time-to-convert report behind funnel triage. "
-        "Two per-user min-aggregates (map-side partial), one user-keyed "
-        "join, then percentiles over the |users|-bounded latency set; "
-        "the >= guard keeps pre-signup purchases (returning users) from "
-        "producing negative latencies.")
+        "first SUBSEQUENT purchase per user, p50/p90 by ISO cohort week — "
+        "the time-to-convert report behind funnel triage. Two per-user "
+        "min-aggregates (map-side partial), one user-keyed join, then "
+        "percentiles over the |users|-bounded latency set; the >= guard "
+        "keeps pre-signup purchases (returning users) from producing "
+        "negative latencies. Latencies are exact integer MICROseconds "
+        "(unix_micros / epoch_us) — whole-second epoch functions truncate "
+        "sub-second timestamps differently across engines, which the "
+        "sf0.1 sweep caught.")
 def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     s = (e.filter(F.col("event_type") == "signup")
@@ -465,13 +467,13 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat = (s.join(p, "user_id")
            .select(F.date_trunc("week", "signup_ts").cast("date")
                    .alias("cohort_week"),
-                   (F.unix_timestamp("purchase_ts")
-                    - F.unix_timestamp("signup_ts")).alias("latency_s")))
+                   (F.unix_micros("purchase_ts")
+                    - F.unix_micros("signup_ts")).alias("latency_us")))
     return (lat.groupBy("cohort_week")
             .agg(F.count(F.lit(1)).alias("n_converted"),
-                 F.round(F.percentile("latency_s", F.lit(0.50)), 4)
-                 .alias("p50_s"),
-                 F.round(F.percentile("latency_s", F.lit(0.90)), 4)
-                 .alias("p90_s"))
+                 F.round(F.percentile("latency_us", F.lit(0.50)), 4)
+                 .alias("p50_us"),
+                 F.round(F.percentile("latency_us", F.lit(0.90)), 4)
+                 .alias("p90_us"))
             .select(F.col("cohort_week").cast("string").alias("cohort_week"),
-                    "n_converted", "p50_s", "p90_s"))
+                    "n_converted", "p50_us", "p90_us"))
