@@ -128,3 +128,27 @@ def test_filter_and_projection_reach_the_scan(spark, sf_dir):
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and set(m.group(1).split(",")) == {
         "o_orderkey:bigint", "o_totalprice:double"}
+
+
+def test_incremental_neardup_broadcasts_new_batch(spark, sf_dir):
+    """Batch-incremental near-dup: the NEW batch side must broadcast into
+    the history band index (history streams map-side; nothing
+    history-sized shuffles through the candidate join) and no cartesian
+    may appear anywhere in the verify chain."""
+    df = all_queries()["dedup_incremental_neardup"](spark, sf_dir)
+    plan = _plan(df)
+    assert _nodes(plan, "BroadcastHashJoin") >= 2  # band probe + verify sides
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_duplicate_passages_is_hash_join_only(spark, sf_dir):
+    """Exact-substring passage dedup: the 12-token window match is an
+    EQUI-join on the window hash — never a nested-loop/cartesian — so the
+    candidate volume is O(matching windows), not O(docs^2)."""
+    df = all_queries()["text_duplicate_passages"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (_nodes(plan, "SortMergeJoin") + _nodes(plan, "BroadcastHashJoin")
+            + _nodes(plan, "ShuffledHashJoin")) >= 1
