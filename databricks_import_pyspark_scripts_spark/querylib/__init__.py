@@ -66,6 +66,7 @@ _PRIORITY: tuple[str, ...] = (
     "sql_correlated_scalar_select",
     "events_trending_week_over_week",
     "events_conversion_latency",
+    "dedup_cluster_size_histogram",
     "dedup_cluster_keep_best",
     "text_quality_percentile_by_lang",
     "text_vocab_coverage_curve",

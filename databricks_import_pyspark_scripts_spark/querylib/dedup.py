@@ -758,3 +758,48 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("best_doc_id"),
                  F.max("quality").alias("best_quality"),
                  F.count(F.lit(1)).alias("cluster_size")))
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle(threshold=0.5)}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.a AS id, reach.r
+      FROM edges e JOIN reach ON e.b = reach.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+    sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+              FROM comp GROUP BY component)
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+    doc="Near-dup cluster-size histogram — the dedup-rate telemetry a "
+        "corpus pipeline reports per ingest (size-1 clusters = unique "
+        "docs; the tail shows duplication mass): CC labels -> per-"
+        "component size -> size distribution. Two tiny aggregates after "
+        "the clustering; everything is |components|-bounded past the "
+        "label join.")
+def dedup_cluster_size_histogram(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", threshold=0.5)
+    cc = connected_components(
+        d.select(F.col("doc_id").alias("id")),
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).alias("n_clusters"))
+            .select("cluster_size", "n_clusters",
+                    (F.col("cluster_size") * F.col("n_clusters"))
+                    .alias("n_docs")))
