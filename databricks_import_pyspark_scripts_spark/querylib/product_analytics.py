@@ -477,3 +477,61 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("p90_us"))
             .select(F.col("cohort_week").cast("string").alias("cohort_week"),
                     "n_converted", "p50_us", "p90_us"))
+
+
+@register(
+    "events_scd2_point_in_time_join",
+    """
+    WITH changes AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    dim AS (
+      SELECT user_id,
+             epoch_ms(ts) AS valid_from_ms,
+             epoch_ms(lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, value)) AS valid_to_ms,
+             ROUND(value, 4) AS value
+      FROM changes
+    ),
+    fact AS (
+      SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT f.event_id, f.user_id, f.ts_ms,
+           d.value AS dim_value_at_event
+    FROM fact f JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ts_ms >= d.valid_from_ms
+     AND (d.valid_to_ms IS NULL OR f.ts_ms < d.valid_to_ms)
+    """,
+    doc="Point-in-time (SCD2) dimension lookup — the CONSUME half of the "
+        "gated events_scd2_user_value build: each click event joins the "
+        "dimension version that was valid at its timestamp "
+        "([valid_from, valid_to) containment; intervals are disjoint by "
+        "construction, so at most one row matches). The join is "
+        "EQUI-keyed on user_id with the interval test as a residual "
+        "filter — at 100 TB the shuffle is the user-key exchange, never "
+        "an interval cross product; events before a user's first change "
+        "drop out (inner), exactly the warehouse semantics.")
+def events_scd2_point_in_time_join(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ch = (e.filter(F.col("event_type") == "purchase")
+          .select("user_id", "ts", "value"))
+    w = Window.partitionBy("user_id").orderBy("ts", "value")
+    nxt = F.lead("ts").over(w)
+    dim = ch.select(
+        F.col("user_id").alias("d_user_id"),
+        F.unix_millis("ts").alias("valid_from_ms"),
+        F.unix_millis(nxt).alias("valid_to_ms"),
+        F.round("value", 4).alias("value"))
+    fact = (e.filter(F.col("event_type") == "click")
+            .select("event_id", "user_id",
+                    F.unix_millis("ts").alias("ts_ms")))
+    cond = ((fact.user_id == dim.d_user_id)
+            & (F.col("ts_ms") >= F.col("valid_from_ms"))
+            & (F.col("valid_to_ms").isNull()
+               | (F.col("ts_ms") < F.col("valid_to_ms"))))
+    return (fact.join(dim, cond)
+            .select("event_id", "user_id", "ts_ms",
+                    F.col("value").alias("dim_value_at_event")))
