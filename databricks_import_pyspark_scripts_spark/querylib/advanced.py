@@ -731,3 +731,40 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.avg(clamped), 4).alias("winsorized_mean"),
                  F.round(F.avg("o_totalprice"), 4).alias("raw_mean"),
                  F.sum(out_of_band).alias("n_clamped")))
+
+
+@register(
+    "agg_deterministic_mode",
+    """
+    WITH c AS (
+      SELECT o_orderpriority, o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2)
+    SELECT o_orderpriority,
+           o_orderstatus AS mode_status, n AS mode_n
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY n DESC, o_orderstatus) AS rn
+      FROM c)
+    WHERE rn = 1
+    """,
+    doc="Deterministic per-group MODE: value counts then argmax with a "
+        "lexicographic tie-break — engine-native mode() functions resolve "
+        "ties arbitrarily, which is exactly what a reproducible pipeline "
+        "cannot use. Two map-side-partial aggregates; the argmax runs on "
+        "the |groups x values|-bounded count table, never the fact "
+        "table.")
+def agg_deterministic_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = (o.groupBy("o_orderpriority", "o_orderstatus")
+         .agg(F.count(F.lit(1)).alias("n")))
+    return (c.groupBy("o_orderpriority")
+            .agg(F.min_by(
+                F.struct(F.col("o_orderstatus").alias("mode_status"),
+                         F.col("n").alias("mode_n")),
+                # min over (-n, status): largest count first, then the
+                # lexicographically SMALLEST status — a fully general
+                # string tie-break (struct comparison is field-ordered)
+                F.struct((F.lit(-1) * F.col("n")).alias("neg_n"),
+                         F.col("o_orderstatus"))).alias("m"))
+            .select("o_orderpriority", "m.mode_status", "m.mode_n"))
