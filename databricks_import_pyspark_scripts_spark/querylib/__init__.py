@@ -69,6 +69,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_cluster_size_histogram",
     "events_scd2_point_in_time_join",
     "agg_deterministic_mode",
+    "setops_except_all",
     "dedup_cluster_keep_best",
     "text_quality_percentile_by_lang",
     "text_vocab_coverage_curve",

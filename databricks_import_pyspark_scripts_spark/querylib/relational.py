@@ -1047,3 +1047,21 @@ def agg_decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("gross"),
                  F.sum((price * (F.lit(1) - disc)).cast("decimal(28,6)"))
                  .cast("decimal(38,6)").cast("string").alias("net")))
+
+
+@register(
+    "setops_except_all",
+    """
+    SELECT o_orderpriority FROM orders WHERE YEAR(o_orderdate) = 1997
+    EXCEPT ALL
+    SELECT o_orderpriority FROM orders WHERE YEAR(o_orderdate) = 1998
+    """,
+    doc="Duplicate-preserving EXCEPT ALL (bag difference): per priority, "
+        "max(0, count_1997 - count_1998) copies survive — the counted-"
+        "aggregation compilation, completing the set-op family beside "
+        "INTERSECT ALL.")
+def setops_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    y97 = o.filter(F.year("o_orderdate") == 1997).select("o_orderpriority")
+    y98 = o.filter(F.year("o_orderdate") == 1998).select("o_orderpriority")
+    return y97.exceptAll(y98)
