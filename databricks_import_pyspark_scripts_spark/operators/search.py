@@ -186,28 +186,61 @@ def duplicate_passage_stats(docs: DataFrame, id_col: str, text_col: str,
 
 CONTAIN_MIN_SHARED = 5  # candidate pairs must share >= this many shingles
 
+# Stop-shingle guard for the candidate self-join. A shingle shared by m
+# documents emits m(m-1)/2 join rows BEFORE the min_shared HAVING can collapse
+# anything, so one corpus-wide boilerplate shingle ("all rights reserved") in
+# m=100k docs is 5e9 rows of pure noise — the same degenerate-bucket class the
+# LSH operators cap with MAX_BUCKET. A shingle present in a large fraction of
+# the corpus carries no containment SIGNAL either (sharing it says nothing
+# about A being embedded in B), so dropping it from candidate generation is
+# both the scale guard and a precision improvement. The threshold is relative
+# (corpus-size-invariant, like the boilerplate detector's DF threshold) with
+# an absolute floor so tiny corpora keep their legitimately-shared shingles:
+# keep iff df <= FLOOR or df/n_docs <= NUM/DEN — integer-exact cross-multiply,
+# mirrored verbatim in the DuckDB oracle.
+CONTAIN_DF_FLOOR = 8       # shingles in <= this many docs are always kept
+CONTAIN_DF_NUM = 1         # else keep iff df <= n_docs * NUM / DEN (5%)
+CONTAIN_DF_DEN = 20
+
 
 def containment_pairs(docs: DataFrame, id_col: str, text_col: str,
                       k: int = 3,
-                      min_shared: int = CONTAIN_MIN_SHARED) -> DataFrame:
+                      min_shared: int = CONTAIN_MIN_SHARED,
+                      df_floor: int = CONTAIN_DF_FLOOR,
+                      df_num: int = CONTAIN_DF_NUM,
+                      df_den: int = CONTAIN_DF_DEN) -> DataFrame:
     """Asymmetric containment |A∩B| / |A| for document pairs sharing at
-    least ``min_shared`` distinct k-shingles. Containment (unlike Jaccard)
-    catches a small document embedded inside a large one — quote farms,
-    concatenated dumps.
+    least ``min_shared`` distinct RARE k-shingles (document frequency within
+    the stop-shingle guard — see ``CONTAIN_DF_FLOOR``). Containment (unlike
+    Jaccard) catches a small document embedded inside a large one — quote
+    farms, concatenated dumps.
 
     Candidate generation is the shingle self-join (same shape as
-    dedup.ngram-jaccard); at scale the LSH bucket pre-filter from
-    operators/dedup.py bounds the join, and the ``min_shared`` HAVING
-    collapses the long tail before the size join. Returns
-    (a, b, n_shared, n_a, containment_a) with a < b.
+    dedup.ngram-jaccard) over guard-surviving shingles only, so per-shingle
+    join fan-out is bounded by max(df_floor, n_docs*df_num/df_den) and a
+    corpus-wide stop-shingle produces zero candidate rows instead of m^2/2.
+    ``n_a`` (the containment denominator) still counts ALL of A's distinct
+    shingles. The ``min_shared`` HAVING collapses the long tail before the
+    size join. Returns (a, b, n_shared, n_a, containment_a) with a < b.
     """
     from .text import shingles_col
 
     sh = docs.select(
         F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("s"))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    a = sh.select(F.col(id_col).alias("a"), "s")
-    b = sh.select(F.col(id_col).alias("b"), "s")
+    # document frequency per shingle: sh is distinct per (doc, shingle)
+    # (shingles_col array_distincts), so COUNT(*) == #docs containing s.
+    # The 1-row n_docs aggregate broadcasts; the keep predicate is exact
+    # integer arithmetic so any engine agrees.
+    scal = docs.agg(F.count("*").alias("n_docs"))
+    ok = (sh.groupBy("s").agg(F.count("*").alias("df"))
+          .join(F.broadcast(scal))
+          .filter((F.col("df") <= df_floor)
+                  | (F.col("df") * df_den <= F.col("n_docs") * df_num))
+          .select("s"))
+    rare = sh.join(ok, "s", "left_semi")
+    a = rare.select(F.col(id_col).alias("a"), "s")
+    b = rare.select(F.col(id_col).alias("b"), "s")
     shared = (a.join(b, "s")
               .filter(F.col("a") < F.col("b"))
               .groupBy("a", "b").agg(F.count("*").alias("n_shared"))

@@ -175,13 +175,26 @@ def text_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _containment_oracle() -> str:
+    from ..operators.search import (
+        CONTAIN_DF_DEN,
+        CONTAIN_DF_FLOOR,
+        CONTAIN_DF_NUM,
+    )
+
     return f"""
     WITH sh AS (
       SELECT doc_id, unnest({shingles_sql()}) AS s FROM documents),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    scal AS (SELECT COUNT(*) AS n_docs FROM documents),
+    ok AS (
+      SELECT s FROM sh GROUP BY s
+      HAVING COUNT(*) <= {CONTAIN_DF_FLOOR}
+          OR COUNT(*) * {CONTAIN_DF_DEN}
+             <= (SELECT n_docs FROM scal) * {CONTAIN_DF_NUM}),
+    rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN ok USING (s)),
     shared AS (
       SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS n_shared
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
       HAVING COUNT(*) >= {CONTAIN_MIN_SHARED})
     SELECT s.a, s.b, s.n_shared, z.n AS n_a,
@@ -194,11 +207,13 @@ def _containment_oracle() -> str:
     "dedup_containment_pairs",
     _containment_oracle(),
     doc="Asymmetric shingle containment |A∩B|/|A| for pairs sharing >= "
-        f"{CONTAIN_MIN_SHARED} distinct 3-shingles — catches a small doc "
-        "embedded in a large one (quote farms, concatenated dumps), which "
-        "symmetric Jaccard under-scores. Same candidate shape as the "
-        "ngram-Jaccard query; at scale the LSH bucket pre-filter bounds "
-        "the shingle self-join.")
+        f"{CONTAIN_MIN_SHARED} distinct RARE 3-shingles — catches a small "
+        "doc embedded in a large one (quote farms, concatenated dumps), "
+        "which symmetric Jaccard under-scores. Stop-shingle guard: shingles "
+        "above the document-frequency cap (floor 8 / 5% of corpus, integer "
+        "cross-multiply mirrored in the oracle) are dropped BEFORE the "
+        "self-join, bounding per-shingle fan-out the same way MAX_BUCKET "
+        "bounds LSH buckets.")
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return containment_pairs(docs, "doc_id", "text", 3, CONTAIN_MIN_SHARED)

@@ -167,6 +167,44 @@ def test_containment_bounds_and_threshold(spark):
         assert 0.0 < r.containment_a <= 1.0
 
 
+def test_containment_stop_shingle_dropped_from_candidates(spark):
+    """A shingle shared by most of the corpus (over the DF cap) must emit NO
+    candidate rows, while genuinely-contained pairs (rare shingles) are still
+    found — and their n_shared counts only the rare shingles."""
+    small = "alpha beta gamma delta epsilon zeta eta theta"
+    stop = "all rights reserved"
+    # 40 docs all ending with the stop-shingle; docs 1/2 also share the
+    # rare `small` span (2 < floor, kept). df(stop)=40 > floor 8 and
+    # > 5% of 40 -> dropped.
+    rows = [(1, small + " " + stop),
+            (2, "prefix words here " + small + " suffix words " + stop)]
+    rows += [(10 + i, f"unique{i} filler{i} text{i} body{i} " + stop)
+             for i in range(38)]
+    got = containment_pairs(_docs(spark, rows), "doc_id", "text", 3,
+                            min_shared=1).collect()
+    pairs = {(r.a, r.b): r for r in got}
+    assert (1, 2) in pairs
+    # n_shared excludes the stop-shingle span: only `small`'s 6 shingles
+    # (alpha..zeta starts) — none of the windows touching `stop` survive
+    assert pairs[(1, 2)].n_shared == 6
+    # no pair exists ONLY via the stop-shingle
+    assert all((a, b) == (1, 2) for a, b in pairs)
+
+
+def test_containment_guard_bounds_degenerate_corpus(spark):
+    """10k docs sharing one boilerplate shingle: unguarded, the self-join
+    emits ~5e7 candidate rows before HAVING; the DF guard drops the shingle
+    so the pair output is exactly the planted containment pair."""
+    small = "alpha beta gamma delta epsilon zeta eta theta"
+    stop = "copied boilerplate footer"
+    rows = [(1, small), (2, "head words " + small + " tail words")]
+    rows += [(100 + i, f"unique{i} filler{i} text{i} " + stop)
+             for i in range(10_000)]
+    got = containment_pairs(_docs(spark, rows), "doc_id", "text", 3,
+                            min_shared=1).collect()
+    assert {(r.a, r.b) for r in got} == {(1, 2)}
+
+
 # --- record linkage --------------------------------------------------------
 
 def test_blocked_pairs_never_cross_blocks(spark):
