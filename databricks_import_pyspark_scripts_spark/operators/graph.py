@@ -219,24 +219,70 @@ def pagerank_exact(vertices: DataFrame, edges: DataFrame,
     return pr
 
 
-def triangle_count(edges: DataFrame, group_col: str | None = None) -> DataFrame:
-    """Triangles per group (or one global row with group_col=None) over an
-    oriented edge list (src < dst required — orientation means each
-    triangle is enumerated exactly once, as (a<b<c)).
+def degree_oriented_edges(edges: DataFrame,
+                          group_col: str | None = None) -> DataFrame:
+    """Re-orient unique undirected edges (src < dst) from lower- to
+    higher-RANK endpoint, rank = (degree, id) — degrees per group when
+    ``group_col`` is set (each group is an independent graph). Returns
+    (*group, u, v, rank_v) with rank(u) < rank(v); rank_v is the struct
+    (d, i) used to order wedge endpoints without re-joining degrees.
 
-    Plan: two self-joins — wedge build (a-b, b-c) then closure probe
-    (a-c exists). At 100 TB the standard mitigation for high-degree hubs
-    is degree orientation (point edges from lower- to higher-degree
-    endpoint) so wedge counts are bounded by arboricity; id orientation is
-    the deterministic stand-in here and the join shape is identical.
+    This is THE hub mitigation for triangle counting: under id-orientation
+    a hub with a small id keeps out-degree O(deg) and its wedge build goes
+    quadratic; under degree-orientation the hub outranks its (mostly
+    lower-degree) neighbors, so edges point INTO it and per-vertex oriented
+    out-degree is bounded by O(sqrt(m)) / graph arboricity (Chiba-Nishizeki).
+    Rank ties are impossible: ids are unique, so (degree, id) is a strict
+    total order. One degree aggregate (map-side partial) + two id-keyed
+    joins, AQE-broadcast when the degree table is small.
     """
     cols = [group_col] if group_col else []
     e = edges.select(*cols, "src", "dst")
-    e1 = e.select(*cols, F.col("src").alias("a"), F.col("dst").alias("b"))
-    e2 = e.select(*cols, F.col("src").alias("b"), F.col("dst").alias("c"))
-    e3 = e.select(*cols, F.col("src").alias("a"), F.col("dst").alias("c"))
-    wedges = e1.join(e2, [*cols, "b"])
-    tris = wedges.join(e3, [*cols, "a", "c"], "left_semi")
+    sym = e.unionByName(
+        e.select(*cols, F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = (sym.groupBy(*cols, "src")
+           .agg(F.count(F.lit(1)).alias("_deg"))
+           .withColumnRenamed("src", "_v"))
+    ranked = (e
+              .join(deg.select(*cols, F.col("_v").alias("src"),
+                               F.col("_deg").alias("_deg_s")), [*cols, "src"])
+              .join(deg.select(*cols, F.col("_v").alias("dst"),
+                               F.col("_deg").alias("_deg_d")), [*cols, "dst"]))
+    rank_s = F.struct(F.col("_deg_s").alias("d"), F.col("src").alias("i"))
+    rank_d = F.struct(F.col("_deg_d").alias("d"), F.col("dst").alias("i"))
+    src_first = rank_s < rank_d
+    return ranked.select(
+        *cols,
+        F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
+        F.when(src_first, rank_d).otherwise(rank_s).alias("rank_v"))
+
+
+def triangle_count(edges: DataFrame, group_col: str | None = None) -> DataFrame:
+    """Triangles per group (or one global row with group_col=None) over a
+    unique undirected edge list (src < dst per row). Each triangle is
+    enumerated exactly once: with vertices ranked x < y < z by (degree, id),
+    the wedge is built at the lowest-rank corner x as (y, z) and closed by
+    the oriented edge y->z.
+
+    Plan: degree aggregate + orientation (``degree_oriented_edges``), then
+    two self-joins — wedge build on the shared low corner, left-semi
+    closure probe. Degree orientation bounds per-vertex wedge fan-out by
+    the oriented out-degree (<= O(sqrt(m))) instead of the raw degree, so
+    a hub vertex no longer generates O(deg^2) wedges — the triangle SET is
+    identical to id-orientation (it's the same triangles, found from a
+    different corner), only the intermediate wedge volume changes.
+    """
+    cols = [group_col] if group_col else []
+    o = degree_oriented_edges(edges, group_col)
+    e1 = o.select(*cols, F.col("u").alias("a"), F.col("v").alias("b"),
+                  F.col("rank_v").alias("_rb"))
+    e2 = o.select(*cols, F.col("u").alias("a"), F.col("v").alias("c"),
+                  F.col("rank_v").alias("_rc"))
+    e3 = o.select(*cols, F.col("u").alias("b"), F.col("v").alias("c"))
+    wedges = (e1.join(e2, [*cols, "a"])
+              .filter(F.col("_rb") < F.col("_rc")))
+    tris = wedges.join(e3, [*cols, "b", "c"], "left_semi")
     if group_col:
         return tris.groupBy(group_col).agg(
             F.count("*").alias("n_triangles"))

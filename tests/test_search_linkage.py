@@ -304,6 +304,30 @@ def test_triangle_count_on_known_graph(spark):
     assert total == 4
 
 
+def test_triangle_degree_orientation_bounds_hub_wedges(spark):
+    """Star graph, hub id 0 below every leaf id: id-orientation would give
+    the hub out-degree N (C(N,2) wedges); degree-orientation points every
+    edge leaf->hub, so max oriented out-degree is 1 and wedge count is 0 —
+    while the triangle count (0 for a star) and, with a closing edge, the
+    one genuine triangle are unchanged."""
+    from databricks_import_pyspark_scripts_spark.operators.graph import (
+        degree_oriented_edges,
+        triangle_count,
+    )
+
+    n = 200
+    star = spark.createDataFrame([(0, i) for i in range(1, n + 1)],
+                                 "src long, dst long")
+    o = degree_oriented_edges(star)
+    out_deg = o.groupBy("u").count().agg(F.max("count")).head()[0]
+    assert out_deg == 1  # every edge points leaf -> hub
+    assert triangle_count(star).head().n_triangles == 0
+    # close one leaf pair: exactly one triangle, still out-degree-bounded
+    closed = star.unionByName(
+        spark.createDataFrame([(1, 2)], "src long, dst long"))
+    assert triangle_count(closed).head().n_triangles == 1
+
+
 def test_histogram_covers_all_rows_and_clamps_max(spark):
     from databricks_import_pyspark_scripts_spark.querylib.search_linkage import (
         HIST_BUCKETS,
