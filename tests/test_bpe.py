@@ -152,3 +152,49 @@ def test_bpe_merge_supply_exhaustion_keeps_vocab(spark):
     got = {r.doc_id: (r.n_words, r.n_bpe_tokens)
            for r in bpe_token_counts(docs, "doc_id", "text", 4).collect()}
     assert got == {0: (3, 3), 1: (1, 1)}
+
+
+def test_bpe_high_iters_single_corpus_scan(spark, tmp_path):
+    """At iters >= BPE_MATERIALIZE_ITERS the initial vocab is
+    localCheckpointed: the final plan contains ZERO corpus scans (lineage
+    cut at the |vocab|-row frame — the corpus aggregate executed exactly
+    once, at checkpoint time), where the lazy chain re-embeds one corpus
+    scan per iteration. Results must be identical either way."""
+    import re
+
+    from databricks_import_pyspark_scripts_spark.operators.bpe import (
+        BPE_MATERIALIZE_ITERS,
+        bpe_apply_merges,
+    )
+
+    corpus = [(i, t) for i, t in enumerate(
+        ["low lower lowest", "new newer newest", "wide wider widest",
+         "low new wide", "lower newer wider"])]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(corpus, "doc_id long, text string").write.parquet(src)
+    docs = spark.read.parquet(src)
+
+    def plan(df):
+        return df._jdf.queryExecution().explainString(  # noqa: SLF001
+            spark._jvm.org.apache.spark.sql.execution  # noqa: SLF001
+            .ExplainMode.fromString("formatted"))
+
+    hi = BPE_MATERIALIZE_ITERS + 1
+    chk = bpe_apply_merges(docs, "text", iters=hi)
+    assert plan(chk).count("docs.parquet") == 0  # lineage cut: vocab RDD
+    assert "Scan ExistingRDD" in plan(chk)
+    lazy = bpe_apply_merges(docs, "text", iters=BPE_MATERIALIZE_ITERS - 1)
+    assert plan(lazy).count("docs.parquet") >= BPE_MATERIALIZE_ITERS - 1
+
+    # semantics unchanged by materialization: compare hi-iters checkpointed
+    # result against the same corpus re-run under a raised threshold
+    import databricks_import_pyspark_scripts_spark.operators.bpe as bpe_mod
+    got = {r.word: r.s for r in chk.collect()}
+    orig = bpe_mod.BPE_MATERIALIZE_ITERS
+    try:
+        bpe_mod.BPE_MATERIALIZE_ITERS = 10_000
+        want = {r.word: r.s
+                for r in bpe_apply_merges(docs, "text", iters=hi).collect()}
+    finally:
+        bpe_mod.BPE_MATERIALIZE_ITERS = orig
+    assert got == want
