@@ -135,7 +135,14 @@ def main() -> int:
     # bench work bounded on a CPU-throttling host.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+    # HEADLINE runs the comparable tier FIRST (cold-ish), the skew stress
+    # pair second, the extension tier last — so round-over-round comparable
+    # numbers aren't measured on a host heated by 15 heavy extension
+    # queries. All raw samples are recorded: a single min can be a throttle
+    # artifact (r5's dedup_embedding_cosine 5.01s "regression" measured
+    # 2.9-3.0s warm when re-run interleaved in isolation).
     for name in HEADLINE:
         fn = qs[name]
         try:
@@ -145,23 +152,33 @@ def main() -> int:
                 dt = time.time() - t0
                 # best-so-far recorded after EVERY successful run: a run-2
                 # failure must not lose the valid run-1 measurement
+                samples.setdefault(name, []).append(round(dt, 3))
                 timings[name] = round(min(timings.get(name, dt), dt), 3)
         except Exception as ex:  # noqa: BLE001 — record and keep benching
             errors[name] = f"{type(ex).__name__}: {str(ex)[:300]}"
     try:
         for _ in range(runs):
             dt = _bench_unload_e2e(spark, sf_dir)
+            samples.setdefault("unload_e2e_events", []).append(round(dt, 3))
             timings["unload_e2e_events"] = round(
                 min(timings.get("unload_e2e_events", dt), dt), 3)
     except Exception as ex:  # noqa: BLE001
         errors["unload_e2e_events"] = f"{type(ex).__name__}: {str(ex)[:300]}"
     total = round(sum(timings.values()), 3)
+
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
     # the skew stress pair is a deliberate straggler demonstration (the
     # unsalted row EXISTS to be slow); break it out so round-over-round
     # totals stay comparable to earlier rounds' query sets
     stress = [k for k in timings if k.startswith("skew_groupmap_")]
     stress_sec = round(sum(timings[k] for k in stress), 3)
     ext_sec = round(sum(timings[k] for k in timings if k in EXTENSION_ROWS), 3)
+    # same membership as comparable_queries_sec (includes the unload e2e row)
+    comp = [k for k in timings
+            if k not in EXTENSION_ROWS and k not in stress]
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -169,7 +186,16 @@ def main() -> int:
         "comparable_queries_sec": round(total - stress_sec - ext_sec, 3),
         "skew_stress_sec": stress_sec,
         "r5_extension_sec": ext_sec,
+        # per-tier medians-of-samples alongside the min-of-N totals: a
+        # min-vs-min drift with stable medians is host noise, not a plan
+        # regression (bench hygiene, VERDICT r5 #5)
+        "comparable_median_sec": round(
+            sum(_median(samples[k]) for k in comp if k in samples), 3),
+        "extension_median_sec": round(
+            sum(_median(samples[k]) for k in timings
+                if k in EXTENSION_ROWS and k in samples), 3),
         "queries": timings,
+        "query_samples": samples,
         "sf": float(sf),
         "runs_per_query": runs,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS")
