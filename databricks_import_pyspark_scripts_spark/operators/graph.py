@@ -21,24 +21,41 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
+
+
+def _truncate(df: DataFrame, reliable: bool) -> DataFrame:
+    """Cut lineage between iterative rounds. Default is localCheckpoint:
+    blocks pin to executor storage (MEMORY_AND_DISK) with no checkpoint-dir
+    round-trip — markedly cheaper per round, and the right trade on
+    dedicated clusters where an executor loss just fails-fast the job.
+    Pass reliable=True (plumbed through the public operators as
+    ``reliable_checkpoints``) on preemptible/spot fleets: a reliable
+    checkpoint writes to the checkpoint dir (set it to durable storage via
+    ``sc.setCheckpointDir``) and survives executor loss mid-algorithm.
+    """
+    if reliable:
+        sc = df.sparkSession.sparkContext
+        if not sc.getCheckpointDir():
+            sc.setCheckpointDir("/tmp/spark_graft_checkpoints")
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def connected_components(vertices: DataFrame, edges: DataFrame,
                          id_col: str = "id", src_col: str = "src",
-                         dst_col: str = "dst", max_iter: int = 20) -> DataFrame:
+                         dst_col: str = "dst", max_iter: int = 20,
+                         reliable_checkpoints: bool = False) -> DataFrame:
     """(id, component): component = min vertex id reachable from ``id``.
 
     ``edges`` are undirected (symmetrized internally).
     """
-    spark = vertices.sparkSession
-    sc = spark.sparkContext
-    if not sc.getCheckpointDir():
-        sc.setCheckpointDir("/tmp/spark_graft_checkpoints")
     sym = (edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
            .unionByName(
                edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
-           .distinct()
-           # materialize once: the edge list may be an expensive pipeline
-           # (e.g. the MinHash candidate join) and is reused every round
-           .checkpoint(eager=True))
+           .distinct())
+    # materialize once: the edge list may be an expensive pipeline
+    # (e.g. the MinHash candidate join) and is reused every round
+    sym = _truncate(sym, reliable_checkpoints)
     labels = vertices.select(F.col(id_col).alias("id"),
                              F.col(id_col).alias("component"))
     for it in range(max_iter):
@@ -59,10 +76,9 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
                               (F.coalesce("nbr_component", "component")
                                < F.col("component")).cast("long")
                               .alias("changed")))
-        new_labels = (new_labels
-                      .observe(obs, F.sum("changed").alias("n_changed"))
-                      .drop("changed")
-                      .checkpoint(eager=True))
+        new_labels = _truncate(
+            new_labels.observe(obs, F.sum("changed").alias("n_changed"))
+            .drop("changed"), reliable_checkpoints)
         labels = new_labels
         if not obs.get["n_changed"]:
             return labels
@@ -108,7 +124,8 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
 def connected_components_star(vertices: DataFrame, edges: DataFrame,
                               id_col: str = "id", src_col: str = "src",
                               dst_col: str = "dst",
-                              max_iter: int = 30) -> DataFrame:
+                              max_iter: int = 30,
+                              reliable_checkpoints: bool = False) -> DataFrame:
     """(id, component) via alternating large-star/small-star contraction —
     the O(log n)-round form of connected components for HIGH-DIAMETER
     graphs, where ``connected_components``'s per-round neighbor-min
@@ -124,25 +141,22 @@ def connected_components_star(vertices: DataFrame, edges: DataFrame,
     set-difference before returning (the signature alone is
     probabilistic; the confirmation makes termination exact).
     """
-    spark = vertices.sparkSession
-    sc = spark.sparkContext
-    if not sc.getCheckpointDir():
-        sc.setCheckpointDir("/tmp/spark_graft_checkpoints")
-    e = (_symmetric(edges.select(F.col(src_col).alias("a"),
-                                 F.col(dst_col).alias("b")))
-         .distinct().checkpoint(eager=True))
+    e = _truncate(
+        _symmetric(edges.select(F.col(src_col).alias("a"),
+                                F.col(dst_col).alias("b"))).distinct(),
+        reliable_checkpoints)
     prev_sig = None
     for it in range(max_iter):
         stepped = _star_round(_star_round(e, large=True), large=False)
         obs = Observation(f"cc_star_{it}")
-        stepped = (stepped.observe(
+        stepped = _truncate(stepped.observe(
             obs,
             F.count(F.lit(1)).alias("n"),
             # bit_xor: order-independent and overflow-free (sum of hashes
             # trips ANSI long-overflow); xor-cancellation needs the SAME
             # edge twice, and the set is distinct
-            F.bit_xor(F.xxhash64("a", "b")).alias("h"))
-            .checkpoint(eager=True))
+            F.bit_xor(F.xxhash64("a", "b")).alias("h")),
+            reliable_checkpoints)
         sig = (obs.get["n"], obs.get["h"])
         if sig == prev_sig:
             # exact confirmation: signatures are probabilistic
@@ -290,7 +304,8 @@ def triangle_count(edges: DataFrame, group_col: str | None = None) -> DataFrame:
 
 
 def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 4,
-               src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+               src_col: str = "src", dst_col: str = "dst",
+               reliable_checkpoints: bool = False) -> DataFrame:
     """(node, degree): the subgraph surviving ``rounds`` of k-core peeling —
     each round SIMULTANEOUSLY removes every node whose current degree is
     below ``k`` (degree computed before any of the round's removals), the
@@ -309,17 +324,13 @@ def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 4,
     candidate join). Edges must be unique undirected pairs; symmetrized
     and de-duplicated here.
     """
-    spark = edges.sparkSession
-    sc = spark.sparkContext
-    if not sc.getCheckpointDir():
-        sc.setCheckpointDir("/tmp/spark_graft_checkpoints")
-    sym = (edges.select(F.col(src_col).alias("node"),
-                        F.col(dst_col).alias("nbr"))
-           .unionByName(edges.select(F.col(dst_col).alias("node"),
-                                     F.col(src_col).alias("nbr")))
-           .filter(F.col("node") != F.col("nbr"))
-           .distinct()
-           .checkpoint(eager=True))
+    sym = _truncate(
+        edges.select(F.col(src_col).alias("node"),
+                     F.col(dst_col).alias("nbr"))
+        .unionByName(edges.select(F.col(dst_col).alias("node"),
+                                  F.col(src_col).alias("nbr")))
+        .filter(F.col("node") != F.col("nbr"))
+        .distinct(), reliable_checkpoints)
     alive = sym
     prev_n = None
     for it in range(rounds):
@@ -328,12 +339,13 @@ def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 4,
                 .filter(F.col("_deg") >= k)
                 .select("node"))
         obs = Observation(f"kcore_round_{it}")
-        alive = (alive
-                 .join(surv, "node", "left_semi")
-                 .join(surv.select(F.col("node").alias("nbr")), "nbr",
-                       "left_semi")
-                 .observe(obs, F.count(F.lit(1)).alias("n_edges"))
-                 .checkpoint(eager=True))
+        alive = _truncate(
+            alive
+            .join(surv, "node", "left_semi")
+            .join(surv.select(F.col("node").alias("nbr")), "nbr",
+                  "left_semi")
+            .observe(obs, F.count(F.lit(1)).alias("n_edges")),
+            reliable_checkpoints)
         n = obs.get["n_edges"]
         if n == prev_n:
             break  # fixpoint: the remaining rounds are no-ops
