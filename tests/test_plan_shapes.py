@@ -152,3 +152,26 @@ def test_duplicate_passages_is_hash_join_only(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert (_nodes(plan, "SortMergeJoin") + _nodes(plan, "BroadcastHashJoin")
             + _nodes(plan, "ShuffledHashJoin")) >= 1
+
+
+def test_containment_guard_semifilters_both_join_sides(spark, sf_dir):
+    """The stop-shingle DF guard must execute BEFORE the candidate
+    self-join: each side of the shingle self-join is left-semi filtered
+    against the ok-shingle set, so an over-cap shingle never reaches the
+    pair explode (the m^2/2 blowup the guard exists to prevent)."""
+    df = all_queries()["dedup_containment_pairs"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Join LeftSemi") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_wedge_join_is_equi_join(spark, sf_dir):
+    """Degree-oriented triangle counting: wedge build and closure probe
+    are equi-joins (one left-semi for the closure); no nested-loop join
+    may appear — the rank comparison is a post-join filter, never a join
+    condition that forces BroadcastNestedLoopJoin."""
+    df = all_queries()["graph_triangle_count"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Join LeftSemi") >= 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
