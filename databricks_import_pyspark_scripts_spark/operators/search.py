@@ -168,13 +168,17 @@ def duplicate_passage_stats(docs: DataFrame, id_col: str, text_col: str,
     multi = (hashed.distinct().groupBy("h")
              .agg(F.count("*").alias("ndocs"))
              .filter(F.col("ndocs") >= 2)
-             .select("h"))
-    flagged = hashed.join(multi, "h", "left_semi")
-    per_doc = (hashed.groupBy(id_col).agg(F.count("*").alias("n_windows"))
-               .join(flagged.groupBy(id_col)
-                     .agg(F.count("*").alias("n_dup_windows")),
-                     id_col, "left")
-               .na.fill({"n_dup_windows": 0}))
+             .select("h", F.lit(1).alias("_dup")))
+    # ONE pass over the window hashes serves both counters: left-join the
+    # multi-doc hash set and count total vs matched rows in a single
+    # per-doc aggregate. The earlier 3-scan form (separate n_windows
+    # aggregate + semi-join + n_dup aggregate) re-ran the explode+md5
+    # pipeline — a whole extra corpus pass at 100 TB — for the same
+    # numbers. The left join shuffles on h exactly like the semi-join did.
+    per_doc = (hashed.join(multi, "h", "left")
+               .groupBy(id_col)
+               .agg(F.count("*").alias("n_windows"),
+                    F.count("_dup").alias("n_dup_windows")))
     return per_doc.select(
         id_col, "n_windows", "n_dup_windows",
         F.round(F.col("n_dup_windows") * F.lit(1.0) / F.col("n_windows"), 4)
