@@ -175,3 +175,14 @@ def test_triangle_wedge_join_is_equi_join(spark, sf_dir):
     assert plan.count("Join LeftSemi") >= 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_duplicate_passages_two_corpus_passes(spark, sf_dir):
+    """Passage dedup needs exactly two passes over the window-hash
+    pipeline (one to build the multi-doc hash set, one for the per-doc
+    counters — r6 folded the counters into a single left-join aggregate).
+    A third documents scan means the 3-pass shape crept back: a whole
+    extra corpus explode+md5 pass at 100 TB."""
+    df = all_queries()["text_duplicate_passages"](spark, sf_dir)
+    plan = _plan(df)
+    assert _scans(plan, "documents") == 2
