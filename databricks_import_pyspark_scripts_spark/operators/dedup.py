@@ -541,19 +541,24 @@ def simhash_bands_df(sigs: DataFrame, id_col: str = "doc_id",
     Band b is bits [b*band_bits, (b+1)*band_bits) extracted with shiftright —
     NOT float division: the code is up to 2^60, past float64's 53-bit
     mantissa, so ``floor(x / 2^k)`` would silently corrupt high bands.
+
+    ONE pass over ``sigs``: the per-band rows come from exploding a
+    generated (band_idx, band) struct array, not a union of per-band
+    selects — the union form re-executed the upstream signature pipeline
+    once per band (num_bands extra corpus passes through the Arrow
+    signature stage at 100 TB; no exchange reuse dedups union branches).
     """
-    parts = [
-        sigs.select(
-            F.col(id_col), F.col(sim_col),
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_idx"),
             (F.shiftright(F.col(sim_col), band_bits * b)
-             % (2 ** band_bits)).alias("band"),
-            F.lit(b).alias("band_idx"))
-        for b in range(num_bands)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+             % (2 ** band_bits)).alias("band"))
+        for b in range(num_bands)])
+    return (sigs.select(F.col(id_col), F.col(sim_col),
+                        F.explode(band_structs).alias("_b"))
+            .select(F.col(id_col), F.col(sim_col),
+                    F.col("_b.band").alias("band"),
+                    F.col("_b.band_idx").alias("band_idx")))
 
 
 def simhash_pairs(sigs: DataFrame, id_col: str = "doc_id",

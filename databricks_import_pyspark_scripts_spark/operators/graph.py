@@ -185,7 +185,8 @@ PR_ITERS = 2
 
 def pagerank_exact(vertices: DataFrame, edges: DataFrame,
                    iters: int = PR_ITERS,
-                   scale: int = PR_SCALE) -> DataFrame:
+                   scale: int = PR_SCALE,
+                   reliable_checkpoints: bool = False) -> DataFrame:
     """(id, pr): fixed-point integer PageRank after ``iters`` rounds —
     exact int64 arithmetic throughout, so the iterative algorithm is
     oracle-checkable (the same trick as the floor-mean k-means: floats
@@ -208,10 +209,16 @@ def pagerank_exact(vertices: DataFrame, edges: DataFrame,
     at many rounds, localCheckpoint per round exactly like
     ``min_label_propagation``.
     """
-    sym = (edges.select("src", "dst")
-           .unionByName(edges.select(F.col("dst").alias("src"),
-                                     F.col("src").alias("dst")))
-           .filter(F.col("src") != F.col("dst")))
+    # The edge list is typically an expensive pipeline (the gate feeds the
+    # full MinHash near-dup join here) and is referenced by degree + every
+    # round's contribution join — materialize it ONCE or the plan replays
+    # the upstream pipeline per reference (measured 27 corpus scans in the
+    # unmaterialized plan, no exchange reuse).
+    sym = _truncate(
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst")), reliable_checkpoints)
     deg = sym.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("deg"))
     base = ((PR_DAMP_DEN - PR_DAMP_NUM) * scale) // PR_DAMP_DEN
@@ -234,7 +241,8 @@ def pagerank_exact(vertices: DataFrame, edges: DataFrame,
 
 
 def degree_oriented_edges(edges: DataFrame,
-                          group_col: str | None = None) -> DataFrame:
+                          group_col: str | None = None,
+                          reliable_checkpoints: bool = False) -> DataFrame:
     """Re-orient unique undirected edges (src < dst) from lower- to
     higher-RANK endpoint, rank = (degree, id) — degrees per group when
     ``group_col`` is set (each group is an independent graph). Returns
@@ -251,7 +259,12 @@ def degree_oriented_edges(edges: DataFrame,
     joins, AQE-broadcast when the degree table is small.
     """
     cols = [group_col] if group_col else []
-    e = edges.select(*cols, "src", "dst")
+    # materialize the unique-edge projection once: it is referenced by the
+    # symmetrized degree build (x2) and both endpoint-rank joins, and the
+    # input is typically an expensive candidate pipeline (the gate feeds
+    # the blocked-ER match join here) — unmaterialized, the plan replays
+    # it per reference with no exchange reuse
+    e = _truncate(edges.select(*cols, "src", "dst"), reliable_checkpoints)
     sym = e.unionByName(
         e.select(*cols, F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = (sym.groupBy(*cols, "src")
@@ -272,7 +285,8 @@ def degree_oriented_edges(edges: DataFrame,
         F.when(src_first, rank_d).otherwise(rank_s).alias("rank_v"))
 
 
-def triangle_count(edges: DataFrame, group_col: str | None = None) -> DataFrame:
+def triangle_count(edges: DataFrame, group_col: str | None = None,
+                   reliable_checkpoints: bool = False) -> DataFrame:
     """Triangles per group (or one global row with group_col=None) over a
     unique undirected edge list (src < dst per row). Each triangle is
     enumerated exactly once: with vertices ranked x < y < z by (degree, id),
@@ -288,7 +302,11 @@ def triangle_count(edges: DataFrame, group_col: str | None = None) -> DataFrame:
     different corner), only the intermediate wedge volume changes.
     """
     cols = [group_col] if group_col else []
-    o = degree_oriented_edges(edges, group_col)
+    # oriented edges feed three self-join sides; materialize once so the
+    # orientation joins run a single time
+    o = _truncate(degree_oriented_edges(edges, group_col,
+                                        reliable_checkpoints),
+                  reliable_checkpoints)
     e1 = o.select(*cols, F.col("u").alias("a"), F.col("v").alias("b"),
                   F.col("rank_v").alias("_rb"))
     e2 = o.select(*cols, F.col("u").alias("a"), F.col("v").alias("c"),
