@@ -97,9 +97,27 @@ def top_terms_as_queries(postings: DataFrame, n_terms: int,
         "term")
 
 
+def bm25_index(docs: DataFrame, id_col: str,
+               text_col: str) -> tuple[DataFrame, DataFrame]:
+    """(postings, doc_lengths), each materialized exactly once
+    (localCheckpoint). The index is the expensive artifact — one tokenize
+    pass each — and every consumer (df aggregate, query scoring, scalar
+    stats, workload derivation) re-references it; unmaterialized, each
+    reference replays the corpus tokenize (no exchange reuse across
+    self-references). This is also the honest production shape: the
+    inverted index is built once and queried many times, not rebuilt per
+    search batch."""
+    post = term_postings(docs, id_col, text_col).localCheckpoint(eager=True)
+    dls = doc_lengths(docs, id_col, text_col).localCheckpoint(eager=True)
+    return post, dls
+
+
 def bm25_topk(docs: DataFrame, queries: DataFrame, id_col: str,
-              text_col: str, k: int = BM25_TOPK) -> DataFrame:
+              text_col: str, k: int = BM25_TOPK,
+              index: tuple[DataFrame, DataFrame] | None = None) -> DataFrame:
     """BM25 top-k documents per query. ``queries`` is (qid, term).
+    ``index`` accepts a prebuilt ``bm25_index`` pair (built here when
+    absent).
 
     Plan: postings ⋈ broadcast(queries) ⋈ doc-lengths ⋈ broadcast(scalars),
     fixed-point contribution per (qid, doc, term), exact integer sum per
@@ -107,9 +125,9 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, id_col: str,
     score)."""
     from pyspark.sql import Window
 
-    post = term_postings(docs, id_col, text_col)
+    post, dls = index if index is not None else bm25_index(
+        docs, id_col, text_col)
     dfreq = post.groupBy("term").agg(F.count("*").alias("df"))
-    dls = doc_lengths(docs, id_col, text_col)
     scalars = dls.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
     scored = (post

@@ -87,10 +87,13 @@ def _bm25_oracle() -> str:
         "shuffles (postings, df) + broadcast query/scalar joins + per-qid "
         "window top-k.")
 def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.search import bm25_index
+
     docs = load_table(spark, sf_dir, "documents")
-    post = term_postings(docs, "doc_id", "text")
-    queries = top_terms_as_queries(post, BM25_N_TERMS, BM25_TERMS_PER_QUERY)
-    out = bm25_topk(docs, queries, "doc_id", "text", BM25_TOPK)
+    index = bm25_index(docs, "doc_id", "text")
+    queries = top_terms_as_queries(index[0], BM25_N_TERMS,
+                                   BM25_TERMS_PER_QUERY)
+    out = bm25_topk(docs, queries, "doc_id", "text", BM25_TOPK, index=index)
     return out.select("qid", "rank", "doc_id", "score_fx", "score")
 
 
