@@ -185,8 +185,7 @@ PR_ITERS = 2
 
 def pagerank_exact(vertices: DataFrame, edges: DataFrame,
                    iters: int = PR_ITERS,
-                   scale: int = PR_SCALE,
-                   reliable_checkpoints: bool = False) -> DataFrame:
+                   scale: int = PR_SCALE) -> DataFrame:
     """(id, pr): fixed-point integer PageRank after ``iters`` rounds —
     exact int64 arithmetic throughout, so the iterative algorithm is
     oracle-checkable (the same trick as the floor-mean k-means: floats
@@ -209,16 +208,19 @@ def pagerank_exact(vertices: DataFrame, edges: DataFrame,
     at many rounds, localCheckpoint per round exactly like
     ``min_label_propagation``.
     """
-    # The edge list is typically an expensive pipeline (the gate feeds the
-    # full MinHash near-dup join here) and is referenced by degree + every
-    # round's contribution join — materialize it ONCE or the plan replays
-    # the upstream pipeline per reference (measured 27 corpus scans in the
-    # unmaterialized plan, no exchange reuse).
-    sym = _truncate(
-        edges.select("src", "dst")
-        .unionByName(edges.select(F.col("dst").alias("src"),
-                                  F.col("src").alias("dst")))
-        .filter(F.col("src") != F.col("dst")), reliable_checkpoints)
+    # Deliberately LAZY: the whole unrolled chain is ONE action, so
+    # Spark's exchange reuse dedups the (expensive) edge-pipeline subtrees
+    # at runtime — the static plan shows the minhash edge feed repeated
+    # per reference, but the executed plan runs it once. Measured at
+    # sf0.1 (interleaved A/B): lazy 1.08s vs eager localCheckpoint 2.81s —
+    # the checkpoint's job barrier + block write costs more than it saves
+    # here. Contrast the round-LOOP operators (connected_components,
+    # kcore_peel): their per-round convergence probes are separate jobs,
+    # reuse cannot span jobs, so they genuinely need the checkpoint.
+    sym = (edges.select("src", "dst")
+           .unionByName(edges.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+           .filter(F.col("src") != F.col("dst")))
     deg = sym.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("deg"))
     base = ((PR_DAMP_DEN - PR_DAMP_NUM) * scale) // PR_DAMP_DEN
