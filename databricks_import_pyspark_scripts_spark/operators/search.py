@@ -261,10 +261,17 @@ def containment_pairs(docs: DataFrame, id_col: str, text_col: str,
                   | (F.col("df") * df_den <= F.col("n_docs") * df_num))
           .select("s"))
     rare = sh.join(ok, "s", "left_semi")
-    a = rare.select(F.col(id_col).alias("a"), "s")
-    b = rare.select(F.col(id_col).alias("b"), "s")
-    shared = (a.join(b, "s")
-              .filter(F.col("a") < F.col("b"))
+    # within-bucket pair explode (bucket == shingle), the same shape as the
+    # LSH candidate paths: ONE pass over the guarded shingle explode feeds
+    # a single groupBy — the earlier two-sided self-join re-ran the
+    # tokenize+shingle pipeline per join side (the projections differ, so
+    # exchange reuse can't dedup them). Per-shingle fan-out is already
+    # bounded by the DF guard above, so no extra max_bucket cap is needed;
+    # pair counts are identical to the self-join's (each shared surviving
+    # shingle contributes one (a, b) row before the per-pair count).
+    from .dedup import bucket_pairs
+
+    shared = (bucket_pairs(rare, ["s"], F.col(id_col))
               .groupBy("a", "b").agg(F.count("*").alias("n_shared"))
               .filter(F.col("n_shared") >= min_shared))
     return (shared

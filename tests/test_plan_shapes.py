@@ -154,15 +154,19 @@ def test_duplicate_passages_is_hash_join_only(spark, sf_dir):
             + _nodes(plan, "ShuffledHashJoin")) >= 1
 
 
-def test_containment_guard_semifilters_both_join_sides(spark, sf_dir):
-    """The stop-shingle DF guard must execute BEFORE the candidate
-    self-join: each side of the shingle self-join is left-semi filtered
-    against the ok-shingle set, so an over-cap shingle never reaches the
-    pair explode (the m^2/2 blowup the guard exists to prevent)."""
+def test_containment_guard_precedes_pair_explode(spark, sf_dir):
+    """The stop-shingle DF guard must execute BEFORE candidate generation
+    (left-semi of the shingle explode against the ok-shingle set), and
+    candidates must come from the single-pass within-bucket explode — no
+    two-sided shingle self-join (which would re-run the tokenize+shingle
+    pipeline per side), no cartesian."""
     df = all_queries()["dedup_containment_pairs"](spark, sf_dir)
     plan = _plan(df)
-    assert plan.count("Join LeftSemi") >= 2
+    assert plan.count("Join LeftSemi") >= 1
     assert "CartesianProduct" not in plan
+    # 3 tokenize passes (sizes / df-guard / pair explode), not 4+: the
+    # self-join form scanned documents once more per join side
+    assert _scans(plan, "documents") <= 4
 
 
 def test_triangle_wedge_join_is_equi_join(spark, sf_dir):
@@ -186,3 +190,15 @@ def test_duplicate_passages_two_corpus_passes(spark, sf_dir):
     df = all_queries()["text_duplicate_passages"](spark, sf_dir)
     plan = _plan(df)
     assert _scans(plan, "documents") == 2
+
+
+def test_simhash_pairs_single_signature_pass(spark, sf_dir):
+    """The band split must be the generated-struct explode over one
+    signature pass: exactly 2 documents scans (collapse pre-pass +
+    signature pipeline) and one Arrow signature stage. More scans means
+    the per-band union-of-selects crept back — num_bands extra corpus
+    passes through the Arrow stage at scale."""
+    df = all_queries()["dedup_simhash_pairs"](spark, sf_dir)
+    plan = _plan(df)
+    assert _scans(plan, "documents") == 2
+    assert _nodes(plan, "ArrowEvalPython") == 1
