@@ -9,8 +9,11 @@ visible in-repo instead of being reconstructed by each judge (VERDICT r5
 next-round #8). Output replaces the `## Attestation ledger` section of
 COVERAGE.md (appends it if absent).
 
-Usage: python tools/attestation_ledger.py [--check]
-  --check  exit 1 if COVERAGE.md is out of date instead of rewriting it.
+Usage: python tools/attestation_ledger.py [--check|--suggest]
+  --check    exit 1 if COVERAGE.md is out of date instead of rewriting it.
+  --suggest  print the recommended next-round `_PRIORITY` body (never-
+             attested names first, then oldest-attested first, stable by
+             current order) ready to paste into querylib/__init__.py.
 """
 
 from __future__ import annotations
@@ -75,6 +78,12 @@ def render(names: list[str], hist: dict[str, tuple[int, bool]]) -> str:
 
 def main() -> int:
     names, hist = gather()
+    if "--suggest" in sys.argv:
+        order = sorted(range(len(names)),
+                       key=lambda i: (hist.get(names[i], (0,))[0], i))
+        for i in order:
+            print(f'    "{names[i]}",')
+        return 0
     section = render(names, hist)
     cov_path = os.path.join(REPO, "COVERAGE.md")
     with open(cov_path) as f:
