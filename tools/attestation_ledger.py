@@ -81,8 +81,11 @@ def main() -> int:
     if "--suggest" in sys.argv:
         order = sorted(range(len(names)),
                        key=lambda i: (hist.get(names[i], (0,))[0], i))
-        for i in order:
-            print(f'    "{names[i]}",')
+        try:
+            for i in order:
+                print(f'    "{names[i]}",')
+        except BrokenPipeError:  # piped through head — not an error
+            pass
         return 0
     section = render(names, hist)
     cov_path = os.path.join(REPO, "COVERAGE.md")
