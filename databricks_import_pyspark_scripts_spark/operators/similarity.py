@@ -158,6 +158,71 @@ def _pair_cosine_pd(q: Column, v: Column, qn2: Column, vn2: Column,
     return dot_pd_col(q, v, deterministic) / F.sqrt(qn2 * vn2)
 
 
+def pair_cosines(cand: DataFrame, vectors: DataFrame,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 strategy: str = "broadcast") -> DataFrame:
+    """Exact cosine for candidate pairs ``(id_a, id_b)`` against a vector
+    table — the verify stage every LSH/cluster dedup ends in. Returns
+    (id_a, id_b, cosine), cosine UNROUNDED (call sites round/filter).
+
+    Two strategies, chosen by which side is the big one:
+
+    * ``broadcast`` — the vector table broadcasts (twice, once per pair
+      side) and the PAIR STREAM never shuffles: candidates flow map-side
+      through two broadcast hash joins straight into the Arrow cosine.
+      Right whenever the (deduped) vector table fits the broadcast
+      threshold — n * dim * 4 bytes, e.g. 10M x 64-dim fp32 = 2.5 GB is
+      too big, 500k = 128 MB is fine — while the candidate set is the
+      O(sum bucket^2) big side. On the adversarial bench corpus (2k
+      vectors, 816k surviving pairs) this replaced a ~500 MB pair shuffle
+      (1.6M melted rows each carrying a 64-dim struct) whose spill/page
+      pressure caused 2x run-to-run wobble; broadcast verify measures a
+      stable ~2.9 s warm (SCALE.md r7).
+    * ``melt`` — the scale path when the vector table does NOT broadcast:
+      each pair melts into two (pair, id) rows, the corpus joins by id
+      ONCE (one corpus scan; only MATCHED vectors shuffle — candidate-
+      bounded), and a groupBy on the pair reassembles both vectors via
+      max_by on the role flag. Nothing corpus-sized shuffles.
+
+    The Arrow cosine is marked non-deterministic (see ``dot_pd_col``) so
+    a downstream threshold filter cannot clone it into a second
+    ArrowEvalPython stage.
+    """
+    v = vectors.select(F.col(id_col), F.col(vec_col).alias("_e"),
+                       dot_col(F.col(vec_col), F.col(vec_col)).alias("_n2"))
+    if strategy == "broadcast":
+        va = v.select(F.col(id_col).alias("id_a"), F.col("_e").alias("_ea"),
+                      F.col("_n2").alias("_na"))
+        vb = v.select(F.col(id_col).alias("id_b"), F.col("_e").alias("_eb"),
+                      F.col("_n2").alias("_nb"))
+        joined = (cand.select("id_a", "id_b")
+                  .join(F.broadcast(va), "id_a")
+                  .join(F.broadcast(vb), "id_b"))
+        return joined.select(
+            "id_a", "id_b",
+            _pair_cosine_pd(F.col("_ea"), F.col("_eb"),
+                            F.col("_na"), F.col("_nb"),
+                            deterministic=False).alias("cosine"))
+    if strategy != "melt":
+        raise ValueError(f"unknown pair-verify strategy {strategy!r}")
+    melted = cand.select(
+        "id_a", "id_b",
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col))
+    pairs = (melted.join(v, id_col)
+             .groupBy("id_a", "id_b")
+             .agg(F.max_by(F.struct(F.col("_e"), F.col("_n2")),
+                           (F.col(id_col) == F.col("id_a")).cast("int"))
+                  .alias("va"),
+                  F.max_by(F.struct(F.col("_e"), F.col("_n2")),
+                           (F.col(id_col) == F.col("id_b")).cast("int"))
+                  .alias("vb")))
+    return pairs.select(
+        "id_a", "id_b",
+        _pair_cosine_pd(F.col("va._e"), F.col("vb._e"),
+                        F.col("va._n2"), F.col("vb._n2"),
+                        deterministic=False).alias("cosine"))
+
+
 def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     """Exact cosine top-k: broadcast queries x all vectors.
 
@@ -664,24 +729,8 @@ def semdedup_flags(vectors: DataFrame, centroids: DataFrame,
     cand = (bucket_pairs(cells, ["cell"], F.col(id_col),
                          max_bucket=max_bucket)
             .select(F.col("a").alias("id_a"), F.col("b").alias("id_b")))
-    v = vectors.select(F.col(id_col), F.col(vec_col).alias("_e"),
-                       dot_col(F.col(vec_col), F.col(vec_col)).alias("_n2"))
-    melted = cand.select(
-        "id_a", "id_b",
-        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col))
-    pairs = (melted.join(v, id_col)
-             .groupBy("id_a", "id_b")
-             .agg(F.max_by(F.struct(F.col("_e"), F.col("_n2")),
-                           (F.col(id_col) == F.col("id_a")).cast("int"))
-                  .alias("va"),
-                  F.max_by(F.struct(F.col("_e"), F.col("_n2")),
-                           (F.col(id_col) == F.col("id_b")).cast("int"))
-                  .alias("vb")))
-    scored = pairs.select(
-        "id_a", "id_b",
-        F.round(_pair_cosine_pd(F.col("va._e"), F.col("vb._e"),
-                                F.col("va._n2"), F.col("vb._n2"),
-                                deterministic=False), 4).alias("cosine"))
+    scored = (pair_cosines(cand, vectors, id_col, vec_col, strategy="melt")
+              .withColumn("cosine", F.round(F.col("cosine"), 4)))
     # pairs are (smaller, larger): the LARGER id is the one SemDeDup drops
     dropped = (scored.filter(F.col("cosine") >= threshold)
                .groupBy("id_b")

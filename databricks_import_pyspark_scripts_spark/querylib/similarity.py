@@ -251,15 +251,8 @@ def _embedding_dedup_oracle() -> str:
         "per-table collision probability is near 1 and recall approaches "
         "100% at far lower candidate volume.")
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import (
-        _pair_cosine_pd,
-        dot_col,
-        lsh_table_buckets_pd_df,
-    )
-
-    from ..operators.dedup import bucket_pairs
-
-    from ..operators.dedup import MAX_BUCKET
+    from ..operators.dedup import MAX_BUCKET, bucket_pairs
+    from ..operators.similarity import lsh_table_buckets_pd_df, pair_cosines
 
     emb = load_table(spark, sf_dir, "embeddings")
     # Candidates via within-bucket pair explode (operators.dedup.bucket_pairs)
@@ -279,33 +272,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                          max_bucket=MAX_BUCKET)
             .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
             .distinct())
-    # melt-join verify: ONE corpus scan instead of a scan per join side —
-    # each candidate pair melts into two (pair, vec_id) rows, the corpus
-    # joins by id (candidates broadcast, corpus streams map-side), and a
-    # groupBy on the pair reassembles the two vectors via max_by on the
-    # role flag. Only MATCHED vectors shuffle (candidate-bounded).
-    v = emb.withColumn("n2", dot_col(F.col("embedding"), F.col("embedding")))
-    melted = cand.select(
-        "id_a", "id_b",
-        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("vec_id"))
-    pairs = (melted.join(v, "vec_id")
-             .groupBy("id_a", "id_b")
-             .agg(F.max_by(F.struct(F.col("embedding"), F.col("n2")),
-                           (F.col("vec_id") == F.col("id_a")).cast("int"))
-                  .alias("va"),
-                  F.max_by(F.struct(F.col("embedding"), F.col("n2")),
-                           (F.col("vec_id") == F.col("id_b")).cast("int"))
-                  .alias("vb")))
-    # deterministic=False blocks Catalyst from cloning the cosine UDF into
-    # the pushed-down threshold filter (the clone re-ran the whole Arrow
-    # stage — two stacked ArrowEvalPython nodes). Values are unchanged.
-    return (pairs
-            .select("id_a", "id_b",
-                    F.round(_pair_cosine_pd(F.col("va.embedding"),
-                                            F.col("vb.embedding"),
-                                            F.col("va.n2"), F.col("vb.n2"),
-                                            deterministic=False), 4)
-                    .alias("cosine"))
+    # Verify strategy is size-aware (operators.similarity.pair_cosines): on
+    # this corpus OR-16 bucketing keeps 41% of ALL pairs (adversarial
+    # near-random vectors at threshold 0.3), so the PAIR set is the big side
+    # and the vector table the small one — broadcast it into the candidate
+    # stream (zero pair shuffle). The r6 melt-join shuffled 1.6M melted rows
+    # each carrying a 64-dim struct (~500 MB) to reassemble pairs; that
+    # shuffle's spill/page pressure caused the 2x bench wobble (SCALE.md r7
+    # root-cause). The melt path remains the non-broadcastable-corpus scale
+    # path and is exercised by semdedup + tests.
+    return (pair_cosines(cand, emb, "vec_id", "embedding",
+                         strategy="broadcast")
+            .withColumn("cosine", F.round(F.col("cosine"), 4))
             .filter(F.col("cosine") >= NEAR_DUP_THRESHOLD))
 
 

@@ -258,3 +258,38 @@ def test_simhash_arrow_form_agrees(spark, sf_dir):
             for r in simhash_df(edge, "doc_id", "text").collect()}
     assert got == want
     assert got[1] == 2 ** 60 - 1 and got[2] == 0
+
+
+def test_pair_verify_strategies_bit_identical(spark, sf_dir):
+    """pair_cosines' broadcast and melt strategies must return bit-identical
+    cosines for the same candidate set: both end in the same Arrow fold
+    (dot_pd_col) over the same (va, vb) doubles — only the join topology
+    differs (corpus broadcast into the pair stream vs melt-join pair
+    reassembly). A divergence means one path reordered the reduction."""
+    from databricks_import_pyspark_scripts_spark.operators.similarity import (
+        pair_cosines,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").limit(200)
+    ids = e.select(F.col("vec_id").alias("id_a"))
+    cand = (ids.join(e.select(F.col("vec_id").alias("id_b")),
+                     F.col("id_a") < F.col("id_b"))
+            .filter((F.col("id_a") + F.col("id_b")) % 17 == 0))  # ~6% sample
+    bcast = {(r.id_a, r.id_b): r.cosine
+             for r in pair_cosines(cand, e, strategy="broadcast").collect()}
+    melt = {(r.id_a, r.id_b): r.cosine
+            for r in pair_cosines(cand, e, strategy="melt").collect()}
+    assert bcast == melt
+    assert len(bcast) > 100
+
+
+def test_pair_verify_unknown_strategy_raises(spark, sf_dir):
+    from databricks_import_pyspark_scripts_spark.operators.similarity import (
+        pair_cosines,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cand = e.select(F.col("vec_id").alias("id_a"),
+                    F.col("vec_id").alias("id_b"))
+    with pytest.raises(ValueError, match="strategy"):
+        pair_cosines(cand, e, strategy="banana")
