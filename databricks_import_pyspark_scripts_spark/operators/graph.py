@@ -32,11 +32,22 @@ def _truncate(df: DataFrame, reliable: bool) -> DataFrame:
     ``reliable_checkpoints``) on preemptible/spot fleets: a reliable
     checkpoint writes to the checkpoint dir (set it to durable storage via
     ``sc.setCheckpointDir``) and survives executor loss mid-algorithm.
+
+    reliable=True REQUIRES a checkpoint dir to already be set: silently
+    defaulting one (the pre-r7 behavior was /tmp/spark_graft_checkpoints)
+    lands on node-local disk in most deployments, which does NOT survive
+    the executor loss the flag exists to survive — a durability guarantee
+    the code advertised but didn't provide.
     """
     if reliable:
         sc = df.sparkSession.sparkContext
         if not sc.getCheckpointDir():
-            sc.setCheckpointDir("/tmp/spark_graft_checkpoints")
+            raise ValueError(
+                "reliable_checkpoints=True requires an explicit checkpoint "
+                "dir on durable shared storage — call "
+                "spark.sparkContext.setCheckpointDir('s3a://...' or "
+                "'hdfs://...') first. A local-disk default would not "
+                "survive the executor loss this flag exists to survive.")
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
 

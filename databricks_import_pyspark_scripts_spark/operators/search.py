@@ -97,19 +97,65 @@ def top_terms_as_queries(postings: DataFrame, n_terms: int,
         "term")
 
 
-def bm25_index(docs: DataFrame, id_col: str,
-               text_col: str) -> tuple[DataFrame, DataFrame]:
+class Bm25Index:
+    """Handle to a materialized BM25 index: iterable as the
+    ``(postings, doc_lengths)`` pair every consumer expects, plus an
+    explicit storage lifetime.
+
+    localCheckpoint pins MEMORY_AND_DISK blocks for the life of the
+    session (only driver GC of the RDD reclaims them) — fine for a
+    build-once/query-forever index, but a long-lived session that builds
+    indexes over many corpora accumulates pinned blocks. ``release()``
+    (or using the index as a context manager) unpersists the checkpointed
+    blocks deterministically; the index DataFrames are INVALID afterwards
+    (their lineage was truncated to exactly those blocks — that's what a
+    checkpoint is)."""
+
+    def __init__(self, postings: DataFrame, doc_lengths: DataFrame,
+                 owned_rdd_ids: set[int]):
+        self.postings = postings
+        self.doc_lengths = doc_lengths
+        self._owned = owned_rdd_ids
+        self._sc = postings.sparkSession.sparkContext
+
+    def __iter__(self):  # tuple-compat: post, dls = bm25_index(...)
+        return iter((self.postings, self.doc_lengths))
+
+    def release(self) -> None:
+        jmap = self._sc._jsc.getPersistentRDDs()  # noqa: SLF001
+        for rid in self._owned:
+            jrdd = jmap.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+        self._owned = set()
+
+    def __enter__(self) -> "Bm25Index":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
+
+def _persistent_rdd_ids(sc) -> set[int]:
+    return set(sc._jsc.getPersistentRDDs().keySet().toArray())  # noqa: SLF001
+
+
+def bm25_index(docs: DataFrame, id_col: str, text_col: str) -> Bm25Index:
     """(postings, doc_lengths), each materialized exactly once
-    (localCheckpoint). The index is the expensive artifact — one tokenize
-    pass each — and every consumer (df aggregate, query scoring, scalar
-    stats, workload derivation) re-references it; unmaterialized, each
-    reference replays the corpus tokenize (no exchange reuse across
-    self-references). This is also the honest production shape: the
-    inverted index is built once and queried many times, not rebuilt per
-    search batch."""
+    (localCheckpoint), wrapped in a ``Bm25Index`` handle (tuple-compatible)
+    that owns the checkpointed blocks' lifetime. The index is the expensive
+    artifact — one tokenize pass each — and every consumer (df aggregate,
+    query scoring, scalar stats, workload derivation) re-references it;
+    unmaterialized, each reference replays the corpus tokenize (no exchange
+    reuse across self-references). This is also the honest production
+    shape: the inverted index is built once and queried many times, not
+    rebuilt per search batch. Long-lived sessions that build many indexes
+    should ``release()`` retired ones (see Bm25Index)."""
+    sc = docs.sparkSession.sparkContext
+    before = _persistent_rdd_ids(sc)
     post = term_postings(docs, id_col, text_col).localCheckpoint(eager=True)
     dls = doc_lengths(docs, id_col, text_col).localCheckpoint(eager=True)
-    return post, dls
+    return Bm25Index(post, dls, _persistent_rdd_ids(sc) - before)
 
 
 def bm25_topk(docs: DataFrame, queries: DataFrame, id_col: str,
@@ -223,6 +269,16 @@ CONTAIN_MIN_SHARED = 5  # candidate pairs must share >= this many shingles
 CONTAIN_DF_FLOOR = 8       # shingles in <= this many docs are always kept
 CONTAIN_DF_NUM = 1         # else keep iff df <= n_docs * NUM / DEN (5%)
 CONTAIN_DF_DEN = 20
+# Absolute cap on a shingle's document frequency, applied ON TOP of the
+# relative guard. The relative 5% cap is corpus-size-RELATIVE, so at 100M
+# docs a shingle just under it (df = 5M) would still collect 5M ids into
+# one aggregate row and explode ~1.25e13 pairs from a single task. A
+# shingle's df IS its bucket size in the pair explode, so this is the same
+# bound MAX_BUCKET puts on every LSH path; past it, per-pair containment
+# resolution on a 1000+-doc-shared shingle carries no signal the relative
+# guard's rationale doesn't already dismiss. Mirrored verbatim in the
+# oracle (querylib/search_linkage._containment_oracle).
+CONTAIN_MAX_DF = 1000
 
 
 def containment_pairs(docs: DataFrame, id_col: str, text_col: str,
@@ -230,7 +286,8 @@ def containment_pairs(docs: DataFrame, id_col: str, text_col: str,
                       min_shared: int = CONTAIN_MIN_SHARED,
                       df_floor: int = CONTAIN_DF_FLOOR,
                       df_num: int = CONTAIN_DF_NUM,
-                      df_den: int = CONTAIN_DF_DEN) -> DataFrame:
+                      df_den: int = CONTAIN_DF_DEN,
+                      max_df: int = CONTAIN_MAX_DF) -> DataFrame:
     """Asymmetric containment |A∩B| / |A| for document pairs sharing at
     least ``min_shared`` distinct RARE k-shingles (document frequency within
     the stop-shingle guard — see ``CONTAIN_DF_FLOOR``). Containment (unlike
@@ -258,20 +315,24 @@ def containment_pairs(docs: DataFrame, id_col: str, text_col: str,
     ok = (sh.groupBy("s").agg(F.count("*").alias("df"))
           .join(F.broadcast(scal))
           .filter((F.col("df") <= df_floor)
-                  | (F.col("df") * df_den <= F.col("n_docs") * df_num))
+                  | ((F.col("df") * df_den <= F.col("n_docs") * df_num)
+                     & (F.col("df") <= max_df)))
           .select("s"))
     rare = sh.join(ok, "s", "left_semi")
     # within-bucket pair explode (bucket == shingle), the same shape as the
     # LSH candidate paths: ONE pass over the guarded shingle explode feeds
     # a single groupBy — the earlier two-sided self-join re-ran the
     # tokenize+shingle pipeline per join side (the projections differ, so
-    # exchange reuse can't dedup them). Per-shingle fan-out is already
-    # bounded by the DF guard above, so no extra max_bucket cap is needed;
-    # pair counts are identical to the self-join's (each shared surviving
-    # shingle contributes one (a, b) row before the per-pair count).
+    # exchange reuse can't dedup them). Per-shingle fan-out is bounded by
+    # the DF guard, now including the ABSOLUTE max_df cap (a shingle's df
+    # is exactly its bucket size); max_bucket is passed through as a hard
+    # backstop so the explode stays bounded even if a caller loosens the
+    # guard. Pair counts are identical to the self-join's (each shared
+    # surviving shingle contributes one (a, b) row before the per-pair
+    # count).
     from .dedup import bucket_pairs
 
-    shared = (bucket_pairs(rare, ["s"], F.col(id_col))
+    shared = (bucket_pairs(rare, ["s"], F.col(id_col), max_bucket=max_df)
               .groupBy("a", "b").agg(F.count("*").alias("n_shared"))
               .filter(F.col("n_shared") >= min_shared))
     return (shared

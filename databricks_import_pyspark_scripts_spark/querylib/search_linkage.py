@@ -91,7 +91,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     index = bm25_index(docs, "doc_id", "text")
-    queries = top_terms_as_queries(index[0], BM25_N_TERMS,
+    queries = top_terms_as_queries(index.postings, BM25_N_TERMS,
                                    BM25_TERMS_PER_QUERY)
     out = bm25_topk(docs, queries, "doc_id", "text", BM25_TOPK, index=index)
     return out.select("qid", "rank", "doc_id", "score_fx", "score")
@@ -182,6 +182,7 @@ def _containment_oracle() -> str:
         CONTAIN_DF_DEN,
         CONTAIN_DF_FLOOR,
         CONTAIN_DF_NUM,
+        CONTAIN_MAX_DF,
     )
 
     return f"""
@@ -192,8 +193,9 @@ def _containment_oracle() -> str:
     ok AS (
       SELECT s FROM sh GROUP BY s
       HAVING COUNT(*) <= {CONTAIN_DF_FLOOR}
-          OR COUNT(*) * {CONTAIN_DF_DEN}
-             <= (SELECT n_docs FROM scal) * {CONTAIN_DF_NUM}),
+          OR (COUNT(*) * {CONTAIN_DF_DEN}
+              <= (SELECT n_docs FROM scal) * {CONTAIN_DF_NUM}
+              AND COUNT(*) <= {CONTAIN_MAX_DF})),
     rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN ok USING (s)),
     shared AS (
       SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS n_shared
@@ -213,10 +215,11 @@ def _containment_oracle() -> str:
         f"{CONTAIN_MIN_SHARED} distinct RARE 3-shingles — catches a small "
         "doc embedded in a large one (quote farms, concatenated dumps), "
         "which symmetric Jaccard under-scores. Stop-shingle guard: shingles "
-        "above the document-frequency cap (floor 8 / 5% of corpus, integer "
-        "cross-multiply mirrored in the oracle) are dropped BEFORE the "
-        "self-join, bounding per-shingle fan-out the same way MAX_BUCKET "
-        "bounds LSH buckets.")
+        "above the document-frequency cap (floor 8 / 5% of corpus AND an "
+        "absolute 1000-doc cap — the relative cap alone still admits "
+        "million-doc shingles at 100M-doc corpora; integer cross-multiply "
+        "mirrored in the oracle) are dropped BEFORE the self-join, bounding "
+        "per-shingle fan-out the same way MAX_BUCKET bounds LSH buckets.")
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return containment_pairs(docs, "doc_id", "text", 3, CONTAIN_MIN_SHARED)

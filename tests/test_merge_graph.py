@@ -348,3 +348,23 @@ def test_compact_changes_preimage_slices_are_inert(spark):
     got = {(r.k, r._change_type, r.v)
            for r in compact_changes(log, ["k"]).collect()}
     assert got == {(2, "update_postimage", "n1")}
+
+
+def test_reliable_checkpoints_require_explicit_durable_dir(spark, tmp_path):
+    """reliable_checkpoints=True must REFUSE to run without an explicit
+    checkpoint dir: the pre-r7 fallback to /tmp was node-local disk, which
+    does not survive the executor loss the flag advertises surviving. With
+    a dir set, the reliable path must produce the same components as the
+    default localCheckpoint path."""
+    v = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    e = spark.createDataFrame([(0, 1), (2, 3)], "src long, dst long")
+    sc = spark.sparkContext
+    assert not sc.getCheckpointDir(), (
+        "test needs a session with no checkpoint dir; reorder if another "
+        "test started setting one")
+    with pytest.raises(ValueError, match="checkpoint dir"):
+        connected_components(v, e, reliable_checkpoints=True).collect()
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    got = {(r.id, r.component) for r in
+           connected_components(v, e, reliable_checkpoints=True).collect()}
+    assert got == {(0, 0), (1, 0), (2, 2), (3, 2)}

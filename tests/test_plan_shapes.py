@@ -170,9 +170,11 @@ def test_containment_guard_precedes_pair_explode(spark, sf_dir):
     plan = _plan(df)
     assert plan.count("Join LeftSemi") >= 1
     assert "CartesianProduct" not in plan
-    # 3 tokenize passes (sizes / df-guard / pair explode), not 4+: the
-    # self-join form scanned documents once more per join side
-    assert _scans(plan, "documents") <= 4
+    # EXACTLY 4 documents scans: sizes, the df-guard aggregate, the guarded
+    # pair explode, and the 1-row n_docs scalar (count-only, column-pruned).
+    # A 5th means a join side re-runs the tokenize+shingle pipeline again
+    # (the pre-r6 self-join shape); 3 means a consumer silently vanished.
+    assert _scans(plan, "documents") == 4
 
 
 def test_triangle_wedge_join_is_equi_join(spark, sf_dir):
@@ -208,3 +210,18 @@ def test_simhash_pairs_single_signature_pass(spark, sf_dir):
     plan = _plan(df)
     assert _scans(plan, "documents") == 2
     assert _nodes(plan, "ArrowEvalPython") == 1
+
+
+def test_bm25_queries_read_only_the_materialized_index(spark, sf_dir):
+    """BM25 gates through the materialized inverted index (bm25_index,
+    localCheckpoint): the QUERY plan must show ZERO documents scans — all
+    tokenization/TF/DF work happened once at index-build time — and read
+    the checkpointed index blocks exactly 6 times (tf postings, df, doc
+    lengths, and the avgdl/N scalars). A documents scan here means a
+    consumer bypassed the index and re-tokenizes the corpus per query —
+    the build-once/query-many contract broken, a full corpus pass per
+    search at 100 TB."""
+    df = all_queries()["text_bm25_search"](spark, sf_dir)
+    plan = _plan(df)
+    assert _scans(plan, "documents") == 0
+    assert _nodes(plan, "Scan ExistingRDD") == 6

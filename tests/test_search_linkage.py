@@ -205,6 +205,29 @@ def test_containment_guard_bounds_degenerate_corpus(spark):
     assert {(r.a, r.b) for r in got} == {(1, 2)}
 
 
+def test_containment_absolute_df_cap_binds_below_relative(spark):
+    """The ABSOLUTE max_df cap must bind even when the relative 5% cap does
+    not: a shingle shared by a small fraction of a huge corpus can still
+    collect millions of ids into one aggregate row (relative caps are
+    corpus-size-relative — ADVICE r6). Here a shingle with df=30 passes
+    the relative cap (30/1000 = 3% <= 5%) but exceeds max_df=20, so it
+    must contribute ZERO candidate pairs; the planted rare-shingle pair
+    survives."""
+    small = "alpha beta gamma delta epsilon zeta eta theta"
+    mid = "moderately common navigation header"
+    rows = [(1, small), (2, "head words " + small + " tail words")]
+    # 30 docs share `mid` (df=30: relative-cap pass at n_docs=1002,
+    # absolute-cap fail at max_df=20)
+    rows += [(100 + i, f"unique{i} filler{i} words{i} " + mid)
+             for i in range(30)]
+    # pad the corpus so 30 docs are under 5%
+    rows += [(10_000 + i, f"pad{i} text{i} body{i} tail{i}")
+             for i in range(970)]
+    got = containment_pairs(_docs(spark, rows), "doc_id", "text", 3,
+                            min_shared=1, max_df=20).collect()
+    assert {(r.a, r.b) for r in got} == {(1, 2)}
+
+
 # --- record linkage --------------------------------------------------------
 
 def test_blocked_pairs_never_cross_blocks(spark):
@@ -360,3 +383,26 @@ def test_recursive_cte_rollup_tree_invariants(spark):
     # every key's parent chain floor((k-1)/4) terminates at 0, so the root
     # ancestor covers the entire forest
     assert rows[0].n_desc == n
+
+
+def test_bm25_index_release_unpersists_checkpoint_blocks(spark):
+    """The Bm25Index handle must (a) stay tuple-compatible, (b) actually
+    free its checkpointed MEMORY_AND_DISK blocks on release() — without
+    it, every index built in a long-lived session pins blocks until
+    driver GC (the same leak class the LSH self-join persists had)."""
+    from databricks_import_pyspark_scripts_spark.operators.search import (
+        _persistent_rdd_ids,
+        bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta common{i % 3} word{i}") for i in range(50)],
+        "doc_id long, text string")
+    sc = spark.sparkContext
+    base = _persistent_rdd_ids(sc)
+    with bm25_index(docs, "doc_id", "text") as idx:
+        post, dls = idx  # tuple-compat unpack
+        assert post.count() > 0 and dls.count() == 50
+        assert len(_persistent_rdd_ids(sc) - base) == 2  # postings + dls
+    # context exit released both checkpointed RDDs
+    assert _persistent_rdd_ids(sc) - base == set()
