@@ -5,10 +5,18 @@ given sf dir, then compare row count, column names, and order-insensitive
 values (exact where possible).
 
 Usage: python tools/verify_local.py [sf_dir] [query_name ...]
+       python tools/verify_local.py [sf_dir] --sample N [--seed R]
+
+``--sample N`` runs a deterministic (seeded-shuffle) N-query random sample
+of the full registry — in-repo sweep-cadence insurance between driver
+windows, so queries outside the current attestation window still get
+periodic evidence on current code (VERDICT r6 #7). Same seed + same
+registry => same sample; vary the seed per round.
 """
 
 from __future__ import annotations
 
+import random
 import sys
 import time
 
@@ -59,15 +67,37 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     return problems
 
 
+def sample_names(names: list[str], n: int, seed: int) -> list[str]:
+    """Deterministic n-query sample: seeded shuffle of the sorted registry
+    (sorted first so the sample is stable under _PRIORITY rotation)."""
+    pool = sorted(names)
+    random.Random(seed).shuffle(pool)
+    return pool[:n]
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:]]
+    sample_n = seed = None
+    if "--sample" in args:
+        i = args.index("--sample")
+        sample_n = int(args[i + 1])
+        del args[i:i + 2]
+    if "--seed" in args:
+        i = args.index("--seed")
+        seed = int(args[i + 1])
+        del args[i:i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     import __spark_entry__ as ent
 
     spark = get_spark("verify_local")
     con = duck_con(sf_dir)
     qs = ent.queries()
     oracles = ent.oracle_sql()
+    if sample_n is not None:
+        picked = sample_names(list(qs), sample_n, seed if seed is not None else 0)
+        print(f"sample of {len(picked)} (seed {seed or 0}): {sorted(picked)}")
+        only = set(picked) | only
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
