@@ -151,3 +151,25 @@ def test_incremental_neardup_degenerate_history_band_capped(spark):
     uncapped = incremental_neardup(hist, newb, "doc_id", "text",
                                    threshold=0.5, max_bucket=None).collect()
     assert uncapped[0].has_near_dup
+
+
+def test_bucket_pairs_randomized_count_invariant(spark):
+    """For ANY bucket layout: pair count == sum C(s,2) over buckets with
+    2 <= s <= cap; every pair is (a < b) within a single bucket. Seeded
+    random layout so the invariant is exercised beyond hand-picked sizes
+    without flaking."""
+    import random as _random
+
+    rng = _random.Random(1234)
+    sizes = [rng.randint(1, 15) for _ in range(40)]
+    cap = 9
+    rows = [(f"b{bi}", bi * 1000 + i)
+            for bi, s in enumerate(sizes) for i in range(s)]
+    bands = spark.createDataFrame(rows, "bucket string, id long")
+    got = bucket_pairs(bands, ["bucket"], F.col("id"),
+                       max_bucket=cap).collect()
+    want = sum(s * (s - 1) // 2 for s in sizes if 2 <= s <= cap)
+    assert len(got) == want
+    for r in got:
+        assert r.a < r.b
+        assert r.a // 1000 == r.b // 1000  # same bucket
