@@ -158,9 +158,13 @@ def _pair_cosine_pd(q: Column, v: Column, qn2: Column, vn2: Column,
     return dot_pd_col(q, v, deterministic) / F.sqrt(qn2 * vn2)
 
 
+PAIR_VERIFY_BROADCAST_CAP = 256 << 20  # bytes of vector table, see below
+
+
 def pair_cosines(cand: DataFrame, vectors: DataFrame,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 strategy: str = "broadcast") -> DataFrame:
+                 strategy: str = "broadcast",
+                 broadcast_cap_bytes: int = PAIR_VERIFY_BROADCAST_CAP) -> DataFrame:
     """Exact cosine for candidate pairs ``(id_a, id_b)`` against a vector
     table — the verify stage every LSH/cluster dedup ends in. Returns
     (id_a, id_b, cosine), cosine UNROUNDED (call sites round/filter).
@@ -184,10 +188,23 @@ def pair_cosines(cand: DataFrame, vectors: DataFrame,
       bounded), and a groupBy on the pair reassembles both vectors via
       max_by on the role flag. Nothing corpus-sized shuffles.
 
+    ``auto`` picks by Catalyst's size estimate of the vector table:
+    broadcast while the estimate is positive and within
+    ``broadcast_cap_bytes`` (default 256 MB — comfortably under executor
+    headroom at the usual 4-8 GB; the SCALE.md measurements show broadcast
+    winning and staying stable at 51 MB/side), melt otherwise — including
+    when the estimate is unknown (Catalyst reports a huge sentinel), which
+    errs on the side of the shape that cannot OOM an executor.
+
     The Arrow cosine is marked non-deterministic (see ``dot_pd_col``) so
     a downstream threshold filter cannot clone it into a second
     ArrowEvalPython stage.
     """
+    if strategy == "auto":
+        est = int(str(
+            vectors._jdf.queryExecution().optimizedPlan()  # noqa: SLF001
+            .stats().sizeInBytes()))
+        strategy = "broadcast" if 0 < est <= broadcast_cap_bytes else "melt"
     v = vectors.select(F.col(id_col), F.col(vec_col).alias("_e"),
                        dot_col(F.col(vec_col), F.col(vec_col)).alias("_n2"))
     if strategy == "broadcast":

@@ -293,3 +293,28 @@ def test_pair_verify_unknown_strategy_raises(spark, sf_dir):
                     F.col("vec_id").alias("id_b"))
     with pytest.raises(ValueError, match="strategy"):
         pair_cosines(cand, e, strategy="banana")
+
+
+def test_pair_verify_auto_strategy_picks_by_size(spark, sf_dir):
+    """auto must resolve to broadcast for a small vector table and to melt
+    when the cap forces it — discriminated by plan shape (the melt path
+    reassembles pairs via max_by aggregation; the broadcast path has
+    none)."""
+    from databricks_import_pyspark_scripts_spark.operators.similarity import (
+        pair_cosines,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cand = (e.select(F.col("vec_id").alias("id_a"))
+            .join(e.select(F.col("vec_id").alias("id_b")),
+                  F.col("id_a") + 1 == F.col("id_b")))
+    small = pair_cosines(cand, e, strategy="auto")
+    forced = pair_cosines(cand, e, strategy="auto", broadcast_cap_bytes=1)
+    plan_small = small._jdf.queryExecution().optimizedPlan().toString()
+    plan_forced = forced._jdf.queryExecution().optimizedPlan().toString()
+    assert "max_by" not in plan_small      # broadcast shape
+    assert "max_by" in plan_forced         # melt shape
+    # and both still compute the same cosines
+    a = {(r.id_a, r.id_b): r.cosine for r in small.collect()}
+    b = {(r.id_a, r.id_b): r.cosine for r in forced.collect()}
+    assert a == b and len(a) > 100
