@@ -843,26 +843,33 @@ def corpus_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         boilerplate_ngram_stats,
         fingerprint_col,
         mixture_budget_keep,
-        ngram_total_col,
         quality_score_col,
-        shingles_col,
-        split_bucket_col,  # noqa: F401  (bucket comes via mixture_budget_keep)
     )
 
     d = load_table(spark, sf_dir, "documents")
-    self_rep = (F.lit(1.0)
-                - F.size(shingles_col(F.col("text"), BOILER_NGRAM)).cast("long")
-                * 1.0 / ngram_total_col(F.col("text"), BOILER_NGRAM))
     base = d.select(
         "doc_id", "source",
         token_count_col(F.col("text")).cast("long").alias("n_tokens"),
         quality_score_col(F.col("text")).alias("quality"),
-        self_rep.alias("self_rep"),
         fingerprint_col(F.col("text")).alias("fingerprint"))
-    bp_ok = (boilerplate_ngram_stats(d, "doc_id", "text")
-             .filter(~F.col("is_boilerplate")).select("doc_id"))
-    surv = (base.filter((F.col("quality") >= 0.5) & (F.col("self_rep") < 0.3))
-            .join(bp_ok, "doc_id", "left_semi"))
+    # self-repetition = 1 - |distinct shingles| / window count. The
+    # boilerplate stage ALREADY materializes the per-doc distinct-shingle
+    # count (n_ngrams, via the Arrow shingle path), and the window count is
+    # derivable from the token count already in `base`
+    # (greatest(n_tokens - k + 1, 1)) — so the composed pipeline shares ONE
+    # shingle pass instead of re-running the interpreted shingles_col
+    # expression per row (measured 2.7 s of the query's 4.9 s at sf0.1;
+    # identical doubles: same int64 count over the same distinct sets,
+    # pinned by test_impl_consistency's shingle-set equality).
+    bp = boilerplate_ngram_stats(d, "doc_id", "text").select(
+        "doc_id", "n_ngrams", "is_boilerplate")
+    total = F.greatest(F.col("n_tokens") - (BOILER_NGRAM - 1), F.lit(1))
+    surv = (base.join(bp, "doc_id")
+            .withColumn("self_rep",
+                        F.lit(1.0) - F.col("n_ngrams") * 1.0 / total)
+            .filter((F.col("quality") >= 0.5) & (F.col("self_rep") < 0.3)
+                    & ~F.col("is_boilerplate"))
+            .drop("n_ngrams", "is_boilerplate"))
     reps = surv.groupBy("fingerprint").agg(F.min("doc_id").alias("rep_id"))
     # mixture references its input twice (row stream + per-source totals);
     # checkpointing the tiny survivor projection stops the whole
