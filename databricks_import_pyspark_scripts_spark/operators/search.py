@@ -302,10 +302,16 @@ def containment_pairs(docs: DataFrame, id_col: str, text_col: str,
     shingles. The ``min_shared`` HAVING collapses the long tail before the
     size join. Returns (a, b, n_shared, n_a, containment_a) with a < b.
     """
-    from .text import shingles_col
+    # Arrow shingles, not the expression form: this projection has THREE
+    # consumers (per-doc sizes, the DF guard, the guarded pair explode), so
+    # it executes three times — and the expression form's nested
+    # transform/slice lambdas run interpreted (same sets, pinned by
+    # test_impl_consistency; measured 16.6 s -> ~5 s for the sf0.1 gate
+    # query from this swap alone).
+    from .dedup import shingles_pd_df
 
-    sh = docs.select(
-        F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("s"))
+    sh = (shingles_pd_df(docs, id_col, text_col, k)
+          .select(F.col(id_col), F.explode("sh").alias("s")))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     # document frequency per shingle: sh is distinct per (doc, shingle)
     # (shingles_col array_distincts), so COUNT(*) == #docs containing s.
