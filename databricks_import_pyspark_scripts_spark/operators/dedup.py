@@ -145,8 +145,9 @@ def _py_shingles(text: str, k: int) -> list[str]:
 
 
 def shingles_pd_df(df: DataFrame, id_col: str, text_col: str,
-                   k: int = SHINGLE_K) -> DataFrame:
-    """(id, sh): distinct shingle arrays via an Arrow batch UDF.
+                   k: int = SHINGLE_K,
+                   extra_cols: list[str] | None = None) -> DataFrame:
+    """(id, *extra_cols, sh): distinct shingle arrays via an Arrow batch UDF.
 
     Same sets as ``shingles_col`` but ~10x faster on a corpus-wide
     projection: the expression form's nested transform/slice lambdas run
@@ -154,7 +155,9 @@ def shingles_pd_df(df: DataFrame, id_col: str, text_col: str,
     cost of the LSH verify stage), while this is one Python pass per Arrow
     batch, repartitioned across cores. Element ORDER differs from the
     expression form; every consumer (Jaccard intersect/union sizes) is
-    order-insensitive by construction.
+    order-insensitive by construction. ``extra_cols`` ride the same
+    projection (the UDF is a column expression), so blocked consumers
+    don't need a join to reattach their block keys.
     """
 
     @pandas_udf("array<string>")
@@ -162,10 +165,12 @@ def shingles_pd_df(df: DataFrame, id_col: str, text_col: str,
         return pd.Series([
             None if t is None else _py_shingles(t, k) for t in texts])
 
-    base = df.select(F.col(id_col), F.col(text_col))
+    extra = [F.col(c) for c in (extra_cols or [])]
+    base = df.select(F.col(id_col), *extra, F.col(text_col))
     base = base.repartition(
         df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
-    return base.select(F.col(id_col), _sh(F.col(text_col)).alias("sh"))
+    return base.select(F.col(id_col), *extra,
+                       _sh(F.col(text_col)).alias("sh"))
 
 
 def minhash_signatures_pd(df: DataFrame, id_col: str, text_col: str,
@@ -602,9 +607,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     source bucket). Blocking keeps the pair count O(sum block^2) instead of
     O(n^2) — at 100 TB you block on cheap keys (lang, domain, length bucket)
     and let AQE handle block skew."""
-    sh = df.select(
-        F.col(id_col), *[F.col(c) for c in block_cols],
-        shingles_col(F.col(text_col), k).alias("sh"))
+    # Arrow shingles (identical sets, order-insensitive consumers): the
+    # projection executes once per join side, and the expression form's
+    # interpreted lambdas were ~6 s of this operator's 8 s at sf0.1
+    sh = shingles_pd_df(df, id_col, text_col, k, extra_cols=block_cols)
     a = sh.select(F.col(id_col).alias("id_a"), *block_cols,
                   F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"),
