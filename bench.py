@@ -63,6 +63,11 @@ HEADLINE = [
     "graph_kcore",
     "corpus_stratified_split",
     "events_transition_matrix",
+    # r7 additions — timed in their own tier (r7_new_rows_sec) so the
+    # comparable and r5-extension totals keep their round-over-round
+    # meaning. Both were restructured onto the Arrow shingle path in r7.
+    "dedup_containment_pairs",
+    "dedup_ngram_jaccard_blocked",
 ]
 
 EXTENSION_ROWS = {
@@ -218,7 +223,8 @@ def main() -> int:
     ext_sec = round(sum(timings[k] for k in timings if k in EXTENSION_ROWS), 3)
     # rows added after r6 stay OUT of the comparable total so its
     # round-over-round trend keeps meaning; they are still in `queries`
-    new_rows = {"unload_e2e_events_json"}
+    new_rows = {"unload_e2e_events_json", "dedup_containment_pairs",
+                "dedup_ngram_jaccard_blocked"}
     # same membership as comparable_queries_sec (includes the unload e2e row)
     comp = [k for k in timings
             if k not in EXTENSION_ROWS and k not in stress
@@ -245,6 +251,8 @@ def main() -> int:
                                               for k in new_rows), 3),
         "skew_stress_sec": stress_sec,
         "r5_extension_sec": ext_sec,
+        "r7_new_rows_sec": round(sum(timings.get(k, 0.0)
+                                     for k in new_rows), 3),
         # per-tier medians-of-samples alongside the min-of-N totals: a
         # min-vs-min drift with stable medians is host noise, not a plan
         # regression (bench hygiene, VERDICT r5 #5)
