@@ -157,20 +157,17 @@ def main() -> int:
     # MEMORY_AND_DISK blocks outlive the query and accumulate across the
     # 39-query x 3-execution session (measured: +2-5 pinned RDDs per
     # k-core run). Dropping the leftovers BETWEEN queries keeps each
-    # measurement independent of how many queries ran before it.
-    jsc = spark.sparkContext._jsc  # noqa: SLF001
-
-    def _persistent_ids():
-        return set(jsc.getPersistentRDDs().keySet().toArray())
+    # measurement independent of how many queries ran before it
+    # (operators.lineage is the production-facing form of this hygiene).
+    from databricks_import_pyspark_scripts_spark.operators.lineage import (
+        persistent_rdd_ids,
+        unpersist_rdds,
+    )
 
     def _unpersist_new(base):
-        jmap = jsc.getPersistentRDDs()
-        for rid in set(jmap.keySet().toArray()) - base:
-            jrdd = jmap.get(rid)
-            if jrdd is not None:
-                jrdd.unpersist(False)
+        unpersist_rdds(spark, persistent_rdd_ids(spark) - base)
 
-    base_rdds = _persistent_ids()
+    base_rdds = persistent_rdd_ids(spark)
     # HEADLINE runs the comparable tier FIRST (cold-ish), the skew stress
     # pair second, the extension tier last — so round-over-round comparable
     # numbers aren't measured on a host heated by 15 heavy extension

@@ -11,6 +11,7 @@ from .dedup import (
     simhash_pairs,
 )
 from .graph import connected_components
+from .lineage import checkpoint_scope, persistent_rdd_ids, unpersist_rdds
 from .merge import apply_changes, merge_upsert
 from .multimodal import (
     audio_window_plan,
@@ -49,6 +50,7 @@ __all__ = [
     "ngram_jaccard_pairs", "simhash_bands_df", "simhash_col", "simhash_df",
     "simhash_pairs",
     "connected_components",
+    "checkpoint_scope", "persistent_rdd_ids", "unpersist_rdds",
     "apply_changes", "merge_upsert",
     "audio_window_plan", "frame_sample_plan", "image_features",
     "synthesize_media_table",

@@ -368,3 +368,26 @@ def test_reliable_checkpoints_require_explicit_durable_dir(spark, tmp_path):
     got = {(r.id, r.component) for r in
            connected_components(v, e, reliable_checkpoints=True).collect()}
     assert got == {(0, 0), (1, 0), (2, 2), (3, 2)}
+
+
+def test_checkpoint_scope_drops_blocks_created_inside(spark):
+    """checkpoint_scope must unpersist exactly the RDDs persisted inside
+    the scope (k-core/BPE/semdedup-style internal localCheckpoints), leave
+    pre-existing persisted data alone, and nest correctly."""
+    from databricks_import_pyspark_scripts_spark.operators.lineage import (
+        checkpoint_scope,
+        persistent_rdd_ids,
+    )
+
+    outer = spark.range(10).localCheckpoint(eager=True)  # pre-existing
+    base = persistent_rdd_ids(spark)
+    with checkpoint_scope(spark):
+        inner = spark.range(20).localCheckpoint(eager=True)
+        assert inner.count() == 20
+        with checkpoint_scope(spark):
+            spark.range(5).localCheckpoint(eager=True)
+        # inner scope dropped its own block, ours survives
+        assert inner.count() == 20
+        assert len(persistent_rdd_ids(spark) - base) == 1
+    assert persistent_rdd_ids(spark) - base == set()
+    assert outer.count() == 10  # pre-existing checkpoint untouched
