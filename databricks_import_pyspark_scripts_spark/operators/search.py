@@ -36,6 +36,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -211,6 +212,49 @@ def passage_windows_col(text: Column, w: int = PASSAGE_W) -> Column:
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, w), " ")))
 
 
+def passage_hashes_pd_df(docs: DataFrame, id_col: str, text_col: str,
+                         w: int = PASSAGE_W) -> DataFrame:
+    """(id, h): md5 of every w-token window (stride 1, duplicates kept,
+    whole text as one window when shorter) via an Arrow batch UDF —
+    byte-identical hashes to ``md5(passage_windows_col(...))``:
+
+    * tokens come from the shared Python twin's regex + lower()
+      (``dedup._py_shingles`` uses the same pair — parity already pinned);
+    * the window string is the same " ".join of the same token slice;
+    * Python ``hashlib.md5`` over UTF-8 equals JVM ``md5()`` of the same
+      string (both hash the UTF-8 bytes).
+
+    Exists because the expression form's transform/slice lambdas run
+    interpreted and the hash projection has TWO consumers (the multi-doc
+    hash set and the per-doc counters), so the interpreted cost was paid
+    twice per query (test_passage_hash_arrow_form_agrees pins equality).
+    """
+    import hashlib
+
+    from .dedup import _TOKEN_RE
+
+    def _rows(batches):
+        for pdf in batches:
+            ids, hs = [], []
+            for i, t in zip(pdf[id_col].to_numpy(), pdf[text_col].to_numpy()):
+                if t is None:
+                    continue
+                toks = _TOKEN_RE.findall(t.lower())
+                wins = ([" ".join(toks)] if len(toks) < w else
+                        [" ".join(toks[j:j + w])
+                         for j in range(len(toks) - w + 1)])
+                for s in wins:
+                    ids.append(i)
+                    hs.append(hashlib.md5(s.encode("utf-8")).hexdigest())
+            yield pd.DataFrame({id_col: ids, "h": hs})
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    base = docs.select(F.col(id_col), F.col(text_col))
+    base = base.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    return base.mapInPandas(_rows, schema=f"{id_col} {id_type}, h string")
+
+
 def duplicate_passage_stats(docs: DataFrame, id_col: str, text_col: str,
                             w: int = PASSAGE_W) -> DataFrame:
     """Per-document duplicated-passage profile: of the document's w-token
@@ -222,11 +266,7 @@ def duplicate_passage_stats(docs: DataFrame, id_col: str, text_col: str,
 
     Returns (id, n_windows, n_dup_windows, dup_frac, has_dup_passage).
     """
-    wins = docs.select(
-        F.col(id_col),
-        F.posexplode(passage_windows_col(F.col(text_col), w))
-        .alias("widx", "win"))
-    hashed = wins.select(id_col, F.md5(F.col("win")).alias("h"))
+    hashed = passage_hashes_pd_df(docs, id_col, text_col, w)
     # windows appearing in >= 2 distinct docs; distinct-doc count is
     # partial-agg friendly after the (h, id) dedup
     multi = (hashed.distinct().groupBy("h")

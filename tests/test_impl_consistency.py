@@ -318,3 +318,29 @@ def test_pair_verify_auto_strategy_picks_by_size(spark, sf_dir):
     a = {(r.id_a, r.id_b): r.cosine for r in small.collect()}
     b = {(r.id_a, r.id_b): r.cosine for r in forced.collect()}
     assert a == b and len(a) > 100
+
+
+def test_passage_hash_arrow_form_agrees(spark, sf_dir):
+    """The Arrow passage-hash projection must produce the exact (id, h)
+    MULTISET the expression form produces (positions/duplicates kept —
+    these are non-distinct windows), including the short-doc whole-text
+    convention. Hash parity = Python hashlib.md5 over UTF-8 vs JVM md5."""
+    from collections import Counter
+
+    from databricks_import_pyspark_scripts_spark.operators.search import (
+        passage_hashes_pd_df,
+        passage_windows_col,
+    )
+
+    d = load_table(spark, sf_dir, "documents").limit(150)
+    edge = spark.createDataFrame(
+        [(9001, "short doc"), (9002, ""), (9003, "a b c d e f g h i j k l m")],
+        "doc_id long, text string")
+    d = d.select("doc_id", "text").unionByName(edge)
+    expr = Counter((r.doc_id, r.h) for r in d.select(
+        "doc_id",
+        F.explode(passage_windows_col(F.col("text"), 12)).alias("win"))
+        .select("doc_id", F.md5("win").alias("h")).collect())
+    arrow = Counter((r.doc_id, r.h) for r in
+                    passage_hashes_pd_df(d, "doc_id", "text", 12).collect())
+    assert expr == arrow
