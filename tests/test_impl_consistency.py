@@ -344,3 +344,46 @@ def test_passage_hash_arrow_form_agrees(spark, sf_dir):
     arrow = Counter((r.doc_id, r.h) for r in
                     passage_hashes_pd_df(d, "doc_id", "text", 12).collect())
     assert expr == arrow
+
+
+def test_shingle_and_passage_twins_agree_on_adversarial_unicode(spark):
+    """Python str.lower() and JVM lower() use different case-folding tables
+    in principle (Turkish dotted-I, German eszett, Greek final sigma,
+    full-width forms) — if they ever diverge on a character class the
+    token regex keeps, every Arrow twin silently forks from its expression
+    form AND the DuckDB oracle. Pin the corpus-of-horrors now so a
+    locale/regex change fails loudly instead of as a value-hash mystery."""
+    from collections import Counter
+
+    from databricks_import_pyspark_scripts_spark.operators.dedup import (
+        shingles_pd_df,
+    )
+    from databricks_import_pyspark_scripts_spark.operators.search import (
+        passage_hashes_pd_df,
+        passage_windows_col,
+    )
+    from databricks_import_pyspark_scripts_spark.operators.text import (
+        shingles_col,
+    )
+
+    rows = [
+        (1, "İstanbul I İ ı ÅBC straße STRASSE"),
+        (2, "ẞ ß SS ss"),
+        (3, "ＡＢＣ １２３ abc123"),
+        (4, "étude eétude café"),
+        (5, "ΣΙΣΥΦΟΣ σίσυφος"),
+        (6, "aaaaa BBBBB emoji 😀 mixed7 tokens8 here9 ten10 "
+            "eleven11 twelve12 thirteen13"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    expr_sh = {r.doc_id: sorted(r.sh) for r in d.select(
+        "doc_id", shingles_col(F.col("text"), 3).alias("sh")).collect()}
+    arrow_sh = {r.doc_id: sorted(r.sh)
+                for r in shingles_pd_df(d, "doc_id", "text", 3).collect()}
+    assert expr_sh == arrow_sh
+    expr_p = Counter((r.doc_id, r.h) for r in d.select(
+        "doc_id", F.explode(passage_windows_col(F.col("text"), 12)).alias("w"))
+        .select("doc_id", F.md5("w").alias("h")).collect())
+    arr_p = Counter((r.doc_id, r.h) for r in
+                    passage_hashes_pd_df(d, "doc_id", "text", 12).collect())
+    assert expr_p == arr_p
