@@ -275,14 +275,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Verify strategy is size-aware (operators.similarity.pair_cosines): on
     # this corpus OR-16 bucketing keeps 41% of ALL pairs (adversarial
     # near-random vectors at threshold 0.3), so the PAIR set is the big side
-    # and the vector table the small one — broadcast it into the candidate
-    # stream (zero pair shuffle). The r6 melt-join shuffled 1.6M melted rows
+    # and the vector table the small one — `auto` resolves to broadcasting
+    # it into the candidate stream (zero pair shuffle; the plan test pins
+    # the broadcast resolution). The r6 melt-join shuffled 1.6M melted rows
     # each carrying a 64-dim struct (~500 MB) to reassemble pairs; that
     # shuffle's spill/page pressure caused the 2x bench wobble (SCALE.md r7
     # root-cause). The melt path remains the non-broadcastable-corpus scale
-    # path and is exercised by semdedup + tests.
-    return (pair_cosines(cand, emb, "vec_id", "embedding",
-                         strategy="broadcast")
+    # path (auto picks it past the 256 MB estimate) and is exercised by
+    # semdedup + tests.
+    return (pair_cosines(cand, emb, "vec_id", "embedding", strategy="auto")
             .withColumn("cosine", F.round(F.col("cosine"), 4))
             .filter(F.col("cosine") >= NEAR_DUP_THRESHOLD))
 
