@@ -158,7 +158,14 @@ def _pair_cosine_pd(q: Column, v: Column, qn2: Column, vn2: Column,
     return dot_pd_col(q, v, deterministic) / F.sqrt(qn2 * vn2)
 
 
-PAIR_VERIFY_BROADCAST_CAP = 256 << 20  # bytes of vector table, see below
+# auto-strategy cap on the vector table's Catalyst size ESTIMATE. The
+# estimate for a parquet scan is file-bytes-based
+# (spark.sql.sources.fileCompressionFactor, default 1.0), while the
+# broadcast materializes ~4x that: float32 parquet bytes -> double cast
+# (2x) + unsafe-row/array overhead (~2x). 64 MB estimated => ~256 MB
+# in-memory per broadcast side (x2 sides), which fits the usual 4-8 GB
+# executor with margin. Raise it deliberately, not by default.
+PAIR_VERIFY_BROADCAST_CAP = 64 << 20
 
 
 def pair_cosines(cand: DataFrame, vectors: DataFrame,
@@ -190,11 +197,12 @@ def pair_cosines(cand: DataFrame, vectors: DataFrame,
 
     ``auto`` picks by Catalyst's size estimate of the vector table:
     broadcast while the estimate is positive and within
-    ``broadcast_cap_bytes`` (default 256 MB — comfortably under executor
-    headroom at the usual 4-8 GB; the SCALE.md measurements show broadcast
-    winning and staying stable at 51 MB/side), melt otherwise — including
-    when the estimate is unknown (Catalyst reports a huge sentinel), which
-    errs on the side of the shape that cannot OOM an executor.
+    ``broadcast_cap_bytes`` (default 64 MB of ESTIMATE ~= 256 MB
+    materialized — see ``PAIR_VERIFY_BROADCAST_CAP`` for the 4x expansion
+    arithmetic; the SCALE.md measurements show broadcast winning and
+    staying stable at 51 MB/side), melt otherwise — including when the
+    estimate is unknown (Catalyst reports a huge sentinel), which errs on
+    the side of the shape that cannot OOM an executor.
 
     The Arrow cosine is marked non-deterministic (see ``dot_pd_col``) so
     a downstream threshold filter cannot clone it into a second
