@@ -228,6 +228,14 @@ def passage_hashes_pd_df(docs: DataFrame, id_col: str, text_col: str,
     interpreted and the hash projection has TWO consumers (the multi-doc
     hash set and the per-doc counters), so the interpreted cost was paid
     twice per query (test_passage_hash_arrow_form_agrees pins equality).
+
+    NULL-text convention (deliberate, differs from the expression form): a
+    null text emits NO window rows, so it is absent from downstream
+    per-doc stats. The expression form emits one NULL-hash window (the
+    same Catalyst artifact as shingles_col — and worse here: all null-text
+    docs would collide on the null hash and mark each other as duplicated
+    passages). No gate corpus contains null texts;
+    test_null_text_conventions pins both behaviors.
     """
     import hashlib
 

@@ -335,7 +335,16 @@ def distinct_shingle_count_pd_col(text: Column, n: int = BOILER_NGRAM) -> Column
     shared Python twin), but one Python pass per Arrow batch instead of
     the expression form's interpreted transform/slice lambdas (~5x on a
     corpus-wide projection). Stays a COLUMN, so consumers keep the
-    zero-shuffle per-row scan shape."""
+    zero-shuffle per-row scan shape.
+
+    NULL-text convention (deliberate, differs from the expression form):
+    0. The expression form returns size([null]) == 1 — a Catalyst
+    null-propagation artifact (`array(array_join(null))`), not a semantic
+    choice — and the DuckDB oracle returns NULL; a null text genuinely has
+    ZERO shingles. No gate corpus contains null texts (corpus-prep quality
+    gates drop them before these operators in any real pipeline);
+    test_null_text_conventions pins all three behaviors so the divergence
+    stays visible instead of latent."""
     from pyspark.sql.pandas.functions import pandas_udf
 
     from .dedup import _py_shingles

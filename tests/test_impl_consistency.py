@@ -387,3 +387,43 @@ def test_shingle_and_passage_twins_agree_on_adversarial_unicode(spark):
     arr_p = Counter((r.doc_id, r.h) for r in
                     passage_hashes_pd_df(d, "doc_id", "text", 12).collect())
     assert expr_p == arr_p
+
+
+def test_null_text_conventions(spark):
+    """NULL-text behavior is a documented three-way divergence kept
+    VISIBLE: the expression forms produce [null]-artifact arrays (size 1 /
+    one null-hash window — Catalyst null propagation, not semantics), the
+    DuckDB oracle produces NULL, and the Arrow forms treat a null text as
+    having zero shingles/windows. No gate corpus contains null texts
+    (corpus-prep quality gates drop them first); this pin exists so any
+    future change to one side fails loudly instead of becoming a latent
+    cross-engine mismatch on a corpus with nulls."""
+    from databricks_import_pyspark_scripts_spark.operators.search import (
+        passage_hashes_pd_df,
+        passage_windows_col,
+    )
+    from databricks_import_pyspark_scripts_spark.operators.text import (
+        distinct_shingle_count_pd_col,
+        shingles_col,
+    )
+
+    d = spark.createDataFrame([(1, None), (2, "a b c d e")],
+                              "doc_id long, text string")
+    # expression artifact: [null] -> size 1
+    expr = {r.doc_id: r.c for r in d.select(
+        "doc_id", F.size(shingles_col(F.col("text"), 3)).alias("c")).collect()}
+    assert expr == {1: 1, 2: 3}
+    # Arrow convention: zero shingles for null text
+    arrow = {r.doc_id: r.c for r in d.select(
+        "doc_id",
+        distinct_shingle_count_pd_col(F.col("text"), 3).alias("c")).collect()}
+    assert arrow == {1: 0, 2: 3}
+    # expression passages: one null-hash window for the null doc
+    expr_p = {r.doc_id for r in d.select(
+        "doc_id",
+        F.explode(passage_windows_col(F.col("text"), 3)).alias("w")).collect()}
+    assert expr_p == {1, 2}
+    # Arrow passages: null doc absent
+    arr_p = {r.doc_id for r in
+             passage_hashes_pd_df(d, "doc_id", "text", 3).collect()}
+    assert arr_p == {2}
