@@ -386,7 +386,13 @@ def containment_pairs(docs: DataFrame, id_col: str, text_col: str,
     # count).
     from .dedup import bucket_pairs
 
-    shared = (bucket_pairs(rare, ["s"], F.col(id_col), max_bucket=max_df)
+    # the backstop cap must not undercut the floor: a caller passing
+    # max_df < df_floor would have bucket_pairs drop floor-protected
+    # shingles (df <= floor passes the guard unconditionally) that the
+    # oracle keeps — a silent Spark/oracle divergence for pathological
+    # parameter combinations
+    shared = (bucket_pairs(rare, ["s"], F.col(id_col),
+                           max_bucket=max(max_df, df_floor))
               .groupBy("a", "b").agg(F.count("*").alias("n_shared"))
               .filter(F.col("n_shared") >= min_shared))
     return (shared

@@ -406,3 +406,16 @@ def test_bm25_index_release_unpersists_checkpoint_blocks(spark):
         assert len(_persistent_rdd_ids(sc) - base) == 2  # postings + dls
     # context exit released both checkpointed RDDs
     assert _persistent_rdd_ids(sc) - base == set()
+
+
+def test_containment_floor_survives_pathological_max_df(spark):
+    """A caller passing max_df below the floor must NOT lose
+    floor-protected shingles: df <= floor passes the guard unconditionally
+    and the pair-explode backstop is clamped to max(max_df, floor) — the
+    oracle keeps those shingles via its floor branch, so dropping them in
+    bucket_pairs would be a silent Spark/oracle divergence."""
+    docs = _docs(spark, [(i, "alpha beta gamma delta epsilon")
+                         for i in range(1, 7)])  # df=6 <= floor for all
+    got = containment_pairs(docs, "doc_id", "text", 3,
+                            min_shared=1, max_df=2).collect()
+    assert len(got) == 15  # C(6,2): every pair survives via the floor
