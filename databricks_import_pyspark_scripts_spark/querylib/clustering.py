@@ -116,5 +116,12 @@ def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sort.")
 def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    asg = kmeans_assign(e, "vec_id", "embedding", dim=EMB_DIM)
+    # materialize the assignment before the window: the sampler's
+    # cluster_id shuffle sits ON TOP of the unrolled Lloyd chain, and the
+    # combined plan measured 7.5-14.3 s warm vs 6.2-7.2 s with the chain
+    # checkpointed once (sf0.1; the SCALE.md lineage decision rule's
+    # "consumer adds its own exchange" case). cluster_kmeans_assign itself
+    # stays lazy — measured faster without the checkpoint barrier.
+    asg = (kmeans_assign(e, "vec_id", "embedding", dim=EMB_DIM)
+           .localCheckpoint(eager=True))
     return cluster_balanced_sample(asg, "vec_id", cap=SAMPLE_CAP)
