@@ -98,6 +98,22 @@ def get_spark(app_name: str = "spark_graft", master: str | None = None,
     if master:
         builder = builder.master(master)
     conf = dict(_DEFAULT_CONF)
+    # LOCAL mode only: put shuffle/spill files on tmpfs when available.
+    # Shuffle-heavy plans on /tmp (spinning-rust-or-virtio disk) showed
+    # 3-4x run-to-run wobble from page-cache-dependent spill throughput
+    # (SCALE.md, melt-verify root cause); the same 1 GB shuffle on
+    # /dev/shm measures flat (2.2-2.7 s across repeats vs 1.9-7.7 s
+    # alternating). tmpfs pages compete with the JVM heap for physical
+    # RAM, so this is right for local dev/bench boxes with RAM headroom —
+    # NOT forced on clusters, where the resource manager provisions local
+    # dirs (YARN/K8s ignore spark.local.dir anyway). Override with
+    # SPARK_GRAFT_LOCAL_DIR (empty string = leave Spark's default).
+    if master and master.startswith("local"):
+        local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+        if local_dir is None and os.path.isdir("/dev/shm"):
+            local_dir = "/dev/shm/spark_graft_local"
+        if local_dir:
+            conf.setdefault("spark.local.dir", local_dir)
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
