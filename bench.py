@@ -125,8 +125,6 @@ def main() -> int:
     # JVM/codegen + Python-worker-pool warmup so the first timed query isn't
     # charged session startup
     spark.range(1000).selectExpr("sum(id)").collect()
-    import pandas as _pd
-
     def _noop(it):
         yield from it
     n_workers = spark.sparkContext.defaultParallelism

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.portable import TOKENS_SQL, shingles_sql
-from ..operators.linkage import LINKAGE_MAX_DIST, edit_distance_matches
+from ..operators.linkage import LINKAGE_MAX_DIST
 from ..operators.search import (
     BM25_CONTRIB_SQL,
     BM25_FIXED,
@@ -26,7 +26,6 @@ from ..operators.search import (
     bm25_topk,
     containment_pairs,
     duplicate_passage_stats,
-    term_postings,
     top_terms_as_queries,
 )
 from ..sources.registry import load_table

@@ -14,7 +14,6 @@ from pyspark.sql import functions as F
 from ..operators.similarity import (
     QUANT_SCALE,
     brute_force_topk,
-    lsh_topk,
     rademacher_planes,
 )
 from ..sources.registry import load_table
