@@ -627,30 +627,51 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def build_neardup_index(history: DataFrame, id_col: str, text_col: str,
+                        num_hashes: int = NUM_HASHES,
+                        num_bands: int = NUM_BANDS,
+                        k: int = SHINGLE_K) -> DataFrame:
+    """The stored near-dup index: the (id, band_idx, band_hash) table
+    ``incremental_neardup`` probes. Built ONCE at ingest and persisted —
+    at 100 TB, write it partitioned/bucketed by ``band_idx`` (and
+    clustered by band_hash) so each incremental probe prunes to the
+    band's files; this function returns the plain DataFrame, the storage
+    layout is the writer's choice. Appending a new batch's own bands
+    after its probe keeps the index current without any rebuild
+    (test_incremental_index_roundtrip exercises the full
+    build -> write -> load -> probe cycle)."""
+    return minhash_bands(history, id_col, text_col, num_hashes, num_bands, k)
+
+
 def incremental_neardup(history: DataFrame, new_batch: DataFrame,
                         id_col: str, text_col: str,
                         threshold: float = 0.5,
                         num_hashes: int = NUM_HASHES,
                         num_bands: int = NUM_BANDS,
                         k: int = SHINGLE_K,
-                        max_bucket: int | None = MAX_BUCKET) -> DataFrame:
+                        max_bucket: int | None = MAX_BUCKET,
+                        index: DataFrame | None = None) -> DataFrame:
     """Batch-incremental NEAR-dup check: for every new document, its best
     near-duplicate in the historical corpus (if any) — the every-ingest
     form of MinHash-LSH a continuously-fed pipeline runs, where recomputing
     pairs over 100 TB of history per batch is a non-starter.
 
-    Scale shape: the history side's bands are an ingest-time INDEX (here
-    recomputed because testdata has no stored index; in production this is
-    a stored (band_idx, band_hash, id) table, bucketed by band). The new
-    batch is tiny — its bands broadcast, so the history index streams
-    map-side and nothing history-sized shuffles. ``max_bucket`` drops
-    degenerate history band values (the same guard as ``bucket_pairs``:
-    over-cap mass means exact-duplicate pileup that exact-dedup should
-    have collapsed). Verification joins shingle projections per side and
-    takes each new doc's argmax-jaccard match (min history id on ties);
-    new docs with no candidate surface with ``has_near_dup = false``.
+    Scale shape: the history side's bands are an ingest-time INDEX —
+    pass the STORED band table (``build_neardup_index``, persisted at
+    ingest) as ``index``; when omitted (testdata has no stored index) the
+    bands are recomputed from the history texts, which is the shape to
+    avoid at scale. The new batch is tiny — its bands broadcast, so the
+    history index streams map-side and nothing history-sized shuffles.
+    ``max_bucket`` drops degenerate history band values (the same guard
+    as ``bucket_pairs``: over-cap mass means exact-duplicate pileup that
+    exact-dedup should have collapsed). Verification joins shingle
+    projections per side and takes each new doc's argmax-jaccard match
+    (min history id on ties); new docs with no candidate surface with
+    ``has_near_dup = false``. ``history`` supplies candidate TEXTS for
+    the verify either way (the index carries only band hashes).
     """
-    hb = minhash_bands(history, id_col, text_col, num_hashes, num_bands, k)
+    hb = index if index is not None else build_neardup_index(
+        history, id_col, text_col, num_hashes, num_bands, k)
     nb = minhash_bands(new_batch, id_col, text_col, num_hashes, num_bands, k)
     if max_bucket is not None:
         ok = (hb.groupBy("band_idx", "band_hash")

@@ -173,3 +173,50 @@ def test_bucket_pairs_randomized_count_invariant(spark):
     for r in got:
         assert r.a < r.b
         assert r.a // 1000 == r.b // 1000  # same bucket
+
+
+def test_incremental_index_roundtrip(spark, tmp_path):
+    """The stored-index path must be REAL, not narrated: build the band
+    index, persist it (partitioned by band_idx — the layout each probe
+    prunes on), reload, probe with it, and get row-identical results to
+    the recompute-from-texts path; then append the probed batch's own
+    bands and verify the updated index serves the next batch without any
+    history recompute."""
+    from databricks_import_pyspark_scripts_spark.operators.dedup import (
+        build_neardup_index,
+        incremental_neardup,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then naps "
+            "in the warm afternoon sun beside the old oak tree")
+    hist = spark.createDataFrame(
+        [(1, base),
+         (2, "completely unrelated historical text about query engines")],
+        "doc_id long, text string")
+    batch1 = spark.createDataFrame(
+        [(100, base + " again"), (101, "fresh unrelated content here")],
+        "doc_id long, text string")
+    idx_path = str(tmp_path / "neardup_index")
+    (build_neardup_index(hist, "doc_id", "text")
+     .write.partitionBy("band_idx").parquet(idx_path))
+    stored = spark.read.parquet(idx_path)
+    with_index = {r.doc_id: (r.has_near_dup, r.best_match_id, r.best_jaccard)
+                  for r in incremental_neardup(
+                      hist, batch1, "doc_id", "text",
+                      threshold=0.5, index=stored).collect()}
+    recomputed = {r.doc_id: (r.has_near_dup, r.best_match_id, r.best_jaccard)
+                  for r in incremental_neardup(
+                      hist, batch1, "doc_id", "text",
+                      threshold=0.5).collect()}
+    assert with_index == recomputed
+    assert with_index[100][0] and with_index[100][1] == 1
+    # append batch1's bands; batch2 must now match AGAINST batch1 docs
+    (build_neardup_index(batch1, "doc_id", "text")
+     .write.mode("append").partitionBy("band_idx").parquet(idx_path))
+    full_hist = hist.unionByName(batch1)
+    batch2 = spark.createDataFrame(
+        [(200, base + " again and again")], "doc_id long, text string")
+    got = incremental_neardup(
+        full_hist, batch2, "doc_id", "text", threshold=0.5,
+        index=spark.read.parquet(idx_path)).collect()[0]
+    assert got.has_near_dup and got.best_match_id in (1, 100)
