@@ -517,21 +517,42 @@ def lsh_table_buckets_pd_df(df: DataFrame, id_col: str, vec_col: str,
                          schema=f"{id_col} {id_type}, tbl int, bucket long"))
 
 
+def build_lsh_index(vectors: DataFrame,
+                    num_tables: int = NUM_TABLES,
+                    planes_per_table: int = PLANES_PER_TABLE,
+                    planes: list[list[int]] | None = None) -> DataFrame:
+    """The stored ANN index: the (vec_id, tbl, bucket) table
+    ``lsh_multi_topk`` probes. Built once at ingest and persisted —
+    partition by ``tbl`` and cluster/bucket by ``bucket`` so a query
+    batch's candidate join prunes to same-bucket file groups; this
+    returns the plain DataFrame, layout is the writer's choice.
+    (test_lsh_stored_index_roundtrip exercises build -> write -> load ->
+    query parity with the recompute path.)"""
+    planes = planes or rademacher_planes(num_tables * planes_per_table)
+    return lsh_table_buckets_pd_df(vectors, "vec_id", "embedding",
+                                   num_tables, planes_per_table, planes)
+
+
 def lsh_multi_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
                    num_tables: int = NUM_TABLES,
                    planes_per_table: int = PLANES_PER_TABLE,
-                   planes: list[list[int]] | None = None) -> DataFrame:
+                   planes: list[list[int]] | None = None,
+                   index: DataFrame | None = None) -> DataFrame:
     """Approximate top-k over the union of ``num_tables`` LSH tables.
 
     Candidates = distinct (query, vector) pairs colliding in >= 1 table —
     an equi-join on (tbl, bucket), O(L * n / 2^b) pairs per query, never a
     cartesian. Each candidate is scored once (distinct before the cosine).
-    At scale the (tbl, bucket) pairs are plain columns computed at ingest;
-    the candidate join prunes to same-bucket file groups.
+    At scale pass the STORED bucket table (``build_lsh_index``, persisted
+    at ingest) as ``index`` — the candidate join then prunes to
+    same-bucket file groups; when omitted the buckets are recomputed from
+    the vectors (fine for tests, the shape to avoid over a 100 TB
+    corpus). ``vectors`` still supplies the raw embeddings for the exact
+    cosine verify (the index carries only bucket ids).
     """
     planes = planes or rademacher_planes(num_tables * planes_per_table)
-    vb = lsh_table_buckets_pd_df(vectors, "vec_id", "embedding",
-                                 num_tables, planes_per_table, planes)
+    vb = index if index is not None else build_lsh_index(
+        vectors, num_tables, planes_per_table, planes)
     qb = lsh_table_buckets_pd_df(
         queries.select(F.col("query_id").alias("vec_id"),
                        F.col("q_embedding").alias("embedding")),

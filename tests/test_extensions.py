@@ -625,3 +625,33 @@ def test_stratified_sample_exact_quotas(spark):
 
     with pytest.raises(ValueError, match="bad keep fraction"):
         stratified_sample_exact(df, ["grp"], 1, 0, "id")
+
+
+def test_lsh_stored_index_roundtrip(spark, sf_dir, tmp_path):
+    """The stored ANN-index path must be real: build the (vec_id, tbl,
+    bucket) table, persist partitioned by tbl, reload, and query with it —
+    row-identical top-k to the recompute-from-vectors path."""
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_multi_topk,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.registry import (
+        load_table,
+    )
+
+    vectors = load_table(spark, sf_dir, "embeddings")
+    queries = (vectors.filter(F.col("vec_id") % 50 == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_embedding")))
+    idx_path = str(tmp_path / "lsh_index")
+    build_lsh_index(vectors).write.partitionBy("tbl").parquet(idx_path)
+    stored = spark.read.parquet(idx_path)
+    with_index = {(r.query_id, r.rank): (r.vec_id, r.cosine)
+                  for r in lsh_multi_topk(vectors, queries, k=5,
+                                          index=stored).collect()}
+    recomputed = {(r.query_id, r.rank): (r.vec_id, r.cosine)
+                  for r in lsh_multi_topk(vectors, queries, k=5).collect()}
+    assert with_index == recomputed
+    assert len(with_index) > 0
