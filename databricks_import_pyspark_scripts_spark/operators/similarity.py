@@ -345,7 +345,8 @@ def kmeans_centroids(vectors: DataFrame, num_centroids: int,
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
              centroid_mod: int = CENTROID_MOD,
              nprobe: int = IVF_NPROBE,
-             centroids: DataFrame | None = None) -> DataFrame:
+             centroids: DataFrame | None = None,
+             assignments: DataFrame | None = None) -> DataFrame:
     """IVF (inverted-file) ANN top-k: vectors assigned to their nearest
     centroid cell; each query scores the lists of its ``nprobe`` nearest
     cells (probe=1 measured recall@10 = 0.705 on the synthetic corpus;
@@ -354,12 +355,19 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     a deterministic stand-in for k-means training that keeps the query
     oracle-checkable; pass ``centroids`` (e.g. ``kmeans_centroids``) to use
     a trained quantizer with the identical search path. Cells are
-    disjoint per vector, so multi-probe adds no duplicate candidates."""
+    disjoint per vector, so multi-probe adds no duplicate candidates.
+
+    ``assignments`` accepts the STORED (vec_id, cell) table
+    (``ivf_assignments`` persisted at ingest, the cell as a
+    partition/bucket key) instead of recomputing the assignment per
+    query batch; it must have been built against the SAME centroids
+    (test_ivf_stored_assignments_roundtrip pins parity)."""
     cents = centroids if centroids is not None else (
         vectors.filter(F.col("vec_id") % centroid_mod == 0)
         .select((F.col("vec_id") / centroid_mod).cast("long").alias("centroid_id"),
                 "embedding"))
-    v_cells = ivf_assignments(vectors, cents)
+    v_cells = (assignments if assignments is not None
+               else ivf_assignments(vectors, cents))
     q_cells = ivf_query_cells(queries, cents, nprobe)
     v = (vectors.join(v_cells, "vec_id")
          .withColumn("_n2", dot_col(F.col("embedding"), F.col("embedding"))))

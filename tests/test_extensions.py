@@ -655,3 +655,37 @@ def test_lsh_stored_index_roundtrip(spark, sf_dir, tmp_path):
                   for r in lsh_multi_topk(vectors, queries, k=5).collect()}
     assert with_index == recomputed
     assert len(with_index) > 0
+
+
+def test_ivf_stored_assignments_roundtrip(spark, sf_dir, tmp_path):
+    """The ingest-time (vec_id, cell) assignment path must be real:
+    persist the assignment partitioned by cell, reload, and query with it
+    — row-identical top-k to the recompute path."""
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.operators.similarity import (
+        CENTROID_MOD,
+        ivf_assignments,
+        ivf_topk,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.registry import (
+        load_table,
+    )
+
+    vectors = load_table(spark, sf_dir, "embeddings")
+    queries = (vectors.filter(F.col("vec_id") % 50 == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_embedding")))
+    cents = (vectors.filter(F.col("vec_id") % CENTROID_MOD == 0)
+             .select((F.col("vec_id") / CENTROID_MOD).cast("long")
+                     .alias("centroid_id"), "embedding"))
+    path = str(tmp_path / "ivf_cells")
+    ivf_assignments(vectors, cents).write.partitionBy("cell").parquet(path)
+    stored = spark.read.parquet(path)
+    with_idx = {(r.query_id, r.rank): (r.vec_id, r.cosine)
+                for r in ivf_topk(vectors, queries, k=5,
+                                  assignments=stored).collect()}
+    recomputed = {(r.query_id, r.rank): (r.vec_id, r.cosine)
+                  for r in ivf_topk(vectors, queries, k=5).collect()}
+    assert with_idx == recomputed
+    assert len(with_idx) > 0
