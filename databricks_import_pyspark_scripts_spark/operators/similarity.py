@@ -676,7 +676,8 @@ def pq_query_tables(queries: DataFrame, cb: DataFrame,
 
 def pq_adc_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
                 dim: int = EMBED_DIM, m: int = PQ_M,
-                codebook: DataFrame | None = None) -> DataFrame:
+                codebook: DataFrame | None = None,
+                codes: DataFrame | None = None) -> DataFrame:
     """(query_id, vec_id, adc_dist, rank): per-query top-k by asymmetric
     PQ distance — sum over subspaces of the exact distance from the query's
     subvector to the candidate's CODEWORD.
@@ -685,11 +686,16 @@ def pq_adc_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     query-side distance tables (|Q| * m * k rows) broadcast; the big side
     joins map-side on (m, code) and one shuffle on (query, vec) sums the m
     partial distances. The raw corpus vectors are read only by the encode
-    pass. ADC score ties and rank ties both break deterministically (min
-    code at encode, vec_id at rank)."""
+    pass — and not even then when the STORED code table (``pq_encode``
+    persisted at ingest, with its codebook) is passed as ``codes``: the
+    query then never touches raw vectors at all, which is the whole point
+    of PQ at 100 TB (test_pq_stored_codes_roundtrip pins parity). ADC
+    score ties and rank ties both break deterministically (min code at
+    encode, vec_id at rank)."""
     cb = codebook if codebook is not None else pq_codebook(
         vectors, "vec_id", "embedding", dim, m)
-    codes = pq_encode(vectors, cb, "vec_id", "embedding", dim, m)
+    if codes is None:
+        codes = pq_encode(vectors, cb, "vec_id", "embedding", dim, m)
     qtab = pq_query_tables(queries, cb, dim, m)
     scored = (codes.join(F.broadcast(qtab), ["m", "code"])
               .filter(F.col("vec_id") != F.col("query_id"))

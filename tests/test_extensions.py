@@ -689,3 +689,38 @@ def test_ivf_stored_assignments_roundtrip(spark, sf_dir, tmp_path):
                   for r in ivf_topk(vectors, queries, k=5).collect()}
     assert with_idx == recomputed
     assert len(with_idx) > 0
+
+
+def test_pq_stored_codes_roundtrip(spark, sf_dir, tmp_path):
+    """The PQ promise is that queries never read raw vectors: persist the
+    codebook and code table, reload both, and run the ADC top-k from the
+    stored codes — row-identical to the encode-inline path."""
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.registry import (
+        load_table,
+    )
+
+    vectors = load_table(spark, sf_dir, "embeddings")
+    queries = (vectors.filter(F.col("vec_id") % 50 == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_embedding")))
+    cb = pq_codebook(vectors, "vec_id", "embedding")
+    cb_path, codes_path = str(tmp_path / "pq_cb"), str(tmp_path / "pq_codes")
+    cb.write.parquet(cb_path)
+    pq_encode(vectors, cb, "vec_id", "embedding").write.parquet(codes_path)
+    stored_cb = spark.read.parquet(cb_path)
+    stored_codes = spark.read.parquet(codes_path)
+    with_idx = {(r.query_id, r.rank): (r.vec_id, r.adc_dist)
+                for r in pq_adc_topk(vectors, queries, k=5,
+                                     codebook=stored_cb,
+                                     codes=stored_codes).collect()}
+    inline = {(r.query_id, r.rank): (r.vec_id, r.adc_dist)
+              for r in pq_adc_topk(vectors, queries, k=5).collect()}
+    assert with_idx == inline
+    assert len(with_idx) > 0
