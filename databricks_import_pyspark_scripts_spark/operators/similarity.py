@@ -712,7 +712,9 @@ def ivf_pq_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
                 centroid_mod: int = CENTROID_MOD, nprobe: int = IVF_NPROBE,
                 dim: int = EMBED_DIM, m: int = PQ_M,
                 centroids: DataFrame | None = None,
-                codebook: DataFrame | None = None) -> DataFrame:
+                codebook: DataFrame | None = None,
+                assignments: DataFrame | None = None,
+                codes: DataFrame | None = None) -> DataFrame:
     """IVF-PQ: the production ANN shape — IVF cells prune the candidate
     list (each query scores only its ``nprobe`` nearest cells), PQ codes
     score the survivors by asymmetric distance, raw vectors touched by
@@ -722,7 +724,11 @@ def ivf_pq_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     a query touches |cells probed| / |cells| of the corpus and reads 8
     small ints per candidate instead of 64 floats. The cell join and the
     distance-table join both broadcast their small side; one shuffle on
-    (query, vec) sums the per-subspace distances.
+    (query, vec) sums the per-subspace distances. Pass the STORED
+    ``assignments`` (vec_id, cell) and ``codes`` tables (persisted at
+    ingest with their centroids/codebook) and a query batch reads no raw
+    corpus vectors at all — the full production layout
+    (test_ivf_pq_stored_layout_roundtrip pins parity).
     """
     cents = centroids if centroids is not None else (
         vectors.filter(F.col("vec_id") % centroid_mod == 0)
@@ -730,9 +736,11 @@ def ivf_pq_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
                 "embedding"))
     cb = codebook if codebook is not None else pq_codebook(
         vectors, "vec_id", "embedding", dim, m)
-    v_cells = ivf_assignments(vectors, cents)
+    v_cells = (assignments if assignments is not None
+               else ivf_assignments(vectors, cents))
     q_cells = ivf_query_cells(queries, cents, nprobe)
-    codes = pq_encode(vectors, cb, "vec_id", "embedding", dim, m)
+    if codes is None:
+        codes = pq_encode(vectors, cb, "vec_id", "embedding", dim, m)
     qtab = pq_query_tables(queries, cb, dim, m)
     cand = (v_cells.join(F.broadcast(q_cells),
                          v_cells.cell == q_cells.q_cell)

@@ -724,3 +724,45 @@ def test_pq_stored_codes_roundtrip(spark, sf_dir, tmp_path):
               for r in pq_adc_topk(vectors, queries, k=5).collect()}
     assert with_idx == inline
     assert len(with_idx) > 0
+
+
+def test_ivf_pq_stored_layout_roundtrip(spark, sf_dir, tmp_path):
+    """The full production ANN layout: persisted cell assignments AND PQ
+    codes; a query batch reads no raw corpus vectors. Row-identical to
+    the compute-inline composite."""
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.operators.similarity import (
+        CENTROID_MOD,
+        ivf_assignments,
+        ivf_pq_topk,
+        pq_codebook,
+        pq_encode,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.registry import (
+        load_table,
+    )
+
+    vectors = load_table(spark, sf_dir, "embeddings")
+    queries = (vectors.filter(F.col("vec_id") % 50 == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_embedding")))
+    cents = (vectors.filter(F.col("vec_id") % CENTROID_MOD == 0)
+             .select((F.col("vec_id") / CENTROID_MOD).cast("long")
+                     .alias("centroid_id"), "embedding"))
+    cb = pq_codebook(vectors, "vec_id", "embedding")
+    cells_p, codes_p, cb_p = (str(tmp_path / n)
+                              for n in ("cells", "codes", "cb"))
+    ivf_assignments(vectors, cents).write.partitionBy("cell").parquet(cells_p)
+    pq_encode(vectors, cb, "vec_id", "embedding").write.parquet(codes_p)
+    cb.write.parquet(cb_p)
+    with_idx = {(r.query_id, r.rank): (r.vec_id, r.adc_dist)
+                for r in ivf_pq_topk(
+                    vectors, queries, k=5,
+                    codebook=spark.read.parquet(cb_p),
+                    assignments=spark.read.parquet(cells_p),
+                    codes=spark.read.parquet(codes_p)).collect()}
+    inline = {(r.query_id, r.rank): (r.vec_id, r.adc_dist)
+              for r in ivf_pq_topk(vectors, queries, k=5).collect()}
+    assert with_idx == inline
+    assert len(with_idx) > 0
