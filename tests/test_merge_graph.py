@@ -391,3 +391,22 @@ def test_checkpoint_scope_drops_blocks_created_inside(spark):
         assert len(persistent_rdd_ids(spark) - base) == 1
     assert persistent_rdd_ids(spark) - base == set()
     assert outer.count() == 10  # pre-existing checkpoint untouched
+
+
+def test_checkpoint_scope_releases_on_exception(spark):
+    """A failing job inside the scope must still release its checkpointed
+    blocks — the production wrapper sits around batch units that can
+    throw, and a leak-on-error would accumulate exactly like the
+    no-scope case."""
+    from databricks_import_pyspark_scripts_spark.operators.lineage import (
+        checkpoint_scope,
+        persistent_rdd_ids,
+    )
+
+    base = persistent_rdd_ids(spark)
+    with pytest.raises(RuntimeError, match="boom"):
+        with checkpoint_scope(spark):
+            spark.range(50).localCheckpoint(eager=True)
+            assert len(persistent_rdd_ids(spark) - base) == 1
+            raise RuntimeError("boom")
+    assert persistent_rdd_ids(spark) - base == set()
