@@ -32,12 +32,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--table-versions-map",
                    help='e.g. "events=0-3,users=2-5"; start==0 means '
                         'snapshot-of-end (required unless --maintenance)')
-    p.add_argument("--maintenance", choices=("optimize", "vacuum", "drift"),
+    p.add_argument("--maintenance",
+                   choices=("optimize", "vacuum", "drift", "neardup-index"),
                    help="run a table-maintenance operation instead of an "
                         "unload: optimize = compact the latest snapshot "
                         "into a new version; vacuum = drop versions below "
                         "--keep-from-version; drift = schema-drift report "
-                        "between --drift-from and --drift-to")
+                        "between --drift-from and --drift-to; "
+                        "neardup-index = build the MinHash band index of "
+                        "the latest snapshot and write it to --output-path "
+                        "partitioned by band_idx (the stored table "
+                        "incremental near-dup probes)")
+    p.add_argument("--id-col", default="doc_id",
+                   help="neardup-index: document id column")
+    p.add_argument("--text-col", default="text",
+                   help="neardup-index: document text column")
     p.add_argument("--table", help="table name for --maintenance")
     p.add_argument("--keep-from-version", type=int,
                    help="vacuum: retain versions >= this")
@@ -107,6 +116,9 @@ def _run_maintenance(args) -> int:
     if args.maintenance == "vacuum" and args.keep_from_version is None:
         print("--keep-from-version is required for vacuum", file=sys.stderr)
         return 2
+    if args.maintenance == "neardup-index" and not args.output_path:
+        print("--output-path is required for neardup-index", file=sys.stderr)
+        return 2
     if args.maintenance == "drift" and (args.drift_from is None
                                         or args.drift_to is None):
         print("--drift-from/--drift-to are required for drift",
@@ -123,6 +135,24 @@ def _run_maintenance(args) -> int:
     elif args.maintenance == "vacuum":
         report = vacuum_table(spark, args.source_root, args.table,
                               args.keep_from_version)
+    elif args.maintenance == "neardup-index":
+        from .operators.dedup import build_neardup_index
+        from .sources.versioned import list_versions, read_snapshot
+
+        versions = list_versions(
+            spark, f"{args.source_root}/{args.table}", "v=")
+        if not versions:
+            print(f"no snapshots for {args.table} under {args.source_root}",
+                  file=sys.stderr)
+            return 2
+        latest = versions[-1]
+        docs = read_snapshot(spark, args.source_root, args.table, latest)
+        idx = build_neardup_index(docs, args.id_col, args.text_col)
+        (idx.write.mode("overwrite").partitionBy("band_idx")
+            .parquet(args.output_path))
+        n = spark.read.parquet(args.output_path).count()
+        report = {"table": args.table, "snapshot_version": latest,
+                  "index_path": args.output_path, "band_rows": n}
     else:
         report = schema_drift_report(spark, args.source_root, args.table,
                                      args.drift_from, args.drift_to)

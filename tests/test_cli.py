@@ -123,3 +123,45 @@ def test_cli_maintenance_lifecycle(spark, tmp_path):
     # arg validation: maintenance needs --table; vacuum needs the version
     p4 = run("--maintenance", "vacuum")
     assert p4.returncode == 2
+
+
+def test_cli_neardup_index_build_and_probe(spark, tmp_path):
+    """The neardup-index maintenance verb: build the band index of the
+    latest snapshot through the CLI, then probe it with
+    incremental_neardup and find a planted near-dup — the full
+    ingest-side workflow a production pipeline schedules."""
+    import json
+
+    from databricks_import_pyspark_scripts_spark.operators.dedup import (
+        incremental_neardup,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and naps "
+            "in the warm afternoon sun beside the old oak tree")
+    root = str(tmp_path / "lake")
+    hist = spark.createDataFrame(
+        [(1, base), (2, "unrelated historical text about engines")],
+        "doc_id long, text string")
+    hist.write.parquet(f"{root}/docs/v=1")
+    idx_path = str(tmp_path / "band_index")
+    proc = subprocess.run(
+        [sys.executable, "-m", "databricks_import_pyspark_scripts_spark.cli",
+         "--source-root", root, "--table", "docs",
+         "--maintenance", "neardup-index", "--output-path", idx_path],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rep = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert rep["snapshot_version"] == 1 and rep["band_rows"] > 0
+    stored = spark.read.parquet(idx_path)
+    newb = spark.createDataFrame(
+        [(100, base + " again")], "doc_id long, text string")
+    got = incremental_neardup(hist, newb, "doc_id", "text",
+                              threshold=0.5, index=stored).collect()[0]
+    assert got.has_near_dup and got.best_match_id == 1
+    # arg validation: the verb needs --output-path
+    p2 = subprocess.run(
+        [sys.executable, "-m", "databricks_import_pyspark_scripts_spark.cli",
+         "--source-root", root, "--table", "docs",
+         "--maintenance", "neardup-index"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120)
+    assert p2.returncode == 2
