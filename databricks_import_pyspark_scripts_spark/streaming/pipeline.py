@@ -355,3 +355,43 @@ def stream_apply_compacted_changes(changes: DataFrame, mirror_root: str,
             .foreachBatch(apply_batch)
             .option("checkpointLocation", checkpoint_dir)
             .start())
+
+
+def stream_neardup_gate(docs: DataFrame, history: DataFrame,
+                        index: DataFrame, output_path: str,
+                        checkpoint_dir: str, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        threshold: float = 0.5):
+    """Streaming ingest near-dup gate: every micro-batch of new documents
+    is probed against the STORED MinHash band index
+    (``operators.dedup.build_neardup_index`` — built by the
+    ``neardup-index`` CLI maintenance verb) and lands annotated with its
+    best historical match under ``output_path/batch_id=<n>``.
+
+    This is the continuous form of ``incremental_neardup``: the history
+    index and candidate texts are static sides (foreachBatch runs the
+    batch operator verbatim — same argmax-jaccard semantics, tested
+    against the same planted-dup fixtures), the new batch is the tiny
+    streaming side, and nothing history-sized shuffles per batch.
+    Batch-id-dir overwrite gives the same idempotent-on-redelivery
+    contract as ``stream_unload``. Returns the StreamingQuery (caller
+    stops it). A production deployment periodically appends freshly
+    ingested bands to the index (the append cycle
+    test_incremental_index_roundtrip pins) — within one gate run the
+    index is a fixed snapshot, so near-dups WITHIN the stream window are
+    deduplicated by the exact first-seen gate
+    (``make_first_seen_processor``), not this operator."""
+    from ..operators.dedup import incremental_neardup
+
+    def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        flagged = incremental_neardup(
+            history, batch_df, id_col, text_col,
+            threshold=threshold, index=index)
+        out = batch_df.join(flagged, id_col)
+        out.write.mode("overwrite").parquet(
+            f"{output_path}/batch_id={batch_id}")
+
+    return (docs.writeStream
+            .foreachBatch(probe_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .start())

@@ -393,3 +393,42 @@ def test_stream_apply_compacted_changes_mirrors_log(spark, tmp_path):
     final = {r.k: r.v for r in spark.read.parquet(
         f"{tmp_path}/mirror/v={versions[-1]}").collect()}
     assert final == {1: "a3", 4: "d1"}
+
+
+def test_stream_neardup_gate_flags_against_stored_index(spark, tmp_path):
+    """The streaming ingest gate: micro-batches probe the stored band
+    index and land annotated — the planted near-dup is flagged with its
+    historical match, the fresh doc passes clean."""
+    from databricks_import_pyspark_scripts_spark.operators.dedup import (
+        build_neardup_index,
+    )
+    from databricks_import_pyspark_scripts_spark.streaming.pipeline import (
+        stream_neardup_gate,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and naps "
+            "in the warm afternoon sun beside the old oak tree")
+    hist = spark.createDataFrame(
+        [(1, base), (2, "unrelated historical text about query engines")],
+        "doc_id long, text string")
+    idx_path = str(tmp_path / "bands")
+    (build_neardup_index(hist, "doc_id", "text")
+     .write.partitionBy("band_idx").parquet(idx_path))
+    src = str(tmp_path / "incoming")
+    spark.createDataFrame(
+        [(100, base + " again"), (101, "fresh clean content here")],
+        "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "gated")
+    q = stream_neardup_gate(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        hist, spark.read.parquet(idx_path), out,
+        str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {100, 101}
+    assert got[100].has_near_dup and got[100].best_match_id == 1
+    assert not got[101].has_near_dup
+    assert "text" in spark.read.parquet(out).columns  # original cols kept
