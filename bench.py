@@ -68,6 +68,9 @@ HEADLINE = [
     # meaning. Both were restructured onto the Arrow shingle path in r7.
     "dedup_containment_pairs",
     "dedup_ngram_jaccard_blocked",
+    # the training-loader handoff step (distributed total-order index);
+    # cheap, but its two-pass + broadcast plan is worth a timed row
+    "corpus_global_shuffle",
 ]
 
 EXTENSION_ROWS = {
@@ -219,7 +222,7 @@ def main() -> int:
     # rows added after r6 stay OUT of the comparable total so its
     # round-over-round trend keeps meaning; they are still in `queries`
     new_rows = {"unload_e2e_events_json", "dedup_containment_pairs",
-                "dedup_ngram_jaccard_blocked"}
+                "dedup_ngram_jaccard_blocked", "corpus_global_shuffle"}
     # same membership as comparable_queries_sec (includes the unload e2e row)
     comp = [k for k in timings
             if k not in EXTENSION_ROWS and k not in stress

@@ -420,3 +420,72 @@ def stratified_sample_exact(df, strata_cols: list[str], keep_num: int,
             .withColumn("_n", F.count(F.lit(1)).over(wn).cast("long"))
             .filter(F.col("_rn") * keep_den <= F.col("_n") * keep_num)
             .drop("_rn", "_n"))
+
+
+def global_shuffle_shards(df, id_col: str, n_shards: int,
+                          seed: str = "42"):
+    """Deterministic global corpus shuffle + round-robin shard assignment:
+    the LAST step of a training-data pipeline, between corpus prep and the
+    training loader. Every row gets ``global_index`` (its position in the
+    md5(seed:id)-shuffled total order), ``shard = global_index % n_shards``
+    and ``pos_in_shard = global_index div n_shards``. Dealing the shuffled
+    order round-robin makes shard sizes even to ±1 row and every shard an
+    unbiased interleave of the whole corpus — the two properties data
+    loaders assume when they stripe shards across workers.
+
+    Scale shape: the naive ``row_number() OVER (ORDER BY hash)`` plans as
+    an Exchange SinglePartition + one-task sort — the canonical window
+    scale-killer. This computes the SAME total order distributively, the
+    two-pass zipWithIndex recipe expressed in DataFrame ops:
+
+    1. counting pass — rows reduce map-side to 256 (bucket, count) rows
+       (bucket = first md5 hex byte), so the only data crossing the wire
+       is the tiny partial-agg output; cumulative offsets over those 256
+       rows are a trivially small single-partition window;
+    2. rank pass — a window partitioned BY BUCKET (all cores sort their
+       own hash range) plus a broadcast join of the offsets, and
+       ``global_index = bucket_offset + rank_within_bucket - 1``.
+
+    Because the bucket IS the hash prefix, (bucket, hash) order equals
+    hash order, so the composed index is bit-identical to the one-task
+    sort's. Two corpus scans total; the heavy one shuffles on 256
+    uniformly-loaded md5 buckets (hash output ≈ uniform, so no skew by
+    construction). At 100 TB: bucket count is the sort parallelism — widen
+    the prefix to 4 hex chars (65536 buckets) once per-bucket data
+    outgrows executor memory; the recipe is unchanged.
+
+    Seed folds into the hash input (``md5(seed || ':' || id)``), so a new
+    seed is a completely fresh permutation — epoch reshuffles are a column
+    swap, not a new algorithm.
+    """
+    from pyspark.sql.window import Window
+
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive (got {n_shards})")
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    bkt = F.substring(h, 1, 2)
+    counts = (df.select(bkt.alias("_bkt"))
+              .groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt")))
+    offs = (counts
+            .withColumn(
+                "_off",
+                F.coalesce(
+                    F.sum("_cnt").over(
+                        Window.orderBy("_bkt")
+                        .rowsBetween(Window.unboundedPreceding, -1)),
+                    F.lit(0)).cast("long"))
+            .select("_bkt", "_off"))
+    wb = Window.partitionBy("_bkt").orderBy(F.col("_h").asc(),
+                                            F.col(id_col).asc())
+    gidx = F.col("_off") + F.col("_rn") - 1
+    return (df
+            .withColumn("_h", h)
+            .withColumn("_bkt", bkt)
+            .withColumn("_rn", F.row_number().over(wb).cast("long"))
+            .join(F.broadcast(offs), "_bkt")
+            .withColumn("global_index", gidx)
+            .withColumn("shard",
+                        (F.col("global_index") % n_shards).cast("int"))
+            .withColumn("pos_in_shard",
+                        F.expr(f"global_index div {int(n_shards)}"))
+            .drop("_h", "_bkt", "_rn", "_off"))

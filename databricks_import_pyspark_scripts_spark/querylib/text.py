@@ -924,6 +924,41 @@ def corpus_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id").select("doc_id", "lang", "source")
 
 
+SHUF_SHARDS, SHUF_SEED = 8, "42"
+
+
+@register(
+    "corpus_global_shuffle",
+    f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               ORDER BY md5('{SHUF_SEED}:' || CAST(doc_id AS VARCHAR)),
+                        doc_id) - 1 AS gidx
+      FROM documents)
+    SELECT doc_id, source,
+           gidx AS global_index,
+           CAST(gidx % {SHUF_SHARDS} AS INTEGER) AS shard,
+           gidx // {SHUF_SHARDS} AS pos_in_shard
+    FROM r
+    """,
+    doc="Deterministic global corpus shuffle + round-robin sharding — the "
+        "step between corpus prep and the training loader. The oracle IS "
+        "the naive one-task total sort; the Spark plan computes the "
+        "identical index distributively (md5-prefix bucketed window + "
+        "broadcast cumulative offsets — the two-pass zipWithIndex recipe "
+        "in DataFrame ops), pinned by test_plan_shapes to never collapse "
+        "the corpus onto a SinglePartition sort. Shard sizes even to ±1, "
+        "each shard an unbiased interleave of the shuffled order.")
+def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import global_shuffle_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    return global_shuffle_shards(
+        docs, "doc_id", SHUF_SHARDS, seed=SHUF_SEED
+    ).select("doc_id", "source", "global_index", "shard", "pos_in_shard")
+
+
 @register(
     "text_quality_percentile_by_lang",
     f"""

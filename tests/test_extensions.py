@@ -627,6 +627,56 @@ def test_stratified_sample_exact_quotas(spark):
         stratified_sample_exact(df, ["grp"], 1, 0, "id")
 
 
+def test_global_shuffle_shards_matches_naive_total_sort(spark):
+    """The bucketed two-pass index must be BIT-IDENTICAL to the naive
+    one-task ``row_number() OVER (ORDER BY md5)`` sort — same permutation,
+    same shards — and shard sizes even to ±1 with every index distinct."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from databricks_import_pyspark_scripts_spark.operators.text import (
+        global_shuffle_shards,
+    )
+
+    n, shards = 1003, 7  # non-multiple: forces the ±1 size case
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    out = global_shuffle_shards(df, "doc_id", shards, seed="s1")
+    got = {r.doc_id: (r.global_index, r.shard, r.pos_in_shard)
+           for r in out.collect()}
+
+    h = F.md5(F.concat(F.lit("s1:"), F.col("doc_id").cast("string")))
+    naive = (df.withColumn(
+        "gidx",
+        F.row_number().over(Window.orderBy(h.asc(), F.col("doc_id").asc()))
+        .cast("long") - 1))
+    want = {r.doc_id: (r.gidx, r.gidx % shards, r.gidx // shards)
+            for r in naive.collect()}
+    assert got == want
+
+    sizes = sorted(
+        r["count"] for r in out.groupBy("shard").count().collect())
+    assert len(sizes) == shards and sizes[-1] - sizes[0] <= 1
+    assert sum(sizes) == n
+    idxs = sorted(v[0] for v in got.values())
+    assert idxs == list(range(n))
+
+    # determinism is partitioning-independent: a different physical layout
+    # of the same rows yields the same assignment
+    again = global_shuffle_shards(
+        df.repartition(13), "doc_id", shards, seed="s1")
+    assert {r.doc_id: (r.global_index, r.shard, r.pos_in_shard)
+            for r in again.collect()} == want
+    # a new seed is a genuinely different permutation
+    other = global_shuffle_shards(df, "doc_id", shards, seed="s2")
+    assert {r.doc_id: r.global_index
+            for r in other.collect()} != {k: v[0] for k, v in got.items()}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n_shards"):
+        global_shuffle_shards(df, "doc_id", 0)
+
+
 def test_lsh_stored_index_roundtrip(spark, sf_dir, tmp_path):
     """The stored ANN-index path must be real: build the (vec_id, tbl,
     bucket) table, persist partitioned by tbl, reload, and query with it —

@@ -225,3 +225,21 @@ def test_bm25_queries_read_only_the_materialized_index(spark, sf_dir):
     plan = _plan(df)
     assert _scans(plan, "documents") == 0
     assert _nodes(plan, "Scan ExistingRDD") == 6
+
+
+def test_global_shuffle_index_never_single_partition_sorts_corpus(spark,
+                                                                  sf_dir):
+    """The global-shuffle index must stay the two-pass distributed shape:
+    the CORPUS window partitioned by the md5-prefix bucket (hashpartitioning
+    exchange), offsets joined back by BROADCAST, and exactly ONE
+    SinglePartition exchange in the whole plan — the 256-row cumulative-
+    offset window, never the corpus. A second SinglePartition (or a missing
+    _bkt exchange) means the naive ORDER BY hash sort crept back: at 100 TB
+    that is the entire corpus sorted by one task. Two documents scans: the
+    cheap counting pass (pruned to doc_id only) + the rank pass."""
+    df = all_queries()["corpus_global_shuffle"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("SinglePartition") == 1
+    assert "hashpartitioning(_bkt" in plan
+    assert _nodes(plan, "BroadcastHashJoin") == 1
+    assert _scans(plan, "documents") == 2
