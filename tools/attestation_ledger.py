@@ -16,9 +16,10 @@ COVERAGE.md (appends it if absent).
 
 Usage: python tools/attestation_ledger.py [--check|--suggest]
   --check    exit 1 if COVERAGE.md is out of date instead of rewriting it.
-  --suggest  print the recommended next-round `_PRIORITY` body (code-stale
-             first, then never-attested, then oldest-attested, stable by
-             current order) ready to paste into querylib/__init__.py.
+  --suggest  print the recommended next-round `_PRIORITY` body
+             (never-attested first, then code-stale, then oldest-attested,
+             stable by current order) ready to paste into
+             querylib/__init__.py.
 """
 
 from __future__ import annotations
@@ -329,13 +330,15 @@ def main() -> int:
     names, hist = gather()
     changed, _current = code_rounds()
     if "--suggest" in sys.argv:
-        # code-stale first (their attestations describe old code), then
-        # never-attested, then oldest-attested; stable by current order
+        # never-attested first (ZERO evidence beats invalid evidence —
+        # a brand-new query must not queue behind a backlog of code-stale
+        # ones), then code-stale (their attestations describe old code),
+        # then oldest-attested; stable by current order
         def key(i: int):
             n = names[i]
             att = hist.get(n, (0,))[0]
             stale = changed.get(n, 0) > att and att > 0
-            return (0 if stale else 1, att, i)
+            return (0 if att == 0 else (1 if stale else 2), att, i)
         try:
             for i in sorted(range(len(names)), key=key):
                 print(f'    "{names[i]}",')
