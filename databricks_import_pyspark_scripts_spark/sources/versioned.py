@@ -111,6 +111,14 @@ def read_snapshot(spark: SparkSession, root: str, table: str,
         return (spark.read.format("delta")
                 .option("versionAsOf", version)
                 .load(os.path.join(root, table)))
+    from .delta_log import is_delta_table, read_delta_snapshot
+    if is_delta_table(spark, os.path.join(root, table)):
+        # a REAL Delta table but no Delta jars: pure-Python log replay
+        # (public protocol; sources/delta_log.py) — same VERSION AS OF
+        # semantics, data files read as plain parquet
+        from .registry import _normalize_ntz
+        return _normalize_ntz(
+            read_delta_snapshot(spark, os.path.join(root, table), version))
     path = _snapshot_dir(root, table, version)
     if not _path_exists(spark, path):
         raise ChangelogNotFoundError(
@@ -143,6 +151,16 @@ def read_changes(spark: SparkSession, root: str, table: str,
                 .option("startingVersion", starting_version + 1)
                 .option("endingVersion", ending_version)
                 .load(os.path.join(root, table)))
+    from .delta_log import is_delta_table, read_delta_changes
+    if is_delta_table(spark, os.path.join(root, table)):
+        # real Delta table, jar-less: CDF through the pure-Python log
+        # replay. Missing change files raise the
+        # DELTA_CHANGE_DATA_FILE_NOT_FOUND signature, so the E2/E3 retry
+        # ladder classifies them exactly like the jar-backed path.
+        from .registry import _normalize_ntz
+        return _normalize_ntz(read_delta_changes(
+            spark, os.path.join(root, table),
+            starting_version, ending_version))
     path = os.path.join(root, f"{table}_changes")
     if not _path_exists(spark, path):
         raise ChangelogNotFoundError(

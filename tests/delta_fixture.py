@@ -1,0 +1,186 @@
+"""Hand-authored Delta table fixture conforming to the PUBLIC Delta Lake
+table protocol (github.com/delta-io/delta PROTOCOL.md) — the environment
+cannot install delta-spark (README "environment boundaries"), so the log is
+written directly: parquet data files via pyarrow, ``_delta_log`` JSON
+commits with add/remove/cdc/metaData/protocol/commitInfo actions, and an
+optional hand-rolled checkpoint. This is a TEST fixture for
+``sources/delta_log.py`` (the pure-Python reader); production code never
+writes Delta.
+
+Table: schema (id BIGINT, val DOUBLE, part STRING), partitioned by
+``part``, CDF enabled. Three commits:
+
+* v0  adds part=a/f1 (ids 1-3), part=b/f2 (ids 4-5), null-partition f3 (id 6)
+* v1  removes f2, adds part=a/f4 (ids 7-8)         — pure file ops commit
+* v2  cdc commit: id=1 val 1.0 -> 99.0 (update pre/post images in a
+      ``_change_data`` file; the accompanying add/remove rewrite of f1 is
+      NOT part of the change feed because cdc actions are present)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SCHEMA_STRING = json.dumps({
+    "type": "struct",
+    "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "val", "type": "double", "nullable": True, "metadata": {}},
+        {"name": "part", "type": "string", "nullable": True, "metadata": {}},
+    ],
+})
+
+V2_TS_MS = 1700000000000  # fixed commitInfo timestamp for v2
+
+
+def _write_parquet(path: str, ids: list[int], vals: list[float],
+                   change_types: list[str] | None = None) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    cols = {"id": pa.array(ids, pa.int64()),
+            "val": pa.array(vals, pa.float64())}
+    if change_types is not None:
+        cols["_change_type"] = pa.array(change_types, pa.string())
+    pq.write_table(pa.table(cols), path)
+
+
+def _commit(log_dir: str, version: int, actions: list[dict]) -> None:
+    os.makedirs(log_dir, exist_ok=True)
+    with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+
+def _meta(cdf: bool = True, configuration: dict | None = None,
+          extra: dict | None = None) -> dict:
+    conf = dict(configuration or {})
+    if cdf:
+        conf["delta.enableChangeDataFeed"] = "true"
+    md = {"id": "11111111-2222-3333-4444-555555555555",
+          "format": {"provider": "parquet", "options": {}},
+          "schemaString": SCHEMA_STRING,
+          "partitionColumns": ["part"],
+          "configuration": conf, "createdTime": 1690000000000}
+    md.update(extra or {})
+    return md
+
+
+def make_delta_table(table_path: str, cdf: bool = True) -> str:
+    """Write the 3-commit fixture table; returns ``table_path``."""
+    log = os.path.join(table_path, "_delta_log")
+    _write_parquet(os.path.join(table_path, "part=a", "f1.parquet"),
+                   [1, 2, 3], [1.0, 2.0, 3.0])
+    _write_parquet(os.path.join(table_path, "part=b", "f2.parquet"),
+                   [4, 5], [4.0, 5.0])
+    _write_parquet(os.path.join(table_path, "f3.parquet"), [6], [6.0])
+    _commit(log, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": _meta(cdf)},
+        {"add": {"path": "part=a/f1.parquet",
+                 "partitionValues": {"part": "a"}, "size": 1, "dataChange": True,
+                 "modificationTime": 1}},
+        {"add": {"path": "part=b/f2.parquet",
+                 "partitionValues": {"part": "b"}, "size": 1, "dataChange": True,
+                 "modificationTime": 1}},
+        {"add": {"path": "f3.parquet",
+                 "partitionValues": {"part": None}, "size": 1, "dataChange": True,
+                 "modificationTime": 1}},
+    ])
+    _write_parquet(os.path.join(table_path, "part=a", "f4.parquet"),
+                   [7, 8], [7.0, 8.0])
+    _commit(log, 1, [
+        {"commitInfo": {"timestamp": V2_TS_MS - 1000, "operation": "WRITE"}},
+        {"add": {"path": "part=a/f4.parquet",
+                 "partitionValues": {"part": "a"}, "size": 1, "dataChange": True,
+                 "modificationTime": 2}},
+        {"remove": {"path": "part=b/f2.parquet", "deletionTimestamp": 2,
+                    "dataChange": True,
+                    "partitionValues": {"part": "b"}}},
+    ])
+    _write_parquet(os.path.join(table_path, "part=a", "f1b.parquet"),
+                   [1, 2, 3], [99.0, 2.0, 3.0])
+    _write_parquet(
+        os.path.join(table_path, "_change_data", "cdc-0.parquet"),
+        [1, 1], [1.0, 99.0], ["update_preimage", "update_postimage"])
+    _commit(log, 2, [
+        {"commitInfo": {"timestamp": V2_TS_MS, "operation": "UPDATE"}},
+        {"add": {"path": "part=a/f1b.parquet",
+                 "partitionValues": {"part": "a"}, "size": 1, "dataChange": True,
+                 "modificationTime": 3}},
+        {"remove": {"path": "part=a/f1.parquet", "deletionTimestamp": 3,
+                    "dataChange": True,
+                    "partitionValues": {"part": "a"}}},
+        {"cdc": {"path": "_change_data/cdc-0.parquet",
+                 "partitionValues": {"part": "a"}, "size": 1,
+                 "dataChange": False}},
+    ])
+    return table_path
+
+
+def write_checkpoint(spark, table_path: str, version: int,
+                     actions: list[dict]) -> None:
+    """Hand-rolled single-part classic checkpoint: one row per action with
+    nullable add/remove/metaData/protocol struct columns, plus the
+    ``_last_checkpoint`` pointer (protocol "Checkpoints" section)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        ArrayType, BooleanType, IntegerType, LongType, MapType, StringType,
+        StructField, StructType,
+    )
+
+    add_t = StructType([
+        StructField("path", StringType()),
+        StructField("partitionValues", MapType(StringType(), StringType(),
+                                               valueContainsNull=True)),
+        StructField("size", LongType()),
+        StructField("modificationTime", LongType()),
+        StructField("dataChange", BooleanType()),
+    ])
+    remove_t = StructType([
+        StructField("path", StringType()),
+        StructField("deletionTimestamp", LongType()),
+        StructField("dataChange", BooleanType()),
+    ])
+    meta_t = StructType([
+        StructField("id", StringType()),
+        StructField("schemaString", StringType()),
+        StructField("partitionColumns", ArrayType(StringType())),
+        StructField("configuration", MapType(StringType(), StringType())),
+    ])
+    proto_t = StructType([
+        StructField("minReaderVersion", IntegerType()),
+        StructField("minWriterVersion", IntegerType()),
+    ])
+    cp_schema = StructType([
+        StructField("add", add_t), StructField("remove", remove_t),
+        StructField("metaData", meta_t), StructField("protocol", proto_t),
+    ])
+    rows = []
+    for a in actions:
+        row = {"add": None, "remove": None, "metaData": None, "protocol": None}
+        if "metaData" in a:
+            md = a["metaData"]
+            row["metaData"] = {
+                "id": md["id"], "schemaString": md["schemaString"],
+                "partitionColumns": md["partitionColumns"],
+                "configuration": md.get("configuration") or {}}
+        else:
+            row.update({k: v for k, v in a.items() if k in row})
+        rows.append(row)
+    df = spark.createDataFrame(rows, cp_schema)
+    tmp = tempfile.mkdtemp(prefix="cp_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(n for n in os.listdir(tmp) if n.endswith(".parquet"))
+        log = os.path.join(table_path, "_delta_log")
+        shutil.copy(os.path.join(tmp, part),
+                    os.path.join(log, f"{version:020d}.checkpoint.parquet"))
+        with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+            json.dump({"version": version, "size": len(rows)}, f)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

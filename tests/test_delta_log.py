@@ -1,0 +1,263 @@
+"""Pure-Python Delta log reader (sources/delta_log.py) against a
+hand-authored protocol-conformant Delta table (tests/delta_fixture.py):
+snapshot time travel, metadata-level partition pruning, CDF (explicit cdc
+files AND synthesized whole-file inserts/deletes), checkpoint replay, log
+truncation, protocol-feature gating, and the versioned-source /
+run_unload dispatch — the reference's Delta read surface
+(/root/reference/unload_databricks_data_to_s3.py:183-193) executed with no
+Delta jars on the classpath."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from databricks_import_pyspark_scripts_spark.sources.delta_log import (
+    DeltaProtocolError,
+    is_delta_table,
+    list_delta_versions,
+    read_delta_changes,
+    read_delta_snapshot,
+    replay_log,
+)
+from databricks_import_pyspark_scripts_spark.sources.versioned import (
+    extract_missing_cdf_error_signature,
+    fetch_data,
+    read_changes,
+    read_snapshot,
+)
+
+from delta_fixture import V2_TS_MS, _commit, _meta, make_delta_table, write_checkpoint
+
+
+@pytest.fixture()
+def delta_table(tmp_path):
+    return make_delta_table(str(tmp_path / "tbl"))
+
+
+def _ids(df):
+    return sorted(r.id for r in df.select("id").collect())
+
+
+# --------------------------------------------------------------------- snapshot
+
+def test_snapshot_time_travel(spark, delta_table):
+    assert is_delta_table(spark, delta_table)
+    assert list_delta_versions(spark, delta_table) == [0, 1, 2]
+    assert _ids(read_delta_snapshot(spark, delta_table, 0)) == [1, 2, 3, 4, 5, 6]
+    assert _ids(read_delta_snapshot(spark, delta_table, 1)) == [1, 2, 3, 6, 7, 8]
+    latest = read_delta_snapshot(spark, delta_table)  # default: newest commit
+    assert _ids(latest) == [1, 2, 3, 6, 7, 8]
+    assert latest.filter("id = 1").collect()[0].val == 99.0  # v2 rewrite applied
+
+
+def test_snapshot_schema_and_partition_values(spark, delta_table):
+    df = read_delta_snapshot(spark, delta_table, 0)
+    # column order and types come from metaData.schemaString (Spark
+    # StructType JSON per the protocol), partition column re-attached
+    assert [f.name for f in df.schema.fields] == ["id", "val", "part"]
+    assert dict(df.dtypes)["part"] == "string"
+    by_id = {r.id: r.part for r in df.collect()}
+    assert by_id[1] == "a" and by_id[4] == "b"
+    assert by_id[6] is None  # null partition value stays null
+
+
+def test_metadata_partition_pruning(spark, delta_table):
+    df = read_delta_snapshot(spark, delta_table, 1,
+                             partition_filter=lambda pv: pv.get("part") == "a")
+    assert _ids(df) == [1, 2, 3, 7, 8]
+    # pruning is metadata-level: the pruned partitions' files are not in
+    # the scan AT ALL (not filtered post-read)
+    assert all("part=a" in f for f in df.inputFiles())
+
+
+def test_snapshot_empty_when_filter_drops_everything(spark, delta_table):
+    df = read_delta_snapshot(spark, delta_table, 0,
+                             partition_filter=lambda pv: False)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["id", "val", "part"]
+
+
+# --------------------------------------------------------------------- CDF
+
+def test_cdf_synthesized_file_ops(spark, delta_table):
+    ch = read_delta_changes(spark, delta_table, 0, 1)  # (0, 1] — commit v1
+    rows = {(r.id, r._change_type, r._commit_version) for r in ch.collect()}
+    assert rows == {(7, "insert", 1), (8, "insert", 1),
+                    (4, "delete", 1), (5, "delete", 1)}
+
+
+def test_cdf_explicit_change_files(spark, delta_table):
+    ch = read_delta_changes(spark, delta_table, 1, 2)  # (1, 2] — commit v2
+    rows = sorted((r.id, r.val, r._change_type) for r in ch.collect())
+    assert rows == [(1, 1.0, "update_preimage"), (1, 99.0, "update_postimage")]
+    ts = ch.select("_commit_timestamp").distinct().collect()
+    assert len(ts) == 1
+    assert int(ts[0][0].timestamp() * 1000) == V2_TS_MS  # from commitInfo
+    # the partition column rides along on change rows too
+    assert {r.part for r in ch.collect()} == {"a"}
+
+
+def test_cdf_full_range_batches_scans(spark, delta_table):
+    ch = read_delta_changes(spark, delta_table, 0, 2)
+    assert ch.count() == 6  # 2 inserts + 2 deletes + 2 update images
+    assert {r._commit_version for r in ch.collect()} == {1, 2}
+
+
+def test_cdf_requires_enablement(spark, tmp_path):
+    t = make_delta_table(str(tmp_path / "nocdf"), cdf=False)
+    with pytest.raises(ValueError, match="enableChangeDataFeed"):
+        read_delta_changes(spark, t, 0, 1)
+
+
+def test_cdf_vacuumed_file_raises_retryable_signature(spark, delta_table):
+    os.remove(os.path.join(delta_table, "part=b", "f2.parquet"))
+    with pytest.raises(FileNotFoundError) as ei:
+        read_delta_changes(spark, delta_table, 0, 1).count()
+    # the signature the reference's two-level retry ladder keys on
+    assert extract_missing_cdf_error_signature(ei.value) \
+        == "DELTA_CHANGE_DATA_FILE_NOT_FOUND"
+
+
+# --------------------------------------------------------------------- checkpoint
+
+def _checkpoint_and_truncate(spark, table):
+    """Checkpoint at v1 from the replayed state, then clean up (delete)
+    the pre-checkpoint JSON commits — Delta's log-cleanup shape."""
+    rep = replay_log(spark, table, 1)
+    actions = [{"protocol": rep.protocol}, {"metaData": rep.metadata}]
+    actions += [{"add": a} for a in rep.files.values()]
+    write_checkpoint(spark, table, 1, actions)
+    os.remove(os.path.join(table, "_delta_log", f"{0:020d}.json"))
+    os.remove(os.path.join(table, "_delta_log", f"{1:020d}.json"))
+
+
+def test_checkpoint_replay(spark, delta_table):
+    _checkpoint_and_truncate(spark, delta_table)
+    assert _ids(read_delta_snapshot(spark, delta_table, 2)) == [1, 2, 3, 6, 7, 8]
+    assert _ids(read_delta_snapshot(spark, delta_table, 1)) == [1, 2, 3, 6, 7, 8]
+    # CDF over (1, 2] still works: only post-checkpoint commits needed
+    assert read_delta_changes(spark, delta_table, 1, 2).count() == 2
+
+
+def test_truncated_log_raises_below_checkpoint(spark, delta_table):
+    _checkpoint_and_truncate(spark, delta_table)
+    with pytest.raises(FileNotFoundError) as ei:
+        read_delta_snapshot(spark, delta_table, 0)
+    assert extract_missing_cdf_error_signature(ei.value) is not None
+
+
+# --------------------------------------------------------------------- protocol
+
+def test_protocol_reader_features_gate(spark, tmp_path):
+    t = make_delta_table(str(tmp_path / "dv"))
+    _commit(os.path.join(t, "_delta_log"), 3, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}}])
+    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+        read_delta_snapshot(spark, t)
+    # timestampNtz alone is fine
+    _commit(os.path.join(t, "_delta_log"), 4, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["timestampNtz"],
+                      "writerFeatures": ["timestampNtz"]}}])
+    assert _ids(read_delta_snapshot(spark, t, 4)) == [1, 2, 3, 6, 7, 8]
+
+
+def test_protocol_column_mapping_gate(spark, tmp_path):
+    t = make_delta_table(str(tmp_path / "cm"))
+    _commit(os.path.join(t, "_delta_log"), 3, [
+        {"metaData": _meta(configuration={
+            "delta.columnMapping.mode": "name"})}])
+    with pytest.raises(DeltaProtocolError, match="column mapping"):
+        read_delta_snapshot(spark, t)
+
+
+def test_deletion_vector_on_file_gate(spark, tmp_path):
+    t = make_delta_table(str(tmp_path / "dvf"))
+    _commit(os.path.join(t, "_delta_log"), 3, [
+        {"add": {"path": "part=a/f9.parquet",
+                 "partitionValues": {"part": "a"}, "size": 1,
+                 "dataChange": True,
+                 "deletionVector": {"storageType": "u", "pathOrInlineDv": "x",
+                                    "sizeInBytes": 1, "cardinality": 1}}}])
+    with pytest.raises(DeltaProtocolError, match="[Dd]eletion vector"):
+        read_delta_snapshot(spark, t)
+
+
+def test_url_encoded_paths(spark, tmp_path):
+    from delta_fixture import _write_parquet
+
+    t = str(tmp_path / "enc")
+    _write_parquet(os.path.join(t, "part=a", "f 1.parquet"), [1], [1.0])
+    _commit(os.path.join(t, "_delta_log"), 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": _meta()},
+        {"add": {"path": "part=a/f%201.parquet",
+                 "partitionValues": {"part": "a"}, "size": 1,
+                 "dataChange": True}}])
+    df = read_delta_snapshot(spark, t)
+    assert [(r.id, r.part) for r in df.collect()] == [(1, "a")]
+
+
+def test_basename_collision_falls_back_to_grouped_scans(spark, tmp_path):
+    from delta_fixture import _write_parquet
+
+    t = str(tmp_path / "coll")
+    _write_parquet(os.path.join(t, "part=a", "f.parquet"), [1], [1.0])
+    _write_parquet(os.path.join(t, "part=b", "f.parquet"), [2], [2.0])
+    _commit(os.path.join(t, "_delta_log"), 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": _meta()},
+        {"add": {"path": "part=a/f.parquet",
+                 "partitionValues": {"part": "a"}, "size": 1,
+                 "dataChange": True}},
+        {"add": {"path": "part=b/f.parquet",
+                 "partitionValues": {"part": "b"}, "size": 1,
+                 "dataChange": True}}])
+    df = read_delta_snapshot(spark, t)
+    assert sorted((r.id, r.part) for r in df.collect()) \
+        == [(1, "a"), (2, "b")]
+
+
+# ----------------------------------------------------- versioned-source dispatch
+
+def test_versioned_source_dispatches_to_delta(spark, tmp_path):
+    root = str(tmp_path)
+    make_delta_table(os.path.join(root, "events_delta"))
+    snap = read_snapshot(spark, root, "events_delta", 1)
+    assert _ids(snap) == [1, 2, 3, 6, 7, 8]
+    ch = read_changes(spark, root, "events_delta", 1, 2)
+    assert ch.count() == 2
+    assert {c for c in ch.columns} >= {"_change_type", "_commit_version",
+                                       "_commit_timestamp"}
+    # S3 dispatcher: start==0 -> snapshot of end, same as the reference
+    assert _ids(fetch_data(spark, root, "events_delta", 0, 2)) \
+        == [1, 2, 3, 6, 7, 8]
+
+
+def test_run_unload_end_to_end_from_delta_table(spark, tmp_path):
+    """The reference's whole job shape — versioned read -> CDC filter ->
+    SQL -> sized sink + sidecars — driven from a REAL Delta table dir with
+    no Delta jars, through the normal dispatch (no test seams)."""
+    from databricks_import_pyspark_scripts_spark.plans.pipeline import (
+        UnloadJob,
+        run_unload,
+    )
+
+    root = str(tmp_path / "src")
+    make_delta_table(os.path.join(root, "tbl"))
+    out = str(tmp_path / "out")
+    job = UnloadJob(
+        source_root=root, table_versions={"tbl": [0, 2]},
+        sql="SELECT id, val, part FROM tbl WHERE id <= 7",
+        output_path=out, data_type="EVENT", fmt="parquet",
+        partitioning_strategy="none")
+    run_unload(spark, job)
+    got = spark.read.parquet(f"{out}/part-*")
+    assert _ids(got) == [1, 2, 3, 6, 7]
+    meta = json.loads(spark.read.text(f"{out}/meta").collect()[0].value)
+    assert meta["event_count"] == 5
