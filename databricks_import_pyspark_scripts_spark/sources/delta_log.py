@@ -514,3 +514,69 @@ def read_delta_changes(spark: SparkSession, table_path: str,
     for p in pieces[1:]:
         out = out.unionByName(p.select(*order))
     return out
+
+
+# ---------------------------------------------------------------------------
+# minimal writer (staging utility)
+
+def write_delta_table(spark: SparkSession, commits: list[DataFrame],
+                      table_path: str, enable_cdf: bool = True,
+                      base_ts_ms: int = 1700000000000) -> str:
+    """Create a protocol-conformant Delta table: each DataFrame becomes one
+    append commit (v0 additionally carries protocol + metaData).
+
+    SCOPE: a single-writer STAGING utility — it exists so the log-replay
+    reader can be exercised (and driver-attested) against real Delta
+    layouts built from the test tables. It is NOT a transactional writer:
+    no conflict detection, no optimistic-commit loop, local filesystems
+    only. Production exports stay parquet/JSON sinks (the reference's job
+    writes files, never Delta — unload_databricks_data_to_s3.py:399-403).
+
+    Data files are written by Spark executors (``df.write.parquet`` into a
+    staging dir, then renamed under the table root), so the data path
+    scales with the cluster even though the commit itself is the
+    single-writer simplification. ``base_ts_ms`` pins commitInfo
+    timestamps (version v gets ``base_ts_ms + v*1000``) so CDF output is
+    deterministic for oracle comparison."""
+    import shutil
+
+    if not _is_local(table_path):
+        raise NotImplementedError(
+            "write_delta_table is a local staging utility; production "
+            "writes go through sinks/writers.py")
+    root = _strip_scheme(table_path)
+    log = os.path.join(root, LOG_DIR)
+    os.makedirs(log, exist_ok=True)
+    conf = {"delta.enableChangeDataFeed": "true"} if enable_cdf else {}
+    for v, df in enumerate(commits):
+        staging = os.path.join(root, f"_staging_v{v}")
+        df.write.mode("overwrite").parquet(staging)
+        actions: list[dict] = [
+            {"commitInfo": {"timestamp": base_ts_ms + v * 1000,
+                            "operation": "WRITE" if v else "CREATE TABLE"}}]
+        if v == 0:
+            actions.append({"protocol": {"minReaderVersion": 1,
+                                         "minWriterVersion": 2}})
+            actions.append({"metaData": {
+                "id": "spark-graft-staged-delta-table",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": df.schema.json(),
+                "partitionColumns": [],
+                "configuration": conf,
+                "createdTime": base_ts_ms}})
+        parts = sorted(n for n in os.listdir(staging)
+                       if n.endswith(".parquet"))
+        for i, name in enumerate(parts):
+            target = f"data-{v:05d}-{i:05d}.parquet"
+            os.replace(os.path.join(staging, name),
+                       os.path.join(root, target))
+            actions.append({"add": {
+                "path": target, "partitionValues": {},
+                "size": os.path.getsize(os.path.join(root, target)),
+                "modificationTime": base_ts_ms + v * 1000,
+                "dataChange": True}})
+        shutil.rmtree(staging, ignore_errors=True)
+        with open(os.path.join(log, f"{v:020d}.json"), "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+    return table_path
