@@ -71,6 +71,11 @@ HEADLINE = [
     # the training-loader handoff step (distributed total-order index);
     # cheap, but its two-pass + broadcast plan is worth a timed row
     "corpus_global_shuffle",
+    # jar-less Delta reads through the pure-Python log replay (the
+    # reference's actual source shape); the warm-up run absorbs the
+    # one-time staging of the Delta table from the events parquet
+    "delta_snapshot_agg",
+    "delta_cdf_insert_feed",
 ]
 
 EXTENSION_ROWS = {
@@ -222,7 +227,8 @@ def main() -> int:
     # rows added after r6 stay OUT of the comparable total so its
     # round-over-round trend keeps meaning; they are still in `queries`
     new_rows = {"unload_e2e_events_json", "dedup_containment_pairs",
-                "dedup_ngram_jaccard_blocked", "corpus_global_shuffle"}
+                "dedup_ngram_jaccard_blocked", "corpus_global_shuffle",
+                "delta_snapshot_agg", "delta_cdf_insert_feed"}
     # same membership as comparable_queries_sec (includes the unload e2e row)
     comp = [k for k in timings
             if k not in EXTENSION_ROWS and k not in stress
