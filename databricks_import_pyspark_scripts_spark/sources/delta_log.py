@@ -580,3 +580,23 @@ def write_delta_table(spark: SparkSession, commits: list[DataFrame],
             for a in actions:
                 f.write(json.dumps(a) + "\n")
     return table_path
+
+
+def delta_tail(spark: SparkSession, table_path: str,
+               last_version: int) -> tuple[DataFrame | None, int]:
+    """One micro-ingest increment over a real Delta table: the change rows
+    for ``(last_version, current]`` plus the new high-water mark to
+    persist for the next run.
+
+    This is the reference's OWN incremental shape — its job is a repeated
+    bounded CDF pull per run (unload_databricks_data_to_s3.py:189-200),
+    not an always-on stream — re-expressed over the jar-less log replay.
+    Returns ``(None, last_version)`` when there is nothing new, so a
+    scheduler can poll cheaply: the no-op case costs one log-dir listing,
+    no Spark job."""
+    versions = list_delta_versions(spark, table_path)
+    current = max(versions) if versions else -1
+    if current <= last_version:
+        return None, last_version
+    return (read_delta_changes(spark, table_path, last_version, current),
+            current)

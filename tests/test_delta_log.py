@@ -261,3 +261,65 @@ def test_run_unload_end_to_end_from_delta_table(spark, tmp_path):
     assert _ids(got) == [1, 2, 3, 6, 7]
     meta = json.loads(spark.read.text(f"{out}/meta").collect()[0].value)
     assert meta["event_count"] == 5
+
+
+def test_delta_tail_incremental_pulls(spark, delta_table):
+    from databricks_import_pyspark_scripts_spark.sources.delta_log import (
+        delta_tail,
+    )
+    from delta_fixture import _commit, _write_parquet
+
+    # first pull from scratch: all three commits' changes (v1 + v2; v0 is
+    # the base snapshot — (0, 2] excludes it, reference dispatcher S3)
+    df, hwm = delta_tail(spark, delta_table, 0)
+    assert hwm == 2 and df.count() == 6
+    # caught up: no work, no version movement
+    df, hwm = delta_tail(spark, delta_table, hwm)
+    assert df is None and hwm == 2
+    # a new append commit arrives -> exactly its rows, new high-water mark
+    _write_parquet(os.path.join(delta_table, "part=c", "f5.parquet"),
+                   [9], [9.0])
+    _commit(os.path.join(delta_table, "_delta_log"), 3, [
+        {"commitInfo": {"timestamp": V2_TS_MS + 1000, "operation": "WRITE"}},
+        {"add": {"path": "part=c/f5.parquet",
+                 "partitionValues": {"part": "c"}, "size": 1,
+                 "dataChange": True}}])
+    df, hwm = delta_tail(spark, delta_table, hwm)
+    assert hwm == 3
+    rows = [(r.id, r.part, r._change_type, r._commit_version)
+            for r in df.collect()]
+    assert rows == [(9, "c", "insert", 3)]
+
+
+def test_multipart_checkpoint_replay(spark, delta_table):
+    """Multi-part classic checkpoints (%020d.checkpoint.%010d.%010d.parquet)
+    replay identically to single-part ones."""
+    import glob
+    import shutil
+
+    from databricks_import_pyspark_scripts_spark.sources.delta_log import (
+        replay_log,
+    )
+    from delta_fixture import write_checkpoint
+
+    rep = replay_log(spark, delta_table, 1)
+    adds = list(rep.files.values())
+    # part 1: protocol+metaData+first add; part 2: the remaining adds
+    log = os.path.join(delta_table, "_delta_log")
+    write_checkpoint(spark, delta_table, 1,
+                     [{"protocol": rep.protocol}, {"metaData": rep.metadata},
+                      {"add": adds[0]}])
+    single = os.path.join(log, f"{1:020d}.checkpoint.parquet")
+    shutil.move(single,
+                os.path.join(log, f"{1:020d}.checkpoint.{1:010d}.{2:010d}.parquet"))
+    write_checkpoint(spark, delta_table, 1,
+                     [{"add": a} for a in adds[1:]])
+    shutil.move(single,
+                os.path.join(log, f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet"))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 1, "size": len(adds) + 2, "parts": 2}, f)
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+    assert glob.glob(os.path.join(log, "*.checkpoint.*.parquet"))
+    assert _ids(read_delta_snapshot(spark, delta_table, 2)) \
+        == [1, 2, 3, 6, 7, 8]
