@@ -213,7 +213,8 @@ def passage_windows_col(text: Column, w: int = PASSAGE_W) -> Column:
 
 
 def passage_hashes_pd_df(docs: DataFrame, id_col: str, text_col: str,
-                         w: int = PASSAGE_W) -> DataFrame:
+                         w: int = PASSAGE_W,
+                         carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """(id, h): md5 of every w-token window (stride 1, duplicates kept,
     whole text as one window when shorter) via an Arrow batch UDF —
     byte-identical hashes to ``md5(passage_windows_col(...))``:
@@ -236,6 +237,11 @@ def passage_hashes_pd_df(docs: DataFrame, id_col: str, text_col: str,
     docs would collide on the null hash and mark each other as duplicated
     passages). No gate corpus contains null texts;
     test_null_text_conventions pins both behaviors.
+
+    ``carry_cols`` are additional ``docs`` columns replicated verbatim onto
+    every window row (e.g. the source/corpus tag for cross-group overlap) —
+    carried through the map instead of re-joined onto the corpus-sized hash
+    table afterwards, and without disturbing the id-keyed repartition.
     """
     import hashlib
 
@@ -243,8 +249,9 @@ def passage_hashes_pd_df(docs: DataFrame, id_col: str, text_col: str,
 
     def _rows(batches):
         for pdf in batches:
-            ids, hs = [], []
-            for i, t in zip(pdf[id_col].to_numpy(), pdf[text_col].to_numpy()):
+            ids, hs, keep = [], [], []
+            for r, (i, t) in enumerate(zip(pdf[id_col].to_numpy(),
+                                           pdf[text_col].to_numpy())):
                 if t is None:
                     continue
                 toks = _TOKEN_RE.findall(t.lower())
@@ -254,13 +261,21 @@ def passage_hashes_pd_df(docs: DataFrame, id_col: str, text_col: str,
                 for s in wins:
                     ids.append(i)
                     hs.append(hashlib.md5(s.encode("utf-8")).hexdigest())
-            yield pd.DataFrame({id_col: ids, "h": hs})
+                    keep.append(r)
+            out = {id_col: ids, "h": hs}
+            for c in carry_cols:
+                out[c] = pdf[c].to_numpy()[keep] if keep else pdf[c][:0]
+            yield pd.DataFrame(out)
 
-    id_type = docs.schema[id_col].dataType.simpleString()
-    base = docs.select(F.col(id_col), F.col(text_col))
+    fields = [f"{id_col} {docs.schema[id_col].dataType.simpleString()}",
+              "h string"]
+    fields += [f"{c} {docs.schema[c].dataType.simpleString()}"
+               for c in carry_cols]
+    base = docs.select(F.col(id_col), F.col(text_col),
+                       *[F.col(c) for c in carry_cols])
     base = base.repartition(
         docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
-    return base.mapInPandas(_rows, schema=f"{id_col} {id_type}, h string")
+    return base.mapInPandas(_rows, schema=", ".join(fields))
 
 
 def duplicate_passage_stats(docs: DataFrame, id_col: str, text_col: str,
@@ -296,6 +311,63 @@ def duplicate_passage_stats(docs: DataFrame, id_col: str, text_col: str,
         F.round(F.col("n_dup_windows") * F.lit(1.0) / F.col("n_windows"), 4)
         .alias("dup_frac"),
         (F.col("n_dup_windows") > 0).alias("has_dup_passage"))
+
+
+# Per-passage distinct-group cap for the overlap matrix, same degenerate-
+# bucket class as MAX_BUCKET/CONTAIN_MAX_DF: a passage present in g groups
+# contributes g(g-1)/2 pair rows. Group cardinality is corpus-registry
+# scale (tens..hundreds of sources), so the cap exists as a backstop for
+# group keys with DATA-scale cardinality (e.g. web domains), where a
+# boilerplate passage shared by millions of domains would explode ~1e12
+# pairs that carry no mixing signal. Mirrored verbatim in the oracle.
+OVERLAP_MAX_GROUPS = 1000
+
+
+def cross_group_passage_overlap(docs: DataFrame, id_col: str, text_col: str,
+                                group_col: str, w: int = PASSAGE_W,
+                                max_groups: int = OVERLAP_MAX_GROUPS,
+                                ) -> DataFrame:
+    """Cross-corpus contamination matrix: for every pair of document groups
+    (sources/corpora/snapshots), how many distinct w-token passages appear
+    in BOTH — the pre-mixing report that tells you two "independent"
+    sources are actually mirrors before they flood a training mix with
+    near-identical text. Passage-level (not whole-doc fingerprints), so it
+    catches partial syndication: shared paragraphs inside otherwise
+    distinct documents.
+
+    Returns ``(group_a, group_b, n_shared_passages, n_a, n_b,
+    overlap_frac)`` with ``group_a < group_b`` and ``overlap_frac =
+    shared / min(n_a, n_b)`` (containment of the smaller side, 4 dp).
+
+    Scale shape: the Arrow window-hash projection carries the group tag
+    through the map (no corpus-sized re-join); ``(group, h)`` dedups with
+    ONE shuffle; the within-passage pair explode is bounded per hash by
+    the number of GROUPS sharing it (``bucket_pairs`` on ``h``), never by
+    document count — output is at most |groups|^2 matrix cells. The
+    per-group size aggregate re-executes the projection once more (two
+    corpus passes total, the duplicate_passage_stats precedent — nothing
+    is pinned in session storage).
+    """
+    from .dedup import bucket_pairs
+
+    gset = (passage_hashes_pd_df(docs, id_col, text_col, w,
+                                 carry_cols=(group_col,))
+            .select(group_col, "h").distinct())
+    pairs = (bucket_pairs(gset, ["h"], F.col(group_col),
+                          max_bucket=max_groups)
+             .groupBy("a", "b")
+             .agg(F.count("*").alias("n_shared_passages")))
+    sizes = gset.groupBy(group_col).agg(F.count("*").alias("n"))
+    return (pairs
+            .join(F.broadcast(sizes.select(F.col(group_col).alias("a"),
+                                           F.col("n").alias("n_a"))), "a")
+            .join(F.broadcast(sizes.select(F.col(group_col).alias("b"),
+                                           F.col("n").alias("n_b"))), "b")
+            .select(F.col("a").alias("group_a"), F.col("b").alias("group_b"),
+                    "n_shared_passages", "n_a", "n_b",
+                    F.round(F.col("n_shared_passages") * F.lit(1.0)
+                            / F.least("n_a", "n_b"), 4)
+                    .alias("overlap_frac")))
 
 
 # --- shingle containment (asymmetric near-superset detection) --------------

@@ -266,6 +266,40 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 5) -> Data
     return _topk(scored, k)
 
 
+def max_benchmark_cosine(corpus: DataFrame, bench: DataFrame,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Per corpus vector: exact max cosine against a BROADCAST benchmark
+    set — the scoring core of embedding-space benchmark decontamination
+    (the semantic complement of the n-gram overlap pass: paraphrased or
+    re-tokenized eval items share no shingles but stay cosine-close).
+
+    Returns ``(id, max_benchmark_cos)`` UNROUNDED; call sites round and
+    threshold.
+
+    Scale shape: eval benchmarks are tiny next to a training corpus (10^3
+    -10^5 items vs 10^9+ docs), so the benchmark side broadcasts and the
+    corpus streams map-side through a broadcast nested-loop into the
+    Arrow cosine — the corpus is scanned ONCE and never shuffles; the
+    only exchange carries (id, cos) pairs into the per-id max, which
+    partial-aggregates map-side down to one row per corpus vector per
+    task. Pair volume is |corpus| x |bench|; for benchmarks past ~10^5
+    items, prefilter candidates with an ANN index (lsh_multi_topk) and
+    exact-score only bucket collisions — same verify contract as the
+    dedup paths.
+    """
+    v = corpus.select(F.col(id_col), F.col(vec_col).alias("_e"),
+                      dot_col(F.col(vec_col), F.col(vec_col)).alias("_n2"))
+    b = bench.select(F.col(vec_col).alias("_be"),
+                     dot_col(F.col(vec_col), F.col(vec_col)).alias("_bn2"))
+    scored = v.join(F.broadcast(b)).select(
+        F.col(id_col),
+        _pair_cosine_pd(F.col("_e"), F.col("_be"),
+                        F.col("_n2"), F.col("_bn2")).alias("_cos"))
+    return scored.groupBy(id_col).agg(
+        F.max("_cos").alias("max_benchmark_cos"))
+
+
 CENTROID_MOD = 250  # vec_id % CENTROID_MOD == 0 -> centroid (deterministic "training")
 
 

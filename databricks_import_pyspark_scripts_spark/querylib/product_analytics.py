@@ -535,3 +535,90 @@ def events_scd2_point_in_time_join(spark: SparkSession,
     return (fact.join(dim, cond)
             .select("event_id", "user_id", "ts_ms",
                     F.col("value").alias("dim_value_at_event")))
+
+
+# --- PSI distribution-drift monitor ---------------------------------------
+
+# Population-stability-index report knobs. Fixed equi-width value grid
+# (deterministic, engine-portable — no quantile estimation inside the
+# monitored metric) and +1/+B Laplace smoothing so empty buckets keep
+# ln() finite without epsilon magic numbers: p_i = (n_i + 1) / (N + B).
+PSI_SPLIT_TS = "2024-01-16 00:00:00"  # reference period = events before
+PSI_BUCKETS = 10
+PSI_WIDTH = 50.0
+
+
+def _psi_oracle() -> str:
+    return f"""
+    WITH buckets AS (
+      SELECT unnest(generate_series(0, {PSI_BUCKETS - 1})) AS bucket),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+      SELECT event_type,
+             LEAST(GREATEST(CAST(FLOOR(value / {PSI_WIDTH}) AS INT), 0),
+                   {PSI_BUCKETS - 1}) AS bucket,
+             SUM(CASE WHEN ts < TIMESTAMP '{PSI_SPLIT_TS}'
+                      THEN 1 ELSE 0 END) AS n_ref,
+             SUM(CASE WHEN ts >= TIMESTAMP '{PSI_SPLIT_TS}'
+                      THEN 1 ELSE 0 END) AS n_cur
+      FROM events GROUP BY 1, 2),
+    dense AS (
+      SELECT t.event_type, b.bucket,
+             COALESCE(c.n_ref, 0) AS n_ref, COALESCE(c.n_cur, 0) AS n_cur
+      FROM types t CROSS JOIN buckets b
+      LEFT JOIN counts c ON c.event_type = t.event_type
+                        AND c.bucket = b.bucket),
+    tot AS (SELECT event_type, SUM(n_ref) AS tr, SUM(n_cur) AS tc
+            FROM dense GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(SUM(d.n_ref) AS BIGINT) AS n_ref_events,
+           CAST(SUM(d.n_cur) AS BIGINT) AS n_cur_events,
+           ROUND(SUM(
+             ((d.n_ref + 1.0) / (t.tr + {PSI_BUCKETS})
+              - (d.n_cur + 1.0) / (t.tc + {PSI_BUCKETS}))
+             * LN(((d.n_ref + 1.0) / (t.tr + {PSI_BUCKETS}))
+                  / ((d.n_cur + 1.0) / (t.tc + {PSI_BUCKETS})))), 4) AS psi
+    FROM dense d JOIN tot t USING (event_type)
+    GROUP BY d.event_type
+    """
+
+
+@register(
+    "events_psi_drift",
+    _psi_oracle(),
+    doc="Population-stability-index drift monitor per event type: the "
+        "value distribution of the current period vs the reference period "
+        "over a fixed equi-width bucket grid, PSI = sum((p-q)*ln(p/q)) "
+        "with +1 Laplace smoothing (finite on empty buckets, no epsilon). "
+        "The standard pre-promotion drift gate for a continuously-"
+        "ingested training corpus — PSI > 0.1/0.25 is the conventional "
+        "investigate/block line. Scale shape: ONE corpus scan into a "
+        "partial-aggregated (type, bucket) rollup (both periods counted "
+        "conditionally in the same pass — never two scans); everything "
+        "after runs on |types| x buckets rows. The bucket grid is FIXED, "
+        "so the monitor needs no quantile pass over the corpus and two "
+        "periods can be PSI-compared from their stored rollups alone.")
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    is_ref = F.col("ts") < F.lit(PSI_SPLIT_TS).cast("timestamp")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / PSI_WIDTH).cast("int"), F.lit(0)),
+        F.lit(PSI_BUCKETS - 1))
+    counts = (e.groupBy(F.col("event_type"), bucket.alias("bucket"))
+              .agg(F.sum(F.when(is_ref, 1).otherwise(0)).alias("n_ref"),
+                   F.sum(F.when(~is_ref, 1).otherwise(0)).alias("n_cur")))
+    types = e.select("event_type").distinct()
+    grid = types.crossJoin(
+        spark.range(PSI_BUCKETS).select(F.col("id").cast("int")
+                                        .alias("bucket")))
+    dense = (grid.join(counts, ["event_type", "bucket"], "left")
+             .fillna(0, subset=["n_ref", "n_cur"]))
+    tot = dense.groupBy("event_type").agg(F.sum("n_ref").alias("tr"),
+                                          F.sum("n_cur").alias("tc"))
+    j = dense.join(F.broadcast(tot), "event_type")
+    p = (F.col("n_ref") + F.lit(1.0)) / (F.col("tr") + F.lit(PSI_BUCKETS))
+    q = (F.col("n_cur") + F.lit(1.0)) / (F.col("tc") + F.lit(PSI_BUCKETS))
+    return (j.groupBy("event_type")
+            .agg(F.sum("n_ref").alias("n_ref_events"),
+                 F.sum("n_cur").alias("n_cur_events"),
+                 F.round(F.sum((p - q) * F.log(p / q)), 4).alias("psi")))

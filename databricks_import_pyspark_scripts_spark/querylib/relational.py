@@ -1065,3 +1065,72 @@ def setops_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     y97 = o.filter(F.year("o_orderdate") == 1997).select("o_orderpriority")
     y98 = o.filter(F.year("o_orderdate") == 1998).select("o_orderpriority")
     return y97.exceptAll(y98)
+
+
+# --- co-occurrence affinity mining ----------------------------------------
+
+@register(
+    "orders_brand_affinity",
+    """
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand AS brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    okb AS (SELECT l_orderkey FROM ob GROUP BY l_orderkey
+            HAVING COUNT(*) <= 64),
+    pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_ab
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+      JOIN okb ON a.l_orderkey = okb.l_orderkey
+      GROUP BY 1, 2),
+    sizes AS (SELECT brand, COUNT(*) AS n FROM ob GROUP BY brand)
+    SELECT brand_a, brand_b, n_ab, x.n AS n_a, y.n AS n_b,
+           ROUND(n_ab * 1.0 / t.n_orders, 4) AS support,
+           ROUND(n_ab * t.n_orders * 1.0 / (x.n * y.n), 4) AS lift
+    FROM pairs JOIN sizes x ON brand_a = x.brand
+               JOIN sizes y ON brand_b = y.brand
+    CROSS JOIN tot t
+    """,
+    doc="Market-basket pair affinity: for every pair of part brands "
+        "co-occurring in an order, co-occurrence count, support, and "
+        "lift (observed co-rate over the independence expectation) — "
+        "the classic frequent-pair mining report. Scale shape: the "
+        "basket explode is bucket_pairs on the order key, so per-order "
+        "fan-out is bounded by the basket's distinct-brand count "
+        "(baskets are small by nature; a degenerate mega-basket is "
+        "capped at 64, oracle-mirrored) and the pair aggregate collapses to at most "
+        "|brands|^2 rows; brand marginals broadcast into the lift "
+        "join. Counts exact; support/lift are exact-int64 products "
+        "divided once, 4-dp rounded.")
+def orders_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import bucket_pairs
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (li.join(F.broadcast(part),
+                  li.l_partkey == part.p_partkey)
+          .select("l_orderkey", F.col("p_brand").alias("brand"))
+          .distinct())
+    # basket cap: a TPC-H order holds <= 7 lineitems; 64 is pure backstop
+    # against a degenerate mega-basket in foreign data (a basket with
+    # thousands of distinct items yields quadratic pairs and no per-pair
+    # signal — same contract as every bucket_pairs call site)
+    pairs = (bucket_pairs(ob, ["l_orderkey"], F.col("brand"), max_bucket=64)
+             .groupBy("a", "b").agg(F.count("*").alias("n_ab")))
+    sizes = ob.groupBy("brand").agg(F.count("*").alias("n"))
+    tot = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    return (pairs
+            .join(F.broadcast(sizes.select(F.col("brand").alias("a"),
+                                           F.col("n").alias("n_a"))), "a")
+            .join(F.broadcast(sizes.select(F.col("brand").alias("b"),
+                                           F.col("n").alias("n_b"))), "b")
+            .crossJoin(F.broadcast(tot))
+            .select(F.col("a").alias("brand_a"), F.col("b").alias("brand_b"),
+                    "n_ab", "n_a", "n_b",
+                    F.round(F.col("n_ab") * F.lit(1.0) / F.col("n_orders"), 4)
+                    .alias("support"),
+                    F.round(F.col("n_ab") * F.col("n_orders") * F.lit(1.0)
+                            / (F.col("n_a") * F.col("n_b")), 4)
+                    .alias("lift")))

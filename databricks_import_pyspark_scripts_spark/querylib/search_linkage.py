@@ -22,9 +22,11 @@ from ..operators.search import (
     BM25_FIXED,
     BM25_TOPK,
     CONTAIN_MIN_SHARED,
+    OVERLAP_MAX_GROUPS,
     PASSAGE_W,
     bm25_topk,
     containment_pairs,
+    cross_group_passage_overlap,
     duplicate_passage_stats,
     top_terms_as_queries,
 )
@@ -174,6 +176,50 @@ def _passage_oracle() -> str:
 def text_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return duplicate_passage_stats(docs, "doc_id", "text", PASSAGE_W)
+
+
+def _overlap_oracle() -> str:
+    return f"""
+    WITH wins AS (
+      SELECT source, md5(unnest({_windows_sql(PASSAGE_W)})) AS h
+      FROM documents),
+    gs AS (SELECT DISTINCT source, h FROM wins),
+    ok AS (SELECT h FROM gs GROUP BY h
+           HAVING COUNT(*) BETWEEN 2 AND {OVERLAP_MAX_GROUPS}),
+    pairs AS (
+      SELECT a.source AS group_a, b.source AS group_b,
+             COUNT(*) AS n_shared_passages
+      FROM gs a JOIN gs b ON a.h = b.h AND a.source < b.source
+      JOIN ok ON a.h = ok.h
+      GROUP BY 1, 2),
+    sizes AS (SELECT source, COUNT(*) AS n FROM gs GROUP BY source)
+    SELECT group_a, group_b, n_shared_passages,
+           x.n AS n_a, y.n AS n_b,
+           ROUND(n_shared_passages * 1.0 / LEAST(x.n, y.n), 4)
+             AS overlap_frac
+    FROM pairs JOIN sizes x ON group_a = x.source
+               JOIN sizes y ON group_b = y.source
+    """
+
+
+@register(
+    "dedup_cross_source_overlap",
+    _overlap_oracle(),
+    doc=f"Cross-corpus contamination matrix: distinct shared {PASSAGE_W}-"
+        "token passages for every source pair, with containment-of-the-"
+        "smaller-side overlap share — the pre-mixing report that exposes "
+        "syndicated/mirrored sources before they flood a training mix. "
+        "Passage-level, so partial syndication (shared paragraphs inside "
+        "distinct docs) counts. Scale shape: group tag carried through "
+        "the Arrow window-hash map (no corpus-sized re-join); the pair "
+        "explode is bounded per hash by the number of GROUPS sharing it "
+        f"(cap {OVERLAP_MAX_GROUPS}, oracle-mirrored), never by doc "
+        "count; output is at most |sources|^2 matrix cells. Integer-exact "
+        "md5-set arithmetic.")
+def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return cross_group_passage_overlap(docs, "doc_id", "text", "source",
+                                       PASSAGE_W)
 
 
 def _containment_oracle() -> str:

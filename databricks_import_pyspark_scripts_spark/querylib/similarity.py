@@ -468,3 +468,53 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select((F.col("vec_id") / CENTROID_MOD).cast("long")
                      .alias("centroid_id"), "embedding"))
     return semdedup_flags(emb, cents, max_bucket=MAX_BUCKET)
+
+
+# Semantic-decontamination stand-in eval set: every 20th vector. The flag
+# threshold applies to the 4-dp-ROUNDED max cosine so the comparison both
+# engines make is over the same exact decimal grid (the raw maxima agree
+# to ~1e-13; the grid absorbs that).
+DECON_BENCH_MOD = 20
+DECON_TAU = 0.35
+
+
+@register(
+    "dedup_decontaminate_semantic",
+    f"""
+    WITH b AS (SELECT embedding AS b_emb FROM embeddings
+               WHERE vec_id % {DECON_BENCH_MOD} = 0),
+    s AS (
+      SELECT v.vec_id,
+             MAX(list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(b.b_emb AS DOUBLE[]))
+                 / sqrt(list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[]))
+                        * list_dot_product(CAST(b.b_emb AS DOUBLE[]), CAST(b.b_emb AS DOUBLE[])))) AS m
+      FROM embeddings v CROSS JOIN b
+      WHERE v.vec_id % {DECON_BENCH_MOD} <> 0
+      GROUP BY v.vec_id)
+    SELECT vec_id, ROUND(m, 4) AS max_benchmark_cos,
+           ROUND(m, 4) >= {DECON_TAU} AS contaminated
+    FROM s
+    """,
+    doc="Embedding-space benchmark decontamination — the semantic "
+        "complement of dedup_decontaminate_benchmark's n-gram pass: "
+        "paraphrased or re-tokenized eval items share no shingles but "
+        "stay cosine-close, so every training item is scored by its max "
+        "exact cosine against the (broadcast) benchmark embedding set "
+        f"and flagged at {DECON_TAU} on the 4-dp grid. Scale shape: the "
+        "corpus is scanned once and never shuffles — benchmark broadcast "
+        "nested-loop into the Arrow cosine, per-id max partial-aggregates "
+        "map-side; for 10^5+-item benchmarks prefilter with the ANN index "
+        "and exact-score only collisions (operator docstring).")
+def dedup_decontaminate_semantic(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from ..operators.similarity import max_benchmark_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % DECON_BENCH_MOD == 0)
+    corpus = emb.filter(F.col("vec_id") % DECON_BENCH_MOD != 0)
+    mx = max_benchmark_cosine(corpus, bench)
+    return mx.select(
+        "vec_id",
+        F.round(F.col("max_benchmark_cos"), 4).alias("max_benchmark_cos"),
+        (F.round(F.col("max_benchmark_cos"), 4) >= DECON_TAU)
+        .alias("contaminated"))

@@ -419,3 +419,112 @@ def test_containment_floor_survives_pathological_max_df(spark):
     got = containment_pairs(docs, "doc_id", "text", 3,
                             min_shared=1, max_df=2).collect()
     assert len(got) == 15  # C(6,2): every pair survives via the floor
+
+
+# --- cross-group passage overlap ------------------------------------------
+
+
+def _gdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, src string")
+
+
+def test_cross_group_overlap_counts_shared_passages(spark):
+    from databricks_import_pyspark_scripts_spark.operators.search import (
+        cross_group_passage_overlap,
+    )
+
+    shared = "one two three four five six seven eight nine ten eleven twelve"
+    docs = _gdocs(spark, [
+        (1, f"{shared} alpha beta", "A"),        # shares the 12-token window
+        (2, f"intro {shared}", "B"),             # with doc 1 across groups
+        (3, "totally different text here", "B"),
+        (4, "another unrelated document", "C"),
+    ])
+    out = cross_group_passage_overlap(docs, "doc_id", "text", "src").collect()
+    rows = {(r.group_a, r.group_b): r for r in out}
+    assert set(rows) == {("A", "B")}
+    r = rows[("A", "B")]
+    # doc1 has 3 windows (len 14 -> 14-12+1), doc2 has 2; exactly one hash
+    # (the pure `shared` window) occurs in both groups
+    assert r.n_shared_passages == 1
+    assert r.n_a == 3
+    # group B: doc2 contributes 2 windows, doc3 is short (<12 tokens -> one
+    # whole-text window) -> 3 distinct hashes
+    assert r.n_b == 3
+    assert abs(r.overlap_frac - round(1 / 3, 4)) < 1e-9
+
+
+def test_cross_group_overlap_is_group_level_not_doc_level(spark):
+    from databricks_import_pyspark_scripts_spark.operators.search import (
+        cross_group_passage_overlap,
+    )
+
+    # the same passage in MANY docs of each group still counts ONCE per
+    # group pair (distinct (group, h) semantics — the matrix measures
+    # corpus-level sharing, not duplicate mass)
+    t = "a b c d e f g h i j k l"
+    docs = _gdocs(spark, [(i, t, "A") for i in range(5)]
+                  + [(i + 10, t, "B") for i in range(5)])
+    out = cross_group_passage_overlap(docs, "doc_id", "text", "src").collect()
+    assert len(out) == 1
+    assert out[0].n_shared_passages == 1
+    assert out[0].n_a == 1 and out[0].n_b == 1
+
+
+def test_cross_group_overlap_max_groups_cap_drops_boilerplate(spark):
+    from databricks_import_pyspark_scripts_spark.operators.search import (
+        cross_group_passage_overlap,
+    )
+
+    boiler = "all rights reserved to the original author of this fine text"
+    docs = _gdocs(spark, [(i, boiler, f"g{i}") for i in range(4)])
+    # cap below the 4 groups sharing the passage -> no pairs at all
+    capped = cross_group_passage_overlap(docs, "doc_id", "text", "src",
+                                         max_groups=3).collect()
+    assert capped == []
+    # cap at the group count -> all 6 pairs appear
+    full = cross_group_passage_overlap(docs, "doc_id", "text", "src",
+                                       max_groups=4).collect()
+    assert len(full) == 6
+
+
+def test_passage_hashes_carry_cols_match_plain_form(spark):
+    from databricks_import_pyspark_scripts_spark.operators.search import (
+        passage_hashes_pd_df,
+    )
+
+    docs = _gdocs(spark, [
+        (1, "one two three four five six seven eight nine ten eleven twelve"
+            " thirteen", "A"),
+        (2, "short text", "B"),
+        (3, None, "C"),  # null text: no rows, in BOTH forms
+    ])
+    plain = passage_hashes_pd_df(docs, "doc_id", "text")
+    carried = passage_hashes_pd_df(docs, "doc_id", "text",
+                                   carry_cols=("src",))
+    assert sorted((r.doc_id, r.h) for r in plain.collect()) == \
+        sorted((r.doc_id, r.h) for r in carried.collect())
+    # the carried tag is the doc's own group on every window row
+    srcs = {(r.doc_id, r.src) for r in carried.collect()}
+    assert srcs == {(1, "A"), (2, "B")}
+
+
+# --- max benchmark cosine (semantic decontamination) -----------------------
+
+
+def test_max_benchmark_cosine_exact_on_known_vectors(spark):
+    from databricks_import_pyspark_scripts_spark.operators.similarity import (
+        max_benchmark_cosine,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    bench = spark.createDataFrame(
+        [(100, [2.0, 0.0]), (101, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.max_benchmark_cos
+           for r in max_benchmark_cosine(corpus, bench).collect()}
+    assert got[1] == 1.0          # identical direction to bench 100
+    assert got[2] == 0.0          # orthogonal to both
+    assert abs(got[3] - 1 / math.sqrt(2)) < 1e-12
