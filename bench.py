@@ -76,6 +76,12 @@ HEADLINE = [
     # one-time staging of the Delta table from the events parquet
     "delta_snapshot_agg",
     "delta_cdf_insert_feed",
+    # the r7 close-out capability wave — telemetry/monitoring operators a
+    # corpus pipeline runs per ingest; timed in the new-rows tier
+    "dedup_cross_source_overlap",
+    "dedup_decontaminate_semantic",
+    "events_psi_drift",
+    "orders_brand_affinity",
 ]
 
 EXTENSION_ROWS = {
@@ -228,7 +234,9 @@ def main() -> int:
     # round-over-round trend keeps meaning; they are still in `queries`
     new_rows = {"unload_e2e_events_json", "dedup_containment_pairs",
                 "dedup_ngram_jaccard_blocked", "corpus_global_shuffle",
-                "delta_snapshot_agg", "delta_cdf_insert_feed"}
+                "delta_snapshot_agg", "delta_cdf_insert_feed",
+                "dedup_cross_source_overlap", "dedup_decontaminate_semantic",
+                "events_psi_drift", "orders_brand_affinity"}
     # same membership as comparable_queries_sec (includes the unload e2e row)
     comp = [k for k in timings
             if k not in EXTENSION_ROWS and k not in stress

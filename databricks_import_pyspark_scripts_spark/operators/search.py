@@ -357,16 +357,20 @@ def cross_group_passage_overlap(docs: DataFrame, id_col: str, text_col: str,
                           max_bucket=max_groups)
              .groupBy("a", "b")
              .agg(F.count("*").alias("n_shared_passages")))
+    # both join sides broadcast the IDENTICAL subplan (aliased, not
+    # re-projected), so ReuseExchange builds the size table once — the
+    # rename-then-broadcast form re-executed the whole corpus pass per
+    # side (plan-pinned by test_cross_group_overlap_single_size_build)
     sizes = gset.groupBy(group_col).agg(F.count("*").alias("n"))
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
     return (pairs
-            .join(F.broadcast(sizes.select(F.col(group_col).alias("a"),
-                                           F.col("n").alias("n_a"))), "a")
-            .join(F.broadcast(sizes.select(F.col(group_col).alias("b"),
-                                           F.col("n").alias("n_b"))), "b")
+            .join(F.broadcast(sa), F.col("a") == F.col(f"sa.{group_col}"))
+            .join(F.broadcast(sb), F.col("b") == F.col(f"sb.{group_col}"))
             .select(F.col("a").alias("group_a"), F.col("b").alias("group_b"),
-                    "n_shared_passages", "n_a", "n_b",
+                    "n_shared_passages",
+                    F.col("sa.n").alias("n_a"), F.col("sb.n").alias("n_b"),
                     F.round(F.col("n_shared_passages") * F.lit(1.0)
-                            / F.least("n_a", "n_b"), 4)
+                            / F.least(F.col("sa.n"), F.col("sb.n")), 4)
                     .alias("overlap_frac")))
 
 

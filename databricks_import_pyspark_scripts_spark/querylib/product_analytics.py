@@ -607,18 +607,29 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (e.groupBy(F.col("event_type"), bucket.alias("bucket"))
               .agg(F.sum(F.when(is_ref, 1).otherwise(0)).alias("n_ref"),
                    F.sum(F.when(~is_ref, 1).otherwise(0)).alias("n_cur")))
-    types = e.select("event_type").distinct()
-    grid = types.crossJoin(
-        spark.range(PSI_BUCKETS).select(F.col("id").cast("int")
-                                        .alias("bucket")))
-    dense = (grid.join(counts, ["event_type", "bucket"], "left")
-             .fillna(0, subset=["n_ref", "n_cur"]))
-    tot = dense.groupBy("event_type").agg(F.sum("n_ref").alias("tr"),
-                                          F.sum("n_cur").alias("tc"))
-    j = dense.join(F.broadcast(tot), "event_type")
+    # everything downstream of the (type, bucket) rollup runs INSIDE one
+    # linear flow — bucket->count maps + totals collected per type, the
+    # dense 0..B-1 grid exploded back out with map lookups — so the
+    # corpus scan happens exactly once. (The grid-DataFrame + totals-join
+    # form re-executed the rollup three times: grid types, dense join,
+    # totals; plan-pinned by test_psi_drift_single_corpus_scan.)
+    per_type = counts.groupBy("event_type").agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "n_ref")))
+        .alias("mr"),
+        F.map_from_entries(F.collect_list(F.struct("bucket", "n_cur")))
+        .alias("mc"),
+        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
+    dense = per_type.select(
+        "event_type", "tr", "tc", "mr", "mc",
+        F.explode(F.sequence(F.lit(0), F.lit(PSI_BUCKETS - 1)))
+        .alias("bucket"))
+    dense = dense.select(
+        "event_type", "tr", "tc",
+        F.coalesce(F.col("mr")[F.col("bucket")], F.lit(0)).alias("n_ref"),
+        F.coalesce(F.col("mc")[F.col("bucket")], F.lit(0)).alias("n_cur"))
     p = (F.col("n_ref") + F.lit(1.0)) / (F.col("tr") + F.lit(PSI_BUCKETS))
     q = (F.col("n_cur") + F.lit(1.0)) / (F.col("tc") + F.lit(PSI_BUCKETS))
-    return (j.groupBy("event_type")
+    return (dense.groupBy("event_type")
             .agg(F.sum("n_ref").alias("n_ref_events"),
                  F.sum("n_cur").alias("n_cur_events"),
                  F.round(F.sum((p - q) * F.log(p / q)), 4).alias("psi")))

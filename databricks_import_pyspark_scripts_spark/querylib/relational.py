@@ -1119,18 +1119,22 @@ def orders_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signal — same contract as every bucket_pairs call site)
     pairs = (bucket_pairs(ob, ["l_orderkey"], F.col("brand"), max_bucket=64)
              .groupBy("a", "b").agg(F.count("*").alias("n_ab")))
+    # identical aliased subplan on both marginal joins -> ReuseExchange
+    # builds the brand-marginal table once instead of re-running the
+    # basket pipeline per side; the n_orders scalar scans the single
+    # pruned l_orderkey column
     sizes = ob.groupBy("brand").agg(F.count("*").alias("n"))
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
     tot = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     return (pairs
-            .join(F.broadcast(sizes.select(F.col("brand").alias("a"),
-                                           F.col("n").alias("n_a"))), "a")
-            .join(F.broadcast(sizes.select(F.col("brand").alias("b"),
-                                           F.col("n").alias("n_b"))), "b")
+            .join(F.broadcast(sa), F.col("a") == F.col("sa.brand"))
+            .join(F.broadcast(sb), F.col("b") == F.col("sb.brand"))
             .crossJoin(F.broadcast(tot))
             .select(F.col("a").alias("brand_a"), F.col("b").alias("brand_b"),
-                    "n_ab", "n_a", "n_b",
+                    "n_ab",
+                    F.col("sa.n").alias("n_a"), F.col("sb.n").alias("n_b"),
                     F.round(F.col("n_ab") * F.lit(1.0) / F.col("n_orders"), 4)
                     .alias("support"),
                     F.round(F.col("n_ab") * F.col("n_orders") * F.lit(1.0)
-                            / (F.col("n_a") * F.col("n_b")), 4)
+                            / (F.col("sa.n") * F.col("sb.n")), 4)
                     .alias("lift")))

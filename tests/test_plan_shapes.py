@@ -243,3 +243,40 @@ def test_global_shuffle_index_never_single_partition_sorts_corpus(spark,
     assert "hashpartitioning(_bkt" in plan
     assert _nodes(plan, "BroadcastHashJoin") == 1
     assert _scans(plan, "documents") == 2
+
+
+def test_psi_drift_single_corpus_scan(spark, sf_dir):
+    """PSI runs as ONE conditional-aggregate corpus scan: the dense
+    bucket grid is rebuilt from the per-type rollup (map lookups over an
+    exploded 0..B-1 sequence), never by re-joining the corpus. A second
+    events scan means the grid-DataFrame + totals-join form crept back
+    (it re-executed the rollup three times)."""
+    df = all_queries()["events_psi_drift"](spark, sf_dir)
+    assert _scans(_plan(df), "events") == 1
+
+
+def test_cross_group_overlap_single_size_build(spark, sf_dir):
+    """The overlap matrix declares 3 corpus passes (pair pipeline + the
+    two aliased size-join sides) but must EXECUTE fewer: the size table
+    is one subplan aliased onto both join sides, so at runtime the
+    broadcast build is reused for the second side (1 ReusedExchange) and
+    the doc-id repartition ahead of the Arrow window-hash map is shared
+    between the pair pipeline and the size build (2nd ReusedExchange) —
+    the corpus is READ once. Both reuses disappearing means a
+    re-projected (non-aliased) size side crept back and each join side
+    re-runs the whole corpus pass."""
+    df = all_queries()["dedup_cross_source_overlap"](spark, sf_dir)
+    assert _scans(_plan(df), "documents") == 3  # declared passes
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert executed.count("ReusedExchange") >= 2
+
+
+def test_brand_affinity_single_marginal_build(spark, sf_dir):
+    """The brand-marginal table joins the pair counts twice (n_a / n_b)
+    from ONE aliased subplan: at runtime the second broadcast side must
+    reuse the first build instead of re-running the basket pipeline."""
+    df = all_queries()["orders_brand_affinity"](spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert executed.count("ReusedExchange") >= 1
