@@ -82,6 +82,8 @@ HEADLINE = [
     "dedup_decontaminate_semantic",
     "events_psi_drift",
     "orders_brand_affinity",
+    "events_ks_drift",
+    "text_pmi_collocations",
 ]
 
 EXTENSION_ROWS = {
@@ -236,7 +238,8 @@ def main() -> int:
                 "dedup_ngram_jaccard_blocked", "corpus_global_shuffle",
                 "delta_snapshot_agg", "delta_cdf_insert_feed",
                 "dedup_cross_source_overlap", "dedup_decontaminate_semantic",
-                "events_psi_drift", "orders_brand_affinity"}
+                "events_psi_drift", "orders_brand_affinity",
+                "events_ks_drift", "text_pmi_collocations"}
     # same membership as comparable_queries_sec (includes the unload e2e row)
     comp = [k for k in timings
             if k not in EXTENSION_ROWS and k not in stress

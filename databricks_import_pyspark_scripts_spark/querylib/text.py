@@ -1101,3 +1101,72 @@ def corpus_systematic_pps_sample(spark: SparkSession,
                   f" - ((cum - n_chars) * {PPS_K}) div total")
     return (c.filter(hits > 0)
             .select("doc_id", "n_chars", hits.cast("long").alias("n_hits")))
+
+
+# --- PMI collocation mining ------------------------------------------------
+
+PMI_MIN_COUNT = 5  # candidate bigrams must occur at least this often
+PMI_TOP = 50       # report cut, tie-broken by (count desc, tokens)
+
+
+@register(
+    "text_pmi_collocations",
+    f"""
+    WITH bgs AS (
+      SELECT unnest(list_transform(range(1, len(tk)),
+                    i -> struct_pack(a := tk[i], b := tk[i+1]))) AS s
+      FROM (SELECT {{tokens}} AS tk FROM documents)
+    ), pc AS (
+      SELECT s.a AS token_a, s.b AS token_b, COUNT(*) AS n_ab
+      FROM bgs GROUP BY 1, 2
+    ), m1 AS (SELECT token_a, CAST(SUM(n_ab) AS BIGINT) AS n_a
+              FROM pc GROUP BY 1),
+    m2 AS (SELECT token_b, CAST(SUM(n_ab) AS BIGINT) AS n_b
+           FROM pc GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n_big FROM pc)
+    SELECT token_a, token_b, n_ab, n_a, n_b,
+           ROUND(LN(n_ab * n_big * 1.0 / (n_a * n_b)), 4) AS pmi
+    FROM pc JOIN m1 USING (token_a) JOIN m2 USING (token_b) CROSS JOIN tot
+    WHERE n_ab >= {PMI_MIN_COUNT}
+    ORDER BY n_ab DESC, token_a, token_b
+    LIMIT {PMI_TOP}
+    """.replace("{tokens}", TOKENS_SQL),
+    doc="Pointwise-mutual-information collocation mining over adjacent "
+        "token bigrams: PMI = ln(P(ab) / (P(a)P(b))) with positional "
+        "marginals (a as first token, b as second) — the classic "
+        "collocation extractor used to seed tokenizer merge candidates "
+        "and multiword-expression lists. Scale shape: the corpus "
+        "collapses to the (a, b) count table in ONE exploded pass; both "
+        "marginals and the total derive from that vocab^2-bounded table "
+        "(never re-scanning the corpus — at runtime every consumer "
+        "reuses the same bigram-count exchange), and marginals broadcast "
+        "into the PMI join. Exact-int64 ratio under the single ln, 4-dp "
+        "rounded; the top cut is tie-broken by (count, tokens) so both "
+        "engines slice identically.")
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..operators.text import tokens_col
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    pc = (toks.withColumn("nxt", F.lead("tok").over(w))
+          .filter(F.col("nxt").isNotNull())
+          .groupBy(F.col("tok").alias("token_a"),
+                   F.col("nxt").alias("token_b"))
+          .agg(F.count(F.lit(1)).alias("n_ab")))
+    m1 = pc.groupBy("token_a").agg(F.sum("n_ab").alias("n_a"))
+    m2 = pc.groupBy("token_b").agg(F.sum("n_ab").alias("n_b"))
+    tot = pc.agg(F.sum("n_ab").alias("n_big"))
+    return (pc.filter(F.col("n_ab") >= PMI_MIN_COUNT)
+            .join(F.broadcast(m1), "token_a")
+            .join(F.broadcast(m2), "token_b")
+            .crossJoin(F.broadcast(tot))
+            .select("token_a", "token_b", "n_ab", "n_a", "n_b",
+                    F.round(F.log(F.col("n_ab") * F.col("n_big") * F.lit(1.0)
+                                  / (F.col("n_a") * F.col("n_b"))), 4)
+                    .alias("pmi"))
+            .orderBy(F.col("n_ab").desc(), "token_a", "token_b")
+            .limit(PMI_TOP))

@@ -816,3 +816,79 @@ def test_ivf_pq_stored_layout_roundtrip(spark, sf_dir, tmp_path):
               for r in ivf_pq_topk(vectors, queries, k=5).collect()}
     assert with_idx == inline
     assert len(with_idx) > 0
+
+
+def test_psi_composes_from_stored_rollups(spark, sf_dir):
+    """The drift monitor's operational claim: PSI between two periods is
+    computable from their STORED (type, bucket) rollups alone — no raw
+    corpus access. Build each period's rollup independently (as a stored
+    artifact would be), recompute PSI driver-side from those counts, and
+    match the gate query."""
+    import math
+
+    from databricks_import_pyspark_scripts_spark.querylib.product_analytics import (
+        PSI_BUCKETS,
+        PSI_SPLIT_TS,
+        PSI_WIDTH,
+        events_psi_drift,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / PSI_WIDTH).cast("int"), F.lit(0)),
+        F.lit(PSI_BUCKETS - 1)).alias("bucket")
+    split = F.lit(PSI_SPLIT_TS).cast("timestamp")
+    rolls = {}
+    for period, pred in (("ref", F.col("ts") < split),
+                         ("cur", ~(F.col("ts") < split))):
+        rolls[period] = {
+            (r.event_type, r.bucket): r.n
+            for r in (e.filter(pred).groupBy("event_type", bucket)
+                      .agg(F.count(F.lit(1)).alias("n")).collect())}
+    types = {t for t, _ in rolls["ref"]} | {t for t, _ in rolls["cur"]}
+    direct = {r.event_type: r.psi
+              for r in events_psi_drift(spark, sf_dir).collect()}
+    assert set(direct) == types
+    for t in types:
+        tr = sum(rolls["ref"].get((t, b), 0) for b in range(PSI_BUCKETS))
+        tc = sum(rolls["cur"].get((t, b), 0) for b in range(PSI_BUCKETS))
+        psi = sum(
+            ((rolls["ref"].get((t, b), 0) + 1.0) / (tr + PSI_BUCKETS)
+             - (rolls["cur"].get((t, b), 0) + 1.0) / (tc + PSI_BUCKETS))
+            * math.log(((rolls["ref"].get((t, b), 0) + 1.0)
+                        / (tr + PSI_BUCKETS))
+                       / ((rolls["cur"].get((t, b), 0) + 1.0)
+                          / (tc + PSI_BUCKETS)))
+            for b in range(PSI_BUCKETS))
+        assert abs(psi - direct[t]) <= 1e-4
+
+
+def test_ks_drift_matches_scipy_style_recompute(spark, sf_dir):
+    """KS gate vs a plain-Python ECDF recompute on the same rows — pins
+    the statistic's definition independently of the SQL oracle."""
+    from databricks_import_pyspark_scripts_spark.querylib.product_analytics import (
+        PSI_SPLIT_TS,
+        events_ks_drift,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = e.select("event_type", "ts", "value").collect()
+    import datetime
+
+    split = datetime.datetime.fromisoformat(PSI_SPLIT_TS)
+    got = {r.event_type: (r.n_ref_events, r.n_cur_events, r.ks)
+           for r in events_ks_drift(spark, sf_dir).collect()}
+    types = {r.event_type for r in rows}
+    for t in types:
+        ref = sorted(r.value for r in rows
+                     if r.event_type == t and r.ts < split)
+        cur = sorted(r.value for r in rows
+                     if r.event_type == t and r.ts >= split)
+        pts = sorted(set(ref) | set(cur))
+        import bisect
+
+        d = max(abs(bisect.bisect_right(ref, v) * len(cur)
+                    - bisect.bisect_right(cur, v) * len(ref))
+                for v in pts)
+        ks = round(d / (len(ref) * len(cur)), 4)
+        assert got[t] == (len(ref), len(cur), ks)

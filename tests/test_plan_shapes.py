@@ -280,3 +280,25 @@ def test_brand_affinity_single_marginal_build(spark, sf_dir):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert executed.count("ReusedExchange") >= 1
+
+
+def test_ks_drift_single_corpus_scan(spark, sf_dir):
+    """Exact KS collapses the corpus to distinct (type, value) counts in
+    one conditionally-aggregated pass; the ECDF windows and the final
+    max-gap aggregate all run over that collapsed table. A second events
+    scan means a per-period or per-total re-scan crept in."""
+    df = all_queries()["events_ks_drift"](spark, sf_dir)
+    assert _scans(_plan(df), "events") == 1
+
+
+def test_pmi_marginals_reuse_the_bigram_count_exchange(spark, sf_dir):
+    """PMI declares 4 corpus passes (pair counts + 2 marginals + total)
+    but every consumer aggregates the SAME bigram-count subplan, so at
+    runtime the (token_a, token_b) exchange is built once and reused 3
+    times — the corpus is read once. Fewer reuses means a marginal went
+    back to its own corpus-sourced pipeline."""
+    df = all_queries()["text_pmi_collocations"](spark, sf_dir)
+    assert _scans(_plan(df), "documents") == 4  # declared passes
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert executed.count("ReusedExchange") >= 3
