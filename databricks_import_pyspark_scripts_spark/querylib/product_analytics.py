@@ -543,9 +543,12 @@ def events_scd2_point_in_time_join(spark: SparkSession,
 # (deterministic, engine-portable — no quantile estimation inside the
 # monitored metric) and +1/+B Laplace smoothing so empty buckets keep
 # ln() finite without epsilon magic numbers: p_i = (n_i + 1) / (N + B).
+# Grid constants live in operators/drift.py (shared with the rollup
+# primitives and the streaming monitor); re-exported here for the oracle
+# f-strings and existing importers.
+from ..operators.drift import PSI_BUCKETS, PSI_WIDTH  # noqa: E402
+
 PSI_SPLIT_TS = "2024-01-16 00:00:00"  # reference period = events before
-PSI_BUCKETS = 10
-PSI_WIDTH = 50.0
 
 
 def _psi_oracle() -> str:
@@ -599,11 +602,11 @@ def _psi_oracle() -> str:
         "so the monitor needs no quantile pass over the corpus and two "
         "periods can be PSI-compared from their stored rollups alone.")
 def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.drift import value_bucket_col
+
     e = load_table(spark, sf_dir, "events")
     is_ref = F.col("ts") < F.lit(PSI_SPLIT_TS).cast("timestamp")
-    bucket = F.least(
-        F.greatest(F.floor(F.col("value") / PSI_WIDTH).cast("int"), F.lit(0)),
-        F.lit(PSI_BUCKETS - 1))
+    bucket = value_bucket_col(F.col("value"), PSI_WIDTH, PSI_BUCKETS)
     counts = (e.groupBy(F.col("event_type"), bucket.alias("bucket"))
               .agg(F.sum(F.when(is_ref, 1).otherwise(0)).alias("n_ref"),
                    F.sum(F.when(~is_ref, 1).otherwise(0)).alias("n_cur")))

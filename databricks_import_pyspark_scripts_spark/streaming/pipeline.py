@@ -395,3 +395,46 @@ def stream_neardup_gate(docs: DataFrame, history: DataFrame,
             .foreachBatch(probe_batch)
             .option("checkpointLocation", checkpoint_dir)
             .start())
+
+
+def stream_psi_monitor(events: DataFrame, ref_rollup: DataFrame,
+                       rollup_root: str, report_root: str,
+                       checkpoint_dir: str, group_col: str = "event_type",
+                       value_col: str = "value"):
+    """Continuous distribution-drift gate: each micro-batch folds into a
+    cumulative ``(group, bucket, n)`` rollup of the arriving period
+    (versioned per batch id under ``rollup_root/v=<n>``, same redelivery-
+    rebase discipline as ``stream_maintain_agg``) and a per-batch PSI
+    report against the PINNED reference rollup lands under
+    ``report_root/v=<n>`` — the monitor a corpus pipeline watches before
+    promoting a continuously-ingested slice to training.
+
+    Everything after the per-batch bucket aggregate is ROLLUP arithmetic
+    (operators/drift.py): the reference period's raw data is never read —
+    only its stored rollup — and the batch fold is the rollup monoid
+    (union + re-sum), so state stays |groups| x n_buckets rows no matter
+    how much data streams through. The final report equals the batch PSI
+    over the same rows (pinned by
+    test_stream_psi_monitor_matches_batch_psi). Returns the
+    StreamingQuery.
+    """
+    from ..operators.drift import merge_rollups, psi_from_rollups, value_rollup
+
+    spark = events.sparkSession
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = value_rollup(batch_df, group_col, value_col)
+        prev_v = _latest_version(rollup_root, batch_id)
+        if prev_v is not None:
+            delta = merge_rollups(
+                spark.read.parquet(f"{rollup_root}/v={prev_v}"),
+                delta, group_col)
+        delta.write.mode("overwrite").parquet(f"{rollup_root}/v={batch_id}")
+        cur = spark.read.parquet(f"{rollup_root}/v={batch_id}")
+        (psi_from_rollups(ref_rollup, cur, group_col)
+         .write.mode("overwrite").parquet(f"{report_root}/v={batch_id}"))
+
+    return (events.writeStream
+            .foreachBatch(apply_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .start())

@@ -432,3 +432,54 @@ def test_stream_neardup_gate_flags_against_stored_index(spark, tmp_path):
     assert got[100].has_near_dup and got[100].best_match_id == 1
     assert not got[101].has_near_dup
     assert "text" in spark.read.parquet(out).columns  # original cols kept
+
+
+def test_stream_psi_monitor_matches_batch_psi(spark, tmp_path):
+    """Drift gate equivalence: stream the 'current' period in two
+    micro-batches against a pinned reference rollup; the final streamed
+    report must equal the batch events_psi_drift gate on the same rows
+    (which computes both periods from raw data in one scan)."""
+    from databricks_import_pyspark_scripts_spark.operators.drift import (
+        value_rollup,
+    )
+    from databricks_import_pyspark_scripts_spark.querylib.product_analytics import (
+        PSI_SPLIT_TS,
+        events_psi_drift,
+    )
+    from databricks_import_pyspark_scripts_spark.streaming.pipeline import (
+        stream_psi_monitor,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    split = F.lit(PSI_SPLIT_TS).cast("timestamp")
+    ref_rollup = value_rollup(e.filter(F.col("ts") < split),
+                              "event_type", "value")
+    # current period arrives as a stream, split into two files/batches
+    cur = e.filter(~(F.col("ts") < split)).select("event_type", "value",
+                                                  "event_id")
+    src = tmp_path / "cur"
+    cur.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "f1"))
+    cur.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "f2"))
+    stream = (spark.readStream.schema("event_type string, value double, "
+                                      "event_id long")
+              .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+    q = stream_psi_monitor(stream, ref_rollup, str(tmp_path / "roll"),
+                           str(tmp_path / "rep"), str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    import os
+    versions = sorted(int(d[2:]) for d in os.listdir(tmp_path / "rep")
+                      if d.startswith("v="))
+    assert len(versions) >= 2  # arrived over multiple batches
+    streamed = {r.event_type: (r.n_ref_events, r.n_cur_events, r.psi)
+                for r in spark.read.parquet(
+                    f"{tmp_path}/rep/v={versions[-1]}").collect()}
+    batch = {r.event_type: (r.n_ref_events, r.n_cur_events, r.psi)
+             for r in events_psi_drift(spark, sf_dir).collect()}
+    assert streamed == batch
