@@ -84,6 +84,7 @@ HEADLINE = [
     "orders_brand_affinity",
     "events_ks_drift",
     "text_pmi_collocations",
+    "events_psi_quantile_drift",
 ]
 
 EXTENSION_ROWS = {
@@ -239,7 +240,8 @@ def main() -> int:
                 "delta_snapshot_agg", "delta_cdf_insert_feed",
                 "dedup_cross_source_overlap", "dedup_decontaminate_semantic",
                 "events_psi_drift", "orders_brand_affinity",
-                "events_ks_drift", "text_pmi_collocations"}
+                "events_ks_drift", "text_pmi_collocations",
+                "events_psi_quantile_drift"}
     # same membership as comparable_queries_sec (includes the unload e2e row)
     comp = [k for k in timings
             if k not in EXTENSION_ROWS and k not in stress

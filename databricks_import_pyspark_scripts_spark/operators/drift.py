@@ -99,3 +99,33 @@ def merge_rollups(a: DataFrame, b: DataFrame, group_col: str) -> DataFrame:
     return (a.unionByName(b)
             .groupBy(group_col, "bucket")
             .agg(F.sum("n").alias("n")))
+
+
+def psi_from_biperiod_counts(counts: DataFrame, group_col: str,
+                             n_buckets: int = PSI_BUCKETS) -> DataFrame:
+    """PSI per group from a single-table biperiod rollup ``(group, bucket,
+    n_ref, n_cur)`` — the shape a ONE-scan conditional aggregate produces
+    when both periods are counted in the same pass (the gate queries'
+    plan). Same dense-grid map trick and Laplace arithmetic as
+    ``psi_from_rollups``; sharing it keeps every PSI variant's math
+    literally one implementation.
+
+    Returns ``(group, n_ref_events, n_cur_events, psi)``, psi 4-dp.
+    """
+    per_group = counts.groupBy(group_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "n_ref")))
+        .alias("mr"),
+        F.map_from_entries(F.collect_list(F.struct("bucket", "n_cur")))
+        .alias("mc"),
+        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
+    dense = per_group.select(
+        group_col, "tr", "tc", "mr", "mc",
+        F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("bucket"))
+    nr = F.coalesce(F.col("mr")[F.col("bucket")], F.lit(0))
+    nc = F.coalesce(F.col("mc")[F.col("bucket")], F.lit(0))
+    p = (nr + F.lit(1.0)) / (F.col("tr") + F.lit(n_buckets))
+    q = (nc + F.lit(1.0)) / (F.col("tc") + F.lit(n_buckets))
+    return (dense.groupBy(group_col)
+            .agg(F.sum(nr).alias("n_ref_events"),
+                 F.sum(nc).alias("n_cur_events"),
+                 F.round(F.sum((p - q) * F.log(p / q)), 4).alias("psi")))

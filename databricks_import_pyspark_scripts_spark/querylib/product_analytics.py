@@ -602,7 +602,7 @@ def _psi_oracle() -> str:
         "so the monitor needs no quantile pass over the corpus and two "
         "periods can be PSI-compared from their stored rollups alone.")
 def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.drift import value_bucket_col
+    from ..operators.drift import psi_from_biperiod_counts, value_bucket_col
 
     e = load_table(spark, sf_dir, "events")
     is_ref = F.col("ts") < F.lit(PSI_SPLIT_TS).cast("timestamp")
@@ -611,31 +611,12 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.sum(F.when(is_ref, 1).otherwise(0)).alias("n_ref"),
                    F.sum(F.when(~is_ref, 1).otherwise(0)).alias("n_cur")))
     # everything downstream of the (type, bucket) rollup runs INSIDE one
-    # linear flow — bucket->count maps + totals collected per type, the
-    # dense 0..B-1 grid exploded back out with map lookups — so the
-    # corpus scan happens exactly once. (The grid-DataFrame + totals-join
-    # form re-executed the rollup three times: grid types, dense join,
-    # totals; plan-pinned by test_psi_drift_single_corpus_scan.)
-    per_type = counts.groupBy("event_type").agg(
-        F.map_from_entries(F.collect_list(F.struct("bucket", "n_ref")))
-        .alias("mr"),
-        F.map_from_entries(F.collect_list(F.struct("bucket", "n_cur")))
-        .alias("mc"),
-        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
-    dense = per_type.select(
-        "event_type", "tr", "tc", "mr", "mc",
-        F.explode(F.sequence(F.lit(0), F.lit(PSI_BUCKETS - 1)))
-        .alias("bucket"))
-    dense = dense.select(
-        "event_type", "tr", "tc",
-        F.coalesce(F.col("mr")[F.col("bucket")], F.lit(0)).alias("n_ref"),
-        F.coalesce(F.col("mc")[F.col("bucket")], F.lit(0)).alias("n_cur"))
-    p = (F.col("n_ref") + F.lit(1.0)) / (F.col("tr") + F.lit(PSI_BUCKETS))
-    q = (F.col("n_cur") + F.lit(1.0)) / (F.col("tc") + F.lit(PSI_BUCKETS))
-    return (dense.groupBy("event_type")
-            .agg(F.sum("n_ref").alias("n_ref_events"),
-                 F.sum("n_cur").alias("n_cur_events"),
-                 F.round(F.sum((p - q) * F.log(p / q)), 4).alias("psi")))
+    # linear flow (operators/drift.psi_from_biperiod_counts: per-type
+    # bucket->count maps + totals, dense 0..B-1 grid rebuilt by map
+    # lookups) — so the corpus scan happens exactly once. (The
+    # grid-DataFrame + totals-join form re-executed the rollup three
+    # times; plan-pinned by test_psi_drift_single_corpus_scan.)
+    return psi_from_biperiod_counts(counts, "event_type", PSI_BUCKETS)
 
 
 def _ks_oracle() -> str:
@@ -702,3 +683,83 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                          * F.lit(1.0)
                          / (F.max("tot_r") * F.max("tot_c")), 4)
                  .alias("ks")))
+
+
+def _psi_quantile_oracle() -> str:
+    edge_cols = ",\n             ".join(
+        f"ROUND(quantile_cont(value, 0.{i}), 4) AS e{i}"
+        for i in range(1, 10))
+    bucket = " + ".join(f"CAST(e.value > b.e{i} AS INT)"
+                        for i in range(1, 10))
+    return f"""
+    WITH b AS (
+      SELECT event_type,
+             {edge_cols}
+      FROM events WHERE ts < TIMESTAMP '{PSI_SPLIT_TS}'
+      GROUP BY event_type),
+    counts AS (
+      SELECT e.event_type,
+             {bucket} AS bucket,
+             SUM(CASE WHEN e.ts < TIMESTAMP '{PSI_SPLIT_TS}'
+                      THEN 1 ELSE 0 END) AS n_ref,
+             SUM(CASE WHEN e.ts >= TIMESTAMP '{PSI_SPLIT_TS}'
+                      THEN 1 ELSE 0 END) AS n_cur
+      FROM events e JOIN b ON e.event_type = b.event_type
+      GROUP BY 1, 2),
+    dense AS (
+      SELECT c0.event_type, g.bucket,
+             COALESCE(c.n_ref, 0) AS n_ref, COALESCE(c.n_cur, 0) AS n_cur
+      FROM (SELECT DISTINCT event_type FROM counts) c0
+      CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bucket) g
+      LEFT JOIN counts c ON c.event_type = c0.event_type
+                        AND c.bucket = g.bucket),
+    tot AS (SELECT event_type, SUM(n_ref) AS tr, SUM(n_cur) AS tc
+            FROM dense GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(SUM(d.n_ref) AS BIGINT) AS n_ref_events,
+           CAST(SUM(d.n_cur) AS BIGINT) AS n_cur_events,
+           ROUND(SUM(
+             ((d.n_ref + 1.0) / (t.tr + 10)
+              - (d.n_cur + 1.0) / (t.tc + 10))
+             * LN(((d.n_ref + 1.0) / (t.tr + 10))
+                  / ((d.n_cur + 1.0) / (t.tc + 10)))), 4) AS psi
+    FROM dense d JOIN tot t USING (event_type)
+    GROUP BY d.event_type
+    """
+
+
+@register(
+    "events_psi_quantile_drift",
+    _psi_quantile_oracle(),
+    doc="PSI on a REFERENCE-QUANTILE grid — the standard monitoring "
+        "formulation when value ranges are unknown a priori: bucket "
+        "edges are the reference period's per-type deciles (exact "
+        "interpolated percentiles rounded to a shared 4-dp grid BEFORE "
+        "bucketing, the winsorized-mean parity trick, so both engines "
+        "bucket identically), giving ~uniform reference mass per bucket "
+        "and therefore equal sensitivity across the distribution — where "
+        "the fixed-width grid (events_psi_drift) concentrates buckets "
+        "wherever the range happens to be. Scale shape: the decile "
+        "aggregate collapses to |types| rows and BROADCASTS back onto "
+        "one conditional-aggregate corpus scan (edge comparisons as 9 "
+        "codegen'd scalar predicates, no interpreted array lambdas); the "
+        "dense-grid PSI fold is the shared operators/drift arithmetic. "
+        "At 100 TB swap the exact percentile for percentile_approx — "
+        "the grid only needs stability, not exactness.")
+def events_psi_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.drift import psi_from_biperiod_counts
+
+    e = load_table(spark, sf_dir, "events")
+    split = F.lit(PSI_SPLIT_TS).cast("timestamp")
+    b = (e.filter(F.col("ts") < split)
+         .groupBy("event_type")
+         .agg(*[F.round(F.percentile("value", F.lit(i / 10.0)), 4)
+                .alias(f"e{i}") for i in range(1, 10)]))
+    bucket = sum((F.col("value") > F.col(f"e{i}")).cast("int")
+                 for i in range(1, 10))
+    is_ref = F.col("ts") < split
+    counts = (e.join(F.broadcast(b), "event_type")
+              .groupBy("event_type", bucket.alias("bucket"))
+              .agg(F.sum(F.when(is_ref, 1).otherwise(0)).alias("n_ref"),
+                   F.sum(F.when(~is_ref, 1).otherwise(0)).alias("n_cur")))
+    return psi_from_biperiod_counts(counts, "event_type", PSI_BUCKETS)

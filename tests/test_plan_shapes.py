@@ -302,3 +302,14 @@ def test_pmi_marginals_reuse_the_bigram_count_exchange(spark, sf_dir):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert executed.count("ReusedExchange") >= 3
+
+
+def test_psi_quantile_two_scans_edges_broadcast(spark, sf_dir):
+    """Quantile-grid PSI needs exactly 2 corpus scans — the reference-
+    decile build (collapses to |types| rows) and the single conditional
+    biperiod pass — with the edge table BROADCAST onto the fact scan.
+    A third scan means a per-period or totals re-scan crept in."""
+    df = all_queries()["events_psi_quantile_drift"](spark, sf_dir)
+    plan = _plan(df)
+    assert _scans(plan, "events") == 2
+    assert _nodes(plan, "BroadcastHashJoin") >= 1
