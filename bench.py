@@ -85,6 +85,7 @@ HEADLINE = [
     "events_ks_drift",
     "text_pmi_collocations",
     "events_psi_quantile_drift",
+    "events_mix_drift",
 ]
 
 EXTENSION_ROWS = {
@@ -241,7 +242,7 @@ def main() -> int:
                 "dedup_cross_source_overlap", "dedup_decontaminate_semantic",
                 "events_psi_drift", "orders_brand_affinity",
                 "events_ks_drift", "text_pmi_collocations",
-                "events_psi_quantile_drift"}
+                "events_psi_quantile_drift", "events_mix_drift"}
     # same membership as comparable_queries_sec (includes the unload e2e row)
     comp = [k for k in timings
             if k not in EXTENSION_ROWS and k not in stress

@@ -763,3 +763,55 @@ def events_psi_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.sum(F.when(is_ref, 1).otherwise(0)).alias("n_ref"),
                    F.sum(F.when(~is_ref, 1).otherwise(0)).alias("n_cur")))
     return psi_from_biperiod_counts(counts, "event_type", PSI_BUCKETS)
+
+
+@register(
+    "events_mix_drift",
+    f"""
+    WITH c AS (
+      SELECT event_type,
+             SUM(CASE WHEN ts < TIMESTAMP '{PSI_SPLIT_TS}'
+                      THEN 1 ELSE 0 END) AS n_ref,
+             SUM(CASE WHEN ts >= TIMESTAMP '{PSI_SPLIT_TS}'
+                      THEN 1 ELSE 0 END) AS n_cur
+      FROM events GROUP BY event_type),
+    w AS (
+      SELECT event_type, n_ref, n_cur,
+             SUM(n_ref) OVER () AS tr, SUM(n_cur) OVER () AS tc,
+             COUNT(*) OVER () AS nt
+      FROM c)
+    SELECT event_type,
+           CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+           ROUND(n_ref * 1.0 / tr, 4) AS share_ref,
+           ROUND(n_cur * 1.0 / tc, 4) AS share_cur,
+           ROUND(((n_ref + 1.0) / (tr + nt) - (n_cur + 1.0) / (tc + nt))
+                 * LN(((n_ref + 1.0) / (tr + nt))
+                      / ((n_cur + 1.0) / (tc + nt))), 4) AS psi_contrib
+    FROM w
+    """,
+    doc="Categorical mix drift: each event type's share of traffic in the "
+        "current vs reference period, with its per-category PSI "
+        "contribution (+1/|categories| Laplace smoothing — a category "
+        "that appeared or vanished reports a finite, maximal "
+        "contribution). Completes the drift family: fixed-grid and "
+        "quantile-grid PSI + binless KS for numeric columns, this for "
+        "categorical ones (event mix, language mix, source mix). Scale "
+        "shape: ONE conditional-aggregate corpus scan collapses to "
+        "|categories| rows; the share/total windows run over that tiny "
+        "table. Exact integer counts; one ln per category, 4-dp rounded.")
+def events_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    is_ref = F.col("ts") < F.lit(PSI_SPLIT_TS).cast("timestamp")
+    c = (e.groupBy("event_type")
+         .agg(F.sum(F.when(is_ref, 1).otherwise(0)).alias("n_ref"),
+              F.sum(F.when(~is_ref, 1).otherwise(0)).alias("n_cur")))
+    w = Window.partitionBy()
+    tr, tc = F.sum("n_ref").over(w), F.sum("n_cur").over(w)
+    nt = F.count(F.lit(1)).over(w)
+    p = (F.col("n_ref") + F.lit(1.0)) / (tr + nt)
+    q = (F.col("n_cur") + F.lit(1.0)) / (tc + nt)
+    return c.select(
+        "event_type", "n_ref", "n_cur",
+        F.round(F.col("n_ref") * F.lit(1.0) / tr, 4).alias("share_ref"),
+        F.round(F.col("n_cur") * F.lit(1.0) / tc, 4).alias("share_cur"),
+        F.round((p - q) * F.log(p / q), 4).alias("psi_contrib"))
