@@ -19,6 +19,7 @@ these gates attest those read semantics without the Delta jars.
 
 from __future__ import annotations
 
+import json
 import os
 import tempfile
 
@@ -87,6 +88,198 @@ def delta_snapshot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("version", F.lit(v).cast("int")))
     return parts[0].unionByName(parts[1]).select(
         "version", "event_type", "n", "sum_value")
+
+
+def _add_dv_delete_commit(spark: SparkSession, path: str,
+                          modulus: int) -> None:
+    """Append a DV DELETE commit to a staged v0-only Delta table: every row
+    whose ``event_id % modulus == 0`` is marked deleted via a real
+    deletion-vector FILE (storageType "u", roaring bitmap, offset/crc
+    framing), one DV per data file, remove+add pairs, protocol upgraded to
+    reader v3 + ``deletionVectors``. Row indexes are derived by reading
+    each data file's event_id column with pyarrow — per-file metadata work,
+    exactly what a real DV writer does."""
+    import uuid
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..sources.delta_dv import (
+        make_uuid_path_or_inline,
+        serialize_bitmap_array,
+        write_dv_file,
+    )
+    from ..sources.delta_log import replay_log
+
+    rep = replay_log(spark, path, 0)
+    actions: list[dict] = [
+        {"commitInfo": {"timestamp": _BASE_TS_MS + 1000,
+                        "operation": "DELETE"}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+    ]
+    for rel, add in sorted(rep.files.items()):
+        ids = pq.read_table(os.path.join(path, rel),
+                            columns=["event_id"])["event_id"].to_numpy()
+        dead = np.nonzero(ids % modulus == 0)[0]
+        if not dead.size:
+            continue
+        u = uuid.uuid5(uuid.NAMESPACE_URL, rel)  # deterministic staging
+        (offset, size), = write_dv_file(
+            os.path.join(path, f"deletion_vector_{u}.bin"),
+            [serialize_bitmap_array(dead)])
+        new_add = dict(add)
+        new_add["deletionVector"] = {
+            "storageType": "u",
+            "pathOrInlineDv": make_uuid_path_or_inline(u),
+            "offset": offset, "sizeInBytes": size,
+            "cardinality": int(dead.size)}
+        actions.append({"remove": {"path": rel, "deletionTimestamp":
+                                   _BASE_TS_MS + 1000, "dataChange": True,
+                                   "partitionValues": {}}})
+        actions.append({"add": new_add})
+    with open(os.path.join(path, "_delta_log",
+                           f"{1:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+
+_DV_MOD = 5
+
+
+def _staged_dv_table(spark: SparkSession, sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_delta_dv_gate_{tag}_v1")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        e = (load_table(spark, sf_dir, "events")
+             .select("event_id", "event_type", "value"))
+        write_delta_table(spark, [e.filter(F.expr(_V0_PRED))], path,
+                          enable_cdf=False, base_ts_ms=_BASE_TS_MS)
+        _add_dv_delete_commit(spark, path, _DV_MOD)
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "delta_dv_snapshot_agg",
+    f"""
+    SELECT 0 AS version, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events WHERE {_V0_PRED}
+    GROUP BY event_type
+    UNION ALL
+    SELECT 1 AS version, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events WHERE ({_V0_PRED}) AND event_id % {_DV_MOD} <> 0
+    GROUP BY event_type
+    """,
+    doc="Deletion-vector reads through the jar-less Delta log replay: v0 "
+        "stages the % 3 == 0 events, v1 marks every % 5 == 0 row deleted "
+        "via REAL roaring-bitmap DV files (storageType 'u', z85 uuid, "
+        "offset/crc framing) — the Databricks-default table layout the "
+        "reference reads transparently. Both versions are snapshot-read "
+        "and aggregated: v0 proves the DV is NOT applied before its "
+        "commit, v1 proves row-index-exact application. Oracle restates "
+        "the staging + deletion predicates over the parquet source.")
+def delta_dv_snapshot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _staged_dv_table(spark, sf_dir)
+    parts = []
+    for v in (0, 1):
+        snap = read_delta_snapshot(spark, path, v)
+        parts.append(
+            snap.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .withColumn("version", F.lit(v).cast("int")))
+    return parts[0].unionByName(parts[1]).select(
+        "version", "event_type", "n", "sum_value")
+
+
+_CM_PHYS = {"o_orderkey": "col-9f1", "o_orderstatus": "col-9f2",
+            "o_totalprice": "col-9f3"}
+
+
+def _staged_cm_table(spark: SparkSession, sf_dir: str) -> str:
+    """Column-mapped (``name`` mode) staged table: orders columns stored
+    under opaque physical names; the log's schemaString carries the
+    logical names + physicalName metadata (legacy protocol 2/5)."""
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_delta_cm_gate_{tag}_v1")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        o = load_table(spark, sf_dir, "orders")
+        df = o.select(*[F.col(c).alias(p) for c, p in _CM_PHYS.items()])
+        staging = os.path.join(path, "_staging")
+        df.write.mode("overwrite").parquet(staging)
+        fields = []
+        for i, (logical, phys) in enumerate(_CM_PHYS.items(), start=1):
+            spark_f = next(f for f in o.schema.fields if f.name == logical)
+            fields.append({
+                "name": logical, "type": spark_f.dataType.jsonValue(),
+                "nullable": True,
+                "metadata": {"delta.columnMapping.id": i,
+                             "delta.columnMapping.physicalName": phys}})
+        actions = [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {
+                "id": "spark-graft-staged-cm-table",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps({"type": "struct",
+                                            "fields": fields}),
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": str(len(fields))},
+                "createdTime": _BASE_TS_MS}},
+        ]
+        names = sorted(n for n in os.listdir(staging)
+                       if n.endswith(".parquet"))
+        for i, name in enumerate(names):
+            target = f"cm-{i:05d}.parquet"
+            os.replace(os.path.join(staging, name),
+                       os.path.join(path, target))
+            actions.append({"add": {
+                "path": target, "partitionValues": {},
+                "size": os.path.getsize(os.path.join(path, target)),
+                "modificationTime": _BASE_TS_MS, "dataChange": True}})
+        import shutil
+        shutil.rmtree(staging, ignore_errors=True)
+        log = os.path.join(path, "_delta_log")
+        os.makedirs(log, exist_ok=True)
+        with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "delta_column_mapped_read",
+    """
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Column mapping 'name' mode through the jar-less Delta reader: the "
+        "orders columns are stored under opaque physical names (col-9f1...) "
+        "with the logical schema living only in the log's schemaString "
+        "metadata — the layout any Delta table acquires after a column "
+        "rename. The reader must scan physical, surface logical; the "
+        "oracle reads the original parquet under logical names, so a "
+        "physical-name leak or mis-mapping breaks schema or values.")
+def delta_column_mapped_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _staged_cm_table(spark, sf_dir)
+    snap = read_delta_snapshot(spark, path)
+    # money sum on the exact cents grid (2-dp values): int64 partial sums
+    # agree bit-for-bit across engines, unlike double accumulation order
+    return (snap.groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(F.count("*").alias("n"),
+                 (F.sum(F.round(F.col("o_totalprice") * 100)
+                        .cast("long")) / 100.0).alias("sum_total")))
 
 
 @register(

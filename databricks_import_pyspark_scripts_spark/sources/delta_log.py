@@ -40,11 +40,27 @@ provides that read surface when the Delta jars are absent.
 ``sources/versioned.py`` dispatches here automatically when a source table
 directory contains ``_delta_log``.
 
+Deletion vectors (reader feature ``deletionVectors``) ARE supported:
+each ``add``/``remove``/``cdc`` action's DV descriptor is parsed driver-side
+(storage types ``u``/``p``/``i``, roaring-bitmap row indexes — see
+``delta_dv.py``), and the deleted rows are dropped executor-side against the
+scan's ``_metadata.row_index``: a broadcast anti-join on
+``(file, row_index)`` when the total deleted cardinality is bounded, else a
+vectorized Arrow filter whose per-file bitmaps parse once per worker.
+Databricks enables DVs BY DEFAULT on new tables (DBR 14+), so this is the
+difference between reading most real tables and rejecting them.
+
+Column mapping mode ``name`` IS supported: data files are scanned under each
+column's ``delta.columnMapping.physicalName`` (recursively through nested
+structs) and restored to logical names with a positional struct cast;
+``partitionValues`` keys are translated log-side. Mode ``id`` (parquet
+field-id matching) remains rejected.
+
 Deliberately unsupported (protocol features that change how file DATA must
 be interpreted, detected and rejected loudly rather than read wrongly):
-deletion vectors, column mapping (``id``/``name`` modes), v2 checkpoints,
-type widening. Supported reader features: ``timestampNtz``,
-``vacuumProtocolCheck``.
+column mapping ``id`` mode, v2 checkpoints, type widening. Supported reader
+features: ``timestampNtz``, ``vacuumProtocolCheck``, ``deletionVectors``,
+``columnMapping`` (name mode).
 """
 
 from __future__ import annotations
@@ -56,6 +72,8 @@ import re
 import urllib.parse
 from dataclasses import dataclass, field
 
+import pandas as pd  # module-level: pandas_udf type hints resolve via globals
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -65,7 +83,17 @@ _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint(\.\d{10}\.\d{10})?\.parquet$")
 
 #: reader features (protocol v3) this implementation understands.
-SUPPORTED_READER_FEATURES = {"timestampNtz", "vacuumProtocolCheck"}
+SUPPORTED_READER_FEATURES = {"timestampNtz", "vacuumProtocolCheck",
+                             "deletionVectors", "columnMapping"}
+
+#: total deleted-row cardinality up to which DVs are applied as a broadcast
+#: anti-join on (file, row_index) — plain Catalyst, whole-stage codegen.
+#: Above it, the Arrow filter path takes over (bitmaps stay compressed on
+#: the wire, parse once per worker). Env-overridable for tests.
+DV_ANTIJOIN_MAX_ROWS = int(os.environ.get(
+    "SPARK_GRAFT_DV_ANTIJOIN_MAX_ROWS", "1000000"))
+
+_ROW_INDEX = "__delta_row_index"
 
 _CDC_TYPE, _CDC_VERSION, _CDC_TS = (
     "_change_type", "_commit_version", "_commit_timestamp")
@@ -221,9 +249,10 @@ def _check_protocol(protocol: dict, metadata: dict) -> None:
                 f"unsupported Delta reader features: {sorted(unsupported)}")
     mapping = (metadata.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none")
-    if mapping not in ("none", None):
+    if mapping not in ("none", "name", None):
         raise DeltaProtocolError(
-            f"column mapping mode {mapping!r} is not supported")
+            f"column mapping mode {mapping!r} is not supported "
+            f"(only 'name' mode; 'id' needs parquet field-id matching)")
 
 
 def replay_log(spark: SparkSession, table_path: str,
@@ -280,12 +309,61 @@ def replay_log(spark: SparkSession, table_path: str,
         raise FileNotFoundError(
             f"no metaData action found replaying {table_path} to {target}")
     _check_protocol(protocol, metadata)
-    for add in files.values():
-        if add.get("deletionVector"):
-            raise DeltaProtocolError(
-                "deletion vectors present; this reader does not apply them")
     rep.metadata, rep.protocol = metadata, protocol
+    _logicalize_partition_values(rep)
     return rep
+
+
+def _physical_name(field) -> str:
+    return field.metadata.get("delta.columnMapping.physicalName", field.name)
+
+
+def _mapping_mode(metadata: dict) -> str:
+    return (metadata.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none") or "none"
+
+
+def _to_physical_field(field):
+    """Logical StructField -> its on-disk physical form under column mapping
+    ``name`` mode: rename per ``delta.columnMapping.physicalName`` field
+    metadata, recursively through struct/array/map element types."""
+    from pyspark.sql.types import ArrayType, MapType, StructField
+
+    def conv(dt):
+        if isinstance(dt, StructType):
+            return StructType([_to_physical_field(f) for f in dt.fields])
+        if isinstance(dt, ArrayType):
+            return ArrayType(conv(dt.elementType), dt.containsNull)
+        if isinstance(dt, MapType):
+            return MapType(conv(dt.keyType), conv(dt.valueType),
+                           dt.valueContainsNull)
+        return dt
+
+    return StructField(_physical_name(field), conv(field.dataType),
+                       field.nullable)
+
+
+def _logicalize_partition_values(rep: _Replay) -> None:
+    """Column mapping stores ``partitionValues`` under PHYSICAL key names;
+    re-key every retained action to logical names once, driver-side, so
+    partition pruning / re-attachment / CDF synthesis all stay logical."""
+    if _mapping_mode(rep.metadata) == "none":
+        return
+    to_logical = {_physical_name(f): f.name for f in rep.schema.fields}
+
+    def rekey(action: dict) -> None:
+        pv = action.get("partitionValues")
+        if isinstance(pv, dict):
+            action["partitionValues"] = {
+                to_logical.get(k, k): v for k, v in pv.items()}
+
+    for add in rep.files.values():
+        rekey(add)
+    for acts in rep.commit_actions.values():
+        for a in acts:
+            for key in ("add", "remove", "cdc"):
+                if isinstance(a.get(key), dict):
+                    rekey(a[key])
 
 
 def _apply(action: dict, files: dict[str, dict],
@@ -332,6 +410,15 @@ def _with_file_base(df: DataFrame) -> DataFrame:
             "/", F.element_at(segs, -2), F.element_at(segs, -1))))
 
 
+def _with_row_index(df: DataFrame) -> DataFrame:
+    """0-based physical row position within the scanned parquet file
+    (``_metadata.row_index``) — the coordinate deletion vectors address.
+    Attached only when the file list actually carries DVs: the hidden
+    column forces the parquet reader to emit row positions, which is free
+    but pointless otherwise."""
+    return df.withColumn(_ROW_INDEX, F.col("_metadata.row_index"))
+
+
 def _action_base(table_path: str, action_path: str) -> str:
     """The action's identity key, matching ``_with_file_base``: last two
     segments of the RESOLVED path (so a root-level file keys as
@@ -364,6 +451,88 @@ def _attach_partition_columns(spark: SparkSession, df: DataFrame,
     return out.drop(*[f"__pv_{c}" for c in part_cols])
 
 
+def _dv_bytes(spark: SparkSession, table_path: str, d: dict) -> bytes:
+    """Serialized RoaringBitmapArray for one DV descriptor (storage types
+    ``u`` relative-with-uuid / ``p`` absolute path / ``i`` inline)."""
+    from . import delta_dv
+
+    st = d["storageType"]
+    if st == "i":
+        return delta_dv.decode_inline_dv(d["pathOrInlineDv"],
+                                         int(d["sizeInBytes"]))
+    if st == "u":
+        path = os.path.join(
+            table_path, delta_dv.dv_relative_path(d["pathOrInlineDv"]))
+    elif st == "p":
+        path = d["pathOrInlineDv"]
+    else:
+        raise DeltaProtocolError(f"unknown DV storage type {st!r}")
+    return delta_dv.read_dv_from_file_bytes(
+        _read_bytes(spark, path), int(d["offset"]), int(d["sizeInBytes"]))
+
+
+def _apply_deletion_vectors(spark: SparkSession, df: DataFrame,
+                            table_path: str,
+                            dv_actions: list[dict]) -> DataFrame:
+    """Drop DV-deleted rows from a scan carrying ``_FILE_BASE`` +
+    ``_ROW_INDEX``.
+
+    DV descriptors and bitmap BYTES are driver-side metadata (same class as
+    the log itself — compressed bitmaps, KBs per file); the row-level
+    filter is executor-side. Two strategies by total deleted cardinality:
+
+    * <= DV_ANTIJOIN_MAX_ROWS: materialize (file, row_index) pairs and
+      broadcast anti-join — plain Catalyst, whole-stage codegen, zero
+      Python in the scan.
+    * above: an Arrow-batched predicate whose closure carries the
+      COMPRESSED bitmaps; each worker parses a file's bitmap once (closure
+      dict persists across batches within a worker) and filters its batch
+      with one vectorized ``searchsorted`` per file group — the same
+      ship-the-bitmap-to-the-task model Delta's own scan uses.
+    """
+    from .delta_dv import deserialize_bitmap_array
+
+    dv_raw: dict[str, bytes] = {}
+    total_card = 0
+    for a in dv_actions:
+        d = a["deletionVector"]
+        dv_raw[_action_base(table_path, a["path"])] = _dv_bytes(
+            spark, table_path, d)
+        total_card += int(d.get("cardinality") or 0)
+    if total_card <= DV_ANTIJOIN_MAX_ROWS:
+        rows = [(base, int(i)) for base, raw in dv_raw.items()
+                for i in deserialize_bitmap_array(raw)]
+        deleted = spark.createDataFrame(
+            rows, f"{_FILE_BASE} string, {_ROW_INDEX} long")
+        return df.join(F.broadcast(deleted), [_FILE_BASE, _ROW_INDEX],
+                       "left_anti")
+
+    from pyspark.sql.functions import pandas_udf
+
+    parsed: dict[str, object] = {}  # per-worker bitmap cache
+
+    @pandas_udf("boolean")
+    def _survives(file_base: pd.Series, row_index: pd.Series) -> pd.Series:
+        import numpy as np  # local: runs on executors
+
+        keep = np.ones(len(file_base), dtype=bool)
+        for base, idx in row_index.groupby(file_base.values):
+            raw = dv_raw.get(base)
+            if raw is None:
+                continue
+            if base not in parsed:
+                parsed[base] = deserialize_bitmap_array(raw)
+            dead = parsed[base]
+            vals = idx.to_numpy()
+            pos = np.searchsorted(dead, vals)
+            hit = (pos < dead.size) & (dead[np.minimum(pos, dead.size - 1)]
+                                       == vals)
+            keep[idx.index.to_numpy()] = ~hit
+        return pd.Series(keep)
+
+    return df.filter(_survives(F.col(_FILE_BASE), F.col(_ROW_INDEX)))
+
+
 def _scan_files(spark: SparkSession, table_path: str, rep: _Replay,
                 actions: list[dict],
                 extra_data_cols: list[str] | None = None,
@@ -378,10 +547,28 @@ def _scan_files(spark: SparkSession, table_path: str, rep: _Replay,
     planning on a 100k-file table, and a genuinely missing data file
     already fails the scan itself loudly."""
     schema, part_cols = rep.schema, rep.partition_columns
+    mapped = _mapping_mode(rep.metadata) == "name"
+    logical_data = [f for f in schema.fields if f.name not in part_cols]
     data_schema = StructType(
-        [f for f in schema.fields if f.name not in part_cols])
+        [_to_physical_field(f) if mapped else f for f in logical_data])
     for c in extra_data_cols or ():
         data_schema.add(c, "string")
+    has_dv = any(a.get("deletionVector") for a in actions)
+
+    def _scan(scan_paths: list[str]) -> DataFrame:
+        g = _with_file_base(spark.read.schema(data_schema).parquet(*scan_paths))
+        if has_dv:
+            g = _with_row_index(g)
+        if mapped:
+            # physical -> logical: positional struct cast renames nested
+            # fields in one expression, no data movement
+            keep = ([c for c in (extra_data_cols or ())] + [_FILE_BASE]
+                    + ([_ROW_INDEX] if has_dv else []))
+            g = g.select(
+                *[F.col(_physical_name(f)).cast(f.dataType).alias(f.name)
+                  for f in logical_data], *keep)
+        return g
+
     paths = [_resolve(table_path, a["path"]) for a in actions]
     if not paths:
         return None
@@ -394,7 +581,7 @@ def _scan_files(spark: SparkSession, table_path: str, rep: _Replay,
     bases = [_action_base(table_path, a["path"]) for a in actions]
     collision = len(set(bases)) != len(bases)
     if not collision:
-        df = _with_file_base(spark.read.schema(data_schema).parquet(*paths))
+        df = _scan(paths)
         if part_cols:
             file_parts = [(a["path"], a.get("partitionValues") or {})
                           for a in actions]
@@ -411,14 +598,17 @@ def _scan_files(spark: SparkSession, table_path: str, rep: _Replay,
         parts = []
         typed = {f.name: f.dataType for f in schema.fields}
         for pv_tuple, group_paths in groups.items():
-            g = _with_file_base(
-                spark.read.schema(data_schema).parquet(*group_paths))
+            g = _scan(group_paths)
             for c, v in zip(part_cols, pv_tuple):
                 g = g.withColumn(c, F.lit(v).cast(typed[c]))
             parts.append(g)
         df = parts[0]
         for g in parts[1:]:
             df = df.unionByName(g)
+    if has_dv:
+        df = _apply_deletion_vectors(
+            spark, df, table_path,
+            [a for a in actions if a.get("deletionVector")])
     order = ([f.name for f in schema.fields] + list(extra_data_cols or ())
              + [_FILE_BASE])
     return df.select(*order)
@@ -477,10 +667,25 @@ def read_delta_changes(spark: SparkSession, table_path: str,
         if v_cdc:
             cdc += [(v, a) for a in v_cdc]
         else:
-            ins += [(v, a["add"]) for a in acts
-                    if "add" in a and a["add"].get("dataChange", True)]
-            dels += [(v, a["remove"]) for a in acts
-                     if "remove" in a and a["remove"].get("dataChange", True)]
+            v_ins = [a["add"] for a in acts
+                     if "add" in a and a["add"].get("dataChange", True)]
+            v_dels = [a["remove"] for a in acts
+                      if "remove" in a and a["remove"].get("dataChange", True)]
+            # a DV update commits as remove(P) + add(P, new DV): the change
+            # is ROW-level (new-DV minus old-DV rows deleted), which
+            # whole-file synthesis would double-count as full insert + full
+            # delete. Delta always writes cdc actions for such commits when
+            # CDF is enabled, so hitting this means a nonconforming log —
+            # reject loudly rather than emit a wrong feed.
+            removed_paths = {r["path"] for r in v_dels}
+            if any(a.get("deletionVector") and a["path"] in removed_paths
+                   for a in v_ins):
+                raise DeltaProtocolError(
+                    f"version {v} of {table_path} updates a deletion "
+                    f"vector without cdc actions; its row-level changes "
+                    f"cannot be synthesized from file operations")
+            ins += [(v, a) for a in v_ins]
+            dels += [(v, a) for a in v_dels]
 
     pieces: list[DataFrame] = []
     for group, ctype, extra in ((cdc, None, [_CDC_TYPE]),

@@ -120,6 +120,169 @@ def make_delta_table(table_path: str, cdf: bool = True) -> str:
     return table_path
 
 
+def make_dv_delta_table(table_path: str) -> str:
+    """Deletion-vector fixture (protocol v3 reader feature
+    ``deletionVectors``), CDF enabled. Same (id, val, part) schema:
+
+    * v0  adds part=a/f1 (ids 1-6), part=b/f2 (ids 7-10)
+    * v1  DV DELETE of ids 2 and 4 from f1 (row indexes 1, 3) — the DV is
+          stored in a FILE (storageType "u", z85 uuid, offset/checksum
+          framing) and the commit carries the cdc delete rows Delta writes
+          for DV DML under CDF, plus the remove(f1)+add(f1, DV) pair
+    * v2  DV DELETE of id 8 from f2 (row index 1) — INLINE DV
+          (storageType "i", z85 payload), cdc delete row
+
+    Expected snapshots: v0 = ids 1-10; v1 drops 2, 4; v2 additionally
+    drops 8. CDF (0, 2] = deletes of 2, 4 @v1 and 8 @v2.
+    """
+    import uuid as _uuid
+
+    from databricks_import_pyspark_scripts_spark.sources.delta_dv import (
+        make_uuid_path_or_inline,
+        serialize_bitmap_array,
+        write_dv_file,
+        z85_encode,
+    )
+
+    log = os.path.join(table_path, "_delta_log")
+    _write_parquet(os.path.join(table_path, "part=a", "f1.parquet"),
+                   [1, 2, 3, 4, 5, 6], [1.0, 2.0, 3.0, 4.0, 5.0, 6.0])
+    _write_parquet(os.path.join(table_path, "part=b", "f2.parquet"),
+                   [7, 8, 9, 10], [7.0, 8.0, 9.0, 10.0])
+    _commit(log, 0, [
+        {"commitInfo": {"timestamp": V2_TS_MS - 2000,
+                        "operation": "CREATE TABLE"}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": _meta(cdf=True)},
+        {"add": {"path": "part=a/f1.parquet",
+                 "partitionValues": {"part": "a"}, "size": 1,
+                 "dataChange": True, "modificationTime": 1}},
+        {"add": {"path": "part=b/f2.parquet",
+                 "partitionValues": {"part": "b"}, "size": 1,
+                 "dataChange": True, "modificationTime": 1}},
+    ])
+    # v1: file-stored DV over f1 deleting row indexes 1 and 3 (ids 2, 4)
+    u = _uuid.UUID("aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeffff")
+    dv_data = serialize_bitmap_array([1, 3])
+    (offset, size), = write_dv_file(
+        os.path.join(table_path, f"deletion_vector_{u}.bin"), [dv_data])
+    dv1 = {"storageType": "u",
+           "pathOrInlineDv": make_uuid_path_or_inline(u),
+           "offset": offset, "sizeInBytes": size, "cardinality": 2}
+    _write_parquet(
+        os.path.join(table_path, "_change_data", "cdc-dv1.parquet"),
+        [2, 4], [2.0, 4.0], ["delete", "delete"])
+    _commit(log, 1, [
+        {"commitInfo": {"timestamp": V2_TS_MS - 1000, "operation": "DELETE"}},
+        {"remove": {"path": "part=a/f1.parquet", "deletionTimestamp": 2,
+                    "dataChange": True,
+                    "partitionValues": {"part": "a"}}},
+        {"add": {"path": "part=a/f1.parquet",
+                 "partitionValues": {"part": "a"}, "size": 1,
+                 "dataChange": True, "modificationTime": 2,
+                 "deletionVector": dv1}},
+        {"cdc": {"path": "_change_data/cdc-dv1.parquet",
+                 "partitionValues": {"part": "a"}, "size": 1,
+                 "dataChange": False}},
+    ])
+    # v2: inline DV over f2 deleting row index 1 (id 8); z85 needs 4-byte
+    # groups, so the payload is zero-padded and sizeInBytes keeps the truth
+    dv2_data = serialize_bitmap_array([1])
+    pad = (-len(dv2_data)) % 4
+    dv2 = {"storageType": "i",
+           "pathOrInlineDv": z85_encode(dv2_data + b"\0" * pad),
+           "sizeInBytes": len(dv2_data), "cardinality": 1}
+    _write_parquet(
+        os.path.join(table_path, "_change_data", "cdc-dv2.parquet"),
+        [8], [8.0], ["delete"])
+    _commit(log, 2, [
+        {"commitInfo": {"timestamp": V2_TS_MS, "operation": "DELETE"}},
+        {"remove": {"path": "part=b/f2.parquet", "deletionTimestamp": 3,
+                    "dataChange": True,
+                    "partitionValues": {"part": "b"}}},
+        {"add": {"path": "part=b/f2.parquet",
+                 "partitionValues": {"part": "b"}, "size": 1,
+                 "dataChange": True, "modificationTime": 3,
+                 "deletionVector": dv2}},
+        {"cdc": {"path": "_change_data/cdc-dv2.parquet",
+                 "partitionValues": {"part": "b"}, "size": 1,
+                 "dataChange": False}},
+    ])
+    return table_path
+
+
+CM_SCHEMA_STRING = json.dumps({
+    "type": "struct",
+    "fields": [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-aaa1"}},
+        {"name": "info", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-aaa2"},
+         "type": {"type": "struct", "fields": [
+             {"name": "score", "type": "double", "nullable": True,
+              "metadata": {"delta.columnMapping.id": 3,
+                           "delta.columnMapping.physicalName": "col-aaa3"}},
+             {"name": "tag", "type": "string", "nullable": True,
+              "metadata": {"delta.columnMapping.id": 4,
+                           "delta.columnMapping.physicalName": "col-aaa4"}},
+         ]}},
+        {"name": "part", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 5,
+                      "delta.columnMapping.physicalName": "col-aaa5"}},
+    ],
+})
+
+
+def _write_cm_parquet(path: str, ids: list[int], scores: list[float],
+                      tags: list[str]) -> None:
+    """Data file for the column-mapped table: columns stored under their
+    PHYSICAL names, including inside the nested struct."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    info = pa.StructArray.from_arrays(
+        [pa.array(scores, pa.float64()), pa.array(tags, pa.string())],
+        names=["col-aaa3", "col-aaa4"])
+    pq.write_table(pa.table({"col-aaa1": pa.array(ids, pa.int64()),
+                             "col-aaa2": info}), path)
+
+
+def make_column_mapped_table(table_path: str) -> str:
+    """Column mapping ``name`` mode fixture (legacy protocol 2/5 — the
+    pre-table-features encoding, exercising the no-readerFeatures path):
+    logical (id, info struct<score, tag>, part) stored physically as
+    col-aaa1..col-aaa5, partitioned by ``part`` with partitionValues keyed
+    by the PHYSICAL name, two append commits for replay."""
+    log = os.path.join(table_path, "_delta_log")
+    meta = {"id": "66666666-7777-8888-9999-000000000000",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": CM_SCHEMA_STRING,
+            "partitionColumns": ["part"],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "5"},
+            "createdTime": 1690000000000}
+    _write_cm_parquet(os.path.join(table_path, "x=1", "g1.parquet"),
+                      [1, 2], [0.5, 1.5], ["a", "b"])
+    _commit(log, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": meta},
+        {"add": {"path": "x=1/g1.parquet",
+                 "partitionValues": {"col-aaa5": "p1"}, "size": 1,
+                 "dataChange": True, "modificationTime": 1}},
+    ])
+    _write_cm_parquet(os.path.join(table_path, "x=2", "g2.parquet"),
+                      [3], [2.5], ["c"])
+    _commit(log, 1, [
+        {"commitInfo": {"timestamp": V2_TS_MS, "operation": "WRITE"}},
+        {"add": {"path": "x=2/g2.parquet",
+                 "partitionValues": {"col-aaa5": "p2"}, "size": 1,
+                 "dataChange": True, "modificationTime": 2}},
+    ])
+    return table_path
+
+
 def write_checkpoint(spark, table_path: str, version: int,
                      actions: list[dict]) -> None:
     """Hand-rolled single-part classic checkpoint: one row per action with

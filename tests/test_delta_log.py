@@ -152,40 +152,138 @@ def test_truncated_log_raises_below_checkpoint(spark, delta_table):
 # --------------------------------------------------------------------- protocol
 
 def test_protocol_reader_features_gate(spark, tmp_path):
-    t = make_delta_table(str(tmp_path / "dv"))
+    t = make_delta_table(str(tmp_path / "v2cp"))
     _commit(os.path.join(t, "_delta_log"), 3, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["deletionVectors"],
-                      "writerFeatures": ["deletionVectors"]}}])
-    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+                      "readerFeatures": ["v2Checkpoint"],
+                      "writerFeatures": ["v2Checkpoint"]}}])
+    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
         read_delta_snapshot(spark, t)
-    # timestampNtz alone is fine
+    # timestampNtz + deletionVectors + columnMapping are all supported
     _commit(os.path.join(t, "_delta_log"), 4, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["timestampNtz"],
+                      "readerFeatures": ["timestampNtz", "deletionVectors",
+                                         "columnMapping"],
                       "writerFeatures": ["timestampNtz"]}}])
     assert _ids(read_delta_snapshot(spark, t, 4)) == [1, 2, 3, 6, 7, 8]
 
 
-def test_protocol_column_mapping_gate(spark, tmp_path):
-    t = make_delta_table(str(tmp_path / "cm"))
+def test_protocol_column_mapping_id_mode_rejected(spark, tmp_path):
+    t = make_delta_table(str(tmp_path / "cmid"))
     _commit(os.path.join(t, "_delta_log"), 3, [
         {"metaData": _meta(configuration={
-            "delta.columnMapping.mode": "name"})}])
+            "delta.columnMapping.mode": "id"})}])
     with pytest.raises(DeltaProtocolError, match="column mapping"):
         read_delta_snapshot(spark, t)
 
 
-def test_deletion_vector_on_file_gate(spark, tmp_path):
-    t = make_delta_table(str(tmp_path / "dvf"))
-    _commit(os.path.join(t, "_delta_log"), 3, [
-        {"add": {"path": "part=a/f9.parquet",
-                 "partitionValues": {"part": "a"}, "size": 1,
-                 "dataChange": True,
-                 "deletionVector": {"storageType": "u", "pathOrInlineDv": "x",
-                                    "sizeInBytes": 1, "cardinality": 1}}}])
-    with pytest.raises(DeltaProtocolError, match="[Dd]eletion vector"):
-        read_delta_snapshot(spark, t)
+# --------------------------------------------------------------- deletion vectors
+
+@pytest.fixture()
+def dv_table(tmp_path):
+    from delta_fixture import make_dv_delta_table
+    return make_dv_delta_table(str(tmp_path / "dvtbl"))
+
+
+def test_dv_snapshot_applies_deletes(spark, dv_table):
+    assert _ids(read_delta_snapshot(spark, dv_table, 0)) == list(range(1, 11))
+    assert _ids(read_delta_snapshot(spark, dv_table, 1)) == [1, 3, 5, 6, 7,
+                                                             8, 9, 10]
+    assert _ids(read_delta_snapshot(spark, dv_table)) == [1, 3, 5, 6, 7,
+                                                          9, 10]
+
+
+def test_dv_snapshot_keeps_partition_and_values(spark, dv_table):
+    rows = {(r.id, r.val, r.part)
+            for r in read_delta_snapshot(spark, dv_table).collect()}
+    assert (1, 1.0, "a") in rows and (9, 9.0, "b") in rows
+    assert not any(r[0] in (2, 4, 8) for r in rows)
+
+
+def test_dv_arrow_filter_path_matches_antijoin(spark, dv_table, monkeypatch):
+    """The two DV strategies must be bit-identical: force the Arrow path by
+    dropping the anti-join threshold to zero."""
+    from databricks_import_pyspark_scripts_spark.sources import delta_log
+    expected = _ids(read_delta_snapshot(spark, dv_table))
+    monkeypatch.setattr(delta_log, "DV_ANTIJOIN_MAX_ROWS", -1)
+    assert _ids(read_delta_snapshot(spark, dv_table)) == expected
+
+
+def test_dv_cdf_reads_cdc_deletes(spark, dv_table):
+    ch = read_delta_changes(spark, dv_table, 0, 2)
+    rows = sorted((r.id, r._change_type, r._commit_version)
+                  for r in ch.collect())
+    assert rows == [(2, "delete", 1), (4, "delete", 1), (8, "delete", 2)]
+
+
+def test_dv_update_without_cdc_rejected(spark, dv_table):
+    """A DV rewrite commit stripped of its cdc action cannot be synthesized
+    whole-file — the reader must refuse rather than double-count."""
+    log = os.path.join(dv_table, "_delta_log")
+    path = os.path.join(log, "00000000000000000002.json")
+    acts = [json.loads(line) for line in open(path)]
+    with open(path, "w") as f:
+        for a in acts:
+            if "cdc" not in a:
+                f.write(json.dumps(a) + "\n")
+    with pytest.raises(DeltaProtocolError, match="deletion vector"):
+        read_delta_changes(spark, dv_table, 0, 2).collect()
+
+
+def test_dv_whole_file_delete_of_dv_file(spark, dv_table):
+    """Removing a DV-carrying file in a cdc-less commit synthesizes deletes
+    of its SURVIVING rows only (the remove action's DV is applied)."""
+    rep_files = read_delta_snapshot(spark, dv_table, 1)
+    assert _ids(rep_files) == [1, 3, 5, 6, 7, 8, 9, 10]
+    log = os.path.join(dv_table, "_delta_log")
+    import uuid as _uuid
+    from databricks_import_pyspark_scripts_spark.sources.delta_dv import (
+        make_uuid_path_or_inline, serialize_bitmap_array, write_dv_file)
+    u = _uuid.UUID("11111111-2222-3333-4444-555555556666")
+    (offset, size), = write_dv_file(
+        os.path.join(dv_table, f"deletion_vector_{u}.bin"),
+        [serialize_bitmap_array([1, 3])])
+    _commit(log, 3, [
+        {"commitInfo": {"timestamp": V2_TS_MS + 1000, "operation": "DELETE"}},
+        {"remove": {"path": "part=a/f1.parquet", "deletionTimestamp": 9,
+                    "dataChange": True, "partitionValues": {"part": "a"},
+                    "deletionVector": {
+                        "storageType": "u",
+                        "pathOrInlineDv": make_uuid_path_or_inline(u),
+                        "offset": offset, "sizeInBytes": size,
+                        "cardinality": 2}}}])
+    ch = read_delta_changes(spark, dv_table, 2, 3)
+    rows = sorted((r.id, r._change_type) for r in ch.collect())
+    assert rows == [(1, "delete"), (3, "delete"), (5, "delete"),
+                    (6, "delete")]
+
+
+# --------------------------------------------------------------- column mapping
+
+@pytest.fixture()
+def cm_table(tmp_path):
+    from delta_fixture import make_column_mapped_table
+    return make_column_mapped_table(str(tmp_path / "cmtbl"))
+
+
+def test_column_mapped_snapshot_logical_names(spark, cm_table):
+    df = read_delta_snapshot(spark, cm_table)
+    assert df.columns == ["id", "info", "part"]
+    assert df.schema["info"].dataType.fieldNames() == ["score", "tag"]
+    rows = sorted((r.id, r.info.score, r.info.tag, r.part)
+                  for r in df.collect())
+    assert rows == [(1, 0.5, "a", "p1"), (2, 1.5, "b", "p1"),
+                    (3, 2.5, "c", "p2")]
+
+
+def test_column_mapped_partition_pruning_logical_keys(spark, cm_table):
+    df = read_delta_snapshot(
+        spark, cm_table, partition_filter=lambda pv: pv.get("part") == "p2")
+    assert [r.id for r in df.collect()] == [3]
+
+
+def test_column_mapped_time_travel(spark, cm_table):
+    assert _ids(read_delta_snapshot(spark, cm_table, 0)) == [1, 2]
 
 
 def test_url_encoded_paths(spark, tmp_path):
