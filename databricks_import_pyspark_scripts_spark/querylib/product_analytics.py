@@ -627,7 +627,7 @@ def _ks_oracle() -> str:
                       THEN 1 ELSE 0 END) AS n_r,
              SUM(CASE WHEN ts >= TIMESTAMP '{PSI_SPLIT_TS}'
                       THEN 1 ELSE 0 END) AS n_c
-      FROM events GROUP BY 1, 2),
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
     c AS (
       SELECT event_type,
              SUM(n_r) OVER (PARTITION BY event_type ORDER BY value) AS cum_r,
@@ -638,8 +638,8 @@ def _ks_oracle() -> str:
     SELECT event_type,
            CAST(MAX(tot_r) AS BIGINT) AS n_ref_events,
            CAST(MAX(tot_c) AS BIGINT) AS n_cur_events,
-           ROUND(MAX(ABS(cum_r * tot_c - cum_c * tot_r)) * 1.0
-                 / (MAX(tot_r) * MAX(tot_c)), 4) AS ks
+           ROUND(MAX(ABS(cum_r * 1.0 * tot_c - cum_c * 1.0 * tot_r))
+                 / (MAX(tot_r) * 1.0 * MAX(tot_c)), 4) AS ks
     FROM c GROUP BY event_type
     """
 
@@ -651,10 +651,17 @@ def _ks_oracle() -> str:
         "max gap between the reference and current periods' empirical "
         "CDFs of the value column — the BINLESS complement of "
         "events_psi_drift (PSI sees what a fixed grid sees; KS catches a "
-        "shift smaller than a bucket). Exact by construction: the gap is "
-        "maximized over integer cross-products |cum_r*tot_c - cum_c*tot_r| "
-        "(no per-point division), divided once at the end — engines agree "
-        "bit-for-bit before the final 4-dp round. Scale shape: the corpus "
+        "shift smaller than a bucket). The gap is maximized over "
+        "cross-products |cum_r*tot_c - cum_c*tot_r| computed as DOUBLES "
+        "(counts widened before multiplying, no per-point division): exact "
+        "to the last bit while each product stays under 2^53 — far beyond "
+        "gate scale — and beyond that degrades to 1-ulp rounding instead "
+        "of the silent int64 wrap the all-integer form risks in Spark's "
+        "non-ANSI mode (DuckDB would promote to HUGEINT and diverge). "
+        "NULL values are filtered before the rollup in BOTH engines — "
+        "pinned convention, since Spark windows sort NULLS FIRST and "
+        "DuckDB NULLS LAST, which would cumulate NULL rows at opposite "
+        "ECDF ends. Scale shape: the corpus "
         "collapses to distinct (type, value) counts in ONE conditionally-"
         "aggregated pass; the ECDF window runs over that collapsed table "
         "(bounded by distinct values, not events). A per-type full value "
@@ -664,7 +671,8 @@ def _ks_oracle() -> str:
 def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     is_ref = F.col("ts") < F.lit(PSI_SPLIT_TS).cast("timestamp")
-    g = (e.groupBy("event_type", "value")
+    g = (e.filter(F.col("value").isNotNull())
+         .groupBy("event_type", "value")
          .agg(F.sum(F.when(is_ref, 1).otherwise(0)).alias("n_r"),
               F.sum(F.when(~is_ref, 1).otherwise(0)).alias("n_c")))
     w = Window.partitionBy("event_type").orderBy("value")
@@ -675,13 +683,16 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_c").over(w).alias("cum_c"),
         F.sum("n_r").over(wt).alias("tot_r"),
         F.sum("n_c").over(wt).alias("tot_c"))
+    # widen-then-multiply: double products, never int64 (docstring)
     return (c.groupBy("event_type")
             .agg(F.max("tot_r").alias("n_ref_events"),
                  F.max("tot_c").alias("n_cur_events"),
-                 F.round(F.max(F.abs(F.col("cum_r") * F.col("tot_c")
-                                     - F.col("cum_c") * F.col("tot_r")))
-                         * F.lit(1.0)
-                         / (F.max("tot_r") * F.max("tot_c")), 4)
+                 F.round(F.max(F.abs(F.col("cum_r") * F.lit(1.0)
+                                     * F.col("tot_c")
+                                     - F.col("cum_c") * F.lit(1.0)
+                                     * F.col("tot_r")))
+                         / (F.max("tot_r") * F.lit(1.0)
+                            * F.max("tot_c")), 4)
                  .alias("ks")))
 
 
@@ -745,7 +756,14 @@ def _psi_quantile_oracle() -> str:
         "codegen'd scalar predicates, no interpreted array lambdas); the "
         "dense-grid PSI fold is the shared operators/drift arithmetic. "
         "At 100 TB swap the exact percentile for percentile_approx — "
-        "the grid only needs stability, not exactness.")
+        "the grid only needs stability, not exactness. KNOWN-AND-CHOSEN "
+        "blind spot: the inner join to the reference-decile table drops "
+        "event types with NO reference-period rows, so a BRAND-NEW type "
+        "is absent from this report (there is no reference distribution "
+        "to grid against). Appear/vanish detection is the job of "
+        "events_mix_drift (reports new types with max drift contribution) "
+        "and events_psi_drift (fixed grid needs no reference pass); run "
+        "the family together, as the monitor docs prescribe.")
 def events_psi_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.drift import psi_from_biperiod_counts
 

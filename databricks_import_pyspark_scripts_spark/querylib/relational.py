@@ -1087,7 +1087,7 @@ def setops_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes AS (SELECT brand, COUNT(*) AS n FROM ob GROUP BY brand)
     SELECT brand_a, brand_b, n_ab, x.n AS n_a, y.n AS n_b,
            ROUND(n_ab * 1.0 / t.n_orders, 4) AS support,
-           ROUND(n_ab * t.n_orders * 1.0 / (x.n * y.n), 4) AS lift
+           ROUND(n_ab * 1.0 * t.n_orders / (x.n * 1.0 * y.n), 4) AS lift
     FROM pairs JOIN sizes x ON brand_a = x.brand
                JOIN sizes y ON brand_b = y.brand
     CROSS JOIN tot t
@@ -1101,8 +1101,10 @@ def setops_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(baskets are small by nature; a degenerate mega-basket is "
         "capped at 64, oracle-mirrored) and the pair aggregate collapses to at most "
         "|brands|^2 rows; brand marginals broadcast into the lift "
-        "join. Counts exact; support/lift are exact-int64 products "
-        "divided once, 4-dp rounded.")
+        "join. Counts exact; support/lift products are computed as "
+        "DOUBLES (counts widened before multiplying — exact under "
+        "2^53, no int64 wrap when n_a*n_b crosses 9.2e18 at 100 TB "
+        "order counts), divided once, 4-dp rounded.")
 def orders_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import bucket_pairs
 
@@ -1135,6 +1137,8 @@ def orders_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("sa.n").alias("n_a"), F.col("sb.n").alias("n_b"),
                     F.round(F.col("n_ab") * F.lit(1.0) / F.col("n_orders"), 4)
                     .alias("support"),
-                    F.round(F.col("n_ab") * F.col("n_orders") * F.lit(1.0)
-                            / (F.col("sa.n") * F.col("sb.n")), 4)
+                    F.round(F.col("n_ab") * F.lit(1.0)
+                            * F.col("n_orders")
+                            / (F.col("sa.n") * F.lit(1.0)
+                               * F.col("sb.n")), 4)
                     .alias("lift")))

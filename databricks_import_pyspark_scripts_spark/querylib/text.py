@@ -1125,7 +1125,7 @@ PMI_TOP = 50       # report cut, tie-broken by (count desc, tokens)
            FROM pc GROUP BY 1),
     tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n_big FROM pc)
     SELECT token_a, token_b, n_ab, n_a, n_b,
-           ROUND(LN(n_ab * n_big * 1.0 / (n_a * n_b)), 4) AS pmi
+           ROUND(LN(n_ab * 1.0 * n_big / (n_a * 1.0 * n_b)), 4) AS pmi
     FROM pc JOIN m1 USING (token_a) JOIN m2 USING (token_b) CROSS JOIN tot
     WHERE n_ab >= {PMI_MIN_COUNT}
     ORDER BY n_ab DESC, token_a, token_b
@@ -1139,9 +1139,14 @@ PMI_TOP = 50       # report cut, tie-broken by (count desc, tokens)
         "collapses to the (a, b) count table in ONE exploded pass; both "
         "marginals and the total derive from that vocab^2-bounded table "
         "(never re-scanning the corpus — at runtime every consumer "
-        "reuses the same bigram-count exchange), and marginals broadcast "
-        "into the PMI join. Exact-int64 ratio under the single ln, 4-dp "
-        "rounded; the top cut is tie-broken by (count, tokens) so both "
+        "reuses the same bigram-count exchange). Marginal joins carry NO "
+        "broadcast hint: the marginals are VOCABULARY-sized (one row per "
+        "distinct token — 10^7+ in a real corpus), so a mandatory "
+        "broadcast would OOM executors at scale; AQE broadcasts them at "
+        "runtime when they measure small. Products are computed as "
+        "DOUBLES (counts widened before multiplying): exact under 2^53, "
+        "no int64 wrap at 100 TB counts; 4-dp rounded under the single "
+        "ln; the top cut is tie-broken by (count, tokens) so both "
         "engines slice identically.")
 def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
@@ -1161,12 +1166,13 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     m2 = pc.groupBy("token_b").agg(F.sum("n_ab").alias("n_b"))
     tot = pc.agg(F.sum("n_ab").alias("n_big"))
     return (pc.filter(F.col("n_ab") >= PMI_MIN_COUNT)
-            .join(F.broadcast(m1), "token_a")
-            .join(F.broadcast(m2), "token_b")
+            .join(m1, "token_a")
+            .join(m2, "token_b")
             .crossJoin(F.broadcast(tot))
             .select("token_a", "token_b", "n_ab", "n_a", "n_b",
-                    F.round(F.log(F.col("n_ab") * F.col("n_big") * F.lit(1.0)
-                                  / (F.col("n_a") * F.col("n_b"))), 4)
+                    F.round(F.log(F.col("n_ab") * F.lit(1.0) * F.col("n_big")
+                                  / (F.col("n_a") * F.lit(1.0)
+                                     * F.col("n_b"))), 4)
                     .alias("pmi"))
             .orderBy(F.col("n_ab").desc(), "token_a", "token_b")
             .limit(PMI_TOP))
