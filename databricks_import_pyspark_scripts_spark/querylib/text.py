@@ -1080,9 +1080,9 @@ PPS_K = 100  # sample size
         "transcendentals, unlike exponential-keys A-ES, so the sample is "
         "bit-identical across engines). Inclusion probability is exactly "
         "min(1, k*w/W) in one pass. Scale note: the global-order window "
-        "serializes — at 100 TB run per md5-shard with k proportional to "
-        "the shard's weight share (broadcast the shard totals), which "
-        "preserves the PPS property within shards.")
+        "serializes — this form is the small-corpus exact baseline; "
+        "corpus_systematic_pps_sharded is the production path (shard-"
+        "partitioned windows + broadcast offsets, bit-identical sample).")
 def corpus_systematic_pps_sample(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -1097,6 +1097,70 @@ def corpus_systematic_pps_sample(spark: SparkSession,
     # `div` is Spark's 64-bit INTEGRAL division (IntegralDivide) — exact at
     # any magnitude, unlike floor(a / b) whose double division degrades
     # past 2^53 (a real risk for char-count cumsums at 100 TB)
+    hits = F.expr(f"(cum * {PPS_K}) div total"
+                  f" - ((cum - n_chars) * {PPS_K}) div total")
+    return (c.filter(hits > 0)
+            .select("doc_id", "n_chars", hits.cast("long").alias("n_hits")))
+
+
+@register(
+    "corpus_systematic_pps_sharded",
+    f"""
+    WITH w AS (
+      SELECT doc_id, n_chars,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_chars,
+             CAST(SUM(n_chars) OVER (ORDER BY h, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum,
+             CAST(SUM(n_chars) OVER () AS BIGINT) AS total
+      FROM w)
+    SELECT doc_id, n_chars,
+           CAST(cum * {PPS_K} // total
+                - (cum - n_chars) * {PPS_K} // total AS BIGINT) AS n_hits
+    FROM c
+    WHERE cum * {PPS_K} // total > (cum - n_chars) * {PPS_K} // total
+    """,
+    doc=f"The PRODUCTION form of systematic PPS sampling (k={PPS_K}, "
+        "weight = n_chars): the scheme corpus_systematic_pps_sample's own "
+        "docstring prescribes for 100 TB, implemented. The md5 order is "
+        "sharded on its FIRST HEX CHAR — a PREFIX of the sort key, so "
+        "(shard, h, doc_id) order IS (h, doc_id) order — which makes the "
+        "distributed computation bit-identical to the global one: pass 1 "
+        "collapses the corpus to 16 shard weight totals, whose running "
+        "offsets (a 16-row window) broadcast back; pass 2 runs the "
+        "cumulative-weight window PARTITIONED BY SHARD (parallel, never "
+        "a SinglePartition sort over the corpus — plan-pinned) and adds "
+        "the shard's global offset, so every item sees the exact global "
+        "cumulative position and the k-grid selection rule is unchanged. "
+        "Same oracle as the global variant BECAUSE the sample is "
+        "provably the same set — the strongest possible equivalence "
+        "check. At real scale raise the shard prefix to 2-3 hex chars "
+        "(256/4096 shards); the offset table stays broadcast-tiny.")
+def corpus_systematic_pps_sharded(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = (d.select("doc_id", "n_chars",
+                     F.md5(F.col("doc_id").cast("string")).alias("h"))
+            .withColumn("shard", F.substring("h", 1, 1)))
+    shard_tot = docs.groupBy("shard").agg(F.sum("n_chars").alias("w_shard"))
+    # 16-row window: running offset of each shard's segment on the global
+    # weight axis, plus the grand total — broadcast back onto the corpus
+    w_off = (Window.orderBy("shard")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = shard_tot.select(
+        "shard",
+        F.coalesce(F.sum("w_shard").over(w_off), F.lit(0)).alias("offset"),
+        F.sum("w_shard").over(Window.partitionBy()).alias("total"))
+    ws = (Window.partitionBy("shard").orderBy("h", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    c = (docs.join(F.broadcast(offsets), "shard")
+         .select("doc_id", "n_chars", "total",
+                 (F.col("offset") + F.sum("n_chars").over(ws)).alias("cum")))
     hits = F.expr(f"(cum * {PPS_K}) div total"
                   f" - ((cum - n_chars) * {PPS_K}) div total")
     return (c.filter(hits > 0)

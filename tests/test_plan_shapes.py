@@ -245,6 +245,34 @@ def test_global_shuffle_index_never_single_partition_sorts_corpus(spark,
     assert _scans(plan, "documents") == 2
 
 
+def test_pps_sharded_never_single_partition_sorts_corpus(spark, sf_dir):
+    """The sharded PPS sample must keep the two-pass distributed shape:
+    the corpus cumulative-weight window partitioned by the md5-prefix
+    shard (hashpartitioning exchange), shard offsets joined back by
+    BROADCAST, and exactly ONE SinglePartition exchange in the plan — the
+    16-row offset window, never the corpus. A second SinglePartition
+    means the global ORDER BY crept back (the exact serialization this
+    variant exists to remove)."""
+    df = all_queries()["corpus_systematic_pps_sharded"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("SinglePartition") == 1
+    assert "hashpartitioning(shard" in plan
+    assert _nodes(plan, "BroadcastHashJoin") == 1
+
+
+def test_pps_sharded_equals_global_sample(spark, sf_dir):
+    """The shard key is a PREFIX of the global sort key, so the sharded
+    variant must select the bit-identical sample (same docs, same
+    n_hits) as the single-window global form."""
+    got = {(r.doc_id, r.n_hits) for r in
+           all_queries()["corpus_systematic_pps_sharded"](
+               spark, sf_dir).collect()}
+    want = {(r.doc_id, r.n_hits) for r in
+            all_queries()["corpus_systematic_pps_sample"](
+                spark, sf_dir).collect()}
+    assert got == want and len(got) > 0
+
+
 def test_psi_drift_single_corpus_scan(spark, sf_dir):
     """PSI runs as ONE conditional-aggregate corpus scan: the dense
     bucket grid is rebuilt from the per-type rollup (map lookups over an
