@@ -198,6 +198,43 @@ def delta_dv_snapshot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version", "event_type", "n", "sum_value")
 
 
+@register(
+    "delta_timestamp_travel_agg",
+    f"""
+    SELECT 0 AS version, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events WHERE {_V0_PRED}
+    GROUP BY event_type
+    UNION ALL
+    SELECT 1 AS version, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events WHERE {_V0_PRED} OR {_V1_PRED}
+    GROUP BY event_type
+    """,
+    doc="TIMESTAMP AS OF through the jar-less Delta log replay: the "
+        "staged table's commitInfo timestamps are pinned (v0 = base, "
+        "v1 = base+1000 ms), and the query resolves base+500 ms -> v0 and "
+        "exactly base+1000 ms -> v1 through the monotonic-adjusted commit "
+        "history, then aggregates both snapshots. A resolution off by one "
+        "version flips the row set and breaks the hash. Same oracle as "
+        "the version-addressed twin (delta_snapshot_agg) because "
+        "timestamp resolution must land on the same states.")
+def delta_timestamp_travel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.delta_log import read_delta_snapshot_at_timestamp
+
+    path = _staged_table(spark, sf_dir)
+    parts = []
+    for v, ts_ms in ((0, _BASE_TS_MS + 500), (1, _BASE_TS_MS + 1000)):
+        snap = read_delta_snapshot_at_timestamp(spark, path, ts_ms)
+        parts.append(
+            snap.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .withColumn("version", F.lit(v).cast("int")))
+    return parts[0].unionByName(parts[1]).select(
+        "version", "event_type", "n", "sum_value")
+
+
 _CM_PHYS = {"o_orderkey": "col-9f1", "o_orderstatus": "col-9f2",
             "o_totalprice": "col-9f3"}
 

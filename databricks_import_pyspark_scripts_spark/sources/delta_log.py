@@ -188,6 +188,98 @@ def list_delta_versions(spark: SparkSession, table_path: str) -> list[int]:
                   if (m := _COMMIT_RE.match(n)))
 
 
+def _commit_timestamps_ms(spark: SparkSession,
+                          table_path: str) -> list[tuple[int, int]]:
+    """(version, adjusted commit timestamp ms) for every commit file still
+    in the log, in version order. Timestamps come from commitInfo (file
+    mtime fallback) and are ADJUSTED TO BE MONOTONIC exactly as Delta's
+    history does (each commit >= previous + 1 ms), so timestamp resolution
+    is well-defined even when wall clocks regressed between writers.
+    Driver-side metadata reads over the (few-MB) log, like all replay."""
+    log = os.path.join(table_path, LOG_DIR)
+    out: list[tuple[int, int]] = []
+    prev = -1
+    for v in list_delta_versions(spark, table_path):
+        path = os.path.join(log, f"{v:020d}.json")
+        ts = None
+        for line in _read_bytes(spark, path).decode("utf-8").splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "commitInfo" in action:
+                ts = action["commitInfo"].get("timestamp")
+                break
+        ts = int(ts) if ts is not None else _mtime_ms(spark, path)
+        ts = max(ts, prev + 1)
+        out.append((v, ts))
+        prev = ts
+    return out
+
+
+def resolve_version_at_timestamp(spark: SparkSession, table_path: str,
+                                 ts_ms: int,
+                                 mode: str = "at_or_before") -> int:
+    """Timestamp -> commit version, Delta time-travel semantics.
+
+    ``at_or_before`` (``TIMESTAMP AS OF``): the LATEST version whose
+    commit timestamp <= ts. Errors when ts predates the earliest
+    available commit or exceeds the latest (mirroring delta-spark's
+    temporal bounds errors rather than silently clamping).
+    ``at_or_after`` (CDF ``startingTimestamp``): the EARLIEST version
+    whose commit timestamp >= ts; errors when ts is past the last commit.
+
+    Resolution only sees commits whose JSON is still in the log — a
+    vacuumed prefix bounds how far back a timestamp can reach, same as
+    Delta's own history."""
+    history = _commit_timestamps_ms(spark, table_path)
+    if not history:
+        raise FileNotFoundError(f"no commits in the log of {table_path}")
+    if mode == "at_or_before":
+        if ts_ms < history[0][1]:
+            raise ValueError(
+                f"timestamp {ts_ms} is before the earliest available "
+                f"commit ({history[0][1]}, version {history[0][0]}) of "
+                f"{table_path}")
+        if ts_ms > history[-1][1]:
+            raise ValueError(
+                f"timestamp {ts_ms} is after the latest commit "
+                f"({history[-1][1]}, version {history[-1][0]}) of "
+                f"{table_path}")
+        return max(v for v, ts in history if ts <= ts_ms)
+    if mode == "at_or_after":
+        later = [v for v, ts in history if ts >= ts_ms]
+        if not later:
+            raise ValueError(
+                f"timestamp {ts_ms} is after the latest commit "
+                f"({history[-1][1]}) of {table_path}; no versions to "
+                f"start from")
+        return min(later)
+    raise ValueError(f"unknown resolution mode {mode!r}")
+
+
+def read_delta_snapshot_at_timestamp(spark: SparkSession, table_path: str,
+                                     ts_ms: int,
+                                     partition_filter=None) -> DataFrame:
+    """``TIMESTAMP AS OF`` through the log replay: resolve, then snapshot."""
+    v = resolve_version_at_timestamp(spark, table_path, ts_ms)
+    return read_delta_snapshot(spark, table_path, v,
+                               partition_filter=partition_filter)
+
+
+def read_delta_changes_from_timestamp(spark: SparkSession, table_path: str,
+                                      start_ts_ms: int,
+                                      ending_version: int | None = None
+                                      ) -> DataFrame:
+    """CDF ``startingTimestamp`` semantics: changes from the earliest
+    version committed at/after ``start_ts_ms`` through ``ending_version``
+    (default: latest)."""
+    first = resolve_version_at_timestamp(spark, table_path, start_ts_ms,
+                                         mode="at_or_after")
+    if ending_version is None:
+        ending_version = max(list_delta_versions(spark, table_path))
+    return read_delta_changes(spark, table_path, first - 1, ending_version)
+
+
 def _checkpoint_parts(names: list[str], version: int) -> list[str]:
     return [n for n in names
             if (m := _CHECKPOINT_RE.match(n)) and int(m.group(1)) == version]

@@ -127,6 +127,47 @@ def read_snapshot(spark: SparkSession, root: str, table: str,
     return _normalize_ntz(spark.read.parquet(path))
 
 
+def read_snapshot_at_timestamp(spark: SparkSession, root: str, table: str,
+                               ts_ms: int) -> DataFrame:
+    """``TIMESTAMP AS OF`` dispatcher — the one reference-adjacent read
+    option not covered by version numbers (Delta time travel's timestamp
+    form). Jar-backed Delta uses the native ``timestampAsOf`` option; a
+    real Delta dir without jars resolves through the replayed commit
+    timestamps (delta_log.resolve_version_at_timestamp, monotonic-adjusted
+    commitInfo times); the ``v=N`` parquet convention resolves against the
+    version directories' modification times (latest dir mtime <= ts) —
+    same at-or-before contract, driver-side metadata only."""
+    if _delta_available(spark):
+        import datetime as _dt
+        ts = _dt.datetime.fromtimestamp(ts_ms / 1000,
+                                        tz=_dt.timezone.utc)
+        return (spark.read.format("delta")
+                .option("timestampAsOf",
+                        ts.strftime("%Y-%m-%d %H:%M:%S.%f"))
+                .load(os.path.join(root, table)))
+    from .delta_log import is_delta_table, read_delta_snapshot_at_timestamp
+    if is_delta_table(spark, os.path.join(root, table)):
+        from .registry import _normalize_ntz
+        return _normalize_ntz(read_delta_snapshot_at_timestamp(
+            spark, os.path.join(root, table), ts_ms))
+    versions = list_versions(spark, os.path.join(root, table), "v=")
+    if not versions:
+        raise ChangelogNotFoundError(
+            f"CHANGELOG_NOT_FOUND: no snapshots for {table} under {root}")
+    sc = spark.sparkContext
+    eligible = []
+    for v in versions:
+        p = sc._jvm.org.apache.hadoop.fs.Path(  # noqa: SLF001
+            _snapshot_dir(root, table, v))
+        fs = p.getFileSystem(sc._jsc.hadoopConfiguration())  # noqa: SLF001
+        if int(fs.getFileStatus(p).getModificationTime()) <= ts_ms:
+            eligible.append(v)
+    if not eligible:
+        raise ValueError(
+            f"timestamp {ts_ms} is before the earliest snapshot of {table}")
+    return read_snapshot(spark, root, table, max(eligible))
+
+
 def read_changes(spark: SparkSession, root: str, table: str,
                  starting_version: int, ending_version: int,
                  merge_schema: bool = True) -> DataFrame:

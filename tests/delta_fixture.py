@@ -77,6 +77,8 @@ def make_delta_table(table_path: str, cdf: bool = True) -> str:
                    [4, 5], [4.0, 5.0])
     _write_parquet(os.path.join(table_path, "f3.parquet"), [6], [6.0])
     _commit(log, 0, [
+        {"commitInfo": {"timestamp": V2_TS_MS - 2000,
+                        "operation": "CREATE TABLE"}},
         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
         {"metaData": _meta(cdf)},
         {"add": {"path": "part=a/f1.parquet",

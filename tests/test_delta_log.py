@@ -258,6 +258,77 @@ def test_dv_whole_file_delete_of_dv_file(spark, dv_table):
                     (6, "delete")]
 
 
+# --------------------------------------------------------------- timestamp travel
+
+def test_timestamp_as_of_resolution(spark, delta_table):
+    """Fixture commit timestamps (commitInfo): v0 = V2_TS_MS - 2000,
+    v1 = V2_TS_MS - 1000, v2 = V2_TS_MS."""
+    from databricks_import_pyspark_scripts_spark.sources.delta_log import (
+        read_delta_snapshot_at_timestamp,
+        resolve_version_at_timestamp,
+    )
+    assert resolve_version_at_timestamp(
+        spark, delta_table, V2_TS_MS - 1000) == 1
+    assert resolve_version_at_timestamp(
+        spark, delta_table, V2_TS_MS - 500) == 1
+    assert resolve_version_at_timestamp(spark, delta_table, V2_TS_MS) == 2
+    assert _ids(read_delta_snapshot_at_timestamp(
+        spark, delta_table, V2_TS_MS - 500)) == [1, 2, 3, 6, 7, 8]
+    with pytest.raises(ValueError, match="after the latest"):
+        resolve_version_at_timestamp(spark, delta_table, V2_TS_MS + 10_000)
+
+
+def test_timestamp_resolution_monotonic_adjustment(spark, tmp_path):
+    """A commit whose wall clock REGRESSED must still resolve after its
+    predecessor (Delta's +1 ms adjustment), not shadow it."""
+    from databricks_import_pyspark_scripts_spark.sources.delta_log import (
+        _commit_timestamps_ms,
+    )
+    t = make_delta_table(str(tmp_path / "mono"))
+    log = os.path.join(t, "_delta_log")
+    # v3: commitInfo timestamp EARLIER than v2's
+    _commit(log, 3, [
+        {"commitInfo": {"timestamp": V2_TS_MS - 5000, "operation": "WRITE"}}])
+    hist = dict(_commit_timestamps_ms(spark, t))
+    assert hist[3] == hist[2] + 1
+
+
+def test_cdf_starting_timestamp(spark, delta_table):
+    from databricks_import_pyspark_scripts_spark.sources.delta_log import (
+        read_delta_changes_from_timestamp,
+    )
+    # at/after v2's timestamp -> only v2's update feed
+    ch = read_delta_changes_from_timestamp(spark, delta_table, V2_TS_MS)
+    rows = sorted((r.id, r._change_type) for r in ch.collect())
+    assert rows == [(1, "update_postimage"), (1, "update_preimage")]
+    with pytest.raises(ValueError, match="after the latest"):
+        read_delta_changes_from_timestamp(spark, delta_table,
+                                          V2_TS_MS + 10_000)
+
+
+def test_versioned_snapshot_at_timestamp_dispatch(spark, tmp_path,
+                                                  delta_table):
+    """Dispatcher: Delta dirs resolve via commit timestamps; the v=N
+    parquet convention resolves via directory mtimes."""
+    from databricks_import_pyspark_scripts_spark.sources.versioned import (
+        read_snapshot_at_timestamp,
+    )
+    root = os.path.dirname(delta_table)
+    tbl = os.path.basename(delta_table)
+    df = read_snapshot_at_timestamp(spark, root, tbl, V2_TS_MS - 1)
+    assert _ids(df) == [1, 2, 3, 6, 7, 8]
+    # v=N convention: two snapshot dirs, the query timestamp between mtimes
+    import time
+    vroot = str(tmp_path / "conv")
+    spark.range(3).write.parquet(os.path.join(vroot, "t", "v=1"))
+    time.sleep(0.05)
+    cut_ms = int(time.time() * 1000)
+    time.sleep(0.05)
+    spark.range(5).write.parquet(os.path.join(vroot, "t", "v=2"))
+    got = read_snapshot_at_timestamp(spark, vroot, "t", cut_ms)
+    assert got.count() == 3
+
+
 # --------------------------------------------------------------- column mapping
 
 @pytest.fixture()
