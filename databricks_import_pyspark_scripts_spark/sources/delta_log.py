@@ -81,10 +81,17 @@ from pyspark.sql.types import StructType
 LOG_DIR = "_delta_log"
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint(\.\d{10}\.\d{10})?\.parquet$")
+#: v2 ("uuid-named") checkpoints: %020d.checkpoint.<uuid>.{json|parquet},
+#: actions split between the top-level file and parquet sidecars under
+#: _delta_log/_sidecars/ referenced by `sidecar` actions.
+_CHECKPOINT_V2_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.([0-9a-fA-F]{8}(?:-[0-9a-fA-F]{4}){3}"
+    r"-[0-9a-fA-F]{12})\.(json|parquet)$")
 
 #: reader features (protocol v3) this implementation understands.
 SUPPORTED_READER_FEATURES = {"timestampNtz", "vacuumProtocolCheck",
-                             "deletionVectors", "columnMapping"}
+                             "deletionVectors", "columnMapping",
+                             "v2Checkpoint"}
 
 #: total deleted-row cardinality up to which DVs are applied as a broadcast
 #: anti-join on (file, row_index) — plain Catalyst, whole-stage codegen.
@@ -207,7 +214,10 @@ def _commit_timestamps_ms(spark: SparkSession,
                 continue
             action = json.loads(line)
             if "commitInfo" in action:
-                ts = action["commitInfo"].get("timestamp")
+                # inCommitTimestamp (writer feature) is the authoritative
+                # monotonic clock when present; plain timestamp otherwise
+                ci = action["commitInfo"]
+                ts = ci.get("inCommitTimestamp", ci.get("timestamp"))
                 break
         ts = int(ts) if ts is not None else _mtime_ms(spark, path)
         ts = max(ts, prev + 1)
@@ -281,6 +291,15 @@ def read_delta_changes_from_timestamp(spark: SparkSession, table_path: str,
 
 
 def _checkpoint_parts(names: list[str], version: int) -> list[str]:
+    """Checkpoint file(s) for ``version``: a v2 uuid-named checkpoint when
+    present (several UUIDs for one version are interchangeable per the
+    protocol — pick the lexicographically last), else the classic
+    single/multi-part parquet parts."""
+    v2 = sorted(n for n in names
+                if (m := _CHECKPOINT_V2_RE.match(n))
+                and int(m.group(1)) == version)
+    if v2:
+        return [v2[-1]]
     return [n for n in names
             if (m := _CHECKPOINT_RE.match(n)) and int(m.group(1)) == version]
 
@@ -296,27 +315,57 @@ def _latest_checkpoint_version(spark: SparkSession, log: str,
     except Exception:  # noqa: BLE001 — pointer absent/corrupt: fall back to listing
         pass
     versions = sorted({int(m.group(1)) for n in names
-                       if (m := _CHECKPOINT_RE.match(n))
+                       if ((m := _CHECKPOINT_RE.match(n))
+                           or (m := _CHECKPOINT_V2_RE.match(n)))
                        and int(m.group(1)) <= ceiling})
     return versions[-1] if versions else None
 
 
-def _checkpoint_actions(spark: SparkSession, log: str,
-                        parts: list[str]) -> list[dict]:
-    """Checkpoint rows -> action dicts (one non-null action per row)."""
+_CP_ACTION_KEYS = ("add", "remove", "metaData", "protocol", "txn", "sidecar")
+
+
+def _read_parquet_actions(spark: SparkSession, path: str) -> list[dict]:
     import pyarrow.parquet as pq
 
+    if _is_local(path):
+        table = pq.read_table(_strip_scheme(path))
+    else:
+        table = pq.read_table(io.BytesIO(_read_bytes(spark, path)))
+    actions: list[dict] = []
+    for row in table.to_pylist():
+        for key in _CP_ACTION_KEYS:
+            if row.get(key) is not None:
+                actions.append({key: _unarrow_maps(row[key])})
+    return actions
+
+
+def _checkpoint_actions(spark: SparkSession, log: str,
+                        parts: list[str]) -> list[dict]:
+    """Checkpoint file(s) -> action dicts. Classic checkpoints carry one
+    non-null action per parquet row; v2 checkpoints additionally split
+    add/remove actions into parquet SIDECARS under ``_delta_log/_sidecars/``
+    referenced by ``sidecar`` actions in the (json or parquet) top-level
+    file — both resolved here, so replay sees one flat action stream."""
     actions: list[dict] = []
     for name in parts:
         path = os.path.join(log, name)
-        if _is_local(path):
-            table = pq.read_table(_strip_scheme(path))
+        if name.endswith(".json"):  # v2 top-level json form
+            file_actions = [json.loads(line) for line in
+                            _read_bytes(spark, path).decode("utf-8")
+                            .splitlines() if line.strip()]
         else:
-            table = pq.read_table(io.BytesIO(_read_bytes(spark, path)))
-        for row in table.to_pylist():
-            for key in ("add", "remove", "metaData", "protocol", "txn"):
-                if row.get(key) is not None:
-                    actions.append({key: _unarrow_maps(row[key])})
+            file_actions = _read_parquet_actions(spark, path)
+        for action in file_actions:
+            if "sidecar" in action:
+                side = action["sidecar"]["path"]
+                side_path = (side if "://" in side or side.startswith("/")
+                             else os.path.join(log, "_sidecars", side))
+                actions.extend(a for a in
+                               _read_parquet_actions(spark, side_path)
+                               if "add" in a or "remove" in a)
+            elif any(k in action for k in _CP_ACTION_KEYS[:5]):
+                actions.append(action)
+            # checkpointMetadata: structural marker, nothing to replay
     return actions
 
 

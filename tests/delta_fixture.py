@@ -285,6 +285,68 @@ def make_column_mapped_table(table_path: str) -> str:
     return table_path
 
 
+def write_v2_checkpoint(table_path: str, version: int, actions: list[dict],
+                        top_level: str = "json") -> None:
+    """Hand-rolled V2 (uuid-named) checkpoint: metaData/protocol stay in
+    the top-level ``%020d.checkpoint.<uuid>.{json|parquet}`` file together
+    with a ``checkpointMetadata`` action and one ``sidecar`` action; the
+    add/remove actions go to a parquet sidecar under
+    ``_delta_log/_sidecars/`` (protocol "V2 Spec Checkpoint" section).
+    Writes the ``_last_checkpoint`` pointer."""
+    import uuid as _uuid
+
+    log = os.path.join(table_path, "_delta_log")
+    side_dir = os.path.join(log, "_sidecars")
+    os.makedirs(side_dir, exist_ok=True)
+    u = _uuid.uuid5(_uuid.NAMESPACE_URL, f"{table_path}@{version}")
+    file_actions = [a for a in actions
+                    if "add" in a or "remove" in a]
+    head_actions = [a for a in actions if a not in file_actions]
+    side_name = f"{u}.parquet"
+    rows = []
+    for a in file_actions:
+        add = a.get("add")
+        rem = a.get("remove")
+        rows.append({
+            "add": {"path": add["path"],
+                    "partitionValues": list((add.get("partitionValues")
+                                             or {}).items()),
+                    "size": add.get("size", 1),
+                    "modificationTime": add.get("modificationTime", 1),
+                    "dataChange": add.get("dataChange", True)}
+            if add else None,
+            "remove": {"path": rem["path"],
+                       "deletionTimestamp": rem.get("deletionTimestamp", 1),
+                       "dataChange": rem.get("dataChange", True)}
+            if rem else None})
+    pv_t = pa.map_(pa.string(), pa.string())
+    add_t = pa.struct([("path", pa.string()), ("partitionValues", pv_t),
+                       ("size", pa.int64()), ("modificationTime", pa.int64()),
+                       ("dataChange", pa.bool_())])
+    rem_t = pa.struct([("path", pa.string()),
+                       ("deletionTimestamp", pa.int64()),
+                       ("dataChange", pa.bool_())])
+    pq.write_table(pa.table({
+        "add": pa.array([r["add"] for r in rows], add_t),
+        "remove": pa.array([r["remove"] for r in rows], rem_t)}),
+        os.path.join(side_dir, side_name))
+    head = [{"checkpointMetadata": {"version": version, "tags": {}}},
+            *head_actions,
+            {"sidecar": {"path": side_name,
+                         "sizeInBytes": os.path.getsize(
+                             os.path.join(side_dir, side_name)),
+                         "modificationTime": 1}}]
+    if top_level == "json":
+        with open(os.path.join(
+                log, f"{version:020d}.checkpoint.{u}.json"), "w") as f:
+            for a in head:
+                f.write(json.dumps(a) + "\n")
+    else:
+        raise NotImplementedError("fixture writes json top-level only")
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": version, "size": len(actions)}, f)
+
+
 def write_checkpoint(spark, table_path: str, version: int,
                      actions: list[dict]) -> None:
     """Hand-rolled single-part classic checkpoint: one row per action with

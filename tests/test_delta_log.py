@@ -152,20 +152,44 @@ def test_truncated_log_raises_below_checkpoint(spark, delta_table):
 # --------------------------------------------------------------------- protocol
 
 def test_protocol_reader_features_gate(spark, tmp_path):
-    t = make_delta_table(str(tmp_path / "v2cp"))
+    t = make_delta_table(str(tmp_path / "tw"))
     _commit(os.path.join(t, "_delta_log"), 3, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["v2Checkpoint"],
-                      "writerFeatures": ["v2Checkpoint"]}}])
-    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
+                      "readerFeatures": ["typeWidening"],
+                      "writerFeatures": ["typeWidening"]}}])
+    with pytest.raises(DeltaProtocolError, match="typeWidening"):
         read_delta_snapshot(spark, t)
-    # timestampNtz + deletionVectors + columnMapping are all supported
+    # every feature this reader implements is accepted together
     _commit(os.path.join(t, "_delta_log"), 4, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
                       "readerFeatures": ["timestampNtz", "deletionVectors",
-                                         "columnMapping"],
+                                         "columnMapping", "v2Checkpoint"],
                       "writerFeatures": ["timestampNtz"]}}])
     assert _ids(read_delta_snapshot(spark, t, 4)) == [1, 2, 3, 6, 7, 8]
+
+
+def test_v2_checkpoint_replay_with_sidecar(spark, delta_table):
+    """V2 uuid-named checkpoint (json top-level + parquet sidecar): replay
+    must source the file set from the sidecar and keep serving snapshots
+    and CDF after the pre-checkpoint commits are cleaned up."""
+    from delta_fixture import write_v2_checkpoint
+
+    rep = replay_log(spark, delta_table, 1)
+    actions = [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                             "readerFeatures": ["v2Checkpoint"],
+                             "writerFeatures": ["v2Checkpoint"]}},
+               {"metaData": rep.metadata}]
+    actions += [{"add": a} for a in rep.files.values()]
+    write_v2_checkpoint(delta_table, 1, actions)
+    os.remove(os.path.join(delta_table, "_delta_log", f"{0:020d}.json"))
+    os.remove(os.path.join(delta_table, "_delta_log", f"{1:020d}.json"))
+    assert _ids(read_delta_snapshot(spark, delta_table, 2)) == [1, 2, 3, 6,
+                                                                7, 8]
+    assert _ids(read_delta_snapshot(spark, delta_table, 1)) == [1, 2, 3, 6,
+                                                                7, 8]
+    assert read_delta_changes(spark, delta_table, 1, 2).count() == 2
+    with pytest.raises(FileNotFoundError):
+        read_delta_snapshot(spark, delta_table, 0)
 
 
 def test_protocol_column_mapping_id_mode_rejected(spark, tmp_path):
