@@ -89,6 +89,14 @@ HEADLINE = [
     "text_pmi_collocations",
     "events_psi_quantile_drift",
     "events_mix_drift",
+    # r8 additions: deletion-vector + column-mapped + timestamp-resolved
+    # reads through the jar-less Delta log replay (the staging of the DV /
+    # column-mapped tables is absorbed by the untimed warm-up run), and
+    # the sharded (shard-partitioned window) form of the PPS sample
+    "delta_dv_snapshot_agg",
+    "delta_column_mapped_read",
+    "delta_timestamp_travel_agg",
+    "corpus_systematic_pps_sharded",
 ]
 
 EXTENSION_ROWS = {
@@ -301,10 +309,12 @@ def main() -> int:
                 "events_psi_drift", "orders_brand_affinity",
                 "events_ks_drift", "text_pmi_collocations",
                 "events_psi_quantile_drift", "events_mix_drift"}
+    r8_rows = {"delta_dv_snapshot_agg", "delta_column_mapped_read",
+               "delta_timestamp_travel_agg", "corpus_systematic_pps_sharded"}
     # same membership as comparable_queries_sec (includes the unload e2e row)
     comp = [k for k in timings
             if k not in EXTENSION_ROWS and k not in stress
-            and k not in new_rows]
+            and k not in new_rows and k not in r8_rows]
     # bulky diagnostics go on their OWN earlier stdout line (and a sidecar
     # file): r6's final line grew past the driver's tail capture once
     # query_samples was added, so the round's headline totals were lost
@@ -356,11 +366,14 @@ def main() -> int:
         "unit": "sec",
         "comparable_queries_sec": round(total - stress_sec - ext_sec
                                         - sum(timings.get(k, 0.0)
-                                              for k in new_rows), 3),
+                                              for k in new_rows | r8_rows),
+                                        3),
         "skew_stress_sec": stress_sec,
         "r5_extension_sec": ext_sec,
         "r7_new_rows_sec": round(sum(timings.get(k, 0.0)
                                      for k in new_rows), 3),
+        "r8_new_rows_sec": round(sum(timings.get(k, 0.0)
+                                     for k in r8_rows), 3),
         # per-tier medians-of-samples alongside the min-of-N totals: a
         # min-vs-min drift with stable medians is host noise, not a plan
         # regression (bench hygiene, VERDICT r5 #5)
