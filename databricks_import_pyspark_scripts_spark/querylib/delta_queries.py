@@ -198,6 +198,58 @@ def delta_dv_snapshot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version", "event_type", "n", "sum_value")
 
 
+_SKIP_LO, _SKIP_HI = 100, 999
+
+
+def _staged_skip_table(spark: SparkSession, sf_dir: str) -> str:
+    """Staged Delta table whose 8 data files are RANGE-partitioned on
+    event_id, each add action carrying footer-derived stats JSON — the
+    layout where Delta data skipping pays."""
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_delta_skip_gate_{tag}_v1")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        e = (load_table(spark, sf_dir, "events")
+             .select("event_id", "event_type", "value")
+             .repartitionByRange(8, "event_id"))
+        write_delta_table(spark, [e], path, enable_cdf=False,
+                          base_ts_ms=_BASE_TS_MS)
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "delta_data_skipping_agg",
+    f"""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    WHERE event_id BETWEEN {_SKIP_LO} AND {_SKIP_HI}
+    GROUP BY event_type
+    """,
+    doc="Delta DATA SKIPPING through the jar-less reader: the staged "
+        "table's 8 files are range-partitioned on event_id with "
+        "footer-derived stats on every add action; the snapshot read "
+        "prunes files whose [min, max] range provably misses the "
+        "predicate AT PLANNING (zero tasks for skipped files — the "
+        "mechanism that turns a 100 TB scan into the one-file read the "
+        "predicate implies), while the row-level filter stays on the "
+        "scan so pruning is superset-safe by construction. Oracle "
+        "restates the predicate over the parquet source; a skip that "
+        "drops a needed file breaks counts and sums.")
+def delta_data_skipping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.delta_log import column_range_filter
+
+    path = _staged_skip_table(spark, sf_dir)
+    snap = read_delta_snapshot(
+        spark, path,
+        stats_filter=column_range_filter("event_id", _SKIP_LO, _SKIP_HI))
+    return (snap.filter(F.col("event_id").between(_SKIP_LO, _SKIP_HI))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
 @register(
     "delta_timestamp_travel_agg",
     f"""

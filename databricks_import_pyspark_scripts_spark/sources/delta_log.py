@@ -755,20 +755,63 @@ def _scan_files(spark: SparkSession, table_path: str, rep: _Replay,
     return df.select(*order)
 
 
+def column_range_filter(column: str, lo=None, hi=None):
+    """Stats filter for ``read_delta_snapshot(stats_filter=...)``: keep a
+    file unless its [minValues, maxValues] range for ``column`` provably
+    misses [lo, hi]. Superset-safe by construction — a file with no stats
+    (or no stats for this column) is always kept, so pairing the skip with
+    the same row-level WHERE can never lose rows; the skip only removes
+    guaranteed-empty scan work."""
+    def keep(stats: dict | None) -> bool:
+        if not stats:
+            return True
+        mins = stats.get("minValues") or {}
+        maxs = stats.get("maxValues") or {}
+        if hi is not None and column in mins and mins[column] is not None \
+                and mins[column] > hi:
+            return False
+        if lo is not None and column in maxs and maxs[column] is not None \
+                and maxs[column] < lo:
+            return False
+        return True
+    return keep
+
+
 def read_delta_snapshot(spark: SparkSession, table_path: str,
                         version: int | None = None,
-                        partition_filter=None) -> DataFrame:
+                        partition_filter=None,
+                        stats_filter=None) -> DataFrame:
     """Table state as of ``version`` (``VERSION AS OF`` semantics).
 
     ``partition_filter``: optional ``dict[str, str] -> bool`` applied to
     each add action's partitionValues — metadata-level partition pruning,
     evaluated before any scan is planned (the 100 TB path: a pruned
-    partition contributes zero files to the scan, zero tasks)."""
+    partition contributes zero files to the scan, zero tasks).
+
+    ``stats_filter``: optional ``dict | None -> bool`` applied to each add
+    action's parsed ``stats`` JSON (numRecords / minValues / maxValues /
+    nullCount) — Delta DATA SKIPPING at the file level: files whose stats
+    prove they cannot match are dropped at PLANNING, before any task
+    launches (parquet row-group skipping still applies inside the files
+    that survive). Callers MUST keep the row-level predicate on the
+    returned DataFrame: the stats skip is an optimization, not a filter —
+    ``column_range_filter`` builds the standard range form and keeps
+    stats-less files, so pruning is always superset-safe."""
     rep = replay_log(spark, table_path, version)
     adds = list(rep.files.values())
     if partition_filter is not None:
         adds = [a for a in adds
                 if partition_filter(a.get("partitionValues") or {})]
+    if stats_filter is not None:
+        def _stats(a: dict) -> dict | None:
+            s = a.get("stats")
+            if isinstance(s, str):
+                try:
+                    return json.loads(s)
+                except ValueError:
+                    return None
+            return s if isinstance(s, dict) else None
+        adds = [a for a in adds if stats_filter(_stats(a))]
     df = _scan_files(spark, table_path, rep, adds)
     if df is None:
         return spark.createDataFrame([], rep.schema)
@@ -865,6 +908,39 @@ def read_delta_changes(spark: SparkSession, table_path: str,
 # ---------------------------------------------------------------------------
 # minimal writer (staging utility)
 
+def _file_stats_json(path: str) -> str:
+    """Per-file Delta ``stats`` JSON (numRecords / minValues / maxValues /
+    nullCount) from the parquet FOOTER metadata — no data read. Simple
+    scalar columns only (int/float/string/bool); others are omitted from
+    min/max, which data skipping treats as unskippable — superset-safe."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested: skip (protocol allows partial stats)
+                continue
+            st = col.statistics
+            if st is None:
+                continue
+            nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+            if st.has_min_max:
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode(), mx.decode()
+                    except UnicodeDecodeError:
+                        continue
+                mins[name] = mn if name not in mins else min(mins[name], mn)
+                maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    return json.dumps({"numRecords": md.num_rows, "minValues": mins,
+                       "maxValues": maxs, "nullCount": nulls})
+
 def write_delta_table(spark: SparkSession, commits: list[DataFrame],
                       table_path: str, enable_cdf: bool = True,
                       base_ts_ms: int = 1700000000000) -> str:
@@ -920,7 +996,8 @@ def write_delta_table(spark: SparkSession, commits: list[DataFrame],
                 "path": target, "partitionValues": {},
                 "size": os.path.getsize(os.path.join(root, target)),
                 "modificationTime": base_ts_ms + v * 1000,
-                "dataChange": True}})
+                "dataChange": True,
+                "stats": _file_stats_json(os.path.join(root, target))}})
         shutil.rmtree(staging, ignore_errors=True)
         with open(os.path.join(log, f"{v:020d}.json"), "w") as f:
             for a in actions:

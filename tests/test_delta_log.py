@@ -282,6 +282,46 @@ def test_dv_whole_file_delete_of_dv_file(spark, dv_table):
                     (6, "delete")]
 
 
+# --------------------------------------------------------------- data skipping
+
+def test_data_skipping_prunes_files_and_keeps_rows(spark, tmp_path):
+    """Range-partitioned staged table: a stats filter must cut the planned
+    file set at metadata level while the row predicate keeps results
+    exact; a file without stats must never be pruned (superset safety)."""
+    from databricks_import_pyspark_scripts_spark.sources.delta_log import (
+        column_range_filter,
+        read_delta_snapshot,
+        replay_log,
+        write_delta_table,
+    )
+    t = str(tmp_path / "skip")
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v") \
+        .repartitionByRange(5, "id")
+    write_delta_table(spark, [df], t, enable_cdf=False)
+    rep = replay_log(spark, t)
+    assert all(a.get("stats") for a in rep.files.values())
+    full = read_delta_snapshot(spark, t)
+    pruned = read_delta_snapshot(
+        spark, t, stats_filter=column_range_filter("id", 100, 150))
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    got = sorted(r.id for r in
+                 pruned.filter("id BETWEEN 100 AND 150").collect())
+    assert got == list(range(100, 151))
+    # stats-less add actions survive any stats filter
+    import json as _json
+    log_path = os.path.join(t, "_delta_log", f"{0:020d}.json")
+    acts = [_json.loads(line) for line in open(log_path)]
+    for a in acts:
+        if "add" in a:
+            a["add"].pop("stats", None)
+    with open(log_path, "w") as f:
+        for a in acts:
+            f.write(_json.dumps(a) + "\n")
+    unskippable = read_delta_snapshot(
+        spark, t, stats_filter=column_range_filter("id", 100, 150))
+    assert len(unskippable.inputFiles()) == len(full.inputFiles())
+
+
 # --------------------------------------------------------------- timestamp travel
 
 def test_timestamp_as_of_resolution(spark, delta_table):
