@@ -5,6 +5,7 @@ from .versioned import (
     parse_table_versions_map,
     read_changes,
     read_snapshot,
+    read_snapshot_at_timestamp,
 )
 
 __all__ = [
@@ -17,4 +18,5 @@ __all__ = [
     "parse_table_versions_map",
     "read_changes",
     "read_snapshot",
+    "read_snapshot_at_timestamp",
 ]

@@ -641,10 +641,23 @@ def _apply_deletion_vectors(spark: SparkSession, df: DataFrame,
             spark, table_path, d)
         total_card += int(d.get("cardinality") or 0)
     if total_card <= DV_ANTIJOIN_MAX_ROWS:
-        rows = [(base, int(i)) for base, raw in dv_raw.items()
-                for i in deserialize_bitmap_array(raw)]
+        import numpy as np
+
+        # build via numpy + Arrow, not a Python tuple list: the threshold
+        # admits up to 10^6 pairs and row-at-a-time createDataFrame would
+        # make PLANNING the slow path
+        bases: list[str] = []
+        idx_parts = []
+        for base, raw in dv_raw.items():
+            dead = deserialize_bitmap_array(raw)
+            bases.extend([base] * dead.size)
+            idx_parts.append(dead)
         deleted = spark.createDataFrame(
-            rows, f"{_FILE_BASE} string, {_ROW_INDEX} long")
+            pd.DataFrame({
+                _FILE_BASE: pd.Series(bases, dtype="object"),
+                _ROW_INDEX: (np.concatenate(idx_parts) if idx_parts
+                             else np.empty(0, dtype=np.int64))}),
+            schema=f"{_FILE_BASE} string, {_ROW_INDEX} long")
         return df.join(F.broadcast(deleted), [_FILE_BASE, _ROW_INDEX],
                        "left_anti")
 
