@@ -833,3 +833,53 @@ def events_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_ref") * F.lit(1.0) / tr, 4).alias("share_ref"),
         F.round(F.col("n_cur") * F.lit(1.0) / tc, 4).alias("share_cur"),
         F.round((p - q) * F.log(p / q), 4).alias("psi_contrib"))
+
+
+# --- z-order layout index ----------------------------------------------------
+
+def _zorder_oracle() -> str:
+    from ..operators.zorder import ZORDER_BITS
+
+    nb = 1 << ZORDER_BITS
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"(((be >> {i}) & 1) << {i * 2 + 1})")
+        terms.append(f"(((bu >> {i}) & 1) << {i * 2})")
+    z = " | ".join(terms)
+    return f"""
+    WITH mm AS (SELECT MIN(event_id) AS mn_e, MAX(event_id) AS mx_e,
+                       MIN(user_id)  AS mn_u, MAX(user_id)  AS mx_u
+                FROM events),
+    b AS (
+      SELECT event_id, user_id,
+             ((event_id - mn_e) * {nb}) // (mx_e - mn_e + 1) AS be,
+             ((user_id  - mn_u) * {nb}) // (mx_u - mn_u + 1) AS bu
+      FROM events CROSS JOIN mm)
+    SELECT event_id, user_id, CAST({z} AS BIGINT) AS z
+    FROM b
+    ORDER BY z, event_id
+    LIMIT 100
+    """
+
+
+@register(
+    "events_zorder_index",
+    _zorder_oracle(),
+    doc="Z-order (Morton) clustering index over (event_id, user_id) — the "
+        "value OPTIMIZE-ZORDER-style reclustering sorts files by so that "
+        "stats-based data skipping prunes MULTI-column predicate boxes "
+        "(operators/zorder.py; pairs with delta_data_skipping_agg's "
+        "file pruning). Integer-exact throughout: per-column rank buckets "
+        "are integral division against in-query min/max (ONE broadcast "
+        "1-row aggregate — no driver collect, no literals), and the bit "
+        "interleave is a codegen'd shift/and/or tree, so both engines "
+        "agree bit-for-bit. The gate returns the 100 lowest z-values "
+        "(tie-broken by event_id): a wrong bucket edge, shift position, "
+        "or min/max source reorders the curve and breaks the hash.")
+def events_zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.zorder import with_zorder_value
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    z = with_zorder_value(e, ["event_id", "user_id"])
+    return (z.select("event_id", "user_id", F.col("__z").alias("z"))
+            .orderBy("z", "event_id").limit(100))
