@@ -74,3 +74,69 @@ def with_zorder_key(df: DataFrame, cols: list[str],
                   for c in cols}
     qs = [quantize_col(F.col(c), *bounds[c], bits=bits_per_dim) for c in cols]
     return df.withColumn(key_col, zorder_key_col(qs, bits_per_dim))
+
+
+# --- integer-exact, in-plan variant (r8) -------------------------------------
+#
+# ``quantize_col``/``with_zorder_key`` above quantize through DOUBLES with
+# clamping (tolerates stale externally-supplied bounds — the lake-scale
+# calling convention) and collect bounds driver-side when omitted. The
+# functions below are the ORACLE-EXACT twin used by the events_zorder_index
+# gate and the OPTIMIZE-shape rewrite: integral-division buckets (both
+# engines agree bit-for-bit at any magnitude) and min/max bounds computed
+# IN-PLAN via one broadcast 1-row aggregate — no driver collect, no literals
+# baked into the plan, so the same DataFrame works under cached/streaming
+# reuse.
+
+ZORDER_BITS = ZORDER_BITS_PER_DIM
+
+
+def int_bucket_col(col: str, mn: str, mx: str,
+                   bits: int = ZORDER_BITS) -> Column:
+    """Integer-exact rank bucket in [0, 2^bits): ((x - min) * 2^bits) div
+    (max - min + 1). ``mn``/``mx`` are column NAMES (joined-in aggregates),
+    keeping the whole computation inside the plan."""
+    return F.expr(f"(({col} - {mn}) * {1 << bits}) div ({mx} - {mn} + 1)")
+
+
+def interleave_bits(bucket_cols: list[Column],
+                    bits: int = ZORDER_BITS) -> Column:
+    """Morton interleave: bit i of column j lands at position
+    i * n_cols + (n_cols - 1 - j) — column 0 owns the most significant
+    bit of each group, matching the textbook z-curve. Pure shift/and/or
+    expression tree, whole-stage codegen."""
+    n = len(bucket_cols)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, b in enumerate(bucket_cols):
+            z = z.bitwiseOR(F.shiftleft(
+                F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1)),
+                i * n + (n - 1 - j)))
+    return z
+
+
+def with_zorder_value(df: DataFrame, cols: list[str],
+                      bits: int = ZORDER_BITS,
+                      out: str = "__z") -> DataFrame:
+    """Attach the z-value column: min/max per clustered column from ONE
+    aggregate, broadcast back (1 row), then the interleave expression."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+    mm = df.agg(*aggs)
+    joined = df.crossJoin(F.broadcast(mm))
+    buckets = [int_bucket_col(c, f"__mn_{c}", f"__mx_{c}", bits)
+               for c in cols]
+    drop = [f"__mn_{c}" for c in cols] + [f"__mx_{c}" for c in cols]
+    return joined.withColumn(out, interleave_bits(buckets, bits)).drop(*drop)
+
+
+def zorder_layout(df: DataFrame, cols: list[str], n_files: int,
+                  bits: int = ZORDER_BITS) -> DataFrame:
+    """The OPTIMIZE-ZORDER rewrite shape: z-value -> range partition ->
+    in-file sort -> drop the helper column. Write the result and every
+    file's footer min/max covers a compact box of ``cols``."""
+    z = with_zorder_value(df, cols, bits)
+    return (z.repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z"))

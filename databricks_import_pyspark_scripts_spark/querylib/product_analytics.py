@@ -838,7 +838,7 @@ def events_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- z-order layout index ----------------------------------------------------
 
 def _zorder_oracle() -> str:
-    from ..operators.zorder import ZORDER_BITS
+    from ..operators.layout import ZORDER_BITS
 
     nb = 1 << ZORDER_BITS
     terms = []
@@ -868,7 +868,7 @@ def _zorder_oracle() -> str:
     doc="Z-order (Morton) clustering index over (event_id, user_id) — the "
         "value OPTIMIZE-ZORDER-style reclustering sorts files by so that "
         "stats-based data skipping prunes MULTI-column predicate boxes "
-        "(operators/zorder.py; pairs with delta_data_skipping_agg's "
+        "(operators/layout.py; pairs with delta_data_skipping_agg's "
         "file pruning). Integer-exact throughout: per-column rank buckets "
         "are integral division against in-query min/max (ONE broadcast "
         "1-row aggregate — no driver collect, no literals), and the bit "
@@ -877,7 +877,7 @@ def _zorder_oracle() -> str:
         "(tie-broken by event_id): a wrong bucket edge, shift position, "
         "or min/max source reorders the curve and breaks the hash.")
 def events_zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.zorder import with_zorder_value
+    from ..operators.layout import with_zorder_value
 
     e = load_table(spark, sf_dir, "events").select("event_id", "user_id")
     z = with_zorder_value(e, ["event_id", "user_id"])

@@ -1,4 +1,4 @@
-"""Z-order layout clustering (operators/zorder.py): Morton interleave
+"""Z-order layout clustering (operators/layout.py): Morton interleave
 correctness against a reference implementation, and the property the
 operator exists for — a z-ordered file layout lets stats-based data
 skipping prune on the SECOND clustered dimension, where a linearly
@@ -10,7 +10,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from databricks_import_pyspark_scripts_spark.operators.zorder import (
+from databricks_import_pyspark_scripts_spark.operators.layout import (
     ZORDER_BITS,
     interleave_bits,
     with_zorder_value,
