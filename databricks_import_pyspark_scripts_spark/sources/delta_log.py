@@ -278,15 +278,26 @@ def read_delta_snapshot_at_timestamp(spark: SparkSession, table_path: str,
 
 def read_delta_changes_from_timestamp(spark: SparkSession, table_path: str,
                                       start_ts_ms: int,
-                                      ending_version: int | None = None
+                                      ending_version: int | None = None,
+                                      end_ts_ms: int | None = None
                                       ) -> DataFrame:
-    """CDF ``startingTimestamp`` semantics: changes from the earliest
-    version committed at/after ``start_ts_ms`` through ``ending_version``
-    (default: latest)."""
+    """CDF ``startingTimestamp`` (+ optional ``endingTimestamp``)
+    semantics: changes from the earliest version committed at/after
+    ``start_ts_ms`` through ``ending_version``, or through the latest
+    version committed at/before ``end_ts_ms``, or the log head."""
     first = resolve_version_at_timestamp(spark, table_path, start_ts_ms,
                                          mode="at_or_after")
+    if ending_version is not None and end_ts_ms is not None:
+        raise ValueError("pass ending_version or end_ts_ms, not both")
+    if end_ts_ms is not None:
+        ending_version = resolve_version_at_timestamp(
+            spark, table_path, end_ts_ms, mode="at_or_before")
     if ending_version is None:
         ending_version = max(list_delta_versions(spark, table_path))
+    if ending_version < first:
+        raise ValueError(
+            f"endingTimestamp resolves to version {ending_version}, before "
+            f"startingTimestamp's version {first} — empty inverted range")
     return read_delta_changes(spark, table_path, first - 1, ending_version)
 
 

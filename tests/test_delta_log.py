@@ -368,6 +368,14 @@ def test_cdf_starting_timestamp(spark, delta_table):
     with pytest.raises(ValueError, match="after the latest"):
         read_delta_changes_from_timestamp(spark, delta_table,
                                           V2_TS_MS + 10_000)
+    # endingTimestamp bounds the range: (v0, v1] only
+    ch = read_delta_changes_from_timestamp(
+        spark, delta_table, V2_TS_MS - 1000, end_ts_ms=V2_TS_MS - 1)
+    assert sorted((r.id, r._change_type) for r in ch.collect()) == [
+        (4, "delete"), (5, "delete"), (7, "insert"), (8, "insert")]
+    with pytest.raises(ValueError, match="inverted range"):
+        read_delta_changes_from_timestamp(
+            spark, delta_table, V2_TS_MS, end_ts_ms=V2_TS_MS - 1000)
 
 
 def test_versioned_snapshot_at_timestamp_dispatch(spark, tmp_path,
