@@ -77,3 +77,56 @@ def test_pagerank_exact_mass_bounds_random_graphs(edge_list):
     assert len(prs) == n
     assert all(base <= p <= n * PR_SCALE for p in prs)
     assert sum(prs) <= n * PR_SCALE + n  # floors only remove mass
+
+
+# --- deletion-vector codec (sources/delta_dv.py) -----------------------------
+
+from databricks_import_pyspark_scripts_spark.sources.delta_dv import (  # noqa: E402
+    deserialize_bitmap_array,
+    read_dv_from_file_bytes,
+    serialize_bitmap_array,
+    write_dv_file,
+    z85_decode,
+    z85_encode,
+)
+
+
+@given(st.binary(min_size=0, max_size=64).filter(lambda b: len(b) % 4 == 0))
+@settings(max_examples=200, deadline=None)
+def test_z85_roundtrip(data):
+    assert z85_decode(z85_encode(data)) == data
+
+
+@given(st.lists(
+    st.one_of(st.integers(0, 1 << 20),          # dense low range
+              st.integers(0, (1 << 34) - 1)),   # cross the 32-bit key split
+    min_size=0, max_size=500))
+@settings(max_examples=150, deadline=None)
+def test_roaring_bitmap_array_roundtrip(indexes):
+    data = serialize_bitmap_array(indexes)
+    assert deserialize_bitmap_array(data).tolist() == sorted(set(indexes))
+
+
+@given(st.integers(0, 65535), st.integers(1, 6000))
+@settings(max_examples=50, deadline=None)
+def test_roaring_dense_run_crosses_container_kinds(start, length):
+    # contiguous runs cross the 4096-cardinality array/bitset boundary
+    idx = list(range(start, start + length))
+    assert deserialize_bitmap_array(
+        serialize_bitmap_array(idx)).tolist() == idx
+
+
+@given(st.lists(st.lists(st.integers(0, 10**6), min_size=0, max_size=50),
+                min_size=1, max_size=5))
+@settings(max_examples=50, deadline=None)
+def test_dv_file_framing_roundtrip(bitmap_sets):
+    import os
+    import tempfile
+
+    datas = [serialize_bitmap_array(s) for s in bitmap_sets]
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "dv.bin")
+        offsets = write_dv_file(p, datas)
+        blob = open(p, "rb").read()
+        for (off, size), data in zip(offsets, datas):
+            assert read_dv_from_file_bytes(blob, off, size) == data
