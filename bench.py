@@ -99,6 +99,7 @@ HEADLINE = [
     "delta_data_skipping_agg",
     "corpus_systematic_pps_sharded",
     "events_zorder_index",
+    "dedup_decontaminate_substring",
 ]
 
 EXTENSION_ROWS = {
@@ -313,7 +314,8 @@ def main() -> int:
                 "events_psi_quantile_drift", "events_mix_drift"}
     r8_rows = {"delta_dv_snapshot_agg", "delta_column_mapped_read",
                "delta_timestamp_travel_agg", "delta_data_skipping_agg",
-               "corpus_systematic_pps_sharded", "events_zorder_index"}
+               "corpus_systematic_pps_sharded", "events_zorder_index",
+               "dedup_decontaminate_substring"}
     # same membership as comparable_queries_sec (includes the unload e2e row)
     comp = [k for k in timings
             if k not in EXTENSION_ROWS and k not in stress

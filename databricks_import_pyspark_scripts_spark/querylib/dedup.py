@@ -803,3 +803,63 @@ def dedup_cluster_size_histogram(spark: SparkSession,
             .select("cluster_size", "n_clusters",
                     (F.col("cluster_size") * F.col("n_clusters"))
                     .alias("n_docs")))
+
+
+_CANARY_POS, _CANARY_LEN = 11, 12
+
+
+@register(
+    "dedup_decontaminate_substring",
+    f"""
+    WITH bench AS (
+      SELECT DISTINCT substring(text, {_CANARY_POS}, {_CANARY_LEN}) AS canary
+      FROM documents WHERE doc_id % 100 = 0
+        AND length(substring(text, {_CANARY_POS}, {_CANARY_LEN}))
+            = {_CANARY_LEN}
+    ), hits AS (
+      SELECT d.doc_id, COUNT(*) AS n_hits
+      FROM documents d JOIN bench ON contains(d.text, bench.canary)
+      WHERE d.doc_id % 100 <> 0
+      GROUP BY d.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_canary_hits,
+           COALESCE(n_hits, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 100 <> 0) d
+    LEFT JOIN hits ON d.doc_id = hits.doc_id
+    """,
+    doc="EXACT-SUBSTRING benchmark decontamination — the canary-detection "
+        "complement of the shingle-overlap pass "
+        "(dedup_decontaminate_benchmark catches paraphrase-level token "
+        "overlap; this catches verbatim inclusion of an eval string, "
+        "punctuation and all — the GPT-3-appendix-style exact-match "
+        "check). A fixed 12-char slice of every benchmark doc (doc_id % "
+        "100 = 0) is the canary (real canaries run 40+ chars; the short "
+        "slice keeps the HIT path non-trivial on the synthetic corpus, "
+        "which has no verbatim 40-char repeats); a training doc is "
+        "contaminated when its "
+        "RAW text contains any canary as a substring. Plan shape at 100 "
+        "TB: the canary set is benchmark-sized, deduped, and BROADCAST; "
+        "the corpus streams once through a BroadcastNestedLoopJoin whose "
+        "predicate is the codegen'd contains() — O(corpus x |canaries|) "
+        "character scans, never a corpus shuffle (only matching (doc, "
+        "canary) rows reach the per-doc count). For 10^5+ canaries, swap "
+        "the nested loop for an Aho-Corasick automaton in a mapInPandas "
+        "pass — the broadcast-the-needles model is unchanged.")
+def dedup_decontaminate_substring(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    canary = F.substring(F.col("text"), _CANARY_POS, _CANARY_LEN)
+    bench = (d.filter(F.col("doc_id") % 100 == 0)
+             .select(canary.alias("canary"))
+             .filter(F.length("canary") == _CANARY_LEN).distinct())
+    corpus = d.filter(F.col("doc_id") % 100 != 0).select("doc_id", "text")
+    hits = (corpus.join(F.broadcast(bench),
+                        F.expr("contains(text, canary)"))
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits")))
+    base = d.filter(F.col("doc_id") % 100 != 0).select("doc_id")
+    return (base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_hits"), F.lit(0).cast("long"))
+            .alias("n_canary_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated")))
