@@ -1029,6 +1029,54 @@ def write_delta_table(spark: SparkSession, commits: list[DataFrame],
     return table_path
 
 
+def delta_incremental_ingest(spark: SparkSession, table_path: str,
+                             state_path: str, apply_fn) -> int:
+    """One scheduler tick of the reference's job loop — repeated bounded
+    CDF pulls with a PERSISTED high-water mark
+    (unload_databricks_data_to_s3.py:189-200 runs once per scheduled job
+    with the versions passed in; this utility owns the version bookkeeping
+    so a cron/Airflow tick is just ``delta_incremental_ingest(...)``).
+
+    Reads the last ingested version from ``state_path`` (absent -> -1,
+    i.e. the first tick ingests the full history as CDF rows), pulls
+    ``(last, current]`` via :func:`delta_tail`, calls ``apply_fn(df,
+    last, current)``, then persists the new mark ATOMICALLY (temp file +
+    rename). Crash AFTER apply but BEFORE the mark persists re-delivers
+    the same range on the next tick — so ``apply_fn`` must be idempotent
+    on the version range, the same contract as stream_unload's
+    batch-id-overwrite sinks. Returns the new high-water mark (unchanged
+    when there is nothing new; the no-op tick costs one log listing and
+    no Spark job)."""
+    last = -1
+    if _is_local(state_path):
+        sp = _strip_scheme(state_path)
+        if os.path.exists(sp):
+            with open(sp) as f:
+                last = int(f.read().strip() or -1)
+    elif _exists(spark, state_path):
+        last = int(_read_bytes(spark, state_path).decode().strip() or -1)
+    df, current = delta_tail(spark, table_path, last)
+    if df is None:
+        return last
+    apply_fn(df, last, current)
+    if _is_local(state_path):
+        sp = _strip_scheme(state_path)
+        os.makedirs(os.path.dirname(sp) or ".", exist_ok=True)
+        tmp = sp + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(current))
+        os.replace(tmp, sp)
+    else:
+        jvm = spark.sparkContext._jvm  # noqa: SLF001
+        fs, p = _hadoop_fs(spark, state_path)
+        tmp_p = jvm.org.apache.hadoop.fs.Path(state_path + ".tmp")
+        out = fs.create(tmp_p, True)
+        out.write(bytearray(str(current).encode()))
+        out.close()
+        fs.rename(tmp_p, p)
+    return current
+
+
 def delta_tail(spark: SparkSession, table_path: str,
                last_version: int) -> tuple[DataFrame | None, int]:
     """One micro-ingest increment over a real Delta table: the change rows

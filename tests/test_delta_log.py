@@ -282,6 +282,41 @@ def test_dv_whole_file_delete_of_dv_file(spark, dv_table):
                     (6, "delete")]
 
 
+# ----------------------------------------------------------- incremental ingest
+
+def test_delta_incremental_ingest_resumes_and_is_atomic(spark, delta_table,
+                                                        tmp_path):
+    """Tick 1 ingests the full history as CDF rows and persists the mark;
+    a new commit makes tick 2 pull ONLY the delta; tick 3 is a no-op; a
+    crash-before-mark (mark file rolled back) re-delivers the same range."""
+    from databricks_import_pyspark_scripts_spark.sources.delta_log import (
+        delta_incremental_ingest,
+    )
+    state = str(tmp_path / "state" / "hwm")
+    seen: list[tuple[int, int, int]] = []
+
+    def apply_fn(df, last, current):
+        seen.append((last, current, df.count()))
+
+    assert delta_incremental_ingest(spark, delta_table, state, apply_fn) == 2
+    assert seen[-1][:2] == (-1, 2) and seen[-1][2] > 0
+    # no new commits -> no-op, apply_fn not called
+    assert delta_incremental_ingest(spark, delta_table, state, apply_fn) == 2
+    assert len(seen) == 1
+    # new commit: whole-file delete of f4 (v3)
+    _commit(os.path.join(delta_table, "_delta_log"), 3, [
+        {"commitInfo": {"timestamp": V2_TS_MS + 1000, "operation": "DELETE"}},
+        {"remove": {"path": "part=a/f4.parquet", "deletionTimestamp": 9,
+                    "dataChange": True, "partitionValues": {"part": "a"}}}])
+    assert delta_incremental_ingest(spark, delta_table, state, apply_fn) == 3
+    assert seen[-1] == (2, 3, 2)  # ids 7, 8 deleted
+    # crash-before-mark: roll the mark back and re-tick -> same range again
+    with open(state, "w") as f:
+        f.write("2")
+    assert delta_incremental_ingest(spark, delta_table, state, apply_fn) == 3
+    assert seen[-1] == (2, 3, 2)
+
+
 # --------------------------------------------------------------- data skipping
 
 def test_data_skipping_prunes_files_and_keeps_rows(spark, tmp_path):
