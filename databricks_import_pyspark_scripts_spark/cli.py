@@ -33,7 +33,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help='e.g. "events=0-3,users=2-5"; start==0 means '
                         'snapshot-of-end (required unless --maintenance)')
     p.add_argument("--maintenance",
-                   choices=("optimize", "vacuum", "drift", "neardup-index"),
+                   choices=("optimize", "vacuum", "drift", "neardup-index",
+                            "delta-ingest"),
                    help="run a table-maintenance operation instead of an "
                         "unload: optimize = compact the latest snapshot "
                         "into a new version; vacuum = drop versions below "
@@ -42,7 +43,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "neardup-index = build the MinHash band index of "
                         "the latest snapshot and write it to --output-path "
                         "partitioned by band_idx (the stored table "
-                        "incremental near-dup probes)")
+                        "incremental near-dup probes); delta-ingest = one "
+                        "scheduler tick of the incremental CDF pull from a "
+                        "REAL Delta table dir (<source-root>/<table> with "
+                        "_delta_log, no jars needed): resumes from "
+                        "--state-path, writes the new change rows under "
+                        "--output-path/range=<a>-<b> (idempotent overwrite), "
+                        "advances the mark atomically")
+    p.add_argument("--state-path", default=None,
+                   help="delta-ingest: high-water-mark file (created on "
+                        "first tick)")
     p.add_argument("--id-col", default="doc_id",
                    help="neardup-index: document id column")
     p.add_argument("--text-col", default="text",
@@ -119,6 +129,11 @@ def _run_maintenance(args) -> int:
     if args.maintenance == "neardup-index" and not args.output_path:
         print("--output-path is required for neardup-index", file=sys.stderr)
         return 2
+    if args.maintenance == "delta-ingest" and (
+            not args.output_path or not args.state_path):
+        print("--output-path and --state-path are required for delta-ingest",
+              file=sys.stderr)
+        return 2
     if args.maintenance == "drift" and (args.drift_from is None
                                         or args.drift_to is None):
         print("--drift-from/--drift-to are required for drift",
@@ -153,6 +168,25 @@ def _run_maintenance(args) -> int:
         n = spark.read.parquet(args.output_path).count()
         report = {"table": args.table, "snapshot_version": latest,
                   "index_path": args.output_path, "band_rows": n}
+    elif args.maintenance == "delta-ingest":
+        from .sources.delta_log import delta_incremental_ingest
+
+        table_path = f"{args.source_root}/{args.table}"
+        written: dict = {}
+
+        def apply_fn(df, last, current):
+            # per-range overwrite dir: re-delivery after a crash-before-mark
+            # rewrites the same dir — idempotent, never duplicated
+            dest = f"{args.output_path}/range={last + 1}-{current}"
+            df.write.mode("overwrite").parquet(dest)
+            written.update({"range": [last + 1, current],
+                            "rows": spark.read.parquet(dest).count(),
+                            "dest": dest})
+
+        hwm = delta_incremental_ingest(spark, table_path, args.state_path,
+                                       apply_fn)
+        report = {"table": args.table, "high_water_mark": hwm,
+                  "new_data": bool(written), **written}
     else:
         report = schema_drift_report(spark, args.source_root, args.table,
                                      args.drift_from, args.drift_to)

@@ -165,3 +165,46 @@ def test_cli_neardup_index_build_and_probe(spark, tmp_path):
          "--maintenance", "neardup-index"],
         capture_output=True, text=True, cwd="/root/repo", timeout=120)
     assert p2.returncode == 2
+
+
+def test_cli_delta_ingest_ticks(spark, tmp_path):
+    """delta-ingest verb: tick 1 pulls the full CDF history from a REAL
+    Delta table dir and persists the mark; tick 2 is a no-op; after a new
+    commit, tick 3 pulls only the delta into its own range= dir."""
+    import os
+
+    from delta_fixture import V2_TS_MS, _commit, make_delta_table
+
+    root = str(tmp_path / "src")
+    make_delta_table(os.path.join(root, "tbl"))
+    out = str(tmp_path / "ingest")
+    state = str(tmp_path / "state" / "hwm")
+
+    def tick():
+        proc = subprocess.run(
+            [sys.executable, "-m", "databricks_import_pyspark_scripts_spark.cli",
+             "--source-root", root, "--table", "tbl",
+             "--maintenance", "delta-ingest",
+             "--state-path", state, "--output-path", out],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+            env={"SPARK_GRAFT_CPUS": "4", "PATH": "/usr/bin:/bin",
+                 "HOME": "/root",
+                 "JAVA_HOME": __import__("os").environ.get("JAVA_HOME", "")},
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    r1 = tick()
+    assert r1["high_water_mark"] == 2 and r1["new_data"]
+    assert r1["range"] == [0, 2] and r1["rows"] > 0
+    r2 = tick()
+    assert r2["high_water_mark"] == 2 and not r2["new_data"]
+    _commit(os.path.join(root, "tbl", "_delta_log"), 3, [
+        {"commitInfo": {"timestamp": V2_TS_MS + 1000, "operation": "DELETE"}},
+        {"remove": {"path": "part=a/f4.parquet", "deletionTimestamp": 9,
+                    "dataChange": True, "partitionValues": {"part": "a"}}}])
+    r3 = tick()
+    assert r3["high_water_mark"] == 3 and r3["range"] == [3, 3]
+    assert r3["rows"] == 2  # ids 7, 8 deleted
+    got = spark.read.parquet(f"{out}/range=3-3")
+    assert sorted(r.id for r in got.collect()) == [7, 8]
