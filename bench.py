@@ -328,19 +328,24 @@ def main() -> int:
     # where did shuffle/spill files actually land? SCALE.md's intervention
     # experiment showed tmpfs-vs-disk shuffle dirs is THE lever behind the
     # melt-path wobble; the artifact must prove which one this run used
-    local_dir = spark.sparkContext.getConf().get(
-        "spark.local.dir", "/tmp (spark default)")
+    local_dir = spark.sparkContext.getConf().get("spark.local.dir", "")
+    probe_dir = local_dir.split(",")[0] if local_dir else "/tmp"
+    if not local_dir:
+        local_dir = "/tmp (spark default)"
     fs_type = "unknown"
     try:
-        dev = os.stat(local_dir.split(",")[0]).st_dev
         with open("/proc/mounts") as f:
             best = ""
             for line in f:
                 parts = line.split()
-                if len(parts) >= 3 and local_dir.split(",")[0].startswith(
-                        parts[1]) and len(parts[1]) >= len(best):
-                    best, fs_type = parts[1], parts[2]
-        _ = dev
+                if len(parts) < 3:
+                    continue
+                mnt = parts[1]
+                # path-boundary prefix match: /tmp must not claim /tmpfoo
+                if (probe_dir == mnt or mnt == "/"
+                        or probe_dir.startswith(mnt.rstrip("/") + "/")) \
+                        and len(mnt) >= len(best):
+                    best, fs_type = mnt, parts[2]
     except OSError:
         pass
     diag = {"diagnostics": "query_samples", "query_samples": samples,

@@ -175,11 +175,23 @@ def _run_maintenance(args) -> int:
         written: dict = {}
 
         def apply_fn(df, last, current):
-            # per-range overwrite dir: re-delivery after a crash-before-mark
-            # rewrites the same dir — idempotent, never duplicated
-            dest = f"{args.output_path}/range={last + 1}-{current}"
+            # per-range overwrite dir, PLUS removal of any stale dir that
+            # starts at the same version: a crash-before-mark followed by a
+            # new table commit makes the retry pull a LONGER range
+            # (range=3-5 crash -> retry writes range=3-6), and leaving the
+            # shorter overlapping dir behind would double-count versions
+            # 3-5 for any consumer reading output_path/*
+            import glob
+            import shutil
+
+            start = last + 1
+            # local-path cleanup (glob is a no-op on remote schemes, where
+            # the consumer-side dedup key is the range dir name itself)
+            for stale in glob.glob(f"{args.output_path}/range={start}-*"):
+                shutil.rmtree(stale, ignore_errors=True)
+            dest = f"{args.output_path}/range={start}-{current}"
             df.write.mode("overwrite").parquet(dest)
-            written.update({"range": [last + 1, current],
+            written.update({"range": [start, current],
                             "rows": spark.read.parquet(dest).count(),
                             "dest": dest})
 

@@ -93,10 +93,17 @@ ZORDER_BITS = ZORDER_BITS_PER_DIM
 
 def int_bucket_col(col: str, mn: str, mx: str,
                    bits: int = ZORDER_BITS) -> Column:
-    """Integer-exact rank bucket in [0, 2^bits): ((x - min) * 2^bits) div
-    (max - min + 1). ``mn``/``mx`` are column NAMES (joined-in aggregates),
-    keeping the whole computation inside the plan."""
-    return F.expr(f"(({col} - {mn}) * {1 << bits}) div ({mx} - {mn} + 1)")
+    """Integer-exact rank bucket in [0, 2^bits): (x - min) div step with
+    step = ((max - min) div 2^bits) + 1. ``mn``/``mx`` are column NAMES
+    (joined-in aggregates), keeping the whole computation inside the plan.
+
+    Division-only on purpose: the multiply-first form ((x-min) * 2^bits)
+    wraps int64 silently in Spark's non-ANSI mode once the column span
+    crosses 2^(63-bits) — snowflake-style epoch-derived ids DO — while
+    DuckDB promotes to HUGEINT and diverges. step > span/2^bits guarantees
+    the quotient stays under 2^bits, with no intermediate ever exceeding
+    the span itself."""
+    return F.expr(f"({col} - {mn}) div ((({mx} - {mn}) div {1 << bits}) + 1)")
 
 
 def interleave_bits(bucket_cols: list[Column],

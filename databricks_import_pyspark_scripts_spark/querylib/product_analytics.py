@@ -852,8 +852,8 @@ def _zorder_oracle() -> str:
                 FROM events),
     b AS (
       SELECT event_id, user_id,
-             ((event_id - mn_e) * {nb}) // (mx_e - mn_e + 1) AS be,
-             ((user_id  - mn_u) * {nb}) // (mx_u - mn_u + 1) AS bu
+             (event_id - mn_e) // (((mx_e - mn_e) // {nb}) + 1) AS be,
+             (user_id  - mn_u) // (((mx_u - mn_u) // {nb}) + 1) AS bu
       FROM events CROSS JOIN mm)
     SELECT event_id, user_id, CAST({z} AS BIGINT) AS z
     FROM b

@@ -56,11 +56,14 @@ structs) and restored to logical names with a positional struct cast;
 ``partitionValues`` keys are translated log-side. Mode ``id`` (parquet
 field-id matching) remains rejected.
 
+V2 (uuid-named) checkpoints ARE supported: json/parquet top-level files
+resolved together with their parquet sidecars at replay.
+
 Deliberately unsupported (protocol features that change how file DATA must
 be interpreted, detected and rejected loudly rather than read wrongly):
-column mapping ``id`` mode, v2 checkpoints, type widening. Supported reader
-features: ``timestampNtz``, ``vacuumProtocolCheck``, ``deletionVectors``,
-``columnMapping`` (name mode).
+column mapping ``id`` mode, type widening. Supported reader features:
+``timestampNtz``, ``vacuumProtocolCheck``, ``deletionVectors``,
+``columnMapping`` (name mode), ``v2Checkpoint``.
 """
 
 from __future__ import annotations
@@ -416,9 +419,15 @@ def replay_log(spark: SparkSession, table_path: str,
     log = os.path.join(table_path, LOG_DIR)
     names = _list_names(spark, log)
     commits = sorted(int(m.group(1)) for n in names if (m := _COMMIT_RE.match(n)))
-    if not commits and not any(_CHECKPOINT_RE.match(n) for n in names):
+    cp_versions = sorted({int(m.group(1)) for n in names
+                          if (m := (_CHECKPOINT_RE.match(n)
+                                    or _CHECKPOINT_V2_RE.match(n)))})
+    if not commits and not cp_versions:
         raise FileNotFoundError(f"not a Delta table (empty log): {table_path}")
-    target = max(commits) if version is None else int(version)
+    # metadata cleanup can leave a checkpoint-only log (every JSON commit
+    # retired): the latest state is then the newest checkpoint's version
+    latest = max([*commits, *cp_versions])
+    target = latest if version is None else int(version)
 
     metadata: dict | None = None
     protocol: dict = {"minReaderVersion": 1}
@@ -648,8 +657,16 @@ def _apply_deletion_vectors(spark: SparkSession, df: DataFrame,
     total_card = 0
     for a in dv_actions:
         d = a["deletionVector"]
-        dv_raw[_action_base(table_path, a["path"])] = _dv_bytes(
-            spark, table_path, d)
+        base = _action_base(table_path, a["path"])
+        if base in dv_raw:
+            # the (file, row_index) key the filter joins on would alias two
+            # distinct files — deleting rows from the wrong one. Real Delta
+            # writers embed UUIDs in file names, so this never fires in
+            # practice; when it does, refuse loudly rather than read wrongly
+            raise DeltaProtocolError(
+                f"basename collision among DV-bearing files ({base}); "
+                f"deletion vectors cannot be applied unambiguously")
+        dv_raw[base] = _dv_bytes(spark, table_path, d)
         total_card += int(d.get("cardinality") or 0)
     if total_card <= DV_ANTIJOIN_MAX_ROWS:
         import numpy as np
@@ -688,6 +705,8 @@ def _apply_deletion_vectors(spark: SparkSession, df: DataFrame,
             if base not in parsed:
                 parsed[base] = deserialize_bitmap_array(raw)
             dead = parsed[base]
+            if dead.size == 0:  # cardinality-0 descriptor: nothing deleted
+                continue
             vals = idx.to_numpy()
             pos = np.searchsorted(dead, vals)
             hit = (pos < dead.size) & (dead[np.minimum(pos, dead.size - 1)]
@@ -745,6 +764,13 @@ def _scan_files(spark: SparkSession, table_path: str, rep: _Replay,
                     f"the log but absent (vacuumed?)")
     bases = [_action_base(table_path, a["path"]) for a in actions]
     collision = len(set(bases)) != len(bases)
+    if collision and has_dv:
+        # DV filtering joins on the 2-segment file key; a collision would
+        # also delete rows from the colliding NON-DV twin. Never produced
+        # by real (UUID-named) Delta writers — reject loudly.
+        raise DeltaProtocolError(
+            "file basename collision in a snapshot with deletion vectors; "
+            "rows cannot be attributed to files unambiguously")
     if not collision:
         df = _scan(paths)
         if part_cols:
@@ -949,17 +975,31 @@ def _file_stats_json(path: str) -> str:
             name = col.path_in_schema
             if "." in name:  # nested: skip (protocol allows partial stats)
                 continue
-            st = col.statistics
-            if st is None:
+            try:
+                st = col.statistics
+                if st is None:
+                    continue
+                has_mm, mn, mx = st.has_min_max, None, None
+                if has_mm:
+                    mn, mx = st.min, st.max
+                null_count = st.null_count
+            except Exception:  # noqa: BLE001 — pyarrow raises
+                # ArrowNotImplementedError for types it can't extract
+                # (e.g. some decimals); such columns are simply unskippable
                 continue
-            nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
-            if st.has_min_max:
-                mn, mx = st.min, st.max
+            nulls[name] = nulls.get(name, 0) + (null_count or 0)
+            if has_mm:
                 if isinstance(mn, bytes):
                     try:
                         mn, mx = mn.decode(), mx.decode()
                     except UnicodeDecodeError:
                         continue
+                # the promised "others are omitted" guard: only JSON-native
+                # scalar types carry min/max (timestamp/date/decimal stats
+                # come back as Python objects json.dumps rejects; a file
+                # without min/max for a column is simply unskippable on it)
+                if not isinstance(mn, (int, float, str, bool)):
+                    continue
                 mins[name] = mn if name not in mins else min(mins[name], mn)
                 maxs[name] = mx if name not in maxs else max(maxs[name], mx)
     return json.dumps({"numRecords": md.num_rows, "minValues": mins,
@@ -1073,7 +1113,17 @@ def delta_incremental_ingest(spark: SparkSession, table_path: str,
         out = fs.create(tmp_p, True)
         out.write(bytearray(str(current).encode()))
         out.close()
-        fs.rename(tmp_p, p)
+        # HDFS/object-store rename returns false (not an exception) when
+        # the destination exists — a silently stale mark would re-ingest
+        # the same range forever. Delete-then-rename, and FAIL LOUDLY if
+        # the rename still reports false: a crash between delete and
+        # rename re-delivers once (the documented idempotency contract),
+        # never loops.
+        if fs.exists(p):
+            fs.delete(p, False)
+        if not fs.rename(tmp_p, p):
+            raise OSError(
+                f"could not persist ingest high-water mark to {state_path}")
     return current
 
 

@@ -139,8 +139,15 @@ def read_snapshot_at_timestamp(spark: SparkSession, root: str, table: str,
     same at-or-before contract, driver-side metadata only."""
     if _delta_available(spark):
         import datetime as _dt
-        ts = _dt.datetime.fromtimestamp(ts_ms / 1000,
-                                        tz=_dt.timezone.utc)
+        from zoneinfo import ZoneInfo
+
+        # Delta parses the timestampAsOf STRING in the SESSION timezone —
+        # formatting the instant as UTC wall-clock would shift resolution
+        # by the session's UTC offset and silently land on a different
+        # version. Render in the session zone so the string names the
+        # intended instant.
+        tz = ZoneInfo(spark.conf.get("spark.sql.session.timeZone"))
+        ts = _dt.datetime.fromtimestamp(ts_ms / 1000, tz=tz)
         return (spark.read.format("delta")
                 .option("timestampAsOf",
                         ts.strftime("%Y-%m-%d %H:%M:%S.%f"))

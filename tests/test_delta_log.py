@@ -282,6 +282,46 @@ def test_dv_whole_file_delete_of_dv_file(spark, dv_table):
                     (6, "delete")]
 
 
+def test_v2_checkpoint_only_log_still_readable(spark, delta_table):
+    """Metadata cleanup can retire EVERY json commit, leaving a
+    checkpoint-only log; the latest state must still resolve and read."""
+    from delta_fixture import write_v2_checkpoint
+
+    rep = replay_log(spark, delta_table, 2)
+    actions = [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                             "readerFeatures": ["v2Checkpoint"],
+                             "writerFeatures": ["v2Checkpoint"]}},
+               {"metaData": rep.metadata}]
+    actions += [{"add": a} for a in rep.files.values()]
+    write_v2_checkpoint(delta_table, 2, actions)
+    for v in (0, 1, 2):
+        os.remove(os.path.join(delta_table, "_delta_log", f"{v:020d}.json"))
+    assert _ids(read_delta_snapshot(spark, delta_table)) == [1, 2, 3, 6,
+                                                             7, 8]
+
+
+def test_staging_writer_stats_skip_non_json_types(spark, tmp_path):
+    """write_delta_table on a timestamp/date/decimal-bearing frame must not
+    crash: non-JSON-native stats are omitted (file stays unskippable on
+    those columns), numeric/string stats still present."""
+    from databricks_import_pyspark_scripts_spark.sources.delta_log import (
+        replay_log,
+        write_delta_table,
+    )
+    df = spark.range(10).selectExpr(
+        "id", "timestamp_millis(1700000000000 + id) AS ts",
+        "CAST(id AS DECIMAL(10,2)) AS money",
+        "date_from_unix_date(CAST(id AS INT)) AS d", "id % 2 = 0 AS b")
+    t = str(tmp_path / "tstats")
+    write_delta_table(spark, [df], t, enable_cdf=False)
+    rep = replay_log(spark, t)
+    import json as _json
+    stats = [_json.loads(a["stats"]) for a in rep.files.values()]
+    assert all("id" in s["minValues"] for s in stats)
+    assert all("ts" not in s["minValues"] for s in stats)
+    assert all(s["numRecords"] > 0 for s in stats)
+
+
 # ----------------------------------------------------------- incremental ingest
 
 def test_delta_incremental_ingest_resumes_and_is_atomic(spark, delta_table,
