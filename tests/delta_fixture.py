@@ -313,16 +313,26 @@ def write_v2_checkpoint(table_path: str, version: int, actions: list[dict],
                                              or {}).items()),
                     "size": add.get("size", 1),
                     "modificationTime": add.get("modificationTime", 1),
-                    "dataChange": add.get("dataChange", True)}
+                    "dataChange": add.get("dataChange", True),
+                    "deletionVector": (
+                        {k: add["deletionVector"].get(k)
+                         for k in ("storageType", "pathOrInlineDv",
+                                   "offset", "sizeInBytes", "cardinality")}
+                        if add.get("deletionVector") else None)}
             if add else None,
             "remove": {"path": rem["path"],
                        "deletionTimestamp": rem.get("deletionTimestamp", 1),
                        "dataChange": rem.get("dataChange", True)}
             if rem else None})
     pv_t = pa.map_(pa.string(), pa.string())
+    dv_t = pa.struct([("storageType", pa.string()),
+                      ("pathOrInlineDv", pa.string()),
+                      ("offset", pa.int64()), ("sizeInBytes", pa.int64()),
+                      ("cardinality", pa.int64())])
     add_t = pa.struct([("path", pa.string()), ("partitionValues", pv_t),
                        ("size", pa.int64()), ("modificationTime", pa.int64()),
-                       ("dataChange", pa.bool_())])
+                       ("dataChange", pa.bool_()),
+                       ("deletionVector", dv_t)])
     rem_t = pa.struct([("path", pa.string()),
                        ("deletionTimestamp", pa.int64()),
                        ("dataChange", pa.bool_())])
@@ -360,6 +370,13 @@ def write_checkpoint(spark, table_path: str, version: int,
         StructField, StructType,
     )
 
+    dv_t = StructType([
+        StructField("storageType", StringType()),
+        StructField("pathOrInlineDv", StringType()),
+        StructField("offset", LongType()),
+        StructField("sizeInBytes", LongType()),
+        StructField("cardinality", LongType()),
+    ])
     add_t = StructType([
         StructField("path", StringType()),
         StructField("partitionValues", MapType(StringType(), StringType(),
@@ -367,6 +384,7 @@ def write_checkpoint(spark, table_path: str, version: int,
         StructField("size", LongType()),
         StructField("modificationTime", LongType()),
         StructField("dataChange", BooleanType()),
+        StructField("deletionVector", dv_t),
     ])
     remove_t = StructType([
         StructField("path", StringType()),
@@ -396,6 +414,19 @@ def write_checkpoint(spark, table_path: str, version: int,
                 "id": md["id"], "schemaString": md["schemaString"],
                 "partitionColumns": md["partitionColumns"],
                 "configuration": md.get("configuration") or {}}
+        elif "add" in a:
+            add = a["add"]
+            row["add"] = {
+                "path": add["path"],
+                "partitionValues": add.get("partitionValues") or {},
+                "size": add.get("size", 1),
+                "modificationTime": add.get("modificationTime", 1),
+                "dataChange": add.get("dataChange", True),
+                "deletionVector": (
+                    {k: add["deletionVector"].get(k)
+                     for k in ("storageType", "pathOrInlineDv", "offset",
+                               "sizeInBytes", "cardinality")}
+                    if add.get("deletionVector") else None)}
         else:
             row.update({k: v for k, v in a.items() if k in row})
         rows.append(row)
