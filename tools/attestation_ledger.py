@@ -328,17 +328,25 @@ def render(names: list[str], hist: dict[str, tuple[int, bool]],
 
 def main() -> int:
     names, hist = gather()
-    changed, _current = code_rounds()
+    changed, current = code_rounds()
     if "--suggest" in sys.argv:
         # never-attested first (ZERO evidence beats invalid evidence —
         # a brand-new query must not queue behind a backlog of code-stale
-        # ones), then code-stale (their attestations describe old code),
-        # then oldest-attested; stable by current order
+        # ones), then STARVED (last attestation >= STARVE_AGE rounds old —
+        # a starvation guard, because tiering code-stale above
+        # oldest-attested let the r1-era TPC-H tail sit unattested for six
+        # rounds behind a perpetually-refilled code-stale queue, VERDICT
+        # r7 next-round #2), then code-stale (their attestations describe
+        # old code), then oldest-attested; stable by current order
+        STARVE_AGE = 5
+
         def key(i: int):
             n = names[i]
             att = hist.get(n, (0,))[0]
             stale = changed.get(n, 0) > att and att > 0
-            return (0 if att == 0 else (1 if stale else 2), att, i)
+            starved = att > 0 and current - att >= STARVE_AGE
+            tier = 0 if att == 0 else (1 if starved else (2 if stale else 3))
+            return (tier, att, i)
         try:
             for i in sorted(range(len(names)), key=key):
                 print(f'    "{names[i]}",')
