@@ -393,3 +393,121 @@ def delta_cdf_insert_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_change_type").alias("change_type"),
         F.col("_commit_version").cast("int").alias("commit_version"),
         (F.unix_millis(F.col("_commit_timestamp"))).alias("commit_ts_ms"))
+
+
+# ---------------------------------------------------------------------------
+# transactional writer gates (sinks/delta_writer.py): the table is BUILT by
+# the jar-less writer — create / append / delete / update, with explicit cdc
+# files — and read back through the log-replay reader; the oracle re-derives
+# every state from the parquet source with the same predicates as SQL. A
+# writer bug (wrong rewrite scope, wrong cdc rows, wrong remove set, torn
+# commit) diverges the value hash.
+
+# v0 create: event_id%3=0 (partitioned by event_type, CDF on)
+# v1 append: event_id%3=1
+# v2 delete: event_id%5=0
+# v3 update: value += 1000 where event_id%7=0
+_W_DEL, _W_UPD = "event_id % 5 = 0", "event_id % 7 = 0"
+
+
+def _writer_staged_table(spark: SparkSession, sf_dir: str) -> str:
+    from ..sinks.delta_writer import (
+        append_delta,
+        create_delta_table,
+        delete_where,
+        update_where,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_delta_writer_gate_{tag}_v1")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)  # torn build: start over
+        e = (load_table(spark, sf_dir, "events")
+             .select("event_id", "event_type", "value"))
+        create_delta_table(spark, e.filter(F.expr(_V0_PRED)), path,
+                           partition_by=["event_type"], cdf=True,
+                           ts_ms=_BASE_TS_MS)
+        append_delta(spark, e.filter(F.expr(_V1_PRED)), path,
+                     ts_ms=_BASE_TS_MS + 1000)
+        delete_where(spark, path, _W_DEL, ts_ms=_BASE_TS_MS + 2000)
+        update_where(spark, path, _W_UPD, {"value": "value + 1000"},
+                     ts_ms=_BASE_TS_MS + 3000)
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "delta_writer_roundtrip_agg",
+    f"""
+    SELECT 1 AS version, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events WHERE ({_V0_PRED}) OR ({_V1_PRED})
+    GROUP BY event_type
+    UNION ALL
+    SELECT 3 AS version, event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(CASE WHEN {_W_UPD} THEN value + 1000
+                          ELSE value END), 4) AS sum_value
+    FROM events
+    WHERE (({_V0_PRED}) OR ({_V1_PRED})) AND NOT ({_W_DEL})
+    GROUP BY event_type
+    """,
+    doc="Jar-less transactional Delta WRITER round-trip: the table is "
+        "built by create/append/delete_where/update_where (partitioned, "
+        "CDF on, OCC commits) and both the pre-delete state (VERSION AS "
+        "OF 1) and the final state are snapshot-read through the replay "
+        "reader and aggregated per partition. Attests commit atomicity, "
+        "partitioned staging with partitionValues, rewrite scope, and "
+        "time travel across writer-produced commits.")
+def delta_writer_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.delta_log import read_delta_snapshot as snap
+
+    path = _writer_staged_table(spark, sf_dir)
+
+    def agg(df: DataFrame, version: int) -> DataFrame:
+        return (df.groupBy("event_type")
+                .agg(F.count("*").alias("n"),
+                     F.round(F.sum("value"), 4).alias("sum_value"))
+                .select(F.lit(version).alias("version"), "event_type",
+                        "n", "sum_value"))
+
+    return agg(snap(spark, path, version=1), 1).unionAll(
+        agg(snap(spark, path), 3))
+
+
+@register(
+    "delta_writer_update_cdf",
+    f"""
+    WITH live AS (SELECT * FROM events
+                  WHERE ({_V0_PRED}) OR ({_V1_PRED})),
+    feed AS (
+      SELECT 2 AS commit_version, 'delete' AS change_type, value
+      FROM live WHERE {_W_DEL}
+      UNION ALL
+      SELECT 3, 'update_preimage', value
+      FROM live WHERE NOT ({_W_DEL}) AND ({_W_UPD})
+      UNION ALL
+      SELECT 3, 'update_postimage', value + 1000
+      FROM live WHERE NOT ({_W_DEL}) AND ({_W_UPD})
+    )
+    SELECT commit_version, change_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM feed GROUP BY commit_version, change_type
+    """,
+    doc="Explicit cdc files from the writer's DELETE/UPDATE, read back as "
+        "a CDF range: changes in (1, 3] must be exactly the deleted rows "
+        "(v2) and the update pre/post images (v3) — file-op synthesis "
+        "would double-count the kept rows of rewritten files, so this "
+        "gate fails unless the writer emitted real cdc actions with the "
+        "right row sets.")
+def delta_writer_update_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _writer_staged_table(spark, sf_dir)
+    ch = read_delta_changes(spark, path, 1, 3)
+    return (ch.groupBy(
+        F.col("_commit_version").cast("int").alias("commit_version"),
+        F.col("_change_type").alias("change_type"))
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_value")))

@@ -1,0 +1,360 @@
+"""Transactional jar-less Delta writer (sinks/delta_writer.py): commit
+atomicity / OCC races, blind-append rebase, partitioned staging (null
+partition values included), footer stats on adds, DELETE/UPDATE rewrite
+scope + explicit cdc files, protocol write-gating, classic checkpoints
+read back by the replay reader, and vacuum. Every read goes through
+sources/delta_log.py — writer and reader attest each other."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+    ConcurrentWriteError,
+    append_delta,
+    create_delta_table,
+    delete_where,
+    latest_delta_version,
+    overwrite_delta,
+    update_where,
+    vacuum_delta,
+    write_classic_checkpoint,
+)
+from databricks_import_pyspark_scripts_spark.sources.delta_log import (
+    DeltaProtocolError,
+    read_delta_changes,
+    read_delta_snapshot,
+    replay_log,
+)
+
+def _frame(spark, lo: int, hi: int, null_p_below: int | None = None):
+    df = spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("p"),
+        (F.col("id") * 2.0).alias("v"))
+    if null_p_below is not None:
+        df = df.withColumn(
+            "p", F.when(F.col("k") < null_p_below, F.lit(None))
+            .otherwise(F.col("p")))
+    return df
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    create_delta_table(spark, _frame(spark, 0, 100, null_p_below=10), t,
+                       partition_by=["p"], cdf=True, ts_ms=1000)
+    return t
+
+
+def _ks(df):
+    return sorted(r.k for r in df.select("k").collect())
+
+
+# ---------------------------------------------------------------------------
+# create / append / read-back
+
+def test_create_and_snapshot_roundtrip(spark, table):
+    snap = read_delta_snapshot(spark, table)
+    assert _ks(snap) == list(range(100))
+    # partition column re-attached with its value, including the nulls
+    assert snap.filter("p IS NULL").count() == 10
+    assert snap.filter("p = '2'").count() == 23  # 10..99, id%4==2
+
+
+def test_append_accumulates_and_time_travel_excludes(spark, table):
+    v = append_delta(spark, _frame(spark, 100, 120), table, ts_ms=2000)
+    assert v == 1
+    assert _ks(read_delta_snapshot(spark, table)) == list(range(120))
+    assert _ks(read_delta_snapshot(spark, table, version=0)) == list(range(100))
+
+
+def test_partition_values_not_duplicated_in_data_files(spark, table):
+    import urllib.parse
+
+    import pyarrow.parquet as pq
+    rep = replay_log(spark, table)
+    for path in rep.files:
+        cols = pq.ParquetFile(os.path.join(
+            table, urllib.parse.unquote(path))).schema_arrow.names
+        assert "p" not in cols  # carried by partitionValues only
+
+
+def test_adds_carry_footer_stats_for_data_skipping(spark, table):
+    rep = replay_log(spark, table)
+    stats = [json.loads(a["stats"]) for a in rep.files.values()]
+    assert all("numRecords" in s for s in stats)
+    ks = [s["minValues"].get("k") for s in stats if s["minValues"]]
+    assert ks and all(isinstance(k, int) for k in ks)
+
+
+def test_append_schema_mismatch_fails_before_commit(spark, table):
+    bad = spark.range(5).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="does not match table schema"):
+        append_delta(spark, bad, table)
+    assert latest_delta_version(spark, table) == 0
+
+
+def test_empty_append_commits_no_files(spark, table):
+    v = append_delta(spark, _frame(spark, 0, 0), table, ts_ms=2000)
+    assert v == 1
+    assert read_delta_snapshot(spark, table).count() == 100
+
+
+def test_overwrite_replaces_everything(spark, table):
+    v = overwrite_delta(spark, _frame(spark, 500, 510), table, ts_ms=2000)
+    assert v == 1
+    assert _ks(read_delta_snapshot(spark, table)) == list(range(500, 510))
+    assert _ks(read_delta_snapshot(spark, table, version=0)) == list(range(100))
+    # CDF synthesis from the file ops: every old row deleted, new inserted
+    ch = read_delta_changes(spark, table, 0, 1)
+    counts = {r["_change_type"]: r["n"] for r in
+              ch.groupBy("_change_type").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"delete": 100, "insert": 10}
+
+
+# ---------------------------------------------------------------------------
+# OCC: the commit primitive under races
+
+def test_append_rebases_over_a_lost_race(spark, table):
+    # someone else takes version 1 between our replay and our commit:
+    # pre-create it so the first attempt loses, forcing the rebase path
+    os.makedirs(os.path.join(table, "_delta_log"), exist_ok=True)
+    with open(os.path.join(table, "_delta_log", f"{1:020d}.json"), "w") as f:
+        f.write(json.dumps({"commitInfo": {"timestamp": 1500,
+                                           "operation": "WRITE"}}) + "\n")
+    v = append_delta(spark, _frame(spark, 100, 110), table, ts_ms=2000)
+    assert v == 2
+    assert _ks(read_delta_snapshot(spark, table)) == list(range(110))
+
+
+def test_read_dependent_ops_abort_on_any_intervening_commit(
+        spark, table, monkeypatch):
+    # emulate a writer that lands a commit AFTER this op's snapshot read
+    # but BEFORE its commit attempt: steal the next version during staging
+    from databricks_import_pyspark_scripts_spark.sinks import delta_writer
+
+    real_stage = delta_writer._stage_files
+    state = {"next": 1}
+
+    def stage_and_steal(*args, **kwargs):
+        out = real_stage(*args, **kwargs)
+        v = state["next"]
+        state["next"] += 1
+        with open(os.path.join(table, "_delta_log", f"{v:020d}.json"),
+                  "w") as f:
+            f.write(json.dumps({"commitInfo": {"timestamp": 1600,
+                                               "operation": "WRITE"}}) + "\n")
+        return out
+
+    monkeypatch.setattr(delta_writer, "_stage_files", stage_and_steal)
+    with pytest.raises(ConcurrentWriteError):
+        delete_where(spark, table, "k < 5", ts_ms=3000)
+    with pytest.raises(ConcurrentWriteError):
+        overwrite_delta(spark, _frame(spark, 0, 5), table, ts_ms=3000)
+    with pytest.raises(ConcurrentWriteError):
+        update_where(spark, table, "k < 5", {"v": "v + 1"}, ts_ms=3000)
+
+
+def test_create_refuses_existing_table(spark, table):
+    with pytest.raises(FileExistsError):
+        create_delta_table(spark, _frame(spark, 0, 5), table)
+
+
+# ---------------------------------------------------------------------------
+# DELETE / UPDATE: rewrite scope + cdc
+
+def test_delete_where_removes_matches_and_keeps_null_pred_rows(spark, table):
+    v = delete_where(spark, table, "k % 10 = 3", ts_ms=3000)
+    assert v == 1
+    snap = read_delta_snapshot(spark, table)
+    assert snap.filter("k % 10 = 3").count() == 0
+    assert snap.count() == 90
+    # NULL-predicate rows are kept (SQL DELETE semantics)
+    v2 = delete_where(spark, table, "CASE WHEN k < 50 THEN NULL ELSE k >= 98 END",
+                      ts_ms=4000)
+    assert v2 == 2
+    assert read_delta_snapshot(spark, table).count() == 88  # only 98, 99 go
+
+
+def test_delete_where_touches_only_matching_files(spark, table):
+    import urllib.parse
+    before = set(replay_log(spark, table).files)
+    delete_where(spark, table, "p = '1' AND k < 30", ts_ms=3000)
+    after = set(replay_log(spark, table).files)
+    survivors = before & after
+    # every file of untouched partitions survived the rewrite verbatim
+    untouched = {p for p in before
+                 if "/p=1/" not in f"/{urllib.parse.unquote(p)}"}
+    assert untouched <= survivors
+
+
+def test_delete_where_no_match_commits_nothing(spark, table):
+    v = delete_where(spark, table, "k > 10000", ts_ms=3000)
+    assert v == 0
+    assert latest_delta_version(spark, table) == 0
+
+
+def test_delete_writes_explicit_cdc_delete_rows(spark, table):
+    delete_where(spark, table, "k % 10 = 3", ts_ms=3000)
+    ch = read_delta_changes(spark, table, 0, 1)
+    assert {r["_change_type"] for r in ch.select("_change_type")
+            .distinct().collect()} == {"delete"}
+    assert sorted(r.k for r in ch.select("k").collect()) == \
+        [k for k in range(100) if k % 10 == 3]
+    # cdc actions present in the log (not synthesized from file ops)
+    acts = replay_log(spark, table, collect_from=1).commit_actions[1]
+    assert any("cdc" in a for a in acts)
+
+
+def test_update_where_rewrites_values_and_cdc_images(spark, table):
+    v = update_where(spark, table, "k < 5", {"v": "v + 1000"}, ts_ms=3000)
+    assert v == 1
+    snap = read_delta_snapshot(spark, table)
+    got = {r.k: r.v for r in snap.filter("k < 6").collect()}
+    assert got == {0: 1000.0, 1: 1002.0, 2: 1004.0, 3: 1006.0, 4: 1008.0,
+                   5: 10.0}
+    ch = read_delta_changes(spark, table, 0, 1)
+    pre = {r.k: r.v for r in ch.filter("_change_type = 'update_preimage'")
+           .collect()}
+    post = {r.k: r.v for r in ch.filter("_change_type = 'update_postimage'")
+            .collect()}
+    assert pre == {0: 0.0, 1: 2.0, 2: 4.0, 3: 6.0, 4: 8.0}
+    assert post == {0: 1000.0, 1: 1002.0, 2: 1004.0, 3: 1006.0, 4: 1008.0}
+
+
+def test_update_unknown_column_fails(spark, table):
+    with pytest.raises(ValueError, match="not table columns"):
+        update_where(spark, table, "k < 5", {"nope": "1"})
+
+
+# ---------------------------------------------------------------------------
+# protocol write-gating
+
+def _set_config(table, extra_conf=None, schema_extra=None,
+                writer_features=None):
+    """Rewrite commit 0's metaData/protocol with hostile settings."""
+    log = os.path.join(table, "_delta_log", f"{0:020d}.json")
+    lines = [json.loads(x) for x in open(log) if x.strip()]
+    for a in lines:
+        if "metaData" in a:
+            if extra_conf:
+                a["metaData"]["configuration"].update(extra_conf)
+            if schema_extra:
+                sch = json.loads(a["metaData"]["schemaString"])
+                sch["fields"][0].setdefault("metadata", {}).update(schema_extra)
+                a["metaData"]["schemaString"] = json.dumps(sch)
+        if "protocol" in a and writer_features is not None:
+            a["protocol"] = {"minReaderVersion": 1, "minWriterVersion": 7,
+                             "writerFeatures": writer_features}
+    with open(log, "w") as f:
+        for a in lines:
+            f.write(json.dumps(a) + "\n")
+
+
+def test_append_only_table_refuses_destructive_ops(spark, table):
+    _set_config(table, extra_conf={"delta.appendOnly": "true"})
+    with pytest.raises(DeltaProtocolError, match="append-only"):
+        delete_where(spark, table, "k < 5")
+    with pytest.raises(DeltaProtocolError, match="append-only"):
+        overwrite_delta(spark, _frame(spark, 0, 5), table)
+    # appends still fine
+    append_delta(spark, _frame(spark, 100, 105), table, ts_ms=2000)
+
+
+def test_unknown_writer_feature_refused(spark, table):
+    _set_config(table, writer_features=["changeDataFeed", "icebergCompatV2"])
+    with pytest.raises(DeltaProtocolError, match="icebergCompatV2"):
+        append_delta(spark, _frame(spark, 100, 105), table)
+
+
+def test_declared_invariants_refused(spark, table):
+    _set_config(table, schema_extra={
+        "delta.invariants": '{"expression":{"expression":"k > 0"}}'})
+    with pytest.raises(DeltaProtocolError, match="invariants"):
+        append_delta(spark, _frame(spark, 100, 105), table)
+
+
+def test_check_constraints_refused(spark, table):
+    _set_config(table, extra_conf={"delta.constraints.c1": "k > 0"})
+    with pytest.raises(DeltaProtocolError, match="CHECK constraints"):
+        delete_where(spark, table, "k < 5")
+
+
+def test_column_mapped_table_refused_for_writes(spark, tmp_path):
+    from delta_fixture import make_column_mapped_table
+    t = make_column_mapped_table(str(tmp_path / "cm"))
+    with pytest.raises(DeltaProtocolError, match="column-mapped"):
+        delete_where(spark, t, "1=1")
+
+
+# ---------------------------------------------------------------------------
+# checkpoint + vacuum + dv interplay
+
+def test_checkpoint_lets_replay_skip_retired_json_prefix(spark, table):
+    append_delta(spark, _frame(spark, 100, 120), table, ts_ms=2000)
+    delete_where(spark, table, "k % 10 = 3", ts_ms=3000)
+    cp = write_classic_checkpoint(spark, table)
+    assert cp == 2
+    for v in range(cp):
+        os.unlink(os.path.join(table, "_delta_log", f"{v:020d}.json"))
+    snap = read_delta_snapshot(spark, table)
+    assert snap.count() == 108
+    assert snap.filter("p IS NULL").count() == 9  # k=3 deleted from nulls
+    # stats survive the checkpoint round-trip (data skipping after replay)
+    rep = replay_log(spark, table)
+    assert all(a.get("stats") for a in rep.files.values())
+
+
+def test_checkpoint_refused_on_v2_checkpoint_tables(spark, table):
+    _set_config(table, writer_features=["v2Checkpoint"])
+    with pytest.raises(DeltaProtocolError, match="v2"):
+        write_classic_checkpoint(spark, table)
+
+
+def test_vacuum_drops_tombstoned_files_keeps_live(spark, table):
+    delete_where(spark, table, "p = '1'", ts_ms=3000)
+    live_before = read_delta_snapshot(spark, table).count()
+    doomed = vacuum_delta(spark, table, retention_ms=0, now_ms=10**15)
+    assert doomed  # the rewritten p=1 originals
+    assert read_delta_snapshot(spark, table).count() == live_before
+    # time travel to v0 now fails loudly (files vacuumed), Delta parity
+    with pytest.raises(Exception):
+        read_delta_snapshot(spark, table, version=0).count()
+
+
+def test_vacuum_respects_retention(spark, table):
+    delete_where(spark, table, "p = '1'", ts_ms=3000)
+    assert vacuum_delta(spark, table, retention_ms=10**15) == []
+
+
+def test_vacuum_dry_run_deletes_nothing(spark, table):
+    delete_where(spark, table, "p = '1'", ts_ms=3000)
+    doomed = vacuum_delta(spark, table, retention_ms=0, now_ms=10**15,
+                          dry_run=True)
+    assert doomed
+    assert all(os.path.exists(p) for p in doomed)
+
+
+def test_delete_on_dv_table_folds_dv_into_rewrite(spark, tmp_path):
+    """DELETE on a deletion-vector table: the scan already drops DV'd rows,
+    so the rewrite compacts the DV away and never resurrects those rows."""
+    from delta_fixture import make_dv_delta_table
+    t = make_dv_delta_table(str(tmp_path / "dv"))
+    paths_before = set(replay_log(spark, t).files)
+    before = read_delta_snapshot(spark, t)
+    dv_hidden = before.count()
+    some_id = before.agg(F.min("id")).first()[0]
+    delete_where(spark, t, f"id = {some_id}", ts_ms=10**12)
+    after = read_delta_snapshot(spark, t)
+    assert after.count() == dv_hidden - 1
+    assert after.filter(f"id = {some_id}").count() == 0
+    # rewritten files carry no deletionVector anymore
+    rep = replay_log(spark, t)
+    rewritten = [a for p, a in rep.files.items() if p not in paths_before]
+    assert rewritten and all(not a.get("deletionVector") for a in rewritten)
