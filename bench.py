@@ -100,6 +100,11 @@ HEADLINE = [
     "corpus_systematic_pps_sharded",
     "events_zorder_index",
     "dedup_decontaminate_substring",
+    # the transactional jar-less Delta WRITER driven end-to-end (create/
+    # append/delete/update staged in the warm-up, snapshot + CDF reads
+    # timed) — write-path regressions become visible like read ones
+    "delta_writer_roundtrip_agg",
+    "delta_writer_update_cdf",
 ]
 
 EXTENSION_ROWS = {
@@ -315,7 +320,8 @@ def main() -> int:
     r8_rows = {"delta_dv_snapshot_agg", "delta_column_mapped_read",
                "delta_timestamp_travel_agg", "delta_data_skipping_agg",
                "corpus_systematic_pps_sharded", "events_zorder_index",
-               "dedup_decontaminate_substring"}
+               "dedup_decontaminate_substring",
+               "delta_writer_roundtrip_agg", "delta_writer_update_cdf"}
     # same membership as comparable_queries_sec (includes the unload e2e row)
     comp = [k for k in timings
             if k not in EXTENSION_ROWS and k not in stress
