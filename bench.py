@@ -105,6 +105,8 @@ HEADLINE = [
     # timed) — write-path regressions become visible like read ones
     "delta_writer_roundtrip_agg",
     "delta_writer_update_cdf",
+    # column mapping `id` mode: Spark-native parquet field-id matching
+    "delta_id_mapped_read",
 ]
 
 EXTENSION_ROWS = {
@@ -321,7 +323,8 @@ def main() -> int:
                "delta_timestamp_travel_agg", "delta_data_skipping_agg",
                "corpus_systematic_pps_sharded", "events_zorder_index",
                "dedup_decontaminate_substring",
-               "delta_writer_roundtrip_agg", "delta_writer_update_cdf"}
+               "delta_writer_roundtrip_agg", "delta_writer_update_cdf",
+               "delta_id_mapped_read"}
     # same membership as comparable_queries_sec (includes the unload e2e row)
     comp = [k for k in timings
             if k not in EXTENSION_ROWS and k not in stress

@@ -511,3 +511,90 @@ def delta_writer_update_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_change_type").alias("change_type"))
         .agg(F.count("*").alias("n"),
              F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+_IDM_PHYS = {"o_orderkey": "zzq-1", "o_orderpriority": "zzq-2",
+             "o_totalprice": "zzq-3"}
+
+
+def _staged_idm_table(spark: SparkSession, sf_dir: str) -> str:
+    """Column-mapped ``id`` mode staged table: orders columns stored under
+    opaque physical names WITH parquet field ids (Spark's field-id writer,
+    ``spark.sql.parquet.fieldId.write.enabled``, on by default, emits them
+    from the alias metadata); the log's schemaString carries the logical
+    names + delta.columnMapping.id annotations the reader matches on."""
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_delta_idm_gate_{tag}_v1")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        o = load_table(spark, sf_dir, "orders")
+        df = o.select(*[
+            F.col(c).alias(p, metadata={"parquet.field.id": i})
+            for i, (c, p) in enumerate(_IDM_PHYS.items(), start=1)])
+        staging = os.path.join(path, "_staging")
+        df.write.mode("overwrite").parquet(staging)
+        fields = []
+        for i, (logical, phys) in enumerate(_IDM_PHYS.items(), start=1):
+            spark_f = next(f for f in o.schema.fields if f.name == logical)
+            fields.append({
+                "name": logical, "type": spark_f.dataType.jsonValue(),
+                "nullable": True,
+                "metadata": {"delta.columnMapping.id": i,
+                             "delta.columnMapping.physicalName": phys}})
+        actions = [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {
+                "id": "spark-graft-staged-idm-table",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps({"type": "struct",
+                                            "fields": fields}),
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.columnMapping.mode": "id",
+                    "delta.columnMapping.maxColumnId": str(len(fields))},
+                "createdTime": _BASE_TS_MS}},
+        ]
+        names = sorted(n for n in os.listdir(staging)
+                       if n.endswith(".parquet"))
+        for i, name in enumerate(names):
+            target = f"idm-{i:05d}.parquet"
+            os.replace(os.path.join(staging, name),
+                       os.path.join(path, target))
+            actions.append({"add": {
+                "path": target, "partitionValues": {},
+                "size": os.path.getsize(os.path.join(path, target)),
+                "modificationTime": _BASE_TS_MS, "dataChange": True}})
+        import shutil
+        shutil.rmtree(staging, ignore_errors=True)
+        log = os.path.join(path, "_delta_log")
+        os.makedirs(log, exist_ok=True)
+        with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "delta_id_mapped_read",
+    """
+    SELECT o_orderpriority AS priority, COUNT(*) AS n,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Column mapping 'id' mode through the jar-less Delta reader: the "
+        "orders columns are stored under opaque physical names carrying "
+        "parquet FIELD IDS, and the reader resolves them via Spark's "
+        "built-in field-id matching (read schema = logical names + "
+        "parquet.field.id from delta.columnMapping.id) — entirely "
+        "JVM-side, no rename projection. The oracle reads the original "
+        "parquet under logical names; a by-name fallback or id mismatch "
+        "breaks schema or values.")
+def delta_id_mapped_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _staged_idm_table(spark, sf_dir)
+    snap = read_delta_snapshot(spark, path)
+    return (snap.groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(F.count("*").alias("n"),
+                 (F.sum(F.round(F.col("o_totalprice") * 100)
+                        .cast("long")) / 100.0).alias("sum_total")))

@@ -50,20 +50,24 @@ vectorized Arrow filter whose per-file bitmaps parse once per worker.
 Databricks enables DVs BY DEFAULT on new tables (DBR 14+), so this is the
 difference between reading most real tables and rejecting them.
 
-Column mapping mode ``name`` IS supported: data files are scanned under each
-column's ``delta.columnMapping.physicalName`` (recursively through nested
-structs) and restored to logical names with a positional struct cast;
-``partitionValues`` keys are translated log-side. Mode ``id`` (parquet
-field-id matching) remains rejected.
+Column mapping modes ``name`` AND ``id`` are supported. ``name``: data
+files are scanned under each column's ``delta.columnMapping.physicalName``
+(recursively through nested structs) and restored to logical names with a
+positional struct cast. ``id``: the read schema carries the logical names
+annotated with ``parquet.field.id`` metadata (from
+``delta.columnMapping.id``) and Spark's built-in parquet field-id matching
+(``spark.sql.parquet.fieldId.read.enabled``) resolves columns by id
+entirely JVM-side, whatever the files name them. ``partitionValues`` keys
+are translated log-side in both modes.
 
 V2 (uuid-named) checkpoints ARE supported: json/parquet top-level files
 resolved together with their parquet sidecars at replay.
 
 Deliberately unsupported (protocol features that change how file DATA must
 be interpreted, detected and rejected loudly rather than read wrongly):
-column mapping ``id`` mode, type widening. Supported reader features:
-``timestampNtz``, ``vacuumProtocolCheck``, ``deletionVectors``,
-``columnMapping`` (name mode), ``v2Checkpoint``.
+type widening. Supported reader features: ``timestampNtz``,
+``vacuumProtocolCheck``, ``deletionVectors``, ``columnMapping`` (name and
+id modes), ``v2Checkpoint``.
 """
 
 from __future__ import annotations
@@ -404,10 +408,9 @@ def _check_protocol(protocol: dict, metadata: dict) -> None:
                 f"unsupported Delta reader features: {sorted(unsupported)}")
     mapping = (metadata.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none")
-    if mapping not in ("none", "name", None):
+    if mapping not in ("none", "name", "id", None):
         raise DeltaProtocolError(
-            f"column mapping mode {mapping!r} is not supported "
-            f"(only 'name' mode; 'id' needs parquet field-id matching)")
+            f"column mapping mode {mapping!r} is not supported")
 
 
 def replay_log(spark: SparkSession, table_path: str,
@@ -502,6 +505,35 @@ def _to_physical_field(field):
 
     return StructField(_physical_name(field), conv(field.dataType),
                        field.nullable)
+
+
+def _to_id_field(field):
+    """Logical StructField -> the same LOGICAL name annotated with
+    ``parquet.field.id`` metadata (from ``delta.columnMapping.id``,
+    recursively), so Spark's built-in parquet field-id matching
+    (``spark.sql.parquet.fieldId.read.enabled``) resolves columns by id
+    regardless of what the data files NAME them — column mapping ``id``
+    mode, entirely JVM-side: no rename projection is needed afterwards
+    because the read schema already carries the logical names."""
+    from pyspark.sql.types import ArrayType, MapType, StructField
+
+    def conv(dt):
+        if isinstance(dt, StructType):
+            return StructType([_to_id_field(f) for f in dt.fields])
+        if isinstance(dt, ArrayType):
+            return ArrayType(conv(dt.elementType), dt.containsNull)
+        if isinstance(dt, MapType):
+            return MapType(conv(dt.keyType), conv(dt.valueType),
+                           dt.valueContainsNull)
+        return dt
+
+    fid = field.metadata.get("delta.columnMapping.id")
+    if fid is None:
+        raise DeltaProtocolError(
+            f"column mapping mode 'id' but field {field.name!r} carries no "
+            f"delta.columnMapping.id — malformed table metadata")
+    return StructField(field.name, conv(field.dataType), field.nullable,
+                       {"parquet.field.id": int(fid)})
 
 
 def _logicalize_partition_values(rep: _Replay) -> None:
@@ -731,13 +763,22 @@ def _scan_files(spark: SparkSession, table_path: str, rep: _Replay,
     planning on a 100k-file table, and a genuinely missing data file
     already fails the scan itself loudly."""
     schema, part_cols = rep.schema, rep.partition_columns
-    mapped = _mapping_mode(rep.metadata) == "name"
+    mode = _mapping_mode(rep.metadata)
+    mapped = mode == "name"
+    by_id = mode == "id"
     logical_data = [f for f in schema.fields if f.name not in part_cols]
     data_schema = StructType(
-        [_to_physical_field(f) if mapped else f for f in logical_data])
+        [_to_physical_field(f) if mapped
+         else (_to_id_field(f) if by_id else f) for f in logical_data])
     for c in extra_data_cols or ():
         data_schema.add(c, "string")
     has_dv = any(a.get("deletionVector") for a in actions)
+    if by_id:
+        # matching-by-id only activates for read schemas that CARRY field
+        # ids (ours, above), so the session-wide switch is inert elsewhere;
+        # files without parquet field ids then fail LOUDLY instead of
+        # silently yielding nulls (ignoreMissing stays off)
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
     def _scan(scan_paths: list[str]) -> DataFrame:
         g = _with_file_base(spark.read.schema(data_schema).parquet(*scan_paths))

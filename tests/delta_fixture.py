@@ -285,6 +285,66 @@ def make_column_mapped_table(table_path: str) -> str:
     return table_path
 
 
+def _write_idm_parquet(path: str, ids: list[int], scores: list[float],
+                       tags: list[str]) -> None:
+    """Data file for the id-mapped table: parquet FIELD IDS carry the
+    mapping; the column NAMES share nothing with the logical schema, so a
+    reader that matches by name instead of by id finds no columns at all
+    rather than passing by luck. (Logical names are NOT reused as
+    misleading names: colliding name+incompatible type trips a converter
+    edge in Spark's vectorized reader, and real id-mode writers use
+    non-colliding uuid physical names anyway.)"""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    inner = pa.struct([
+        pa.field("zz-3", pa.float64(), metadata={b"PARQUET:field_id": b"3"}),
+        pa.field("zz-4", pa.string(), metadata={b"PARQUET:field_id": b"4"}),
+    ])
+    info = pa.StructArray.from_arrays(
+        [pa.array(scores, pa.float64()), pa.array(tags, pa.string())],
+        fields=[inner[0], inner[1]])
+    schema = pa.schema([
+        pa.field("zz-1", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+        pa.field("zz-2", inner, metadata={b"PARQUET:field_id": b"2"}),
+    ])
+    pq.write_table(
+        pa.table({"zz-1": pa.array(ids, pa.int64()), "zz-2": info},
+                 schema=schema), path)
+
+
+def make_id_mapped_table(table_path: str) -> str:
+    """Column mapping ``id`` mode fixture: same logical shape as the name-
+    mode table (id, info struct<score, tag>, part) but data files are
+    matched by parquet field id — their column names are misleading on
+    purpose. partitionValues stay keyed by physicalName (Delta assigns
+    both ids and physical names when mapping is enabled)."""
+    log = os.path.join(table_path, "_delta_log")
+    meta = {"id": "66666666-7777-8888-9999-111111111111",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": CM_SCHEMA_STRING,
+            "partitionColumns": ["part"],
+            "configuration": {"delta.columnMapping.mode": "id",
+                              "delta.columnMapping.maxColumnId": "5"},
+            "createdTime": 1690000000000}
+    _write_idm_parquet(os.path.join(table_path, "x=1", "g1.parquet"),
+                       [1, 2], [0.5, 1.5], ["a", "b"])
+    _commit(log, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": meta},
+        {"add": {"path": "x=1/g1.parquet",
+                 "partitionValues": {"col-aaa5": "p1"}, "size": 1,
+                 "dataChange": True, "modificationTime": 1}},
+    ])
+    _write_idm_parquet(os.path.join(table_path, "x=2", "g2.parquet"),
+                       [3], [2.5], ["c"])
+    _commit(log, 1, [
+        {"commitInfo": {"timestamp": V2_TS_MS, "operation": "WRITE"}},
+        {"add": {"path": "x=2/g2.parquet",
+                 "partitionValues": {"col-aaa5": "p2"}, "size": 1,
+                 "dataChange": True, "modificationTime": 2}},
+    ])
+    return table_path
+
+
 def write_v2_checkpoint(table_path: str, version: int, actions: list[dict],
                         top_level: str = "json") -> None:
     """Hand-rolled V2 (uuid-named) checkpoint: metaData/protocol stay in

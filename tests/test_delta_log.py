@@ -192,13 +192,16 @@ def test_v2_checkpoint_replay_with_sidecar(spark, delta_table):
         read_delta_snapshot(spark, delta_table, 0)
 
 
-def test_protocol_column_mapping_id_mode_rejected(spark, tmp_path):
+def test_id_mode_without_field_ids_in_metadata_rejected(spark, tmp_path):
+    """id mode on a table whose schemaString carries no
+    delta.columnMapping.id annotations is malformed — reject loudly
+    instead of matching by name and silently reading the wrong columns."""
     t = make_delta_table(str(tmp_path / "cmid"))
     _commit(os.path.join(t, "_delta_log"), 3, [
         {"metaData": _meta(configuration={
             "delta.columnMapping.mode": "id"})}])
     with pytest.raises(DeltaProtocolError, match="column mapping"):
-        read_delta_snapshot(spark, t)
+        read_delta_snapshot(spark, t).collect()
 
 
 # --------------------------------------------------------------- deletion vectors
@@ -502,6 +505,49 @@ def test_column_mapped_partition_pruning_logical_keys(spark, cm_table):
 
 def test_column_mapped_time_travel(spark, cm_table):
     assert _ids(read_delta_snapshot(spark, cm_table, 0)) == [1, 2]
+
+
+@pytest.fixture()
+def idm_table(tmp_path):
+    from delta_fixture import make_id_mapped_table
+    return make_id_mapped_table(str(tmp_path / "idmtbl"))
+
+
+def test_id_mapped_snapshot_matches_by_field_id_not_name(spark, idm_table):
+    """The fixture's data files name their columns after the WRONG logical
+    columns; only parquet field-id matching yields these values."""
+    df = read_delta_snapshot(spark, idm_table)
+    assert df.columns == ["id", "info", "part"]
+    assert df.schema["info"].dataType.fieldNames() == ["score", "tag"]
+    rows = sorted((r.id, r.info.score, r.info.tag, r.part)
+                  for r in df.collect())
+    assert rows == [(1, 0.5, "a", "p1"), (2, 1.5, "b", "p1"),
+                    (3, 2.5, "c", "p2")]
+
+
+def test_id_mapped_partition_pruning_logical_keys(spark, idm_table):
+    df = read_delta_snapshot(
+        spark, idm_table, partition_filter=lambda pv: pv.get("part") == "p2")
+    assert [r.id for r in df.collect()] == [3]
+
+
+def test_id_mapped_time_travel(spark, idm_table):
+    assert _ids(read_delta_snapshot(spark, idm_table, 0)) == [1, 2]
+
+
+def test_id_mapped_files_without_ids_fail_loudly(spark, idm_table):
+    """A data file with NO parquet field ids cannot be resolved in id mode;
+    the scan must error, not fill the columns with nulls."""
+    from delta_fixture import _write_cm_parquet
+    _write_cm_parquet(os.path.join(idm_table, "x=3", "g3.parquet"),
+                      [9], [9.5], ["z"])
+    _commit(os.path.join(idm_table, "_delta_log"), 2, [
+        {"commitInfo": {"timestamp": V2_TS_MS + 1000, "operation": "WRITE"}},
+        {"add": {"path": "x=3/g3.parquet",
+                 "partitionValues": {"col-aaa5": "p3"}, "size": 1,
+                 "dataChange": True, "modificationTime": 3}}])
+    with pytest.raises(Exception, match="[Ff]ield [Ii]d"):
+        read_delta_snapshot(spark, idm_table).collect()
 
 
 def test_url_encoded_paths(spark, tmp_path):
