@@ -107,6 +107,9 @@ HEADLINE = [
     "delta_writer_update_cdf",
     # column mapping `id` mode: Spark-native parquet field-id matching
     "delta_id_mapped_read",
+    # the Aho-Corasick scale path of the substring decontamination gate
+    # (O(|text|) per doc regardless of canary count, same oracle)
+    "dedup_decontaminate_substring_aho",
 ]
 
 EXTENSION_ROWS = {
@@ -324,7 +327,7 @@ def main() -> int:
                "corpus_systematic_pps_sharded", "events_zorder_index",
                "dedup_decontaminate_substring",
                "delta_writer_roundtrip_agg", "delta_writer_update_cdf",
-               "delta_id_mapped_read"}
+               "delta_id_mapped_read", "dedup_decontaminate_substring_aho"}
     # same membership as comparable_queries_sec (includes the unload e2e row)
     comp = [k for k in timings
             if k not in EXTENSION_ROWS and k not in stress

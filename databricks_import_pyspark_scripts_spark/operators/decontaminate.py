@@ -1,0 +1,153 @@
+"""Exact-substring benchmark decontamination at canary scale: Aho-Corasick
+multi-pattern matching (Aho & Corasick 1975, CACM 18(6)) over a broadcast
+needle set.
+
+The expression form (``contains()`` inside a BroadcastNestedLoopJoin,
+``querylib/dedup.py:dedup_decontaminate_substring``) is the right plan up
+to a few thousand canaries: whole-stage-codegen'd character scans, zero
+Python. Its cost is O(|text| * |canaries|) per document though — at the
+10^5-10^6 canaries a real eval-suite sweep carries (every answer string of
+every benchmark), the nested loop is the bottleneck. The automaton brings
+that to O(|text|) per document INDEPENDENT of the canary count:
+
+* the canary list is collected driver-side (benchmark-sized by
+  construction — the needles are eval strings, not corpus data) and
+  broadcast once;
+* each executor PROCESS builds the automaton once per broadcast (module
+  cache keyed by broadcast id) and streams its Arrow batches through it —
+  ``mapInPandas``, one corpus scan, never a corpus shuffle;
+* output is one row per input document with the count of DISTINCT
+  canaries contained — bit-identical to the distinct-canary
+  ``contains()`` join by test (``test_impl_consistency``-style twin) and
+  by a shared DuckDB oracle gate.
+
+100 TB shape: corpus-side work is embarrassingly parallel (no shuffle, no
+state); the automaton is built |workers| times from an O(total canary
+chars) broadcast. For canary sets too big to broadcast (>~1 GB of
+needles), shard the needle set and union the per-shard hit counts — the
+per-doc distinct-count is additive across disjoint needle shards.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: per-process automaton cache: broadcast id -> built automaton. Executors
+#: are long-lived Python workers; rebuilding per TASK would dominate at
+#: high task counts, rebuilding per BATCH would dominate everything.
+_AUTOMATON_CACHE: dict[int, tuple] = {}
+
+
+def build_automaton(patterns: list[str]) -> tuple:
+    """Goto/fail/output tables for the pattern set. States are dense ints;
+    goto is a per-state dict (code point -> state) — sparse transitions,
+    right for large unicode alphabets. Output sets carry pattern INDEXES
+    and are merged along fail links at build time, so matching never walks
+    fail chains to collect outputs."""
+    goto: list[dict[str, int]] = [{}]
+    out: list[frozenset[int]] = [frozenset()]
+    for pi, pat in enumerate(patterns):
+        s = 0
+        for ch in pat:
+            nxt = goto[s].get(ch)
+            if nxt is None:
+                goto.append({})
+                out.append(frozenset())
+                nxt = len(goto) - 1
+                goto[s][ch] = nxt
+            s = nxt
+        out[s] = out[s] | {pi}
+    fail = [0] * len(goto)
+    q: deque[int] = deque(goto[0].values())
+    while q:
+        s = q.popleft()
+        for ch, t in goto[s].items():
+            q.append(t)
+            f = fail[s]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            cand = goto[f].get(ch, 0)
+            fail[t] = cand if cand != t else 0
+            out[t] = out[t] | out[fail[t]]
+    return goto, fail, out
+
+
+def count_distinct_matches(text: str, automaton: tuple) -> int:
+    """Number of DISTINCT patterns occurring in ``text`` (each canary
+    counts once however often it appears — ``contains()`` semantics)."""
+    goto, fail, out = automaton
+    s = 0
+    seen: set[int] = set()
+    root = goto[0]
+    for ch in text:
+        while s and ch not in goto[s]:
+            s = fail[s]
+        s = goto[s].get(ch, 0) if s else root.get(ch, 0)
+        if out[s]:
+            seen.update(out[s])
+    return len(seen)
+
+
+def substring_hits_aho(corpus: DataFrame, id_col: str, text_col: str,
+                       canaries: DataFrame | Iterable[str],
+                       canary_col: str = "canary") -> DataFrame:
+    """One row per corpus document: ``(id_col, n_hits: long)`` where
+    ``n_hits`` counts the distinct canaries contained in the document's
+    raw text (NULL text -> 0). ``canaries`` is a one-column DataFrame (or
+    a plain iterable) of needle strings; it is collected driver-side and
+    broadcast — benchmark-sized by contract, like the semantic pass's
+    benchmark embeddings (``operators/similarity.py``)."""
+    spark = corpus.sparkSession
+    if isinstance(canaries, DataFrame):
+        needles = [r[0] for r in canaries.select(canary_col).collect()
+                   if r[0] is not None]
+    else:
+        needles = [c for c in canaries if c is not None]
+    # deterministic order: pattern indexes (and so tie behavior) never
+    # depend on collect order
+    needles = sorted(set(needles))
+    bc = spark.sparkContext.broadcast(needles)
+    # per-worker cache key: content hash of the needle set (the Python
+    # Broadcast handle exposes no stable id)
+    import hashlib
+    cache_key = hashlib.md5(
+        "\x00".join(needles).encode("utf-8", "surrogatepass")).hexdigest()
+
+    id_type = dict(corpus.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, n_hits long"
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        auto = _AUTOMATON_CACHE.get(cache_key)
+        if auto is None:
+            auto = build_automaton(bc.value)
+            _AUTOMATON_CACHE.clear()  # one live automaton per worker
+            _AUTOMATON_CACHE[cache_key] = auto
+        for pdf in batches:
+            counts = [
+                count_distinct_matches(t, auto) if isinstance(t, str) else 0
+                for t in pdf[text_col]]
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "n_hits": pd.Series(counts, dtype="int64")})
+
+    return (corpus.select(id_col, text_col)
+            .mapInPandas(score, schema))
+
+
+def decontaminate_report_aho(corpus: DataFrame, id_col: str, text_col: str,
+                             canaries: DataFrame | Iterable[str],
+                             canary_col: str = "canary") -> DataFrame:
+    """The full report the expression-form gate emits — ``(id,
+    n_canary_hits, contaminated)`` for EVERY corpus document — in a single
+    corpus pass (the automaton scores all docs, so no join back to the
+    base set is needed, unlike the broadcast-contains plan)."""
+    hits = substring_hits_aho(corpus, id_col, text_col, canaries, canary_col)
+    return hits.select(
+        id_col,
+        F.col("n_hits").alias("n_canary_hits"),
+        (F.col("n_hits") > 0).alias("contaminated"))

@@ -863,3 +863,46 @@ def dedup_decontaminate_substring(spark: SparkSession,
         F.coalesce(F.col("n_hits"), F.lit(0).cast("long"))
             .alias("n_canary_hits"),
         (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated")))
+
+
+@register(
+    "dedup_decontaminate_substring_aho",
+    f"""
+    WITH bench AS (
+      SELECT DISTINCT substring(text, {_CANARY_POS}, {_CANARY_LEN}) AS canary
+      FROM documents WHERE doc_id % 100 = 0
+        AND length(substring(text, {_CANARY_POS}, {_CANARY_LEN}))
+            = {_CANARY_LEN}
+    ), hits AS (
+      SELECT d.doc_id, COUNT(*) AS n_hits
+      FROM documents d JOIN bench ON contains(d.text, bench.canary)
+      WHERE d.doc_id % 100 <> 0
+      GROUP BY d.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_canary_hits,
+           COALESCE(n_hits, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 100 <> 0) d
+    LEFT JOIN hits ON d.doc_id = hits.doc_id
+    """,
+    doc="The Aho-Corasick SCALE PATH of the exact-substring "
+        "decontamination gate (operators/decontaminate.py) — same needle "
+        "set, same report, same DuckDB oracle as "
+        "dedup_decontaminate_substring, but the corpus streams ONCE "
+        "through a per-worker automaton in mapInPandas: O(|text|) per "
+        "document regardless of canary count, vs the contains() nested "
+        "loop's O(|text| x |canaries|). This is the plan at 10^5+ "
+        "canaries (a real eval-suite sweep); the broadcast-the-needles "
+        "model and the output contract are unchanged, which the shared "
+        "oracle pins.")
+def dedup_decontaminate_substring_aho(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    from ..operators.decontaminate import decontaminate_report_aho
+
+    d = load_table(spark, sf_dir, "documents")
+    canary = F.substring(F.col("text"), _CANARY_POS, _CANARY_LEN)
+    bench = (d.filter(F.col("doc_id") % 100 == 0)
+             .select(canary.alias("canary"))
+             .filter(F.length("canary") == _CANARY_LEN).distinct())
+    corpus = d.filter(F.col("doc_id") % 100 != 0).select("doc_id", "text")
+    return decontaminate_report_aho(corpus, "doc_id", "text", bench)
