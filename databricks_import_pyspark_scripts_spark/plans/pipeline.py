@@ -266,7 +266,13 @@ def run_unload(spark: SparkSession, job: UnloadJob) -> dict[str, Any]:
         log_info(f"write failed with {sig}; retrying latest-only")
         rows, parts = attempt(force_latest_only=True)
 
-    write_meta_data(spark, job.output_path, rows, parts)
+    # delta exports keep their sidecars under underscore-prefixed names:
+    # inside a Delta table directory those are invisible to both Delta
+    # readers and vacuum (the Delta convention for non-data files), where
+    # bare `meta`/`logs` would be vacuum-eligible garbage
+    meta_name = "_meta" if job.fmt == "delta" else "meta"
+    logs_dir = "_logs" if job.fmt == "delta" else "logs"
+    write_meta_data(spark, job.output_path, rows, parts, name=meta_name)
     report = {
         "run_id": job.run_id,
         "rows": rows,
@@ -275,7 +281,7 @@ def run_unload(spark: SparkSession, job: UnloadJob) -> dict[str, Any]:
         "table_results": table_results,
         "logs": logs,
     }
-    base = f"{job.output_path.rstrip('/')}/logs/run_{job.run_id}"
+    base = f"{job.output_path.rstrip('/')}/{logs_dir}/run_{job.run_id}"
     write_json_sidecar(spark, f"{base}/table_results.json", table_results)
     write_text_sidecar(spark, f"{base}/logs.txt", "\n".join(logs) or "ok")
     return report

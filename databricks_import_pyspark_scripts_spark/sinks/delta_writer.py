@@ -260,7 +260,8 @@ def _partition_values_from_dirs(segments: list[str]) -> dict[str, str | None]:
 
 def _stage_files(spark: SparkSession, df: DataFrame, table_path: str,
                  part_cols: list[str], ts_ms: int,
-                 subdir: str = "") -> list[dict]:
+                 subdir: str = "",
+                 max_records_per_file: int | None = None) -> list[dict]:
     """Write ``df`` as parquet files under the table root (EXECUTORS write;
     the driver only renames and reads footers) and return one action-body
     dict per file: path (URL-encoded, relative), partitionValues, size,
@@ -271,6 +272,8 @@ def _stage_files(spark: SparkSession, df: DataFrame, table_path: str,
     writer = df.write.mode("overwrite")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(staging)
 
     actions: list[dict] = []
@@ -324,7 +327,8 @@ def create_delta_table(spark: SparkSession, df: DataFrame, table_path: str,
                        partition_by: list[str] | tuple[str, ...] = (),
                        cdf: bool = False,
                        configuration: dict[str, str] | None = None,
-                       ts_ms: int | None = None) -> int:
+                       ts_ms: int | None = None,
+                       max_records_per_file: int | None = None) -> int:
     """Create a new Delta table at ``table_path`` from ``df`` (commit 0:
     protocol + metaData + adds). Raises ``ConcurrentWriteError`` if a log
     appears concurrently, ``FileExistsError`` if one already exists."""
@@ -339,7 +343,8 @@ def create_delta_table(spark: SparkSession, df: DataFrame, table_path: str,
     conf = dict(configuration or {})
     if cdf:
         conf["delta.enableChangeDataFeed"] = "true"
-    adds = _stage_files(spark, df, table_path, part_cols, ts)
+    adds = _stage_files(spark, df, table_path, part_cols, ts,
+                        max_records_per_file=max_records_per_file)
     actions = [
         {"commitInfo": {"timestamp": ts, "operation": "CREATE TABLE AS SELECT",
                         "operationParameters": {"partitionBy": part_cols}}},
@@ -362,7 +367,8 @@ def create_delta_table(spark: SparkSession, df: DataFrame, table_path: str,
 
 
 def append_delta(spark: SparkSession, df: DataFrame, table_path: str,
-                 ts_ms: int | None = None, max_retries: int = 20) -> int:
+                 ts_ms: int | None = None, max_retries: int = 20,
+                 max_records_per_file: int | None = None) -> int:
     """Blind append: stage ``df``'s files once, then race for the next
     version — on a lost race, re-replay the log, re-check that the
     protocol/metadata are still writable and the schema unchanged, and
@@ -372,7 +378,8 @@ def append_delta(spark: SparkSession, df: DataFrame, table_path: str,
     rep = replay_log(spark, table_path)
     _check_writable(rep.metadata, rep.protocol, "append")
     adds = _stage_files(spark, _ordered(df, rep), table_path,
-                        rep.partition_columns, ts)
+                        rep.partition_columns, ts,
+                        max_records_per_file=max_records_per_file)
     actions = [
         {"commitInfo": {"timestamp": ts, "operation": "WRITE",
                         "operationParameters": {"mode": "Append"}}},
@@ -414,7 +421,8 @@ def _strict_commit(spark: SparkSession, table_path: str, version: int,
 
 
 def overwrite_delta(spark: SparkSession, df: DataFrame, table_path: str,
-                    ts_ms: int | None = None) -> int:
+                    ts_ms: int | None = None,
+                    max_records_per_file: int | None = None) -> int:
     """Replace the table's entire contents (remove every live file + add
     the new ones) in one commit. CDF readers synthesize delete+insert from
     the file ops, as with Delta's own INSERT OVERWRITE."""
@@ -422,7 +430,8 @@ def overwrite_delta(spark: SparkSession, df: DataFrame, table_path: str,
     rep = replay_log(spark, table_path)
     _check_writable(rep.metadata, rep.protocol, "overwrite")
     adds = _stage_files(spark, _ordered(df, rep), table_path,
-                        rep.partition_columns, ts)
+                        rep.partition_columns, ts,
+                        max_records_per_file=max_records_per_file)
     actions = [
         {"commitInfo": {"timestamp": ts, "operation": "WRITE",
                         "operationParameters": {"mode": "Overwrite"}}},
@@ -681,13 +690,22 @@ def vacuum_delta(spark: SparkSession, table_path: str,
         elif dv and dv.get("storageType") == "p":
             live.add(os.path.normpath(dv["pathOrInlineDv"]))
     doomed: list[str] = []
+    cdc_root = os.path.join(root, "_change_data")
     for dirpath, dirnames, names in os.walk(root):
-        if os.path.basename(dirpath) == LOG_DIR:
+        base = os.path.basename(dirpath)
+        in_cdc = dirpath == cdc_root or dirpath.startswith(cdc_root + os.sep)
+        if dirpath != root and not in_cdc and base.startswith(("_", ".")):
+            # Delta vacuum convention: underscore/dot-prefixed paths are
+            # invisible to vacuum (the log, _SUCCESS markers, sidecar
+            # dirs like _meta) — EXCEPT _change_data, whose cdc files age
+            # out like data files do
             dirnames[:] = []
             continue
         for n in names:
+            if not in_cdc and n.startswith(("_", ".")):
+                continue
             p = os.path.normpath(os.path.join(dirpath, n))
-            if p in live or n == "_SUCCESS":
+            if p in live:
                 continue
             if os.path.getmtime(p) * 1000 <= cutoff:
                 doomed.append(p)

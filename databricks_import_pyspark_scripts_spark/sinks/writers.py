@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.void_scrub import drop_void_fields
 
-FORMATS = ("json", "parquet", "csv", "orc")
+FORMATS = ("json", "parquet", "csv", "orc", "delta")
 
 
 def write_export(df: DataFrame, path: str, fmt: str = "parquet",
@@ -104,6 +104,27 @@ def write_export(df: DataFrame, path: str, fmt: str = "parquet",
         w = w.partitionBy(*partition_by)
     if max_records_per_file is not None:
         w = w.option("maxRecordsPerFile", max_records_per_file)
+    if fmt == "delta":
+        # transactional lakehouse export (sinks/delta_writer.py): first
+        # write CREATES the table (honoring partition_by), re-exports
+        # OVERWRITE it in one atomic commit — readers never observe a
+        # half-written state, and time travel keeps the previous exports.
+        # Clustering/z-order above still shapes the staged files, and the
+        # footer stats on every add action make that layout SKIPPABLE by
+        # any Delta reader — the two compose. `w` (the plain builder) is
+        # unused on this path; the commit protocol owns the write.
+        from ..sources.delta_log import is_delta_table
+        from .delta_writer import create_delta_table, overwrite_delta
+
+        spark = out.sparkSession
+        if is_delta_table(spark, path):
+            overwrite_delta(spark, out, path,
+                            max_records_per_file=max_records_per_file)
+        else:
+            create_delta_table(spark, out, path,
+                               partition_by=partition_by or (),
+                               max_records_per_file=max_records_per_file)
+        return
     if fmt == "json":
         w.json(path)
     elif fmt == "csv":
@@ -134,8 +155,10 @@ def write_json_sidecar(spark: SparkSession, path: str, payload: Any) -> None:
 
 
 def write_meta_data(spark: SparkSession, s3_path: str, event_count: int,
-                    partition_count: int) -> None:
-    """``{event_count, partition_count}`` JSON at ``<path>/meta`` (W3)."""
+                    partition_count: int, name: str = "meta") -> None:
+    """``{event_count, partition_count}`` JSON at ``<path>/<name>`` (W3;
+    delta exports pass ``_meta`` so the sidecar is invisible to Delta
+    readers and vacuum)."""
     write_json_sidecar(
-        spark, f"{s3_path.rstrip('/')}/meta",
+        spark, f"{s3_path.rstrip('/')}/{name}",
         {"event_count": event_count, "partition_count": partition_count})

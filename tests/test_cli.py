@@ -208,3 +208,39 @@ def test_cli_delta_ingest_ticks(spark, tmp_path):
     assert r3["rows"] == 2  # ids 7, 8 deleted
     got = spark.read.parquet(f"{out}/range=3-3")
     assert sorted(r.id for r in got.collect()) == [7, 8]
+
+
+def test_cli_unload_delta_destination(spark, tmp_path):
+    """--format delta end-to-end through the subprocess CLI: the export
+    lands as a real Delta table (read back through the log-replay
+    reader), sidecars under underscore names."""
+    import os
+
+    from databricks_import_pyspark_scripts_spark.sources.delta_log import (
+        read_delta_snapshot,
+    )
+
+    root = str(tmp_path / "src")
+    out = str(tmp_path / "out_delta")
+    spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id int, name string, v double"
+    ).write.parquet(f"{root}/tbl/v=3")
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "databricks_import_pyspark_scripts_spark.cli",
+         "--source-root", root,
+         "--table-versions-map", "tbl=0-3",
+         "--sql", "SELECT id, UPPER(name) AS uname, v * 10 AS v10 FROM tbl",
+         "--output-path", out,
+         "--format", "delta"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        env={"SPARK_GRAFT_CPUS": "4", "PATH": "/usr/bin:/bin",
+             "HOME": "/root", "JAVA_HOME": __import__("os").environ.get("JAVA_HOME", "")},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["rows"] == 2
+    snap = read_delta_snapshot(spark, out)
+    assert sorted(r.uname for r in snap.collect()) == ["A", "B"]
+    assert os.path.exists(os.path.join(out, "_meta"))
+    assert os.path.exists(os.path.join(out, "_delta_log"))

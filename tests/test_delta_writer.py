@@ -358,3 +358,82 @@ def test_delete_on_dv_table_folds_dv_into_rewrite(spark, tmp_path):
     rep = replay_log(spark, t)
     rewritten = [a for p, a in rep.files.items() if p not in paths_before]
     assert rewritten and all(not a.get("deletionVector") for a in rewritten)
+
+
+# ---------------------------------------------------------------------------
+# delta as an EXPORT format (sinks/writers.py + plans/pipeline.py)
+
+def test_write_export_delta_create_then_overwrite(spark, tmp_path):
+    from databricks_import_pyspark_scripts_spark.sinks.writers import (
+        write_export,
+    )
+
+    out = str(tmp_path / "exp")
+    df1 = _frame(spark, 0, 20)
+    write_export(df1, out, "delta", partition_by=["p"])
+    assert _ks(read_delta_snapshot(spark, out)) == list(range(20))
+    # re-export = one atomic overwrite commit; old state stays time-travelable
+    write_export(_frame(spark, 100, 105), out, "delta")
+    assert _ks(read_delta_snapshot(spark, out)) == list(range(100, 105))
+    assert _ks(read_delta_snapshot(spark, out, version=0)) == list(range(20))
+    # partition layout survived from the create
+    rep = replay_log(spark, out, 0)
+    assert rep.partition_columns == ["p"]
+
+
+def test_unload_pipeline_delta_format_e2e(spark, tmp_path):
+    """The reference's job shape with a Delta DESTINATION: versioned read ->
+    SQL -> transactional delta write; sidecars go under underscore names
+    (invisible to Delta readers and vacuum), and the export is readable
+    back through the log-replay reader."""
+    import json as _json
+
+    from databricks_import_pyspark_scripts_spark.plans.pipeline import (
+        UnloadJob,
+        run_unload,
+    )
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        vacuum_delta,
+    )
+
+    root = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "signup", 10.0), (2, "click", 5.0), (3, "view", 1.0)],
+        "id int, event_type string, value double",
+    ).write.parquet(f"{root}/ev/v=1")
+    out = str(tmp_path / "delta_out")
+    report = run_unload(spark, UnloadJob(
+        source_root=root, table_versions={"ev": [0, 1]},
+        sql="SELECT id, UPPER(event_type) AS et, value * 2 AS v2 FROM ev",
+        output_path=out, fmt="delta"))
+    assert report["rows"] == 3
+    snap = read_delta_snapshot(spark, out)
+    assert sorted(r.et for r in snap.collect()) == ["CLICK", "SIGNUP", "VIEW"]
+    # read directly: Spark's file source treats underscore-prefixed files
+    # as hidden — exactly why delta sidecars use that prefix
+    with open(os.path.join(out, "_meta")) as f:
+        meta = _json.load(f)
+    assert meta["event_count"] == 3
+    assert os.path.exists(os.path.join(out, "_logs"))
+    # vacuum must not eat the sidecars (underscore convention)
+    vacuum_delta(spark, out, retention_ms=0, now_ms=10**15)
+    assert os.path.exists(os.path.join(out, "_meta"))
+    assert read_delta_snapshot(spark, out).count() == 3
+
+
+def test_export_observe_count_single_execution(spark, tmp_path):
+    """The delta branch must execute the plan exactly once (the observe
+    row count is collected during the staging write, like the
+    parquet/json paths — no count-then-write double execution)."""
+    from pyspark.sql import Observation
+
+    from databricks_import_pyspark_scripts_spark.sinks.writers import (
+        write_export,
+    )
+
+    out = str(tmp_path / "obs")
+    obs = Observation("delta_export_obs")
+    df = _frame(spark, 0, 50).observe(obs, F.count(F.lit(1)).alias("rows"))
+    write_export(df, out, "delta")
+    assert int(obs.get["rows"]) == 50
+    assert read_delta_snapshot(spark, out).count() == 50
