@@ -368,21 +368,37 @@ def create_delta_table(spark: SparkSession, df: DataFrame, table_path: str,
 
 def append_delta(spark: SparkSession, df: DataFrame, table_path: str,
                  ts_ms: int | None = None, max_retries: int = 20,
-                 max_records_per_file: int | None = None) -> int:
+                 max_records_per_file: int | None = None,
+                 txn_app_id: str | None = None,
+                 txn_version: int | None = None) -> int:
     """Blind append: stage ``df``'s files once, then race for the next
     version — on a lost race, re-replay the log, re-check that the
     protocol/metadata are still writable and the schema unchanged, and
     retry at the new head (the staged files are version-independent).
-    Returns the committed version."""
+    Returns the committed version.
+
+    ``txn_app_id``/``txn_version`` make the append IDEMPOTENT (PROTOCOL.md
+    "Transaction Identifiers" — the exactly-once handshake for streaming
+    writers): when the table has already committed this app's txn at (or
+    past) ``txn_version``, the append is a NO-OP returning the current
+    version — a redelivered micro-batch lands zero duplicate rows. The
+    check runs both before staging and again on every lost-race rebase
+    (the race may BE the duplicate writer)."""
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version go together")
     ts = _now_ms(ts_ms)
     rep = replay_log(spark, table_path)
     _check_writable(rep.metadata, rep.protocol, "append")
+    if txn_app_id is not None and             rep.txns.get(txn_app_id, -1) >= txn_version:
+        return rep.version  # already committed: idempotent replay
     adds = _stage_files(spark, _ordered(df, rep), table_path,
                         rep.partition_columns, ts,
                         max_records_per_file=max_records_per_file)
     actions = [
         {"commitInfo": {"timestamp": ts, "operation": "WRITE",
                         "operationParameters": {"mode": "Append"}}},
+        *([{"txn": {"appId": txn_app_id, "version": int(txn_version),
+                    "lastUpdated": ts}}] if txn_app_id is not None else []),
         *({"add": {**a, "dataChange": True}} for a in adds),
     ]
     log = f"{table_path.rstrip('/')}/{LOG_DIR}"
@@ -395,6 +411,8 @@ def append_delta(spark: SparkSession, df: DataFrame, table_path: str,
         # staged is still a valid blind append of this table
         rep = replay_log(spark, table_path)
         _check_writable(rep.metadata, rep.protocol, "append")
+        if txn_app_id is not None and                 rep.txns.get(txn_app_id, -1) >= txn_version:
+            return rep.version  # the racer WAS this txn: drop ours
         try:
             _ordered(df, rep)
         except ValueError as e:
@@ -592,9 +610,14 @@ def write_classic_checkpoint(spark: SparkSession, table_path: str,
         StructField("readerFeatures", ArrayType(StringType())),
         StructField("writerFeatures", ArrayType(StringType())),
     ])
+    txn_t = StructType([
+        StructField("appId", StringType()),
+        StructField("version", LongType()),
+        StructField("lastUpdated", LongType()),
+    ])
     cp_schema = StructType([
         StructField("protocol", proto_t), StructField("metaData", meta_t),
-        StructField("add", add_t),
+        StructField("add", add_t), StructField("txn", txn_t),
     ])
 
     md = rep.metadata
@@ -604,8 +627,8 @@ def write_classic_checkpoint(spark: SparkSession, table_path: str,
             "minWriterVersion": int(rep.protocol.get("minWriterVersion", 2)),
             "readerFeatures": rep.protocol.get("readerFeatures"),
             "writerFeatures": rep.protocol.get("writerFeatures")},
-         "metaData": None, "add": None},
-        {"protocol": None, "add": None,
+         "metaData": None, "add": None, "txn": None},
+        {"protocol": None, "add": None, "txn": None,
          "metaData": {
              "id": md.get("id"),
              "format": {"provider": (md.get("format") or {}).get(
@@ -616,9 +639,16 @@ def write_classic_checkpoint(spark: SparkSession, table_path: str,
              "configuration": md.get("configuration") or {},
              "createdTime": md.get("createdTime")}},
     ]
+    # streaming transaction watermarks survive log-cleanup via the
+    # checkpoint (PROTOCOL.md requires the latest txn per appId)
+    for app_id, v in sorted(rep.txns.items()):
+        rows.append({"protocol": None, "metaData": None, "add": None,
+                     "txn": {"appId": app_id, "version": int(v),
+                             "lastUpdated": None}})
     for a in rep.files.values():
         dv = a.get("deletionVector")
-        rows.append({"protocol": None, "metaData": None, "add": {
+        rows.append({"protocol": None, "metaData": None, "txn": None,
+                     "add": {
             "path": a["path"],
             "partitionValues": a.get("partitionValues") or {},
             "size": int(a.get("size") or 0),

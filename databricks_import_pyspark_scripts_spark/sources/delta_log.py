@@ -127,6 +127,10 @@ class _Replay:
     files: dict[str, dict]                      # path -> add action
     commit_actions: dict[int, list[dict]] = field(default_factory=dict)
     commit_ts_ms: dict[int, int] = field(default_factory=dict)
+    #: streaming transaction watermarks: appId -> highest committed txn
+    #: version ("Transaction Identifiers" in PROTOCOL.md — the
+    #: exactly-once handshake for streaming writers)
+    txns: dict[str, int] = field(default_factory=dict)
 
     @property
     def schema(self) -> StructType:
@@ -200,6 +204,15 @@ def list_delta_versions(spark: SparkSession, table_path: str) -> list[int]:
     log = os.path.join(table_path, LOG_DIR)
     return sorted(int(m.group(1)) for n in _list_names(spark, log)
                   if (m := _COMMIT_RE.match(n)))
+
+
+def last_txn_version(spark: SparkSession, table_path: str,
+                     app_id: str) -> int | None:
+    """Highest committed streaming-transaction version for ``app_id``
+    (PROTOCOL.md "Transaction Identifiers") — what an exactly-once
+    streaming writer consults on restart to skip already-committed
+    batches. None when the app never committed."""
+    return replay_log(spark, table_path).txns.get(app_id)
 
 
 def _commit_timestamps_ms(spark: SparkSession,
@@ -442,7 +455,8 @@ def replay_log(spark: SparkSession, table_path: str,
     if cp_version is not None:
         for action in _checkpoint_actions(
                 spark, log, _checkpoint_parts(names, cp_version)):
-            metadata, protocol = _apply(action, files, metadata, protocol)
+            metadata, protocol = _apply(action, files, metadata, protocol,
+                                        rep.txns)
         start = cp_version + 1
     # every version in (start, target] must still have its commit file —
     # a cleaned-up (vacuumed) log prefix below the checkpoint is fine, a
@@ -464,7 +478,8 @@ def replay_log(spark: SparkSession, table_path: str,
         for action in acts:
             if "commitInfo" in action and ts is None:
                 ts = action["commitInfo"].get("timestamp")
-            metadata, protocol = _apply(action, files, metadata, protocol)
+            metadata, protocol = _apply(action, files, metadata, protocol,
+                                        rep.txns)
         if collect_from is not None and v >= collect_from:
             rep.commit_actions[v] = acts
             rep.commit_ts_ms[v] = int(ts if ts is not None
@@ -560,7 +575,8 @@ def _logicalize_partition_values(rep: _Replay) -> None:
 
 
 def _apply(action: dict, files: dict[str, dict],
-           metadata: dict | None, protocol: dict) -> tuple[dict | None, dict]:
+           metadata: dict | None, protocol: dict,
+           txns: dict[str, int] | None = None) -> tuple[dict | None, dict]:
     if "add" in action:
         files[action["add"]["path"]] = action["add"]
     elif "remove" in action:
@@ -569,6 +585,13 @@ def _apply(action: dict, files: dict[str, dict],
         metadata = action["metaData"]
     elif "protocol" in action:
         protocol = action["protocol"]
+    elif "txn" in action and txns is not None:
+        t = action["txn"]
+        if t.get("appId") is not None and t.get("version") is not None:
+            # replay order is commit order; the protocol says the LATEST
+            # txn per appId wins (versions are app-monotonic in practice,
+            # but a replayed batch may legally re-commit a lower number)
+            txns[t["appId"]] = int(t["version"])
     return metadata, protocol
 
 

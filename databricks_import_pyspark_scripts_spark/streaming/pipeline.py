@@ -121,6 +121,34 @@ def stream_unload(filtered: DataFrame, output_path: str,
             .start())
 
 
+def stream_delta_sink(stream: DataFrame, table_path: str, app_id: str,
+                      checkpoint_dir: str):
+    """EXACTLY-ONCE streaming appends into a jar-less Delta table: each
+    micro-batch commits as one atomic append carrying a ``txn`` action
+    ``(app_id, batch_id)`` (PROTOCOL.md "Transaction Identifiers" — the
+    same handshake delta-spark's streaming sink uses). A redelivered batch
+    id — restart-before-checkpoint, foreachBatch's at-least-once window,
+    even a FRESH checkpoint re-emitting batch 0 — is a NO-OP at commit
+    time because the table itself remembers the app's high-water mark, so
+    duplicates are impossible rather than merely unlikely. The table must
+    already exist (create_delta_table) so concurrent first-batch races
+    cannot fork two tables. Returns the StreamingQuery (caller stops)."""
+    from ..sinks.delta_writer import append_delta
+    from ..sources.delta_log import replay_log
+
+    spark = stream.sparkSession
+    replay_log(spark, table_path)  # fail fast: table must exist
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        append_delta(spark, batch_df, table_path,
+                     txn_app_id=app_id, txn_version=batch_id)
+
+    return (stream.writeStream
+            .foreachBatch(commit_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .start())
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> None:
     """Drive all available input through ``df`` into an in-memory table
     (results at ``SELECT * FROM <name>``), synchronously.

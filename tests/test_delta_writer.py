@@ -437,3 +437,107 @@ def test_export_observe_count_single_execution(spark, tmp_path):
     write_export(df, out, "delta")
     assert int(obs.get["rows"]) == 50
     assert read_delta_snapshot(spark, out).count() == 50
+
+
+# ---------------------------------------------------------------------------
+# txn actions: the exactly-once streaming handshake
+
+def test_txn_append_is_idempotent(spark, table):
+    from databricks_import_pyspark_scripts_spark.sources.delta_log import (
+        last_txn_version,
+    )
+
+    v1 = append_delta(spark, _frame(spark, 100, 110), table, ts_ms=2000,
+                      txn_app_id="app", txn_version=0)
+    assert v1 == 1
+    # redelivery of the same batch: no commit, no duplicate rows
+    v2 = append_delta(spark, _frame(spark, 100, 110), table, ts_ms=2500,
+                      txn_app_id="app", txn_version=0)
+    assert v2 == 1
+    assert latest_delta_version(spark, table) == 1
+    assert read_delta_snapshot(spark, table).count() == 110
+    # a LOWER version replays idempotently too; the next one commits
+    v3 = append_delta(spark, _frame(spark, 110, 115), table, ts_ms=3000,
+                      txn_app_id="app", txn_version=1)
+    assert v3 == 2
+    assert last_txn_version(spark, table, "app") == 1
+    assert last_txn_version(spark, table, "other") is None
+
+
+def test_txn_rebase_detects_racing_duplicate(spark, table, monkeypatch):
+    """If the commit race is lost to the SAME txn (another instance of this
+    writer), the rebase must drop our copy instead of double-appending."""
+    from databricks_import_pyspark_scripts_spark.sinks import delta_writer
+
+    real_stage = delta_writer._stage_files
+
+    def stage_and_steal(*args, **kwargs):
+        out = real_stage(*args, **kwargs)
+        payload = (json.dumps({"commitInfo": {"timestamp": 1600,
+                                              "operation": "WRITE"}}) + "\n"
+                   + json.dumps({"txn": {"appId": "app", "version": 7}})
+                   + "\n")
+        p = os.path.join(table, "_delta_log", f"{1:020d}.json")
+        if not os.path.exists(p):
+            with open(p, "w") as f:
+                f.write(payload)
+        return out
+
+    monkeypatch.setattr(delta_writer, "_stage_files", stage_and_steal)
+    v = append_delta(spark, _frame(spark, 100, 110), table, ts_ms=2000,
+                     txn_app_id="app", txn_version=7)
+    assert v == 1  # the racer's commit IS this txn; ours was dropped
+    assert read_delta_snapshot(spark, table).count() == 100
+
+
+def test_txn_watermark_survives_checkpoint(spark, table):
+    from databricks_import_pyspark_scripts_spark.sources.delta_log import (
+        last_txn_version,
+    )
+
+    append_delta(spark, _frame(spark, 100, 110), table, ts_ms=2000,
+                 txn_app_id="app", txn_version=3)
+    cp = write_classic_checkpoint(spark, table)
+    for v in range(cp):
+        os.unlink(os.path.join(table, "_delta_log", f"{v:020d}.json"))
+    assert last_txn_version(spark, table, "app") == 3
+    # idempotence still holds across the retired-json boundary
+    v = append_delta(spark, _frame(spark, 100, 110), table, ts_ms=3000,
+                     txn_app_id="app", txn_version=3)
+    assert v == cp
+    assert read_delta_snapshot(spark, table).count() == 110
+
+
+def test_stream_delta_sink_exactly_once_across_restart(spark, tmp_path):
+    """availableNow file-source stream into the delta sink, then a SECOND
+    run with a FRESH streaming checkpoint (batch ids restart at 0 — the
+    worst redelivery case): the txn handshake makes the rerun a no-op, so
+    the table holds each row exactly once."""
+    from databricks_import_pyspark_scripts_spark.streaming.pipeline import (
+        stream_delta_sink,
+    )
+
+    src = str(tmp_path / "src")
+    _frame(spark, 0, 40).write.parquet(src)
+    t = str(tmp_path / "sink")
+    create_delta_table(
+        spark, spark.createDataFrame([], "k long, p string, v double"), t,
+        ts_ms=1000)
+
+    # bounded source + processAllAvailable = availableNow semantics
+    stream = (spark.readStream.schema("k long, p string, v double")
+              .parquet(src))
+    q = stream_delta_sink(stream, t, "ingest-app", str(tmp_path / "cp1"))
+    q.processAllAvailable()
+    q.stop()
+    first = read_delta_snapshot(spark, t).count()
+    assert first == 40
+
+    # rerun with a FRESH checkpoint: batch 0 is re-emitted with the same
+    # data; the table's txn watermark makes it a no-op
+    stream2 = (spark.readStream.schema("k long, p string, v double")
+               .parquet(src))
+    q2 = stream_delta_sink(stream2, t, "ingest-app", str(tmp_path / "cp2"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert read_delta_snapshot(spark, t).count() == 40
