@@ -110,6 +110,8 @@ HEADLINE = [
     # the Aho-Corasick scale path of the substring decontamination gate
     # (O(|text|) per doc regardless of canary count, same oracle)
     "dedup_decontaminate_substring_aho",
+    # MERGE INTO through the transactional writer (v4 of the staged table)
+    "delta_writer_merge_agg",
 ]
 
 EXTENSION_ROWS = {
@@ -327,7 +329,8 @@ def main() -> int:
                "corpus_systematic_pps_sharded", "events_zorder_index",
                "dedup_decontaminate_substring",
                "delta_writer_roundtrip_agg", "delta_writer_update_cdf",
-               "delta_id_mapped_read", "dedup_decontaminate_substring_aho"}
+               "delta_id_mapped_read", "dedup_decontaminate_substring_aho",
+               "delta_writer_merge_agg"}
     # same membership as comparable_queries_sec (includes the unload e2e row)
     comp = [k for k in timings
             if k not in EXTENSION_ROWS and k not in stress

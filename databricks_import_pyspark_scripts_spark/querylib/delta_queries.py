@@ -407,7 +407,11 @@ def delta_cdf_insert_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # v1 append: event_id%3=1
 # v2 delete: event_id%5=0
 # v3 update: value += 1000 where event_id%7=0
+# v4 merge: source = events where event_id%4=0 (original values) — matched
+#           rows get t.value + s.value, unmatched source rows INSERT
+#           (including rows v2 deleted: they rejoin with original values)
 _W_DEL, _W_UPD = "event_id % 5 = 0", "event_id % 7 = 0"
+_W_MRG = "event_id % 4 = 0"
 
 
 def _writer_staged_table(spark: SparkSession, sf_dir: str) -> str:
@@ -415,12 +419,13 @@ def _writer_staged_table(spark: SparkSession, sf_dir: str) -> str:
         append_delta,
         create_delta_table,
         delete_where,
+        merge_into,
         update_where,
     )
 
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     path = os.path.join(tempfile.gettempdir(),
-                        f"spark_graft_delta_writer_gate_{tag}_v1")
+                        f"spark_graft_delta_writer_gate_{tag}_v2")
     marker = os.path.join(path, "_STAGED")
     if not os.path.exists(marker):
         import shutil
@@ -435,6 +440,9 @@ def _writer_staged_table(spark: SparkSession, sf_dir: str) -> str:
         delete_where(spark, path, _W_DEL, ts_ms=_BASE_TS_MS + 2000)
         update_where(spark, path, _W_UPD, {"value": "value + 1000"},
                      ts_ms=_BASE_TS_MS + 3000)
+        merge_into(spark, path, e.filter(F.expr(_W_MRG)), on=["event_id"],
+                   when_matched_update={"value": "t.value + s.value"},
+                   ts_ms=_BASE_TS_MS + 4000)
         open(marker, "w").close()
     return path
 
@@ -475,7 +483,7 @@ def delta_writer_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "n", "sum_value"))
 
     return agg(snap(spark, path, version=1), 1).unionAll(
-        agg(snap(spark, path), 3))
+        agg(snap(spark, path, version=3), 3))
 
 
 @register(
@@ -598,3 +606,43 @@ def delta_id_mapped_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"),
                  (F.sum(F.round(F.col("o_totalprice") * 100)
                         .cast("long")) / 100.0).alias("sum_total")))
+
+
+@register(
+    "delta_writer_merge_agg",
+    f"""
+    WITH t AS (
+      SELECT event_id, event_type,
+             CASE WHEN {_W_UPD} THEN value + 1000 ELSE value END AS value
+      FROM events
+      WHERE (({_V0_PRED}) OR ({_V1_PRED})) AND NOT ({_W_DEL})
+    ), s AS (
+      SELECT event_id, event_type, value FROM events WHERE {_W_MRG}
+    ), merged AS (
+      SELECT t.event_id, t.event_type,
+             CASE WHEN s.event_id IS NOT NULL THEN t.value + s.value
+                  ELSE t.value END AS value
+      FROM t LEFT JOIN s ON t.event_id = s.event_id
+      UNION ALL
+      SELECT s.event_id, s.event_type, s.value FROM s
+      WHERE s.event_id NOT IN (SELECT event_id FROM t)
+    )
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM merged GROUP BY event_type
+    """,
+    doc="MERGE INTO through the jar-less writer: v4 merges the %4 slice "
+        "of events into the v3 state — matched rows get t.value + "
+        "s.value, unmatched source rows INSERT (including rows the v2 "
+        "delete removed, which rejoin with their original values — the "
+        "upsert-after-delete case). The oracle recomputes the merged "
+        "state from the parquet source with the same clause logic; a "
+        "wrong match set, a missed insert, or a double-applied update "
+        "diverges the hash.")
+def delta_writer_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.delta_log import read_delta_snapshot as snap
+
+    path = _writer_staged_table(spark, sf_dir)
+    return (snap(spark, path, version=4)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))

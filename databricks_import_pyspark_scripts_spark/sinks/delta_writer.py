@@ -753,3 +753,156 @@ def vacuum_delta(spark: SparkSession, table_path: str,
 def latest_delta_version(spark: SparkSession, table_path: str) -> int:
     """Newest committed version (checkpoint-only logs included)."""
     return max(list_delta_versions(spark, table_path))
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (upsert)
+
+def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
+               on: list[str],
+               when_matched_update: dict[str, str] | None = None,
+               when_matched_delete: str | None = None,
+               when_not_matched_insert: bool = True,
+               ts_ms: int | None = None) -> int:
+    """``MERGE INTO <table> t USING <source> s ON <keys>`` with the three
+    standard clauses, as one atomic commit:
+
+    * ``when_matched_update``: ``{target_col: sql_expr}`` over the joined
+      row — target columns by bare name, source columns as ``s.<col>``
+      (e.g. ``{"v": "t.v + s.v"}``; bare names resolve to the TARGET side,
+      ``t.`` is accepted explicitly). Cast back to the declared type.
+    * ``when_matched_delete``: SQL condition (same namespace) selecting
+      matched rows to DELETE instead; ``"true"`` deletes every match.
+      Evaluated BEFORE update (Delta's clause-order semantics with delete
+      first); a matched row failing it falls through to the update.
+    * ``when_not_matched_insert``: insert source rows with no target match
+      (source must carry the full table schema).
+
+    Rewrite scope is minimal, like DELETE/UPDATE: only target files
+    containing a matched row are rewritten; inserts stage as new files.
+    Multiple source rows matching ONE target row raise ``ValueError``
+    (Delta's nondeterministic-merge protection). With CDF enabled, writes
+    explicit cdc rows (update pre/post images, deletes, inserts).
+
+    At 100 TB: the match scan is one join of the target scan against the
+    source keyed on ``on`` (shuffle or broadcast — AQE decides by source
+    size); the rewrite rescans ONLY affected files joined against the
+    source again. The duplicate-match guard is a |matched-keys|-bounded
+    aggregate probed with ``limit(1)``, not a collect."""
+    ts = _now_ms(ts_ms)
+    rep = replay_log(spark, table_path)
+    _check_writable(rep.metadata, rep.protocol, "merge")
+    logical = [f.name for f in rep.schema.fields]
+    bad_on = [c for c in on if c not in logical]
+    if bad_on:
+        raise ValueError(f"merge keys {bad_on} are not table columns")
+    src = source.select(*logical)  # schema contract, fail early
+
+    if not rep.files:
+        # empty table: merge degenerates to insert-only
+        if not when_not_matched_insert:
+            return rep.version
+        return append_delta(spark, src, table_path, ts_ms=ts)
+
+    snap = _scan_files(spark, table_path, rep, list(rep.files.values()))
+    key = [snap[c].eqNullSafe(src[c]) for c in on]
+
+    # Delta's nondeterministic-merge guard: a target key hit by >1 source
+    # row has no well-defined update image
+    dup = (src.groupBy(*on).agg(F.count(F.lit(1)).alias("__n"))
+           .filter(F.col("__n") > 1)
+           .join(snap.select(*on).distinct(), on, "left_semi"))
+    if dup.limit(1).count() > 0:
+        raise ValueError(
+            "multiple source rows match a single target row; merge would "
+            "be nondeterministic (Delta parity)")
+
+    matched_bases = {
+        r[0] for r in snap.join(src, key, "left_semi")
+        .select(_FILE_BASE).distinct().collect()}
+    by_base = {_action_base(table_path, p): a for p, a in rep.files.items()}
+    affected = [by_base[b] for b in sorted(matched_bases)]
+
+    cdf = _cdf_enabled(rep.metadata)
+    pieces_cdc: list[DataFrame] = []
+    new_parts: list[DataFrame] = []
+
+    if affected:
+        aff = _scan_files(spark, table_path, rep, affected)
+        t_side = aff.alias("t")
+        # explicit match marker, not s-key-isNotNull: eqNullSafe makes
+        # (null, null) a legitimate match, so a null key cannot signal
+        # "unmatched"
+        s_side = src.withColumn("__s_matched", F.lit(True)).alias("s")
+        cond = [F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}")) for c in on]
+        joined = t_side.join(s_side, cond, "left")
+        is_match = F.coalesce(F.col("__s_matched"), F.lit(False))
+        types = {f.name: f.dataType.simpleString() for f in rep.schema.fields}
+
+        delete_cond = (is_match & F.coalesce(
+            F.expr(when_matched_delete), F.lit(False))
+            if when_matched_delete is not None else F.lit(False))
+        update_cond = (is_match & ~delete_cond
+                       if when_matched_update is not None else F.lit(False))
+
+        def target_row(prefix_updates: bool):
+            cols = []
+            for c in logical:
+                if prefix_updates and when_matched_update and \
+                        c in when_matched_update:
+                    cols.append(
+                        F.when(update_cond,
+                               F.expr(when_matched_update[c])
+                               .cast(types[c]))
+                        .otherwise(F.col(f"t.{c}")).alias(c))
+                else:
+                    cols.append(F.col(f"t.{c}").alias(c))
+            return cols
+
+        kept = joined.filter(~delete_cond).select(*target_row(True))
+        new_parts.append(kept)
+        if cdf:
+            deleted = joined.filter(delete_cond).select(
+                *[F.col(f"t.{c}").alias(c) for c in logical]) \
+                .withColumn(_CDC_TYPE, F.lit("delete"))
+            pre = joined.filter(update_cond).select(
+                *[F.col(f"t.{c}").alias(c) for c in logical]) \
+                .withColumn(_CDC_TYPE, F.lit("update_preimage"))
+            post = joined.filter(update_cond).select(*target_row(True)) \
+                .withColumn(_CDC_TYPE, F.lit("update_postimage"))
+            pieces_cdc += [deleted, pre, post]
+
+    if when_not_matched_insert:
+        inserts = src.join(snap.select(*on).distinct(), on, "left_anti")
+        new_parts.append(inserts)
+        if cdf:
+            pieces_cdc.append(
+                inserts.withColumn(_CDC_TYPE, F.lit("insert")))
+
+    if not new_parts and not affected:
+        return rep.version  # nothing matched, nothing to insert
+
+    new_rows = new_parts[0]
+    for p in new_parts[1:]:
+        new_rows = new_rows.unionByName(p)
+    adds = _stage_files(spark, new_rows.select(*logical), table_path,
+                        rep.partition_columns, ts)
+    actions: list[dict] = [
+        {"commitInfo": {"timestamp": ts, "operation": "MERGE",
+                        "operationParameters": {"predicate": " AND ".join(on)}}},
+        *({"add": {**a, "dataChange": True}} for a in adds),
+        *({"remove": {"path": a["path"], "deletionTimestamp": ts,
+                      "dataChange": True,
+                      "partitionValues": a.get("partitionValues") or {},
+                      "size": a.get("size")}}
+          for a in affected),
+    ]
+    if cdf and pieces_cdc:
+        cdc_df = pieces_cdc[0]
+        for p in pieces_cdc[1:]:
+            cdc_df = cdc_df.unionByName(p)
+        cdc = _stage_files(spark, cdc_df, table_path, rep.partition_columns,
+                           ts, subdir="_change_data")
+        actions += [{"cdc": {**c, "dataChange": False}} for c in cdc]
+    return _strict_commit(spark, table_path, rep.version + 1, actions,
+                          "merge")

@@ -541,3 +541,106 @@ def test_stream_delta_sink_exactly_once_across_restart(spark, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert read_delta_snapshot(spark, t).count() == 40
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO
+
+def test_merge_upsert_update_and_insert(spark, table):
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        merge_into,
+    )
+
+    # source: updates k in {0, 4, 8} (v -> t.v + s.v), inserts k in {200, 201}
+    source = spark.createDataFrame(
+        [(0, "0", 100.0), (4, "0", 100.0), (8, "0", 100.0),
+         (200, "x", 1.0), (201, "y", 2.0)],
+        "k long, p string, v double")
+    v = merge_into(spark, table, source, on=["k"],
+                   when_matched_update={"v": "t.v + s.v"}, ts_ms=3000)
+    assert v == 1
+    snap = read_delta_snapshot(spark, table)
+    got = {r.k: r.v for r in snap.filter("k IN (0, 4, 8, 200, 201, 1)")
+           .collect()}
+    assert got == {0: 100.0, 4: 108.0, 8: 116.0, 200: 1.0, 201: 2.0, 1: 2.0}
+    assert snap.count() == 102
+    # cdc: pre/post for the 3 updates, insert for the 2 new rows
+    ch = read_delta_changes(spark, table, 0, 1)
+    counts = {r["_change_type"]: r["n"] for r in
+              ch.groupBy("_change_type").agg(F.count("*").alias("n"))
+              .collect()}
+    assert counts == {"update_preimage": 3, "update_postimage": 3,
+                      "insert": 2}
+
+
+def test_merge_matched_delete_clause(spark, table):
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        merge_into,
+    )
+
+    source = spark.createDataFrame(
+        [(0, "0", 1.0), (4, "0", 1.0), (300, "z", 3.0)],
+        "k long, p string, v double")
+    merge_into(spark, table, source, on=["k"],
+               when_matched_delete="s.v < t.v",  # deletes k=4 (t.v=8 > 1)
+               when_matched_update={"v": "s.v"},  # k=0 (t.v=0 -> no delete)
+               ts_ms=3000)
+    snap = read_delta_snapshot(spark, table)
+    assert snap.filter("k = 4").count() == 0
+    assert snap.filter("k = 0").first().v == 1.0
+    assert snap.filter("k = 300").count() == 1
+    assert snap.count() == 100  # 100 - 1 deleted + 1 inserted
+
+
+def test_merge_rejects_duplicate_source_matches(spark, table):
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        merge_into,
+    )
+
+    source = spark.createDataFrame(
+        [(0, "0", 1.0), (0, "0", 2.0)], "k long, p string, v double")
+    with pytest.raises(ValueError, match="nondeterministic"):
+        merge_into(spark, table, source, on=["k"],
+                   when_matched_update={"v": "s.v"})
+    # duplicate source rows that match NOTHING are fine (insert both? no —
+    # they'd collide as inserts too, but Delta allows them; we insert both)
+    source2 = spark.createDataFrame(
+        [(500, "a", 1.0), (500, "a", 2.0)], "k long, p string, v double")
+    merge_into(spark, table, source2, on=["k"],
+               when_matched_update={"v": "s.v"}, ts_ms=3000)
+    assert read_delta_snapshot(spark, table).filter("k = 500").count() == 2
+
+
+def test_merge_into_empty_table_is_insert_only(spark, tmp_path):
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        merge_into,
+    )
+
+    t = str(tmp_path / "empty")
+    create_delta_table(
+        spark, spark.createDataFrame([], "k long, p string, v double"), t,
+        ts_ms=1000)
+    src = _frame(spark, 0, 10)
+    v = merge_into(spark, t, src, on=["k"],
+                   when_matched_update={"v": "s.v"}, ts_ms=2000)
+    assert v == 1
+    assert read_delta_snapshot(spark, t).count() == 10
+
+
+def test_merge_touches_only_matching_files(spark, table):
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        merge_into,
+    )
+    import urllib.parse
+
+    before = set(replay_log(spark, table).files)
+    source = spark.createDataFrame([(13, "1", 9.0)],
+                                   "k long, p string, v double")
+    merge_into(spark, table, source, on=["k"],
+               when_matched_update={"v": "s.v"},
+               when_not_matched_insert=False, ts_ms=3000)
+    after = set(replay_log(spark, table).files)
+    untouched = {p for p in before
+                 if "/p=1/" not in f"/{urllib.parse.unquote(p)}"}
+    assert untouched <= (before & after)
+    assert read_delta_snapshot(spark, table).filter("k = 13").first().v == 9.0
