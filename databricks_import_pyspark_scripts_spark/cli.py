@@ -34,7 +34,8 @@ def build_parser() -> argparse.ArgumentParser:
                         'snapshot-of-end (required unless --maintenance)')
     p.add_argument("--maintenance",
                    choices=("optimize", "vacuum", "drift", "neardup-index",
-                            "delta-ingest"),
+                            "delta-ingest", "delta-optimize", "delta-vacuum",
+                            "delta-checkpoint"),
                    help="run a table-maintenance operation instead of an "
                         "unload: optimize = compact the latest snapshot "
                         "into a new version; vacuum = drop versions below "
@@ -49,7 +50,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "_delta_log, no jars needed): resumes from "
                         "--state-path, writes the new change rows under "
                         "--output-path/range=<a>-<b> (idempotent overwrite), "
-                        "advances the mark atomically")
+                        "advances the mark atomically; delta-optimize / "
+                        "delta-vacuum / delta-checkpoint = the transactional "
+                        "maintenance verbs on a REAL Delta table dir "
+                        "(<source-root>/<table>): bin-packing compaction "
+                        "(optionally --zorder-by), retention vacuum "
+                        "(--retention-hours), classic checkpoint")
     p.add_argument("--state-path", default=None,
                    help="delta-ingest: high-water-mark file (created on "
                         "first tick)")
@@ -63,6 +69,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--optimize-partitions", type=int, default=None,
                    help="optimize: target file count (default: cluster "
                         "parallelism)")
+    p.add_argument("--retention-hours", type=float, default=168.0,
+                   help="delta-vacuum: delete unreferenced files older than "
+                        "this (default 168 = 7 days)")
     p.add_argument("--drift-from", type=int, help="drift: base version")
     p.add_argument("--drift-to", type=int, help="drift: target version")
     p.add_argument("--sql", help="transformation SQL over the table views")
@@ -199,6 +208,33 @@ def _run_maintenance(args) -> int:
                                        apply_fn)
         report = {"table": args.table, "high_water_mark": hwm,
                   "new_data": bool(written), **written}
+    elif args.maintenance == "delta-optimize":
+        from .sinks.delta_writer import optimize_delta
+        from .sources.delta_log import replay_log
+
+        table_path = f"{args.source_root}/{args.table}"
+        zorder = ([c.strip() for c in args.zorder_by.split(",") if c.strip()]
+                  if args.zorder_by else None)
+        before = len(replay_log(spark, table_path).files)
+        v = optimize_delta(spark, table_path, zorder_by=zorder)
+        report = {"table": args.table, "version": v,
+                  "files_before": before,
+                  "files_after": len(replay_log(spark, table_path).files),
+                  "zorder_by": zorder or []}
+    elif args.maintenance == "delta-vacuum":
+        from .sinks.delta_writer import vacuum_delta
+
+        table_path = f"{args.source_root}/{args.table}"
+        doomed = vacuum_delta(
+            spark, table_path,
+            retention_ms=int(args.retention_hours * 3600 * 1000))
+        report = {"table": args.table, "deleted_files": len(doomed)}
+    elif args.maintenance == "delta-checkpoint":
+        from .sinks.delta_writer import write_classic_checkpoint
+
+        table_path = f"{args.source_root}/{args.table}"
+        v = write_classic_checkpoint(spark, table_path)
+        report = {"table": args.table, "checkpoint_version": v}
     else:
         report = schema_drift_report(spark, args.source_root, args.table,
                                      args.drift_from, args.drift_to)

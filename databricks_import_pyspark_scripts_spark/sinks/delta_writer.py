@@ -906,3 +906,95 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
         actions += [{"cdc": {**c, "dataChange": False}} for c in cdc]
     return _strict_commit(spark, table_path, rep.version + 1, actions,
                           "merge")
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE: bin-packing compaction + z-order clustering
+
+def optimize_delta(spark: SparkSession, table_path: str,
+                   small_file_bytes: int = 128 * 1024 * 1024,
+                   zorder_by: list[str] | None = None,
+                   ts_ms: int | None = None) -> int:
+    """``OPTIMIZE <table> [ZORDER BY (...)]``: rewrite files into fewer,
+    larger, optionally multi-dimension-clustered ones — the layout
+    maintenance pass a streaming-ingested table needs periodically.
+
+    * Plain compaction: files under ``small_file_bytes`` are rewritten
+      (per partition, so partitionValues stay exact); files already large
+      are left alone. With fewer than two small files per partition there
+      is nothing to gain — no commit.
+    * ``zorder_by``: ALL files are rewritten range-clustered on the Morton
+      key (``operators/layout.with_zorder_key``), so every listed column's
+      footer min/max tightens at once — the add-action stats then serve
+      multi-dimension data skipping through ``stats_filter``.
+
+    The commit marks BOTH its removes and adds ``dataChange: false`` —
+    the protocol's compaction contract: the table's logical content is
+    unchanged, and CDF readers skip the commit entirely (the reader's
+    change synthesis already honors the flag). Strict-versioned like the
+    other read-dependent ops. DV-bearing files fold their vector into the
+    rewrite (the scan drops deleted rows), so OPTIMIZE doubles as DV
+    compaction, matching Delta's PURGE behavior.
+
+    At 100 TB: the rewrite is one executor-side clustered write over the
+    selected file set; selection itself is log metadata (no data read).
+    Run it per partition-predicate slice in production to bound a single
+    commit's rewrite set."""
+    ts = _now_ms(ts_ms)
+    rep = replay_log(spark, table_path)
+    _check_writable(rep.metadata, rep.protocol, "optimize")
+    if not rep.files:
+        return rep.version
+    if zorder_by:
+        missing = [c for c in zorder_by
+                   if c not in {f.name for f in rep.schema.fields}]
+        if missing:
+            raise ValueError(f"zorder columns {missing} are not table "
+                             f"columns")
+        targets = list(rep.files.values())
+    else:
+        # group small files by partitionValues; only partitions with 2+
+        # small files benefit from compaction
+        groups: dict[tuple, list[dict]] = {}
+        for a in rep.files.values():
+            if int(a.get("size") or 0) < small_file_bytes \
+                    or a.get("deletionVector"):
+                pv = a.get("partitionValues") or {}
+                groups.setdefault(
+                    tuple(sorted(pv.items())), []).append(a)
+        targets = [a for g in groups.values() if len(g) >= 2 for a in g]
+        targets += [a for g in groups.values() if len(g) == 1
+                    and g[0].get("deletionVector") for a in g]
+    if not targets:
+        return rep.version
+    df = _scan_files(spark, table_path, rep, targets)
+    logical = [f.name for f in rep.schema.fields]
+    out = df.select(*logical)
+    if zorder_by:
+        from ..operators.layout import with_zorder_key
+
+        out = (with_zorder_key(out, zorder_by)
+               .repartitionByRange("_zorder")
+               .sortWithinPartitions("_zorder").drop("_zorder"))
+    elif rep.partition_columns:
+        # co-locate each partition value on one task so the partitionBy
+        # staging writes ONE file per compacted partition (a bare coalesce
+        # would cross-product tasks x partition dirs)
+        out = out.repartition(*rep.partition_columns)
+    else:
+        total = sum(int(a.get("size") or 0) for a in targets)
+        out = out.coalesce(max(1, -(-total // small_file_bytes)))
+    adds = _stage_files(spark, out, table_path, rep.partition_columns, ts)
+    actions: list[dict] = [
+        {"commitInfo": {"timestamp": ts, "operation": "OPTIMIZE",
+                        "operationParameters": {
+                            "zOrderBy": zorder_by or []}}},
+        *({"add": {**a, "dataChange": False}} for a in adds),
+        *({"remove": {"path": a["path"], "deletionTimestamp": ts,
+                      "dataChange": False,
+                      "partitionValues": a.get("partitionValues") or {},
+                      "size": a.get("size")}}
+          for a in targets),
+    ]
+    return _strict_commit(spark, table_path, rep.version + 1, actions,
+                          "optimize")

@@ -244,3 +244,53 @@ def test_cli_unload_delta_destination(spark, tmp_path):
     assert sorted(r.uname for r in snap.collect()) == ["A", "B"]
     assert os.path.exists(os.path.join(out, "_meta"))
     assert os.path.exists(os.path.join(out, "_delta_log"))
+
+
+def test_cli_delta_maintenance_verbs(spark, tmp_path):
+    """delta-optimize / delta-checkpoint / delta-vacuum drive the
+    transactional writer's maintenance surface through the subprocess CLI
+    against a real Delta table dir."""
+    import os
+
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        append_delta,
+        create_delta_table,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.delta_log import (
+        read_delta_snapshot,
+    )
+
+    root = str(tmp_path / "root")
+    t = f"{root}/tbl"
+    create_delta_table(
+        spark,
+        spark.range(0, 50).selectExpr("id AS k", "CAST(id AS double) AS v"),
+        t, ts_ms=1000)
+    for i in range(2):
+        append_delta(
+            spark,
+            spark.range(50 + i * 10, 60 + i * 10)
+            .selectExpr("id AS k", "CAST(id AS double) AS v"),
+            t, ts_ms=2000 + i)
+
+    env = {"SPARK_GRAFT_CPUS": "4", "PATH": "/usr/bin:/bin", "HOME": "/root",
+           "JAVA_HOME": os.environ.get("JAVA_HOME", "")}
+
+    def verb(*extra):
+        proc = subprocess.run(
+            [sys.executable, "-m", "databricks_import_pyspark_scripts_spark.cli",
+             "--source-root", root, "--table", "tbl", *extra],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+            env=env)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    rep = verb("--maintenance", "delta-optimize")
+    assert rep["files_after"] <= rep["files_before"]
+    rep = verb("--maintenance", "delta-checkpoint")
+    assert rep["checkpoint_version"] >= 2
+    assert os.path.exists(os.path.join(
+        t, "_delta_log", f"{rep['checkpoint_version']:020d}.checkpoint.parquet"))
+    rep = verb("--maintenance", "delta-vacuum", "--retention-hours", "0")
+    assert rep["deleted_files"] >= 0
+    assert read_delta_snapshot(spark, t).count() == 70

@@ -644,3 +644,103 @@ def test_merge_touches_only_matching_files(spark, table):
                  if "/p=1/" not in f"/{urllib.parse.unquote(p)}"}
     assert untouched <= (before & after)
     assert read_delta_snapshot(spark, table).filter("k = 13").first().v == 9.0
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE: compaction + z-order, dataChange=false semantics
+
+def test_optimize_compacts_small_files_content_unchanged(spark, table):
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        optimize_delta,
+    )
+
+    # several small appends fragment the table
+    for i in range(3):
+        append_delta(spark, _frame(spark, 100 + i * 10, 110 + i * 10),
+                     table, ts_ms=2000 + i)
+    before = read_delta_snapshot(spark, table)
+    rows_before = _ks(before)
+    files_before = len(replay_log(spark, table).files)
+    v = optimize_delta(spark, table, ts_ms=9000)
+    assert v == 4
+    rep = replay_log(spark, table)
+    assert len(rep.files) < files_before
+    assert _ks(read_delta_snapshot(spark, table)) == rows_before
+    # stats present on the compacted adds (still skippable)
+    assert all(a.get("stats") for a in rep.files.values())
+
+
+def test_optimize_commit_is_invisible_to_cdf(spark, table):
+    """dataChange=false removes+adds: CDF over the optimize version must
+    contribute NOTHING (the compaction changed no logical rows)."""
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        optimize_delta,
+    )
+
+    append_delta(spark, _frame(spark, 100, 110), table, ts_ms=2000)
+    v = optimize_delta(spark, table, ts_ms=9000)
+    assert v == 2
+    ch = read_delta_changes(spark, table, 1, 2)
+    assert ch.count() == 0
+
+
+def test_optimize_zorder_clusters_and_preserves_rows(spark, table):
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        optimize_delta,
+    )
+
+    rows_before = _ks(read_delta_snapshot(spark, table))
+    v = optimize_delta(spark, table, zorder_by=["k", "v"], ts_ms=9000)
+    assert v == 1
+    assert _ks(read_delta_snapshot(spark, table)) == rows_before
+    with pytest.raises(ValueError, match="not table columns"):
+        optimize_delta(spark, table, zorder_by=["nope"])
+
+
+def test_optimize_noop_when_nothing_to_compact(spark, tmp_path):
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        optimize_delta,
+    )
+
+    # one file per partition from the start -> nothing to gain, no commit
+    t = str(tmp_path / "onefile")
+    create_delta_table(spark, _frame(spark, 0, 100).repartition("p"), t,
+                       partition_by=["p"], ts_ms=1000)
+    per_part: dict = {}
+    for a in replay_log(spark, t).files.values():
+        key = tuple(sorted((a.get("partitionValues") or {}).items()))
+        per_part[key] = per_part.get(key, 0) + 1
+    assert all(n == 1 for n in per_part.values())
+    v = optimize_delta(spark, t, ts_ms=9000)
+    assert v == 0
+    assert latest_delta_version(spark, t) == 0
+
+
+def test_optimize_compacts_to_one_file_per_partition(spark, table):
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        optimize_delta,
+    )
+
+    append_delta(spark, _frame(spark, 100, 150), table, ts_ms=2000)
+    optimize_delta(spark, table, ts_ms=9000)
+    per_part: dict = {}
+    for a in replay_log(spark, table).files.values():
+        key = tuple(sorted((a.get("partitionValues") or {}).items()))
+        per_part[key] = per_part.get(key, 0) + 1
+    assert all(n == 1 for n in per_part.values()), per_part
+
+
+def test_optimize_folds_dv_files(spark, tmp_path):
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        optimize_delta,
+    )
+    from delta_fixture import make_dv_delta_table
+
+    t = make_dv_delta_table(str(tmp_path / "dv"))
+    before = read_delta_snapshot(spark, t)
+    ids = sorted(r.id for r in before.collect())
+    optimize_delta(spark, t, ts_ms=10**12)
+    rep = replay_log(spark, t)
+    assert all(not a.get("deletionVector") for a in rep.files.values())
+    assert sorted(r.id for r in
+                  read_delta_snapshot(spark, t).collect()) == ids
