@@ -1,0 +1,146 @@
+"""Model-based randomized differential test for the jar-less Delta WRITER:
+a seeded generator drives a random sequence of real writer operations
+(append / overwrite / delete_where / update_where / merge_into /
+optimize_delta / write_classic_checkpoint, with occasional retired-json
+prefixes) against a plain-Python dict model of the table contents; after
+EVERY operation the snapshot read-back must equal the model exactly, and
+at the end two randomly chosen historical versions must equal their
+archived models (time travel across the whole mixed history).
+
+This exercises interactions the hand-written tests cannot enumerate:
+merges over previously-optimized files, deletes into compacted state,
+updates after checkpoint truncation, dataChange=false commits interleaved
+with logical changes — across seeds."""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+    append_delta,
+    create_delta_table,
+    delete_where,
+    merge_into,
+    optimize_delta,
+    overwrite_delta,
+    update_where,
+    write_classic_checkpoint,
+)
+from databricks_import_pyspark_scripts_spark.sources.delta_log import (
+    read_delta_snapshot,
+    replay_log,
+)
+
+BASE_TS = 1700000000000
+
+
+def _df(spark, rows: dict[int, float]):
+    if not rows:
+        return spark.createDataFrame([], "k long, v double")
+    return spark.createDataFrame(sorted(rows.items()), "k long, v double")
+
+
+def _read(spark, t, version=None) -> dict[int, float]:
+    snap = read_delta_snapshot(spark, t, version=version)
+    return {r.k: r.v for r in snap.collect()}
+
+
+@pytest.mark.parametrize("seed", [11, 47])
+def test_writer_random_ops_match_model(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    t = str(tmp_path / f"m{seed}")
+
+    next_id = 100
+    model: dict[int, float] = {k: float(k) for k in range(20)}
+    create_delta_table(spark, _df(spark, model), t, cdf=True, ts_ms=BASE_TS)
+    history: dict[int, dict[int, float]] = {0: dict(model)}
+    version = 0
+
+    def fresh_rows(n: int) -> dict[int, float]:
+        nonlocal next_id
+        rows = {k: float(k) * 1.5 for k in range(next_id, next_id + n)}
+        next_id += n
+        return rows
+
+    ops = ["append", "delete", "update", "merge", "optimize",
+           "checkpoint", "overwrite"]
+    weights = [4, 3, 3, 3, 2, 2, 1]
+    for step in range(10):
+        op = rng.choices(ops, weights)[0]
+        ts = BASE_TS + (step + 1) * 1000
+        if op == "append":
+            rows = fresh_rows(rng.randint(0, 8))
+            v = append_delta(spark, _df(spark, rows), t, ts_ms=ts)
+            model.update(rows)
+            version = v
+        elif op == "delete":
+            m, r = rng.randint(2, 7), rng.randint(0, 1)
+            v = delete_where(spark, t, f"k % {m} = {r}", ts_ms=ts)
+            doomed = [k for k in model if k % m == r]
+            if doomed:
+                for k in doomed:
+                    del model[k]
+                version = v
+            else:
+                assert v == version  # no match -> no commit
+        elif op == "update":
+            m, r = rng.randint(2, 7), rng.randint(0, 1)
+            c = rng.randint(1, 50) * 10.0
+            v = update_where(spark, t, f"k % {m} = {r}", {"v": f"v + {c}"},
+                             ts_ms=ts)
+            hit = [k for k in model if k % m == r]
+            if hit:
+                for k in hit:
+                    model[k] += c
+                version = v
+            else:
+                assert v == version
+        elif op == "merge":
+            existing = rng.sample(sorted(model), min(len(model), 4)) \
+                if model else []
+            inserts = fresh_rows(rng.randint(0, 3))
+            src = {k: float(k) + 0.25 for k in existing} | inserts
+            if not src:
+                continue
+            v = merge_into(spark, t, _df(spark, src), on=["k"],
+                           when_matched_update={"v": "t.v + s.v"},
+                           ts_ms=ts)
+            for k in existing:
+                model[k] += float(k) + 0.25
+            model.update(inserts)
+            version = v
+        elif op == "optimize":
+            v = optimize_delta(spark, t, ts_ms=ts)
+            version = max(version, v)  # may be a no-op
+        elif op == "checkpoint":
+            cp = write_classic_checkpoint(spark, t)
+            if rng.random() < 0.5:
+                # retire the json prefix: replay must come from the
+                # checkpoint alone (historical versions below cp die —
+                # drop them from the archive)
+                for hv in range(cp):
+                    p = os.path.join(t, "_delta_log", f"{hv:020d}.json")
+                    if os.path.exists(p):
+                        os.unlink(p)
+                    history.pop(hv, None)
+        else:  # overwrite
+            rows = fresh_rows(rng.randint(1, 6))
+            v = overwrite_delta(spark, _df(spark, rows), t, ts_ms=ts)
+            model = dict(rows)
+            version = v
+        assert _read(spark, t) == model, f"seed={seed} step={step} op={op}"
+        history[version] = dict(model)
+
+    # time travel: two random archived versions replay to their models
+    for hv in rng.sample(sorted(history), min(len(history), 2)):
+        assert _read(spark, t, version=hv) == history[hv], f"v={hv}"
+
+    # the log itself is consistent: live file count matches replay
+    rep = replay_log(spark, t)
+    assert set(_read(spark, t)) == set(model)
+    assert all(not a.get("deletionVector") for a in rep.files.values())
