@@ -366,11 +366,37 @@ def create_delta_table(spark: SparkSession, df: DataFrame, table_path: str,
     return 0
 
 
+def _merged_schema(rep, df: DataFrame):
+    """Table schema widened with ``df``'s NEW columns (schema evolution on
+    append, Delta's mergeSchema). Existing columns must keep their exact
+    type — widening/retyping is refused (type evolution changes how OLD
+    files must be read; out of scope, rejected loudly). Returns (schema,
+    changed)."""
+    from pyspark.sql.types import StructType as _ST
+
+    existing = {f.name: f for f in rep.schema.fields}
+    out = list(rep.schema.fields)
+    changed = False
+    for f in df.schema.fields:
+        cur = existing.get(f.name)
+        if cur is None:
+            out.append(f)
+            changed = True
+        elif cur.dataType.simpleString() != f.dataType.simpleString():
+            raise DeltaProtocolError(
+                f"mergeSchema cannot change column {f.name!r} from "
+                f"{cur.dataType.simpleString()} to "
+                f"{f.dataType.simpleString()} (type evolution is not "
+                f"supported)")
+    return _ST(out), changed
+
+
 def append_delta(spark: SparkSession, df: DataFrame, table_path: str,
                  ts_ms: int | None = None, max_retries: int = 20,
                  max_records_per_file: int | None = None,
                  txn_app_id: str | None = None,
-                 txn_version: int | None = None) -> int:
+                 txn_version: int | None = None,
+                 merge_schema: bool = False) -> int:
     """Blind append: stage ``df``'s files once, then race for the next
     version — on a lost race, re-replay the log, re-check that the
     protocol/metadata are still writable and the schema unchanged, and
@@ -383,7 +409,14 @@ def append_delta(spark: SparkSession, df: DataFrame, table_path: str,
     past) ``txn_version``, the append is a NO-OP returning the current
     version — a redelivered micro-batch lands zero duplicate rows. The
     check runs both before staging and again on every lost-race rebase
-    (the race may BE the duplicate writer)."""
+    (the race may BE the duplicate writer).
+
+    ``merge_schema=True`` widens the table schema with ``df``'s NEW
+    columns (a metaData action in the same commit); rows in old files
+    read back NULL for them — Delta's mergeSchema semantics. Changing an
+    existing column's type is refused. Schema-changing appends commit
+    STRICTLY (a lost race aborts instead of rebasing: the race may have
+    evolved the schema differently)."""
     if (txn_app_id is None) != (txn_version is None):
         raise ValueError("txn_app_id and txn_version go together")
     ts = _now_ms(ts_ms)
@@ -391,12 +424,32 @@ def append_delta(spark: SparkSession, df: DataFrame, table_path: str,
     _check_writable(rep.metadata, rep.protocol, "append")
     if txn_app_id is not None and             rep.txns.get(txn_app_id, -1) >= txn_version:
         return rep.version  # already committed: idempotent replay
-    adds = _stage_files(spark, _ordered(df, rep), table_path,
+    meta_action: list[dict] = []
+    ordered = None
+    if merge_schema:
+        new_schema, schema_changed = _merged_schema(rep, df)
+        if schema_changed:
+            md = dict(rep.metadata)
+            md["schemaString"] = new_schema.json()
+            meta_action = [{"metaData": md}]
+            missing = [f.name for f in rep.schema.fields
+                       if f.name not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"mergeSchema append must still carry the existing "
+                    f"columns; missing {missing}")
+            # stage under the WIDENED column order (new columns at the end)
+            ordered = df.select(*[f.name for f in new_schema.fields
+                                  if f.name in df.columns])
+    if ordered is None:
+        ordered = _ordered(df, rep)
+    adds = _stage_files(spark, ordered, table_path,
                         rep.partition_columns, ts,
                         max_records_per_file=max_records_per_file)
     actions = [
         {"commitInfo": {"timestamp": ts, "operation": "WRITE",
                         "operationParameters": {"mode": "Append"}}},
+        *meta_action,
         *([{"txn": {"appId": txn_app_id, "version": int(txn_version),
                     "lastUpdated": ts}}] if txn_app_id is not None else []),
         *({"add": {**a, "dataChange": True}} for a in adds),
@@ -409,6 +462,10 @@ def append_delta(spark: SparkSession, df: DataFrame, table_path: str,
             return version
         # lost the race: rebase on the new head, re-verifying that what we
         # staged is still a valid blind append of this table
+        if meta_action:
+            raise ConcurrentWriteError(
+                f"schema-evolving append to {table_path} lost its commit "
+                f"race; rerun to rebase on the new table state")
         rep = replay_log(spark, table_path)
         _check_writable(rep.metadata, rep.protocol, "append")
         if txn_app_id is not None and                 rep.txns.get(txn_app_id, -1) >= txn_version:

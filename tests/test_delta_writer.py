@@ -744,3 +744,66 @@ def test_optimize_folds_dv_files(spark, tmp_path):
     assert all(not a.get("deletionVector") for a in rep.files.values())
     assert sorted(r.id for r in
                   read_delta_snapshot(spark, t).collect()) == ids
+
+
+# ---------------------------------------------------------------------------
+# mergeSchema + the DeltaTable facade
+
+def test_append_merge_schema_widens_and_old_rows_null(spark, table):
+    wide = _frame(spark, 200, 210).withColumn("extra", F.lit("new"))
+    v = append_delta(spark, wide, table, ts_ms=5000, merge_schema=True)
+    assert v == 1
+    snap = read_delta_snapshot(spark, table)
+    assert "extra" in snap.columns
+    assert snap.filter("extra IS NULL").count() == 100   # old rows
+    assert snap.filter("extra = 'new'").count() == 10
+    # plain append of the OLD shape now fails the schema contract
+    with pytest.raises(ValueError, match="does not match table schema"):
+        append_delta(spark, _frame(spark, 300, 305), table)
+
+
+def test_append_merge_schema_refuses_type_change(spark, table):
+    retyped = _frame(spark, 200, 205).withColumn(
+        "v", F.col("v").cast("string"))
+    with pytest.raises(DeltaProtocolError, match="type evolution"):
+        append_delta(spark, retyped, table, merge_schema=True)
+
+
+def test_delta_table_facade_end_to_end(spark, tmp_path):
+    from databricks_import_pyspark_scripts_spark.delta import DeltaTable
+
+    path = str(tmp_path / "facade")
+    dt = DeltaTable.create(spark, _frame(spark, 0, 50), path,
+                           partition_by=["p"], cdf=True, ts_ms=1000)
+    dt.append(_frame(spark, 50, 60), ts_ms=2000)
+    dt.delete("k % 10 = 0", ts_ms=3000)
+    dt.update("k = 1", {"v": "v + 7"}, ts_ms=4000)
+    (dt.merge(_frame(spark, 55, 65), on=["k"])
+       .when_matched_update({"v": "t.v + s.v"})
+       .when_not_matched_insert()
+       .execute(ts_ms=5000))
+    snap = dt.to_df()
+    assert snap.count() == 59  # 60 - 6 deleted + 5 inserted
+    assert snap.filter("k = 1").first().v == 9.0
+    assert snap.filter("k = 55").first().v == 220.0  # 110 + 110
+    assert dt.version() == 4
+    hist = {r.version: r.operation for r in dt.history().collect()}
+    assert hist == {0: "CREATE TABLE AS SELECT", 1: "WRITE", 2: "DELETE",
+                    3: "UPDATE", 4: "MERGE"}
+    # optimize + checkpoint + metadata cleanup + vacuum lifecycle
+    dt.optimize(ts_ms=6000)
+    cp = dt.checkpoint()
+    doomed_meta = dt.cleanup_metadata()
+    assert doomed_meta and dt.version() == cp
+    assert dt.to_df().count() == 59
+    dt.vacuum(retention_hours=0, now_ms=10**15)
+    assert dt.to_df().count() == 59
+    # history after cleanup: only the checkpointed head remains listed
+    assert {r.version for r in dt.history().collect()} == {cp}
+
+
+def test_delta_table_for_path_missing(spark, tmp_path):
+    from databricks_import_pyspark_scripts_spark.delta import DeltaTable
+
+    with pytest.raises(FileNotFoundError):
+        DeltaTable.for_path(spark, str(tmp_path / "nope"))
