@@ -1,0 +1,76 @@
+"""Iceberg-protocol gate queries: the pure-Python snapshot reader
+(``sources/iceberg.py`` + the from-scratch Avro codec) driven through the
+driver's DuckDB oracle gate, mirroring the Delta gates' staging pattern —
+a real Iceberg v2 table is staged from the ``events`` table (two append
+snapshots), then read back through metadata/manifest resolution; the
+oracle re-derives the same rows straight from the parquet source. A
+resolution bug — wrong live-file set at a snapshot, broken Avro decode,
+field-id mismatch — breaks the value hash."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.iceberg import read_iceberg_snapshot, write_iceberg_table
+from ..sources.registry import load_table
+from . import register
+
+_S0_PRED, _S1_PRED = "event_id % 3 = 0", "event_id % 3 = 1"
+_SNAP0, _SNAP1 = 1000, 1001
+
+
+def _staged_iceberg(spark: SparkSession, sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_iceberg_gate_{tag}_v1")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        e = (load_table(spark, sf_dir, "events")
+             .select("event_id", "event_type", "value"))
+        write_iceberg_table(
+            spark, [e.filter(F.expr(_S0_PRED)), e.filter(F.expr(_S1_PRED))],
+            path)
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "iceberg_snapshot_agg",
+    f"""
+    SELECT 0 AS snap, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events WHERE {_S0_PRED}
+    GROUP BY event_type
+    UNION ALL
+    SELECT 1 AS snap, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events WHERE {_S0_PRED} OR {_S1_PRED}
+    GROUP BY event_type
+    """,
+    doc="Snapshot reads through the pure-Python Iceberg reader: the "
+        "events table is staged as a real Iceberg v2 table (metadata "
+        "json + Avro manifest list/manifests written by the from-scratch "
+        "Avro codec, parquet data files with field ids), then BOTH "
+        "snapshots are read back by snapshot-id and aggregated. The "
+        "first aggregate proves time travel (the second snapshot's "
+        "files excluded); the second proves manifest accumulation. "
+        "Oracle re-derives both states from the parquet source.")
+def iceberg_snapshot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _staged_iceberg(spark, sf_dir)
+
+    def agg(df: DataFrame, snap: int) -> DataFrame:
+        return (df.groupBy("event_type")
+                .agg(F.count("*").alias("n"),
+                     F.round(F.sum("value"), 4).alias("sum_value"))
+                .select(F.lit(snap).alias("snap"), "event_type", "n",
+                        "sum_value"))
+
+    return agg(read_iceberg_snapshot(spark, path, snapshot_id=_SNAP0),
+               0).unionAll(
+        agg(read_iceberg_snapshot(spark, path, snapshot_id=_SNAP1), 1))

@@ -1,0 +1,153 @@
+"""Jar-less Iceberg reader (sources/iceberg.py): snapshot reads + time
+travel by snapshot id against a spec-conformant table directory (metadata
+json + Avro manifest lists/manifests via the from-scratch avro_codec),
+field-id column resolution (renames transparent), protocol rejections
+(row-level delete manifests, non-parquet files, unsupported types), and
+status semantics (DELETED entries drop out of the live set)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from databricks_import_pyspark_scripts_spark.sources.avro_codec import (
+    read_container,
+    write_container,
+)
+from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+    IcebergProtocolError,
+    is_iceberg_table,
+    iceberg_snapshot_ids,
+    read_iceberg_snapshot,
+    read_table_metadata,
+    write_iceberg_table,
+)
+
+
+@pytest.fixture()
+def ice(spark, tmp_path):
+    t = str(tmp_path / "ice")
+    a = spark.range(0, 30).selectExpr("id AS k", "CAST(id AS double) AS v")
+    b = spark.range(30, 40).selectExpr("id AS k", "CAST(id AS double) AS v")
+    write_iceberg_table(spark, [a, b], t)
+    return t
+
+
+def _ks(df):
+    return sorted(r.k for r in df.select("k").collect())
+
+
+def test_snapshot_read_and_time_travel(spark, ice):
+    assert is_iceberg_table(spark, ice)
+    assert _ks(read_iceberg_snapshot(spark, ice)) == list(range(40))
+    assert _ks(read_iceberg_snapshot(spark, ice, snapshot_id=1000)) == \
+        list(range(30))
+    snaps = iceberg_snapshot_ids(spark, ice)
+    assert [s["snapshot_id"] for s in snaps] == [1000, 1001]
+
+
+def test_rename_resolves_by_field_id(spark, ice):
+    """Rename column v -> value in a NEW schema (same field ids): the data
+    files keep the old parquet names, but field-id matching surfaces the
+    new logical name with the same values — the rename-is-metadata-only
+    contract Iceberg's id-based resolution exists for."""
+    mdir = os.path.join(ice, "metadata")
+    cur = int(open(os.path.join(mdir, "version-hint.text")).read())
+    meta = json.load(open(os.path.join(mdir, f"v{cur}.metadata.json")))
+    fields = meta["schemas"][0]["fields"]
+    for f in fields:
+        if f["name"] == "v":
+            f["name"] = "value"
+    meta["schemas"].append({"schema-id": 1, "type": "struct",
+                            "fields": fields})
+    meta["current-schema-id"] = 1
+    with open(os.path.join(mdir, f"v{cur + 1}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write(str(cur + 1))
+    snap = read_iceberg_snapshot(spark, ice)
+    assert snap.columns == ["k", "value"]
+    assert snap.filter("k = 7").first().value == 7.0
+
+
+def test_deleted_status_drops_files(spark, ice):
+    """Rewrite the latest manifest marking snapshot-1000's files DELETED:
+    the live set must shrink to the second commit's rows."""
+    mdir = os.path.join(ice, "metadata")
+    mpath = os.path.join(mdir, "manifest-000.avro")
+    _, entries = read_container(open(mpath, "rb").read())
+    for e in entries:
+        e["status"] = 2  # DELETED
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        _MANIFEST_ENTRY_SCHEMA,
+    )
+    with open(mpath, "wb") as f:
+        f.write(write_container(_MANIFEST_ENTRY_SCHEMA, entries))
+    assert _ks(read_iceberg_snapshot(spark, ice)) == list(range(30, 40))
+
+
+def test_delete_manifest_rejected(spark, ice):
+    """A content=1 manifest with live entries = merge-on-read row-level
+    deletes — reject loudly, never a wrong answer."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        _MANIFEST_ENTRY_SCHEMA,
+        _MANIFEST_FILE_SCHEMA,
+    )
+
+    mdir = os.path.join(ice, "metadata")
+    del_manifest = os.path.join(mdir, "manifest-del.avro")
+    with open(del_manifest, "wb") as f:
+        f.write(write_container(_MANIFEST_ENTRY_SCHEMA, [{
+            "status": 1, "snapshot_id": 1001,
+            "data_file": {"content": 1, "file_path": "x.parquet",
+                          "file_format": "PARQUET", "record_count": 1,
+                          "file_size_in_bytes": 1}}]))
+    mlpath = os.path.join(mdir, "snap-1001.avro")
+    _, manifests = read_container(open(mlpath, "rb").read())
+    manifests.append({"manifest_path": del_manifest, "manifest_length": 1,
+                      "partition_spec_id": 0, "content": 1,
+                      "added_snapshot_id": 1001})
+    with open(mlpath, "wb") as f:
+        f.write(write_container(_MANIFEST_FILE_SCHEMA, manifests))
+    with pytest.raises(IcebergProtocolError, match="row-level delete"):
+        read_iceberg_snapshot(spark, ice)
+
+
+def test_non_parquet_file_rejected(spark, ice):
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        _MANIFEST_ENTRY_SCHEMA,
+    )
+
+    mpath = os.path.join(ice, "metadata", "manifest-001.avro")
+    _, entries = read_container(open(mpath, "rb").read())
+    entries[0]["data_file"]["file_format"] = "ORC"
+    with open(mpath, "wb") as f:
+        f.write(write_container(_MANIFEST_ENTRY_SCHEMA, entries))
+    with pytest.raises(IcebergProtocolError, match="non-parquet"):
+        read_iceberg_snapshot(spark, ice)
+
+
+def test_unsupported_type_rejected(spark, ice):
+    mdir = os.path.join(ice, "metadata")
+    cur = int(open(os.path.join(mdir, "version-hint.text")).read())
+    p = os.path.join(mdir, f"v{cur}.metadata.json")
+    meta = json.load(open(p))
+    meta["schemas"][0]["fields"][0]["type"] = "uuid"
+    with open(p, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(IcebergProtocolError, match="uuid"):
+        read_iceberg_snapshot(spark, ice)
+
+
+def test_missing_snapshot_and_metadata_errors(spark, ice, tmp_path):
+    with pytest.raises(FileNotFoundError, match="snapshot 9"):
+        read_iceberg_snapshot(spark, ice, snapshot_id=9)
+    with pytest.raises(FileNotFoundError):
+        read_table_metadata(spark, str(tmp_path / "nope"))
+
+
+def test_version_hint_fallback_to_highest_metadata(spark, ice):
+    os.unlink(os.path.join(ice, "metadata", "version-hint.text"))
+    assert _ks(read_iceberg_snapshot(spark, ice)) == list(range(40))
