@@ -119,6 +119,22 @@ def read_snapshot(spark: SparkSession, root: str, table: str,
         from .registry import _normalize_ntz
         return _normalize_ntz(
             read_delta_snapshot(spark, os.path.join(root, table), version))
+    from .iceberg import is_iceberg_table
+    if is_iceberg_table(spark, os.path.join(root, table)):
+        # a REAL Iceberg table (sources/iceberg.py): `version` maps to the
+        # 0-based ORDINAL of the timestamp-ordered snapshot list — the
+        # same commit-counting convention Delta versions follow, so the
+        # versions-map contract carries over unchanged
+        from .iceberg import iceberg_snapshot_ids, read_iceberg_snapshot
+        from .registry import _normalize_ntz
+        snaps = iceberg_snapshot_ids(spark, os.path.join(root, table))
+        if version >= len(snaps):
+            raise ChangelogNotFoundError(
+                f"CHANGELOG_NOT_FOUND: iceberg table {table} has "
+                f"{len(snaps)} snapshots; ordinal {version} out of range")
+        return _normalize_ntz(read_iceberg_snapshot(
+            spark, os.path.join(root, table),
+            snaps[version]["snapshot_id"]))
     path = _snapshot_dir(root, table, version)
     if not _path_exists(spark, path):
         raise ChangelogNotFoundError(
@@ -199,6 +215,15 @@ def read_changes(spark: SparkSession, root: str, table: str,
                 .option("startingVersion", starting_version + 1)
                 .option("endingVersion", ending_version)
                 .load(os.path.join(root, table)))
+    from .iceberg import is_iceberg_table as _is_ice
+    if _is_ice(spark, os.path.join(root, table)):
+        # Iceberg has no served change feed here: raise the signature the
+        # E2/E3 retry ladder classifies, so an incremental unload from an
+        # Iceberg source downgrades to a latest-snapshot-only export
+        # instead of failing the job
+        raise ChangelogNotFoundError(
+            f"CHANGELOG_NOT_FOUND: iceberg table {table} has no change "
+            f"feed; only snapshot reads are served")
     from .delta_log import is_delta_table, read_delta_changes
     if is_delta_table(spark, os.path.join(root, table)):
         # real Delta table, jar-less: CDF through the pure-Python log

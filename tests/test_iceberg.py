@@ -151,3 +151,43 @@ def test_missing_snapshot_and_metadata_errors(spark, ice, tmp_path):
 def test_version_hint_fallback_to_highest_metadata(spark, ice):
     os.unlink(os.path.join(ice, "metadata", "version-hint.text"))
     assert _ks(read_iceberg_snapshot(spark, ice)) == list(range(40))
+
+
+def test_unload_pipeline_from_iceberg_source(spark, tmp_path):
+    """The reference's job shape with an Iceberg SOURCE: snapshot unload
+    (versions-map ordinal), and an incremental request downgrades to the
+    latest-only export through the existing retry ladder (Iceberg serves
+    no change feed)."""
+    from databricks_import_pyspark_scripts_spark.plans.pipeline import (
+        UnloadJob,
+        run_unload,
+    )
+
+    root = str(tmp_path / "src")
+    t = f"{root}/ev"
+    a = spark.createDataFrame([(1, "signup", 10.0), (2, "click", 5.0)],
+                              "id int, event_type string, value double")
+    b = spark.createDataFrame([(3, "view", 1.0)],
+                              "id int, event_type string, value double")
+    write_iceberg_table(spark, [a, b], t)
+
+    out = str(tmp_path / "out")
+    report = run_unload(spark, UnloadJob(
+        source_root=root, table_versions={"ev": [0, 1]},
+        sql="SELECT id, UPPER(event_type) AS et, value FROM ev",
+        output_path=out, fmt="parquet"))
+    assert report["rows"] == 3  # ordinal snapshot 1 = both commits
+
+    out0 = str(tmp_path / "out0")
+    report0 = run_unload(spark, UnloadJob(
+        source_root=root, table_versions={"ev": [0, 0]},
+        sql="SELECT id FROM ev", output_path=out0, fmt="parquet"))
+    assert report0["rows"] == 2  # ordinal snapshot 0 = first commit only
+
+    # incremental request: no change feed -> latest-only fallback, not a crash
+    out2 = str(tmp_path / "out2")
+    report2 = run_unload(spark, UnloadJob(
+        source_root=root, table_versions={"ev": [1, 1]},
+        sql="SELECT id FROM ev", output_path=out2, fmt="parquet"))
+    assert report2["rows"] == 3
+    assert report2["table_results"]["ev"]["finalStartVersion"] == 0
