@@ -115,6 +115,7 @@ HEADLINE = [
     # jar-less Iceberg snapshot reads (Avro manifests via the from-scratch
     # codec; staging absorbed by the untimed warm-up)
     "iceberg_snapshot_agg",
+    "iceberg_cdf_insert_feed",
 ]
 
 EXTENSION_ROWS = {
@@ -333,7 +334,8 @@ def main() -> int:
                "dedup_decontaminate_substring",
                "delta_writer_roundtrip_agg", "delta_writer_update_cdf",
                "delta_id_mapped_read", "dedup_decontaminate_substring_aho",
-               "delta_writer_merge_agg", "iceberg_snapshot_agg"}
+               "delta_writer_merge_agg", "iceberg_snapshot_agg",
+               "iceberg_cdf_insert_feed"}
     # same membership as comparable_queries_sec (includes the unload e2e row)
     comp = [k for k in timings
             if k not in EXTENSION_ROWS and k not in stress

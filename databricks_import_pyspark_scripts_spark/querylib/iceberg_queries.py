@@ -74,3 +74,30 @@ def iceberg_snapshot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(read_iceberg_snapshot(spark, path, snapshot_id=_SNAP0),
                0).unionAll(
         agg(read_iceberg_snapshot(spark, path, snapshot_id=_SNAP1), 1))
+
+
+@register(
+    "iceberg_cdf_insert_feed",
+    f"""
+    SELECT event_id, event_type, ROUND(value, 4) AS value,
+           'insert' AS change_type, 1 AS commit_version,
+           1700000001000 AS commit_ts_ms
+    FROM events WHERE {_S1_PRED}
+    """,
+    doc="Change feed synthesized from the Iceberg snapshot live-set diff: "
+        "changes in ordinal range (0, 1] of the staged table are exactly "
+        "the second snapshot's appended rows as change_type='insert' with "
+        "the snapshot's pinned ordinal and timestamp — the Delta "
+        "CDF-shaped surface an incremental unload from an Iceberg source "
+        "consumes. Row-level comparison.")
+def iceberg_cdf_insert_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.iceberg import read_iceberg_changes
+
+    path = _staged_iceberg(spark, sf_dir)
+    ch = read_iceberg_changes(spark, path, 0, 1)
+    return ch.select(
+        "event_id", "event_type",
+        F.round(F.col("value"), 4).alias("value"),
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").cast("int").alias("commit_version"),
+        (F.unix_millis(F.col("_commit_timestamp"))).alias("commit_ts_ms"))

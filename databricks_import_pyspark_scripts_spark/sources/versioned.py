@@ -217,13 +217,17 @@ def read_changes(spark: SparkSession, root: str, table: str,
                 .load(os.path.join(root, table)))
     from .iceberg import is_iceberg_table as _is_ice
     if _is_ice(spark, os.path.join(root, table)):
-        # Iceberg has no served change feed here: raise the signature the
-        # E2/E3 retry ladder classifies, so an incremental unload from an
-        # Iceberg source downgrades to a latest-snapshot-only export
-        # instead of failing the job
-        raise ChangelogNotFoundError(
-            f"CHANGELOG_NOT_FOUND: iceberg table {table} has no change "
-            f"feed; only snapshot reads are served")
+        # Iceberg change feed: synthesized from the live-file-set diff
+        # between snapshot ordinals (sources/iceberg.py) — whole-file
+        # inserts/deletes, the same fallback shape Delta commits without
+        # cdc actions get. Expired snapshots / missing files raise the
+        # signatures the E2/E3 retry ladder classifies, downgrading the
+        # job to a latest-only export instead of failing it.
+        from .iceberg import read_iceberg_changes
+        from .registry import _normalize_ntz
+        return _normalize_ntz(read_iceberg_changes(
+            spark, os.path.join(root, table), starting_version,
+            ending_version))
     from .delta_log import is_delta_table, read_delta_changes
     if is_delta_table(spark, os.path.join(root, table)):
         # real Delta table, jar-less: CDF through the pure-Python log

@@ -169,14 +169,16 @@ def test_unload_pipeline_from_iceberg_source(spark, tmp_path):
                               "id int, event_type string, value double")
     b = spark.createDataFrame([(3, "view", 1.0)],
                               "id int, event_type string, value double")
-    write_iceberg_table(spark, [a, b], t)
+    c = spark.createDataFrame([(4, "purchase", 9.0)],
+                              "id int, event_type string, value double")
+    write_iceberg_table(spark, [a, b, c], t)
 
     out = str(tmp_path / "out")
     report = run_unload(spark, UnloadJob(
-        source_root=root, table_versions={"ev": [0, 1]},
+        source_root=root, table_versions={"ev": [0, 2]},
         sql="SELECT id, UPPER(event_type) AS et, value FROM ev",
         output_path=out, fmt="parquet"))
-    assert report["rows"] == 3  # ordinal snapshot 1 = both commits
+    assert report["rows"] == 4  # ordinal snapshot 2 = all three commits
 
     out0 = str(tmp_path / "out0")
     report0 = run_unload(spark, UnloadJob(
@@ -184,10 +186,63 @@ def test_unload_pipeline_from_iceberg_source(spark, tmp_path):
         sql="SELECT id FROM ev", output_path=out0, fmt="parquet"))
     assert report0["rows"] == 2  # ordinal snapshot 0 = first commit only
 
-    # incremental request: no change feed -> latest-only fallback, not a crash
+    # incremental request (start > 0 -> changes in (start, end]): served
+    # from the synthesized change feed — exactly the third commit's rows
     out2 = str(tmp_path / "out2")
     report2 = run_unload(spark, UnloadJob(
-        source_root=root, table_versions={"ev": [1, 1]},
+        source_root=root, table_versions={"ev": [1, 2]},
         sql="SELECT id FROM ev", output_path=out2, fmt="parquet"))
-    assert report2["rows"] == 3
-    assert report2["table_results"]["ev"]["finalStartVersion"] == 0
+    assert report2["rows"] == 1  # the appended row (id=4) only
+    assert report2["table_results"]["ev"]["finalStartVersion"] == 1
+
+
+def test_iceberg_change_feed_synthesis(spark, ice):
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        read_iceberg_changes,
+    )
+
+    ch = read_iceberg_changes(spark, ice, 0, 1)
+    assert sorted(r.k for r in ch.collect()) == list(range(30, 40))
+    row = ch.first()
+    assert row["_change_type"] == "insert"
+    assert row["_commit_version"] == 1
+    # full range from "before the table existed": everything is an insert
+    ch_all = read_iceberg_changes(spark, ice, -1, 1)
+    assert ch_all.count() == 40
+    # empty range
+    assert read_iceberg_changes(spark, ice, 1, 1).count() == 0
+    import pytest as _pt
+    with _pt.raises(FileNotFoundError, match="out of range"):
+        read_iceberg_changes(spark, ice, 0, 9)
+
+
+def test_iceberg_change_feed_deletes_on_file_removal(spark, ice):
+    """Point the SECOND snapshot at a manifest copy whose first-commit
+    entries are DELETED (the first snapshot keeps the original): the
+    ordinal diff serves those files' rows as whole-file deletes."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        _MANIFEST_ENTRY_SCHEMA,
+        _MANIFEST_FILE_SCHEMA,
+        read_iceberg_changes,
+    )
+
+    mdir = os.path.join(ice, "metadata")
+    _, entries = read_container(
+        open(os.path.join(mdir, "manifest-000.avro"), "rb").read())
+    for e in entries:
+        e["status"] = 2
+    dropped = os.path.join(mdir, "manifest-000-dropped.avro")
+    with open(dropped, "wb") as f:
+        f.write(write_container(_MANIFEST_ENTRY_SCHEMA, entries))
+    mlpath = os.path.join(mdir, "snap-1001.avro")
+    _, manifests = read_container(open(mlpath, "rb").read())
+    for mf in manifests:
+        if mf["manifest_path"].endswith("manifest-000.avro"):
+            mf["manifest_path"] = dropped
+    with open(mlpath, "wb") as f:
+        f.write(write_container(_MANIFEST_FILE_SCHEMA, manifests))
+    ch = read_iceberg_changes(spark, ice, 0, 1)
+    by_type = {r["_change_type"]: r["n"] for r in
+               ch.groupBy("_change_type").count()
+               .withColumnRenamed("count", "n").collect()}
+    assert by_type == {"insert": 10, "delete": 30}
