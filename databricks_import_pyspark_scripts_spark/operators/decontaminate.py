@@ -112,6 +112,12 @@ def substring_hits_aho(corpus: DataFrame, id_col: str, text_col: str,
     # deterministic order: pattern indexes (and so tie behavior) never
     # depend on collect order
     needles = sorted(set(needles))
+    # the empty canary: contains(text, '') is TRUE for every non-null
+    # text, but a goto/fail automaton only reports out[root] while the
+    # scanner SITS at the root — count it arithmetically instead so the
+    # two forms stay bit-identical on this edge
+    n_empty = sum(1 for n in needles if n == "")
+    needles = [n for n in needles if n != ""]
     bc = spark.sparkContext.broadcast(needles)
     # per-worker cache key: content hash of the needle set (the Python
     # Broadcast handle exposes no stable id)
@@ -130,7 +136,8 @@ def substring_hits_aho(corpus: DataFrame, id_col: str, text_col: str,
             _AUTOMATON_CACHE[cache_key] = auto
         for pdf in batches:
             counts = [
-                count_distinct_matches(t, auto) if isinstance(t, str) else 0
+                count_distinct_matches(t, auto) + n_empty
+                if isinstance(t, str) else 0
                 for t in pdf[text_col]]
             yield pd.DataFrame({id_col: pdf[id_col],
                                 "n_hits": pd.Series(counts, dtype="int64")})

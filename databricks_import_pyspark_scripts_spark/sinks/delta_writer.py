@@ -374,13 +374,18 @@ def _merged_schema(rep, df: DataFrame):
     changed)."""
     from pyspark.sql.types import StructType as _ST
 
+    from pyspark.sql.types import StructField as _SF
+
     existing = {f.name: f for f in rep.schema.fields}
     out = list(rep.schema.fields)
     changed = False
     for f in df.schema.fields:
         cur = existing.get(f.name)
         if cur is None:
-            out.append(f)
+            # force NULLABLE: rows in files written before the widening
+            # read back NULL for this column, so a non-null declaration
+            # would let Catalyst constant-fold IS NULL predicates wrongly
+            out.append(_SF(f.name, f.dataType, True, f.metadata))
             changed = True
         elif cur.dataType.simpleString() != f.dataType.simpleString():
             raise DeltaProtocolError(
@@ -764,7 +769,21 @@ def vacuum_delta(spark: SparkSession, table_path: str,
 
     now = _now_ms(now_ms)
     cutoff = now - retention_ms
-    rep = replay_log(spark, table_path)
+    rep = replay_log(spark, table_path, collect_from=0)
+    # retention is measured from REMOVAL (the remove action's
+    # deletionTimestamp), not from file creation: a 30-day-old file
+    # removed a minute ago must survive the full window so time travel
+    # and CDF delete synthesis over recent versions keep working. Files
+    # with no surviving remove action (staging garbage, or tombstones in
+    # a retired log prefix) fall back to mtime.
+    removed_at: dict[str, int] = {}
+    for acts in rep.commit_actions.values():
+        for a in acts:
+            r = a.get("remove")
+            if isinstance(r, dict) and r.get("path"):
+                ts_r = int(r.get("deletionTimestamp") or 0)
+                key = urllib.parse.unquote(r["path"])
+                removed_at[key] = max(removed_at.get(key, 0), ts_r)
     root = _strip_scheme(table_path).rstrip("/")
     live: set[str] = set()
     for a in rep.files.values():
@@ -794,7 +813,11 @@ def vacuum_delta(spark: SparkSession, table_path: str,
             p = os.path.normpath(os.path.join(dirpath, n))
             if p in live:
                 continue
-            if os.path.getmtime(p) * 1000 <= cutoff:
+            rel = os.path.relpath(p, root)
+            dropped_ms = removed_at.get(rel.replace(os.sep, "/"))
+            age_basis = (dropped_ms if dropped_ms
+                         else os.path.getmtime(p) * 1000)
+            if age_basis <= cutoff:
                 doomed.append(p)
     if not dry_run:
         for p in doomed:
@@ -808,8 +831,13 @@ def vacuum_delta(spark: SparkSession, table_path: str,
 
 
 def latest_delta_version(spark: SparkSession, table_path: str) -> int:
-    """Newest committed version (checkpoint-only logs included)."""
-    return max(list_delta_versions(spark, table_path))
+    """Newest committed version (checkpoint-only logs included — a table
+    whose JSON prefix was fully retired by log cleanup has no commit
+    files, so resolve through replay, which falls back to checkpoints)."""
+    versions = list_delta_versions(spark, table_path)
+    if versions:
+        return max(versions)
+    return replay_log(spark, table_path).version
 
 
 # ---------------------------------------------------------------------------
@@ -825,9 +853,10 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
     standard clauses, as one atomic commit:
 
     * ``when_matched_update``: ``{target_col: sql_expr}`` over the joined
-      row — target columns by bare name, source columns as ``s.<col>``
-      (e.g. ``{"v": "t.v + s.v"}``; bare names resolve to the TARGET side,
-      ``t.`` is accepted explicitly). Cast back to the declared type.
+      row. QUALIFY every column: target side as ``t.<col>``, source side
+      as ``s.<col>`` (e.g. ``{"v": "t.v + s.v"}`` — both sides expose the
+      same names, so a bare name is ambiguous and Spark rejects it).
+      Cast back to the declared type.
     * ``when_matched_delete``: SQL condition (same namespace) selecting
       matched rows to DELETE instead; ``"true"`` deletes every match.
       Evaluated BEFORE update (Delta's clause-order semantics with delete
@@ -863,20 +892,35 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
 
     snap = _scan_files(spark, table_path, rep, list(rep.files.values()))
     key = [snap[c].eqNullSafe(src[c]) for c in on]
+    has_matched_clause = (when_matched_update is not None
+                          or when_matched_delete is not None)
 
-    # Delta's nondeterministic-merge guard: a target key hit by >1 source
-    # row has no well-defined update image
-    dup = (src.groupBy(*on).agg(F.count(F.lit(1)).alias("__n"))
-           .filter(F.col("__n") > 1)
-           .join(snap.select(*on).distinct(), on, "left_semi"))
-    if dup.limit(1).count() > 0:
-        raise ValueError(
-            "multiple source rows match a single target row; merge would "
-            "be nondeterministic (Delta parity)")
-
-    matched_bases = {
-        r[0] for r in snap.join(src, key, "left_semi")
-        .select(_FILE_BASE).distinct().collect()}
+    if has_matched_clause:
+        # Delta's nondeterministic-merge guard: a target key hit by >1
+        # source row has no well-defined update image. eqNullSafe
+        # throughout — a NULL merge key is a legitimate key value and
+        # must hit the guard like any other (a name-based equi-join
+        # would let duplicate NULL-keyed sources through).
+        dup_keys = (src.groupBy(*on).agg(F.count(F.lit(1)).alias("__n"))
+                    .filter(F.col("__n") > 1))
+        tgt_keys = snap.select(*on).distinct()
+        dup = dup_keys.join(
+            tgt_keys,
+            [dup_keys[c].eqNullSafe(tgt_keys[c]) for c in on],
+            "left_semi")
+        if dup.limit(1).count() > 0:
+            raise ValueError(
+                "multiple source rows match a single target row; merge "
+                "would be nondeterministic (Delta parity)")
+        matched_bases = {
+            r[0] for r in snap.join(src, key, "left_semi")
+            .select(_FILE_BASE).distinct().collect()}
+    else:
+        # insert-only merge: matched rows are untouched by definition, so
+        # no file is rewritten (a rewrite would be wasted I/O AND, with
+        # no cdc rows to stage, would make CDF synthesize a spurious
+        # whole-file delete+insert feed from the dataChange add/remove)
+        matched_bases = set()
     by_base = {_action_base(table_path, p): a for p, a in rep.files.items()}
     affected = [by_base[b] for b in sorted(matched_bases)]
 
@@ -930,7 +974,9 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
             pieces_cdc += [deleted, pre, post]
 
     if when_not_matched_insert:
-        inserts = src.join(snap.select(*on).distinct(), on, "left_anti")
+        tkeys = snap.select(*on).distinct()
+        inserts = src.join(
+            tkeys, [src[c].eqNullSafe(tkeys[c]) for c in on], "left_anti")
         new_parts.append(inserts)
         if cdf:
             pieces_cdc.append(

@@ -798,9 +798,14 @@ def _scan_files(spark: SparkSession, table_path: str, rep: _Replay,
     has_dv = any(a.get("deletionVector") for a in actions)
     if by_id:
         # matching-by-id only activates for read schemas that CARRY field
-        # ids (ours, above), so the session-wide switch is inert elsewhere;
-        # files without parquet field ids then fail LOUDLY instead of
-        # silently yielding nulls (ignoreMissing stays off)
+        # ids (ours, above), so the session-wide switch is inert for
+        # schemas without them; files without parquet field ids then fail
+        # LOUDLY instead of silently yielding nulls (ignoreMissing stays
+        # off). Known trade-off: the conf must hold at EXECUTION time
+        # (the scan is lazy), so it cannot be save/restored around this
+        # call — after the first id-mode read it stays on for the
+        # session, and an id-annotated schema reused against id-less
+        # foreign files will then error by id instead of matching by name
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
     def _scan(scan_paths: list[str]) -> DataFrame:

@@ -423,18 +423,24 @@ def read_iceberg_changes(spark: SparkSession, table_path: str,
     for group, ctype in ((ins, "insert"), (dels, "delete")):
         if not group:
             continue
-        paths = [_resolve_path(table_path, p) for _, _, p in group]
+        # scan each file ONCE even when it enters/leaves the live set at
+        # several ordinals in the range; the broadcast map then fans each
+        # row out to every (ordinal, ts) the file changed at — the
+        # correct multiplicity. Join key: full normalized path, not the
+        # basename (two dirs may share basenames; a basename join would
+        # cross-tag ordinals).
+        paths = sorted({_resolve_path(table_path, p) for _, _, p in group})
         for p in paths:
             if not _exists(spark, p):
                 raise FileNotFoundError(
                     f"DELTA_CHANGE_DATA_FILE_NOT_FOUND: {p} referenced by "
                     f"a past snapshot but absent (expired?)")
+        norm = F.regexp_replace(
+            F.url_decode(F.input_file_name()), "^file:/+", "/")
         df = (spark.read.schema(schema).parquet(*paths)
-              .withColumn("__f", F.element_at(
-                  F.split(F.input_file_name(), "/"), -1)))
+              .withColumn("__f", norm))
         fmap = spark.createDataFrame(
-            [(os.path.basename(_resolve_path(table_path, p)), o, ts)
-             for o, ts, p in group],
+            [(_resolve_path(table_path, p), o, ts) for o, ts, p in group],
             "__f string, __o long, __ts long")
         df = (df.join(F.broadcast(fmap), "__f")
               .withColumn("_change_type", F.lit(ctype))

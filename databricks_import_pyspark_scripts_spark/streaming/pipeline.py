@@ -122,26 +122,52 @@ def stream_unload(filtered: DataFrame, output_path: str,
 
 
 def stream_delta_sink(stream: DataFrame, table_path: str, app_id: str,
-                      checkpoint_dir: str):
+                      checkpoint_dir: str,
+                      scope_to_checkpoint: bool = True):
     """EXACTLY-ONCE streaming appends into a jar-less Delta table: each
     micro-batch commits as one atomic append carrying a ``txn`` action
-    ``(app_id, batch_id)`` (PROTOCOL.md "Transaction Identifiers" — the
-    same handshake delta-spark's streaming sink uses). A redelivered batch
-    id — restart-before-checkpoint, foreachBatch's at-least-once window,
-    even a FRESH checkpoint re-emitting batch 0 — is a NO-OP at commit
-    time because the table itself remembers the app's high-water mark, so
-    duplicates are impossible rather than merely unlikely. The table must
-    already exist (create_delta_table) so concurrent first-batch races
-    cannot fork two tables. Returns the StreamingQuery (caller stops)."""
+    (PROTOCOL.md "Transaction Identifiers" — the same handshake
+    delta-spark's streaming sink uses). A redelivered batch id
+    (restart-before-checkpoint, foreachBatch's at-least-once window) is a
+    NO-OP at commit time because the table itself remembers the app's
+    high-water mark — duplicates are impossible rather than merely
+    unlikely.
+
+    ``scope_to_checkpoint`` (default True) composes the txn appId from
+    ``app_id`` AND the streaming checkpoint's query id (the uuid
+    Structured Streaming writes to ``<checkpoint>/metadata`` at start) —
+    delta-spark's behavior. A FRESH checkpoint restarts batch ids at 0
+    over NEW source offsets, so deduping those against an old watermark
+    would silently DROP new data; scoping gives each checkpoint lineage
+    its own watermark. Pass False ONLY for deterministically-replayed
+    bounded sources where a rerun re-emits the SAME batches and
+    cross-checkpoint dedup is the point (the redelivery tests use this).
+    The table must already exist (create_delta_table) so concurrent
+    first-batch races cannot fork two tables. Returns the StreamingQuery
+    (caller stops)."""
+    import json as _json
+    import os as _os
+
     from ..sinks.delta_writer import append_delta
     from ..sources.delta_log import replay_log
 
     spark = stream.sparkSession
     replay_log(spark, table_path)  # fail fast: table must exist
+    resolved: dict[str, str] = {}
+
+    def _app() -> str:
+        if not scope_to_checkpoint:
+            return app_id
+        if "id" not in resolved:
+            # written by Structured Streaming at query start; by the time
+            # the first batch fires it exists
+            with open(_os.path.join(checkpoint_dir, "metadata")) as f:
+                resolved["id"] = _json.load(f)["id"]
+        return f"{app_id}/{resolved['id']}"
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         append_delta(spark, batch_df, table_path,
-                     txn_app_id=app_id, txn_version=batch_id)
+                     txn_app_id=_app(), txn_version=batch_id)
 
     return (stream.writeStream
             .foreachBatch(commit_batch)

@@ -524,10 +524,13 @@ def test_stream_delta_sink_exactly_once_across_restart(spark, tmp_path):
         spark, spark.createDataFrame([], "k long, p string, v double"), t,
         ts_ms=1000)
 
-    # bounded source + processAllAvailable = availableNow semantics
+    # bounded source + processAllAvailable = availableNow semantics.
+    # scope_to_checkpoint=False: this source is deterministically
+    # re-emitted, so CROSS-checkpoint dedup is exactly what we want here
     stream = (spark.readStream.schema("k long, p string, v double")
               .parquet(src))
-    q = stream_delta_sink(stream, t, "ingest-app", str(tmp_path / "cp1"))
+    q = stream_delta_sink(stream, t, "ingest-app", str(tmp_path / "cp1"),
+                          scope_to_checkpoint=False)
     q.processAllAvailable()
     q.stop()
     first = read_delta_snapshot(spark, t).count()
@@ -537,7 +540,8 @@ def test_stream_delta_sink_exactly_once_across_restart(spark, tmp_path):
     # data; the table's txn watermark makes it a no-op
     stream2 = (spark.readStream.schema("k long, p string, v double")
                .parquet(src))
-    q2 = stream_delta_sink(stream2, t, "ingest-app", str(tmp_path / "cp2"))
+    q2 = stream_delta_sink(stream2, t, "ingest-app", str(tmp_path / "cp2"),
+                           scope_to_checkpoint=False)
     q2.processAllAvailable()
     q2.stop()
     assert read_delta_snapshot(spark, t).count() == 40
@@ -807,3 +811,137 @@ def test_delta_table_for_path_missing(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         DeltaTable.for_path(spark, str(tmp_path / "nope"))
+
+
+# ---------------------------------------------------------------------------
+# review-fix regressions (late-r8 code review findings)
+
+def test_merge_null_key_matches_not_duplicated(spark, tmp_path):
+    """NULL merge keys are legitimate key values under eqNullSafe: a
+    NULL-keyed source row that matches a NULL-keyed target row must
+    UPDATE it (not also insert a second copy), and duplicate NULL-keyed
+    sources must hit the nondeterminism guard."""
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        merge_into,
+    )
+
+    t = str(tmp_path / "nullkey")
+    base = spark.createDataFrame(
+        [(None, 1.0), (5, 5.0)], "k long, v double")
+    create_delta_table(spark, base, t, cdf=True, ts_ms=1000)
+    src = spark.createDataFrame([(None, 100.0)], "k long, v double")
+    merge_into(spark, t, src, on=["k"],
+               when_matched_update={"v": "s.v"}, ts_ms=2000)
+    snap = read_delta_snapshot(spark, t)
+    assert snap.count() == 2  # no duplicate NULL-keyed insert
+    assert snap.filter("k IS NULL").first().v == 100.0
+    dup = spark.createDataFrame([(None, 1.0), (None, 2.0)],
+                                "k long, v double")
+    with pytest.raises(ValueError, match="nondeterministic"):
+        merge_into(spark, t, dup, on=["k"],
+                   when_matched_update={"v": "s.v"})
+
+
+def test_merge_insert_only_rewrites_nothing(spark, table):
+    """Insert-only merge must not rewrite matched files: the file set is
+    untouched except for the new adds, and the CDF for the commit shows
+    ONLY the inserted rows (a rewrite without cdc would synthesize a
+    spurious whole-file delete+insert feed)."""
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        merge_into,
+    )
+
+    before = set(replay_log(spark, table).files)
+    src = spark.createDataFrame(
+        [(5, "1", 5.0), (700, "z", 7.0)], "k long, p string, v double")
+    merge_into(spark, table, src, on=["k"], ts_ms=3000)  # no matched clause
+    after = set(replay_log(spark, table).files)
+    assert before <= after  # nothing removed/rewritten
+    ch = read_delta_changes(spark, table, 0, 1)
+    assert [(r.k, r["_change_type"]) for r in
+            ch.select("k", "_change_type").collect()] == [(700, "insert")]
+
+
+def test_merge_bare_column_name_is_ambiguous(spark, table):
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        merge_into,
+    )
+
+    src = spark.createDataFrame([(5, "1", 5.0)], "k long, p string, v double")
+    with pytest.raises(Exception, match="(?i)ambiguous"):
+        merge_into(spark, table, src, on=["k"],
+                   when_matched_update={"v": "v + 1"})
+
+
+def test_merge_schema_new_column_forced_nullable(spark, table):
+    wide = _frame(spark, 200, 205).withColumn("extra", F.lit("x"))
+    assert not wide.schema["extra"].nullable  # lit() is non-nullable
+    append_delta(spark, wide, table, ts_ms=5000, merge_schema=True)
+    rep = replay_log(spark, table)
+    assert rep.schema["extra"].nullable  # forced: old rows read NULL
+    snap = read_delta_snapshot(spark, table)
+    assert snap.filter("extra IS NULL").count() == 100
+
+
+def test_vacuum_retention_measured_from_removal_not_creation(spark, table):
+    """A file created long ago but removed a minute ago must survive the
+    retention window (time travel + CDF delete synthesis still need it);
+    it becomes vacuumable only retention-after-REMOVAL."""
+    del_ts = 10**12
+    delete_where(spark, table, "p = '1'", ts_ms=del_ts)
+    week = 7 * 24 * 3600 * 1000
+    # "now" is one minute after the delete: nothing is old enough
+    assert vacuum_delta(spark, table, retention_ms=week,
+                        now_ms=del_ts + 60000) == []
+    assert read_delta_snapshot(spark, table, version=0).count() == 100
+    # "now" past the window: the tombstoned originals go
+    doomed = vacuum_delta(spark, table, retention_ms=week,
+                          now_ms=del_ts + week + 60000)
+    assert doomed
+    assert read_delta_snapshot(spark, table).count() == 78  # p=1 (22) gone
+
+
+def test_latest_version_on_checkpoint_only_log(spark, table):
+    from databricks_import_pyspark_scripts_spark.delta import DeltaTable
+
+    append_delta(spark, _frame(spark, 100, 110), table, ts_ms=2000)
+    dt = DeltaTable.for_path(spark, table)
+    cp = dt.checkpoint()
+    for v in range(cp + 1):  # retire EVERY json commit incl. the head
+        p = os.path.join(table, "_delta_log", f"{v:020d}.json")
+        if os.path.exists(p):
+            os.unlink(p)
+    assert latest_delta_version(spark, table) == cp
+    assert dt.version() == cp
+
+
+def test_stream_delta_sink_fresh_checkpoint_new_data_not_dropped(
+        spark, tmp_path):
+    """Default checkpoint scoping: a FRESH checkpoint over NEW source
+    data must land its rows — an unscoped constant appId would dedup the
+    restarted batch ids against the old watermark and silently drop
+    them."""
+    from databricks_import_pyspark_scripts_spark.streaming.pipeline import (
+        stream_delta_sink,
+    )
+
+    t = str(tmp_path / "sink")
+    create_delta_table(
+        spark, spark.createDataFrame([], "k long, v double"), t, ts_ms=1000)
+    src1 = str(tmp_path / "src1")
+    spark.range(0, 10).selectExpr("id AS k", "CAST(id AS double) AS v") \
+        .write.parquet(src1)
+    s1 = spark.readStream.schema("k long, v double").parquet(src1)
+    q1 = stream_delta_sink(s1, t, "app", str(tmp_path / "cp1"))
+    q1.processAllAvailable(); q1.stop()
+    assert read_delta_snapshot(spark, t).count() == 10
+
+    src2 = str(tmp_path / "src2")
+    spark.range(100, 105).selectExpr("id AS k", "CAST(id AS double) AS v") \
+        .write.parquet(src2)
+    s2 = spark.readStream.schema("k long, v double").parquet(src2)
+    q2 = stream_delta_sink(s2, t, "app", str(tmp_path / "cp2"))
+    q2.processAllAvailable(); q2.stop()
+    # batch 0 again, same app — but a different checkpoint lineage:
+    # the new rows must NOT be deduped away
+    assert read_delta_snapshot(spark, t).count() == 15
