@@ -127,10 +127,40 @@ def _resolve_path(table_path: str, uri: str) -> str:
 # ---------------------------------------------------------------------------
 # manifest resolution (Avro, driver-side metadata)
 
+def _identity_partition_names(meta: dict) -> list[str] | None:
+    """Partition field names when EVERY transform is identity; None for a
+    non-identity spec (bucket/truncate/days/...: partition VALUES are
+    derived, so a value-level filter cannot be mapped to source columns —
+    callers must reject rather than prune wrongly)."""
+    specs = meta.get("partition-specs") or []
+    sid = meta.get("default-spec-id", 0)
+    spec = next((s for s in specs if s.get("spec-id", 0) == sid),
+                {"fields": []})
+    names = []
+    for f in spec.get("fields") or []:
+        if (f.get("transform") or "identity") != "identity":
+            return None
+        names.append(f["name"])
+    return names
+
+
 def live_data_files(spark: SparkSession, table_path: str,
-                    meta: dict, snapshot_id: int | None = None) -> list[dict]:
+                    meta: dict, snapshot_id: int | None = None,
+                    partition_filter=None) -> list[dict]:
     """``data_file`` records (dicts) live in the chosen snapshot. Delete
-    manifests with live entries are rejected loudly (merge-on-read)."""
+    manifests with live entries are rejected loudly (merge-on-read).
+
+    ``partition_filter``: optional ``dict[str, value] -> bool`` over each
+    entry's partition struct (keyed by partition field name) — metadata-
+    level pruning, evaluated BEFORE any scan is planned: a pruned
+    partition contributes zero files, zero tasks. Identity transforms
+    only; a non-identity spec rejects the filter loudly (the partition
+    VALUE is a derived bucket/truncation, not the column value)."""
+    if partition_filter is not None             and _identity_partition_names(meta) is None:
+        raise IcebergProtocolError(
+            "partition_filter over a non-identity partition spec: the "
+            "stored partition values are transform outputs, not column "
+            "values — pruning on them would be wrong")
     snap = _snapshot(meta, snapshot_id)
     if "manifest-list" not in snap:
         raise IcebergProtocolError(
@@ -157,6 +187,9 @@ def live_data_files(spark: SparkSession, table_path: str,
             if fmt != "PARQUET":
                 raise IcebergProtocolError(
                     f"non-parquet data file format {fmt!r}")
+            if partition_filter is not None and not partition_filter(
+                    df.get("partition") or {}):
+                continue
             out.append(df)
     return out
 
@@ -206,13 +239,19 @@ def iceberg_spark_schema(meta: dict) -> T.StructType:
 # the read surface
 
 def read_iceberg_snapshot(spark: SparkSession, table_path: str,
-                          snapshot_id: int | None = None) -> DataFrame:
+                          snapshot_id: int | None = None,
+                          partition_filter=None) -> DataFrame:
     """Table state at ``snapshot_id`` (default: current snapshot) — the
     Iceberg analogue of ``read_delta_snapshot``. One parquet scan over the
     snapshot's live files, columns resolved BY FIELD ID (renames in the
-    table's schema history are transparent)."""
+    table's schema history are transparent). ``partition_filter`` prunes
+    at the METADATA level (see ``live_data_files``); unlike Delta, the
+    data files CONTAIN the identity-partition columns, so no value
+    re-attachment is needed — keep the row-level predicate on the result,
+    pruning is an optimization."""
     meta = read_table_metadata(spark, table_path)
-    files = live_data_files(spark, table_path, meta, snapshot_id)
+    files = live_data_files(spark, table_path, meta, snapshot_id,
+                            partition_filter=partition_filter)
     schema = iceberg_spark_schema(meta)
     if not files:
         return spark.createDataFrame([], schema)
@@ -236,19 +275,32 @@ def iceberg_snapshot_ids(spark: SparkSession, table_path: str) -> list[dict]:
 # Iceberg layouts built from the test tables. Single-writer, local-FS,
 # append-only commits; production writes stay in the Delta/parquet sinks.
 
-_MANIFEST_ENTRY_SCHEMA = {
-    "type": "record", "name": "manifest_entry", "fields": [
-        {"name": "status", "type": "int"},
-        {"name": "snapshot_id", "type": ["null", "long"]},
-        {"name": "data_file", "type": {
-            "type": "record", "name": "r2", "fields": [
-                {"name": "content", "type": "int"},
-                {"name": "file_path", "type": "string"},
-                {"name": "file_format", "type": "string"},
-                {"name": "record_count", "type": "long"},
-                {"name": "file_size_in_bytes", "type": "long"},
-            ]}},
-    ]}
+def _manifest_entry_schema(partition_fields: list[dict] | None = None):
+    """Spec-shaped manifest_entry Avro schema; ``partition`` is the r102
+    struct with one field per partition-spec field (identity transforms:
+    source-column values). Unpartitioned tables carry an empty struct."""
+    part_fields = [{"name": f["name"], "type": ["null", f["avro_type"]]}
+                   for f in (partition_fields or [])]
+    return {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "partition", "type": {
+                        "type": "record", "name": "r102",
+                        "fields": part_fields}},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ]}},
+        ]}
+
+
+#: unpartitioned form (tests and the delete-manifest fixtures use this)
+_MANIFEST_ENTRY_SCHEMA = _manifest_entry_schema()
 
 _MANIFEST_FILE_SCHEMA = {
     "type": "record", "name": "manifest_file", "fields": [
@@ -277,11 +329,18 @@ def _iceberg_field(i: int, spark_field) -> dict:
 
 def write_iceberg_table(spark: SparkSession, commits: list[DataFrame],
                         table_path: str,
-                        base_ts_ms: int = 1700000000000) -> str:
+                        base_ts_ms: int = 1700000000000,
+                        partition_by: list[str] | tuple[str, ...] = ()
+                        ) -> str:
     """Create a spec-conformant Iceberg v2 table: each DataFrame becomes
     one append snapshot (vN metadata + manifest list + one manifest).
+    ``partition_by`` declares an IDENTITY partition spec: data files are
+    written per partition value (Iceberg files CONTAIN the partition
+    columns, unlike hive layouts) and each manifest entry carries the
+    r102 partition struct — the input to metadata-level pruning.
     SCOPE: a single-writer STAGING utility, local filesystems only —
-    the Iceberg twin of ``delta_log.write_delta_table``."""
+    the Iceberg twin of ``delta_log.write_delta_table``; the per-value
+    staging loop is gate-scale by design."""
     if not _is_local(table_path):
         raise NotImplementedError("write_iceberg_table is a local staging "
                                   "utility")
@@ -291,7 +350,10 @@ def write_iceberg_table(spark: SparkSession, commits: list[DataFrame],
     os.makedirs(mdir, exist_ok=True)
     os.makedirs(ddir, exist_ok=True)
 
+    from pyspark.sql import functions as F
+
     schema_fields = None
+    part_avro_fields: list[dict] = []
     snapshots: list[dict] = []
     all_manifests: list[dict] = []
     for v, df in enumerate(commits):
@@ -301,31 +363,65 @@ def write_iceberg_table(spark: SparkSession, commits: list[DataFrame],
             schema_fields = [
                 _iceberg_field(i + 1, f)
                 for i, f in enumerate(df.schema.fields)]
+            by_name = {f["name"]: f for f in schema_fields}
+            missing = [c for c in partition_by if c not in by_name]
+            if missing:
+                raise ValueError(f"partition columns {missing} absent")
+            _avro_of = {"long": "long", "int": "int", "double": "double",
+                        "float": "float", "string": "string",
+                        "boolean": "boolean"}
+            part_avro_fields = [
+                {"name": c, "source_id": by_name[c]["id"],
+                 "avro_type": _avro_of.get(by_name[c]["type"], "string")}
+                for c in partition_by]
         # data files: Spark writes them WITH field ids (alias metadata)
-        from pyspark.sql import functions as F
         with_ids = df.select(*[
             F.col(f.name).alias(f.name,
                                 metadata={"parquet.field.id": i + 1})
             for i, f in enumerate(df.schema.fields)])
-        staging = os.path.join(root, f"_staging_v{v}")
-        with_ids.write.mode("overwrite").parquet(staging)
         entries = []
-        for i, name in enumerate(sorted(
-                n for n in os.listdir(staging) if n.endswith(".parquet"))):
-            target = os.path.join(ddir, f"s{v:03d}-{i:05d}.parquet")
-            os.replace(os.path.join(staging, name), target)
-            entries.append({"status": STATUS_ADDED, "snapshot_id": snap_id,
-                            "data_file": {
-                                "content": 0,
-                                "file_path": target,
-                                "file_format": "PARQUET",
-                                "record_count": 0,
-                                "file_size_in_bytes":
-                                    os.path.getsize(target)}})
-        import shutil
-        shutil.rmtree(staging, ignore_errors=True)
+
+        def _stage_slice(slice_df, partition: dict, tag: str,
+                         _v=v, _snap=snap_id, _entries=None) -> None:
+            ents = entries if _entries is None else _entries
+            staging = os.path.join(root, f"_staging_v{_v}{tag}")
+            slice_df.write.mode("overwrite").parquet(staging)
+            for i, name in enumerate(sorted(
+                    n for n in os.listdir(staging)
+                    if n.endswith(".parquet"))):
+                target = os.path.join(
+                    ddir, f"s{_v:03d}{tag}-{i:05d}.parquet")
+                os.replace(os.path.join(staging, name), target)
+                ents.append({
+                    "status": STATUS_ADDED, "snapshot_id": _snap,
+                    "data_file": {
+                        "content": 0, "file_path": target,
+                        "file_format": "PARQUET",
+                        "partition": partition,
+                        "record_count": 0,
+                        "file_size_in_bytes": os.path.getsize(target)}})
+            import shutil
+            shutil.rmtree(staging, ignore_errors=True)
+
+        if partition_by:
+            # one slice per partition value: iceberg data files CONTAIN
+            # the partition columns, so hive-style partitionBy (which
+            # drops them) cannot be used — gate-scale loop by design
+            values = [tuple(r) for r in
+                      df.select(*partition_by).distinct().collect()]
+            for j, vals in enumerate(sorted(values, key=str)):
+                cond = None
+                for c, val in zip(partition_by, vals):
+                    piece = (F.col(c).isNull() if val is None
+                             else (F.col(c) == F.lit(val)))
+                    cond = piece if cond is None else (cond & piece)
+                _stage_slice(with_ids.filter(cond),
+                             dict(zip(partition_by, vals)), f"-p{j:03d}")
+        else:
+            _stage_slice(with_ids, {}, "")
         mpath = os.path.join(mdir, f"manifest-{v:03d}.avro")
-        blob = write_container(_MANIFEST_ENTRY_SCHEMA, entries)
+        blob = write_container(_manifest_entry_schema(part_avro_fields),
+                               entries)
         with open(mpath, "wb") as f:
             f.write(blob)
         all_manifests.append({"manifest_path": mpath,
@@ -347,7 +443,10 @@ def write_iceberg_table(spark: SparkSession, commits: list[DataFrame],
             "schemas": [{"schema-id": 0, "type": "struct",
                          "fields": schema_fields}],
             "current-schema-id": 0,
-            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "partition-specs": [{"spec-id": 0, "fields": [
+                {"name": f["name"], "transform": "identity",
+                 "source-id": f["source_id"], "field-id": 1000 + i}
+                for i, f in enumerate(part_avro_fields)]}],
             "default-spec-id": 0,
             "current-snapshot-id": snap_id,
             "snapshots": list(snapshots),

@@ -246,3 +246,55 @@ def test_iceberg_change_feed_deletes_on_file_removal(spark, ice):
                ch.groupBy("_change_type").count()
                .withColumnRenamed("count", "n").collect()}
     assert by_type == {"insert": 10, "delete": 30}
+
+
+# ---------------------------------------------------------------------------
+# identity-partition pruning
+
+def test_partition_pruning_identity(spark, tmp_path):
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        live_data_files,
+        read_table_metadata,
+    )
+
+    t = str(tmp_path / "pice")
+    df = spark.range(0, 40).selectExpr(
+        "id AS k", "CAST(id % 4 AS string) AS p", "CAST(id AS double) AS v")
+    write_iceberg_table(spark, [df], t, partition_by=["p"])
+    meta = read_table_metadata(spark, t)
+    # manifest entries carry the r102 partition struct
+    files = live_data_files(spark, t, meta)
+    assert {f["partition"]["p"] for f in files} == {"0", "1", "2", "3"}
+    # metadata-level pruning: only p=2's files survive planning
+    pruned = read_iceberg_snapshot(
+        spark, t, partition_filter=lambda pv: pv.get("p") == "2")
+    assert sorted(r.k for r in pruned.collect()) == [
+        k for k in range(40) if k % 4 == 2]
+    # the partition column is IN the data files (no re-attachment needed)
+    assert pruned.filter("p = '2'").count() == 10
+    # zero files when nothing matches
+    assert read_iceberg_snapshot(
+        spark, t, partition_filter=lambda pv: False).count() == 0
+
+
+def test_partition_filter_rejected_on_non_identity_spec(spark, tmp_path):
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        read_table_metadata,
+    )
+
+    t = str(tmp_path / "bice")
+    df = spark.range(0, 10).selectExpr("id AS k", "CAST(id AS double) AS v")
+    write_iceberg_table(spark, [df], t)
+    mdir = os.path.join(t, "metadata")
+    cur = int(open(os.path.join(mdir, "version-hint.text")).read())
+    p = os.path.join(mdir, f"v{cur}.metadata.json")
+    meta = json.load(open(p))
+    meta["partition-specs"] = [{"spec-id": 0, "fields": [
+        {"name": "k_bucket", "transform": "bucket[16]", "source-id": 1,
+         "field-id": 1000}]}]
+    with open(p, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(IcebergProtocolError, match="non-identity"):
+        read_iceberg_snapshot(spark, t, partition_filter=lambda pv: True)
+    # WITHOUT a filter the table still reads (values ignored)
+    assert read_iceberg_snapshot(spark, t).count() == 10
