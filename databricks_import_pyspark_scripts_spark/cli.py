@@ -34,7 +34,8 @@ def build_parser() -> argparse.ArgumentParser:
                         'snapshot-of-end (required unless --maintenance)')
     p.add_argument("--maintenance",
                    choices=("optimize", "vacuum", "drift", "neardup-index",
-                            "delta-ingest", "delta-optimize", "delta-vacuum",
+                            "delta-ingest", "iceberg-ingest",
+                            "delta-optimize", "delta-vacuum",
                             "delta-checkpoint"),
                    help="run a table-maintenance operation instead of an "
                         "unload: optimize = compact the latest snapshot "
@@ -138,10 +139,10 @@ def _run_maintenance(args) -> int:
     if args.maintenance == "neardup-index" and not args.output_path:
         print("--output-path is required for neardup-index", file=sys.stderr)
         return 2
-    if args.maintenance == "delta-ingest" and (
+    if args.maintenance in ("delta-ingest", "iceberg-ingest") and (
             not args.output_path or not args.state_path):
-        print("--output-path and --state-path are required for delta-ingest",
-              file=sys.stderr)
+        print("--output-path and --state-path are required for "
+              f"{args.maintenance}", file=sys.stderr)
         return 2
     if args.maintenance == "drift" and (args.drift_from is None
                                         or args.drift_to is None):
@@ -177,9 +178,13 @@ def _run_maintenance(args) -> int:
         n = spark.read.parquet(args.output_path).count()
         report = {"table": args.table, "snapshot_version": latest,
                   "index_path": args.output_path, "band_rows": n}
-    elif args.maintenance == "delta-ingest":
+    elif args.maintenance in ("delta-ingest", "iceberg-ingest"):
         from .sources.delta_log import delta_incremental_ingest
+        from .sources.iceberg import iceberg_incremental_ingest
 
+        ingest = (delta_incremental_ingest
+                  if args.maintenance == "delta-ingest"
+                  else iceberg_incremental_ingest)
         table_path = f"{args.source_root}/{args.table}"
         written: dict = {}
 
@@ -204,8 +209,7 @@ def _run_maintenance(args) -> int:
                             "rows": spark.read.parquet(dest).count(),
                             "dest": dest})
 
-        hwm = delta_incremental_ingest(spark, table_path, args.state_path,
-                                       apply_fn)
+        hwm = ingest(spark, table_path, args.state_path, apply_fn)
         report = {"table": args.table, "high_water_mark": hwm,
                   "new_data": bool(written), **written}
     elif args.maintenance == "delta-optimize":

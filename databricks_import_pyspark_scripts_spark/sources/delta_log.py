@@ -1156,44 +1156,57 @@ def delta_incremental_ingest(spark: SparkSession, table_path: str,
     batch-id-overwrite sinks. Returns the new high-water mark (unchanged
     when there is nothing new; the no-op tick costs one log listing and
     no Spark job)."""
-    last = -1
-    if _is_local(state_path):
-        sp = _strip_scheme(state_path)
-        if os.path.exists(sp):
-            with open(sp) as f:
-                last = int(f.read().strip() or -1)
-    elif _exists(spark, state_path):
-        last = int(_read_bytes(spark, state_path).decode().strip() or -1)
+    last = read_ingest_mark(spark, state_path)
     df, current = delta_tail(spark, table_path, last)
     if df is None:
         return last
     apply_fn(df, last, current)
+    write_ingest_mark(spark, state_path, current)
+    return current
+
+
+def read_ingest_mark(spark: SparkSession, state_path: str) -> int:
+    """Persisted high-water mark; absent -> -1 (first tick ingests the
+    full history)."""
+    if _is_local(state_path):
+        sp = _strip_scheme(state_path)
+        if os.path.exists(sp):
+            with open(sp) as f:
+                return int(f.read().strip() or -1)
+        return -1
+    if _exists(spark, state_path):
+        return int(_read_bytes(spark, state_path).decode().strip() or -1)
+    return -1
+
+
+def write_ingest_mark(spark: SparkSession, state_path: str,
+                      value: int) -> None:
+    """Persist the mark ATOMICALLY (temp + rename)."""
     if _is_local(state_path):
         sp = _strip_scheme(state_path)
         os.makedirs(os.path.dirname(sp) or ".", exist_ok=True)
         tmp = sp + ".tmp"
         with open(tmp, "w") as f:
-            f.write(str(current))
+            f.write(str(value))
         os.replace(tmp, sp)
-    else:
-        jvm = spark.sparkContext._jvm  # noqa: SLF001
-        fs, p = _hadoop_fs(spark, state_path)
-        tmp_p = jvm.org.apache.hadoop.fs.Path(state_path + ".tmp")
-        out = fs.create(tmp_p, True)
-        out.write(bytearray(str(current).encode()))
-        out.close()
-        # HDFS/object-store rename returns false (not an exception) when
-        # the destination exists — a silently stale mark would re-ingest
-        # the same range forever. Delete-then-rename, and FAIL LOUDLY if
-        # the rename still reports false: a crash between delete and
-        # rename re-delivers once (the documented idempotency contract),
-        # never loops.
-        if fs.exists(p):
-            fs.delete(p, False)
-        if not fs.rename(tmp_p, p):
-            raise OSError(
-                f"could not persist ingest high-water mark to {state_path}")
-    return current
+        return
+    jvm = spark.sparkContext._jvm  # noqa: SLF001
+    fs, p = _hadoop_fs(spark, state_path)
+    tmp_p = jvm.org.apache.hadoop.fs.Path(state_path + ".tmp")
+    out = fs.create(tmp_p, True)
+    out.write(bytearray(str(value).encode()))
+    out.close()
+    # HDFS/object-store rename returns false (not an exception) when
+    # the destination exists — a silently stale mark would re-ingest
+    # the same range forever. Delete-then-rename, and FAIL LOUDLY if
+    # the rename still reports false: a crash between delete and
+    # rename re-delivers once (the documented idempotency contract),
+    # never loops.
+    if fs.exists(p):
+        fs.delete(p, False)
+    if not fs.rename(tmp_p, p):
+        raise OSError(
+            f"could not persist ingest high-water mark to {state_path}")
 
 
 def delta_tail(spark: SparkSession, table_path: str,

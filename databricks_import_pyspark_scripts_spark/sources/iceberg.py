@@ -561,3 +561,39 @@ def read_iceberg_changes(spark: SparkSession, table_path: str,
     for p in pieces[1:]:
         out = out.unionByName(p.select(*order))
     return out
+
+
+# ---------------------------------------------------------------------------
+# resumable incremental ingest (the delta_incremental_ingest twin)
+
+def iceberg_tail(spark: SparkSession, table_path: str,
+                 last_ordinal: int) -> tuple[DataFrame | None, int]:
+    """One micro-ingest increment: the synthesized change rows for
+    snapshot ordinals in ``(last_ordinal, current]`` plus the current
+    ordinal, or ``(None, last_ordinal)`` when nothing is new (costing one
+    metadata read, no Spark job)."""
+    meta = read_table_metadata(spark, table_path)
+    current = len(meta.get("snapshots") or []) - 1
+    if current <= last_ordinal:
+        return None, last_ordinal
+    return (read_iceberg_changes(spark, table_path, last_ordinal, current),
+            current)
+
+
+def iceberg_incremental_ingest(spark: SparkSession, table_path: str,
+                               state_path: str, apply_fn) -> int:
+    """One scheduler tick of a repeated bounded pull from an Iceberg
+    source with a PERSISTED high-water mark (snapshot ORDINAL) — the
+    Iceberg twin of ``delta_log.delta_incremental_ingest``, same mark
+    file format, same crash-redelivery contract: a crash after
+    ``apply_fn`` but before the mark persists re-delivers the range, so
+    ``apply_fn`` must be idempotent on it."""
+    from .delta_log import read_ingest_mark, write_ingest_mark
+
+    last = read_ingest_mark(spark, state_path)
+    df, current = iceberg_tail(spark, table_path, last)
+    if df is None:
+        return last
+    apply_fn(df, last, current)
+    write_ingest_mark(spark, state_path, current)
+    return current

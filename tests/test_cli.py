@@ -294,3 +294,40 @@ def test_cli_delta_maintenance_verbs(spark, tmp_path):
     rep = verb("--maintenance", "delta-vacuum", "--retention-hours", "0")
     assert rep["deleted_files"] >= 0
     assert read_delta_snapshot(spark, t).count() == 70
+
+
+def test_cli_iceberg_ingest_tick(spark, tmp_path):
+    """iceberg-ingest subprocess e2e: one tick pulls the full history into
+    a range dir and persists the ordinal mark; a second tick is a no-op."""
+    import os
+
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        write_iceberg_table,
+    )
+
+    root = str(tmp_path / "root")
+    a = spark.range(0, 9).selectExpr("id AS k", "CAST(id AS double) AS v")
+    b = spark.range(9, 12).selectExpr("id AS k", "CAST(id AS double) AS v")
+    write_iceberg_table(spark, [a, b], f"{root}/tbl")
+    out = str(tmp_path / "out")
+    mark = str(tmp_path / "mark")
+
+    def tick():
+        proc = subprocess.run(
+            [sys.executable, "-m", "databricks_import_pyspark_scripts_spark.cli",
+             "--source-root", root, "--table", "tbl",
+             "--maintenance", "iceberg-ingest",
+             "--output-path", out, "--state-path", mark],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+            env={"SPARK_GRAFT_CPUS": "4", "PATH": "/usr/bin:/bin",
+                 "HOME": "/root",
+                 "JAVA_HOME": os.environ.get("JAVA_HOME", "")})
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    rep = tick()
+    assert rep["high_water_mark"] == 1 and rep["new_data"]
+    assert rep["rows"] == 12 and rep["range"] == [0, 1]
+    assert spark.read.parquet(f"{out}/range=0-1").count() == 12
+    rep2 = tick()
+    assert rep2["high_water_mark"] == 1 and not rep2["new_data"]

@@ -298,3 +298,41 @@ def test_partition_filter_rejected_on_non_identity_spec(spark, tmp_path):
         read_iceberg_snapshot(spark, t, partition_filter=lambda pv: True)
     # WITHOUT a filter the table still reads (values ignored)
     assert read_iceberg_snapshot(spark, t).count() == 10
+
+
+def test_iceberg_incremental_ingest_ticks(spark, tmp_path):
+    """Resumable ordinal-HWM ingest: first tick pulls the full history,
+    a no-new-data tick is a metadata-only no-op, a new snapshot pulls
+    exactly its delta, and a crash-before-mark re-delivers the range."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        iceberg_incremental_ingest,
+    )
+
+    t = str(tmp_path / "src")
+    a = spark.range(0, 20).selectExpr("id AS k", "CAST(id AS double) AS v")
+    b = spark.range(20, 25).selectExpr("id AS k", "CAST(id AS double) AS v")
+    write_iceberg_table(spark, [a, b], t)
+    mark = str(tmp_path / "mark")
+    pulls = []
+
+    def apply_fn(df, last, current):
+        pulls.append((last, current, df.count()))
+
+    hwm = iceberg_incremental_ingest(spark, t, mark, apply_fn)
+    assert hwm == 1 and pulls == [(-1, 1, 25)]
+    # nothing new: no pull, mark unchanged
+    assert iceberg_incremental_ingest(spark, t, mark, apply_fn) == 1
+    assert len(pulls) == 1
+    # a third snapshot lands: regenerate the staged table IN PLACE with
+    # one more commit (ordinals and earlier data files stay stable, so
+    # the persisted mark remains valid — metadata paths are absolute,
+    # which is why a directory move would not model table growth)
+    c = spark.range(25, 28).selectExpr("id AS k", "CAST(id AS double) AS v")
+    write_iceberg_table(spark, [a, b, c], t)
+    assert iceberg_incremental_ingest(spark, t, mark, apply_fn) == 2
+    assert pulls[-1] == (1, 2, 3)
+    # crash-before-mark: delete the mark, the next tick re-delivers all
+    import os as _os
+    _os.unlink(mark)
+    assert iceberg_incremental_ingest(spark, t, mark, apply_fn) == 2
+    assert pulls[-1] == (-1, 2, 28)
