@@ -116,6 +116,7 @@ HEADLINE = [
     # codec; staging absorbed by the untimed warm-up)
     "iceberg_snapshot_agg",
     "iceberg_cdf_insert_feed",
+    "iceberg_data_skipping_agg",
 ]
 
 EXTENSION_ROWS = {
@@ -335,7 +336,7 @@ def main() -> int:
                "delta_writer_roundtrip_agg", "delta_writer_update_cdf",
                "delta_id_mapped_read", "dedup_decontaminate_substring_aho",
                "delta_writer_merge_agg", "iceberg_snapshot_agg",
-               "iceberg_cdf_insert_feed"}
+               "iceberg_cdf_insert_feed", "iceberg_data_skipping_agg"}
     # same membership as comparable_queries_sec (includes the unload e2e row)
     comp = [k for k in timings
             if k not in EXTENSION_ROWS and k not in stress

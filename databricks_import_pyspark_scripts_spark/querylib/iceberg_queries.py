@@ -101,3 +101,56 @@ def iceberg_cdf_insert_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_change_type").alias("change_type"),
         F.col("_commit_version").cast("int").alias("commit_version"),
         (F.unix_millis(F.col("_commit_timestamp"))).alias("commit_ts_ms"))
+
+
+_ISKIP_LO, _ISKIP_HI = 1200, 1799
+
+
+def _staged_skip_iceberg(spark: SparkSession, sf_dir: str) -> str:
+    """Staged Iceberg table whose 8 data files are RANGE-partitioned on
+    event_id, each manifest entry carrying footer-derived lower/upper
+    bounds — the layout where Iceberg data skipping pays."""
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_iceberg_skip_gate_{tag}_v1")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        e = (load_table(spark, sf_dir, "events")
+             .select("event_id", "event_type", "value")
+             .repartitionByRange(8, "event_id"))
+        write_iceberg_table(spark, [e], path)
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "iceberg_data_skipping_agg",
+    f"""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    WHERE event_id BETWEEN {_ISKIP_LO} AND {_ISKIP_HI}
+    GROUP BY event_type
+    """,
+    doc="Iceberg DATA SKIPPING through the jar-less reader: the staged "
+        "table's 8 files are range-partitioned on event_id with "
+        "footer-derived lower/upper bounds (spec Appendix D single-value "
+        "serialization) on every manifest entry; the snapshot read "
+        "prunes files whose [min, max] provably misses the predicate AT "
+        "PLANNING (zero tasks for skipped files), while the row-level "
+        "filter stays on the scan so pruning is superset-safe. Oracle "
+        "restates the predicate over the parquet source; a skip that "
+        "drops a needed file breaks counts and sums.")
+def iceberg_data_skipping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.iceberg import iceberg_column_range_filter
+
+    path = _staged_skip_iceberg(spark, sf_dir)
+    snap = read_iceberg_snapshot(
+        spark, path,
+        stats_filter=iceberg_column_range_filter(
+            "event_id", _ISKIP_LO, _ISKIP_HI))
+    return (snap.filter(F.col("event_id").between(_ISKIP_LO, _ISKIP_HI))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))

@@ -127,6 +127,87 @@ def _resolve_path(table_path: str, uri: str) -> str:
 # ---------------------------------------------------------------------------
 # manifest resolution (Avro, driver-side metadata)
 
+def _bound_value(raw: bytes, ice_type: str):
+    """Iceberg single-value binary serialization (spec Appendix D,
+    little-endian) for the bound types data skipping uses; None for types
+    this reader does not decode (their columns are simply unskippable)."""
+    import struct as _struct
+
+    try:
+        if ice_type == "int":
+            return _struct.unpack("<i", raw)[0]
+        if ice_type == "long":
+            return _struct.unpack("<q", raw)[0]
+        if ice_type == "float":
+            return _struct.unpack("<f", raw)[0]
+        if ice_type == "double":
+            return _struct.unpack("<d", raw)[0]
+        if ice_type == "string":
+            return raw.decode("utf-8")
+        if ice_type == "boolean":
+            return raw == b"\x01"
+    except Exception:  # noqa: BLE001 — undecodable bound: unskippable
+        return None
+    return None
+
+
+def _bounds_map(df_entry: dict, key: str) -> dict[int, bytes]:
+    """lower_bounds/upper_bounds as {field_id: raw bytes}. Iceberg's Avro
+    layout stores int-keyed maps as arrays of key/value records; accept
+    that, a plain dict, and pyarrow's tuple-list form."""
+    v = df_entry.get(key)
+    if not v:
+        return {}
+    if isinstance(v, dict):
+        return {int(k): bytes(val) for k, val in v.items()}
+    out = {}
+    for item in v:
+        if isinstance(item, dict):
+            out[int(item["key"])] = bytes(item["value"])
+        else:
+            k, val = item
+            out[int(k)] = bytes(val)
+    return out
+
+
+def decoded_column_bounds(meta: dict, data_file: dict) -> dict[str, tuple]:
+    """{column_name: (lo, hi)} for every TOP-LEVEL primitive column with
+    decodable lower+upper bounds on this file — the stats_filter input.
+    Columns without bounds are absent (treat as unskippable)."""
+    fields = {int(f["id"]): (f["name"], f["type"])
+              for f in _current_schema(meta)["fields"]
+              if isinstance(f["type"], str)}
+    lo = _bounds_map(data_file, "lower_bounds")
+    hi = _bounds_map(data_file, "upper_bounds")
+    out: dict[str, tuple] = {}
+    for fid, (name, t) in fields.items():
+        if fid in lo and fid in hi:
+            l_v = _bound_value(lo[fid], t)
+            h_v = _bound_value(hi[fid], t)
+            if l_v is not None and h_v is not None:
+                out[name] = (l_v, h_v)
+    return out
+
+
+def iceberg_column_range_filter(column: str, lo=None, hi=None):
+    """Superset-safe stats filter: keep a file unless its decoded bounds
+    PROVE no row can satisfy ``lo <= column <= hi`` — files without
+    decodable bounds for the column are always kept, so pruning composes
+    with the row-level predicate exactly like the Delta reader's
+    ``column_range_filter``."""
+    def keep(bounds: dict[str, tuple]) -> bool:
+        b = bounds.get(column)
+        if b is None:
+            return True
+        f_lo, f_hi = b
+        if lo is not None and f_hi < lo:
+            return False
+        if hi is not None and f_lo > hi:
+            return False
+        return True
+    return keep
+
+
 def _identity_partition_names(meta: dict) -> list[str] | None:
     """Partition field names when EVERY transform is identity; None for a
     non-identity spec (bucket/truncate/days/...: partition VALUES are
@@ -146,7 +227,8 @@ def _identity_partition_names(meta: dict) -> list[str] | None:
 
 def live_data_files(spark: SparkSession, table_path: str,
                     meta: dict, snapshot_id: int | None = None,
-                    partition_filter=None) -> list[dict]:
+                    partition_filter=None,
+                    stats_filter=None) -> list[dict]:
     """``data_file`` records (dicts) live in the chosen snapshot. Delete
     manifests with live entries are rejected loudly (merge-on-read).
 
@@ -189,6 +271,9 @@ def live_data_files(spark: SparkSession, table_path: str,
                     f"non-parquet data file format {fmt!r}")
             if partition_filter is not None and not partition_filter(
                     df.get("partition") or {}):
+                continue
+            if stats_filter is not None and not stats_filter(
+                    decoded_column_bounds(meta, df)):
                 continue
             out.append(df)
     return out
@@ -240,7 +325,8 @@ def iceberg_spark_schema(meta: dict) -> T.StructType:
 
 def read_iceberg_snapshot(spark: SparkSession, table_path: str,
                           snapshot_id: int | None = None,
-                          partition_filter=None) -> DataFrame:
+                          partition_filter=None,
+                          stats_filter=None) -> DataFrame:
     """Table state at ``snapshot_id`` (default: current snapshot) — the
     Iceberg analogue of ``read_delta_snapshot``. One parquet scan over the
     snapshot's live files, columns resolved BY FIELD ID (renames in the
@@ -251,7 +337,8 @@ def read_iceberg_snapshot(spark: SparkSession, table_path: str,
     pruning is an optimization."""
     meta = read_table_metadata(spark, table_path)
     files = live_data_files(spark, table_path, meta, snapshot_id,
-                            partition_filter=partition_filter)
+                            partition_filter=partition_filter,
+                            stats_filter=stats_filter)
     schema = iceberg_spark_schema(meta)
     if not files:
         return spark.createDataFrame([], schema)
@@ -275,12 +362,21 @@ def iceberg_snapshot_ids(spark: SparkSession, table_path: str) -> list[dict]:
 # Iceberg layouts built from the test tables. Single-writer, local-FS,
 # append-only commits; production writes stay in the Delta/parquet sinks.
 
+_BOUNDS_AVRO = ["null", {"type": "array", "items": {
+    "type": "record", "name": "kv_bounds", "fields": [
+        {"name": "key", "type": "int"},
+        {"name": "value", "type": "bytes"}]}}]
+
+
 def _manifest_entry_schema(partition_fields: list[dict] | None = None):
     """Spec-shaped manifest_entry Avro schema; ``partition`` is the r102
     struct with one field per partition-spec field (identity transforms:
-    source-column values). Unpartitioned tables carry an empty struct."""
+    source-column values); lower/upper_bounds are the int-keyed binary
+    maps (spec Avro layout: arrays of key/value records) data skipping
+    reads. Unpartitioned tables carry an empty struct."""
     part_fields = [{"name": f["name"], "type": ["null", f["avro_type"]]}
                    for f in (partition_fields or [])]
+    import copy
     return {
         "type": "record", "name": "manifest_entry", "fields": [
             {"name": "status", "type": "int"},
@@ -295,6 +391,10 @@ def _manifest_entry_schema(partition_fields: list[dict] | None = None):
                         "fields": part_fields}},
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "lower_bounds",
+                     "type": copy.deepcopy(_BOUNDS_AVRO)},
+                    {"name": "upper_bounds", "type": [
+                        "null", {"type": "array", "items": "kv_bounds"}]},
                 ]}},
         ]}
 
@@ -310,6 +410,69 @@ _MANIFEST_FILE_SCHEMA = {
         {"name": "content", "type": "int"},
         {"name": "added_snapshot_id", "type": ["null", "long"]},
     ]}
+
+
+def _encode_bound(value, ice_type: str) -> bytes | None:
+    """Inverse of ``_bound_value`` (spec Appendix D, little-endian)."""
+    import struct as _struct
+
+    if value is None:
+        return None
+    if ice_type == "int":
+        return _struct.pack("<i", int(value))
+    if ice_type == "long":
+        return _struct.pack("<q", int(value))
+    if ice_type == "float":
+        return _struct.pack("<f", float(value))
+    if ice_type == "double":
+        return _struct.pack("<d", float(value))
+    if ice_type == "string":
+        return str(value).encode("utf-8")
+    if ice_type == "boolean":
+        return b"\x01" if value else b"\x00"
+    return None
+
+
+def _footer_bounds(parquet_path: str,
+                   name_to_field: dict[str, tuple[int, str]]) -> tuple:
+    """(lower_bounds, upper_bounds) kv-record lists from the parquet
+    footer min/max stats — so staged tables are data-skipping-capable
+    exactly like the Delta staging writer's stats JSON."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(parquet_path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if name not in name_to_field:
+                continue
+            try:
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+            except Exception:  # noqa: BLE001 — pyarrow raises for some types
+                continue
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    continue
+            mins[name] = mn if name not in mins else min(mins[name], mn)
+            maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    lo_list, hi_list = [], []
+    for name in mins:
+        fid, t = name_to_field[name]
+        lo_b = _encode_bound(mins[name], t)
+        hi_b = _encode_bound(maxs[name], t)
+        if lo_b is not None and hi_b is not None:
+            lo_list.append({"key": fid, "value": lo_b})
+            hi_list.append({"key": fid, "value": hi_b})
+    return (sorted(lo_list, key=lambda r: r["key"]),
+            sorted(hi_list, key=lambda r: r["key"]))
 
 
 def _iceberg_field(i: int, spark_field) -> dict:
@@ -381,6 +544,10 @@ def write_iceberg_table(spark: SparkSession, commits: list[DataFrame],
             for i, f in enumerate(df.schema.fields)])
         entries = []
 
+        name_to_field = {f["name"]: (f["id"], f["type"])
+                         for f in schema_fields
+                         if isinstance(f["type"], str)}
+
         def _stage_slice(slice_df, partition: dict, tag: str,
                          _v=v, _snap=snap_id, _entries=None) -> None:
             ents = entries if _entries is None else _entries
@@ -392,6 +559,7 @@ def write_iceberg_table(spark: SparkSession, commits: list[DataFrame],
                 target = os.path.join(
                     ddir, f"s{_v:03d}{tag}-{i:05d}.parquet")
                 os.replace(os.path.join(staging, name), target)
+                lo_b, hi_b = _footer_bounds(target, name_to_field)
                 ents.append({
                     "status": STATUS_ADDED, "snapshot_id": _snap,
                     "data_file": {
@@ -399,7 +567,9 @@ def write_iceberg_table(spark: SparkSession, commits: list[DataFrame],
                         "file_format": "PARQUET",
                         "partition": partition,
                         "record_count": 0,
-                        "file_size_in_bytes": os.path.getsize(target)}})
+                        "file_size_in_bytes": os.path.getsize(target),
+                        "lower_bounds": lo_b or None,
+                        "upper_bounds": hi_b or None}})
             import shutil
             shutil.rmtree(staging, ignore_errors=True)
 

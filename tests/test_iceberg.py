@@ -336,3 +336,46 @@ def test_iceberg_incremental_ingest_ticks(spark, tmp_path):
     _os.unlink(mark)
     assert iceberg_incremental_ingest(spark, t, mark, apply_fn) == 2
     assert pulls[-1] == (-1, 2, 28)
+
+
+# ---------------------------------------------------------------------------
+# stats-based file skipping (lower/upper bounds)
+
+def test_bounds_roundtrip_and_stats_skipping(spark, tmp_path):
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        decoded_column_bounds,
+        iceberg_column_range_filter,
+        live_data_files,
+        read_table_metadata,
+    )
+
+    t = str(tmp_path / "sice")
+    # range-clustered: each staged file covers a narrow k band
+    df = (spark.range(0, 400)
+          .selectExpr("id AS k", "CAST(id AS double) AS v",
+                      "CAST(id AS string) AS s")
+          .repartitionByRange(8, "k").sortWithinPartitions("k"))
+    write_iceberg_table(spark, [df], t)
+    meta = read_table_metadata(spark, t)
+    files = live_data_files(spark, t, meta)
+    bounds = [decoded_column_bounds(meta, f) for f in files]
+    assert all({"k", "v", "s"} <= set(b) for b in bounds)
+    lo_min = min(b["k"][0] for b in bounds)
+    hi_max = max(b["k"][1] for b in bounds)
+    assert (lo_min, hi_max) == (0, 399)
+
+    # skip: only files whose k-range can contain [100, 120] survive
+    keep = iceberg_column_range_filter("k", 100, 120)
+    kept = live_data_files(spark, t, meta, stats_filter=keep)
+    assert 0 < len(kept) < len(files)
+    snap = read_iceberg_snapshot(spark, t, stats_filter=keep)
+    got = snap.filter("k BETWEEN 100 AND 120")
+    assert sorted(r.k for r in got.collect()) == list(range(100, 121))
+
+    # superset safety: a file with NO bounds is always kept
+    assert keep({}) is True
+    # impossible range proves zero files
+    none = live_data_files(spark, t, meta,
+                           stats_filter=iceberg_column_range_filter(
+                               "k", 10**9, 10**9 + 1))
+    assert none == []
