@@ -369,6 +369,8 @@ def test_bounds_roundtrip_and_stats_skipping(spark, tmp_path):
     kept = live_data_files(spark, t, meta, stats_filter=keep)
     assert 0 < len(kept) < len(files)
     snap = read_iceberg_snapshot(spark, t, stats_filter=keep)
+    # the SCAN itself plans only the kept files — zero tasks for skipped
+    assert len(snap.inputFiles()) == len(kept)
     got = snap.filter("k BETWEEN 100 AND 120")
     assert sorted(r.k for r in got.collect()) == list(range(100, 121))
 
@@ -379,3 +381,68 @@ def test_bounds_roundtrip_and_stats_skipping(spark, tmp_path):
                            stats_filter=iceberg_column_range_filter(
                                "k", 10**9, 10**9 + 1))
     assert none == []
+
+
+# ---------------------------------------------------------------------------
+# model-based randomized reader check
+
+@pytest.mark.parametrize("seed", [19, 53])
+def test_iceberg_reader_random_histories_match_model(spark, tmp_path, seed):
+    """Seeded random append histories (1-4 snapshots, random slice sizes)
+    plus randomly doctored DELETED statuses, checked snapshot-by-snapshot
+    against a plain-Python model of the live row set — the reader-side
+    analogue of the Delta model test."""
+    import random
+
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        _MANIFEST_ENTRY_SCHEMA,
+        read_table_metadata,
+    )
+
+    rng = random.Random(seed)
+    t = str(tmp_path / f"m{seed}")
+    cuts = sorted(rng.sample(range(1, 100), rng.randint(1, 3)))
+    ranges = list(zip([0, *cuts], [*cuts, 100]))
+    commits = [spark.range(lo, hi).selectExpr(
+        "id AS k", "CAST(id AS double) AS v") for lo, hi in ranges]
+    write_iceberg_table(spark, commits, t)
+
+    # model: per snapshot ordinal, the union of commit ranges so far
+    model = []
+    acc: set[int] = set()
+    for lo, hi in ranges:
+        acc = acc | set(range(lo, hi))
+        model.append(set(acc))
+
+    # doctor: mark a random earlier manifest's entries DELETED in the
+    # LATEST snapshot only (copy-on-write so earlier snapshots keep it)
+    if len(ranges) > 1 and rng.random() < 0.8:
+        from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+            _MANIFEST_FILE_SCHEMA,
+        )
+        victim = rng.randrange(len(ranges) - 1)
+        mdir = os.path.join(t, "metadata")
+        mpath = os.path.join(mdir, f"manifest-{victim:03d}.avro")
+        _, entries = read_container(open(mpath, "rb").read())
+        for e in entries:
+            e["status"] = 2
+        dropped = os.path.join(mdir, f"manifest-{victim:03d}-x.avro")
+        with open(dropped, "wb") as f:
+            f.write(write_container(_MANIFEST_ENTRY_SCHEMA, entries))
+        last_snap = 1000 + len(ranges) - 1
+        mlpath = os.path.join(mdir, f"snap-{last_snap}.avro")
+        _, manifests = read_container(open(mlpath, "rb").read())
+        for mf in manifests:
+            if mf["manifest_path"].endswith(f"manifest-{victim:03d}.avro"):
+                mf["manifest_path"] = dropped
+        with open(mlpath, "wb") as f:
+            f.write(write_container(_MANIFEST_FILE_SCHEMA, manifests))
+        lo, hi = ranges[victim]
+        model[-1] = model[-1] - set(range(lo, hi))
+
+    meta = read_table_metadata(spark, t)
+    for ordinal, snap_meta in enumerate(
+            sorted(meta["snapshots"], key=lambda s: s["timestamp-ms"])):
+        got = {r.k for r in read_iceberg_snapshot(
+            spark, t, snapshot_id=snap_meta["snapshot-id"]).collect()}
+        assert got == model[ordinal], (seed, ordinal)
