@@ -24,6 +24,11 @@ from databricks_import_pyspark_scripts_spark.querylib import all_queries
 from databricks_import_pyspark_scripts_spark.session import get_spark
 
 HEADLINE = [
+    # first in the run order ON PURPOSE (VERDICT r8 #6): this is the one
+    # query whose samples stayed spread under ambient load even after a
+    # bounded rerun — measuring it before the suite heats the host gives
+    # it the quietest window the artifact can offer
+    "dedup_containment_pairs",
     "q1_pricing_summary",
     "q3_unshipped_revenue",
     "q5_region_supplier_volume",
@@ -68,8 +73,8 @@ HEADLINE = [
     "events_transition_matrix",
     # r7 additions — timed in their own tier (r7_new_rows_sec) so the
     # comparable and r5-extension totals keep their round-over-round
-    # meaning. Both were restructured onto the Arrow shingle path in r7.
-    "dedup_containment_pairs",
+    # meaning. Both were restructured onto the Arrow shingle path in r7
+    # (dedup_containment_pairs itself is timed FIRST, above).
     "dedup_ngram_jaccard_blocked",
     # the training-loader handoff step (distributed total-order index);
     # cheap, but its two-pass + broadcast plan is worth a timed row
@@ -117,6 +122,9 @@ HEADLINE = [
     "iceberg_snapshot_agg",
     "iceberg_cdf_insert_feed",
     "iceberg_data_skipping_agg",
+    # r9 additions: Iceberg v2 MERGE-ON-READ (position-delete anti-join;
+    # fixture staging absorbed by the untimed warm-up)
+    "iceberg_mor_delete_agg",
 ]
 
 EXTENSION_ROWS = {
@@ -337,10 +345,12 @@ def main() -> int:
                "delta_id_mapped_read", "dedup_decontaminate_substring_aho",
                "delta_writer_merge_agg", "iceberg_snapshot_agg",
                "iceberg_cdf_insert_feed", "iceberg_data_skipping_agg"}
+    r9_rows = {"iceberg_mor_delete_agg"}
     # same membership as comparable_queries_sec (includes the unload e2e row)
     comp = [k for k in timings
             if k not in EXTENSION_ROWS and k not in stress
-            and k not in new_rows and k not in r8_rows]
+            and k not in new_rows and k not in r8_rows
+            and k not in r9_rows]
     # bulky diagnostics go on their OWN earlier stdout line (and a sidecar
     # file): r6's final line grew past the driver's tail capture once
     # query_samples was added, so the round's headline totals were lost
@@ -397,7 +407,8 @@ def main() -> int:
         "unit": "sec",
         "comparable_queries_sec": round(total - stress_sec - ext_sec
                                         - sum(timings.get(k, 0.0)
-                                              for k in new_rows | r8_rows),
+                                              for k in new_rows | r8_rows
+                                              | r9_rows),
                                         3),
         "skew_stress_sec": stress_sec,
         "r5_extension_sec": ext_sec,
@@ -405,6 +416,8 @@ def main() -> int:
                                      for k in new_rows), 3),
         "r8_new_rows_sec": round(sum(timings.get(k, 0.0)
                                      for k in r8_rows), 3),
+        "r9_new_rows_sec": round(sum(timings.get(k, 0.0)
+                                     for k in r9_rows), 3),
         # per-tier medians-of-samples alongside the min-of-N totals: a
         # min-vs-min drift with stable medians is host noise, not a plan
         # regression (bench hygiene, VERDICT r5 #5)

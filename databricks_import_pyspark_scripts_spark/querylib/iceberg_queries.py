@@ -103,6 +103,58 @@ def iceberg_cdf_insert_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_millis(F.col("_commit_timestamp"))).alias("commit_ts_ms"))
 
 
+_MOR_DEAD = "event_id % 5 = 2"
+
+
+def _staged_mor_iceberg(spark: SparkSession, sf_dir: str) -> str:
+    """Staged Iceberg v2 MERGE-ON-READ table: one append snapshot of the
+    events slice, then a position-delete snapshot killing ``_MOR_DEAD``
+    rows — a real content=1 delete manifest + spec-field-id delete
+    parquet, the layout Flink CDC / Spark MERGE writers produce."""
+    from ..sources.iceberg import write_iceberg_position_deletes
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_iceberg_mor_gate_{tag}_v1")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        e = (load_table(spark, sf_dir, "events")
+             .select("event_id", "event_type", "value").repartition(4))
+        write_iceberg_table(spark, [e], path)
+        write_iceberg_position_deletes(spark, path, _MOR_DEAD)
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "iceberg_mor_delete_agg",
+    f"""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    WHERE NOT ({_MOR_DEAD})
+    GROUP BY event_type
+    """,
+    doc="Iceberg v2 MERGE-ON-READ: the staged table's current snapshot "
+        "carries a content=1 delete manifest whose position-delete "
+        "parquet (spec field ids 2147483546/2147483545) kills every "
+        "event_id%5=2 row; the jar-less reader anti-joins the data "
+        "scan's (_metadata.file_path, row_index) against the delete "
+        "(file_path, pos) pairs — broadcast under the DV cardinality "
+        "threshold, shuffle anti-join above it, delete side never "
+        "collected or driver-decoded. The oracle restates the delete as "
+        "a row predicate over the parquet source: a delete row dropped, "
+        "double-applied, or attributed to the wrong data file breaks "
+        "both the counts and the sums.")
+def iceberg_mor_delete_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _staged_mor_iceberg(spark, sf_dir)
+    return (read_iceberg_snapshot(spark, path)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
 _ISKIP_LO, _ISKIP_HI = 1200, 1799
 
 

@@ -24,10 +24,19 @@ Implements the public Iceberg table spec (iceberg.apache.org/spec):
   (``spark.sql.parquet.fieldId.read.enabled``), so renames are free and
   entirely JVM-side.
 
+Merge-on-read v2 tables (content=1 delete manifests) are supported for
+POSITION deletes: the snapshot read anti-joins the data scan's
+``(_metadata.file_path, _metadata.row_index)`` against the delete files'
+``(file_path, pos)`` pairs — broadcast under a cardinality threshold,
+plain shuffle anti-join above it, so the delete side never has to fit on
+the driver (the same two-strategy model as the Delta reader's deletion
+vectors, ``delta_log.py:_apply_deletion_vectors``, except Iceberg keeps
+deletes in parquet so no driver-side bitmap decode exists at all).
+
 Deliberately unsupported, rejected loudly BEFORE any read (never a wrong
-answer): row-level delete manifests (content=1 with live entries —
-merge-on-read v2 tables need positional/equality delete application),
-non-parquet data files, and the uuid/time column types.
+answer): EQUALITY delete files (content=2 — need sequence-number-ordered
+predicate application), non-parquet data files, and the uuid/time column
+types.
 
 The Avro container decoding is ``avro_codec.py`` — a from-scratch
 implementation of the public Avro spec (no avro library exists here).
@@ -228,9 +237,17 @@ def _identity_partition_names(meta: dict) -> list[str] | None:
 def live_data_files(spark: SparkSession, table_path: str,
                     meta: dict, snapshot_id: int | None = None,
                     partition_filter=None,
-                    stats_filter=None) -> list[dict]:
-    """``data_file`` records (dicts) live in the chosen snapshot. Delete
-    manifests with live entries are rejected loudly (merge-on-read).
+                    stats_filter=None,
+                    deletes_out: list | None = None) -> list[dict]:
+    """``data_file`` records (dicts) live in the chosen snapshot.
+
+    ``deletes_out``: when a list is passed, live POSITION delete files
+    (delete-manifest entries with ``data_file.content == 1``) are
+    appended to it for the caller to apply (``read_iceberg_snapshot``
+    does); equality deletes (content == 2) always reject loudly. When
+    ``None`` (the default), ANY live delete entry rejects — callers that
+    cannot apply deletes (the change-feed synthesizer diffs whole-file
+    live sets) must never silently over-count rows.
 
     ``partition_filter``: optional ``dict[str, value] -> bool`` over each
     entry's partition struct (keyed by partition field name) — metadata-
@@ -258,10 +275,26 @@ def live_data_files(spark: SparkSession, table_path: str,
         live = [e for e in entries
                 if int(e.get("status") or 0) != STATUS_DELETED]
         if content == 1:
-            if live:
+            if live and deletes_out is None:
                 raise IcebergProtocolError(
                     "table has row-level delete files (merge-on-read); "
-                    "applying positional/equality deletes is not supported")
+                    "this code path cannot apply them")
+            for e in live:
+                df = e["data_file"]
+                dcontent = int(df.get("content") or 0)
+                if dcontent == 2:
+                    raise IcebergProtocolError(
+                        "table has EQUALITY delete files (content=2); "
+                        "only position deletes are applied")
+                if dcontent != 1:
+                    raise IcebergProtocolError(
+                        f"delete manifest entry with data_file.content="
+                        f"{dcontent} (expected 1 = position deletes)")
+                fmt = (df.get("file_format") or "PARQUET").upper()
+                if fmt != "PARQUET":
+                    raise IcebergProtocolError(
+                        f"non-parquet delete file format {fmt!r}")
+                deletes_out.append(df)
             continue
         for e in live:
             df = e["data_file"]
@@ -323,6 +356,67 @@ def iceberg_spark_schema(meta: dict) -> T.StructType:
 # ---------------------------------------------------------------------------
 # the read surface
 
+#: columns used only while applying position deletes, never surfaced
+_POS_KEY, _POS_IDX = "__iceberg_file_key", "__iceberg_row_pos"
+
+
+def _file_key_expr(col):
+    """2-segment path suffix as the join key between the scan's
+    ``_metadata.file_path`` (a percent-encoded ``file:``/``s3a:`` URI)
+    and the delete files' stored ``file_path`` strings (written verbatim
+    by the committing engine, possibly under a different scheme or mount
+    for the same physical file) — the same last-2-segments canonical key
+    the Delta reader uses for DV and partition-value attribution
+    (``delta_log._action_base``). Collisions are checked driver-side and
+    reject loudly before the join exists."""
+    from pyspark.sql import functions as F
+
+    return F.substring_index(
+        F.regexp_replace(F.url_decode(col), "^[a-zA-Z0-9+.-]+:/+", "/"),
+        "/", -2)
+
+
+def _apply_position_deletes(spark: SparkSession, df: DataFrame,
+                            table_path: str, data_files: list[dict],
+                            delete_files: list[dict]) -> DataFrame:
+    """Anti-join the scan (carrying ``_POS_KEY`` + ``_POS_IDX``) against
+    the position-delete parquet files' ``(file_path, pos)`` pairs.
+
+    Scale: the delete side is a plain executor parquet scan — never
+    collected, never decoded on the driver (unlike Delta DVs there is no
+    bitmap codec; Iceberg's delete representation IS parquet). Under
+    ``DV_ANTIJOIN_MAX_ROWS`` total cardinality (from the manifests'
+    record_count — metadata, free) the delete side is broadcast so the
+    fact scan takes zero shuffle; above it the anti-join shuffles both
+    sides on (file_key, pos), which is exactly as parallel as the data.
+
+    Sequence-number scoping (a position delete applies only to data files
+    committed no later than it) is safe to skip for the path-equality
+    join: real engines never re-add a row file under a path that a live
+    delete file already references — file names embed UUIDs."""
+    from pyspark.sql import functions as F
+
+    bases = [_resolve_path(table_path, f["file_path"]).rstrip("/")
+             for f in data_files]
+    keys = ["/".join(b.split("/")[-2:]) for b in bases]
+    if len(set(keys)) != len(keys):
+        raise IcebergProtocolError(
+            "file basename collision in a merge-on-read snapshot; delete "
+            "rows cannot be attributed to data files unambiguously")
+    dpaths = sorted({_resolve_path(table_path, f["file_path"])
+                     for f in delete_files})
+    cardinality = sum(int(f.get("record_count") or 0)
+                      for f in delete_files)
+    dels = (spark.read.parquet(*dpaths)
+            .select(_file_key_expr(F.col("file_path")).alias(_POS_KEY),
+                    F.col("pos").cast("long").alias(_POS_IDX)))
+    from .delta_log import DV_ANTIJOIN_MAX_ROWS
+    if cardinality <= DV_ANTIJOIN_MAX_ROWS:
+        dels = F.broadcast(dels)
+    return (df.join(dels, [_POS_KEY, _POS_IDX], "left_anti")
+            .drop(_POS_KEY, _POS_IDX))
+
+
 def read_iceberg_snapshot(spark: SparkSession, table_path: str,
                           snapshot_id: int | None = None,
                           partition_filter=None,
@@ -334,17 +428,31 @@ def read_iceberg_snapshot(spark: SparkSession, table_path: str,
     at the METADATA level (see ``live_data_files``); unlike Delta, the
     data files CONTAIN the identity-partition columns, so no value
     re-attachment is needed — keep the row-level predicate on the result,
-    pruning is an optimization."""
+    pruning is an optimization. Merge-on-read snapshots (live position
+    delete files) are resolved by ``_apply_position_deletes``; metadata
+    pruning composes — a delete row whose data file was pruned simply
+    never matches the anti-join."""
     meta = read_table_metadata(spark, table_path)
+    deletes: list[dict] = []
     files = live_data_files(spark, table_path, meta, snapshot_id,
                             partition_filter=partition_filter,
-                            stats_filter=stats_filter)
+                            stats_filter=stats_filter,
+                            deletes_out=deletes)
     schema = iceberg_spark_schema(meta)
     if not files:
         return spark.createDataFrame([], schema)
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     paths = [_resolve_path(table_path, f["file_path"]) for f in files]
-    return spark.read.schema(schema).parquet(*paths)
+    scan = spark.read.schema(schema).parquet(*paths)
+    if not deletes:
+        return scan
+    from pyspark.sql import functions as F
+
+    keyed = scan.select(
+        "*",
+        _file_key_expr(F.col("_metadata.file_path")).alias(_POS_KEY),
+        F.col("_metadata.row_index").alias(_POS_IDX))
+    return _apply_position_deletes(spark, keyed, table_path, files, deletes)
 
 
 def iceberg_snapshot_ids(spark: SparkSession, table_path: str) -> list[dict]:
@@ -626,6 +734,103 @@ def write_iceberg_table(spark: SparkSession, commits: list[DataFrame],
         with open(os.path.join(mdir, "version-hint.text"), "w") as f:
             f.write(str(v + 1))
     return table_path
+
+
+#: Iceberg spec field ids reserved for position-delete file columns
+_DELETE_FILE_PATH_FID, _DELETE_POS_FID = 2147483546, 2147483545
+
+
+def write_iceberg_position_deletes(spark: SparkSession, table_path: str,
+                                   predicate_sql: str) -> int:
+    """Append one MERGE-ON-READ delete snapshot to a staged Iceberg
+    table: rows of the CURRENT snapshot matching ``predicate_sql`` become
+    ``(file_path, pos)`` records in a position-delete parquet file
+    (spec-reserved field ids 2147483546/2147483545), referenced by a
+    content=1 delete manifest in a new snapshot's manifest list. Returns
+    the new snapshot id. Same scope as ``write_iceberg_table``: a
+    single-writer, local-FS staging utility so the MoR read path can be
+    exercised against a REAL v2 layout — the delete-row collect is
+    gate-scale by design."""
+    if not _is_local(table_path):
+        raise NotImplementedError(
+            "write_iceberg_position_deletes is a local staging utility")
+    from urllib.parse import unquote
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    root = _strip_scheme(table_path)
+    mdir = os.path.join(root, METADATA_DIR)
+    meta = read_table_metadata(spark, table_path)
+    snap = _snapshot(meta, None)
+    _, manifests = read_container(_read_bytes(
+        spark, _resolve_path(table_path, snap["manifest-list"])))
+
+    # current state WITH file/position provenance (read_iceberg_snapshot
+    # drops _metadata, so stack the scan by hand — deletes compose: rows
+    # already dead in an earlier delete snapshot are not re-recorded)
+    deletes: list[dict] = []
+    files = live_data_files(spark, table_path, meta, None,
+                            deletes_out=deletes)
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    cur = (spark.read.schema(iceberg_spark_schema(meta)).parquet(
+        *[_resolve_path(table_path, f["file_path"]) for f in files])
+        .select("*", F.col("_metadata.file_path").alias("f"),
+                F.col("_metadata.row_index").alias("p")))
+    if deletes:
+        keyed = cur.select(
+            "*", _file_key_expr(F.col("f")).alias(_POS_KEY),
+            F.col("p").alias(_POS_IDX))
+        cur = _apply_position_deletes(spark, keyed, table_path, files,
+                                      deletes)
+    doomed = cur.filter(F.expr(predicate_sql)).select("f", "p").collect()
+    pairs = sorted((re.sub(r"^file:/+", "/", unquote(r["f"])), int(r["p"]))
+                   for r in doomed)
+
+    new_snap = max(int(s["snapshot-id"]) for s in meta["snapshots"]) + 1
+    ts = (snap.get("timestamp-ms") or 0) + 1000
+    dpath = os.path.join(root, "data", f"delete-{new_snap}.parquet")
+    pq.write_table(pa.table(
+        {"file_path": pa.array([f for f, _ in pairs], pa.string()),
+         "pos": pa.array([p for _, p in pairs], pa.int64())},
+        schema=pa.schema([
+            pa.field("file_path", pa.string(), metadata={
+                b"PARQUET:field_id": str(_DELETE_FILE_PATH_FID).encode()}),
+            pa.field("pos", pa.int64(), metadata={
+                b"PARQUET:field_id": str(_DELETE_POS_FID).encode()})])),
+        dpath)
+    entry = {"status": STATUS_ADDED, "snapshot_id": new_snap,
+             "data_file": {
+                 "content": 1, "file_path": dpath,
+                 "file_format": "PARQUET", "partition": {},
+                 "record_count": len(pairs),
+                 "file_size_in_bytes": os.path.getsize(dpath),
+                 "lower_bounds": None, "upper_bounds": None}}
+    mpath = os.path.join(mdir, f"manifest-del-{new_snap}.avro")
+    blob = write_container(_manifest_entry_schema(), [entry])
+    with open(mpath, "wb") as f:
+        f.write(blob)
+    mlpath = os.path.join(mdir, f"snap-{new_snap}.avro")
+    all_manifests = list(manifests) + [{
+        "manifest_path": mpath, "manifest_length": len(blob),
+        "partition_spec_id": 0, "content": 1,
+        "added_snapshot_id": new_snap}]
+    with open(mlpath, "wb") as f:
+        f.write(write_container(_MANIFEST_FILE_SCHEMA, all_manifests))
+    meta = dict(meta)
+    meta["snapshots"] = list(meta["snapshots"]) + [{
+        "snapshot-id": new_snap, "timestamp-ms": ts,
+        "manifest-list": mlpath, "summary": {"operation": "delete"}}]
+    meta["current-snapshot-id"] = new_snap
+    meta["last-updated-ms"] = ts
+    hint = os.path.join(mdir, "version-hint.text")
+    v = int(open(hint).read().strip()) + 1
+    with open(os.path.join(mdir, f"v{v}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(hint, "w") as f:
+        f.write(str(v))
+    return new_snap
 
 
 # ---------------------------------------------------------------------------

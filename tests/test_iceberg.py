@@ -88,9 +88,9 @@ def test_deleted_status_drops_files(spark, ice):
     assert _ks(read_iceberg_snapshot(spark, ice)) == list(range(30, 40))
 
 
-def test_delete_manifest_rejected(spark, ice):
-    """A content=1 manifest with live entries = merge-on-read row-level
-    deletes — reject loudly, never a wrong answer."""
+def _append_delete_manifest(ice: str, content: int) -> None:
+    """Splice a content=1 delete manifest whose single entry's data_file
+    carries the given content code into the latest snapshot's list."""
     from databricks_import_pyspark_scripts_spark.sources.iceberg import (
         _MANIFEST_ENTRY_SCHEMA,
         _MANIFEST_FILE_SCHEMA,
@@ -101,7 +101,7 @@ def test_delete_manifest_rejected(spark, ice):
     with open(del_manifest, "wb") as f:
         f.write(write_container(_MANIFEST_ENTRY_SCHEMA, [{
             "status": 1, "snapshot_id": 1001,
-            "data_file": {"content": 1, "file_path": "x.parquet",
+            "data_file": {"content": content, "file_path": "x.parquet",
                           "file_format": "PARQUET", "record_count": 1,
                           "file_size_in_bytes": 1}}]))
     mlpath = os.path.join(mdir, "snap-1001.avro")
@@ -111,8 +111,27 @@ def test_delete_manifest_rejected(spark, ice):
                       "added_snapshot_id": 1001})
     with open(mlpath, "wb") as f:
         f.write(write_container(_MANIFEST_FILE_SCHEMA, manifests))
-    with pytest.raises(IcebergProtocolError, match="row-level delete"):
+
+
+def test_equality_delete_manifest_rejected(spark, ice):
+    """Equality deletes (data_file.content=2) are not applied — reject
+    loudly BEFORE any scan, never a wrong answer."""
+    _append_delete_manifest(ice, content=2)
+    with pytest.raises(IcebergProtocolError, match="EQUALITY"):
         read_iceberg_snapshot(spark, ice)
+
+
+def test_change_feed_rejects_mor_tables(spark, ice):
+    """The change synthesizer diffs whole-file live sets, which cannot
+    represent row-level deletes — a MoR snapshot in range rejects loudly
+    (the caller's retry ladder downgrades to latest-only)."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        read_iceberg_changes,
+    )
+
+    _append_delete_manifest(ice, content=1)
+    with pytest.raises(IcebergProtocolError, match="row-level delete"):
+        read_iceberg_changes(spark, ice, 0, 1).collect()
 
 
 def test_non_parquet_file_rejected(spark, ice):
@@ -446,3 +465,113 @@ def test_iceberg_reader_random_histories_match_model(spark, tmp_path, seed):
         got = {r.k for r in read_iceberg_snapshot(
             spark, t, snapshot_id=snap_meta["snapshot-id"]).collect()}
         assert got == model[ordinal], (seed, ordinal)
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read: position delete application
+
+
+def test_mor_position_deletes_applied(spark, tmp_path):
+    """A position-delete snapshot kills exactly its (file_path, pos) rows;
+    time travel to the pre-delete snapshot still sees them; stacked
+    delete snapshots compose."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        write_iceberg_position_deletes,
+    )
+
+    t = str(tmp_path / "mor")
+    df = spark.range(0, 200).selectExpr("id AS k", "CAST(id AS double) AS v")
+    write_iceberg_table(spark, [df.repartition(3)], t)
+    write_iceberg_position_deletes(spark, t, "k % 4 = 1")
+    got = _ks(read_iceberg_snapshot(spark, t))
+    assert got == [k for k in range(200) if k % 4 != 1]
+    # pre-delete snapshot untouched
+    assert _ks(read_iceberg_snapshot(spark, t, snapshot_id=1000)) == \
+        list(range(200))
+    # stacked second delete snapshot composes
+    write_iceberg_position_deletes(spark, t, "k % 4 = 2")
+    assert _ks(read_iceberg_snapshot(spark, t)) == \
+        [k for k in range(200) if k % 4 not in (1, 2)]
+    # non-deleted columns/values survive intact
+    row = read_iceberg_snapshot(spark, t).filter("k = 4").first()
+    assert row.v == 4.0
+
+
+def test_mor_shuffle_antijoin_above_threshold(spark, tmp_path, monkeypatch):
+    """Above DV_ANTIJOIN_MAX_ROWS the delete side is not FORCE-broadcast
+    (no hint in the analyzed plan — AQE stays free to pick the strategy
+    from runtime sizes) and the rows still come out right; below the
+    threshold the hint is pinned so the fact scan never shuffles."""
+    from databricks_import_pyspark_scripts_spark.sources import delta_log
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        write_iceberg_position_deletes,
+    )
+
+    t = str(tmp_path / "mor_big")
+    df = spark.range(0, 500).selectExpr("id AS k", "CAST(id AS double) AS v")
+    write_iceberg_table(spark, [df.repartition(2)], t)
+    write_iceberg_position_deletes(spark, t, "k < 100")
+
+    hinted = read_iceberg_snapshot(spark, t)
+    assert "ResolvedHint" in hinted._jdf.queryExecution() \
+        .logical().toString()
+    monkeypatch.setattr(delta_log, "DV_ANTIJOIN_MAX_ROWS", 0)
+    out = read_iceberg_snapshot(spark, t)
+    assert "ResolvedHint" not in out._jdf.queryExecution() \
+        .logical().toString()
+    assert _ks(out) == list(range(100, 500))
+
+
+def test_mor_deletes_compose_with_stats_pruning(spark, tmp_path):
+    """Metadata-level file pruning + row-level position deletes compose:
+    a delete row whose data file was pruned simply never matches."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        iceberg_column_range_filter,
+        write_iceberg_position_deletes,
+    )
+
+    t = str(tmp_path / "mor_skip")
+    df = spark.range(0, 400).selectExpr("id AS k", "CAST(id AS double) AS v")
+    write_iceberg_table(spark, [df.repartitionByRange(4, "k")], t)
+    write_iceberg_position_deletes(spark, t, "k % 2 = 0")
+    out = read_iceberg_snapshot(
+        spark, t, stats_filter=iceberg_column_range_filter("k", 100, 199))
+    got = _ks(out.filter("k BETWEEN 100 AND 199"))
+    assert got == [k for k in range(100, 200) if k % 2 == 1]
+
+
+def test_mor_empty_delete_snapshot_is_noop(spark, tmp_path):
+    """A delete predicate matching nothing still commits a valid (empty)
+    delete file; the read returns every row."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        write_iceberg_position_deletes,
+    )
+
+    t = str(tmp_path / "mor_empty")
+    df = spark.range(0, 50).selectExpr("id AS k", "CAST(id AS double) AS v")
+    write_iceberg_table(spark, [df], t)
+    write_iceberg_position_deletes(spark, t, "k < 0")
+    assert _ks(read_iceberg_snapshot(spark, t)) == list(range(50))
+
+
+def test_mor_delete_file_field_ids(spark, tmp_path):
+    """The staged delete parquet carries the spec-reserved field ids
+    (2147483546 file_path / 2147483545 pos) so real engines can resolve
+    it by id."""
+    import pyarrow.parquet as pq
+
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        write_iceberg_position_deletes,
+    )
+
+    t = str(tmp_path / "mor_fid")
+    df = spark.range(0, 20).selectExpr("id AS k", "CAST(id AS double) AS v")
+    write_iceberg_table(spark, [df], t)
+    write_iceberg_position_deletes(spark, t, "k = 3")
+    ddir = os.path.join(t, "data")
+    dpath = [os.path.join(ddir, n) for n in os.listdir(ddir)
+             if n.startswith("delete-")]
+    assert len(dpath) == 1
+    schema = pq.read_schema(dpath[0])
+    fids = {f.name: f.metadata.get(b"PARQUET:field_id") for f in schema}
+    assert fids == {"file_path": b"2147483546", "pos": b"2147483545"}
