@@ -122,9 +122,11 @@ HEADLINE = [
     "iceberg_snapshot_agg",
     "iceberg_cdf_insert_feed",
     "iceberg_data_skipping_agg",
-    # r9 additions: Iceberg v2 MERGE-ON-READ (position-delete anti-join;
-    # fixture staging absorbed by the untimed warm-up)
+    # r9 additions: Iceberg v2 MERGE-ON-READ (position-delete anti-join)
+    # and Delta TYPE WIDENING (mixed-physical-type eras under the widened
+    # schema); fixture staging absorbed by the untimed warm-up
     "iceberg_mor_delete_agg",
+    "delta_type_widened_read",
 ]
 
 EXTENSION_ROWS = {
@@ -345,7 +347,7 @@ def main() -> int:
                "delta_id_mapped_read", "dedup_decontaminate_substring_aho",
                "delta_writer_merge_agg", "iceberg_snapshot_agg",
                "iceberg_cdf_insert_feed", "iceberg_data_skipping_agg"}
-    r9_rows = {"iceberg_mor_delete_agg"}
+    r9_rows = {"iceberg_mor_delete_agg", "delta_type_widened_read"}
     # same membership as comparable_queries_sec (includes the unload e2e row)
     comp = [k for k in timings
             if k not in EXTENSION_ROWS and k not in stress

@@ -646,3 +646,139 @@ def delta_writer_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("event_type")
             .agg(F.count("*").alias("n"),
                  F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+# ---------------------------------------------------------------------------
+# type widening (reader feature typeWidening)
+
+_TW_NARROW_PRED, _TW_WIDE_PRED = "event_id % 3 = 0", "event_id % 3 = 1"
+
+
+def _staged_widened_table(spark: SparkSession, sf_dir: str) -> str:
+    """Staged Delta table with a TYPE-WIDENED history: v0 writes
+    (event_id INT, event_type STRING, value FLOAT) files, v1 widens the
+    schema to (LONG, STRING, DOUBLE) — recording ``delta.typeChanges``
+    per the public protocol — and appends int64/float64 files. The log
+    is hand-authored (the staging twin writes one fixed schema per
+    table); data files come from Spark writes of the events slices."""
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_delta_widen_gate_{tag}_v1")
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker):
+        return path
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    e = load_table(spark, sf_dir, "events")
+
+    def _stage(pred: str, casts: list, tag_: str) -> list[str]:
+        staging = os.path.join(path, f"_staging_{tag_}")
+        (e.filter(F.expr(pred)).select(*casts)
+         .write.mode("overwrite").parquet(staging))
+        names = []
+        for i, n in enumerate(sorted(x for x in os.listdir(staging)
+                                     if x.endswith(".parquet"))):
+            target = f"{tag_}-{i:04d}.parquet"
+            os.replace(os.path.join(staging, n),
+                       os.path.join(path, target))
+            names.append(target)
+        shutil.rmtree(staging, ignore_errors=True)
+        return names
+
+    narrow_files = _stage(_TW_NARROW_PRED, [
+        F.col("event_id").cast("int").alias("event_id"),
+        "event_type", F.col("value").cast("float").alias("value")], "n")
+    wide_files = _stage(_TW_WIDE_PRED, [
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type", F.col("value").cast("double").alias("value")], "w")
+
+    def _schema(idt: str, vt: str, changes: bool) -> str:
+        def md(frm, to):
+            return ({"delta.typeChanges": [
+                {"fromType": frm, "toType": to, "tableVersion": 1}]}
+                if changes else {})
+        return json.dumps({"type": "struct", "fields": [
+            {"name": "event_id", "type": idt, "nullable": True,
+             "metadata": md("integer", "long")},
+            {"name": "event_type", "type": "string", "nullable": True,
+             "metadata": {}},
+            {"name": "value", "type": vt, "nullable": True,
+             "metadata": md("float", "double")}]})
+
+    meta = {"id": "77777777-6666-5555-4444-333333333333",
+            "format": {"provider": "parquet", "options": {}},
+            "partitionColumns": [],
+            "configuration": {"delta.enableTypeWidening": "true"},
+            "createdTime": _BASE_TS_MS - 5000}
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log)
+
+    def _commit(v: int, actions: list[dict]) -> None:
+        with open(os.path.join(log, f"{v:020d}.json"), "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+
+    _commit(0, [
+        {"commitInfo": {"timestamp": _BASE_TS_MS, "operation": "WRITE"}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["typeWidening"],
+                      "writerFeatures": ["typeWidening"]}},
+        {"metaData": {**meta,
+                      "schemaString": _schema("integer", "float", False)}},
+        *({"add": {"path": n, "partitionValues": {}, "size": 1,
+                   "dataChange": True, "modificationTime": 1}}
+          for n in narrow_files)])
+    _commit(1, [
+        {"commitInfo": {"timestamp": _BASE_TS_MS + 1000,
+                        "operation": "CHANGE COLUMN"}},
+        {"metaData": {**meta,
+                      "schemaString": _schema("long", "double", True)}},
+        *({"add": {"path": n, "partitionValues": {}, "size": 1,
+                   "dataChange": True, "modificationTime": 2}}
+          for n in wide_files)])
+    open(marker, "w").close()
+    return path
+
+
+@register(
+    "delta_type_widened_read",
+    f"""
+    SELECT 0 AS version, event_type, COUNT(*) AS n,
+           ROUND(SUM(CAST(value AS REAL)), 4) AS sum_value,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM events WHERE {_TW_NARROW_PRED}
+    GROUP BY event_type
+    UNION ALL
+    SELECT 1 AS version, event_type, COUNT(*) AS n,
+           ROUND(SUM(CASE WHEN {_TW_NARROW_PRED}
+                          THEN CAST(value AS REAL) ELSE value END),
+                 4) AS sum_value,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM events WHERE ({_TW_NARROW_PRED}) OR ({_TW_WIDE_PRED})
+    GROUP BY event_type
+    """,
+    doc="TYPE WIDENING through the jar-less Delta reader: v0's files are "
+        "physically int32/float32 under a (int, float) schema; v1 widens "
+        "the table schema to (long, double) — delta.typeChanges metadata, "
+        "readerFeatures [typeWidening] — and appends int64/float64 "
+        "files. The latest read serves BOTH eras under the widened "
+        "schema (Spark's vectorized parquet reader up-casts narrow files "
+        "per file); the v0 read serves the narrow schema untouched. The "
+        "oracle restates the float round-trip with CAST(value AS REAL): "
+        "a reader that read the narrow files at the wrong type — or "
+        "refused them — breaks sums on both rows.")
+def delta_type_widened_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _staged_widened_table(spark, sf_dir)
+    parts = []
+    for v in (0, 1):
+        snap = read_delta_snapshot(spark, path, v)
+        parts.append(
+            snap.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"),
+                 F.sum("event_id").alias("sum_id"))
+            .withColumn("version", F.lit(v).cast("int")))
+    return parts[0].unionByName(parts[1]).select(
+        "version", "event_type", "n", "sum_value", "sum_id")

@@ -63,11 +63,20 @@ are translated log-side in both modes.
 V2 (uuid-named) checkpoints ARE supported: json/parquet top-level files
 resolved together with their parquet sidecars at replay.
 
-Deliberately unsupported (protocol features that change how file DATA must
-be interpreted, detected and rejected loudly rather than read wrongly):
-type widening. Supported reader features: ``timestampNtz``,
-``vacuumProtocolCheck``, ``deletionVectors``, ``columnMapping`` (name and
-id modes), ``v2Checkpoint``.
+Type widening (reader feature ``typeWidening``, and its DBR preview name
+``typeWidening-preview``) IS supported: data files written before a widen
+keep their narrower physical parquet types (int32 under a now-long
+column, float under double, narrower decimals, date under timestampNtz),
+and Spark's vectorized parquet reader up-casts them per file against the
+table's CURRENT (widened) read schema natively — exactly the protocol's
+legal widening set; a physically-incompatible file (which a conformant
+history never produces) still fails the scan loudly rather than reading
+wrongly. Time travel to a pre-widen version reads that version's own
+(narrow) schema, so no cast is involved at all.
+
+Supported reader features: ``timestampNtz``, ``vacuumProtocolCheck``,
+``deletionVectors``, ``columnMapping`` (name and id modes),
+``v2Checkpoint``, ``typeWidening``/``typeWidening-preview``.
 """
 
 from __future__ import annotations
@@ -98,7 +107,8 @@ _CHECKPOINT_V2_RE = re.compile(
 #: reader features (protocol v3) this implementation understands.
 SUPPORTED_READER_FEATURES = {"timestampNtz", "vacuumProtocolCheck",
                              "deletionVectors", "columnMapping",
-                             "v2Checkpoint"}
+                             "v2Checkpoint", "typeWidening",
+                             "typeWidening-preview"}
 
 #: total deleted-row cardinality up to which DVs are applied as a broadcast
 #: anti-join on (file, row_index) — plain Catalyst, whole-stage codegen.

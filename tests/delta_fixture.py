@@ -502,3 +502,57 @@ def write_checkpoint(spark, table_path: str, version: int,
             json.dump({"version": version, "size": len(rows)}, f)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def make_type_widened_table(table_path: str) -> str:
+    """Delta table exercising the ``typeWidening`` reader feature
+    (PROTOCOL.md "Type Widening"): v0 writes schema (id INT, score FLOAT)
+    with an int32/float32 parquet file; v1 widens the schema to
+    (id LONG, score DOUBLE) — recording the protocol's ``delta.typeChanges``
+    field metadata — and adds an int64/float64 file. A correct reader
+    serves BOTH files under the widened schema at latest, and the narrow
+    schema at v0."""
+    log = os.path.join(table_path, "_delta_log")
+    narrow_schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "integer", "nullable": True, "metadata": {}},
+        {"name": "score", "type": "float", "nullable": True, "metadata": {}},
+    ]})
+    wide_schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {
+            "delta.typeChanges": [{"fromType": "integer", "toType": "long",
+                                   "tableVersion": 1}]}},
+        {"name": "score", "type": "double", "nullable": True, "metadata": {
+            "delta.typeChanges": [{"fromType": "float", "toType": "double",
+                                   "tableVersion": 1}]}},
+    ]})
+    os.makedirs(table_path, exist_ok=True)
+    pq.write_table(pa.table({"id": pa.array([1, 2, 3], pa.int32()),
+                             "score": pa.array([1.5, 2.5, 3.5],
+                                               pa.float32())}),
+                   os.path.join(table_path, "w0.parquet"))
+    pq.write_table(pa.table({"id": pa.array([4, 5], pa.int64()),
+                             "score": pa.array([4.5, 5.5], pa.float64())}),
+                   os.path.join(table_path, "w1.parquet"))
+    meta = {"id": "99999999-8888-7777-6666-555555555555",
+            "format": {"provider": "parquet", "options": {}},
+            "partitionColumns": [], "configuration": {
+                "delta.enableTypeWidening": "true"},
+            "createdTime": V2_TS_MS - 5000}
+    _commit(log, 0, [
+        {"commitInfo": {"timestamp": V2_TS_MS - 2000,
+                        "operation": "CREATE TABLE"}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["typeWidening"],
+                      "writerFeatures": ["typeWidening"]}},
+        {"metaData": {**meta, "schemaString": narrow_schema}},
+        {"add": {"path": "w0.parquet", "partitionValues": {}, "size": 1,
+                 "dataChange": True, "modificationTime": 1}},
+    ])
+    _commit(log, 1, [
+        {"commitInfo": {"timestamp": V2_TS_MS - 1000,
+                        "operation": "CHANGE COLUMN"}},
+        {"metaData": {**meta, "schemaString": wide_schema}},
+        {"add": {"path": "w1.parquet", "partitionValues": {}, "size": 1,
+                 "dataChange": True, "modificationTime": 2}},
+    ])
+    return table_path

@@ -155,15 +155,16 @@ def test_protocol_reader_features_gate(spark, tmp_path):
     t = make_delta_table(str(tmp_path / "tw"))
     _commit(os.path.join(t, "_delta_log"), 3, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["typeWidening"],
-                      "writerFeatures": ["typeWidening"]}}])
-    with pytest.raises(DeltaProtocolError, match="typeWidening"):
+                      "readerFeatures": ["madeUpFeature"],
+                      "writerFeatures": ["madeUpFeature"]}}])
+    with pytest.raises(DeltaProtocolError, match="madeUpFeature"):
         read_delta_snapshot(spark, t)
     # every feature this reader implements is accepted together
     _commit(os.path.join(t, "_delta_log"), 4, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
                       "readerFeatures": ["timestampNtz", "deletionVectors",
-                                         "columnMapping", "v2Checkpoint"],
+                                         "columnMapping", "v2Checkpoint",
+                                         "typeWidening"],
                       "writerFeatures": ["timestampNtz"]}}])
     assert _ids(read_delta_snapshot(spark, t, 4)) == [1, 2, 3, 6, 7, 8]
 
@@ -685,3 +686,75 @@ def test_multipart_checkpoint_replay(spark, delta_table):
     assert glob.glob(os.path.join(log, "*.checkpoint.*.parquet"))
     assert _ids(read_delta_snapshot(spark, delta_table, 2)) \
         == [1, 2, 3, 6, 7, 8]
+
+
+# ---------------------------------------------------------------------------
+# type widening (reader feature typeWidening)
+
+
+def test_type_widened_snapshot_reads_both_physical_types(spark, tmp_path):
+    """Files written before the widen (int32/float32) and after it
+    (int64/float64) are served together under the CURRENT widened schema
+    — Spark's vectorized parquet reader up-casts the narrow files per
+    file; values from both eras must be exact."""
+    from delta_fixture import make_type_widened_table
+
+    t = make_type_widened_table(str(tmp_path / "widened"))
+    df = read_delta_snapshot(spark, t)
+    assert [f.dataType.simpleString() for f in df.schema.fields] == \
+        ["bigint", "double"]
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows == {1: 1.5, 2: 2.5, 3: 3.5, 4: 4.5, 5: 5.5}
+
+
+def test_type_widened_time_travel_reads_narrow_schema(spark, tmp_path):
+    """At v0 the table's own schema is still (int, float): time travel
+    serves exactly that schema, no cast involved."""
+    from delta_fixture import make_type_widened_table
+
+    t = make_type_widened_table(str(tmp_path / "widened"))
+    df = read_delta_snapshot(spark, t, 0)
+    assert [f.dataType.simpleString() for f in df.schema.fields] == \
+        ["int", "float"]
+    assert sorted(r.id for r in df.collect()) == [1, 2, 3]
+
+
+def test_type_widening_preview_feature_name_accepted(spark, tmp_path):
+    """DBR's preview tables advertise `typeWidening-preview`; both names
+    must pass the protocol check."""
+    from delta_fixture import make_type_widened_table
+
+    t = make_type_widened_table(str(tmp_path / "widened"))
+    log = os.path.join(t, "_delta_log")
+    p = os.path.join(log, f"{0:020d}.json")
+    lines = [json.loads(l) for l in open(p)]
+    for a in lines:
+        if "protocol" in a:
+            a["protocol"]["readerFeatures"] = ["typeWidening-preview"]
+    with open(p, "w") as f:
+        for a in lines:
+            f.write(json.dumps(a) + "\n")
+    assert sorted(r.id for r in read_delta_snapshot(spark, t).collect()) \
+        == [1, 2, 3, 4, 5]
+
+
+def test_unknown_reader_feature_still_rejected(spark, tmp_path):
+    """Widening support must not loosen the general gate: an unknown
+    reader feature still rejects loudly before any scan."""
+    from databricks_import_pyspark_scripts_spark.sources.delta_log import (
+        DeltaProtocolError,
+    )
+    from delta_fixture import make_type_widened_table
+
+    t = make_type_widened_table(str(tmp_path / "widened"))
+    log = os.path.join(t, "_delta_log")
+    p = os.path.join(log, f"{0:020d}.json")
+    lines = [json.loads(l) for l in open(p)]
+    for a in lines:
+        if "protocol" in a:
+            a["protocol"]["readerFeatures"] = ["typeWidening", "futureStuff"]
+    with open(p, "w") as f:
+        for a in lines:
+            f.write(json.dumps(a) + "\n")
+    with pytest.raises(DeltaProtocolError, match="futureStuff"):
+        read_delta_snapshot(spark, t).collect()
