@@ -127,6 +127,7 @@ HEADLINE = [
     # schema); fixture staging absorbed by the untimed warm-up
     "iceberg_mor_delete_agg",
     "delta_type_widened_read",
+    "iceberg_days_pruned_agg",
 ]
 
 EXTENSION_ROWS = {
@@ -347,7 +348,8 @@ def main() -> int:
                "delta_id_mapped_read", "dedup_decontaminate_substring_aho",
                "delta_writer_merge_agg", "iceberg_snapshot_agg",
                "iceberg_cdf_insert_feed", "iceberg_data_skipping_agg"}
-    r9_rows = {"iceberg_mor_delete_agg", "delta_type_widened_read"}
+    r9_rows = {"iceberg_mor_delete_agg", "delta_type_widened_read",
+               "iceberg_days_pruned_agg"}
     # same membership as comparable_queries_sec (includes the unload e2e row)
     comp = [k for k in timings
             if k not in EXTENSION_ROWS and k not in stress

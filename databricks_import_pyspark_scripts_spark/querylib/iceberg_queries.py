@@ -206,3 +206,63 @@ def iceberg_data_skipping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("event_type")
             .agg(F.count("*").alias("n"),
                  F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+_DAYS_LO, _DAYS_HI = "2024-01-10 00:00:00", "2024-01-14 23:59:59.999999"
+
+
+def _staged_days_iceberg(spark: SparkSession, sf_dir: str) -> str:
+    """Staged Iceberg table with a NON-IDENTITY ``days(ts)`` partition
+    spec — the dominant real-world Iceberg layout — one file slice per
+    event day, manifest partition structs carrying the day ordinal."""
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_iceberg_days_gate_{tag}_v1")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        e = (load_table(spark, sf_dir, "events")
+             .select("event_id", "ts", "event_type", "value"))
+        write_iceberg_table(spark, [e], path,
+                            partition_transforms=[("ts_day", "days", "ts")])
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "iceberg_days_pruned_agg",
+    f"""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '{_DAYS_LO}' AND TIMESTAMP '{_DAYS_HI}'
+    GROUP BY event_type
+    """,
+    doc="Iceberg NON-IDENTITY partition pruning: the staged table is "
+        "days(ts)-partitioned (~30 day slices); the read maps the "
+        "timestamp range onto transformed day ordinals driver-side "
+        "(iceberg_source_range_filter) so only the 5 covering days' "
+        "files are planned — zero tasks for the other ~25 — while the "
+        "row-level predicate stays on the scan (superset-safe). The "
+        "oracle restates the range over the parquet source: pruning "
+        "that drops a needed day or keeps a wrong one breaks counts "
+        "and sums.")
+def iceberg_days_pruned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    from ..sources.iceberg import (
+        iceberg_source_range_filter,
+        read_table_metadata,
+    )
+
+    path = _staged_days_iceberg(spark, sf_dir)
+    meta = read_table_metadata(spark, path)
+    filt = iceberg_source_range_filter(
+        meta, "ts",
+        lo=dt.datetime(2024, 1, 10),
+        hi=dt.datetime(2024, 1, 14, 23, 59, 59, 999999))
+    snap = read_iceberg_snapshot(spark, path, partition_filter=filt)
+    return (snap.filter(F.col("ts").between(_DAYS_LO, _DAYS_HI))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))

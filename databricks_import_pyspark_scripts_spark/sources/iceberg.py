@@ -217,6 +217,203 @@ def iceberg_column_range_filter(column: str, lo=None, hi=None):
     return keep
 
 
+# ---------------------------------------------------------------------------
+# partition transforms (Iceberg spec "Partition Transforms"): evaluated
+# driver-side on FILTER BOUNDS so metadata pruning composes with
+# bucket/truncate/days/... specs instead of rejecting them.  All public
+# spec math; murmur3_x86_32 is the spec's named bucket hash.
+
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    """murmur3_x86_32 (public domain algorithm; the hash the Iceberg spec
+    mandates for bucket transforms, Appendix B). Returns a SIGNED int32
+    to match the spec's Java semantics."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    rounds = n // 4
+    import struct as _struct
+
+    for i in range(rounds):
+        k = _struct.unpack_from("<I", data, i * 4)[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[rounds * 4:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - 0x100000000 if h >= 0x80000000 else h
+
+
+def _bucket_hash(value, ice_type: str) -> int:
+    """Spec Appendix B hash input: int/long/date/time/timestamp hash as
+    8-byte little-endian long; string as UTF-8 bytes."""
+    import struct as _struct
+    from datetime import date, datetime, timezone
+
+    if ice_type in ("int", "long"):
+        raw = _struct.pack("<q", int(value))
+    elif ice_type == "date":
+        if isinstance(value, date) and not isinstance(value, datetime):
+            value = (value - date(1970, 1, 1)).days
+        raw = _struct.pack("<q", int(value))
+    elif ice_type in ("timestamp", "timestamptz"):
+        if isinstance(value, datetime):
+            value = int(value.replace(tzinfo=value.tzinfo
+                                      or timezone.utc).timestamp() * 1_000_000)
+        raw = _struct.pack("<q", int(value))
+    elif ice_type == "string":
+        raw = str(value).encode("utf-8")
+    else:
+        raise IcebergProtocolError(
+            f"bucket transform over type {ice_type!r} is not supported")
+    return _murmur3_32(raw)
+
+
+def _to_micros(value) -> int:
+    from datetime import date, datetime, timezone
+
+    if isinstance(value, datetime):
+        return int(value.replace(tzinfo=value.tzinfo or timezone.utc)
+                   .timestamp() * 1_000_000)
+    if isinstance(value, date):
+        return (value - date(1970, 1, 1)).days * 86_400_000_000
+    return int(value)
+
+
+def apply_transform(transform: str, value, ice_type: str):
+    """Spec partition-transform output for one SOURCE value — the number
+    an Iceberg writer stores in the manifest partition struct."""
+    if value is None:
+        return None
+    if transform == "identity":
+        return value
+    if transform == "void":
+        return None
+    m = re.match(r"^truncate\[(\d+)\]$", transform)
+    if m:
+        w = int(m.group(1))
+        if ice_type in ("int", "long"):
+            return int(value) - (int(value) % w)  # floor semantics
+        if ice_type == "string":
+            return str(value)[:w]
+        raise IcebergProtocolError(
+            f"truncate transform over type {ice_type!r} is not supported")
+    m = re.match(r"^bucket\[(\d+)\]$", transform)
+    if m:
+        n = int(m.group(1))
+        return (_bucket_hash(value, ice_type) & 0x7FFFFFFF) % n
+    if transform in ("year", "years", "month", "months",
+                     "day", "days", "hour", "hours"):
+        from datetime import date, timedelta
+
+        micros = _to_micros(value)
+        days = micros // 86_400_000_000
+        if transform in ("hour", "hours"):
+            return micros // 3_600_000_000
+        if transform in ("day", "days"):
+            return days
+        d = date(1970, 1, 1) + timedelta(days=days)
+        if transform in ("month", "months"):
+            return (d.year - 1970) * 12 + (d.month - 1)
+        return d.year - 1970
+    raise IcebergProtocolError(f"unknown partition transform {transform!r}")
+
+
+#: transforms that are order-preserving on their source values — range
+#: predicates map to ranges of stored partition values (bucket does NOT)
+_MONOTONIC = re.compile(
+    r"^(identity|truncate\[\d+\]|years?|months?|days?|hours?)$")
+
+
+class _TransformAwareFilter:
+    """Metadata partition filter that understands NON-IDENTITY specs:
+    prunes on the TRANSFORMED bounds of a source-column predicate.
+    ``live_data_files`` lets instances through where a plain dict->bool
+    callback over a non-identity spec is rejected (a plain callback
+    can't know the stored values are transform outputs)."""
+
+    transform_aware = True
+
+    def __init__(self, fields: list[tuple[str, str, str]],
+                 lo=None, hi=None, eq=None):
+        # fields: (partition field name, transform, source ice_type)
+        self.fields = fields
+        self.lo, self.hi, self.eq = lo, hi, eq
+        self.checks: list[tuple[str, object, object]] = []
+        for name, transform, ice_type in fields:
+            if eq is not None:
+                t = apply_transform(transform, eq, ice_type)
+                self.checks.append((name, t, t))
+                continue
+            if not _MONOTONIC.match(transform):
+                raise IcebergProtocolError(
+                    f"range predicate over {transform!r}-partitioned "
+                    f"column: only equality prunes a bucket spec")
+            t_lo = (apply_transform(transform, lo, ice_type)
+                    if lo is not None else None)
+            t_hi = (apply_transform(transform, hi, ice_type)
+                    if hi is not None else None)
+            self.checks.append((name, t_lo, t_hi))
+
+    def __call__(self, partition: dict) -> bool:
+        for name, t_lo, t_hi in self.checks:
+            v = partition.get(name)
+            if v is None:  # absent/null stored value: unskippable
+                continue
+            if t_lo is not None and v < t_lo:
+                return False
+            if t_hi is not None and v > t_hi:
+                return False
+        return True
+
+
+def iceberg_source_range_filter(meta: dict, column: str,
+                                lo=None, hi=None, eq=None):
+    """Partition filter pruning on a SOURCE-column predicate against any
+    spec whose transforms derive from ``column`` — ``days()``-partitioned
+    event time being the dominant real layout. Monotonic transforms
+    (identity, truncate, year/month/day/hour) accept ranges; ``bucket``
+    accepts only ``eq`` (a range over hash buckets cannot prune — that
+    combination rejects loudly rather than scanning everything
+    silently). Superset-safe: spec fields derived from OTHER columns are
+    ignored, null stored values never prune, and the row-level predicate
+    must stay on the result exactly as with the identity/stats filters."""
+    if eq is not None and (lo is not None or hi is not None):
+        raise ValueError("pass either eq or lo/hi, not both")
+    schema_fields = {int(f["id"]): (f["name"], f["type"])
+                     for f in _current_schema(meta)["fields"]
+                     if isinstance(f["type"], str)}
+    specs = meta.get("partition-specs") or []
+    sid = meta.get("default-spec-id", 0)
+    spec = next((s for s in specs if s.get("spec-id", 0) == sid),
+                {"fields": []})
+    matched = []
+    for f in spec.get("fields") or []:
+        src = schema_fields.get(int(f.get("source-id", -1)))
+        if src and src[0] == column:
+            matched.append((f["name"], f.get("transform") or "identity",
+                            src[1]))
+    return _TransformAwareFilter(matched, lo=lo, hi=hi, eq=eq)
+
+
 def _identity_partition_names(meta: dict) -> list[str] | None:
     """Partition field names when EVERY transform is identity; None for a
     non-identity spec (bucket/truncate/days/...: partition VALUES are
@@ -255,11 +452,14 @@ def live_data_files(spark: SparkSession, table_path: str,
     partition contributes zero files, zero tasks. Identity transforms
     only; a non-identity spec rejects the filter loudly (the partition
     VALUE is a derived bucket/truncation, not the column value)."""
-    if partition_filter is not None             and _identity_partition_names(meta) is None:
+    if (partition_filter is not None
+            and not getattr(partition_filter, "transform_aware", False)
+            and _identity_partition_names(meta) is None):
         raise IcebergProtocolError(
-            "partition_filter over a non-identity partition spec: the "
-            "stored partition values are transform outputs, not column "
-            "values — pruning on them would be wrong")
+            "plain partition_filter over a non-identity partition spec: "
+            "the stored partition values are transform outputs, not "
+            "column values — use iceberg_source_range_filter, which "
+            "evaluates the transforms on the predicate bounds")
     snap = _snapshot(meta, snapshot_id)
     if "manifest-list" not in snap:
         raise IcebergProtocolError(
@@ -583,6 +783,22 @@ def _footer_bounds(parquet_path: str,
             sorted(hi_list, key=lambda r: r["key"]))
 
 
+def _transform_col(transform: str, ice_type: str):
+    """Arrow-batched column expression computing ``apply_transform`` for
+    the staging writer's slicing — the SAME python math the reader's
+    pruning bounds use, so the two sides cannot drift."""
+    from pyspark.sql.functions import pandas_udf
+
+    out_type = ("string" if (transform.startswith("truncate")
+                             and ice_type == "string") else "long")
+
+    @pandas_udf(out_type)
+    def f(s):
+        return s.map(lambda v: None if v is None
+                     else apply_transform(transform, v, ice_type))
+    return f
+
+
 def _iceberg_field(i: int, spark_field) -> dict:
     t = spark_field.dataType
     simple = {"bigint": "long", "long": "long", "int": "int",
@@ -601,17 +817,26 @@ def _iceberg_field(i: int, spark_field) -> dict:
 def write_iceberg_table(spark: SparkSession, commits: list[DataFrame],
                         table_path: str,
                         base_ts_ms: int = 1700000000000,
-                        partition_by: list[str] | tuple[str, ...] = ()
-                        ) -> str:
+                        partition_by: list[str] | tuple[str, ...] = (),
+                        partition_transforms: list[tuple[str, str, str]]
+                        | tuple = ()) -> str:
     """Create a spec-conformant Iceberg v2 table: each DataFrame becomes
     one append snapshot (vN metadata + manifest list + one manifest).
     ``partition_by`` declares an IDENTITY partition spec: data files are
     written per partition value (Iceberg files CONTAIN the partition
     columns, unlike hive layouts) and each manifest entry carries the
     r102 partition struct — the input to metadata-level pruning.
+    ``partition_transforms`` declares a NON-IDENTITY spec instead: each
+    ``(field_name, transform, source_col)`` (``days``/``bucket[N]``/
+    ``truncate[W]``/...) slices files by the spec's ``apply_transform``
+    output and stores that output in the partition struct — the layout
+    ``iceberg_source_range_filter`` prunes against.
     SCOPE: a single-writer STAGING utility, local filesystems only —
     the Iceberg twin of ``delta_log.write_delta_table``; the per-value
     staging loop is gate-scale by design."""
+    if partition_by and partition_transforms:
+        raise ValueError("pass partition_by or partition_transforms, "
+                         "not both")
     if not _is_local(table_path):
         raise NotImplementedError("write_iceberg_table is a local staging "
                                   "utility")
@@ -635,7 +860,8 @@ def write_iceberg_table(spark: SparkSession, commits: list[DataFrame],
                 _iceberg_field(i + 1, f)
                 for i, f in enumerate(df.schema.fields)]
             by_name = {f["name"]: f for f in schema_fields}
-            missing = [c for c in partition_by if c not in by_name]
+            srcs = list(partition_by) + [t[2] for t in partition_transforms]
+            missing = [c for c in srcs if c not in by_name]
             if missing:
                 raise ValueError(f"partition columns {missing} absent")
             _avro_of = {"long": "long", "int": "int", "double": "double",
@@ -643,8 +869,15 @@ def write_iceberg_table(spark: SparkSession, commits: list[DataFrame],
                         "boolean": "boolean"}
             part_avro_fields = [
                 {"name": c, "source_id": by_name[c]["id"],
-                 "avro_type": _avro_of.get(by_name[c]["type"], "string")}
-                for c in partition_by]
+                 "avro_type": _avro_of.get(by_name[c]["type"], "string"),
+                 "transform": "identity"}
+                for c in partition_by] + [
+                {"name": name, "source_id": by_name[src]["id"],
+                 "avro_type": ("string" if (transform.startswith("truncate")
+                               and by_name[src]["type"] == "string")
+                               else "long"),
+                 "transform": transform, "source_col": src}
+                for name, transform, src in partition_transforms]
         # data files: Spark writes them WITH field ids (alias metadata)
         with_ids = df.select(*[
             F.col(f.name).alias(f.name,
@@ -695,6 +928,30 @@ def write_iceberg_table(spark: SparkSession, commits: list[DataFrame],
                     cond = piece if cond is None else (cond & piece)
                 _stage_slice(with_ids.filter(cond),
                              dict(zip(partition_by, vals)), f"-p{j:03d}")
+        elif partition_transforms:
+            # derive the transform OUTPUT per row (Arrow-batched; the
+            # python transform math is the same apply_transform the
+            # reader's pruning uses — writer and pruner cannot drift),
+            # then slice per distinct output tuple
+            der = with_ids
+            pt_cols = []
+            for j, (name, transform, src) in enumerate(
+                    partition_transforms):
+                der = der.withColumn(
+                    f"__pt{j}", _transform_col(
+                        transform, by_name[src]["type"])(F.col(src)))
+                pt_cols.append(f"__pt{j}")
+            values = [tuple(r) for r in
+                      der.select(*pt_cols).distinct().collect()]
+            names = [t[0] for t in partition_transforms]
+            for j, vals in enumerate(sorted(values, key=str)):
+                cond = None
+                for c, val in zip(pt_cols, vals):
+                    piece = (F.col(c).isNull() if val is None
+                             else (F.col(c) == F.lit(val)))
+                    cond = piece if cond is None else (cond & piece)
+                _stage_slice(der.filter(cond).drop(*pt_cols),
+                             dict(zip(names, vals)), f"-t{j:03d}")
         else:
             _stage_slice(with_ids, {}, "")
         mpath = os.path.join(mdir, f"manifest-{v:03d}.avro")
@@ -722,7 +979,8 @@ def write_iceberg_table(spark: SparkSession, commits: list[DataFrame],
                          "fields": schema_fields}],
             "current-schema-id": 0,
             "partition-specs": [{"spec-id": 0, "fields": [
-                {"name": f["name"], "transform": "identity",
+                {"name": f["name"],
+                 "transform": f.get("transform", "identity"),
                  "source-id": f["source_id"], "field-id": 1000 + i}
                 for i, f in enumerate(part_avro_fields)]}],
             "default-spec-id": 0,

@@ -575,3 +575,145 @@ def test_mor_delete_file_field_ids(spark, tmp_path):
     schema = pq.read_schema(dpath[0])
     fids = {f.name: f.metadata.get(b"PARQUET:field_id") for f in schema}
     assert fids == {"file_path": b"2147483546", "pos": b"2147483545"}
+
+
+# ---------------------------------------------------------------------------
+# non-identity partition transforms: spec math + metadata pruning
+
+
+def test_transform_math_matches_spec_examples():
+    """Values pinned to the Iceberg spec's published transform examples
+    (Appendix B hash examples; day/month/year reference rows)."""
+    import datetime as dt
+
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        _murmur3_32,
+        apply_transform,
+    )
+    import struct
+
+    # spec Appendix B: hashLong(34) == hashInt(34) == 2017239379,
+    # hash("iceberg") == 1210000089, hash(epoch-micros of 2017-11-16
+    # 22:31:08) == -2047944441
+    assert _murmur3_32(struct.pack("<q", 34)) == 2017239379
+    assert _murmur3_32(b"iceberg") == 1210000089
+    micros = int(dt.datetime(2017, 11, 16, 22, 31, 8,
+                             tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    assert _murmur3_32(struct.pack("<q", micros)) == -2047944441
+    # transform outputs
+    ts = dt.datetime(2017, 11, 16, 22, 31, 8)
+    assert apply_transform("days", ts, "timestamptz") == 17486
+    assert apply_transform("months", ts, "timestamptz") == 574
+    assert apply_transform("years", ts, "timestamptz") == 47
+    assert apply_transform("hours", ts, "timestamptz") == 17486 * 24 + 22
+    assert apply_transform("truncate[10]", 17, "int") == 10
+    assert apply_transform("truncate[10]", -3, "int") == -10  # floor, not C
+    assert apply_transform("truncate[3]", "iceberg", "string") == "ice"
+    assert apply_transform("bucket[16]", 34, "int") == \
+        (2017239379 & 0x7FFFFFFF) % 16
+    assert apply_transform("identity", "x", "string") == "x"
+    assert apply_transform("days", None, "timestamptz") is None
+
+
+def test_days_partition_pruning_zero_tasks(spark, tmp_path):
+    """days()-partitioned fixture: an out-of-range bound plans ZERO files
+    (zero tasks), an in-range bound plans exactly the covering days, and
+    pruning + the row predicate returns the same rows as the full scan."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        iceberg_source_range_filter,
+        live_data_files,
+    )
+
+    t = str(tmp_path / "days")
+    df = spark.range(0, 96).select(
+        F.col("id").alias("k"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 3600)
+        .alias("ts"))
+    write_iceberg_table(spark, [df], t,
+                        partition_transforms=[("ts_day", "days", "ts")])
+    meta = read_table_metadata(spark, t)
+    lo, hi = dt.datetime(2023, 11, 15), dt.datetime(2023, 11, 15, 23, 59)
+    filt = iceberg_source_range_filter(meta, "ts", lo=lo, hi=hi)
+    pruned = live_data_files(spark, t, meta, partition_filter=filt)
+    assert {f["partition"]["ts_day"] for f in pruned} == {19676}
+    # out-of-range: zero files -> empty DataFrame, no scan planned
+    none = iceberg_source_range_filter(
+        meta, "ts", lo=dt.datetime(2030, 1, 1), hi=dt.datetime(2030, 1, 2))
+    assert live_data_files(spark, t, meta, partition_filter=none) == []
+    assert read_iceberg_snapshot(spark, t, partition_filter=none).count() == 0
+    # superset-safety: pruned + row predicate == full + row predicate
+    pred = (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))
+    got = read_iceberg_snapshot(spark, t, partition_filter=filt).filter(pred)
+    want = read_iceberg_snapshot(spark, t).filter(pred)
+    assert _ks(got) == _ks(want) and got.count() > 0
+
+
+def test_bucket_equality_pruning_and_range_rejection(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        iceberg_source_range_filter,
+        live_data_files,
+    )
+
+    t = str(tmp_path / "bkt")
+    df = spark.range(0, 80).select(F.col("id").alias("k"),
+                                   (F.col("id") % 8).alias("g"))
+    write_iceberg_table(spark, [df], t,
+                        partition_transforms=[("g_b", "bucket[4]", "g")])
+    meta = read_table_metadata(spark, t)
+    filt = iceberg_source_range_filter(meta, "g", eq=5)
+    pruned = live_data_files(spark, t, meta, partition_filter=filt)
+    assert 0 < len(pruned) < len(live_data_files(spark, t, meta))
+    got = (read_iceberg_snapshot(spark, t, partition_filter=filt)
+           .filter("g = 5"))
+    assert _ks(got) == [k for k in range(80) if k % 8 == 5]
+    with pytest.raises(IcebergProtocolError, match="bucket"):
+        iceberg_source_range_filter(meta, "g", lo=1, hi=3)
+
+
+def test_truncate_partition_pruning(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        iceberg_source_range_filter,
+        live_data_files,
+    )
+
+    t = str(tmp_path / "trunc")
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    write_iceberg_table(
+        spark, [df], t,
+        partition_transforms=[("k_t", "truncate[25]", "k")])
+    meta = read_table_metadata(spark, t)
+    filt = iceberg_source_range_filter(meta, "k", lo=30, hi=40)
+    pruned = live_data_files(spark, t, meta, partition_filter=filt)
+    assert {f["partition"]["k_t"] for f in pruned} == {25}
+    got = (read_iceberg_snapshot(spark, t, partition_filter=filt)
+           .filter("k BETWEEN 30 AND 40"))
+    assert _ks(got) == list(range(30, 41))
+
+
+def test_transform_filter_ignores_other_columns_spec_fields(spark, tmp_path):
+    """A filter on a column with NO spec field derived from it prunes
+    nothing (superset-safe no-op)."""
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        iceberg_source_range_filter,
+        live_data_files,
+    )
+
+    t = str(tmp_path / "other")
+    df = spark.range(0, 40).select(F.col("id").alias("k"),
+                                   (F.col("id") % 4).alias("g"))
+    write_iceberg_table(spark, [df], t,
+                        partition_transforms=[("g_b", "bucket[2]", "g")])
+    meta = read_table_metadata(spark, t)
+    filt = iceberg_source_range_filter(meta, "k", lo=0, hi=5)
+    assert len(live_data_files(spark, t, meta, partition_filter=filt)) == \
+        len(live_data_files(spark, t, meta))
