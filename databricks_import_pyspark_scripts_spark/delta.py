@@ -20,6 +20,7 @@ scale posture live in (and are tested against) the underlying modules.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -163,16 +164,25 @@ class DeltaTable:
                                retention_ms=int(retention_hours * 3600000),
                                now_ms=now_ms, dry_run=dry_run)
 
-    def cleanup_metadata(self) -> list[str]:
+    def cleanup_metadata(self, log_retention_ms: int =
+                         30 * 24 * 3600 * 1000,
+                         now_ms: int | None = None) -> list[str]:
         """Metadata-side vacuum (Delta's log retention): delete json
-        commits STRICTLY BELOW the newest classic checkpoint — replay
-        serves those versions from the checkpoint, and time travel below
-        it becomes unavailable, exactly as Delta's
-        ``delta.logRetentionDuration`` cleanup behaves. Returns the
-        deleted paths; a no-op without a checkpoint."""
+        commits that are BOTH strictly below the newest classic
+        checkpoint AND older than ``log_retention_ms`` (keyed on the
+        commit's own timestamp — commitInfo, mtime fallback), matching
+        ``delta.logRetentionDuration``'s 30-day default. Replay serves
+        retired versions from the checkpoint; time travel / CDF below
+        the retired prefix becomes unavailable only after the retention
+        window — a checkpoint alone no longer forfeits it (ADVICE r8).
+        Returns the deleted paths; a no-op without a checkpoint. Pass
+        ``log_retention_ms=0`` for the old retire-everything behavior."""
+        import time as _time
+
         if not _r._is_local(self.path):
             raise NotImplementedError("cleanup_metadata walks the log dir; "
                                       "only local filesystems supported")
+        now = int(_time.time() * 1000) if now_ms is None else int(now_ms)
         log = os.path.join(_r._strip_scheme(self.path), _r.LOG_DIR)
         names = sorted(os.listdir(log))
         cps = [int(m.group(1)) for n in names
@@ -180,8 +190,31 @@ class DeltaTable:
         if not cps:
             return []
         cutoff = max(cps)
-        doomed = [os.path.join(log, n) for n in names
-                  if (m := _r._COMMIT_RE.match(n)) and int(m.group(1)) < cutoff]
+        doomed = []
+        # delete a contiguous PREFIX only (a hole would leave later
+        # pre-checkpoint commits unreplayable while looking retained):
+        # stop at the first commit younger than the retention window
+        for n in names:
+            m = _r._COMMIT_RE.match(n)
+            if not m:
+                continue
+            if int(m.group(1)) >= cutoff:
+                break
+            p = os.path.join(log, n)
+            ts = None
+            try:
+                for line in open(p):
+                    a = json.loads(line)
+                    if "commitInfo" in a:
+                        ts = a["commitInfo"].get("timestamp")
+                        break
+            except (OSError, ValueError):
+                pass
+            if ts is None:
+                ts = os.path.getmtime(p) * 1000
+            if int(ts) > now - log_retention_ms:
+                break
+            doomed.append(p)
         for p in doomed:
             os.unlink(p)
         return doomed

@@ -471,10 +471,19 @@ def append_delta(spark: SparkSession, df: DataFrame, table_path: str,
             raise ConcurrentWriteError(
                 f"schema-evolving append to {table_path} lost its commit "
                 f"race; rerun to rebase on the new table state")
+        staged_parts = rep.partition_columns
         rep = replay_log(spark, table_path)
         _check_writable(rep.metadata, rep.protocol, "append")
         if txn_app_id is not None and                 rep.txns.get(txn_app_id, -1) >= txn_version:
             return rep.version  # the racer WAS this txn: drop ours
+        if rep.partition_columns != staged_parts:
+            # the staged files' layout and per-add partitionValues were
+            # derived from the OLD spec; committing them against a
+            # repartitioned table would corrupt its partition mapping
+            raise ConcurrentWriteError(
+                f"partition spec of {table_path} changed concurrently "
+                f"({staged_parts} -> {rep.partition_columns}); the staged "
+                f"files carry the old layout — rerun to restage")
         try:
             _ordered(df, rep)
         except ValueError as e:
@@ -616,15 +625,21 @@ def update_where(spark: SparkSession, table_path: str, predicate: str,
 # checkpoint + vacuum maintenance
 
 def write_classic_checkpoint(spark: SparkSession, table_path: str,
-                             version: int | None = None) -> int:
+                             version: int | None = None,
+                             tombstone_retention_ms: int =
+                             7 * 24 * 3600 * 1000,
+                             now_ms: int | None = None) -> int:
     """Write a classic single-part parquet checkpoint of the state at
     ``version`` (default: latest) plus the ``_last_checkpoint`` pointer,
     letting replay skip the JSON prefix (and log-cleanup retire it). One
-    row per action with nullable protocol/metaData/add struct columns —
-    the layout ``_checkpoint_actions`` reads back. Tombstones are not
-    carried (vacuum here re-walks the directory instead of trusting
-    checkpoint tombstones). Refused on v2Checkpoint tables: their spec
-    requires v2-named checkpoints."""
+    row per action with nullable protocol/metaData/add/remove struct
+    columns — the layout ``_checkpoint_actions`` reads back. ``remove``
+    TOMBSTONES for files deleted within ``tombstone_retention_ms`` are
+    carried as PROTOCOL.md requires: after log-cleanup retires the JSON
+    prefix, vacuum (this repo's or delta-spark's) still sees each
+    removed file's deletionTimestamp instead of falling back to mtime
+    and deleting inside the retention window. Refused on v2Checkpoint
+    tables: their spec requires v2-named checkpoints."""
     from pyspark.sql.types import (
         ArrayType, BooleanType, IntegerType, LongType, MapType, StringType,
         StructField, StructType,
@@ -677,9 +692,18 @@ def write_classic_checkpoint(spark: SparkSession, table_path: str,
         StructField("version", LongType()),
         StructField("lastUpdated", LongType()),
     ])
+    remove_t = StructType([
+        StructField("path", StringType()),
+        StructField("deletionTimestamp", LongType()),
+        StructField("dataChange", BooleanType()),
+        StructField("partitionValues",
+                    MapType(StringType(), StringType(),
+                            valueContainsNull=True)),
+    ])
     cp_schema = StructType([
         StructField("protocol", proto_t), StructField("metaData", meta_t),
         StructField("add", add_t), StructField("txn", txn_t),
+        StructField("remove", remove_t),
     ])
 
     md = rep.metadata
@@ -707,6 +731,17 @@ def write_classic_checkpoint(spark: SparkSession, table_path: str,
         rows.append({"protocol": None, "metaData": None, "add": None,
                      "txn": {"appId": app_id, "version": int(v),
                              "lastUpdated": None}})
+    cutoff = _now_ms(now_ms) - tombstone_retention_ms
+    for r in rep.tombstones.values():
+        ts_r = int(r.get("deletionTimestamp") or 0)
+        if ts_r > cutoff:
+            rows.append({"protocol": None, "metaData": None, "add": None,
+                         "txn": None, "remove": {
+                             "path": r["path"],
+                             "deletionTimestamp": ts_r,
+                             "dataChange": bool(r.get("dataChange", True)),
+                             "partitionValues":
+                                 r.get("partitionValues") or {}}})
     for a in rep.files.values():
         dv = a.get("deletionVector")
         rows.append({"protocol": None, "metaData": None, "txn": None,
@@ -777,6 +812,13 @@ def vacuum_delta(spark: SparkSession, table_path: str,
     # with no surviving remove action (staging garbage, or tombstones in
     # a retired log prefix) fall back to mtime.
     removed_at: dict[str, int] = {}
+    # checkpoint-carried tombstones first: after cleanup_metadata retires
+    # the JSON prefix they are the ONLY source of deletionTimestamps
+    for r in rep.tombstones.values():
+        if isinstance(r, dict) and r.get("path"):
+            ts_r = int(r.get("deletionTimestamp") or 0)
+            key = urllib.parse.unquote(r["path"])
+            removed_at[key] = max(removed_at.get(key, 0), ts_r)
     for acts in rep.commit_actions.values():
         for a in acts:
             r = a.get("remove")

@@ -141,6 +141,12 @@ class _Replay:
     #: version ("Transaction Identifiers" in PROTOCOL.md — the
     #: exactly-once handshake for streaming writers)
     txns: dict[str, int] = field(default_factory=dict)
+    #: remove-action tombstones still standing at this version (path ->
+    #: remove action; cleared when the path is re-added). PROTOCOL.md
+    #: requires checkpoints to carry tombstones for files removed within
+    #: the retention window — this is where the checkpoint writer and
+    #: vacuum's removal-timestamp recovery read them from.
+    tombstones: dict[str, dict] = field(default_factory=dict)
 
     @property
     def schema(self) -> StructType:
@@ -466,7 +472,7 @@ def replay_log(spark: SparkSession, table_path: str,
         for action in _checkpoint_actions(
                 spark, log, _checkpoint_parts(names, cp_version)):
             metadata, protocol = _apply(action, files, metadata, protocol,
-                                        rep.txns)
+                                        rep.txns, rep.tombstones)
         start = cp_version + 1
     # every version in (start, target] must still have its commit file —
     # a cleaned-up (vacuumed) log prefix below the checkpoint is fine, a
@@ -489,7 +495,7 @@ def replay_log(spark: SparkSession, table_path: str,
             if "commitInfo" in action and ts is None:
                 ts = action["commitInfo"].get("timestamp")
             metadata, protocol = _apply(action, files, metadata, protocol,
-                                        rep.txns)
+                                        rep.txns, rep.tombstones)
         if collect_from is not None and v >= collect_from:
             rep.commit_actions[v] = acts
             rep.commit_ts_ms[v] = int(ts if ts is not None
@@ -586,11 +592,17 @@ def _logicalize_partition_values(rep: _Replay) -> None:
 
 def _apply(action: dict, files: dict[str, dict],
            metadata: dict | None, protocol: dict,
-           txns: dict[str, int] | None = None) -> tuple[dict | None, dict]:
+           txns: dict[str, int] | None = None,
+           tombstones: dict[str, dict] | None = None) -> tuple[dict | None,
+                                                               dict]:
     if "add" in action:
         files[action["add"]["path"]] = action["add"]
+        if tombstones is not None:
+            tombstones.pop(action["add"]["path"], None)
     elif "remove" in action:
         files.pop(action["remove"]["path"], None)
+        if tombstones is not None and action["remove"].get("path"):
+            tombstones[action["remove"]["path"]] = action["remove"]
     elif "metaData" in action:
         metadata = action["metaData"]
     elif "protocol" in action:

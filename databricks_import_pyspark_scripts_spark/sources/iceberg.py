@@ -631,7 +631,17 @@ def read_iceberg_snapshot(spark: SparkSession, table_path: str,
     pruning is an optimization. Merge-on-read snapshots (live position
     delete files) are resolved by ``_apply_position_deletes``; metadata
     pruning composes — a delete row whose data file was pruned simply
-    never matches the anti-join."""
+    never matches the anti-join.
+
+    SESSION-WIDE side effect (same trade-off as the Delta id-mode read,
+    ``delta_log.py`` ``_scan_files``): the scan is LAZY, so
+    ``spark.sql.parquet.fieldId.read.enabled`` must still hold at
+    execution time and cannot be save/restored around this call — after
+    the first Iceberg read it stays on for the session. The switch only
+    activates for read schemas that CARRY field ids, so ordinary reads
+    are unaffected; an id-annotated schema later reused against id-LESS
+    foreign parquet files will error by id instead of silently matching
+    by name."""
     meta = read_table_metadata(spark, table_path)
     deletes: list[dict] = []
     files = live_data_files(spark, table_path, meta, snapshot_id,
@@ -1116,7 +1126,11 @@ def read_iceberg_changes(spark: SparkSession, table_path: str,
 
     All versions batch into at most two scans (inserts / deletes) with
     the ordinal attached from a broadcast file map — never one scan per
-    snapshot."""
+    snapshot.
+
+    Shares ``read_iceberg_snapshot``'s session-wide
+    ``spark.sql.parquet.fieldId.read.enabled`` side effect (see its
+    docstring; the conf must hold when the lazy scan executes)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 

@@ -149,7 +149,7 @@ def stream_delta_sink(stream: DataFrame, table_path: str, app_id: str,
     import os as _os
 
     from ..sinks.delta_writer import append_delta
-    from ..sources.delta_log import replay_log
+    from ..sources.delta_log import _read_bytes, replay_log
 
     spark = stream.sparkSession
     replay_log(spark, table_path)  # fail fast: table must exist
@@ -160,9 +160,12 @@ def stream_delta_sink(stream: DataFrame, table_path: str, app_id: str,
             return app_id
         if "id" not in resolved:
             # written by Structured Streaming at query start; by the time
-            # the first batch fires it exists
-            with open(_os.path.join(checkpoint_dir, "metadata")) as f:
-                resolved["id"] = _json.load(f)["id"]
+            # the first batch fires it exists. Read through the Hadoop
+            # helpers, not a local open(): the checkpoint location may be
+            # hdfs:// / s3a:// / a file: URI (ADVICE r8)
+            resolved["id"] = _json.loads(_read_bytes(
+                spark, _os.path.join(checkpoint_dir, "metadata"))
+                .decode("utf-8"))["id"]
         return f"{app_id}/{resolved['id']}"
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -945,3 +945,122 @@ def test_stream_delta_sink_fresh_checkpoint_new_data_not_dropped(
     # batch 0 again, same app — but a different checkpoint lineage:
     # the new rows must NOT be deduped away
     assert read_delta_snapshot(spark, t).count() == 15
+
+
+def test_append_rebase_aborts_on_concurrent_partition_spec_change(
+        spark, table, monkeypatch):
+    """ADVICE r8: the lost-race rebase must compare partitionColumns, not
+    just writability+schema — staged files carry partitionValues for the
+    OLD spec and would corrupt the mapping if committed against a
+    repartitioned table. The racer's spec-changing commit lands DURING
+    staging (after the appender's snapshot read), so the first commit
+    attempt genuinely loses and the rebase sees the new spec."""
+    from databricks_import_pyspark_scripts_spark.sinks import delta_writer
+
+    log = os.path.join(table, "_delta_log")
+    md = None
+    for line in open(os.path.join(log, f"{0:020d}.json")):
+        a = json.loads(line)
+        if "metaData" in a:
+            md = a["metaData"]
+    md = dict(md)
+    md["partitionColumns"] = []  # spec change: partitioned -> flat
+
+    real_stage = delta_writer._stage_files
+
+    def stage_and_repartition(*args, **kwargs):
+        out = real_stage(*args, **kwargs)
+        with open(os.path.join(log, f"{1:020d}.json"), "w") as f:
+            f.write(json.dumps({"commitInfo": {
+                "timestamp": 1500, "operation": "REPLACE"}}) + "\n")
+            f.write(json.dumps({"metaData": md}) + "\n")
+        return out
+
+    monkeypatch.setattr(delta_writer, "_stage_files", stage_and_repartition)
+    with pytest.raises(ConcurrentWriteError, match="partition spec"):
+        append_delta(spark, _frame(spark, 100, 110), table, ts_ms=2000)
+
+
+# ---------------------------------------------------------------------------
+# checkpoint tombstones + log retention (ADVICE r9)
+
+
+def test_checkpoint_carries_remove_tombstones(spark, tmp_path):
+    """PROTOCOL.md: checkpoints carry remove tombstones for files removed
+    within the retention window. After cleanup_metadata retires the JSON
+    prefix, vacuum must still see each removed file's deletionTimestamp
+    (not the mtime fallback) — a fresh removal survives its full window
+    even though the file on disk is old."""
+    from databricks_import_pyspark_scripts_spark.delta import DeltaTable
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        vacuum_delta,
+        write_classic_checkpoint,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.delta_log import (
+        replay_log,
+    )
+
+    t = str(tmp_path / "tomb")
+    now = 10**12  # fixed "wall clock" for the whole scenario
+    create_delta_table(spark, _frame(spark, 0, 40), t, cdf=False,
+                       ts_ms=now - 1000)
+    # overwrite removes every v0 file with deletionTimestamp = now
+    overwrite_delta(spark, _frame(spark, 100, 120), t, ts_ms=now)
+    write_classic_checkpoint(spark, t, now_ms=now)
+    rep = replay_log(spark, t)
+    assert rep.tombstones, "replay must surface standing tombstones"
+    # retire the JSON prefix: the checkpoint is now the only history
+    DeltaTable.for_path(spark, t).cleanup_metadata(log_retention_ms=0)
+    rep2 = replay_log(spark, t)
+    assert set(rep2.tombstones) == set(rep.tombstones)
+    assert all(int(r.get("deletionTimestamp") or 0) == now
+               for r in rep2.tombstones.values())
+    # vacuum 1h after removal with 7-day retention: the removed files'
+    # mtimes are minutes old anyway, but force the distinction — with a
+    # now far in the future ONLY if tombstones were lost would the next
+    # assert fail. Dry-run at removal+1h must keep them:
+    kept = vacuum_delta(spark, t, retention_ms=7 * 24 * 3600 * 1000,
+                        now_ms=now + 3600 * 1000, dry_run=True)
+    assert kept == []
+    # ... and past the window they go, attributed to deletionTimestamp
+    doomed = vacuum_delta(spark, t, retention_ms=3600 * 1000,
+                          now_ms=now + 7200 * 1000, dry_run=True)
+    assert len(doomed) > 0
+    # a re-added path clears its tombstone
+    append_delta(spark, _frame(spark, 200, 205), t, ts_ms=now + 10)
+    rep3 = replay_log(spark, t)
+    assert all(p not in {a["path"] for a in rep3.files.values()}
+               for p in rep3.tombstones)
+
+
+def test_cleanup_metadata_respects_log_retention(spark, tmp_path):
+    """ADVICE r9: a checkpoint alone must not retire fresh commits —
+    only those older than delta.logRetentionDuration go."""
+    from databricks_import_pyspark_scripts_spark.delta import DeltaTable
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        write_classic_checkpoint,
+    )
+
+    t = str(tmp_path / "ret")
+    day = 24 * 3600 * 1000
+    now = 10**12
+    create_delta_table(spark, _frame(spark, 0, 10), t, cdf=False,
+                       ts_ms=now - 40 * day)     # old commit
+    append_delta(spark, _frame(spark, 10, 20), t, ts_ms=now - 1 * day)
+    append_delta(spark, _frame(spark, 20, 30), t, ts_ms=now)
+    write_classic_checkpoint(spark, t, now_ms=now)
+    dt = DeltaTable.for_path(spark, t)
+    doomed = dt.cleanup_metadata(now_ms=now)  # default 30-day retention
+    # ONLY the 40-day-old v0 retires; v1 (1 day old) survives — and the
+    # retire is a contiguous prefix, so had v0 been fresh, an old v1
+    # could not have been deleted either
+    assert [os.path.basename(p) for p in doomed] == [f"{0:020d}.json"]
+    # the latest state and the checkpointed head stay fully readable
+    assert read_delta_snapshot(spark, t).count() == 30
+    # time travel to v1 is gone WITH the retired prefix (replay needs
+    # v0), exactly like Delta after log cleanup — but the error is loud
+    with pytest.raises(FileNotFoundError):
+        read_delta_snapshot(spark, t, 1)
+    # with retention 0 the rest of the prefix retires too
+    doomed2 = dt.cleanup_metadata(log_retention_ms=0, now_ms=now)
+    assert [os.path.basename(p) for p in doomed2] == [f"{1:020d}.json"]
