@@ -90,7 +90,7 @@ def test_deleted_status_drops_files(spark, ice):
 
 def _append_delete_manifest(ice: str, content: int) -> None:
     """Splice a content=1 delete manifest whose single entry's data_file
-    carries the given content code into the latest snapshot's list."""
+    carries the given content code into the CURRENT snapshot's list."""
     from databricks_import_pyspark_scripts_spark.sources.iceberg import (
         _MANIFEST_ENTRY_SCHEMA,
         _MANIFEST_FILE_SCHEMA,
@@ -104,7 +104,11 @@ def _append_delete_manifest(ice: str, content: int) -> None:
             "data_file": {"content": content, "file_path": "x.parquet",
                           "file_format": "PARQUET", "record_count": 1,
                           "file_size_in_bytes": 1}}]))
-    mlpath = os.path.join(mdir, "snap-1001.avro")
+    cur = int(open(os.path.join(mdir, "version-hint.text")).read())
+    meta = json.load(open(os.path.join(mdir, f"v{cur}.metadata.json")))
+    snap = next(s for s in meta["snapshots"]
+                if s["snapshot-id"] == meta["current-snapshot-id"])
+    mlpath = snap["manifest-list"]
     _, manifests = read_container(open(mlpath, "rb").read())
     manifests.append({"manifest_path": del_manifest, "manifest_length": 1,
                       "partition_spec_id": 0, "content": 1,
@@ -717,3 +721,119 @@ def test_transform_filter_ignores_other_columns_spec_fields(spark, tmp_path):
     filt = iceberg_source_range_filter(meta, "k", lo=0, hi=5)
     assert len(live_data_files(spark, t, meta, partition_filter=filt)) == \
         len(live_data_files(spark, t, meta))
+
+
+# ---------------------------------------------------------------------------
+# executor-parallel manifest decode
+
+
+def test_parallel_manifest_decode_matches_serial(spark, tmp_path,
+                                                 monkeypatch):
+    """Above the threshold, manifest decode + filter evaluation moves to
+    executors; the resulting live set, pruning behavior, and MoR delete
+    routing must be IDENTICAL to the serial driver path."""
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.sources import iceberg
+
+    t = str(tmp_path / "par")
+    commits = [spark.range(i * 10, (i + 1) * 10)
+               .select(F.col("id").alias("k"),
+                       (F.col("id") % 3).alias("g"))
+               for i in range(4)]
+    write_iceberg_table(spark, commits, t)
+    iceberg.write_iceberg_position_deletes(spark, t, "k % 7 = 0")
+    meta = read_table_metadata(spark, t)
+
+    def both(**kw):
+        filt = iceberg.iceberg_column_range_filter("k", 5, 25)
+        monkeypatch.setattr(iceberg,
+                            "ICEBERG_PARALLEL_MANIFEST_THRESHOLD", 10**9)
+        d1: list = []
+        serial = iceberg.live_data_files(spark, t, meta, deletes_out=d1,
+                                         stats_filter=filt, **kw)
+        monkeypatch.setattr(iceberg,
+                            "ICEBERG_PARALLEL_MANIFEST_THRESHOLD", 1)
+        d2: list = []
+        par = iceberg.live_data_files(spark, t, meta, deletes_out=d2,
+                                      stats_filter=filt, **kw)
+        return serial, d1, par, d2
+
+    serial, d1, par, d2 = both()
+    assert {f["file_path"] for f in serial} == {f["file_path"] for f in par}
+    assert {f["file_path"] for f in d1} == {f["file_path"] for f in d2}
+    assert d1 and serial
+    # the MoR read end-to-end through the parallel path
+    monkeypatch.setattr(iceberg, "ICEBERG_PARALLEL_MANIFEST_THRESHOLD", 1)
+    got = _ks(read_iceberg_snapshot(spark, t))
+    assert got == [k for k in range(40) if k % 7 != 0]
+    # protocol errors surface identically (equality delete injected)
+    _append_delete_manifest(t, content=2)
+    with pytest.raises(IcebergProtocolError, match="EQUALITY"):
+        read_iceberg_snapshot(spark, t)
+
+
+def test_parallel_decode_bounds_driver_work_on_1000_manifests(
+        spark, tmp_path, monkeypatch):
+    """Synthesize a snapshot with 1000 manifests (2 entries each): the
+    parallel path must plan the same live set while the DRIVER decodes
+    only the manifest list — read_container runs once in this process;
+    entry decode happens in the Python workers."""
+    import json as _json
+
+    from databricks_import_pyspark_scripts_spark.sources import iceberg
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        _MANIFEST_ENTRY_SCHEMA,
+        _MANIFEST_FILE_SCHEMA,
+        live_data_files,
+    )
+
+    t = str(tmp_path / "many")
+    mdir = os.path.join(t, "metadata")
+    os.makedirs(mdir)
+    manifests = []
+    for i in range(1000):
+        entries = [{"status": 1, "snapshot_id": 1000,
+                    "data_file": {"content": 0,
+                                  "file_path": f"data/f{i:04d}-{j}.parquet",
+                                  "file_format": "PARQUET",
+                                  "partition": {}, "record_count": 1,
+                                  "file_size_in_bytes": 1}}
+                   for j in range(2)]
+        mpath = os.path.join(mdir, f"m{i:04d}.avro")
+        blob = write_container(_MANIFEST_ENTRY_SCHEMA, entries)
+        with open(mpath, "wb") as f:
+            f.write(blob)
+        manifests.append({"manifest_path": mpath,
+                          "manifest_length": len(blob),
+                          "partition_spec_id": 0, "content": 0,
+                          "added_snapshot_id": 1000})
+    mlpath = os.path.join(mdir, "snap-1000.avro")
+    with open(mlpath, "wb") as f:
+        f.write(write_container(_MANIFEST_FILE_SCHEMA, manifests))
+    meta = {"format-version": 2, "location": t,
+            "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+                {"id": 1, "name": "k", "required": False,
+                 "type": "long"}]}],
+            "current-schema-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "default-spec-id": 0, "current-snapshot-id": 1000,
+            "snapshots": [{"snapshot-id": 1000, "timestamp-ms": 1,
+                           "manifest-list": mlpath}]}
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as f:
+        _json.dump(meta, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write("1")
+
+    calls = {"n": 0}
+    real_rc = iceberg.read_container
+
+    def counting_rc(blob):
+        calls["n"] += 1
+        return real_rc(blob)
+
+    monkeypatch.setattr(iceberg, "read_container", counting_rc)
+    md = read_table_metadata(spark, t)
+    files = live_data_files(spark, t, md)
+    assert len(files) == 2000
+    assert calls["n"] == 1  # the manifest LIST only; entries on workers
