@@ -266,3 +266,67 @@ def iceberg_days_pruned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("event_type")
             .agg(F.count("*").alias("n"),
                  F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+_AP_BASE, _AP_NEW = "event_id % 4 = 0", "event_id % 4 = 1"
+
+
+def _staged_append_iceberg(spark: SparkSession, sf_dir: str) -> str:
+    """Base table staged by the bulk writer, then grown by the
+    TRANSACTIONAL appender (CAS-committed v2 metadata) — the commit
+    protocol a live multi-writer table uses."""
+    from ..sources.iceberg import append_iceberg
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_iceberg_append_gate_{tag}_v1")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        e = (load_table(spark, sf_dir, "events")
+             .select("event_id", "event_type", "value"))
+        write_iceberg_table(spark, [e.filter(F.expr(_AP_BASE))], path)
+        append_iceberg(spark, e.filter(F.expr(_AP_NEW)), path,
+                       ts_ms=1700000005000)
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "iceberg_append_roundtrip_agg",
+    f"""
+    SELECT 0 AS snap, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events WHERE {_AP_BASE}
+    GROUP BY event_type
+    UNION ALL
+    SELECT 1 AS snap, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events WHERE ({_AP_BASE}) OR ({_AP_NEW})
+    GROUP BY event_type
+    """,
+    doc="TRANSACTIONAL Iceberg append: the staged table's second "
+        "snapshot is committed by append_iceberg — uuid-named manifest, "
+        "manifest list rebuilt on the head, v<N+1>.metadata.json claimed "
+        "with an atomic no-overwrite create (the HadoopCatalog CAS), "
+        "version-hint advisory-updated last. Both snapshots read back "
+        "and aggregated: snap 0 proves the append did not disturb "
+        "history, snap 1 proves the appended manifest accumulates. "
+        "Oracle re-derives both states from the parquet source.")
+def iceberg_append_roundtrip_agg(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from ..sources.iceberg import iceberg_snapshot_ids
+
+    path = _staged_append_iceberg(spark, sf_dir)
+    ids = [s["snapshot_id"] for s in iceberg_snapshot_ids(spark, path)]
+
+    def agg(sid: int, snap: int) -> DataFrame:
+        return (read_iceberg_snapshot(spark, path, snapshot_id=sid)
+                .groupBy("event_type")
+                .agg(F.count("*").alias("n"),
+                     F.round(F.sum("value"), 4).alias("sum_value"))
+                .select(F.lit(snap).alias("snap"), "event_type", "n",
+                        "sum_value"))
+
+    return agg(ids[0], 0).unionAll(agg(ids[-1], 1))

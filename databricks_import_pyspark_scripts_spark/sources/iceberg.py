@@ -902,6 +902,131 @@ def _iceberg_field(i: int, spark_field) -> dict:
             "type": simple[key]}
 
 
+def _part_avro_fields(schema_fields: list[dict],
+                      partition_by=(), partition_transforms=()) -> list:
+    """Partition-field descriptors for the staging/append writers:
+    identity columns first, then transform fields. Raises on source
+    columns absent from the schema."""
+    by_name = {f["name"]: f for f in schema_fields}
+    srcs = list(partition_by) + [t[2] for t in partition_transforms]
+    missing = [c for c in srcs if c not in by_name]
+    if missing:
+        raise ValueError(f"partition columns {missing} absent")
+    _avro_of = {"long": "long", "int": "int", "double": "double",
+                "float": "float", "string": "string",
+                "boolean": "boolean"}
+    return [
+        {"name": c, "source_id": by_name[c]["id"],
+         "avro_type": _avro_of.get(by_name[c]["type"], "string"),
+         "transform": "identity"}
+        for c in partition_by] + [
+        {"name": name, "source_id": by_name[src]["id"],
+         "avro_type": ("string" if (transform.startswith("truncate")
+                       and by_name[src]["type"] == "string")
+                       else "long"),
+         "transform": transform, "source_col": src}
+        for name, transform, src in partition_transforms]
+
+
+def _stage_commit(spark: SparkSession, df: DataFrame, root: str,
+                  schema_fields: list[dict],
+                  part_avro_fields: list[dict], snap_id: int,
+                  tag: str) -> list[dict]:
+    """Stage one commit's data files under ``<root>/data`` and return its
+    manifest entries: one slice per partition tuple (identity values or
+    ``apply_transform`` outputs — the SAME math the reader's pruning
+    evaluates, so writer and pruner cannot drift), footer-derived
+    lower/upper bounds on every entry, and real record counts. ``tag``
+    must be writer-unique (racing appenders embed a uuid) so staged file
+    names never collide."""
+    from pyspark.sql import functions as F
+
+    ddir = os.path.join(root, "data")
+    os.makedirs(ddir, exist_ok=True)
+    by_name = {f["name"]: f for f in schema_fields}
+    name_to_field = {f["name"]: (f["id"], f["type"])
+                     for f in schema_fields
+                     if isinstance(f["type"], str)}
+    with_ids = df.select(*[
+        F.col(f["name"]).alias(f["name"],
+                               metadata={"parquet.field.id": f["id"]})
+        for f in schema_fields])
+    entries: list[dict] = []
+
+    def _stage_slice(slice_df, partition: dict, slice_tag: str) -> None:
+        import pyarrow.parquet as pq
+
+        staging = os.path.join(root, f"_staging_{tag}{slice_tag}")
+        slice_df.write.mode("overwrite").parquet(staging)
+        for i, name in enumerate(sorted(
+                n for n in os.listdir(staging)
+                if n.endswith(".parquet"))):
+            target = os.path.join(
+                ddir, f"{tag}{slice_tag}-{i:05d}.parquet")
+            os.replace(os.path.join(staging, name), target)
+            lo_b, hi_b = _footer_bounds(target, name_to_field)
+            entries.append({
+                "status": STATUS_ADDED, "snapshot_id": snap_id,
+                "data_file": {
+                    "content": 0, "file_path": target,
+                    "file_format": "PARQUET",
+                    "partition": partition,
+                    "record_count":
+                        pq.ParquetFile(target).metadata.num_rows,
+                    "file_size_in_bytes": os.path.getsize(target),
+                    "lower_bounds": lo_b or None,
+                    "upper_bounds": hi_b or None}})
+        import shutil
+        shutil.rmtree(staging, ignore_errors=True)
+
+    identity = [f["name"] for f in part_avro_fields
+                if f.get("transform", "identity") == "identity"]
+    transforms = [f for f in part_avro_fields
+                  if f.get("transform", "identity") != "identity"]
+    if identity and transforms:
+        raise IcebergProtocolError(
+            "mixed identity+transform partition specs are not staged")
+    if identity:
+        # one slice per partition value: iceberg data files CONTAIN the
+        # partition columns, so hive-style partitionBy (which drops
+        # them) cannot be used — gate-scale loop by design
+        values = [tuple(r) for r in
+                  df.select(*identity).distinct().collect()]
+        for j, vals in enumerate(sorted(values, key=str)):
+            cond = None
+            for c, val in zip(identity, vals):
+                piece = (F.col(c).isNull() if val is None
+                         else (F.col(c) == F.lit(val)))
+                cond = piece if cond is None else (cond & piece)
+            _stage_slice(with_ids.filter(cond),
+                         dict(zip(identity, vals)), f"-p{j:03d}")
+    elif transforms:
+        # derive the transform OUTPUT per row (Arrow-batched), then
+        # slice per distinct output tuple
+        der = with_ids
+        pt_cols = []
+        for j, f in enumerate(transforms):
+            src = f.get("source_col") or f["name"]
+            der = der.withColumn(
+                f"__pt{j}", _transform_col(
+                    f["transform"], by_name[src]["type"])(F.col(src)))
+            pt_cols.append(f"__pt{j}")
+        values = [tuple(r) for r in der.select(*pt_cols).distinct()
+                  .collect()]
+        names = [f["name"] for f in transforms]
+        for j, vals in enumerate(sorted(values, key=str)):
+            cond = None
+            for c, val in zip(pt_cols, vals):
+                piece = (F.col(c).isNull() if val is None
+                         else (F.col(c) == F.lit(val)))
+                cond = piece if cond is None else (cond & piece)
+            _stage_slice(der.filter(cond).drop(*pt_cols),
+                         dict(zip(names, vals)), f"-t{j:03d}")
+    else:
+        _stage_slice(with_ids, {}, "")
+    return entries
+
+
 def write_iceberg_table(spark: SparkSession, commits: list[DataFrame],
                         table_path: str,
                         base_ts_ms: int = 1700000000000,
@@ -921,7 +1046,8 @@ def write_iceberg_table(spark: SparkSession, commits: list[DataFrame],
     ``iceberg_source_range_filter`` prunes against.
     SCOPE: a single-writer STAGING utility, local filesystems only —
     the Iceberg twin of ``delta_log.write_delta_table``; the per-value
-    staging loop is gate-scale by design."""
+    staging loop is gate-scale by design. ``append_iceberg`` is the
+    transactional (CAS-committed) append for live tables."""
     if partition_by and partition_transforms:
         raise ValueError("pass partition_by or partition_transforms, "
                          "not both")
@@ -930,14 +1056,10 @@ def write_iceberg_table(spark: SparkSession, commits: list[DataFrame],
                                   "utility")
     root = _strip_scheme(table_path)
     mdir = os.path.join(root, METADATA_DIR)
-    ddir = os.path.join(root, "data")
     os.makedirs(mdir, exist_ok=True)
-    os.makedirs(ddir, exist_ok=True)
-
-    from pyspark.sql import functions as F
 
     schema_fields = None
-    part_avro_fields: list[dict] = []
+    part_fields: list[dict] = []
     snapshots: list[dict] = []
     all_manifests: list[dict] = []
     for v, df in enumerate(commits):
@@ -947,103 +1069,12 @@ def write_iceberg_table(spark: SparkSession, commits: list[DataFrame],
             schema_fields = [
                 _iceberg_field(i + 1, f)
                 for i, f in enumerate(df.schema.fields)]
-            by_name = {f["name"]: f for f in schema_fields}
-            srcs = list(partition_by) + [t[2] for t in partition_transforms]
-            missing = [c for c in srcs if c not in by_name]
-            if missing:
-                raise ValueError(f"partition columns {missing} absent")
-            _avro_of = {"long": "long", "int": "int", "double": "double",
-                        "float": "float", "string": "string",
-                        "boolean": "boolean"}
-            part_avro_fields = [
-                {"name": c, "source_id": by_name[c]["id"],
-                 "avro_type": _avro_of.get(by_name[c]["type"], "string"),
-                 "transform": "identity"}
-                for c in partition_by] + [
-                {"name": name, "source_id": by_name[src]["id"],
-                 "avro_type": ("string" if (transform.startswith("truncate")
-                               and by_name[src]["type"] == "string")
-                               else "long"),
-                 "transform": transform, "source_col": src}
-                for name, transform, src in partition_transforms]
-        # data files: Spark writes them WITH field ids (alias metadata)
-        with_ids = df.select(*[
-            F.col(f.name).alias(f.name,
-                                metadata={"parquet.field.id": i + 1})
-            for i, f in enumerate(df.schema.fields)])
-        entries = []
-
-        name_to_field = {f["name"]: (f["id"], f["type"])
-                         for f in schema_fields
-                         if isinstance(f["type"], str)}
-
-        def _stage_slice(slice_df, partition: dict, tag: str,
-                         _v=v, _snap=snap_id, _entries=None) -> None:
-            ents = entries if _entries is None else _entries
-            staging = os.path.join(root, f"_staging_v{_v}{tag}")
-            slice_df.write.mode("overwrite").parquet(staging)
-            for i, name in enumerate(sorted(
-                    n for n in os.listdir(staging)
-                    if n.endswith(".parquet"))):
-                target = os.path.join(
-                    ddir, f"s{_v:03d}{tag}-{i:05d}.parquet")
-                os.replace(os.path.join(staging, name), target)
-                lo_b, hi_b = _footer_bounds(target, name_to_field)
-                ents.append({
-                    "status": STATUS_ADDED, "snapshot_id": _snap,
-                    "data_file": {
-                        "content": 0, "file_path": target,
-                        "file_format": "PARQUET",
-                        "partition": partition,
-                        "record_count": 0,
-                        "file_size_in_bytes": os.path.getsize(target),
-                        "lower_bounds": lo_b or None,
-                        "upper_bounds": hi_b or None}})
-            import shutil
-            shutil.rmtree(staging, ignore_errors=True)
-
-        if partition_by:
-            # one slice per partition value: iceberg data files CONTAIN
-            # the partition columns, so hive-style partitionBy (which
-            # drops them) cannot be used — gate-scale loop by design
-            values = [tuple(r) for r in
-                      df.select(*partition_by).distinct().collect()]
-            for j, vals in enumerate(sorted(values, key=str)):
-                cond = None
-                for c, val in zip(partition_by, vals):
-                    piece = (F.col(c).isNull() if val is None
-                             else (F.col(c) == F.lit(val)))
-                    cond = piece if cond is None else (cond & piece)
-                _stage_slice(with_ids.filter(cond),
-                             dict(zip(partition_by, vals)), f"-p{j:03d}")
-        elif partition_transforms:
-            # derive the transform OUTPUT per row (Arrow-batched; the
-            # python transform math is the same apply_transform the
-            # reader's pruning uses — writer and pruner cannot drift),
-            # then slice per distinct output tuple
-            der = with_ids
-            pt_cols = []
-            for j, (name, transform, src) in enumerate(
-                    partition_transforms):
-                der = der.withColumn(
-                    f"__pt{j}", _transform_col(
-                        transform, by_name[src]["type"])(F.col(src)))
-                pt_cols.append(f"__pt{j}")
-            values = [tuple(r) for r in
-                      der.select(*pt_cols).distinct().collect()]
-            names = [t[0] for t in partition_transforms]
-            for j, vals in enumerate(sorted(values, key=str)):
-                cond = None
-                for c, val in zip(pt_cols, vals):
-                    piece = (F.col(c).isNull() if val is None
-                             else (F.col(c) == F.lit(val)))
-                    cond = piece if cond is None else (cond & piece)
-                _stage_slice(der.filter(cond).drop(*pt_cols),
-                             dict(zip(names, vals)), f"-t{j:03d}")
-        else:
-            _stage_slice(with_ids, {}, "")
+            part_fields = _part_avro_fields(schema_fields, partition_by,
+                                            partition_transforms)
+        entries = _stage_commit(spark, df, root, schema_fields,
+                                part_fields, snap_id, f"s{v:03d}")
         mpath = os.path.join(mdir, f"manifest-{v:03d}.avro")
-        blob = write_container(_manifest_entry_schema(part_avro_fields),
+        blob = write_container(_manifest_entry_schema(part_fields),
                                entries)
         with open(mpath, "wb") as f:
             f.write(blob)
@@ -1070,7 +1101,7 @@ def write_iceberg_table(spark: SparkSession, commits: list[DataFrame],
                 {"name": f["name"],
                  "transform": f.get("transform", "identity"),
                  "source-id": f["source_id"], "field-id": 1000 + i}
-                for i, f in enumerate(part_avro_fields)]}],
+                for i, f in enumerate(part_fields)]}],
             "default-spec-id": 0,
             "current-snapshot-id": snap_id,
             "snapshots": list(snapshots),
@@ -1080,6 +1111,149 @@ def write_iceberg_table(spark: SparkSession, commits: list[DataFrame],
         with open(os.path.join(mdir, "version-hint.text"), "w") as f:
             f.write(str(v + 1))
     return table_path
+
+
+class IcebergCommitConflict(RuntimeError):
+    """Another writer committed between this append's metadata read and
+    its commit attempt, and the table's schema or partition spec changed
+    under it. The append wrote NO metadata; staged data files may remain
+    as garbage under ``data/``. Retry the whole append to restage."""
+
+
+def append_iceberg(spark: SparkSession, df: DataFrame, table_path: str,
+                   ts_ms: int | None = None, max_retries: int = 10) -> int:
+    """TRANSACTIONAL append to an existing Iceberg table — the CAS commit
+    the HadoopCatalog convention defines: stage data files + a new
+    manifest once (uuid-named, racer-collision-free), then race for
+    ``v<N+1>.metadata.json`` with an atomic no-overwrite create. Losing
+    the race re-reads the head, re-verifies the schema and partition
+    spec are unchanged (else ``IcebergCommitConflict`` — the staged
+    files' layout is spec-derived), rebuilds the manifest LIST on the
+    new head (prior manifests changed; the staged manifest has not), and
+    retries at N+2. ``version-hint.text`` is updated last as the
+    advisory pointer it is — readers fall back to the highest metadata
+    file, so a crash between commit and hint write loses nothing.
+
+    Returns the new snapshot id. The spec-slicing loop is the staging
+    writer's (gate-scale); the commit protocol is real."""
+    import uuid as _uuid
+
+    from ..sinks.delta_writer import _atomic_create
+
+    if not _is_local(table_path):
+        raise NotImplementedError("append_iceberg commits via local "
+                                  "atomic create")
+    root = _strip_scheme(table_path)
+    mdir = os.path.join(root, METADATA_DIR)
+
+    def _head() -> tuple[int, dict]:
+        versions = sorted(int(m.group(1)) for n in _list_names(spark, mdir)
+                          if (m := _VMETA_RE.match(n)))
+        if not versions:
+            raise FileNotFoundError(f"no Iceberg metadata under {mdir}")
+        v = versions[-1]
+        return v, json.loads(_read_bytes(
+            spark, os.path.join(mdir, f"v{v}.metadata.json")))
+
+    v, meta = _head()
+    schema = _current_schema(meta)
+    schema_fields = schema["fields"]
+    for f in schema_fields:
+        if not isinstance(f["type"], str):
+            raise IcebergProtocolError(
+                "append_iceberg supports flat primitive schemas")
+    sid = meta.get("default-spec-id", 0)
+    spec = next((sp for sp in (meta.get("partition-specs") or [])
+                 if sp.get("spec-id", 0) == sid), {"fields": []})
+    src_by_id = {int(f["id"]): f for f in schema_fields}
+    part_by, transforms = [], []
+    for f in spec.get("fields") or []:
+        src = src_by_id[int(f["source-id"])]["name"]
+        t = f.get("transform") or "identity"
+        if t == "identity":
+            part_by.append(src)
+        else:
+            transforms.append((f["name"], t, src))
+    part_fields = _part_avro_fields(schema_fields, part_by, transforms)
+
+    # order/cast df to the table schema (names must match exactly)
+    from pyspark.sql import functions as F
+
+    missing = [f["name"] for f in schema_fields if f["name"]
+               not in df.columns]
+    extra = [c for c in df.columns
+             if c not in {f["name"] for f in schema_fields}]
+    if missing or extra:
+        raise ValueError(f"append frame does not match table schema: "
+                         f"missing {missing}, extra {extra}")
+    ordered = df.select(*[
+        F.col(f["name"]).cast(_spark_type(f["type"])).alias(f["name"])
+        for f in schema_fields])
+
+    ts = meta.get("last-updated-ms", 0) + 1 if ts_ms is None else int(ts_ms)
+    snap_id = max((int(sn["snapshot-id"])
+                   for sn in meta.get("snapshots") or []), default=999) + 1
+    tag = f"a{_uuid.uuid4().hex[:12]}"
+    entries = _stage_commit(spark, ordered, root, schema_fields,
+                            part_fields, snap_id, tag)
+    blob = write_container(_manifest_entry_schema(part_fields), entries)
+    mpath = os.path.join(mdir, f"manifest-{tag}.avro")
+    with open(mpath, "wb") as f:
+        f.write(blob)
+    new_manifest = {"manifest_path": mpath, "manifest_length": len(blob),
+                    "partition_spec_id": sid, "content": 0,
+                    "added_snapshot_id": snap_id}
+
+    for _ in range(max_retries + 1):
+        snap = meta.get("current-snapshot-id")
+        prior: list[dict] = []
+        if snap is not None and (meta.get("snapshots") or []):
+            cur = _snapshot(meta, None)
+            _, prior = read_container(_read_bytes(
+                spark, _resolve_path(table_path, cur["manifest-list"])))
+        mlpath = os.path.join(mdir, f"snap-{snap_id}-{tag}.avro")
+        with open(mlpath, "wb") as f:
+            f.write(write_container(_MANIFEST_FILE_SCHEMA,
+                                    list(prior) + [new_manifest]))
+        new_meta = dict(meta)
+        new_meta["snapshots"] = list(meta.get("snapshots") or []) + [{
+            "snapshot-id": snap_id, "timestamp-ms": ts,
+            "manifest-list": mlpath, "summary": {"operation": "append"}}]
+        new_meta["current-snapshot-id"] = snap_id
+        new_meta["last-updated-ms"] = ts
+        target = os.path.join(mdir, f"v{v + 1}.metadata.json")
+        if _atomic_create(spark, target,
+                          json.dumps(new_meta).encode("utf-8")):
+            hint = os.path.join(mdir, "version-hint.text")
+            with open(hint, "w") as f:
+                f.write(str(v + 1))
+            return snap_id
+        # lost the race: rebase on the new head iff schema+spec unchanged
+        v, meta = _head()
+        if _current_schema(meta)["fields"] != schema_fields:
+            raise IcebergCommitConflict(
+                f"schema of {table_path} changed concurrently; staged "
+                f"files carry the old field ids — rerun to restage")
+        nsid = meta.get("default-spec-id", 0)
+        nspec = next((sp for sp in (meta.get("partition-specs") or [])
+                      if sp.get("spec-id", 0) == nsid), {"fields": []})
+        if nspec.get("fields") != spec.get("fields"):
+            raise IcebergCommitConflict(
+                f"partition spec of {table_path} changed concurrently; "
+                f"staged files carry the old layout — rerun to restage")
+        snap_id = max((int(sn["snapshot-id"])
+                       for sn in meta.get("snapshots") or []),
+                      default=999) + 1
+        for e in entries:
+            e["snapshot_id"] = snap_id
+        blob = write_container(_manifest_entry_schema(part_fields),
+                               entries)
+        with open(mpath, "wb") as f:
+            f.write(blob)
+        new_manifest["manifest_length"] = len(blob)
+        new_manifest["added_snapshot_id"] = snap_id
+    raise IcebergCommitConflict(
+        f"append to {table_path} lost {max_retries + 1} commit races")
 
 
 #: Iceberg spec field ids reserved for position-delete file columns

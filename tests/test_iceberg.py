@@ -837,3 +837,139 @@ def test_parallel_decode_bounds_driver_work_on_1000_manifests(
     files = live_data_files(spark, t, md)
     assert len(files) == 2000
     assert calls["n"] == 1  # the manifest LIST only; entries on workers
+
+
+# ---------------------------------------------------------------------------
+# transactional append (CAS via metadata-file create)
+
+
+def test_append_iceberg_roundtrip_and_time_travel(spark, ice):
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        append_iceberg,
+    )
+
+    df = spark.range(40, 55).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v"))
+    snap = append_iceberg(spark, df, ice, ts_ms=1700000009000)
+    assert _ks(read_iceberg_snapshot(spark, ice)) == list(range(55))
+    # prior snapshots untouched
+    assert _ks(read_iceberg_snapshot(spark, ice, snapshot_id=1001)) == \
+        list(range(40))
+    # appended snapshot addressable by its id
+    assert _ks(read_iceberg_snapshot(spark, ice, snapshot_id=snap)) == \
+        list(range(55))
+    # metadata version advanced; hint follows
+    mdir = os.path.join(ice, "metadata")
+    assert int(open(os.path.join(mdir, "version-hint.text")).read()) == 3
+    # change feed sees the append as inserts at the new ordinal
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        read_iceberg_changes,
+    )
+    ch = read_iceberg_changes(spark, ice, 1, 2)
+    assert sorted(r.k for r in ch.collect()) == list(range(40, 55))
+    assert {r._change_type for r in ch.collect()} == {"insert"}
+
+
+def test_append_iceberg_respects_partition_spec(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        append_iceberg,
+        iceberg_source_range_filter,
+        live_data_files,
+    )
+
+    t = str(tmp_path / "ap")
+    base = spark.range(0, 40).select(F.col("id").alias("k"),
+                                     (F.col("id") % 4).alias("g"))
+    write_iceberg_table(spark, [base], t,
+                        partition_transforms=[("g_t", "truncate[2]", "g")])
+    add = spark.range(40, 60).select(F.col("id").alias("k"),
+                                     (F.col("id") % 4).alias("g"))
+    append_iceberg(spark, add, t)
+    meta = read_table_metadata(spark, t)
+    # appended entries carry transform partition values -> pruning works
+    filt = iceberg_source_range_filter(meta, "g", lo=2, hi=3)
+    pruned = live_data_files(spark, t, meta, partition_filter=filt)
+    assert pruned and all(f["partition"]["g_t"] == 2 for f in pruned)
+    got = read_iceberg_snapshot(spark, t, partition_filter=filt) \
+        .filter("g >= 2")
+    assert _ks(got) == [k for k in range(60) if k % 4 >= 2]
+
+
+def test_append_iceberg_schema_mismatch_and_race(spark, ice, monkeypatch):
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.sources import iceberg
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        IcebergCommitConflict,
+        append_iceberg,
+    )
+
+    bad = spark.range(5).select(F.col("id").alias("wrong"))
+    with pytest.raises(ValueError, match="does not match table schema"):
+        append_iceberg(spark, bad, ice)
+
+    # concurrent-append race: a racer lands v3 between this append's
+    # metadata read and its commit attempt — the rebase must retry at v4
+    # and the committed snapshot must contain BOTH appends' rows
+    df = spark.range(40, 50).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v"))
+    racer = spark.range(100, 105).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v"))
+    real_stage = iceberg._stage_commit
+    fired = {"done": False}
+
+    def stage_and_race(*args, **kwargs):
+        out = real_stage(*args, **kwargs)
+        if not fired["done"]:
+            fired["done"] = True
+            append_iceberg(spark, racer, ice, ts_ms=1700000010000)
+        return out
+
+    monkeypatch.setattr(iceberg, "_stage_commit", stage_and_race)
+    append_iceberg(spark, df, ice, ts_ms=1700000011000)
+    assert _ks(read_iceberg_snapshot(spark, ice)) == \
+        list(range(50)) + list(range(100, 105))
+
+
+def test_append_iceberg_race_aborts_on_spec_change(spark, ice, monkeypatch):
+    """A racer that changes the partition spec forces a restage, not a
+    silent commit of old-layout files."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.sources import iceberg
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        IcebergCommitConflict,
+        append_iceberg,
+    )
+
+    mdir = os.path.join(ice, "metadata")
+
+    real_stage = iceberg._stage_commit
+    fired = {"done": False}
+
+    def stage_and_respec(*args, **kwargs):
+        out = real_stage(*args, **kwargs)
+        if not fired["done"]:
+            fired["done"] = True
+            cur = int(open(os.path.join(mdir, "version-hint.text")).read())
+            meta = _json.load(open(os.path.join(mdir,
+                                                f"v{cur}.metadata.json")))
+            meta["partition-specs"] = [{"spec-id": 0, "fields": [
+                {"name": "k_b", "transform": "bucket[4]", "source-id": 1,
+                 "field-id": 1000}]}]
+            with open(os.path.join(mdir,
+                                   f"v{cur + 1}.metadata.json"), "w") as f:
+                _json.dump(meta, f)
+        return out
+
+    monkeypatch.setattr(iceberg, "_stage_commit", stage_and_respec)
+    df = spark.range(40, 45).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v"))
+    with pytest.raises(IcebergCommitConflict, match="partition spec"):
+        append_iceberg(spark, df, ice)
