@@ -38,6 +38,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: per-process count of automaton BUILDS — the amortization the cache
+#: exists for is "builds <= live worker processes, however many tasks";
+#: test_decontaminate pins that ratio through this counter.
+_BUILD_COUNT = {"n": 0}
+
 #: per-process automaton cache: broadcast id -> built automaton. Executors
 #: are long-lived Python workers; rebuilding per TASK would dominate at
 #: high task counts, rebuilding per BATCH would dominate everything.
@@ -127,13 +132,26 @@ def substring_hits_aho(corpus: DataFrame, id_col: str, text_col: str,
 
     id_type = dict(corpus.dtypes)[id_col]
     schema = f"{id_col} {id_type}, n_hits long"
+    score = _make_scorer(lambda: bc.value, cache_key, id_col, text_col,
+                         n_empty)
+    return (corpus.select(id_col, text_col)
+            .mapInPandas(score, schema))
 
+
+def _make_scorer(get_needles, cache_key: str, id_col: str, text_col: str,
+                 n_empty: int):
+    """The worker-side scoring generator, exported so the per-worker
+    amortization contract is directly testable: however many Arrow
+    batches (and however many mapInPandas TASKS in one process) flow
+    through, ``build_automaton`` runs at most once per needle set per
+    process — the cache, not the batch loop, owns the build."""
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         auto = _AUTOMATON_CACHE.get(cache_key)
         if auto is None:
-            auto = build_automaton(bc.value)
+            auto = build_automaton(get_needles())
             _AUTOMATON_CACHE.clear()  # one live automaton per worker
             _AUTOMATON_CACHE[cache_key] = auto
+            _BUILD_COUNT["n"] += 1  # per-process diagnostic (test-pinned)
         for pdf in batches:
             counts = [
                 count_distinct_matches(t, auto) + n_empty
@@ -142,8 +160,7 @@ def substring_hits_aho(corpus: DataFrame, id_col: str, text_col: str,
             yield pd.DataFrame({id_col: pdf[id_col],
                                 "n_hits": pd.Series(counts, dtype="int64")})
 
-    return (corpus.select(id_col, text_col)
-            .mapInPandas(score, schema))
+    return score
 
 
 def decontaminate_report_aho(corpus: DataFrame, id_col: str, text_col: str,

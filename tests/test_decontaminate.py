@@ -93,3 +93,47 @@ def test_aho_empty_canary_set(spark):
     d = spark.createDataFrame([(1, "anything")], "doc_id long, text string")
     out = substring_hits_aho(d, "doc_id", "text", []).collect()
     assert [(r.doc_id, r.n_hits) for r in out] == [(1, 0)]
+
+
+def test_aho_automaton_builds_once_per_worker():
+    """VERDICT r8 #9: the automaton must build once per worker PROCESS
+    per needle set — not once per Arrow batch and not once per
+    mapInPandas task. Drive the exported scorer exactly as a worker
+    does: many batches per task, many tasks per process; count builds
+    via the per-process diagnostic counter."""
+    import pandas as pd
+
+    from databricks_import_pyspark_scripts_spark.operators import (
+        decontaminate as d,
+    )
+
+    needles = [f"needle{i}" for i in range(7)]
+    key = "test-key-amortize"
+    d._AUTOMATON_CACHE.clear()
+    d._BUILD_COUNT["n"] = 0
+    scorer = d._make_scorer(lambda: needles, key, "id", "text", 0)
+
+    def batches(lo, n_batches, rows=8):
+        for b in range(n_batches):
+            base = lo + b * rows
+            yield pd.DataFrame({
+                "id": range(base, base + rows),
+                "text": [f"doc {i} needle{i % 7}"
+                         for i in range(base, base + rows)]})
+
+    # one "task": 32 batches -> exactly one build
+    out = pd.concat(list(scorer(batches(0, 32))))
+    assert len(out) == 256 and (out["n_hits"] == 1).all()
+    assert d._BUILD_COUNT["n"] == 1
+    # nine more "tasks" in the same process: still one build
+    for t in range(9):
+        pd.concat(list(scorer(batches(1000 * (t + 1), 4))))
+    assert d._BUILD_COUNT["n"] == 1
+    assert len(d._AUTOMATON_CACHE) == 1
+    # a DIFFERENT needle set evicts and rebuilds (one live automaton per
+    # worker, by design) — build count moves by exactly one
+    scorer2 = d._make_scorer(lambda: ["other"], "other-key", "id",
+                             "text", 0)
+    pd.concat(list(scorer2(batches(0, 2))))
+    assert d._BUILD_COUNT["n"] == 2
+    assert list(d._AUTOMATON_CACHE) == ["other-key"]
