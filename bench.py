@@ -129,6 +129,7 @@ HEADLINE = [
     "delta_type_widened_read",
     "iceberg_days_pruned_agg",
     "iceberg_append_roundtrip_agg",
+    "iceberg_eq_delete_agg",
 ]
 
 EXTENSION_ROWS = {
@@ -350,7 +351,8 @@ def main() -> int:
                "delta_writer_merge_agg", "iceberg_snapshot_agg",
                "iceberg_cdf_insert_feed", "iceberg_data_skipping_agg"}
     r9_rows = {"iceberg_mor_delete_agg", "delta_type_widened_read",
-               "iceberg_days_pruned_agg", "iceberg_append_roundtrip_agg"}
+               "iceberg_days_pruned_agg", "iceberg_append_roundtrip_agg",
+               "iceberg_eq_delete_agg"}
     # same membership as comparable_queries_sec (includes the unload e2e row)
     comp = [k for k in timings
             if k not in EXTENSION_ROWS and k not in stress

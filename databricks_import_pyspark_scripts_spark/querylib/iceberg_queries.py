@@ -330,3 +330,67 @@ def iceberg_append_roundtrip_agg(spark: SparkSession,
                         "sum_value"))
 
     return agg(ids[0], 0).unionAll(agg(ids[-1], 1))
+
+
+_EQ_BASE, _EQ_REINS = "event_id % 3 = 0", "event_id % 3 = 1"
+_EQ_DEAD_TYPE = "click"
+
+
+def _staged_eq_iceberg(spark: SparkSession, sf_dir: str) -> str:
+    """Staged Iceberg v2 table with an EQUALITY-delete history (the
+    Flink-CDC upsert shape): base snapshot (seq 1), an equality delete
+    on event_type='click' (seq 2), then an append RE-INSERTING click
+    rows (seq 3) — which must survive under the strictly-older rule."""
+    from ..sources.iceberg import (
+        append_iceberg,
+        write_iceberg_equality_deletes,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_iceberg_eq_gate_{tag}_v1")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        e = (load_table(spark, sf_dir, "events")
+             .select("event_id", "event_type", "value"))
+        write_iceberg_table(spark, [e.filter(F.expr(_EQ_BASE))], path)
+        write_iceberg_equality_deletes(
+            spark, path,
+            spark.createDataFrame([(_EQ_DEAD_TYPE,)],
+                                  "event_type string"),
+            ["event_type"])
+        append_iceberg(
+            spark, e.filter(F.expr(_EQ_REINS)
+                            & (F.col("event_type") == _EQ_DEAD_TYPE)),
+            path, ts_ms=1700000007000)
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "iceberg_eq_delete_agg",
+    f"""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    WHERE (({_EQ_BASE}) AND event_type <> '{_EQ_DEAD_TYPE}')
+       OR (({_EQ_REINS}) AND event_type = '{_EQ_DEAD_TYPE}')
+    GROUP BY event_type
+    """,
+    doc="Iceberg v2 EQUALITY deletes with sequence-number scoping: the "
+        "staged history is base (seq 1) -> equality delete of "
+        "event_type='click' (seq 2, content=2 delete parquet with "
+        "equality_ids) -> transactional append RE-INSERTING click rows "
+        "(seq 3). The reader anti-joins on null-safe key equality WITH "
+        "the strictly-older sequence comparison in the join condition, "
+        "so seq-1 click rows die while seq-3 click rows survive — the "
+        "CDC upsert semantics Flink writes. The oracle restates the "
+        "surviving set: wrong sequence scoping (deleting the re-insert, "
+        "or keeping the base) breaks both branches of the predicate.")
+def iceberg_eq_delete_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _staged_eq_iceberg(spark, sf_dir)
+    return (read_iceberg_snapshot(spark, path)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))

@@ -24,19 +24,24 @@ Implements the public Iceberg table spec (iceberg.apache.org/spec):
   (``spark.sql.parquet.fieldId.read.enabled``), so renames are free and
   entirely JVM-side.
 
-Merge-on-read v2 tables (content=1 delete manifests) are supported for
-POSITION deletes: the snapshot read anti-joins the data scan's
-``(_metadata.file_path, _metadata.row_index)`` against the delete files'
-``(file_path, pos)`` pairs — broadcast under a cardinality threshold,
-plain shuffle anti-join above it, so the delete side never has to fit on
-the driver (the same two-strategy model as the Delta reader's deletion
-vectors, ``delta_log.py:_apply_deletion_vectors``, except Iceberg keeps
-deletes in parquet so no driver-side bitmap decode exists at all).
+Merge-on-read v2 tables (content=1 delete manifests) are FULLY
+supported. POSITION deletes: the snapshot read anti-joins the data
+scan's ``(_metadata.file_path, _metadata.row_index)`` against the
+delete files' ``(file_path, pos)`` pairs — broadcast under a
+cardinality threshold, plain shuffle anti-join above it, so the delete
+side never has to fit on the driver (the same two-strategy model as
+the Delta reader's deletion vectors,
+``delta_log.py:_apply_deletion_vectors``, except Iceberg keeps deletes
+in parquet so no driver-side bitmap decode exists at all). EQUALITY
+deletes (content=2, the Flink-CDC upsert form): data rows
+null-safe-matching any delete row on the file's ``equality_ids``
+columns are dropped iff the data file's SEQUENCE NUMBER is strictly
+below the delete file's (v2 inheritance from the manifest list; a row
+re-inserted after the delete survives) — one anti-join per
+equality-ids group with the sequence comparison in the join condition.
 
-Deliberately unsupported, rejected loudly BEFORE any read (never a wrong
-answer): EQUALITY delete files (content=2 — need sequence-number-ordered
-predicate application), non-parquet data files, and the uuid/time column
-types.
+Deliberately unsupported, rejected loudly BEFORE any read (never a
+wrong answer): non-parquet data files and the uuid/time column types.
 
 The Avro container decoding is ``avro_codec.py`` — a from-scratch
 implementation of the public Avro spec (no avro library exists here).
@@ -476,19 +481,20 @@ def live_data_files(spark: SparkSession, table_path: str,
         spark, _resolve_path(table_path, snap["manifest-list"])))
     allow_deletes = deletes_out is not None
     pairs = [(_resolve_path(table_path, mf["manifest_path"]),
-              int(mf.get("content") or 0)) for mf in manifests]
+              int(mf.get("content") or 0),
+              int(mf.get("sequence_number") or 0)) for mf in manifests]
     if (len(pairs) >= ICEBERG_PARALLEL_MANIFEST_THRESHOLD
-            and all("://" not in p for p, _ in pairs)):
+            and all("://" not in p for p, _, _ in pairs)):
         groups = _parallel_manifest_records(
             spark, pairs, meta, partition_filter, stats_filter,
             allow_deletes)
     else:
         groups = []
-        for path, content in pairs:
+        for path, content, mf_seq in pairs:
             _, entries = read_container(_read_bytes(spark, path))
             groups.append(_sift_entries(content, entries, meta,
                                         partition_filter, stats_filter,
-                                        allow_deletes))
+                                        allow_deletes, mf_seq))
     out: list[dict] = []
     for data, dels, err in groups:
         if err is not None:
@@ -501,37 +507,48 @@ def live_data_files(spark: SparkSession, table_path: str,
 
 def _sift_entries(content: int, entries: list[dict], meta: dict,
                   partition_filter, stats_filter,
-                  allow_deletes: bool) -> tuple[list, list, str | None]:
+                  allow_deletes: bool,
+                  mf_seq: int = 0) -> tuple[list, list, str | None]:
     """Classify one manifest's live entries: (data_files, delete_files,
     error). Pure — runs identically on the driver and inside the
-    executor-parallel decode path, so the two can never disagree."""
+    executor-parallel decode path, so the two can never disagree.
+    Each returned record carries ``_seq``, its DATA SEQUENCE NUMBER
+    (the entry's own when present, else inherited from the manifest —
+    the v2 inheritance rule) — what equality deletes' strictly-older
+    scoping compares."""
     live = [e for e in entries
             if int(e.get("status") or 0) != STATUS_DELETED]
     data: list[dict] = []
     dels: list[dict] = []
+
+    def _rec(e: dict) -> dict:
+        df = dict(e["data_file"])
+        own = e.get("sequence_number")
+        df["_seq"] = int(own) if own is not None else mf_seq
+        return df
+
     if content == 1:
         if live and not allow_deletes:
             return [], [], ("table has row-level delete files "
                             "(merge-on-read); this code path cannot "
                             "apply them")
         for e in live:
-            df = e["data_file"]
+            df = _rec(e)
             dcontent = int(df.get("content") or 0)
-            if dcontent == 2:
-                return [], [], ("table has EQUALITY delete files "
-                                "(content=2); only position deletes are "
-                                "applied")
-            if dcontent != 1:
+            if dcontent not in (1, 2):
                 return [], [], (f"delete manifest entry with data_file."
                                 f"content={dcontent} (expected 1 = "
-                                f"position deletes)")
+                                f"position / 2 = equality deletes)")
+            if dcontent == 2 and not df.get("equality_ids"):
+                return [], [], ("equality delete file carries no "
+                                "equality_ids; rows cannot be matched")
             fmt = (df.get("file_format") or "PARQUET").upper()
             if fmt != "PARQUET":
                 return [], [], f"non-parquet delete file format {fmt!r}"
             dels.append(df)
         return data, dels, None
     for e in live:
-        df = e["data_file"]
+        df = _rec(e)
         fmt = (df.get("file_format") or "PARQUET").upper()
         if fmt != "PARQUET":
             return [], [], f"non-parquet data file format {fmt!r}"
@@ -566,18 +583,20 @@ def _parallel_manifest_records(spark: SparkSession,
 
     n = max(1, min(len(pairs),
                    spark.sparkContext.defaultParallelism * 2))
-    src = spark.createDataFrame(pairs, "path string, content int")
+    src = spark.createDataFrame(pairs,
+                                "path string, content int, mf_seq long")
 
     def decode(batches):
         from .avro_codec import read_container as rc
         for pdf in batches:
             blobs = []
-            for path, content in zip(pdf["path"], pdf["content"]):
+            for path, content, mf_seq in zip(pdf["path"], pdf["content"],
+                                             pdf["mf_seq"]):
                 with open(path, "rb") as f:
                     _, entries = rc(f.read())
                 blobs.append(pickle.dumps(_sift_entries(
                     int(content), entries, meta, partition_filter,
-                    stats_filter, allow_deletes)))
+                    stats_filter, allow_deletes, int(mf_seq))))
             yield pd.DataFrame({"blob": blobs})
 
     rows = (src.repartition(n).mapInPandas(decode, "blob binary")
@@ -674,13 +693,6 @@ def _apply_position_deletes(spark: SparkSession, df: DataFrame,
     delete file already references — file names embed UUIDs."""
     from pyspark.sql import functions as F
 
-    bases = [_resolve_path(table_path, f["file_path"]).rstrip("/")
-             for f in data_files]
-    keys = ["/".join(b.split("/")[-2:]) for b in bases]
-    if len(set(keys)) != len(keys):
-        raise IcebergProtocolError(
-            "file basename collision in a merge-on-read snapshot; delete "
-            "rows cannot be attributed to data files unambiguously")
     dpaths = sorted({_resolve_path(table_path, f["file_path"])
                      for f in delete_files})
     cardinality = sum(int(f.get("record_count") or 0)
@@ -691,8 +703,102 @@ def _apply_position_deletes(spark: SparkSession, df: DataFrame,
     from .delta_log import DV_ANTIJOIN_MAX_ROWS
     if cardinality <= DV_ANTIJOIN_MAX_ROWS:
         dels = F.broadcast(dels)
-    return (df.join(dels, [_POS_KEY, _POS_IDX], "left_anti")
-            .drop(_POS_KEY, _POS_IDX))
+    return df.join(dels, [_POS_KEY, _POS_IDX], "left_anti")
+
+
+def _file_key(table_path: str, f: dict) -> str:
+    return "/".join(_resolve_path(table_path, f["file_path"])
+                    .rstrip("/").split("/")[-2:])
+
+
+def _apply_equality_deletes(spark: SparkSession, df: DataFrame,
+                            table_path: str, data_files: list[dict],
+                            eq_files: list[dict], meta: dict) -> DataFrame:
+    """Apply EQUALITY delete files (content=2): a data row is deleted
+    when its values on the delete file's ``equality_ids`` columns
+    null-safe-equal any delete row AND the data file's sequence number
+    is STRICTLY LESS than the delete file's — the v2 strictly-older
+    rule, which is what lets a row re-inserted AFTER the delete survive
+    (CDC upsert semantics). Delete files group by their equality_ids
+    set; each group is one anti-join with the sequence comparison in
+    the join condition. The delete side is an executor parquet scan
+    (broadcast under the DV cardinality threshold), never collected —
+    equality deletes are typically CDC-sized, but nothing here requires
+    it."""
+    from pyspark.sql import functions as F
+
+    from .delta_log import DV_ANTIJOIN_MAX_ROWS
+
+    # per-row DATA sequence number, attached from a broadcast
+    # file-key -> seq map (collision-checked by the caller)
+    seq_rows = [(_file_key(table_path, f), int(f.get("_seq") or 0))
+                for f in data_files]
+    seq_map = spark.createDataFrame(
+        seq_rows, f"{_POS_KEY} string, __iceberg_data_seq long")
+    out = df.join(F.broadcast(seq_map), _POS_KEY, "left")
+
+    id_fields = {int(f["id"]): f
+                 for f in _current_schema(meta)["fields"]
+                 if isinstance(f["type"], str)}
+    groups: dict[tuple, list[dict]] = {}
+    for d in eq_files:
+        ids = tuple(sorted(int(i) for i in d["equality_ids"]))
+        groups.setdefault(ids, []).append(d)
+    for ids, dfiles in sorted(groups.items()):
+        missing = [i for i in ids if i not in id_fields]
+        if missing:
+            raise IcebergProtocolError(
+                f"equality_ids reference unknown/nested field ids "
+                f"{missing}")
+        sub_fields = [id_fields[i] for i in ids]
+        names = [f["name"] for f in sub_fields]
+        sub_schema = T.StructType([_field(f) for f in sub_fields])
+        dpaths = sorted({_resolve_path(table_path, d["file_path"])
+                         for d in dfiles})
+        dseq_rows = [(_file_key(table_path, d), int(d.get("_seq") or 0))
+                     for d in dfiles]
+        dseq_map = spark.createDataFrame(
+            dseq_rows, "__iceberg_del_key string, __iceberg_del_seq long")
+        dels = (spark.read.schema(sub_schema).parquet(*dpaths)
+                .select(*[F.col(n).alias(f"__del_{n}") for n in names],
+                        _file_key_expr(F.col("_metadata.file_path"))
+                        .alias("__iceberg_del_key"))
+                .join(F.broadcast(dseq_map), "__iceberg_del_key")
+                .drop("__iceberg_del_key"))
+        cardinality = sum(int(d.get("record_count") or 0)
+                          for d in dfiles)
+        if cardinality <= DV_ANTIJOIN_MAX_ROWS:
+            dels = F.broadcast(dels)
+        cond = dels["__iceberg_del_seq"] > F.coalesce(
+            out["__iceberg_data_seq"], F.lit(0))
+        for n in names:
+            cond = cond & out[n].eqNullSafe(dels[f"__del_{n}"])
+        out = out.join(dels, cond, "left_anti")
+    return out.drop("__iceberg_data_seq")
+
+
+def _apply_row_deletes(spark: SparkSession, keyed: DataFrame,
+                       table_path: str, data_files: list[dict],
+                       deletes: list[dict], meta: dict) -> DataFrame:
+    """Dispatch position (content=1) and equality (content=2) delete
+    files over a scan carrying ``_POS_KEY``/``_POS_IDX``; drops the
+    helper columns. The 2-segment file-key collision check guards BOTH
+    attributions."""
+    keys = [_file_key(table_path, f) for f in data_files]
+    if len(set(keys)) != len(keys):
+        raise IcebergProtocolError(
+            "file basename collision in a merge-on-read snapshot; delete "
+            "rows cannot be attributed to data files unambiguously")
+    pos = [d for d in deletes if int(d.get("content") or 0) == 1]
+    eq = [d for d in deletes if int(d.get("content") or 0) == 2]
+    out = keyed
+    if pos:
+        out = _apply_position_deletes(spark, out, table_path, data_files,
+                                      pos)
+    if eq:
+        out = _apply_equality_deletes(spark, out, table_path, data_files,
+                                      eq, meta)
+    return out.drop(_POS_KEY, _POS_IDX)
 
 
 def read_iceberg_snapshot(spark: SparkSession, table_path: str,
@@ -740,7 +846,8 @@ def read_iceberg_snapshot(spark: SparkSession, table_path: str,
         "*",
         _file_key_expr(F.col("_metadata.file_path")).alias(_POS_KEY),
         F.col("_metadata.row_index").alias(_POS_IDX))
-    return _apply_position_deletes(spark, keyed, table_path, files, deletes)
+    return _apply_row_deletes(spark, keyed, table_path, files, deletes,
+                              meta)
 
 
 def iceberg_snapshot_ids(spark: SparkSession, table_path: str) -> list[dict]:
@@ -791,7 +898,10 @@ def _manifest_entry_schema(partition_fields: list[dict] | None = None):
                      "type": copy.deepcopy(_BOUNDS_AVRO)},
                     {"name": "upper_bounds", "type": [
                         "null", {"type": "array", "items": "kv_bounds"}]},
+                    {"name": "equality_ids", "type": [
+                        "null", {"type": "array", "items": "int"}]},
                 ]}},
+            {"name": "sequence_number", "type": ["null", "long"]},
         ]}
 
 
@@ -805,6 +915,11 @@ _MANIFEST_FILE_SCHEMA = {
         {"name": "partition_spec_id", "type": "int"},
         {"name": "content", "type": "int"},
         {"name": "added_snapshot_id", "type": ["null", "long"]},
+        # v2 sequence numbers: entries with null sequence_number INHERIT
+        # the manifest's — the strictly-older rule equality deletes
+        # apply by (older staged layouts decode as null -> seq 0)
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {"name": "min_sequence_number", "type": ["null", "long"]},
     ]}
 
 
@@ -1081,16 +1196,20 @@ def write_iceberg_table(spark: SparkSession, commits: list[DataFrame],
         all_manifests.append({"manifest_path": mpath,
                               "manifest_length": len(blob),
                               "partition_spec_id": 0, "content": 0,
-                              "added_snapshot_id": snap_id})
+                              "added_snapshot_id": snap_id,
+                              "sequence_number": v + 1,
+                              "min_sequence_number": v + 1})
         mlpath = os.path.join(mdir, f"snap-{snap_id}.avro")
         with open(mlpath, "wb") as f:
             f.write(write_container(_MANIFEST_FILE_SCHEMA,
                                     list(all_manifests)))
         snapshots.append({"snapshot-id": snap_id, "timestamp-ms": ts,
+                          "sequence-number": v + 1,
                           "manifest-list": mlpath,
                           "summary": {"operation": "append"}})
         meta = {
             "format-version": 2,
+            "last-sequence-number": v + 1,
             "table-uuid": "00000000-0000-0000-0000-00000000s1ce"[:36],
             "location": root,
             "last-updated-ms": ts,
@@ -1193,6 +1312,7 @@ def append_iceberg(spark: SparkSession, df: DataFrame, table_path: str,
     ts = meta.get("last-updated-ms", 0) + 1 if ts_ms is None else int(ts_ms)
     snap_id = max((int(sn["snapshot-id"])
                    for sn in meta.get("snapshots") or []), default=999) + 1
+    seq = int(meta.get("last-sequence-number") or 0) + 1
     tag = f"a{_uuid.uuid4().hex[:12]}"
     entries = _stage_commit(spark, ordered, root, schema_fields,
                             part_fields, snap_id, tag)
@@ -1202,7 +1322,8 @@ def append_iceberg(spark: SparkSession, df: DataFrame, table_path: str,
         f.write(blob)
     new_manifest = {"manifest_path": mpath, "manifest_length": len(blob),
                     "partition_spec_id": sid, "content": 0,
-                    "added_snapshot_id": snap_id}
+                    "added_snapshot_id": snap_id,
+                    "sequence_number": seq, "min_sequence_number": seq}
 
     for _ in range(max_retries + 1):
         snap = meta.get("current-snapshot-id")
@@ -1218,9 +1339,11 @@ def append_iceberg(spark: SparkSession, df: DataFrame, table_path: str,
         new_meta = dict(meta)
         new_meta["snapshots"] = list(meta.get("snapshots") or []) + [{
             "snapshot-id": snap_id, "timestamp-ms": ts,
+            "sequence-number": seq,
             "manifest-list": mlpath, "summary": {"operation": "append"}}]
         new_meta["current-snapshot-id"] = snap_id
         new_meta["last-updated-ms"] = ts
+        new_meta["last-sequence-number"] = seq
         target = os.path.join(mdir, f"v{v + 1}.metadata.json")
         if _atomic_create(spark, target,
                           json.dumps(new_meta).encode("utf-8")):
@@ -1244,6 +1367,9 @@ def append_iceberg(spark: SparkSession, df: DataFrame, table_path: str,
         snap_id = max((int(sn["snapshot-id"])
                        for sn in meta.get("snapshots") or []),
                       default=999) + 1
+        seq = int(meta.get("last-sequence-number") or 0) + 1
+        new_manifest["sequence_number"] = seq
+        new_manifest["min_sequence_number"] = seq
         for e in entries:
             e["snapshot_id"] = snap_id
         blob = write_container(_manifest_entry_schema(part_fields),
@@ -1302,13 +1428,14 @@ def write_iceberg_position_deletes(spark: SparkSession, table_path: str,
         keyed = cur.select(
             "*", _file_key_expr(F.col("f")).alias(_POS_KEY),
             F.col("p").alias(_POS_IDX))
-        cur = _apply_position_deletes(spark, keyed, table_path, files,
-                                      deletes)
+        cur = _apply_row_deletes(spark, keyed, table_path, files,
+                                 deletes, meta)
     doomed = cur.filter(F.expr(predicate_sql)).select("f", "p").collect()
     pairs = sorted((re.sub(r"^file:/+", "/", unquote(r["f"])), int(r["p"]))
                    for r in doomed)
 
     new_snap = max(int(s["snapshot-id"]) for s in meta["snapshots"]) + 1
+    new_seq = int(meta.get("last-sequence-number") or 0) + 1
     ts = (snap.get("timestamp-ms") or 0) + 1000
     dpath = os.path.join(root, "data", f"delete-{new_snap}.parquet")
     pq.write_table(pa.table(
@@ -1335,15 +1462,18 @@ def write_iceberg_position_deletes(spark: SparkSession, table_path: str,
     all_manifests = list(manifests) + [{
         "manifest_path": mpath, "manifest_length": len(blob),
         "partition_spec_id": 0, "content": 1,
-        "added_snapshot_id": new_snap}]
+        "added_snapshot_id": new_snap,
+        "sequence_number": new_seq, "min_sequence_number": new_seq}]
     with open(mlpath, "wb") as f:
         f.write(write_container(_MANIFEST_FILE_SCHEMA, all_manifests))
     meta = dict(meta)
     meta["snapshots"] = list(meta["snapshots"]) + [{
         "snapshot-id": new_snap, "timestamp-ms": ts,
+        "sequence-number": new_seq,
         "manifest-list": mlpath, "summary": {"operation": "delete"}}]
     meta["current-snapshot-id"] = new_snap
     meta["last-updated-ms"] = ts
+    meta["last-sequence-number"] = new_seq
     hint = os.path.join(mdir, "version-hint.text")
     v = int(open(hint).read().strip()) + 1
     with open(os.path.join(mdir, f"v{v}.metadata.json"), "w") as f:
@@ -1351,6 +1481,110 @@ def write_iceberg_position_deletes(spark: SparkSession, table_path: str,
     with open(hint, "w") as f:
         f.write(str(v))
     return new_snap
+
+
+def _commit_delete_snapshot(spark: SparkSession, table_path: str,
+                            entry: dict, op_summary: str) -> int:
+    """Shared staging commit for row-delete snapshots: content=1
+    manifest with ``entry``, new manifest list (prior manifests +
+    this one, sequence-stamped), new metadata version + hint."""
+    root = _strip_scheme(table_path)
+    mdir = os.path.join(root, METADATA_DIR)
+    meta = read_table_metadata(spark, table_path)
+    snap = _snapshot(meta, None)
+    _, manifests = read_container(_read_bytes(
+        spark, _resolve_path(table_path, snap["manifest-list"])))
+    new_snap = max(int(sn["snapshot-id"]) for sn in meta["snapshots"]) + 1
+    new_seq = int(meta.get("last-sequence-number") or 0) + 1
+    ts = (snap.get("timestamp-ms") or 0) + 1000
+    entry = {**entry, "snapshot_id": new_snap}
+    mpath = os.path.join(mdir, f"manifest-del-{new_snap}.avro")
+    blob = write_container(_manifest_entry_schema(), [entry])
+    with open(mpath, "wb") as f:
+        f.write(blob)
+    mlpath = os.path.join(mdir, f"snap-{new_snap}.avro")
+    all_manifests = list(manifests) + [{
+        "manifest_path": mpath, "manifest_length": len(blob),
+        "partition_spec_id": 0, "content": 1,
+        "added_snapshot_id": new_snap,
+        "sequence_number": new_seq, "min_sequence_number": new_seq}]
+    with open(mlpath, "wb") as f:
+        f.write(write_container(_MANIFEST_FILE_SCHEMA, all_manifests))
+    meta = dict(meta)
+    meta["snapshots"] = list(meta["snapshots"]) + [{
+        "snapshot-id": new_snap, "timestamp-ms": ts,
+        "sequence-number": new_seq,
+        "manifest-list": mlpath, "summary": {"operation": op_summary}}]
+    meta["current-snapshot-id"] = new_snap
+    meta["last-updated-ms"] = ts
+    meta["last-sequence-number"] = new_seq
+    hint = os.path.join(mdir, "version-hint.text")
+    v = int(open(hint).read().strip()) + 1
+    with open(os.path.join(mdir, f"v{v}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(hint, "w") as f:
+        f.write(str(v))
+    return new_snap
+
+
+def write_iceberg_equality_deletes(spark: SparkSession, table_path: str,
+                                   delete_rows: DataFrame,
+                                   equality_cols: list[str]) -> int:
+    """Append one EQUALITY delete snapshot: ``delete_rows`` (one row per
+    deleted key, columns exactly ``equality_cols``) becomes a content=2
+    delete parquet carrying the schema's field ids, referenced by a
+    content=1 delete manifest with ``equality_ids``. The snapshot's
+    sequence number scopes it: data files committed at or after it are
+    NOT affected (the v2 strictly-older rule a CDC upsert relies on).
+    Same staging scope as ``write_iceberg_position_deletes`` — the
+    delete frame collects driver-side (CDC-key-sized by contract)."""
+    if not _is_local(table_path):
+        raise NotImplementedError(
+            "write_iceberg_equality_deletes is a local staging utility")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = _strip_scheme(table_path)
+    meta = read_table_metadata(spark, table_path)
+    fields = {f["name"]: f for f in _current_schema(meta)["fields"]
+              if isinstance(f["type"], str)}
+    missing = [c for c in equality_cols if c not in fields]
+    if missing:
+        raise ValueError(f"equality columns {missing} absent from the "
+                         f"table schema")
+    if sorted(delete_rows.columns) != sorted(equality_cols):
+        raise ValueError("delete_rows columns must be exactly "
+                         "equality_cols")
+    eq_ids = [int(fields[c]["id"]) for c in equality_cols]
+    pdf = delete_rows.select(*equality_cols).distinct().toPandas()
+    new_snap = max(int(sn["snapshot-id"])
+                   for sn in meta["snapshots"]) + 1
+    dpath = os.path.join(root, "data", f"eq-delete-{new_snap}.parquet")
+    # arrow types from the TABLE schema, never pandas inference (an
+    # all-NULL key column would otherwise infer float64 and the read
+    # fail on parquet type mismatch)
+    _pa_of = {"long": pa.int64(), "int": pa.int32(),
+              "double": pa.float64(), "float": pa.float32(),
+              "string": pa.string(), "boolean": pa.bool_(),
+              "date": pa.date32(), "timestamptz": pa.timestamp("us"),
+              "timestamp": pa.timestamp("us")}
+    arrow_schema = pa.schema([
+        pa.field(c, _pa_of.get(fields[c]["type"], pa.string()),
+                 metadata={b"PARQUET:field_id":
+                           str(fields[c]["id"]).encode()})
+        for c in equality_cols])
+    pq.write_table(pa.Table.from_pandas(pdf, schema=arrow_schema,
+                                        preserve_index=False), dpath)
+    entry = {"status": STATUS_ADDED,
+             "data_file": {
+                 "content": 2, "file_path": dpath,
+                 "file_format": "PARQUET", "partition": {},
+                 "record_count": len(pdf),
+                 "file_size_in_bytes": os.path.getsize(dpath),
+                 "lower_bounds": None, "upper_bounds": None,
+                 "equality_ids": eq_ids}}
+    return _commit_delete_snapshot(spark, table_path, entry,
+                                   "overwrite")
 
 
 # ---------------------------------------------------------------------------

@@ -117,14 +117,6 @@ def _append_delete_manifest(ice: str, content: int) -> None:
         f.write(write_container(_MANIFEST_FILE_SCHEMA, manifests))
 
 
-def test_equality_delete_manifest_rejected(spark, ice):
-    """Equality deletes (data_file.content=2) are not applied — reject
-    loudly BEFORE any scan, never a wrong answer."""
-    _append_delete_manifest(ice, content=2)
-    with pytest.raises(IcebergProtocolError, match="EQUALITY"):
-        read_iceberg_snapshot(spark, ice)
-
-
 def test_change_feed_rejects_mor_tables(spark, ice):
     """The change synthesizer diffs whole-file live sets, which cannot
     represent row-level deletes — a MoR snapshot in range rejects loudly
@@ -767,9 +759,9 @@ def test_parallel_manifest_decode_matches_serial(spark, tmp_path,
     monkeypatch.setattr(iceberg, "ICEBERG_PARALLEL_MANIFEST_THRESHOLD", 1)
     got = _ks(read_iceberg_snapshot(spark, t))
     assert got == [k for k in range(40) if k % 7 != 0]
-    # protocol errors surface identically (equality delete injected)
+    # protocol errors surface identically (ids-less equality delete)
     _append_delete_manifest(t, content=2)
-    with pytest.raises(IcebergProtocolError, match="EQUALITY"):
+    with pytest.raises(IcebergProtocolError, match="equality_ids"):
         read_iceberg_snapshot(spark, t)
 
 
@@ -973,3 +965,105 @@ def test_append_iceberg_race_aborts_on_spec_change(spark, ice, monkeypatch):
         F.col("id").alias("k"), F.col("id").cast("double").alias("v"))
     with pytest.raises(IcebergCommitConflict, match="partition spec"):
         append_iceberg(spark, df, ice)
+
+
+# ---------------------------------------------------------------------------
+# equality deletes (content=2) with sequence-number scoping
+
+
+def test_equality_deletes_applied_with_sequence_scoping(spark, tmp_path):
+    """CDC upsert shape: rows matching the equality key are deleted from
+    files OLDER than the delete; a re-insert AFTER the delete survives
+    (strictly-older rule on v2 sequence numbers)."""
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        append_iceberg,
+        write_iceberg_equality_deletes,
+    )
+
+    t = str(tmp_path / "eq")
+    base = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("g"))
+    write_iceberg_table(spark, [base], t)            # seq 1
+    dels = spark.createDataFrame([(1,), (3,)], "g long")
+    write_iceberg_equality_deletes(spark, t, dels, ["g"])   # seq 2
+    got = _ks(read_iceberg_snapshot(spark, t))
+    assert got == [k for k in range(40) if k % 4 in (0, 2)]
+    # re-insert g=1 rows AFTER the delete: they must survive (seq 3 > 2)
+    reins = spark.range(100, 110).select(
+        F.col("id").alias("k"), F.lit(1).cast("long").alias("g"))
+    append_iceberg(spark, reins, t)
+    got2 = _ks(read_iceberg_snapshot(spark, t))
+    assert got2 == [k for k in range(40) if k % 4 in (0, 2)] + \
+        list(range(100, 110))
+    # time travel to the pre-delete snapshot: everything intact
+    assert len(_ks(read_iceberg_snapshot(spark, t, snapshot_id=1000))) == 40
+
+
+def test_equality_deletes_null_key_semantics(spark, tmp_path):
+    """A delete row with a NULL key value matches NULL-keyed data rows
+    (null-safe equality), never non-null ones."""
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        write_iceberg_equality_deletes,
+    )
+
+    t = str(tmp_path / "eqnull")
+    base = spark.range(0, 12).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, F.lit(None))
+        .otherwise(F.col("id") % 3).cast("long").alias("g"))
+    write_iceberg_table(spark, [base], t)
+    dels = spark.createDataFrame([(None,)], "g long")
+    write_iceberg_equality_deletes(spark, t, dels, ["g"])
+    got = _ks(read_iceberg_snapshot(spark, t))
+    assert got == [k for k in range(12) if k % 3 != 0]
+
+
+def test_equality_and_position_deletes_compose(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        write_iceberg_equality_deletes,
+        write_iceberg_position_deletes,
+    )
+
+    t = str(tmp_path / "both")
+    base = spark.range(0, 60).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("g"))
+    write_iceberg_table(spark, [base.repartition(3)], t)
+    write_iceberg_position_deletes(spark, t, "k % 4 = 0")
+    write_iceberg_equality_deletes(
+        spark, t, spark.createDataFrame([(2,)], "g long"), ["g"])
+    got = _ks(read_iceberg_snapshot(spark, t))
+    assert got == [k for k in range(60)
+                   if k % 4 != 0 and k % 5 != 2]
+
+
+def test_equality_delete_multi_column_key(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        write_iceberg_equality_deletes,
+    )
+
+    t = str(tmp_path / "eqmulti")
+    base = spark.range(0, 24).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("a"),
+        (F.col("id") % 2).alias("b"))
+    write_iceberg_table(spark, [base], t)
+    dels = spark.createDataFrame([(1, 0), (2, 1)], "a long, b long")
+    write_iceberg_equality_deletes(spark, t, dels, ["a", "b"])
+    got = _ks(read_iceberg_snapshot(spark, t))
+    assert got == [k for k in range(24)
+                   if not ((k % 3, k % 2) in ((1, 0), (2, 1)))]
+
+
+def test_equality_delete_without_ids_rejected(spark, ice):
+    """A content=2 delete entry with no equality_ids cannot be matched —
+    loud rejection, never a silent full-keep."""
+    _append_delete_manifest(ice, content=2)
+    with pytest.raises(IcebergProtocolError, match="equality_ids"):
+        read_iceberg_snapshot(spark, ice)
