@@ -35,6 +35,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--maintenance",
                    choices=("optimize", "vacuum", "drift", "neardup-index",
                             "delta-ingest", "iceberg-ingest",
+                            "iceberg-append",
                             "delta-optimize", "delta-vacuum",
                             "delta-checkpoint"),
                    help="run a table-maintenance operation instead of an "
@@ -56,10 +57,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "maintenance verbs on a REAL Delta table dir "
                         "(<source-root>/<table>): bin-packing compaction "
                         "(optionally --zorder-by), retention vacuum "
-                        "(--retention-hours), classic checkpoint")
+                        "(--retention-hours), classic checkpoint; "
+                        "iceberg-append = TRANSACTIONAL append of the "
+                        "parquet/json rows at --append-input to a REAL "
+                        "Iceberg table dir (<source-root>/<table>): "
+                        "CAS-committed v<N+1> metadata, concurrent "
+                        "appends race safely")
     p.add_argument("--state-path", default=None,
                    help="delta-ingest: high-water-mark file (created on "
                         "first tick)")
+    p.add_argument("--append-input", default=None,
+                   help="iceberg-append: parquet dir/file (or .json) of "
+                        "rows to append")
     p.add_argument("--id-col", default="doc_id",
                    help="neardup-index: document id column")
     p.add_argument("--text-col", default="text",
@@ -144,6 +153,10 @@ def _run_maintenance(args) -> int:
         print("--output-path and --state-path are required for "
               f"{args.maintenance}", file=sys.stderr)
         return 2
+    if args.maintenance == "iceberg-append" and not args.append_input:
+        print("--append-input is required for iceberg-append",
+              file=sys.stderr)
+        return 2
     if args.maintenance == "drift" and (args.drift_from is None
                                         or args.drift_to is None):
         print("--drift-from/--drift-to are required for drift",
@@ -212,6 +225,18 @@ def _run_maintenance(args) -> int:
         hwm = ingest(spark, table_path, args.state_path, apply_fn)
         report = {"table": args.table, "high_water_mark": hwm,
                   "new_data": bool(written), **written}
+    elif args.maintenance == "iceberg-append":
+        from .sources.iceberg import append_iceberg, iceberg_snapshot_ids
+
+        table_path = f"{args.source_root}/{args.table}"
+        reader = (spark.read.json if args.append_input.endswith(".json")
+                  else spark.read.parquet)
+        df = reader(args.append_input)
+        snap = append_iceberg(spark, df, table_path)
+        report = {"table": args.table, "snapshot_id": snap,
+                  "rows_appended": df.count(),
+                  "snapshots": len(iceberg_snapshot_ids(spark,
+                                                        table_path))}
     elif args.maintenance == "delta-optimize":
         from .sinks.delta_writer import optimize_delta
         from .sources.delta_log import replay_log

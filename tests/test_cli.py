@@ -331,3 +331,36 @@ def test_cli_iceberg_ingest_tick(spark, tmp_path):
     assert spark.read.parquet(f"{out}/range=0-1").count() == 12
     rep2 = tick()
     assert rep2["high_water_mark"] == 1 and not rep2["new_data"]
+
+
+def test_cli_iceberg_append(spark, tmp_path):
+    """iceberg-append subprocess e2e: rows from a parquet input land as a
+    new CAS-committed snapshot; the reader sees base + appended."""
+    import os
+
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        read_iceberg_snapshot,
+        write_iceberg_table,
+    )
+
+    root = str(tmp_path / "root")
+    a = spark.range(0, 9).selectExpr("id AS k", "CAST(id AS double) AS v")
+    write_iceberg_table(spark, [a], f"{root}/tbl")
+    add = spark.range(9, 14).selectExpr("id AS k", "CAST(id AS double) AS v")
+    src = str(tmp_path / "add_rows")
+    add.coalesce(1).write.parquet(src)
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "databricks_import_pyspark_scripts_spark.cli",
+         "--source-root", root, "--table", "tbl",
+         "--maintenance", "iceberg-append", "--append-input", src],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        env={"SPARK_GRAFT_CPUS": "4", "PATH": "/usr/bin:/bin",
+             "HOME": "/root",
+             "JAVA_HOME": os.environ.get("JAVA_HOME", "")})
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rep = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert rep["rows_appended"] == 5 and rep["snapshots"] == 2
+    got = sorted(r.k for r in
+                 read_iceberg_snapshot(spark, f"{root}/tbl").collect())
+    assert got == list(range(14))
