@@ -130,6 +130,7 @@ HEADLINE = [
     "iceberg_days_pruned_agg",
     "iceberg_append_roundtrip_agg",
     "iceberg_eq_delete_agg",
+    "iceberg_mor_cdf_feed",
 ]
 
 EXTENSION_ROWS = {
@@ -352,7 +353,7 @@ def main() -> int:
                "iceberg_cdf_insert_feed", "iceberg_data_skipping_agg"}
     r9_rows = {"iceberg_mor_delete_agg", "delta_type_widened_read",
                "iceberg_days_pruned_agg", "iceberg_append_roundtrip_agg",
-               "iceberg_eq_delete_agg"}
+               "iceberg_eq_delete_agg", "iceberg_mor_cdf_feed"}
     # same membership as comparable_queries_sec (includes the unload e2e row)
     comp = [k for k in timings
             if k not in EXTENSION_ROWS and k not in stress

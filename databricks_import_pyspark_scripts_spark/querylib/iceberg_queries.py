@@ -394,3 +394,28 @@ def iceberg_eq_delete_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("event_type")
             .agg(F.count("*").alias("n"),
                  F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+@register(
+    "iceberg_mor_cdf_feed",
+    f"""
+    SELECT event_id, event_type, ROUND(value, 4) AS value,
+           'delete' AS change_type, 1 AS commit_version
+    FROM events WHERE {_MOR_DEAD}
+    """,
+    doc="Change feed over a MERGE-ON-READ ordinal step: the staged MoR "
+        "table's (0, 1] range diffs EFFECTIVE row sets on the physical "
+        "row identity (file key, row index), so the position-delete "
+        "snapshot surfaces as delete rows for exactly the rows it "
+        "killed — no whole-file over-approximation, no re-reporting. "
+        "Oracle restates the killed set; row-level comparison.")
+def iceberg_mor_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.iceberg import read_iceberg_changes
+
+    path = _staged_mor_iceberg(spark, sf_dir)
+    ch = read_iceberg_changes(spark, path, 0, 1)
+    return ch.select(
+        "event_id", "event_type",
+        F.round(F.col("value"), 4).alias("value"),
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").cast("int").alias("commit_version"))

@@ -779,11 +779,13 @@ def _apply_equality_deletes(spark: SparkSession, df: DataFrame,
 
 def _apply_row_deletes(spark: SparkSession, keyed: DataFrame,
                        table_path: str, data_files: list[dict],
-                       deletes: list[dict], meta: dict) -> DataFrame:
+                       deletes: list[dict], meta: dict,
+                       drop_helpers: bool = True) -> DataFrame:
     """Dispatch position (content=1) and equality (content=2) delete
     files over a scan carrying ``_POS_KEY``/``_POS_IDX``; drops the
-    helper columns. The 2-segment file-key collision check guards BOTH
-    attributions."""
+    helper columns unless the caller still needs the row identity (the
+    change-feed diff does). The 2-segment file-key collision check
+    guards BOTH attributions."""
     keys = [_file_key(table_path, f) for f in data_files]
     if len(set(keys)) != len(keys):
         raise IcebergProtocolError(
@@ -798,7 +800,7 @@ def _apply_row_deletes(spark: SparkSession, keyed: DataFrame,
     if eq:
         out = _apply_equality_deletes(spark, out, table_path, data_files,
                                       eq, meta)
-    return out.drop(_POS_KEY, _POS_IDX)
+    return out.drop(_POS_KEY, _POS_IDX) if drop_helpers else out
 
 
 def read_iceberg_snapshot(spark: SparkSession, table_path: str,
@@ -1607,12 +1609,23 @@ def read_iceberg_changes(spark: SparkSession, table_path: str,
     dropped — that raises loudly and the caller's retry ladder downgrades
     to latest-only). Row-level rewrites (a file replaced by a trimmed
     copy) appear as full-file delete + insert pairs, the same
-    over-approximation Delta's fallback makes; tables written by
-    merge-on-read are rejected at ``live_data_files``.
+    over-approximation Delta's fallback makes.
 
-    All versions batch into at most two scans (inserts / deletes) with
-    the ordinal attached from a broadcast file map — never one scan per
-    snapshot.
+    MERGE-ON-READ snapshots compose: an ordinal step where either side
+    carries live delete files diffs the EFFECTIVE row sets instead — a
+    row's identity is its physical position (file key, row index), so
+    ``effective(o) anti-join effective(o-1)`` on that identity yields
+    exactly the inserted rows and the reverse the deleted ones,
+    whatever mix of position/equality deletes produced them (a new
+    delete file surfaces as deletes of precisely the rows it newly
+    kills; a row already dead at o-1 is never re-reported). Delete-free
+    steps keep the cheaper whole-file path.
+
+    Delete-free versions batch into at most two scans (inserts /
+    deletes) with the ordinal attached from a broadcast file map —
+    never one scan per snapshot; each MoR step costs two effective
+    scans + two anti-joins (steps are incremental-bounded in the CDC
+    use this serves).
 
     Shares ``read_iceberg_snapshot``'s session-wide
     ``spark.sql.parquet.fieldId.read.enabled`` side effect (see its
@@ -1629,29 +1642,84 @@ def read_iceberg_changes(spark: SparkSession, table_path: str,
             f"({starting_ordinal}, {ending_ordinal}] out of range "
             f"(table has {len(snaps)} snapshots)")
 
-    def live_set(ordinal: int) -> dict[str, dict]:
+    def live_state(ordinal: int) -> tuple[dict[str, dict], list[dict]]:
         if ordinal < 0:
-            return {}
+            return {}, []
+        deletes: list[dict] = []
         files = live_data_files(spark, table_path, meta,
-                                snaps[ordinal]["snapshot-id"])
-        return {f["file_path"]: f for f in files}
+                                snaps[ordinal]["snapshot-id"],
+                                deletes_out=deletes)
+        return {f["file_path"]: f for f in files}, deletes
+
+    def effective_keyed(files: dict[str, dict],
+                        deletes: list[dict]) -> DataFrame | None:
+        """Snapshot's effective rows WITH the (file key, row index)
+        identity columns — the diffable form."""
+        if not files:
+            return None
+        recs = list(files.values())
+        paths = []
+        for f in recs:
+            rp = _resolve_path(table_path, f["file_path"])
+            if not _exists(spark, rp):
+                raise FileNotFoundError(
+                    f"DELTA_CHANGE_DATA_FILE_NOT_FOUND: {rp} referenced "
+                    f"by a past snapshot but absent (expired?)")
+            paths.append(rp)
+        keyed = (spark.read.schema(schema).parquet(*paths).select(
+            "*",
+            _file_key_expr(F.col("_metadata.file_path")).alias(_POS_KEY),
+            F.col("_metadata.row_index").alias(_POS_IDX)))
+        return _apply_row_deletes(spark, keyed, table_path, recs,
+                                  deletes, meta, drop_helpers=False)
 
     schema = iceberg_spark_schema(meta)
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
     ins: list[tuple[int, int, str]] = []   # (ordinal, ts, path)
     dels: list[tuple[int, int, str]] = []
-    prev = live_set(starting_ordinal)
+    mor_pieces: list[DataFrame] = []
+    prev, prev_dels = live_state(starting_ordinal)
     for o in range(starting_ordinal + 1, ending_ordinal + 1):
-        cur = live_set(o)
+        cur, cur_dels = live_state(o)
         ts = snaps[o].get("timestamp-ms") or 0
-        for p in cur.keys() - prev.keys():
-            ins.append((o, ts, p))
-        for p in prev.keys() - cur.keys():
-            dels.append((o, ts, p))
-        prev = cur
+        if prev_dels or cur_dels:
+            # MoR step: diff effective row sets on row identity. The
+            # 2-segment key must be unique across BOTH snapshots' files
+            # (within-snapshot uniqueness is checked at delete apply)
+            by_key: dict[str, str] = {}
+            for f in list(prev.values()) + list(cur.values()):
+                k = _file_key(table_path, f)
+                rp = _resolve_path(table_path, f["file_path"])
+                if by_key.setdefault(k, rp) != rp:
+                    raise IcebergProtocolError(
+                        "file basename collision across a merge-on-read "
+                        "ordinal step; row identities would alias")
+            cur_k = effective_keyed(cur, cur_dels)
+            prev_k = effective_keyed(prev, prev_dels)
+            ident = [_POS_KEY, _POS_IDX]
+            for side, other, ctype in ((cur_k, prev_k, "insert"),
+                                       (prev_k, cur_k, "delete")):
+                if side is None:
+                    continue
+                piece = side
+                if other is not None:
+                    piece = piece.join(other.select(*ident), ident,
+                                       "left_anti")
+                mor_pieces.append(
+                    piece.drop(*ident)
+                    .withColumn("_change_type", F.lit(ctype))
+                    .withColumn("_commit_version", F.lit(o).cast("long"))
+                    .withColumn("_commit_timestamp",
+                                F.timestamp_millis(F.lit(ts))))
+        else:
+            for p in cur.keys() - prev.keys():
+                ins.append((o, ts, p))
+            for p in prev.keys() - cur.keys():
+                dels.append((o, ts, p))
+        prev, prev_dels = cur, cur_dels
 
-    pieces = []
+    pieces = list(mor_pieces)
     for group, ctype in ((ins, "insert"), (dels, "delete")):
         if not group:
             continue

@@ -117,17 +117,65 @@ def _append_delete_manifest(ice: str, content: int) -> None:
         f.write(write_container(_MANIFEST_FILE_SCHEMA, manifests))
 
 
-def test_change_feed_rejects_mor_tables(spark, ice):
-    """The change synthesizer diffs whole-file live sets, which cannot
-    represent row-level deletes — a MoR snapshot in range rejects loudly
-    (the caller's retry ladder downgrades to latest-only)."""
+def test_change_feed_mor_position_delete_step(spark, tmp_path):
+    """A position-delete snapshot's change feed is exactly the rows it
+    killed, as _change_type='delete' at that ordinal — nothing else."""
+    from pyspark.sql import functions as F
+
     from databricks_import_pyspark_scripts_spark.sources.iceberg import (
         read_iceberg_changes,
+        write_iceberg_position_deletes,
     )
 
-    _append_delete_manifest(ice, content=1)
-    with pytest.raises(IcebergProtocolError, match="row-level delete"):
-        read_iceberg_changes(spark, ice, 0, 1).collect()
+    t = str(tmp_path / "cdfpos")
+    df = spark.range(0, 30).selectExpr("id AS k", "CAST(id AS double) AS v")
+    write_iceberg_table(spark, [df.repartition(2)], t)
+    write_iceberg_position_deletes(spark, t, "k % 3 = 0")
+    ch = read_iceberg_changes(spark, t, 0, 1).collect()
+    assert sorted(r.k for r in ch) == [k for k in range(30) if k % 3 == 0]
+    assert {r._change_type for r in ch} == {"delete"}
+    assert {r._commit_version for r in ch} == {1}
+    # the full range (-1, 1] = v0 inserts + v1 deletes
+    both = read_iceberg_changes(spark, t, -1, 1)
+    counts = {r["_change_type"]: r["n"] for r in both.groupBy(
+        "_change_type").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"insert": 30, "delete": 10}
+
+
+def test_change_feed_mor_equality_reinsert_steps(spark, tmp_path):
+    """Equality delete then re-insert: each step's change rows are the
+    newly-dead and newly-live rows only — a row already dead at o-1 is
+    never re-reported."""
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        append_iceberg,
+        read_iceberg_changes,
+        write_iceberg_equality_deletes,
+    )
+
+    t = str(tmp_path / "cdfeq")
+    base = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("g"))
+    write_iceberg_table(spark, [base], t)                       # ord 0
+    write_iceberg_equality_deletes(
+        spark, t, spark.createDataFrame([(1,)], "g long"), ["g"])  # ord 1
+    reins = spark.range(100, 104).select(
+        F.col("id").alias("k"), F.lit(1).cast("long").alias("g"))
+    append_iceberg(spark, reins, t)                             # ord 2
+    step1 = read_iceberg_changes(spark, t, 0, 1).collect()
+    assert sorted(r.k for r in step1) == [k for k in range(20) if k % 4 == 1]
+    assert {r._change_type for r in step1} == {"delete"}
+    step2 = read_iceberg_changes(spark, t, 1, 2).collect()
+    assert sorted(r.k for r in step2) == list(range(100, 104))
+    assert {r._change_type for r in step2} == {"insert"}
+    # a second equality delete on the SAME key: only the re-inserted
+    # (newer-seq) rows die now — the long-dead base rows not re-reported
+    write_iceberg_equality_deletes(
+        spark, t, spark.createDataFrame([(1,)], "g long"), ["g"])  # ord 3
+    step3 = read_iceberg_changes(spark, t, 2, 3).collect()
+    assert sorted(r.k for r in step3) == list(range(100, 104))
+    assert {r._change_type for r in step3} == {"delete"}
 
 
 def test_non_parquet_file_rejected(spark, ice):
