@@ -91,19 +91,21 @@ def is_iceberg_table(spark: SparkSession, table_path: str) -> bool:
 
 
 def read_table_metadata(spark: SparkSession, table_path: str) -> dict:
-    """Current table metadata: ``version-hint.text`` when present (the
-    HadoopCatalog commit pointer), else the highest ``v<N>.metadata.json``."""
+    """Current table metadata: the HIGHEST of ``version-hint.text`` (the
+    HadoopCatalog commit pointer — ADVISORY: a writer may crash between
+    its CAS commit and the hint update, or two racers' hint writes may
+    land out of order) and the highest ``v<N>.metadata.json`` actually
+    present — so a committed-but-unhinted version is never silently
+    dropped (r9 review finding #1)."""
     mdir = os.path.join(table_path, METADATA_DIR)
     hint = os.path.join(mdir, "version-hint.text")
-    name = None
+    hinted = -1
     if _exists(spark, hint):
-        v = int(_read_bytes(spark, hint).decode("utf-8").strip())
-        name = f"v{v}.metadata.json"
-    else:
-        versions = sorted(int(m.group(1)) for n in _list_names(spark, mdir)
-                          if (m := _VMETA_RE.match(n)))
-        if versions:
-            name = f"v{versions[-1]}.metadata.json"
+        hinted = int(_read_bytes(spark, hint).decode("utf-8").strip())
+    versions = sorted(int(m.group(1)) for n in _list_names(spark, mdir)
+                      if (m := _VMETA_RE.match(n)))
+    v = max([hinted, *versions]) if (versions or hinted >= 0) else None
+    name = f"v{v}.metadata.json" if v is not None and v >= 0 else None
     if name is None:
         raise FileNotFoundError(f"no Iceberg metadata under {mdir}")
     meta = json.loads(_read_bytes(spark, os.path.join(mdir, name)))
@@ -288,8 +290,7 @@ def _bucket_hash(value, ice_type: str) -> int:
         raw = _struct.pack("<q", int(value))
     elif ice_type in ("timestamp", "timestamptz"):
         if isinstance(value, datetime):
-            value = int(value.replace(tzinfo=value.tzinfo
-                                      or timezone.utc).timestamp() * 1_000_000)
+            value = _exact_micros(value)
         raw = _struct.pack("<q", int(value))
     elif ice_type == "string":
         raw = str(value).encode("utf-8")
@@ -299,12 +300,23 @@ def _bucket_hash(value, ice_type: str) -> int:
     return _murmur3_32(raw)
 
 
+def _exact_micros(value) -> int:
+    """Exact epoch microseconds — NEVER float .timestamp()*1e6, which is
+    off by 1 µs for ~1.25%% of values (r9 review finding #2): a wrong
+    microsecond changes the murmur3 bucket and silently prunes the file
+    holding the matching rows."""
+    import calendar
+    from datetime import timezone
+
+    v = value if value.tzinfo is None else value.astimezone(timezone.utc)
+    return (calendar.timegm(v.timetuple()) * 1_000_000 + v.microsecond)
+
+
 def _to_micros(value) -> int:
-    from datetime import date, datetime, timezone
+    from datetime import date, datetime
 
     if isinstance(value, datetime):
-        return int(value.replace(tzinfo=value.tzinfo or timezone.utc)
-                   .timestamp() * 1_000_000)
+        return _exact_micros(value)
     if isinstance(value, date):
         return (value - date(1970, 1, 1)).days * 86_400_000_000
     return int(value)
@@ -563,7 +575,8 @@ def _sift_entries(content: int, entries: list[dict], meta: dict,
 
 
 def _parallel_manifest_records(spark: SparkSession,
-                               pairs: list[tuple[str, int]], meta: dict,
+                               pairs: list[tuple[str, int, int]],
+                               meta: dict,
                                partition_filter, stats_filter,
                                allow_deletes: bool) -> list[tuple]:
     """Executor-parallel manifest decode for tables with many manifests
@@ -589,24 +602,25 @@ def _parallel_manifest_records(spark: SparkSession,
     def decode(batches):
         from .avro_codec import read_container as rc
         for pdf in batches:
-            blobs = []
+            paths, blobs = [], []
             for path, content, mf_seq in zip(pdf["path"], pdf["content"],
                                              pdf["mf_seq"]):
                 with open(path, "rb") as f:
                     _, entries = rc(f.read())
+                paths.append(path)
                 blobs.append(pickle.dumps(_sift_entries(
                     int(content), entries, meta, partition_filter,
                     stats_filter, allow_deletes, int(mf_seq))))
-            yield pd.DataFrame({"blob": blobs})
+            yield pd.DataFrame({"path": paths, "blob": blobs})
 
-    rows = (src.repartition(n).mapInPandas(decode, "blob binary")
-            .collect())
-    groups = [pickle.loads(r["blob"]) for r in rows]
-    # deterministic assembly regardless of task completion order
-    for data, dels, _ in groups:
-        data.sort(key=lambda d: d.get("file_path") or "")
-        dels.sort(key=lambda d: d.get("file_path") or "")
-    return groups
+    rows = (src.repartition(n)
+            .mapInPandas(decode, "path string, blob binary").collect())
+    # deterministic assembly: key results back to the INPUT manifest
+    # order (task completion and partition assignment vary by host), so
+    # the returned groups — and the scan path list built from them —
+    # are identical to the serial path's
+    by_path = {r["path"]: pickle.loads(r["blob"]) for r in rows}
+    return [by_path[path] for path, _, _ in pairs]
 
 
 # ---------------------------------------------------------------------------
@@ -657,6 +671,20 @@ def iceberg_spark_schema(meta: dict) -> T.StructType:
 _POS_KEY, _POS_IDX = "__iceberg_file_key", "__iceberg_row_pos"
 
 
+def _uri_decode(col):
+    """Percent-decode a file URI to the raw path. ``F.url_decode`` is
+    java.net.URLDecoder (FORM decoding: a literal ``+`` becomes a
+    space), but ``_metadata.file_path``/``input_file_name`` only
+    percent-ENCODE — a file named ``a+b.parquet`` keeps its ``+``. Armor
+    literal ``+`` as ``%2B`` first so only %XX escapes decode (r9
+    review finding #3: the unarmored form desynced the scan-side key
+    from the driver-side raw path and zeroed the equality-delete
+    sequence map for such files)."""
+    from pyspark.sql import functions as F
+
+    return F.url_decode(F.regexp_replace(col, r"\+", "%2B"))
+
+
 def _file_key_expr(col):
     """2-segment path suffix as the join key between the scan's
     ``_metadata.file_path`` (a percent-encoded ``file:``/``s3a:`` URI)
@@ -669,7 +697,7 @@ def _file_key_expr(col):
     from pyspark.sql import functions as F
 
     return F.substring_index(
-        F.regexp_replace(F.url_decode(col), "^[a-zA-Z0-9+.-]+:/+", "/"),
+        F.regexp_replace(_uri_decode(col), "^[a-zA-Z0-9+.-]+:/+", "/"),
         "/", -2)
 
 
@@ -1355,6 +1383,10 @@ def append_iceberg(spark: SparkSession, df: DataFrame, table_path: str,
             return snap_id
         # lost the race: rebase on the new head iff schema+spec unchanged
         v, meta = _head()
+        if ts_ms is None:
+            # stale default ts would order this snapshot BELOW the
+            # racer's in the history (r9 review finding #4)
+            ts = meta.get("last-updated-ms", 0) + 1
         if _current_schema(meta)["fields"] != schema_fields:
             raise IcebergCommitConflict(
                 f"schema of {table_path} changed concurrently; staged "
@@ -1409,11 +1441,7 @@ def write_iceberg_position_deletes(spark: SparkSession, table_path: str,
     from pyspark.sql import functions as F
 
     root = _strip_scheme(table_path)
-    mdir = os.path.join(root, METADATA_DIR)
     meta = read_table_metadata(spark, table_path)
-    snap = _snapshot(meta, None)
-    _, manifests = read_container(_read_bytes(
-        spark, _resolve_path(table_path, snap["manifest-list"])))
 
     # current state WITH file/position provenance (read_iceberg_snapshot
     # drops _metadata, so stack the scan by hand — deletes compose: rows
@@ -1436,9 +1464,7 @@ def write_iceberg_position_deletes(spark: SparkSession, table_path: str,
     pairs = sorted((re.sub(r"^file:/+", "/", unquote(r["f"])), int(r["p"]))
                    for r in doomed)
 
-    new_snap = max(int(s["snapshot-id"]) for s in meta["snapshots"]) + 1
-    new_seq = int(meta.get("last-sequence-number") or 0) + 1
-    ts = (snap.get("timestamp-ms") or 0) + 1000
+    new_snap = max(int(sn["snapshot-id"]) for sn in meta["snapshots"]) + 1
     dpath = os.path.join(root, "data", f"delete-{new_snap}.parquet")
     pq.write_table(pa.table(
         {"file_path": pa.array([f for f, _ in pairs], pa.string()),
@@ -1449,47 +1475,29 @@ def write_iceberg_position_deletes(spark: SparkSession, table_path: str,
             pa.field("pos", pa.int64(), metadata={
                 b"PARQUET:field_id": str(_DELETE_POS_FID).encode()})])),
         dpath)
-    entry = {"status": STATUS_ADDED, "snapshot_id": new_snap,
+    # one shared commit path with the equality form (r9 review #5) —
+    # the delete parquet's name needs only uniqueness, not the final
+    # snapshot id
+    entry = {"status": STATUS_ADDED,
              "data_file": {
                  "content": 1, "file_path": dpath,
                  "file_format": "PARQUET", "partition": {},
                  "record_count": len(pairs),
                  "file_size_in_bytes": os.path.getsize(dpath),
                  "lower_bounds": None, "upper_bounds": None}}
-    mpath = os.path.join(mdir, f"manifest-del-{new_snap}.avro")
-    blob = write_container(_manifest_entry_schema(), [entry])
-    with open(mpath, "wb") as f:
-        f.write(blob)
-    mlpath = os.path.join(mdir, f"snap-{new_snap}.avro")
-    all_manifests = list(manifests) + [{
-        "manifest_path": mpath, "manifest_length": len(blob),
-        "partition_spec_id": 0, "content": 1,
-        "added_snapshot_id": new_snap,
-        "sequence_number": new_seq, "min_sequence_number": new_seq}]
-    with open(mlpath, "wb") as f:
-        f.write(write_container(_MANIFEST_FILE_SCHEMA, all_manifests))
-    meta = dict(meta)
-    meta["snapshots"] = list(meta["snapshots"]) + [{
-        "snapshot-id": new_snap, "timestamp-ms": ts,
-        "sequence-number": new_seq,
-        "manifest-list": mlpath, "summary": {"operation": "delete"}}]
-    meta["current-snapshot-id"] = new_snap
-    meta["last-updated-ms"] = ts
-    meta["last-sequence-number"] = new_seq
-    hint = os.path.join(mdir, "version-hint.text")
-    v = int(open(hint).read().strip()) + 1
-    with open(os.path.join(mdir, f"v{v}.metadata.json"), "w") as f:
-        json.dump(meta, f)
-    with open(hint, "w") as f:
-        f.write(str(v))
-    return new_snap
+    return _commit_delete_snapshot(spark, table_path, entry, "delete")
 
 
 def _commit_delete_snapshot(spark: SparkSession, table_path: str,
                             entry: dict, op_summary: str) -> int:
     """Shared staging commit for row-delete snapshots: content=1
     manifest with ``entry``, new manifest list (prior manifests +
-    this one, sequence-stamped), new metadata version + hint."""
+    this one, sequence-stamped), new metadata version claimed by
+    ATOMIC no-overwrite create at the SCANNED head + 1 (never
+    hint + 1 — the hint is advisory and can lag a crashed or racing
+    committer; r9 review finding #1), hint updated last."""
+    from ..sinks.delta_writer import _atomic_create
+
     root = _strip_scheme(table_path)
     mdir = os.path.join(root, METADATA_DIR)
     meta = read_table_metadata(spark, table_path)
@@ -1520,11 +1528,15 @@ def _commit_delete_snapshot(spark: SparkSession, table_path: str,
     meta["current-snapshot-id"] = new_snap
     meta["last-updated-ms"] = ts
     meta["last-sequence-number"] = new_seq
-    hint = os.path.join(mdir, "version-hint.text")
-    v = int(open(hint).read().strip()) + 1
-    with open(os.path.join(mdir, f"v{v}.metadata.json"), "w") as f:
-        json.dump(meta, f)
-    with open(hint, "w") as f:
+    v = max(int(m.group(1)) for n in _list_names(spark, mdir)
+            if (m := _VMETA_RE.match(n))) + 1
+    if not _atomic_create(spark, os.path.join(mdir,
+                                              f"v{v}.metadata.json"),
+                          json.dumps(meta).encode("utf-8")):
+        raise IcebergCommitConflict(
+            f"delete snapshot of {table_path} lost a metadata commit "
+            f"race at v{v}; rerun to rebase")
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
         f.write(str(v))
     return new_snap
 
@@ -1736,7 +1748,7 @@ def read_iceberg_changes(spark: SparkSession, table_path: str,
                     f"DELTA_CHANGE_DATA_FILE_NOT_FOUND: {p} referenced by "
                     f"a past snapshot but absent (expired?)")
         norm = F.regexp_replace(
-            F.url_decode(F.input_file_name()), "^file:/+", "/")
+            _uri_decode(F.input_file_name()), "^file:/+", "/")
         df = (spark.read.schema(schema).parquet(*paths)
               .withColumn("__f", norm))
         fmap = spark.createDataFrame(

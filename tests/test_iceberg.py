@@ -1115,3 +1115,114 @@ def test_equality_delete_without_ids_rejected(spark, ice):
     _append_delete_manifest(ice, content=2)
     with pytest.raises(IcebergProtocolError, match="equality_ids"):
         read_iceberg_snapshot(spark, ice)
+
+
+# ---------------------------------------------------------------------------
+# r9 review-fix regressions
+
+
+def test_committed_but_unhinted_version_is_served(spark, ice):
+    """The version hint is ADVISORY: a writer that crashed between its
+    CAS metadata commit and the hint update must not make the committed
+    version invisible (review finding: hint trusted unconditionally)."""
+    import json as _json
+
+    mdir = os.path.join(ice, "metadata")
+    cur = int(open(os.path.join(mdir, "version-hint.text")).read())
+    meta = _json.load(open(os.path.join(mdir, f"v{cur}.metadata.json")))
+    # simulate a committed v(cur+1) whose hint write never happened:
+    # current snapshot pinned back to the FIRST snapshot
+    meta["current-snapshot-id"] = 1000
+    with open(os.path.join(mdir, f"v{cur + 1}.metadata.json"), "w") as f:
+        _json.dump(meta, f)
+    # hint still says cur — the reader must serve cur+1
+    assert _ks(read_iceberg_snapshot(spark, ice)) == list(range(30))
+
+
+def test_exact_micros_never_off_by_one():
+    """int(dt.timestamp()*1e6) is off by 1µs for ~1.25% of values — a
+    wrong microsecond flips the murmur3 bucket and silently prunes the
+    covering file. The exact integer form must round-trip every value."""
+    import datetime as dt
+    import random
+
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        _exact_micros,
+        apply_transform,
+    )
+
+    rng = random.Random(9)
+    epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+    for _ in range(20000):
+        us = rng.randrange(0, 4102444800_000_000)
+        d = epoch + dt.timedelta(microseconds=us)
+        assert _exact_micros(d) == us
+    # the empirically-found off-by-one value from the review
+    d = dt.datetime(2038, 2, 27, 21, 18, 46, 981929,
+                    tzinfo=dt.timezone.utc)
+    want = (d - epoch) // dt.timedelta(microseconds=1)
+    assert _exact_micros(d) == want
+    assert int(d.timestamp() * 1_000_000) != want  # the bug being fixed
+    # bucket transform consumes the exact form
+    assert apply_transform("hours", d, "timestamptz") == \
+        want // 3_600_000_000
+
+
+def test_file_key_consistent_for_plus_named_files(spark, tmp_path):
+    """Scan-side _file_key_expr and driver-side _file_key must agree for
+    file names containing '+' (URLDecoder form-decodes '+' to space;
+    the armored decode must not)."""
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        _file_key,
+        _file_key_expr,
+    )
+
+    d = tmp_path / "data"
+    d.mkdir()
+    spark.range(3).coalesce(1).write.parquet(str(tmp_path / "stage"))
+    src = next((tmp_path / "stage").glob("*.parquet"))
+    target = d / "part a+b%20c.parquet"
+    os.replace(src, target)
+    scan_key = (spark.read.parquet(str(target))
+                .select(_file_key_expr(F.col("_metadata.file_path"))
+                        .alias("k")).first().k)
+    driver_key = _file_key(str(tmp_path), {"file_path": str(target)})
+    assert scan_key == driver_key == "data/part a+b%20c.parquet"
+
+
+def test_append_race_keeps_history_ordered(spark, ice, monkeypatch):
+    """After a lost-then-rebased append race, the committed snapshot's
+    timestamp must still order it LAST (review finding: stale default
+    ts put the rebased snapshot below the racer's)."""
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.sources import iceberg
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        append_iceberg,
+        iceberg_snapshot_ids,
+        read_table_metadata,
+    )
+
+    racer = spark.range(200, 203).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v"))
+    real_stage = iceberg._stage_commit
+    fired = {"done": False}
+
+    def stage_and_race(*args, **kwargs):
+        out = real_stage(*args, **kwargs)
+        if not fired["done"]:
+            fired["done"] = True
+            append_iceberg(spark, racer, ice)  # default ts
+        return out
+
+    monkeypatch.setattr(iceberg, "_stage_commit", stage_and_race)
+    df = spark.range(40, 45).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v"))
+    append_iceberg(spark, df, ice)  # default ts; loses once, rebases
+    meta = read_table_metadata(spark, ice)
+    ids = iceberg_snapshot_ids(spark, ice)
+    assert ids[-1]["snapshot_id"] == meta["current-snapshot-id"]
+    ts_list = [s["timestamp_ms"] for s in ids]
+    assert ts_list == sorted(ts_list)
