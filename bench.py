@@ -131,6 +131,7 @@ HEADLINE = [
     "iceberg_append_roundtrip_agg",
     "iceberg_eq_delete_agg",
     "iceberg_mor_cdf_feed",
+    "delta_writer_dv_delete_agg",
 ]
 
 EXTENSION_ROWS = {
@@ -353,7 +354,8 @@ def main() -> int:
                "iceberg_cdf_insert_feed", "iceberg_data_skipping_agg"}
     r9_rows = {"iceberg_mor_delete_agg", "delta_type_widened_read",
                "iceberg_days_pruned_agg", "iceberg_append_roundtrip_agg",
-               "iceberg_eq_delete_agg", "iceberg_mor_cdf_feed"}
+               "iceberg_eq_delete_agg", "iceberg_mor_cdf_feed",
+               "delta_writer_dv_delete_agg"}
     # same membership as comparable_queries_sec (includes the unload e2e row)
     comp = [k for k in timings
             if k not in EXTENSION_ROWS and k not in stress

@@ -782,3 +782,74 @@ def delta_type_widened_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("version", F.lit(v).cast("int")))
     return parts[0].unionByName(parts[1]).select(
         "version", "event_type", "n", "sum_value", "sum_id")
+
+
+# ---------------------------------------------------------------------------
+# DV-WRITING delete (the Databricks-default DELETE layout, produced here)
+
+_DVW_DEL1, _DVW_DEL2 = "event_id % 5 = 0", "event_id % 7 = 0"
+
+
+def _staged_dvw_table(spark: SparkSession, sf_dir: str) -> str:
+    """Table whose two DELETEs were committed as DELETION VECTORS by
+    this repo's writer (no data bytes rewritten): the second delete
+    must MERGE bitmaps on files the first already stamped."""
+    from ..sinks.delta_writer import create_delta_table, delete_where
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_delta_dvw_gate_{tag}_v1")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        e = (load_table(spark, sf_dir, "events")
+             .select("event_id", "event_type", "value"))
+        create_delta_table(spark, e.filter(F.expr(_V0_PRED)), path,
+                           partition_by=["event_type"], cdf=True,
+                           ts_ms=_BASE_TS_MS)
+        delete_where(spark, path, _DVW_DEL1, ts_ms=_BASE_TS_MS + 1000,
+                     use_dv=True)
+        delete_where(spark, path, _DVW_DEL2, ts_ms=_BASE_TS_MS + 2000,
+                     use_dv=True)
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "delta_writer_dv_delete_agg",
+    f"""
+    SELECT 1 AS version, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events WHERE ({_V0_PRED}) AND NOT ({_DVW_DEL1})
+    GROUP BY event_type
+    UNION ALL
+    SELECT 2 AS version, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    WHERE ({_V0_PRED}) AND NOT ({_DVW_DEL1}) AND NOT ({_DVW_DEL2})
+    GROUP BY event_type
+    """,
+    doc="DV-WRITING DELETE round-trip: both deletes committed as real "
+        "roaring-bitmap deletion vectors (storageType 'u', z85 uuid, "
+        "in-commit protocol upgrade to readerFeatures [deletionVectors]) "
+        "— no data bytes rewritten, the Databricks-default DBR 14+ "
+        "DELETE layout, produced by THIS writer and applied by THIS "
+        "reader. The second delete merges bitmaps on files the first "
+        "stamped; both versions snapshot-read and aggregated per "
+        "partition. Oracle restates both predicates over the source: a "
+        "wrong bitmap union, off-by-one row index, or mis-attributed "
+        "descriptor breaks a version's counts and sums.")
+def delta_writer_dv_delete_agg(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    path = _staged_dvw_table(spark, sf_dir)
+    parts = []
+    for v in (1, 2):
+        snap = read_delta_snapshot(spark, path, v)
+        parts.append(
+            snap.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .withColumn("version", F.lit(v).cast("int")))
+    return parts[0].unionByName(parts[1]).select(
+        "version", "event_type", "n", "sum_value")

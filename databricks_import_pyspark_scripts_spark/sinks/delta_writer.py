@@ -579,13 +579,23 @@ def _rewrite_op(spark: SparkSession, table_path: str, predicate: str,
 
 
 def delete_where(spark: SparkSession, table_path: str, predicate: str,
-                 ts_ms: int | None = None) -> int:
+                 ts_ms: int | None = None, use_dv: bool = False) -> int:
     """DELETE FROM <table> WHERE <predicate>: rewrite only the files that
     contain matching rows (NULL-predicate rows are kept, SQL semantics).
     With CDF enabled, the deleted rows are written as explicit cdc files —
     file-op synthesis would double-count the kept rows of rewritten files.
     Files on which the predicate matches nothing are NOT touched. Returns
-    the new version (unchanged version when nothing matched)."""
+    the new version (unchanged version when nothing matched).
+
+    ``use_dv=True`` writes DELETION VECTORS instead of rewriting: the
+    matched rows' indexes become roaring bitmaps in a DV file and each
+    affected file is re-added with its descriptor — no data bytes move,
+    the Databricks-default (DBR 14+) DELETE layout this repo's reader
+    already applies. Upgrades the table protocol in-commit when the
+    feature is not yet declared. Local filesystems only (the DV file
+    write); remote tables use the rewrite path."""
+    if use_dv:
+        return _delete_with_dvs(spark, table_path, predicate, ts_ms)
     def transform(aff, hit, logical):
         kept = aff.filter(~hit)
         cdc = (aff.filter(hit).select(*logical)
@@ -593,6 +603,108 @@ def delete_where(spark: SparkSession, table_path: str, predicate: str,
         return kept, cdc
     return _rewrite_op(spark, table_path, predicate, "delete", ts_ms,
                        transform)
+
+
+def _delete_with_dvs(spark: SparkSession, table_path: str, predicate: str,
+                     ts_ms: int | None) -> int:
+    """The DV-writing DELETE engine: one scan finds the surviving
+    matched rows WITH their (file, row index) provenance; their indexes
+    union into each file's existing bitmap (the scan already excluded
+    previously-dead rows, so indexes never double-count); one DV file
+    carries every affected file's serialized bitmap; the commit re-adds
+    each affected file with its descriptor. Stats are kept verbatim —
+    Delta's DV semantics: numRecords stays the PHYSICAL count, readers
+    subtract cardinality. The deleted-row index collect is bounded by
+    the deleted cardinality (the same driver-metadata class as DV
+    bitmaps themselves)."""
+    import numpy as np
+
+    from ..sources import delta_dv
+    from ..sources.delta_log import _ROW_INDEX, _dv_bytes
+
+    if not _is_local(table_path):
+        raise NotImplementedError(
+            "DV-writing DELETE needs a local table dir (DV file write); "
+            "use the rewrite path (use_dv=False) elsewhere")
+    ts = _now_ms(ts_ms)
+    rep = replay_log(spark, table_path)
+    _check_writable(rep.metadata, rep.protocol, "delete")
+    if not rep.files:
+        return rep.version
+    hit = F.coalesce(F.expr(predicate), F.lit(False))
+    snap = _scan_files(spark, table_path, rep, list(rep.files.values()),
+                       keep_row_index=True)
+    matched = (snap.filter(hit).select(_FILE_BASE, _ROW_INDEX)
+               .toPandas())
+    if matched.empty:
+        return rep.version
+    by_base = {_action_base(table_path, p): a
+               for p, a in rep.files.items()}
+    dead_by_file: dict[str, np.ndarray] = {
+        str(base): np.sort(g[_ROW_INDEX].to_numpy(dtype=np.int64))
+        for base, g in matched.groupby(_FILE_BASE)}
+
+    u = uuid.uuid4()
+    datas: list[bytes] = []
+    affected: list[dict] = []
+    cards: list[int] = []
+    for base in sorted(dead_by_file):
+        add = by_base[base]
+        dead = dead_by_file[base]
+        old = add.get("deletionVector")
+        if old is not None:
+            prior = delta_dv.deserialize_bitmap_array(
+                _dv_bytes(spark, table_path, old))
+            dead = np.union1d(prior, dead)
+        datas.append(delta_dv.serialize_bitmap_array(dead))
+        affected.append(add)
+        cards.append(int(dead.size))
+    dv_path = os.path.join(
+        _strip_scheme(table_path), f"deletion_vector_{u}.bin")
+    frames = delta_dv.write_dv_file(dv_path, datas)
+
+    actions: list[dict] = [
+        {"commitInfo": {"timestamp": ts, "operation": "DELETE",
+                        "operationParameters": {"predicate": predicate}}},
+    ]
+    feats_r = set(rep.protocol.get("readerFeatures") or ())
+    if not (int(rep.protocol.get("minReaderVersion", 1)) >= 3
+            and "deletionVectors" in feats_r):
+        # in-commit protocol upgrade, carrying the legacy-implied and
+        # table-property-required features forward (PROTOCOL.md "Table
+        # Features")
+        feats_w = set(rep.protocol.get("writerFeatures") or ())
+        feats_w |= {"appendOnly", "invariants", "deletionVectors"}
+        feats_r = feats_r | {"deletionVectors"}
+        if _cdf_enabled(rep.metadata):
+            feats_w.add("changeDataFeed")
+        actions.append({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": sorted(feats_r),
+            "writerFeatures": sorted(feats_w)}})
+    for add, (offset, size), card in zip(affected, frames, cards):
+        descriptor = {
+            "storageType": "u",
+            "pathOrInlineDv": delta_dv.make_uuid_path_or_inline(u),
+            "offset": offset, "sizeInBytes": size,
+            "cardinality": card}
+        actions.append({"remove": {
+            "path": add["path"], "deletionTimestamp": ts,
+            "dataChange": True,
+            "partitionValues": add.get("partitionValues") or {},
+            "size": add.get("size")}})
+        actions.append({"add": {**add, "dataChange": True,
+                                "deletionVector": descriptor}})
+    if _cdf_enabled(rep.metadata):
+        logical = [f.name for f in rep.schema.fields]
+        cdc_df = (snap.filter(hit).select(*logical)
+                  .withColumn(_CDC_TYPE, F.lit("delete")))
+        cdc = _stage_files(spark, cdc_df, table_path,
+                           rep.partition_columns, ts,
+                           subdir="_change_data")
+        actions += [{"cdc": {**c, "dataChange": False}} for c in cdc]
+    return _strict_commit(spark, table_path, rep.version + 1, actions,
+                          "delete")
 
 
 def update_where(spark: SparkSession, table_path: str, predicate: str,

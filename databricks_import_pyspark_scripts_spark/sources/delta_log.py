@@ -797,7 +797,8 @@ def _apply_deletion_vectors(spark: SparkSession, df: DataFrame,
 def _scan_files(spark: SparkSession, table_path: str, rep: _Replay,
                 actions: list[dict],
                 extra_data_cols: list[str] | None = None,
-                check_exists: bool = False) -> DataFrame | None:
+                check_exists: bool = False,
+                keep_row_index: bool = False) -> DataFrame | None:
     """One parquet scan over the listed files, schema from the log,
     partition columns re-attached. None when the list is empty.
 
@@ -818,6 +819,7 @@ def _scan_files(spark: SparkSession, table_path: str, rep: _Replay,
     for c in extra_data_cols or ():
         data_schema.add(c, "string")
     has_dv = any(a.get("deletionVector") for a in actions)
+    need_idx = has_dv or keep_row_index
     if by_id:
         # matching-by-id only activates for read schemas that CARRY field
         # ids (ours, above), so the session-wide switch is inert for
@@ -832,13 +834,13 @@ def _scan_files(spark: SparkSession, table_path: str, rep: _Replay,
 
     def _scan(scan_paths: list[str]) -> DataFrame:
         g = _with_file_base(spark.read.schema(data_schema).parquet(*scan_paths))
-        if has_dv:
+        if need_idx:
             g = _with_row_index(g)
         if mapped:
             # physical -> logical: positional struct cast renames nested
             # fields in one expression, no data movement
             keep = ([c for c in (extra_data_cols or ())] + [_FILE_BASE]
-                    + ([_ROW_INDEX] if has_dv else []))
+                    + ([_ROW_INDEX] if need_idx else []))
             g = g.select(
                 *[F.col(_physical_name(f)).cast(f.dataType).alias(f.name)
                   for f in logical_data], *keep)
@@ -892,7 +894,7 @@ def _scan_files(spark: SparkSession, table_path: str, rep: _Replay,
             spark, df, table_path,
             [a for a in actions if a.get("deletionVector")])
     order = ([f.name for f in schema.fields] + list(extra_data_cols or ())
-             + [_FILE_BASE])
+             + [_FILE_BASE] + ([_ROW_INDEX] if keep_row_index else []))
     return df.select(*order)
 
 

@@ -1064,3 +1064,67 @@ def test_cleanup_metadata_respects_log_retention(spark, tmp_path):
     # with retention 0 the rest of the prefix retires too
     doomed2 = dt.cleanup_metadata(log_retention_ms=0, now_ms=now)
     assert [os.path.basename(p) for p in doomed2] == [f"{1:020d}.json"]
+
+
+# ---------------------------------------------------------------------------
+# DV-writing DELETE
+
+
+def test_dv_delete_round_trip_and_bitmap_merge(spark, table):
+    """use_dv=True stamps deletion vectors instead of rewriting: data
+    file paths unchanged, descriptors carry the right cardinalities, a
+    second delete UNIONS bitmaps, and reads subtract exactly."""
+    files_before = set(replay_log(spark, table).files)
+    v = delete_where(spark, table, "k % 10 = 3", ts_ms=2000, use_dv=True)
+    assert v == 1
+    rep = replay_log(spark, table)
+    # no rewrite: the same physical files, now DV-stamped where matched
+    assert set(rep.files) == files_before
+    total_card = sum(a["deletionVector"]["cardinality"]
+                     for a in rep.files.values()
+                     if a.get("deletionVector"))
+    assert total_card == 10
+    assert _ks(read_delta_snapshot(spark, table)) == \
+        [k for k in range(100) if k % 10 != 3]
+    # merge on second delete (k=63 etc. share files with k%10==3 rows)
+    delete_where(spark, table, "k % 10 = 7", ts_ms=3000, use_dv=True)
+    rep2 = replay_log(spark, table)
+    assert sum(a["deletionVector"]["cardinality"]
+               for a in rep2.files.values()
+               if a.get("deletionVector")) == 20
+    assert _ks(read_delta_snapshot(spark, table)) == \
+        [k for k in range(100) if k % 10 not in (3, 7)]
+    # time travel: pre-delete full, between-deletes intermediate
+    assert len(_ks(read_delta_snapshot(spark, table, 0))) == 100
+    assert len(_ks(read_delta_snapshot(spark, table, 1))) == 90
+
+
+def test_dv_delete_upgrades_protocol_and_writes_cdc(spark, table):
+    rep0 = replay_log(spark, table)
+    assert "deletionVectors" not in (
+        rep0.protocol.get("readerFeatures") or [])
+    delete_where(spark, table, "k < 5", ts_ms=2000, use_dv=True)
+    rep = replay_log(spark, table)
+    assert rep.protocol["minReaderVersion"] == 3
+    assert "deletionVectors" in rep.protocol["readerFeatures"]
+    assert "changeDataFeed" in rep.protocol["writerFeatures"]  # cdf table
+    ch = read_delta_changes(spark, table, 0, 1)
+    rows = ch.collect()
+    assert sorted(r.k for r in rows) == [0, 1, 2, 3, 4]
+    assert {r["_change_type"] for r in rows} == {"delete"}
+
+
+def test_dv_delete_no_match_no_commit(spark, table):
+    assert delete_where(spark, table, "k > 10000", use_dv=True) == 0
+    assert latest_delta_version(spark, table) == 0
+
+
+def test_dv_delete_then_rewrite_update_folds_dvs(spark, table):
+    """An UPDATE after a DV delete rewrites affected files DV-free (the
+    existing fold path) and must not resurrect DV-dead rows."""
+    delete_where(spark, table, "k % 10 = 3", ts_ms=2000, use_dv=True)
+    update_where(spark, table, "k < 40", {"v": "v + 0.5"}, ts_ms=3000)
+    snap = read_delta_snapshot(spark, table)
+    assert _ks(snap) == [k for k in range(100) if k % 10 != 3]
+    assert snap.filter("k = 4").first().v == 8.5
+    assert snap.filter("k = 44").first().v == 88.0
