@@ -607,16 +607,26 @@ def delete_where(spark: SparkSession, table_path: str, predicate: str,
 
 def _delete_with_dvs(spark: SparkSession, table_path: str, predicate: str,
                      ts_ms: int | None) -> int:
-    """The DV-writing DELETE engine: one scan finds the surviving
+    return _dv_row_op(spark, table_path, predicate, ts_ms, "delete",
+                      set_exprs=None)
+
+
+def _dv_row_op(spark: SparkSession, table_path: str, predicate: str,
+               ts_ms: int | None, op: str,
+               set_exprs: dict[str, str] | None) -> int:
+    """The DV-writing DELETE/UPDATE engine: one scan finds the surviving
     matched rows WITH their (file, row index) provenance; their indexes
     union into each file's existing bitmap (the scan already excluded
     previously-dead rows, so indexes never double-count); one DV file
     carries every affected file's serialized bitmap; the commit re-adds
-    each affected file with its descriptor. Stats are kept verbatim —
-    Delta's DV semantics: numRecords stays the PHYSICAL count, readers
-    subtract cardinality. The deleted-row index collect is bounded by
-    the deleted cardinality (the same driver-metadata class as DV
-    bitmaps themselves)."""
+    each affected file with its descriptor. UPDATE additionally stages
+    the matched rows' POST-update images as new files in the same
+    commit — delta-spark's own DV-update shape (old positions stamped
+    dead, new rows appended; untouched rows never move). Stats are kept
+    verbatim — Delta's DV semantics: numRecords stays the PHYSICAL
+    count, readers subtract cardinality. The matched-row index collect
+    is bounded by the matched cardinality (the same driver-metadata
+    class as DV bitmaps themselves)."""
     import numpy as np
 
     from ..sources import delta_dv
@@ -624,11 +634,11 @@ def _delete_with_dvs(spark: SparkSession, table_path: str, predicate: str,
 
     if not _is_local(table_path):
         raise NotImplementedError(
-            "DV-writing DELETE needs a local table dir (DV file write); "
-            "use the rewrite path (use_dv=False) elsewhere")
+            f"DV-writing {op.upper()} needs a local table dir (DV file "
+            f"write); use the rewrite path (use_dv=False) elsewhere")
     ts = _now_ms(ts_ms)
     rep = replay_log(spark, table_path)
-    _check_writable(rep.metadata, rep.protocol, "delete")
+    _check_writable(rep.metadata, rep.protocol, op)
     if not rep.files:
         return rep.version
     hit = F.coalesce(F.expr(predicate), F.lit(False))
@@ -664,7 +674,7 @@ def _delete_with_dvs(spark: SparkSession, table_path: str, predicate: str,
     frames = delta_dv.write_dv_file(dv_path, datas)
 
     actions: list[dict] = [
-        {"commitInfo": {"timestamp": ts, "operation": "DELETE",
+        {"commitInfo": {"timestamp": ts, "operation": op.upper(),
                         "operationParameters": {"predicate": predicate}}},
     ]
     feats_r = set(rep.protocol.get("readerFeatures") or ())
@@ -695,25 +705,55 @@ def _delete_with_dvs(spark: SparkSession, table_path: str, predicate: str,
             "size": add.get("size")}})
         actions.append({"add": {**add, "dataChange": True,
                                 "deletionVector": descriptor}})
-    if _cdf_enabled(rep.metadata):
-        logical = [f.name for f in rep.schema.fields]
-        cdc_df = (snap.filter(hit).select(*logical)
-                  .withColumn(_CDC_TYPE, F.lit("delete")))
+    logical = [f.name for f in rep.schema.fields]
+    if set_exprs is not None:
+        # UPDATE: stage the post-update images of the matched rows
+        types = dict(snap.dtypes)
+        unknown = [c for c in set_exprs if c not in types]
+        if unknown:
+            raise ValueError(f"SET targets {unknown} are not table "
+                             f"columns")
+        updated = snap.filter(hit).select(
+            *[F.expr(set_exprs[c]).cast(types[c]).alias(c)
+              if c in set_exprs else F.col(c) for c in logical])
+        new_adds = _stage_files(spark, updated, table_path,
+                                rep.partition_columns, ts)
+        actions += [{"add": {**a, "dataChange": True}} for a in new_adds]
+        cdc_df = None
+        if _cdf_enabled(rep.metadata):
+            pre = (snap.filter(hit).select(*logical)
+                   .withColumn(_CDC_TYPE, F.lit("update_preimage")))
+            post = updated.withColumn(_CDC_TYPE,
+                                      F.lit("update_postimage"))
+            cdc_df = pre.unionByName(post)
+    else:
+        cdc_df = ((snap.filter(hit).select(*logical)
+                   .withColumn(_CDC_TYPE, F.lit("delete")))
+                  if _cdf_enabled(rep.metadata) else None)
+    if cdc_df is not None:
         cdc = _stage_files(spark, cdc_df, table_path,
                            rep.partition_columns, ts,
                            subdir="_change_data")
         actions += [{"cdc": {**c, "dataChange": False}} for c in cdc]
     return _strict_commit(spark, table_path, rep.version + 1, actions,
-                          "delete")
+                          op)
 
 
 def update_where(spark: SparkSession, table_path: str, predicate: str,
                  set_exprs: dict[str, str],
-                 ts_ms: int | None = None) -> int:
+                 ts_ms: int | None = None, use_dv: bool = False) -> int:
     """UPDATE <table> SET col = expr, ... WHERE <predicate>. Expressions
     are SQL over the PRE-update row (applied simultaneously) and are cast
     back to the column's declared type. With CDF enabled, writes
-    update_preimage/update_postimage cdc rows."""
+    update_preimage/update_postimage cdc rows.
+
+    ``use_dv=True`` stamps the matched rows' old positions with
+    deletion vectors and appends only their post-update images —
+    delta-spark's DV-update shape: untouched rows of affected files
+    never move. Local filesystems only; see ``delete_where``."""
+    if use_dv:
+        return _dv_row_op(spark, table_path, predicate, ts_ms, "update",
+                          set_exprs=set_exprs)
     def transform(aff, hit, logical):
         types = dict(aff.dtypes)
         unknown = [c for c in set_exprs if c not in types]

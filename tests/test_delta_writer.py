@@ -1128,3 +1128,39 @@ def test_dv_delete_then_rewrite_update_folds_dvs(spark, table):
     assert _ks(snap) == [k for k in range(100) if k % 10 != 3]
     assert snap.filter("k = 4").first().v == 8.5
     assert snap.filter("k = 44").first().v == 88.0
+
+
+def test_dv_update_stamps_old_positions_and_appends_new(spark, table):
+    """use_dv=True UPDATE: matched rows' old positions go dead via DVs,
+    only their post-update images are staged; untouched rows' files do
+    not move; CDF carries pre+post images."""
+    files_before = set(replay_log(spark, table).files)
+    v = update_where(spark, table, "k % 10 = 3", {"v": "v + 0.25"},
+                     ts_ms=2000, use_dv=True)
+    assert v == 1
+    rep = replay_log(spark, table)
+    # all original files survive (DV-stamped where matched) + new adds
+    assert files_before <= set(rep.files)
+    assert sum(a["deletionVector"]["cardinality"]
+               for a in rep.files.values()
+               if a.get("deletionVector")) == 10
+    snap = read_delta_snapshot(spark, table)
+    assert snap.count() == 100
+    assert snap.filter("k = 3").first().v == 6.25
+    assert snap.filter("k = 4").first().v == 8.0
+    ch = read_delta_changes(spark, table, 0, 1)
+    counts = {r["_change_type"]: r["n"] for r in ch.groupBy(
+        "_change_type").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"update_preimage": 10, "update_postimage": 10}
+    # post-images carry the new values
+    post = ch.filter("_change_type = 'update_postimage' AND k = 13")
+    assert post.first().v == 26.25
+
+
+def test_dv_update_then_dv_delete_compose(spark, table):
+    update_where(spark, table, "k < 10", {"v": "v * 10"}, ts_ms=2000,
+                 use_dv=True)
+    delete_where(spark, table, "k < 5", ts_ms=3000, use_dv=True)
+    snap = read_delta_snapshot(spark, table)
+    assert _ks(snap) == list(range(5, 100))
+    assert snap.filter("k = 7").first().v == 140.0
