@@ -1269,8 +1269,26 @@ class IcebergCommitConflict(RuntimeError):
     as garbage under ``data/``. Retry the whole append to restage."""
 
 
+def _txn_watermark(meta: dict, app_id: str) -> int:
+    """Highest committed batch id for ``app_id`` across the snapshot
+    summaries (-1 when none) — the Iceberg analogue of Delta's txn
+    watermark, carried in the summary the spec reserves for engine
+    properties."""
+    mark = -1
+    for sn in meta.get("snapshots") or []:
+        sm = sn.get("summary") or {}
+        if sm.get("spark-graft-app-id") == app_id:
+            try:
+                mark = max(mark, int(sm.get("spark-graft-batch-id", -1)))
+            except (TypeError, ValueError):
+                pass
+    return mark
+
+
 def append_iceberg(spark: SparkSession, df: DataFrame, table_path: str,
-                   ts_ms: int | None = None, max_retries: int = 10) -> int:
+                   ts_ms: int | None = None, max_retries: int = 10,
+                   txn_app_id: str | None = None,
+                   txn_version: int | None = None) -> int:
     """TRANSACTIONAL append to an existing Iceberg table — the CAS commit
     the HadoopCatalog convention defines: stage data files + a new
     manifest once (uuid-named, racer-collision-free), then race for
@@ -1283,12 +1301,22 @@ def append_iceberg(spark: SparkSession, df: DataFrame, table_path: str,
     advisory pointer it is — readers fall back to the highest metadata
     file, so a crash between commit and hint write loses nothing.
 
-    Returns the new snapshot id. The spec-slicing loop is the staging
-    writer's (gate-scale); the commit protocol is real."""
+    ``txn_app_id``/``txn_version`` make the append IDEMPOTENT, the same
+    exactly-once handshake the Delta writer's txn actions provide: the
+    batch id is recorded in the snapshot SUMMARY, and an append whose
+    (app, id) is at or below the app's committed watermark is a NO-OP —
+    checked before staging AND on every lost-race rebase (the racer may
+    BE the duplicate writer).
+
+    Returns the new snapshot id (or the current one for a deduped
+    no-op). The spec-slicing loop is the staging writer's (gate-scale);
+    the commit protocol is real."""
     import uuid as _uuid
 
     from ..sinks.delta_writer import _atomic_create
 
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version go together")
     if not _is_local(table_path):
         raise NotImplementedError("append_iceberg commits via local "
                                   "atomic create")
@@ -1305,6 +1333,8 @@ def append_iceberg(spark: SparkSession, df: DataFrame, table_path: str,
             spark, os.path.join(mdir, f"v{v}.metadata.json")))
 
     v, meta = _head()
+    if txn_app_id is not None and             _txn_watermark(meta, txn_app_id) >= txn_version:
+        return int(meta["current-snapshot-id"])  # idempotent replay
     schema = _current_schema(meta)
     schema_fields = schema["fields"]
     for f in schema_fields:
@@ -1366,11 +1396,15 @@ def append_iceberg(spark: SparkSession, df: DataFrame, table_path: str,
         with open(mlpath, "wb") as f:
             f.write(write_container(_MANIFEST_FILE_SCHEMA,
                                     list(prior) + [new_manifest]))
+        summary = {"operation": "append"}
+        if txn_app_id is not None:
+            summary["spark-graft-app-id"] = txn_app_id
+            summary["spark-graft-batch-id"] = str(int(txn_version))
         new_meta = dict(meta)
         new_meta["snapshots"] = list(meta.get("snapshots") or []) + [{
             "snapshot-id": snap_id, "timestamp-ms": ts,
             "sequence-number": seq,
-            "manifest-list": mlpath, "summary": {"operation": "append"}}]
+            "manifest-list": mlpath, "summary": summary}]
         new_meta["current-snapshot-id"] = snap_id
         new_meta["last-updated-ms"] = ts
         new_meta["last-sequence-number"] = seq
@@ -1383,6 +1417,8 @@ def append_iceberg(spark: SparkSession, df: DataFrame, table_path: str,
             return snap_id
         # lost the race: rebase on the new head iff schema+spec unchanged
         v, meta = _head()
+        if txn_app_id is not None and                 _txn_watermark(meta, txn_app_id) >= txn_version:
+            return int(meta["current-snapshot-id"])  # racer WAS this txn
         if ts_ms is None:
             # stale default ts would order this snapshot BELOW the
             # racer's in the history (r9 review finding #4)

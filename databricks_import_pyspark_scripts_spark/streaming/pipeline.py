@@ -495,3 +495,47 @@ def stream_psi_monitor(events: DataFrame, ref_rollup: DataFrame,
             .foreachBatch(apply_batch)
             .option("checkpointLocation", checkpoint_dir)
             .start())
+
+
+def stream_iceberg_sink(stream: DataFrame, table_path: str, app_id: str,
+                        checkpoint_dir: str,
+                        scope_to_checkpoint: bool = True):
+    """EXACTLY-ONCE streaming appends into a jar-less Iceberg table —
+    the ``stream_delta_sink`` twin: each micro-batch commits as one CAS
+    append whose snapshot SUMMARY records (app id, batch id), and a
+    redelivered batch id is a no-op at commit time because the table
+    itself remembers the app's watermark across the snapshot history —
+    duplicates impossible rather than merely unlikely. Same
+    ``scope_to_checkpoint`` contract as the Delta sink (a FRESH
+    checkpoint restarts batch ids over new offsets; scoping keys each
+    checkpoint lineage's watermark separately). The table must already
+    exist (write_iceberg_table / append_iceberg history) so concurrent
+    first-batch races cannot fork two tables. Returns the
+    StreamingQuery (caller stops)."""
+    import json as _json
+    import os as _os
+
+    from ..sources.delta_log import _read_bytes
+    from ..sources.iceberg import append_iceberg, read_table_metadata
+
+    spark = stream.sparkSession
+    read_table_metadata(spark, table_path)  # fail fast: table must exist
+    resolved: dict[str, str] = {}
+
+    def _app() -> str:
+        if not scope_to_checkpoint:
+            return app_id
+        if "id" not in resolved:
+            resolved["id"] = _json.loads(_read_bytes(
+                spark, _os.path.join(checkpoint_dir, "metadata"))
+                .decode("utf-8"))["id"]
+        return f"{app_id}/{resolved['id']}"
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        append_iceberg(spark, batch_df, table_path,
+                       txn_app_id=_app(), txn_version=batch_id)
+
+    return (stream.writeStream
+            .foreachBatch(commit_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .start())

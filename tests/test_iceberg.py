@@ -1226,3 +1226,80 @@ def test_append_race_keeps_history_ordered(spark, ice, monkeypatch):
     assert ids[-1]["snapshot_id"] == meta["current-snapshot-id"]
     ts_list = [s["timestamp_ms"] for s in ids]
     assert ts_list == sorted(ts_list)
+
+
+# ---------------------------------------------------------------------------
+# exactly-once streaming sink
+
+
+def test_stream_iceberg_sink_exactly_once_across_restart(spark, tmp_path):
+    """File-source stream into the Iceberg sink, then a SECOND run with
+    a FRESH streaming checkpoint (batch ids restart at 0 — the worst
+    redelivery case): the snapshot-summary watermark makes the rerun a
+    no-op, so the table holds each row exactly once."""
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.streaming.pipeline import (
+        stream_iceberg_sink,
+    )
+
+    src = str(tmp_path / "src")
+    (spark.range(0, 40).select(F.col("id").alias("k"),
+                               F.col("id").cast("double").alias("v"))
+     .write.parquet(src))
+    t = str(tmp_path / "sink")
+    seed = spark.createDataFrame([], "k long, v double")
+    write_iceberg_table(spark, [seed], t)
+
+    def run(cp: str) -> None:
+        stream = (spark.readStream.schema("k long, v double").parquet(src))
+        q = stream_iceberg_sink(stream, t, "ingest-app",
+                                str(tmp_path / cp),
+                                scope_to_checkpoint=False)
+        q.processAllAvailable()
+        q.stop()
+
+    run("cp1")
+    assert read_iceberg_snapshot(spark, t).count() == 40
+    run("cp2")  # fresh checkpoint: batch 0 redelivered -> no-op
+    assert read_iceberg_snapshot(spark, t).count() == 40
+
+
+def test_append_iceberg_txn_idempotent_and_race_dedup(spark, ice,
+                                                      monkeypatch):
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.sources import iceberg
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        append_iceberg,
+    )
+
+    df = spark.range(40, 50).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v"))
+    append_iceberg(spark, df, ice, txn_app_id="app", txn_version=0)
+    assert len(_ks(read_iceberg_snapshot(spark, ice))) == 50
+    # replayed batch: no-op before staging
+    append_iceberg(spark, df, ice, txn_app_id="app", txn_version=0)
+    assert len(_ks(read_iceberg_snapshot(spark, ice))) == 50
+    # next batch lands
+    df2 = spark.range(50, 55).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v"))
+    append_iceberg(spark, df2, ice, txn_app_id="app", txn_version=1)
+    assert len(_ks(read_iceberg_snapshot(spark, ice))) == 55
+    # racer IS this txn: our staged commit drops on rebase
+    dup = spark.range(60, 65).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v"))
+    real_stage = iceberg._stage_commit
+    fired = {"done": False}
+
+    def stage_and_race(*args, **kwargs):
+        out = real_stage(*args, **kwargs)
+        if not fired["done"]:
+            fired["done"] = True
+            append_iceberg(spark, dup, ice, txn_app_id="app",
+                           txn_version=2)
+        return out
+
+    monkeypatch.setattr(iceberg, "_stage_commit", stage_and_race)
+    append_iceberg(spark, dup, ice, txn_app_id="app", txn_version=2)
+    assert len(_ks(read_iceberg_snapshot(spark, ice))) == 60  # once
