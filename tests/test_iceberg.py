@@ -1303,3 +1303,67 @@ def test_append_iceberg_txn_idempotent_and_race_dedup(spark, ice,
     monkeypatch.setattr(iceberg, "_stage_commit", stage_and_race)
     append_iceberg(spark, dup, ice, txn_app_id="app", txn_version=2)
     assert len(_ks(read_iceberg_snapshot(spark, ice))) == 60  # once
+
+
+# ---------------------------------------------------------------------------
+# randomized writer model: append / position-delete / equality-delete
+# sequences vs a plain-Python row model (the Delta writer model test's
+# Iceberg twin)
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_iceberg_writer_random_histories_match_model(spark, tmp_path, seed):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        append_iceberg,
+        iceberg_snapshot_ids,
+        write_iceberg_equality_deletes,
+        write_iceberg_position_deletes,
+    )
+
+    rng = random.Random(seed)
+    t = str(tmp_path / f"model{seed}")
+
+    def frame(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("g"))
+
+    # model: live rows as {k: g}; per-snapshot expected sets
+    write_iceberg_table(spark, [frame(0, 30)], t)
+    model = {k: k % 5 for k in range(30)}
+    history = [dict(model)]
+    next_k = 30
+    for _ in range(6):
+        op = rng.choice(["append", "posdel", "eqdel"])
+        if op == "append":
+            n = rng.randrange(5, 15)
+            append_iceberg(spark, frame(next_k, next_k + n), t)
+            model.update({k: k % 5 for k in range(next_k, next_k + n)})
+            next_k += n
+        elif op == "posdel":
+            m = rng.choice([3, 4, 7])
+            r = rng.randrange(m)
+            write_iceberg_position_deletes(spark, t, f"k % {m} = {r}")
+            model = {k: g for k, g in model.items() if k % m != r}
+        else:
+            g = rng.randrange(5)
+            write_iceberg_equality_deletes(
+                spark, t, spark.createDataFrame([(g,)], "g long"), ["g"])
+            # strictly-older rule: kills every row currently carrying g
+            # (all live files predate this delete's sequence number)
+            model = {k: gg for k, gg in model.items() if gg != g}
+        history.append(dict(model))
+
+    snaps = iceberg_snapshot_ids(spark, t)
+    assert len(snaps) == len(history)
+    # latest state matches the model ...
+    got = {r.k: r.g for r in read_iceberg_snapshot(spark, t).collect()}
+    assert got == history[-1], (seed, "latest")
+    # ... and so does EVERY historical snapshot (time travel)
+    for ordinal, sn in enumerate(snaps):
+        got = {r.k: r.g for r in read_iceberg_snapshot(
+            spark, t, snapshot_id=sn["snapshot_id"]).collect()}
+        assert got == history[ordinal], (seed, ordinal)
