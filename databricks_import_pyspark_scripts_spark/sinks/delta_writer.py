@@ -624,11 +624,16 @@ def _dv_row_op(spark: SparkSession, table_path: str, predicate: str,
     commit — delta-spark's own DV-update shape (old positions stamped
     dead, new rows appended; untouched rows never move). Stats are kept
     verbatim — Delta's DV semantics: numRecords stays the PHYSICAL
-    count, readers subtract cardinality. The matched-row index collect
-    is bounded by the matched cardinality (the same driver-metadata
-    class as DV bitmaps themselves)."""
-    import numpy as np
+    count, readers subtract cardinality.
 
+    Scale: each affected file's bitmap is built EXECUTOR-side
+    (``groupBy(file).applyInPandas``) — the driver never materializes
+    matched row indexes (a DELETE matching 100 M rows would otherwise
+    ship ~1.6 GB of int64 into driver pandas); it receives only one row
+    per affected file: (base, serialized roaring bitmap, cardinality) —
+    the same bytes it must write into the DV file anyway. Prior DVs are
+    broadcast to the union site keyed by file base (bounded by the
+    table's total live DV bytes, the driver-metadata class)."""
     from ..sources import delta_dv
     from ..sources.delta_log import _ROW_INDEX, _dv_bytes
 
@@ -644,31 +649,55 @@ def _dv_row_op(spark: SparkSession, table_path: str, predicate: str,
     hit = F.coalesce(F.expr(predicate), F.lit(False))
     snap = _scan_files(spark, table_path, rep, list(rep.files.values()),
                        keep_row_index=True)
-    matched = (snap.filter(hit).select(_FILE_BASE, _ROW_INDEX)
-               .toPandas())
-    if matched.empty:
+    by_base: dict[str, dict] = {}
+    for p, a in rep.files.items():
+        base = _action_base(table_path, p)
+        if base in by_base:
+            # mirror the reader's _scan_files guard: the DV join/group
+            # key is the 2-segment path suffix; two live files sharing
+            # it (multi-level partitioning with non-UUID names) would
+            # silently union both files' matched indexes into one DV
+            raise NotImplementedError(
+                f"file basename collision among live files ({base}); "
+                f"DV-writing {op.upper()} cannot attribute row indexes "
+                f"— use the rewrite path (use_dv=False)")
+        by_base[base] = a
+    prior_dv_bytes = {
+        base: _dv_bytes(spark, table_path, a["deletionVector"])
+        for base, a in by_base.items()
+        if a.get("deletionVector") is not None}
+    bc_prior = spark.sparkContext.broadcast(prior_dv_bytes)
+    file_base_col = _FILE_BASE
+
+    def _build_bitmap(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from databricks_import_pyspark_scripts_spark.sources import delta_dv as dv_mod
+        base = str(pdf[file_base_col].iloc[0])
+        dead = np.sort(pdf[_ROW_INDEX].to_numpy(dtype=np.int64))
+        old = bc_prior.value.get(base)
+        if old is not None:
+            dead = np.union1d(dv_mod.deserialize_bitmap_array(old), dead)
+        return pd.DataFrame({
+            "base": [base],
+            "dv": [dv_mod.serialize_bitmap_array(dead)],
+            "card": [int(dead.size)]})
+
+    per_file = (snap.filter(hit).select(_FILE_BASE, _ROW_INDEX)
+                .groupBy(_FILE_BASE)
+                .applyInPandas(_build_bitmap,
+                               "base string, dv binary, card long")
+                .collect())
+    bc_prior.unpersist()
+    if not per_file:
         return rep.version
-    by_base = {_action_base(table_path, p): a
-               for p, a in rep.files.items()}
-    dead_by_file: dict[str, np.ndarray] = {
-        str(base): np.sort(g[_ROW_INDEX].to_numpy(dtype=np.int64))
-        for base, g in matched.groupby(_FILE_BASE)}
+    per_file.sort(key=lambda r: r["base"])
 
     u = uuid.uuid4()
-    datas: list[bytes] = []
-    affected: list[dict] = []
-    cards: list[int] = []
-    for base in sorted(dead_by_file):
-        add = by_base[base]
-        dead = dead_by_file[base]
-        old = add.get("deletionVector")
-        if old is not None:
-            prior = delta_dv.deserialize_bitmap_array(
-                _dv_bytes(spark, table_path, old))
-            dead = np.union1d(prior, dead)
-        datas.append(delta_dv.serialize_bitmap_array(dead))
-        affected.append(add)
-        cards.append(int(dead.size))
+    datas: list[bytes] = [bytes(r["dv"]) for r in per_file]
+    affected: list[dict] = [by_base[r["base"]] for r in per_file]
+    cards: list[int] = [int(r["card"]) for r in per_file]
     dv_path = os.path.join(
         _strip_scheme(table_path), f"deletion_vector_{u}.bin")
     frames = delta_dv.write_dv_file(dv_path, datas)

@@ -49,9 +49,11 @@ implementation of the public Avro spec (no avro library exists here).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import re
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -90,6 +92,26 @@ def is_iceberg_table(spark: SparkSession, table_path: str) -> bool:
     return _exists(spark, os.path.join(table_path, METADATA_DIR))
 
 
+def _write_hint(mdir: str, v: int) -> None:
+    """Update ``version-hint.text`` ATOMICALLY (temp file in the same
+    directory + ``os.replace``). A plain truncating ``open(..., "w")``
+    leaves a window where a racing reader sees an empty/torn file and
+    ``int()`` raises — the CAS-append path makes concurrent
+    reader-vs-hint-update churn a SUPPORTED scenario, so the hint must
+    never be observable mid-write. Local-FS only, like every hint write
+    (the hint is a HadoopCatalog convention; object stores have no
+    rename but also get atomic single-PUT visibility for free)."""
+    fd, tmp = tempfile.mkstemp(dir=mdir, prefix=".version-hint.")
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, os.path.join(mdir, "version-hint.text"))
+    except BaseException:
+        with contextlib.suppress(OSError):
+            os.unlink(tmp)
+        raise
+
+
 def read_table_metadata(spark: SparkSession, table_path: str) -> dict:
     """Current table metadata: the HIGHEST of ``version-hint.text`` (the
     HadoopCatalog commit pointer — ADVISORY: a writer may crash between
@@ -101,7 +123,12 @@ def read_table_metadata(spark: SparkSession, table_path: str) -> dict:
     hint = os.path.join(mdir, "version-hint.text")
     hinted = -1
     if _exists(spark, hint):
-        hinted = int(_read_bytes(spark, hint).decode("utf-8").strip())
+        # tolerate an empty/torn hint (a racer mid-rewrite, or a crash
+        # with a legacy non-atomic writer): the hint is advisory and the
+        # v<N> directory listing below recovers the real head anyway.
+        raw = _read_bytes(spark, hint).decode("utf-8", "replace").strip()
+        if re.fullmatch(r"\d+", raw):
+            hinted = int(raw)
     versions = sorted(int(m.group(1)) for n in _list_names(spark, mdir)
                       if (m := _VMETA_RE.match(n)))
     v = max([hinted, *versions]) if (versions or hinted >= 0) else None
@@ -533,9 +560,25 @@ def _sift_entries(content: int, entries: list[dict], meta: dict,
     data: list[dict] = []
     dels: list[dict] = []
 
+    class _Bad(Exception):
+        pass
+
+    fv = int(meta.get("format-version", 1))
+
     def _rec(e: dict) -> dict:
         df = dict(e["data_file"])
         own = e.get("sequence_number")
+        if own is None and fv >= 2 and (
+                int(e.get("status") or 0) != STATUS_ADDED):
+            # the spec restricts sequence-number INHERITANCE to
+            # status=ADDED entries; an EXISTING entry (manifest
+            # rewrite/compaction) must carry its original number
+            # explicitly — inheriting the rewritten manifest's newer
+            # number would inflate data sequence numbers and make
+            # equality deletes under-apply. Reject loudly.
+            raise _Bad(
+                f"manifest entry status={e.get('status')} with null "
+                f"sequence_number (inheritance is ADDED-only per spec)")
         df["_seq"] = int(own) if own is not None else mf_seq
         return df
 
@@ -545,7 +588,10 @@ def _sift_entries(content: int, entries: list[dict], meta: dict,
                             "(merge-on-read); this code path cannot "
                             "apply them")
         for e in live:
-            df = _rec(e)
+            try:
+                df = _rec(e)
+            except _Bad as exc:
+                return [], [], str(exc)
             dcontent = int(df.get("content") or 0)
             if dcontent not in (1, 2):
                 return [], [], (f"delete manifest entry with data_file."
@@ -560,7 +606,10 @@ def _sift_entries(content: int, entries: list[dict], meta: dict,
             dels.append(df)
         return data, dels, None
     for e in live:
-        df = _rec(e)
+        try:
+            df = _rec(e)
+        except _Bad as exc:
+            return [], [], str(exc)
         fmt = (df.get("file_format") or "PARQUET").upper()
         if fmt != "PARQUET":
             return [], [], f"non-parquet data file format {fmt!r}"
@@ -686,19 +735,35 @@ def _uri_decode(col):
 
 
 def _file_key_expr(col):
-    """2-segment path suffix as the join key between the scan's
-    ``_metadata.file_path`` (a percent-encoded ``file:``/``s3a:`` URI)
-    and the delete files' stored ``file_path`` strings (written verbatim
-    by the committing engine, possibly under a different scheme or mount
-    for the same physical file) — the same last-2-segments canonical key
-    the Delta reader uses for DV and partition-value attribution
-    (``delta_log._action_base``). Collisions are checked driver-side and
-    reject loudly before the join exists."""
+    """2-segment path suffix of the SCAN side's ``_metadata.file_path``
+    (a percent-ENCODED ``file:``/``s3a:`` URI — Spark always encodes it)
+    as the join key against stored manifest/delete-file path strings —
+    the same last-2-segments canonical key the Delta reader uses for DV
+    and partition-value attribution (``delta_log._action_base``).
+    Collisions are checked driver-side and reject loudly before the
+    join exists. Only for ``_metadata.file_path``/``input_file_name``
+    columns; stored path strings take ``_stored_key_expr``."""
     from pyspark.sql import functions as F
 
     return F.substring_index(
         F.regexp_replace(_uri_decode(col), "^[a-zA-Z0-9+.-]+:/+", "/"),
         "/", -2)
+
+
+def _stored_key_expr(col):
+    """2-segment suffix for path strings STORED in manifests and
+    position-delete files' ``file_path`` column. The spec stores these
+    verbatim ("full URI for the file with FS scheme"), NOT
+    percent-encoded — engines write the raw path (this repo's own
+    writer included, and the driver-side ``_file_key`` resolves them
+    raw). Running ``url_decode`` here would DOUBLE-decode a data file
+    whose name contains a literal ``%XX`` sequence, desync the join key
+    from the scan side, and silently drop the deletes — resurrecting
+    deleted rows. So: strip the scheme, keep the bytes as stored."""
+    from pyspark.sql import functions as F
+
+    return F.substring_index(
+        F.regexp_replace(col, "^[a-zA-Z0-9+.-]+:/+", "/"), "/", -2)
 
 
 def _apply_position_deletes(spark: SparkSession, df: DataFrame,
@@ -726,7 +791,7 @@ def _apply_position_deletes(spark: SparkSession, df: DataFrame,
     cardinality = sum(int(f.get("record_count") or 0)
                       for f in delete_files)
     dels = (spark.read.parquet(*dpaths)
-            .select(_file_key_expr(F.col("file_path")).alias(_POS_KEY),
+            .select(_stored_key_expr(F.col("file_path")).alias(_POS_KEY),
                     F.col("pos").cast("long").alias(_POS_IDX)))
     from .delta_log import DV_ANTIJOIN_MAX_ROWS
     if cardinality <= DV_ANTIJOIN_MAX_ROWS:
@@ -1257,8 +1322,7 @@ def write_iceberg_table(spark: SparkSession, commits: list[DataFrame],
         }
         with open(os.path.join(mdir, f"v{v + 1}.metadata.json"), "w") as f:
             json.dump(meta, f)
-        with open(os.path.join(mdir, "version-hint.text"), "w") as f:
-            f.write(str(v + 1))
+        _write_hint(mdir, v + 1)
     return table_path
 
 
@@ -1411,9 +1475,7 @@ def append_iceberg(spark: SparkSession, df: DataFrame, table_path: str,
         target = os.path.join(mdir, f"v{v + 1}.metadata.json")
         if _atomic_create(spark, target,
                           json.dumps(new_meta).encode("utf-8")):
-            hint = os.path.join(mdir, "version-hint.text")
-            with open(hint, "w") as f:
-                f.write(str(v + 1))
+            _write_hint(mdir, v + 1)
             return snap_id
         # lost the race: rebase on the new head iff schema+spec unchanged
         v, meta = _head()
@@ -1572,8 +1634,7 @@ def _commit_delete_snapshot(spark: SparkSession, table_path: str,
         raise IcebergCommitConflict(
             f"delete snapshot of {table_path} lost a metadata commit "
             f"race at v{v}; rerun to rebase")
-    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
-        f.write(str(v))
+    _write_hint(mdir, v)
     return new_snap
 
 

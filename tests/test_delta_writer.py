@@ -1164,3 +1164,53 @@ def test_dv_update_then_dv_delete_compose(spark, table):
     snap = read_delta_snapshot(spark, table)
     assert _ks(snap) == list(range(5, 100))
     assert snap.filter("k = 7").first().v == 140.0
+
+
+def test_dv_row_op_builds_bitmaps_executor_side(spark, table, monkeypatch):
+    """The DV DELETE/UPDATE engine never materializes matched row
+    indexes on the driver: bitmaps are built executor-side via
+    groupBy(file).applyInPandas and the driver receives only one
+    (base, dv-bytes, cardinality) row per affected file. Pin it by
+    banning DataFrame.toPandas for the whole op."""
+    from pyspark.sql import DataFrame
+
+    def _boom(self):
+        raise AssertionError("driver toPandas during DV row-op")
+
+    monkeypatch.setattr(DataFrame, "toPandas", _boom)
+    delete_where(spark, table, "k % 10 = 3", ts_ms=2000, use_dv=True)
+    update_where(spark, table, "k % 10 = 4", {"v": "v + 1000"},
+                 ts_ms=3000, use_dv=True)
+    monkeypatch.undo()
+    got = read_delta_snapshot(spark, table)
+    assert _ks(got) == [k for k in range(100) if k % 10 != 3]
+    assert got.filter("k % 10 = 4").filter("v < 1000").count() == 0
+
+
+def test_dv_row_op_base_collision_rejects(spark, tmp_path):
+    """Two live files sharing their last-2-segment path key (multi-level
+    layouts with non-UUID names) must reject: the DV group key would
+    silently union both files' matched indexes into one deletion
+    vector. Mirrors the reader's _scan_files collision guard."""
+    import shutil
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 20).selectExpr("id AS k", "CAST(id AS double) AS v")
+    create_delta_table(spark, df.coalesce(1), t, cdf=False, ts_ms=1000)
+    rep = replay_log(spark, t)
+    (rel,) = list(rep.files)          # single root-level data file
+    name = os.path.basename(rel)
+    # a second live file at <table>/<table_dirname>/<same name> resolves
+    # to the same 2-segment suffix as the root file
+    sub = os.path.join(t, os.path.basename(t))
+    os.makedirs(sub)
+    shutil.copy(os.path.join(t, name), os.path.join(sub, name))
+    add = dict(rep.files[rel])
+    add["path"] = f"{os.path.basename(t)}/{name}"
+    with open(os.path.join(t, "_delta_log",
+                           f"{1:020d}.json"), "w") as f:
+        f.write(json.dumps({"commitInfo": {"timestamp": 2000,
+                                           "operation": "WRITE"}}) + "\n")
+        f.write(json.dumps({"add": {**add, "dataChange": True}}) + "\n")
+    with pytest.raises(NotImplementedError, match="collision"):
+        delete_where(spark, t, "k >= 0", ts_ms=3000, use_dv=True)

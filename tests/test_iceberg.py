@@ -1367,3 +1367,92 @@ def test_iceberg_writer_random_histories_match_model(spark, tmp_path, seed):
         got = {r.k: r.g for r in read_iceberg_snapshot(
             spark, t, snapshot_id=sn["snapshot_id"]).collect()}
         assert got == history[ordinal], (seed, ordinal)
+
+
+# ---------------------------------------------------------------------------
+# r10 review fixes: hint atomicity/tolerance, stored-path decoding,
+# sequence-number inheritance scope
+
+
+def test_torn_or_garbage_version_hint_tolerated(spark, ice):
+    """A racing reader may observe version-hint.text empty (mid-replace
+    on a legacy writer) or with junk content; the hint is advisory — the
+    v<N>.metadata.json listing recovers the head instead of int() blowing
+    up in read_table_metadata."""
+    hint = os.path.join(ice, "metadata", "version-hint.text")
+    open(hint, "w").close()                       # torn/empty
+    assert _ks(read_iceberg_snapshot(spark, ice)) == list(range(40))
+    with open(hint, "w") as f:
+        f.write("not-a-number\n")
+    assert _ks(read_iceberg_snapshot(spark, ice)) == list(range(40))
+
+
+def test_write_hint_atomic_and_clean(tmp_path):
+    """_write_hint lands via temp-file + os.replace: correct content,
+    no temp residue (a plain truncating open() had a torn window the
+    CAS-append churn makes observable)."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import _write_hint
+
+    mdir = str(tmp_path)
+    _write_hint(mdir, 7)
+    with open(os.path.join(mdir, "version-hint.text")) as f:
+        assert f.read() == "7"
+    _write_hint(mdir, 8)
+    with open(os.path.join(mdir, "version-hint.text")) as f:
+        assert f.read() == "8"
+    assert [n for n in os.listdir(mdir)
+            if n.startswith(".version-hint.")] == []
+
+
+def test_position_delete_stored_path_percent_literal(spark, tmp_path):
+    """Delete files store data-file paths VERBATIM (not percent-encoded);
+    a table path containing a literal %XX sequence must not be
+    url-decoded on the delete side (double-decode desyncs the join key
+    from the scan side and silently resurrects deleted rows)."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        write_iceberg_position_deletes,
+    )
+
+    t = str(tmp_path / "mor%41dir")
+    df = spark.range(0, 50).selectExpr("id AS k", "CAST(id AS double) AS v")
+    write_iceberg_table(spark, [df.repartition(2)], t)
+    write_iceberg_position_deletes(spark, t, "k % 5 = 0")
+    assert _ks(read_iceberg_snapshot(spark, t)) == \
+        [k for k in range(50) if k % 5 != 0]
+
+
+def test_sift_entries_inheritance_added_only():
+    """v2 sequence-number inheritance is restricted to status=ADDED
+    entries per spec; an EXISTING entry (manifest rewrite/compaction)
+    with a null sequence_number rejects loudly — inheriting the
+    rewritten manifest's newer number would inflate data sequence
+    numbers and under-apply equality deletes. v1 has no sequence
+    numbers at all, so EXISTING-with-null stays valid there."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        STATUS_ADDED,
+        STATUS_EXISTING,
+        _sift_entries,
+    )
+
+    dfile = {"file_path": "d/x.parquet", "file_format": "PARQUET"}
+    meta2, meta1 = {"format-version": 2}, {"format-version": 1}
+
+    added = {"status": STATUS_ADDED, "data_file": dict(dfile)}
+    data, _, err = _sift_entries(0, [added], meta2, None, None, True,
+                                 mf_seq=7)
+    assert err is None and data[0]["_seq"] == 7    # ADDED inherits
+
+    existing = {"status": STATUS_EXISTING, "data_file": dict(dfile)}
+    _, _, err = _sift_entries(0, [existing], meta2, None, None, True,
+                              mf_seq=7)
+    assert err is not None and "ADDED-only" in err
+
+    ex_seq = {"status": STATUS_EXISTING, "sequence_number": 3,
+              "data_file": dict(dfile)}
+    data, _, err = _sift_entries(0, [ex_seq], meta2, None, None, True,
+                                 mf_seq=7)
+    assert err is None and data[0]["_seq"] == 3    # explicit seq kept
+
+    data, _, err = _sift_entries(0, [dict(existing)], meta1, None, None,
+                                 True)
+    assert err is None and data[0]["_seq"] == 0    # v1: no seqs exist
