@@ -132,6 +132,9 @@ HEADLINE = [
     "iceberg_eq_delete_agg",
     "iceberg_mor_cdf_feed",
     "delta_writer_dv_delete_agg",
+    # r10 additions: DV-producing MERGE (stamped old positions + staged
+    # post-images/inserts in one commit; staging absorbed by warm-up)
+    "delta_writer_dv_merge_agg",
 ]
 
 EXTENSION_ROWS = {
@@ -485,11 +488,12 @@ def main() -> int:
                "iceberg_days_pruned_agg", "iceberg_append_roundtrip_agg",
                "iceberg_eq_delete_agg", "iceberg_mor_cdf_feed",
                "delta_writer_dv_delete_agg"}
+    r10_rows = {"delta_writer_dv_merge_agg"}
     # same membership as comparable_queries_sec (includes the unload e2e row)
     comp = [k for k in timings
             if k not in EXTENSION_ROWS and k not in stress
             and k not in new_rows and k not in r8_rows
-            and k not in r9_rows]
+            and k not in r9_rows and k not in r10_rows]
     # bulky diagnostics go on their OWN earlier stdout line (and a sidecar
     # file): r6's final line grew past the driver's tail capture once
     # query_samples was added, so the round's headline totals were lost
@@ -565,7 +569,7 @@ def main() -> int:
         "comparable_queries_sec": round(total - stress_sec - ext_sec
                                         - sum(timings.get(k, 0.0)
                                               for k in new_rows | r8_rows
-                                              | r9_rows),
+                                              | r9_rows | r10_rows),
                                         3),
         "skew_stress_sec": stress_sec,
         "r5_extension_sec": ext_sec,
@@ -575,6 +579,8 @@ def main() -> int:
                                      for k in r8_rows), 3),
         "r9_new_rows_sec": round(sum(timings.get(k, 0.0)
                                      for k in r9_rows), 3),
+        "r10_new_rows_sec": round(sum(timings.get(k, 0.0)
+                                      for k in r10_rows), 3),
         # per-tier medians-of-samples alongside the min-of-N totals: a
         # min-vs-min drift with stable medians is host noise, not a plan
         # regression (bench hygiene, VERDICT r5 #5)

@@ -853,3 +853,74 @@ def delta_writer_dv_delete_agg(spark: SparkSession,
             .withColumn("version", F.lit(v).cast("int")))
     return parts[0].unionByName(parts[1]).select(
         "version", "event_type", "n", "sum_value")
+
+
+# ---------------------------------------------------------------------------
+# DV-WRITING MERGE (the Databricks-default DBR 14+ MERGE layout)
+
+_DVM_UPD = "event_id % 6 = 0"      # matched -> value doubles
+_DVM_DEL = "event_id % 30 = 0"     # matched + this -> deleted
+_DVM_INS = "event_id % 3 = 1"      # never in the target -> inserted
+
+
+def _staged_dvm_table(spark: SparkSession, sf_dir: str) -> str:
+    """Table whose upsert was committed by this repo's writer as a
+    DV-producing MERGE: matched rows' old positions stamped dead via
+    deletion vectors (no data bytes rewritten — every pre-merge file
+    stays live with a descriptor), update post-images and inserts
+    staged as new files in the same commit."""
+    from ..sinks.delta_writer import create_delta_table, merge_into
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_delta_dvm_gate_{tag}_v1")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        e = (load_table(spark, sf_dir, "events")
+             .select("event_id", "event_type", "value"))
+        create_delta_table(spark, e.filter(F.expr(_V0_PRED)), path,
+                           partition_by=["event_type"], cdf=True,
+                           ts_ms=_BASE_TS_MS)
+        src = e.filter(F.expr(f"({_DVM_UPD}) OR ({_DVM_INS})"))
+        merge_into(spark, path, src, on=["event_id"],
+                   when_matched_update={"value": "t.value + s.value"},
+                   when_matched_delete=f"s.{_DVM_DEL}",
+                   ts_ms=_BASE_TS_MS + 1000, use_dv=True)
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "delta_writer_dv_merge_agg",
+    f"""
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(SUM(CASE WHEN {_DVM_UPD} THEN value * 2
+                          ELSE value END), 4) AS sum_value
+    FROM events
+    WHERE ({_V0_PRED} AND NOT ({_DVM_DEL})) OR ({_DVM_INS})
+    GROUP BY event_type
+    """,
+    doc="DV-PRODUCING MERGE round-trip (sinks/delta_writer.py "
+        "merge_into(use_dv=True), the Databricks-default DBR 14+ MERGE "
+        "layout): one commit stamps matched rows' old positions dead "
+        "via roaring-bitmap deletion vectors on the shared "
+        "_dv_stamp_actions engine — every pre-merge file stays live, "
+        "bitmaps built executor-side — while update post-images "
+        "(t.value + s.value = value doubled, the source being the same "
+        "events row) and not-matched inserts stage as new files; the "
+        "matched-AND-%30 rows take the delete clause. Read back through "
+        "THIS repo's log-replay reader over the partitioned layout. "
+        "Oracle restates the three clauses as predicates over the "
+        "source table: a wrong bitmap, a post-image staged for a "
+        "deleted row, or a dropped insert breaks a partition's count "
+        "or sum.")
+def delta_writer_dv_merge_agg(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    path = _staged_dvm_table(spark, sf_dir)
+    snap = read_delta_snapshot(spark, path)
+    return (snap.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select("event_type", "n", "sum_value"))

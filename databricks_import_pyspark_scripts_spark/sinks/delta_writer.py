@@ -611,52 +611,27 @@ def _delete_with_dvs(spark: SparkSession, table_path: str, predicate: str,
                       set_exprs=None)
 
 
-def _dv_row_op(spark: SparkSession, table_path: str, predicate: str,
-               ts_ms: int | None, op: str,
-               set_exprs: dict[str, str] | None) -> int:
-    """The DV-writing DELETE/UPDATE engine: one scan finds the surviving
-    matched rows WITH their (file, row index) provenance; their indexes
-    union into each file's existing bitmap (the scan already excluded
-    previously-dead rows, so indexes never double-count); one DV file
-    carries every affected file's serialized bitmap; the commit re-adds
-    each affected file with its descriptor. UPDATE additionally stages
-    the matched rows' POST-update images as new files in the same
-    commit — delta-spark's own DV-update shape (old positions stamped
-    dead, new rows appended; untouched rows never move). Stats are kept
-    verbatim — Delta's DV semantics: numRecords stays the PHYSICAL
-    count, readers subtract cardinality.
-
-    Scale: each affected file's bitmap is built EXECUTOR-side
-    (``groupBy(file).applyInPandas``) — the driver never materializes
-    matched row indexes (a DELETE matching 100 M rows would otherwise
-    ship ~1.6 GB of int64 into driver pandas); it receives only one row
-    per affected file: (base, serialized roaring bitmap, cardinality) —
-    the same bytes it must write into the DV file anyway. Prior DVs are
-    broadcast to the union site keyed by file base (bounded by the
-    table's total live DV bytes, the driver-metadata class)."""
+def _dv_stamp_actions(spark: SparkSession, table_path: str, rep,
+                      dead: "DataFrame", ts: int,
+                      op: str) -> list[dict] | None:
+    """The shared DV stamping engine behind DELETE/UPDATE/MERGE
+    (use_dv=True): ``dead`` is a DataFrame of (_FILE_BASE, _ROW_INDEX)
+    rows to mark deleted. Builds each affected file's roaring bitmap
+    EXECUTOR-side (``groupBy(file).applyInPandas``, prior DVs broadcast
+    for the union — the driver receives only one (base, dv-bytes,
+    cardinality) row per affected file), writes ONE DV file carrying
+    every bitmap, and returns the [protocol-upgrade?] + remove +
+    add-with-descriptor actions. None when ``dead`` is empty (callers
+    skip the commit). Raises on a live-file 2-segment key collision —
+    mirrors the reader's _scan_files guard; a collision would silently
+    union two files' matched indexes into one deletion vector."""
     from ..sources import delta_dv
     from ..sources.delta_log import _ROW_INDEX, _dv_bytes
 
-    if not _is_local(table_path):
-        raise NotImplementedError(
-            f"DV-writing {op.upper()} needs a local table dir (DV file "
-            f"write); use the rewrite path (use_dv=False) elsewhere")
-    ts = _now_ms(ts_ms)
-    rep = replay_log(spark, table_path)
-    _check_writable(rep.metadata, rep.protocol, op)
-    if not rep.files:
-        return rep.version
-    hit = F.coalesce(F.expr(predicate), F.lit(False))
-    snap = _scan_files(spark, table_path, rep, list(rep.files.values()),
-                       keep_row_index=True)
     by_base: dict[str, dict] = {}
     for p, a in rep.files.items():
         base = _action_base(table_path, p)
         if base in by_base:
-            # mirror the reader's _scan_files guard: the DV join/group
-            # key is the 2-segment path suffix; two live files sharing
-            # it (multi-level partitioning with non-UUID names) would
-            # silently union both files' matched indexes into one DV
             raise NotImplementedError(
                 f"file basename collision among live files ({base}); "
                 f"DV-writing {op.upper()} cannot attribute row indexes "
@@ -675,23 +650,22 @@ def _dv_row_op(spark: SparkSession, table_path: str, predicate: str,
 
         from databricks_import_pyspark_scripts_spark.sources import delta_dv as dv_mod
         base = str(pdf[file_base_col].iloc[0])
-        dead = np.sort(pdf[_ROW_INDEX].to_numpy(dtype=np.int64))
+        rows = np.sort(pdf[_ROW_INDEX].to_numpy(dtype=np.int64))
         old = bc_prior.value.get(base)
         if old is not None:
-            dead = np.union1d(dv_mod.deserialize_bitmap_array(old), dead)
+            rows = np.union1d(dv_mod.deserialize_bitmap_array(old), rows)
         return pd.DataFrame({
             "base": [base],
-            "dv": [dv_mod.serialize_bitmap_array(dead)],
-            "card": [int(dead.size)]})
+            "dv": [dv_mod.serialize_bitmap_array(rows)],
+            "card": [int(rows.size)]})
 
-    per_file = (snap.filter(hit).select(_FILE_BASE, _ROW_INDEX)
-                .groupBy(_FILE_BASE)
+    per_file = (dead.groupBy(_FILE_BASE)
                 .applyInPandas(_build_bitmap,
                                "base string, dv binary, card long")
                 .collect())
     bc_prior.unpersist()
     if not per_file:
-        return rep.version
+        return None
     per_file.sort(key=lambda r: r["base"])
 
     u = uuid.uuid4()
@@ -702,10 +676,7 @@ def _dv_row_op(spark: SparkSession, table_path: str, predicate: str,
         _strip_scheme(table_path), f"deletion_vector_{u}.bin")
     frames = delta_dv.write_dv_file(dv_path, datas)
 
-    actions: list[dict] = [
-        {"commitInfo": {"timestamp": ts, "operation": op.upper(),
-                        "operationParameters": {"predicate": predicate}}},
-    ]
+    actions: list[dict] = []
     feats_r = set(rep.protocol.get("readerFeatures") or ())
     if not (int(rep.protocol.get("minReaderVersion", 1)) >= 3
             and "deletionVectors" in feats_r):
@@ -734,6 +705,55 @@ def _dv_row_op(spark: SparkSession, table_path: str, predicate: str,
             "size": add.get("size")}})
         actions.append({"add": {**add, "dataChange": True,
                                 "deletionVector": descriptor}})
+    return actions
+
+
+def _dv_row_op(spark: SparkSession, table_path: str, predicate: str,
+               ts_ms: int | None, op: str,
+               set_exprs: dict[str, str] | None) -> int:
+    """The DV-writing DELETE/UPDATE engine: one scan finds the surviving
+    matched rows WITH their (file, row index) provenance; their indexes
+    union into each file's existing bitmap (the scan already excluded
+    previously-dead rows, so indexes never double-count); one DV file
+    carries every affected file's serialized bitmap; the commit re-adds
+    each affected file with its descriptor. UPDATE additionally stages
+    the matched rows' POST-update images as new files in the same
+    commit — delta-spark's own DV-update shape (old positions stamped
+    dead, new rows appended; untouched rows never move). Stats are kept
+    verbatim — Delta's DV semantics: numRecords stays the PHYSICAL
+    count, readers subtract cardinality.
+
+    Scale: each affected file's bitmap is built EXECUTOR-side
+    (``groupBy(file).applyInPandas``) — the driver never materializes
+    matched row indexes (a DELETE matching 100 M rows would otherwise
+    ship ~1.6 GB of int64 into driver pandas); it receives only one row
+    per affected file: (base, serialized roaring bitmap, cardinality) —
+    the same bytes it must write into the DV file anyway. Prior DVs are
+    broadcast to the union site keyed by file base (bounded by the
+    table's total live DV bytes, the driver-metadata class)."""
+    from ..sources.delta_log import _ROW_INDEX
+
+    if not _is_local(table_path):
+        raise NotImplementedError(
+            f"DV-writing {op.upper()} needs a local table dir (DV file "
+            f"write); use the rewrite path (use_dv=False) elsewhere")
+    ts = _now_ms(ts_ms)
+    rep = replay_log(spark, table_path)
+    _check_writable(rep.metadata, rep.protocol, op)
+    if not rep.files:
+        return rep.version
+    hit = F.coalesce(F.expr(predicate), F.lit(False))
+    snap = _scan_files(spark, table_path, rep, list(rep.files.values()),
+                       keep_row_index=True)
+    dead = snap.filter(hit).select(_FILE_BASE, _ROW_INDEX)
+    stamp = _dv_stamp_actions(spark, table_path, rep, dead, ts, op)
+    if stamp is None:
+        return rep.version
+    actions: list[dict] = [
+        {"commitInfo": {"timestamp": ts, "operation": op.upper(),
+                        "operationParameters": {"predicate": predicate}}},
+        *stamp,
+    ]
     logical = [f.name for f in rep.schema.fields]
     if set_exprs is not None:
         # UPDATE: stage the post-update images of the matched rows
@@ -1071,7 +1091,7 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
                when_matched_update: dict[str, str] | None = None,
                when_matched_delete: str | None = None,
                when_not_matched_insert: bool = True,
-               ts_ms: int | None = None) -> int:
+               ts_ms: int | None = None, use_dv: bool = False) -> int:
     """``MERGE INTO <table> t USING <source> s ON <keys>`` with the three
     standard clauses, as one atomic commit:
 
@@ -1093,11 +1113,26 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
     (Delta's nondeterministic-merge protection). With CDF enabled, writes
     explicit cdc rows (update pre/post images, deletes, inserts).
 
+    ``use_dv=True`` stamps matched rows' OLD positions with DELETION
+    VECTORS instead of rewriting the affected files — the Databricks-
+    default (DBR 14+) MERGE physical layout: untouched rows never move,
+    update post-images and inserts stage as new files, the DV bitmaps
+    build executor-side on the shared ``_dv_stamp_actions`` engine.
+    Local filesystems only (the DV file write), like DELETE/UPDATE.
+
     At 100 TB: the match scan is one join of the target scan against the
     source keyed on ``on`` (shuffle or broadcast — AQE decides by source
     size); the rewrite rescans ONLY affected files joined against the
-    source again. The duplicate-match guard is a |matched-keys|-bounded
-    aggregate probed with ``limit(1)``, not a collect."""
+    source again (with DVs, nothing is rescanned at all — the one join
+    yields both the dead positions and the post-images). The duplicate-
+    match guard is a |matched-keys|-bounded aggregate probed with
+    ``limit(1)``, not a collect."""
+    from ..sources.delta_log import _ROW_INDEX
+
+    if use_dv and not _is_local(table_path):
+        raise NotImplementedError(
+            "DV-writing MERGE needs a local table dir (DV file write); "
+            "use the rewrite path (use_dv=False) elsewhere")
     ts = _now_ms(ts_ms)
     rep = replay_log(spark, table_path)
     _check_writable(rep.metadata, rep.protocol, "merge")
@@ -1113,10 +1148,12 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
             return rep.version
         return append_delta(spark, src, table_path, ts_ms=ts)
 
-    snap = _scan_files(spark, table_path, rep, list(rep.files.values()))
-    key = [snap[c].eqNullSafe(src[c]) for c in on]
     has_matched_clause = (when_matched_update is not None
                           or when_matched_delete is not None)
+    dv_mode = use_dv and has_matched_clause
+    snap = _scan_files(spark, table_path, rep, list(rep.files.values()),
+                       keep_row_index=dv_mode)
+    key = [snap[c].eqNullSafe(src[c]) for c in on]
 
     if has_matched_clause:
         # Delta's nondeterministic-merge guard: a target key hit by >1
@@ -1135,7 +1172,9 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
             raise ValueError(
                 "multiple source rows match a single target row; merge "
                 "would be nondeterministic (Delta parity)")
-        matched_bases = {
+        # DV mode needs no affected-file list: the dead positions fall
+        # out of the one full-scan join below, and no file is rewritten
+        matched_bases = set() if dv_mode else {
             r[0] for r in snap.join(src, key, "left_semi")
             .select(_FILE_BASE).distinct().collect()}
     else:
@@ -1150,9 +1189,14 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
     cdf = _cdf_enabled(rep.metadata)
     pieces_cdc: list[DataFrame] = []
     new_parts: list[DataFrame] = []
+    dv_actions: list[dict] | None = None
 
-    if affected:
-        aff = _scan_files(spark, table_path, rep, affected)
+    if dv_mode or affected:
+        # DV mode joins the FULL row-indexed scan once (dead positions +
+        # post-images from the same join); rewrite mode rescans only the
+        # affected files
+        aff = snap if dv_mode else _scan_files(spark, table_path, rep,
+                                               affected)
         t_side = aff.alias("t")
         # explicit match marker, not s-key-isNotNull: eqNullSafe makes
         # (null, null) a legitimate match, so a null key cannot signal
@@ -1183,8 +1227,20 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
                     cols.append(F.col(f"t.{c}").alias(c))
             return cols
 
-        kept = joined.filter(~delete_cond).select(*target_row(True))
-        new_parts.append(kept)
+        if dv_mode:
+            dead = joined.filter(delete_cond | update_cond).select(
+                F.col(f"t.{_FILE_BASE}").alias(_FILE_BASE),
+                F.col(f"t.{_ROW_INDEX}").alias(_ROW_INDEX))
+            dv_actions = _dv_stamp_actions(spark, table_path, rep, dead,
+                                           ts, "merge")
+            if when_matched_update is not None:
+                # only the POST-images stage as new rows; kept rows
+                # never move (their old positions are simply not dead)
+                new_parts.append(
+                    joined.filter(update_cond).select(*target_row(True)))
+        else:
+            kept = joined.filter(~delete_cond).select(*target_row(True))
+            new_parts.append(kept)
         if cdf:
             deleted = joined.filter(delete_cond).select(
                 *[F.col(f"t.{c}").alias(c) for c in logical]) \
@@ -1205,17 +1261,24 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
             pieces_cdc.append(
                 inserts.withColumn(_CDC_TYPE, F.lit("insert")))
 
-    if not new_parts and not affected:
+    if dv_mode and dv_actions is None and not when_not_matched_insert:
+        return rep.version  # DV merge: nothing matched, no insert clause
+    if not dv_mode and not new_parts and not affected:
         return rep.version  # nothing matched, nothing to insert
 
-    new_rows = new_parts[0]
-    for p in new_parts[1:]:
-        new_rows = new_rows.unionByName(p)
-    adds = _stage_files(spark, new_rows.select(*logical), table_path,
-                        rep.partition_columns, ts)
+    adds: list[dict] = []
+    if new_parts:
+        new_rows = new_parts[0]
+        for p in new_parts[1:]:
+            new_rows = new_rows.unionByName(p)
+        adds = _stage_files(spark, new_rows.select(*logical), table_path,
+                            rep.partition_columns, ts)
+    if dv_mode and dv_actions is None and not adds:
+        return rep.version  # insert clause present but zero insert rows
     actions: list[dict] = [
         {"commitInfo": {"timestamp": ts, "operation": "MERGE",
                         "operationParameters": {"predicate": " AND ".join(on)}}},
+        *(dv_actions or ()),
         *({"add": {**a, "dataChange": True}} for a in adds),
         *({"remove": {"path": a["path"], "deletionTimestamp": ts,
                       "dataChange": True,

@@ -1214,3 +1214,87 @@ def test_dv_row_op_base_collision_rejects(spark, tmp_path):
         f.write(json.dumps({"add": {**add, "dataChange": True}}) + "\n")
     with pytest.raises(NotImplementedError, match="collision"):
         delete_where(spark, t, "k >= 0", ts_ms=3000, use_dv=True)
+
+
+def test_dv_merge_stamps_positions_and_stages_new_rows(spark, table):
+    """use_dv=True MERGE (the Databricks-default DBR 14+ layout): matched
+    update/delete rows' OLD positions go dead via deletion vectors —
+    the pre-merge data files are all still live (re-added with
+    descriptors, untouched rows never move) — while post-images and
+    inserts stage as new files; CDF carries the same explicit rows as
+    the rewrite path."""
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        merge_into,
+    )
+
+    rep0 = replay_log(spark, table)
+    old_paths = set(rep0.files)
+    source = spark.createDataFrame(
+        [(0, "0", 100.0), (4, "0", 100.0), (9, "1", 0.0),
+         (200, "x", 1.0)],
+        "k long, p string, v double")
+    v = merge_into(spark, table, source, on=["k"],
+                   when_matched_update={"v": "t.v + s.v"},
+                   when_matched_delete="s.k = 9",
+                   ts_ms=3000, use_dv=True)
+    assert v == 1
+    rep = replay_log(spark, table)
+    # every pre-merge file is still live; the matched ones carry DVs
+    assert old_paths <= set(rep.files)
+    dv_cards = [a["deletionVector"]["cardinality"]
+                for a in rep.files.values() if a.get("deletionVector")]
+    assert sum(dv_cards) == 3            # k=0,4 updated + k=9 deleted
+    assert int(rep.protocol["minReaderVersion"]) >= 3
+    snap = read_delta_snapshot(spark, table)
+    got = {r.k: r.v for r in snap.filter("k IN (0, 4, 9, 200, 1)")
+           .collect()}
+    assert got == {0: 100.0, 4: 108.0, 200: 1.0, 1: 2.0}   # 9 gone
+    assert snap.count() == 100           # 100 - 1 delete + 1 insert
+    ch = read_delta_changes(spark, table, 0, 1)
+    counts = {r["_change_type"]: r["n"] for r in
+              ch.groupBy("_change_type").agg(F.count("*").alias("n"))
+              .collect()}
+    assert counts == {"update_preimage": 2, "update_postimage": 2,
+                      "delete": 1, "insert": 1}
+
+
+def test_dv_merge_composes_with_prior_dvs_and_rewrite_reads(spark, table):
+    """A second DV merge unions into the first merge's bitmaps; a
+    rewrite-mode DELETE afterwards folds the DV'd files cleanly."""
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        merge_into,
+    )
+
+    s1 = spark.createDataFrame([(3, "3", 0.0)], "k long, p string, v double")
+    s2 = spark.createDataFrame([(7, "3", 0.0)], "k long, p string, v double")
+    merge_into(spark, table, s1, on=["k"], when_matched_delete="true",
+               when_not_matched_insert=False, ts_ms=2000, use_dv=True)
+    merge_into(spark, table, s2, on=["k"], when_matched_delete="true",
+               when_not_matched_insert=False, ts_ms=3000, use_dv=True)
+    assert _ks(read_delta_snapshot(spark, table)) == \
+        [k for k in range(100) if k not in (3, 7)]
+    delete_where(spark, table, "k < 2", ts_ms=4000)     # rewrite path
+    assert _ks(read_delta_snapshot(spark, table)) == \
+        [k for k in range(100) if k not in (0, 1, 3, 7)]
+
+
+def test_dv_merge_insert_only_and_no_match(spark, table):
+    """DV mode with no matched clause degenerates to insert-only (no DV
+    file, no rewrite); a DV merge matching nothing with no insert clause
+    leaves the version unchanged."""
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        merge_into,
+    )
+
+    nomatch = spark.createDataFrame([(999, "z", 9.0)],
+                                    "k long, p string, v double")
+    v = merge_into(spark, table, nomatch, on=["k"],
+                   when_matched_delete="true",
+                   when_not_matched_insert=False, ts_ms=2000, use_dv=True)
+    assert v == 0                                   # unchanged
+    v = merge_into(spark, table, nomatch, on=["k"], ts_ms=3000,
+                   use_dv=True)                     # insert-only clause set
+    assert v == 1
+    rep = replay_log(spark, table)
+    assert not any(a.get("deletionVector") for a in rep.files.values())
+    assert read_delta_snapshot(spark, table).count() == 101

@@ -1,8 +1,9 @@
 """Model-based randomized differential test for the jar-less Delta WRITER:
 a seeded generator drives a random sequence of real writer operations
-(append / overwrite / delete_where / update_where / merge_into /
-optimize_delta / write_classic_checkpoint, with occasional retired-json
-prefixes) against a plain-Python dict model of the table contents; after
+(append / overwrite / delete_where / update_where / merge_into — each
+row-op randomly choosing the REWRITE or the DELETION-VECTOR physical
+layout — optimize_delta / write_classic_checkpoint, with occasional
+retired-json prefixes) against a plain-Python dict model of the table contents; after
 EVERY operation the snapshot read-back must equal the model exactly, and
 at the end two randomly chosen historical versions must equal their
 archived models (time travel across the whole mixed history).
@@ -80,7 +81,8 @@ def test_writer_random_ops_match_model(spark, tmp_path, seed):
             version = v
         elif op == "delete":
             m, r = rng.randint(2, 7), rng.randint(0, 1)
-            v = delete_where(spark, t, f"k % {m} = {r}", ts_ms=ts)
+            v = delete_where(spark, t, f"k % {m} = {r}", ts_ms=ts,
+                             use_dv=rng.random() < 0.4)
             doomed = [k for k in model if k % m == r]
             if doomed:
                 for k in doomed:
@@ -92,7 +94,7 @@ def test_writer_random_ops_match_model(spark, tmp_path, seed):
             m, r = rng.randint(2, 7), rng.randint(0, 1)
             c = rng.randint(1, 50) * 10.0
             v = update_where(spark, t, f"k % {m} = {r}", {"v": f"v + {c}"},
-                             ts_ms=ts)
+                             ts_ms=ts, use_dv=rng.random() < 0.4)
             hit = [k for k in model if k % m == r]
             if hit:
                 for k in hit:
@@ -109,7 +111,7 @@ def test_writer_random_ops_match_model(spark, tmp_path, seed):
                 continue
             v = merge_into(spark, t, _df(spark, src), on=["k"],
                            when_matched_update={"v": "t.v + s.v"},
-                           ts_ms=ts)
+                           ts_ms=ts, use_dv=rng.random() < 0.4)
             for k in existing:
                 model[k] += float(k) + 0.25
             model.update(inserts)
@@ -140,7 +142,12 @@ def test_writer_random_ops_match_model(spark, tmp_path, seed):
     for hv in rng.sample(sorted(history), min(len(history), 2)):
         assert _read(spark, t, version=hv) == history[hv], f"v={hv}"
 
-    # the log itself is consistent: live file count matches replay
+    # the log itself is consistent, and any surviving DV descriptors are
+    # well-formed (the rewrite ops FOLD prior DVs, the DV ops stack them
+    # — both shapes appear across seeds)
     rep = replay_log(spark, t)
     assert set(_read(spark, t)) == set(model)
-    assert all(not a.get("deletionVector") for a in rep.files.values())
+    for a in rep.files.values():
+        dv = a.get("deletionVector")
+        if dv is not None:
+            assert dv["cardinality"] >= 1 and dv["sizeInBytes"] > 0
