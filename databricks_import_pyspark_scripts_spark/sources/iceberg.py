@@ -89,7 +89,30 @@ class IcebergProtocolError(NotImplementedError):
 # metadata resolution
 
 def is_iceberg_table(spark: SparkSession, table_path: str) -> bool:
+    if _is_metadata_handle(table_path):
+        return _exists(spark, table_path)
     return _exists(spark, os.path.join(table_path, METADATA_DIR))
+
+
+def _is_metadata_handle(handle: str) -> bool:
+    return handle.rstrip("/").endswith(".metadata.json")
+
+
+def iceberg_table_root(handle: str, meta: dict | None = None) -> str:
+    """Table ROOT for a handle that may be a direct ``*.metadata.json``
+    path. Catalog-managed tables (REST/Glue/Hive — the production
+    majority) have no ``version-hint.text``/file-layout pointer; the
+    catalog hands clients exactly this metadata-file location, so the
+    readers accept it as the table handle. The metadata's own
+    ``location`` field wins when present (the spec's authoritative
+    root, what relative paths resolve against); otherwise two levels up
+    from ``<root>/metadata/<file>``. Directory handles pass through."""
+    h = handle.rstrip("/")
+    if not _is_metadata_handle(h):
+        return handle
+    if meta is not None and meta.get("location"):
+        return str(meta["location"])
+    return os.path.dirname(os.path.dirname(_strip_scheme(h)))
 
 
 def _write_hint(mdir: str, v: int) -> None:
@@ -119,6 +142,10 @@ def read_table_metadata(spark: SparkSession, table_path: str) -> dict:
     land out of order) and the highest ``v<N>.metadata.json`` actually
     present — so a committed-but-unhinted version is never silently
     dropped (r9 review finding #1)."""
+    if _is_metadata_handle(table_path):
+        # catalog-managed handle: THE file is the current metadata (the
+        # catalog, not a directory listing, decides currency)
+        return _check_meta(json.loads(_read_bytes(spark, table_path)))
     mdir = os.path.join(table_path, METADATA_DIR)
     hint = os.path.join(mdir, "version-hint.text")
     hinted = -1
@@ -135,7 +162,11 @@ def read_table_metadata(spark: SparkSession, table_path: str) -> dict:
     name = f"v{v}.metadata.json" if v is not None and v >= 0 else None
     if name is None:
         raise FileNotFoundError(f"no Iceberg metadata under {mdir}")
-    meta = json.loads(_read_bytes(spark, os.path.join(mdir, name)))
+    return _check_meta(json.loads(_read_bytes(spark,
+                                              os.path.join(mdir, name))))
+
+
+def _check_meta(meta: dict) -> dict:
     fv = int(meta.get("format-version", 1))
     if fv not in (1, 2):
         raise IcebergProtocolError(f"unsupported Iceberg format-version {fv}")
@@ -415,9 +446,13 @@ class _TransformAwareFilter:
                 self.checks.append((name, t, t))
                 continue
             if not _MONOTONIC.match(transform):
-                raise IcebergProtocolError(
-                    f"range predicate over {transform!r}-partitioned "
-                    f"column: only equality prunes a bucket spec")
+                # a range over hash buckets cannot prune — the superset-
+                # safe answer is "this field prunes nothing", NOT an
+                # error: a user filtering ts > X on a bucket(ts) spec
+                # still gets the right rows (the row-level predicate
+                # stays on the scan), just without metadata pruning on
+                # this dimension (VERDICT r9 missing #3)
+                continue
             t_lo = (apply_transform(transform, lo, ice_type)
                     if lo is not None else None)
             t_hi = (apply_transform(transform, hi, ice_type)
@@ -442,11 +477,12 @@ def iceberg_source_range_filter(meta: dict, column: str,
     spec whose transforms derive from ``column`` — ``days()``-partitioned
     event time being the dominant real layout. Monotonic transforms
     (identity, truncate, year/month/day/hour) accept ranges; ``bucket``
-    accepts only ``eq`` (a range over hash buckets cannot prune — that
-    combination rejects loudly rather than scanning everything
-    silently). Superset-safe: spec fields derived from OTHER columns are
-    ignored, null stored values never prune, and the row-level predicate
-    must stay on the result exactly as with the identity/stats filters."""
+    prunes on ``eq`` only — a RANGE over a bucket field degrades to
+    "prune nothing on this field" (superset-safe: the row-level
+    predicate on the scan still filters exactly; only the metadata
+    skip is lost). Spec fields derived from OTHER columns are ignored,
+    null stored values never prune, and the row-level predicate must
+    stay on the result exactly as with the identity/stats filters."""
     if eq is not None and (lo is not None or hi is not None):
         raise ValueError("pass either eq or lo/hi, not both")
     schema_fields = {int(f["id"]): (f["name"], f["type"])
@@ -922,6 +958,7 @@ def read_iceberg_snapshot(spark: SparkSession, table_path: str,
     foreign parquet files will error by id instead of silently matching
     by name."""
     meta = read_table_metadata(spark, table_path)
+    table_path = iceberg_table_root(table_path, meta)
     deletes: list[dict] = []
     files = live_data_files(spark, table_path, meta, snapshot_id,
                             partition_filter=partition_filter,
@@ -1375,6 +1412,11 @@ def append_iceberg(spark: SparkSession, df: DataFrame, table_path: str,
     Returns the new snapshot id (or the current one for a deduped
     no-op). The spec-slicing loop is the staging writer's (gate-scale);
     the commit protocol is real."""
+    if _is_metadata_handle(table_path):
+        raise NotImplementedError(
+            "catalog-managed (*.metadata.json) handles are READ-ONLY "
+            "here: commits must go through the owning catalog, not "
+            "the file layout")
     import uuid as _uuid
 
     from ..sinks.delta_writer import _atomic_create
@@ -1529,6 +1571,11 @@ def write_iceberg_position_deletes(spark: SparkSession, table_path: str,
     single-writer, local-FS staging utility so the MoR read path can be
     exercised against a REAL v2 layout — the delete-row collect is
     gate-scale by design."""
+    if _is_metadata_handle(table_path):
+        raise NotImplementedError(
+            "catalog-managed (*.metadata.json) handles are READ-ONLY "
+            "here: commits must go through the owning catalog, not "
+            "the file layout")
     if not _is_local(table_path):
         raise NotImplementedError(
             "write_iceberg_position_deletes is a local staging utility")
@@ -1649,6 +1696,11 @@ def write_iceberg_equality_deletes(spark: SparkSession, table_path: str,
     NOT affected (the v2 strictly-older rule a CDC upsert relies on).
     Same staging scope as ``write_iceberg_position_deletes`` — the
     delete frame collects driver-side (CDC-key-sized by contract)."""
+    if _is_metadata_handle(table_path):
+        raise NotImplementedError(
+            "catalog-managed (*.metadata.json) handles are READ-ONLY "
+            "here: commits must go through the owning catalog, not "
+            "the file layout")
     if not _is_local(table_path):
         raise NotImplementedError(
             "write_iceberg_equality_deletes is a local staging utility")
@@ -1743,6 +1795,7 @@ def read_iceberg_changes(spark: SparkSession, table_path: str,
     from pyspark.sql.types import StructType
 
     meta = read_table_metadata(spark, table_path)
+    table_path = iceberg_table_root(table_path, meta)
     snaps = sorted(meta.get("snapshots") or [],
                    key=lambda s: s.get("timestamp-ms") or 0)
     if ending_ordinal >= len(snaps) or starting_ordinal < -1:

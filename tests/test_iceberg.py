@@ -696,7 +696,7 @@ def test_days_partition_pruning_zero_tasks(spark, tmp_path):
     assert _ks(got) == _ks(want) and got.count() > 0
 
 
-def test_bucket_equality_pruning_and_range_rejection(spark, tmp_path):
+def test_bucket_equality_pruning_and_range_superset(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from databricks_import_pyspark_scripts_spark.sources.iceberg import (
@@ -716,8 +716,15 @@ def test_bucket_equality_pruning_and_range_rejection(spark, tmp_path):
     got = (read_iceberg_snapshot(spark, t, partition_filter=filt)
            .filter("g = 5"))
     assert _ks(got) == [k for k in range(80) if k % 8 == 5]
-    with pytest.raises(IcebergProtocolError, match="bucket"):
-        iceberg_source_range_filter(meta, "g", lo=1, hi=3)
+    # a RANGE over a bucket field degrades to "prune nothing on this
+    # field" — superset-safe, never an error (r10: a user filtering a
+    # range on a bucket-partitioned column shouldn't have to remove the
+    # filter); the row-level predicate still yields exact rows
+    rng = iceberg_source_range_filter(meta, "g", lo=1, hi=3)
+    assert len(live_data_files(spark, t, meta, partition_filter=rng))         == len(live_data_files(spark, t, meta))
+    got = (read_iceberg_snapshot(spark, t, partition_filter=rng)
+           .filter("g BETWEEN 1 AND 3"))
+    assert _ks(got) == [k for k in range(80) if 1 <= k % 8 <= 3]
 
 
 def test_truncate_partition_pruning(spark, tmp_path):
@@ -1456,3 +1463,40 @@ def test_sift_entries_inheritance_added_only():
     data, _, err = _sift_entries(0, [dict(existing)], meta1, None, None,
                                  True)
     assert err is None and data[0]["_seq"] == 0    # v1: no seqs exist
+
+
+def test_direct_metadata_json_handle(spark, tmp_path):
+    """Catalog-managed tables hand clients a *.metadata.json location,
+    not a directory with a version-hint: the readers accept that file
+    path as the table handle (root resolved from the metadata's own
+    ``location``), serve snapshots/changes identically, and the writers
+    reject it loudly (commits belong to the owning catalog)."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        append_iceberg,
+        is_iceberg_table,
+        read_iceberg_changes,
+        write_iceberg_position_deletes,
+    )
+
+    t = str(tmp_path / "cat")
+    a = spark.range(0, 30).selectExpr("id AS k", "CAST(id AS double) AS v")
+    b = spark.range(30, 50).selectExpr("id AS k", "CAST(id AS double) AS v")
+    write_iceberg_table(spark, [a, b], t)
+    write_iceberg_position_deletes(spark, t, "k % 10 = 0")
+    # the catalog's pointer: the HIGHEST metadata file
+    mdir = os.path.join(t, "metadata")
+    handle = os.path.join(mdir, sorted(
+        n for n in os.listdir(mdir) if n.endswith(".metadata.json"))[-1])
+    os.unlink(os.path.join(mdir, "version-hint.text"))  # no hint at all
+    assert is_iceberg_table(spark, handle)
+    assert _ks(read_iceberg_snapshot(spark, handle)) == \
+        [k for k in range(50) if k % 10 != 0]
+    # time travel + changes work through the same handle
+    assert _ks(read_iceberg_snapshot(spark, handle, snapshot_id=1000)) == \
+        list(range(30))
+    ch = read_iceberg_changes(spark, handle, 0, 1)
+    assert {r.k for r in ch.collect()} == set(range(30, 50))
+    for w in (lambda: append_iceberg(spark, a, handle),
+              lambda: write_iceberg_position_deletes(spark, handle, "k=1")):
+        with pytest.raises(NotImplementedError, match="READ-ONLY"):
+            w()
