@@ -419,3 +419,60 @@ def iceberg_mor_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value"), 4).alias("value"),
         F.col("_change_type").alias("change_type"),
         F.col("_commit_version").cast("int").alias("commit_version"))
+
+
+# ---------------------------------------------------------------------------
+# ORC data files (format dispatch in the snapshot scan — r10)
+
+def _staged_iceberg_orc(spark: SparkSession, sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_iceberg_orc_gate_{tag}_v1")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        e = (load_table(spark, sf_dir, "events")
+             .select("event_id", "event_type", "value"))
+        write_iceberg_table(
+            spark, [e.filter(F.expr(_S0_PRED)), e.filter(F.expr(_S1_PRED))],
+            path, file_format="orc")
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "iceberg_orc_snapshot_agg",
+    f"""
+    SELECT 0 AS snap, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events WHERE {_S0_PRED}
+    GROUP BY event_type
+    UNION ALL
+    SELECT 1 AS snap, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events WHERE {_S0_PRED} OR {_S1_PRED}
+    GROUP BY event_type
+    """,
+    doc="ORC DATA FILES through the jar-less Iceberg reader "
+        "(sources/iceberg.py format dispatch): the staged v2 table's "
+        "two append snapshots are written as ORC files (manifest "
+        "entries carry file_format=ORC, real record counts, empty "
+        "bounds — ORC entries are honestly unskippable), read back by "
+        "snapshot id through Spark's NATIVE ORC reader (name-resolved "
+        "columns; parquet files in the same table keep field-id "
+        "resolution) and aggregated. The oracle re-derives both "
+        "snapshots from the parquet source: a format mis-dispatch, "
+        "dropped snapshot, or ORC schema drift breaks counts and sums.")
+def iceberg_orc_snapshot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _staged_iceberg_orc(spark, sf_dir)
+    parts = []
+    for i, snap_id in enumerate((_SNAP0, _SNAP1)):
+        snap = read_iceberg_snapshot(spark, path, snapshot_id=snap_id)
+        parts.append(
+            snap.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .withColumn("snap", F.lit(i).cast("int")))
+    return parts[0].unionByName(parts[1]).select(
+        "snap", "event_type", "n", "sum_value")

@@ -647,8 +647,11 @@ def _sift_entries(content: int, entries: list[dict], meta: dict,
         except _Bad as exc:
             return [], [], str(exc)
         fmt = (df.get("file_format") or "PARQUET").upper()
-        if fmt != "PARQUET":
-            return [], [], f"non-parquet data file format {fmt!r}"
+        if fmt not in ("PARQUET", "ORC"):
+            # ORC reads through Spark's native reader (name-resolved —
+            # see read_iceberg_snapshot); Avro data files stay a loud
+            # rejection
+            return [], [], f"unsupported data file format {fmt!r}"
         if partition_filter is not None and not partition_filter(
                 df.get("partition") or {}):
             continue
@@ -967,9 +970,35 @@ def read_iceberg_snapshot(spark: SparkSession, table_path: str,
     schema = iceberg_spark_schema(meta)
     if not files:
         return spark.createDataFrame([], schema)
-    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    paths = [_resolve_path(table_path, f["file_path"]) for f in files]
-    scan = spark.read.schema(schema).parquet(*paths)
+
+    def _fmt(f: dict) -> str:
+        return (f.get("file_format") or "PARQUET").upper()
+
+    orc_paths = sorted(_resolve_path(table_path, f["file_path"])
+                       for f in files if _fmt(f) == "ORC")
+    pq_paths = [_resolve_path(table_path, f["file_path"])
+                for f in files if _fmt(f) != "ORC"]
+    if orc_paths and deletes:
+        raise IcebergProtocolError(
+            "merge-on-read over ORC data files: position-delete "
+            "application needs _metadata.row_index, which Spark's ORC "
+            "reader does not emit — rewrite the table or drop the "
+            "deletes")
+    parts = []
+    if pq_paths:
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        parts.append(spark.read.schema(schema).parquet(*pq_paths))
+    if orc_paths:
+        # Spark's native ORC reader resolves columns BY NAME (no
+        # field-id matching like parquet's fieldId.read) — correct for
+        # tables whose ORC files carry the current column names; a
+        # renamed-column history over ORC files would need id
+        # resolution and is out of scope (parquet files in the same
+        # table keep full id resolution)
+        parts.append(spark.read.schema(schema).orc(orc_paths))
+    scan = parts[0]
+    for p in parts[1:]:
+        scan = scan.unionByName(p)
     if not deletes:
         return scan
     from pyspark.sql import functions as F
@@ -1178,7 +1207,7 @@ def _part_avro_fields(schema_fields: list[dict],
 def _stage_commit(spark: SparkSession, df: DataFrame, root: str,
                   schema_fields: list[dict],
                   part_avro_fields: list[dict], snap_id: int,
-                  tag: str) -> list[dict]:
+                  tag: str, file_format: str = "parquet") -> list[dict]:
     """Stage one commit's data files under ``<root>/data`` and return its
     manifest entries: one slice per partition tuple (identity values or
     ``apply_transform`` outputs — the SAME math the reader's pruning
@@ -1200,26 +1229,36 @@ def _stage_commit(spark: SparkSession, df: DataFrame, root: str,
         for f in schema_fields])
     entries: list[dict] = []
 
+    ext = file_format.lower()
+    if ext not in ("parquet", "orc"):
+        raise ValueError(f"file_format {file_format!r}: parquet or orc")
+
     def _stage_slice(slice_df, partition: dict, slice_tag: str) -> None:
         import pyarrow.parquet as pq
 
         staging = os.path.join(root, f"_staging_{tag}{slice_tag}")
-        slice_df.write.mode("overwrite").parquet(staging)
+        getattr(slice_df.write.mode("overwrite"), ext)(staging)
         for i, name in enumerate(sorted(
                 n for n in os.listdir(staging)
-                if n.endswith(".parquet"))):
+                if n.endswith(f".{ext}"))):
             target = os.path.join(
-                ddir, f"{tag}{slice_tag}-{i:05d}.parquet")
+                ddir, f"{tag}{slice_tag}-{i:05d}.{ext}")
             os.replace(os.path.join(staging, name), target)
-            lo_b, hi_b = _footer_bounds(target, name_to_field)
+            if ext == "orc":
+                import pyarrow.orc as po
+                nrows = po.ORCFile(target).nrows
+                lo_b, hi_b = {}, {}   # ORC: no footer bounds decoded —
+                #                       entries stay unskippable (safe)
+            else:
+                nrows = pq.ParquetFile(target).metadata.num_rows
+                lo_b, hi_b = _footer_bounds(target, name_to_field)
             entries.append({
                 "status": STATUS_ADDED, "snapshot_id": snap_id,
                 "data_file": {
                     "content": 0, "file_path": target,
-                    "file_format": "PARQUET",
+                    "file_format": ext.upper(),
                     "partition": partition,
-                    "record_count":
-                        pq.ParquetFile(target).metadata.num_rows,
+                    "record_count": nrows,
                     "file_size_in_bytes": os.path.getsize(target),
                     "lower_bounds": lo_b or None,
                     "upper_bounds": hi_b or None}})
@@ -1279,7 +1318,8 @@ def write_iceberg_table(spark: SparkSession, commits: list[DataFrame],
                         base_ts_ms: int = 1700000000000,
                         partition_by: list[str] | tuple[str, ...] = (),
                         partition_transforms: list[tuple[str, str, str]]
-                        | tuple = ()) -> str:
+                        | tuple = (),
+                        file_format: str = "parquet") -> str:
     """Create a spec-conformant Iceberg v2 table: each DataFrame becomes
     one append snapshot (vN metadata + manifest list + one manifest).
     ``partition_by`` declares an IDENTITY partition spec: data files are
@@ -1319,7 +1359,8 @@ def write_iceberg_table(spark: SparkSession, commits: list[DataFrame],
             part_fields = _part_avro_fields(schema_fields, partition_by,
                                             partition_transforms)
         entries = _stage_commit(spark, df, root, schema_fields,
-                                part_fields, snap_id, f"s{v:03d}")
+                                part_fields, snap_id, f"s{v:03d}",
+                                file_format=file_format)
         mpath = os.path.join(mdir, f"manifest-{v:03d}.avro")
         blob = write_container(_manifest_entry_schema(part_fields),
                                entries)
@@ -1594,19 +1635,29 @@ def write_iceberg_position_deletes(spark: SparkSession, table_path: str,
     deletes: list[dict] = []
     files = live_data_files(spark, table_path, meta, None,
                             deletes_out=deletes)
+    orc = [f for f in files
+           if (f.get("file_format") or "PARQUET").upper() == "ORC"]
+    if orc:
+        raise IcebergProtocolError(
+            "position deletes over ORC data files: row positions need "
+            "_metadata.row_index, which Spark's ORC reader does not "
+            "emit")
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    # reserved provenance names — bare aliases like "f"/"p" collide
+    # with same-named TABLE columns and make every reference ambiguous
+    _PF, _PP = "__ice_prov_f", "__ice_prov_p"
     cur = (spark.read.schema(iceberg_spark_schema(meta)).parquet(
         *[_resolve_path(table_path, f["file_path"]) for f in files])
-        .select("*", F.col("_metadata.file_path").alias("f"),
-                F.col("_metadata.row_index").alias("p")))
+        .select("*", F.col("_metadata.file_path").alias(_PF),
+                F.col("_metadata.row_index").alias(_PP)))
     if deletes:
         keyed = cur.select(
-            "*", _file_key_expr(F.col("f")).alias(_POS_KEY),
-            F.col("p").alias(_POS_IDX))
+            "*", _file_key_expr(F.col(_PF)).alias(_POS_KEY),
+            F.col(_PP).alias(_POS_IDX))
         cur = _apply_row_deletes(spark, keyed, table_path, files,
                                  deletes, meta)
-    doomed = cur.filter(F.expr(predicate_sql)).select("f", "p").collect()
-    pairs = sorted((re.sub(r"^file:/+", "/", unquote(r["f"])), int(r["p"]))
+    doomed = cur.filter(F.expr(predicate_sql)).select(_PF, _PP).collect()
+    pairs = sorted((re.sub(r"^file:/+", "/", unquote(r[_PF])), int(r[_PP]))
                    for r in doomed)
 
     new_snap = max(int(sn["snapshot-id"]) for sn in meta["snapshots"]) + 1
@@ -1851,6 +1902,11 @@ def read_iceberg_changes(spark: SparkSession, table_path: str,
             # (within-snapshot uniqueness is checked at delete apply)
             by_key: dict[str, str] = {}
             for f in list(prev.values()) + list(cur.values()):
+                if (f.get("file_format") or "PARQUET").upper() == "ORC":
+                    raise IcebergProtocolError(
+                        "merge-on-read ordinal step over ORC data "
+                        "files: row identity needs _metadata.row_index "
+                        "(parquet-only in Spark)")
                 k = _file_key(table_path, f)
                 rp = _resolve_path(table_path, f["file_path"])
                 if by_key.setdefault(k, rp) != rp:
@@ -1876,9 +1932,13 @@ def read_iceberg_changes(spark: SparkSession, table_path: str,
                                 F.timestamp_millis(F.lit(ts))))
         else:
             for p in cur.keys() - prev.keys():
-                ins.append((o, ts, p))
+                ins.append((o, ts, p,
+                            (cur[p].get("file_format")
+                             or "PARQUET").upper()))
             for p in prev.keys() - cur.keys():
-                dels.append((o, ts, p))
+                dels.append((o, ts, p,
+                             (prev[p].get("file_format")
+                              or "PARQUET").upper()))
         prev, prev_dels = cur, cur_dels
 
     pieces = list(mor_pieces)
@@ -1890,27 +1950,35 @@ def read_iceberg_changes(spark: SparkSession, table_path: str,
         # row out to every (ordinal, ts) the file changed at — the
         # correct multiplicity. Join key: full normalized path, not the
         # basename (two dirs may share basenames; a basename join would
-        # cross-tag ordinals).
-        paths = sorted({_resolve_path(table_path, p) for _, _, p in group})
-        for p in paths:
-            if not _exists(spark, p):
-                raise FileNotFoundError(
-                    f"DELTA_CHANGE_DATA_FILE_NOT_FOUND: {p} referenced by "
-                    f"a past snapshot but absent (expired?)")
-        norm = F.regexp_replace(
-            _uri_decode(F.input_file_name()), "^file:/+", "/")
-        df = (spark.read.schema(schema).parquet(*paths)
-              .withColumn("__f", norm))
-        fmap = spark.createDataFrame(
-            [(_resolve_path(table_path, p), o, ts) for o, ts, p in group],
-            "__f string, __o long, __ts long")
-        df = (df.join(F.broadcast(fmap), "__f")
-              .withColumn("_change_type", F.lit(ctype))
-              .withColumn("_commit_version", F.col("__o"))
-              .withColumn("_commit_timestamp",
-                          F.timestamp_millis(F.col("__ts")))
-              .drop("__f", "__o", "__ts"))
-        pieces.append(df)
+        # cross-tag ordinals). ORC files batch into their own scan —
+        # one reader call per format, never per file.
+        by_fmt: dict[str, set] = {}
+        for _, _, p, fmt in group:
+            by_fmt.setdefault(fmt, set()).add(_resolve_path(table_path, p))
+        for fmt, pset in by_fmt.items():
+            paths = sorted(pset)
+            for p in paths:
+                if not _exists(spark, p):
+                    raise FileNotFoundError(
+                        f"DELTA_CHANGE_DATA_FILE_NOT_FOUND: {p} "
+                        f"referenced by a past snapshot but absent "
+                        f"(expired?)")
+            norm = F.regexp_replace(
+                _uri_decode(F.input_file_name()), "^file:/+", "/")
+            df = (spark.read.schema(schema).orc(paths) if fmt == "ORC"
+                  else spark.read.schema(schema).parquet(*paths)) \
+                .withColumn("__f", norm)
+            fmap = spark.createDataFrame(
+                [(_resolve_path(table_path, p), o, ts)
+                 for o, ts, p, f2 in group if f2 == fmt],
+                "__f string, __o long, __ts long")
+            df = (df.join(F.broadcast(fmap), "__f")
+                  .withColumn("_change_type", F.lit(ctype))
+                  .withColumn("_commit_version", F.col("__o"))
+                  .withColumn("_commit_timestamp",
+                              F.timestamp_millis(F.col("__ts")))
+                  .drop("__f", "__o", "__ts"))
+            pieces.append(df)
 
     order = [f.name for f in schema.fields] + [
         "_change_type", "_commit_version", "_commit_timestamp"]
