@@ -178,17 +178,19 @@ def test_change_feed_mor_equality_reinsert_steps(spark, tmp_path):
     assert {r._change_type for r in step3} == {"delete"}
 
 
-def test_non_parquet_file_rejected(spark, ice):
+def test_unsupported_data_format_rejected(spark, ice):
+    """Avro data files stay a loud rejection (parquet and ORC are the
+    dispatched formats since r10)."""
     from databricks_import_pyspark_scripts_spark.sources.iceberg import (
         _MANIFEST_ENTRY_SCHEMA,
     )
 
     mpath = os.path.join(ice, "metadata", "manifest-001.avro")
     _, entries = read_container(open(mpath, "rb").read())
-    entries[0]["data_file"]["file_format"] = "ORC"
+    entries[0]["data_file"]["file_format"] = "AVRO"
     with open(mpath, "wb") as f:
         f.write(write_container(_MANIFEST_ENTRY_SCHEMA, entries))
-    with pytest.raises(IcebergProtocolError, match="non-parquet"):
+    with pytest.raises(IcebergProtocolError, match="unsupported data file"):
         read_iceberg_snapshot(spark, ice)
 
 
