@@ -136,6 +136,7 @@ HEADLINE = [
     # post-images/inserts in one commit; staging absorbed by warm-up)
     "delta_writer_dv_merge_agg",
     "iceberg_orc_snapshot_agg",
+    "delta_variant_read",
 ]
 
 EXTENSION_ROWS = {
@@ -489,7 +490,8 @@ def main() -> int:
                "iceberg_days_pruned_agg", "iceberg_append_roundtrip_agg",
                "iceberg_eq_delete_agg", "iceberg_mor_cdf_feed",
                "delta_writer_dv_delete_agg"}
-    r10_rows = {"delta_writer_dv_merge_agg", "iceberg_orc_snapshot_agg"}
+    r10_rows = {"delta_writer_dv_merge_agg", "iceberg_orc_snapshot_agg",
+                "delta_variant_read"}
     # same membership as comparable_queries_sec (includes the unload e2e row)
     comp = [k for k in timings
             if k not in EXTENSION_ROWS and k not in stress

@@ -924,3 +924,65 @@ def delta_writer_dv_merge_agg(spark: SparkSession,
             .agg(F.count("*").alias("n"),
                  F.round(F.sum("value"), 4).alias("sum_value"))
             .select("event_type", "n", "sum_value"))
+
+
+# ---------------------------------------------------------------------------
+# variantType reader/writer feature (Spark 4 native VARIANT)
+
+def _staged_variant_table(spark: SparkSession, sf_dir: str) -> str:
+    """Delta table with a VARIANT column built from the events rows
+    (parse_json of a per-row JSON object), created by this repo's
+    writer: protocol declares variantType on both sides, data files
+    carry the value/metadata physical struct Spark's parquet writer
+    emits for VariantType, and are committed WITHOUT stats (pyarrow
+    cannot parse the VARIANT logical type — unskippable is correct)."""
+    from ..sinks.delta_writer import create_delta_table
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_delta_variant_gate_{tag}_v1")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        e = (load_table(spark, sf_dir, "events")
+             .filter(F.expr(_V0_PRED))
+             .select("event_id",
+                     F.parse_json(F.to_json(F.struct(
+                         "event_type", "value"))).alias("payload")))
+        create_delta_table(spark, e, path, ts_ms=_BASE_TS_MS)
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "delta_variant_read",
+    f"""
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS sum_value,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM events WHERE {_V0_PRED}
+    GROUP BY event_type
+    """,
+    doc="VARIANT through the jar-less Delta stack (DBR 15.3+/Spark 4 "
+        "variantType table feature): the staged table's payload column "
+        "is real VARIANT (parse_json at write, value/metadata physical "
+        "struct in parquet, protocol readerFeatures [variantType], "
+        "sources/delta_log.py SUPPORTED_READER_FEATURES), read back via "
+        "log replay and shredded with variant_get into the typed "
+        "event_type/value the oracle computes directly from the source "
+        "rows. A mis-read variant binary, wrong physical mapping, or "
+        "dropped feature gate breaks every group's count and sums.")
+def delta_variant_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _staged_variant_table(spark, sf_dir)
+    snap = read_delta_snapshot(spark, path)
+    return (snap.select(
+        "event_id",
+        F.try_variant_get("payload", "$.event_type", "string")
+        .alias("event_type"),
+        F.try_variant_get("payload", "$.value", "double").alias("value"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_value"),
+             F.sum("event_id").alias("sum_id"))
+        .select("event_type", "n", "sum_value", "sum_id"))

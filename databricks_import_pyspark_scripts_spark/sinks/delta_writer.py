@@ -83,6 +83,9 @@ SUPPORTED_WRITER_FEATURES = {
     "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
     "generatedColumns", "identityColumns", "deletionVectors",
     "timestampNtz", "vacuumProtocolCheck", "v2Checkpoint",
+    # VARIANT needs no writer-side enforcement beyond writing the
+    # value/metadata physical struct, which Spark's parquet writer does
+    "variantType", "variantType-preview",
 }
 
 
@@ -294,7 +297,9 @@ def _stage_files(spark: SparkSession, df: DataFrame, table_path: str,
                 "modificationTime": ts_ms,
             }
             if local and not subdir:
-                body["stats"] = _file_stats_json(_strip_scheme(target))
+                stats = _file_stats_json(_strip_scheme(target))
+                if stats is not None:
+                    body["stats"] = stats
             actions.append(body)
     finally:
         _rm_tree(spark, staging)
@@ -345,12 +350,25 @@ def create_delta_table(spark: SparkSession, df: DataFrame, table_path: str,
         conf["delta.enableChangeDataFeed"] = "true"
     adds = _stage_files(spark, df, table_path, part_cols, ts,
                         max_records_per_file=max_records_per_file)
+    has_variant = any("variant" in f.dataType.simpleString()
+                      for f in df.schema.fields)
+    if has_variant:
+        # VARIANT requires the table-features protocol with variantType
+        # declared on BOTH sides (PROTOCOL.md "Variant Data Type")
+        feats_w = {"appendOnly", "invariants", "variantType"}
+        if cdf:
+            feats_w.add("changeDataFeed")
+        protocol = {"minReaderVersion": 3, "minWriterVersion": 7,
+                    "readerFeatures": ["variantType"],
+                    "writerFeatures": sorted(feats_w)}
+    else:
+        # CDF needs writer v4 per the protocol's legacy feature table
+        protocol = {"minReaderVersion": 1,
+                    "minWriterVersion": 4 if cdf else 2}
     actions = [
         {"commitInfo": {"timestamp": ts, "operation": "CREATE TABLE AS SELECT",
                         "operationParameters": {"partitionBy": part_cols}}},
-        # CDF needs writer v4 per the protocol's legacy feature table
-        {"protocol": {"minReaderVersion": 1,
-                      "minWriterVersion": 4 if cdf else 2}},
+        {"protocol": protocol},
         {"metaData": {"id": str(uuid.uuid4()),
                       "format": {"provider": "parquet", "options": {}},
                       "schemaString": df.schema.json(),

@@ -108,7 +108,8 @@ _CHECKPOINT_V2_RE = re.compile(
 SUPPORTED_READER_FEATURES = {"timestampNtz", "vacuumProtocolCheck",
                              "deletionVectors", "columnMapping",
                              "v2Checkpoint", "typeWidening",
-                             "typeWidening-preview"}
+                             "typeWidening-preview",
+                             "variantType", "variantType-preview"}
 
 #: total deleted-row cardinality up to which DVs are applied as a broadcast
 #: anti-join on (file, row_index) — plain Catalyst, whole-stage codegen.
@@ -435,6 +436,17 @@ def _check_protocol(protocol: dict, metadata: dict) -> None:
         if unsupported:
             raise DeltaProtocolError(
                 f"unsupported Delta reader features: {sorted(unsupported)}")
+        if {"variantType", "variantType-preview"} & set(
+                protocol.get("readerFeatures") or ()) \
+                and not hasattr(__import__("pyspark.sql.types",
+                                           fromlist=["VariantType"]),
+                                "VariantType"):
+            # the physical layout (value/metadata binary struct) maps to
+            # Spark's native VARIANT — which only exists in Spark 4+;
+            # older sessions must reject loudly, not mis-read binaries
+            raise DeltaProtocolError(
+                "variantType table requires a Spark 4+ session "
+                "(pyspark.sql.types.VariantType)")
     mapping = (metadata.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none")
     if mapping not in ("none", "name", "id", None):
@@ -1051,14 +1063,20 @@ def read_delta_changes(spark: SparkSession, table_path: str,
 # ---------------------------------------------------------------------------
 # minimal writer (staging utility)
 
-def _file_stats_json(path: str) -> str:
+def _file_stats_json(path: str) -> str | None:
     """Per-file Delta ``stats`` JSON (numRecords / minValues / maxValues /
     nullCount) from the parquet FOOTER metadata — no data read. Simple
     scalar columns only (int/float/string/bool); others are omitted from
-    min/max, which data skipping treats as unskippable — superset-safe."""
+    min/max, which data skipping treats as unskippable — superset-safe.
+    ``None`` when the footer itself cannot be parsed (pyarrow does not
+    recognize every Spark logical type — VARIANT files land here): the
+    file is then committed without stats, unskippable but correct."""
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(path).metadata
+    try:
+        md = pq.ParquetFile(path).metadata
+    except OSError:
+        return None
     mins: dict = {}
     maxs: dict = {}
     nulls: dict = {}

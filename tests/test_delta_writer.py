@@ -1298,3 +1298,45 @@ def test_dv_merge_insert_only_and_no_match(spark, table):
     rep = replay_log(spark, table)
     assert not any(a.get("deletionVector") for a in rep.files.values())
     assert read_delta_snapshot(spark, table).count() == 101
+
+
+def test_variant_column_round_trip_and_protocol(spark, tmp_path,
+                                                monkeypatch):
+    """A VARIANT column round-trips through the jar-less writer+reader:
+    create declares the table-features protocol with variantType on
+    both sides, the snapshot serves Spark's native VariantType (files
+    committed without stats — pyarrow cannot parse the VARIANT logical
+    type; unskippable is correct), appends/rewrites compose, and a
+    session without VariantType (pre-Spark-4) rejects loudly."""
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.sources.delta_log import (
+        _check_protocol,
+    )
+
+    t = str(tmp_path / "var")
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("k"),
+        F.parse_json(F.concat(F.lit('{"a":'), F.col("id").cast("string"),
+                              F.lit(',"s":"x"}'))).alias("v"))
+    create_delta_table(spark, mk(0, 20), t, ts_ms=1000)
+    rep = replay_log(spark, t)
+    assert rep.protocol["minReaderVersion"] == 3
+    assert "variantType" in rep.protocol["readerFeatures"]
+    snap = read_delta_snapshot(spark, t)
+    assert snap.schema["v"].dataType.typeName() == "variant"
+    got = snap.select(
+        F.try_variant_get("v", "$.a", "long").alias("a")).agg(
+        F.sum("a")).first()[0]
+    assert got == sum(range(20))
+    append_delta(spark, mk(20, 30), t, ts_ms=2000)
+    delete_where(spark, t, "k % 2 = 1", ts_ms=3000)   # variant rewrite
+    snap = read_delta_snapshot(spark, t)
+    assert snap.count() == 15
+    assert snap.select(F.sum(F.try_variant_get("v", "$.a", "long"))) \
+        .first()[0] == sum(k for k in range(30) if k % 2 == 0)
+    # pre-Spark-4 session: loud rejection, not binary mis-reads
+    import pyspark.sql.types as _T
+    monkeypatch.delattr(_T, "VariantType")
+    with pytest.raises(DeltaProtocolError, match="Spark 4"):
+        _check_protocol(rep.protocol, rep.metadata)
