@@ -438,21 +438,32 @@ def main() -> int:
     # zstd parquet and JSON (the reference's default). The write path is
     # fresh per run (tempdir), so no warm-up run — the first run already
     # follows a session-warming identical job from the other format rows.
+    def _e2e_run(row, fmt):
+        # same four attribution series as _timed_run so every per-name
+        # array in the sidecar stays index-aligned; the cpu/util window
+        # wraps the whole call (timed run + untimed staging), which
+        # over-counts CPU slightly but never drops the key
+        cpu0, (b0, t0j) = _tree_cpu_sec(), _host_jiffies()
+        dt = _bench_unload_e2e(spark, sf_dir, fmt)
+        cpu1, (b1, t1j) = _tree_cpu_sec(), _host_jiffies()
+        samples.setdefault(row, []).append(round(dt, 3))
+        loads.setdefault(row, []).append(_load1())
+        probes.setdefault(row, []).append(_spin_probe_ms())
+        freqs.setdefault(row, []).append(_cpufreq_mhz())
+        tree_cpus.setdefault(row, []).append(
+            round(cpu1 - cpu0, 2) if cpu0 >= 0 and cpu1 >= 0 else -1.0)
+        host_utils.setdefault(row, []).append(
+            round((b1 - b0) / max(t1j - t0j, 1), 3)
+            if b0 >= 0 and b1 >= 0 and t1j > t0j else -1.0)
+        timings[row] = round(min(timings.get(row, dt), dt), 3)
+
     for row, fmt in (("unload_e2e_events", "parquet"),
                      ("unload_e2e_events_json", "json")):
         try:
             for _ in range(runs):
-                dt = _bench_unload_e2e(spark, sf_dir, fmt)
-                samples.setdefault(row, []).append(round(dt, 3))
-                loads.setdefault(row, []).append(_load1())
-                probes.setdefault(row, []).append(_spin_probe_ms())
-                timings[row] = round(min(timings.get(row, dt), dt), 3)
+                _e2e_run(row, fmt)
             if _spread(row) > spread_limit:
-                dt = _bench_unload_e2e(spark, sf_dir, fmt)
-                samples.setdefault(row, []).append(round(dt, 3))
-                loads.setdefault(row, []).append(_load1())
-                probes.setdefault(row, []).append(_spin_probe_ms())
-                timings[row] = round(min(timings.get(row, dt), dt), 3)
+                _e2e_run(row, fmt)
         except Exception as ex:  # noqa: BLE001
             errors[row] = f"{type(ex).__name__}: {str(ex)[:300]}"
         finally:

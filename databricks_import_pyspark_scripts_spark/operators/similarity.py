@@ -312,6 +312,17 @@ def ivf_assignments(vectors: DataFrame, centroids: DataFrame,
     deterministic and reproducible in the oracle engine. At 100 TB the
     assignment is computed once at ingest and stored as a plain column
     (partition/bucket key), exactly like the LSH bucket.
+
+    Scale shape (r10, probe-driven): the argmax is ``max_by`` over the
+    broadcast-cross-join scores, NOT a row_number window — each
+    vector's C score rows are produced consecutively in its own
+    partition, so the map-side combiner collapses them to ONE row per
+    id before anything shuffles (the window form shuffled and sorted
+    all N*C rows; the sf1 probe measured that as the superlinear term
+    in SemDeDup). Same per-row expression scoring, so the argmax is
+    bit-identical to the oracle's. The further production step — Arrow
+    GEMM against a broadcast centroid matrix — trades that exactness
+    for BLAS throughput and is deliberately not the default here.
     """
     v = vectors.select(F.col(id_col), F.col(vec_col).alias("_v"),
                        dot_col(F.col(vec_col), F.col(vec_col)).alias("_vn2"))
@@ -322,11 +333,13 @@ def ivf_assignments(vectors: DataFrame, centroids: DataFrame,
                       F.round(dot_col(F.col("_v"), F.col("_c"))
                               / F.sqrt(F.col("_vn2") * F.col("_cn2")), 8)
                       .alias("_cos")))
-    w = (Window.partitionBy(id_col)
-         .orderBy(F.col("_cos").desc(), F.col("centroid_id")))
-    return (scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(id_col, F.col("centroid_id").alias("cell")))
+    # max of (cos, -centroid_id) == (cos desc, centroid_id asc) argmax
+    return (scored.groupBy(id_col)
+            .agg(F.max_by(
+                "centroid_id",
+                F.struct(F.col("_cos"), (-F.col("centroid_id"))
+                         .alias("_neg"))).alias("cell"))
+            .select(id_col, "cell"))
 
 
 def ivf_query_cells(queries: DataFrame, centroids: DataFrame,

@@ -350,8 +350,22 @@ def create_delta_table(spark: SparkSession, df: DataFrame, table_path: str,
         conf["delta.enableChangeDataFeed"] = "true"
     adds = _stage_files(spark, df, table_path, part_cols, ts,
                         max_records_per_file=max_records_per_file)
-    has_variant = any("variant" in f.dataType.simpleString()
-                      for f in df.schema.fields)
+    def _has_variant(dt) -> bool:
+        # recursive isinstance, NOT a simpleString substring match — a
+        # field NAMED "variant_id" must not trigger the protocol
+        from pyspark.sql import types as _T
+        vt = getattr(_T, "VariantType", ())
+        if isinstance(dt, vt if vt else ()):  # pre-Spark-4: no VariantType
+            return True
+        if isinstance(dt, _T.StructType):
+            return any(_has_variant(f.dataType) for f in dt.fields)
+        if isinstance(dt, _T.ArrayType):
+            return _has_variant(dt.elementType)
+        if isinstance(dt, _T.MapType):
+            return _has_variant(dt.keyType) or _has_variant(dt.valueType)
+        return False
+
+    has_variant = any(_has_variant(f.dataType) for f in df.schema.fields)
     if has_variant:
         # VARIANT requires the table-features protocol with variantType
         # declared on BOTH sides (PROTOCOL.md "Variant Data Type")

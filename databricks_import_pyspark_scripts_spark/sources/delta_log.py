@@ -1167,12 +1167,14 @@ def write_delta_table(spark: SparkSession, commits: list[DataFrame],
             target = f"data-{v:05d}-{i:05d}.parquet"
             os.replace(os.path.join(staging, name),
                        os.path.join(root, target))
-            actions.append({"add": {
-                "path": target, "partitionValues": {},
-                "size": os.path.getsize(os.path.join(root, target)),
-                "modificationTime": base_ts_ms + v * 1000,
-                "dataChange": True,
-                "stats": _file_stats_json(os.path.join(root, target))}})
+            add = {"path": target, "partitionValues": {},
+                   "size": os.path.getsize(os.path.join(root, target)),
+                   "modificationTime": base_ts_ms + v * 1000,
+                   "dataChange": True}
+            stats = _file_stats_json(os.path.join(root, target))
+            if stats is not None:   # unparseable footer: omit, not null
+                add["stats"] = stats
+            actions.append({"add": add})
         shutil.rmtree(staging, ignore_errors=True)
         with open(os.path.join(log, f"{v:020d}.json"), "w") as f:
             for a in actions:

@@ -128,6 +128,10 @@ def _write_hint(mdir: str, v: int) -> None:
     try:
         with os.fdopen(fd, "w") as f:
             f.write(str(v))
+        # mkstemp creates 0600 and os.replace preserves it — restore a
+        # world-readable mode or concurrent readers under another uid
+        # get PermissionError instead of an advisory hint
+        os.chmod(tmp, 0o644)
         os.replace(tmp, os.path.join(mdir, "version-hint.text"))
     except BaseException:
         with contextlib.suppress(OSError):
@@ -1319,7 +1323,7 @@ def write_iceberg_table(spark: SparkSession, commits: list[DataFrame],
                         partition_by: list[str] | tuple[str, ...] = (),
                         partition_transforms: list[tuple[str, str, str]]
                         | tuple = (),
-                        file_format: str = "parquet") -> str:
+                        file_format: str | list[str] = "parquet") -> str:
     """Create a spec-conformant Iceberg v2 table: each DataFrame becomes
     one append snapshot (vN metadata + manifest list + one manifest).
     ``partition_by`` declares an IDENTITY partition spec: data files are
@@ -1338,6 +1342,10 @@ def write_iceberg_table(spark: SparkSession, commits: list[DataFrame],
     if partition_by and partition_transforms:
         raise ValueError("pass partition_by or partition_transforms, "
                          "not both")
+    fmts = (list(file_format) if isinstance(file_format, (list, tuple))
+            else [file_format] * len(commits))
+    if len(fmts) != len(commits):
+        raise ValueError("file_format list must match commits 1:1")
     if not _is_local(table_path):
         raise NotImplementedError("write_iceberg_table is a local staging "
                                   "utility")
@@ -1360,7 +1368,7 @@ def write_iceberg_table(spark: SparkSession, commits: list[DataFrame],
                                             partition_transforms)
         entries = _stage_commit(spark, df, root, schema_fields,
                                 part_fields, snap_id, f"s{v:03d}",
-                                file_format=file_format)
+                                file_format=fmts[v])
         mpath = os.path.join(mdir, f"manifest-{v:03d}.avro")
         blob = write_container(_manifest_entry_schema(part_fields),
                                entries)
@@ -1760,6 +1768,13 @@ def write_iceberg_equality_deletes(spark: SparkSession, table_path: str,
 
     root = _strip_scheme(table_path)
     meta = read_table_metadata(spark, table_path)
+    if any((f.get("file_format") or "PARQUET").upper() == "ORC"
+           for f in live_data_files(spark, table_path, meta, None,
+                                    deletes_out=[])):
+        raise IcebergProtocolError(
+            "equality deletes over ORC data files: the merge-on-read "
+            "row-delete apply path is parquet-only — committing the "
+            "delete would brick every subsequent read")
     fields = {f["name"]: f for f in _current_schema(meta)["fields"]
               if isinstance(f["type"], str)}
     missing = [c for c in equality_cols if c not in fields]

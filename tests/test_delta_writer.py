@@ -1340,3 +1340,25 @@ def test_variant_column_round_trip_and_protocol(spark, tmp_path,
     monkeypatch.delattr(_T, "VariantType")
     with pytest.raises(DeltaProtocolError, match="Spark 4"):
         _check_protocol(rep.protocol, rep.metadata)
+
+
+def test_variant_protocol_not_triggered_by_name(spark, tmp_path):
+    """A column NAMED like 'variant_id' (or a struct field) must not
+    trigger the variantType protocol — detection is recursive
+    isinstance on the data types, not a type-string substring."""
+    t = str(tmp_path / "novar")
+    df = spark.range(5).selectExpr(
+        "id AS variant_id",
+        "named_struct('variant_tag', CAST(id AS string)) AS meta")
+    create_delta_table(spark, df, t, ts_ms=1000)
+    rep = replay_log(spark, t)
+    assert rep.protocol == {"minReaderVersion": 1, "minWriterVersion": 2}
+    # and a variant NESTED in a struct DOES trigger it
+    from pyspark.sql import functions as F
+    t2 = str(tmp_path / "nested")
+    df2 = spark.range(5).select(
+        "id", F.struct(F.parse_json(F.lit('{"a":1}')).alias("j"))
+        .alias("s"))
+    create_delta_table(spark, df2, t2, ts_ms=1000)
+    rep2 = replay_log(spark, t2)
+    assert "variantType" in (rep2.protocol.get("readerFeatures") or ())

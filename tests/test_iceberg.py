@@ -1539,20 +1539,42 @@ def test_orc_data_files_snapshot_and_changes(spark, tmp_path):
 
 
 def test_orc_and_parquet_mixed_table(spark, tmp_path):
-    """One commit parquet, one ORC: the snapshot unions a scan per
-    format and serves every row once."""
+    """ONE table, commit 0 parquet + commit 1 ORC: the snapshot read
+    unions one scan per format and serves every row exactly once;
+    time travel to the parquet-only snapshot sees no ORC rows; the
+    change feed batches each format into its own scan."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        read_iceberg_changes,
+    )
+
     t = str(tmp_path / "mix")
     a = spark.range(0, 25).selectExpr("id AS k", "CAST(id AS double) AS v")
-    write_iceberg_table(spark, [a], t)
-    # append an ORC-format snapshot by staging a second table's layout:
-    # simplest spec-true mixed case — rewrite the staging with both
     b = spark.range(25, 45).selectExpr("id AS k", "CAST(id AS double) AS v")
-    import shutil
-    shutil.rmtree(t)
-    write_iceberg_table(spark, [a], t)                      # parquet v1
-    t2 = str(tmp_path / "mix_orc")
-    write_iceberg_table(spark, [b], t2, file_format="orc")
-    # graft the ORC commit's manifest into a combined table via the
-    # public reader path: read both tables and check per-format reads
-    assert _ks(read_iceberg_snapshot(spark, t)) == list(range(25))
-    assert _ks(read_iceberg_snapshot(spark, t2)) == list(range(25, 45))
+    write_iceberg_table(spark, [a, b], t, file_format=["parquet", "orc"])
+    snap = read_iceberg_snapshot(spark, t)
+    assert _ks(snap) == list(range(45))
+    assert snap.count() == 45                       # each row ONCE
+    assert _ks(read_iceberg_snapshot(spark, t, snapshot_id=1000)) == \
+        list(range(25))
+    row = snap.filter("k = 30").first()             # ORC-side values
+    assert row.v == 30.0
+    ch = read_iceberg_changes(spark, t, 0, 1)       # the ORC commit
+    assert {r.k for r in ch.collect()} == set(range(25, 45))
+
+
+def test_equality_deletes_over_orc_reject_at_write(spark, tmp_path):
+    """Equality-delete commits on an ORC table reject at WRITE time —
+    committing one would brick every subsequent read (the MoR apply
+    path is parquet-only)."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        write_iceberg_equality_deletes,
+    )
+
+    t = str(tmp_path / "orceq")
+    df = spark.range(0, 30).selectExpr("id AS k", "id % 5 AS g")
+    write_iceberg_table(spark, [df], t, file_format="orc")
+    with pytest.raises(IcebergProtocolError, match="ORC"):
+        write_iceberg_equality_deletes(
+            spark, t, spark.createDataFrame([(2,)], "g long"), ["g"])
+    # table still readable — nothing was committed
+    assert _ks(read_iceberg_snapshot(spark, t)) == list(range(30))
