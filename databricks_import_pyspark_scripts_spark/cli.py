@@ -35,7 +35,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--maintenance",
                    choices=("optimize", "vacuum", "drift", "neardup-index",
                             "delta-ingest", "iceberg-ingest",
-                            "iceberg-append",
+                            "iceberg-append", "iceberg-compact",
                             "delta-optimize", "delta-vacuum",
                             "delta-checkpoint"),
                    help="run a table-maintenance operation instead of an "
@@ -62,10 +62,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "parquet/json rows at --append-input to a REAL "
                         "Iceberg table dir (<source-root>/<table>): "
                         "CAS-committed v<N+1> metadata, concurrent "
-                        "appends race safely")
+                        "appends race safely; iceberg-compact = "
+                        "RewriteFiles bin-packing on a REAL Iceberg "
+                        "table dir: small files merge per partition "
+                        "into a 'replace' snapshot whose entries keep "
+                        "their data sequence numbers explicitly")
     p.add_argument("--state-path", default=None,
                    help="delta-ingest: high-water-mark file (created on "
                         "first tick)")
+    p.add_argument("--small-file-mb", type=int, default=None,
+                   help="iceberg-compact: files under this size merge "
+                        "(default 128)")
     p.add_argument("--append-input", default=None,
                    help="iceberg-append: parquet dir/file (or .json) of "
                         "rows to append")
@@ -235,6 +242,25 @@ def _run_maintenance(args) -> int:
         snap = append_iceberg(spark, df, table_path)
         report = {"table": args.table, "snapshot_id": snap,
                   "rows_appended": df.count(),
+                  "snapshots": len(iceberg_snapshot_ids(spark,
+                                                        table_path))}
+    elif args.maintenance == "iceberg-compact":
+        from .sources.iceberg import (
+            compact_iceberg_table,
+            iceberg_snapshot_ids,
+            live_data_files,
+            read_table_metadata,
+        )
+
+        table_path = f"{args.source_root}/{args.table}"
+        snap = compact_iceberg_table(
+            spark, table_path,
+            small_file_bytes=(args.small_file_mb or 128) * 1024 * 1024)
+        meta = read_table_metadata(spark, table_path)
+        report = {"table": args.table, "snapshot_id": snap,
+                  "compacted": snap is not None,
+                  "live_files": len(live_data_files(spark, table_path,
+                                                    meta)),
                   "snapshots": len(iceberg_snapshot_ids(spark,
                                                         table_path))}
     elif args.maintenance == "delta-optimize":

@@ -476,3 +476,83 @@ def iceberg_orc_snapshot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("snap", F.lit(i).cast("int")))
     return parts[0].unionByName(parts[1]).select(
         "snap", "event_type", "n", "sum_value")
+
+
+# ---------------------------------------------------------------------------
+# compaction (RewriteFiles) + sequence-number preservation (r10)
+
+def _staged_iceberg_compacted(spark: SparkSession, sf_dir: str) -> str:
+    """Three append snapshots -> compact_iceberg_table (merges the small
+    per-commit files into one 'replace' snapshot whose ADDED entries
+    carry the rewrite's STARTING sequence number explicitly) -> an
+    equality delete committed AFTER the compaction. The delete's
+    strictly-older scoping must still kill rows now living in compacted
+    files — a writer that let the outputs inherit a fresh sequence
+    number would resurrect them and break the oracle."""
+    from ..sources.iceberg import (
+        compact_iceberg_table,
+        write_iceberg_equality_deletes,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_iceberg_compact_gate_{tag}_v1")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        e = (load_table(spark, sf_dir, "events")
+             .select("event_id", "event_type", "value"))
+        write_iceberg_table(
+            spark,
+            [e.filter(F.expr(f"event_id % 3 = {r}")).repartition(3)
+             for r in range(3)],
+            path)
+        assert compact_iceberg_table(spark, path) is not None
+        write_iceberg_equality_deletes(
+            spark, path,
+            e.select("event_type").filter("event_type = 'click'")
+            .distinct(), ["event_type"])
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "iceberg_compacted_agg",
+    """
+    SELECT 0 AS era, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events WHERE event_id % 3 = 0
+    GROUP BY event_type
+    UNION ALL
+    SELECT 1 AS era, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events WHERE event_type <> 'click'
+    GROUP BY event_type
+    """,
+    doc="COMPACTION round-trip (sources/iceberg.py compact_iceberg_table "
+        "— the RewriteFiles maintenance action): per-partition small "
+        "files merge into a 'replace' snapshot of ADDED entries with "
+        "EXPLICIT starting sequence numbers + EXISTING survivors with "
+        "their originals (inheritance is ADDED-only per spec). Era 0 "
+        "time-travels to the FIRST append (pre-compaction history must "
+        "survive); era 1 reads the head AFTER a post-compaction "
+        "equality delete of event_type='click' — rows relocated into "
+        "compacted files must still die under the strictly-older rule. "
+        "A fresh inherited sequence number, dropped/duplicated rows in "
+        "the rewrite, or broken time travel each break an era's counts "
+        "and sums vs the oracle.")
+def iceberg_compacted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _staged_iceberg_compacted(spark, sf_dir)
+    era0 = (read_iceberg_snapshot(spark, path, snapshot_id=_SNAP0)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .withColumn("era", F.lit(0).cast("int")))
+    era1 = (read_iceberg_snapshot(spark, path)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .withColumn("era", F.lit(1).cast("int")))
+    return era0.unionByName(era1).select(
+        "era", "event_type", "n", "sum_value")

@@ -1609,6 +1609,183 @@ def append_iceberg(spark: SparkSession, df: DataFrame, table_path: str,
 _DELETE_FILE_PATH_FID, _DELETE_POS_FID = 2147483546, 2147483545
 
 
+def compact_iceberg_table(spark: SparkSession, table_path: str,
+                          small_file_bytes: int = 128 * 1024 * 1024,
+                          ts_ms: int | None = None) -> int | None:
+    """Bin-packing compaction — the RewriteFiles maintenance action: in
+    each partition, live data files under ``small_file_bytes`` merge
+    into replacement files; one "replace" snapshot commits a single
+    consolidated manifest covering the whole live set. SEQUENCE-NUMBER
+    PRESERVATION is the spec-critical part: compacted outputs are
+    ADDED entries carrying an EXPLICIT data sequence number — the
+    rewrite's STARTING sequence number (``last-sequence-number`` at
+    plan time; every input row was committed at or below it) — and
+    untouched files ride along as EXISTING entries with their original
+    explicit sequence numbers. A fresh inherited number would make
+    future equality deletes' strictly-older scoping skip the compacted
+    rows (resurrection); inheritance is ADDED-only per spec and this
+    writer never relies on it for rewritten data. Returns the new
+    snapshot id, or None when nothing qualifies (< 2 small files in
+    every partition). Old files stay on disk — historical snapshots
+    keep reading them, exactly like Delta OPTIMIZE before vacuum.
+
+    Scope: the staging/maintenance tier (single-writer, local FS, CAS
+    at head+1 with no rebase — concurrent commits raise
+    ``IcebergCommitConflict``). Tables with live DELETE files reject
+    (MoR compaction folds deletes into the rewrite — not built);
+    ORC data files reject (the rewrite would silently change their
+    format)."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from ..sinks.delta_writer import _atomic_create
+
+    if _is_metadata_handle(table_path):
+        raise NotImplementedError(
+            "catalog-managed (*.metadata.json) handles are READ-ONLY "
+            "here: commits must go through the owning catalog, not "
+            "the file layout")
+    if not _is_local(table_path):
+        raise NotImplementedError(
+            "compact_iceberg_table commits via local atomic create")
+    root = _strip_scheme(table_path)
+    mdir = os.path.join(root, METADATA_DIR)
+    versions = sorted(int(m.group(1)) for n in _list_names(spark, mdir)
+                      if (m := _VMETA_RE.match(n)))
+    if not versions:
+        raise FileNotFoundError(f"no Iceberg metadata under {mdir}")
+    v = versions[-1]
+    meta = _check_meta(json.loads(_read_bytes(
+        spark, os.path.join(mdir, f"v{v}.metadata.json"))))
+    files = live_data_files(spark, table_path, meta, None)  # rejects MoR
+    if any((f.get("file_format") or "PARQUET").upper() == "ORC"
+           for f in files):
+        raise IcebergProtocolError(
+            "compaction over ORC data files would rewrite them as "
+            "parquet; not supported")
+
+    # group small files by partition struct
+    def _pkey(f: dict) -> tuple:
+        return tuple(sorted((f.get("partition") or {}).items(),
+                            key=lambda kv: kv[0]))
+
+    groups: dict[tuple, list[dict]] = {}
+    for f in files:
+        if int(f.get("file_size_in_bytes") or 0) < small_file_bytes:
+            groups.setdefault(_pkey(f), []).append(f)
+    groups = {k: fs for k, fs in groups.items() if len(fs) >= 2}
+    if not groups:
+        return None
+    doomed_paths = {f["file_path"] for fs in groups.values() for f in fs}
+
+    schema_fields = _current_schema(meta)["fields"]
+    for f in schema_fields:
+        if not isinstance(f["type"], str):
+            raise IcebergProtocolError(
+                "compaction supports flat primitive schemas")
+    name_to_field = {f["name"]: (f["id"], f["type"])
+                     for f in schema_fields}
+    sid = meta.get("default-spec-id", 0)
+    spec = next((sp for sp in (meta.get("partition-specs") or [])
+                 if sp.get("spec-id", 0) == sid), {"fields": []})
+    src_by_id = {int(f["id"]): f for f in schema_fields}
+    part_by, transforms = [], []
+    for f in spec.get("fields") or []:
+        src_name = src_by_id[int(f["source-id"])]["name"]
+        t = f.get("transform") or "identity"
+        if t == "identity":
+            part_by.append(src_name)
+        else:
+            transforms.append((f["name"], t, src_name))
+    part_fields = _part_avro_fields(schema_fields, part_by, transforms)
+
+    starting_seq = int(meta.get("last-sequence-number") or 0)
+    snap_id = max((int(sn["snapshot-id"])
+                   for sn in meta.get("snapshots") or []), default=999) + 1
+    new_seq = starting_seq + 1
+    ts = (meta.get("last-updated-ms", 0) + 1 if ts_ms is None
+          else int(ts_ms))
+    tag = f"c{_uuid.uuid4().hex[:12]}"
+    ddir = os.path.join(root, "data")
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    read_schema = iceberg_spark_schema(meta)
+    with_ids_cols = [
+        F.col(f["name"]).alias(f["name"],
+                               metadata={"parquet.field.id": f["id"]})
+        for f in schema_fields]
+
+    entries: list[dict] = []
+    import pyarrow.parquet as pq
+
+    for j, (pkey, fs) in enumerate(sorted(groups.items(), key=str)):
+        paths = [_resolve_path(table_path, f["file_path"]) for f in fs]
+        total = sum(int(f.get("file_size_in_bytes") or 0) for f in fs)
+        n_out = max(1, -(-total // max(small_file_bytes, 1)))
+        merged = (spark.read.schema(read_schema).parquet(*paths)
+                  .select(*with_ids_cols).coalesce(int(n_out)))
+        staging = os.path.join(root, f"_staging_{tag}-g{j:03d}")
+        merged.write.mode("overwrite").parquet(staging)
+        for i, name in enumerate(sorted(
+                n for n in os.listdir(staging)
+                if n.endswith(".parquet"))):
+            target = os.path.join(ddir, f"{tag}-g{j:03d}-{i:05d}.parquet")
+            os.replace(os.path.join(staging, name), target)
+            lo_b, hi_b = _footer_bounds(target, name_to_field)
+            entries.append({
+                "status": STATUS_ADDED, "snapshot_id": snap_id,
+                "sequence_number": starting_seq,   # EXPLICIT: see doc
+                "data_file": {
+                    "content": 0, "file_path": target,
+                    "file_format": "PARQUET",
+                    "partition": dict(pkey),
+                    "record_count":
+                        pq.ParquetFile(target).metadata.num_rows,
+                    "file_size_in_bytes": os.path.getsize(target),
+                    "lower_bounds": lo_b or None,
+                    "upper_bounds": hi_b or None}})
+        import shutil
+        shutil.rmtree(staging, ignore_errors=True)
+
+    for f in files:                       # survivors ride along
+        if f["file_path"] in doomed_paths:
+            continue
+        rec = {k: val for k, val in f.items() if k != "_seq"}
+        entries.append({"status": STATUS_EXISTING, "snapshot_id": snap_id,
+                        "sequence_number": int(f.get("_seq") or 0),
+                        "data_file": rec})
+
+    blob = write_container(_manifest_entry_schema(part_fields), entries)
+    mpath = os.path.join(mdir, f"manifest-{tag}.avro")
+    with open(mpath, "wb") as fh:
+        fh.write(blob)
+    min_seq = min(int(e["sequence_number"]) for e in entries)
+    mlpath = os.path.join(mdir, f"snap-{snap_id}-{tag}.avro")
+    with open(mlpath, "wb") as fh:
+        fh.write(write_container(_MANIFEST_FILE_SCHEMA, [{
+            "manifest_path": mpath, "manifest_length": len(blob),
+            "partition_spec_id": sid, "content": 0,
+            "added_snapshot_id": snap_id,
+            "sequence_number": new_seq,
+            "min_sequence_number": min_seq}]))
+    new_meta = dict(meta)
+    new_meta["snapshots"] = list(meta.get("snapshots") or []) + [{
+        "snapshot-id": snap_id, "timestamp-ms": ts,
+        "sequence-number": new_seq, "manifest-list": mlpath,
+        "summary": {"operation": "replace"}}]
+    new_meta["current-snapshot-id"] = snap_id
+    new_meta["last-updated-ms"] = ts
+    new_meta["last-sequence-number"] = new_seq
+    if not _atomic_create(spark, os.path.join(mdir,
+                                              f"v{v + 1}.metadata.json"),
+                          json.dumps(new_meta).encode("utf-8")):
+        raise IcebergCommitConflict(
+            f"compaction of {table_path} lost a metadata commit race at "
+            f"v{v + 1}; rerun to replan")
+    _write_hint(mdir, v + 1)
+    return snap_id
+
+
 def write_iceberg_position_deletes(spark: SparkSession, table_path: str,
                                    predicate_sql: str) -> int:
     """Append one MERGE-ON-READ delete snapshot to a staged Iceberg

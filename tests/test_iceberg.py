@@ -1578,3 +1578,89 @@ def test_equality_deletes_over_orc_reject_at_write(spark, tmp_path):
             spark, t, spark.createDataFrame([(2,)], "g long"), ["g"])
     # table still readable — nothing was committed
     assert _ks(read_iceberg_snapshot(spark, t)) == list(range(30))
+
+
+# ---------------------------------------------------------------------------
+# compaction (RewriteFiles maintenance action, r10)
+
+
+def test_compaction_merges_small_files_preserving_rows(spark, tmp_path):
+    """Small live files merge per partition; rows and values unchanged;
+    file count drops; time travel to pre-compaction snapshots intact;
+    a second compaction is a no-op (None)."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        compact_iceberg_table,
+        live_data_files,
+    )
+
+    t = str(tmp_path / "cmp")
+    commits = [spark.range(i * 20, (i + 1) * 20).selectExpr(
+        "id AS k", "CAST(id % 3 AS string) AS p",
+        "CAST(id AS double) AS v").repartition(2) for i in range(4)]
+    write_iceberg_table(spark, commits, t, partition_by=["p"])
+    meta = read_table_metadata(spark, t)
+    before = len(live_data_files(spark, t, meta))
+    snap = compact_iceberg_table(spark, t)
+    assert snap is not None
+    meta2 = read_table_metadata(spark, t)
+    after = len(live_data_files(spark, t, meta2))
+    assert after < before
+    assert after <= 3                      # one merged file per partition
+    got = read_iceberg_snapshot(spark, t)
+    assert _ks(got) == list(range(80))
+    assert got.filter("k = 41").first().v == 41.0
+    assert got.filter("p = '2'").count() == \
+        sum(1 for k in range(80) if k % 3 == 2)
+    # pre-compaction snapshots still read their own file sets
+    assert _ks(read_iceberg_snapshot(spark, t, snapshot_id=1001)) == \
+        list(range(40))
+    # idempotent: everything is already one file per partition
+    assert compact_iceberg_table(spark, t) is None
+
+
+def test_compaction_preserves_equality_delete_scoping(spark, tmp_path):
+    """THE sequence-number test: an equality delete committed AFTER
+    compaction must still kill rows that now live in compacted files —
+    the ADDED outputs carry the rewrite's STARTING sequence number
+    explicitly, so delete.seq > data.seq holds. A fresh inherited
+    number would resurrect them."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        compact_iceberg_table,
+        read_table_metadata as _rtm,
+        write_iceberg_equality_deletes,
+    )
+
+    t = str(tmp_path / "cmpeq")
+    commits = [spark.range(i * 15, (i + 1) * 15).selectExpr(
+        "id AS k", "id % 5 AS g").repartition(2) for i in range(3)]
+    write_iceberg_table(spark, commits, t)
+    assert compact_iceberg_table(spark, t) is not None
+    # manifest now has ADDED entries with explicit seq = starting seq
+    write_iceberg_equality_deletes(
+        spark, t, spark.createDataFrame([(2,)], "g long"), ["g"])
+    got = {r.k for r in read_iceberg_snapshot(spark, t).collect()}
+    assert got == {k for k in range(45) if k % 5 != 2}
+    # and the EXISTING + explicit-seq shape survives a replay of the
+    # history (inheritance never applied to the rewritten data)
+    meta = _rtm(spark, t)
+    assert int(meta["last-sequence-number"]) >= 2
+
+
+def test_compaction_rejects_mor_and_orc(spark, tmp_path):
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        compact_iceberg_table,
+        write_iceberg_position_deletes,
+    )
+
+    t = str(tmp_path / "cmpmor")
+    df = spark.range(0, 40).selectExpr("id AS k", "CAST(id AS double) AS v")
+    write_iceberg_table(spark, [df.repartition(2), df.selectExpr(
+        "k + 100 AS k", "v").repartition(2)], t)
+    write_iceberg_position_deletes(spark, t, "k % 10 = 0")
+    with pytest.raises(IcebergProtocolError):
+        compact_iceberg_table(spark, t)
+    t2 = str(tmp_path / "cmporc")
+    write_iceberg_table(spark, [df.repartition(2), df.selectExpr(
+        "k + 100 AS k", "v").repartition(2)], t2, file_format="orc")
+    with pytest.raises(IcebergProtocolError, match="ORC"):
+        compact_iceberg_table(spark, t2)
