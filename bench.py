@@ -138,6 +138,7 @@ HEADLINE = [
     "iceberg_orc_snapshot_agg",
     "delta_variant_read",
     "iceberg_compacted_agg",
+    "iceberg_expired_head_agg",
 ]
 
 EXTENSION_ROWS = {
@@ -503,7 +504,8 @@ def main() -> int:
                "iceberg_eq_delete_agg", "iceberg_mor_cdf_feed",
                "delta_writer_dv_delete_agg"}
     r10_rows = {"delta_writer_dv_merge_agg", "iceberg_orc_snapshot_agg",
-                "delta_variant_read", "iceberg_compacted_agg"}
+                "delta_variant_read", "iceberg_compacted_agg",
+                "iceberg_expired_head_agg"}
     # same membership as comparable_queries_sec (includes the unload e2e row)
     comp = [k for k in timings
             if k not in EXTENSION_ROWS and k not in stress

@@ -36,6 +36,7 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("optimize", "vacuum", "drift", "neardup-index",
                             "delta-ingest", "iceberg-ingest",
                             "iceberg-append", "iceberg-compact",
+                            "iceberg-expire",
                             "delta-optimize", "delta-vacuum",
                             "delta-checkpoint"),
                    help="run a table-maintenance operation instead of an "
@@ -66,10 +67,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "RewriteFiles bin-packing on a REAL Iceberg "
                         "table dir: small files merge per partition "
                         "into a 'replace' snapshot whose entries keep "
-                        "their data sequence numbers explicitly")
+                        "their data sequence numbers explicitly; "
+                        "iceberg-expire = expireSnapshots: drop history "
+                        "below --keep-last-snapshots and delete files "
+                        "only the expired snapshots referenced")
     p.add_argument("--state-path", default=None,
                    help="delta-ingest: high-water-mark file (created on "
                         "first tick)")
+    p.add_argument("--keep-last-snapshots", type=int, default=2,
+                   help="iceberg-expire: newest snapshots to keep")
     p.add_argument("--small-file-mb", type=int, default=None,
                    help="iceberg-compact: files under this size merge "
                         "(default 128)")
@@ -261,6 +267,19 @@ def _run_maintenance(args) -> int:
                   "compacted": snap is not None,
                   "live_files": len(live_data_files(spark, table_path,
                                                     meta)),
+                  "snapshots": len(iceberg_snapshot_ids(spark,
+                                                        table_path))}
+    elif args.maintenance == "iceberg-expire":
+        from .sources.iceberg import (
+            expire_iceberg_snapshots,
+            iceberg_snapshot_ids,
+        )
+
+        table_path = f"{args.source_root}/{args.table}"
+        rep = expire_iceberg_snapshots(
+            spark, table_path, keep_last=args.keep_last_snapshots)
+        report = {"table": args.table, "expired": rep["expired"],
+                  "deleted_files": len(rep["deleted_files"]),
                   "snapshots": len(iceberg_snapshot_ids(spark,
                                                         table_path))}
     elif args.maintenance == "delta-optimize":

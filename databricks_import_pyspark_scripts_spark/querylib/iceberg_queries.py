@@ -556,3 +556,60 @@ def iceberg_compacted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("era", F.lit(1).cast("int")))
     return era0.unionByName(era1).select(
         "era", "event_type", "n", "sum_value")
+
+
+# ---------------------------------------------------------------------------
+# snapshot expiration (expireSnapshots maintenance, r10)
+
+def _staged_iceberg_expired(spark: SparkSession, sf_dir: str) -> str:
+    """Three appends -> expire all but the newest snapshot. Staging
+    asserts the contract pytest pins (expired id raises loudly; the
+    deleted manifest lists are really gone) so a semantics break fails
+    the GATE, not just the unit tests."""
+    from ..sources.iceberg import expire_iceberg_snapshots
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_iceberg_expire_gate_{tag}_v1")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        e = (load_table(spark, sf_dir, "events")
+             .select("event_id", "event_type", "value"))
+        write_iceberg_table(
+            spark,
+            [e.filter(F.expr(f"event_id % 3 = {r}")) for r in range(3)],
+            path)
+        rep = expire_iceberg_snapshots(spark, path, keep_last=1)
+        assert rep["expired"] == [_SNAP0, _SNAP1], rep
+        try:
+            read_iceberg_snapshot(spark, path, snapshot_id=_SNAP0)
+            raise AssertionError("expired snapshot still readable")
+        except FileNotFoundError:
+            pass
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "iceberg_expired_head_agg",
+    """
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="expireSnapshots round-trip (sources/iceberg.py "
+        "expire_iceberg_snapshots): history below keep_last=1 is "
+        "dropped from the metadata and the files only those snapshots "
+        "referenced (their manifest lists) are deleted; the HEAD "
+        "snapshot must still serve every row of all three appends — a "
+        "walk that deletes a shared manifest or data file breaks the "
+        "counts; staging itself asserts expired ids now raise loudly.")
+def iceberg_expired_head_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _staged_iceberg_expired(spark, sf_dir)
+    return (read_iceberg_snapshot(spark, path)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select("event_type", "n", "sum_value"))

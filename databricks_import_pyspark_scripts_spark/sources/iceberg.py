@@ -1605,6 +1605,118 @@ def append_iceberg(spark: SparkSession, df: DataFrame, table_path: str,
         f"append to {table_path} lost {max_retries + 1} commit races")
 
 
+def expire_iceberg_snapshots(spark: SparkSession, table_path: str,
+                             keep_last: int | None = None,
+                             older_than_ms: int | None = None,
+                             dry_run: bool = False,
+                             ts_ms: int | None = None) -> dict:
+    """expireSnapshots — the Iceberg maintenance action paired with
+    ``compact_iceberg_table``: drop snapshots from the table metadata
+    (``keep_last`` newest survive, and/or everything committed at or
+    after ``older_than_ms`` survives; the CURRENT snapshot always
+    survives), then delete the files only the expired snapshots
+    referenced — manifest lists, manifests, and data/delete files
+    unreachable from every surviving snapshot. Time travel to an
+    expired snapshot then fails LOUDLY (snapshot id unknown), never
+    silently serves partial data — the same contract as Delta log
+    retirement (``DeltaTable.cleanup_metadata``).
+
+    Returns {"expired": [ids], "deleted_files": [paths], "version": N}.
+    ``dry_run`` computes both lists and commits nothing. Single-writer
+    local-FS maintenance verb; CAS at head+1 like compaction."""
+    from ..sinks.delta_writer import _atomic_create
+
+    if _is_metadata_handle(table_path):
+        raise NotImplementedError(
+            "catalog-managed (*.metadata.json) handles are READ-ONLY "
+            "here: commits must go through the owning catalog, not "
+            "the file layout")
+    if not _is_local(table_path):
+        raise NotImplementedError(
+            "expire_iceberg_snapshots commits via local atomic create")
+    if keep_last is None and older_than_ms is None:
+        raise ValueError("pass keep_last and/or older_than_ms")
+    root = _strip_scheme(table_path)
+    mdir = os.path.join(root, METADATA_DIR)
+    versions = sorted(int(m.group(1)) for n in _list_names(spark, mdir)
+                      if (m := _VMETA_RE.match(n)))
+    if not versions:
+        raise FileNotFoundError(f"no Iceberg metadata under {mdir}")
+    v = versions[-1]
+    meta = _check_meta(json.loads(_read_bytes(
+        spark, os.path.join(mdir, f"v{v}.metadata.json"))))
+    snaps = sorted(meta.get("snapshots") or [],
+                   key=lambda s: s.get("timestamp-ms") or 0)
+    cur_id = meta.get("current-snapshot-id")
+
+    survivors = []
+    for i, sn in enumerate(snaps):
+        keep = sn.get("snapshot-id") == cur_id
+        if keep_last is not None and i >= len(snaps) - keep_last:
+            keep = True
+        if older_than_ms is not None and \
+                int(sn.get("timestamp-ms") or 0) >= older_than_ms:
+            keep = True
+        if keep:
+            survivors.append(sn)
+    expired = [sn for sn in snaps if sn not in survivors]
+    if not expired:
+        return {"expired": [], "deleted_files": [], "version": v}
+
+    def _referenced(snapshots: list[dict]) -> set[str]:
+        """manifest-list + manifest + data/delete file paths reachable
+        from ``snapshots`` — driver-side metadata walk, KB-to-MB."""
+        refs: set[str] = set()
+        for sn in snapshots:
+            ml = sn.get("manifest-list")
+            if not ml:
+                continue
+            mlr = _resolve_path(table_path, ml)
+            refs.add(mlr)
+            try:
+                _, manifests = read_container(_read_bytes(spark, mlr))
+            except FileNotFoundError:
+                continue               # already gone (prior expire crash)
+            for m in manifests:
+                mp = _resolve_path(table_path, m["manifest_path"])
+                refs.add(mp)
+                try:
+                    _, entries = read_container(_read_bytes(spark, mp))
+                except FileNotFoundError:
+                    continue
+                for e in entries:
+                    refs.add(_resolve_path(
+                        table_path, e["data_file"]["file_path"]))
+        return refs
+
+    live = _referenced(survivors)
+    doomed_files = sorted(_referenced(expired) - live)
+
+    report = {"expired": [int(sn["snapshot-id"]) for sn in expired],
+              "deleted_files": doomed_files, "version": v}
+    if dry_run:
+        return report
+    new_meta = dict(meta)
+    new_meta["snapshots"] = [sn for sn in snaps if sn in survivors]
+    new_meta["last-updated-ms"] = (
+        meta.get("last-updated-ms", 0) + 1 if ts_ms is None
+        else int(ts_ms))
+    if not _atomic_create(spark, os.path.join(mdir,
+                                              f"v{v + 1}.metadata.json"),
+                          json.dumps(new_meta).encode("utf-8")):
+        raise IcebergCommitConflict(
+            f"expire of {table_path} lost a metadata commit race at "
+            f"v{v + 1}; rerun to replan")
+    _write_hint(mdir, v + 1)
+    # delete AFTER the commit: a crash mid-delete leaves only orphans
+    # (retryable), never a committed metadata referencing deleted files
+    for p in doomed_files:
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(p)
+    report["version"] = v + 1
+    return report
+
+
 #: Iceberg spec field ids reserved for position-delete file columns
 _DELETE_FILE_PATH_FID, _DELETE_POS_FID = 2147483546, 2147483545
 

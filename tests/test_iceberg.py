@@ -1664,3 +1664,65 @@ def test_compaction_rejects_mor_and_orc(spark, tmp_path):
         "k + 100 AS k", "v").repartition(2)], t2, file_format="orc")
     with pytest.raises(IcebergProtocolError, match="ORC"):
         compact_iceberg_table(spark, t2)
+
+
+def test_expire_snapshots_drops_history_keeps_current(spark, tmp_path):
+    """expireSnapshots: keep_last survivors + the current snapshot stay
+    readable; expired ids raise loudly; files referenced ONLY by
+    expired snapshots are deleted, shared files survive; dry_run
+    commits nothing."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        expire_iceberg_snapshots,
+        iceberg_snapshot_ids,
+    )
+
+    t = str(tmp_path / "exp")
+    commits = [spark.range(i * 10, (i + 1) * 10).selectExpr(
+        "id AS k", "CAST(id AS double) AS v") for i in range(4)]
+    write_iceberg_table(spark, commits, t)           # snaps 1000..1003
+    dry = expire_iceberg_snapshots(spark, t, keep_last=2, dry_run=True)
+    assert dry["expired"] == [1000, 1001] and dry["deleted_files"]
+    assert len(iceberg_snapshot_ids(spark, t)) == 4  # nothing committed
+    rep = expire_iceberg_snapshots(spark, t, keep_last=2)
+    assert rep["expired"] == [1000, 1001]
+    assert [s["snapshot_id"] for s in iceberg_snapshot_ids(spark, t)] == \
+        [1002, 1003]
+    # current + survivor read fine; note: append snapshots SHARE data
+    # files (each manifest list references all prior manifests), so the
+    # only deletable files are the expired snapshots' manifest LISTS
+    assert _ks(read_iceberg_snapshot(spark, t)) == list(range(40))
+    assert _ks(read_iceberg_snapshot(spark, t, snapshot_id=1002)) == \
+        list(range(30))
+    with pytest.raises(FileNotFoundError):
+        read_iceberg_snapshot(spark, t, snapshot_id=1000)
+    for p in rep["deleted_files"]:
+        assert not os.path.exists(p)
+    # second expire: nothing left to drop
+    assert expire_iceberg_snapshots(spark, t, keep_last=2)["expired"] == []
+
+
+def test_expire_after_compaction_reclaims_small_files(spark, tmp_path):
+    """The compaction + expire pair: after compact_iceberg_table, the
+    pre-compaction snapshots are the only reference to the small input
+    files — expiring them deletes those files while the compacted
+    outputs survive."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        compact_iceberg_table,
+        expire_iceberg_snapshots,
+        live_data_files,
+    )
+
+    t = str(tmp_path / "expc")
+    commits = [spark.range(i * 10, (i + 1) * 10).selectExpr(
+        "id AS k", "CAST(id AS double) AS v").repartition(2)
+        for i in range(3)]
+    write_iceberg_table(spark, commits, t)
+    assert compact_iceberg_table(spark, t) is not None
+    rep = expire_iceberg_snapshots(spark, t, keep_last=1)
+    # the 6 small input files + old manifest lists/manifests are gone
+    assert any(p.endswith(".parquet") and "/data/" in p
+               for p in rep["deleted_files"])
+    assert _ks(read_iceberg_snapshot(spark, t)) == list(range(30))
+    meta = read_table_metadata(spark, t)
+    for f in live_data_files(spark, t, meta):
+        assert os.path.exists(f["file_path"])
