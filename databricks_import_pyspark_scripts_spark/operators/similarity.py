@@ -20,6 +20,7 @@ sequential fold) and rounded for cross-engine comparison.
 
 from __future__ import annotations
 
+import os
 import random
 
 import numpy as np
@@ -302,6 +303,54 @@ def max_benchmark_cosine(corpus: DataFrame, bench: DataFrame,
 
 CENTROID_MOD = 250  # vec_id % CENTROID_MOD == 0 -> centroid (deterministic "training")
 
+#: centroid count at or above which assignment switches from per-pair
+#: SQL expression scoring to the Arrow GEMM path (one BLAS matmul per
+#: batch against the broadcast centroid matrix). The expression path is
+#: bit-identical to the DuckDB oracle and stays the default for the
+#: gate-sized C; the GEMM path is the production FLOPs shape the sf1
+#: probe motivated — O(N*C) either way, but BLAS throughput instead of
+#: N*C interpreted array-aggregate rows. Env-overridable for tests.
+IVF_GEMM_MIN_CENTROIDS = int(os.environ.get(
+    "SPARK_GRAFT_IVF_GEMM_MIN_CENTROIDS", "64"))
+
+
+def _ivf_assignments_gemm(vectors: DataFrame, cent_rows: list,
+                          id_col: str, vec_col: str) -> DataFrame:
+    """Arrow GEMM assignment: centroids (a driver-metadata-sized list by
+    the coarse-quantizer contract) become one normalized float64 matrix
+    broadcast to every worker; each Arrow batch computes cosines as a
+    single ``V @ C.T`` and argmaxes with the SAME (round-8 desc,
+    centroid_id asc) tie-break as the expression path — centroid
+    columns are sorted by id, and ``np.argmax`` returns the FIRST
+    maximum, which IS the lowest id."""
+    import numpy as np
+
+    cent_rows = sorted(cent_rows, key=lambda r: int(r[0]))
+    cids = np.array([int(r[0]) for r in cent_rows], dtype=np.int64)
+    cmat = np.array([list(r[1]) for r in cent_rows], dtype=np.float64)
+    cn = np.linalg.norm(cmat, axis=1)
+    cn[cn == 0.0] = 1.0                      # zero vector: cosine 0
+    cmat = cmat / cn[:, None]
+    spark = vectors.sparkSession
+    bc = spark.sparkContext.broadcast((cids, cmat))
+
+    def assign(batches):
+        import pandas as pd
+        cids_b, cmat_b = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+            vn = np.linalg.norm(v, axis=1)
+            vn[vn == 0.0] = 1.0
+            sims = np.round((v / vn[:, None]) @ cmat_b.T, 8)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "cell": cids_b[np.argmax(sims, axis=1)]})
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, cell long")
+
 
 def ivf_assignments(vectors: DataFrame, centroids: DataFrame,
                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -324,6 +373,10 @@ def ivf_assignments(vectors: DataFrame, centroids: DataFrame,
     GEMM against a broadcast centroid matrix — trades that exactness
     for BLAS throughput and is deliberately not the default here.
     """
+    cent_rows = [(r[0], r[1]) for r in
+                 centroids.select("centroid_id", vec_col).collect()]
+    if len(cent_rows) >= IVF_GEMM_MIN_CENTROIDS:
+        return _ivf_assignments_gemm(vectors, cent_rows, id_col, vec_col)
     v = vectors.select(F.col(id_col), F.col(vec_col).alias("_v"),
                        dot_col(F.col(vec_col), F.col(vec_col)).alias("_vn2"))
     c = centroids.select(F.col("centroid_id"), F.col(vec_col).alias("_c"),

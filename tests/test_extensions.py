@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -892,3 +894,41 @@ def test_ks_drift_matches_scipy_style_recompute(spark, sf_dir):
                 for v in pts)
         ks = round(d / (len(ref) * len(cur)), 4)
         assert got[t] == (len(ref), len(cur), ks)
+
+
+def test_ivf_gemm_path_matches_expression_path(spark):
+    """The Arrow GEMM assignment (C >= IVF_GEMM_MIN_CENTROIDS) must pick
+    the SAME cell for every vector as the expression path — same
+    round-8 cosine, same (desc, lowest-centroid-id) tie-break; exact
+    ties included (duplicate centroids)."""
+    import numpy as np
+
+    from databricks_import_pyspark_scripts_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(7)
+    vecs = [(int(i), [float(x) for x in rng.standard_normal(16)])
+            for i in range(300)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cents = [(int(i), [float(x) for x in rng.standard_normal(16)])
+             for i in range(70)]
+    cents.append((70, list(cents[3][1])))               # duplicate: tie
+    cdf = spark.createDataFrame(
+        cents, "centroid_id long, embedding array<float>")
+
+    gemm = {r.vec_id: r.cell
+            for r in sim.ivf_assignments(emb, cdf).collect()}
+    try:
+        sim.IVF_GEMM_MIN_CENTROIDS = 10**9               # force expression
+        expr = {r.vec_id: r.cell
+                for r in sim.ivf_assignments(emb, cdf).collect()}
+    finally:
+        sim.IVF_GEMM_MIN_CENTROIDS = int(os.environ.get(
+            "SPARK_GRAFT_IVF_GEMM_MIN_CENTROIDS", "64"))
+    diff = {k for k in expr if expr[k] != gemm.get(k)}
+    assert not diff, sorted(diff)[:10]
+    # the GEMM path additionally tolerates a zero vector (cosine 0 to
+    # every centroid -> lowest centroid id) where the ANSI expression
+    # path would divide by zero
+    z = spark.createDataFrame([(300, [0.0] * 16)],
+                              "vec_id long, embedding array<float>")
+    assert sim.ivf_assignments(z, cdf).first().cell == 0
