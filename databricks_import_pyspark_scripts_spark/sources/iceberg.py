@@ -1741,12 +1741,22 @@ def compact_iceberg_table(spark: SparkSession, table_path: str,
     every partition). Old files stay on disk — historical snapshots
     keep reading them, exactly like Delta OPTIMIZE before vacuum.
 
+    MERGE-ON-READ tables compact too: the doomed files' rows are read
+    EFFECTIVE (position + equality deletes applied by the same
+    machinery the snapshot read uses), so compacted outputs contain
+    only live rows; position-delete files are then rewritten to drop
+    references to the rewritten data files (dropped entirely when
+    nothing survives — the deletes are baked into the outputs) while
+    references to KEPT files survive verbatim; equality-delete files
+    ride along untouched — they keep applying to kept files by the
+    strictly-older rule, and never re-apply to the outputs because the
+    outputs' explicit starting sequence number is >= every folded
+    delete's.
+
     Scope: the staging/maintenance tier (single-writer, local FS, CAS
     at head+1 with no rebase — concurrent commits raise
-    ``IcebergCommitConflict``). Tables with live DELETE files reject
-    (MoR compaction folds deletes into the rewrite — not built);
-    ORC data files reject (the rewrite would silently change their
-    format)."""
+    ``IcebergCommitConflict``). ORC data files reject (the rewrite
+    would silently change their format)."""
     import uuid as _uuid
 
     from pyspark.sql import functions as F
@@ -1770,7 +1780,9 @@ def compact_iceberg_table(spark: SparkSession, table_path: str,
     v = versions[-1]
     meta = _check_meta(json.loads(_read_bytes(
         spark, os.path.join(mdir, f"v{v}.metadata.json"))))
-    files = live_data_files(spark, table_path, meta, None)  # rejects MoR
+    deletes: list[dict] = []
+    files = live_data_files(spark, table_path, meta, None,
+                            deletes_out=deletes)
     if any((f.get("file_format") or "PARQUET").upper() == "ORC"
            for f in files):
         raise IcebergProtocolError(
@@ -1834,8 +1846,19 @@ def compact_iceberg_table(spark: SparkSession, table_path: str,
         paths = [_resolve_path(table_path, f["file_path"]) for f in fs]
         total = sum(int(f.get("file_size_in_bytes") or 0) for f in fs)
         n_out = max(1, -(-total // max(small_file_bytes, 1)))
-        merged = (spark.read.schema(read_schema).parquet(*paths)
-                  .select(*with_ids_cols).coalesce(int(n_out)))
+        scan = spark.read.schema(read_schema).parquet(*paths)
+        if deletes:
+            # fold row-level deletes into the rewrite: outputs carry
+            # only EFFECTIVE rows, via the same apply machinery the
+            # snapshot read uses
+            keyed = scan.select(
+                "*",
+                _file_key_expr(F.col("_metadata.file_path"))
+                .alias(_POS_KEY),
+                F.col("_metadata.row_index").alias(_POS_IDX))
+            scan = _apply_row_deletes(spark, keyed, table_path, fs,
+                                      deletes, meta)
+        merged = scan.select(*with_ids_cols).coalesce(int(n_out))
         staging = os.path.join(root, f"_staging_{tag}-g{j:03d}")
         merged.write.mode("overwrite").parquet(staging)
         for i, name in enumerate(sorted(
@@ -1867,19 +1890,85 @@ def compact_iceberg_table(spark: SparkSession, table_path: str,
                         "sequence_number": int(f.get("_seq") or 0),
                         "data_file": rec})
 
+    # delete files: equality deletes ride along untouched (outputs'
+    # starting seq >= every folded delete's, so they never re-apply);
+    # position-delete files drop their references to rewritten data
+    # files — kept verbatim when untouched, rewritten when mixed,
+    # dropped when nothing survives
+    delete_entries: list[dict] = []
+    doomed_keys = sorted({_file_key(table_path, f)
+                          for fs in groups.values() for f in fs})
+    for kd, d in enumerate(deletes):
+        dseq = int(d.get("_seq") or 0)
+        rec = {k: val for k, val in d.items() if k != "_seq"}
+        if int(d.get("content") or 0) == 2:
+            delete_entries.append({
+                "status": STATUS_EXISTING, "snapshot_id": snap_id,
+                "sequence_number": dseq, "data_file": rec})
+            continue
+        dpath = _resolve_path(table_path, d["file_path"])
+        ddf = spark.read.parquet(dpath)
+        keep = ddf.filter(
+            ~_stored_key_expr(F.col("file_path")).isin(doomed_keys))
+        n_keep = keep.count()
+        if n_keep == int(d.get("record_count") or -1):
+            delete_entries.append({       # untouched: keep verbatim
+                "status": STATUS_EXISTING, "snapshot_id": snap_id,
+                "sequence_number": dseq, "data_file": rec})
+            continue
+        if n_keep == 0:
+            continue                      # fully folded into outputs
+        staging = os.path.join(root, f"_staging_{tag}-d{kd:03d}")
+        (keep.select(
+            F.col("file_path").alias(
+                "file_path",
+                metadata={"parquet.field.id": _DELETE_FILE_PATH_FID}),
+            F.col("pos").alias(
+                "pos", metadata={"parquet.field.id": _DELETE_POS_FID}))
+         .coalesce(1).write.mode("overwrite").parquet(staging))
+        name = next(n for n in sorted(os.listdir(staging))
+                    if n.endswith(".parquet"))
+        target = os.path.join(ddir, f"{tag}-d{kd:03d}.parquet")
+        os.replace(os.path.join(staging, name), target)
+        import shutil
+        shutil.rmtree(staging, ignore_errors=True)
+        delete_entries.append({
+            "status": STATUS_ADDED, "snapshot_id": snap_id,
+            "sequence_number": dseq,      # EXPLICIT: the original seq
+            "data_file": {
+                "content": 1, "file_path": target,
+                "file_format": "PARQUET", "partition": {},
+                "record_count": n_keep,
+                "file_size_in_bytes": os.path.getsize(target),
+                "lower_bounds": None, "upper_bounds": None}})
+
     blob = write_container(_manifest_entry_schema(part_fields), entries)
     mpath = os.path.join(mdir, f"manifest-{tag}.avro")
     with open(mpath, "wb") as fh:
         fh.write(blob)
     min_seq = min(int(e["sequence_number"]) for e in entries)
-    mlpath = os.path.join(mdir, f"snap-{snap_id}-{tag}.avro")
-    with open(mlpath, "wb") as fh:
-        fh.write(write_container(_MANIFEST_FILE_SCHEMA, [{
-            "manifest_path": mpath, "manifest_length": len(blob),
-            "partition_spec_id": sid, "content": 0,
+    manifests = [{
+        "manifest_path": mpath, "manifest_length": len(blob),
+        "partition_spec_id": sid, "content": 0,
+        "added_snapshot_id": snap_id,
+        "sequence_number": new_seq,
+        "min_sequence_number": min_seq}]
+    if delete_entries:
+        dblob = write_container(_manifest_entry_schema(None),
+                                delete_entries)
+        dmpath = os.path.join(mdir, f"manifest-{tag}-del.avro")
+        with open(dmpath, "wb") as fh:
+            fh.write(dblob)
+        manifests.append({
+            "manifest_path": dmpath, "manifest_length": len(dblob),
+            "partition_spec_id": sid, "content": 1,
             "added_snapshot_id": snap_id,
             "sequence_number": new_seq,
-            "min_sequence_number": min_seq}]))
+            "min_sequence_number": min(int(e["sequence_number"])
+                                       for e in delete_entries)})
+    mlpath = os.path.join(mdir, f"snap-{snap_id}-{tag}.avro")
+    with open(mlpath, "wb") as fh:
+        fh.write(write_container(_MANIFEST_FILE_SCHEMA, manifests))
     new_meta = dict(meta)
     new_meta["snapshots"] = list(meta.get("snapshots") or []) + [{
         "snapshot-id": snap_id, "timestamp-ms": ts,

@@ -1646,9 +1646,27 @@ def test_compaction_preserves_equality_delete_scoping(spark, tmp_path):
     assert int(meta["last-sequence-number"]) >= 2
 
 
-def test_compaction_rejects_mor_and_orc(spark, tmp_path):
+def test_compaction_rejects_orc(spark, tmp_path):
     from databricks_import_pyspark_scripts_spark.sources.iceberg import (
         compact_iceberg_table,
+    )
+
+    df = spark.range(0, 40).selectExpr("id AS k", "CAST(id AS double) AS v")
+    t2 = str(tmp_path / "cmporc")
+    write_iceberg_table(spark, [df.repartition(2), df.selectExpr(
+        "k + 100 AS k", "v").repartition(2)], t2, file_format="orc")
+    with pytest.raises(IcebergProtocolError, match="ORC"):
+        compact_iceberg_table(spark, t2)
+
+
+def test_compaction_folds_position_deletes(spark, tmp_path):
+    """MoR compaction: outputs carry only EFFECTIVE rows (position
+    deletes applied in the rewrite); the delete files disappear when
+    every reference targeted a rewritten file; post-compaction reads
+    need no delete application at all and match; history intact."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        compact_iceberg_table,
+        live_data_files,
         write_iceberg_position_deletes,
     )
 
@@ -1657,13 +1675,57 @@ def test_compaction_rejects_mor_and_orc(spark, tmp_path):
     write_iceberg_table(spark, [df.repartition(2), df.selectExpr(
         "k + 100 AS k", "v").repartition(2)], t)
     write_iceberg_position_deletes(spark, t, "k % 10 = 0")
-    with pytest.raises(IcebergProtocolError):
-        compact_iceberg_table(spark, t)
-    t2 = str(tmp_path / "cmporc")
-    write_iceberg_table(spark, [df.repartition(2), df.selectExpr(
-        "k + 100 AS k", "v").repartition(2)], t2, file_format="orc")
-    with pytest.raises(IcebergProtocolError, match="ORC"):
-        compact_iceberg_table(spark, t2)
+    expect = [k for k in list(range(40)) + list(range(100, 140))
+              if k % 10 != 0]
+    assert compact_iceberg_table(spark, t) is not None
+    assert _ks(read_iceberg_snapshot(spark, t)) == expect
+    meta = read_table_metadata(spark, t)
+    dels: list = []
+    files = live_data_files(spark, t, meta, None, deletes_out=dels)
+    assert dels == []                 # deletes fully folded away
+    total = sum(int(f["record_count"]) for f in files)
+    assert total == len(expect)       # outputs are net of deletes
+    # pre-compaction MoR snapshot still applies its delete files
+    snaps = sorted(s["snapshot-id"] for s in meta["snapshots"])
+    assert _ks(read_iceberg_snapshot(spark, t, snapshot_id=snaps[-2])) \
+        == expect
+
+
+def test_compaction_rewrites_partial_delete_references(spark, tmp_path):
+    """A delete file referencing BOTH rewritten and kept files is
+    rewritten to keep only the kept-file references (same sequence
+    number, explicit); kept big files still lose their deleted rows."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        compact_iceberg_table,
+        live_data_files,
+        write_iceberg_position_deletes,
+    )
+
+    t = str(tmp_path / "cmppart")
+    small = spark.range(0, 30).selectExpr(
+        "id AS k", "CAST(id AS double) AS v").repartition(3)
+    big = spark.range(100, 200).selectExpr(
+        "id AS k", "CAST(id AS double) AS v").coalesce(1)
+    write_iceberg_table(spark, [small, big], t)
+    write_iceberg_position_deletes(spark, t, "k % 10 = 1")
+    meta = read_table_metadata(spark, t)
+    files = live_data_files(spark, t, meta, None, deletes_out=[])
+    big_path = max(files, key=lambda f: int(f["record_count"]))
+    # compact only the small files: threshold below the big file's size
+    thr = int(big_path["file_size_in_bytes"])
+    assert compact_iceberg_table(spark, t, small_file_bytes=thr) \
+        is not None
+    expect = [k for k in list(range(30)) + list(range(100, 200))
+              if k % 10 != 1]
+    assert _ks(read_iceberg_snapshot(spark, t)) == expect
+    dels: list = []
+    meta2 = read_table_metadata(spark, t)
+    live_data_files(spark, t, meta2, None, deletes_out=dels)
+    assert len(dels) == 1             # rewritten, not dropped
+    # and a FRESH delete after compaction still lands on the outputs
+    write_iceberg_position_deletes(spark, t, "k = 2")
+    assert _ks(read_iceberg_snapshot(spark, t)) == \
+        [k for k in expect if k != 2]
 
 
 def test_expire_snapshots_drops_history_keeps_current(spark, tmp_path):
