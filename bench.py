@@ -139,6 +139,7 @@ HEADLINE = [
     "delta_variant_read",
     "iceberg_compacted_agg",
     "iceberg_expired_head_agg",
+    "delta_writer_mapped_append_agg",
 ]
 
 EXTENSION_ROWS = {
@@ -505,7 +506,8 @@ def main() -> int:
                "delta_writer_dv_delete_agg"}
     r10_rows = {"delta_writer_dv_merge_agg", "iceberg_orc_snapshot_agg",
                 "delta_variant_read", "iceberg_compacted_agg",
-                "iceberg_expired_head_agg"}
+                "iceberg_expired_head_agg",
+                "delta_writer_mapped_append_agg"}
     # same membership as comparable_queries_sec (includes the unload e2e row)
     comp = [k for k in timings
             if k not in EXTENSION_ROWS and k not in stress

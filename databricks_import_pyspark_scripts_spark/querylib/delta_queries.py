@@ -986,3 +986,77 @@ def delta_variant_read(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum("value"), 4).alias("sum_value"),
              F.sum("event_id").alias("sum_id"))
         .select("event_type", "n", "sum_value", "sum_id"))
+
+
+# ---------------------------------------------------------------------------
+# WRITING to a column-mapped table (name mode, r10)
+
+def _staged_cm_written_table(spark: SparkSession, sf_dir: str) -> str:
+    """The column-mapped staged table (ALL orders rows under physical
+    names) PLUS writer traffic from this repo: an APPEND of the
+    %3=1 rows under NEGATED keys (disjoint from the base) and a
+    rewrite-DELETE of o_orderkey%5=0 — every staged file carries
+    physical column names and field ids, partitionValues/stats
+    physical, while callers only ever see logical names."""
+    import shutil
+
+    from ..sinks.delta_writer import append_delta, delete_where
+    from ..sources.delta_log import replay_log
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_delta_cmw_gate_{tag}_v1")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        src = _staged_cm_table(spark, sf_dir)
+        shutil.copytree(src, path)
+        os.unlink(os.path.join(path, "_SUCCESS"))
+        rep = replay_log(spark, path)
+        o = (load_table(spark, sf_dir, "orders")
+             .filter("o_orderkey % 3 = 1")
+             .selectExpr("-o_orderkey AS o_orderkey", "o_orderstatus",
+                         "o_totalprice"))
+        append_delta(spark, o.select(
+            *[F.col(f.name).cast(f.dataType) for f in rep.schema.fields]),
+            path, ts_ms=_BASE_TS_MS + 1000)
+        delete_where(spark, path, "o_orderkey % 5 = 0",
+                     ts_ms=_BASE_TS_MS + 2000)
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "delta_writer_mapped_append_agg",
+    """
+    WITH t AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        UNION ALL
+        SELECT -o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 3 = 1
+    )
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_total
+    FROM t
+    WHERE NOT (o_orderkey % 5 = 0)
+    GROUP BY o_orderstatus
+    """,
+    doc="WRITES to a columnMapping=name table (sinks/delta_writer.py "
+        "_to_physical staging): this repo APPENDS and rewrite-DELETEs "
+        "on the physically-named layout — staged files carry "
+        "col-9f* physical columns + field ids, partitionValues/stats "
+        "physical — and reads back logically through the log replay. "
+        "Oracle restates base + negated-key appended rows minus the "
+        "delete predicate; a logical-named data file, broken "
+        "physical projection, or delete that missed mapped files "
+        "breaks counts and the cents-exact sums.")
+def delta_writer_mapped_append_agg(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    path = _staged_cm_written_table(spark, sf_dir)
+    snap = read_delta_snapshot(spark, path)
+    return (snap.groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(F.count("*").alias("n"),
+                 (F.sum(F.round(F.col("o_totalprice") * 100)
+                        .cast("long")) / 100.0).alias("sum_total"))
+            .select("status", "n", "sum_total"))

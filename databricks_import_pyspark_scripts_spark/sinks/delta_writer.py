@@ -86,6 +86,9 @@ SUPPORTED_WRITER_FEATURES = {
     # VARIANT needs no writer-side enforcement beyond writing the
     # value/metadata physical struct, which Spark's parquet writer does
     "variantType", "variantType-preview",
+    # name-mode staging writes the physical layout (_to_physical);
+    # id mode still rejects in _check_writable
+    "columnMapping",
 }
 
 
@@ -118,10 +121,14 @@ def _check_writable(metadata: dict, protocol: dict, op: str) -> None:
             raise DeltaProtocolError(
                 f"unsupported Delta writer features: {sorted(unsupported)}")
     conf = metadata.get("configuration") or {}
-    if (conf.get("delta.columnMapping.mode") or "none") != "none":
+    mapping = conf.get("delta.columnMapping.mode") or "none"
+    if mapping == "id":
         raise DeltaProtocolError(
-            "writing to a column-mapped table is not supported (data files "
-            "must be written under physical column names)")
+            "writing to a columnMapping.mode=id table is not supported "
+            "(nested field-id annotation is not staged); name mode is")
+    # name mode: supported — _stage_files converts every staged frame
+    # to the physical layout (names, top-level field ids,
+    # partitionValues keys)
     schema_s = metadata.get("schemaString") or ""
     for marker, what in (("delta.invariants", "column invariants"),
                          ("delta.generationExpression", "generated columns"),
@@ -136,6 +143,11 @@ def _check_writable(metadata: dict, protocol: dict, op: str) -> None:
     if op != "append" and conf.get("delta.appendOnly", "false").lower() == "true":
         raise DeltaProtocolError(
             f"table is append-only (delta.appendOnly=true); {op} refused")
+
+
+def _mapping_mode_of(rep) -> str:
+    from ..sources.delta_log import _mapping_mode
+    return _mapping_mode(rep.metadata)
 
 
 def _cdf_enabled(metadata: dict) -> bool:
@@ -261,16 +273,50 @@ def _partition_values_from_dirs(segments: list[str]) -> dict[str, str | None]:
     return pv
 
 
+def _to_physical(df: DataFrame, rep,
+                 part_cols: list[str]) -> tuple[DataFrame, list[str]]:
+    """Logical DataFrame -> the PHYSICAL layout a column-mapped (name
+    mode) table stores: columns renamed per
+    ``delta.columnMapping.physicalName`` recursively (struct casts
+    rename nested fields positionally), top-level parquet field ids
+    attached from ``delta.columnMapping.id`` so id-resolving readers
+    find the columns too, partition columns translated. Extra columns
+    with no mapping entry (``_change_type`` on cdc frames) pass through
+    under their own names — the CDF readers expect them verbatim."""
+    from ..sources.delta_log import _to_physical_field
+
+    phys: dict[str, str] = {}
+    cols = []
+    for f in rep.schema.fields:
+        pf = _to_physical_field(f)
+        md = f.metadata or {}
+        fid = md.get("delta.columnMapping.id")
+        meta = ({"parquet.field.id": int(fid)} if fid is not None else {})
+        cols.append(F.col(f.name).cast(pf.dataType)
+                    .alias(pf.name, metadata=meta))
+        phys[f.name] = pf.name
+    cols += [F.col(c) for c in df.columns if c not in phys]
+    return df.select(*cols), [phys.get(c, c) for c in part_cols]
+
+
 def _stage_files(spark: SparkSession, df: DataFrame, table_path: str,
                  part_cols: list[str], ts_ms: int,
                  subdir: str = "",
-                 max_records_per_file: int | None = None) -> list[dict]:
+                 max_records_per_file: int | None = None,
+                 rep=None) -> list[dict]:
     """Write ``df`` as parquet files under the table root (EXECUTORS write;
     the driver only renames and reads footers) and return one action-body
     dict per file: path (URL-encoded, relative), partitionValues, size,
     modificationTime, and footer-derived stats (local filesystems; remote
     files skip stats, which data skipping treats as unskippable).
-    ``subdir`` routes cdc files under ``_change_data/``."""
+    ``subdir`` routes cdc files under ``_change_data/``. Pass ``rep``
+    from every table-modifying op: on a column-mapped table it converts
+    the frame to the physical layout (names, field ids, partitionValues
+    keys) — the spec stores EVERYTHING physically there."""
+    from ..sources.delta_log import _mapping_mode
+
+    if rep is not None and _mapping_mode(rep.metadata) == "name":
+        df, part_cols = _to_physical(df, rep, part_cols)
     staging = f"{table_path.rstrip('/')}/_staging-{uuid.uuid4().hex}"
     writer = df.write.mode("overwrite")
     if part_cols:
@@ -465,6 +511,11 @@ def append_delta(spark: SparkSession, df: DataFrame, table_path: str,
     ordered = None
     if merge_schema:
         new_schema, schema_changed = _merged_schema(rep, df)
+        if schema_changed and _mapping_mode_of(rep) != "none":
+            raise DeltaProtocolError(
+                "mergeSchema on a column-mapped table would need new "
+                "physicalName/columnMapping.id assignments; not "
+                "supported")
         if schema_changed:
             md = dict(rep.metadata)
             md["schemaString"] = new_schema.json()
@@ -482,7 +533,8 @@ def append_delta(spark: SparkSession, df: DataFrame, table_path: str,
         ordered = _ordered(df, rep)
     adds = _stage_files(spark, ordered, table_path,
                         rep.partition_columns, ts,
-                        max_records_per_file=max_records_per_file)
+                        max_records_per_file=max_records_per_file,
+                        rep=rep)
     actions = [
         {"commitInfo": {"timestamp": ts, "operation": "WRITE",
                         "operationParameters": {"mode": "Append"}}},
@@ -552,7 +604,8 @@ def overwrite_delta(spark: SparkSession, df: DataFrame, table_path: str,
     _check_writable(rep.metadata, rep.protocol, "overwrite")
     adds = _stage_files(spark, _ordered(df, rep), table_path,
                         rep.partition_columns, ts,
-                        max_records_per_file=max_records_per_file)
+                        max_records_per_file=max_records_per_file,
+                        rep=rep)
     actions = [
         {"commitInfo": {"timestamp": ts, "operation": "WRITE",
                         "operationParameters": {"mode": "Overwrite"}}},
@@ -592,7 +645,7 @@ def _rewrite_op(spark: SparkSession, table_path: str, predicate: str,
     logical = [f.name for f in rep.schema.fields]
     new_rows, cdc_df = transform(aff, hit, logical)
     adds = _stage_files(spark, new_rows.select(*logical), table_path,
-                        rep.partition_columns, ts)
+                        rep.partition_columns, ts, rep=rep)
     actions: list[dict] = [
         {"commitInfo": {"timestamp": ts, "operation": op.upper(),
                         "operationParameters": {"predicate": predicate}}},
@@ -605,7 +658,7 @@ def _rewrite_op(spark: SparkSession, table_path: str, predicate: str,
     ]
     if cdc_df is not None and _cdf_enabled(rep.metadata):
         cdc = _stage_files(spark, cdc_df, table_path, rep.partition_columns,
-                           ts, subdir="_change_data")
+                           ts, subdir="_change_data", rep=rep)
         actions += [{"cdc": {**c, "dataChange": False}} for c in cdc]
     return _strict_commit(spark, table_path, rep.version + 1, actions, op)
 
@@ -798,7 +851,7 @@ def _dv_row_op(spark: SparkSession, table_path: str, predicate: str,
             *[F.expr(set_exprs[c]).cast(types[c]).alias(c)
               if c in set_exprs else F.col(c) for c in logical])
         new_adds = _stage_files(spark, updated, table_path,
-                                rep.partition_columns, ts)
+                                rep.partition_columns, ts, rep=rep)
         actions += [{"add": {**a, "dataChange": True}} for a in new_adds]
         cdc_df = None
         if _cdf_enabled(rep.metadata):
@@ -814,7 +867,7 @@ def _dv_row_op(spark: SparkSession, table_path: str, predicate: str,
     if cdc_df is not None:
         cdc = _stage_files(spark, cdc_df, table_path,
                            rep.partition_columns, ts,
-                           subdir="_change_data")
+                           subdir="_change_data", rep=rep)
         actions += [{"cdc": {**c, "dataChange": False}} for c in cdc]
     return _strict_commit(spark, table_path, rep.version + 1, actions,
                           op)
@@ -1304,7 +1357,7 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
         for p in new_parts[1:]:
             new_rows = new_rows.unionByName(p)
         adds = _stage_files(spark, new_rows.select(*logical), table_path,
-                            rep.partition_columns, ts)
+                            rep.partition_columns, ts, rep=rep)
     if dv_mode and dv_actions is None and not adds:
         return rep.version  # insert clause present but zero insert rows
     actions: list[dict] = [
@@ -1323,7 +1376,7 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
         for p in pieces_cdc[1:]:
             cdc_df = cdc_df.unionByName(p)
         cdc = _stage_files(spark, cdc_df, table_path, rep.partition_columns,
-                           ts, subdir="_change_data")
+                           ts, subdir="_change_data", rep=rep)
         actions += [{"cdc": {**c, "dataChange": False}} for c in cdc]
     return _strict_commit(spark, table_path, rep.version + 1, actions,
                           "merge")
@@ -1405,7 +1458,8 @@ def optimize_delta(spark: SparkSession, table_path: str,
     else:
         total = sum(int(a.get("size") or 0) for a in targets)
         out = out.coalesce(max(1, -(-total // small_file_bytes)))
-    adds = _stage_files(spark, out, table_path, rep.partition_columns, ts)
+    adds = _stage_files(spark, out, table_path, rep.partition_columns,
+                        ts, rep=rep)
     actions: list[dict] = [
         {"commitInfo": {"timestamp": ts, "operation": "OPTIMIZE",
                         "operationParameters": {

@@ -286,11 +286,15 @@ def test_check_constraints_refused(spark, table):
         delete_where(spark, table, "k < 5")
 
 
-def test_column_mapped_table_refused_for_writes(spark, tmp_path):
+def test_column_mapped_name_mode_delete_now_works(spark, tmp_path):
+    """r10: name-mode tables are writable (physical staging); the
+    rewrite-DELETE lands and the logical read reflects it. (id mode
+    keeps refusing — pinned in test_column_mapped_name_mode_write_ops.)"""
     from delta_fixture import make_column_mapped_table
     t = make_column_mapped_table(str(tmp_path / "cm"))
-    with pytest.raises(DeltaProtocolError, match="column-mapped"):
-        delete_where(spark, t, "1=1")
+    delete_where(spark, t, "id = 1", ts_ms=5000)
+    assert sorted(r.id for r in read_delta_snapshot(spark, t)
+                  .collect()) == [2, 3]
 
 
 # ---------------------------------------------------------------------------
@@ -1362,3 +1366,58 @@ def test_variant_protocol_not_triggered_by_name(spark, tmp_path):
     create_delta_table(spark, df2, t2, ts_ms=1000)
     rep2 = replay_log(spark, t2)
     assert "variantType" in (rep2.protocol.get("readerFeatures") or ())
+
+
+def test_column_mapped_name_mode_write_ops(spark, tmp_path):
+    """Writes to a columnMapping=name table stage the PHYSICAL layout:
+    appended files carry physical column names + field ids,
+    partitionValues keyed by the physical partition name; the logical
+    read round-trips; rewrite-DELETE and UPDATE compose; mergeSchema
+    and id-mode tables still reject loudly."""
+    from delta_fixture import make_column_mapped_table, make_id_mapped_table
+
+    t = str(tmp_path / "cm")
+    make_column_mapped_table(t)
+    rep0 = replay_log(spark, t)
+    df = spark.createDataFrame(
+        [(10, (9.5, "z"), "p3"), (11, (8.5, "y"), "p3")],
+        rep0.schema)
+    v = append_delta(spark, df, t, ts_ms=5000)
+    rep = replay_log(spark, t)
+    new_paths = [p for p in rep.files if p not in rep0.files]
+    assert new_paths
+    # the RAW log action stores the PHYSICAL partition key (replay
+    # normalizes to logical for the caller)
+    raw_adds = [json.loads(line)["add"]
+                for line in open(os.path.join(
+                    t, "_delta_log", f"{v:020d}.json"))
+                if '"add"' in line]
+    assert raw_adds and all(list(a["partitionValues"]) == ["col-aaa5"]
+                            for a in raw_adds)
+    import urllib.parse
+
+    import pyarrow.parquet as pq
+    phys = pq.read_schema(os.path.join(
+        t, urllib.parse.unquote(new_paths[0])))
+    assert set(phys.names) >= {"col-aaa1", "col-aaa2"}   # physical names
+    snap = read_delta_snapshot(spark, t)                 # logical read
+    got = {r.id: (r.part, r.info.tag) for r in snap.collect()}
+    assert got[10] == ("p3", "z") and got[11] == ("p3", "y")
+    assert len(got) == 5
+    # row ops ride the same staging conversion
+    update_where(spark, t, "id = 10", {"part": "'p9'"}, ts_ms=6000)
+    delete_where(spark, t, "id = 2", ts_ms=7000)
+    got = {r.id: r.part for r in read_delta_snapshot(spark, t).collect()}
+    assert got[10] == "p9" and 2 not in got and len(got) == 4
+    # schema evolution would need fresh physical names: reject
+    wider = spark.createDataFrame(
+        [(12, (1.0, "w"), "p1", 5)],
+        rep0.schema.add("extra", "long"))
+    with pytest.raises(DeltaProtocolError, match="column-mapped"):
+        append_delta(spark, wider, t, merge_schema=True, ts_ms=8000)
+    # id mode still rejects
+    t2 = str(tmp_path / "idm")
+    make_id_mapped_table(t2)
+    with pytest.raises(DeltaProtocolError, match="id"):
+        append_delta(spark, spark.createDataFrame([], replay_log(
+            spark, t2).schema), t2, ts_ms=5000)
