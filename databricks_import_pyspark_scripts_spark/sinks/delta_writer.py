@@ -92,6 +92,12 @@ SUPPORTED_WRITER_FEATURES = {
 }
 
 
+class DeltaConstraintViolation(ValueError):
+    """Staged rows violate a CHECK constraint, column invariant, or
+    NOT NULL declaration — raised BEFORE the commit exists; the staged
+    files are uncommitted garbage for vacuum, the table is untouched."""
+
+
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed between this operation's snapshot read and
     its commit attempt. The operation wrote NO log entry; staged data files
@@ -130,19 +136,75 @@ def _check_writable(metadata: dict, protocol: dict, op: str) -> None:
     # to the physical layout (names, top-level field ids,
     # partitionValues keys)
     schema_s = metadata.get("schemaString") or ""
-    for marker, what in (("delta.invariants", "column invariants"),
-                         ("delta.generationExpression", "generated columns"),
+    # CHECK constraints, column invariants and NOT NULL are ENFORCED at
+    # stage time (_enforce_constraints) — declared tables are writable.
+    # Generated/identity columns still refuse: they require COMPUTING
+    # values, not just validating them.
+    for marker, what in (("delta.generationExpression", "generated columns"),
                          ("delta.identity.", "identity columns")):
         if marker in schema_s:
             raise DeltaProtocolError(
                 f"table declares {what}; this writer does not enforce them")
-    if any(k.startswith("delta.constraints.") for k in conf):
-        raise DeltaProtocolError(
-            "table declares CHECK constraints; this writer does not "
-            "enforce them")
     if op != "append" and conf.get("delta.appendOnly", "false").lower() == "true":
         raise DeltaProtocolError(
             f"table is append-only (delta.appendOnly=true); {op} refused")
+
+
+def _constraint_exprs(rep) -> list[tuple[str, str]]:
+    """(name, sql_expr) pairs the table requires of every NEW row:
+    CHECK constraints (``delta.constraints.<name>`` table properties),
+    column invariants (``delta.invariants`` field metadata — the legacy
+    writer-v2 form), and NOT NULL declarations (nullable=false)."""
+    out: list[tuple[str, str]] = []
+    conf = rep.metadata.get("configuration") or {}
+    for k in sorted(conf):
+        if k.startswith("delta.constraints."):
+            out.append((k[len("delta.constraints."):], conf[k]))
+    for f in rep.schema.fields:
+        inv = (f.metadata or {}).get("delta.invariants")
+        if inv:
+            try:
+                expr = json.loads(inv)["expression"]["expression"]
+            except (ValueError, KeyError, TypeError) as ex:
+                raise DeltaProtocolError(
+                    f"unparseable delta.invariants on column "
+                    f"{f.name!r}: {inv!r}") from ex
+            out.append((f"invariant({f.name})", expr))
+        if not f.nullable:
+            out.append((f"notnull({f.name})", f"{f.name} IS NOT NULL"))
+    return out
+
+
+def _enforce_constraints(spark: SparkSession, table_path: str, rep,
+                         adds: list[dict], op: str) -> None:
+    """Validate the freshly STAGED (uncommitted) files against the
+    table's constraints: one columnar scan of the new bytes in the
+    happy path (all predicates OR-folded, ``limit(1)``); only on a hit
+    does a per-constraint pass run to NAME the violated rule. SQL
+    semantics: a constraint passes on TRUE and on NULL, fails on FALSE
+    (NOT NULL is modeled as its own predicate). Raising here leaves the
+    staged files as uncommitted garbage for vacuum — the same contract
+    every lost commit race already has."""
+    from ..sources.delta_log import _scan_files
+
+    cons = _constraint_exprs(rep)
+    if not cons or not adds:
+        return
+    scan = _scan_files(spark, table_path, rep, [dict(a) for a in adds])
+    if scan is None:
+        return
+    bad = None
+    for _, e in cons:
+        b = ~F.coalesce(F.expr(e), F.lit(True))
+        bad = b if bad is None else (bad | b)
+    if not scan.filter(bad).limit(1).take(1):
+        return
+    for name, e in cons:
+        hit = scan.filter(~F.coalesce(F.expr(e), F.lit(True))).limit(1)             .take(1)
+        if hit:
+            raise DeltaConstraintViolation(
+                f"{op} violates {name} ({e!r}); example row: "
+                f"{hit[0].asDict()!r}")
 
 
 def _mapping_mode_of(rep) -> str:
@@ -396,6 +458,12 @@ def create_delta_table(spark: SparkSession, df: DataFrame, table_path: str,
         conf["delta.enableChangeDataFeed"] = "true"
     adds = _stage_files(spark, df, table_path, part_cols, ts,
                         max_records_per_file=max_records_per_file)
+    import types as _types
+    shim = _types.SimpleNamespace(
+        schema=df.schema, partition_columns=part_cols,
+        metadata={"configuration": conf,
+                  "schemaString": df.schema.json()})
+    _enforce_constraints(spark, table_path, shim, adds, "create")
     def _has_variant(dt) -> bool:
         # recursive isinstance, NOT a simpleString substring match — a
         # field NAMED "variant_id" must not trigger the protocol
@@ -423,8 +491,13 @@ def create_delta_table(spark: SparkSession, df: DataFrame, table_path: str,
                     "writerFeatures": sorted(feats_w)}
     else:
         # CDF needs writer v4 per the protocol's legacy feature table
+        has_cons = (any(k.startswith("delta.constraints.")
+                        for k in conf)
+                    or "delta.invariants" in df.schema.json())
+        # legacy feature table: invariants w2, constraints w3, CDF w4
         protocol = {"minReaderVersion": 1,
-                    "minWriterVersion": 4 if cdf else 2}
+                    "minWriterVersion": (4 if cdf
+                                         else 3 if has_cons else 2)}
     actions = [
         {"commitInfo": {"timestamp": ts, "operation": "CREATE TABLE AS SELECT",
                         "operationParameters": {"partitionBy": part_cols}}},
@@ -535,6 +608,7 @@ def append_delta(spark: SparkSession, df: DataFrame, table_path: str,
                         rep.partition_columns, ts,
                         max_records_per_file=max_records_per_file,
                         rep=rep)
+    _enforce_constraints(spark, table_path, rep, adds, "append")
     actions = [
         {"commitInfo": {"timestamp": ts, "operation": "WRITE",
                         "operationParameters": {"mode": "Append"}}},
@@ -606,6 +680,7 @@ def overwrite_delta(spark: SparkSession, df: DataFrame, table_path: str,
                         rep.partition_columns, ts,
                         max_records_per_file=max_records_per_file,
                         rep=rep)
+    _enforce_constraints(spark, table_path, rep, adds, "overwrite")
     actions = [
         {"commitInfo": {"timestamp": ts, "operation": "WRITE",
                         "operationParameters": {"mode": "Overwrite"}}},
@@ -646,6 +721,7 @@ def _rewrite_op(spark: SparkSession, table_path: str, predicate: str,
     new_rows, cdc_df = transform(aff, hit, logical)
     adds = _stage_files(spark, new_rows.select(*logical), table_path,
                         rep.partition_columns, ts, rep=rep)
+    _enforce_constraints(spark, table_path, rep, adds, op)
     actions: list[dict] = [
         {"commitInfo": {"timestamp": ts, "operation": op.upper(),
                         "operationParameters": {"predicate": predicate}}},
@@ -852,6 +928,7 @@ def _dv_row_op(spark: SparkSession, table_path: str, predicate: str,
               if c in set_exprs else F.col(c) for c in logical])
         new_adds = _stage_files(spark, updated, table_path,
                                 rep.partition_columns, ts, rep=rep)
+        _enforce_constraints(spark, table_path, rep, new_adds, op)
         actions += [{"add": {**a, "dataChange": True}} for a in new_adds]
         cdc_df = None
         if _cdf_enabled(rep.metadata):
@@ -1358,6 +1435,7 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
             new_rows = new_rows.unionByName(p)
         adds = _stage_files(spark, new_rows.select(*logical), table_path,
                             rep.partition_columns, ts, rep=rep)
+        _enforce_constraints(spark, table_path, rep, adds, "merge")
     if dv_mode and dv_actions is None and not adds:
         return rep.version  # insert clause present but zero insert rows
     actions: list[dict] = [

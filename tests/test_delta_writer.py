@@ -273,17 +273,31 @@ def test_unknown_writer_feature_refused(spark, table):
         append_delta(spark, _frame(spark, 100, 105), table)
 
 
-def test_declared_invariants_refused(spark, table):
+def test_declared_invariants_now_enforced(spark, table):
+    """r10: invariants are ENFORCED, not refused — a conforming append
+    lands, a violating one raises before any commit."""
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        DeltaConstraintViolation,
+    )
     _set_config(table, schema_extra={
-        "delta.invariants": '{"expression":{"expression":"k > 0"}}'})
-    with pytest.raises(DeltaProtocolError, match="invariants"):
-        append_delta(spark, _frame(spark, 100, 105), table)
+        "delta.invariants": '{"expression":{"expression":"k < 200"}}'})
+    append_delta(spark, _frame(spark, 100, 105), table, ts_ms=2000)
+    with pytest.raises(DeltaConstraintViolation, match="invariant"):
+        append_delta(spark, _frame(spark, 300, 305), table, ts_ms=3000)
 
 
-def test_check_constraints_refused(spark, table):
-    _set_config(table, extra_conf={"delta.constraints.c1": "k > 0"})
-    with pytest.raises(DeltaProtocolError, match="CHECK constraints"):
-        delete_where(spark, table, "k < 5")
+def test_check_constraints_now_enforced_on_rewrite(spark, table):
+    """r10: a rewrite-DELETE on a constraint-declaring table stages only
+    rows that already satisfy the rule — it proceeds; an UPDATE that
+    would break the rule raises."""
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        DeltaConstraintViolation,
+    )
+    _set_config(table, extra_conf={"delta.constraints.c1": "k >= 0"})
+    delete_where(spark, table, "k < 5", ts_ms=2000)
+    assert _ks(read_delta_snapshot(spark, table)) == list(range(5, 100))
+    with pytest.raises(DeltaConstraintViolation, match="c1"):
+        update_where(spark, table, "k = 7", {"k": "-1"}, ts_ms=3000)
 
 
 def test_column_mapped_name_mode_delete_now_works(spark, tmp_path):
@@ -1421,3 +1435,79 @@ def test_column_mapped_name_mode_write_ops(spark, tmp_path):
     with pytest.raises(DeltaProtocolError, match="id"):
         append_delta(spark, spark.createDataFrame([], replay_log(
             spark, t2).schema), t2, ts_ms=5000)
+
+
+def test_check_constraints_and_invariants_enforced(spark, tmp_path):
+    """CHECK constraints / column invariants / NOT NULL are ENFORCED at
+    stage time instead of refusing the table: valid writes land,
+    violating ones raise DeltaConstraintViolation NAMING the rule
+    before any commit exists (the table is untouched); NULL constraint
+    results pass per SQL semantics."""
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        DeltaConstraintViolation,
+        merge_into,
+    )
+
+    t = str(tmp_path / "chk")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k long, v double")
+    create_delta_table(spark, df, t, ts_ms=1000,
+                       configuration={"delta.constraints.vcap": "v < 100"})
+    rep = replay_log(spark, t)
+    assert rep.protocol["minWriterVersion"] >= 3
+    # valid append lands; NULL result passes (SQL semantics)
+    append_delta(spark, spark.createDataFrame([(20, 50.0), (21, None)],
+                                              "k long, v double"),
+                 t, ts_ms=2000)
+    assert read_delta_snapshot(spark, t).count() == 12
+    # violating append: named error, version unchanged
+    with pytest.raises(DeltaConstraintViolation, match="vcap"):
+        append_delta(spark, spark.createDataFrame([(22, 500.0)],
+                                                  "k long, v double"),
+                     t, ts_ms=3000)
+    assert latest_delta_version(spark, t) == 1
+    # violating UPDATE post-image (both rewrite and DV layouts)
+    with pytest.raises(DeltaConstraintViolation, match="vcap"):
+        update_where(spark, t, "k = 1", {"v": "v + 1000"}, ts_ms=4000)
+    with pytest.raises(DeltaConstraintViolation, match="vcap"):
+        update_where(spark, t, "k = 1", {"v": "v + 1000"}, ts_ms=4000,
+                     use_dv=True)
+    # violating MERGE insert
+    with pytest.raises(DeltaConstraintViolation, match="vcap"):
+        merge_into(spark, t, spark.createDataFrame(
+            [(99, 999.0)], "k long, v double"), on=["k"], ts_ms=5000)
+    assert read_delta_snapshot(spark, t).count() == 12
+    # violating CREATE: no table left behind
+    t2 = str(tmp_path / "chk2")
+    with pytest.raises(DeltaConstraintViolation, match="vcap"):
+        create_delta_table(
+            spark, spark.createDataFrame([(1, 500.0)], "k long, v double"),
+            t2, ts_ms=1000,
+            configuration={"delta.constraints.vcap": "v < 100"})
+    assert not os.path.exists(os.path.join(t2, "_delta_log",
+                                           f"{0:020d}.json"))
+
+
+def test_invariants_metadata_and_not_null_enforced(spark, tmp_path):
+    """The legacy delta.invariants field-metadata form and
+    nullable=false declarations both gate writes."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        DeltaConstraintViolation,
+    )
+
+    t = str(tmp_path / "inv")
+    inv = _json.dumps({"expression": {"expression": "k < 50"}})
+    schema = T.StructType([
+        T.StructField("k", T.LongType(), False),     # NOT NULL
+        T.StructField("v", T.DoubleType(), True,
+                      {"delta.invariants": inv})])
+    # schema metadata rides into schemaString via create's df
+    df = spark.createDataFrame([(1, 1.0)], schema)
+    create_delta_table(spark, df, t, ts_ms=1000)
+    with pytest.raises(DeltaConstraintViolation, match="invariant"):
+        append_delta(spark, spark.createDataFrame([(60, 60.0)], schema),
+                     t, ts_ms=2000)
