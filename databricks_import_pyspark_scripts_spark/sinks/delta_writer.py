@@ -136,15 +136,17 @@ def _check_writable(metadata: dict, protocol: dict, op: str) -> None:
     # to the physical layout (names, top-level field ids,
     # partitionValues keys)
     schema_s = metadata.get("schemaString") or ""
-    # CHECK constraints, column invariants and NOT NULL are ENFORCED at
-    # stage time (_enforce_constraints) — declared tables are writable.
-    # Generated/identity columns still refuse: they require COMPUTING
-    # values, not just validating them.
-    for marker, what in (("delta.generationExpression", "generated columns"),
-                         ("delta.identity.", "identity columns")):
-        if marker in schema_s:
-            raise DeltaProtocolError(
-                f"table declares {what}; this writer does not enforce them")
+    # CHECK constraints, column invariants, NOT NULL and GENERATED
+    # columns are ENFORCED at stage time (_enforce_constraints) —
+    # declared tables are writable: this writer's API always receives
+    # the full row, so the generated-column obligation reduces to
+    # validating value <=> expression (the protocol's requirement).
+    # Identity columns still refuse: they need per-commit high-water
+    # allocation, not validation.
+    if "delta.identity." in schema_s:
+        raise DeltaProtocolError(
+            "table declares identity columns; this writer does not "
+            "enforce them")
     if op != "append" and conf.get("delta.appendOnly", "false").lower() == "true":
         raise DeltaProtocolError(
             f"table is append-only (delta.appendOnly=true); {op} refused")
@@ -170,6 +172,12 @@ def _constraint_exprs(rep) -> list[tuple[str, str]]:
                     f"unparseable delta.invariants on column "
                     f"{f.name!r}: {inv!r}") from ex
             out.append((f"invariant({f.name})", expr))
+        gen = (f.metadata or {}).get("delta.generationExpression")
+        if gen:
+            # writers must ENSURE provided values equal the generation
+            # expression; <=> never returns NULL so a mismatch always
+            # trips the rule
+            out.append((f"generated({f.name})", f"{f.name} <=> ({gen})"))
         if not f.nullable:
             out.append((f"notnull({f.name})", f"{f.name} IS NOT NULL"))
     return out

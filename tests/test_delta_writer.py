@@ -1511,3 +1511,32 @@ def test_invariants_metadata_and_not_null_enforced(spark, tmp_path):
     with pytest.raises(DeltaConstraintViolation, match="invariant"):
         append_delta(spark, spark.createDataFrame([(60, 60.0)], schema),
                      t, ts_ms=2000)
+
+
+def test_generated_columns_validated(spark, tmp_path):
+    """Generated columns enforce value <=> expression at stage time
+    (this writer's API always receives the full row, so the protocol's
+    writer obligation reduces to validation); identity columns still
+    refuse."""
+    from pyspark.sql import types as T
+
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        DeltaConstraintViolation,
+    )
+
+    t = str(tmp_path / "gen")
+    schema = T.StructType([
+        T.StructField("k", T.LongType(), True),
+        T.StructField("k2", T.LongType(), True,
+                      {"delta.generationExpression": "k * 2"})])
+    create_delta_table(
+        spark, spark.createDataFrame([(1, 2), (2, 4)], schema), t,
+        ts_ms=1000)
+    append_delta(spark, spark.createDataFrame([(3, 6)], schema), t,
+                 ts_ms=2000)
+    with pytest.raises(DeltaConstraintViolation, match="generated"):
+        append_delta(spark, spark.createDataFrame([(4, 9)], schema), t,
+                     ts_ms=3000)
+    assert sorted((r.k, r.k2) for r in
+                  read_delta_snapshot(spark, t).collect()) == \
+        [(1, 2), (2, 4), (3, 6)]
