@@ -127,14 +127,10 @@ def _check_writable(metadata: dict, protocol: dict, op: str) -> None:
             raise DeltaProtocolError(
                 f"unsupported Delta writer features: {sorted(unsupported)}")
     conf = metadata.get("configuration") or {}
-    mapping = conf.get("delta.columnMapping.mode") or "none"
-    if mapping == "id":
-        raise DeltaProtocolError(
-            "writing to a columnMapping.mode=id table is not supported "
-            "(nested field-id annotation is not staged); name mode is")
-    # name mode: supported — _stage_files converts every staged frame
-    # to the physical layout (names, top-level field ids,
-    # partitionValues keys)
+    # column mapping (name AND id modes): supported — _stage_files
+    # converts every staged frame to the physical layout (physical
+    # names + parquet field ids at every nesting level, partitionValues
+    # keys physical), which satisfies both resolution modes
     schema_s = metadata.get("schemaString") or ""
     # CHECK constraints, column invariants, NOT NULL and GENERATED
     # columns are ENFORCED at stage time (_enforce_constraints) —
@@ -343,30 +339,62 @@ def _partition_values_from_dirs(segments: list[str]) -> dict[str, str | None]:
     return pv
 
 
+def _physical_id_field(field):
+    """Logical StructField -> PHYSICAL name + ``parquet.field.id``
+    metadata at EVERY nesting level: the write-side union of the
+    reader's two converters (``_to_physical_field`` renames,
+    ``_to_id_field`` annotates). Files staged under this schema satisfy
+    name-mode readers (physical names) AND id-mode readers (field ids
+    recursively)."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    from ..sources.delta_log import _physical_name
+
+    def conv(dt):
+        if isinstance(dt, StructType):
+            return StructType([_physical_id_field(f) for f in dt.fields])
+        if isinstance(dt, ArrayType):
+            return ArrayType(conv(dt.elementType), dt.containsNull)
+        if isinstance(dt, MapType):
+            return MapType(conv(dt.keyType), conv(dt.valueType),
+                           dt.valueContainsNull)
+        return dt
+
+    md = field.metadata or {}
+    fid = md.get("delta.columnMapping.id")
+    meta = {"parquet.field.id": int(fid)} if fid is not None else {}
+    return StructField(_physical_name(field), conv(field.dataType),
+                       field.nullable, meta)
+
+
 def _to_physical(df: DataFrame, rep,
                  part_cols: list[str]) -> tuple[DataFrame, list[str]]:
-    """Logical DataFrame -> the PHYSICAL layout a column-mapped (name
-    mode) table stores: columns renamed per
-    ``delta.columnMapping.physicalName`` recursively (struct casts
-    rename nested fields positionally), top-level parquet field ids
-    attached from ``delta.columnMapping.id`` so id-resolving readers
-    find the columns too, partition columns translated. Extra columns
-    with no mapping entry (``_change_type`` on cdc frames) pass through
-    under their own names — the CDF readers expect them verbatim."""
+    """Logical DataFrame -> the PHYSICAL layout a column-mapped table
+    stores: columns renamed per ``delta.columnMapping.physicalName``
+    recursively (struct casts rename nested fields positionally), then
+    ``DataFrame.to`` stamps ``parquet.field.id`` metadata at every
+    nesting level — so the staged files serve BOTH name-mode readers
+    (physical names) and id-mode readers (recursive field ids).
+    Partition columns translated. Extra columns with no mapping entry
+    (``_change_type`` on cdc frames) pass through under their own
+    names — the CDF readers expect them verbatim."""
+    from pyspark.sql.types import StructType
+
     from ..sources.delta_log import _to_physical_field
 
     phys: dict[str, str] = {}
     cols = []
+    target_fields = []
     for f in rep.schema.fields:
         pf = _to_physical_field(f)
-        md = f.metadata or {}
-        fid = md.get("delta.columnMapping.id")
-        meta = ({"parquet.field.id": int(fid)} if fid is not None else {})
-        cols.append(F.col(f.name).cast(pf.dataType)
-                    .alias(pf.name, metadata=meta))
+        cols.append(F.col(f.name).cast(pf.dataType).alias(pf.name))
         phys[f.name] = pf.name
-    cols += [F.col(c) for c in df.columns if c not in phys]
-    return df.select(*cols), [phys.get(c, c) for c in part_cols]
+        target_fields.append(_physical_id_field(f))
+    extras = [c for c in df.columns if c not in phys]
+    out = df.select(*cols, *[F.col(c) for c in extras])
+    target = StructType(
+        target_fields + [out.schema[c] for c in extras])
+    return out.to(target), [phys.get(c, c) for c in part_cols]
 
 
 def _stage_files(spark: SparkSession, df: DataFrame, table_path: str,
@@ -385,7 +413,7 @@ def _stage_files(spark: SparkSession, df: DataFrame, table_path: str,
     keys) — the spec stores EVERYTHING physically there."""
     from ..sources.delta_log import _mapping_mode
 
-    if rep is not None and _mapping_mode(rep.metadata) == "name":
+    if rep is not None and _mapping_mode(rep.metadata) in ("name", "id"):
         df, part_cols = _to_physical(df, rep, part_cols)
     staging = f"{table_path.rstrip('/')}/_staging-{uuid.uuid4().hex}"
     writer = df.write.mode("overwrite")

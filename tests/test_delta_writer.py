@@ -1429,12 +1429,29 @@ def test_column_mapped_name_mode_write_ops(spark, tmp_path):
         rep0.schema.add("extra", "long"))
     with pytest.raises(DeltaProtocolError, match="column-mapped"):
         append_delta(spark, wider, t, merge_schema=True, ts_ms=8000)
-    # id mode still rejects
+    # id mode writes too: staged files carry field ids recursively,
+    # resolved by id regardless of names
     t2 = str(tmp_path / "idm")
     make_id_mapped_table(t2)
-    with pytest.raises(DeltaProtocolError, match="id"):
-        append_delta(spark, spark.createDataFrame([], replay_log(
-            spark, t2).schema), t2, ts_ms=5000)
+    rep2 = replay_log(spark, t2)
+    v = append_delta(spark, spark.createDataFrame(
+        [(30, (3.5, "q"), "p1")], rep2.schema), t2, ts_ms=5000)
+    assert v == rep2.version + 1
+    snap2 = read_delta_snapshot(spark, t2)
+    assert {r.id for r in snap2.collect()} >= {30}
+    assert snap2.filter("id = 30").first().info.tag == "q"
+    # nested field ids really landed in the staged parquet
+    import pyarrow.parquet as pq2
+    rep3 = replay_log(spark, t2)
+    newp = next(p for p in rep3.files if p not in rep2.files)
+    import urllib.parse as _up
+    sch = pq2.read_schema(os.path.join(t2, _up.unquote(newp)))
+    info_f = next(f for f in sch if (f.metadata or {}).get(
+        b"PARQUET:field_id") == b"2")
+    assert info_f.type.num_fields == 2
+    inner_ids = {(sf.metadata or {}).get(b"PARQUET:field_id")
+                 for sf in info_f.type}
+    assert inner_ids == {b"3", b"4"}
 
 
 def test_check_constraints_and_invariants_enforced(spark, tmp_path):
