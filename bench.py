@@ -140,6 +140,7 @@ HEADLINE = [
     "iceberg_compacted_agg",
     "iceberg_expired_head_agg",
     "delta_writer_mapped_append_agg",
+    "corpus_dsir_selection",
 ]
 
 EXTENSION_ROWS = {
@@ -507,7 +508,8 @@ def main() -> int:
     r10_rows = {"delta_writer_dv_merge_agg", "iceberg_orc_snapshot_agg",
                 "delta_variant_read", "iceberg_compacted_agg",
                 "iceberg_expired_head_agg",
-                "delta_writer_mapped_append_agg"}
+                "delta_writer_mapped_append_agg",
+                "corpus_dsir_selection"}
     # same membership as comparable_queries_sec (includes the unload e2e row)
     comp = [k for k in timings
             if k not in EXTENSION_ROWS and k not in stress

@@ -489,3 +489,56 @@ def global_shuffle_shards(df, id_col: str, n_shards: int,
             .withColumn("pos_in_shard",
                         F.expr(f"global_index div {int(n_shards)}"))
             .drop("_h", "_bkt", "_rn", "_off"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR data selection (Xie et al. 2023, arXiv:2302.03169)
+
+DSIR_BUCKETS = 512
+
+
+def dsir_bucket_col(feature: Column, n_buckets: int = DSIR_BUCKETS) -> Column:
+    """Hashed-feature bucket in [0, n_buckets): md5 first-8-hex as int,
+    the same cross-engine hash every split/sample operator here uses."""
+    return (F.conv(F.substring(F.md5(feature), 1, 8), 16, 10)
+            .cast("long") % F.lit(n_buckets)).cast("int")
+
+
+def dsir_logweights(df, id_col: str, text_col: str, target_col: str,
+                    n_buckets: int = DSIR_BUCKETS, ngram: int = 2):
+    """Data Selection via Importance Resampling (DSIR): score every raw
+    document by how target-like its hashed n-gram profile is.
+
+    Features are md5-bucketed word-``ngram`` shingles (distinct per doc
+    — the binary-feature variant); ``p`` is the add-1-smoothed bucket
+    distribution over TARGET docs (``target_col`` true), ``q`` over the
+    rest; a doc's score is ``sum_b log(p[b]/q[b])`` over its features.
+    Returns (id, dsir_logw) — rank/threshold downstream for the actual
+    resample.
+
+    Scale shape: explode -> ONE grouped count over (bucket, is_target)
+    (map-side combine, B-bounded result), the B-row log-ratio table
+    broadcast back onto the exploded features, one per-doc sum — the
+    corpus shuffles once on the bucket id and once on the doc id;
+    nothing is quadratic, no vocabulary is ever materialized (hashing
+    IS the point of DSIR: B stays driver-sized at any corpus size)."""
+    feats = (df.select(F.col(id_col),
+                       F.col(target_col).cast("boolean").alias("__tgt"),
+                       F.explode(shingles_col(F.col(text_col), ngram))
+                       .alias("__f"))
+             .withColumn("__b", dsir_bucket_col(F.col("__f"), n_buckets))
+             .drop("__f"))
+    cnt = (feats.groupBy("__b")
+           .agg(F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("pc"),
+                F.sum(F.when(~F.col("__tgt"), 1).otherwise(0)).alias("qc")))
+    tot = cnt.agg(F.sum("pc").alias("pt"), F.sum("qc").alias("qt"))
+    ratio = (cnt.crossJoin(F.broadcast(tot))
+             .select("__b",
+                     (F.log((F.col("pc") + 1.0)
+                            / (F.col("pt") + F.lit(float(n_buckets))))
+                      - F.log((F.col("qc") + 1.0)
+                              / (F.col("qt") + F.lit(float(n_buckets)))))
+                     .alias("lr")))
+    return (feats.join(F.broadcast(ratio), "__b")
+            .groupBy(id_col)
+            .agg(F.round(F.sum("lr"), 4).alias("dsir_logw")))

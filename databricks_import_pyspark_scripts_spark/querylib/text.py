@@ -1240,3 +1240,75 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("pmi"))
             .orderBy(F.col("n_ab").desc(), "token_a", "token_b")
             .limit(PMI_TOP))
+
+
+
+# ---------------------------------------------------------------------------
+# DSIR data selection (r10)
+
+def _dsir_oracle() -> str:
+    from .dedup import _hex_to_bigint_sql
+    bucket = f"({_hex_to_bigint_sql('md5(f)', 1, 8)} % 512)"
+    sh2 = shingles_sql(2)
+    return f"""
+    WITH d AS (
+      SELECT doc_id, (lang = 'en') AS tgt, {sh2} AS sh FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, tgt, {bucket} AS b
+      FROM (SELECT doc_id, tgt, unnest(sh) AS f FROM d)
+    ),
+    cnt AS (
+      SELECT b, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS pc,
+             SUM(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS qc
+      FROM feats GROUP BY b
+    ),
+    tot AS (SELECT SUM(pc) AS pt, SUM(qc) AS qt FROM cnt),
+    r AS (
+      SELECT b, ln((pc + 1.0) / (pt + 512.0))
+               - ln((qc + 1.0) / (qt + 512.0)) AS lr
+      FROM cnt, tot
+    ),
+    w AS (
+      SELECT doc_id, ROUND(SUM(lr), 4) AS dsir_logw
+      FROM feats JOIN r USING (b) GROUP BY doc_id
+    )
+    SELECT d2.lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN w.dsir_logw > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_selected,
+           ROUND(SUM(w.dsir_logw), 2) AS sum_logw
+    FROM w JOIN documents d2 USING (doc_id)
+    GROUP BY d2.lang
+    """
+
+
+@register(
+    "corpus_dsir_selection",
+    _dsir_oracle(),
+    doc="DSIR data selection (Xie et al. 2023, arXiv:2302.03169 - "
+        "hashed n-gram importance resampling), the operators/text.py "
+        "dsir_logweights operator: features are md5-bucketed word "
+        "bigrams (B=512); p = add-1-smoothed bucket distribution of the "
+        "TARGET docs (lang='en'), q of the rest; each doc scores "
+        "sum log(p/q) over its distinct features. Aggregated per "
+        "language: docs selected at logw>0 plus the summed scores - "
+        "English rows must dominate the selected set or the estimator "
+        "is broken. Scale: one grouped count over the exploded bigrams, "
+        "the B-row ratio table broadcast back, one per-doc sum - the "
+        "hashing bound B is the whole vocabulary state at any corpus "
+        "size. Oracle recomputes the identical estimator in SQL "
+        "(shared md5 bucketing, ln parity pinned by the drift gates).")
+def corpus_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import dsir_logweights
+
+    d = load_table(spark, sf_dir, "documents")
+    w = dsir_logweights(d.withColumn("is_tgt", F.col("lang") == "en"),
+                        "doc_id", "text", "is_tgt")
+    return (w.join(d.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.when(F.col("dsir_logw") > 0, 1).otherwise(0))
+                 .alias("n_selected"),
+                 F.round(F.sum("dsir_logw"), 2).alias("sum_logw"))
+            .select("lang", "n_docs", "n_selected", "sum_logw"))

@@ -932,3 +932,30 @@ def test_ivf_gemm_path_matches_expression_path(spark):
     z = spark.createDataFrame([(300, [0.0] * 16)],
                               "vec_id long, embedding array<float>")
     assert sim.ivf_assignments(z, cdf).first().cell == 0
+
+
+def test_dsir_logweights_favor_target_profile(spark):
+    """DSIR importance weights: docs sharing the target's n-gram profile
+    score positive, disjoint-vocabulary docs negative; weights are
+    deterministic (pure column math, no rand)."""
+    from databricks_import_pyspark_scripts_spark.operators.text import (
+        dsir_logweights,
+    )
+
+    rows = []
+    for i in range(40):                       # target-profile corpus
+        rows.append((i, "the quick brown fox jumps over the lazy dog "
+                     f"variant {i % 4}", i < 20))
+    for i in range(40, 60):                   # disjoint vocabulary
+        rows.append((i, "zzz qqq www eee rrr ttt yyy uuu "
+                     f"form {i % 3}", False))
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    w = {r.doc_id: r.dsir_logw
+         for r in dsir_logweights(df, "doc_id", "text", "tgt").collect()}
+    assert len(w) == 60
+    fox_raw = [w[i] for i in range(20, 40)]   # non-target, target-like
+    junk = [w[i] for i in range(40, 60)]
+    assert min(fox_raw) > max(junk)
+    w2 = {r.doc_id: r.dsir_logw
+          for r in dsir_logweights(df, "doc_id", "text", "tgt").collect()}
+    assert w == w2                            # deterministic
