@@ -141,6 +141,7 @@ HEADLINE = [
     "iceberg_expired_head_agg",
     "delta_writer_mapped_append_agg",
     "corpus_dsir_selection",
+    "delta_restore_agg",
 ]
 
 EXTENSION_ROWS = {
@@ -509,7 +510,7 @@ def main() -> int:
                 "delta_variant_read", "iceberg_compacted_agg",
                 "iceberg_expired_head_agg",
                 "delta_writer_mapped_append_agg",
-                "corpus_dsir_selection"}
+                "corpus_dsir_selection", "delta_restore_agg"}
     # same membership as comparable_queries_sec (includes the unload e2e row)
     comp = [k for k in timings
             if k not in EXTENSION_ROWS and k not in stress

@@ -38,7 +38,7 @@ def build_parser() -> argparse.ArgumentParser:
                             "iceberg-append", "iceberg-compact",
                             "iceberg-expire",
                             "delta-optimize", "delta-vacuum",
-                            "delta-checkpoint"),
+                            "delta-checkpoint", "delta-restore"),
                    help="run a table-maintenance operation instead of an "
                         "unload: optimize = compact the latest snapshot "
                         "into a new version; vacuum = drop versions below "
@@ -74,6 +74,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--state-path", default=None,
                    help="delta-ingest: high-water-mark file (created on "
                         "first tick)")
+    p.add_argument("--restore-version", type=int, default=None,
+                   help="delta-restore: target version")
     p.add_argument("--keep-last-snapshots", type=int, default=2,
                    help="iceberg-expire: newest snapshots to keep")
     p.add_argument("--small-file-mb", type=int, default=None,
@@ -282,6 +284,21 @@ def _run_maintenance(args) -> int:
                   "deleted_files": len(rep["deleted_files"]),
                   "snapshots": len(iceberg_snapshot_ids(spark,
                                                         table_path))}
+    elif args.maintenance == "delta-restore":
+        from .sinks.delta_writer import restore_delta
+
+        table_path = f"{args.source_root}/{args.table}"
+        if args.restore_version is None:
+            print("--restore-version is required for delta-restore",
+                  file=sys.stderr)
+            return 2
+        from .sources.delta_log import read_delta_snapshot
+
+        v = restore_delta(spark, table_path, args.restore_version)
+        report = {"table": args.table,
+                  "restored_to": args.restore_version,
+                  "new_version": v,
+                  "rows": read_delta_snapshot(spark, table_path).count()}
     elif args.maintenance == "delta-optimize":
         from .sinks.delta_writer import optimize_delta
         from .sources.delta_log import replay_log

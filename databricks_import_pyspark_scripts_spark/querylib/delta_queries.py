@@ -1060,3 +1060,73 @@ def delta_writer_mapped_append_agg(spark: SparkSession,
                  (F.sum(F.round(F.col("o_totalprice") * 100)
                         .cast("long")) / 100.0).alias("sum_total"))
             .select("status", "n", "sum_total"))
+
+
+# ---------------------------------------------------------------------------
+# RESTORE (time-travel rollback as a commit, r10)
+
+def _staged_restored_table(spark: SparkSession, sf_dir: str) -> str:
+    """v0 = %3=0 events; v1 = append %3=1; v2 = DELETE %5=0 (DV layout);
+    v3 = RESTORE to v1 — one commit re-adds the DV-stamped files'
+    pre-delete form and the head serves v1's exact state while v2
+    stays time-travelable."""
+    from ..sinks.delta_writer import (
+        append_delta,
+        create_delta_table,
+        delete_where,
+        restore_delta,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_delta_restore_gate_{tag}_v1")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        e = (load_table(spark, sf_dir, "events")
+             .select("event_id", "event_type", "value"))
+        create_delta_table(spark, e.filter(F.expr(_V0_PRED)), path,
+                           ts_ms=_BASE_TS_MS)
+        append_delta(spark, e.filter(F.expr(_V1_PRED)), path,
+                     ts_ms=_BASE_TS_MS + 1000)
+        delete_where(spark, path, "event_id % 5 = 0",
+                     ts_ms=_BASE_TS_MS + 2000, use_dv=True)
+        restore_delta(spark, path, 1, ts_ms=_BASE_TS_MS + 3000)
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "delta_restore_agg",
+    f"""
+    SELECT 2 AS version, event_type, COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    WHERE ({_V0_PRED} OR {_V1_PRED}) AND NOT (event_id % 5 = 0)
+    GROUP BY event_type
+    UNION ALL
+    SELECT 3 AS version, event_type, COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events WHERE {_V0_PRED} OR {_V1_PRED}
+    GROUP BY event_type
+    """,
+    doc="RESTORE round-trip (sinks/delta_writer.py restore_delta): the "
+        "head (v3) must serve v1's EXACT pre-delete state — the restore "
+        "commit re-adds the DV-stamped files without their deletion "
+        "vectors — while the rolled-back v2 stays time-travelable with "
+        "its DVs applied. Oracle restates both states; a restore that "
+        "kept a stale DV descriptor, dropped a shared file, or broke "
+        "v2's history flips a version's counts and sums.")
+def delta_restore_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _staged_restored_table(spark, sf_dir)
+    parts = []
+    for v in (2, 3):
+        snap = read_delta_snapshot(spark, path, v)
+        parts.append(
+            snap.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .withColumn("version", F.lit(v).cast("int")))
+    return parts[0].unionByName(parts[1]).select(
+        "version", "event_type", "n", "sum_value")

@@ -1496,6 +1496,60 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
                           "merge")
 
 
+def restore_delta(spark: SparkSession, table_path: str, version: int,
+                  ts_ms: int | None = None) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF <version> — delta-spark's
+    rollback verb: ONE new commit whose add/remove set turns the
+    current file state into the target version's (files only the
+    target references are re-added, files only the current state
+    references are removed; shared files never move). History is
+    preserved — the restore is itself a commit, the rolled-back
+    versions stay time-travelable, and a second restore can undo the
+    first. Data files are never touched, so the target's files must
+    still exist (vacuum respects this by keeping files referenced by
+    the LATEST state — restore re-referencing them makes them live
+    again). Schema/protocol follow the CURRENT metadata (delta-spark
+    semantics: RESTORE changes data state, not the schema history).
+
+    Returns the new version. Raises when ``version`` is not
+    replayable (retired prefix) or when target data files are gone."""
+    ts = _now_ms(ts_ms)
+    rep = replay_log(spark, table_path)
+    _check_writable(rep.metadata, rep.protocol, "restore")
+    if version == rep.version:
+        return rep.version                   # restore to HEAD: no-op
+    target = replay_log(spark, table_path, version=version)
+    cur_by_path = dict(rep.files)
+    tgt_by_path = dict(target.files)
+    missing = [p for p in tgt_by_path
+               if not _exists(spark, f"{table_path.rstrip('/')}/"
+                              f"{urllib.parse.unquote(p)}")]
+    if missing:
+        raise FileNotFoundError(
+            f"RESTORE to v{version} references vacuumed data files: "
+            f"{missing[:3]}{'...' if len(missing) > 3 else ''}")
+    actions: list[dict] = [
+        {"commitInfo": {"timestamp": ts, "operation": "RESTORE",
+                        "operationParameters": {
+                            "version": str(version)}}},
+        *({"add": {**a, "dataChange": True}}
+          for p, a in sorted(tgt_by_path.items())
+          if p not in cur_by_path
+          or cur_by_path[p].get("deletionVector")
+          != a.get("deletionVector")),
+        *({"remove": {"path": p, "deletionTimestamp": ts,
+                      "dataChange": True,
+                      "partitionValues": a.get("partitionValues") or {},
+                      "size": a.get("size")}}
+          for p, a in sorted(cur_by_path.items())
+          if p not in tgt_by_path),
+    ]
+    if len(actions) == 1:
+        return rep.version                   # states identical: no-op
+    return _strict_commit(spark, table_path, rep.version + 1, actions,
+                          "restore")
+
+
 # ---------------------------------------------------------------------------
 # OPTIMIZE: bin-packing compaction + z-order clustering
 

@@ -1557,3 +1557,41 @@ def test_generated_columns_validated(spark, tmp_path):
     assert sorted((r.k, r.k2) for r in
                   read_delta_snapshot(spark, t).collect()) == \
         [(1, 2), (2, 4), (3, 6)]
+
+
+def test_restore_rolls_back_and_forward(spark, table):
+    """RESTORE: one commit flips the live file set to the target
+    version's; rolled-back history stays time-travelable; a second
+    restore undoes the first; DV state restores too; vacuumed targets
+    fail loudly."""
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        restore_delta,
+    )
+
+    append_delta(spark, _frame(spark, 100, 120), table, ts_ms=2000)  # v1
+    delete_where(spark, table, "k % 10 = 3", ts_ms=3000,
+                 use_dv=True)                                        # v2
+    assert _ks(read_delta_snapshot(spark, table)) == \
+        [k for k in range(120) if k % 10 != 3]
+    v = restore_delta(spark, table, 1, ts_ms=4000)                   # v3
+    assert v == 3
+    assert _ks(read_delta_snapshot(spark, table)) == list(range(120))
+    # rolled-back state still travelable; restore of the restore
+    assert read_delta_snapshot(spark, table, 2).count() == 108
+    restore_delta(spark, table, 2, ts_ms=5000)                       # v4
+    assert _ks(read_delta_snapshot(spark, table)) == \
+        [k for k in range(120) if k % 10 != 3]
+    # restore to v0 (before the append)
+    restore_delta(spark, table, 0, ts_ms=6000)
+    assert _ks(read_delta_snapshot(spark, table)) == list(range(100))
+    # head restore: no-op, version unchanged
+    assert restore_delta(spark, table, 5) == 5
+    # vacuumed target rejects: drop a file only v1 references
+    import glob as _glob
+    rep1 = replay_log(spark, table, version=1)
+    rep_now = replay_log(spark, table)
+    only_v1 = next(p for p in rep1.files if p not in rep_now.files)
+    import urllib.parse as _up
+    os.unlink(os.path.join(table, _up.unquote(only_v1)))
+    with pytest.raises(FileNotFoundError, match="RESTORE"):
+        restore_delta(spark, table, 1, ts_ms=7000)
