@@ -109,6 +109,25 @@ def _now_ms(ts_ms: int | None) -> int:
     return int(time.time() * 1000) if ts_ms is None else int(ts_ms)
 
 
+def _by_base_strict(table_path: str, rep, op: str) -> dict[str, dict]:
+    """Live files keyed by their 2-segment file key, raising on collision.
+    Row-level ops attribute matched rows back to add actions through this
+    key (the scan exposes only ``_FILE_BASE``); a collision would silently
+    drop one colliding file from a rewrite set (its matched rows survive
+    the DELETE) or union two files' row indexes into one deletion vector.
+    Mirrors the reader's ``_scan_files`` guard."""
+    by_base: dict[str, dict] = {}
+    for p, a in rep.files.items():
+        base = _action_base(table_path, p)
+        if base in by_base:
+            raise NotImplementedError(
+                f"file basename collision among live files ({base}); "
+                f"{op.upper()} cannot attribute matched rows to files — "
+                f"compact or rewrite the table first")
+        by_base[base] = a
+    return by_base
+
+
 # ---------------------------------------------------------------------------
 # protocol gate
 
@@ -750,7 +769,7 @@ def _rewrite_op(spark: SparkSession, table_path: str, predicate: str,
                snap.filter(hit).select(_FILE_BASE).distinct().collect()}
     if not matched:
         return rep.version  # no row matches: no commit (Delta parity)
-    by_base = {_action_base(table_path, p): a for p, a in rep.files.items()}
+    by_base = _by_base_strict(table_path, rep, op)
     affected = [by_base[b] for b in sorted(matched)]
     aff = _scan_files(spark, table_path, rep, affected)
     logical = [f.name for f in rep.schema.fields]
@@ -825,15 +844,7 @@ def _dv_stamp_actions(spark: SparkSession, table_path: str, rep,
     from ..sources import delta_dv
     from ..sources.delta_log import _ROW_INDEX, _dv_bytes
 
-    by_base: dict[str, dict] = {}
-    for p, a in rep.files.items():
-        base = _action_base(table_path, p)
-        if base in by_base:
-            raise NotImplementedError(
-                f"file basename collision among live files ({base}); "
-                f"DV-writing {op.upper()} cannot attribute row indexes "
-                f"— use the rewrite path (use_dv=False)")
-        by_base[base] = a
+    by_base = _by_base_strict(table_path, rep, op)
     prior_dv_bytes = {
         base: _dv_bytes(spark, table_path, a["deletionVector"])
         for base, a in by_base.items()
@@ -1381,7 +1392,7 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
         # no cdc rows to stage, would make CDF synthesize a spurious
         # whole-file delete+insert feed from the dataChange add/remove)
         matched_bases = set()
-    by_base = {_action_base(table_path, p): a for p, a in rep.files.items()}
+    by_base = _by_base_strict(table_path, rep, "merge")
     affected = [by_base[b] for b in sorted(matched_bases)]
 
     cdf = _cdf_enabled(rep.metadata)

@@ -1212,6 +1212,10 @@ def test_dv_row_op_base_collision_rejects(spark, tmp_path):
     vector. Mirrors the reader's _scan_files collision guard."""
     import shutil
 
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        merge_into,
+    )
+
     t = str(tmp_path / "tbl")
     df = spark.range(0, 20).selectExpr("id AS k", "CAST(id AS double) AS v")
     create_delta_table(spark, df.coalesce(1), t, cdf=False, ts_ms=1000)
@@ -1232,6 +1236,16 @@ def test_dv_row_op_base_collision_rejects(spark, tmp_path):
         f.write(json.dumps({"add": {**add, "dataChange": True}}) + "\n")
     with pytest.raises(NotImplementedError, match="collision"):
         delete_where(spark, t, "k >= 0", ts_ms=3000, use_dv=True)
+    # the rewrite path attributes matched rows through the same 2-segment
+    # key (_rewrite_op by_base) — a collision there silently drops one
+    # file from the rewrite set, so it must reject too
+    with pytest.raises(NotImplementedError, match="collision"):
+        delete_where(spark, t, "k >= 0", ts_ms=3000, use_dv=False)
+    src = spark.range(0, 5).selectExpr("id AS k",
+                                       "CAST(id AS double) AS v")
+    with pytest.raises(NotImplementedError, match="collision"):
+        merge_into(spark, t, src, on=["k"],
+                   when_matched_update={"v": "s.v + 1"}, ts_ms=3000)
 
 
 def test_dv_merge_stamps_positions_and_stages_new_rows(spark, table):
