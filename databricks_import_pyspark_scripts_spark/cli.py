@@ -36,7 +36,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("optimize", "vacuum", "drift", "neardup-index",
                             "delta-ingest", "iceberg-ingest",
                             "iceberg-append", "iceberg-compact",
-                            "iceberg-expire",
+                            "iceberg-expire", "iceberg-set-ref",
+                            "iceberg-drop-ref",
                             "delta-optimize", "delta-vacuum",
                             "delta-checkpoint", "delta-restore"),
                    help="run a table-maintenance operation instead of an "
@@ -70,7 +71,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "their data sequence numbers explicitly; "
                         "iceberg-expire = expireSnapshots: drop history "
                         "below --keep-last-snapshots and delete files "
-                        "only the expired snapshots referenced")
+                        "only the expired snapshots referenced (ref-pinned "
+                        "snapshots are retained); iceberg-set-ref / "
+                        "iceberg-drop-ref = create/re-point or remove a "
+                        "branch/tag (--ref-name, --ref-type, optional "
+                        "--ref-snapshot-id, default head)")
+    p.add_argument("--ref-name", default=None,
+                   help="iceberg-set-ref/drop-ref: branch or tag name")
+    p.add_argument("--ref-type", default="tag", choices=("tag", "branch"),
+                   help="iceberg-set-ref: ref type (default tag)")
+    p.add_argument("--ref-snapshot-id", type=int, default=None,
+                   help="iceberg-set-ref: snapshot to pin (default: head)")
     p.add_argument("--state-path", default=None,
                    help="delta-ingest: high-water-mark file (created on "
                         "first tick)")
@@ -284,6 +295,22 @@ def _run_maintenance(args) -> int:
                   "deleted_files": len(rep["deleted_files"]),
                   "snapshots": len(iceberg_snapshot_ids(spark,
                                                         table_path))}
+    elif args.maintenance in ("iceberg-set-ref", "iceberg-drop-ref"):
+        from .sources.iceberg import drop_iceberg_ref, set_iceberg_ref
+
+        table_path = f"{args.source_root}/{args.table}"
+        if not args.ref_name:
+            print("--ref-name is required for iceberg-set-ref/drop-ref",
+                  file=sys.stderr)
+            return 2
+        if args.maintenance == "iceberg-set-ref":
+            v = set_iceberg_ref(spark, table_path, args.ref_name,
+                                ref_type=args.ref_type,
+                                snapshot_id=args.ref_snapshot_id)
+        else:
+            v = drop_iceberg_ref(spark, table_path, args.ref_name)
+        report = {"table": args.table, "ref": args.ref_name,
+                  "metadata_version": v}
     elif args.maintenance == "delta-restore":
         from .sinks.delta_writer import restore_delta
 

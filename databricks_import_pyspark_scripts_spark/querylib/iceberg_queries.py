@@ -613,3 +613,85 @@ def iceberg_expired_head_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"),
                  F.round(F.sum("value"), 4).alias("sum_value"))
             .select("event_type", "n", "sum_value"))
+
+
+_REF_TAGGED = "event_id % 3 = 0"          # snapshot the tag pins
+
+
+def _staged_iceberg_refs(spark: SparkSession, sf_dir: str) -> str:
+    """Branch/tag refs end-to-end: tag + branch pinned at the first
+    snapshot, a transactional append advancing main, then an expire
+    that would drop the tagged snapshot if refs did not protect it.
+    Staging asserts the retention contract so a semantics break fails
+    the GATE, not just the unit tests."""
+    from ..sources.iceberg import (
+        append_iceberg,
+        expire_iceberg_snapshots,
+        set_iceberg_ref,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_iceberg_ref_gate_{tag}_v1")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        e = (load_table(spark, sf_dir, "events")
+             .select("event_id", "event_type", "value"))
+        write_iceberg_table(
+            spark,
+            [e.filter(F.expr(f"event_id % 3 = {r}")) for r in range(2)],
+            path)
+        set_iceberg_ref(spark, path, "pre-growth", ref_type="tag",
+                        snapshot_id=_SNAP0, ts_ms=1700000006000)
+        set_iceberg_ref(spark, path, "audit", ref_type="branch",
+                        snapshot_id=_SNAP0, ts_ms=1700000006001)
+        append_iceberg(spark, e.filter(F.expr("event_id % 3 = 2")), path,
+                       ts_ms=1700000007000)
+        # keep_last=1 would expire BOTH older snapshots; the refs must
+        # pin _SNAP0 while the unreferenced middle snapshot goes
+        rep = expire_iceberg_snapshots(spark, path, keep_last=1)
+        assert rep["expired"] == [_SNAP1], rep
+        try:
+            read_iceberg_snapshot(spark, path, snapshot_id=_SNAP1)
+            raise AssertionError("expired snapshot still readable")
+        except FileNotFoundError:
+            pass
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "iceberg_ref_read_agg",
+    f"""
+    SELECT 'pre-growth' AS ref, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events WHERE {_REF_TAGGED}
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'main' AS ref, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Iceberg branch/tag refs (sources/iceberg.py set_iceberg_ref / "
+        "_resolve_ref): time travel by ref name — the 'pre-growth' tag "
+        "serves the first snapshot's rows AFTER an expire that retired "
+        "every other non-head snapshot (ref-pinned snapshots are "
+        "retained per spec), and 'main' tracks the head across a "
+        "transactional append (_advance_head keeps current-snapshot-id "
+        "and the main branch in lockstep). Oracle re-derives both "
+        "states from the parquet source.")
+def iceberg_ref_read_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _staged_iceberg_refs(spark, sf_dir)
+
+    def agg(ref: str) -> DataFrame:
+        return (read_iceberg_snapshot(spark, path, ref=ref)
+                .groupBy("event_type")
+                .agg(F.count("*").alias("n"),
+                     F.round(F.sum("value"), 4).alias("sum_value"))
+                .select(F.lit(ref).alias("ref"), "event_type", "n",
+                        "sum_value"))
+
+    return agg("pre-growth").unionAll(agg("main"))

@@ -188,6 +188,36 @@ def _current_schema(meta: dict) -> dict:
     raise IcebergProtocolError("table metadata carries no schema")
 
 
+def _resolve_ref(meta: dict, ref: str) -> int:
+    """Snapshot id a named ref (branch or tag) points at, per the spec's
+    ``refs`` metadata map. ``main`` falls back to the current snapshot
+    when the table predates refs metadata — the spec defines main as the
+    default branch tracking the head."""
+    refs = meta.get("refs") or {}
+    r = refs.get(ref)
+    if r is not None:
+        return int(r["snapshot-id"])
+    if ref == "main":
+        cur = meta.get("current-snapshot-id")
+        if cur is not None and int(cur) != -1:
+            return int(cur)
+    raise FileNotFoundError(
+        f"ref {ref!r} not found (have {sorted(refs)})")
+
+
+def _advance_head(new_meta: dict, snap_id: int) -> None:
+    """Point the table head at ``snap_id``: ``current-snapshot-id`` AND
+    the ``main`` branch ref when one exists — the spec keeps them in
+    lockstep, and an engine reading ``VERSION AS OF 'main'`` would
+    otherwise see a stale branch after this writer's commits."""
+    new_meta["current-snapshot-id"] = snap_id
+    refs = new_meta.get("refs")
+    if refs and "main" in refs:
+        new_meta["refs"] = {**refs,
+                            "main": {**refs["main"],
+                                     "snapshot-id": snap_id}}
+
+
 def _snapshot(meta: dict, snapshot_id: int | None) -> dict:
     snaps = meta.get("snapshots") or []
     if not snaps:
@@ -942,9 +972,12 @@ def _apply_row_deletes(spark: SparkSession, keyed: DataFrame,
 def read_iceberg_snapshot(spark: SparkSession, table_path: str,
                           snapshot_id: int | None = None,
                           partition_filter=None,
-                          stats_filter=None) -> DataFrame:
+                          stats_filter=None,
+                          ref: str | None = None) -> DataFrame:
     """Table state at ``snapshot_id`` (default: current snapshot) — the
-    Iceberg analogue of ``read_delta_snapshot``. One parquet scan over the
+    Iceberg analogue of ``read_delta_snapshot``. ``ref`` time-travels by
+    branch/tag name instead (``VERSION AS OF 'audit-2024'``), resolved
+    through the metadata ``refs`` map. One parquet scan over the
     snapshot's live files, columns resolved BY FIELD ID (renames in the
     table's schema history are transparent). ``partition_filter`` prunes
     at the METADATA level (see ``live_data_files``); unlike Delta, the
@@ -966,6 +999,11 @@ def read_iceberg_snapshot(spark: SparkSession, table_path: str,
     by name."""
     meta = read_table_metadata(spark, table_path)
     table_path = iceberg_table_root(table_path, meta)
+    if ref is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id OR ref, not both")
+        # branch/tag time travel: a ref is just a named snapshot pointer
+        snapshot_id = _resolve_ref(meta, ref)
     deletes: list[dict] = []
     files = live_data_files(spark, table_path, meta, snapshot_id,
                             partition_filter=partition_filter,
@@ -1560,7 +1598,7 @@ def append_iceberg(spark: SparkSession, df: DataFrame, table_path: str,
             "snapshot-id": snap_id, "timestamp-ms": ts,
             "sequence-number": seq,
             "manifest-list": mlpath, "summary": summary}]
-        new_meta["current-snapshot-id"] = snap_id
+        _advance_head(new_meta, snap_id)
         new_meta["last-updated-ms"] = ts
         new_meta["last-sequence-number"] = seq
         target = os.path.join(mdir, f"v{v + 1}.metadata.json")
@@ -1603,6 +1641,94 @@ def append_iceberg(spark: SparkSession, df: DataFrame, table_path: str,
         new_manifest["added_snapshot_id"] = snap_id
     raise IcebergCommitConflict(
         f"append to {table_path} lost {max_retries + 1} commit races")
+
+
+def _ref_commit_head(spark: SparkSession, table_path: str,
+                     verb: str) -> tuple[str, int, dict]:
+    """Shared preamble of the ref verbs: local-FS HadoopCatalog handle
+    only, returns (metadata dir, head version, head metadata)."""
+    if _is_metadata_handle(table_path):
+        raise NotImplementedError(
+            "catalog-managed (*.metadata.json) handles are READ-ONLY "
+            "here: ref changes must go through the owning catalog")
+    if not _is_local(table_path):
+        raise NotImplementedError(f"{verb} commits via local atomic create")
+    mdir = os.path.join(_strip_scheme(table_path), METADATA_DIR)
+    versions = sorted(int(m.group(1)) for n in _list_names(spark, mdir)
+                      if (m := _VMETA_RE.match(n)))
+    if not versions:
+        raise FileNotFoundError(f"no Iceberg metadata under {mdir}")
+    v = versions[-1]
+    meta = _check_meta(json.loads(_read_bytes(
+        spark, os.path.join(mdir, f"v{v}.metadata.json"))))
+    return mdir, v, meta
+
+
+def set_iceberg_ref(spark: SparkSession, table_path: str, name: str,
+                    ref_type: str = "tag",
+                    snapshot_id: int | None = None,
+                    ts_ms: int | None = None) -> int:
+    """Create or re-point a named ref — the spec's ``refs`` metadata map
+    behind ``CREATE TAG`` / ``CREATE BRANCH`` (and their REPLACE forms).
+    A TAG is an immutable label on a snapshot (expire keeps it alive); a
+    BRANCH is a movable head (``main`` is the default branch — this
+    writer's commits advance it via ``_advance_head``; other branches
+    only move when re-pointed here, branch WRITES are out of scope and
+    callers get the loud main-only behavior). ``snapshot_id`` defaults
+    to the current snapshot. Metadata-only CAS commit at head+1; no
+    snapshot is added. Returns the new metadata version."""
+    from ..sinks.delta_writer import _atomic_create
+
+    if ref_type not in ("tag", "branch"):
+        raise ValueError(f"ref_type must be tag|branch, got {ref_type!r}")
+    if name == "main" and ref_type != "branch":
+        raise ValueError("'main' is the default BRANCH; it cannot be a tag")
+    mdir, v, meta = _ref_commit_head(spark, table_path, "set_iceberg_ref")
+    sid = (int(meta["current-snapshot-id"]) if snapshot_id is None
+           else int(snapshot_id))
+    _snapshot(meta, sid)  # must name a live snapshot — raises otherwise
+    new_meta = dict(meta)
+    new_meta["refs"] = {**(meta.get("refs") or {}),
+                        name: {"snapshot-id": sid, "type": ref_type}}
+    new_meta["last-updated-ms"] = (meta.get("last-updated-ms", 0) + 1
+                                   if ts_ms is None else int(ts_ms))
+    if not _atomic_create(spark, os.path.join(mdir,
+                                              f"v{v + 1}.metadata.json"),
+                          json.dumps(new_meta).encode("utf-8")):
+        raise IcebergCommitConflict(
+            f"set_iceberg_ref({name}) on {table_path} lost a metadata "
+            f"commit race at v{v + 1}; rerun to rebase")
+    _write_hint(mdir, v + 1)
+    return v + 1
+
+
+def drop_iceberg_ref(spark: SparkSession, table_path: str, name: str,
+                     ts_ms: int | None = None) -> int:
+    """Remove a named ref (``DROP TAG`` / ``DROP BRANCH``). The snapshot
+    it pinned becomes expirable again. ``main`` refuses — dropping the
+    default branch would orphan the head. Returns the new version."""
+    from ..sinks.delta_writer import _atomic_create
+
+    if name == "main":
+        raise ValueError("cannot drop the default branch 'main'")
+    mdir, v, meta = _ref_commit_head(spark, table_path, "drop_iceberg_ref")
+    refs = dict(meta.get("refs") or {})
+    if name not in refs:
+        raise FileNotFoundError(f"ref {name!r} not found "
+                                f"(have {sorted(refs)})")
+    del refs[name]
+    new_meta = dict(meta)
+    new_meta["refs"] = refs
+    new_meta["last-updated-ms"] = (meta.get("last-updated-ms", 0) + 1
+                                   if ts_ms is None else int(ts_ms))
+    if not _atomic_create(spark, os.path.join(mdir,
+                                              f"v{v + 1}.metadata.json"),
+                          json.dumps(new_meta).encode("utf-8")):
+        raise IcebergCommitConflict(
+            f"drop_iceberg_ref({name}) on {table_path} lost a metadata "
+            f"commit race at v{v + 1}; rerun to rebase")
+    _write_hint(mdir, v + 1)
+    return v + 1
 
 
 def expire_iceberg_snapshots(spark: SparkSession, table_path: str,
@@ -1648,10 +1774,16 @@ def expire_iceberg_snapshots(spark: SparkSession, table_path: str,
     snaps = sorted(meta.get("snapshots") or [],
                    key=lambda s: s.get("timestamp-ms") or 0)
     cur_id = meta.get("current-snapshot-id")
+    # spec: snapshots referenced by a branch/tag ref are retained — a
+    # tag is exactly a promise that its snapshot outlives expiration
+    ref_pinned = {int(r["snapshot-id"])
+                  for r in (meta.get("refs") or {}).values()}
 
     survivors = []
     for i, sn in enumerate(snaps):
         keep = sn.get("snapshot-id") == cur_id
+        if int(sn.get("snapshot-id")) in ref_pinned:
+            keep = True
         if keep_last is not None and i >= len(snaps) - keep_last:
             keep = True
         if older_than_ms is not None and \
@@ -1974,7 +2106,7 @@ def compact_iceberg_table(spark: SparkSession, table_path: str,
         "snapshot-id": snap_id, "timestamp-ms": ts,
         "sequence-number": new_seq, "manifest-list": mlpath,
         "summary": {"operation": "replace"}}]
-    new_meta["current-snapshot-id"] = snap_id
+    _advance_head(new_meta, snap_id)
     new_meta["last-updated-ms"] = ts
     new_meta["last-sequence-number"] = new_seq
     if not _atomic_create(spark, os.path.join(mdir,
@@ -2107,7 +2239,7 @@ def _commit_delete_snapshot(spark: SparkSession, table_path: str,
         "snapshot-id": new_snap, "timestamp-ms": ts,
         "sequence-number": new_seq,
         "manifest-list": mlpath, "summary": {"operation": op_summary}}]
-    meta["current-snapshot-id"] = new_snap
+    _advance_head(meta, new_snap)
     meta["last-updated-ms"] = ts
     meta["last-sequence-number"] = new_seq
     v = max(int(m.group(1)) for n in _list_names(spark, mdir)

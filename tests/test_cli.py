@@ -7,6 +7,8 @@ import json
 import subprocess
 import sys
 
+import pytest
+
 
 def test_cli_unload(spark, tmp_path):
     root = str(tmp_path / "src")
@@ -364,3 +366,43 @@ def test_cli_iceberg_append(spark, tmp_path):
     got = sorted(r.k for r in
                  read_iceberg_snapshot(spark, f"{root}/tbl").collect())
     assert got == list(range(14))
+
+
+def test_cli_iceberg_set_and_drop_ref(spark, tmp_path):
+    """iceberg-set-ref / iceberg-drop-ref subprocess e2e: a tag pinned at
+    the first snapshot resolves through the reader, then drops."""
+    import os
+
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        read_iceberg_snapshot,
+        write_iceberg_table,
+    )
+
+    root = str(tmp_path / "root")
+    a = spark.range(0, 9).selectExpr("id AS k", "CAST(id AS double) AS v")
+    b = spark.range(9, 14).selectExpr("id AS k", "CAST(id AS double) AS v")
+    write_iceberg_table(spark, [a, b], f"{root}/tbl")
+    env = {"SPARK_GRAFT_CPUS": "4", "PATH": "/usr/bin:/bin",
+           "HOME": "/root", "JAVA_HOME": os.environ.get("JAVA_HOME", "")}
+    proc = subprocess.run(
+        [sys.executable, "-m", "databricks_import_pyspark_scripts_spark.cli",
+         "--source-root", root, "--table", "tbl",
+         "--maintenance", "iceberg-set-ref", "--ref-name", "v1",
+         "--ref-type", "tag", "--ref-snapshot-id", "1000"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rep = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert rep["ref"] == "v1" and rep["metadata_version"] == 3
+    got = sorted(r.k for r in read_iceberg_snapshot(
+        spark, f"{root}/tbl", ref="v1").collect())
+    assert got == list(range(9))
+    proc = subprocess.run(
+        [sys.executable, "-m", "databricks_import_pyspark_scripts_spark.cli",
+         "--source-root", root, "--table", "tbl",
+         "--maintenance", "iceberg-drop-ref", "--ref-name", "v1"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    with pytest.raises(FileNotFoundError):
+        read_iceberg_snapshot(spark, f"{root}/tbl", ref="v1")

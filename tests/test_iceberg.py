@@ -1788,3 +1788,86 @@ def test_expire_after_compaction_reclaims_small_files(spark, tmp_path):
     meta = read_table_metadata(spark, t)
     for f in live_data_files(spark, t, meta):
         assert os.path.exists(f["file_path"])
+
+
+# ---------------------------------------------------------------------------
+# branch/tag refs
+
+def test_refs_tag_branch_time_travel_and_main(spark, ice):
+    """set_iceberg_ref + read by ref: a tag pins the first snapshot; the
+    implicit 'main' branch tracks the head across an append (both before
+    refs metadata exists — the spec fallback — and after, via
+    _advance_head keeping refs.main in lockstep)."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        append_iceberg,
+        set_iceberg_ref,
+    )
+
+    # main fallback on a table with NO refs metadata at all
+    assert _ks(read_iceberg_snapshot(spark, ice, ref="main")) == \
+        list(range(40))
+    set_iceberg_ref(spark, ice, "v1", ref_type="tag", snapshot_id=1000)
+    set_iceberg_ref(spark, ice, "main", ref_type="branch")  # pin explicit
+    assert _ks(read_iceberg_snapshot(spark, ice, ref="v1")) == \
+        list(range(30))
+    c = spark.range(40, 45).selectExpr("id AS k", "CAST(id AS double) AS v")
+    append_iceberg(spark, c, ice)
+    # explicit main ref advanced with the commit; the tag did not move
+    assert _ks(read_iceberg_snapshot(spark, ice, ref="main")) == \
+        list(range(45))
+    assert _ks(read_iceberg_snapshot(spark, ice, ref="v1")) == \
+        list(range(30))
+    with pytest.raises(ValueError, match="not both"):
+        read_iceberg_snapshot(spark, ice, snapshot_id=1000, ref="v1")
+    with pytest.raises(FileNotFoundError, match="nope"):
+        read_iceberg_snapshot(spark, ice, ref="nope")
+
+
+def test_refs_validation_and_drop(spark, ice):
+    """Ref verbs validate their inputs: unknown snapshot, bad type, main
+    as a tag, dropping main, dropping an unknown ref all refuse; a
+    dropped tag stops resolving."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        drop_iceberg_ref,
+        set_iceberg_ref,
+    )
+
+    with pytest.raises(FileNotFoundError):
+        set_iceberg_ref(spark, ice, "ghost", snapshot_id=99999)
+    with pytest.raises(ValueError, match="tag|branch"):
+        set_iceberg_ref(spark, ice, "x", ref_type="label")
+    with pytest.raises(ValueError, match="BRANCH"):
+        set_iceberg_ref(spark, ice, "main", ref_type="tag")
+    with pytest.raises(ValueError, match="default branch"):
+        drop_iceberg_ref(spark, ice, "main")
+    with pytest.raises(FileNotFoundError):
+        drop_iceberg_ref(spark, ice, "absent")
+    set_iceberg_ref(spark, ice, "keep", ref_type="tag", snapshot_id=1000)
+    drop_iceberg_ref(spark, ice, "keep")
+    with pytest.raises(FileNotFoundError):
+        read_iceberg_snapshot(spark, ice, ref="keep")
+
+
+def test_expire_retains_ref_pinned_snapshots(spark, tmp_path):
+    """expireSnapshots keeps every snapshot a ref points at (spec: refs
+    are retention roots), and dropping the ref makes it expirable."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        drop_iceberg_ref,
+        expire_iceberg_snapshots,
+        set_iceberg_ref,
+    )
+
+    t = str(tmp_path / "refexp")
+    commits = [spark.range(i * 10, (i + 1) * 10).selectExpr(
+        "id AS k", "CAST(id AS double) AS v") for i in range(3)]
+    write_iceberg_table(spark, commits, t)           # snaps 1000..1002
+    set_iceberg_ref(spark, t, "pin", ref_type="tag", snapshot_id=1000)
+    rep = expire_iceberg_snapshots(spark, t, keep_last=1)
+    assert rep["expired"] == [1001]                  # 1000 pinned, 1002 head
+    assert _ks(read_iceberg_snapshot(spark, t, ref="pin")) == \
+        list(range(10))
+    drop_iceberg_ref(spark, t, "pin")
+    rep2 = expire_iceberg_snapshots(spark, t, keep_last=1)
+    assert rep2["expired"] == [1000]
+    with pytest.raises(FileNotFoundError):
+        read_iceberg_snapshot(spark, t, snapshot_id=1000)
