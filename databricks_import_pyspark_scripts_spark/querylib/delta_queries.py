@@ -1130,3 +1130,88 @@ def delta_restore_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("version", F.lit(v).cast("int")))
     return parts[0].unionByName(parts[1]).select(
         "version", "event_type", "n", "sum_value")
+
+
+_CL_DEAD = "event_id % 7 = 2"           # DV-deleted in the SOURCE pre-clone
+_CL_NEW = "event_id % 3 = 2"            # appended to the CLONE only
+
+
+def _staged_clone_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Source table (two appends + a DV delete) and its SHALLOW clone,
+    which then diverges: an append lands on the clone only. Staging
+    asserts the zero-copy property (no parquet under the clone before
+    its own append) so a clone that silently copies fails the gate."""
+    from ..sinks.delta_writer import (
+        append_delta,
+        clone_delta,
+        create_delta_table,
+        delete_where,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    src = os.path.join(tempfile.gettempdir(),
+                       f"spark_graft_delta_clone_src_{tag}_v1")
+    dst = os.path.join(tempfile.gettempdir(),
+                       f"spark_graft_delta_clone_dst_{tag}_v1")
+    marker = os.path.join(dst, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
+        e = (load_table(spark, sf_dir, "events")
+             .select("event_id", "event_type", "value"))
+        create_delta_table(spark, e.filter(F.expr(_V0_PRED)), src,
+                           ts_ms=_BASE_TS_MS)
+        append_delta(spark, e.filter(F.expr(_V1_PRED)), src,
+                     ts_ms=_BASE_TS_MS + 1000)
+        delete_where(spark, src, _CL_DEAD, ts_ms=_BASE_TS_MS + 2000,
+                     use_dv=True)
+        clone_delta(spark, src, dst, ts_ms=_BASE_TS_MS + 3000)
+        n_parquet = sum(f.endswith(".parquet")
+                        for _, _, fs in os.walk(dst) for f in fs)
+        assert n_parquet == 0, "shallow clone moved data"
+        append_delta(spark, e.filter(F.expr(_CL_NEW)), dst,
+                     ts_ms=_BASE_TS_MS + 4000)
+        open(marker, "w").close()
+    return src, dst
+
+
+@register(
+    "delta_clone_agg",
+    f"""
+    SELECT 'clone' AS tbl, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    WHERE ((({_V0_PRED}) OR ({_V1_PRED})) AND NOT ({_CL_DEAD}))
+       OR ({_CL_NEW})
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'source' AS tbl, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    WHERE (({_V0_PRED}) OR ({_V1_PRED})) AND NOT ({_CL_DEAD})
+    GROUP BY event_type
+    """,
+    doc="SHALLOW CLONE round-trip (sinks/delta_writer.py clone_delta): "
+        "the clone's commit 0 references the source's files by absolute "
+        "url-encoded path — zero data movement, asserted at staging — "
+        "with the source's 'u' deletion vectors rewritten to absolute "
+        "'p' descriptors (the DV-deleted rows stay dead through the "
+        "clone); an append then lands on the CLONE only, and both "
+        "tables' final states are aggregated — divergence isolation is "
+        "exactly what a clone exists for. Oracle re-derives both states "
+        "from the parquet source.")
+def delta_clone_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.delta_log import read_delta_snapshot as snap
+
+    src, dst = _staged_clone_pair(spark, sf_dir)
+
+    def agg(path: str, tbl: str) -> DataFrame:
+        return (snap(spark, path)
+                .groupBy("event_type")
+                .agg(F.count("*").alias("n"),
+                     F.round(F.sum("value"), 4).alias("sum_value"))
+                .select(F.lit(tbl).alias("tbl"), "event_type", "n",
+                        "sum_value"))
+
+    return agg(dst, "clone").unionAll(agg(src, "source"))

@@ -1652,3 +1652,116 @@ def optimize_delta(spark: SparkSession, table_path: str,
     ]
     return _strict_commit(spark, table_path, rep.version + 1, actions,
                           "optimize")
+
+
+# ---------------------------------------------------------------------------
+# CLONE
+
+def clone_delta(spark: SparkSession, src_table: str, dst_table: str,
+                version: int | None = None, shallow: bool = True,
+                ts_ms: int | None = None) -> None:
+    """``CREATE TABLE <dst> [SHALLOW|DEEP] CLONE <src> [VERSION AS OF v]``:
+    a NEW Delta table whose commit 0 reproduces the source's state at
+    ``version`` (default: latest).
+
+    * SHALLOW: zero data movement — the clone's add actions reference the
+      source's live data files by ABSOLUTE url-encoded path (the protocol
+      form ``_resolve`` reads back), and ``u``-typed deletion-vector
+      descriptors rewrite to absolute ``p`` paths so the bitmaps still
+      resolve from the clone's root. Writes to the clone stage new files
+      under the CLONE's directory; the source never changes, and the
+      clone's vacuum cannot reach outside its own directory — but a
+      VACUUM ON THE SOURCE can delete files the clone still references
+      (the documented Databricks shallow-clone hazard, unchanged here).
+    * DEEP (``shallow=False``): data files (and referenced DV files) are
+      copied under the clone, add paths stay relative — a fully
+      independent table, byte-identical content.
+
+    The clone gets a fresh metadata id (it is a different table for
+    appId/txn purposes) but keeps the source's schema, partition columns,
+    configuration, and protocol verbatim — including reader features like
+    deletionVectors and columnMapping, which this reader resolves on the
+    cloned layout. Time travel on the clone starts at ITS version 0; the
+    source's history is not carried (Delta parity). At 100 TB a shallow
+    clone is exactly why one uses it: a metadata-only commit regardless
+    of table size."""
+    import shutil
+
+    ts = _now_ms(ts_ms)
+    rep = replay_log(spark, src_table, version=version)
+    log = f"{dst_table.rstrip('/')}/{LOG_DIR}"
+    if _exists(spark, f"{log}/{0:020d}.json"):
+        raise FileExistsError(f"{dst_table} is already a Delta table")
+    if not shallow and not (_is_local(src_table) and _is_local(dst_table)):
+        raise NotImplementedError("deep clone copies files via local FS")
+
+    from ..sources.delta_log import _resolve
+
+    src_root = _strip_scheme(src_table).rstrip("/")
+    dst_root = _strip_scheme(dst_table).rstrip("/")
+    adds: list[dict] = []
+    for rel, a in rep.files.items():
+        a = dict(a)
+        # action paths are URL-ENCODED (relative or absolute): resolve
+        # with the reader's own decoder, then re-encode what we store
+        resolved = _resolve(src_root, rel)
+        if shallow:
+            a["path"] = urllib.parse.quote(resolved, safe="/")
+            dv = a.get("deletionVector")
+            if dv is not None and dv.get("storageType") == "u":
+                from ..sources import delta_dv
+
+                a["deletionVector"] = {
+                    **dv, "storageType": "p",
+                    "pathOrInlineDv": os.path.join(
+                        src_root,
+                        delta_dv.dv_relative_path(dv["pathOrInlineDv"]))}
+        else:
+            rel_dec = os.path.relpath(resolved, src_root)
+            if rel_dec.startswith(".."):
+                # source itself shallow-cloned from elsewhere: flatten
+                # the foreign file under the clone root by basename
+                rel_dec = os.path.basename(resolved)
+            dst_file = os.path.join(dst_root, rel_dec)
+            os.makedirs(os.path.dirname(dst_file), exist_ok=True)
+            shutil.copyfile(resolved, dst_file)
+            a["path"] = urllib.parse.quote(rel_dec, safe="/")
+            dv = a.get("deletionVector")
+            if dv is not None:
+                from ..sources import delta_dv
+
+                if dv.get("storageType") == "u":
+                    dvrel = delta_dv.dv_relative_path(dv["pathOrInlineDv"])
+                    dst_dv = os.path.join(dst_root, dvrel)
+                    if not os.path.exists(dst_dv):
+                        os.makedirs(os.path.dirname(dst_dv), exist_ok=True)
+                        shutil.copyfile(os.path.join(src_root, dvrel),
+                                        dst_dv)
+                elif dv.get("storageType") == "p":
+                    # a deep clone owns ALL its bytes: copy the foreign
+                    # DV file in and re-point the descriptor
+                    dst_dv = os.path.join(
+                        dst_root, os.path.basename(dv["pathOrInlineDv"]))
+                    if not os.path.exists(dst_dv):
+                        shutil.copyfile(dv["pathOrInlineDv"], dst_dv)
+                    a["deletionVector"] = {**dv, "pathOrInlineDv": dst_dv}
+                # 'i' descriptors are inline: nothing to copy
+        adds.append(a)
+
+    meta = dict(rep.metadata)
+    meta["id"] = str(uuid.uuid4())
+    meta["createdTime"] = ts
+    actions = [
+        {"commitInfo": {"timestamp": ts, "operation": "CLONE",
+                        "operationParameters": {
+                            "source": src_table,
+                            "sourceVersion": rep.version,
+                            "isShallow": shallow}}},
+        {"protocol": dict(rep.protocol)},
+        {"metaData": meta},
+        *({"add": {**a, "dataChange": True}} for a in adds),
+    ]
+    if not _atomic_create(spark, f"{log}/{0:020d}.json",
+                          _commit_payload(actions)):
+        raise ConcurrentWriteError(
+            f"another writer created {dst_table} concurrently")

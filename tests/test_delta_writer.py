@@ -1609,3 +1609,86 @@ def test_restore_rolls_back_and_forward(spark, table):
     os.unlink(os.path.join(table, _up.unquote(only_v1)))
     with pytest.raises(FileNotFoundError, match="RESTORE"):
         restore_delta(spark, table, 1, ts_ms=7000)
+
+
+# ---------------------------------------------------------------------------
+# CLONE
+
+def test_shallow_clone_reads_and_isolates(spark, table, tmp_path):
+    """SHALLOW CLONE: commit 0 references the source's files by absolute
+    path (zero data movement); reads match the source state; writes to
+    the clone (append + rewrite-DELETE) never touch the source, and the
+    clone's vacuum cannot reach the source's files."""
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        clone_delta,
+    )
+
+    dst = str(tmp_path / "cl")
+    clone_delta(spark, table, dst, ts_ms=5000)
+    assert _ks(read_delta_snapshot(spark, dst)) == list(range(100))
+    # no data files under the clone: metadata-only
+    data_files = [p for p, _, fs in os.walk(dst) for f in fs
+                  if f.endswith(".parquet") for p in [p]]
+    assert data_files == []
+    append_delta(spark, _frame(spark, 100, 110), dst, ts_ms=6000)
+    delete_where(spark, dst, "k < 5", ts_ms=7000)
+    assert _ks(read_delta_snapshot(spark, dst)) == list(range(5, 110))
+    # source untouched by all of it
+    assert _ks(read_delta_snapshot(spark, table)) == list(range(100))
+    # clone vacuum stays inside the clone dir
+    src_files_before = {f for _, _, fs in os.walk(table) for f in fs}
+    vacuum_delta(spark, dst, retention_ms=0, now_ms=10**15)
+    src_files_after = {f for _, _, fs in os.walk(table) for f in fs}
+    assert src_files_before == src_files_after
+    assert _ks(read_delta_snapshot(spark, dst)) == list(range(5, 110))
+
+
+def test_shallow_clone_rewrites_dv_descriptors(spark, table, tmp_path):
+    """A source file carrying a relative ('u') deletion vector keeps its
+    dead rows dead through the clone: the descriptor is rewritten to an
+    absolute 'p' path that resolves from the clone's root."""
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        clone_delta,
+    )
+
+    delete_where(spark, table, "k % 10 = 3", ts_ms=2000, use_dv=True)
+    dst = str(tmp_path / "cldv")
+    clone_delta(spark, table, dst, ts_ms=5000)
+    rep = replay_log(spark, dst)
+    dvs = [a["deletionVector"] for a in rep.files.values()
+           if a.get("deletionVector")]
+    assert dvs and all(d["storageType"] == "p" for d in dvs)
+    assert _ks(read_delta_snapshot(spark, dst)) == \
+        [k for k in range(100) if k % 10 != 3]
+
+
+def test_clone_at_version_and_refuses_existing(spark, table, tmp_path):
+    """VERSION AS OF clone pins the source's historical state; cloning
+    onto an existing Delta table refuses."""
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        clone_delta,
+    )
+
+    append_delta(spark, _frame(spark, 100, 120), table, ts_ms=2000)
+    dst = str(tmp_path / "clv")
+    clone_delta(spark, table, dst, version=0, ts_ms=5000)
+    assert _ks(read_delta_snapshot(spark, dst)) == list(range(100))
+    with pytest.raises(FileExistsError):
+        clone_delta(spark, table, dst)
+
+
+def test_deep_clone_is_independent(spark, table, tmp_path):
+    """DEEP CLONE copies every byte: deleting the whole source afterwards
+    leaves the clone fully readable, DVs included."""
+    import shutil
+
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        clone_delta,
+    )
+
+    delete_where(spark, table, "k % 10 = 7", ts_ms=2000, use_dv=True)
+    dst = str(tmp_path / "cldeep")
+    clone_delta(spark, table, dst, shallow=False, ts_ms=5000)
+    shutil.rmtree(table)
+    assert _ks(read_delta_snapshot(spark, dst)) == \
+        [k for k in range(100) if k % 10 != 7]
