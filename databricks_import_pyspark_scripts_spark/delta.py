@@ -157,6 +157,10 @@ class DeltaTable:
         return _w.write_classic_checkpoint(self.spark, self.path,
                                            version=version)
 
+    def checkpoint_v2(self, version: int | None = None) -> int:
+        return _w.write_v2_checkpoint(self.spark, self.path,
+                                      version=version)
+
     def vacuum(self, retention_hours: float = 168.0,
                now_ms: int | None = None,
                dry_run: bool = False) -> list[str]:
@@ -186,7 +190,8 @@ class DeltaTable:
         log = os.path.join(_r._strip_scheme(self.path), _r.LOG_DIR)
         names = sorted(os.listdir(log))
         cps = [int(m.group(1)) for n in names
-               if (m := _r._CHECKPOINT_RE.match(n))]
+               if (m := (_r._CHECKPOINT_RE.match(n)
+                         or _r._CHECKPOINT_V2_RE.match(n)))]
         if not cps:
             return []
         cutoff = max(cps)

@@ -1034,34 +1034,18 @@ def update_where(spark: SparkSession, table_path: str, predicate: str,
 # ---------------------------------------------------------------------------
 # checkpoint + vacuum maintenance
 
-def write_classic_checkpoint(spark: SparkSession, table_path: str,
-                             version: int | None = None,
-                             tombstone_retention_ms: int =
-                             7 * 24 * 3600 * 1000,
-                             now_ms: int | None = None) -> int:
-    """Write a classic single-part parquet checkpoint of the state at
-    ``version`` (default: latest) plus the ``_last_checkpoint`` pointer,
-    letting replay skip the JSON prefix (and log-cleanup retire it). One
-    row per action with nullable protocol/metaData/add/remove struct
-    columns — the layout ``_checkpoint_actions`` reads back. ``remove``
-    TOMBSTONES for files deleted within ``tombstone_retention_ms`` are
-    carried as PROTOCOL.md requires: after log-cleanup retires the JSON
-    prefix, vacuum (this repo's or delta-spark's) still sees each
-    removed file's deletionTimestamp instead of falling back to mtime
-    and deleting inside the retention window. Refused on v2Checkpoint
-    tables: their spec requires v2-named checkpoints."""
+def _cp_schema_and_rows(rep, tombstone_retention_ms: int,
+                        now_ms: int | None):
+    """Checkpoint state as (schema, rows): one row per action with
+    nullable protocol/metaData/add/txn/remove struct columns — the layout
+    ``_checkpoint_actions`` reads back. Shared by the classic and v2
+    checkpoint writers (v2 splits the rows between top-level file and
+    sidecar)."""
     from pyspark.sql.types import (
         ArrayType, BooleanType, IntegerType, LongType, MapType, StringType,
         StructField, StructType,
     )
 
-    rep = replay_log(spark, table_path, version)
-    feats = set(rep.protocol.get("readerFeatures") or ()) \
-        | set(rep.protocol.get("writerFeatures") or ())
-    if "v2Checkpoint" in feats:
-        raise DeltaProtocolError(
-            "table uses v2 checkpoints; writing a classic checkpoint would "
-            "violate its checkpoint policy")
     dv_t = StructType([
         StructField("storageType", StringType()),
         StructField("pathOrInlineDv", StringType()),
@@ -1166,19 +1150,13 @@ def write_classic_checkpoint(spark: SparkSession, table_path: str,
             "deletionVector": ({k: dv.get(k) for k in (
                 "storageType", "pathOrInlineDv", "offset", "sizeInBytes",
                 "cardinality")} if dv else None)}})
+    return cp_schema, rows
 
-    log = f"{table_path.rstrip('/')}/{LOG_DIR}"
-    staging = f"{log}/.cp-staging-{uuid.uuid4().hex}"
-    (spark.createDataFrame(rows, cp_schema).repartition(1)
-     .write.mode("overwrite").parquet(staging))
-    part = [r for r in _staged_parquet_files(spark, staging)][0]
-    try:
-        _move_file(spark, f"{staging}/{part}",
-                   f"{log}/{rep.version:020d}.checkpoint.parquet")
-    finally:
-        _rm_tree(spark, staging)
+
+def _write_last_checkpoint(spark: SparkSession, log: str, version: int,
+                           size: int) -> None:
     # the pointer is a hint (replay falls back to listing); plain overwrite
-    ptr = json.dumps({"version": rep.version, "size": len(rows)})
+    ptr = json.dumps({"version": version, "size": size})
     if _is_local(log):
         with open(os.path.join(_strip_scheme(log), "_last_checkpoint"),
                   "w") as f:
@@ -1193,6 +1171,102 @@ def write_classic_checkpoint(spark: SparkSession, table_path: str,
             out.write(bytearray(ptr.encode("utf-8")))
         finally:
             out.close()
+
+
+def _stage_one_parquet(spark: SparkSession, log: str, df, dst: str) -> None:
+    staging = f"{log}/.cp-staging-{uuid.uuid4().hex}"
+    df.repartition(1).write.mode("overwrite").parquet(staging)
+    part = [r for r in _staged_parquet_files(spark, staging)][0]
+    try:
+        _move_file(spark, f"{staging}/{part}", dst)
+    finally:
+        _rm_tree(spark, staging)
+
+
+def write_classic_checkpoint(spark: SparkSession, table_path: str,
+                             version: int | None = None,
+                             tombstone_retention_ms: int =
+                             7 * 24 * 3600 * 1000,
+                             now_ms: int | None = None) -> int:
+    """Write a classic single-part parquet checkpoint of the state at
+    ``version`` (default: latest) plus the ``_last_checkpoint`` pointer,
+    letting replay skip the JSON prefix (and log-cleanup retire it).
+    ``remove`` TOMBSTONES for files deleted within
+    ``tombstone_retention_ms`` are carried as PROTOCOL.md requires: after
+    log-cleanup retires the JSON prefix, vacuum (this repo's or
+    delta-spark's) still sees each removed file's deletionTimestamp
+    instead of falling back to mtime and deleting inside the retention
+    window. Refused on v2Checkpoint tables: their spec requires v2-named
+    checkpoints (``write_v2_checkpoint``)."""
+    rep = replay_log(spark, table_path, version)
+    feats = set(rep.protocol.get("readerFeatures") or ()) \
+        | set(rep.protocol.get("writerFeatures") or ())
+    if "v2Checkpoint" in feats:
+        raise DeltaProtocolError(
+            "table uses v2 checkpoints; writing a classic checkpoint would "
+            "violate its checkpoint policy (use write_v2_checkpoint)")
+    cp_schema, rows = _cp_schema_and_rows(rep, tombstone_retention_ms,
+                                          now_ms)
+    log = f"{table_path.rstrip('/')}/{LOG_DIR}"
+    _stage_one_parquet(spark, log, spark.createDataFrame(rows, cp_schema),
+                       f"{log}/{rep.version:020d}.checkpoint.parquet")
+    _write_last_checkpoint(spark, log, rep.version, len(rows))
+    return rep.version
+
+
+def write_v2_checkpoint(spark: SparkSession, table_path: str,
+                        version: int | None = None,
+                        tombstone_retention_ms: int =
+                        7 * 24 * 3600 * 1000,
+                        now_ms: int | None = None) -> int:
+    """Write a V2 (uuid-named) checkpoint of the state at ``version``:
+    file actions (add + remove tombstones) go to ONE parquet SIDECAR
+    under ``_delta_log/_sidecars/``, and the top-level
+    ``<version>.checkpoint.<uuid>.json`` carries protocol, metaData, txn
+    watermarks, the ``sidecar`` reference, and the spec's
+    ``checkpointMetadata`` marker — exactly the layout
+    ``_checkpoint_actions`` resolves at replay. Requires the
+    ``v2Checkpoint`` table feature (the classic writer covers the rest);
+    the spec reserves uuid-named checkpoints for tables that declare it.
+
+    At 100 TB the sidecar split is the point of v2: the (huge) file
+    action list lives in parquet sidecars readers scan distributed and
+    in parallel, while the tiny top-level file stays a driver-side read.
+    This writer emits one sidecar (single-JVM staging); multi-sidecar
+    sharding is a layout extension, not a protocol change."""
+    rep = replay_log(spark, table_path, version)
+    feats = set(rep.protocol.get("readerFeatures") or ()) \
+        | set(rep.protocol.get("writerFeatures") or ())
+    if "v2Checkpoint" not in feats:
+        raise DeltaProtocolError(
+            "table does not declare the v2Checkpoint feature; write a "
+            "classic checkpoint instead")
+    cp_schema, rows = _cp_schema_and_rows(rep, tombstone_retention_ms,
+                                          now_ms)
+    file_rows = [r for r in rows if r.get("add") or r.get("remove")]
+    top_rows = [r for r in rows if not (r.get("add") or r.get("remove"))]
+
+    log = f"{table_path.rstrip('/')}/{LOG_DIR}"
+    side_name = f"{uuid.uuid4()}.parquet"
+    side_path = f"{log}/_sidecars/{side_name}"
+    _stage_one_parquet(spark, log,
+                       spark.createDataFrame(file_rows, cp_schema),
+                       side_path)
+    side_size = _hadoop_size(spark, side_path)
+
+    actions: list[dict] = [
+        {"checkpointMetadata": {"version": rep.version}}]
+    for r in top_rows:
+        actions.append({k: v for k, v in r.items() if v is not None})
+    actions.append({"sidecar": {"path": side_name,
+                                "sizeInBytes": side_size,
+                                "modificationTime": _now_ms(now_ms)}})
+    top = f"{log}/{rep.version:020d}.checkpoint.{uuid.uuid4()}.json"
+    if not _atomic_create(spark, top, _commit_payload(actions)):
+        raise ConcurrentWriteError(
+            f"v2 checkpoint of {table_path} at {rep.version} lost a "
+            f"create race")
+    _write_last_checkpoint(spark, log, rep.version, len(rows))
     return rep.version
 
 

@@ -1692,3 +1692,51 @@ def test_deep_clone_is_independent(spark, table, tmp_path):
     shutil.rmtree(table)
     assert _ks(read_delta_snapshot(spark, dst)) == \
         [k for k in range(100) if k % 10 != 7]
+
+
+def test_write_v2_checkpoint_roundtrip_and_cleanup(spark, table, tmp_path):
+    """write_v2_checkpoint: uuid-named json top-level (checkpointMetadata
+    + protocol + metaData + sidecar ref) with the file actions in a
+    parquet sidecar; replay resolves it after log cleanup retires the
+    JSON prefix; DV descriptors round-trip through the sidecar; the
+    classic writer refuses on the v2 table and vice versa."""
+    from databricks_import_pyspark_scripts_spark.delta import DeltaTable
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        write_v2_checkpoint,
+    )
+
+    # a fresh table declares no v2Checkpoint: the v2 writer refuses
+    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
+        write_v2_checkpoint(spark, table)
+    delete_where(spark, table, "k % 10 = 3", ts_ms=2000, use_dv=True)
+    # manual protocol upgrade to the v2Checkpoint feature (no public
+    # upgrade verb; checkpointing must not change the protocol itself)
+    rep = replay_log(spark, table)
+    feats_w = sorted({"appendOnly", "invariants", "changeDataFeed",
+                      "deletionVectors", "v2Checkpoint"})
+    up = {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                       "readerFeatures": ["deletionVectors",
+                                          "v2Checkpoint"],
+                       "writerFeatures": feats_w}}
+    log = os.path.join(table, "_delta_log")
+    with open(os.path.join(log, f"{rep.version + 1:020d}.json"), "w") as f:
+        f.write(json.dumps({"commitInfo": {"timestamp": 3000,
+                                           "operation": "UPGRADE"}}) + "\n")
+        f.write(json.dumps(up) + "\n")
+    with pytest.raises(DeltaProtocolError, match="classic"):
+        write_classic_checkpoint(spark, table)
+    cp_v = write_v2_checkpoint(spark, table, now_ms=4000)
+    names = os.listdir(log)
+    assert any(".checkpoint." in n and n.endswith(".json") for n in names)
+    assert os.listdir(os.path.join(log, "_sidecars"))
+    append_delta(spark, _frame(spark, 100, 110), table, ts_ms=5000)
+    # retire the whole JSON prefix below the checkpoint
+    dt = DeltaTable(spark, table)
+    doomed = dt.cleanup_metadata(log_retention_ms=0)
+    assert doomed and all(int(os.path.basename(p)[:20]) < cp_v
+                          for p in doomed)
+    expect = [k for k in range(110) if k % 10 != 3 or k >= 100]
+    assert _ks(read_delta_snapshot(spark, table)) == expect
+    # time travel to the checkpointed version itself still serves
+    assert _ks(read_delta_snapshot(spark, table, version=cp_v)) == \
+        [k for k in range(100) if k % 10 != 3]
