@@ -89,6 +89,9 @@ SUPPORTED_WRITER_FEATURES = {
     # name-mode staging writes the physical layout (_to_physical);
     # id mode still rejects in _check_writable
     "columnMapping",
+    # every commit path stamps the monotonic inCommitTimestamp when the
+    # table config enables it (_stamp_ict), so the invariant holds
+    "inCommitTimestamp",
 }
 
 
@@ -553,6 +556,20 @@ def create_delta_table(spark: SparkSession, df: DataFrame, table_path: str,
         protocol = {"minReaderVersion": 1,
                     "minWriterVersion": (4 if cdf
                                          else 3 if has_cons else 2)}
+    if _ict_enabled({"configuration": conf}):
+        # ICT is a table-features-only writer feature: upgrade the
+        # protocol to v7, listing the legacy-implied features explicitly
+        feats_w = set(protocol.get("writerFeatures") or ())
+        if not feats_w:
+            feats_w = {"appendOnly", "invariants"}
+            mw = protocol["minWriterVersion"]
+            if mw >= 3:
+                feats_w.add("checkConstraints")
+            if mw >= 4:
+                feats_w.add("changeDataFeed")
+        feats_w.add("inCommitTimestamp")
+        protocol = {**protocol, "minWriterVersion": 7,
+                    "writerFeatures": sorted(feats_w)}
     actions = [
         {"commitInfo": {"timestamp": ts, "operation": "CREATE TABLE AS SELECT",
                         "operationParameters": {"partitionBy": part_cols}}},
@@ -565,6 +582,7 @@ def create_delta_table(spark: SparkSession, df: DataFrame, table_path: str,
                       "createdTime": ts}},
         *({"add": {**a, "dataChange": True}} for a in adds),
     ]
+    _stamp_ict(spark, table_path, {"configuration": conf}, actions, 0)
     if not _atomic_create(spark, f"{log}/{0:020d}.json",
                           _commit_payload(actions)):
         raise ConcurrentWriteError(
@@ -675,6 +693,7 @@ def append_delta(spark: SparkSession, df: DataFrame, table_path: str,
     log = f"{table_path.rstrip('/')}/{LOG_DIR}"
     version = rep.version + 1
     for _ in range(max_retries + 1):
+        _stamp_ict(spark, table_path, rep.metadata, actions, version)
         if _atomic_create(spark, f"{log}/{version:020d}.json",
                           _commit_payload(actions)):
             return version
@@ -708,11 +727,56 @@ def append_delta(spark: SparkSession, df: DataFrame, table_path: str,
         f"append to {table_path} lost {max_retries + 1} commit races")
 
 
+def _ict_enabled(metadata: dict | None) -> bool:
+    return str(((metadata or {}).get("configuration") or {}).get(
+        "delta.enableInCommitTimestamps", "")).lower() == "true"
+
+
+def _stamp_ict(spark: SparkSession, table_path: str,
+               metadata: dict | None, actions: list[dict],
+               version: int) -> None:
+    """When ``delta.enableInCommitTimestamps`` is on, stamp the commit's
+    commitInfo with the spec's MONOTONIC ``inCommitTimestamp``:
+    max(this commit's wall timestamp, predecessor's ICT + 1). The
+    predecessor's value is one small commit-file read (version-1); a
+    cleanup-retired predecessor falls back to the wall clock — the
+    reader's per-history monotonic adjustment covers that edge the same
+    way it covers pre-ICT history."""
+    if not _ict_enabled(metadata):
+        return
+    ci = next((a["commitInfo"] for a in actions if "commitInfo" in a),
+              None)
+    if ci is None:
+        return
+    from ..sources.delta_log import _read_bytes
+
+    prev = -1
+    if version > 0:
+        log = f"{table_path.rstrip('/')}/{LOG_DIR}"
+        try:
+            raw = _read_bytes(spark, f"{log}/{version - 1:020d}.json")
+            for line in raw.decode("utf-8").splitlines():
+                if line.strip():
+                    a = json.loads(line)
+                    if "commitInfo" in a:
+                        p = a["commitInfo"]
+                        prev = int(p.get("inCommitTimestamp",
+                                         p.get("timestamp", -1)))
+                        break
+        except FileNotFoundError:
+            pass
+    ci["inCommitTimestamp"] = max(int(ci.get("timestamp", 0)), prev + 1)
+
+
 def _strict_commit(spark: SparkSession, table_path: str, version: int,
-                   actions: list[dict], op: str) -> int:
+                   actions: list[dict], op: str,
+                   metadata: dict | None = None) -> int:
     """Commit ``actions`` at exactly ``version`` — read-dependent ops may
     not rebase, so ANY intervening commit aborts with
-    ``ConcurrentWriteError`` (staged files are left for vacuum)."""
+    ``ConcurrentWriteError`` (staged files are left for vacuum).
+    ``metadata`` (the replayed table metadata) enables the in-commit-
+    timestamp stamp when the table declares it."""
+    _stamp_ict(spark, table_path, metadata, actions, version)
     log = f"{table_path.rstrip('/')}/{LOG_DIR}"
     if not _atomic_create(spark, f"{log}/{version:020d}.json",
                           _commit_payload(actions)):
@@ -747,7 +811,7 @@ def overwrite_delta(spark: SparkSession, df: DataFrame, table_path: str,
           for a in rep.files.values()),
     ]
     return _strict_commit(spark, table_path, rep.version + 1, actions,
-                          "overwrite")
+                          "overwrite", metadata=rep.metadata)
 
 
 def _rewrite_op(spark: SparkSession, table_path: str, predicate: str,
@@ -791,7 +855,8 @@ def _rewrite_op(spark: SparkSession, table_path: str, predicate: str,
         cdc = _stage_files(spark, cdc_df, table_path, rep.partition_columns,
                            ts, subdir="_change_data", rep=rep)
         actions += [{"cdc": {**c, "dataChange": False}} for c in cdc]
-    return _strict_commit(spark, table_path, rep.version + 1, actions, op)
+    return _strict_commit(spark, table_path, rep.version + 1, actions, op,
+                          metadata=rep.metadata)
 
 
 def delete_where(spark: SparkSession, table_path: str, predicate: str,
@@ -994,7 +1059,7 @@ def _dv_row_op(spark: SparkSession, table_path: str, predicate: str,
                            subdir="_change_data", rep=rep)
         actions += [{"cdc": {**c, "dataChange": False}} for c in cdc]
     return _strict_commit(spark, table_path, rep.version + 1, actions,
-                          op)
+                          op, metadata=rep.metadata)
 
 
 def update_where(spark: SparkSession, table_path: str, predicate: str,
@@ -1578,7 +1643,7 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
                            ts, subdir="_change_data", rep=rep)
         actions += [{"cdc": {**c, "dataChange": False}} for c in cdc]
     return _strict_commit(spark, table_path, rep.version + 1, actions,
-                          "merge")
+                          "merge", metadata=rep.metadata)
 
 
 def restore_delta(spark: SparkSession, table_path: str, version: int,
@@ -1632,7 +1697,7 @@ def restore_delta(spark: SparkSession, table_path: str, version: int,
     if len(actions) == 1:
         return rep.version                   # states identical: no-op
     return _strict_commit(spark, table_path, rep.version + 1, actions,
-                          "restore")
+                          "restore", metadata=rep.metadata)
 
 
 # ---------------------------------------------------------------------------
@@ -1725,7 +1790,7 @@ def optimize_delta(spark: SparkSession, table_path: str,
           for a in targets),
     ]
     return _strict_commit(spark, table_path, rep.version + 1, actions,
-                          "optimize")
+                          "optimize", metadata=rep.metadata)
 
 
 # ---------------------------------------------------------------------------
@@ -1835,6 +1900,7 @@ def clone_delta(spark: SparkSession, src_table: str, dst_table: str,
         {"metaData": meta},
         *({"add": {**a, "dataChange": True}} for a in adds),
     ]
+    _stamp_ict(spark, dst_table, meta, actions, 0)
     if not _atomic_create(spark, f"{log}/{0:020d}.json",
                           _commit_payload(actions)):
         raise ConcurrentWriteError(

@@ -1740,3 +1740,40 @@ def test_write_v2_checkpoint_roundtrip_and_cleanup(spark, table, tmp_path):
     # time travel to the checkpointed version itself still serves
     assert _ks(read_delta_snapshot(spark, table, version=cp_v)) == \
         [k for k in range(100) if k % 10 != 3]
+
+
+def test_in_commit_timestamps_monotonic_and_travel(spark, tmp_path):
+    """delta.enableInCommitTimestamps: every commit path stamps a strictly
+    increasing commitInfo.inCommitTimestamp — even when the wall clock
+    REGRESSES between writers — the protocol declares the v7 feature,
+    and timestamp travel resolves through the ICT clock."""
+    from databricks_import_pyspark_scripts_spark.sources.delta_log import (
+        read_delta_snapshot_at_timestamp,
+        resolve_version_at_timestamp,
+    )
+
+    t = str(tmp_path / "ict")
+    create_delta_table(
+        spark, _frame(spark, 0, 20), t, ts_ms=1000,
+        configuration={"delta.enableInCommitTimestamps": "true"})
+    rep = replay_log(spark, t)
+    assert rep.protocol["minWriterVersion"] == 7
+    assert "inCommitTimestamp" in rep.protocol["writerFeatures"]
+    # wall clock regression: the append claims ts=500 < create's 1000
+    append_delta(spark, _frame(spark, 20, 30), t, ts_ms=500)
+    delete_where(spark, t, "k < 5", ts_ms=2000)
+    log = os.path.join(t, "_delta_log")
+    icts = []
+    for v in range(3):
+        for line in open(os.path.join(log, f"{v:020d}.json")):
+            a = json.loads(line)
+            if "commitInfo" in a:
+                icts.append(a["commitInfo"]["inCommitTimestamp"])
+                break
+    assert icts == [1000, 1001, 2000]          # regressed clock bumped
+    # ICT is the time-travel clock: ts=1001 resolves to the append
+    assert resolve_version_at_timestamp(spark, t, 1001) == 1
+    got = sorted(r.k for r in read_delta_snapshot_at_timestamp(
+        spark, t, 1001).select("k").collect())
+    assert got == list(range(30))
+    assert _ks(read_delta_snapshot(spark, t)) == list(range(5, 30))
