@@ -1215,3 +1215,32 @@ def delta_clone_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "sum_value"))
 
     return agg(dst, "clone").unionAll(agg(src, "source"))
+
+
+@register(
+    "delta_history_feed",
+    f"""
+    SELECT * FROM (VALUES
+        (0, {_BASE_TS_MS}, 'CREATE TABLE AS SELECT'),
+        (1, {_BASE_TS_MS + 1000}, 'WRITE'),
+        (2, {_BASE_TS_MS + 2000}, 'DELETE'),
+        (3, {_BASE_TS_MS + 3000}, 'UPDATE'),
+        (4, {_BASE_TS_MS + 4000}, 'MERGE')
+    ) AS t(version, ts_ms, operation)
+    """,
+    doc="DESCRIBE HISTORY (sources/delta_log.py delta_history) over the "
+        "writer-staged table: the five commits' versions, wall "
+        "timestamps and operation names exactly as the writer stamped "
+        "them — the audit surface of a production table. The oracle is "
+        "the staging recipe's literal expectation (a VALUES table): the "
+        "gate attests the history API's stability, not a data "
+        "transformation.")
+def delta_history_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.delta_log import delta_history
+
+    path = _writer_staged_table(spark, sf_dir)
+    return (delta_history(spark, path)
+            .select(F.col("version").cast("int").alias("version"),
+                    F.col("timestamp_ms").alias("ts_ms"),
+                    "operation")
+            .orderBy("version"))

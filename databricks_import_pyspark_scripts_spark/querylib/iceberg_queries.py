@@ -695,3 +695,34 @@ def iceberg_ref_read_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "sum_value"))
 
     return agg("pre-growth").unionAll(agg("main"))
+
+
+@register(
+    "iceberg_files_meta_agg",
+    f"""
+    SELECT 0 AS snap, COUNT(*) AS n_rows
+    FROM events WHERE {_S0_PRED}
+    UNION ALL
+    SELECT 1 AS snap, COUNT(*) AS n_rows
+    FROM events WHERE {_S0_PRED} OR {_S1_PRED}
+    """,
+    doc="The FILES metadata table (sources/iceberg.py "
+        "iceberg_metadata_table): per-snapshot SUM(record_count) over "
+        "the live data files — derived entirely from manifest metadata, "
+        "ZERO data-file reads — must equal the oracle's row counts of "
+        "the same states. Attests manifest record_count stats, live-set "
+        "resolution per snapshot, and the metadata-table surface an "
+        "operator audits a 100 TB table with.")
+def iceberg_files_meta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.iceberg import iceberg_metadata_table
+
+    path = _staged_iceberg(spark, sf_dir)
+
+    def agg(sid: int, snap: int) -> DataFrame:
+        return (iceberg_metadata_table(spark, path, "files",
+                                       snapshot_id=sid)
+                .agg(F.sum("record_count").alias("n_rows"))
+                .select(F.lit(snap).alias("snap"),
+                        F.col("n_rows").cast("long").alias("n_rows")))
+
+    return agg(_SNAP0, 0).unionAll(agg(_SNAP1, 1))

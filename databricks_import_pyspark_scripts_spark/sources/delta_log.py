@@ -1271,3 +1271,90 @@ def delta_tail(spark: SparkSession, table_path: str,
         return None, last_version
     return (read_delta_changes(spark, table_path, last_version, current),
             current)
+
+
+# ---------------------------------------------------------------------------
+# introspection (DESCRIBE HISTORY / DESCRIBE DETAIL)
+
+def delta_history(spark: SparkSession, table_path: str) -> DataFrame:
+    """``DESCRIBE HISTORY``: one row per commit still in the log, newest
+    first — version, the commitInfo's wall timestamp and (when the table
+    stamps them) monotonic inCommitTimestamp, operation name, and the
+    operationParameters map (stringified values, like Delta's own
+    history). Versions whose JSON was retired by log cleanup no longer
+    appear (their state lives only in the checkpoint) — Delta parity.
+    Driver-side metadata read over the few-MB log; the result is
+    commit-count-bounded, never data-bounded."""
+    from pyspark.sql.types import (
+        LongType, MapType, StringType, StructField, StructType,
+    )
+
+    log = os.path.join(table_path, LOG_DIR)
+    rows = []
+    for v in list_delta_versions(spark, table_path):
+        path = os.path.join(log, f"{v:020d}.json")
+        ci: dict = {}
+        for line in _read_bytes(spark, path).decode("utf-8").splitlines():
+            if line.strip():
+                a = json.loads(line)
+                if "commitInfo" in a:
+                    ci = a["commitInfo"]
+                    break
+        params = {k: (val if isinstance(val, str) else json.dumps(val))
+                  for k, val in (ci.get("operationParameters")
+                                 or {}).items()}
+        rows.append((v, ci.get("timestamp"), ci.get("inCommitTimestamp"),
+                     ci.get("operation"), params))
+    schema = StructType([
+        StructField("version", LongType(), False),
+        StructField("timestamp_ms", LongType()),
+        StructField("in_commit_timestamp_ms", LongType()),
+        StructField("operation", StringType()),
+        StructField("operation_parameters",
+                    MapType(StringType(), StringType())),
+    ])
+    return spark.createDataFrame(rows, schema).orderBy(
+        F.col("version").desc())
+
+
+def delta_table_detail(spark: SparkSession, table_path: str) -> DataFrame:
+    """``DESCRIBE DETAIL``: a one-row DataFrame of the table's physical
+    summary — id, format, createdTime, partition columns, live file
+    count and total bytes, configuration, protocol versions and feature
+    lists. All log metadata: no data files are opened."""
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, LongType, MapType, StringType, StructField,
+        StructType,
+    )
+
+    rep = replay_log(spark, table_path)
+    md = rep.metadata
+    row = (
+        md.get("id"),
+        (md.get("format") or {}).get("provider", "parquet"),
+        md.get("createdTime"),
+        rep.version,
+        md.get("partitionColumns") or [],
+        len(rep.files),
+        sum(int(a.get("size") or 0) for a in rep.files.values()),
+        {k: str(v) for k, v in (md.get("configuration") or {}).items()},
+        int(rep.protocol.get("minReaderVersion", 1)),
+        int(rep.protocol.get("minWriterVersion", 2)),
+        sorted(rep.protocol.get("readerFeatures") or []),
+        sorted(rep.protocol.get("writerFeatures") or []),
+    )
+    schema = StructType([
+        StructField("id", StringType()),
+        StructField("format", StringType()),
+        StructField("created_time_ms", LongType()),
+        StructField("version", LongType()),
+        StructField("partition_columns", ArrayType(StringType())),
+        StructField("num_files", LongType()),
+        StructField("size_in_bytes", LongType()),
+        StructField("configuration", MapType(StringType(), StringType())),
+        StructField("min_reader_version", IntegerType()),
+        StructField("min_writer_version", IntegerType()),
+        StructField("reader_features", ArrayType(StringType())),
+        StructField("writer_features", ArrayType(StringType())),
+    ])
+    return spark.createDataFrame([row], schema)

@@ -2553,3 +2553,133 @@ def iceberg_incremental_ingest(spark: SparkSession, table_path: str,
     apply_fn(df, last, current)
     write_ingest_mark(spark, state_path, current)
     return current
+
+
+# ---------------------------------------------------------------------------
+# metadata tables (SELECT * FROM tbl.snapshots / .files / .refs / ...)
+
+def iceberg_metadata_table(spark: SparkSession, table_path: str,
+                           kind: str,
+                           snapshot_id: int | None = None) -> DataFrame:
+    """Iceberg's queryable metadata tables as DataFrames — the
+    ``tbl.snapshots`` / ``tbl.history`` / ``tbl.refs`` / ``tbl.files`` /
+    ``tbl.manifests`` / ``tbl.partitions`` surfaces an operator uses to
+    audit a table without scanning it. All driver-side METADATA reads
+    (the same manifest decode the snapshot scan plans with, parallel
+    above the threshold); row counts are file/snapshot-bounded, never
+    data-bounded — exactly why these tables stay cheap at 100 TB.
+    ``files``/``manifests``/``partitions`` accept ``snapshot_id``
+    (default: current)."""
+    from pyspark.sql.types import (
+        ArrayType, BooleanType, IntegerType, LongType, MapType, StringType,
+        StructField, StructType,
+    )
+
+    meta = read_table_metadata(spark, table_path)
+    root = iceberg_table_root(table_path, meta)
+    cur = meta.get("current-snapshot-id")
+
+    if kind == "snapshots":
+        schema = StructType([
+            StructField("snapshot_id", LongType(), False),
+            StructField("timestamp_ms", LongType()),
+            StructField("sequence_number", LongType()),
+            StructField("operation", StringType()),
+            StructField("manifest_list", StringType()),
+            StructField("is_current", BooleanType()),
+        ])
+        rows = [(int(s["snapshot-id"]), s.get("timestamp-ms"),
+                 s.get("sequence-number"),
+                 (s.get("summary") or {}).get("operation"),
+                 s.get("manifest-list"),
+                 s.get("snapshot-id") == cur)
+                for s in sorted(meta.get("snapshots") or [],
+                                key=lambda s: s.get("timestamp-ms") or 0)]
+        return spark.createDataFrame(rows, schema)
+
+    if kind == "history":
+        schema = StructType([
+            StructField("made_current_at_ms", LongType()),
+            StructField("snapshot_id", LongType(), False),
+            StructField("is_current_ancestor", BooleanType()),
+        ])
+        rows = [(s.get("timestamp-ms"), int(s["snapshot-id"]),
+                 True)  # linear history in this layout: all ancestors
+                for s in sorted(meta.get("snapshots") or [],
+                                key=lambda s: s.get("timestamp-ms") or 0)]
+        return spark.createDataFrame(rows, schema)
+
+    if kind == "refs":
+        schema = StructType([
+            StructField("name", StringType(), False),
+            StructField("type", StringType()),
+            StructField("snapshot_id", LongType()),
+        ])
+        refs = dict(meta.get("refs") or {})
+        if "main" not in refs and cur is not None and int(cur) != -1:
+            refs["main"] = {"type": "branch", "snapshot-id": cur}
+        rows = [(name, r.get("type"), int(r["snapshot-id"]))
+                for name, r in sorted(refs.items())]
+        return spark.createDataFrame(rows, schema)
+
+    if kind == "manifests":
+        snap = _snapshot(meta, snapshot_id)
+        _, manifests = read_container(_read_bytes(
+            spark, _resolve_path(root, snap["manifest-list"])))
+        schema = StructType([
+            StructField("path", StringType(), False),
+            StructField("length", LongType()),
+            StructField("partition_spec_id", IntegerType()),
+            StructField("content", IntegerType()),
+            StructField("added_snapshot_id", LongType()),
+            StructField("sequence_number", LongType()),
+        ])
+        rows = [(m["manifest_path"], m.get("manifest_length"),
+                 int(m.get("partition_spec_id") or 0),
+                 int(m.get("content") or 0),
+                 m.get("added_snapshot_id"),
+                 m.get("sequence_number"))
+                for m in manifests]
+        return spark.createDataFrame(rows, schema)
+
+    if kind in ("files", "partitions"):
+        deletes: list[dict] = []
+        files = live_data_files(spark, root, meta, snapshot_id,
+                                deletes_out=deletes)
+        part_map = [
+            {k: (None if v is None else str(v))
+             for k, v in (f.get("partition") or {}).items()}
+            for f in files]
+        if kind == "files":
+            schema = StructType([
+                StructField("content", IntegerType()),
+                StructField("file_path", StringType(), False),
+                StructField("file_format", StringType()),
+                StructField("record_count", LongType()),
+                StructField("file_size_in_bytes", LongType()),
+                StructField("partition",
+                            MapType(StringType(), StringType())),
+            ])
+            rows = [(int(f.get("content") or 0), f["file_path"],
+                     (f.get("file_format") or "PARQUET").upper(),
+                     f.get("record_count"), f.get("file_size_in_bytes"),
+                     pm)
+                    for f, pm in zip(files, part_map)]
+            return spark.createDataFrame(rows, schema)
+        groups: dict[tuple, list[int]] = {}
+        for f, pm in zip(files, part_map):
+            key = tuple(sorted(pm.items()))
+            g = groups.setdefault(key, [0, 0])
+            g[0] += int(f.get("record_count") or 0)
+            g[1] += 1
+        schema = StructType([
+            StructField("partition", MapType(StringType(), StringType())),
+            StructField("record_count", LongType()),
+            StructField("file_count", LongType()),
+        ])
+        rows = [(dict(k), n, c) for k, (n, c) in sorted(groups.items())]
+        return spark.createDataFrame(rows, schema)
+
+    raise ValueError(
+        f"unknown metadata table {kind!r}: snapshots|history|refs|files|"
+        f"manifests|partitions")

@@ -1777,3 +1777,29 @@ def test_in_commit_timestamps_monotonic_and_travel(spark, tmp_path):
         spark, t, 1001).select("k").collect())
     assert got == list(range(30))
     assert _ks(read_delta_snapshot(spark, t)) == list(range(5, 30))
+
+
+def test_delta_history_and_detail(spark, table):
+    """delta_history / delta_table_detail: DESCRIBE HISTORY/DETAIL over
+    the log — operations, timestamps, file counts and protocol all come
+    from metadata (no data scan)."""
+    from databricks_import_pyspark_scripts_spark.sources.delta_log import (
+        delta_history,
+        delta_table_detail,
+    )
+
+    append_delta(spark, _frame(spark, 100, 110), table, ts_ms=2000)
+    delete_where(spark, table, "k < 5", ts_ms=3000)
+    h = delta_history(spark, table).collect()
+    assert [r.version for r in h] == [2, 1, 0]
+    assert [r.operation for r in h] == \
+        ["DELETE", "WRITE", "CREATE TABLE AS SELECT"]
+    assert [r.timestamp_ms for r in h] == [3000, 2000, 1000]
+    assert h[0].operation_parameters["predicate"] == "k < 5"
+    d = delta_table_detail(spark, table).collect()[0]
+    rep = replay_log(spark, table)
+    assert d.version == 2 and d.num_files == len(rep.files)
+    assert d.partition_columns == ["p"]
+    assert d.configuration["delta.enableChangeDataFeed"] == "true"
+    assert d.size_in_bytes == sum(int(a.get("size") or 0)
+                                  for a in rep.files.values())

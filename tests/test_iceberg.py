@@ -1871,3 +1871,48 @@ def test_expire_retains_ref_pinned_snapshots(spark, tmp_path):
     assert rep2["expired"] == [1000]
     with pytest.raises(FileNotFoundError):
         read_iceberg_snapshot(spark, t, snapshot_id=1000)
+
+
+def test_metadata_tables(spark, ice):
+    """iceberg_metadata_table: snapshots/history/refs/files/manifests/
+    partitions surface the table's metadata as DataFrames — counts and
+    identities must agree with the layout the fixture staged (two append
+    snapshots, 1000 then 1001), with zero data-file reads."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        iceberg_metadata_table,
+        set_iceberg_ref,
+    )
+
+    snaps = iceberg_metadata_table(spark, ice, "snapshots").collect()
+    assert [s.snapshot_id for s in snaps] == [1000, 1001]
+    assert [s.is_current for s in snaps] == [False, True]
+    assert all(s.operation == "append" for s in snaps)
+
+    hist = iceberg_metadata_table(spark, ice, "history").collect()
+    assert [h.snapshot_id for h in hist] == [1000, 1001]
+
+    # refs: implicit main before any ref commit, then an explicit tag
+    refs = {r.name: r for r in
+            iceberg_metadata_table(spark, ice, "refs").collect()}
+    assert refs["main"].snapshot_id == 1001
+    set_iceberg_ref(spark, ice, "v1", ref_type="tag", snapshot_id=1000)
+    refs = {r.name: r for r in
+            iceberg_metadata_table(spark, ice, "refs").collect()}
+    assert refs["v1"].type == "tag" and refs["v1"].snapshot_id == 1000
+
+    files = iceberg_metadata_table(spark, ice, "files").collect()
+    assert sum(f.record_count for f in files) == 40
+    files0 = iceberg_metadata_table(spark, ice, "files",
+                                    snapshot_id=1000).collect()
+    assert sum(f.record_count for f in files0) == 30
+    assert all(f.file_format == "PARQUET" for f in files)
+
+    mans = iceberg_metadata_table(spark, ice, "manifests").collect()
+    assert len(mans) == 2 and all(m.content == 0 for m in mans)
+
+    parts = iceberg_metadata_table(spark, ice, "partitions").collect()
+    assert sum(p.record_count for p in parts) == 40
+    assert sum(p.file_count for p in parts) == len(files)
+
+    with pytest.raises(ValueError, match="unknown metadata table"):
+        iceberg_metadata_table(spark, ice, "wat")
