@@ -518,3 +518,139 @@ def dedup_decontaminate_semantic(spark: SparkSession,
         F.round(F.col("max_benchmark_cos"), 4).alias("max_benchmark_cos"),
         (F.round(F.col("max_benchmark_cos"), 4) >= DECON_TAU)
         .alias("contaminated"))
+
+
+# ---------------------------------------------------------------------------
+# embedding statistics + dimensionality reduction
+
+_COV_DIMS = 16          # emit the (i <= j) upper triangle of the first 16
+_COV_SCALE = 1000       # integer quantization: exact cross-engine moments
+
+
+@register(
+    "embedding_covariance_agg",
+    f"""
+    WITH dims AS (SELECT UNNEST(range(0, {_COV_DIMS})) AS i),
+    u AS (SELECT e.vec_id, d.i,
+                 CAST(ROUND(e.embedding[d.i + 1] * {_COV_SCALE}) AS BIGINT)
+                 AS x
+          FROM embeddings e CROSS JOIN dims d),
+    n AS (SELECT COUNT(*) AS n FROM embeddings)
+    SELECT a.i AS i, b.i AS j,
+           CAST((SELECT n FROM n) * SUM(a.x * b.x)
+                - SUM(a.x) * SUM(b.x) AS BIGINT) AS cov_num
+    FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY a.i, b.i
+    """,
+    doc="Distributed covariance moments (operators/embedding_stats.py "
+        "embedding_moments): each executor batch reduces to ONE "
+        "(n, sums, gram) partial via integer GEMM — the PCA input shape "
+        "where the corpus never leaves the executors and the driver "
+        "combines O(batches * d^2) numbers. The gate emits the scaled "
+        "covariance NUMERATOR n*Sxy - Sx*Sy over quantized values "
+        "(exact int64, no float drift) for the first 16 dims' upper "
+        "triangle; the oracle recomputes it relationally from the raw "
+        "embeddings.")
+def embedding_covariance_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.embedding_stats import embedding_moments
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n, sums, gram = embedding_moments(e, dim=64, quant_scale=_COV_SCALE)
+    rows = [(i, j, int(n * gram[i][j] - sums[i] * sums[j]))
+            for i in range(_COV_DIMS) for j in range(i, _COV_DIMS)]
+    return spark.createDataFrame(rows, "i int, j int, cov_num long")
+
+
+_RP_PLANES_SEED = 7
+_RP_NUM_PLANES = 8
+_RP_CANDIDATES = 25     # reduced-space superset size before exact re-rank
+
+
+def _rp_planes() -> list[list[int]]:
+    return rademacher_planes(num_planes=_RP_NUM_PLANES, seed=_RP_PLANES_SEED)
+
+
+def _rp_coord_sqls(vec_expr: str) -> list[str]:
+    q = (f"list_transform(CAST({vec_expr} AS DOUBLE[]), "
+         f"x -> CAST(round(x * {QUANT_SCALE}) AS BIGINT))")
+    return [
+        "list_dot_product(" + q + ", CAST(["
+        + ", ".join(str(w) for w in plane) + "] AS BIGINT[]))"
+        for plane in _rp_planes()]
+
+
+def _rp_rerank_oracle() -> str:
+    r = _rp_coord_sqls("embedding")
+    cols = ", ".join(f"{e} AS r{i}" for i, e in enumerate(r))
+    l2 = " + ".join(f"(v.r{i} - q.r{i}) * (v.r{i} - q.r{i})"
+                    for i in range(_RP_NUM_PLANES))
+    return f"""
+    WITH red AS (
+      SELECT vec_id, embedding, {cols} FROM embeddings),
+    qred AS (
+      SELECT vec_id AS query_id, embedding AS q_embedding,
+             {', '.join(f'r{i}' for i in range(_RP_NUM_PLANES))}
+      FROM red WHERE vec_id % {QUERY_MOD} = 0),
+    cand AS (
+      SELECT q.query_id, v.vec_id, v.embedding, q.q_embedding,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                ORDER BY {l2}, v.vec_id) AS rn
+      FROM red v CROSS JOIN qred q
+      WHERE v.vec_id <> q.query_id),
+    scored AS (
+      SELECT query_id, vec_id, ROUND({_COS_SQL.replace('q.q_embedding',
+                                                       'q_embedding')
+                                      .replace('v.embedding',
+                                               'embedding')}, 4) AS cosine
+      FROM cand WHERE rn <= {_RP_CANDIDATES})
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored)
+    WHERE rank <= {TOP_K}
+    """
+
+
+@register(
+    "similarity_topk_rp_rerank",
+    _rp_rerank_oracle(),
+    doc="Two-stage retrieval: an 8-dim INTEGER random projection "
+        "(Rademacher planes over quantized embeddings — JL-preserved L2, "
+        "bit-exact cross-engine) shortlists the 25 nearest candidates "
+        "per query at 8 bigint ops per pair, then the ORIGINAL vectors "
+        "re-rank just the shortlist by exact cosine. The "
+        "reduce-then-rerank pattern production retrieval uses: the "
+        "expensive metric only ever touches candidates. Reduced vectors "
+        "are an ingest-time artifact (operators/embedding_stats.py "
+        "rp_reduce_col).")
+def similarity_topk_rp_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.embedding_stats import rp_l2_col, rp_reduce_col
+    from ..operators.similarity import cosine_col
+
+    planes = _rp_planes()
+    e = (load_table(spark, sf_dir, "embeddings")
+         .withColumn("r", rp_reduce_col(F.col("embedding"), planes,
+                                        quant_scale=QUANT_SCALE)))
+    q = (e.filter(F.col("vec_id") % QUERY_MOD == 0)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_embedding"),
+                 F.col("r").alias("qr")))
+    pairs = (e.select("vec_id", "embedding", "r")
+             .crossJoin(F.broadcast(q))
+             .filter(F.col("vec_id") != F.col("query_id"))
+             .withColumn("l2", rp_l2_col(F.col("r"), F.col("qr"))))
+    w1 = Window.partitionBy("query_id").orderBy("l2", "vec_id")
+    cand = (pairs.withColumn("rn", F.row_number().over(w1))
+            .filter(F.col("rn") <= _RP_CANDIDATES))
+    scored = cand.select(
+        "query_id", "vec_id",
+        F.round(cosine_col(F.col("embedding"), F.col("q_embedding")),
+                4).alias("cosine"))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "vec_id")
+    return (scored.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "vec_id", "cosine", "rank"))

@@ -959,3 +959,50 @@ def test_dsir_logweights_favor_target_profile(spark):
     w2 = {r.doc_id: r.dsir_logw
           for r in dsir_logweights(df, "doc_id", "text", "tgt").collect()}
     assert w == w2                            # deterministic
+
+
+def test_embedding_moments_pca_and_projection(spark):
+    """embedding_stats: the distributed single-pass moments equal
+    numpy's on the collected data (both float and exact-integer forms);
+    PCA components are orthonormal, variance-ordered, deterministic in
+    sign; executor-side projection equals the driver-side matmul."""
+    import numpy as np
+
+    from databricks_import_pyspark_scripts_spark.operators.embedding_stats import (
+        covariance_matrix,
+        embedding_moments,
+        pca_components,
+        project_embeddings,
+    )
+
+    rng = np.random.RandomState(11)
+    d, n_rows = 8, 200
+    base = rng.randn(n_rows, 2) @ rng.randn(2, d) + 0.05 * rng.randn(
+        n_rows, d)                       # rank-2 + noise: clear spectrum
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(n_rows)],
+        "vec_id long, embedding array<double>").repartition(7)
+
+    n, sums, gram = embedding_moments(df, dim=d)
+    assert n == n_rows
+    assert np.allclose(sums, base.sum(axis=0))
+    assert np.allclose(gram, base.T @ base)
+
+    qn, qs, qg = embedding_moments(df, dim=d, quant_scale=1000)
+    qx = np.rint(base * 1000).astype(np.int64)
+    assert (qs == qx.sum(axis=0)).all() and (qg == qx.T @ qx).all()
+
+    cov = covariance_matrix(n, sums, gram)
+    assert np.allclose(cov, np.cov(base.T, bias=True))
+    vals, comps = pca_components(cov, 4)
+    assert (np.diff(vals) <= 1e-9).all()          # descending
+    assert np.allclose(comps @ comps.T, np.eye(4), atol=1e-9)
+    # rank-2 signal: first two components dominate
+    assert vals[1] > 10 * vals[2]
+
+    mean = sums / n
+    got = {r.vec_id: np.array(r.projected) for r in
+           project_embeddings(df, comps, mean=mean).collect()}
+    want = (base - mean) @ comps.T
+    for i in range(n_rows):
+        assert np.allclose(got[i], want[i])
