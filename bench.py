@@ -142,6 +142,14 @@ HEADLINE = [
     "delta_writer_mapped_append_agg",
     "corpus_dsir_selection",
     "delta_restore_agg",
+    # r10 session-2 additions: refs/clone/metadata-table reads (staging
+    # absorbed by warm-up) + the embedding-statistics tier
+    "iceberg_ref_read_agg",
+    "delta_clone_agg",
+    "iceberg_files_meta_agg",
+    "delta_history_feed",
+    "embedding_covariance_agg",
+    "similarity_topk_rp_rerank",
 ]
 
 EXTENSION_ROWS = {

@@ -726,3 +726,91 @@ def iceberg_files_meta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("n_rows").cast("long").alias("n_rows")))
 
     return agg(_SNAP0, 0).unionAll(agg(_SNAP1, 1))
+
+
+_SPEV_OLD = "event_id % 3 = 0"            # unpartitioned era
+_SPEV_NEW = "event_id % 3 = 1"            # appended under the evolved spec
+
+
+def _staged_iceberg_evolved(spark: SparkSession, sf_dir: str) -> str:
+    """Unpartitioned era -> spec evolution to identity(event_type) ->
+    transactional append under the NEW spec. Staging asserts that
+    pruning on the evolved field skips new-spec files while keeping
+    every old (field-less) file — the superset-safety contract."""
+    from ..sources.iceberg import (
+        append_iceberg,
+        evolve_iceberg_partition_spec,
+        iceberg_source_range_filter,
+        live_data_files,
+        read_table_metadata,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_iceberg_spev_gate_{tag}_v1")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        e = (load_table(spark, sf_dir, "events")
+             .select("event_id", "event_type", "value"))
+        write_iceberg_table(spark, [e.filter(F.expr(_SPEV_OLD))], path)
+        evolve_iceberg_partition_spec(spark, path,
+                                      partition_by=["event_type"])
+        append_iceberg(spark, e.filter(F.expr(_SPEV_NEW)), path,
+                       ts_ms=1700000008000)
+        meta = read_table_metadata(spark, path)
+        filt = iceberg_source_range_filter(meta, "event_type", eq="click")
+        kept = live_data_files(spark, path, meta, partition_filter=filt)
+        n_all = len(live_data_files(spark, path, meta))
+        assert len(kept) < n_all, "evolved-spec files did not prune"
+        assert any(not (f.get("partition") or {}) for f in kept), \
+            "old-spec file wrongly pruned"
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "iceberg_spec_evolved_agg",
+    f"""
+    SELECT 'click' AS slice, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    WHERE (({_SPEV_OLD}) OR ({_SPEV_NEW})) AND event_type = 'click'
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'all' AS slice, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    WHERE ({_SPEV_OLD}) OR ({_SPEV_NEW})
+    GROUP BY event_type
+    """,
+    doc="Partition SPEC EVOLUTION (sources/iceberg.py "
+        "evolve_iceberg_partition_spec): an unpartitioned era and an "
+        "identity(event_type) era coexist in one table — the mixed-spec "
+        "scan serves every row of both, and the 'click' slice is read "
+        "through the evolved-field metadata filter (staging asserts it "
+        "pruned new-spec files but kept every field-less old file — "
+        "Iceberg's no-rewrite evolution contract). Oracle re-derives "
+        "both slices from the parquet source.")
+def iceberg_spec_evolved_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.iceberg import (
+        iceberg_source_range_filter,
+        read_table_metadata,
+    )
+
+    path = _staged_iceberg_evolved(spark, sf_dir)
+    meta = read_table_metadata(spark, path)
+    filt = iceberg_source_range_filter(meta, "event_type", eq="click")
+    clicks = (read_iceberg_snapshot(spark, path, partition_filter=filt)
+              .filter(F.col("event_type") == "click"))
+    both = read_iceberg_snapshot(spark, path)
+
+    def agg(df: DataFrame, slc: str) -> DataFrame:
+        return (df.groupBy("event_type")
+                .agg(F.count("*").alias("n"),
+                     F.round(F.sum("value"), 4).alias("sum_value"))
+                .select(F.lit(slc).alias("slice"), "event_type", "n",
+                        "sum_value"))
+
+    return agg(clicks, "click").unionAll(agg(both, "all"))

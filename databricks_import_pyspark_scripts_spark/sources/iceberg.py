@@ -1702,6 +1702,75 @@ def set_iceberg_ref(spark: SparkSession, table_path: str, name: str,
     return v + 1
 
 
+def evolve_iceberg_partition_spec(spark: SparkSession, table_path: str,
+                                  partition_by: list[str] | tuple = (),
+                                  partition_transforms:
+                                  list[tuple[str, str, str]] | tuple = (),
+                                  ts_ms: int | None = None) -> int:
+    """PARTITION SPEC EVOLUTION (``ALTER TABLE ... REPLACE PARTITION
+    FIELD`` family): append a NEW spec to ``partition-specs`` and make it
+    the default — existing data files keep their old spec (manifests are
+    spec-id-stamped and carry their own Avro schema, so mixed-spec scans
+    decode correctly; the metadata filters treat an absent partition
+    field as unskippable, so old files are never wrongly pruned), while
+    every subsequent ``append_iceberg`` stages under the new layout.
+    That no-rewrite evolution is Iceberg's headline advantage over
+    hive-style layouts at 100 TB.
+
+    ``partition_by`` declares identity fields; ``partition_transforms``
+    is ``(field_name, transform, source_col)`` triples (``days``/
+    ``bucket[N]``/``truncate[W]``/...). Pass neither to make the table
+    unpartitioned going forward. Partition field ids continue from the
+    highest id any spec has used (spec rule: unique across specs).
+    Metadata-only CAS commit at head+1; returns the new spec id."""
+    from ..sinks.delta_writer import _atomic_create
+
+    if partition_by and partition_transforms:
+        raise ValueError("pass partition_by or partition_transforms, "
+                         "not both")
+    mdir, v, meta = _ref_commit_head(spark, table_path,
+                                     "evolve_iceberg_partition_spec")
+    schema_fields = _current_schema(meta)["fields"]
+    by_name = {f["name"]: f for f in schema_fields
+               if isinstance(f["type"], str)}
+    specs = list(meta.get("partition-specs") or [])
+    new_sid = max((int(s.get("spec-id", 0)) for s in specs), default=-1) + 1
+    next_fid = max((int(f.get("field-id", 999)) for s in specs
+                    for f in (s.get("fields") or [])), default=999) + 1
+    triples = ([(c, "identity", c) for c in partition_by]
+               + [tuple(t) for t in partition_transforms])
+    fields = []
+    for name, transform, src in triples:
+        if src not in by_name:
+            raise ValueError(f"partition source column {src!r} is not a "
+                             f"(primitive) table column")
+        if transform != "identity" and transform != "void" and not (
+                re.match(r"^(truncate|bucket)\[\d+\]$", transform)
+                or transform in ("year", "years", "month", "months",
+                                 "day", "days", "hour", "hours")):
+            # validate the transform name eagerly, not at first append
+            raise IcebergProtocolError(
+                f"unknown partition transform {transform!r}")
+        fields.append({"name": name, "transform": transform,
+                       "source-id": int(by_name[src]["id"]),
+                       "field-id": next_fid})
+        next_fid += 1
+    new_meta = dict(meta)
+    new_meta["partition-specs"] = specs + [{"spec-id": new_sid,
+                                            "fields": fields}]
+    new_meta["default-spec-id"] = new_sid
+    new_meta["last-updated-ms"] = (meta.get("last-updated-ms", 0) + 1
+                                   if ts_ms is None else int(ts_ms))
+    if not _atomic_create(spark, os.path.join(mdir,
+                                              f"v{v + 1}.metadata.json"),
+                          json.dumps(new_meta).encode("utf-8")):
+        raise IcebergCommitConflict(
+            f"spec evolution of {table_path} lost a metadata commit race "
+            f"at v{v + 1}; rerun to rebase")
+    _write_hint(mdir, v + 1)
+    return new_sid
+
+
 def drop_iceberg_ref(spark: SparkSession, table_path: str, name: str,
                      ts_ms: int | None = None) -> int:
     """Remove a named ref (``DROP TAG`` / ``DROP BRANCH``). The snapshot

@@ -1916,3 +1916,63 @@ def test_metadata_tables(spark, ice):
 
     with pytest.raises(ValueError, match="unknown metadata table"):
         iceberg_metadata_table(spark, ice, "wat")
+
+
+def test_partition_spec_evolution_mixed_scan_and_pruning(spark, tmp_path):
+    """evolve_iceberg_partition_spec: appends after the evolution stage
+    under the NEW spec while old files keep theirs; a mixed-spec scan
+    serves every row; metadata pruning on the new field skips new-spec
+    files but never the (field-less) old ones."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        append_iceberg,
+        evolve_iceberg_partition_spec,
+        iceberg_source_range_filter,
+        live_data_files,
+    )
+
+    t = str(tmp_path / "spev")
+    a = spark.range(0, 30).selectExpr(
+        "id AS k", "CAST(id % 3 AS int) AS cat", "CAST(id AS double) AS v")
+    write_iceberg_table(spark, [a], t)          # unpartitioned era
+    sid = evolve_iceberg_partition_spec(spark, t, partition_by=["cat"])
+    assert sid == 1
+    meta = read_table_metadata(spark, t)
+    assert meta["default-spec-id"] == 1
+    assert len(meta["partition-specs"]) == 2
+    b = spark.range(30, 60).selectExpr(
+        "id AS k", "CAST(id % 3 AS int) AS cat", "CAST(id AS double) AS v")
+    append_iceberg(spark, b, t)
+    # every row of both eras
+    assert _ks(read_iceberg_snapshot(spark, t)) == list(range(60))
+    # pruning on cat = 1: new-spec files for cat 0/2 are skipped, the
+    # old era's (spec-0, field-less) file is NOT — superset-safe
+    meta = read_table_metadata(spark, t)
+    filt = iceberg_source_range_filter(meta, "cat", eq=1)
+    kept = live_data_files(spark, t, meta, partition_filter=filt)
+    n_all = len(live_data_files(spark, t, meta))
+    assert len(kept) < n_all
+    got = read_iceberg_snapshot(spark, t, partition_filter=filt)
+    assert _ks(got.filter("cat = 1")) == [k for k in range(60) if k % 3 == 1]
+    # old files carry no 'cat' partition value: all spec-0 files kept
+    specs0 = [f for f in kept if not (f.get("partition") or {})]
+    assert specs0, "old-spec file wrongly pruned"
+
+
+def test_partition_spec_evolution_validation(spark, ice):
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        evolve_iceberg_partition_spec,
+    )
+
+    with pytest.raises(ValueError, match="not a"):
+        evolve_iceberg_partition_spec(spark, ice, partition_by=["ghost"])
+    with pytest.raises(IcebergProtocolError, match="unknown partition"):
+        evolve_iceberg_partition_spec(
+            spark, ice, partition_transforms=[("x", "wat[3]", "k")])
+    # field ids continue across specs (unique table-wide)
+    evolve_iceberg_partition_spec(spark, ice, partition_by=["k"])
+    evolve_iceberg_partition_spec(
+        spark, ice, partition_transforms=[("k_bucket", "bucket[4]", "k")])
+    meta = read_table_metadata(spark, ice)
+    fids = [f["field-id"] for s in meta["partition-specs"]
+            for f in s["fields"]]
+    assert len(fids) == len(set(fids)) == 2 and fids == [1000, 1001]
