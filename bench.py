@@ -150,6 +150,8 @@ HEADLINE = [
     "delta_history_feed",
     "embedding_covariance_agg",
     "similarity_topk_rp_rerank",
+    "iceberg_spec_evolved_agg",
+    "uniform_iceberg_read_agg",
 ]
 
 EXTENSION_ROWS = {

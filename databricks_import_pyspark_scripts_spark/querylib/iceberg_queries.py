@@ -814,3 +814,58 @@ def iceberg_spec_evolved_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "sum_value"))
 
     return agg(clicks, "click").unionAll(agg(both, "all"))
+
+
+_UNI_V0, _UNI_V1 = "event_id % 3 = 0", "event_id % 3 = 1"
+
+
+def _staged_uniform(spark: SparkSession, sf_dir: str) -> str:
+    """A Delta table (create + append, partitioned by event_type) with
+    UniForm Iceberg metadata synced over the SAME files — one directory,
+    two protocols, zero data copies."""
+    from ..sinks.delta_writer import append_delta, create_delta_table
+    from ..sources.uniform import uniform_sync_iceberg
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_uniform_gate_{tag}_v1")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        e = (load_table(spark, sf_dir, "events")
+             .select("event_id", "event_type", "value"))
+        create_delta_table(spark, e.filter(F.expr(_UNI_V0)), path,
+                           partition_by=["event_type"],
+                           ts_ms=1700000000000)
+        append_delta(spark, e.filter(F.expr(_UNI_V1)), path,
+                     ts_ms=1700000001000)
+        sid = uniform_sync_iceberg(spark, path)
+        assert sid == 1001, sid      # reflects Delta version 1
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "uniform_iceberg_read_agg",
+    f"""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events WHERE ({_UNI_V0}) OR ({_UNI_V1})
+    GROUP BY event_type
+    """,
+    doc="UniForm (sources/uniform.py uniform_sync_iceberg): the Delta "
+        "writer's table is published as Iceberg metadata over the SAME "
+        "parquet files — metadata-only sync, name-mapping resolution "
+        "(Delta parquet carries no field ids), identity-partition "
+        "values re-attached from manifest metadata (the hive layout "
+        "stores none in the data). The gate reads the DELTA-written "
+        "table through the ICEBERG stack and aggregates; the oracle "
+        "re-derives from the parquet source. The two jar-less protocol "
+        "stacks composing is the point.")
+def uniform_iceberg_read_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _staged_uniform(spark, sf_dir)
+    return (read_iceberg_snapshot(spark, path)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select("event_type", "n", "sum_value"))

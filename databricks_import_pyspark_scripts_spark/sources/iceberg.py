@@ -1026,9 +1026,21 @@ def read_iceberg_snapshot(spark: SparkSession, table_path: str,
             "application needs _metadata.row_index, which Spark's ORC "
             "reader does not emit — rewrite the table or drop the "
             "deletes")
+    name_mapped = bool((meta.get("properties") or {}).get(
+        "schema.name-mapping.default"))
+    if name_mapped:
+        # imported/UniForm-synced data files carry NO Iceberg field ids:
+        # the spec's name-mapping fallback resolves them BY NAME — strip
+        # the id annotations so Spark's parquet reader matches names
+        # (an id-annotated schema over id-less files errors by design)
+        schema = T.StructType([
+            T.StructField(f.name, f.dataType, f.nullable)
+            for f in schema.fields])
     parts = []
     if pq_paths:
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        if not name_mapped:
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled",
+                           "true")
         parts.append(spark.read.schema(schema).parquet(*pq_paths))
     if orc_paths:
         # Spark's native ORC reader resolves columns BY NAME (no
@@ -1041,6 +1053,41 @@ def read_iceberg_snapshot(spark: SparkSession, table_path: str,
     scan = parts[0]
     for p in parts[1:]:
         scan = scan.unionByName(p)
+    if name_mapped and files:
+        # identity-partition values are METADATA-authoritative for
+        # imported files (spec: readers use partition metadata for
+        # identity transforms) — the Delta/hive layout UniForm syncs
+        # does not store partition columns in the data files at all,
+        # so they read back NULL by name; re-attach from the manifest
+        # partition structs (broadcast map join on the file key, the
+        # same shape as delta_log._attach_partition_columns)
+        from pyspark.sql import functions as F
+
+        id_names = _identity_partition_names(meta) or []
+        in_schema = [n for n in id_names
+                     if n in {f.name for f in schema.fields}]
+        if in_schema:
+            key_rows = [
+                (_file_key(table_path, f),
+                 *[(None if (f.get("partition") or {}).get(n) is None
+                    else str((f.get("partition") or {}).get(n)))
+                   for n in in_schema])
+                for f in files]
+            kschema = T.StructType(
+                [T.StructField("__ice_fkey", T.StringType())]
+                + [T.StructField(f"__pv_{n}", T.StringType())
+                   for n in in_schema])
+            pv_df = spark.createDataFrame(key_rows, kschema)
+            typed = {f.name: f.dataType for f in schema.fields}
+            scan = (scan.withColumn(
+                "__ice_fkey",
+                _file_key_expr(F.col("_metadata.file_path")))
+                .join(F.broadcast(pv_df), "__ice_fkey", "left"))
+            for n in in_schema:
+                scan = scan.withColumn(
+                    n, F.col(f"__pv_{n}").cast(typed[n]))
+            scan = scan.drop("__ice_fkey",
+                             *[f"__pv_{n}" for n in in_schema])
     if not deletes:
         return scan
     from pyspark.sql import functions as F

@@ -1,0 +1,202 @@
+"""UniForm-style metadata sync: publish a Delta table's CURRENT state as
+Iceberg metadata over the SAME parquet data files — zero data copies,
+one table directory serving both protocols (what Databricks ships as
+Delta UniForm).
+
+The sync is metadata-only: replay the Delta log, translate schema +
+partition spec + live file list into an Iceberg v2 snapshot (metadata
+json, Avro manifest list, one Avro manifest via the from-scratch codec),
+and commit it under ``<table>/metadata``. The Delta log stays the source
+of truth — rerun the sync after Delta commits to publish a fresh
+snapshot. Because Delta-written parquet carries NO Iceberg field ids,
+the synced metadata declares ``schema.name-mapping.default`` and the
+Iceberg reader resolves those files BY NAME (the spec's name-mapping
+fallback for imported files).
+
+At 100 TB this is exactly the economics that make UniForm viable: the
+sync cost is the log replay plus one manifest write — file-count-, never
+data-bounded.
+
+Reference parity: none (the reference only reads Delta through the
+warehouse runtime); north-star extension surface connecting this repo's
+two jar-less protocol stacks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from .avro_codec import write_container
+from .delta_log import _resolve, _strip_scheme, replay_log
+from .iceberg import (
+    _MANIFEST_FILE_SCHEMA,
+    METADATA_DIR,
+    STATUS_ADDED,
+    _VMETA_RE,
+    IcebergProtocolError,
+    _footer_bounds,
+    _manifest_entry_schema,
+    _part_avro_fields,
+)
+
+_TYPE_MAP = {
+    T.LongType: "long", T.IntegerType: "int", T.DoubleType: "double",
+    T.FloatType: "float", T.StringType: "string", T.BooleanType: "boolean",
+    T.DateType: "date", T.TimestampType: "timestamptz",
+}
+
+#: partition value parsers per iceberg type (Delta stores them as strings)
+_PART_PARSE = {
+    "long": int, "int": int, "string": str,
+    "double": float, "float": float,
+    "boolean": lambda s: s.lower() == "true",
+}
+
+
+def _ice_type(dt: T.DataType) -> str:
+    for cls, name in _TYPE_MAP.items():
+        if isinstance(dt, cls):
+            return name
+    raise IcebergProtocolError(
+        f"uniform sync supports flat primitive columns; {dt.simpleString()}"
+        f" has no Iceberg translation here (nested/decimal/variant out of "
+        f"scope)")
+
+
+def uniform_sync_iceberg(spark: SparkSession, table_path: str,
+                         ts_ms: int | None = None) -> int:
+    """Publish the Delta table's current snapshot as Iceberg metadata in
+    the same directory. Returns the Iceberg snapshot id (1000 + the
+    Delta version it reflects — rerunning after new Delta commits yields
+    a new, higher id; a rerun on an unchanged table is a no-op).
+
+    Loud rejections (metadata the Iceberg side cannot represent without
+    lying): live DELETION VECTORS (an Iceberg reader would resurrect the
+    deleted rows — purge them first via OPTIMIZE), column mapping (the
+    parquet files carry physical names the Iceberg schema would not
+    match), and non-primitive columns."""
+    rep = replay_log(spark, table_path)
+    md = rep.metadata
+    conf = md.get("configuration") or {}
+    if (conf.get("delta.columnMapping.mode") or "none") != "none":
+        raise IcebergProtocolError(
+            "uniform sync over a column-mapped Delta table: parquet "
+            "physical names would not match the Iceberg schema")
+    if any(a.get("deletionVector") for a in rep.files.values()):
+        raise IcebergProtocolError(
+            "uniform sync with live deletion vectors would resurrect "
+            "deleted rows for Iceberg readers; run optimize_delta "
+            "(DV purge) first")
+
+    root = _strip_scheme(table_path).rstrip("/")
+    fields = [{"id": i + 1, "name": f.name, "required": False,
+               "type": _ice_type(f.dataType)}
+              for i, f in enumerate(rep.schema.fields)]
+    by_name = {f["name"]: f for f in fields}
+    part_cols = list(rep.partition_columns)
+    part_fields = _part_avro_fields(fields, part_cols, [])
+
+    snap_id = 1000 + rep.version
+    mdir = os.path.join(root, METADATA_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    versions = sorted(int(m.group(1)) for n in os.listdir(mdir)
+                      if (m := _VMETA_RE.match(n)))
+    if versions:
+        prior = json.load(open(os.path.join(
+            mdir, f"v{versions[-1]}.metadata.json")))
+        have = {int(s["snapshot-id"]) for s in prior.get("snapshots") or []}
+        if snap_id in have:
+            return snap_id            # this Delta version already synced
+
+    name_to_field = {f["name"]: (f["id"], f["type"]) for f in fields}
+    entries = []
+    for rel in sorted(rep.files):
+        a = rep.files[rel]
+        path = _resolve(root, rel)
+        partition = {}
+        for c in part_cols:
+            raw = (a.get("partitionValues") or {}).get(c)
+            t = by_name[c]["type"]
+            parse = _PART_PARSE.get(t)
+            if parse is None:
+                raise IcebergProtocolError(
+                    f"uniform sync cannot translate partition values of "
+                    f"Iceberg type {t!r} (column {c})")
+            partition[c] = None if raw is None else parse(raw)
+        stats = a.get("stats")
+        if isinstance(stats, str):
+            stats = json.loads(stats) if stats else None
+        nrec = (stats or {}).get("numRecords")
+        if nrec is None:
+            import pyarrow.parquet as pq
+            nrec = pq.ParquetFile(path).metadata.num_rows
+        try:
+            lo_b, hi_b = _footer_bounds(path, name_to_field)
+        except Exception:
+            lo_b, hi_b = {}, {}       # unskippable-safe
+        entries.append({
+            "status": STATUS_ADDED, "snapshot_id": snap_id,
+            "data_file": {
+                "content": 0, "file_path": path,
+                "file_format": "PARQUET",
+                "partition": partition,
+                "record_count": int(nrec),
+                "file_size_in_bytes": int(a.get("size") or
+                                          os.path.getsize(path)),
+                "lower_bounds": lo_b or None,
+                "upper_bounds": hi_b or None}})
+
+    tag = f"u{uuid.uuid4().hex[:12]}"
+    blob = write_container(_manifest_entry_schema(part_fields), entries)
+    mpath = os.path.join(mdir, f"manifest-{tag}.avro")
+    with open(mpath, "wb") as f:
+        f.write(blob)
+    seq = rep.version + 1
+    manifest = {"manifest_path": mpath, "manifest_length": len(blob),
+                "partition_spec_id": 0, "content": 0,
+                "added_snapshot_id": snap_id,
+                "sequence_number": seq, "min_sequence_number": seq}
+    mlpath = os.path.join(mdir, f"snap-{snap_id}-{tag}.avro")
+    with open(mlpath, "wb") as f:
+        f.write(write_container(_MANIFEST_FILE_SCHEMA, [manifest]))
+
+    ts = (rep.version + 1 + 1700000000000) if ts_ms is None else int(ts_ms)
+    meta = {
+        "format-version": 2,
+        "table-uuid": md.get("id") or str(uuid.uuid4()),
+        "location": root,
+        "last-sequence-number": seq,
+        "last-updated-ms": ts,
+        "last-column-id": len(fields),
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": fields}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"name": c, "transform": "identity",
+             "source-id": by_name[c]["id"], "field-id": 1000 + i}
+            for i, c in enumerate(part_cols)]}],
+        "default-spec-id": 0,
+        # Delta parquet carries no Iceberg field ids: declare the spec's
+        # name-mapping so readers resolve these files BY NAME
+        "properties": {"schema.name-mapping.default": json.dumps(
+            [{"field-id": f["id"], "names": [f["name"]]}
+             for f in fields])},
+        "current-snapshot-id": snap_id,
+        "snapshots": [{"snapshot-id": snap_id, "timestamp-ms": ts,
+                       "sequence-number": seq, "manifest-list": mlpath,
+                       "summary": {"operation": "append",
+                                   "spark-graft-delta-version":
+                                       str(rep.version)}}],
+    }
+    v = (versions[-1] + 1) if versions else 1
+    with open(os.path.join(mdir, f"v{v}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(mdir, "version-hint.text.tmp"), "w") as f:
+        f.write(str(v))
+    os.replace(os.path.join(mdir, "version-hint.text.tmp"),
+               os.path.join(mdir, "version-hint.text"))
+    return snap_id

@@ -1976,3 +1976,71 @@ def test_partition_spec_evolution_validation(spark, ice):
     fids = [f["field-id"] for s in meta["partition-specs"]
             for f in s["fields"]]
     assert len(fids) == len(set(fids)) == 2 and fids == [1000, 1001]
+
+
+# ---------------------------------------------------------------------------
+# UniForm: Iceberg metadata over a Delta table
+
+def test_uniform_sync_reads_delta_files_through_iceberg(spark, tmp_path):
+    """uniform_sync_iceberg: one directory, two protocols — the Delta
+    writer's files read back identically through the Iceberg stack
+    (name-mapping resolution, partition values translated, record
+    counts from Delta stats); a re-sync after a Delta append publishes
+    the new state; same-version re-sync is a no-op."""
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        append_delta,
+        create_delta_table,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.delta_log import (
+        read_delta_snapshot,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.uniform import (
+        uniform_sync_iceberg,
+    )
+
+    t = str(tmp_path / "uni")
+    df = spark.range(0, 40).selectExpr(
+        "id AS k", "CAST(id % 3 AS int) AS cat", "CAST(id AS double) AS v")
+    create_delta_table(spark, df, t, partition_by=["cat"], ts_ms=1000)
+    sid = uniform_sync_iceberg(spark, t)
+    assert sid == 1000 and is_iceberg_table(spark, t)
+    ice = read_iceberg_snapshot(spark, t)
+    assert _ks(ice) == list(range(40))
+    assert ice.filter("cat = 1").count() == \
+        read_delta_snapshot(spark, t).filter("cat = 1").count()
+    # metadata pruning through the synced identity spec
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        iceberg_metadata_table,
+        read_table_metadata,
+    )
+    meta = read_table_metadata(spark, t)
+    files = iceberg_metadata_table(spark, t, "files").collect()
+    assert sum(f.record_count for f in files) == 40
+    assert {f.partition["cat"] for f in files} == {"0", "1", "2"}
+    # no-op on unchanged table; new snapshot after a Delta append
+    assert uniform_sync_iceberg(spark, t) == 1000
+    append_delta(spark, spark.range(40, 50).selectExpr(
+        "id AS k", "CAST(id % 3 AS int) AS cat",
+        "CAST(id AS double) AS v"), t, ts_ms=2000)
+    assert uniform_sync_iceberg(spark, t) == 1001
+    assert _ks(read_iceberg_snapshot(spark, t)) == list(range(50))
+
+
+def test_uniform_sync_rejections(spark, tmp_path):
+    """DV-bearing and column-mapped Delta tables refuse the sync loudly
+    (an Iceberg reader would resurrect DV-deleted rows / mismatch
+    physical names)."""
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        create_delta_table,
+        delete_where,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.uniform import (
+        uniform_sync_iceberg,
+    )
+
+    t = str(tmp_path / "unidv")
+    df = spark.range(0, 20).selectExpr("id AS k", "CAST(id AS double) AS v")
+    create_delta_table(spark, df, t, ts_ms=1000)
+    delete_where(spark, t, "k < 5", ts_ms=2000, use_dv=True)
+    with pytest.raises(IcebergProtocolError, match="deletion vectors"):
+        uniform_sync_iceberg(spark, t)
