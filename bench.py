@@ -152,6 +152,7 @@ HEADLINE = [
     "similarity_topk_rp_rerank",
     "iceberg_spec_evolved_agg",
     "uniform_iceberg_read_agg",
+    "delta_identity_append_agg",
 ]
 
 EXTENSION_ROWS = {

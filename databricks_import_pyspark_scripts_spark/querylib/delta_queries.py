@@ -1244,3 +1244,89 @@ def delta_history_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("timestamp_ms").alias("ts_ms"),
                     "operation")
             .orderBy("version"))
+
+
+_ID_V0, _ID_V1 = "event_id % 4 = 0", "event_id % 4 = 1"
+_ID_START, _ID_STEP = 100, 10
+
+
+def _staged_identity_table(spark: SparkSession, sf_dir: str) -> str:
+    """Identity-column table: created with explicit grid values (watermark
+    initialized from staged stats), then grown by an append WITHOUT the
+    column — the writer generates values above the watermark. Sorted
+    single-partition staging makes generation deterministic, so the
+    oracle can replay it with ROW_NUMBER arithmetic."""
+    from pyspark.sql import Window
+
+    from ..sinks.delta_writer import append_delta, create_delta_table
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_delta_identity_gate_{tag}_v1")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        e = (load_table(spark, sf_dir, "events")
+             .select("event_id", "event_type", "value"))
+        w = Window.orderBy("event_id")
+        base = (e.filter(F.expr(_ID_V0))
+                .withColumn("uid", F.lit(_ID_START)
+                            + F.lit(_ID_STEP) * F.row_number().over(w)))
+        typed = base.select(
+            F.col("uid").cast("long").alias(
+                "uid", metadata={"delta.identity.start": _ID_START,
+                                 "delta.identity.step": _ID_STEP,
+                                 "delta.identity.allowExplicitInsert":
+                                     True}),
+            "event_id", "event_type", "value")
+        create_delta_table(spark, typed.orderBy("event_id").coalesce(1),
+                           path, ts_ms=_BASE_TS_MS)
+        grow = (e.filter(F.expr(_ID_V1))
+                .orderBy("event_id").coalesce(1))
+        append_delta(spark, grow, path, ts_ms=_BASE_TS_MS + 1000)
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "delta_identity_append_agg",
+    f"""
+    WITH base AS (
+      SELECT event_id, event_type, value,
+             {_ID_START} + {_ID_STEP} * CAST(ROW_NUMBER() OVER (ORDER BY
+                 event_id) AS BIGINT) AS uid
+      FROM events WHERE {_ID_V0}),
+    grown AS (
+      SELECT event_id, event_type, value,
+             (SELECT MAX(uid) FROM base)
+             + {_ID_STEP} * CAST(ROW_NUMBER() OVER (ORDER BY event_id)
+                                 AS BIGINT) AS uid
+      FROM events WHERE {_ID_V1}),
+    both_eras AS (SELECT * FROM base UNION ALL SELECT * FROM grown)
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(uid) AS BIGINT) AS sum_uid,
+           CAST(MIN(uid) AS BIGINT) AS min_uid,
+           CAST(MAX(uid) AS BIGINT) AS max_uid
+    FROM both_eras GROUP BY event_type
+    """,
+    doc="Identity columns through the jar-less writer (sinks/"
+        "delta_writer.py _generate_identity / _identity_hwm_update): "
+        "creation absorbs explicit grid values into the high watermark "
+        "(derived from STAGED FILE STATS, so metadata can never desync "
+        "from data); the append carries NO uid column and the writer "
+        "generates start/step-grid values above the watermark, advancing "
+        "it in the same commit. Sorted single-partition staging makes "
+        "the generated sequence equal the oracle's ROW_NUMBER "
+        "arithmetic; per-type SUM/MIN/MAX of uid value-check every id.")
+def delta_identity_append_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.delta_log import read_delta_snapshot as snap
+
+    path = _staged_identity_table(spark, sf_dir)
+    return (snap(spark, path)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("uid").alias("sum_uid"),
+                 F.min("uid").alias("min_uid"),
+                 F.max("uid").alias("max_uid"))
+            .select("event_type", "n", "sum_uid", "min_uid", "max_uid"))

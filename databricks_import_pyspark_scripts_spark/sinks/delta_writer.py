@@ -159,12 +159,17 @@ def _check_writable(metadata: dict, protocol: dict, op: str) -> None:
     # declared tables are writable: this writer's API always receives
     # the full row, so the generated-column obligation reduces to
     # validating value <=> expression (the protocol's requirement).
-    # Identity columns still refuse: they need per-commit high-water
-    # allocation, not validation.
-    if "delta.identity." in schema_s:
+    # Identity columns: create/append/overwrite GENERATE values above the
+    # high watermark and advance it in the same commit (_assign_identity);
+    # delete/update/maintenance preserve existing values (update_where
+    # additionally refuses SET on an identity column). MERGE still
+    # refuses: its insert clause would need generation inside the one
+    # full-scan join, which this writer does not compose yet.
+    if "delta.identity." in schema_s and op == "merge":
         raise DeltaProtocolError(
-            "table declares identity columns; this writer does not "
-            "enforce them")
+            "MERGE into a table with identity columns is not supported "
+            "(the insert clause would need identity generation); use "
+            "delete/update + append")
     if op != "append" and conf.get("delta.appendOnly", "false").lower() == "true":
         raise DeltaProtocolError(
             f"table is append-only (delta.appendOnly=true); {op} refused")
@@ -231,6 +236,119 @@ def _enforce_constraints(spark: SparkSession, table_path: str, rep,
             raise DeltaConstraintViolation(
                 f"{op} violates {name} ({e!r}); example row: "
                 f"{hit[0].asDict()!r}")
+
+
+def _identity_cols(schema) -> dict[str, dict]:
+    """Identity-column declarations from field metadata (the protocol's
+    ``delta.identity.*`` keys): {name: {start, step, hwm, explicit}}."""
+    out: dict[str, dict] = {}
+    for f in schema.fields:
+        m = f.metadata or {}
+        if "delta.identity.start" in m or "delta.identity.step" in m:
+            step = int(m.get("delta.identity.step", 1))
+            if step == 0:
+                raise DeltaProtocolError(
+                    f"identity column {f.name!r} declares step 0")
+            hwm = m.get("delta.identity.highWaterMark")
+            out[f.name] = {
+                "start": int(m.get("delta.identity.start", 1)),
+                "step": step,
+                "hwm": None if hwm is None else int(hwm),
+                "explicit": bool(
+                    m.get("delta.identity.allowExplicitInsert", False))}
+    return out
+
+
+def _generate_identity(df: DataFrame, schema) -> tuple[DataFrame, bool]:
+    """Fill ABSENT identity columns with fresh values above the high
+    watermark: ``hwm + step * (1 + monotonically_increasing_id())`` —
+    one pass, no shuffle, executor-parallel; the sparse ranges the id
+    leaves between partitions are protocol-legal GAPS (identity promises
+    uniqueness on the start/step grid, not density — the same trade
+    DBR's range allocation makes at scale). A PRESENT identity column is
+    only accepted when the declaration allows explicit inserts (GENERATED
+    BY DEFAULT). The real committed watermark is derived later from the
+    STAGED FILES' stats (_identity_hwm_update), so plan re-execution can
+    never desync values from metadata."""
+    ids = _identity_cols(schema)
+    changed = False
+    for name, spec in ids.items():
+        if name in df.columns:
+            if not spec["explicit"]:
+                raise DeltaProtocolError(
+                    f"identity column {name!r} is GENERATED ALWAYS; "
+                    f"explicit values are not allowed")
+            continue
+        base = spec["hwm"] if spec["hwm"] is not None \
+            else spec["start"] - spec["step"]
+        dt = next(f.dataType for f in schema.fields if f.name == name)
+        df = df.withColumn(
+            name,
+            (F.lit(base + spec["step"])
+             + F.lit(spec["step"]) * F.monotonically_increasing_id())
+            .cast(dt))
+        changed = True
+    return df, changed
+
+
+def _identity_hwm_update(rep, adds: list[dict],
+                         md_base: dict | None = None) -> dict | None:
+    """metaData dict with advanced ``delta.identity.highWaterMark``s, or
+    None when no watermark moved. The observed maxima come from the
+    staged adds' stats JSON (footer-derived — the files are the truth,
+    so a re-executed nondeterministic plan cannot desync metadata from
+    data); a staged file MISSING stats for an identity column refuses
+    loudly rather than under-advance the watermark."""
+    ids = _identity_cols(rep.schema)
+    if not ids:
+        return None
+    observed: dict[str, int] = {}
+    for a in adds:
+        stats = a.get("stats")
+        if isinstance(stats, str):
+            stats = json.loads(stats) if stats else None
+        maxv = (stats or {}).get("maxValues") or {}
+        nrec = int((stats or {}).get("numRecords") or 0)
+        for name in ids:
+            if nrec == 0:
+                continue
+            if name not in maxv or maxv[name] is None:
+                raise DeltaProtocolError(
+                    f"staged file carries no max stat for identity "
+                    f"column {name!r}; cannot advance the high "
+                    f"watermark safely")
+            observed[name] = max(observed.get(name, -(1 << 62)),
+                                 int(maxv[name]))
+    moved = {}
+    for name, spec in ids.items():
+        if name not in observed:
+            continue
+        cur = spec["hwm"]
+        if cur is None or observed[name] > cur:
+            moved[name] = observed[name]
+    if not moved:
+        return None
+    md = dict(md_base if md_base is not None else rep.metadata)
+    sch = json.loads(md["schemaString"])
+    for f in sch.get("fields", []):
+        if f.get("name") in moved:
+            meta = dict(f.get("metadata") or {})
+            meta["delta.identity.highWaterMark"] = moved[f["name"]]
+            f["metadata"] = meta
+    md["schemaString"] = json.dumps(sch)
+    return md
+
+
+def _create_schema_string(df: DataFrame, adds: list[dict]) -> str:
+    """Commit-0 schemaString: ``df``'s schema, with any identity column's
+    high watermark initialized from the staged files' stats (the create
+    rows themselves may carry explicit identity values)."""
+    import types as _types
+
+    shim = _types.SimpleNamespace(
+        schema=df.schema, metadata={"schemaString": df.schema.json()})
+    md = _identity_hwm_update(shim, adds)
+    return md["schemaString"] if md is not None else df.schema.json()
 
 
 def _mapping_mode_of(rep) -> str:
@@ -552,9 +670,12 @@ def create_delta_table(spark: SparkSession, df: DataFrame, table_path: str,
         has_cons = (any(k.startswith("delta.constraints.")
                         for k in conf)
                     or "delta.invariants" in df.schema.json())
-        # legacy feature table: invariants w2, constraints w3, CDF w4
+        # legacy feature table: invariants w2, constraints w3, CDF w4,
+        # identity columns w6
+        has_identity = "delta.identity." in df.schema.json()
         protocol = {"minReaderVersion": 1,
-                    "minWriterVersion": (4 if cdf
+                    "minWriterVersion": (6 if has_identity
+                                         else 4 if cdf
                                          else 3 if has_cons else 2)}
     if _ict_enabled({"configuration": conf}):
         # ICT is a table-features-only writer feature: upgrade the
@@ -576,7 +697,7 @@ def create_delta_table(spark: SparkSession, df: DataFrame, table_path: str,
         {"protocol": protocol},
         {"metaData": {"id": str(uuid.uuid4()),
                       "format": {"provider": "parquet", "options": {}},
-                      "schemaString": df.schema.json(),
+                      "schemaString": _create_schema_string(df, adds),
                       "partitionColumns": part_cols,
                       "configuration": conf,
                       "createdTime": ts}},
@@ -653,6 +774,7 @@ def append_delta(spark: SparkSession, df: DataFrame, table_path: str,
     _check_writable(rep.metadata, rep.protocol, "append")
     if txn_app_id is not None and             rep.txns.get(txn_app_id, -1) >= txn_version:
         return rep.version  # already committed: idempotent replay
+    df, _ = _generate_identity(df, rep.schema)
     meta_action: list[dict] = []
     ordered = None
     if merge_schema:
@@ -682,6 +804,13 @@ def append_delta(spark: SparkSession, df: DataFrame, table_path: str,
                         max_records_per_file=max_records_per_file,
                         rep=rep)
     _enforce_constraints(spark, table_path, rep, adds, "append")
+    id_md = _identity_hwm_update(
+        rep, adds,
+        md_base=(meta_action[0]["metaData"] if meta_action else None))
+    if id_md is not None:
+        # the watermark update rides the commit; meta_action also makes
+        # the append STRICT (a racer may have advanced the watermark)
+        meta_action = [{"metaData": id_md}]
     actions = [
         {"commitInfo": {"timestamp": ts, "operation": "WRITE",
                         "operationParameters": {"mode": "Append"}}},
@@ -795,14 +924,17 @@ def overwrite_delta(spark: SparkSession, df: DataFrame, table_path: str,
     ts = _now_ms(ts_ms)
     rep = replay_log(spark, table_path)
     _check_writable(rep.metadata, rep.protocol, "overwrite")
+    df, _ = _generate_identity(df, rep.schema)
     adds = _stage_files(spark, _ordered(df, rep), table_path,
                         rep.partition_columns, ts,
                         max_records_per_file=max_records_per_file,
                         rep=rep)
     _enforce_constraints(spark, table_path, rep, adds, "overwrite")
+    id_md = _identity_hwm_update(rep, adds)
     actions = [
         {"commitInfo": {"timestamp": ts, "operation": "WRITE",
                         "operationParameters": {"mode": "Overwrite"}}},
+        *([{"metaData": id_md}] if id_md is not None else []),
         *({"add": {**a, "dataChange": True}} for a in adds),
         *({"remove": {"path": a["path"], "deletionTimestamp": ts,
                       "dataChange": True,
@@ -816,7 +948,7 @@ def overwrite_delta(spark: SparkSession, df: DataFrame, table_path: str,
 
 def _rewrite_op(spark: SparkSession, table_path: str, predicate: str,
                 op: str, ts_ms: int | None,
-                transform) -> int:
+                transform, check=None) -> int:
     """Shared DELETE/UPDATE engine: find the files with matching rows (one
     distinct-file scan — bounded by the file count, the zone-map caveat),
     rewrite ONLY those files, and commit remove+add+cdc atomically.
@@ -824,6 +956,8 @@ def _rewrite_op(spark: SparkSession, table_path: str, predicate: str,
     ts = _now_ms(ts_ms)
     rep = replay_log(spark, table_path)
     _check_writable(rep.metadata, rep.protocol, op)
+    if check is not None:
+        check(rep)          # op-specific refusals (e.g. SET on identity)
     if not rep.files:
         return rep.version  # empty table: nothing to do, no commit
     pred = F.expr(predicate)
@@ -1013,6 +1147,11 @@ def _dv_row_op(spark: SparkSession, table_path: str, predicate: str,
     ts = _now_ms(ts_ms)
     rep = replay_log(spark, table_path)
     _check_writable(rep.metadata, rep.protocol, op)
+    if set_exprs:
+        bad = sorted(set(set_exprs) & set(_identity_cols(rep.schema)))
+        if bad:
+            raise DeltaProtocolError(
+                f"UPDATE cannot SET identity columns {bad}")
     if not rep.files:
         return rep.version
     hit = F.coalesce(F.expr(predicate), F.lit(False))
@@ -1092,8 +1231,14 @@ def update_where(spark: SparkSession, table_path: str, predicate: str,
         post = (updated_all.filter(hit).select(*logical)
                 .withColumn(_CDC_TYPE, F.lit("update_postimage")))
         return new_rows, pre.unionByName(post)
+    def check(rep):
+        bad = sorted(set(set_exprs) & set(_identity_cols(rep.schema)))
+        if bad:
+            raise DeltaProtocolError(
+                f"UPDATE cannot SET identity columns {bad}")
+
     return _rewrite_op(spark, table_path, predicate, "update", ts_ms,
-                       transform)
+                       transform, check=check)
 
 
 # ---------------------------------------------------------------------------

@@ -1803,3 +1803,100 @@ def test_delta_history_and_detail(spark, table):
     assert d.configuration["delta.enableChangeDataFeed"] == "true"
     assert d.size_in_bytes == sum(int(a.get("size") or 0)
                                   for a in rep.files.values())
+
+
+def _identity_frame(spark, lo, hi, with_id=False):
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    fields = [StructField("uid", LongType(), True,
+                          {"delta.identity.start": 100,
+                           "delta.identity.step": 10,
+                           "delta.identity.allowExplicitInsert": True})]
+    rows = [(100 + 10 * (k + 1), f"u{k}") for k in range(lo, hi)] \
+        if with_id else None
+    schema = StructType(fields + [StructField("name", StringType())])
+    if rows is None:
+        rows = [(None, f"u{k}") for k in range(lo, hi)]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_identity_columns_generate_and_advance_watermark(spark, tmp_path):
+    """Identity columns: create initializes the high watermark from the
+    staged stats; appends WITHOUT the column generate fresh values above
+    it (start/step grid, unique) and advance the watermark in the same
+    commit; explicit values are absorbed into the watermark; GENERATED
+    ALWAYS refuses explicit values; UPDATE cannot SET an identity
+    column; MERGE refuses."""
+    import json as _json
+
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        merge_into,
+    )
+
+    t = str(tmp_path / "ident")
+    create_delta_table(spark, _identity_frame(spark, 0, 5, with_id=True),
+                       t, ts_ms=1000)
+    rep = replay_log(spark, t)
+    assert rep.protocol["minWriterVersion"] == 6
+    f_uid = next(f for f in rep.schema.fields if f.name == "uid")
+    assert f_uid.metadata["delta.identity.highWaterMark"] == 150
+    # append WITHOUT the column: generated above the watermark
+    add = spark.createDataFrame([(f"v{k}",) for k in range(7)],
+                                "name string")
+    append_delta(spark, add, t, ts_ms=2000)
+    got = read_delta_snapshot(spark, t)
+    uids = [r.uid for r in got.collect()]
+    assert len(uids) == 12 and len(set(uids)) == 12        # unique
+    assert all(u is not None and u > 150 for u in uids if u > 150
+               ) and min(uids) == 110
+    assert all((u - 100) % 10 == 0 for u in uids)          # on the grid
+    rep = replay_log(spark, t)
+    hwm = next(f for f in rep.schema.fields
+               if f.name == "uid").metadata["delta.identity.highWaterMark"]
+    assert hwm == max(uids)
+    # a second generated append stays above the new watermark
+    append_delta(spark, add.limit(3), t, ts_ms=3000)
+    uids2 = [r.uid for r in read_delta_snapshot(spark, t).collect()]
+    assert len(set(uids2)) == 15 and min(set(uids2) - set(uids)) > hwm
+    # guards
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        update_where,
+    )
+    with pytest.raises(DeltaProtocolError, match="SET identity"):
+        update_where(spark, t, "name = 'u0'", {"uid": "uid + 1"},
+                     ts_ms=4000)
+    with pytest.raises(DeltaProtocolError, match="MERGE"):
+        merge_into(spark, t, read_delta_snapshot(spark, t), on=["uid"],
+                   when_matched_update={"name": "s.name"}, ts_ms=4000)
+    # DELETE preserves values and the watermark
+    delete_where(spark, t, "uid = 110", ts_ms=5000)
+    rep = replay_log(spark, t)
+    assert next(f for f in rep.schema.fields if f.name == "uid"
+                ).metadata["delta.identity.highWaterMark"] == \
+        max(uids2)
+
+
+def test_identity_generated_always_refuses_explicit(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    t = str(tmp_path / "identga")
+    schema = StructType([
+        StructField("uid", LongType(), True,
+                     {"delta.identity.start": 1,
+                      "delta.identity.step": 1,
+                      "delta.identity.allowExplicitInsert": False}),
+        StructField("name", StringType())])
+    create_delta_table(
+        spark, spark.createDataFrame([(1, "a")], schema), t, ts_ms=1000)
+    with pytest.raises(DeltaProtocolError, match="GENERATED ALWAYS"):
+        append_delta(spark, spark.createDataFrame([(9, "b")], schema), t,
+                     ts_ms=2000)
+    # without the column: generated fine
+    append_delta(spark, spark.createDataFrame([("b",), ("c",)],
+                                              "name string"), t, ts_ms=3000)
+    got = sorted(r.uid for r in read_delta_snapshot(spark, t).collect())
+    assert len(got) == 3 and len(set(got)) == 3 and got[0] == 1
