@@ -153,6 +153,7 @@ HEADLINE = [
     "iceberg_spec_evolved_agg",
     "uniform_iceberg_read_agg",
     "delta_identity_append_agg",
+    "delta_row_tracking_agg",
 ]
 
 EXTENSION_ROWS = {

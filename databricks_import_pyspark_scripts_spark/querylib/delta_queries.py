@@ -1330,3 +1330,77 @@ def delta_identity_append_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("uid").alias("min_uid"),
                  F.max("uid").alias("max_uid"))
             .select("event_type", "n", "sum_uid", "min_uid", "max_uid"))
+
+
+_RT_V0, _RT_V1 = "event_id % 4 = 2", "event_id % 4 = 3"
+_RT_DEAD = "event_id % 5 = 2"
+
+
+def _staged_row_tracking_table(spark: SparkSession, sf_dir: str) -> str:
+    """Row-tracked table: create + append claim baseRowId ranges (sorted
+    single-partition staging makes the fresh row ids deterministic),
+    then a DV DELETE kills rows WITHOUT moving any survivor's id."""
+    from ..sinks.delta_writer import (
+        append_delta,
+        create_delta_table,
+        delete_where,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_delta_rt_gate_{tag}_v1")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        e = (load_table(spark, sf_dir, "events")
+             .select("event_id", "event_type", "value"))
+        create_delta_table(
+            spark, e.filter(F.expr(_RT_V0)).orderBy("event_id")
+            .coalesce(1), path, ts_ms=_BASE_TS_MS,
+            configuration={"delta.enableRowTracking": "true"})
+        append_delta(spark, e.filter(F.expr(_RT_V1)).orderBy("event_id")
+                     .coalesce(1), path, ts_ms=_BASE_TS_MS + 1000)
+        delete_where(spark, path, _RT_DEAD, ts_ms=_BASE_TS_MS + 2000,
+                     use_dv=True)
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "delta_row_tracking_agg",
+    f"""
+    WITH base AS (
+      SELECT event_id, event_type,
+             CAST(ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS BIGINT)
+                 AS rid
+      FROM events WHERE {_RT_V0}),
+    grown AS (
+      SELECT event_id, event_type,
+             (SELECT COUNT(*) FROM base)
+             + CAST(ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS BIGINT)
+                 AS rid
+      FROM events WHERE {_RT_V1}),
+    live AS (SELECT * FROM base UNION ALL SELECT * FROM grown)
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(rid) AS BIGINT) AS sum_row_id
+    FROM live WHERE NOT ({_RT_DEAD})
+    GROUP BY event_type
+    """,
+    doc="ROW TRACKING through the jar-less writer (sinks/delta_writer.py "
+        "_assign_base_row_ids + sources/delta_log.py "
+        "read_delta_snapshot_with_row_ids): create and append claim "
+        "disjoint baseRowId ranges above the delta.rowTracking domain "
+        "watermark; a DV DELETE then kills rows while every survivor's "
+        "_row_id = baseRowId + position stays EXACTLY where it was "
+        "(files never move under DVs). Per-type SUM(_row_id) "
+        "value-checks every id against the oracle's ROW_NUMBER replay.")
+def delta_row_tracking_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.delta_log import read_delta_snapshot_with_row_ids
+
+    path = _staged_row_tracking_table(spark, sf_dir)
+    return (read_delta_snapshot_with_row_ids(spark, path)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("_row_id").alias("sum_row_id"))
+            .select("event_type", "n", "sum_row_id"))

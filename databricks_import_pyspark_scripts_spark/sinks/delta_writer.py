@@ -92,6 +92,12 @@ SUPPORTED_WRITER_FEATURES = {
     # every commit path stamps the monotonic inCommitTimestamp when the
     # table config enables it (_stamp_ict), so the invariant holds
     "inCommitTimestamp",
+    # replay tracks live domains; checkpoints carry them; ops never
+    # mutate another writer's domain
+    "domainMetadata",
+    # append/DV paths assign baseRowId ranges + advance the watermark;
+    # rewrite paths refuse loudly (_rt_enabled guards)
+    "rowTracking",
 }
 
 
@@ -337,6 +343,96 @@ def _identity_hwm_update(rep, adds: list[dict],
             f["metadata"] = meta
     md["schemaString"] = json.dumps(sch)
     return md
+
+
+def set_domain_metadata(spark: SparkSession, table_path: str,
+                        domain: str, configuration: str,
+                        removed: bool = False,
+                        ts_ms: int | None = None) -> int:
+    """Commit a ``domainMetadata`` action (PROTOCOL.md "Domain Metadata"):
+    named per-table writer state — the mechanism behind row tracking's
+    high watermark, clustering metadata, and user domains. Last writer
+    wins per domain; ``removed=True`` deletes the entry. Upgrades the
+    protocol to declare the feature in the same commit when absent.
+    Strict commit (domain state is read-dependent)."""
+    ts = _now_ms(ts_ms)
+    rep = replay_log(spark, table_path)
+    _check_writable(rep.metadata, rep.protocol, "set-domain-metadata")
+    actions: list[dict] = [
+        {"commitInfo": {"timestamp": ts, "operation": "SET DOMAIN METADATA",
+                        "operationParameters": {"domain": domain}}}]
+    feats_w = set(rep.protocol.get("writerFeatures") or ())
+    if not (int(rep.protocol.get("minWriterVersion", 1)) >= 7
+            and "domainMetadata" in feats_w):
+        legacy = {2: {"appendOnly", "invariants"},
+                  3: {"appendOnly", "invariants", "checkConstraints"}}
+        base = legacy.get(int(rep.protocol.get("minWriterVersion", 2)),
+                          {"appendOnly", "invariants", "checkConstraints",
+                           "changeDataFeed", "generatedColumns",
+                           "columnMapping", "identityColumns"})
+        actions.append({"protocol": {
+            **rep.protocol, "minWriterVersion": 7,
+            "writerFeatures": sorted(feats_w | base | {"domainMetadata"})}})
+    actions.append({"domainMetadata": {"domain": domain,
+                                       "configuration": configuration,
+                                       "removed": bool(removed)}})
+    return _strict_commit(spark, table_path, rep.version + 1, actions,
+                          "set-domain-metadata", metadata=rep.metadata)
+
+
+_RT_DOMAIN = "delta.rowTracking"
+
+
+def _rt_enabled(metadata: dict | None) -> bool:
+    return str(((metadata or {}).get("configuration") or {}).get(
+        "delta.enableRowTracking", "")).lower() == "true"
+
+
+def _assign_base_row_ids(domains: dict, adds: list[dict],
+                         commit_version: int) -> list[dict]:
+    """ROW TRACKING (PROTOCOL.md): stamp each fresh add action with
+    ``baseRowId`` (a range claimed above the table's row-id high
+    watermark — a file's row i has fresh row id baseRowId + i) and
+    ``defaultRowCommitVersion``; returns the ``domainMetadata`` action
+    advancing the watermark (stored in the ``delta.rowTracking`` system
+    domain). Range sizes come from the staged stats' numRecords — a file
+    without the stat refuses loudly. Mutates ``adds`` in place; [] when
+    nothing was staged."""
+    if not adds:
+        return []
+    try:
+        cfg = json.loads(domains.get(_RT_DOMAIN) or "{}")
+    except ValueError:
+        cfg = {}
+    next_id = int(cfg.get("rowIdHighWaterMark", -1)) + 1
+    for a in sorted(adds, key=lambda a: a["path"]):
+        stats = a.get("stats")
+        if isinstance(stats, str):
+            stats = json.loads(stats) if stats else None
+        nrec = (stats or {}).get("numRecords")
+        if nrec is None:
+            raise DeltaProtocolError(
+                "row tracking needs numRecords stats on every staged "
+                "file to claim a baseRowId range")
+        a["baseRowId"] = next_id
+        a["defaultRowCommitVersion"] = commit_version
+        next_id += int(nrec)
+    return [{"domainMetadata": {
+        "domain": _RT_DOMAIN,
+        "configuration": json.dumps({"rowIdHighWaterMark": next_id - 1}),
+        "removed": False}}]
+
+
+def _compute_generated(df: DataFrame, schema) -> DataFrame:
+    """Fill ABSENT generated columns from their declared
+    ``delta.generationExpression`` (Delta computes them at write time
+    when the writer does not supply a value); PRESENT columns stay
+    validated by ``_enforce_constraints`` (value <=> expression)."""
+    for f in schema.fields:
+        gen = (f.metadata or {}).get("delta.generationExpression")
+        if gen and f.name not in df.columns:
+            df = df.withColumn(f.name, F.expr(gen).cast(f.dataType))
+    return df
 
 
 def _create_schema_string(df: DataFrame, adds: list[dict]) -> str:
@@ -677,6 +773,20 @@ def create_delta_table(spark: SparkSession, df: DataFrame, table_path: str,
                     "minWriterVersion": (6 if has_identity
                                          else 4 if cdf
                                          else 3 if has_cons else 2)}
+    if _rt_enabled({"configuration": conf}):
+        feats_w = set(protocol.get("writerFeatures") or ())
+        if not feats_w:
+            feats_w = {"appendOnly", "invariants"}
+            mw = protocol["minWriterVersion"]
+            if mw >= 3:
+                feats_w.add("checkConstraints")
+            if mw >= 4:
+                feats_w.add("changeDataFeed")
+            if mw >= 6:
+                feats_w.add("identityColumns")
+        feats_w |= {"rowTracking", "domainMetadata"}
+        protocol = {**protocol, "minWriterVersion": 7,
+                    "writerFeatures": sorted(feats_w)}
     if _ict_enabled({"configuration": conf}):
         # ICT is a table-features-only writer feature: upgrade the
         # protocol to v7, listing the legacy-implied features explicitly
@@ -701,6 +811,8 @@ def create_delta_table(spark: SparkSession, df: DataFrame, table_path: str,
                       "partitionColumns": part_cols,
                       "configuration": conf,
                       "createdTime": ts}},
+        *(_assign_base_row_ids({}, adds, 0)
+          if _rt_enabled({"configuration": conf}) else []),
         *({"add": {**a, "dataChange": True}} for a in adds),
     ]
     _stamp_ict(spark, table_path, {"configuration": conf}, actions, 0)
@@ -775,6 +887,7 @@ def append_delta(spark: SparkSession, df: DataFrame, table_path: str,
     if txn_app_id is not None and             rep.txns.get(txn_app_id, -1) >= txn_version:
         return rep.version  # already committed: idempotent replay
     df, _ = _generate_identity(df, rep.schema)
+    df = _compute_generated(df, rep.schema)
     meta_action: list[dict] = []
     ordered = None
     if merge_schema:
@@ -811,10 +924,15 @@ def append_delta(spark: SparkSession, df: DataFrame, table_path: str,
         # the watermark update rides the commit; meta_action also makes
         # the append STRICT (a racer may have advanced the watermark)
         meta_action = [{"metaData": id_md}]
+    rt_actions: list[dict] = []
+    if _rt_enabled(rep.metadata):
+        rt_actions = _assign_base_row_ids(rep.domains, adds,
+                                          rep.version + 1)
     actions = [
         {"commitInfo": {"timestamp": ts, "operation": "WRITE",
                         "operationParameters": {"mode": "Append"}}},
         *meta_action,
+        *rt_actions,
         *([{"txn": {"appId": txn_app_id, "version": int(txn_version),
                     "lastUpdated": ts}}] if txn_app_id is not None else []),
         *({"add": {**a, "dataChange": True}} for a in adds),
@@ -828,6 +946,11 @@ def append_delta(spark: SparkSession, df: DataFrame, table_path: str,
             return version
         # lost the race: rebase on the new head, re-verifying that what we
         # staged is still a valid blind append of this table
+        if rt_actions:
+            raise ConcurrentWriteError(
+                f"row-tracked append to {table_path} lost its commit "
+                f"race (the racer may have claimed the same baseRowId "
+                f"range); rerun to rebase")
         if meta_action:
             raise ConcurrentWriteError(
                 f"schema-evolving append to {table_path} lost its commit "
@@ -925,16 +1048,20 @@ def overwrite_delta(spark: SparkSession, df: DataFrame, table_path: str,
     rep = replay_log(spark, table_path)
     _check_writable(rep.metadata, rep.protocol, "overwrite")
     df, _ = _generate_identity(df, rep.schema)
+    df = _compute_generated(df, rep.schema)
     adds = _stage_files(spark, _ordered(df, rep), table_path,
                         rep.partition_columns, ts,
                         max_records_per_file=max_records_per_file,
                         rep=rep)
     _enforce_constraints(spark, table_path, rep, adds, "overwrite")
     id_md = _identity_hwm_update(rep, adds)
+    rt_actions = (_assign_base_row_ids(rep.domains, adds, rep.version + 1)
+                  if _rt_enabled(rep.metadata) else [])
     actions = [
         {"commitInfo": {"timestamp": ts, "operation": "WRITE",
                         "operationParameters": {"mode": "Overwrite"}}},
         *([{"metaData": id_md}] if id_md is not None else []),
+        *rt_actions,
         *({"add": {**a, "dataChange": True}} for a in adds),
         *({"remove": {"path": a["path"], "deletionTimestamp": ts,
                       "dataChange": True,
@@ -958,6 +1085,11 @@ def _rewrite_op(spark: SparkSession, table_path: str, predicate: str,
     _check_writable(rep.metadata, rep.protocol, op)
     if check is not None:
         check(rep)          # op-specific refusals (e.g. SET on identity)
+    if _rt_enabled(rep.metadata):
+        raise DeltaProtocolError(
+            f"rewrite-path {op.upper()} on a row-tracked table would "
+            f"lose the rewritten rows' ids (no materialized row-id "
+            f"column here); use the DV path (use_dv=True)")
     if not rep.files:
         return rep.version  # empty table: nothing to do, no commit
     pred = F.expr(predicate)
@@ -1180,6 +1312,11 @@ def _dv_row_op(spark: SparkSession, table_path: str, predicate: str,
         new_adds = _stage_files(spark, updated, table_path,
                                 rep.partition_columns, ts, rep=rep)
         _enforce_constraints(spark, table_path, rep, new_adds, op)
+        if _rt_enabled(rep.metadata):
+            # post-update images are NEW rows id-wise (no materialized
+            # row-id column to carry the old ids): claim fresh ranges
+            actions += _assign_base_row_ids(rep.domains, new_adds,
+                                            rep.version + 1)
         actions += [{"add": {**a, "dataChange": True}} for a in new_adds]
         cdc_df = None
         if _cdf_enabled(rep.metadata):
@@ -1304,10 +1441,16 @@ def _cp_schema_and_rows(rep, tombstone_retention_ms: int,
                     MapType(StringType(), StringType(),
                             valueContainsNull=True)),
     ])
+    domain_t = StructType([
+        StructField("domain", StringType()),
+        StructField("configuration", StringType()),
+        StructField("removed", BooleanType()),
+    ])
     cp_schema = StructType([
         StructField("protocol", proto_t), StructField("metaData", meta_t),
         StructField("add", add_t), StructField("txn", txn_t),
         StructField("remove", remove_t),
+        StructField("domainMetadata", domain_t),
     ])
 
     md = rep.metadata
@@ -1329,6 +1472,15 @@ def _cp_schema_and_rows(rep, tombstone_retention_ms: int,
              "configuration": md.get("configuration") or {},
              "createdTime": md.get("createdTime")}},
     ]
+    # live domain metadata survives log-cleanup via the checkpoint
+    # (PROTOCOL.md: a checkpoint carries the latest un-removed action
+    # per domain; removed domains need no tombstone)
+    for domain, config in sorted(rep.domains.items()):
+        rows.append({"protocol": None, "metaData": None, "add": None,
+                     "txn": None,
+                     "domainMetadata": {"domain": domain,
+                                        "configuration": config,
+                                        "removed": False}})
     # streaming transaction watermarks survive log-cleanup via the
     # checkpoint (PROTOCOL.md requires the latest txn per appId)
     for app_id, v in sorted(rep.txns.items()):
@@ -1769,10 +1921,19 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
         _enforce_constraints(spark, table_path, rep, adds, "merge")
     if dv_mode and dv_actions is None and not adds:
         return rep.version  # insert clause present but zero insert rows
+    rt_actions: list[dict] = []
+    if _rt_enabled(rep.metadata):
+        if affected:
+            raise DeltaProtocolError(
+                "rewrite-path MERGE on a row-tracked table would lose "
+                "the rewritten rows' ids; use use_dv=True")
+        rt_actions = _assign_base_row_ids(rep.domains, adds,
+                                          rep.version + 1)
     actions: list[dict] = [
         {"commitInfo": {"timestamp": ts, "operation": "MERGE",
                         "operationParameters": {"predicate": " AND ".join(on)}}},
         *(dv_actions or ()),
+        *rt_actions,
         *({"add": {**a, "dataChange": True}} for a in adds),
         *({"remove": {"path": a["path"], "deletionTimestamp": ts,
                       "dataChange": True,
@@ -1880,6 +2041,10 @@ def optimize_delta(spark: SparkSession, table_path: str,
     ts = _now_ms(ts_ms)
     rep = replay_log(spark, table_path)
     _check_writable(rep.metadata, rep.protocol, "optimize")
+    if _rt_enabled(rep.metadata):
+        raise DeltaProtocolError(
+            "OPTIMIZE on a row-tracked table would lose the rewritten "
+            "rows' ids (no materialized row-id column here)")
     if not rep.files:
         return rep.version
     if zorder_by:

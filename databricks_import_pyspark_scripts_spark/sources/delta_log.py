@@ -148,6 +148,11 @@ class _Replay:
     #: the retention window — this is where the checkpoint writer and
     #: vacuum's removal-timestamp recovery read them from.
     tombstones: dict[str, dict] = field(default_factory=dict)
+    #: live domain metadata (PROTOCOL.md "Domain Metadata"): domain name
+    #: -> configuration string; a removed=true action deletes the entry.
+    #: System domains (delta.*) carry writer state like the row-tracking
+    #: high watermark.
+    domains: dict[str, str] = field(default_factory=dict)
 
     @property
     def schema(self) -> StructType:
@@ -369,7 +374,8 @@ def _latest_checkpoint_version(spark: SparkSession, log: str,
     return versions[-1] if versions else None
 
 
-_CP_ACTION_KEYS = ("add", "remove", "metaData", "protocol", "txn", "sidecar")
+_CP_ACTION_KEYS = ("add", "remove", "metaData", "protocol", "txn",
+                   "domainMetadata", "sidecar")
 
 
 def _read_parquet_actions(spark: SparkSession, path: str) -> list[dict]:
@@ -411,7 +417,7 @@ def _checkpoint_actions(spark: SparkSession, log: str,
                 actions.extend(a for a in
                                _read_parquet_actions(spark, side_path)
                                if "add" in a or "remove" in a)
-            elif any(k in action for k in _CP_ACTION_KEYS[:5]):
+            elif any(k in action for k in _CP_ACTION_KEYS[:6]):
                 actions.append(action)
             # checkpointMetadata: structural marker, nothing to replay
     return actions
@@ -484,7 +490,8 @@ def replay_log(spark: SparkSession, table_path: str,
         for action in _checkpoint_actions(
                 spark, log, _checkpoint_parts(names, cp_version)):
             metadata, protocol = _apply(action, files, metadata, protocol,
-                                        rep.txns, rep.tombstones)
+                                        rep.txns, rep.tombstones,
+                                        rep.domains)
         start = cp_version + 1
     # every version in (start, target] must still have its commit file —
     # a cleaned-up (vacuumed) log prefix below the checkpoint is fine, a
@@ -507,7 +514,8 @@ def replay_log(spark: SparkSession, table_path: str,
             if "commitInfo" in action and ts is None:
                 ts = action["commitInfo"].get("timestamp")
             metadata, protocol = _apply(action, files, metadata, protocol,
-                                        rep.txns, rep.tombstones)
+                                        rep.txns, rep.tombstones,
+                                        rep.domains)
         if collect_from is not None and v >= collect_from:
             rep.commit_actions[v] = acts
             rep.commit_ts_ms[v] = int(ts if ts is not None
@@ -605,8 +613,9 @@ def _logicalize_partition_values(rep: _Replay) -> None:
 def _apply(action: dict, files: dict[str, dict],
            metadata: dict | None, protocol: dict,
            txns: dict[str, int] | None = None,
-           tombstones: dict[str, dict] | None = None) -> tuple[dict | None,
-                                                               dict]:
+           tombstones: dict[str, dict] | None = None,
+           domains: dict[str, str] | None = None) -> tuple[dict | None,
+                                                           dict]:
     if "add" in action:
         files[action["add"]["path"]] = action["add"]
         if tombstones is not None:
@@ -619,6 +628,12 @@ def _apply(action: dict, files: dict[str, dict],
         metadata = action["metaData"]
     elif "protocol" in action:
         protocol = action["protocol"]
+    elif "domainMetadata" in action and domains is not None:
+        dm = action["domainMetadata"]
+        if dm.get("removed"):
+            domains.pop(dm.get("domain"), None)
+        elif dm.get("domain") is not None:
+            domains[dm["domain"]] = dm.get("configuration")
     elif "txn" in action and txns is not None:
         t = action["txn"]
         if t.get("appId") is not None and t.get("version") is not None:
@@ -1358,3 +1373,42 @@ def delta_table_detail(spark: SparkSession, table_path: str) -> DataFrame:
         StructField("writer_features", ArrayType(StringType())),
     ])
     return spark.createDataFrame([row], schema)
+
+
+def read_delta_snapshot_with_row_ids(spark: SparkSession, table_path: str,
+                                     version: int | None = None
+                                     ) -> DataFrame:
+    """Snapshot carrying the FRESH row ids row tracking defines:
+    ``_row_id`` = the file's ``baseRowId`` + the row's position, plus
+    ``_row_commit_version`` from ``defaultRowCommitVersion``. Stable
+    under DV delete/update (files never move; dead positions just drop
+    out) — the writer refuses the rewrite paths that would invalidate
+    them. Raises when any live file lacks a baseRowId (table not
+    row-tracked, or written by a non-assigning writer)."""
+    rep = replay_log(spark, table_path, version)
+    missing = [p for p, a in rep.files.items() if a.get("baseRowId") is None]
+    if missing:
+        raise DeltaProtocolError(
+            f"{len(missing)} live file(s) carry no baseRowId; row ids "
+            f"are unavailable (enable delta.enableRowTracking and write "
+            f"through this writer)")
+    scan = _scan_files(spark, table_path, rep, list(rep.files.values()),
+                       keep_row_index=True)
+    if scan is None:
+        from pyspark.sql.types import LongType, StructField, StructType
+        empty = StructType(list(rep.schema.fields)
+                           + [StructField("_row_id", LongType()),
+                              StructField("_row_commit_version",
+                                          LongType())])
+        return spark.createDataFrame([], empty)
+    rows = [(_action_base(table_path, p), int(a["baseRowId"]),
+             int(a.get("defaultRowCommitVersion") or -1))
+            for p, a in rep.files.items()]
+    base_df = spark.createDataFrame(
+        rows, f"{_FILE_BASE} string, __base_row_id long, __rcv long")
+    out = (scan.join(F.broadcast(base_df), _FILE_BASE, "left")
+           .withColumn("_row_id",
+                       F.col("__base_row_id") + F.col(_ROW_INDEX))
+           .withColumn("_row_commit_version", F.col("__rcv")))
+    return out.select(*[f.name for f in rep.schema.fields],
+                      "_row_id", "_row_commit_version")

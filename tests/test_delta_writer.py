@@ -1900,3 +1900,81 @@ def test_identity_generated_always_refuses_explicit(spark, tmp_path):
                                               "name string"), t, ts_ms=3000)
     got = sorted(r.uid for r in read_delta_snapshot(spark, t).collect())
     assert len(got) == 3 and len(set(got)) == 3 and got[0] == 1
+
+
+def test_domain_metadata_roundtrip_and_checkpoint(spark, tmp_path):
+    """set_domain_metadata: last-writer-wins per domain, removed=True
+    deletes, the protocol upgrades in-commit, and live domains survive
+    log cleanup through BOTH checkpoint forms."""
+    from databricks_import_pyspark_scripts_spark.delta import DeltaTable
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        set_domain_metadata,
+    )
+
+    t = str(tmp_path / "dom")
+    create_delta_table(spark, _frame(spark, 0, 10), t, ts_ms=1000)
+    set_domain_metadata(spark, t, "app.pipeline", '{"run": 1}', ts_ms=2000)
+    set_domain_metadata(spark, t, "app.other", "x", ts_ms=3000)
+    set_domain_metadata(spark, t, "app.pipeline", '{"run": 2}', ts_ms=4000)
+    rep = replay_log(spark, t)
+    assert "domainMetadata" in rep.protocol["writerFeatures"]
+    assert rep.domains == {"app.pipeline": '{"run": 2}', "app.other": "x"}
+    set_domain_metadata(spark, t, "app.other", "", removed=True,
+                        ts_ms=5000)
+    assert replay_log(spark, t).domains == {"app.pipeline": '{"run": 2}'}
+    # classic checkpoint carries the live domain across log cleanup
+    write_classic_checkpoint(spark, t)
+    dt = DeltaTable(spark, t)
+    assert dt.cleanup_metadata(log_retention_ms=0)
+    rep = replay_log(spark, t)
+    assert rep.domains == {"app.pipeline": '{"run": 2}'}
+    assert _ks(read_delta_snapshot(spark, t)) == list(range(10))
+
+
+def test_row_tracking_assigns_and_survives_dv_ops(spark, tmp_path):
+    """Row tracking: create/append claim disjoint baseRowId ranges and
+    advance the delta.rowTracking watermark; _row_id is unique and
+    positionally stable under DV delete/update; rewrite-path ops and
+    OPTIMIZE refuse loudly."""
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        optimize_delta,
+        update_where,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.delta_log import (
+        read_delta_snapshot_with_row_ids,
+    )
+
+    t = str(tmp_path / "rt")
+    create_delta_table(
+        spark, _frame(spark, 0, 50), t, ts_ms=1000,
+        configuration={"delta.enableRowTracking": "true"})
+    rep = replay_log(spark, t)
+    assert "rowTracking" in rep.protocol["writerFeatures"]
+    assert all(a.get("baseRowId") is not None for a in rep.files.values())
+    wm0 = json.loads(rep.domains["delta.rowTracking"])["rowIdHighWaterMark"]
+    assert wm0 == 49
+    append_delta(spark, _frame(spark, 50, 70), t, ts_ms=2000)
+    rep = replay_log(spark, t)
+    wm1 = json.loads(rep.domains["delta.rowTracking"])["rowIdHighWaterMark"]
+    assert wm1 == 69
+    got = read_delta_snapshot_with_row_ids(spark, t)
+    ids = [r._row_id for r in got.collect()]
+    assert len(ids) == 70 and len(set(ids)) == 70
+    assert set(ids) == set(range(70))
+    # row id of a specific row, then DV-delete others: it must not move
+    anchor = {(r.k, r._row_id) for r in got.collect()}
+    delete_where(spark, t, "k % 7 = 0", ts_ms=3000, use_dv=True)
+    after = {(r.k, r._row_id) for r in
+             read_delta_snapshot_with_row_ids(spark, t).collect()}
+    assert after == {(k, i) for k, i in anchor if k % 7 != 0}
+    # DV update: surviving rows keep ids, post-images get FRESH ids
+    update_where(spark, t, "k = 1", {"v": "v + 1"}, ts_ms=4000,
+                 use_dv=True)
+    upd = {r.k: r._row_id for r in
+           read_delta_snapshot_with_row_ids(spark, t).collect()}
+    assert upd[2] == dict(anchor)[2] and upd[1] > wm1
+    # rewrite paths refuse
+    with pytest.raises(DeltaProtocolError, match="row-tracked"):
+        delete_where(spark, t, "k = 3", ts_ms=5000)
+    with pytest.raises(DeltaProtocolError, match="row-tracked"):
+        optimize_delta(spark, t, ts_ms=5000)
