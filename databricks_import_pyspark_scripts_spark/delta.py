@@ -161,6 +161,30 @@ class DeltaTable:
         return _w.write_v2_checkpoint(self.spark, self.path,
                                       version=version)
 
+    def set_properties(self, properties: dict[str, str] | None = None,
+                       unset: list[str] | tuple[str, ...] = ()) -> int:
+        return _w.set_table_properties(self.spark, self.path,
+                                       properties, unset=unset)
+
+    def add_columns(self, new_columns: list[tuple[str, str]]) -> int:
+        return _w.add_columns(self.spark, self.path, new_columns)
+
+    def set_domain_metadata(self, domain: str, configuration: str,
+                            removed: bool = False) -> int:
+        return _w.set_domain_metadata(self.spark, self.path, domain,
+                                      configuration, removed=removed)
+
+    def clone_to(self, dst_table: str, version: int | None = None,
+                 shallow: bool = True) -> None:
+        _w.clone_delta(self.spark, self.path, dst_table,
+                       version=version, shallow=shallow)
+
+    def history(self):
+        return _r.delta_history(self.spark, self.path)
+
+    def detail(self):
+        return _r.delta_table_detail(self.spark, self.path)
+
     def vacuum(self, retention_hours: float = 168.0,
                now_ms: int | None = None,
                dry_run: bool = False) -> list[str]:

@@ -2215,3 +2215,130 @@ def clone_delta(spark: SparkSession, src_table: str, dst_table: str,
                           _commit_payload(actions)):
         raise ConcurrentWriteError(
             f"another writer created {dst_table} concurrently")
+
+
+# ---------------------------------------------------------------------------
+# ALTER TABLE verbs (metadata-only commits)
+
+def set_table_properties(spark: SparkSession, table_path: str,
+                         properties: dict[str, str] | None = None,
+                         unset: list[str] | tuple[str, ...] = (),
+                         ts_ms: int | None = None) -> int:
+    """``ALTER TABLE SET/UNSET TBLPROPERTIES``: one metadata-only commit
+    merging ``properties`` into (and dropping ``unset`` from) the table
+    configuration. Feature-gated properties upgrade the protocol in the
+    same commit: enabling CDF declares changeDataFeed, enabling
+    in-commit timestamps declares the v7 feature AND records the spec's
+    enablement provenance (version + timestamp — readers know the
+    pre-enablement history keeps file-timestamp semantics). Enabling
+    ROW TRACKING on a non-empty table refuses: existing files carry no
+    baseRowId and this writer has no backfill."""
+    ts = _now_ms(ts_ms)
+    rep = replay_log(spark, table_path)
+    _check_writable(rep.metadata, rep.protocol, "set-properties")
+    conf = dict(rep.metadata.get("configuration") or {})
+    props = dict(properties or {})
+    for k in unset:
+        conf.pop(k, None)
+    conf.update({k: str(v) for k, v in props.items()})
+    if _rt_enabled({"configuration": props}) and rep.files:
+        raise DeltaProtocolError(
+            "enabling row tracking on a non-empty table needs a "
+            "baseRowId backfill this writer does not perform")
+
+    protocol = dict(rep.protocol)
+    def _need_feature(feat: str) -> None:
+        feats_w = set(protocol.get("writerFeatures") or ())
+        if int(protocol.get("minWriterVersion", 1)) >= 7 \
+                and feat in feats_w:
+            return
+        if not feats_w:
+            feats_w = {"appendOnly", "invariants"}
+            mw = int(protocol.get("minWriterVersion", 2))
+            if mw >= 3:
+                feats_w.add("checkConstraints")
+            if mw >= 4:
+                feats_w.add("changeDataFeed")
+            if mw >= 6:
+                feats_w.add("identityColumns")
+        feats_w.add(feat)
+        protocol.update({"minWriterVersion": 7,
+                         "writerFeatures": sorted(feats_w)})
+
+    md = dict(rep.metadata)
+    if _cdf_enabled({"configuration": props}) and \
+            not _cdf_enabled(rep.metadata):
+        if int(protocol.get("minWriterVersion", 1)) < 4 \
+                and not protocol.get("writerFeatures"):
+            protocol["minWriterVersion"] = 4
+        else:
+            _need_feature("changeDataFeed")
+    if _ict_enabled({"configuration": props}) and \
+            not _ict_enabled(rep.metadata):
+        _need_feature("inCommitTimestamp")
+        conf["delta.inCommitTimestampEnablementVersion"] = \
+            str(rep.version + 1)
+        conf["delta.inCommitTimestampEnablementTimestamp"] = str(ts)
+    if _rt_enabled({"configuration": props}):
+        _need_feature("rowTracking")
+        _need_feature("domainMetadata")
+    md["configuration"] = conf
+    actions: list[dict] = [
+        {"commitInfo": {"timestamp": ts,
+                        "operation": "SET TBLPROPERTIES",
+                        "operationParameters": {
+                            "properties": json.dumps(props)}}},
+        *([{"protocol": protocol}] if protocol != rep.protocol else []),
+        {"metaData": md},
+    ]
+    return _strict_commit(spark, table_path, rep.version + 1, actions,
+                          "set-properties", metadata=md)
+
+
+def add_columns(spark: SparkSession, table_path: str,
+                new_columns: list[tuple[str, str]],
+                ts_ms: int | None = None) -> int:
+    """``ALTER TABLE ADD COLUMNS``: widen the schema with NULLABLE
+    ``(name, sql_type)`` columns in one metadata-only commit — rows in
+    existing files read back NULL for them (no data rewrite, the Delta
+    schema-evolution contract). Column-mapped tables (name mode) get a
+    fresh physicalName + columnMapping.id per new column and an advanced
+    maxColumnId; id mode works the same way (ids resolve the parquet
+    side)."""
+    from pyspark.sql.types import StructField, _parse_datatype_string
+
+    ts = _now_ms(ts_ms)
+    rep = replay_log(spark, table_path)
+    _check_writable(rep.metadata, rep.protocol, "add-columns")
+    existing = {f.name for f in rep.schema.fields}
+    dup = [n for n, _ in new_columns if n in existing]
+    if dup:
+        raise ValueError(f"columns already exist: {dup}")
+    mode = _mapping_mode_of(rep)
+    conf = dict(rep.metadata.get("configuration") or {})
+    max_id = int(conf.get("delta.columnMapping.maxColumnId") or 0)
+    sch = json.loads(rep.metadata["schemaString"])
+    for name, sql_type in new_columns:
+        dt = _parse_datatype_string(sql_type)
+        f = StructField(name, dt, True).jsonValue()
+        if mode != "none":
+            max_id += 1
+            f["metadata"] = {
+                "delta.columnMapping.id": max_id,
+                "delta.columnMapping.physicalName":
+                    f"col-{uuid.uuid4()}"}
+        sch["fields"].append(f)
+    md = dict(rep.metadata)
+    md["schemaString"] = json.dumps(sch)
+    if mode != "none":
+        conf["delta.columnMapping.maxColumnId"] = str(max_id)
+        md["configuration"] = conf
+    actions: list[dict] = [
+        {"commitInfo": {"timestamp": ts, "operation": "ADD COLUMNS",
+                        "operationParameters": {
+                            "columns": json.dumps(
+                                [n for n, _ in new_columns])}}},
+        {"metaData": md},
+    ]
+    return _strict_commit(spark, table_path, rep.version + 1, actions,
+                          "add-columns", metadata=rep.metadata)

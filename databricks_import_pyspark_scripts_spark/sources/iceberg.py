@@ -1847,6 +1847,118 @@ def drop_iceberg_ref(spark: SparkSession, table_path: str, name: str,
     return v + 1
 
 
+def rewrite_iceberg_manifests(spark: SparkSession, table_path: str,
+                              ts_ms: int | None = None) -> int | None:
+    """RewriteManifests — the metadata half of the maintenance triad
+    (compact files / rewrite manifests / expire snapshots): consolidate
+    the current snapshot's DATA manifests into ONE manifest per
+    partition spec. Every live entry is rewritten as EXISTING with an
+    EXPLICIT data sequence number (the resolved own-or-inherited value —
+    the writer-side obligation of the ADDED-only inheritance rule;
+    equality-delete scoping would otherwise inflate), keeping its
+    original snapshot id. Delete manifests ride along untouched. NO
+    data file moves — planning cost is what drops: a table that
+    accumulated one manifest per append scans one manifest per spec
+    afterwards. Returns the new snapshot id, or None when there is
+    nothing to consolidate (<= 1 data manifest). Single-writer local-FS
+    maintenance verb, CAS at head+1."""
+    import uuid as _uuid
+
+    from ..sinks.delta_writer import _atomic_create
+
+    mdir, v, meta = _ref_commit_head(spark, table_path,
+                                     "rewrite_iceberg_manifests")
+    root = _strip_scheme(table_path)
+    snap = _snapshot(meta, None)
+    _, manifests = read_container(_read_bytes(
+        spark, _resolve_path(table_path, snap["manifest-list"])))
+    data_mfs = [m for m in manifests if int(m.get("content") or 0) == 0]
+    del_mfs = [m for m in manifests if int(m.get("content") or 0) == 1]
+    if len(data_mfs) <= 1:
+        return None
+
+    schema_fields = _current_schema(meta)["fields"]
+    src_by_id = {int(f["id"]): f for f in schema_fields
+                 if isinstance(f["type"], str)}
+    fv = int(meta.get("format-version", 1))
+    by_spec: dict[int, list[dict]] = {}
+    for m in data_mfs:
+        mf_seq = int(m.get("sequence_number") or 0)
+        _, entries = read_container(_read_bytes(
+            spark, _resolve_path(table_path, m["manifest_path"])))
+        for e in entries:
+            if int(e.get("status") or 0) == STATUS_DELETED:
+                continue
+            own = e.get("sequence_number")
+            if own is None and fv >= 2 and (
+                    int(e.get("status") or 0) != STATUS_ADDED):
+                raise IcebergProtocolError(
+                    "manifest entry status=EXISTING with null "
+                    "sequence_number (inheritance is ADDED-only)")
+            by_spec.setdefault(int(m.get("partition_spec_id") or 0),
+                               []).append({
+                "status": STATUS_EXISTING,
+                "snapshot_id": e.get("snapshot_id"),
+                "sequence_number": int(own) if own is not None
+                else mf_seq,
+                "data_file": dict(e["data_file"])})
+
+    new_seq = int(meta.get("last-sequence-number") or 0) + 1
+    snap_id = max((int(sn["snapshot-id"])
+                   for sn in meta.get("snapshots") or []), default=999) + 1
+    ts = (meta.get("last-updated-ms", 0) + 1 if ts_ms is None
+          else int(ts_ms))
+    tag = f"m{_uuid.uuid4().hex[:12]}"
+    new_manifests: list[dict] = []
+    for sid in sorted(by_spec):
+        spec = next((sp for sp in (meta.get("partition-specs") or [])
+                     if sp.get("spec-id", 0) == sid), {"fields": []})
+        part_by, transforms = [], []
+        for f in spec.get("fields") or []:
+            src = src_by_id[int(f["source-id"])]["name"]
+            t = f.get("transform") or "identity"
+            if t == "identity":
+                part_by.append(src)
+            else:
+                transforms.append((f["name"], t, src))
+        part_fields = _part_avro_fields(schema_fields, part_by,
+                                        transforms)
+        entries = sorted(by_spec[sid],
+                         key=lambda e: e["data_file"]["file_path"])
+        blob = write_container(_manifest_entry_schema(part_fields),
+                               entries)
+        mpath = os.path.join(mdir, f"manifest-{tag}-s{sid}.avro")
+        with open(mpath, "wb") as fh:
+            fh.write(blob)
+        new_manifests.append({
+            "manifest_path": mpath, "manifest_length": len(blob),
+            "partition_spec_id": sid, "content": 0,
+            "added_snapshot_id": snap_id,
+            "sequence_number": new_seq,
+            "min_sequence_number": min(e["sequence_number"]
+                                       for e in entries)})
+    mlpath = os.path.join(mdir, f"snap-{snap_id}-{tag}.avro")
+    with open(mlpath, "wb") as fh:
+        fh.write(write_container(_MANIFEST_FILE_SCHEMA,
+                                 new_manifests + list(del_mfs)))
+    new_meta = dict(meta)
+    new_meta["snapshots"] = list(meta.get("snapshots") or []) + [{
+        "snapshot-id": snap_id, "timestamp-ms": ts,
+        "sequence-number": new_seq, "manifest-list": mlpath,
+        "summary": {"operation": "replace"}}]
+    _advance_head(new_meta, snap_id)
+    new_meta["last-updated-ms"] = ts
+    new_meta["last-sequence-number"] = new_seq
+    if not _atomic_create(spark, os.path.join(mdir,
+                                              f"v{v + 1}.metadata.json"),
+                          json.dumps(new_meta).encode("utf-8")):
+        raise IcebergCommitConflict(
+            f"manifest rewrite of {table_path} lost a metadata commit "
+            f"race at v{v + 1}; rerun to replan")
+    _write_hint(mdir, v + 1)
+    return snap_id
+
+
 def expire_iceberg_snapshots(spark: SparkSession, table_path: str,
                              keep_last: int | None = None,
                              older_than_ms: int | None = None,

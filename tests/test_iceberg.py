@@ -2044,3 +2044,43 @@ def test_uniform_sync_rejections(spark, tmp_path):
     delete_where(spark, t, "k < 5", ts_ms=2000, use_dv=True)
     with pytest.raises(IcebergProtocolError, match="deletion vectors"):
         uniform_sync_iceberg(spark, t)
+
+
+def test_rewrite_manifests_consolidates_without_moving_data(spark, tmp_path):
+    """rewrite_iceberg_manifests: N append manifests collapse to one
+    EXISTING-entry manifest with explicit sequence numbers; rows,
+    time travel, and equality-delete scoping are unchanged; no data
+    file moves; a second rewrite is a no-op."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        iceberg_metadata_table,
+        rewrite_iceberg_manifests,
+        write_iceberg_equality_deletes,
+    )
+
+    t = str(tmp_path / "rwm")
+    commits = [spark.range(i * 10, (i + 1) * 10).selectExpr(
+        "id AS k", "CAST(id AS double) AS v") for i in range(4)]
+    write_iceberg_table(spark, commits, t)           # 4 data manifests
+    # an equality delete BEFORE the rewrite: strictly-older scoping must
+    # still kill the (seq-preserved) rows afterwards
+    dead = spark.createDataFrame([(5,), (15,)], "k long")
+    write_iceberg_equality_deletes(spark, t, dead, ["k"])
+    before = _ks(read_iceberg_snapshot(spark, t))
+    data_files_before = {f.file_path for f in iceberg_metadata_table(
+        spark, t, "files").collect()}
+    sid = rewrite_iceberg_manifests(spark, t)
+    assert sid is not None
+    mans = iceberg_metadata_table(spark, t, "manifests").collect()
+    assert sum(m.content == 0 for m in mans) == 1    # consolidated
+    assert _ks(read_iceberg_snapshot(spark, t)) == before
+    assert {f.file_path for f in iceberg_metadata_table(
+        spark, t, "files").collect()} == data_files_before
+    # time travel below the rewrite still works
+    assert _ks(read_iceberg_snapshot(spark, t, snapshot_id=1001)) == \
+        list(range(20))
+    # a LATER equality delete must not re-apply to preserved entries
+    # (their explicit seq numbers are old): it kills by strictly-older
+    dead2 = spark.createDataFrame([(25,)], "k long")
+    write_iceberg_equality_deletes(spark, t, dead2, ["k"])
+    assert _ks(read_iceberg_snapshot(spark, t)) == \
+        [k for k in range(40) if k not in (5, 15, 25)]
