@@ -154,6 +154,7 @@ HEADLINE = [
     "uniform_iceberg_read_agg",
     "delta_identity_append_agg",
     "delta_row_tracking_agg",
+    "text_tfidf_cosine_pairs",
 ]
 
 EXTENSION_ROWS = {

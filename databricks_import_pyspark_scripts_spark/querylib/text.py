@@ -1312,3 +1312,106 @@ def corpus_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_selected"),
                  F.round(F.sum("dsir_logw"), 2).alias("sum_logw"))
             .select("lang", "n_docs", "n_selected", "sum_logw"))
+
+
+_TFIDF_DF_FRAC = 0.06   # rare-token blocking: pair docs only via tokens
+_TFIDF_TOP = 20         # appearing in at most this fraction of the corpus
+
+
+@register(
+    "text_tfidf_cosine_pairs",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+    w AS (
+      SELECT tf.doc_id, tf.token,
+             tf.tf * (ln(((SELECT COUNT(*) FROM documents) + 1.0)
+                         / (dfreq.df + 1.0)) + 1.0) AS w
+      FROM tf JOIN dfreq USING (token)),
+    nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM tf a
+      JOIN tf b USING (token)
+      JOIN dfreq USING (token)
+      WHERE a.doc_id < b.doc_id
+        AND dfreq.df <= {_TFIDF_DF_FRAC} * (SELECT COUNT(*)
+                                            FROM documents)),
+    dots AS (
+      SELECT c.da, c.db, SUM(wa.w * wb.w) AS dot
+      FROM cand c
+      JOIN w wa ON wa.doc_id = c.da
+      JOIN w wb ON wb.doc_id = c.db AND wb.token = wa.token
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT da AS doc_a, db AS doc_b,
+             ROUND(dot / (na.nrm * nb.nrm), 4) AS cosine
+      FROM dots
+      JOIN nrm na ON na.doc_id = da
+      JOIN nrm nb ON nb.doc_id = db)
+    SELECT doc_a, doc_b, cosine, rank FROM (
+      SELECT doc_a, doc_b, cosine,
+             ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_a, doc_b)
+                 AS rank
+      FROM scored)
+    WHERE rank <= {_TFIDF_TOP}
+    """,
+    doc="TF-IDF cosine document similarity — the classic weighted IR "
+        "pairing, blocked on RARE tokens (df <= 6% of the corpus) so "
+        "the candidate join is |rare-token postings|^2 per token, "
+        "never all-pairs; "
+        "weights ln((N+1)/(df+1))+1 (smooth idf), dot products only over "
+        "shared tokens of candidate pairs, norms precomputed per doc. "
+        "At 100 TB: tf/df are two token-keyed aggregations (map-side "
+        "partials), the pair join hits only capped postings — the same "
+        "blocking discipline as the containment gate. Top-20 by rounded "
+        "cosine with id tiebreaks.")
+def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.text import tokens_col
+
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tf = (d.select("doc_id",
+                   F.explode(tokens_col(F.col("text"))).alias("token"))
+          .groupBy("doc_id", "token")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = (tf.join(dfreq, "token")
+         .select("doc_id", "token",
+                 (F.col("tf") * (F.log((F.lit(n_docs) + 1.0)
+                                       / (F.col("df") + 1.0)) + 1.0))
+                 .alias("w")))
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w")))
+                                  .alias("nrm"))
+    rare = dfreq.filter(F.col("df") <= _TFIDF_DF_FRAC * n_docs)\
+        .select("token")
+    post = tf.join(F.broadcast(rare), "token").select("token", "doc_id")
+    cand = (post.alias("a").join(post.alias("b"), "token")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("da"),
+                    F.col("b.doc_id").alias("db"))
+            .distinct())
+    wa = w.select(F.col("doc_id").alias("da"), "token",
+                  F.col("w").alias("wa"))
+    wb = w.select(F.col("doc_id").alias("db"), "token",
+                  F.col("w").alias("wb"))
+    dots = (cand.join(wa, "da").join(wb, ["db", "token"])
+            .groupBy("da", "db")
+            .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot")))
+    na = nrm.select(F.col("doc_id").alias("da"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("db"), F.col("nrm").alias("nb"))
+    scored = (dots.join(na, "da").join(nb, "db")
+              .select(F.col("da").alias("doc_a"),
+                      F.col("db").alias("doc_b"),
+                      F.round(F.col("dot") / (F.col("na") * F.col("nb")),
+                              4).alias("cosine")))
+    win = Window.orderBy(F.col("cosine").desc(), "doc_a", "doc_b")
+    return (scored.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= _TFIDF_TOP)
+            .select("doc_a", "doc_b", "cosine", "rank"))
