@@ -155,6 +155,7 @@ HEADLINE = [
     "delta_identity_append_agg",
     "delta_row_tracking_agg",
     "text_tfidf_cosine_pairs",
+    "text_quality_logreg",
 ]
 
 EXTENSION_ROWS = {

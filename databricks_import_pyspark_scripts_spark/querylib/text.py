@@ -1415,3 +1415,46 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rank", F.row_number().over(win))
             .filter(F.col("rank") <= _TFIDF_TOP)
             .select("doc_a", "doc_b", "cosine", "rank"))
+
+
+@register(
+    "text_quality_logreg",
+    None,       # iterative float training: rows-only check by design
+    doc="Quality-filter TRAINING loop (operators/classifier.py "
+        "logreg_train_newton): a logistic classifier for lang='en' is "
+        "fit over hand-crafted per-document signals (length, token "
+        "count, pivot-token rates) by distributed Newton/IRLS — each "
+        "Arrow batch reduces to one (grad, hessian, loss) partial, the "
+        "driver solves a 5-dim system per iteration, the corpus never "
+        "moves. Scoring is a pure column expression (whole-stage "
+        "codegen). Output: per-lang count, mean score, predicted-"
+        "positive count — the shape of every fasttext-style corpus "
+        "filter. Rows-only gate: Newton in SQL is not expressible.")
+def text_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classifier import logreg_score_col, logreg_train_newton
+    from ..operators.text import tokens_col
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    rate = lambda t: (F.size(F.filter(toks, lambda x: x == t))  # noqa: E731
+                      / F.greatest(F.size(toks), F.lit(1)))
+    feats = d.select(
+        "doc_id", "lang",
+        F.array((F.col("n_chars") / 300.0).cast("double"),
+                (F.size(toks) / 60.0).cast("double"),
+                rate("the").cast("double"),
+                rate("data").cast("double"))
+        .alias("features"),
+        (F.col("lang") == "en").cast("int").alias("label"))
+    w, losses = logreg_train_newton(feats, "features", "label", dim=4,
+                                    iters=6)
+    assert losses[-1] <= losses[0], "training diverged"
+    scored = feats.withColumn(
+        "p", logreg_score_col(F.col("features"), w))
+    return (scored.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("p"), 3).alias("mean_score"),
+                 F.sum((F.col("p") >= 0.5).cast("int"))
+                 .alias("n_pred_en"))
+            .select("lang", "n", "mean_score", "n_pred_en")
+            .orderBy("lang"))
