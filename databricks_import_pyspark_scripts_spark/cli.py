@@ -37,7 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
                             "delta-ingest", "iceberg-ingest",
                             "iceberg-append", "iceberg-compact",
                             "iceberg-expire", "iceberg-set-ref",
-                            "iceberg-drop-ref",
+                            "iceberg-drop-ref", "iceberg-rewrite-manifests",
+                            "delta-clone",
                             "delta-optimize", "delta-vacuum",
                             "delta-checkpoint", "delta-restore"),
                    help="run a table-maintenance operation instead of an "
@@ -76,6 +77,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "iceberg-drop-ref = create/re-point or remove a "
                         "branch/tag (--ref-name, --ref-type, optional "
                         "--ref-snapshot-id, default head)")
+    p.add_argument("--clone-target", default=None,
+                   help="delta-clone: destination table dir (shallow)")
     p.add_argument("--ref-name", default=None,
                    help="iceberg-set-ref/drop-ref: branch or tag name")
     p.add_argument("--ref-type", default="tag", choices=("tag", "branch"),
@@ -295,6 +298,32 @@ def _run_maintenance(args) -> int:
                   "deleted_files": len(rep["deleted_files"]),
                   "snapshots": len(iceberg_snapshot_ids(spark,
                                                         table_path))}
+    elif args.maintenance == "iceberg-rewrite-manifests":
+        from .sources.iceberg import (
+            iceberg_metadata_table,
+            rewrite_iceberg_manifests,
+        )
+
+        table_path = f"{args.source_root}/{args.table}"
+        sid = rewrite_iceberg_manifests(spark, table_path)
+        mans = iceberg_metadata_table(spark, table_path,
+                                      "manifests").collect()
+        report = {"table": args.table, "snapshot_id": sid,
+                  "rewritten": sid is not None,
+                  "data_manifests": sum(m.content == 0 for m in mans)}
+    elif args.maintenance == "delta-clone":
+        from .sinks.delta_writer import clone_delta
+        from .sources.delta_log import read_delta_snapshot
+
+        table_path = f"{args.source_root}/{args.table}"
+        if not args.clone_target:
+            print("--clone-target is required for delta-clone",
+                  file=sys.stderr)
+            return 2
+        clone_delta(spark, table_path, args.clone_target)
+        report = {"table": args.table, "target": args.clone_target,
+                  "rows": read_delta_snapshot(
+                      spark, args.clone_target).count()}
     elif args.maintenance in ("iceberg-set-ref", "iceberg-drop-ref"):
         from .sources.iceberg import drop_iceberg_ref, set_iceberg_ref
 

@@ -406,3 +406,48 @@ def test_cli_iceberg_set_and_drop_ref(spark, tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     with pytest.raises(FileNotFoundError):
         read_iceberg_snapshot(spark, f"{root}/tbl", ref="v1")
+
+
+def test_cli_delta_clone_and_rewrite_manifests(spark, tmp_path):
+    """delta-clone and iceberg-rewrite-manifests subprocess e2e."""
+    import os
+
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        create_delta_table,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        iceberg_metadata_table,
+        write_iceberg_table,
+    )
+
+    root = str(tmp_path / "root")
+    df = spark.range(0, 12).selectExpr("id AS k", "CAST(id AS double) AS v")
+    create_delta_table(spark, df, f"{root}/dtbl", ts_ms=1000)
+    env = {"SPARK_GRAFT_CPUS": "4", "PATH": "/usr/bin:/bin",
+           "HOME": "/root", "JAVA_HOME": os.environ.get("JAVA_HOME", "")}
+    dst = str(tmp_path / "cl")
+    proc = subprocess.run(
+        [sys.executable, "-m", "databricks_import_pyspark_scripts_spark.cli",
+         "--source-root", root, "--table", "dtbl",
+         "--maintenance", "delta-clone", "--clone-target", dst],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rep = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert rep["rows"] == 12
+
+    commits = [spark.range(i * 5, (i + 1) * 5).selectExpr(
+        "id AS k", "CAST(id AS double) AS v") for i in range(3)]
+    write_iceberg_table(spark, commits, f"{root}/itbl")
+    proc = subprocess.run(
+        [sys.executable, "-m", "databricks_import_pyspark_scripts_spark.cli",
+         "--source-root", root, "--table", "itbl",
+         "--maintenance", "iceberg-rewrite-manifests"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rep = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert rep["rewritten"] and rep["data_manifests"] == 1
+    mans = iceberg_metadata_table(spark, f"{root}/itbl",
+                                  "manifests").collect()
+    assert sum(m.content == 0 for m in mans) == 1
