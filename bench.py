@@ -156,6 +156,7 @@ HEADLINE = [
     "delta_row_tracking_agg",
     "text_tfidf_cosine_pairs",
     "text_quality_logreg",
+    "iceberg_wap_publish_agg",
 ]
 
 EXTENSION_ROWS = {

@@ -869,3 +869,76 @@ def uniform_iceberg_read_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"),
                  F.round(F.sum("value"), 4).alias("sum_value"))
             .select("event_type", "n", "sum_value"))
+
+
+_WAP_BASE, _WAP_AUDIT = "event_id % 3 = 0", "event_id % 3 = 1"
+
+
+def _staged_wap(spark: SparkSession, sf_dir: str) -> str:
+    """WAP workflow staged end-to-end: base table -> audit branch ->
+    branch append (main FROZEN — asserted) -> publish (fast-forward
+    main). The frozen-main assertion runs at staging so a branch append
+    that leaks into main fails the GATE."""
+    from ..sources.iceberg import append_iceberg, set_iceberg_ref
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_iceberg_wap_gate_{tag}_v1")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        e = (load_table(spark, sf_dir, "events")
+             .select("event_id", "event_type", "value"))
+        write_iceberg_table(spark, [e.filter(F.expr(_WAP_BASE))], path)
+        set_iceberg_ref(spark, path, "audit", ref_type="branch",
+                        ts_ms=1700000009000)
+        append_iceberg(spark, e.filter(F.expr(_WAP_AUDIT)), path,
+                       branch="audit", ts_ms=1700000009500)
+        n_main = read_iceberg_snapshot(spark, path).count()
+        n_audit = read_iceberg_snapshot(spark, path, ref="audit").count()
+        assert n_audit > n_main, "branch append leaked into main"
+        from ..sources.iceberg import read_table_metadata
+
+        meta = read_table_metadata(spark, path)
+        set_iceberg_ref(spark, path, "main", ref_type="branch",
+                        snapshot_id=int(
+                            meta["refs"]["audit"]["snapshot-id"]),
+                        ts_ms=1700000009900)
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "iceberg_wap_publish_agg",
+    f"""
+    SELECT 'published_main' AS slice, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events WHERE ({_WAP_BASE}) OR ({_WAP_AUDIT})
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'audit' AS slice, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events WHERE ({_WAP_BASE}) OR ({_WAP_AUDIT})
+    GROUP BY event_type
+    """,
+    doc="WRITE-AUDIT-PUBLISH (sources/iceberg.py append_iceberg(branch=) "
+        "+ set_iceberg_ref): the append chained on the audit BRANCH head "
+        "and moved only that ref — staging asserts main stayed frozen — "
+        "then publish fast-forwarded main (current-snapshot-id and "
+        "refs.main in lockstep). Post-publish, ref-less main and the "
+        "audit branch serve the identical audited state; the oracle "
+        "re-derives it from the parquet source.")
+def iceberg_wap_publish_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _staged_wap(spark, sf_dir)
+
+    def agg(df: DataFrame, slc: str) -> DataFrame:
+        return (df.groupBy("event_type")
+                .agg(F.count("*").alias("n"),
+                     F.round(F.sum("value"), 4).alias("sum_value"))
+                .select(F.lit(slc).alias("slice"), "event_type", "n",
+                        "sum_value"))
+
+    return agg(read_iceberg_snapshot(spark, path),
+               "published_main").unionAll(
+        agg(read_iceberg_snapshot(spark, path, ref="audit"), "audit"))

@@ -1523,7 +1523,8 @@ def _txn_watermark(meta: dict, app_id: str) -> int:
 def append_iceberg(spark: SparkSession, df: DataFrame, table_path: str,
                    ts_ms: int | None = None, max_retries: int = 10,
                    txn_app_id: str | None = None,
-                   txn_version: int | None = None) -> int:
+                   txn_version: int | None = None,
+                   branch: str | None = None) -> int:
     """TRANSACTIONAL append to an existing Iceberg table — the CAS commit
     the HadoopCatalog convention defines: stage data files + a new
     manifest once (uuid-named, racer-collision-free), then race for
@@ -1545,7 +1546,15 @@ def append_iceberg(spark: SparkSession, df: DataFrame, table_path: str,
 
     Returns the new snapshot id (or the current one for a deduped
     no-op). The spec-slicing loop is the staging writer's (gate-scale);
-    the commit protocol is real."""
+    the commit protocol is real.
+
+    ``branch``: commit to a NAMED BRANCH instead of main — the snapshot
+    chains on the BRANCH head (its manifest list, not main's) and only
+    the branch ref advances; main and ``current-snapshot-id`` do not
+    move. With ``set_iceberg_ref`` re-pointing main afterwards, that is
+    the WAP (write-audit-publish) workflow: stage to an audit branch,
+    validate by reading ``ref=branch``, publish by fast-forwarding
+    main. The branch must exist (``set_iceberg_ref(..., 'branch')``)."""
     if _is_metadata_handle(table_path):
         raise NotImplementedError(
             "catalog-managed (*.metadata.json) handles are READ-ONLY "
@@ -1626,10 +1635,21 @@ def append_iceberg(spark: SparkSession, df: DataFrame, table_path: str,
                     "sequence_number": seq, "min_sequence_number": seq}
 
     for _ in range(max_retries + 1):
-        snap = meta.get("current-snapshot-id")
+        if branch is not None:
+            refs = meta.get("refs") or {}
+            if branch not in refs:
+                raise FileNotFoundError(
+                    f"branch {branch!r} not found (have {sorted(refs)}); "
+                    f"create it with set_iceberg_ref(..., 'branch')")
+            if refs[branch].get("type") != "branch":
+                raise ValueError(f"ref {branch!r} is a tag; appends need "
+                                 f"a branch")
+            base_snap = int(refs[branch]["snapshot-id"])
+        else:
+            base_snap = meta.get("current-snapshot-id")
         prior: list[dict] = []
-        if snap is not None and (meta.get("snapshots") or []):
-            cur = _snapshot(meta, None)
+        if base_snap is not None and (meta.get("snapshots") or []):
+            cur = _snapshot(meta, base_snap)
             _, prior = read_container(_read_bytes(
                 spark, _resolve_path(table_path, cur["manifest-list"])))
         mlpath = os.path.join(mdir, f"snap-{snap_id}-{tag}.avro")
@@ -1645,7 +1665,13 @@ def append_iceberg(spark: SparkSession, df: DataFrame, table_path: str,
             "snapshot-id": snap_id, "timestamp-ms": ts,
             "sequence-number": seq,
             "manifest-list": mlpath, "summary": summary}]
-        _advance_head(new_meta, snap_id)
+        if branch is not None:
+            # branch commit: only the branch ref moves; main stays put
+            new_meta["refs"] = {**(meta.get("refs") or {}),
+                                branch: {**(meta["refs"][branch]),
+                                         "snapshot-id": snap_id}}
+        else:
+            _advance_head(new_meta, snap_id)
         new_meta["last-updated-ms"] = ts
         new_meta["last-sequence-number"] = seq
         target = os.path.join(mdir, f"v{v + 1}.metadata.json")
@@ -1737,6 +1763,11 @@ def set_iceberg_ref(spark: SparkSession, table_path: str, name: str,
     new_meta = dict(meta)
     new_meta["refs"] = {**(meta.get("refs") or {}),
                         name: {"snapshot-id": sid, "type": ref_type}}
+    if name == "main":
+        # main and current-snapshot-id stay in lockstep (spec): this is
+        # the WAP publish step — fast-forwarding main to an audited
+        # branch head makes it THE table state for ref-less readers too
+        new_meta["current-snapshot-id"] = sid
     new_meta["last-updated-ms"] = (meta.get("last-updated-ms", 0) + 1
                                    if ts_ms is None else int(ts_ms))
     if not _atomic_create(spark, os.path.join(mdir,

@@ -2084,3 +2084,45 @@ def test_rewrite_manifests_consolidates_without_moving_data(spark, tmp_path):
     write_iceberg_equality_deletes(spark, t, dead2, ["k"])
     assert _ks(read_iceberg_snapshot(spark, t)) == \
         [k for k in range(40) if k not in (5, 15, 25)]
+
+
+def test_wap_branch_append_and_publish(spark, ice):
+    """Write-audit-publish: an append to a named BRANCH chains on the
+    branch head and moves only the branch ref (main readers see
+    nothing); auditing reads the branch by ref; publishing
+    fast-forwards main (set_iceberg_ref) so ref-less readers see the
+    audited state. Tags refuse appends; unknown branches refuse."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        append_iceberg,
+        set_iceberg_ref,
+    )
+
+    set_iceberg_ref(spark, ice, "audit", ref_type="branch")  # at head
+    c = spark.range(40, 50).selectExpr("id AS k", "CAST(id AS double) AS v")
+    sid = append_iceberg(spark, c, ice, branch="audit")
+    # main (ref-less AND by-ref) unchanged; audit sees the new rows
+    assert _ks(read_iceberg_snapshot(spark, ice)) == list(range(40))
+    assert _ks(read_iceberg_snapshot(spark, ice, ref="main")) == \
+        list(range(40))
+    assert _ks(read_iceberg_snapshot(spark, ice, ref="audit")) == \
+        list(range(50))
+    # a second branch append chains on the BRANCH head
+    d = spark.range(50, 55).selectExpr("id AS k", "CAST(id AS double) AS v")
+    append_iceberg(spark, d, ice, branch="audit")
+    assert _ks(read_iceberg_snapshot(spark, ice, ref="audit")) == \
+        list(range(55))
+    assert _ks(read_iceberg_snapshot(spark, ice)) == list(range(40))
+    # publish: fast-forward main to the audited head
+    meta = read_table_metadata(spark, ice)
+    head = int(meta["refs"]["audit"]["snapshot-id"])
+    set_iceberg_ref(spark, ice, "main", ref_type="branch",
+                    snapshot_id=head)
+    assert _ks(read_iceberg_snapshot(spark, ice)) == list(range(55))
+    assert _ks(read_iceberg_snapshot(spark, ice, ref="main")) == \
+        list(range(55))
+    # guards
+    set_iceberg_ref(spark, ice, "pin", ref_type="tag", snapshot_id=sid)
+    with pytest.raises(ValueError, match="tag"):
+        append_iceberg(spark, d, ice, branch="pin")
+    with pytest.raises(FileNotFoundError, match="ghost"):
+        append_iceberg(spark, d, ice, branch="ghost")
