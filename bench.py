@@ -157,6 +157,7 @@ HEADLINE = [
     "text_tfidf_cosine_pairs",
     "text_quality_logreg",
     "iceberg_wap_publish_agg",
+    "delta_replace_where_agg",
 ]
 
 EXTENSION_ROWS = {

@@ -1404,3 +1404,69 @@ def delta_row_tracking_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"),
                  F.sum("_row_id").alias("sum_row_id"))
             .select("event_type", "n", "sum_row_id"))
+
+
+_RW_V0, _RW_V1 = "event_id % 4 = 0", "event_id % 4 = 1"
+_RW_NEW = "event_id % 4 = 2"           # replacement rows (clicks only)
+
+
+def _staged_replace_where_table(spark: SparkSession, sf_dir: str) -> str:
+    """Partitioned table whose 'click' region is atomically replaced via
+    replaceWhere with a transformed slice — the partition-load idiom."""
+    from ..sinks.delta_writer import (
+        append_delta,
+        create_delta_table,
+        replace_where,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_delta_rw_gate_{tag}_v1")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        e = (load_table(spark, sf_dir, "events")
+             .select("event_id", "event_type", "value"))
+        create_delta_table(spark, e.filter(F.expr(_RW_V0)), path,
+                           partition_by=["event_type"],
+                           ts_ms=_BASE_TS_MS)
+        append_delta(spark, e.filter(F.expr(_RW_V1)), path,
+                     ts_ms=_BASE_TS_MS + 1000)
+        repl = (e.filter(F.expr(_RW_NEW))
+                .filter(F.col("event_type") == "click")
+                .withColumn("value", F.col("value") + 1000.0))
+        replace_where(spark, repl, path, "event_type = 'click'",
+                      ts_ms=_BASE_TS_MS + 2000)
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "delta_replace_where_agg",
+    f"""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM (
+      SELECT event_type, value FROM events
+      WHERE (({_RW_V0}) OR ({_RW_V1})) AND event_type <> 'click'
+      UNION ALL
+      SELECT event_type, value + 1000.0 AS value FROM events
+      WHERE ({_RW_NEW}) AND event_type = 'click')
+    GROUP BY event_type
+    """,
+    doc="replaceWhere (sinks/delta_writer.py replace_where): the table's "
+        "'click' region is atomically replaced — one commit removes "
+        "exactly the affected files (carrying their non-matching rows "
+        "forward) and adds the transformed replacement slice; incoming "
+        "rows outside the region refuse pre-commit; untouched "
+        "partitions never move. Final per-type aggregates re-derived by "
+        "the oracle as (non-click survivors UNION replacement clicks).")
+def delta_replace_where_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.delta_log import read_delta_snapshot as snap
+
+    path = _staged_replace_where_table(spark, sf_dir)
+    return (snap(spark, path)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select("event_type", "n", "sum_value"))

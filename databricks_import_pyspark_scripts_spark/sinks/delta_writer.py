@@ -2342,3 +2342,97 @@ def add_columns(spark: SparkSession, table_path: str,
     ]
     return _strict_commit(spark, table_path, rep.version + 1, actions,
                           "add-columns", metadata=rep.metadata)
+
+
+def replace_where(spark: SparkSession, df: DataFrame, table_path: str,
+                  predicate: str, ts_ms: int | None = None,
+                  max_records_per_file: int | None = None) -> int:
+    """Selective overwrite (``df.write.option("replaceWhere", ...)``):
+    atomically replace exactly the rows matching ``predicate`` with
+    ``df``'s rows — ONE commit removing the affected region and adding
+    the new files. Delta's contract, enforced here the same way:
+
+    * every INCOMING row must satisfy the predicate (else the "overwrite"
+      would smuggle rows outside the declared region) — checked against
+      the staged files via the constraint engine's scan, violations
+      named before any commit exists;
+    * only files containing a matching row are rewritten; their
+      NON-matching rows are carried over into new files (file-level
+      granularity, like DELETE);
+    * with CDF enabled, explicit delete cdc rows for the replaced rows
+      and insert rows for the new ones.
+
+    At 100 TB this is the partition-load idiom: replacing one day of an
+    event table touches that day's files only — the scan that finds them
+    is metadata + one distinct-file probe, and untouched partitions
+    never appear in the plan."""
+    ts = _now_ms(ts_ms)
+    rep = replay_log(spark, table_path)
+    _check_writable(rep.metadata, rep.protocol, "replace-where")
+    if _rt_enabled(rep.metadata):
+        raise DeltaProtocolError(
+            "replaceWhere on a row-tracked table would lose the carried "
+            "rows' ids; not supported")
+    df, _ = _generate_identity(df, rep.schema)
+    df = _compute_generated(df, rep.schema)
+    logical = [f.name for f in rep.schema.fields]
+    pred = F.expr(predicate)
+    hit = F.coalesce(pred, F.lit(False))
+
+    affected: list[dict] = []
+    carried = None
+    if rep.files:
+        snap = _scan_files(spark, table_path, rep,
+                           list(rep.files.values()))
+        matched = {r[0] for r in
+                   snap.filter(hit).select(_FILE_BASE).distinct()
+                   .collect()}
+        if matched:
+            by_base = _by_base_strict(table_path, rep, "replace-where")
+            affected = [by_base[b] for b in sorted(matched)]
+            aff = _scan_files(spark, table_path, rep, affected)
+            carried = aff.filter(~hit).select(*logical)
+
+    new_rows = _ordered(df, rep)
+    staged = (new_rows if carried is None
+              else new_rows.unionByName(carried))
+    adds = _stage_files(spark, staged, table_path, rep.partition_columns,
+                        ts, max_records_per_file=max_records_per_file,
+                        rep=rep)
+    _enforce_constraints(spark, table_path, rep, adds, "replace-where")
+    # incoming rows must live INSIDE the replaced region: scan only the
+    # NEW frame (cheap, pre-staging) — a violation aborts pre-commit
+    outside = new_rows.filter(~hit).limit(1).count()
+    if outside:
+        raise DeltaConstraintViolation(
+            f"replaceWhere: incoming rows do not all satisfy "
+            f"{predicate!r}")
+    id_md = _identity_hwm_update(rep, adds)
+    actions: list[dict] = [
+        {"commitInfo": {"timestamp": ts, "operation": "WRITE",
+                        "operationParameters": {
+                            "mode": "Overwrite",
+                            "predicate": predicate}}},
+        *([{"metaData": id_md}] if id_md is not None else []),
+        *({"add": {**a, "dataChange": True}} for a in adds),
+        *({"remove": {"path": a["path"], "deletionTimestamp": ts,
+                      "dataChange": True,
+                      "partitionValues": a.get("partitionValues") or {},
+                      "size": a.get("size")}}
+          for a in affected),
+    ]
+    if _cdf_enabled(rep.metadata):
+        pieces = [new_rows.withColumn(_CDC_TYPE, F.lit("insert"))]
+        if affected:
+            aff = _scan_files(spark, table_path, rep, affected)
+            pieces.append(aff.filter(hit).select(*logical)
+                          .withColumn(_CDC_TYPE, F.lit("delete")))
+        cdc_df = pieces[0]
+        for p in pieces[1:]:
+            cdc_df = cdc_df.unionByName(p)
+        cdc = _stage_files(spark, cdc_df, table_path,
+                           rep.partition_columns, ts,
+                           subdir="_change_data", rep=rep)
+        actions += [{"cdc": {**c, "dataChange": False}} for c in cdc]
+    return _strict_commit(spark, table_path, rep.version + 1, actions,
+                          "replace-where", metadata=rep.metadata)

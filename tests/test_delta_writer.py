@@ -2087,3 +2087,37 @@ def test_add_columns_plain_and_mapped(spark, tmp_path):
         "delta.columnMapping.maxColumnId"] == "4"
     assert read_delta_snapshot(spark, tm).filter(
         "extra IS NULL").count() == 5
+
+
+def test_replace_where_selective_overwrite(spark, table):
+    """replaceWhere: exactly the matching region is replaced in ONE
+    commit — non-matching rows of affected files are carried over,
+    untouched files never move, incoming rows outside the region
+    refuse, CDF carries explicit delete+insert rows."""
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        DeltaConstraintViolation,
+        replace_where,
+    )
+
+    rep0 = replay_log(spark, table)
+    untouched_before = {p for p, a in rep0.files.items()
+                        if (a.get("partitionValues") or {}).get("p") == "1"}
+    repl = (spark.range(200, 210)
+            .selectExpr("id AS k", "'2' AS p",
+                        "CAST(id * 3.0 AS double) AS v"))
+    v = replace_where(spark, repl, table, "p = '2'", ts_ms=2000)
+    got = read_delta_snapshot(spark, table)
+    assert sorted(r.k for r in got.filter("p = '2'").collect()) == \
+        list(range(200, 210))
+    # every non-matching row survives
+    assert got.filter("p != '2' OR p IS NULL").count() == \
+        100 - rep0.version * 0 - 23  # 23 rows had p='2' in _frame(0,100)
+    rep1 = replay_log(spark, table)
+    assert untouched_before <= set(rep1.files)      # p=1 files untouched
+    ch = read_delta_changes(spark, table, v - 1, v)
+    assert ch.filter("_change_type = 'insert'").count() == 10
+    assert ch.filter("_change_type = 'delete'").count() == 23
+    with pytest.raises(DeltaConstraintViolation, match="replaceWhere"):
+        replace_where(spark, spark.range(0, 3).selectExpr(
+            "id AS k", "'9' AS p", "CAST(id AS double) AS v"), table,
+            "p = '2'", ts_ms=3000)
