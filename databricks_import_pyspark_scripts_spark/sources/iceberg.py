@@ -1100,6 +1100,34 @@ def read_iceberg_snapshot(spark: SparkSession, table_path: str,
                               meta)
 
 
+def resolve_iceberg_snapshot_at(meta: dict, ts_ms: int) -> int:
+    """``TIMESTAMP AS OF`` resolution: the LATEST snapshot whose
+    timestamp-ms <= ts (Iceberg's time-travel rule). Errors when ts
+    predates the earliest retained snapshot — expired history resolves
+    loudly, never silently serves a later state."""
+    snaps = sorted(meta.get("snapshots") or [],
+                   key=lambda s: int(s.get("timestamp-ms") or 0))
+    if not snaps:
+        raise FileNotFoundError("table has no snapshots")
+    at = [s for s in snaps if int(s.get("timestamp-ms") or 0) <= ts_ms]
+    if not at:
+        raise ValueError(
+            f"timestamp {ts_ms} is before the earliest retained "
+            f"snapshot ({snaps[0].get('timestamp-ms')})")
+    return int(at[-1]["snapshot-id"])
+
+
+def read_iceberg_snapshot_at_timestamp(spark: SparkSession,
+                                       table_path: str, ts_ms: int,
+                                       partition_filter=None) -> DataFrame:
+    """``TIMESTAMP AS OF`` through the metadata snapshot log — the
+    Iceberg twin of ``read_delta_snapshot_at_timestamp``."""
+    meta = read_table_metadata(spark, table_path)
+    sid = resolve_iceberg_snapshot_at(meta, ts_ms)
+    return read_iceberg_snapshot(spark, table_path, snapshot_id=sid,
+                                 partition_filter=partition_filter)
+
+
 def iceberg_snapshot_ids(spark: SparkSession, table_path: str) -> list[dict]:
     """(snapshot-id, timestamp-ms) history, oldest first."""
     meta = read_table_metadata(spark, table_path)

@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 
 from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
     append_delta,
+    replace_where,
+    restore_delta,
     create_delta_table,
     delete_where,
     merge_into,
@@ -69,9 +71,9 @@ def test_writer_random_ops_match_model(spark, tmp_path, seed):
         return rows
 
     ops = ["append", "delete", "update", "merge", "optimize",
-           "checkpoint", "overwrite"]
-    weights = [4, 3, 3, 3, 2, 2, 1]
-    for step in range(10):
+           "checkpoint", "overwrite", "replace_where", "restore"]
+    weights = [4, 3, 3, 3, 2, 2, 1, 2, 1]
+    for step in range(12):
         op = rng.choices(ops, weights)[0]
         ts = BASE_TS + (step + 1) * 1000
         if op == "append":
@@ -130,6 +132,20 @@ def test_writer_random_ops_match_model(spark, tmp_path, seed):
                     if os.path.exists(p):
                         os.unlink(p)
                     history.pop(hv, None)
+        elif op == "replace_where":
+            m, r = rng.randint(2, 5), rng.randint(0, 1)
+            pool = fresh_rows(rng.randint(4, 10))
+            rows = {k: val for k, val in pool.items() if k % m == r}
+            v = replace_where(spark, _df(spark, rows), t,
+                              f"k % {m} = {r}", ts_ms=ts)
+            model = {k: val for k, val in model.items()
+                     if k % m != r} | rows
+            version = v
+        elif op == "restore":
+            target = rng.choice(sorted(history))
+            v = restore_delta(spark, t, target, ts_ms=ts)
+            model = dict(history[target])
+            version = max(version, v)  # identical state -> no commit
         else:  # overwrite
             rows = fresh_rows(rng.randint(1, 6))
             v = overwrite_delta(spark, _df(spark, rows), t, ts_ms=ts)

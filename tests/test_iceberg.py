@@ -2126,3 +2126,24 @@ def test_wap_branch_append_and_publish(spark, ice):
         append_iceberg(spark, d, ice, branch="pin")
     with pytest.raises(FileNotFoundError, match="ghost"):
         append_iceberg(spark, d, ice, branch="ghost")
+
+
+def test_iceberg_timestamp_travel(spark, ice):
+    """TIMESTAMP AS OF: latest snapshot at-or-before the timestamp;
+    before-history errors loudly (expired history never silently serves
+    a later state)."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        read_iceberg_snapshot_at_timestamp,
+        read_table_metadata,
+    )
+
+    meta = read_table_metadata(spark, ice)
+    t0, t1 = [int(s["timestamp-ms"]) for s in meta["snapshots"]]
+    assert _ks(read_iceberg_snapshot_at_timestamp(spark, ice, t0)) == \
+        list(range(30))
+    assert _ks(read_iceberg_snapshot_at_timestamp(
+        spark, ice, (t0 + t1) // 2)) == list(range(30))
+    assert _ks(read_iceberg_snapshot_at_timestamp(spark, ice, t1 + 5)) == \
+        list(range(40))
+    with pytest.raises(ValueError, match="before the earliest"):
+        read_iceberg_snapshot_at_timestamp(spark, ice, t0 - 1)
