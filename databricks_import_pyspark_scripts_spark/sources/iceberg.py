@@ -1031,11 +1031,25 @@ def read_iceberg_snapshot(spark: SparkSession, table_path: str,
     if name_mapped:
         # imported/UniForm-synced data files carry NO Iceberg field ids:
         # the spec's name-mapping fallback resolves them BY NAME — strip
-        # the id annotations so Spark's parquet reader matches names
-        # (an id-annotated schema over id-less files errors by design)
-        schema = T.StructType([
-            T.StructField(f.name, f.dataType, f.nullable)
-            for f in schema.fields])
+        # the id annotations (RECURSIVELY: a nested field's id would
+        # still trip Spark's fieldId matching) so the parquet reader
+        # matches names (an id-annotated schema over id-less files
+        # errors by design)
+        def _strip(dt):
+            if isinstance(dt, T.StructType):
+                return T.StructType([
+                    T.StructField(f.name, _strip(f.dataType), f.nullable)
+                    for f in dt.fields])
+            if isinstance(dt, T.ArrayType):
+                return T.ArrayType(_strip(dt.elementType),
+                                   dt.containsNull)
+            if isinstance(dt, T.MapType):
+                return T.MapType(_strip(dt.keyType),
+                                 _strip(dt.valueType),
+                                 dt.valueContainsNull)
+            return dt
+
+        schema = _strip(schema)
     parts = []
     if pq_paths:
         if not name_mapped:

@@ -48,6 +48,7 @@ _TYPE_MAP = {
     T.LongType: "long", T.IntegerType: "int", T.DoubleType: "double",
     T.FloatType: "float", T.StringType: "string", T.BooleanType: "boolean",
     T.DateType: "date", T.TimestampType: "timestamptz",
+    T.BinaryType: "binary",
 }
 
 #: partition value parsers per iceberg type (Delta stores them as strings)
@@ -58,14 +59,43 @@ _PART_PARSE = {
 }
 
 
-def _ice_type(dt: T.DataType) -> str:
+class _IdGen:
+    def __init__(self, start: int) -> None:
+        self.next = start
+
+    def __call__(self) -> int:
+        self.next += 1
+        return self.next - 1
+
+
+def _ice_type(dt: T.DataType, ids: "_IdGen"):
+    """Spark type -> Iceberg schema-JSON type (nested forms carry the
+    spec's element/key/value ids, allocated from the shared counter so
+    ids stay unique table-wide)."""
+    if isinstance(dt, T.StructType):
+        return {"type": "struct", "fields": [
+            {"id": ids(), "name": f.name, "required": False,
+             "type": _ice_type(f.dataType, ids)} for f in dt.fields]}
+    if isinstance(dt, T.ArrayType):
+        return {"type": "list", "element-id": ids(),
+                "element": _ice_type(dt.elementType, ids),
+                "element-required": not dt.containsNull}
+    if isinstance(dt, T.MapType):
+        return {"type": "map", "key-id": ids(),
+                "key": _ice_type(dt.keyType, ids),
+                "value-id": ids(),
+                "value": _ice_type(dt.valueType, ids),
+                "value-required": not dt.valueContainsNull}
+    if isinstance(dt, T.TimestampNTZType):
+        return "timestamp"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
     for cls, name in _TYPE_MAP.items():
         if isinstance(dt, cls):
             return name
     raise IcebergProtocolError(
-        f"uniform sync supports flat primitive columns; {dt.simpleString()}"
-        f" has no Iceberg translation here (nested/decimal/variant out of "
-        f"scope)")
+        f"uniform sync: {dt.simpleString()} has no Iceberg translation "
+        f"here (variant/interval out of scope)")
 
 
 def uniform_sync_iceberg(spark: SparkSession, table_path: str,
@@ -77,9 +107,10 @@ def uniform_sync_iceberg(spark: SparkSession, table_path: str,
 
     Loud rejections (metadata the Iceberg side cannot represent without
     lying): live DELETION VECTORS (an Iceberg reader would resurrect the
-    deleted rows — purge them first via OPTIMIZE), column mapping (the
-    parquet files carry physical names the Iceberg schema would not
-    match), and non-primitive columns."""
+    deleted rows — purge them first via OPTIMIZE) and column mapping
+    (the parquet files carry physical names the Iceberg schema would
+    not match). Nested struct/array/map columns translate with spec
+    element/key/value ids; VARIANT rejects."""
     rep = replay_log(spark, table_path)
     md = rep.metadata
     conf = md.get("configuration") or {}
@@ -94,9 +125,12 @@ def uniform_sync_iceberg(spark: SparkSession, table_path: str,
             "(DV purge) first")
 
     root = _strip_scheme(table_path).rstrip("/")
-    fields = [{"id": i + 1, "name": f.name, "required": False,
-               "type": _ice_type(f.dataType)}
-              for i, f in enumerate(rep.schema.fields)]
+    top = list(rep.schema.fields)
+    ids = _IdGen(1)
+    top_ids = [ids() for _ in top]          # top-level ids first: 1..n
+    fields = [{"id": fid, "name": f.name, "required": False,
+               "type": _ice_type(f.dataType, ids)}
+              for fid, f in zip(top_ids, top)]
     by_name = {f["name"]: f for f in fields}
     part_cols = list(rep.partition_columns)
     part_fields = _part_avro_fields(fields, part_cols, [])
@@ -113,7 +147,8 @@ def uniform_sync_iceberg(spark: SparkSession, table_path: str,
         if snap_id in have:
             return snap_id            # this Delta version already synced
 
-    name_to_field = {f["name"]: (f["id"], f["type"]) for f in fields}
+    name_to_field = {f["name"]: (f["id"], f["type"]) for f in fields
+                     if isinstance(f["type"], str)}
     entries = []
     for rel in sorted(rep.files):
         a = rep.files[rel]
@@ -172,7 +207,7 @@ def uniform_sync_iceberg(spark: SparkSession, table_path: str,
         "location": root,
         "last-sequence-number": seq,
         "last-updated-ms": ts,
-        "last-column-id": len(fields),
+        "last-column-id": ids.next - 1,
         "schemas": [{"schema-id": 0, "type": "struct", "fields": fields}],
         "current-schema-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": [

@@ -2147,3 +2147,49 @@ def test_iceberg_timestamp_travel(spark, ice):
         list(range(40))
     with pytest.raises(ValueError, match="before the earliest"):
         read_iceberg_snapshot_at_timestamp(spark, ice, t0 - 1)
+
+
+def test_uniform_sync_nested_schema(spark, tmp_path):
+    """UniForm over a NESTED Delta schema (map + array + struct — the
+    events-table shape): the Iceberg schema carries spec element/key/
+    value ids and the name-mapped read returns the nested values
+    intact."""
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        create_delta_table,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.uniform import (
+        uniform_sync_iceberg,
+    )
+
+    t = str(tmp_path / "uninest")
+    df = spark.range(0, 20).selectExpr(
+        "id AS k",
+        "map('a', CAST(id AS string)) AS props",
+        "array(id, id + 1) AS arr",
+        "named_struct('x', id, 'y', CAST(id AS double)) AS st")
+    create_delta_table(spark, df, t, ts_ms=1000)
+    uniform_sync_iceberg(spark, t)
+    got = read_iceberg_snapshot(spark, t)
+    rows = {r.k: r for r in got.collect()}
+    assert len(rows) == 20
+    assert rows[3].props == {"a": "3"} and rows[3].arr == [3, 4]
+    assert rows[3].st.x == 3 and rows[3].st.y == 3.0
+    meta = read_table_metadata(spark, t)
+    sch = meta["schemas"][0]
+    # ids unique across the whole schema incl. nested allocations
+    def _collect_ids(tp, acc):
+        if isinstance(tp, dict):
+            if tp["type"] == "struct":
+                for f in tp["fields"]:
+                    acc.append(f["id"])
+                    _collect_ids(f["type"], acc)
+            elif tp["type"] == "list":
+                acc.append(tp["element-id"])
+                _collect_ids(tp["element"], acc)
+            elif tp["type"] == "map":
+                acc.extend([tp["key-id"], tp["value-id"]])
+                _collect_ids(tp["key"], acc)
+                _collect_ids(tp["value"], acc)
+    acc = []
+    _collect_ids({"type": "struct", "fields": sch["fields"]}, acc)
+    assert len(acc) == len(set(acc)) and meta["last-column-id"] == max(acc)
