@@ -158,6 +158,7 @@ HEADLINE = [
     "text_quality_logreg",
     "iceberg_wap_publish_agg",
     "delta_replace_where_agg",
+    "iceberg_v3_dv_agg",
 ]
 
 EXTENSION_ROWS = {

@@ -942,3 +942,72 @@ def iceberg_wap_publish_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(read_iceberg_snapshot(spark, path),
                "published_main").unionAll(
         agg(read_iceberg_snapshot(spark, path, ref="audit"), "audit"))
+
+
+_V3_DEAD = "event_id % 7 = 3"
+
+
+def _staged_iceberg_v3dv(spark: SparkSession, sf_dir: str) -> str:
+    """Staged v3 table: two append snapshots, then a PUFFIN
+    deletion-vector delete snapshot (format-version bumped to 3).
+    Staging asserts the metadata actually declares v3 so a silent
+    downgrade fails the GATE."""
+    from ..sources.iceberg import (
+        read_table_metadata,
+        write_iceberg_dv_deletes,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_iceberg_v3dv_gate_{tag}_v1")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        e = (load_table(spark, sf_dir, "events")
+             .select("event_id", "event_type", "value"))
+        write_iceberg_table(
+            spark, [e.filter(F.expr(_S0_PRED)), e.filter(F.expr(_S1_PRED))],
+            path)
+        write_iceberg_dv_deletes(spark, path, _V3_DEAD)
+        assert int(read_table_metadata(spark, path)["format-version"]) == 3
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "iceberg_v3_dv_agg",
+    f"""
+    SELECT 'head' AS snap, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    WHERE (({_S0_PRED}) OR ({_S1_PRED})) AND NOT ({_V3_DEAD})
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'pre_delete' AS snap, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events WHERE ({_S0_PRED}) OR ({_S1_PRED})
+    GROUP BY event_type
+    """,
+    doc="Iceberg FORMAT-VERSION 3 deletion vectors (sources/puffin.py + "
+        "iceberg.py write_iceberg_dv_deletes/_apply_position_deletes): "
+        "matched rows' positions live as deletion-vector-v1 puffin "
+        "blobs (the roaring layout v3 shares with Delta DVs, decoded by "
+        "the same codec) referenced by content=1 entries carrying the "
+        "v3 descriptor fields; the read expands the bitmaps and "
+        "anti-joins positions. Head excludes exactly the deleted rows; "
+        "the pre-delete snapshot still serves them all. Oracle "
+        "re-derives both states from the parquet source.")
+def iceberg_v3_dv_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _staged_iceberg_v3dv(spark, sf_dir)
+
+    def agg(df: DataFrame, snap: str) -> DataFrame:
+        return (df.groupBy("event_type")
+                .agg(F.count("*").alias("n"),
+                     F.round(F.sum("value"), 4).alias("sum_value"))
+                .select(F.lit(snap).alias("snap"), "event_type", "n",
+                        "sum_value"))
+
+    return agg(read_iceberg_snapshot(spark, path), "head").unionAll(
+        agg(read_iceberg_snapshot(spark, path, snapshot_id=_SNAP1),
+            "pre_delete"))

@@ -172,8 +172,18 @@ def read_table_metadata(spark: SparkSession, table_path: str) -> dict:
 
 def _check_meta(meta: dict) -> dict:
     fv = int(meta.get("format-version", 1))
-    if fv not in (1, 2):
+    if fv not in (1, 2, 3):
         raise IcebergProtocolError(f"unsupported Iceberg format-version {fv}")
+    if fv == 3:
+        # v3 support is SCOPED to puffin deletion vectors: schemas that
+        # declare column default values (initial-default/write-default)
+        # would read wrong without default materialization — reject
+        # loudly rather than serve nulls
+        blob = json.dumps(meta.get("schemas") or meta.get("schema") or {})
+        if '"initial-default"' in blob or '"write-default"' in blob:
+            raise IcebergProtocolError(
+                "v3 column default values are not supported (reads "
+                "would silently return NULL for defaulted columns)")
     return meta
 
 
@@ -671,8 +681,11 @@ def _sift_entries(content: int, entries: list[dict], meta: dict,
                 return [], [], ("equality delete file carries no "
                                 "equality_ids; rows cannot be matched")
             fmt = (df.get("file_format") or "PARQUET").upper()
-            if fmt != "PARQUET":
-                return [], [], f"non-parquet delete file format {fmt!r}"
+            if fmt == "PUFFIN" and df.get("content_offset") is None:
+                return [], [], ("puffin delete file without a v3 DV "
+                                "descriptor (content_offset)")
+            if fmt not in ("PARQUET", "PUFFIN"):
+                return [], [], f"unsupported delete file format {fmt!r}"
             dels.append(df)
         return data, dels, None
     for e in live:
@@ -859,13 +872,49 @@ def _apply_position_deletes(spark: SparkSession, df: DataFrame,
     delete file already references — file names embed UUIDs."""
     from pyspark.sql import functions as F
 
-    dpaths = sorted({_resolve_path(table_path, f["file_path"])
-                     for f in delete_files})
+    dvs = [f for f in delete_files if f.get("content_offset") is not None]
+    pq_dels = [f for f in delete_files
+               if f.get("content_offset") is None]
     cardinality = sum(int(f.get("record_count") or 0)
                       for f in delete_files)
-    dels = (spark.read.parquet(*dpaths)
+    parts = []
+    if pq_dels:
+        dpaths = sorted({_resolve_path(table_path, f["file_path"])
+                         for f in pq_dels})
+        parts.append(
+            spark.read.parquet(*dpaths)
             .select(_stored_key_expr(F.col("file_path")).alias(_POS_KEY),
                     F.col("pos").cast("long").alias(_POS_IDX)))
+    if dvs:
+        # v3 puffin DELETION VECTORS: decode the bitmaps driver-side
+        # (descriptor bytes — the Delta-DV metadata class, KB per file;
+        # record_count bounds the expanded rows) and anti-join the
+        # expanded (file, pos) pairs exactly like parquet deletes
+        from . import delta_dv, puffin
+
+        rows = []
+        cache: dict[str, bytes] = {}
+        for d in dvs:
+            ppath = _resolve_path(table_path, d["file_path"])
+            raw = cache.get(ppath)
+            if raw is None:
+                raw = _read_bytes(spark, ppath)
+                cache[ppath] = raw
+            blob = puffin.read_puffin_blob(
+                raw, int(d["content_offset"]),
+                int(d["content_size_in_bytes"]))
+            key = "/".join(_strip_scheme(
+                d["referenced_data_file"]).rstrip("/").split("/")[-2:])
+            rows.extend((key, int(pos)) for pos in
+                        delta_dv.deserialize_bitmap_array(blob))
+        if rows:
+            parts.append(spark.createDataFrame(
+                rows, f"{_POS_KEY} string, {_POS_IDX} long"))
+    if not parts:
+        return df
+    dels = parts[0]
+    for p in parts[1:]:
+        dels = dels.unionByName(p)
     from .delta_log import DV_ANTIJOIN_MAX_ROWS
     if cardinality <= DV_ANTIJOIN_MAX_ROWS:
         dels = F.broadcast(dels)
@@ -1192,6 +1241,14 @@ def _manifest_entry_schema(partition_fields: list[dict] | None = None):
                         "null", {"type": "array", "items": "kv_bounds"}]},
                     {"name": "equality_ids", "type": [
                         "null", {"type": "array", "items": "int"}]},
+                    # v3 deletion vectors (puffin): a content=1 entry
+                    # with these set is a DV, not a position-delete
+                    # parquet (null for every v2 layout)
+                    {"name": "referenced_data_file",
+                     "type": ["null", "string"]},
+                    {"name": "content_offset", "type": ["null", "long"]},
+                    {"name": "content_size_in_bytes",
+                     "type": ["null", "long"]},
                 ]}},
             {"name": "sequence_number", "type": ["null", "long"]},
         ]}
@@ -2339,6 +2396,18 @@ def compact_iceberg_table(spark: SparkSession, table_path: str,
                 "status": STATUS_EXISTING, "snapshot_id": snap_id,
                 "sequence_number": dseq, "data_file": rec})
             continue
+        if d.get("content_offset") is not None:
+            # v3 puffin DV: folded into the outputs if its data file was
+            # rewritten, kept verbatim otherwise; a PARTIALLY-doomed
+            # reference set cannot occur (one DV references ONE file)
+            ref_key = "/".join(_strip_scheme(
+                d["referenced_data_file"]).rstrip("/").split("/")[-2:])
+            if ref_key in doomed_keys:
+                continue                  # baked into the rewrite
+            delete_entries.append({
+                "status": STATUS_EXISTING, "snapshot_id": snap_id,
+                "sequence_number": dseq, "data_file": rec})
+            continue
         dpath = _resolve_path(table_path, d["file_path"])
         ddf = spark.read.parquet(dpath)
         keep = ddf.filter(
@@ -2503,8 +2572,98 @@ def write_iceberg_position_deletes(spark: SparkSession, table_path: str,
     return _commit_delete_snapshot(spark, table_path, entry, "delete")
 
 
+def write_iceberg_dv_deletes(spark: SparkSession, table_path: str,
+                             predicate_sql: str) -> int:
+    """Append one FORMAT-VERSION-3 delete snapshot whose row deletes are
+    PUFFIN DELETION VECTORS (``deletion-vector-v1`` blobs — the roaring
+    bitmap layout v3 standardized, shared with Delta DVs): matching
+    rows' positions group into one bitmap per data file, all bitmaps
+    land in ONE puffin file, and each file gets a content=1 manifest
+    entry carrying ``referenced_data_file`` + ``content_offset`` +
+    ``content_size_in_bytes`` (the v3 DV descriptor). The commit bumps
+    the table's format-version to 3. Same staging scope as the
+    position-delete writer (single-writer, local FS, driver-side
+    position collect — gate-scale by design); the READ path
+    (_apply_position_deletes) is the production surface."""
+    if _is_metadata_handle(table_path):
+        raise NotImplementedError(
+            "catalog-managed (*.metadata.json) handles are READ-ONLY "
+            "here: commits must go through the owning catalog, not "
+            "the file layout")
+    if not _is_local(table_path):
+        raise NotImplementedError(
+            "write_iceberg_dv_deletes is a local staging utility")
+    from urllib.parse import unquote
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from . import delta_dv, puffin
+
+    root = _strip_scheme(table_path)
+    meta = read_table_metadata(spark, table_path)
+    deletes: list[dict] = []
+    files = live_data_files(spark, table_path, meta, None,
+                            deletes_out=deletes)
+    if any((f.get("file_format") or "PARQUET").upper() == "ORC"
+           for f in files):
+        raise IcebergProtocolError(
+            "deletion vectors over ORC data files: row positions need "
+            "_metadata.row_index, which Spark's ORC reader does not "
+            "emit")
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    _PF, _PP = "__ice_prov_f", "__ice_prov_p"
+    cur = (spark.read.schema(iceberg_spark_schema(meta)).parquet(
+        *[_resolve_path(table_path, f["file_path"]) for f in files])
+        .select("*", F.col("_metadata.file_path").alias(_PF),
+                F.col("_metadata.row_index").alias(_PP)))
+    if deletes:
+        keyed = cur.select(
+            "*", _file_key_expr(F.col(_PF)).alias(_POS_KEY),
+            F.col(_PP).alias(_POS_IDX))
+        cur = _apply_row_deletes(spark, keyed, table_path, files,
+                                 deletes, meta)
+    doomed = cur.filter(F.expr(predicate_sql)).select(_PF, _PP).collect()
+    by_file: dict[str, list[int]] = {}
+    for r in doomed:
+        by_file.setdefault(
+            re.sub(r"^file:/+", "/", unquote(r[_PF])), []).append(
+            int(r[_PP]))
+    if not by_file:
+        return int(meta["current-snapshot-id"])  # nothing matched
+
+    new_snap = max(int(sn["snapshot-id"]) for sn in meta["snapshots"]) + 1
+    ppath = os.path.join(root, "data", f"dv-{new_snap}.puffin")
+    blobs = []
+    order = sorted(by_file)
+    for fp in order:
+        blobs.append({
+            "type": "deletion-vector-v1",
+            "data": delta_dv.serialize_bitmap_array(
+                np.sort(np.asarray(by_file[fp], dtype=np.int64))),
+            "properties": {"referenced-data-file": fp,
+                           "cardinality": str(len(by_file[fp]))}})
+    descs = puffin.write_puffin_file(ppath, blobs)
+    entries = []
+    for fp, d in zip(order, descs):
+        entries.append({
+            "status": STATUS_ADDED,
+            "data_file": {
+                "content": 1, "file_path": ppath,
+                "file_format": "PUFFIN", "partition": {},
+                "record_count": len(by_file[fp]),
+                "file_size_in_bytes": os.path.getsize(ppath),
+                "lower_bounds": None, "upper_bounds": None,
+                "referenced_data_file": fp,
+                "content_offset": int(d["offset"]),
+                "content_size_in_bytes": int(d["length"])}})
+    return _commit_delete_snapshot(spark, table_path, entries, "delete",
+                                   format_version=3)
+
+
 def _commit_delete_snapshot(spark: SparkSession, table_path: str,
-                            entry: dict, op_summary: str) -> int:
+                            entry: dict | list[dict], op_summary: str,
+                            format_version: int | None = None) -> int:
     """Shared staging commit for row-delete snapshots: content=1
     manifest with ``entry``, new manifest list (prior manifests +
     this one, sequence-stamped), new metadata version claimed by
@@ -2522,9 +2681,10 @@ def _commit_delete_snapshot(spark: SparkSession, table_path: str,
     new_snap = max(int(sn["snapshot-id"]) for sn in meta["snapshots"]) + 1
     new_seq = int(meta.get("last-sequence-number") or 0) + 1
     ts = (snap.get("timestamp-ms") or 0) + 1000
-    entry = {**entry, "snapshot_id": new_snap}
+    entries = [entry] if isinstance(entry, dict) else list(entry)
+    entries = [{**e, "snapshot_id": new_snap} for e in entries]
     mpath = os.path.join(mdir, f"manifest-del-{new_snap}.avro")
-    blob = write_container(_manifest_entry_schema(), [entry])
+    blob = write_container(_manifest_entry_schema(), entries)
     with open(mpath, "wb") as f:
         f.write(blob)
     mlpath = os.path.join(mdir, f"snap-{new_snap}.avro")
@@ -2536,6 +2696,9 @@ def _commit_delete_snapshot(spark: SparkSession, table_path: str,
     with open(mlpath, "wb") as f:
         f.write(write_container(_MANIFEST_FILE_SCHEMA, all_manifests))
     meta = dict(meta)
+    if format_version is not None:
+        meta["format-version"] = max(
+            int(meta.get("format-version", 1)), int(format_version))
     meta["snapshots"] = list(meta["snapshots"]) + [{
         "snapshot-id": new_snap, "timestamp-ms": ts,
         "sequence-number": new_seq,

@@ -2193,3 +2193,80 @@ def test_uniform_sync_nested_schema(spark, tmp_path):
     acc = []
     _collect_ids({"type": "struct", "fields": sch["fields"]}, acc)
     assert len(acc) == len(set(acc)) and meta["last-column-id"] == max(acc)
+
+
+# ---------------------------------------------------------------------------
+# format-version 3: puffin deletion vectors
+
+def test_v3_puffin_dv_deletes_read_and_compose(spark, ice):
+    """write_iceberg_dv_deletes: matching rows become puffin
+    deletion-vector-v1 blobs (one bitmap per data file, v3 descriptor
+    fields on content=1 entries); the read anti-joins the decoded
+    positions; DV + parquet position deletes compose; time travel below
+    the delete still serves every row; format-version bumps to 3."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        write_iceberg_dv_deletes,
+        write_iceberg_position_deletes,
+    )
+
+    write_iceberg_position_deletes(spark, ice, "k % 10 = 7")
+    sid = write_iceberg_dv_deletes(spark, ice, "k % 5 = 2")
+    meta = read_table_metadata(spark, ice)
+    assert int(meta["format-version"]) == 3
+    expect = [k for k in range(40) if k % 10 != 7 and k % 5 != 2]
+    assert _ks(read_iceberg_snapshot(spark, ice)) == expect
+    # puffin file exists with one blob per data file that had a match
+    import glob
+
+    from databricks_import_pyspark_scripts_spark.sources import puffin
+
+    (ppath,) = glob.glob(os.path.join(ice, "data", "*.puffin"))
+    ft = puffin.read_puffin_footer(open(ppath, "rb").read())
+    assert all(b["type"] == "deletion-vector-v1" for b in ft["blobs"])
+    assert len(ft["blobs"]) >= 2           # one bitmap per hit file
+    # history below both delete snapshots intact
+    assert _ks(read_iceberg_snapshot(spark, ice, snapshot_id=1001)) == \
+        list(range(40))
+    # a second DV delete composes without re-recording dead rows
+    write_iceberg_dv_deletes(spark, ice, "k < 3")
+    assert _ks(read_iceberg_snapshot(spark, ice)) == \
+        [k for k in expect if k >= 3]
+    assert sid == 1003
+
+
+def test_v3_dv_compaction_folds_and_keeps(spark, tmp_path):
+    """Compaction over a v3 DV table: DVs whose data file is rewritten
+    fold into the outputs; DVs referencing kept (large) files survive
+    verbatim; the post-compaction read is unchanged."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        compact_iceberg_table,
+        write_iceberg_dv_deletes,
+    )
+
+    t = str(tmp_path / "v3c")
+    small = [spark.range(i * 10, (i + 1) * 10).selectExpr(
+        "id AS k", "CAST(id AS double) AS v") for i in range(3)]
+    write_iceberg_table(spark, small, t)
+    write_iceberg_dv_deletes(spark, t, "k % 4 = 1")
+    expect = [k for k in range(30) if k % 4 != 1]
+    assert _ks(read_iceberg_snapshot(spark, t)) == expect
+    assert compact_iceberg_table(spark, t) is not None
+    assert _ks(read_iceberg_snapshot(spark, t)) == expect
+
+
+def test_v3_default_values_reject(spark, ice):
+    """A v3 schema declaring column default values rejects loudly (reads
+    would silently NULL the defaulted column)."""
+    mdir = os.path.join(ice, "metadata")
+    cur = int(open(os.path.join(mdir, "version-hint.text")).read())
+    meta = json.load(open(os.path.join(mdir, f"v{cur}.metadata.json")))
+    meta["format-version"] = 3
+    meta["schemas"][0]["fields"].append(
+        {"id": 99, "name": "flag", "required": False, "type": "int",
+         "initial-default": 1})
+    with open(os.path.join(mdir, f"v{cur + 1}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write(str(cur + 1))
+    with pytest.raises(IcebergProtocolError, match="default values"):
+        read_iceberg_snapshot(spark, ice)
