@@ -130,3 +130,47 @@ def test_dv_file_framing_roundtrip(bitmap_sets):
         blob = open(p, "rb").read()
         for (off, size), data in zip(offsets, datas):
             assert read_dv_from_file_bytes(blob, off, size) == data
+
+
+@given(st.lists(st.binary(min_size=0, max_size=200), min_size=0,
+                max_size=8),
+       st.dictionaries(st.text(min_size=1, max_size=10),
+                       st.text(max_size=20), max_size=3))
+@settings(max_examples=200, deadline=None)
+def test_puffin_container_roundtrip(blob_datas, props):
+    """Puffin container: any blob byte sequence round-trips through the
+    footer's offset/length bookkeeping; file properties survive."""
+    import os
+    import tempfile
+
+    from databricks_import_pyspark_scripts_spark.sources import puffin
+
+    path = os.path.join(tempfile.mkdtemp(), "t.puffin")
+    blobs = [{"type": "deletion-vector-v1", "data": b,
+              "properties": {"i": str(i)}}
+             for i, b in enumerate(blob_datas)]
+    puffin.write_puffin_file(path, blobs, file_properties=props)
+    raw = open(path, "rb").read()
+    ft = puffin.read_puffin_footer(raw)
+    assert ft["properties"] == dict(props)
+    assert len(ft["blobs"]) == len(blob_datas)
+    for i, (b, d) in enumerate(zip(ft["blobs"], blob_datas)):
+        assert puffin.read_puffin_blob(raw, b["offset"], b["length"]) == d
+        assert b["properties"]["i"] == str(i)
+
+
+@given(st.lists(st.integers(0, 2**40), min_size=0, max_size=300,
+                unique=True))
+@settings(max_examples=200, deadline=None)
+def test_dv_bitmap_roundtrip_large_positions(positions):
+    """RoaringBitmapArray codec (shared by Delta DVs and Iceberg v3
+    puffin DVs): arbitrary 40-bit row positions round-trip exactly —
+    multi-bitmap keys, runs, and singletons alike."""
+    import numpy as np
+
+    from databricks_import_pyspark_scripts_spark.sources import delta_dv
+
+    arr = np.sort(np.asarray(positions, dtype=np.int64))
+    got = delta_dv.deserialize_bitmap_array(
+        delta_dv.serialize_bitmap_array(arr))
+    assert (got == arr).all() and got.dtype == np.int64
