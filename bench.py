@@ -159,6 +159,7 @@ HEADLINE = [
     "iceberg_wap_publish_agg",
     "delta_replace_where_agg",
     "iceberg_v3_dv_agg",
+    "iceberg_row_lineage_agg",
 ]
 
 EXTENSION_ROWS = {

@@ -1011,3 +1011,79 @@ def iceberg_v3_dv_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(read_iceberg_snapshot(spark, path), "head").unionAll(
         agg(read_iceberg_snapshot(spark, path, snapshot_id=_SNAP1),
             "pre_delete"))
+
+
+_RL_V0, _RL_V1 = "event_id % 4 = 0", "event_id % 4 = 1"
+_RL_DEAD = "event_id % 9 = 2"
+
+
+def _staged_iceberg_row_lineage(spark: SparkSession, sf_dir: str) -> str:
+    """v3 row lineage staged deterministically: two sorted single-file
+    commits, lineage backfill (ranges by file-path order = commit
+    order), an append claiming a fresh range, then a puffin DV delete
+    that must not move any survivor's id."""
+    from ..sources.iceberg import (
+        append_iceberg,
+        enable_iceberg_row_lineage,
+        write_iceberg_dv_deletes,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_iceberg_rl_gate_{tag}_v1")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        e = (load_table(spark, sf_dir, "events")
+             .select("event_id", "event_type", "value"))
+        write_iceberg_table(
+            spark,
+            [e.filter(F.expr(_RL_V0)).orderBy("event_id").coalesce(1)],
+            path)
+        enable_iceberg_row_lineage(spark, path)
+        append_iceberg(spark,
+                       e.filter(F.expr(_RL_V1)).orderBy("event_id")
+                       .coalesce(1), path, ts_ms=1700000010000)
+        write_iceberg_dv_deletes(spark, path, _RL_DEAD)
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "iceberg_row_lineage_agg",
+    f"""
+    WITH base AS (
+      SELECT event_id, event_type,
+             CAST(ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS BIGINT)
+                 AS rid
+      FROM events WHERE {_RL_V0}),
+    grown AS (
+      SELECT event_id, event_type,
+             (SELECT COUNT(*) FROM base)
+             + CAST(ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS BIGINT)
+                 AS rid
+      FROM events WHERE {_RL_V1}),
+    live AS (SELECT * FROM base UNION ALL SELECT * FROM grown)
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(rid) AS BIGINT) AS sum_row_id
+    FROM live WHERE NOT ({_RL_DEAD})
+    GROUP BY event_type
+    """,
+    doc="Iceberg v3 ROW LINEAGE (sources/iceberg.py "
+        "enable_iceberg_row_lineage / read_iceberg_snapshot_with_row_"
+        "ids): the backfill snapshot stamps explicit first_row_id "
+        "ranges, the append claims a fresh range above next-row-id, and "
+        "a puffin DV delete kills rows WITHOUT moving any survivor's "
+        "_row_id = first_row_id + position. Per-type SUM(_row_id) "
+        "value-checks every id against the oracle's ROW_NUMBER replay — "
+        "the Iceberg twin of the Delta row-tracking gate.")
+def iceberg_row_lineage_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.iceberg import read_iceberg_snapshot_with_row_ids
+
+    path = _staged_iceberg_row_lineage(spark, sf_dir)
+    return (read_iceberg_snapshot_with_row_ids(spark, path)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("_row_id").alias("sum_row_id"))
+            .select("event_type", "n", "sum_row_id"))

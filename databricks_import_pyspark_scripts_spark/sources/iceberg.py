@@ -1249,6 +1249,9 @@ def _manifest_entry_schema(partition_fields: list[dict] | None = None):
                     {"name": "content_offset", "type": ["null", "long"]},
                     {"name": "content_size_in_bytes",
                      "type": ["null", "long"]},
+                    # v3 row lineage: the file's first fresh row id
+                    # (row i of the file has id first_row_id + i)
+                    {"name": "first_row_id", "type": ["null", "long"]},
                 ]}},
             {"name": "sequence_number", "type": ["null", "long"]},
         ]}
@@ -1751,6 +1754,21 @@ def append_iceberg(spark: SparkSession, df: DataFrame, table_path: str,
             cur = _snapshot(meta, base_snap)
             _, prior = read_container(_read_bytes(
                 spark, _resolve_path(table_path, cur["manifest-list"])))
+        _nri = None
+        if meta.get("next-row-id") is not None:
+            # v3 row lineage: claim fresh first_row_id ranges (re-stamped
+            # from the NEW head's counter on every lost-race rebase) and
+            # advance next-row-id in the same commit
+            _nri = int(meta["next-row-id"])
+            for e in sorted(entries,
+                            key=lambda e: e["data_file"]["file_path"]):
+                e["data_file"]["first_row_id"] = _nri
+                _nri += int(e["data_file"].get("record_count") or 0)
+            blob = write_container(_manifest_entry_schema(part_fields),
+                                   entries)
+            with open(mpath, "wb") as f:
+                f.write(blob)
+            new_manifest["manifest_length"] = len(blob)
         mlpath = os.path.join(mdir, f"snap-{snap_id}-{tag}.avro")
         with open(mlpath, "wb") as f:
             f.write(write_container(_MANIFEST_FILE_SCHEMA,
@@ -1760,6 +1778,8 @@ def append_iceberg(spark: SparkSession, df: DataFrame, table_path: str,
             summary["spark-graft-app-id"] = txn_app_id
             summary["spark-graft-batch-id"] = str(int(txn_version))
         new_meta = dict(meta)
+        if _nri is not None:
+            new_meta["next-row-id"] = _nri
         new_meta["snapshots"] = list(meta.get("snapshots") or []) + [{
             "snapshot-id": snap_id, "timestamp-ms": ts,
             "sequence-number": seq,
@@ -1978,7 +1998,9 @@ def drop_iceberg_ref(spark: SparkSession, table_path: str, name: str,
 
 
 def rewrite_iceberg_manifests(spark: SparkSession, table_path: str,
-                              ts_ms: int | None = None) -> int | None:
+                              ts_ms: int | None = None,
+                              assign_row_lineage: bool = False
+                              ) -> int | None:
     """RewriteManifests — the metadata half of the maintenance triad
     (compact files / rewrite manifests / expire snapshots): consolidate
     the current snapshot's DATA manifests into ONE manifest per
@@ -2004,7 +2026,7 @@ def rewrite_iceberg_manifests(spark: SparkSession, table_path: str,
         spark, _resolve_path(table_path, snap["manifest-list"])))
     data_mfs = [m for m in manifests if int(m.get("content") or 0) == 0]
     del_mfs = [m for m in manifests if int(m.get("content") or 0) == 1]
-    if len(data_mfs) <= 1:
+    if len(data_mfs) <= 1 and not assign_row_lineage:
         return None
 
     schema_fields = _current_schema(meta)["fields"]
@@ -2039,6 +2061,22 @@ def rewrite_iceberg_manifests(spark: SparkSession, table_path: str,
     ts = (meta.get("last-updated-ms", 0) + 1 if ts_ms is None
           else int(ts_ms))
     tag = f"m{_uuid.uuid4().hex[:12]}"
+    next_row_id = int(meta.get("next-row-id") or 0)
+    if assign_row_lineage:
+        # v3 ROW LINEAGE backfill: every live file lacking a
+        # first_row_id claims a range here, deterministic by file path
+        for sid_k in sorted(by_spec):
+            for e in sorted(by_spec[sid_k],
+                            key=lambda e: e["data_file"]["file_path"]):
+                df_rec = e["data_file"]
+                if df_rec.get("first_row_id") is None:
+                    df_rec["first_row_id"] = next_row_id
+                    next_row_id += int(df_rec.get("record_count") or 0)
+                else:
+                    next_row_id = max(
+                        next_row_id,
+                        int(df_rec["first_row_id"])
+                        + int(df_rec.get("record_count") or 0))
     new_manifests: list[dict] = []
     for sid in sorted(by_spec):
         spec = next((sp for sp in (meta.get("partition-specs") or [])
@@ -2072,6 +2110,10 @@ def rewrite_iceberg_manifests(spark: SparkSession, table_path: str,
         fh.write(write_container(_MANIFEST_FILE_SCHEMA,
                                  new_manifests + list(del_mfs)))
     new_meta = dict(meta)
+    if assign_row_lineage:
+        new_meta["format-version"] = max(
+            int(meta.get("format-version", 1)), 3)
+        new_meta["next-row-id"] = next_row_id
     new_meta["snapshots"] = list(meta.get("snapshots") or []) + [{
         "snapshot-id": snap_id, "timestamp-ms": ts,
         "sequence-number": new_seq, "manifest-list": mlpath,
@@ -2087,6 +2129,71 @@ def rewrite_iceberg_manifests(spark: SparkSession, table_path: str,
             f"race at v{v + 1}; rerun to replan")
     _write_hint(mdir, v + 1)
     return snap_id
+
+
+def enable_iceberg_row_lineage(spark: SparkSession,
+                               table_path: str) -> int:
+    """Upgrade the table to v3 ROW LINEAGE: one 'replace' snapshot
+    backfills an explicit ``first_row_id`` range onto every live data
+    file (deterministic by file path), sets ``next-row-id``, and bumps
+    format-version to 3. Subsequent ``append_iceberg`` commits claim
+    fresh ranges and advance the counter; DV deletes keep survivor ids
+    positionally stable (files never move). Read back through
+    ``read_iceberg_snapshot_with_row_ids``."""
+    sid = rewrite_iceberg_manifests(spark, table_path,
+                                    assign_row_lineage=True)
+    assert sid is not None
+    return sid
+
+
+def read_iceberg_snapshot_with_row_ids(spark: SparkSession,
+                                       table_path: str,
+                                       snapshot_id: int | None = None
+                                       ) -> DataFrame:
+    """Snapshot carrying v3 ROW-LINEAGE ids: ``_row_id`` =
+    ``first_row_id + position`` — the Iceberg twin of the Delta row
+    tracking surface. Stable under DV/position/equality deletes (rows
+    never move); raises when any live file lacks a ``first_row_id``
+    (run ``enable_iceberg_row_lineage`` first). Parquet-only (row
+    positions need ``_metadata.row_index``)."""
+    from pyspark.sql import functions as F
+
+    meta = read_table_metadata(spark, table_path)
+    root = iceberg_table_root(table_path, meta)
+    deletes: list[dict] = []
+    files = live_data_files(spark, root, meta, snapshot_id,
+                            deletes_out=deletes)
+    schema = iceberg_spark_schema(meta)
+    if not files:
+        return spark.createDataFrame(
+            [], T.StructType(list(schema.fields)
+                             + [T.StructField("_row_id", T.LongType())]))
+    missing = [f["file_path"] for f in files
+               if f.get("first_row_id") is None]
+    if missing:
+        raise IcebergProtocolError(
+            f"{len(missing)} live file(s) carry no first_row_id; run "
+            f"enable_iceberg_row_lineage first")
+    if any((f.get("file_format") or "PARQUET").upper() != "PARQUET"
+           for f in files):
+        raise IcebergProtocolError(
+            "row lineage needs _metadata.row_index: parquet data files "
+            "only")
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    scan = spark.read.schema(schema).parquet(
+        *[_resolve_path(root, f["file_path"]) for f in files])
+    keyed = scan.select(
+        "*",
+        _file_key_expr(F.col("_metadata.file_path")).alias(_POS_KEY),
+        F.col("_metadata.row_index").alias(_POS_IDX))
+    if deletes:
+        keyed = _apply_row_deletes(spark, keyed, root, files, deletes,
+                                   meta, drop_helpers=False)
+    rows = [(_file_key(root, f), int(f["first_row_id"])) for f in files]
+    frid = spark.createDataFrame(rows, f"{_POS_KEY} string, __frid long")
+    out = (keyed.join(F.broadcast(frid), _POS_KEY, "left")
+           .withColumn("_row_id", F.col("__frid") + F.col(_POS_IDX)))
+    return out.select(*[f.name for f in schema.fields], "_row_id")
 
 
 def expire_iceberg_snapshots(spark: SparkSession, table_path: str,

@@ -2270,3 +2270,41 @@ def test_v3_default_values_reject(spark, ice):
         f.write(str(cur + 1))
     with pytest.raises(IcebergProtocolError, match="default values"):
         read_iceberg_snapshot(spark, ice)
+
+
+def test_v3_row_lineage_backfill_append_and_dv_stability(spark, ice):
+    """enable_iceberg_row_lineage: the backfill snapshot stamps explicit
+    first_row_id ranges on every live file and sets next-row-id; appends
+    claim fresh ranges; _row_id is unique, and DV deletes keep every
+    survivor's id exactly where it was."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        append_iceberg,
+        enable_iceberg_row_lineage,
+        read_iceberg_snapshot_with_row_ids,
+        write_iceberg_dv_deletes,
+    )
+
+    with pytest.raises(IcebergProtocolError, match="first_row_id"):
+        read_iceberg_snapshot_with_row_ids(spark, ice)
+    enable_iceberg_row_lineage(spark, ice)
+    meta = read_table_metadata(spark, ice)
+    assert int(meta["format-version"]) == 3
+    assert int(meta["next-row-id"]) == 40
+    got = read_iceberg_snapshot_with_row_ids(spark, ice)
+    ids = {r.k: r._row_id for r in got.collect()}
+    assert len(ids) == 40 and sorted(ids.values()) == list(range(40))
+    # append claims a fresh range above the counter
+    c = spark.range(40, 52).selectExpr("id AS k", "CAST(id AS double) AS v")
+    append_iceberg(spark, c, ice)
+    meta = read_table_metadata(spark, ice)
+    assert int(meta["next-row-id"]) == 52
+    ids2 = {r.k: r._row_id for r in
+            read_iceberg_snapshot_with_row_ids(spark, ice).collect()}
+    assert len(ids2) == 52 and len(set(ids2.values())) == 52
+    assert all(ids2[k] == v for k, v in ids.items())   # old ids stable
+    # puffin DV delete: survivors keep their ids exactly
+    write_iceberg_dv_deletes(spark, ice, "k % 6 = 1")
+    ids3 = {r.k: r._row_id for r in
+            read_iceberg_snapshot_with_row_ids(spark, ice).collect()}
+    assert set(ids3) == {k for k in range(52) if k % 6 != 1}
+    assert all(ids3[k] == ids2[k] for k in ids3)
