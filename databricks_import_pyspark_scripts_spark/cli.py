@@ -38,6 +38,7 @@ def build_parser() -> argparse.ArgumentParser:
                             "iceberg-append", "iceberg-compact",
                             "iceberg-expire", "iceberg-set-ref",
                             "iceberg-drop-ref", "iceberg-rewrite-manifests",
+                            "iceberg-enable-row-lineage", "uniform-sync",
                             "delta-clone",
                             "delta-optimize", "delta-vacuum",
                             "delta-checkpoint", "delta-restore"),
@@ -311,6 +312,26 @@ def _run_maintenance(args) -> int:
         report = {"table": args.table, "snapshot_id": sid,
                   "rewritten": sid is not None,
                   "data_manifests": sum(m.content == 0 for m in mans)}
+    elif args.maintenance == "iceberg-enable-row-lineage":
+        from .sources.iceberg import (
+            enable_iceberg_row_lineage,
+            read_table_metadata,
+        )
+
+        table_path = f"{args.source_root}/{args.table}"
+        sid = enable_iceberg_row_lineage(spark, table_path)
+        meta = read_table_metadata(spark, table_path)
+        report = {"table": args.table, "snapshot_id": sid,
+                  "format_version": int(meta["format-version"]),
+                  "next_row_id": int(meta["next-row-id"])}
+    elif args.maintenance == "uniform-sync":
+        from .sources.iceberg import read_iceberg_snapshot
+        from .sources.uniform import uniform_sync_iceberg
+
+        table_path = f"{args.source_root}/{args.table}"
+        sid = uniform_sync_iceberg(spark, table_path)
+        report = {"table": args.table, "snapshot_id": sid,
+                  "rows": read_iceberg_snapshot(spark, table_path).count()}
     elif args.maintenance == "delta-clone":
         from .sinks.delta_writer import clone_delta
         from .sources.delta_log import read_delta_snapshot

@@ -451,3 +451,44 @@ def test_cli_delta_clone_and_rewrite_manifests(spark, tmp_path):
     mans = iceberg_metadata_table(spark, f"{root}/itbl",
                                   "manifests").collect()
     assert sum(m.content == 0 for m in mans) == 1
+
+
+def test_cli_uniform_sync_and_row_lineage(spark, tmp_path):
+    """uniform-sync and iceberg-enable-row-lineage subprocess e2e."""
+    import os
+
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        create_delta_table,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        read_iceberg_snapshot_with_row_ids,
+        write_iceberg_table,
+    )
+
+    root = str(tmp_path / "root")
+    df = spark.range(0, 15).selectExpr("id AS k", "CAST(id AS double) AS v")
+    create_delta_table(spark, df, f"{root}/dtbl", ts_ms=1000)
+    env = {"SPARK_GRAFT_CPUS": "4", "PATH": "/usr/bin:/bin",
+           "HOME": "/root", "JAVA_HOME": os.environ.get("JAVA_HOME", "")}
+    proc = subprocess.run(
+        [sys.executable, "-m", "databricks_import_pyspark_scripts_spark.cli",
+         "--source-root", root, "--table", "dtbl",
+         "--maintenance", "uniform-sync"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert json.loads(proc.stdout.strip().splitlines()[-1])["rows"] == 15
+
+    write_iceberg_table(spark, [df], f"{root}/itbl")
+    proc = subprocess.run(
+        [sys.executable, "-m", "databricks_import_pyspark_scripts_spark.cli",
+         "--source-root", root, "--table", "itbl",
+         "--maintenance", "iceberg-enable-row-lineage"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rep = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert rep["format_version"] == 3 and rep["next_row_id"] == 15
+    ids = sorted(r._row_id for r in read_iceberg_snapshot_with_row_ids(
+        spark, f"{root}/itbl").collect())
+    assert ids == list(range(15))
