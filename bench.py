@@ -160,6 +160,7 @@ HEADLINE = [
     "delta_replace_where_agg",
     "iceberg_v3_dv_agg",
     "iceberg_row_lineage_agg",
+    "text_bigram_perplexity",
 ]
 
 EXTENSION_ROWS = {

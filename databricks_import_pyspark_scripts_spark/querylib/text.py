@@ -1458,3 +1458,62 @@ def text_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_pred_en"))
             .select("lang", "n", "mean_score", "n_pred_en")
             .orderBy("lang"))
+
+
+@register(
+    "text_bigram_perplexity",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+      FROM documents),
+    bi AS (
+      SELECT doc_id, lang, ts[i] AS w1, ts[i + 1] AS w2
+      FROM toks, UNNEST(range(1, len(ts))) AS t(i)),
+    bic AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+    uc AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT w1) AS v FROM bi),
+    scored AS (
+      SELECT b.doc_id, b.lang,
+             AVG(-ln((bic.c12 + 1.0)
+                     / (uc.c1 + (SELECT v FROM v)))) AS nll
+      FROM bi b
+      JOIN bic ON b.w1 = bic.w1 AND b.w2 = bic.w2
+      JOIN uc ON b.w1 = uc.w1
+      GROUP BY 1, 2)
+    SELECT lang, COUNT(*) AS n, ROUND(AVG(nll), 3) AS mean_nll
+    FROM scored GROUP BY lang
+    """,
+    doc="Bigram-LM PERPLEXITY scoring — the CCNet-style quality filter: "
+        "an add-1-smoothed bigram model is trained ON THE CORPUS (two "
+        "token-keyed aggregations, map-side partials) and every "
+        "document scored by its mean negative log-likelihood; high-NLL "
+        "docs are the 'unnatural' tail a perplexity filter drops. The "
+        "model is |vocab|- and |bigram-vocab|-bounded state joined back "
+        "broadcast-style — at 100 TB the corpus is scanned twice and "
+        "nothing per-row crosses the driver. Per-lang doc counts and "
+        "mean NLL, rounded.")
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens_col
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang",
+                    tokens_col(F.col("text")).alias("ts"))
+    bi = toks.select(
+        "doc_id", "lang",
+        F.expr("explode(arrays_zip(slice(ts, 1, size(ts) - 1), "
+               "slice(ts, 2, size(ts) - 1)))").alias("bg")
+    ).select("doc_id", "lang",
+             F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+    bic = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uc = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = bi.select("w1").distinct().count()
+    scored = (bi.join(bic, ["w1", "w2"]).join(uc, "w1")
+              .groupBy("doc_id", "lang")
+              .agg(F.avg(-F.log((F.col("c12") + 1.0)
+                                / (F.col("c1") + F.lit(float(v)))))
+                   .alias("nll")))
+    return (scored.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("nll"), 3).alias("mean_nll"))
+            .select("lang", "n", "mean_nll"))
