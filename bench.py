@@ -161,6 +161,7 @@ HEADLINE = [
     "iceberg_v3_dv_agg",
     "iceberg_row_lineage_agg",
     "text_bigram_perplexity",
+    "text_source_token_kl",
 ]
 
 EXTENSION_ROWS = {

@@ -1517,3 +1517,61 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.avg("nll"), 3).alias("mean_nll"))
             .select("lang", "n", "mean_nll"))
+
+
+@register(
+    "text_source_token_kl",
+    r"""
+    WITH tok AS (
+      SELECT source,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      FROM documents),
+    sc AS (SELECT source, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    st AS (SELECT source, SUM(c) AS n FROM sc GROUP BY 1),
+    cc AS (SELECT token, SUM(c) AS c FROM sc GROUP BY 1),
+    ct AS (SELECT SUM(c) AS n FROM cc),
+    v AS (SELECT COUNT(*) AS v FROM cc),
+    grid AS (
+      SELECT st.source, st.n, cc.token, cc.c AS corpus_c
+      FROM st CROSS JOIN cc),
+    p AS (
+      SELECT g.source,
+             (COALESCE(sc.c, 0) + 1.0)
+                 / (g.n + (SELECT v FROM v)) AS ps,
+             (g.corpus_c + 1.0)
+                 / ((SELECT n FROM ct) + (SELECT v FROM v)) AS pc
+      FROM grid g
+      LEFT JOIN sc ON sc.source = g.source AND sc.token = g.token)
+    SELECT source, ROUND(SUM(ps * ln(ps / pc)), 4) AS kl
+    FROM p GROUP BY source
+    """,
+    doc="Per-source token-distribution drift: FULL add-1-smoothed "
+        "KL(source || corpus) over the whole vocabulary (unseen-token "
+        "mass included via a source x vocab grid — |sources|*|vocab| "
+        "bounded state, never row-bounded). The ingest-monitoring twin "
+        "of the events-table PSI/KS gates for the document corpus: a "
+        "source whose token mix diverges from the pool flags before it "
+        "poisons a training run.")
+def text_source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens_col
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source",
+                   F.explode(tokens_col(F.col("text"))).alias("token"))
+    sc = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    st = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    cc = sc.groupBy("token").agg(F.sum("c").alias("corpus_c"))
+    totals = cc.agg(F.sum("corpus_c"), F.count(F.lit(1))).collect()[0]
+    ct_n, v = float(totals[0]), float(totals[1])
+    grid = st.crossJoin(F.broadcast(cc))
+    p = (grid.join(sc, ["source", "token"], "left")
+         .select("source",
+                 ((F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                  / (F.col("n") + F.lit(v))).alias("ps"),
+                 ((F.col("corpus_c") + 1.0)
+                  / F.lit(ct_n + v)).alias("pc")))
+    return (p.groupBy("source")
+            .agg(F.round(F.sum(F.col("ps")
+                               * F.log(F.col("ps") / F.col("pc"))), 4)
+                 .alias("kl"))
+            .select("source", "kl"))
