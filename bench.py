@@ -530,7 +530,18 @@ def main() -> int:
                 "delta_variant_read", "iceberg_compacted_agg",
                 "iceberg_expired_head_agg",
                 "delta_writer_mapped_append_agg",
-                "corpus_dsir_selection", "delta_restore_agg"}
+                "corpus_dsir_selection", "delta_restore_agg",
+                # session-2 additions: OUT of the comparable total, same
+                # rationale as every post-r6 row
+                "iceberg_ref_read_agg", "delta_clone_agg",
+                "iceberg_files_meta_agg", "delta_history_feed",
+                "embedding_covariance_agg", "similarity_topk_rp_rerank",
+                "iceberg_spec_evolved_agg", "uniform_iceberg_read_agg",
+                "delta_identity_append_agg", "delta_row_tracking_agg",
+                "text_tfidf_cosine_pairs", "text_quality_logreg",
+                "iceberg_wap_publish_agg", "delta_replace_where_agg",
+                "iceberg_v3_dv_agg", "iceberg_row_lineage_agg",
+                "text_bigram_perplexity", "text_source_token_kl"}
     # same membership as comparable_queries_sec (includes the unload e2e row)
     comp = [k for k in timings
             if k not in EXTENSION_ROWS and k not in stress
