@@ -774,30 +774,16 @@ def create_delta_table(spark: SparkSession, df: DataFrame, table_path: str,
                                          else 4 if cdf
                                          else 3 if has_cons else 2)}
     if _rt_enabled({"configuration": conf}):
-        feats_w = set(protocol.get("writerFeatures") or ())
-        if not feats_w:
-            feats_w = {"appendOnly", "invariants"}
-            mw = protocol["minWriterVersion"]
-            if mw >= 3:
-                feats_w.add("checkConstraints")
-            if mw >= 4:
-                feats_w.add("changeDataFeed")
-            if mw >= 6:
-                feats_w.add("identityColumns")
+        feats_w = set(protocol.get("writerFeatures") or ()) \
+            or _legacy_implied_features(protocol["minWriterVersion"])
         feats_w |= {"rowTracking", "domainMetadata"}
         protocol = {**protocol, "minWriterVersion": 7,
                     "writerFeatures": sorted(feats_w)}
     if _ict_enabled({"configuration": conf}):
         # ICT is a table-features-only writer feature: upgrade the
         # protocol to v7, listing the legacy-implied features explicitly
-        feats_w = set(protocol.get("writerFeatures") or ())
-        if not feats_w:
-            feats_w = {"appendOnly", "invariants"}
-            mw = protocol["minWriterVersion"]
-            if mw >= 3:
-                feats_w.add("checkConstraints")
-            if mw >= 4:
-                feats_w.add("changeDataFeed")
+        feats_w = set(protocol.get("writerFeatures") or ()) \
+            or _legacy_implied_features(protocol["minWriterVersion"])
         feats_w.add("inCommitTimestamp")
         protocol = {**protocol, "minWriterVersion": 7,
                     "writerFeatures": sorted(feats_w)}
@@ -977,6 +963,21 @@ def append_delta(spark: SparkSession, df: DataFrame, table_path: str,
         version = rep.version + 1
     raise ConcurrentWriteError(
         f"append to {table_path} lost {max_retries + 1} commit races")
+
+
+def _legacy_implied_features(mw: int) -> set[str]:
+    """Writer features a legacy minWriterVersion implies (PROTOCOL.md's
+    feature table) — what an upgrade to v7 must list explicitly."""
+    feats = {"appendOnly", "invariants"}
+    if mw >= 3:
+        feats.add("checkConstraints")
+    if mw >= 4:
+        feats |= {"changeDataFeed", "generatedColumns"}
+    if mw >= 5:
+        feats.add("columnMapping")
+    if mw >= 6:
+        feats.add("identityColumns")
+    return feats
 
 
 def _ict_enabled(metadata: dict | None) -> bool:
@@ -2247,20 +2248,15 @@ def set_table_properties(spark: SparkSession, table_path: str,
             "baseRowId backfill this writer does not perform")
 
     protocol = dict(rep.protocol)
+
     def _need_feature(feat: str) -> None:
         feats_w = set(protocol.get("writerFeatures") or ())
         if int(protocol.get("minWriterVersion", 1)) >= 7 \
                 and feat in feats_w:
             return
         if not feats_w:
-            feats_w = {"appendOnly", "invariants"}
-            mw = int(protocol.get("minWriterVersion", 2))
-            if mw >= 3:
-                feats_w.add("checkConstraints")
-            if mw >= 4:
-                feats_w.add("changeDataFeed")
-            if mw >= 6:
-                feats_w.add("identityColumns")
+            feats_w = _legacy_implied_features(
+                int(protocol.get("minWriterVersion", 2)))
         feats_w.add(feat)
         protocol.update({"minWriterVersion": 7,
                          "writerFeatures": sorted(feats_w)})
