@@ -381,6 +381,53 @@ def set_domain_metadata(spark: SparkSession, table_path: str,
 
 
 _RT_DOMAIN = "delta.rowTracking"
+_RT_RID_KEY = "delta.rowTracking.materializedRowIdColumnName"
+_RT_RCV_KEY = "delta.rowTracking.materializedRowCommitVersionColumnName"
+_RT_RID_DEFAULT = "__materialized_row_id"
+_RT_RCV_DEFAULT = "__materialized_row_commit_version"
+
+
+def _rt_cols(metadata: dict | None) -> tuple[str, str] | None:
+    """(row-id column, commit-version column) the table MATERIALIZES
+    row-tracking state under in rewritten files, or None when row
+    tracking is off. The names live in the table config per spec."""
+    if not _rt_enabled(metadata):
+        return None
+    conf = (metadata or {}).get("configuration") or {}
+    return (conf.get(_RT_RID_KEY, _RT_RID_DEFAULT),
+            conf.get(_RT_RCV_KEY, _RT_RCV_DEFAULT))
+
+
+def _rt_scan_with_ids(spark: SparkSession, table_path: str, rep,
+                      actions: list[dict]) -> DataFrame:
+    """Scan ``actions`` carrying the effective row-tracking state as the
+    MATERIALIZED columns: coalesce(previously materialized value,
+    baseRowId + position / defaultRowCommitVersion). The rewrite ops
+    stage these columns into their outputs, which is exactly how row
+    ids survive a rewrite without a bitmap."""
+    from ..sources.delta_log import _ROW_INDEX
+
+    rid_col, rcv_col = _rt_cols(rep.metadata)
+    missing = [a["path"] for a in actions if a.get("baseRowId") is None]
+    if missing:
+        raise DeltaProtocolError(
+            f"{len(missing)} file(s) under rewrite carry no baseRowId; "
+            f"row tracking cannot preserve their ids")
+    scan = _scan_files(spark, table_path, rep, actions,
+                       extra_data_cols=[(rid_col, "long"),
+                                        (rcv_col, "long")],
+                       keep_row_index=True)
+    rows = [(_action_base(table_path, a["path"]), int(a["baseRowId"]),
+             int(a.get("defaultRowCommitVersion") or -1))
+            for a in actions]
+    m = spark.createDataFrame(
+        rows, f"{_FILE_BASE} string, __rt_base long, __rt_dcv long")
+    out = (scan.join(F.broadcast(m), _FILE_BASE, "left")
+           .withColumn(rid_col, F.coalesce(
+               F.col(rid_col), F.col("__rt_base") + F.col(_ROW_INDEX)))
+           .withColumn(rcv_col, F.coalesce(F.col(rcv_col),
+                                           F.col("__rt_dcv"))))
+    return out.drop("__rt_base", "__rt_dcv", _ROW_INDEX)
 
 
 def _rt_enabled(metadata: dict | None) -> bool:
@@ -779,6 +826,8 @@ def create_delta_table(spark: SparkSession, df: DataFrame, table_path: str,
         feats_w |= {"rowTracking", "domainMetadata"}
         protocol = {**protocol, "minWriterVersion": 7,
                     "writerFeatures": sorted(feats_w)}
+        conf.setdefault(_RT_RID_KEY, _RT_RID_DEFAULT)
+        conf.setdefault(_RT_RCV_KEY, _RT_RCV_DEFAULT)
     if _ict_enabled({"configuration": conf}):
         # ICT is a table-features-only writer feature: upgrade the
         # protocol to v7, listing the legacy-implied features explicitly
@@ -1086,11 +1135,6 @@ def _rewrite_op(spark: SparkSession, table_path: str, predicate: str,
     _check_writable(rep.metadata, rep.protocol, op)
     if check is not None:
         check(rep)          # op-specific refusals (e.g. SET on identity)
-    if _rt_enabled(rep.metadata):
-        raise DeltaProtocolError(
-            f"rewrite-path {op.upper()} on a row-tracked table would "
-            f"lose the rewritten rows' ids (no materialized row-id "
-            f"column here); use the DV path (use_dv=True)")
     if not rep.files:
         return rep.version  # empty table: nothing to do, no commit
     pred = F.expr(predicate)
@@ -1102,15 +1146,29 @@ def _rewrite_op(spark: SparkSession, table_path: str, predicate: str,
         return rep.version  # no row matches: no commit (Delta parity)
     by_base = _by_base_strict(table_path, rep, op)
     affected = [by_base[b] for b in sorted(matched)]
-    aff = _scan_files(spark, table_path, rep, affected)
+    rt_cols = _rt_cols(rep.metadata)
+    if rt_cols is None:
+        aff = _scan_files(spark, table_path, rep, affected)
+    else:
+        # row-tracked rewrite: carry each surviving row's id/commit
+        # version as MATERIALIZED columns into the rewritten files
+        aff = _rt_scan_with_ids(spark, table_path, rep, affected)
     logical = [f.name for f in rep.schema.fields]
     new_rows, cdc_df = transform(aff, hit, logical)
-    adds = _stage_files(spark, new_rows.select(*logical), table_path,
+    keep_cols = list(logical) + (list(rt_cols) if rt_cols else [])
+    adds = _stage_files(spark, new_rows.select(*keep_cols), table_path,
                         rep.partition_columns, ts, rep=rep)
     _enforce_constraints(spark, table_path, rep, adds, op)
+    rt_actions: list[dict] = []
+    if rt_cols is not None:
+        # fresh baseRowId ranges still back any NULL-materialized row
+        # (none in a pure rewrite, but the invariant is per-add)
+        rt_actions = _assign_base_row_ids(rep.domains, adds,
+                                          rep.version + 1)
     actions: list[dict] = [
         {"commitInfo": {"timestamp": ts, "operation": op.upper(),
                         "operationParameters": {"predicate": predicate}}},
+        *rt_actions,
         *({"add": {**a, "dataChange": True}} for a in adds),
         *({"remove": {"path": a["path"], "deletionTimestamp": ts,
                       "dataChange": True,
@@ -1363,7 +1421,7 @@ def update_where(spark: SparkSession, table_path: str, predicate: str,
             *[F.when(hit, F.expr(set_exprs[c])).otherwise(F.col(c))
               .cast(types[c]).alias(c) if c in set_exprs else F.col(c)
               for c in aff.columns])
-        new_rows = updated_all.select(*logical)
+        new_rows = updated_all  # keep helper cols; _rewrite_op projects
         pre = (aff.filter(hit).select(*logical)
                .withColumn(_CDC_TYPE, F.lit("update_preimage")))
         post = (updated_all.filter(hit).select(*logical)
@@ -2042,10 +2100,6 @@ def optimize_delta(spark: SparkSession, table_path: str,
     ts = _now_ms(ts_ms)
     rep = replay_log(spark, table_path)
     _check_writable(rep.metadata, rep.protocol, "optimize")
-    if _rt_enabled(rep.metadata):
-        raise DeltaProtocolError(
-            "OPTIMIZE on a row-tracked table would lose the rewritten "
-            "rows' ids (no materialized row-id column here)")
     if not rep.files:
         return rep.version
     if zorder_by:
@@ -2070,9 +2124,14 @@ def optimize_delta(spark: SparkSession, table_path: str,
                     and g[0].get("deletionVector") for a in g]
     if not targets:
         return rep.version
-    df = _scan_files(spark, table_path, rep, targets)
+    rt_cols = _rt_cols(rep.metadata)
+    if rt_cols is None:
+        df = _scan_files(spark, table_path, rep, targets)
+    else:
+        # row-tracked compaction: ids ride as materialized columns
+        df = _rt_scan_with_ids(spark, table_path, rep, targets)
     logical = [f.name for f in rep.schema.fields]
-    out = df.select(*logical)
+    out = df.select(*(list(logical) + (list(rt_cols) if rt_cols else [])))
     if zorder_by:
         from ..operators.layout import with_zorder_key
 
@@ -2089,10 +2148,13 @@ def optimize_delta(spark: SparkSession, table_path: str,
         out = out.coalesce(max(1, -(-total // small_file_bytes)))
     adds = _stage_files(spark, out, table_path, rep.partition_columns,
                         ts, rep=rep)
+    rt_actions = (_assign_base_row_ids(rep.domains, adds, rep.version + 1)
+                  if rt_cols is not None else [])
     actions: list[dict] = [
         {"commitInfo": {"timestamp": ts, "operation": "OPTIMIZE",
                         "operationParameters": {
                             "zOrderBy": zorder_by or []}}},
+        *rt_actions,
         *({"add": {**a, "dataChange": False}} for a in adds),
         *({"remove": {"path": a["path"], "deletionTimestamp": ts,
                       "dataChange": False,
@@ -2278,6 +2340,8 @@ def set_table_properties(spark: SparkSession, table_path: str,
     if _rt_enabled({"configuration": props}):
         _need_feature("rowTracking")
         _need_feature("domainMetadata")
+        conf.setdefault(_RT_RID_KEY, _RT_RID_DEFAULT)
+        conf.setdefault(_RT_RCV_KEY, _RT_RCV_DEFAULT)
     md["configuration"] = conf
     actions: list[dict] = [
         {"commitInfo": {"timestamp": ts,
@@ -2365,10 +2429,7 @@ def replace_where(spark: SparkSession, df: DataFrame, table_path: str,
     ts = _now_ms(ts_ms)
     rep = replay_log(spark, table_path)
     _check_writable(rep.metadata, rep.protocol, "replace-where")
-    if _rt_enabled(rep.metadata):
-        raise DeltaProtocolError(
-            "replaceWhere on a row-tracked table would lose the carried "
-            "rows' ids; not supported")
+    rt_cols = _rt_cols(rep.metadata)
     df, _ = _generate_identity(df, rep.schema)
     df = _compute_generated(df, rep.schema)
     logical = [f.name for f in rep.schema.fields]
@@ -2386,12 +2447,23 @@ def replace_where(spark: SparkSession, df: DataFrame, table_path: str,
         if matched:
             by_base = _by_base_strict(table_path, rep, "replace-where")
             affected = [by_base[b] for b in sorted(matched)]
-            aff = _scan_files(spark, table_path, rep, affected)
-            carried = aff.filter(~hit).select(*logical)
+            aff = (_scan_files(spark, table_path, rep, affected)
+                   if rt_cols is None
+                   else _rt_scan_with_ids(spark, table_path, rep,
+                                          affected))
+            keep = list(logical) + (list(rt_cols) if rt_cols else [])
+            carried = aff.filter(~hit).select(*keep)
 
     new_rows = _ordered(df, rep)
-    staged = (new_rows if carried is None
-              else new_rows.unionByName(carried))
+    staged_new = new_rows
+    if rt_cols is not None:
+        # replacement rows are NEW rows id-wise: NULL materialized cols,
+        # so the fresh baseRowId range backs them at read time
+        for c in rt_cols:
+            staged_new = staged_new.withColumn(
+                c, F.lit(None).cast("long"))
+    staged = (staged_new if carried is None
+              else staged_new.unionByName(carried))
     adds = _stage_files(spark, staged, table_path, rep.partition_columns,
                         ts, max_records_per_file=max_records_per_file,
                         rep=rep)
@@ -2404,12 +2476,15 @@ def replace_where(spark: SparkSession, df: DataFrame, table_path: str,
             f"replaceWhere: incoming rows do not all satisfy "
             f"{predicate!r}")
     id_md = _identity_hwm_update(rep, adds)
+    rt_actions = (_assign_base_row_ids(rep.domains, adds, rep.version + 1)
+                  if rt_cols is not None else [])
     actions: list[dict] = [
         {"commitInfo": {"timestamp": ts, "operation": "WRITE",
                         "operationParameters": {
                             "mode": "Overwrite",
                             "predicate": predicate}}},
         *([{"metaData": id_md}] if id_md is not None else []),
+        *rt_actions,
         *({"add": {**a, "dataChange": True}} for a in adds),
         *({"remove": {"path": a["path"], "deletionTimestamp": ts,
                       "dataChange": True,

@@ -844,7 +844,12 @@ def _scan_files(spark: SparkSession, table_path: str, rep: _Replay,
         [_to_physical_field(f) if mapped
          else (_to_id_field(f) if by_id else f) for f in logical_data])
     for c in extra_data_cols or ():
-        data_schema.add(c, "string")
+        # plain string -> string column; (name, sql_type) for typed
+        # extras (e.g. materialized row-id longs)
+        if isinstance(c, tuple):
+            data_schema.add(c[0], c[1])
+        else:
+            data_schema.add(c, "string")
     has_dv = any(a.get("deletionVector") for a in actions)
     need_idx = has_dv or keep_row_index
     if by_id:
@@ -866,7 +871,8 @@ def _scan_files(spark: SparkSession, table_path: str, rep: _Replay,
         if mapped:
             # physical -> logical: positional struct cast renames nested
             # fields in one expression, no data movement
-            keep = ([c for c in (extra_data_cols or ())] + [_FILE_BASE]
+            keep = ([c[0] if isinstance(c, tuple) else c
+                     for c in (extra_data_cols or ())] + [_FILE_BASE]
                     + ([_ROW_INDEX] if need_idx else []))
             g = g.select(
                 *[F.col(_physical_name(f)).cast(f.dataType).alias(f.name)
@@ -920,7 +926,9 @@ def _scan_files(spark: SparkSession, table_path: str, rep: _Replay,
         df = _apply_deletion_vectors(
             spark, df, table_path,
             [a for a in actions if a.get("deletionVector")])
-    order = ([f.name for f in schema.fields] + list(extra_data_cols or ())
+    order = ([f.name for f in schema.fields]
+             + [c[0] if isinstance(c, tuple) else c
+                for c in (extra_data_cols or ())]
              + [_FILE_BASE] + ([_ROW_INDEX] if keep_row_index else []))
     return df.select(*order)
 
@@ -1392,7 +1400,15 @@ def read_delta_snapshot_with_row_ids(spark: SparkSession, table_path: str,
             f"{len(missing)} live file(s) carry no baseRowId; row ids "
             f"are unavailable (enable delta.enableRowTracking and write "
             f"through this writer)")
+    conf = rep.metadata.get("configuration") or {}
+    rid_col = conf.get("delta.rowTracking.materializedRowIdColumnName",
+                       "__materialized_row_id")
+    rcv_col = conf.get(
+        "delta.rowTracking.materializedRowCommitVersionColumnName",
+        "__materialized_row_commit_version")
     scan = _scan_files(spark, table_path, rep, list(rep.files.values()),
+                       extra_data_cols=[(rid_col, "long"),
+                                        (rcv_col, "long")],
                        keep_row_index=True)
     if scan is None:
         from pyspark.sql.types import LongType, StructField, StructType
@@ -1407,8 +1423,10 @@ def read_delta_snapshot_with_row_ids(spark: SparkSession, table_path: str,
     base_df = spark.createDataFrame(
         rows, f"{_FILE_BASE} string, __base_row_id long, __rcv long")
     out = (scan.join(F.broadcast(base_df), _FILE_BASE, "left")
-           .withColumn("_row_id",
-                       F.col("__base_row_id") + F.col(_ROW_INDEX))
-           .withColumn("_row_commit_version", F.col("__rcv")))
+           .withColumn("_row_id", F.coalesce(
+               F.col(rid_col),
+               F.col("__base_row_id") + F.col(_ROW_INDEX)))
+           .withColumn("_row_commit_version",
+                       F.coalesce(F.col(rcv_col), F.col("__rcv"))))
     return out.select(*[f.name for f in rep.schema.fields],
                       "_row_id", "_row_commit_version")

@@ -1973,11 +1973,64 @@ def test_row_tracking_assigns_and_survives_dv_ops(spark, tmp_path):
     upd = {r.k: r._row_id for r in
            read_delta_snapshot_with_row_ids(spark, t).collect()}
     assert upd[2] == dict(anchor)[2] and upd[1] > wm1
-    # rewrite paths refuse
+    # REWRITE paths preserve ids by MATERIALIZING them into the new
+    # files (coalesce(materialized, baseRowId + position) on read)
+    before = {r.k: r._row_id for r in
+              read_delta_snapshot_with_row_ids(spark, t).collect()}
+    delete_where(spark, t, "k = 3", ts_ms=5000)           # rewrite path
+    after = {r.k: r._row_id for r in
+             read_delta_snapshot_with_row_ids(spark, t).collect()}
+    assert after == {k: v for k, v in before.items() if k != 3}
+    # OPTIMIZE rewrites every small file; ids must not move
+    optimize_delta(spark, t, ts_ms=6000)
+    post_opt = {r.k: r._row_id for r in
+                read_delta_snapshot_with_row_ids(spark, t).collect()}
+    assert post_opt == after
+    # rewrite UPDATE: the updated row KEEPS its id (materialized)
+    update_where(spark, t, "k = 5", {"v": "v + 7"}, ts_ms=7000)
+    upd2 = {r.k: r._row_id for r in
+            read_delta_snapshot_with_row_ids(spark, t).collect()}
+    assert upd2 == post_opt
+    # non-DV MERGE with a matched clause still refuses (two-sided join
+    # not composed onto the materialization path)
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        merge_into,
+    )
     with pytest.raises(DeltaProtocolError, match="row-tracked"):
-        delete_where(spark, t, "k = 3", ts_ms=5000)
-    with pytest.raises(DeltaProtocolError, match="row-tracked"):
-        optimize_delta(spark, t, ts_ms=5000)
+        merge_into(spark, t, _frame(spark, 0, 5), on=["k"],
+                   when_matched_update={"v": "t.v + 1"}, ts_ms=8000)
+
+
+def test_row_tracking_replace_where_and_clone(spark, tmp_path):
+    """replaceWhere on a row-tracked table: carried rows keep their ids
+    (materialized), replacement rows claim fresh ones above the
+    watermark."""
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        replace_where,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.delta_log import (
+        read_delta_snapshot_with_row_ids,
+    )
+
+    t = str(tmp_path / "rtrw")
+    create_delta_table(
+        spark, _frame(spark, 0, 40), t, ts_ms=1000,
+        configuration={"delta.enableRowTracking": "true"})
+    before = {r.k: r._row_id for r in
+              read_delta_snapshot_with_row_ids(spark, t).collect()}
+    repl = (spark.range(100, 105)
+            .selectExpr("id AS k", "'2' AS p",
+                        "CAST(id AS double) AS v"))
+    replace_where(spark, repl, t, "p = '2'", ts_ms=2000)
+    after = {r.k: r._row_id for r in
+             read_delta_snapshot_with_row_ids(spark, t).collect()}
+    # p = str(k % 4) for every row here (no null_p_below):
+    # the replaced region is exactly k % 4 == 2
+    expect_carried = {k: v for k, v in before.items() if k % 4 != 2}
+    assert {k: after[k] for k in expect_carried} == expect_carried
+    fresh = {k: v for k, v in after.items() if k >= 100}
+    assert len(fresh) == 5 and min(fresh.values()) > max(before.values())
+    assert len(set(after.values())) == len(after)
 
 
 def test_set_table_properties_and_feature_upgrades(spark, tmp_path):
