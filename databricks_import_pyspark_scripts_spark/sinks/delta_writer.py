@@ -96,7 +96,7 @@ SUPPORTED_WRITER_FEATURES = {
     # mutate another writer's domain
     "domainMetadata",
     # append/DV paths assign baseRowId ranges + advance the watermark;
-    # rewrite paths refuse loudly (_rt_enabled guards)
+    # rewrite paths preserve ids via the materialized row-id columns
     "rowTracking",
 }
 
