@@ -1899,8 +1899,12 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
         # DV mode joins the FULL row-indexed scan once (dead positions +
         # post-images from the same join); rewrite mode rescans only the
         # affected files
-        aff = snap if dv_mode else _scan_files(spark, table_path, rep,
-                                               affected)
+        rt_cols_m = None if dv_mode else _rt_cols(rep.metadata)
+        aff = (snap if dv_mode
+               else (_scan_files(spark, table_path, rep, affected)
+                     if rt_cols_m is None
+                     else _rt_scan_with_ids(spark, table_path, rep,
+                                            affected)))
         t_side = aff.alias("t")
         # explicit match marker, not s-key-isNotNull: eqNullSafe makes
         # (null, null) a legitimate match, so a null key cannot signal
@@ -1943,7 +1947,10 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
                 new_parts.append(
                     joined.filter(update_cond).select(*target_row(True)))
         else:
-            kept = joined.filter(~delete_cond).select(*target_row(True))
+            rt_keep = ([F.col(f"t.{c}").alias(c) for c in rt_cols_m]
+                       if rt_cols_m else [])
+            kept = joined.filter(~delete_cond).select(
+                *target_row(True), *rt_keep)
             new_parts.append(kept)
         if cdf:
             deleted = joined.filter(delete_cond).select(
@@ -1960,6 +1967,12 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
         tkeys = snap.select(*on).distinct()
         inserts = src.join(
             tkeys, [src[c].eqNullSafe(tkeys[c]) for c in on], "left_anti")
+        rt_cols_all = _rt_cols(rep.metadata) if not use_dv else None
+        if rt_cols_all and affected:
+            # kept/updated rows carry materialized ids; INSERTS are new
+            # rows id-wise — NULL cols read through the fresh baseRowId
+            for c in rt_cols_all:
+                inserts = inserts.withColumn(c, F.lit(None).cast("long"))
         new_parts.append(inserts)
         if cdf:
             pieces_cdc.append(
@@ -1975,17 +1988,17 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
         new_rows = new_parts[0]
         for p in new_parts[1:]:
             new_rows = new_rows.unionByName(p)
-        adds = _stage_files(spark, new_rows.select(*logical), table_path,
-                            rep.partition_columns, ts, rep=rep)
+        stage_cols = list(logical)
+        if not use_dv and affected and _rt_cols(rep.metadata):
+            stage_cols += list(_rt_cols(rep.metadata))
+        adds = _stage_files(spark, new_rows.select(*stage_cols),
+                            table_path, rep.partition_columns, ts,
+                            rep=rep)
         _enforce_constraints(spark, table_path, rep, adds, "merge")
     if dv_mode and dv_actions is None and not adds:
         return rep.version  # insert clause present but zero insert rows
     rt_actions: list[dict] = []
     if _rt_enabled(rep.metadata):
-        if affected:
-            raise DeltaProtocolError(
-                "rewrite-path MERGE on a row-tracked table would lose "
-                "the rewritten rows' ids; use use_dv=True")
         rt_actions = _assign_base_row_ids(rep.domains, adds,
                                           rep.version + 1)
     actions: list[dict] = [

@@ -1991,14 +1991,27 @@ def test_row_tracking_assigns_and_survives_dv_ops(spark, tmp_path):
     upd2 = {r.k: r._row_id for r in
             read_delta_snapshot_with_row_ids(spark, t).collect()}
     assert upd2 == post_opt
-    # non-DV MERGE with a matched clause still refuses (two-sided join
-    # not composed onto the materialization path)
+    # rewrite MERGE: matched-updated and untouched-kept rows keep their
+    # ids (materialized through the two-sided join); inserts get fresh
+    # ones above the watermark
     from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
         merge_into,
     )
-    with pytest.raises(DeltaProtocolError, match="row-tracked"):
-        merge_into(spark, t, _frame(spark, 0, 5), on=["k"],
-                   when_matched_update={"v": "t.v + 1"}, ts_ms=8000)
+    src = (spark.range(0, 2).selectExpr(
+        "id AS k", "CAST(id % 4 AS string) AS p",
+        "CAST(id AS double) AS v")
+        .unionByName(spark.range(200, 203).selectExpr(
+            "id AS k", "CAST(id % 4 AS string) AS p",
+            "CAST(id AS double) AS v")))
+    merge_into(spark, t, src, on=["k"],
+               when_matched_update={"v": "t.v + s.v"}, ts_ms=8000)
+    merged = {r.k: r._row_id for r in
+              read_delta_snapshot_with_row_ids(spark, t).collect()}
+    for k, rid in upd2.items():
+        assert merged[k] == rid, k                  # every old id stable
+    fresh = {k: v for k, v in merged.items() if k >= 200}
+    assert len(fresh) == 3 and len(set(merged.values())) == len(merged)
+    assert min(fresh.values()) > max(upd2.values())
 
 
 def test_row_tracking_replace_where_and_clone(spark, tmp_path):
