@@ -304,7 +304,11 @@ def _identity_hwm_update(rep, adds: list[dict],
     staged adds' stats JSON (footer-derived — the files are the truth,
     so a re-executed nondeterministic plan cannot desync metadata from
     data); a staged file MISSING stats for an identity column refuses
-    loudly rather than under-advance the watermark."""
+    loudly rather than under-advance the watermark. The watermark is the
+    extremum in the STEP DIRECTION: a negative-step column descends, so
+    its mark tracks minValues and only moves DOWN — keying every column
+    on maxValues would park the mark at the first batch's max and
+    regenerate overlapping values forever (ADVICE r10 #3)."""
     ids = _identity_cols(rep.schema)
     if not ids:
         return None
@@ -313,24 +317,28 @@ def _identity_hwm_update(rep, adds: list[dict],
         stats = a.get("stats")
         if isinstance(stats, str):
             stats = json.loads(stats) if stats else None
-        maxv = (stats or {}).get("maxValues") or {}
         nrec = int((stats or {}).get("numRecords") or 0)
-        for name in ids:
+        for name, spec in ids.items():
             if nrec == 0:
                 continue
-            if name not in maxv or maxv[name] is None:
+            desc = spec["step"] < 0
+            vals = ((stats or {}).get("minValues" if desc else "maxValues")
+                    or {})
+            if name not in vals or vals[name] is None:
                 raise DeltaProtocolError(
-                    f"staged file carries no max stat for identity "
-                    f"column {name!r}; cannot advance the high "
-                    f"watermark safely")
-            observed[name] = max(observed.get(name, -(1 << 62)),
-                                 int(maxv[name]))
+                    f"staged file carries no {'min' if desc else 'max'} "
+                    f"stat for identity column {name!r}; cannot advance "
+                    f"the high watermark safely")
+            agg = min if desc else max
+            seed = (1 << 62) if desc else -(1 << 62)
+            observed[name] = agg(observed.get(name, seed), int(vals[name]))
     moved = {}
     for name, spec in ids.items():
         if name not in observed:
             continue
         cur = spec["hwm"]
-        if cur is None or observed[name] > cur:
+        if cur is None or ((observed[name] < cur) if spec["step"] < 0
+                           else (observed[name] > cur)):
             moved[name] = observed[name]
     if not moved:
         return None
@@ -399,12 +407,15 @@ def _rt_cols(metadata: dict | None) -> tuple[str, str] | None:
 
 
 def _rt_scan_with_ids(spark: SparkSession, table_path: str, rep,
-                      actions: list[dict]) -> DataFrame:
+                      actions: list[dict],
+                      keep_row_index: bool = False) -> DataFrame:
     """Scan ``actions`` carrying the effective row-tracking state as the
     MATERIALIZED columns: coalesce(previously materialized value,
     baseRowId + position / defaultRowCommitVersion). The rewrite ops
     stage these columns into their outputs, which is exactly how row
-    ids survive a rewrite without a bitmap."""
+    ids survive a rewrite without a bitmap. ``keep_row_index`` retains
+    the physical position column for the DV paths, which stamp dead
+    positions from the same scan."""
     from ..sources.delta_log import _ROW_INDEX
 
     rid_col, rcv_col = _rt_cols(rep.metadata)
@@ -427,7 +438,8 @@ def _rt_scan_with_ids(spark: SparkSession, table_path: str, rep,
                F.col(rid_col), F.col("__rt_base") + F.col(_ROW_INDEX)))
            .withColumn(rcv_col, F.coalesce(F.col(rcv_col),
                                            F.col("__rt_dcv"))))
-    return out.drop("__rt_base", "__rt_dcv", _ROW_INDEX)
+    return out.drop("__rt_base", "__rt_dcv",
+                    *([] if keep_row_index else [_ROW_INDEX]))
 
 
 def _rt_enabled(metadata: dict | None) -> bool:
@@ -1346,8 +1358,17 @@ def _dv_row_op(spark: SparkSession, table_path: str, predicate: str,
     if not rep.files:
         return rep.version
     hit = F.coalesce(F.expr(predicate), F.lit(False))
-    snap = _scan_files(spark, table_path, rep, list(rep.files.values()),
-                       keep_row_index=True)
+    # row-tracked UPDATE must carry the matched rows' ids into the
+    # post-update images (spec: updates preserve row ids); materialize
+    # them in the same scan the dead positions come from (ADVICE r10 #5)
+    rt_cols_dv = _rt_cols(rep.metadata) if set_exprs is not None else None
+    snap = (_rt_scan_with_ids(spark, table_path, rep,
+                              list(rep.files.values()),
+                              keep_row_index=True)
+            if rt_cols_dv
+            else _scan_files(spark, table_path, rep,
+                             list(rep.files.values()),
+                             keep_row_index=True))
     dead = snap.filter(hit).select(_FILE_BASE, _ROW_INDEX)
     stamp = _dv_stamp_actions(spark, table_path, rep, dead, ts, op)
     if stamp is None:
@@ -1365,18 +1386,25 @@ def _dv_row_op(spark: SparkSession, table_path: str, predicate: str,
         if unknown:
             raise ValueError(f"SET targets {unknown} are not table "
                              f"columns")
+        stage_cols = list(logical) + (list(rt_cols_dv) if rt_cols_dv
+                                      else [])
         updated = snap.filter(hit).select(
             *[F.expr(set_exprs[c]).cast(types[c]).alias(c)
-              if c in set_exprs else F.col(c) for c in logical])
-        new_adds = _stage_files(spark, updated, table_path,
+              if c in set_exprs else F.col(c) for c in stage_cols])
+        new_adds = _stage_files(spark, updated.select(*stage_cols),
+                                table_path,
                                 rep.partition_columns, ts, rep=rep)
         _enforce_constraints(spark, table_path, rep, new_adds, op)
         if _rt_enabled(rep.metadata):
-            # post-update images are NEW rows id-wise (no materialized
-            # row-id column to carry the old ids): claim fresh ranges
+            # post-update images carry their old ids in the MATERIALIZED
+            # columns (staged above); the fresh ranges claimed here only
+            # back rows whose materialized value is NULL — none, for an
+            # update — and keep the every-add-has-a-baseRowId invariant
             actions += _assign_base_row_ids(rep.domains, new_adds,
                                             rep.version + 1)
         actions += [{"add": {**a, "dataChange": True}} for a in new_adds]
+        if rt_cols_dv:
+            updated = updated.select(*logical)
         cdc_df = None
         if _cdf_enabled(rep.metadata):
             pre = (snap.filter(hit).select(*logical)
@@ -1469,6 +1497,12 @@ def _cp_schema_and_rows(rep, tombstone_retention_ms: int,
         StructField("dataChange", BooleanType()),
         StructField("stats", StringType()),
         StructField("deletionVector", dv_t),
+        # row tracking (PROTOCOL.md "Row Tracking"): checkpoints must
+        # carry each add's baseRowId/defaultRowCommitVersion or replay-
+        # from-checkpoint loses every live file's row-id range once log
+        # cleanup retires the JSON prefix (ADVICE r10 #1)
+        StructField("baseRowId", LongType()),
+        StructField("defaultRowCommitVersion", LongType()),
     ])
     meta_t = StructType([
         StructField("id", StringType()),
@@ -1570,7 +1604,13 @@ def _cp_schema_and_rows(rep, tombstone_retention_ms: int,
             else (json.dumps(a["stats"]) if a.get("stats") else None),
             "deletionVector": ({k: dv.get(k) for k in (
                 "storageType", "pathOrInlineDv", "offset", "sizeInBytes",
-                "cardinality")} if dv else None)}})
+                "cardinality")} if dv else None),
+            "baseRowId": (int(a["baseRowId"])
+                          if a.get("baseRowId") is not None else None),
+            "defaultRowCommitVersion":
+                (int(a["defaultRowCommitVersion"])
+                 if a.get("defaultRowCommitVersion") is not None
+                 else None)}})
     return cp_schema, rows
 
 
@@ -1855,8 +1895,19 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
     has_matched_clause = (when_matched_update is not None
                           or when_matched_delete is not None)
     dv_mode = use_dv and has_matched_clause
-    snap = _scan_files(spark, table_path, rep, list(rep.files.values()),
-                       keep_row_index=dv_mode)
+    # DV-mode merge on a row-tracked table materializes the target rows'
+    # ids in the same scan that yields the dead positions, so post-update
+    # images keep their row ids exactly as the rewrite path does
+    # (ADVICE r10 #5)
+    rt_dv = (_rt_cols(rep.metadata)
+             if dv_mode and when_matched_update is not None else None)
+    snap = (_rt_scan_with_ids(spark, table_path, rep,
+                              list(rep.files.values()),
+                              keep_row_index=True)
+            if rt_dv
+            else _scan_files(spark, table_path, rep,
+                             list(rep.files.values()),
+                             keep_row_index=dv_mode))
     key = [snap[c].eqNullSafe(src[c]) for c in on]
 
     if has_matched_clause:
@@ -1899,7 +1950,7 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
         # DV mode joins the FULL row-indexed scan once (dead positions +
         # post-images from the same join); rewrite mode rescans only the
         # affected files
-        rt_cols_m = None if dv_mode else _rt_cols(rep.metadata)
+        rt_cols_m = rt_dv if dv_mode else _rt_cols(rep.metadata)
         aff = (snap if dv_mode
                else (_scan_files(spark, table_path, rep, affected)
                      if rt_cols_m is None
@@ -1943,9 +1994,14 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
                                            ts, "merge")
             if when_matched_update is not None:
                 # only the POST-images stage as new rows; kept rows
-                # never move (their old positions are simply not dead)
+                # never move (their old positions are simply not dead).
+                # On a row-tracked table the post-images carry the old
+                # ids via the materialized columns
+                rt_keep_dv = ([F.col(f"t.{c}").alias(c) for c in rt_dv]
+                              if rt_dv else [])
                 new_parts.append(
-                    joined.filter(update_cond).select(*target_row(True)))
+                    joined.filter(update_cond).select(*target_row(True),
+                                                      *rt_keep_dv))
         else:
             rt_keep = ([F.col(f"t.{c}").alias(c) for c in rt_cols_m]
                        if rt_cols_m else [])
@@ -1967,8 +2023,8 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
         tkeys = snap.select(*on).distinct()
         inserts = src.join(
             tkeys, [src[c].eqNullSafe(tkeys[c]) for c in on], "left_anti")
-        rt_cols_all = _rt_cols(rep.metadata) if not use_dv else None
-        if rt_cols_all and affected:
+        rt_cols_all = rt_dv if use_dv else _rt_cols(rep.metadata)
+        if rt_cols_all and (affected or rt_dv):
             # kept/updated rows carry materialized ids; INSERTS are new
             # rows id-wise — NULL cols read through the fresh baseRowId
             for c in rt_cols_all:
@@ -1989,8 +2045,8 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
         for p in new_parts[1:]:
             new_rows = new_rows.unionByName(p)
         stage_cols = list(logical)
-        if not use_dv and affected and _rt_cols(rep.metadata):
-            stage_cols += list(_rt_cols(rep.metadata))
+        if rt_dv or (not use_dv and affected and _rt_cols(rep.metadata)):
+            stage_cols += list(rt_dv or _rt_cols(rep.metadata))
         adds = _stage_files(spark, new_rows.select(*stage_cols),
                             table_path, rep.partition_columns, ts,
                             rep=rep)
@@ -2284,6 +2340,14 @@ def clone_delta(spark: SparkSession, src_table: str, dst_table: str,
                             "isShallow": shallow}}},
         {"protocol": dict(rep.protocol)},
         {"metaData": meta},
+        # live domains carry over — above all delta.rowTracking: without
+        # the rowIdHighWaterMark domain the first append to a row-tracked
+        # clone would claim baseRowId ranges from 0, overlapping the
+        # cloned adds' ranges and duplicating _row_id values (ADVICE
+        # r10 #2). Delta's own CLONE copies domain metadata the same way.
+        *({"domainMetadata": {"domain": d, "configuration": c,
+                              "removed": False}}
+          for d, c in sorted(rep.domains.items())),
         *({"add": {**a, "dataChange": True}} for a in adds),
     ]
     _stamp_ict(spark, dst_table, meta, actions, 0)

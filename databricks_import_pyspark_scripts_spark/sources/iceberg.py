@@ -2739,17 +2739,47 @@ def write_iceberg_dv_deletes(spark: SparkSession, table_path: str,
     if not by_file:
         return int(meta["current-snapshot-id"])  # nothing matched
 
+    # v3 allows AT MOST ONE deletion vector per data file and requires
+    # writers to REPLACE an existing one (spec "Deletion Vectors"): any
+    # prior live DV on a re-referenced file is unioned into the new
+    # bitmap and its manifest entry retired in the same commit — leaving
+    # both live would let engines that apply only the newest DV
+    # resurrect the earlier deletes (ADVICE r10 #4)
+    def _ref_key(p: str) -> str:
+        return "/".join(_strip_scheme(p).rstrip("/").split("/")[-2:])
+
+    new_keys = {_ref_key(fp): fp for fp in by_file}
+    superseded: set[str] = set()
+    raw_cache: dict[str, bytes] = {}
+    for d in deletes:
+        if d.get("content_offset") is None:
+            continue
+        k = _ref_key(d["referenced_data_file"])
+        if k not in new_keys:
+            continue
+        old_ppath = _resolve_path(table_path, d["file_path"])
+        raw = raw_cache.get(old_ppath)
+        if raw is None:
+            raw = _read_bytes(spark, old_ppath)
+            raw_cache[old_ppath] = raw
+        blob = puffin.read_puffin_blob(raw, int(d["content_offset"]),
+                                       int(d["content_size_in_bytes"]))
+        by_file[new_keys[k]].extend(
+            int(p) for p in delta_dv.deserialize_bitmap_array(blob))
+        superseded.add(k)
+
     new_snap = max(int(sn["snapshot-id"]) for sn in meta["snapshots"]) + 1
     ppath = os.path.join(root, "data", f"dv-{new_snap}.puffin")
     blobs = []
     order = sorted(by_file)
+    positions = {fp: np.unique(np.asarray(by_file[fp], dtype=np.int64))
+                 for fp in order}
     for fp in order:
         blobs.append({
             "type": "deletion-vector-v1",
-            "data": delta_dv.serialize_bitmap_array(
-                np.sort(np.asarray(by_file[fp], dtype=np.int64))),
+            "data": delta_dv.serialize_bitmap_array(positions[fp]),
             "properties": {"referenced-data-file": fp,
-                           "cardinality": str(len(by_file[fp]))}})
+                           "cardinality": str(len(positions[fp]))}})
     descs = puffin.write_puffin_file(ppath, blobs)
     entries = []
     for fp, d in zip(order, descs):
@@ -2758,25 +2788,92 @@ def write_iceberg_dv_deletes(spark: SparkSession, table_path: str,
             "data_file": {
                 "content": 1, "file_path": ppath,
                 "file_format": "PUFFIN", "partition": {},
-                "record_count": len(by_file[fp]),
+                "record_count": len(positions[fp]),
                 "file_size_in_bytes": os.path.getsize(ppath),
                 "lower_bounds": None, "upper_bounds": None,
                 "referenced_data_file": fp,
                 "content_offset": int(d["offset"]),
                 "content_size_in_bytes": int(d["length"])}})
     return _commit_delete_snapshot(spark, table_path, entries, "delete",
-                                   format_version=3)
+                                   format_version=3,
+                                   supersede_dv_keys=superseded)
+
+
+def _retire_superseded_dvs(spark: SparkSession, table_path: str,
+                           mdir: str, manifests: list[dict],
+                           keys: set[str], new_snap: int) -> list[dict]:
+    """Carried-manifest filter for DV replacement: each prior content=1
+    manifest holding a deletion-vector entry whose referenced data file
+    is in ``keys`` is rewritten WITHOUT those entries; survivors carry
+    their effective sequence numbers explicitly (EXISTING status, so no
+    inheritance is needed). A manifest left empty is dropped. This
+    repo's delete writers always stamp delete entries with partition {},
+    so the partition-field-free entry schema round-trips them."""
+    out: list[dict] = []
+    for mf in manifests:
+        if int(mf.get("content") or 0) != 1:
+            out.append(mf)
+            continue
+        _, ents = read_container(_read_bytes(
+            spark, _resolve_path(table_path, mf["manifest_path"])))
+        mf_seq = int(mf.get("sequence_number") or 0)
+        live = [e for e in ents
+                if int(e.get("status") or 0) != STATUS_DELETED]
+        doomed = [e for e in live
+                  if (e.get("data_file") or {}).get("content_offset")
+                  is not None
+                  and "/".join(_strip_scheme(
+                      e["data_file"]["referenced_data_file"])
+                      .rstrip("/").split("/")[-2:]) in keys]
+        if not doomed:
+            out.append(mf)
+            continue
+        survivors = []
+        for e in live:
+            if e in doomed:
+                continue
+            own = e.get("sequence_number")
+            survivors.append({
+                "status": STATUS_EXISTING,
+                "snapshot_id": new_snap,
+                "sequence_number": int(own) if own is not None
+                else mf_seq,
+                "data_file": e["data_file"]})
+        if not survivors:
+            continue
+        blob = write_container(_manifest_entry_schema(), survivors)
+        rpath = os.path.join(
+            mdir, f"manifest-del-{new_snap}-r{len(out):03d}.avro")
+        with open(rpath, "wb") as f:
+            f.write(blob)
+        out.append({
+            "manifest_path": rpath, "manifest_length": len(blob),
+            "partition_spec_id": 0, "content": 1,
+            "added_snapshot_id": new_snap,
+            "sequence_number": mf_seq,
+            "min_sequence_number": min(int(e["sequence_number"])
+                                       for e in survivors)})
+    return out
 
 
 def _commit_delete_snapshot(spark: SparkSession, table_path: str,
                             entry: dict | list[dict], op_summary: str,
-                            format_version: int | None = None) -> int:
+                            format_version: int | None = None,
+                            supersede_dv_keys: set[str] | None = None
+                            ) -> int:
     """Shared staging commit for row-delete snapshots: content=1
     manifest with ``entry``, new manifest list (prior manifests +
     this one, sequence-stamped), new metadata version claimed by
     ATOMIC no-overwrite create at the SCANNED head + 1 (never
     hint + 1 — the hint is advisory and can lag a crashed or racing
-    committer; r9 review finding #1), hint updated last."""
+    committer; r9 review finding #1), hint updated last.
+
+    ``supersede_dv_keys``: referenced-data-file keys (last two path
+    segments) whose prior deletion vectors this commit REPLACES — any
+    carried delete manifest holding a DV entry for one of them is
+    rewritten without it (survivors keep their effective sequence
+    numbers as EXISTING entries), enforcing v3's one-DV-per-data-file
+    rule."""
     from ..sinks.delta_writer import _atomic_create
 
     root = _strip_scheme(table_path)
@@ -2788,6 +2885,10 @@ def _commit_delete_snapshot(spark: SparkSession, table_path: str,
     new_snap = max(int(sn["snapshot-id"]) for sn in meta["snapshots"]) + 1
     new_seq = int(meta.get("last-sequence-number") or 0) + 1
     ts = (snap.get("timestamp-ms") or 0) + 1000
+    if supersede_dv_keys:
+        manifests = _retire_superseded_dvs(
+            spark, table_path, mdir, manifests, supersede_dv_keys,
+            new_snap)
     entries = [entry] if isinstance(entry, dict) else list(entry)
     entries = [{**e, "snapshot_id": new_snap} for e in entries]
     mpath = os.path.join(mdir, f"manifest-del-{new_snap}.avro")

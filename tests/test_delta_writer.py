@@ -1902,6 +1902,113 @@ def test_identity_generated_always_refuses_explicit(spark, tmp_path):
     assert len(got) == 3 and len(set(got)) == 3 and got[0] == 1
 
 
+def test_identity_negative_step_descends_without_reuse(spark, tmp_path):
+    """A negative-step identity column DESCENDS: its watermark is the
+    minimum observed value and only moves down — generated batches must
+    never overlap (ADVICE r10 #3: a max-keyed watermark parks at the
+    first batch's max and regenerates the same values forever)."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    t = str(tmp_path / "identneg")
+    schema = StructType([
+        StructField("uid", LongType(), True,
+                     {"delta.identity.start": 100,
+                      "delta.identity.step": -1}),
+        StructField("name", StringType())])
+    create_delta_table(
+        spark, spark.createDataFrame([(100, "a"), (99, "b")], schema),
+        t, ts_ms=1000)
+    batch = spark.createDataFrame([("c",), ("d",), ("e",)], "name string")
+    append_delta(spark, batch, t, ts_ms=2000)
+    append_delta(spark, batch, t, ts_ms=3000)
+    uids = [r.uid for r in read_delta_snapshot(spark, t).collect()]
+    assert len(uids) == 8 and len(set(uids)) == 8          # no reuse
+    assert max(uids) == 100 and all(u <= 100 for u in uids)
+    rep = replay_log(spark, t)
+    hwm = next(f for f in rep.schema.fields
+               if f.name == "uid").metadata["delta.identity.highWaterMark"]
+    assert hwm == min(uids)
+
+
+def test_checkpoint_preserves_row_tracking_ids(spark, tmp_path):
+    """Checkpoints must carry every add's baseRowId /
+    defaultRowCommitVersion (ADVICE r10 #1): after the JSON prefix is
+    retired, replay-from-checkpoint still reads stable row ids."""
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        write_classic_checkpoint, write_v2_checkpoint,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.delta_log import (
+        read_delta_snapshot_with_row_ids,
+    )
+
+    for flavor, writer in (("classic", write_classic_checkpoint),
+                           ("v2", write_v2_checkpoint)):
+        t = str(tmp_path / f"rtcp_{flavor}")
+        create_delta_table(
+            spark, _frame(spark, 0, 30), t, ts_ms=1000,
+            configuration={"delta.enableRowTracking": "true"})
+        append_delta(spark, _frame(spark, 30, 45), t, ts_ms=2000)
+        if flavor == "v2":
+            # manual protocol upgrade adding v2Checkpoint, keeping the
+            # row-tracking features intact
+            rep = replay_log(spark, t)
+            up = {"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": sorted(
+                    set(rep.protocol.get("readerFeatures") or ())
+                    | {"v2Checkpoint"}),
+                "writerFeatures": sorted(
+                    set(rep.protocol.get("writerFeatures") or ())
+                    | {"v2Checkpoint"})}}
+            log = os.path.join(t, "_delta_log")
+            with open(os.path.join(
+                    log, f"{rep.version + 1:020d}.json"), "w") as f:
+                f.write(json.dumps({"commitInfo": {
+                    "timestamp": 2500, "operation": "UPGRADE"}}) + "\n")
+                f.write(json.dumps(up) + "\n")
+        before = {r.k: r._row_id for r in
+                  read_delta_snapshot_with_row_ids(spark, t).collect()}
+        cp = writer(spark, t)
+        for v in range(cp):
+            os.unlink(os.path.join(t, "_delta_log", f"{v:020d}.json"))
+        after = {r.k: r._row_id for r in
+                 read_delta_snapshot_with_row_ids(spark, t).collect()}
+        assert after == before
+        # and the next append still claims ids above the old watermark
+        append_delta(spark, _frame(spark, 45, 50), t, ts_ms=3000)
+        final = {r.k: r._row_id for r in
+                 read_delta_snapshot_with_row_ids(spark, t).collect()}
+        assert len(set(final.values())) == 50
+
+
+def test_clone_preserves_row_tracking_domain(spark, tmp_path):
+    """CLONE of a row-tracked table must carry the delta.rowTracking
+    domain (ADVICE r10 #2): the first append to the clone claims ids
+    ABOVE the cloned files' ranges, never overlapping them."""
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        clone_delta,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.delta_log import (
+        read_delta_snapshot_with_row_ids,
+    )
+
+    src = str(tmp_path / "rtsrc")
+    dst = str(tmp_path / "rtdst")
+    create_delta_table(
+        spark, _frame(spark, 0, 40), src, ts_ms=1000,
+        configuration={"delta.enableRowTracking": "true"})
+    clone_delta(spark, src, dst, ts_ms=2000)
+    rep = replay_log(spark, dst)
+    assert json.loads(rep.domains["delta.rowTracking"])[
+        "rowIdHighWaterMark"] == 39
+    append_delta(spark, _frame(spark, 40, 55), dst, ts_ms=3000)
+    ids = [r._row_id for r in
+           read_delta_snapshot_with_row_ids(spark, dst).collect()]
+    assert len(ids) == 55 and len(set(ids)) == 55          # no overlap
+
+
 def test_domain_metadata_roundtrip_and_checkpoint(spark, tmp_path):
     """set_domain_metadata: last-writer-wins per domain, removed=True
     deletes, the protocol upgrades in-commit, and live domains survive
@@ -1967,12 +2074,14 @@ def test_row_tracking_assigns_and_survives_dv_ops(spark, tmp_path):
     after = {(r.k, r._row_id) for r in
              read_delta_snapshot_with_row_ids(spark, t).collect()}
     assert after == {(k, i) for k, i in anchor if k % 7 != 0}
-    # DV update: surviving rows keep ids, post-images get FRESH ids
+    # DV update: surviving rows keep ids AND the post-image keeps the
+    # updated row's old id (spec: updates preserve row ids — the
+    # materialized columns carry them into the staged post-image files)
     update_where(spark, t, "k = 1", {"v": "v + 1"}, ts_ms=4000,
                  use_dv=True)
     upd = {r.k: r._row_id for r in
            read_delta_snapshot_with_row_ids(spark, t).collect()}
-    assert upd[2] == dict(anchor)[2] and upd[1] > wm1
+    assert upd[2] == dict(anchor)[2] and upd[1] == dict(anchor)[1]
     # REWRITE paths preserve ids by MATERIALIZING them into the new
     # files (coalesce(materialized, baseRowId + position) on read)
     before = {r.k: r._row_id for r in

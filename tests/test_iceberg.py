@@ -2234,6 +2234,48 @@ def test_v3_puffin_dv_deletes_read_and_compose(spark, ice):
     assert sid == 1003
 
 
+def test_v3_dv_replacement_keeps_one_dv_per_file(spark, ice):
+    """v3 permits at most ONE deletion vector per data file: a second DV
+    delete touching an already-DV'd file must union the old bitmap into
+    the new vector and retire the superseded entry (ADVICE r10 #4) — an
+    engine that applies only the NEWEST DV per file must never resurrect
+    the first delete's rows."""
+    from databricks_import_pyspark_scripts_spark.sources import (
+        delta_dv, puffin,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        live_data_files,
+        read_table_metadata,
+        write_iceberg_dv_deletes,
+    )
+
+    write_iceberg_dv_deletes(spark, ice, "k IN (2, 7, 35)")
+    write_iceberg_dv_deletes(spark, ice, "k IN (4, 7, 11)")
+    expect = [k for k in range(40) if k not in (2, 4, 7, 11, 35)]
+    assert _ks(read_iceberg_snapshot(spark, ice)) == expect
+    meta = read_table_metadata(spark, ice)
+    deletes: list[dict] = []
+    live_data_files(spark, ice, meta, None, deletes_out=deletes)
+    dvs = [d for d in deletes if d.get("content_offset") is not None]
+    refs = [d["referenced_data_file"] for d in dvs]
+    assert len(refs) == len(set(refs)), \
+        f"multiple live DVs reference one data file: {refs}"
+    # newest-DV-only semantics: with the superseded vectors retired, the
+    # LIVE DVs alone must account for every deleted row — all 5 of
+    # (2, 7, 35, 4, 11), the overlap row 7 counted once
+    total = sum(int(d.get("record_count") or 0) for d in dvs)
+    assert total == 5
+    decoded = 0
+    for d in dvs:
+        blob = puffin.read_puffin_blob(
+            open(os.path.join(
+                ice, "data",
+                os.path.basename(d["file_path"])), "rb").read(),
+            int(d["content_offset"]), int(d["content_size_in_bytes"]))
+        decoded += len(delta_dv.deserialize_bitmap_array(blob))
+    assert decoded == 5
+
+
 def test_v3_dv_compaction_folds_and_keeps(spark, tmp_path):
     """Compaction over a v3 DV table: DVs whose data file is rewritten
     fold into the outputs; DVs referencing kept (large) files survive
