@@ -871,6 +871,63 @@ def uniform_iceberg_read_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "n", "sum_value"))
 
 
+_UNI_DV_DEAD = "event_id % 5 = 2"
+
+
+def _staged_uniform_dv(spark: SparkSession, sf_dir: str) -> str:
+    """The DBR-default shape: a Delta table with LIVE deletion vectors,
+    UniForm-synced — the sync must translate each DV bitmap into
+    Iceberg position deletes (VERDICT r10 #2) so the Iceberg read never
+    resurrects the deleted rows."""
+    from ..sinks.delta_writer import (
+        create_delta_table, delete_where,
+    )
+    from ..sources.uniform import uniform_sync_iceberg
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_uniform_dv_gate_{tag}_v1")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        e = (load_table(spark, sf_dir, "events")
+             .select("event_id", "event_type", "value"))
+        create_delta_table(spark, e.filter(F.expr(_UNI_V0)), path,
+                           ts_ms=1700000000000)
+        delete_where(spark, path, _UNI_DV_DEAD, ts_ms=1700000001000,
+                     use_dv=True)
+        sid = uniform_sync_iceberg(spark, path)
+        assert sid == 1001, sid      # reflects Delta version 1 (the DV)
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "uniform_dv_iceberg_read_agg",
+    f"""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events WHERE ({_UNI_V0}) AND NOT ({_UNI_DV_DEAD})
+    GROUP BY event_type
+    """,
+    doc="UniForm over a DV-bearing Delta table (the DBR 14+ default): "
+        "sources/uniform.py decodes each live deletion vector's roaring "
+        "bitmap into one spec-field-id position-delete parquet + "
+        "content=1 manifest in the synced snapshot. The gate DV-deletes "
+        "a slice Delta-side, syncs, reads through the ICEBERG stack and "
+        "aggregates; the oracle re-derives from the parquet source "
+        "minus the deleted slice — a resurrection (ADVICE r10 class) "
+        "breaks n and the value hash.")
+def uniform_dv_iceberg_read_agg(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    path = _staged_uniform_dv(spark, sf_dir)
+    return (read_iceberg_snapshot(spark, path)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select("event_type", "n", "sum_value"))
+
+
 _WAP_BASE, _WAP_AUDIT = "event_id % 3 = 0", "event_id % 3 = 1"
 
 

@@ -1099,6 +1099,27 @@ def read_iceberg_snapshot(spark: SparkSession, table_path: str,
             return dt
 
         schema = _strip(schema)
+    # name-mapping candidates may differ from the logical names (Delta
+    # column mapping: the on-disk PHYSICAL name leads the list) — read
+    # under the first candidate, then alias back to logical. Top-level
+    # only: the UniForm sync rejects nested-under-mapping, so a nested
+    # physical rename cannot reach this reader.
+    rename: dict[str, str] = {}          # physical -> logical
+    if name_mapped:
+        nm = json.loads((meta.get("properties") or {})[
+            "schema.name-mapping.default"])
+        id_to_disk = {int(e["field-id"]): e["names"][0]
+                      for e in nm if e.get("names") and "field-id" in e}
+        for f in _current_schema(meta)["fields"]:
+            disk = id_to_disk.get(int(f["id"]))
+            if disk and disk != f["name"]:
+                rename[disk] = f["name"]
+    logical_schema = schema
+    if rename:
+        to_disk = {v: k for k, v in rename.items()}
+        schema = T.StructType([
+            T.StructField(to_disk.get(f.name, f.name), f.dataType,
+                          f.nullable) for f in schema.fields])
     parts = []
     if pq_paths:
         if not name_mapped:
@@ -1116,6 +1137,12 @@ def read_iceberg_snapshot(spark: SparkSession, table_path: str,
     scan = parts[0]
     for p in parts[1:]:
         scan = scan.unionByName(p)
+    if rename:
+        # back to logical names (withColumnRenamed keeps _metadata
+        # resolvable for the provenance expressions below)
+        for disk, logical in rename.items():
+            scan = scan.withColumnRenamed(disk, logical)
+        schema = logical_schema
     if name_mapped and files:
         # identity-partition values are METADATA-authoritative for
         # imported files (spec: readers use partition metadata for

@@ -32,8 +32,17 @@ from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
 from .avro_codec import write_container
-from .delta_log import _resolve, _strip_scheme, replay_log
+from .delta_log import (
+    _dv_bytes,
+    _mapping_mode,
+    _physical_name,
+    _resolve,
+    _strip_scheme,
+    replay_log,
+)
 from .iceberg import (
+    _DELETE_FILE_PATH_FID,
+    _DELETE_POS_FID,
     _MANIFEST_FILE_SCHEMA,
     METADATA_DIR,
     STATUS_ADDED,
@@ -105,33 +114,42 @@ def uniform_sync_iceberg(spark: SparkSession, table_path: str,
     Delta version it reflects — rerunning after new Delta commits yields
     a new, higher id; a rerun on an unchanged table is a no-op).
 
-    Loud rejections (metadata the Iceberg side cannot represent without
-    lying): live DELETION VECTORS (an Iceberg reader would resurrect the
-    deleted rows — purge them first via OPTIMIZE) and column mapping
-    (the parquet files carry physical names the Iceberg schema would
-    not match). Nested struct/array/map columns translate with spec
+    Live DELETION VECTORS translate to Iceberg POSITION DELETES: each
+    file's roaring bitmap (DBR 14+ defaults DVs on, so a rejection here
+    would exclude the most common real Delta table) decodes into
+    ``(file_path, pos)`` rows of one spec-reserved-field-id delete
+    parquet, referenced by a content=1 manifest in the same snapshot —
+    DBR's own UniForm DV answer. COLUMN MAPPING (name/id modes) is
+    carried through ``schema.name-mapping.default``: the Iceberg schema
+    keeps logical names and the mapping points each field id at the
+    parquet PHYSICAL name (nested types under mapping reject — their
+    per-level physical names need a recursive mapping this writer does
+    not emit). Nested struct/array/map columns translate with spec
     element/key/value ids; VARIANT rejects."""
     rep = replay_log(spark, table_path)
     md = rep.metadata
-    conf = md.get("configuration") or {}
-    if (conf.get("delta.columnMapping.mode") or "none") != "none":
-        raise IcebergProtocolError(
-            "uniform sync over a column-mapped Delta table: parquet "
-            "physical names would not match the Iceberg schema")
-    if any(a.get("deletionVector") for a in rep.files.values()):
-        raise IcebergProtocolError(
-            "uniform sync with live deletion vectors would resurrect "
-            "deleted rows for Iceberg readers; run optimize_delta "
-            "(DV purge) first")
+    mapping = _mapping_mode(md)
 
     root = _strip_scheme(table_path).rstrip("/")
     top = list(rep.schema.fields)
+    if mapping != "none":
+        nested = [f.name for f in top
+                  if isinstance(f.dataType,
+                                (T.StructType, T.ArrayType, T.MapType))]
+        if nested:
+            raise IcebergProtocolError(
+                f"uniform sync: column mapping over nested columns "
+                f"{nested} needs a recursive name-mapping this writer "
+                f"does not emit")
     ids = _IdGen(1)
     top_ids = [ids() for _ in top]          # top-level ids first: 1..n
     fields = [{"id": fid, "name": f.name, "required": False,
                "type": _ice_type(f.dataType, ids)}
               for fid, f in zip(top_ids, top)]
     by_name = {f["name"]: f for f in fields}
+    # on-disk parquet column name per logical field (mapping-aware)
+    phys = {f.name: (_physical_name(f) if mapping != "none" else f.name)
+            for f in top}
     part_cols = list(rep.partition_columns)
     part_fields = _part_avro_fields(fields, part_cols, [])
 
@@ -147,8 +165,8 @@ def uniform_sync_iceberg(spark: SparkSession, table_path: str,
         if snap_id in have:
             return snap_id            # this Delta version already synced
 
-    name_to_field = {f["name"]: (f["id"], f["type"]) for f in fields
-                     if isinstance(f["type"], str)}
+    name_to_field = {phys[f["name"]]: (f["id"], f["type"])
+                     for f in fields if isinstance(f["type"], str)}
     entries = []
     for rel in sorted(rep.files):
         a = rep.files[rel]
@@ -192,13 +210,66 @@ def uniform_sync_iceberg(spark: SparkSession, table_path: str,
     with open(mpath, "wb") as f:
         f.write(blob)
     seq = rep.version + 1
-    manifest = {"manifest_path": mpath, "manifest_length": len(blob),
-                "partition_spec_id": 0, "content": 0,
-                "added_snapshot_id": snap_id,
-                "sequence_number": seq, "min_sequence_number": seq}
+    manifests = [{"manifest_path": mpath, "manifest_length": len(blob),
+                  "partition_spec_id": 0, "content": 0,
+                  "added_snapshot_id": snap_id,
+                  "sequence_number": seq, "min_sequence_number": seq}]
+
+    # DELETION VECTORS -> one Iceberg position-delete parquet: decode
+    # each DV'd file's roaring bitmap (KB-scale driver metadata — the
+    # same bytes every Delta reader of this table already decodes) into
+    # (file_path, pos) rows sorted as the spec requires, referenced by a
+    # content=1 manifest stamped at the SAME sequence number (position
+    # deletes apply to data files with data_seq <= delete_seq)
+    from . import delta_dv
+
+    pairs: list[tuple[str, int]] = []
+    for rel in sorted(rep.files):
+        d = rep.files[rel].get("deletionVector")
+        if not d:
+            continue
+        path = _resolve(root, rel)
+        bm = delta_dv.deserialize_bitmap_array(
+            _dv_bytes(spark, root, d))
+        pairs.extend((path, int(p)) for p in bm)
+    if pairs:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pairs.sort()
+        dpath = os.path.join(root, "data", f"uniform-delete-{tag}.parquet")
+        os.makedirs(os.path.dirname(dpath), exist_ok=True)
+        pq.write_table(pa.table(
+            {"file_path": pa.array([f for f, _ in pairs], pa.string()),
+             "pos": pa.array([p for _, p in pairs], pa.int64())},
+            schema=pa.schema([
+                pa.field("file_path", pa.string(), metadata={
+                    b"PARQUET:field_id":
+                        str(_DELETE_FILE_PATH_FID).encode()}),
+                pa.field("pos", pa.int64(), metadata={
+                    b"PARQUET:field_id":
+                        str(_DELETE_POS_FID).encode()})])),
+            dpath)
+        dentry = {"status": STATUS_ADDED, "snapshot_id": snap_id,
+                  "data_file": {
+                      "content": 1, "file_path": dpath,
+                      "file_format": "PARQUET", "partition": {},
+                      "record_count": len(pairs),
+                      "file_size_in_bytes": os.path.getsize(dpath),
+                      "lower_bounds": None, "upper_bounds": None}}
+        dblob = write_container(_manifest_entry_schema(), [dentry])
+        dmpath = os.path.join(mdir, f"manifest-{tag}-del.avro")
+        with open(dmpath, "wb") as f:
+            f.write(dblob)
+        manifests.append({
+            "manifest_path": dmpath, "manifest_length": len(dblob),
+            "partition_spec_id": 0, "content": 1,
+            "added_snapshot_id": snap_id,
+            "sequence_number": seq, "min_sequence_number": seq})
+
     mlpath = os.path.join(mdir, f"snap-{snap_id}-{tag}.avro")
     with open(mlpath, "wb") as f:
-        f.write(write_container(_MANIFEST_FILE_SCHEMA, [manifest]))
+        f.write(write_container(_MANIFEST_FILE_SCHEMA, manifests))
 
     ts = (rep.version + 1 + 1700000000000) if ts_ms is None else int(ts_ms)
     meta = {
@@ -216,9 +287,14 @@ def uniform_sync_iceberg(spark: SparkSession, table_path: str,
             for i, c in enumerate(part_cols)]}],
         "default-spec-id": 0,
         # Delta parquet carries no Iceberg field ids: declare the spec's
-        # name-mapping so readers resolve these files BY NAME
+        # name-mapping so readers resolve these files BY NAME — under
+        # Delta column mapping the on-disk name is the PHYSICAL one, so
+        # it leads the candidate list
         "properties": {"schema.name-mapping.default": json.dumps(
-            [{"field-id": f["id"], "names": [f["name"]]}
+            [{"field-id": f["id"],
+              "names": ([phys[f["name"]], f["name"]]
+                        if phys[f["name"]] != f["name"]
+                        else [f["name"]])}
              for f in fields])},
         "current-snapshot-id": snap_id,
         "snapshots": [{"snapshot-id": snap_id, "timestamp-ms": ts,

@@ -2026,13 +2026,19 @@ def test_uniform_sync_reads_delta_files_through_iceberg(spark, tmp_path):
     assert _ks(read_iceberg_snapshot(spark, t)) == list(range(50))
 
 
-def test_uniform_sync_rejections(spark, tmp_path):
-    """DV-bearing and column-mapped Delta tables refuse the sync loudly
-    (an Iceberg reader would resurrect DV-deleted rows / mismatch
-    physical names)."""
+def test_uniform_sync_translates_dvs_to_position_deletes(spark, tmp_path):
+    """A DV-bearing Delta table (the DBR-14+ default) syncs: each live
+    deletion vector decodes into rows of ONE position-delete parquet
+    (spec field ids), referenced by a content=1 manifest — the Iceberg
+    read must not resurrect the deleted rows (VERDICT r10 #2)."""
+    import pyarrow.parquet as papq
+
     from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
         create_delta_table,
         delete_where,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        read_table_metadata,
     )
     from databricks_import_pyspark_scripts_spark.sources.uniform import (
         uniform_sync_iceberg,
@@ -2042,8 +2048,73 @@ def test_uniform_sync_rejections(spark, tmp_path):
     df = spark.range(0, 20).selectExpr("id AS k", "CAST(id AS double) AS v")
     create_delta_table(spark, df, t, ts_ms=1000)
     delete_where(spark, t, "k < 5", ts_ms=2000, use_dv=True)
-    with pytest.raises(IcebergProtocolError, match="deletion vectors"):
-        uniform_sync_iceberg(spark, t)
+    delete_where(spark, t, "k = 17", ts_ms=3000, use_dv=True)
+    uniform_sync_iceberg(spark, t)
+    got = _ks(read_iceberg_snapshot(spark, t))
+    assert got == [k for k in range(20) if k >= 5 and k != 17]
+    # the translation is a real spec-field-id position-delete parquet
+    meta = read_table_metadata(spark, t)
+    import glob as _glob
+    (dpath,) = _glob.glob(os.path.join(t, "data", "uniform-delete-*"))
+    sch = papq.read_schema(dpath)
+    assert sch.field("pos").metadata[b"PARQUET:field_id"] == b"2147483545"
+    assert papq.ParquetFile(dpath).metadata.num_rows == 6
+    assert meta["format-version"] == 2
+
+
+def test_uniform_sync_column_mapped_flat_table(spark, tmp_path):
+    """A column-mapped (name-mode) FLAT Delta table syncs: the Iceberg
+    schema keeps logical names while schema.name-mapping.default points
+    each field id at the on-disk PHYSICAL name; the Iceberg read
+    resolves the physical columns and serves logical names. Nested
+    columns under mapping still reject loudly."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from databricks_import_pyspark_scripts_spark.sources.uniform import (
+        uniform_sync_iceberg,
+    )
+
+    t = str(tmp_path / "unicm")
+    os.makedirs(os.path.join(t, "_delta_log"))
+    schema_string = json.dumps({"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-p1"}},
+        {"name": "v", "type": "double", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-p2"}}]})
+    papq.write_table(
+        pa.table({"col-p1": pa.array([1, 2, 3], pa.int64()),
+                  "col-p2": pa.array([0.5, 1.5, 2.5], pa.float64())}),
+        os.path.join(t, "f1.parquet"))
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "11111111-2222-3333-4444-555555555555",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string, "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "2"},
+            "createdTime": 1690000000000}},
+        {"add": {"path": "f1.parquet", "partitionValues": {},
+                 "size": os.path.getsize(os.path.join(t, "f1.parquet")),
+                 "dataChange": True, "modificationTime": 1}},
+    ]
+    with open(os.path.join(t, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    uniform_sync_iceberg(spark, t)
+    got = read_iceberg_snapshot(spark, t)
+    assert set(got.columns) == {"k", "v"}
+    assert sorted((r.k, r.v) for r in got.collect()) == \
+        [(1, 0.5), (2, 1.5), (3, 2.5)]
+    # nested + mapping still rejects
+    from delta_fixture import make_column_mapped_table
+    t2 = str(tmp_path / "unicm_nested")
+    make_column_mapped_table(t2)
+    with pytest.raises(IcebergProtocolError, match="nested"):
+        uniform_sync_iceberg(spark, t2)
 
 
 def test_rewrite_manifests_consolidates_without_moving_data(spark, tmp_path):
