@@ -2,10 +2,11 @@
 training loop a corpus pipeline runs over weak labels (fasttext-style
 quality classifiers, language filters, toxicity gates).
 
-Scale shape, same as ``embedding_stats``: each Arrow batch reduces to
-ONE (n, gradient[d+1], hessian[(d+1)^2], loss) partial via numpy GEMM —
-the corpus never leaves the executors; the driver sums O(batches * d^2)
-numbers and solves a (d+1)-dim Newton system per iteration. Feature
+Scale shape, same as ``embedding_stats``: each TASK reduces its whole
+partition to ONE (n, gradient[d+1], hessian[(d+1)^2], loss) partial via
+numpy GEMM, a 64-way tree level combines partials before the driver —
+the corpus never leaves the executors; the driver sums <= 64 rows of
+O(d^2) numbers and solves a (d+1)-dim Newton system per iteration. Feature
 dims are small by construction (hand-crafted quality signals), so the
 driver work is microseconds; the corpus is scanned ``iters`` times and
 nothing else moves.
@@ -21,6 +22,78 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+#: fan-in of the pre-driver combine level (shared shape with
+#: embedding_stats.TREE_FAN): the driver sees <= this many partials per
+#: Newton iteration regardless of the corpus's partition count
+TREE_FAN = 64
+
+_PARTIAL_SCHEMA = ("n long, grad array<double>, hess array<double>, "
+                   "loss double")
+
+
+def newton_partials_df(df: DataFrame, feature_col: str, label_col: str,
+                       dim: int, w_cur: np.ndarray) -> DataFrame:
+    """One Newton iteration's distributed half: per-TASK
+    (n, grad, hess, loss) partials (accumulated across each task's
+    Arrow batches), tree-combined ``TREE_FAN``-to-1 before the driver
+    (VERDICT r10 #2: one partial per batch collected O(corpus/batch)
+    driver bytes at 100 TB). Exposed so tests can pin the
+    driver-received row bound."""
+    d1 = dim + 1
+
+    def _partials(batches):
+        import pandas as pd
+
+        n = 0
+        grad = np.zeros(d1)
+        hess = np.zeros((d1, d1))
+        loss = 0.0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(pdf[feature_col].tolist(), dtype=np.float64)
+            if x.shape[1] != dim:
+                raise ValueError(f"feature dim {x.shape[1]} != {dim}")
+            xb = np.hstack([np.ones((len(x), 1)), x])
+            y = pdf[label_col].to_numpy(dtype=np.float64)
+            z = xb @ w_cur
+            p = 1.0 / (1.0 + np.exp(-z))
+            grad += xb.T @ (p - y)
+            sdiag = np.maximum(p * (1.0 - p), 1e-12)
+            hess += (xb * sdiag[:, None]).T @ xb
+            loss += float(np.sum(
+                np.log1p(np.exp(-np.abs(z)))
+                + np.where(z > 0, (1.0 - y) * z, -y * z)))
+            n += len(x)
+        if n:
+            yield pd.DataFrame({
+                "n": [n], "grad": [grad.tolist()],
+                "hess": [hess.reshape(-1).tolist()], "loss": [loss]})
+
+    def _combine(batches):
+        import pandas as pd
+
+        n = 0
+        grad = np.zeros(d1)
+        hess = np.zeros(d1 * d1)
+        loss = 0.0
+        for pdf in batches:
+            for i in range(len(pdf)):
+                n += int(pdf["n"].iloc[i])
+                grad += np.asarray(pdf["grad"].iloc[i])
+                hess += np.asarray(pdf["hess"].iloc[i])
+                loss += float(pdf["loss"].iloc[i])
+        if n:
+            yield pd.DataFrame({
+                "n": [n], "grad": [grad.tolist()],
+                "hess": [hess.tolist()], "loss": [loss]})
+
+    partials = (df.select(feature_col, label_col)
+                .mapInPandas(_partials, _PARTIAL_SCHEMA))
+    return partials.repartition(TREE_FAN).mapInPandas(_combine,
+                                                      _PARTIAL_SCHEMA)
+
+
 def logreg_train_newton(df: DataFrame, feature_col: str, label_col: str,
                         dim: int, iters: int = 8,
                         ridge: float = 1e-6):
@@ -33,40 +106,8 @@ def logreg_train_newton(df: DataFrame, feature_col: str, label_col: str,
     w = np.zeros(d1)
     losses: list[float] = []
     for _ in range(iters):
-        w_bc = w.copy()
-
-        def _partials(batches, w_cur=w_bc):
-            import pandas as pd
-
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                x = np.asarray(pdf[feature_col].tolist(),
-                               dtype=np.float64)
-                if x.shape[1] != dim:
-                    raise ValueError(
-                        f"feature dim {x.shape[1]} != {dim}")
-                xb = np.hstack([np.ones((len(x), 1)), x])
-                y = pdf[label_col].to_numpy(dtype=np.float64)
-                z = xb @ w_cur
-                p = 1.0 / (1.0 + np.exp(-z))
-                grad = xb.T @ (p - y)
-                sdiag = np.maximum(p * (1.0 - p), 1e-12)
-                hess = (xb * sdiag[:, None]).T @ xb
-                loss = float(np.sum(
-                    np.log1p(np.exp(-np.abs(z)))
-                    + np.where(z > 0, (1.0 - y) * z, -y * z)))
-                yield pd.DataFrame({
-                    "n": [len(x)],
-                    "grad": [grad.tolist()],
-                    "hess": [hess.reshape(-1).tolist()],
-                    "loss": [loss]})
-
-        parts = (df.select(feature_col, label_col)
-                 .mapInPandas(_partials,
-                              "n long, grad array<double>, "
-                              "hess array<double>, loss double")
-                 .collect())
+        parts = newton_partials_df(df, feature_col, label_col, dim,
+                                   w.copy()).collect()
         if not parts:
             raise ValueError("no rows to train on")
         n = sum(int(r["n"]) for r in parts)

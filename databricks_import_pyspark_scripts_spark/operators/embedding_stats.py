@@ -1,10 +1,11 @@
 """Distributed embedding statistics: single-pass moments (mean + Gram),
 PCA on the driver-side d x d result, and projection back over the corpus.
 
-The shape that makes PCA feasible at 100 TB: executors reduce each Arrow
-batch to ONE (n, sum[d], gram[d*d]) partial via numpy GEMM — the corpus
-never leaves the executors and the driver sees O(partitions * d^2)
-numbers, then an O(d^3) eigendecomposition of a 64x64 matrix. Projection
+The shape that makes PCA feasible at 100 TB: each TASK reduces its
+whole partition to ONE (n, sum[d], gram[d*d]) partial via numpy GEMM,
+and a 64-way tree level combines partials before the driver — the
+corpus never leaves the executors and the driver sees <= 64 rows of
+O(d^2) numbers, then an O(d^3) eigendecomposition of a 64x64 matrix. Projection
 is one more executor-side GEMM (a per-row expression would be d*k FMAs
 per row in the interpreter; Arrow batches keep it BLAS).
 
@@ -21,6 +22,67 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+#: fan-in of the pre-driver combine level: the driver never sees more
+#: than this many partial rows, whatever the scan's partition count
+TREE_FAN = 64
+
+
+def moment_partials_df(df: DataFrame, col: str = "embedding",
+                       dim: int = 64,
+                       quant_scale: int | None = None) -> DataFrame:
+    """The distributed 2/3 of ``embedding_moments``: per-TASK
+    (n, sums, gram) partials, tree-combined ``TREE_FAN``-to-1. Exposed
+    so tests can pin the driver-received row bound directly."""
+    out_schema = ("n long, sums array<double>, gram array<double>"
+                  if quant_scale is None else
+                  "n long, sums array<long>, gram array<long>")
+    dt = np.int64 if quant_scale is not None else np.float64
+
+    def _partials(batches):
+        import pandas as pd
+
+        n = 0
+        s = np.zeros(dim, dtype=dt)
+        g = np.zeros((dim, dim), dtype=dt)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(pdf[col].tolist())
+            if x.shape[1] != dim:
+                raise ValueError(f"embedding dim {x.shape[1]} != {dim}")
+            if quant_scale is not None:
+                x = np.rint(x * quant_scale).astype(np.int64)
+            else:
+                x = x.astype(np.float64)
+            g += x.T @ x                  # exact int64 GEMM when scaled
+            s += x.sum(axis=0)
+            n += len(pdf)
+        if n:
+            yield pd.DataFrame({"n": [n], "sums": [s.tolist()],
+                                "gram": [g.reshape(-1).tolist()]})
+
+    def _combine(batches):
+        import pandas as pd
+
+        n = 0
+        s = np.zeros(dim, dtype=dt)
+        g = np.zeros(dim * dim, dtype=dt)
+        for pdf in batches:
+            for i in range(len(pdf)):
+                n += int(pdf["n"].iloc[i])
+                s += np.asarray(pdf["sums"].iloc[i], dtype=dt)
+                g += np.asarray(pdf["gram"].iloc[i], dtype=dt)
+        if n:
+            yield pd.DataFrame({"n": [n], "sums": [s.tolist()],
+                                "gram": [g.tolist()]})
+
+    partials = df.select(col).mapInPandas(_partials, out_schema)
+    # partials are O(partition-count) tiny rows; the repartition shuffle
+    # moves d + d^2 numbers each — metadata class, never the corpus
+    return partials.repartition(TREE_FAN).mapInPandas(_combine,
+                                                      out_schema)
+
+
 def embedding_moments(df: DataFrame, col: str = "embedding",
                       dim: int = 64,
                       quant_scale: int | None = None):
@@ -30,35 +92,14 @@ def embedding_moments(df: DataFrame, col: str = "embedding",
     ``quant_scale``: when set, values are quantized to
     ``round(x * scale)`` int64 FIRST and accumulated EXACTLY (integer
     GEMM) — the cross-engine-reproducible form the oracle gate checks;
-    floats otherwise. Each executor batch reduces to one partial row;
-    the driver combines ``O(batches)`` partials of ``d + d^2`` numbers —
-    the corpus itself never moves."""
-    out_schema = ("n long, sums array<double>, gram array<double>"
-                  if quant_scale is None else
-                  "n long, sums array<long>, gram array<long>")
-
-    def _partials(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            x = np.asarray(pdf[col].tolist())
-            if x.shape[1] != dim:
-                raise ValueError(f"embedding dim {x.shape[1]} != {dim}")
-            if quant_scale is not None:
-                x = np.rint(x * quant_scale).astype(np.int64)
-                g = x.T @ x                       # exact int64 GEMM
-                s = x.sum(axis=0)
-            else:
-                x = x.astype(np.float64)
-                g = x.T @ x
-                s = x.sum(axis=0)
-            yield pd.DataFrame({"n": [len(pdf)],
-                                "sums": [s.tolist()],
-                                "gram": [g.reshape(-1).tolist()]})
-
-    parts = df.select(col).mapInPandas(_partials, out_schema).collect()
+    floats otherwise. Each TASK reduces its whole partition to one
+    partial (accumulated across Arrow batches), and a 64-way tree level
+    combines those before the driver — the driver receives <= 64 rows
+    of ``d + d^2`` numbers no matter how many partitions the corpus
+    scans as (VERDICT r10 #2: one partial per BATCH collected tens of
+    GB at 100 TB). The corpus itself never moves."""
+    parts = moment_partials_df(df, col=col, dim=dim,
+                               quant_scale=quant_scale).collect()
     if not parts:
         z = np.zeros(dim, dtype=np.int64 if quant_scale else np.float64)
         return 0, z, np.outer(z, z)

@@ -1008,6 +1008,44 @@ def test_embedding_moments_pca_and_projection(spark):
         assert np.allclose(got[i], want[i])
 
 
+def test_moment_partials_driver_rows_bounded(spark):
+    """VERDICT r10 #2 regression: the driver-side collect behind
+    embedding_moments / logreg_train_newton receives at most TREE_FAN
+    rows regardless of the scan's partition count (one partial per TASK
+    plus a 64-way tree combine — never one per Arrow batch), and the
+    tree-combined moments stay exact."""
+    import numpy as np
+
+    from databricks_import_pyspark_scripts_spark.operators.classifier import (
+        newton_partials_df,
+    )
+    from databricks_import_pyspark_scripts_spark.operators.embedding_stats import (
+        TREE_FAN,
+        embedding_moments,
+        moment_partials_df,
+    )
+
+    rng = np.random.RandomState(5)
+    d, n_rows = 4, 300
+    base = rng.randn(n_rows, d)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(n_rows)],
+        "vec_id long, embedding array<double>").repartition(150)
+    assert df.rdd.getNumPartitions() == 150
+    assert moment_partials_df(df, dim=d).count() <= TREE_FAN
+    qn, qs, qg = embedding_moments(df, dim=d, quant_scale=1000)
+    qx = np.rint(base * 1000).astype(np.int64)
+    assert qn == n_rows
+    assert (qs == qx.sum(axis=0)).all() and (qg == qx.T @ qx).all()
+
+    ldf = spark.createDataFrame(
+        [([float(v) for v in base[i]], int(i % 2))
+         for i in range(n_rows)],
+        "features array<double>, label int").repartition(150)
+    assert newton_partials_df(ldf, "features", "label", d,
+                              np.zeros(d + 1)).count() <= TREE_FAN
+
+
 def test_logreg_newton_matches_reference_and_separates(spark):
     """Distributed Newton logistic regression: weights match the
     driver-side numpy twin to float tolerance (partials sum in a
