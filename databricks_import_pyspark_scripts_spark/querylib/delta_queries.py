@@ -1332,6 +1332,103 @@ def delta_identity_append_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "n", "sum_uid", "min_uid", "max_uid"))
 
 
+_IDM_UPD = "event_id % 8 = 0"          # matched subset of the V0 slice
+_IDM_INS = "event_id % 4 = 1"          # insert slice (no uid column)
+
+
+def _staged_identity_merge_table(spark: SparkSession, sf_dir: str) -> str:
+    """Identity table grown by MERGE (VERDICT r10 #4): created with
+    explicit grid values, then ONE merge whose matched clause updates
+    ``value`` (stored uid must not move) and whose insert clause carries
+    NO uid column (the writer generates above the watermark in the same
+    commit)."""
+    from pyspark.sql import Window
+
+    from ..sinks.delta_writer import create_delta_table, merge_into
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_delta_idmerge_gate_{tag}_v1")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        e = (load_table(spark, sf_dir, "events")
+             .select("event_id", "event_type", "value"))
+        w = Window.orderBy("event_id")
+        base = (e.filter(F.expr(_ID_V0))
+                .withColumn("uid", F.lit(_ID_START)
+                            + F.lit(_ID_STEP) * F.row_number().over(w)))
+        typed = base.select(
+            F.col("uid").cast("long").alias(
+                "uid", metadata={"delta.identity.start": _ID_START,
+                                 "delta.identity.step": _ID_STEP,
+                                 "delta.identity.allowExplicitInsert":
+                                     True}),
+            "event_id", "event_type", "value")
+        create_delta_table(spark, typed.orderBy("event_id").coalesce(1),
+                           path, ts_ms=_BASE_TS_MS)
+        src = e.filter(F.expr(f"({_IDM_UPD}) OR ({_IDM_INS})"))
+        merge_into(spark, path, src, on=["event_id"],
+                   when_matched_update={"value": "s.value + 100"},
+                   ts_ms=_BASE_TS_MS + 1000)
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "delta_identity_merge_agg",
+    f"""
+    WITH base AS (
+      SELECT event_id, event_type, value,
+             {_ID_START} + {_ID_STEP} * CAST(ROW_NUMBER() OVER (ORDER BY
+                 event_id) AS BIGINT) AS uid
+      FROM events WHERE {_ID_V0}),
+    merged AS (
+      SELECT event_id, event_type,
+             CASE WHEN {_IDM_UPD} THEN value + 100 ELSE value END AS value,
+             uid, TRUE AS preserved
+      FROM base
+      UNION ALL
+      SELECT event_id, event_type, value, NULL AS uid, FALSE AS preserved
+      FROM events WHERE {_IDM_INS})
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value,
+           CAST(SUM(CASE WHEN preserved THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_preserved,
+           CAST(SUM(CASE WHEN preserved THEN uid ELSE 0 END) AS BIGINT)
+             AS sum_uid_preserved
+    FROM merged GROUP BY event_type
+    """,
+    doc="Identity columns under MERGE (sinks/delta_writer.py merge_into "
+        "— VERDICT r10 #4): the matched clause updates value while the "
+        "stored identity value MUST NOT move (sum_uid_preserved pins "
+        "every preserved id), and the uid-less insert clause generates "
+        "values strictly above the creation watermark in the same "
+        "commit (n_preserved vs n splits the eras — a generated value "
+        "leaking at-or-below the watermark, or a matched row losing its "
+        "id, breaks the split or the preserved-uid sum). Generated "
+        "insert values are range-sparse by design, so the oracle checks "
+        "the preserved side exactly and the generated side by count.")
+def delta_identity_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.delta_log import read_delta_snapshot as snap
+
+    path = _staged_identity_merge_table(spark, sf_dir)
+    n0 = (load_table(spark, sf_dir, "events")
+          .filter(F.expr(_ID_V0)).count())
+    wm0 = _ID_START + _ID_STEP * n0
+    preserved = F.col("uid") <= F.lit(wm0)
+    return (snap(spark, path)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"),
+                 F.sum(preserved.cast("int")).cast("long")
+                 .alias("n_preserved"),
+                 F.sum(F.when(preserved, F.col("uid")).otherwise(0))
+                 .alias("sum_uid_preserved"))
+            .select("event_type", "n", "sum_value", "n_preserved",
+                    "sum_uid_preserved"))
+
+
 _RT_V0, _RT_V1 = "event_id % 4 = 2", "event_id % 4 = 3"
 _RT_DEAD = "event_id % 5 = 2"
 

@@ -159,7 +159,6 @@ def _check_writable(metadata: dict, protocol: dict, op: str) -> None:
     # converts every staged frame to the physical layout (physical
     # names + parquet field ids at every nesting level, partitionValues
     # keys physical), which satisfies both resolution modes
-    schema_s = metadata.get("schemaString") or ""
     # CHECK constraints, column invariants, NOT NULL and GENERATED
     # columns are ENFORCED at stage time (_enforce_constraints) —
     # declared tables are writable: this writer's API always receives
@@ -168,14 +167,9 @@ def _check_writable(metadata: dict, protocol: dict, op: str) -> None:
     # Identity columns: create/append/overwrite GENERATE values above the
     # high watermark and advance it in the same commit (_assign_identity);
     # delete/update/maintenance preserve existing values (update_where
-    # additionally refuses SET on an identity column). MERGE still
-    # refuses: its insert clause would need generation inside the one
-    # full-scan join, which this writer does not compose yet.
-    if "delta.identity." in schema_s and op == "merge":
-        raise DeltaProtocolError(
-            "MERGE into a table with identity columns is not supported "
-            "(the insert clause would need identity generation); use "
-            "delete/update + append")
+    # additionally refuses SET on an identity column). MERGE preserves
+    # matched rows' values, refuses SET on identity columns, and
+    # generates for its insert clause (merge_into — VERDICT r10 #4).
     if op != "append" and conf.get("delta.appendOnly", "false").lower() == "true":
         raise DeltaProtocolError(
             f"table is append-only (delta.appendOnly=true); {op} refused")
@@ -1884,7 +1878,25 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
     bad_on = [c for c in on if c not in logical]
     if bad_on:
         raise ValueError(f"merge keys {bad_on} are not table columns")
-    src = source.select(*logical)  # schema contract, fail early
+    # identity columns: matched rows keep their stored values (they ride
+    # the target side of every clause), SET on one refuses like UPDATE,
+    # and a column ABSENT from the source is GENERATED for the insert
+    # clause above the watermark — the watermark advance rides the same
+    # commit via _identity_hwm_update over the staged stats
+    ids_spec = _identity_cols(rep.schema)
+    if when_matched_update is not None:
+        bad = sorted(set(when_matched_update) & set(ids_spec))
+        if bad:
+            raise DeltaProtocolError(
+                f"MERGE cannot SET identity columns {bad}")
+    gen_ids = [c for c in ids_spec if c not in source.columns]
+    bad_keys = sorted(set(gen_ids) & set(on))
+    if bad_keys:
+        raise ValueError(
+            f"merge keys {bad_keys} are identity columns absent from "
+            f"the source; a generated key cannot match")
+    src = source.select(          # schema contract, fail early
+        *[c for c in logical if c not in gen_ids])
 
     if not rep.files:
         # empty table: merge degenerates to insert-only
@@ -2023,6 +2035,11 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
         tkeys = snap.select(*on).distinct()
         inserts = src.join(
             tkeys, [src[c].eqNullSafe(tkeys[c]) for c in on], "left_anti")
+        if ids_spec:
+            # fill absent identity columns above the watermark; a
+            # PRESENT one is validated against allowExplicitInsert
+            inserts, _ = _generate_identity(inserts, rep.schema)
+            inserts = inserts.select(*logical)
         rt_cols_all = rt_dv if use_dv else _rt_cols(rep.metadata)
         if rt_cols_all and (affected or rt_dv):
             # kept/updated rows carry materialized ids; INSERTS are new
@@ -2057,9 +2074,11 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
     if _rt_enabled(rep.metadata):
         rt_actions = _assign_base_row_ids(rep.domains, adds,
                                           rep.version + 1)
+    id_md = _identity_hwm_update(rep, adds)
     actions: list[dict] = [
         {"commitInfo": {"timestamp": ts, "operation": "MERGE",
                         "operationParameters": {"predicate": " AND ".join(on)}}},
+        *([{"metaData": id_md}] if id_md is not None else []),
         *(dv_actions or ()),
         *rt_actions,
         *({"add": {**a, "dataChange": True}} for a in adds),

@@ -1867,15 +1867,84 @@ def test_identity_columns_generate_and_advance_watermark(spark, tmp_path):
     with pytest.raises(DeltaProtocolError, match="SET identity"):
         update_where(spark, t, "name = 'u0'", {"uid": "uid + 1"},
                      ts_ms=4000)
-    with pytest.raises(DeltaProtocolError, match="MERGE"):
-        merge_into(spark, t, read_delta_snapshot(spark, t), on=["uid"],
-                   when_matched_update={"name": "s.name"}, ts_ms=4000)
+    with pytest.raises(DeltaProtocolError, match="SET identity"):
+        merge_into(spark, t, read_delta_snapshot(spark, t), on=["name"],
+                   when_matched_update={"uid": "s.uid + 1"}, ts_ms=4000)
     # DELETE preserves values and the watermark
     delete_where(spark, t, "uid = 110", ts_ms=5000)
     rep = replay_log(spark, t)
     assert next(f for f in rep.schema.fields if f.name == "uid"
                 ).metadata["delta.identity.highWaterMark"] == \
         max(uids2)
+
+
+def test_identity_merge_preserves_and_generates(spark, tmp_path):
+    """MERGE into an identity table (VERDICT r10 #4): matched rows keep
+    their stored identity values through the rewrite; insert-clause rows
+    with the column ABSENT from the source get generated values above
+    the watermark (on the start/step grid, unique); the watermark
+    advances in the same commit and stays monotone across merges."""
+    import json as _json
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        merge_into,
+    )
+
+    t = str(tmp_path / "identmerge")
+    schema = StructType([
+        StructField("uid", LongType(), True,
+                     {"delta.identity.start": 100,
+                      "delta.identity.step": 10,
+                      "delta.identity.allowExplicitInsert": True}),
+        StructField("k", LongType()),
+        StructField("v", StringType())])
+    create_delta_table(
+        spark, spark.createDataFrame(
+            [(100 + 10 * i, i, f"v{i}") for i in range(5)], schema),
+        t, ts_ms=1000)
+
+    def hwm():
+        rep = replay_log(spark, t)
+        return next(f for f in rep.schema.fields if f.name == "uid"
+                    ).metadata["delta.identity.highWaterMark"]
+
+    assert hwm() == 140
+    src = spark.createDataFrame(
+        [(k, f"m{k}") for k in range(2, 7)], "k long, v string")
+    merge_into(spark, t, src, on=["k"],
+               when_matched_update={"v": "s.v"}, ts_ms=2000)
+    got = {r.k: (r.uid, r.v) for r in
+           read_delta_snapshot(spark, t).collect()}
+    # matched rows: updated value, PRESERVED identity
+    for k in range(2, 5):
+        assert got[k] == (100 + 10 * k, f"m{k}")
+    for k in range(2):
+        assert got[k] == (100 + 10 * k, f"v{k}")
+    # inserted rows: generated above the old watermark, on the grid
+    new_uids = [got[k][0] for k in (5, 6)]
+    assert all(u > 140 and (u - 100) % 10 == 0 for u in new_uids)
+    assert len(set(u for u, _ in got.values())) == 7       # unique
+    assert hwm() == max(u for u, _ in got.values())        # advanced
+    # a second merge stays above the new watermark (monotone)
+    wm1 = hwm()
+    src2 = spark.createDataFrame([(9, "m9")], "k long, v string")
+    merge_into(spark, t, src2, on=["k"], ts_ms=3000)
+    got2 = {r.k: r.uid for r in read_delta_snapshot(spark, t).collect()}
+    assert got2[9] > wm1 and hwm() == max(got2.values())
+    assert len(set(got2.values())) == 8
+    # explicit identity through MERGE: allowed here (allowExplicitInsert);
+    # a value below the (sparse-range) watermark stores verbatim and
+    # leaves the watermark unmoved
+    wm2 = hwm()
+    src3 = spark.createDataFrame([(990, 20, "e")],
+                                 "uid long, k long, v string")
+    merge_into(spark, t, src3, on=["k"], ts_ms=4000)
+    stored = {r.k: r.uid for r in read_delta_snapshot(spark, t).collect()}
+    assert stored[20] == 990 and hwm() == max(wm2, 990)
 
 
 def test_identity_generated_always_refuses_explicit(spark, tmp_path):
