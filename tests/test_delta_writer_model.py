@@ -167,3 +167,87 @@ def test_writer_random_ops_match_model(spark, tmp_path, seed):
         dv = a.get("deletionVector")
         if dv is not None:
             assert dv["cardinality"] >= 1 and dv["sizeInBytes"] > 0
+
+
+@pytest.mark.parametrize("seed", [7])
+def test_identity_watermark_monotone_under_random_ops(spark, tmp_path,
+                                                     seed):
+    """Randomized identity-column invariants (VERDICT r10 #4): across a
+    random append/merge/delete/update/optimize sequence where NO writer
+    input ever carries the identity column, after EVERY op the stored
+    values are unique, non-null, on the start/step grid, and the high
+    watermark equals the stored maximum and never moves backward."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    rng = random.Random(seed)
+    t = str(tmp_path / f"idm{seed}")
+    START, STEP = 1000, 5
+    schema = StructType([
+        StructField("uid", LongType(), True,
+                     {"delta.identity.start": START,
+                      "delta.identity.step": STEP}),
+        StructField("k", LongType()),
+        StructField("v", DoubleType())])
+    create_delta_table(
+        spark, spark.createDataFrame(
+            [(START + STEP * k, k, float(k)) for k in range(10)], schema),
+        t, ts_ms=BASE_TS)
+    next_id = 100
+    last_wm = None
+    keys = set(range(10))
+
+    def check():
+        nonlocal last_wm
+        rows = read_delta_snapshot(spark, t).collect()
+        uids = [r.uid for r in rows]
+        assert all(u is not None for u in uids)
+        assert len(set(uids)) == len(uids), "duplicate identity values"
+        assert all((u - START) % STEP == 0 for u in uids)
+        rep = replay_log(spark, t)
+        wm = next(f for f in rep.schema.fields if f.name == "uid"
+                  ).metadata["delta.identity.highWaterMark"]
+        assert not uids or wm == max(uids)
+        assert last_wm is None or wm >= last_wm, "watermark regressed"
+        last_wm = wm
+        assert {r.k for r in rows} == keys
+
+    check()
+    for step in range(8):
+        ts = BASE_TS + (step + 1) * 1000
+        op = rng.choices(["append", "merge", "delete", "update",
+                          "optimize"], [3, 3, 2, 2, 1])[0]
+        if op == "append":
+            n = rng.randint(1, 5)
+            fresh = list(range(next_id, next_id + n))
+            next_id += n
+            append_delta(spark, spark.createDataFrame(
+                [(k, float(k)) for k in fresh], "k long, v double"),
+                t, ts_ms=ts)
+            keys |= set(fresh)
+        elif op == "merge":
+            existing = rng.sample(sorted(keys), min(len(keys), 3))
+            n = rng.randint(0, 3)
+            fresh = list(range(next_id, next_id + n))
+            next_id += n
+            src = [(k, float(k) + 0.5) for k in existing + fresh]
+            if not src:
+                continue
+            merge_into(spark, t, spark.createDataFrame(
+                src, "k long, v double"), on=["k"],
+                when_matched_update={"v": "t.v + s.v"}, ts_ms=ts,
+                use_dv=rng.random() < 0.4)
+            keys |= set(fresh)
+        elif op == "delete":
+            m, r = rng.randint(2, 5), rng.randint(0, 1)
+            delete_where(spark, t, f"k % {m} = {r}", ts_ms=ts,
+                         use_dv=rng.random() < 0.4)
+            keys = {k for k in keys if k % m != r}
+        elif op == "update":
+            m, r = rng.randint(2, 5), rng.randint(0, 1)
+            update_where(spark, t, f"k % {m} = {r}", {"v": "v + 1"},
+                         ts_ms=ts, use_dv=rng.random() < 0.4)
+        else:
+            optimize_delta(spark, t, ts_ms=ts)
+        check()
