@@ -871,6 +871,86 @@ def uniform_iceberg_read_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "n", "sum_value"))
 
 
+_V3D_V0, _V3D_V1 = "event_id % 3 = 0", "event_id % 3 = 1"
+_V3D_DEFAULT = 7
+
+
+def _staged_v3_defaults(spark: SparkSession, sf_dir: str) -> str:
+    """Two-era v3 default-value table: era 1 written WITHOUT the
+    ``bonus`` column, the field then added with ``initial-default``,
+    era 2 appended WITH it — the read must serve the default for era-1
+    files (footer-absent) and stored values for era-2."""
+    import json as _json
+
+    from ..sources.iceberg import append_iceberg
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_iceberg_v3d_gate_{tag}_v1")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        e = (load_table(spark, sf_dir, "events")
+             .select("event_id", "event_type", "value"))
+        write_iceberg_table(spark, [e.filter(F.expr(_V3D_V0))], path)
+        mdir = os.path.join(path, "metadata")
+        cur = int(open(os.path.join(mdir, "version-hint.text")).read())
+        meta = _json.load(open(os.path.join(
+            mdir, f"v{cur}.metadata.json")))
+        meta["format-version"] = 3
+        meta["schemas"][0]["fields"].append(
+            {"id": 99, "name": "bonus", "required": False, "type": "int",
+             "initial-default": _V3D_DEFAULT,
+             "write-default": _V3D_DEFAULT})
+        meta["last-column-id"] = max(
+            int(meta.get("last-column-id", 0)), 99)
+        with open(os.path.join(mdir, f"v{cur + 1}.metadata.json"),
+                  "w") as f:
+            _json.dump(meta, f)
+        with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+            f.write(str(cur + 1))
+        era2 = (e.filter(F.expr(_V3D_V1))
+                .withColumn("bonus",
+                            (F.col("event_id") % 100).cast("int")))
+        append_iceberg(spark, era2, path)
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "iceberg_v3_default_read_agg",
+    f"""
+    WITH eras AS (
+      SELECT event_id, event_type, value, {_V3D_DEFAULT} AS bonus
+      FROM events WHERE {_V3D_V0}
+      UNION ALL
+      SELECT event_id, event_type, value,
+             CAST(event_id % 100 AS INT) AS bonus
+      FROM events WHERE {_V3D_V1})
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(bonus) AS BIGINT) AS sum_bonus,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM eras GROUP BY event_type
+    """,
+    doc="Iceberg v3 column DEFAULT values (sources/iceberg.py "
+        "_initial_defaults — VERDICT r10 #7): a field added with "
+        "initial-default after era 1 reads as the default for every "
+        "era-1 file (field absent from the parquet footer) and as the "
+        "stored values for era-2 files; per-type SUM(bonus) "
+        "value-checks both eras — serving NULL or the default for the "
+        "wrong era breaks the sum.")
+def iceberg_v3_default_read_agg(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    path = _staged_v3_defaults(spark, sf_dir)
+    return (read_iceberg_snapshot(spark, path)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("bonus").alias("sum_bonus"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select("event_type", "n", "sum_bonus", "sum_value"))
+
+
 _UNI_DV_DEAD = "event_id % 5 = 2"
 
 

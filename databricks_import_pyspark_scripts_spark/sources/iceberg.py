@@ -174,16 +174,11 @@ def _check_meta(meta: dict) -> dict:
     fv = int(meta.get("format-version", 1))
     if fv not in (1, 2, 3):
         raise IcebergProtocolError(f"unsupported Iceberg format-version {fv}")
-    if fv == 3:
-        # v3 support is SCOPED to puffin deletion vectors: schemas that
-        # declare column default values (initial-default/write-default)
-        # would read wrong without default materialization — reject
-        # loudly rather than serve nulls
-        blob = json.dumps(meta.get("schemas") or meta.get("schema") or {})
-        if '"initial-default"' in blob or '"write-default"' in blob:
-            raise IcebergProtocolError(
-                "v3 column default values are not supported (reads "
-                "would silently return NULL for defaulted columns)")
+    # v3 column defaults: the read path materializes supported
+    # ``initial-default`` declarations (_initial_defaults /
+    # _group_by_absent_defaults); unsupported default TYPES reject
+    # loudly there rather than serve nulls. ``write-default`` needs
+    # nothing from readers.
     return meta
 
 
@@ -789,6 +784,63 @@ def _spark_type(t) -> T.DataType:
     raise IcebergProtocolError(f"unsupported Iceberg type {t!r}")
 
 
+#: v3 default-value types this reader can materialize as Spark literals
+_DEFAULTABLE_TYPES = ("int", "long", "float", "double", "string",
+                      "boolean", "date")
+
+
+def _initial_defaults(schema: dict) -> dict:
+    """v3 column defaults: ``{field_id: (name, literal, spark_type)}``
+    for every top-level field declaring ``initial-default`` (the value
+    rows written before the field existed must read as — spec "Default
+    values"). Non-primitive or exotic-typed defaults reject loudly
+    rather than serve wrong rows; ``write-default`` alone needs nothing
+    from the read path."""
+    out: dict[int, tuple] = {}
+    for f in schema.get("fields") or []:
+        if "initial-default" not in f:
+            continue
+        t = f.get("type")
+        if not isinstance(t, str) or (t not in _DEFAULTABLE_TYPES
+                                      and not t.startswith("decimal")):
+            raise IcebergProtocolError(
+                f"v3 initial-default on field {f.get('name')!r} of type "
+                f"{t!r} is not supported (primitive defaults only)")
+        out[int(f["id"])] = (f["name"], f["initial-default"],
+                             _spark_type(t))
+    return out
+
+
+def _group_by_absent_defaults(spark: SparkSession, table_path: str,
+                              paths: list[str],
+                              defaults: dict) -> dict:
+    """``{frozenset(absent_default_field_ids): [paths]}`` by parquet
+    FOOTER inspection: a defaulted field counts as present when the
+    footer carries its field id (or its name, for id-less imported
+    files). Local filesystems only — the footer read is the per-file
+    metadata class."""
+    import pyarrow.parquet as papq
+
+    if not _is_local(table_path):
+        raise NotImplementedError(
+            "v3 initial-default materialization reads parquet footers "
+            "(local filesystems only here)")
+    groups: dict[frozenset, list[str]] = {}
+    for p in paths:
+        sch = papq.read_schema(re.sub(r"^file:/+", "/", p))
+        present_ids: set[int] = set()
+        present_names = set(sch.names)
+        for fld in sch:
+            fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+            if fid is not None:
+                present_ids.add(int(fid))
+        absent = frozenset(
+            fid for fid, (name, _, _) in defaults.items()
+            if fid not in present_ids and name not in present_names)
+        groups.setdefault(absent, []).append(p)
+    return groups
+
+
 def _field(f: dict) -> T.StructField:
     return T.StructField(f["name"], _spark_type(f["type"]),
                          not f.get("required", False),
@@ -1120,12 +1172,37 @@ def read_iceberg_snapshot(spark: SparkSession, table_path: str,
         schema = T.StructType([
             T.StructField(to_disk.get(f.name, f.name), f.dataType,
                           f.nullable) for f in schema.fields])
+    defaults = _initial_defaults(_current_schema(meta))
+    if defaults and orc_paths:
+        raise IcebergProtocolError(
+            "v3 initial-default over ORC data files is not supported "
+            "(per-file field presence needs parquet footers)")
     parts = []
     if pq_paths:
         if not name_mapped:
             spark.conf.set("spark.sql.parquet.fieldId.read.enabled",
                            "true")
-        parts.append(spark.read.schema(schema).parquet(*pq_paths))
+        if defaults:
+            # v3 column defaults: ``initial-default`` is the value of a
+            # field for every row written BEFORE the field existed —
+            # i.e. for data files whose footer carries neither the
+            # field id nor the name. Group the scan by the set of
+            # absent defaulted fields and materialize the literals per
+            # group (per-file FOOTER reads — the same metadata class as
+            # the stats/bounds work, never data-bounded).
+            from pyspark.sql import functions as _F
+
+            for absent, group in sorted(
+                    _group_by_absent_defaults(
+                        spark, table_path, pq_paths, defaults).items()):
+                part = spark.read.schema(schema).parquet(*group)
+                for fid in sorted(absent):
+                    name, lit_v, dt = defaults[fid]
+                    part = part.withColumn(
+                        name, _F.lit(lit_v).cast(dt))
+                parts.append(part)
+        else:
+            parts.append(spark.read.schema(schema).parquet(*pq_paths))
     if orc_paths:
         # Spark's native ORC reader resolves columns BY NAME (no
         # field-id matching like parquet's fieldId.read) — correct for

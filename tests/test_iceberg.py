@@ -2367,21 +2367,50 @@ def test_v3_dv_compaction_folds_and_keeps(spark, tmp_path):
     assert _ks(read_iceberg_snapshot(spark, t)) == expect
 
 
-def test_v3_default_values_reject(spark, ice):
-    """A v3 schema declaring column default values rejects loudly (reads
-    would silently NULL the defaulted column)."""
+def test_v3_default_values_two_era_read(spark, ice):
+    """v3 column defaults (VERDICT r10 #7): a field added with
+    ``initial-default`` reads as the default for every file written
+    BEFORE the field existed (footer-absent), and as the stored values
+    for files written after; an unsupported default TYPE still rejects
+    loudly."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        append_iceberg,
+    )
+
     mdir = os.path.join(ice, "metadata")
     cur = int(open(os.path.join(mdir, "version-hint.text")).read())
     meta = json.load(open(os.path.join(mdir, f"v{cur}.metadata.json")))
     meta["format-version"] = 3
     meta["schemas"][0]["fields"].append(
         {"id": 99, "name": "flag", "required": False, "type": "int",
-         "initial-default": 1})
+         "initial-default": 7, "write-default": 7})
+    meta["last-column-id"] = max(int(meta.get("last-column-id", 0)), 99)
     with open(os.path.join(mdir, f"v{cur + 1}.metadata.json"), "w") as f:
         json.dump(meta, f)
     with open(os.path.join(mdir, "version-hint.text"), "w") as f:
         f.write(str(cur + 1))
-    with pytest.raises(IcebergProtocolError, match="default values"):
+    # era 2: files written WITH the column carry real values
+    era2 = spark.range(100, 105).selectExpr(
+        "id AS k", "CAST(id AS double) AS v", "CAST(id AS int) AS flag")
+    append_iceberg(spark, era2, ice)
+    got = {r.k: r.flag for r in
+           read_iceberg_snapshot(spark, ice).collect()}
+    assert all(got[k] == 7 for k in range(40))             # era-1 default
+    assert all(got[k] == k for k in range(100, 105))       # era-2 stored
+    # unsupported default type still rejects
+    meta2 = json.load(open(os.path.join(
+        mdir, f"v{cur + 1}.metadata.json")))
+    meta2["schemas"][0]["fields"].append(
+        {"id": 100, "name": "blob", "required": False, "type": "binary",
+         "initial-default": "AAAA"})
+    v2 = cur + 2
+    while os.path.exists(os.path.join(mdir, f"v{v2}.metadata.json")):
+        v2 += 1
+    with open(os.path.join(mdir, f"v{v2}.metadata.json"), "w") as f:
+        json.dump(meta2, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write(str(v2))
+    with pytest.raises(IcebergProtocolError, match="initial-default"):
         read_iceberg_snapshot(spark, ice)
 
 
