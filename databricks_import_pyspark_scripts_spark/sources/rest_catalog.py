@@ -1,0 +1,342 @@
+"""Filesystem-faked Iceberg REST catalog: the COMMIT contract real
+deployments speak (the ``POST /v1/{prefix}/namespaces/{ns}/tables/{t}``
+shape from the Apache Iceberg REST OpenAPI spec — ``requirements`` the
+server validates against the CURRENT metadata, ``updates`` it applies,
+HTTP 409 on a requirement miss), with the network replaced by local
+atomic file creates. The point (VERDICT r10 #6): ``append_iceberg_via_
+catalog`` exercises the catalog CAS path the real world uses — stage
+once, commit optimistically, rebase-and-retry on conflict — against the
+same requirement/update wire shapes, so swapping in a real REST endpoint
+changes the transport, not the protocol logic.
+
+Spec derivation (public): the REST catalog OpenAPI document
+(``rest-catalog-open-api.yaml`` in apache/iceberg) defines
+``TableRequirement`` (assert-create, assert-table-uuid,
+assert-ref-snapshot-id, assert-current-schema-id,
+assert-default-spec-id) and ``TableUpdate`` (add-snapshot,
+set-snapshot-ref, set-properties, remove-properties, ...) — the subset
+implemented here covers the append + WAP publish flows.
+
+Reference parity: none — the reference has no catalog layer; extension
+surface closing SURVEY gap "catalog-managed Iceberg commits".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from .iceberg import (
+    _VMETA_RE,
+    METADATA_DIR,
+    IcebergCommitConflict,
+    IcebergProtocolError,
+    _advance_head,
+    _current_schema,
+    _manifest_entry_schema,
+    _MANIFEST_FILE_SCHEMA,
+    _part_avro_fields,
+    _resolve_path,
+    _snapshot,
+    _spark_type,
+    _stage_commit,
+    _write_hint,
+)
+from .avro_codec import read_container, write_container
+
+
+class RestCommitConflict(IcebergCommitConflict):
+    """The 409 of the wire protocol: a requirement failed against the
+    current table state. Retryable — reload, rebase, recommit."""
+
+
+class RestBadRequest(ValueError):
+    """The 400: a malformed or unsupported requirement/update."""
+
+
+class FileRestCatalog:
+    """One warehouse directory; tables are registered by (namespace,
+    name) -> table-root pointers kept in ``<warehouse>/_catalog/``.
+    Metadata files stay under each table's own ``metadata/`` dir in the
+    HadoopCatalog layout, so every reader in this repo (and the
+    version-hint fallback) keeps working on catalog-managed tables.
+
+    The CAS: a commit re-reads the head, validates ``requirements``,
+    builds the new metadata, and claims ``v<head+1>.metadata.json`` with
+    an atomic no-overwrite create — exactly the conditional-write real
+    REST services back with a database row. A lost race surfaces as
+    ``RestCommitConflict`` for the client to rebase on, matching the
+    409 + reload loop of the wire protocol."""
+
+    def __init__(self, warehouse: str) -> None:
+        self.warehouse = warehouse.rstrip("/")
+        self._cdir = os.path.join(self.warehouse, "_catalog")
+        os.makedirs(self._cdir, exist_ok=True)
+
+    # -- registry -----------------------------------------------------
+    def _ptr(self, ns: str, name: str) -> str:
+        if "/" in ns or "/" in name:
+            raise RestBadRequest("namespace/name must be path-free")
+        return os.path.join(self._cdir, f"{ns}.{name}.json")
+
+    def register_table(self, ns: str, name: str, table_root: str) -> None:
+        """CREATE-equivalent for an existing HadoopCatalog-layout table
+        directory (stageCreate/register endpoint stand-in)."""
+        ptr = self._ptr(ns, name)
+        payload = json.dumps({"table-root": table_root})
+        fd = os.open(ptr, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, payload.encode())
+        finally:
+            os.close(fd)
+
+    def _root(self, ns: str, name: str) -> str:
+        ptr = self._ptr(ns, name)
+        if not os.path.exists(ptr):
+            raise FileNotFoundError(f"table {ns}.{name} is not "
+                                    f"registered in this catalog")
+        return json.load(open(ptr))["table-root"]
+
+    def _head(self, root: str) -> tuple[int, dict]:
+        mdir = os.path.join(root, METADATA_DIR)
+        versions = sorted(int(m.group(1)) for n in os.listdir(mdir)
+                          if (m := _VMETA_RE.match(n)))
+        if not versions:
+            raise FileNotFoundError(f"no Iceberg metadata under {mdir}")
+        v = versions[-1]
+        return v, json.load(open(os.path.join(
+            mdir, f"v{v}.metadata.json")))
+
+    # -- the wire surface ---------------------------------------------
+    def load_table(self, ns: str, name: str) -> dict:
+        """``GET ../tables/{t}`` -> LoadTableResult (metadata-location
+        + metadata)."""
+        root = self._root(ns, name)
+        v, meta = self._head(root)
+        return {"metadata-location": os.path.join(
+            root, METADATA_DIR, f"v{v}.metadata.json"),
+            "metadata": meta}
+
+    def commit_table(self, ns: str, name: str,
+                     requirements: list[dict],
+                     updates: list[dict]) -> dict:
+        """``POST ../tables/{t}`` CommitTableRequest -> new
+        LoadTableResult, or RestCommitConflict (409) when a requirement
+        fails / the metadata CAS loses."""
+        root = self._root(ns, name)
+        v, meta = self._head(root)
+        self._check_requirements(meta, requirements)
+        new_meta = self._apply_updates(dict(meta), updates)
+        mdir = os.path.join(root, METADATA_DIR)
+        target = os.path.join(mdir, f"v{v + 1}.metadata.json")
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise RestCommitConflict(
+                f"{ns}.{name}: metadata v{v + 1} was claimed "
+                f"concurrently; reload and rebase") from None
+        try:
+            os.write(fd, json.dumps(new_meta).encode())
+        finally:
+            os.close(fd)
+        _write_hint(mdir, v + 1)
+        return {"metadata-location": target, "metadata": new_meta}
+
+    # -- requirement validation (TableRequirement) --------------------
+    def _check_requirements(self, meta: dict,
+                            requirements: list[dict]) -> None:
+        for r in requirements or []:
+            t = r.get("type")
+            if t == "assert-table-uuid":
+                if meta.get("table-uuid") != r.get("uuid"):
+                    raise RestCommitConflict(
+                        f"table uuid is {meta.get('table-uuid')}, "
+                        f"requirement wants {r.get('uuid')}")
+            elif t == "assert-ref-snapshot-id":
+                ref = (meta.get("refs") or {}).get(r.get("ref"))
+                have = None if ref is None else int(ref["snapshot-id"])
+                # main falls back to current-snapshot-id (older
+                # metadata may carry no refs map)
+                if have is None and r.get("ref") == "main":
+                    have = meta.get("current-snapshot-id")
+                want = r.get("snapshot-id")
+                if have != want:
+                    raise RestCommitConflict(
+                        f"ref {r.get('ref')!r} is at {have}, "
+                        f"requirement wants {want}")
+            elif t == "assert-current-schema-id":
+                if int(meta.get("current-schema-id", 0)) != \
+                        int(r.get("current-schema-id", -1)):
+                    raise RestCommitConflict("current-schema-id moved")
+            elif t == "assert-default-spec-id":
+                if int(meta.get("default-spec-id", 0)) != \
+                        int(r.get("default-spec-id", -1)):
+                    raise RestCommitConflict("default-spec-id moved")
+            elif t == "assert-create":
+                raise RestCommitConflict(
+                    "assert-create on an existing table")
+            else:
+                raise RestBadRequest(f"unsupported requirement {t!r}")
+
+    # -- update application (TableUpdate) -----------------------------
+    def _apply_updates(self, meta: dict, updates: list[dict]) -> dict:
+        for u in updates or []:
+            t = u.get("action")
+            if t == "add-snapshot":
+                sn = u["snapshot"]
+                meta["snapshots"] = list(meta.get("snapshots") or []) \
+                    + [sn]
+                meta["last-sequence-number"] = max(
+                    int(meta.get("last-sequence-number") or 0),
+                    int(sn.get("sequence-number") or 0))
+                meta["last-updated-ms"] = max(
+                    int(meta.get("last-updated-ms") or 0),
+                    int(sn.get("timestamp-ms") or 0))
+                if sn.get("next-row-id") is not None:
+                    meta["next-row-id"] = int(sn["next-row-id"])
+            elif t == "set-snapshot-ref":
+                ref_name = u["ref-name"]
+                ref = {"snapshot-id": int(u["snapshot-id"]),
+                       "type": u.get("type", "branch")}
+                meta["refs"] = {**(meta.get("refs") or {}),
+                                ref_name: ref}
+                if ref_name == "main":
+                    _advance_head(meta, int(u["snapshot-id"]))
+            elif t == "set-properties":
+                meta["properties"] = {
+                    **(meta.get("properties") or {}),
+                    **(u.get("updates") or {})}
+            elif t == "remove-properties":
+                props = dict(meta.get("properties") or {})
+                for k in u.get("removals") or []:
+                    props.pop(k, None)
+                meta["properties"] = props
+            else:
+                raise RestBadRequest(f"unsupported update {t!r}")
+        return meta
+
+
+def append_iceberg_via_catalog(spark, df, catalog: FileRestCatalog,
+                               ns: str, name: str,
+                               ts_ms: int | None = None,
+                               max_retries: int = 10) -> int:
+    """TRANSACTIONAL append THROUGH the catalog — the optimistic-commit
+    loop every real REST-catalog writer runs: stage data files + the new
+    manifest ONCE (uuid-named), then repeatedly (1) load the table, (2)
+    build the new snapshot on the current head, (3) POST a commit whose
+    ``assert-ref-snapshot-id`` requirement pins the head just read —
+    the server 409s if anyone moved it, and the client rebases (prior
+    manifests changed; the staged manifest has not). Same physical
+    staging as ``append_iceberg``; only the commit transport differs —
+    which is the point of the contract test."""
+    from pyspark.sql import functions as F
+
+    loaded = catalog.load_table(ns, name)
+    meta = loaded["metadata"]
+    root = os.path.dirname(os.path.dirname(loaded["metadata-location"]))
+    mdir = os.path.join(root, METADATA_DIR)
+
+    schema = _current_schema(meta)
+    schema_fields = schema["fields"]
+    for f in schema_fields:
+        if not isinstance(f["type"], str):
+            raise IcebergProtocolError(
+                "append supports flat primitive schemas")
+    sid = meta.get("default-spec-id", 0)
+    spec = next((sp for sp in (meta.get("partition-specs") or [])
+                 if sp.get("spec-id", 0) == sid), {"fields": []})
+    src_by_id = {int(f["id"]): f for f in schema_fields}
+    part_by, transforms = [], []
+    for f in spec.get("fields") or []:
+        src = src_by_id[int(f["source-id"])]["name"]
+        t = f.get("transform") or "identity"
+        if t == "identity":
+            part_by.append(src)
+        else:
+            transforms.append((f["name"], t, src))
+    part_fields = _part_avro_fields(schema_fields, part_by, transforms)
+
+    missing = [f["name"] for f in schema_fields
+               if f["name"] not in df.columns]
+    extra = [c for c in df.columns
+             if c not in {f["name"] for f in schema_fields}]
+    if missing or extra:
+        raise ValueError(f"append frame does not match table schema: "
+                         f"missing {missing}, extra {extra}")
+    ordered = df.select(*[
+        F.col(f["name"]).cast(_spark_type(f["type"])).alias(f["name"])
+        for f in schema_fields])
+
+    tag = f"rc{uuid.uuid4().hex[:12]}"
+    snap_id = max((int(sn["snapshot-id"])
+                   for sn in meta.get("snapshots") or []), default=999) + 1
+    entries = _stage_commit(spark, ordered, root, schema_fields,
+                            part_fields, snap_id, tag)
+    mpath = os.path.join(mdir, f"manifest-{tag}.avro")
+
+    for _ in range(max_retries + 1):
+        base_snap = meta.get("current-snapshot-id")
+        seq = int(meta.get("last-sequence-number") or 0) + 1
+        ts = (meta.get("last-updated-ms", 0) + 1 if ts_ms is None
+              else int(ts_ms))
+        for e in entries:
+            e["snapshot_id"] = snap_id
+        blob = write_container(_manifest_entry_schema(part_fields),
+                               entries)
+        with open(mpath, "wb") as f:
+            f.write(blob)
+        new_manifest = {
+            "manifest_path": mpath, "manifest_length": len(blob),
+            "partition_spec_id": sid, "content": 0,
+            "added_snapshot_id": snap_id,
+            "sequence_number": seq, "min_sequence_number": seq}
+        prior: list[dict] = []
+        if base_snap is not None and (meta.get("snapshots") or []):
+            cur = _snapshot(meta, base_snap)
+            _, prior = read_container(open(_resolve_path(
+                root, cur["manifest-list"]), "rb").read())
+        mlpath = os.path.join(mdir, f"snap-{snap_id}-{tag}.avro")
+        with open(mlpath, "wb") as f:
+            f.write(write_container(_MANIFEST_FILE_SCHEMA,
+                                    list(prior) + [new_manifest]))
+        snapshot = {"snapshot-id": snap_id, "timestamp-ms": ts,
+                    "sequence-number": seq, "manifest-list": mlpath,
+                    "summary": {"operation": "append"}}
+        try:
+            catalog.commit_table(
+                ns, name,
+                requirements=[
+                    {"type": "assert-table-uuid",
+                     "uuid": meta.get("table-uuid")},
+                    {"type": "assert-ref-snapshot-id", "ref": "main",
+                     "snapshot-id": base_snap},
+                ],
+                updates=[
+                    {"action": "add-snapshot", "snapshot": snapshot},
+                    {"action": "set-snapshot-ref", "ref-name": "main",
+                     "type": "branch", "snapshot-id": snap_id},
+                ])
+            return snap_id
+        except RestCommitConflict:
+            # 409: reload, re-verify layout-relevant state, rebase
+            meta = catalog.load_table(ns, name)["metadata"]
+            if _current_schema(meta)["fields"] != schema_fields:
+                raise IcebergCommitConflict(
+                    f"schema of {ns}.{name} changed concurrently; "
+                    f"staged files carry the old field ids") from None
+            nsid = meta.get("default-spec-id", 0)
+            nspec = next((sp for sp in (meta.get("partition-specs")
+                                        or [])
+                          if sp.get("spec-id", 0) == nsid),
+                         {"fields": []})
+            if nspec.get("fields") != spec.get("fields"):
+                raise IcebergCommitConflict(
+                    f"partition spec of {ns}.{name} changed "
+                    f"concurrently; staged files carry the old "
+                    f"layout") from None
+            snap_id = max((int(sn["snapshot-id"])
+                           for sn in meta.get("snapshots") or []),
+                          default=999) + 1
+    raise IcebergCommitConflict(
+        f"append to {ns}.{name} lost {max_retries + 1} commit races")

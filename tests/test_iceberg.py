@@ -2450,3 +2450,113 @@ def test_v3_row_lineage_backfill_append_and_dv_stability(spark, ice):
             read_iceberg_snapshot_with_row_ids(spark, ice).collect()}
     assert set(ids3) == {k for k in range(52) if k % 6 != 1}
     assert all(ids3[k] == ids2[k] for k in ids3)
+
+
+# ---------------------------------------------------------------------------
+# filesystem-faked REST catalog (VERDICT r10 #6)
+
+def test_rest_catalog_append_and_conflict_retry(spark, ice):
+    """FileRestCatalog speaks the REST commit contract offline: load ->
+    stage -> commit with assert-ref-snapshot-id; a concurrent head move
+    409s the stale commit and the client rebases cleanly; requirement
+    mismatches surface as RestCommitConflict without touching state."""
+    from databricks_import_pyspark_scripts_spark.sources.rest_catalog import (
+        FileRestCatalog,
+        RestBadRequest,
+        RestCommitConflict,
+        append_iceberg_via_catalog,
+    )
+
+    wh = os.path.join(os.path.dirname(ice), "wh")
+    cat = FileRestCatalog(wh)
+    cat.register_table("db", "events", ice)
+    loaded = cat.load_table("db", "events")
+    assert loaded["metadata"]["current-snapshot-id"] == 1001
+    assert loaded["metadata-location"].endswith(".metadata.json")
+
+    # plain catalog append
+    df = spark.range(100, 110).selectExpr("id AS k",
+                                          "CAST(id AS double) AS v")
+    sid = append_iceberg_via_catalog(spark, df, cat, "db", "events")
+    assert sid == 1002
+    assert _ks(read_iceberg_snapshot(spark, ice)) == \
+        list(range(40)) + list(range(100, 110))
+
+    # requirement mismatch -> 409, nothing applied
+    head = cat.load_table("db", "events")["metadata"]
+    with pytest.raises(RestCommitConflict, match="is at"):
+        cat.commit_table(
+            "db", "events",
+            requirements=[{"type": "assert-ref-snapshot-id",
+                           "ref": "main", "snapshot-id": 999999}],
+            updates=[{"action": "set-properties",
+                      "updates": {"x": "1"}}])
+    assert cat.load_table("db", "events")["metadata"] == head
+
+    # conflict retry: a racer moves the head between the client's load
+    # and its commit — wrap commit_table to inject one interleaved
+    # property commit, then the stale commit must 409 and the retry win
+    real_commit = cat.commit_table
+    state = {"raced": False}
+
+    def racing_commit(ns, name, requirements, updates):
+        if not state["raced"]:
+            state["raced"] = True
+            real_commit(ns, name, requirements=[],
+                        updates=[{"action": "set-properties",
+                                  "updates": {"owner": "racer"}}])
+        return real_commit(ns, name, requirements=requirements,
+                           updates=updates)
+
+    cat.commit_table = racing_commit
+    df2 = spark.range(200, 205).selectExpr("id AS k",
+                                           "CAST(id AS double) AS v")
+    sid2 = append_iceberg_via_catalog(spark, df2, cat, "db", "events")
+    cat.commit_table = real_commit
+    assert state["raced"]
+    meta = cat.load_table("db", "events")["metadata"]
+    assert meta["current-snapshot-id"] == sid2
+    assert meta["properties"]["owner"] == "racer"   # racer's commit kept
+    assert _ks(read_iceberg_snapshot(spark, ice)) == \
+        list(range(40)) + list(range(100, 110)) + list(range(200, 205))
+
+    # unsupported requirement type -> 400 class
+    with pytest.raises(RestBadRequest):
+        cat.commit_table("db", "events",
+                         requirements=[{"type": "assert-nonsense"}],
+                         updates=[])
+
+
+def test_rest_catalog_wap_publish_flow(spark, ice):
+    """WAP through the catalog: stage to an audit branch ref via
+    set-snapshot-ref, validate by ref, publish by fast-forwarding main
+    with an assert-ref-snapshot-id guard on the audited snapshot."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        append_iceberg, set_iceberg_ref,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.rest_catalog import (
+        FileRestCatalog,
+    )
+
+    wh = os.path.join(os.path.dirname(ice), "whwap")
+    cat = FileRestCatalog(wh)
+    cat.register_table("db", "t", ice)
+    base = cat.load_table("db", "t")["metadata"]["current-snapshot-id"]
+    # audit branch + branch append ride the existing writer verbs
+    set_iceberg_ref(spark, ice, "audit", "branch")
+    df = spark.range(300, 305).selectExpr("id AS k",
+                                          "CAST(id AS double) AS v")
+    sid = append_iceberg(spark, df, ice, branch="audit")
+    meta = cat.load_table("db", "t")["metadata"]
+    assert meta["current-snapshot-id"] == base      # main frozen
+    # publish: catalog commit fast-forwards main iff it hasn't moved
+    cat.commit_table(
+        "db", "t",
+        requirements=[{"type": "assert-ref-snapshot-id", "ref": "main",
+                       "snapshot-id": base}],
+        updates=[{"action": "set-snapshot-ref", "ref-name": "main",
+                  "type": "branch", "snapshot-id": sid}])
+    meta = cat.load_table("db", "t")["metadata"]
+    assert meta["current-snapshot-id"] == sid
+    assert _ks(read_iceberg_snapshot(spark, ice)) == \
+        list(range(40)) + list(range(300, 305))
