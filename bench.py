@@ -162,7 +162,21 @@ HEADLINE = [
     "iceberg_row_lineage_agg",
     "text_bigram_perplexity",
     "text_source_token_kl",
+    # r11 additions: UniForm DV translation, identity MERGE, v3 column
+    # defaults, the offline REST-catalog commit path, and the automaton
+    # form of the n-gram decontamination pass (staging absorbed by the
+    # untimed warm-up, as with every protocol row)
+    "uniform_dv_iceberg_read_agg",
+    "delta_identity_merge_agg",
+    "iceberg_v3_default_read_agg",
+    "iceberg_rest_catalog_append_agg",
+    "dedup_decontaminate_benchmark_aho",
 ]
+
+R11_ROWS = {"uniform_dv_iceberg_read_agg", "delta_identity_merge_agg",
+            "iceberg_v3_default_read_agg",
+            "iceberg_rest_catalog_append_agg",
+            "dedup_decontaminate_benchmark_aho"}
 
 EXTENSION_ROWS = {
     "cluster_kmeans_assign", "similarity_topk_pq", "similarity_topk_ivfpq",
@@ -495,6 +509,36 @@ def main() -> int:
             _unpersist_new(base_rdds)
     total = round(sum(timings.values()), 3)
 
+    # standing sf0.1 -> sf1 scaling-exponent tier (VERDICT r10 #8): the
+    # 10-heaviest gates re-measured each round at the synthesized 10x
+    # corpus, min-of-2 at both scales; exponents ride the FINAL line so
+    # a super-linear regression is caught the round it lands. Runs only
+    # at the driver's sf0.1 config (the synth corpus derives from it);
+    # SPARK_GRAFT_BENCH_EXPONENTS=0 skips. NOT in any timed total.
+    SCALE_FLAG_THRESHOLD = 1.1
+    exponents: dict[str, float] = {}
+    scale_flagged: list[str] = []
+    exp_rows: dict[str, dict] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_EXPONENTS", "1") != "0" \
+            and sf_dir.rstrip("/").endswith("sf0.1"):
+        try:
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tools"))
+            from scale_probe import probe as _scale_probe
+
+            exp_rows = _scale_probe(spark, runs=2)
+            for k, row in exp_rows.items():
+                if isinstance(row.get("exponent"), float):
+                    exponents[k] = row["exponent"]
+            scale_flagged = sorted(
+                k for k, n in exponents.items()
+                if n > SCALE_FLAG_THRESHOLD)
+        except Exception as ex:  # noqa: BLE001 — never lose the artifact
+            errors["__scale_probe__"] = \
+                f"{type(ex).__name__}: {str(ex)[:200]}"
+        finally:
+            _unpersist_new(base_rdds)
+
     def _median(xs: list[float]) -> float:
         s = sorted(xs)
         mid = len(s) // 2
@@ -546,7 +590,8 @@ def main() -> int:
     comp = [k for k in timings
             if k not in EXTENSION_ROWS and k not in stress
             and k not in new_rows and k not in r8_rows
-            and k not in r9_rows and k not in r10_rows]
+            and k not in r9_rows and k not in r10_rows
+            and k not in R11_ROWS]
     # bulky diagnostics go on their OWN earlier stdout line (and a sidecar
     # file): r6's final line grew past the driver's tail capture once
     # query_samples was added, so the round's headline totals were lost
@@ -597,7 +642,9 @@ def main() -> int:
             # min-of-N per query (moved OFF the final line in r8 so the
             # summary always fits the driver's capture window — BENCH_r06
             # and BENCH_r07 both lost `parsed` to final-line overflow)
-            "queries": timings}
+            "queries": timings,
+            # full per-scale timings behind the final line's exponents
+            "scale_probe_rows": exp_rows}
     print(json.dumps(diag))
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -622,7 +669,8 @@ def main() -> int:
         "comparable_queries_sec": round(total - stress_sec - ext_sec
                                         - sum(timings.get(k, 0.0)
                                               for k in new_rows | r8_rows
-                                              | r9_rows | r10_rows),
+                                              | r9_rows | r10_rows
+                                              | R11_ROWS),
                                         3),
         "skew_stress_sec": stress_sec,
         "r5_extension_sec": ext_sec,
@@ -634,6 +682,8 @@ def main() -> int:
                                      for k in r9_rows), 3),
         "r10_new_rows_sec": round(sum(timings.get(k, 0.0)
                                       for k in r10_rows), 3),
+        "r11_new_rows_sec": round(sum(timings.get(k, 0.0)
+                                      for k in R11_ROWS), 3),
         # per-tier medians-of-samples alongside the min-of-N totals: a
         # min-vs-min drift with stable medians is host noise, not a plan
         # regression (bench hygiene, VERDICT r5 #5)
@@ -657,6 +707,11 @@ def main() -> int:
         "cooldown_sec": cooldown["sec"],
         "throttled_queries": throttled,
         "unstable_queries": sorted(unstable),
+        # sf0.1 -> sf1 scaling exponents (t ~ N^n); > 1.1 flags the
+        # query as super-linear — the standing scale-regression guard
+        "exponents": exponents,
+        "scale_flagged": scale_flagged,
+        "scale_flag_threshold": SCALE_FLAG_THRESHOLD,
         "errors": errors,
     }
     final_line = json.dumps(out)
@@ -672,6 +727,10 @@ def main() -> int:
         out.pop("errors", None)
         out.pop("unstable_queries", None)
         out.pop("throttled_queries", None)
+        final_line = json.dumps(out)
+    if len(final_line) > 1500:
+        # keep the flags, shed the full exponent map (sidecar has it)
+        out["exponents"] = {k: exponents[k] for k in scale_flagged}
         final_line = json.dumps(out)
     print(final_line)
     # rc=0 even with per-query errors: a partial artifact beats none; the

@@ -90,6 +90,8 @@ def newton_partials_df(df: DataFrame, feature_col: str, label_col: str,
 
     partials = (df.select(feature_col, label_col)
                 .mapInPandas(_partials, _PARTIAL_SCHEMA))
+    if partials.rdd.getNumPartitions() <= TREE_FAN:
+        return partials        # already under the driver row bound
     return partials.repartition(TREE_FAN).mapInPandas(_combine,
                                                       _PARTIAL_SCHEMA)
 

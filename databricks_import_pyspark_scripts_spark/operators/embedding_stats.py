@@ -77,6 +77,8 @@ def moment_partials_df(df: DataFrame, col: str = "embedding",
                                 "gram": [g.tolist()]})
 
     partials = df.select(col).mapInPandas(_partials, out_schema)
+    if partials.rdd.getNumPartitions() <= TREE_FAN:
+        return partials        # already under the driver row bound
     # partials are O(partition-count) tiny rows; the repartition shuffle
     # moves d + d^2 numbers each — metadata class, never the corpus
     return partials.repartition(TREE_FAN).mapInPandas(_combine,

@@ -112,35 +112,33 @@ def build_synth() -> None:
     open(os.path.join(SYNTH, "_READY"), "w").close()
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--runs", type=int, default=2)
-    ap.add_argument("--out", default="/tmp/scale_probe.json")
-    ap.add_argument("--queries", nargs="*", default=HEAVY)
-    args = ap.parse_args()
-
+def probe(spark, queries: list[str] | None = None, runs: int = 2,
+          progress: bool = False) -> dict[str, dict]:
+    """Measure each query at sf0.1 and the synthesized 10x corpus and
+    return {name: {"sf0.1": s, "sf1": s, "exponent": n}} (errors record
+    a string instead). Importable — bench.py runs this as the standing
+    per-round exponent tier (VERDICT r10 #8)."""
     build_synth()
 
     from databricks_import_pyspark_scripts_spark.operators.lineage import (
         persistent_rdd_ids,
         unpersist_rdds,
     )
-    from databricks_import_pyspark_scripts_spark.querylib import REGISTRY, _load
-    from databricks_import_pyspark_scripts_spark.session import get_spark
+    from databricks_import_pyspark_scripts_spark.querylib import (
+        REGISTRY, _load,
+    )
 
     _load()
-    spark = get_spark("scale_probe")
-    spark.sparkContext.setLogLevel("ERROR")
     base_rdds = persistent_rdd_ids(spark)
     results: dict[str, dict] = {}
-    for name in args.queries:
+    for name in queries or HEAVY:
         fn = REGISTRY[name].spark_fn
         row: dict = {}
         for tag, d in (("sf0.1", SF_DIR), ("sf1", SYNTH)):
             try:
                 fn(spark, d).count()           # warm-up + cache staging
                 best = math.inf
-                for _ in range(args.runs):
+                for _ in range(runs):
                     t0 = time.time()
                     fn(spark, d).count()
                     best = min(best, time.time() - t0)
@@ -154,7 +152,23 @@ def main() -> int:
             row["exponent"] = round(
                 math.log(row["sf1"] / row["sf0.1"]) / math.log(REPLICAS), 3)
         results[name] = row
-        print(json.dumps({name: row}), flush=True)
+        if progress:
+            print(json.dumps({name: row}), flush=True)
+    return results
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--out", default="/tmp/scale_probe.json")
+    ap.add_argument("--queries", nargs="*", default=HEAVY)
+    args = ap.parse_args()
+
+    from databricks_import_pyspark_scripts_spark.session import get_spark
+
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = probe(spark, args.queries, runs=args.runs, progress=True)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps({"probe": "done", "out": args.out}))
