@@ -596,19 +596,20 @@ def live_data_files(spark: SparkSession, table_path: str,
     allow_deletes = deletes_out is not None
     pairs = [(_resolve_path(table_path, mf["manifest_path"]),
               int(mf.get("content") or 0),
-              int(mf.get("sequence_number") or 0)) for mf in manifests]
+              int(mf.get("sequence_number") or 0),
+              mf.get("first_row_id")) for mf in manifests]
     if (len(pairs) >= ICEBERG_PARALLEL_MANIFEST_THRESHOLD
-            and all("://" not in p for p, _, _ in pairs)):
+            and all("://" not in p for p, _, _, _ in pairs)):
         groups = _parallel_manifest_records(
             spark, pairs, meta, partition_filter, stats_filter,
             allow_deletes)
     else:
         groups = []
-        for path, content, mf_seq in pairs:
+        for path, content, mf_seq, mf_frid in pairs:
             _, entries = read_container(_read_bytes(spark, path))
             groups.append(_sift_entries(content, entries, meta,
                                         partition_filter, stats_filter,
-                                        allow_deletes, mf_seq))
+                                        allow_deletes, mf_seq, mf_frid))
     out: list[dict] = []
     for data, dels, err in groups:
         if err is not None:
@@ -622,14 +623,30 @@ def live_data_files(spark: SparkSession, table_path: str,
 def _sift_entries(content: int, entries: list[dict], meta: dict,
                   partition_filter, stats_filter,
                   allow_deletes: bool,
-                  mf_seq: int = 0) -> tuple[list, list, str | None]:
+                  mf_seq: int = 0,
+                  mf_first_row_id: int | None = None
+                  ) -> tuple[list, list, str | None]:
     """Classify one manifest's live entries: (data_files, delete_files,
     error). Pure — runs identically on the driver and inside the
     executor-parallel decode path, so the two can never disagree.
     Each returned record carries ``_seq``, its DATA SEQUENCE NUMBER
     (the entry's own when present, else inherited from the manifest —
     the v2 inheritance rule) — what equality deletes' strictly-older
-    scoping compares."""
+    scoping compares.
+
+    ``mf_first_row_id``: the manifest's v3 row-lineage assignment — a
+    data entry with null ``first_row_id`` INHERITS ``mf_first_row_id +
+    sum(record_count of preceding null-first_row_id data files in this
+    manifest)`` (spec "Row Lineage": assignment is positional at the
+    manifest level, so readers of tables written WITHOUT backfill still
+    see stable ids)."""
+    if content == 0 and mf_first_row_id is not None:
+        run = int(mf_first_row_id)
+        for e in entries:
+            df0 = e.get("data_file") or {}
+            if df0.get("first_row_id") is None:
+                e["_inherited_frid"] = run
+                run += int(df0.get("record_count") or 0)
     live = [e for e in entries
             if int(e.get("status") or 0) != STATUS_DELETED]
     data: list[dict] = []
@@ -655,6 +672,9 @@ def _sift_entries(content: int, entries: list[dict], meta: dict,
                 f"manifest entry status={e.get('status')} with null "
                 f"sequence_number (inheritance is ADDED-only per spec)")
         df["_seq"] = int(own) if own is not None else mf_seq
+        if df.get("first_row_id") is None \
+                and e.get("_inherited_frid") is not None:
+            df["first_row_id"] = int(e["_inherited_frid"])
         return df
 
     if content == 1:
@@ -726,21 +746,23 @@ def _parallel_manifest_records(spark: SparkSession,
 
     n = max(1, min(len(pairs),
                    spark.sparkContext.defaultParallelism * 2))
-    src = spark.createDataFrame(pairs,
-                                "path string, content int, mf_seq long")
+    src = spark.createDataFrame(
+        pairs, "path string, content int, mf_seq long, mf_frid long")
 
     def decode(batches):
         from .avro_codec import read_container as rc
         for pdf in batches:
             paths, blobs = [], []
-            for path, content, mf_seq in zip(pdf["path"], pdf["content"],
-                                             pdf["mf_seq"]):
+            for path, content, mf_seq, mf_frid in zip(
+                    pdf["path"], pdf["content"], pdf["mf_seq"],
+                    pdf["mf_frid"]):
                 with open(path, "rb") as f:
                     _, entries = rc(f.read())
                 paths.append(path)
                 blobs.append(pickle.dumps(_sift_entries(
                     int(content), entries, meta, partition_filter,
-                    stats_filter, allow_deletes, int(mf_seq))))
+                    stats_filter, allow_deletes, int(mf_seq),
+                    None if pd.isna(mf_frid) else int(mf_frid))))
             yield pd.DataFrame({"path": paths, "blob": blobs})
 
     rows = (src.repartition(n)
@@ -1376,6 +1398,11 @@ _MANIFEST_FILE_SCHEMA = {
         # apply by (older staged layouts decode as null -> seq 0)
         {"name": "sequence_number", "type": ["null", "long"]},
         {"name": "min_sequence_number", "type": ["null", "long"]},
+        # v3 row lineage: the manifest's assigned first-row-id — null
+        # entry-level first_row_id values INHERIT from it by position
+        # (spec "Row Lineage" assignment); carried so prior manifests
+        # forwarded through append_iceberg keep their assignment
+        {"name": "first_row_id", "type": ["null", "long"]},
     ]}
 
 
@@ -2276,8 +2303,9 @@ def read_iceberg_snapshot_with_row_ids(spark: SparkSession,
                if f.get("first_row_id") is None]
     if missing:
         raise IcebergProtocolError(
-            f"{len(missing)} live file(s) carry no first_row_id; run "
-            f"enable_iceberg_row_lineage first")
+            f"{len(missing)} live file(s) carry no first_row_id — "
+            f"explicit or inherited from the manifest's first_row_id "
+            f"assignment; run enable_iceberg_row_lineage to backfill")
     if any((f.get("file_format") or "PARQUET").upper() != "PARQUET"
            for f in files):
         raise IcebergProtocolError(

@@ -2560,3 +2560,51 @@ def test_rest_catalog_wap_publish_flow(spark, ice):
     assert meta["current-snapshot-id"] == sid
     assert _ks(read_iceberg_snapshot(spark, ice)) == \
         list(range(40)) + list(range(300, 305))
+
+
+def test_v3_row_lineage_inheritance_without_backfill(spark, ice):
+    """v3 row lineage INHERITANCE (SURVEY gap 2): a table whose data
+    entries carry NULL first_row_id but whose manifest-list entries
+    carry the manifest-level assignment reads stable _row_id values by
+    positional inheritance — no backfill commit required."""
+    from databricks_import_pyspark_scripts_spark.sources.avro_codec import (
+        read_container, write_container,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        _MANIFEST_FILE_SCHEMA,
+        read_iceberg_snapshot_with_row_ids,
+        read_table_metadata,
+    )
+
+    # without any assignment, the read refuses loudly
+    with pytest.raises(IcebergProtocolError, match="first_row_id"):
+        read_iceberg_snapshot_with_row_ids(spark, ice)
+
+    # assign manifest-level first_row_id in the CURRENT manifest list
+    # (what a v3 writer stamps at commit time), entries stay null
+    meta = read_table_metadata(spark, ice)
+    snap = [s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]][0]
+    mlpath = snap["manifest-list"]
+    _, manifests = read_container(open(mlpath, "rb").read())
+    nxt = 0
+    out = []
+    for mf in manifests:
+        mf = dict(mf)
+        mf["first_row_id"] = nxt
+        _, entries = read_container(open(mf["manifest_path"], "rb").read())
+        nxt += sum(int((e.get("data_file") or {}).get("record_count") or 0)
+                   for e in entries
+                   if (e.get("data_file") or {}).get("first_row_id")
+                   is None)
+        out.append(mf)
+    with open(mlpath, "wb") as f:
+        f.write(write_container(_MANIFEST_FILE_SCHEMA, out))
+
+    got = {r.k: r._row_id for r in
+           read_iceberg_snapshot_with_row_ids(spark, ice).collect()}
+    ids = sorted(got.values())
+    assert len(got) == 40 and ids == list(range(40))
+    # ids are positional per manifest: k and _row_id align per era
+    assert {got[k] for k in range(30)} == set(range(30))
+    assert {got[k] for k in range(30, 40)} == set(range(30, 40))
