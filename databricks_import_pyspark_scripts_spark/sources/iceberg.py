@@ -1842,6 +1842,16 @@ def append_iceberg(spark: SparkSession, df: DataFrame, table_path: str,
 
     missing = [f["name"] for f in schema_fields if f["name"]
                not in df.columns]
+    # v3 write-default: a column the writer does not supply is filled
+    # with its declared default at write time (spec "Default values") —
+    # only columns with NO default remain a schema-contract error
+    defaulted = {f["name"]: (f["write-default"], f["type"])
+                 for f in schema_fields
+                 if f["name"] in missing and "write-default" in f
+                 and isinstance(f["type"], str)}
+    for name, (dv, t) in defaulted.items():
+        df = df.withColumn(name, F.lit(dv).cast(_spark_type(t)))
+    missing = [m for m in missing if m not in defaulted]
     extra = [c for c in df.columns
              if c not in {f["name"] for f in schema_fields}]
     if missing or extra:

@@ -2397,6 +2397,14 @@ def test_v3_default_values_two_era_read(spark, ice):
            read_iceberg_snapshot(spark, ice).collect()}
     assert all(got[k] == 7 for k in range(40))             # era-1 default
     assert all(got[k] == k for k in range(100, 105))       # era-2 stored
+    # write-default: an append NOT supplying the column gets the
+    # declared default written (not NULL) — era-3 files carry 7
+    era3 = spark.range(200, 203).selectExpr(
+        "id AS k", "CAST(id AS double) AS v")
+    append_iceberg(spark, era3, ice)
+    got3 = {r.k: r.flag for r in
+            read_iceberg_snapshot(spark, ice).collect()}
+    assert all(got3[k] == 7 for k in range(200, 203))
     # unsupported default type still rejects
     meta2 = json.load(open(os.path.join(
         mdir, f"v{cur + 1}.metadata.json")))
