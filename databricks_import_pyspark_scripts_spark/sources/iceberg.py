@@ -772,7 +772,7 @@ def _parallel_manifest_records(spark: SparkSession,
     # the returned groups — and the scan path list built from them —
     # are identical to the serial path's
     by_path = {r["path"]: pickle.loads(r["blob"]) for r in rows}
-    return [by_path[path] for path, _, _ in pairs]
+    return [by_path[path] for path, _, _, _ in pairs]
 
 
 # ---------------------------------------------------------------------------
