@@ -806,6 +806,48 @@ def _spark_type(t) -> T.DataType:
     raise IcebergProtocolError(f"unsupported Iceberg type {t!r}")
 
 
+def _physical_schema_from_mapping(schema_json: dict,
+                                  nm: list[dict]) -> T.StructType:
+    """The ON-DISK Spark read schema implied by a name-mapping: the
+    logical Iceberg schema with each field renamed to its FIRST mapping
+    candidate (the physical parquet name), recursively — struct children
+    match by field-id, list elements / map keys+values by their
+    element/key/value ids. A field with no mapping entry keeps its
+    logical name (spec: resolution falls back to the schema name)."""
+    def by_id(entries):
+        return {int(e["field-id"]): e for e in entries or []
+                if "field-id" in e}
+
+    def conv(t_json, entries):
+        ids = by_id(entries)
+        if isinstance(t_json, dict) and t_json.get("type") == "struct":
+            out = []
+            for f in t_json["fields"]:
+                e = ids.get(int(f["id"]))
+                name = (e["names"][0] if e and e.get("names")
+                        else f["name"])
+                out.append(T.StructField(
+                    name, conv(f["type"],
+                               (e or {}).get("fields")),
+                    not f.get("required", False)))
+            return T.StructType(out)
+        if isinstance(t_json, dict) and t_json.get("type") == "list":
+            e = ids.get(int(t_json["element-id"]))
+            return T.ArrayType(
+                conv(t_json["element"], (e or {}).get("fields")),
+                not t_json.get("element-required", False))
+        if isinstance(t_json, dict) and t_json.get("type") == "map":
+            ke = ids.get(int(t_json["key-id"]))
+            ve = ids.get(int(t_json["value-id"]))
+            return T.MapType(
+                conv(t_json["key"], (ke or {}).get("fields")),
+                conv(t_json["value"], (ve or {}).get("fields")),
+                not t_json.get("value-required", False))
+        return _spark_type(t_json)
+
+    return conv({"type": "struct", "fields": schema_json["fields"]}, nm)
+
+
 #: v3 default-value types this reader can materialize as Spark literals
 _DEFAULTABLE_TYPES = ("int", "long", "float", "double", "string",
                       "boolean", "date")
@@ -1175,25 +1217,20 @@ def read_iceberg_snapshot(spark: SparkSession, table_path: str,
         schema = _strip(schema)
     # name-mapping candidates may differ from the logical names (Delta
     # column mapping: the on-disk PHYSICAL name leads the list) — read
-    # under the first candidate, then alias back to logical. Top-level
-    # only: the UniForm sync rejects nested-under-mapping, so a nested
-    # physical rename cannot reach this reader.
-    rename: dict[str, str] = {}          # physical -> logical
+    # under the first candidate AT EVERY NESTING LEVEL, then cast back
+    # to the logical struct (positional struct cast renames nested
+    # fields in one JVM expression; _metadata stays resolvable through
+    # the projection).
+    logical_schema = schema
+    rename = False
     if name_mapped:
         nm = json.loads((meta.get("properties") or {})[
             "schema.name-mapping.default"])
-        id_to_disk = {int(e["field-id"]): e["names"][0]
-                      for e in nm if e.get("names") and "field-id" in e}
-        for f in _current_schema(meta)["fields"]:
-            disk = id_to_disk.get(int(f["id"]))
-            if disk and disk != f["name"]:
-                rename[disk] = f["name"]
-    logical_schema = schema
-    if rename:
-        to_disk = {v: k for k, v in rename.items()}
-        schema = T.StructType([
-            T.StructField(to_disk.get(f.name, f.name), f.dataType,
-                          f.nullable) for f in schema.fields])
+        phys_schema = _physical_schema_from_mapping(
+            _current_schema(meta), nm)
+        if phys_schema != schema:
+            rename = True
+            schema = phys_schema
     defaults = _initial_defaults(_current_schema(meta))
     if defaults and orc_paths:
         raise IcebergProtocolError(
@@ -1237,10 +1274,19 @@ def read_iceberg_snapshot(spark: SparkSession, table_path: str,
     for p in parts[1:]:
         scan = scan.unionByName(p)
     if rename:
-        # back to logical names (withColumnRenamed keeps _metadata
-        # resolvable for the provenance expressions below)
-        for disk, logical in rename.items():
-            scan = scan.withColumnRenamed(disk, logical)
+        # back to logical: positional struct cast renames every nesting
+        # level in one shot (_metadata stays resolvable for the
+        # provenance expressions below — empirically pinned by the
+        # column-mapped read tests)
+        if _initial_defaults(_current_schema(meta)):
+            raise IcebergProtocolError(
+                "initial-default over physically-renamed (name-mapped) "
+                "files is not supported in one table")
+        from pyspark.sql import functions as _F
+
+        scan = scan.select(*[
+            _F.col(p.name).cast(lf.dataType).alias(lf.name)
+            for p, lf in zip(schema.fields, logical_schema.fields)])
         schema = logical_schema
     if name_mapped and files:
         # identity-partition values are METADATA-authoritative for

@@ -77,34 +77,71 @@ class _IdGen:
         return self.next - 1
 
 
-def _ice_type(dt: T.DataType, ids: "_IdGen"):
-    """Spark type -> Iceberg schema-JSON type (nested forms carry the
-    spec's element/key/value ids, allocated from the shared counter so
-    ids stay unique table-wide)."""
+def _mapping_names(field, mapped: bool) -> list[str]:
+    """Name-mapping candidate list for one Delta field: the on-disk
+    PHYSICAL name first (under column mapping), the logical name as the
+    trailing fallback candidate."""
+    p = _physical_name(field) if mapped else field.name
+    return [p, field.name] if p != field.name else [field.name]
+
+
+def _ice_type_mapping(dt: T.DataType, ids: "_IdGen", mapped: bool):
+    """Spark type -> (Iceberg schema-JSON type, name-mapping child
+    entries or None). Nested forms carry the spec's element/key/value
+    ids (allocated from the shared counter so ids stay unique
+    table-wide); the mapping mirrors the structure so field-id-less
+    parquet resolves BY NAME at every level — physical names under Delta
+    column mapping, logical otherwise (spec ``name-mapping`` nested
+    form: struct children by field entry, list/map children under
+    ``element``/``key``/``value``)."""
     if isinstance(dt, T.StructType):
-        return {"type": "struct", "fields": [
-            {"id": ids(), "name": f.name, "required": False,
-             "type": _ice_type(f.dataType, ids)} for f in dt.fields]}
+        fields, kids = [], []
+        for f in dt.fields:
+            fid = ids()
+            t, sub = _ice_type_mapping(f.dataType, ids, mapped)
+            fields.append({"id": fid, "name": f.name, "required": False,
+                           "type": t})
+            e = {"field-id": fid, "names": _mapping_names(f, mapped)}
+            if sub:
+                e["fields"] = sub
+            kids.append(e)
+        return {"type": "struct", "fields": fields}, kids
     if isinstance(dt, T.ArrayType):
-        return {"type": "list", "element-id": ids(),
-                "element": _ice_type(dt.elementType, ids),
-                "element-required": not dt.containsNull}
+        eid = ids()
+        t, sub = _ice_type_mapping(dt.elementType, ids, mapped)
+        e = {"field-id": eid, "names": ["element"]}
+        if sub:
+            e["fields"] = sub
+        return {"type": "list", "element-id": eid, "element": t,
+                "element-required": not dt.containsNull}, [e]
     if isinstance(dt, T.MapType):
-        return {"type": "map", "key-id": ids(),
-                "key": _ice_type(dt.keyType, ids),
-                "value-id": ids(),
-                "value": _ice_type(dt.valueType, ids),
-                "value-required": not dt.valueContainsNull}
+        kid = ids()
+        kt, ksub = _ice_type_mapping(dt.keyType, ids, mapped)
+        vid = ids()
+        vt, vsub = _ice_type_mapping(dt.valueType, ids, mapped)
+        ke = {"field-id": kid, "names": ["key"]}
+        if ksub:
+            ke["fields"] = ksub
+        ve = {"field-id": vid, "names": ["value"]}
+        if vsub:
+            ve["fields"] = vsub
+        return {"type": "map", "key-id": kid, "key": kt,
+                "value-id": vid, "value": vt,
+                "value-required": not dt.valueContainsNull}, [ke, ve]
     if isinstance(dt, T.TimestampNTZType):
-        return "timestamp"
+        return "timestamp", None
     if isinstance(dt, T.DecimalType):
-        return f"decimal({dt.precision}, {dt.scale})"
+        return f"decimal({dt.precision}, {dt.scale})", None
     for cls, name in _TYPE_MAP.items():
         if isinstance(dt, cls):
-            return name
+            return name, None
     raise IcebergProtocolError(
         f"uniform sync: {dt.simpleString()} has no Iceberg translation "
         f"here (variant/interval out of scope)")
+
+
+def _ice_type(dt: T.DataType, ids: "_IdGen"):
+    return _ice_type_mapping(dt, ids, mapped=False)[0]
 
 
 def uniform_sync_iceberg(spark: SparkSession, table_path: str,
@@ -122,9 +159,11 @@ def uniform_sync_iceberg(spark: SparkSession, table_path: str,
     DBR's own UniForm DV answer. COLUMN MAPPING (name/id modes) is
     carried through ``schema.name-mapping.default``: the Iceberg schema
     keeps logical names and the mapping points each field id at the
-    parquet PHYSICAL name (nested types under mapping reject — their
-    per-level physical names need a recursive mapping this writer does
-    not emit). Nested struct/array/map columns translate with spec
+    parquet PHYSICAL name RECURSIVELY (struct children by field entry,
+    list/map children under element/key/value), so nested mapped
+    columns resolve too — the reader rebuilds the on-disk schema from
+    the mapping and casts back to logical in one positional struct
+    cast. Nested struct/array/map columns translate with spec
     element/key/value ids; VARIANT rejects."""
     rep = replay_log(spark, table_path)
     md = rep.metadata
@@ -132,23 +171,23 @@ def uniform_sync_iceberg(spark: SparkSession, table_path: str,
 
     root = _strip_scheme(table_path).rstrip("/")
     top = list(rep.schema.fields)
-    if mapping != "none":
-        nested = [f.name for f in top
-                  if isinstance(f.dataType,
-                                (T.StructType, T.ArrayType, T.MapType))]
-        if nested:
-            raise IcebergProtocolError(
-                f"uniform sync: column mapping over nested columns "
-                f"{nested} needs a recursive name-mapping this writer "
-                f"does not emit")
+    mapped = mapping != "none"
     ids = _IdGen(1)
     top_ids = [ids() for _ in top]          # top-level ids first: 1..n
-    fields = [{"id": fid, "name": f.name, "required": False,
-               "type": _ice_type(f.dataType, ids)}
-              for fid, f in zip(top_ids, top)]
+    fields = []
+    nm_entries = []
+    for fid, f in zip(top_ids, top):
+        t, sub = _ice_type_mapping(f.dataType, ids, mapped)
+        fields.append({"id": fid, "name": f.name, "required": False,
+                       "type": t})
+        e = {"field-id": fid, "names": _mapping_names(f, mapped)}
+        if sub:
+            e["fields"] = sub
+        nm_entries.append(e)
     by_name = {f["name"]: f for f in fields}
-    # on-disk parquet column name per logical field (mapping-aware)
-    phys = {f.name: (_physical_name(f) if mapping != "none" else f.name)
+    # on-disk parquet column name per logical TOP-LEVEL field
+    # (mapping-aware; nested levels ride the recursive nm_entries)
+    phys = {f.name: (_physical_name(f) if mapped else f.name)
             for f in top}
     part_cols = list(rep.partition_columns)
     part_fields = _part_avro_fields(fields, part_cols, [])
@@ -287,15 +326,11 @@ def uniform_sync_iceberg(spark: SparkSession, table_path: str,
             for i, c in enumerate(part_cols)]}],
         "default-spec-id": 0,
         # Delta parquet carries no Iceberg field ids: declare the spec's
-        # name-mapping so readers resolve these files BY NAME — under
-        # Delta column mapping the on-disk name is the PHYSICAL one, so
-        # it leads the candidate list
-        "properties": {"schema.name-mapping.default": json.dumps(
-            [{"field-id": f["id"],
-              "names": ([phys[f["name"]], f["name"]]
-                        if phys[f["name"]] != f["name"]
-                        else [f["name"]])}
-             for f in fields])},
+        # name-mapping so readers resolve these files BY NAME at every
+        # nesting level — under Delta column mapping the on-disk name
+        # is the PHYSICAL one, so it leads each candidate list
+        "properties": {"schema.name-mapping.default":
+                       json.dumps(nm_entries)},
         "current-snapshot-id": snap_id,
         "snapshots": [{"snapshot-id": snap_id, "timestamp-ms": ts,
                        "sequence-number": seq, "manifest-list": mlpath,

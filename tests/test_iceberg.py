@@ -2109,12 +2109,19 @@ def test_uniform_sync_column_mapped_flat_table(spark, tmp_path):
     assert set(got.columns) == {"k", "v"}
     assert sorted((r.k, r.v) for r in got.collect()) == \
         [(1, 0.5), (2, 1.5), (3, 2.5)]
-    # nested + mapping still rejects
+    # NESTED + mapping: the recursive name-mapping resolves struct
+    # children under their physical names and the read casts back to
+    # the logical shape (partitioned table: identity values re-attach
+    # from manifest metadata)
     from delta_fixture import make_column_mapped_table
     t2 = str(tmp_path / "unicm_nested")
     make_column_mapped_table(t2)
-    with pytest.raises(IcebergProtocolError, match="nested"):
-        uniform_sync_iceberg(spark, t2)
+    uniform_sync_iceberg(spark, t2)
+    got2 = read_iceberg_snapshot(spark, t2)
+    rows = {r.id: (r.info.score, r.info.tag, r.part)
+            for r in got2.collect()}
+    assert rows == {1: (0.5, "a", "p1"), 2: (1.5, "b", "p1"),
+                    3: (2.5, "c", "p2")}
 
 
 def test_rewrite_manifests_consolidates_without_moving_data(spark, tmp_path):
