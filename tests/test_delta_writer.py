@@ -2190,6 +2190,24 @@ def test_row_tracking_assigns_and_survives_dv_ops(spark, tmp_path):
     fresh = {k: v for k, v in merged.items() if k >= 200}
     assert len(fresh) == 3 and len(set(merged.values())) == len(merged)
     assert min(fresh.values()) > max(upd2.values())
+    # DV-mode MERGE: post-update images keep their ids via the same
+    # materialized-column carry (ADVICE r10 #5); inserts fresh
+    src2 = (spark.range(4, 6).selectExpr(
+        "id AS k", "CAST(id % 4 AS string) AS p",
+        "CAST(id AS double) AS v")
+        .unionByName(spark.range(300, 302).selectExpr(
+            "id AS k", "CAST(id % 4 AS string) AS p",
+            "CAST(id AS double) AS v")))
+    merge_into(spark, t, src2, on=["k"],
+               when_matched_update={"v": "t.v + s.v"}, ts_ms=9000,
+               use_dv=True)
+    dvm = {r.k: r._row_id for r in
+           read_delta_snapshot_with_row_ids(spark, t).collect()}
+    for k, rid in merged.items():
+        assert dvm[k] == rid, k                     # ids stable incl. 4,5
+    fresh2 = {k: v for k, v in dvm.items() if k >= 300}
+    assert len(fresh2) == 2 and len(set(dvm.values())) == len(dvm)
+    assert min(fresh2.values()) > max(merged.values())
 
 
 def test_row_tracking_replace_where_and_clone(spark, tmp_path):
