@@ -1673,12 +1673,14 @@ def write_v2_checkpoint(spark: SparkSession, table_path: str,
                         version: int | None = None,
                         tombstone_retention_ms: int =
                         7 * 24 * 3600 * 1000,
-                        now_ms: int | None = None) -> int:
+                        now_ms: int | None = None,
+                        max_actions_per_sidecar: int | None = None
+                        ) -> int:
     """Write a V2 (uuid-named) checkpoint of the state at ``version``:
-    file actions (add + remove tombstones) go to ONE parquet SIDECAR
+    file actions (add + remove tombstones) go to parquet SIDECAR(s)
     under ``_delta_log/_sidecars/``, and the top-level
     ``<version>.checkpoint.<uuid>.json`` carries protocol, metaData, txn
-    watermarks, the ``sidecar`` reference, and the spec's
+    watermarks, the ``sidecar`` reference(s), and the spec's
     ``checkpointMetadata`` marker — exactly the layout
     ``_checkpoint_actions`` resolves at replay. Requires the
     ``v2Checkpoint`` table feature (the classic writer covers the rest);
@@ -1686,9 +1688,11 @@ def write_v2_checkpoint(spark: SparkSession, table_path: str,
 
     At 100 TB the sidecar split is the point of v2: the (huge) file
     action list lives in parquet sidecars readers scan distributed and
-    in parallel, while the tiny top-level file stays a driver-side read.
-    This writer emits one sidecar (single-JVM staging); multi-sidecar
-    sharding is a layout extension, not a protocol change."""
+    in parallel, while the tiny top-level file stays a driver-side
+    read. ``max_actions_per_sidecar`` shards the file actions across
+    that many-per-file sidecars (a million-file table at the spec's
+    default sharding reads back as parallel sidecar scans); None keeps
+    one sidecar — the single-JVM staging default."""
     rep = replay_log(spark, table_path, version)
     feats = set(rep.protocol.get("readerFeatures") or ()) \
         | set(rep.protocol.get("writerFeatures") or ())
@@ -1696,26 +1700,35 @@ def write_v2_checkpoint(spark: SparkSession, table_path: str,
         raise DeltaProtocolError(
             "table does not declare the v2Checkpoint feature; write a "
             "classic checkpoint instead")
+    if max_actions_per_sidecar is not None \
+            and max_actions_per_sidecar < 1:
+        raise ValueError("max_actions_per_sidecar must be >= 1")
     cp_schema, rows = _cp_schema_and_rows(rep, tombstone_retention_ms,
                                           now_ms)
     file_rows = [r for r in rows if r.get("add") or r.get("remove")]
     top_rows = [r for r in rows if not (r.get("add") or r.get("remove"))]
 
     log = f"{table_path.rstrip('/')}/{LOG_DIR}"
-    side_name = f"{uuid.uuid4()}.parquet"
-    side_path = f"{log}/_sidecars/{side_name}"
-    _stage_one_parquet(spark, log,
-                       spark.createDataFrame(file_rows, cp_schema),
-                       side_path)
-    side_size = _hadoop_size(spark, side_path)
+    chunk = max_actions_per_sidecar or max(len(file_rows), 1)
+    shards = [file_rows[i:i + chunk]
+              for i in range(0, len(file_rows), chunk)] or [[]]
+    side_refs: list[tuple[str, int]] = []
+    for shard in shards:
+        side_name = f"{uuid.uuid4()}.parquet"
+        side_path = f"{log}/_sidecars/{side_name}"
+        _stage_one_parquet(spark, log,
+                           spark.createDataFrame(shard, cp_schema),
+                           side_path)
+        side_refs.append((side_name, _hadoop_size(spark, side_path)))
 
     actions: list[dict] = [
         {"checkpointMetadata": {"version": rep.version}}]
     for r in top_rows:
         actions.append({k: v for k, v in r.items() if v is not None})
-    actions.append({"sidecar": {"path": side_name,
-                                "sizeInBytes": side_size,
-                                "modificationTime": _now_ms(now_ms)}})
+    for side_name, side_size in side_refs:
+        actions.append({"sidecar": {"path": side_name,
+                                    "sizeInBytes": side_size,
+                                    "modificationTime": _now_ms(now_ms)}})
     top = f"{log}/{rep.version:020d}.checkpoint.{uuid.uuid4()}.json"
     if not _atomic_create(spark, top, _commit_payload(actions)):
         raise ConcurrentWriteError(

@@ -2383,3 +2383,47 @@ def test_replace_where_selective_overwrite(spark, table):
         replace_where(spark, spark.range(0, 3).selectExpr(
             "id AS k", "'9' AS p", "CAST(id AS double) AS v"), table,
             "p = '2'", ts_ms=3000)
+
+
+def test_v2_checkpoint_multi_sidecar_shards_and_replays(spark, table,
+                                                        tmp_path):
+    """Multi-sidecar v2 checkpoint: max_actions_per_sidecar shards the
+    file actions across several parquet sidecars (the spec's layout for
+    million-file tables — readers scan sidecars in parallel); replay
+    from the sharded checkpoint alone reproduces the state exactly."""
+    append_delta(spark, _frame(spark, 100, 130), table, ts_ms=2000)
+    delete_where(spark, table, "k % 9 = 2", ts_ms=3000)
+    # upgrade to v2Checkpoint keeping existing features
+    rep = replay_log(spark, table)
+    up = {"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": sorted(
+            set(rep.protocol.get("readerFeatures") or ())
+            | {"v2Checkpoint"}),
+        "writerFeatures": sorted(
+            set(rep.protocol.get("writerFeatures") or ())
+            | {"appendOnly", "invariants", "v2Checkpoint"})}}
+    log = os.path.join(table, "_delta_log")
+    with open(os.path.join(log, f"{rep.version + 1:020d}.json"),
+              "w") as f:
+        f.write(json.dumps({"commitInfo": {
+            "timestamp": 3500, "operation": "UPGRADE"}}) + "\n")
+        f.write(json.dumps(up) + "\n")
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        write_v2_checkpoint,
+    )
+
+    before = {(r.k, r.v) for r in read_delta_snapshot(spark, table)
+              .collect()}
+    cp = write_v2_checkpoint(spark, table, max_actions_per_sidecar=3)
+    n_files = len(replay_log(spark, table).files)
+    import glob as _glob
+    sidecars = _glob.glob(os.path.join(log, "_sidecars", "*.parquet"))
+    assert len(sidecars) >= max(1, (n_files + 2) // 3)
+    for v in range(cp):
+        p = os.path.join(log, f"{v:020d}.json")
+        if os.path.exists(p):
+            os.unlink(p)
+    after = {(r.k, r.v) for r in read_delta_snapshot(spark, table)
+             .collect()}
+    assert after == before
