@@ -1903,13 +1903,18 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
             raise DeltaProtocolError(
                 f"MERGE cannot SET identity columns {bad}")
     gen_ids = [c for c in ids_spec if c not in source.columns]
-    bad_keys = sorted(set(gen_ids) & set(on))
+    # GENERATED columns absent from the source compute at insert time
+    # (delta.generationExpression — same writer obligation as append)
+    gen_cols = [f.name for f in rep.schema.fields
+                if (f.metadata or {}).get("delta.generationExpression")
+                and f.name not in source.columns]
+    bad_keys = sorted(set(gen_ids + gen_cols) & set(on))
     if bad_keys:
         raise ValueError(
-            f"merge keys {bad_keys} are identity columns absent from "
-            f"the source; a generated key cannot match")
+            f"merge keys {bad_keys} are identity/generated columns "
+            f"absent from the source; a generated key cannot match")
     src = source.select(          # schema contract, fail early
-        *[c for c in logical if c not in gen_ids])
+        *[c for c in logical if c not in gen_ids and c not in gen_cols])
 
     if not rep.files:
         # empty table: merge degenerates to insert-only
@@ -2048,10 +2053,14 @@ def merge_into(spark: SparkSession, table_path: str, source: DataFrame,
         tkeys = snap.select(*on).distinct()
         inserts = src.join(
             tkeys, [src[c].eqNullSafe(tkeys[c]) for c in on], "left_anti")
-        if ids_spec:
-            # fill absent identity columns above the watermark; a
-            # PRESENT one is validated against allowExplicitInsert
+        if ids_spec or gen_cols:
+            # fill absent identity columns above the watermark (a
+            # PRESENT one is validated against allowExplicitInsert) and
+            # compute absent generated columns from their declared
+            # expressions — the staged files then pass the value <=>
+            # expression constraint like any append
             inserts, _ = _generate_identity(inserts, rep.schema)
+            inserts = _compute_generated(inserts, rep.schema)
             inserts = inserts.select(*logical)
         rt_cols_all = rt_dv if use_dv else _rt_cols(rep.metadata)
         if rt_cols_all and (affected or rt_dv):

@@ -1571,6 +1571,18 @@ def test_generated_columns_validated(spark, tmp_path):
     assert sorted((r.k, r.k2) for r in
                   read_delta_snapshot(spark, t).collect()) == \
         [(1, 2), (2, 4), (3, 6)]
+    # MERGE insert clause: a generated column ABSENT from the source is
+    # COMPUTED from its expression (the append-path writer obligation,
+    # extended to merge in r11); matched rows keep their stored values
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        merge_into,
+    )
+
+    src = spark.createDataFrame([(3,), (10,), (11,)], "k long")
+    merge_into(spark, t, src, on=["k"], ts_ms=4000)
+    assert sorted((r.k, r.k2) for r in
+                  read_delta_snapshot(spark, t).collect()) == \
+        [(1, 2), (2, 4), (3, 6), (10, 20), (11, 22)]
 
 
 def test_restore_rolls_back_and_forward(spark, table):
