@@ -1439,14 +1439,22 @@ def update_where(spark: SparkSession, table_path: str, predicate: str,
         unknown = [c for c in set_exprs if c not in types]
         if unknown:
             raise ValueError(f"SET targets {unknown} are not table columns")
-        updated_all = aff.select(
-            *[F.when(hit, F.expr(set_exprs[c])).otherwise(F.col(c))
-              .cast(types[c]).alias(c) if c in set_exprs else F.col(c)
-              for c in aff.columns])
-        new_rows = updated_all  # keep helper cols; _rewrite_op projects
-        pre = (aff.filter(hit).select(*logical)
+        # the hit set is decided on PRE-update values and must be
+        # REUSED for the postimages: re-filtering the updated frame
+        # with the raw predicate would re-evaluate it on post-update
+        # values and lose (or invent) postimage rows whenever a SET
+        # column appears in the WHERE clause (e.g. v < 5 -> v + 100
+        # emitted preimages but ZERO postimages)
+        marked = aff.withColumn("__upd_hit", hit)
+        updated_all = marked.select(
+            *[F.when(F.col("__upd_hit"), F.expr(set_exprs[c]))
+              .otherwise(F.col(c)).cast(types[c]).alias(c)
+              if c in set_exprs else F.col(c)
+              for c in marked.columns])
+        new_rows = updated_all  # helper cols dropped by _rewrite_op
+        pre = (marked.filter(F.col("__upd_hit")).select(*logical)
                .withColumn(_CDC_TYPE, F.lit("update_preimage")))
-        post = (updated_all.filter(hit).select(*logical)
+        post = (updated_all.filter(F.col("__upd_hit")).select(*logical)
                 .withColumn(_CDC_TYPE, F.lit("update_postimage")))
         return new_rows, pre.unionByName(post)
     def check(rep):

@@ -2439,3 +2439,34 @@ def test_v2_checkpoint_multi_sidecar_shards_and_replays(spark, table,
     after = {(r.k, r.v) for r in read_delta_snapshot(spark, table)
              .collect()}
     assert after == before
+
+
+def test_update_self_referential_predicate_cdc(spark, tmp_path):
+    """UPDATE whose SET column appears in its own WHERE clause: the hit
+    set is decided on PRE-update values and reused for the postimages —
+    the rewrite path previously re-evaluated the predicate on the
+    updated frame and emitted ZERO update_postimage rows for
+    ``v < 5 -> v + 100`` (r11 regression find)."""
+    from databricks_import_pyspark_scripts_spark.sources.delta_log import (
+        read_delta_changes,
+    )
+
+    for dv in (False, True):
+        t = str(tmp_path / f"selfref{int(dv)}")
+        create_delta_table(
+            spark, spark.range(10).selectExpr(
+                "id AS k", "CAST(id AS double) AS v"),
+            t, cdf=True, ts_ms=1000)
+        update_where(spark, t, "v < 5", {"v": "v + 100"}, ts_ms=2000,
+                     use_dv=dv)
+        ch = [r for r in read_delta_changes(spark, t, 0, 1).collect()
+              if r._commit_version == 1]
+        pre = sorted((r.k, r.v) for r in ch
+                     if r._change_type == "update_preimage")
+        post = sorted((r.k, r.v) for r in ch
+                      if r._change_type == "update_postimage")
+        assert pre == [(k, float(k)) for k in range(5)], dv
+        assert post == [(k, float(k) + 100) for k in range(5)], dv
+        got = {r.k: r.v for r in read_delta_snapshot(spark, t).collect()}
+        assert got == {k: (float(k) + 100 if k < 5 else float(k))
+                       for k in range(10)}, dv
