@@ -93,11 +93,22 @@ def test_writer_random_ops_match_model(spark, tmp_path, seed):
             else:
                 assert v == version  # no match -> no commit
         elif op == "update":
-            m, r = rng.randint(2, 7), rng.randint(0, 1)
             c = rng.randint(1, 50) * 10.0
-            v = update_where(spark, t, f"k % {m} = {r}", {"v": f"v + {c}"},
-                             ts_ms=ts, use_dv=rng.random() < 0.4)
-            hit = [k for k in model if k % m == r]
+            if rng.random() < 0.35 and model:
+                # SELF-REFERENTIAL: the SET column appears in the WHERE
+                # clause (the shape that exposed the r11 postimage-CDC
+                # bug — the hit set must bind to PRE-update values)
+                thr = rng.choice(sorted(model.values()))
+                v = update_where(spark, t, f"v <= {thr}",
+                                 {"v": f"v + {c}"}, ts_ms=ts,
+                                 use_dv=rng.random() < 0.4)
+                hit = [k for k, val in model.items() if val <= thr]
+            else:
+                m, r = rng.randint(2, 7), rng.randint(0, 1)
+                v = update_where(spark, t, f"k % {m} = {r}",
+                                 {"v": f"v + {c}"}, ts_ms=ts,
+                                 use_dv=rng.random() < 0.4)
+                hit = [k for k in model if k % m == r]
             if hit:
                 for k in hit:
                     model[k] += c
