@@ -63,6 +63,7 @@ def test_writer_random_ops_match_model(spark, tmp_path, seed):
     create_delta_table(spark, _df(spark, model), t, cdf=True, ts_ms=BASE_TS)
     history: dict[int, dict[int, float]] = {0: dict(model)}
     version = 0
+    prev_version = 0
 
     def fresh_rows(n: int) -> dict[int, float]:
         nonlocal next_id
@@ -163,6 +164,30 @@ def test_writer_random_ops_match_model(spark, tmp_path, seed):
             model = dict(rows)
             version = v
         assert _read(spark, t) == model, f"seed={seed} step={step} op={op}"
+        # CDC-reconstruction invariant: replaying version v's change
+        # feed onto the previous state must reproduce the new state —
+        # explicit cdc files and file-op synthesis must agree with the
+        # snapshot for EVERY op and never double-count rewritten files
+        if version > prev_version and op != "restore":
+            from databricks_import_pyspark_scripts_spark.sources.delta_log import (  # noqa: E501
+                read_delta_changes,
+            )
+            rebuilt = dict(history[prev_version])
+            # (prev_version, version] — the table_changes convention;
+            # spans any interleaved dataChange=false commits, which
+            # must contribute ZERO change rows
+            rows = read_delta_changes(spark, t, prev_version,
+                                      version).collect()
+            for r in rows:
+                if r._change_type in ("delete", "update_preimage"):
+                    rebuilt.pop(r.k, None)
+            for r in rows:
+                if r._change_type in ("insert", "update_postimage"):
+                    rebuilt[r.k] = r.v
+            assert rebuilt == model, \
+                f"seed={seed} step={step} op={op} v={version}: CDC " \
+                f"replay diverges from the snapshot"
+        prev_version = version
         history[version] = dict(model)
 
     # time travel: two random archived versions replay to their models
