@@ -167,8 +167,10 @@ def test_writer_random_ops_match_model(spark, tmp_path, seed):
         # CDC-reconstruction invariant: replaying version v's change
         # feed onto the previous state must reproduce the new state —
         # explicit cdc files and file-op synthesis must agree with the
-        # snapshot for EVERY op and never double-count rewritten files
-        if version > prev_version and op != "restore":
+        # snapshot for EVERY op (restore included: its DV-aware
+        # file-diff synthesis emits exactly the resurrected/lost rows)
+        # and never double-count rewritten files
+        if version > prev_version:
             from databricks_import_pyspark_scripts_spark.sources.delta_log import (  # noqa: E501
                 read_delta_changes,
             )
