@@ -2011,6 +2011,20 @@ def test_identity_negative_step_descends_without_reuse(spark, tmp_path):
     hwm = next(f for f in rep.schema.fields
                if f.name == "uid").metadata["delta.identity.highWaterMark"]
     assert hwm == min(uids)
+    # MERGE insert clause descends too, below the (downward) watermark
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        merge_into,
+    )
+
+    merge_into(spark, t, spark.createDataFrame([("m1",), ("m2",)],
+                                               "name string"),
+               on=["name"], ts_ms=4000)
+    uids2 = [r.uid for r in read_delta_snapshot(spark, t).collect()]
+    assert len(uids2) == 10 and len(set(uids2)) == 10
+    assert min(set(uids2) - set(uids)) < hwm               # below, fresh
+    rep = replay_log(spark, t)
+    assert next(f for f in rep.schema.fields if f.name == "uid"
+                ).metadata["delta.identity.highWaterMark"] == min(uids2)
 
 
 def test_checkpoint_preserves_row_tracking_ids(spark, tmp_path):
