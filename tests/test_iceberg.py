@@ -2623,3 +2623,35 @@ def test_v3_row_lineage_inheritance_without_backfill(spark, ice):
     # ids are positional per manifest: k and _row_id align per era
     assert {got[k] for k in range(30)} == set(range(30))
     assert {got[k] for k in range(30, 40)} == set(range(30, 40))
+
+
+def test_rest_catalog_two_concurrent_appenders_both_land(spark, ice):
+    """TWO appenders race through the catalog CAS concurrently (real
+    threads, same staging dirs): exactly one loses each commit round,
+    rebases, and retries — both snapshots land, no rows lost, metadata
+    versions strictly sequential."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from databricks_import_pyspark_scripts_spark.sources.rest_catalog import (
+        FileRestCatalog,
+        append_iceberg_via_catalog,
+    )
+
+    wh = os.path.join(os.path.dirname(ice), "whrace")
+    cat = FileRestCatalog(wh)
+    cat.register_table("db", "race", ice)
+
+    def appender(lo: int) -> int:
+        df = spark.range(lo, lo + 7).selectExpr(
+            "id AS k", "CAST(id AS double) AS v")
+        return append_iceberg_via_catalog(spark, df, cat, "db", "race")
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        sids = sorted(ex.map(appender, [500, 600]))
+    assert len(set(sids)) == 2
+    got = _ks(read_iceberg_snapshot(spark, ice))
+    assert got == (list(range(40)) + list(range(500, 507))
+                   + list(range(600, 607)))
+    meta = cat.load_table("db", "race")["metadata"]
+    assert meta["current-snapshot-id"] == max(sids)
+    assert len(meta["snapshots"]) == 4        # 2 staged + 2 raced
