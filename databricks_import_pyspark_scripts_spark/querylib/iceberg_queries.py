@@ -881,12 +881,12 @@ def _staged_rest_catalog(spark: SparkSession, sf_dir: str) -> str:
     property commit so the optimistic append demonstrably loses a CAS
     round and rebases (the 409 + reload loop real REST writers run)."""
     from ..sources.rest_catalog import (
-        FileRestCatalog, append_iceberg_via_catalog,
+        FileRestCatalog, RestCommitConflict, append_iceberg_via_catalog,
     )
 
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     path = os.path.join(tempfile.gettempdir(),
-                        f"spark_graft_iceberg_rc_gate_{tag}_v1")
+                        f"spark_graft_iceberg_rc_gate_{tag}_v2")
     marker = os.path.join(path, "_STAGED")
     if not os.path.exists(marker):
         import shutil
@@ -898,22 +898,62 @@ def _staged_rest_catalog(spark: SparkSession, sf_dir: str) -> str:
         cat = FileRestCatalog(os.path.join(path, "wh"))
         cat.register_table("db", "events", root)
         real_commit = cat.commit_table
-        state = {"raced": False}
+        # The racer must MOVE THE MAIN REF (an add-snapshot +
+        # set-snapshot-ref pair), not merely set a property: a
+        # property commit leaves assert-ref-snapshot-id satisfied
+        # because commit_table re-reads the head before its O_EXCL
+        # create, so the append would land first try and the "race"
+        # would be vacuous (ADVICE r11 #1). The racer's snapshot
+        # reuses the head's manifest-list — content-identical, so the
+        # gate's aggregate is unchanged — but the ref motion forces
+        # the append's requirement to fail, 409, reload, rebase.
+        state = {"raced": False, "conflicts": 0}
 
         def racing_commit(ns, name, requirements, updates):
             if not state["raced"]:
                 state["raced"] = True
-                real_commit(ns, name, requirements=[],
-                            updates=[{"action": "set-properties",
-                                      "updates": {"owner": "racer"}}])
-            return real_commit(ns, name, requirements=requirements,
-                               updates=updates)
+                head = cat.load_table(ns, name)["metadata"]
+                cur = head["current-snapshot-id"]
+                cur_snap = next(s for s in head["snapshots"]
+                                if int(s["snapshot-id"]) == int(cur))
+                rid = max(int(s["snapshot-id"])
+                          for s in head["snapshots"]) + 1
+                real_commit(
+                    ns, name,
+                    requirements=[{"type": "assert-ref-snapshot-id",
+                                   "ref": "main", "snapshot-id": cur}],
+                    updates=[
+                        {"action": "add-snapshot", "snapshot": {
+                            "snapshot-id": rid,
+                            "timestamp-ms":
+                                int(head.get("last-updated-ms") or 0)
+                                + 1,
+                            "sequence-number":
+                                int(head.get("last-sequence-number")
+                                    or 0) + 1,
+                            "manifest-list":
+                                cur_snap["manifest-list"],
+                            "summary": {"operation": "append"}}},
+                        {"action": "set-snapshot-ref",
+                         "ref-name": "main", "type": "branch",
+                         "snapshot-id": rid},
+                        {"action": "set-properties",
+                         "updates": {"owner": "racer"}}])
+            try:
+                return real_commit(ns, name,
+                                   requirements=requirements,
+                                   updates=updates)
+            except RestCommitConflict:
+                state["conflicts"] += 1
+                raise
 
         cat.commit_table = racing_commit
         append_iceberg_via_catalog(spark, e.filter(F.expr(_RC_V1)),
                                    cat, "db", "events")
         cat.commit_table = real_commit
         assert state["raced"]
+        assert state["conflicts"] >= 1, \
+            "append never lost the CAS round — race is vacuous"
         meta = cat.load_table("db", "events")["metadata"]
         assert meta["properties"]["owner"] == "racer"
         open(marker, "w").close()
@@ -932,9 +972,11 @@ def _staged_rest_catalog(spark: SparkSession, sf_dir: str) -> str:
         "faked catalog speaking the spec's CommitTableRequest shape "
         "(assert-ref-snapshot-id requirement, add-snapshot + "
         "set-snapshot-ref updates); staging injects one concurrent "
-        "property commit so the append provably loses a CAS round and "
-        "rebases before landing. The read aggregates both eras; a "
-        "dropped or doubled era (broken rebase) breaks n and the sum.")
+        "REF-MOVING commit (content-identical snapshot + main-ref "
+        "advance, ADVICE r11 #1) so the append provably 409s and "
+        "rebases — staging asserts >= 1 RestCommitConflict raised. "
+        "The read aggregates both eras; a dropped or doubled era "
+        "(broken rebase) breaks n and the sum.")
 def iceberg_rest_catalog_append_agg(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
     path = _staged_rest_catalog(spark, sf_dir)

@@ -641,8 +641,16 @@ def _sift_entries(content: int, entries: list[dict], meta: dict,
     manifest level, so readers of tables written WITHOUT backfill still
     see stable ids)."""
     if content == 0 and mf_first_row_id is not None:
+        # Positional inheritance counts ONLY entries requiring
+        # assignment — ADDED status (the spec assigns first-row-id at
+        # commit time to the files the snapshot adds). A DELETED or
+        # EXISTING entry with null first_row_id must not consume a slot
+        # in the run, or every subsequent file's inherited id shifts
+        # (ADVICE r11 #3).
         run = int(mf_first_row_id)
         for e in entries:
+            if int(e.get("status") or 0) != STATUS_ADDED:
+                continue
             df0 = e.get("data_file") or {}
             if df0.get("first_row_id") is None:
                 e["_inherited_frid"] = run
@@ -3021,9 +3029,15 @@ def _retire_superseded_dvs(spark: SparkSession, table_path: str,
             if e in doomed:
                 continue
             own = e.get("sequence_number")
+            # EXISTING entries must retain the snapshot id of the
+            # snapshot that ADDED the file (Iceberg spec) — stamping
+            # new_snap would make incremental readers misattribute the
+            # surviving DVs to the superseding commit (ADVICE r11 #2).
             survivors.append({
                 "status": STATUS_EXISTING,
-                "snapshot_id": new_snap,
+                "snapshot_id": e.get("snapshot_id")
+                if e.get("snapshot_id") is not None
+                else int(mf.get("added_snapshot_id") or new_snap),
                 "sequence_number": int(own) if own is not None
                 else mf_seq,
                 "data_file": e["data_file"]})

@@ -185,6 +185,15 @@ class FileRestCatalog:
             t = u.get("action")
             if t == "add-snapshot":
                 sn = u["snapshot"]
+                # A replayed or buggy client must not append a
+                # duplicate snapshot-id: it would break max()-based id
+                # allocation and _snapshot lookups downstream
+                # (ADVICE r11 #4). 409-class so the client rebases.
+                if any(int(s["snapshot-id"]) == int(sn["snapshot-id"])
+                       for s in meta.get("snapshots") or []):
+                    raise RestCommitConflict(
+                        f"snapshot-id {sn['snapshot-id']} already "
+                        f"exists; reload and rebase")
                 meta["snapshots"] = list(meta.get("snapshots") or []) \
                     + [sn]
                 meta["last-sequence-number"] = max(

@@ -2354,6 +2354,82 @@ def test_v3_dv_replacement_keeps_one_dv_per_file(spark, ice):
     assert decoded == 5
 
 
+def test_retired_dv_survivors_keep_original_snapshot_id(spark, ice):
+    """When a DV replacement rewrites a carried delete manifest, the
+    SURVIVING entries (DVs for files the new commit did not touch) are
+    re-stamped EXISTING — and the spec requires EXISTING entries to
+    retain the snapshot id of the snapshot that ADDED the file, not the
+    superseding commit's id (ADVICE r11 #2): incremental readers
+    attribute changes by snapshot_id."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        STATUS_EXISTING,
+        _resolve_path,
+        _snapshot,
+        read_table_metadata,
+        write_iceberg_dv_deletes,
+    )
+
+    # ice = file1 (k 0..29, snap 1000) + file2 (k 30..39, snap 1001)
+    s1 = write_iceberg_dv_deletes(spark, ice, "k IN (2, 35)")  # both files
+    s2 = write_iceberg_dv_deletes(spark, ice, "k = 5")         # file1 only
+    assert _ks(read_iceberg_snapshot(spark, ice)) == \
+        [k for k in range(40) if k not in (2, 5, 35)]
+    meta = read_table_metadata(spark, ice)
+    snap = _snapshot(meta, None)
+    _, manifests = read_container(open(_resolve_path(
+        ice, snap["manifest-list"]), "rb").read())
+    existing = []
+    for mf in manifests:
+        if int(mf.get("content") or 0) != 1:
+            continue
+        _, ents = read_container(open(_resolve_path(
+            ice, mf["manifest_path"]), "rb").read())
+        existing.extend(e for e in ents
+                        if int(e.get("status") or 0) == STATUS_EXISTING)
+    # file2's DV from s1 survived the s2 supersede as EXISTING
+    assert existing, "expected a surviving EXISTING DV entry"
+    for e in existing:
+        assert int(e["snapshot_id"]) == s1, \
+            (f"EXISTING DV entry stamped {e['snapshot_id']}, must keep "
+             f"adding snapshot {s1} (superseder was {s2})")
+
+
+def test_first_row_id_inheritance_skips_non_added_entries():
+    """v3 positional first-row-id inheritance assigns slots only to
+    ADDED entries: a DELETED or EXISTING entry with null first_row_id
+    must not consume record_count from the run, or every subsequent
+    file's inherited id shifts (ADVICE r11 #3)."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        STATUS_ADDED,
+        STATUS_DELETED,
+        STATUS_EXISTING,
+        _sift_entries,
+    )
+
+    def ent(status, path, n, seq=None, frid=None):
+        e = {"status": status, "sequence_number": 1,
+             "data_file": {"file_path": path, "file_format": "PARQUET",
+                           "record_count": n, "first_row_id": frid}}
+        return e
+
+    meta = {"format-version": 3}
+    entries = [
+        ent(STATUS_DELETED, "d/dead.parquet", 100),     # no slot
+        ent(STATUS_ADDED, "d/a.parquet", 10),
+        ent(STATUS_EXISTING, "d/old.parquet", 50, frid=999),  # explicit
+        ent(STATUS_ADDED, "d/b.parquet", 7),
+    ]
+    data, _, err = _sift_entries(0, entries, meta, None, None, True,
+                                 mf_seq=1, mf_first_row_id=1000)
+    assert err is None
+    by_path = {d["file_path"]: d for d in data}
+    assert by_path["d/a.parquet"]["first_row_id"] == 1000
+    # b inherits 1000 + 10 (a's records) — NOT +100 for the DELETED
+    # entry, NOT +50 for the explicitly-assigned EXISTING entry
+    assert by_path["d/b.parquet"]["first_row_id"] == 1010
+    assert by_path["d/old.parquet"]["first_row_id"] == 999
+
+
 def test_v3_dv_compaction_folds_and_keeps(spark, tmp_path):
     """Compaction over a v3 DV table: DVs whose data file is rewritten
     fold into the outputs; DVs referencing kept (large) files survive
@@ -2508,20 +2584,49 @@ def test_rest_catalog_append_and_conflict_retry(spark, ice):
                       "updates": {"x": "1"}}])
     assert cat.load_table("db", "events")["metadata"] == head
 
-    # conflict retry: a racer moves the head between the client's load
-    # and its commit — wrap commit_table to inject one interleaved
-    # property commit, then the stale commit must 409 and the retry win
+    # conflict retry: a racer MOVES THE MAIN REF between the client's
+    # load and its commit (a property-only racer cannot 409 the append
+    # because commit_table re-reads the head before its O_EXCL create
+    # — ADVICE r11 #1). The racer's snapshot reuses the head's
+    # manifest-list, so content is unchanged; only the ref moves. The
+    # stale append must raise RestCommitConflict at least once, reload,
+    # rebase, and win.
     real_commit = cat.commit_table
-    state = {"raced": False}
+    state = {"raced": False, "conflicts": 0}
 
     def racing_commit(ns, name, requirements, updates):
         if not state["raced"]:
             state["raced"] = True
-            real_commit(ns, name, requirements=[],
-                        updates=[{"action": "set-properties",
-                                  "updates": {"owner": "racer"}}])
-        return real_commit(ns, name, requirements=requirements,
-                           updates=updates)
+            head = cat.load_table(ns, name)["metadata"]
+            cur = head["current-snapshot-id"]
+            cur_snap = next(s for s in head["snapshots"]
+                            if int(s["snapshot-id"]) == int(cur))
+            rid = max(int(s["snapshot-id"])
+                      for s in head["snapshots"]) + 1
+            real_commit(
+                ns, name,
+                requirements=[{"type": "assert-ref-snapshot-id",
+                               "ref": "main", "snapshot-id": cur}],
+                updates=[
+                    {"action": "add-snapshot", "snapshot": {
+                        "snapshot-id": rid,
+                        "timestamp-ms":
+                            int(head.get("last-updated-ms") or 0) + 1,
+                        "sequence-number":
+                            int(head.get("last-sequence-number") or 0)
+                            + 1,
+                        "manifest-list": cur_snap["manifest-list"],
+                        "summary": {"operation": "append"}}},
+                    {"action": "set-snapshot-ref", "ref-name": "main",
+                     "type": "branch", "snapshot-id": rid},
+                    {"action": "set-properties",
+                     "updates": {"owner": "racer"}}])
+        try:
+            return real_commit(ns, name, requirements=requirements,
+                               updates=updates)
+        except RestCommitConflict:
+            state["conflicts"] += 1
+            raise
 
     cat.commit_table = racing_commit
     df2 = spark.range(200, 205).selectExpr("id AS k",
@@ -2529,6 +2634,7 @@ def test_rest_catalog_append_and_conflict_retry(spark, ice):
     sid2 = append_iceberg_via_catalog(spark, df2, cat, "db", "events")
     cat.commit_table = real_commit
     assert state["raced"]
+    assert state["conflicts"] >= 1   # the append really lost a round
     meta = cat.load_table("db", "events")["metadata"]
     assert meta["current-snapshot-id"] == sid2
     assert meta["properties"]["owner"] == "racer"   # racer's commit kept
@@ -2540,6 +2646,17 @@ def test_rest_catalog_append_and_conflict_retry(spark, ice):
         cat.commit_table("db", "events",
                          requirements=[{"type": "assert-nonsense"}],
                          updates=[])
+
+    # duplicate snapshot-id (replayed/buggy client) -> 409 class,
+    # nothing applied (ADVICE r11 #4): a duplicate would corrupt
+    # max()-based id allocation and _snapshot lookups
+    head = cat.load_table("db", "events")["metadata"]
+    dup = dict(head["snapshots"][-1])
+    with pytest.raises(RestCommitConflict, match="already"):
+        cat.commit_table(
+            "db", "events", requirements=[],
+            updates=[{"action": "add-snapshot", "snapshot": dup}])
+    assert cat.load_table("db", "events")["metadata"] == head
 
 
 def test_rest_catalog_wap_publish_flow(spark, ice):
