@@ -171,12 +171,17 @@ HEADLINE = [
     "iceberg_v3_default_read_agg",
     "iceberg_rest_catalog_append_agg",
     "dedup_decontaminate_benchmark_aho",
+    # r12 additions: the first-class DELETE WHERE DML verb (three
+    # physical delete layouts + compaction, staging untimed) and the
+    # jar-less pHash near-dup pass on real decoded PNG bytes
+    "iceberg_delete_where_agg",
 ]
 
 R11_ROWS = {"uniform_dv_iceberg_read_agg", "delta_identity_merge_agg",
             "iceberg_v3_default_read_agg",
             "iceberg_rest_catalog_append_agg",
             "dedup_decontaminate_benchmark_aho"}
+R12_ROWS = {"iceberg_delete_where_agg"}
 
 EXTENSION_ROWS = {
     "cluster_kmeans_assign", "similarity_topk_pq", "similarity_topk_ivfpq",
@@ -591,7 +596,7 @@ def main() -> int:
             if k not in EXTENSION_ROWS and k not in stress
             and k not in new_rows and k not in r8_rows
             and k not in r9_rows and k not in r10_rows
-            and k not in R11_ROWS]
+            and k not in R11_ROWS and k not in R12_ROWS]
     # bulky diagnostics go on their OWN earlier stdout line (and a sidecar
     # file): r6's final line grew past the driver's tail capture once
     # query_samples was added, so the round's headline totals were lost
@@ -670,7 +675,7 @@ def main() -> int:
                                         - sum(timings.get(k, 0.0)
                                               for k in new_rows | r8_rows
                                               | r9_rows | r10_rows
-                                              | R11_ROWS),
+                                              | R11_ROWS | R12_ROWS),
                                         3),
         "skew_stress_sec": stress_sec,
         "r5_extension_sec": ext_sec,
@@ -684,6 +689,8 @@ def main() -> int:
                                       for k in r10_rows), 3),
         "r11_new_rows_sec": round(sum(timings.get(k, 0.0)
                                       for k in R11_ROWS), 3),
+        "r12_new_rows_sec": round(sum(timings.get(k, 0.0)
+                                      for k in R12_ROWS), 3),
         # per-tier medians-of-samples alongside the min-of-N totals: a
         # min-vs-min drift with stable medians is host noise, not a plan
         # regression (bench hygiene, VERDICT r5 #5)

@@ -38,6 +38,7 @@ def build_parser() -> argparse.ArgumentParser:
                             "iceberg-append", "iceberg-compact",
                             "iceberg-expire", "iceberg-set-ref",
                             "iceberg-drop-ref", "iceberg-rewrite-manifests",
+                            "iceberg-delete-where",
                             "iceberg-enable-row-lineage", "uniform-sync",
                             "delta-clone",
                             "delta-optimize", "delta-vacuum",
@@ -99,6 +100,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--append-input", default=None,
                    help="iceberg-append: parquet dir/file (or .json) of "
                         "rows to append")
+    p.add_argument("--delete-predicate", default=None,
+                   help="iceberg-delete-where: SQL predicate selecting "
+                        "the rows to delete (one atomic merge-on-read "
+                        "commit; nothing matched -> no commit)")
+    p.add_argument("--delete-mode", default="position",
+                   choices=("position", "dv", "equality"),
+                   help="iceberg-delete-where: physical delete layout "
+                        "(position auto-upgrades to deletion vectors on "
+                        "a format-version-3 table)")
+    p.add_argument("--equality-cols", default=None,
+                   help="iceberg-delete-where --delete-mode equality: "
+                        "comma-separated key columns; the predicate may "
+                        "reference only these")
     p.add_argument("--id-col", default="doc_id",
                    help="neardup-index: document id column")
     p.add_argument("--text-col", default="text",
@@ -312,6 +326,29 @@ def _run_maintenance(args) -> int:
         report = {"table": args.table, "snapshot_id": sid,
                   "rewritten": sid is not None,
                   "data_manifests": sum(m.content == 0 for m in mans)}
+    elif args.maintenance == "iceberg-delete-where":
+        from .sources.iceberg import (
+            iceberg_delete_where,
+            iceberg_snapshot_ids,
+            read_iceberg_snapshot,
+        )
+
+        if not args.delete_predicate:
+            print("--delete-predicate is required for "
+                  "iceberg-delete-where", file=sys.stderr)
+            return 2
+        table_path = f"{args.source_root}/{args.table}"
+        before = iceberg_snapshot_ids(spark, table_path)[-1]["snapshot_id"]
+        sid = iceberg_delete_where(
+            spark, table_path, args.delete_predicate,
+            mode=args.delete_mode,
+            equality_cols=(args.equality_cols.split(",")
+                           if args.equality_cols else None))
+        report = {"table": args.table, "snapshot_id": sid,
+                  "deleted_any": sid != before,
+                  "mode": args.delete_mode,
+                  "live_rows": read_iceberg_snapshot(spark,
+                                                     table_path).count()}
     elif args.maintenance == "iceberg-enable-row-lineage":
         from .sources.iceberg import (
             enable_iceberg_row_lineage,

@@ -1340,3 +1340,65 @@ def iceberg_row_lineage_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"),
                  F.sum("_row_id").alias("sum_row_id"))
             .select("event_type", "n", "sum_row_id"))
+
+
+_DW_POS, _DW_EQ, _DW_DV = ("event_id % 5 = 2", "event_id % 7 = 3",
+                           "event_id % 11 = 5")
+
+
+def _staged_delete_where(spark: SparkSession, sf_dir: str) -> str:
+    """Staged table driven through the first-class DML verb
+    (VERDICT r11 #2): three ``iceberg_delete_where`` commits — a v2
+    position-delete, an equality delete keyed on event_id, and a
+    deletion-vector delete (which upgrades the table to format-version
+    3) — then a compaction folding all three. A resurrected row at ANY
+    of the four steps breaks the aggregate."""
+    from ..sources.iceberg import (
+        compact_iceberg_table, iceberg_delete_where,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_iceberg_dw_gate_{tag}_v1")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        e = (load_table(spark, sf_dir, "events")
+             .select("event_id", "event_type", "value").repartition(4))
+        write_iceberg_table(spark, [e], path)
+        iceberg_delete_where(spark, path, _DW_POS, mode="position")
+        iceberg_delete_where(spark, path, _DW_EQ, mode="equality",
+                             equality_cols=["event_id"])
+        iceberg_delete_where(spark, path, _DW_DV, mode="dv")
+        assert compact_iceberg_table(spark, path) is not None
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "iceberg_delete_where_agg",
+    f"""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    WHERE NOT ({_DW_POS}) AND NOT ({_DW_EQ}) AND NOT ({_DW_DV})
+    GROUP BY event_type
+    """,
+    doc="First-class Iceberg row-level DML (sources/iceberg.py "
+        "iceberg_delete_where — VERDICT r11 #2): three DELETE WHERE "
+        "commits in the three physical layouts (v2 position-delete "
+        "parquet, equality delete keyed on event_id, v3 puffin deletion "
+        "vector — the last upgrading format-version), each an atomic "
+        "optimistic commit with rebase-on-CAS-loss, followed by a "
+        "compaction that folds the delete files into rewritten data. "
+        "The oracle restates the three deletes as row predicates: a row "
+        "resurrected by a mis-sequenced delete, a DV dropped by the "
+        "supersede logic, or a compaction re-adding dead rows breaks "
+        "n and sum_value.")
+def iceberg_delete_where_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _staged_delete_where(spark, sf_dir)
+    return (read_iceberg_snapshot(spark, path)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select("event_type", "n", "sum_value"))

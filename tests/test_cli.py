@@ -368,6 +368,49 @@ def test_cli_iceberg_append(spark, tmp_path):
     assert got == list(range(14))
 
 
+def test_cli_iceberg_delete_where(spark, tmp_path):
+    """iceberg-delete-where subprocess e2e: the DML verb commits one
+    merge-on-read delete snapshot; the reader no longer serves the
+    matched rows; a second no-match run commits nothing."""
+    import os
+
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        read_iceberg_snapshot,
+        write_iceberg_table,
+    )
+
+    root = str(tmp_path / "root")
+    a = spark.range(0, 20).selectExpr("id AS k", "CAST(id AS double) AS v")
+    write_iceberg_table(spark, [a], f"{root}/tbl")
+
+    env = {"SPARK_GRAFT_CPUS": "4", "PATH": "/usr/bin:/bin",
+           "HOME": "/root", "JAVA_HOME": os.environ.get("JAVA_HOME", "")}
+    proc = subprocess.run(
+        [sys.executable, "-m", "databricks_import_pyspark_scripts_spark.cli",
+         "--source-root", root, "--table", "tbl",
+         "--maintenance", "iceberg-delete-where",
+         "--delete-predicate", "k % 4 = 1"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rep = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert rep["deleted_any"] and rep["live_rows"] == 15
+    got = sorted(r.k for r in
+                 read_iceberg_snapshot(spark, f"{root}/tbl").collect())
+    assert got == [k for k in range(20) if k % 4 != 1]
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "databricks_import_pyspark_scripts_spark.cli",
+         "--source-root", root, "--table", "tbl",
+         "--maintenance", "iceberg-delete-where",
+         "--delete-predicate", "k < 0"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rep = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert not rep["deleted_any"] and rep["live_rows"] == 15
+
+
 def test_cli_iceberg_set_and_drop_ref(spark, tmp_path):
     """iceberg-set-ref / iceberg-drop-ref subprocess e2e: a tag pinned at
     the first snapshot resolves through the reader, then drops."""

@@ -1315,9 +1315,9 @@ def test_append_iceberg_txn_idempotent_and_race_dedup(spark, ice,
 
 
 # ---------------------------------------------------------------------------
-# randomized writer model: append / position-delete / equality-delete
-# sequences vs a plain-Python row model (the Delta writer model test's
-# Iceberg twin)
+# randomized writer model: append / DELETE WHERE (position / equality /
+# deletion-vector layouts) sequences vs a plain-Python row model (the
+# Delta writer model test's Iceberg twin)
 
 
 @pytest.mark.parametrize("seed", [11, 23])
@@ -1328,9 +1328,8 @@ def test_iceberg_writer_random_histories_match_model(spark, tmp_path, seed):
 
     from databricks_import_pyspark_scripts_spark.sources.iceberg import (
         append_iceberg,
+        iceberg_delete_where,
         iceberg_snapshot_ids,
-        write_iceberg_equality_deletes,
-        write_iceberg_position_deletes,
     )
 
     rng = random.Random(seed)
@@ -1345,24 +1344,38 @@ def test_iceberg_writer_random_histories_match_model(spark, tmp_path, seed):
     model = {k: k % 5 for k in range(30)}
     history = [dict(model)]
     next_k = 30
+    last_sid = 1000
     for _ in range(6):
-        op = rng.choice(["append", "posdel", "eqdel"])
+        op = rng.choice(["append", "posdel", "eqdel", "dvdel"])
         if op == "append":
             n = rng.randrange(5, 15)
-            append_iceberg(spark, frame(next_k, next_k + n), t)
+            last_sid = append_iceberg(spark, frame(next_k, next_k + n), t)
             model.update({k: k % 5 for k in range(next_k, next_k + n)})
             next_k += n
-        elif op == "posdel":
+        elif op in ("posdel", "dvdel"):
             m = rng.choice([3, 4, 7])
             r = rng.randrange(m)
-            write_iceberg_position_deletes(spark, t, f"k % {m} = {r}")
+            sid = iceberg_delete_where(
+                spark, t, f"k % {m} = {r}",
+                mode="position" if op == "posdel" else "dv")
+            doomed = [k for k in model if k % m == r]
+            if not doomed:
+                assert sid == last_sid   # no match -> no commit
+                continue
+            last_sid = sid
             model = {k: g for k, g in model.items() if k % m != r}
         else:
             g = rng.randrange(5)
-            write_iceberg_equality_deletes(
-                spark, t, spark.createDataFrame([(g,)], "g long"), ["g"])
+            sid = iceberg_delete_where(spark, t, f"g = {g}",
+                                       mode="equality",
+                                       equality_cols=["g"])
             # strictly-older rule: kills every row currently carrying g
             # (all live files predate this delete's sequence number)
+            doomed = [k for k, gg in model.items() if gg == g]
+            if not doomed:
+                assert sid == last_sid
+                continue
+            last_sid = sid
             model = {k: gg for k, gg in model.items() if gg != g}
         history.append(dict(model))
 
@@ -2352,6 +2365,93 @@ def test_v3_dv_replacement_keeps_one_dv_per_file(spark, ice):
             int(d["content_offset"]), int(d["content_size_in_bytes"]))
         decoded += len(delta_dv.deserialize_bitmap_array(blob))
     assert decoded == 5
+
+
+def test_iceberg_delete_where_modes_compose_and_survive_compaction(
+        spark, tmp_path):
+    """First-class DELETE WHERE (VERDICT r11 #2): the three physical
+    layouts compose on one table, deleted rows never resurrect — not
+    across further deletes, not across compaction — and a no-match
+    delete commits nothing."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        compact_iceberg_table,
+        iceberg_delete_where,
+        iceberg_snapshot_ids,
+        read_table_metadata,
+    )
+
+    t = str(tmp_path / "dml")
+    df = spark.range(0, 60).selectExpr("id AS k", "id % 5 AS g",
+                                       "CAST(id AS double) AS v")
+    write_iceberg_table(spark, [df.repartition(3)], t)
+    live = {k for k in range(60)}
+
+    s1 = iceberg_delete_where(spark, t, "k % 7 = 0", mode="position")
+    live -= {k for k in range(60) if k % 7 == 0}
+    assert _ks(read_iceberg_snapshot(spark, t)) == sorted(live)
+
+    s2 = iceberg_delete_where(spark, t, "g = 2", mode="equality",
+                              equality_cols=["g"])
+    live -= {k for k in live if k % 5 == 2}
+    assert s2 > s1
+    assert _ks(read_iceberg_snapshot(spark, t)) == sorted(live)
+
+    s3 = iceberg_delete_where(spark, t, "k % 11 = 3", mode="dv")
+    live -= {k for k in live if k % 11 == 3}
+    assert s3 > s2
+    assert _ks(read_iceberg_snapshot(spark, t)) == sorted(live)
+    assert int(read_table_metadata(spark, t)["format-version"]) == 3
+
+    # no match -> no commit, snapshot id unchanged
+    n_before = len(iceberg_snapshot_ids(spark, t))
+    assert iceberg_delete_where(spark, t, "k < 0") == s3
+    assert iceberg_delete_where(spark, t, "g = 99", mode="equality",
+                                equality_cols=["g"]) == s3
+    assert len(iceberg_snapshot_ids(spark, t)) == n_before
+
+    # equality mode refuses a predicate over non-key columns: it would
+    # delete every row sharing the key, not just the matching rows
+    with pytest.raises(ValueError, match="non-key"):
+        iceberg_delete_where(spark, t, "v > 10", mode="equality",
+                             equality_cols=["g"])
+    with pytest.raises(ValueError, match="requires equality_cols"):
+        iceberg_delete_where(spark, t, "g = 1", mode="equality")
+
+    # compaction folds the deletes; nothing resurrects
+    assert compact_iceberg_table(spark, t) is not None
+    assert _ks(read_iceberg_snapshot(spark, t)) == sorted(live)
+
+
+def test_iceberg_delete_where_rebases_on_commit_race(spark, tmp_path,
+                                                     monkeypatch):
+    """The DML verb is optimistic: a lost metadata CAS (someone claimed
+    v<N+1> first) must reload, RE-DERIVE the matching rows, and retry —
+    not surface the conflict. Injected by failing the atomic create
+    once."""
+    from databricks_import_pyspark_scripts_spark.sinks import delta_writer
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        iceberg_delete_where,
+    )
+
+    t = str(tmp_path / "dmlrace")
+    df = spark.range(0, 30).selectExpr("id AS k", "CAST(id AS double) AS v")
+    write_iceberg_table(spark, [df], t)
+
+    real = delta_writer._atomic_create
+    state = {"failed": False}
+
+    def flaky(spark_, path, payload):
+        if not state["failed"] and "metadata.json" in path:
+            state["failed"] = True
+            return False            # simulate losing the CAS
+        return real(spark_, path, payload)
+
+    monkeypatch.setattr(delta_writer, "_atomic_create", flaky)
+    sid = iceberg_delete_where(spark, t, "k % 3 = 0", mode="position")
+    assert state["failed"]          # the race really fired
+    assert sid > 1000
+    assert _ks(read_iceberg_snapshot(spark, t)) == \
+        [k for k in range(30) if k % 3 != 0]
 
 
 def test_retired_dv_survivors_keep_original_snapshot_id(spark, ice):
