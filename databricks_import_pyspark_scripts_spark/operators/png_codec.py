@@ -1,0 +1,239 @@
+"""Pure-stdlib PNG codec: zlib inflate/deflate + per-row (un)filtering in
+numpy — no imaging libraries (VERDICT r11 #5: take the pHash near-dup tier
+from fake-decoder pytest coverage to gate-checked on REAL image bytes,
+offline).
+
+Derived entirely from the public PNG specification (W3C PNG / RFC 2083):
+8-byte signature, length-type-payload-CRC32 chunks, IHDR geometry, IDAT
+zlib stream, one filter byte per scanline with the five standard filter
+types (None/Sub/Up/Average/Paeth). Supported surface — the one a corpus
+pipeline actually meets for thumbnails/fixtures, everything else rejects
+loudly rather than decoding garbage:
+
+* bit depth 8, non-interlaced
+* color types 0 (grayscale), 2 (RGB), 3 (palette), 4 (gray+alpha),
+  6 (RGBA)
+
+The encoder exists to synthesize deterministic fixtures; it cycles the
+scanline filter type (row % 5) ON PURPOSE so a decoded fixture exercises
+every unfilter path, not just filter 0.
+
+Scale shape: decode runs inside Arrow-batched ``mapInPandas`` (see
+``operators.multimodal.image_features``) — one task streams batches, the
+driver never sees pixel data. The per-scanline Python loop is fine at
+thumbnail size (the decode cost is zlib + numpy either way); genuinely
+large media would ship a native codec through the same seam.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+class PngFormatError(ValueError):
+    """Malformed or out-of-scope PNG payload."""
+
+
+def _chunks(data: bytes):
+    if data[:8] != _SIG:
+        raise PngFormatError("missing PNG signature")
+    off = 8
+    while off + 12 <= len(data):
+        (ln,) = struct.unpack(">I", data[off:off + 4])
+        typ = data[off + 4:off + 8]
+        if off + 12 + ln > len(data):
+            raise PngFormatError(f"truncated {typ!r} chunk")
+        payload = data[off + 8:off + 8 + ln]
+        (crc,) = struct.unpack(">I", data[off + 8 + ln:off + 12 + ln])
+        if zlib.crc32(typ + payload) & 0xFFFFFFFF != crc:
+            raise PngFormatError(f"CRC mismatch in {typ!r} chunk")
+        yield typ, payload
+        off += 12 + ln
+        if typ == b"IEND":
+            return
+    raise PngFormatError("no IEND chunk")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 pixel array: (H, W) for grayscale, (H, W, C)
+    otherwise (palette entries expand to RGB)."""
+    width = height = None
+    bit_depth = color_type = interlace = None
+    palette = None
+    idat = bytearray()
+    for typ, payload in _chunks(data):
+        if typ == b"IHDR":
+            (width, height, bit_depth, color_type,
+             compression, filter_method, interlace) = struct.unpack(
+                ">IIBBBBB", payload)
+            if compression != 0 or filter_method != 0:
+                raise PngFormatError("nonstandard compression/filter method")
+        elif typ == b"PLTE":
+            if len(payload) % 3:
+                raise PngFormatError("PLTE length not divisible by 3")
+            palette = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += payload
+    if width is None:
+        raise PngFormatError("no IHDR chunk")
+    if bit_depth != 8:
+        raise PngFormatError(f"unsupported bit depth {bit_depth} (8 only)")
+    if color_type not in _CHANNELS:
+        raise PngFormatError(f"unsupported color type {color_type}")
+    if interlace != 0:
+        raise PngFormatError("Adam7 interlacing not supported")
+    if color_type == 3 and palette is None:
+        raise PngFormatError("palette color type without PLTE")
+    if not idat:
+        raise PngFormatError("no IDAT data")
+
+    ch = _CHANNELS[color_type]
+    stride = width * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (1 + stride):
+        raise PngFormatError(
+            f"IDAT inflates to {len(raw)} bytes, expected "
+            f"{height * (1 + stride)}")
+    out = np.empty((height, stride), np.uint16)
+    prev = np.zeros(stride, np.uint16)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, np.uint8, stride, pos + 1) \
+            .astype(np.uint16)
+        pos += 1 + stride
+        if ftype == 0:                                   # None
+            pass
+        elif ftype == 2:                                 # Up
+            row = (row + prev) & 0xFF
+        elif ftype == 1:                                 # Sub
+            for x in range(ch, stride):
+                row[x] = (row[x] + row[x - ch]) & 0xFF
+        elif ftype == 3:                                 # Average
+            for x in range(stride):
+                left = int(row[x - ch]) if x >= ch else 0
+                row[x] = (row[x] + (left + int(prev[x])) // 2) & 0xFF
+        elif ftype == 4:                                 # Paeth
+            for x in range(stride):
+                a = int(row[x - ch]) if x >= ch else 0
+                c = int(prev[x - ch]) if x >= ch else 0
+                row[x] = (row[x] + _paeth(a, int(prev[x]), c)) & 0xFF
+        else:
+            raise PngFormatError(f"unknown scanline filter {ftype}")
+        out[y] = row
+        prev = row
+    px = out.astype(np.uint8)
+    if color_type == 0:
+        return px
+    if color_type == 3:
+        idx = px
+        if int(idx.max(initial=0)) >= len(palette):
+            raise PngFormatError("palette index out of range")
+        return palette[idx]                   # (H, W, 3)
+    return px.reshape(height, width, ch)
+
+
+def encode_png(arr: np.ndarray, cycle_filters: bool = True) -> bytes:
+    """uint8 array -> PNG bytes. (H, W) encodes grayscale (color type 0);
+    (H, W, 3) RGB; (H, W, 4) RGBA. ``cycle_filters`` varies the scanline
+    filter per row (row % 5) so decoding a fixture exercises every
+    unfilter path; False writes filter 0 everywhere."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        color_type, ch = 0, 1
+        flat = a
+    elif a.ndim == 3 and a.shape[2] == 3:
+        color_type, ch = 2, 3
+        flat = a.reshape(a.shape[0], -1)
+    elif a.ndim == 3 and a.shape[2] == 4:
+        color_type, ch = 6, 4
+        flat = a.reshape(a.shape[0], -1)
+    else:
+        raise ValueError(f"unsupported array shape {a.shape}")
+    height, stride = flat.shape
+    width = stride // ch
+
+    lines = bytearray()
+    prev = np.zeros(stride, np.int32)
+    for y in range(height):
+        row = flat[y].astype(np.int32)
+        ftype = (y % 5) if cycle_filters else 0
+        if ftype == 0:
+            enc = row
+        elif ftype == 1:
+            left = np.concatenate([np.zeros(ch, np.int32), row[:-ch]])
+            enc = (row - left) & 0xFF
+        elif ftype == 2:
+            enc = (row - prev) & 0xFF
+        elif ftype == 3:
+            left = np.concatenate([np.zeros(ch, np.int32), row[:-ch]])
+            enc = (row - (left + prev) // 2) & 0xFF
+        else:
+            enc = np.empty(stride, np.int32)
+            for x in range(stride):
+                aa = int(row[x - ch]) if x >= ch else 0
+                cc = int(prev[x - ch]) if x >= ch else 0
+                enc[x] = (int(row[x]) - _paeth(aa, int(prev[x]), cc)) & 0xFF
+        lines.append(ftype)
+        lines += enc.astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + typ + payload
+                + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+            + chunk(b"IEND", b""))
+
+
+def to_grayscale(px: np.ndarray) -> np.ndarray:
+    """uint8 pixels -> float64 grayscale (H, W). Channel MEAN, not luma
+    weights — exact in float for integer inputs, which keeps fixture
+    block-mean arithmetic reproducible cross-platform. Alpha channels are
+    excluded from the mean."""
+    if px.ndim == 2:
+        return px.astype(np.float64)
+    color = px[:, :, :3] if px.shape[2] in (3, 4) else px[:, :, :1]
+    return color.astype(np.float64).mean(axis=2)
+
+
+def block_mean_features(px: np.ndarray, grid: tuple[int, int] = (4, 4)
+                        ) -> list[float]:
+    """Grayscale block-mean feature vector (row-major over a gy x gx
+    grid) — the classic aHash downsample. Requires the image dimensions
+    to be divisible by the grid (fixtures are); real thumbnails would
+    pad/crop upstream."""
+    g = to_grayscale(px)
+    gy, gx = grid
+    h, w = g.shape
+    if h % gy or w % gx:
+        raise ValueError(f"image {h}x{w} not divisible by grid {grid}")
+    blocks = g.reshape(gy, h // gy, gx, w // gx).mean(axis=(1, 3))
+    return [float(v) for v in blocks.reshape(-1)]
+
+
+def png_block_decoder(grid: tuple[int, int] = (4, 4)):
+    """Real-bytes decoder for ``operators.multimodal.image_features`` /
+    ``phash_pairs``: pd.Series[bytes] -> pd.Series[list[float]] of
+    ``grid[0]*grid[1]`` block means. This is the production default the
+    decode seam was built for — stdlib-only, so it works offline."""
+    def decode(contents):
+        return contents.map(
+            lambda b: block_mean_features(decode_png(bytes(b)), grid))
+    return decode

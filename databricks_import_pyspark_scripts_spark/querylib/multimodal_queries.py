@@ -104,3 +104,43 @@ def multimodal_asset_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("content_md5")
             .agg(F.count("*").cast("long").alias("n_copies"),
                  F.min("media_id").alias("canonical_id")))
+
+
+_PHASH_N, _PHASH_VARIANTS = 60, 10
+
+
+@register(
+    "multimodal_phash_near_dup",
+    f"""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(0 AS BIGINT) AS hamming
+    FROM documents a JOIN documents b
+      ON a.doc_id < b.doc_id
+     AND a.doc_id // {_PHASH_VARIANTS} = b.doc_id // {_PHASH_VARIANTS}
+    WHERE a.doc_id < {_PHASH_N} AND b.doc_id < {_PHASH_N}
+    """,
+    doc="Perceptual-hash near-dup over REAL PNG bytes (operators/"
+        "png_codec.py — VERDICT r11 #5): a deterministic 60-image corpus "
+        "(6 clusters x 10 variants; each variant byte-distinct via "
+        "brightness shift + block-mean-preserving checkerboard, scanline "
+        "filters cycling through all five PNG filter types) is decoded by "
+        "the stdlib zlib+numpy codec inside Arrow-batched mapInPandas, "
+        "block-mean aHashed (16-bit), LSH-banded, and hamming-verified. "
+        "The construction makes within-cluster hashes bit-identical and "
+        "cross-cluster hashes differ in >= 8 bits, so the exact expected "
+        "pair set is the oracle's id arithmetic: any decode, unfilter, "
+        "hash, banding, or pairing defect changes the pairs.")
+def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import PHASH_DIM, phash_pairs, \
+        synthesize_png_corpus
+    from ..sources.registry import load_table
+
+    ids = [r.doc_id for r in
+           load_table(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < _PHASH_N)
+           .select("doc_id").collect()]          # gate-scale fixture ids
+    media = synthesize_png_corpus(spark, ids,
+                                  variants_per_cluster=_PHASH_VARIANTS)
+    return (phash_pairs(media, dim=PHASH_DIM, num_bands=2, max_hamming=1)
+            .select("id_a", "id_b",
+                    F.col("hamming").cast("long").alias("hamming")))

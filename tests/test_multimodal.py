@@ -138,3 +138,138 @@ def test_phash_pairs_find_duplicate_payloads(spark):
     # 8-bit hashes collide by chance, but the output must stay far from
     # the all-pairs explosion
     assert len(got) < 200
+
+
+# ---------------------------------------------------------------------------
+# stdlib PNG codec (operators/png_codec.py): real bytes through the decode
+# seam — VERDICT r11 #5
+
+
+def test_png_roundtrip_all_color_types_and_filters():
+    """encode->decode is exact for grayscale/RGB/RGBA, odd dimensions,
+    with the filter-cycling encoder (every scanline filter type 0-4
+    exercised) and with filter 0 only."""
+    import numpy as np
+
+    from databricks_import_pyspark_scripts_spark.operators.png_codec import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(42)
+    for shape in [(32, 32), (16, 24, 3), (8, 8, 4), (33, 17), (7, 5, 3),
+                  (5, 1), (1, 9, 4)]:
+        a = rng.integers(0, 256, shape, dtype=np.uint8)
+        for cyc in (True, False):
+            got = decode_png(encode_png(a, cycle_filters=cyc))
+            assert got.shape == a.shape and (got == a).all(), (shape, cyc)
+
+
+def test_png_palette_decode():
+    """Color type 3 expands through PLTE to RGB."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from databricks_import_pyspark_scripts_spark.operators.png_codec import (
+        _SIG,
+        decode_png,
+    )
+
+    # hand-build a 2x2 paletted PNG: indexes [[0,1],[1,0]]
+    def chunk(typ, payload):
+        return (struct.pack(">I", len(payload)) + typ + payload
+                + struct.pack(">I", zlib.crc32(typ + payload)))
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 0, 255])  # red, blue
+    raw = bytes([0, 0, 1, 0, 1, 0])       # filter0 rows
+    png = (_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    got = decode_png(png)
+    expect = np.array([[[255, 0, 0], [0, 0, 255]],
+                       [[0, 0, 255], [255, 0, 0]]], np.uint8)
+    assert (got == expect).all()
+
+
+def test_png_rejects_malformed_and_out_of_scope():
+    """CRC corruption, interlacing, 16-bit depth, truncation, and missing
+    signature all reject loudly — never silent garbage pixels."""
+    import numpy as np
+    import pytest as _pytest
+
+    from databricks_import_pyspark_scripts_spark.operators.png_codec import (
+        PngFormatError,
+        decode_png,
+        encode_png,
+    )
+
+    good = encode_png(np.zeros((4, 4), np.uint8))
+    with _pytest.raises(PngFormatError, match="signature"):
+        decode_png(b"JFIF" + good)
+    corrupt = bytearray(good)
+    corrupt[20] ^= 0xFF                       # inside IHDR payload
+    with _pytest.raises(PngFormatError, match="CRC"):
+        decode_png(bytes(corrupt))
+    with _pytest.raises(PngFormatError):
+        decode_png(good[:30])
+    # interlace flag / bit depth rewritten with a fixed-up CRC
+    import struct
+    import zlib as _zlib
+
+    def rebuild(offset, value):
+        b = bytearray(good)
+        b[offset] = value
+        payload = bytes(b[16:29])
+        b[29:33] = struct.pack(">I", _zlib.crc32(b"IHDR" + payload))
+        return bytes(b)
+
+    with _pytest.raises(PngFormatError, match="interlacing"):
+        decode_png(rebuild(28, 1))
+    with _pytest.raises(PngFormatError, match="bit depth"):
+        decode_png(rebuild(24, 16))
+
+
+def test_default_decoder_decodes_real_png_and_rejects_others():
+    """decode_image_batch: PNG payloads decode to 16-dim block means via
+    the stdlib codec; any non-PNG payload in the batch raises the loud
+    injection hint."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from databricks_import_pyspark_scripts_spark.operators.multimodal import (
+        decode_image_batch,
+    )
+    from databricks_import_pyspark_scripts_spark.operators.png_codec import (
+        encode_png,
+    )
+
+    img = np.full((32, 32), 7, np.uint8)
+    img[:8, :8] = 200
+    feats = decode_image_batch(pd.Series([encode_png(img)]))
+    assert len(feats.iloc[0]) == 16
+    assert feats.iloc[0][0] == 200.0 and feats.iloc[0][1] == 7.0
+    with _pytest.raises(NotImplementedError, match="non-PNG"):
+        decode_image_batch(pd.Series([b"\xff\xd8\xff\xe0 fake jpeg"]))
+
+
+def test_phash_pairs_on_real_png_bytes(spark):
+    """End-to-end on REAL image bytes: the synthesized PNG corpus's
+    within-cluster variants (byte-distinct, hash-identical) pair up at
+    hamming 0; cross-cluster pairs (>= 8 bits apart) never appear."""
+    from databricks_import_pyspark_scripts_spark.operators.multimodal import (
+        PHASH_DIM,
+        phash_pairs,
+        synthesize_png_corpus,
+    )
+
+    media = synthesize_png_corpus(spark, list(range(12)),
+                                  variants_per_cluster=3)
+    pairs = phash_pairs(media, dim=PHASH_DIM, num_bands=2, max_hamming=1)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    must = {(a, b) for a in range(12) for b in range(12)
+            if a < b and a // 3 == b // 3}
+    assert set(got) == must
+    assert all(h == 0 for h in got.values())
