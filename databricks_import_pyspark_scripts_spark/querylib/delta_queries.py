@@ -1567,3 +1567,83 @@ def delta_replace_where_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"),
                  F.round(F.sum("value"), 4).alias("sum_value"))
             .select("event_type", "n", "sum_value"))
+
+
+# ---------------------------------------------------------------------------
+# jar-less Delta STREAMING SOURCE (streaming/delta_source.py): the
+# readStream-shaped micro-batch consumer driven end-to-end, batch-twin
+# oracle on the first-seen-dedup transform
+
+
+def _staged_stream_first_seen(spark: SparkSession, sf_dir: str) -> str:
+    """Real CDF-enabled Delta SOURCE of three overlapping insert commits
+    (commit c inserts every event with event_id % 3 <= c, payload column
+    stamped c), drained by ``stream_delta_first_seen`` in single-version
+    micro-batches into a real Delta TARGET — plus one deliberate
+    crash-before-mark REDELIVERY (the offset rolled back to 0 and the
+    stream re-drained) that must append nothing. The target then holds
+    each event_id exactly once, carrying the payload of its FIRST commit
+    (= event_id % 3)."""
+    from ..sinks.delta_writer import append_delta, create_delta_table
+    from ..sources.delta_log import write_ingest_mark
+    from ..streaming.delta_source import stream_delta_first_seen
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_delta_stream_fs_gate_{tag}_v1")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        src = os.path.join(path, "src")
+        e = (load_table(spark, sf_dir, "events")
+             .select("event_id", "event_type", "value"))
+        for c in range(3):
+            batch = (e.filter(F.expr(f"event_id % 3 <= {c}"))
+                     .withColumn("src_commit", F.lit(c).cast("long")))
+            if c == 0:
+                create_delta_table(spark, batch, src, cdf=True,
+                                   ts_ms=_BASE_TS_MS)
+            else:
+                append_delta(spark, batch, src,
+                             ts_ms=_BASE_TS_MS + c * 1000)
+        tgt = os.path.join(path, "tgt")
+        mark = os.path.join(path, "mark")
+        stream_delta_first_seen(spark, src, tgt, mark,
+                                id_col="event_id",
+                                max_versions_per_batch=1)
+        # crash-before-mark redelivery: nothing may duplicate
+        write_ingest_mark(spark, mark, 0)
+        stream_delta_first_seen(spark, src, tgt, mark,
+                                id_col="event_id")
+        open(marker, "w").close()
+    return os.path.join(path, "tgt")
+
+
+@register(
+    "delta_stream_first_seen_agg",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS sum_value,
+           CAST(SUM(event_id % 3) AS BIGINT) AS sum_first_commit
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Jar-less Delta STREAMING SOURCE end-to-end (streaming/"
+        "delta_source.py — VERDICT r11 #3): a real CDF commit log is "
+        "drained in offset-checkpointed micro-batches through the "
+        "first-seen-dedup transform into a txn-keyed exactly-once Delta "
+        "sink, INCLUDING a forced crash-before-mark redelivery. The "
+        "oracle is the batch twin: each event_id exactly once (n, "
+        "sum_value) carrying its first commit's payload "
+        "(sum_first_commit = SUM(event_id % 3)); a dropped batch, "
+        "duplicated redelivery, or later-commit overwrite breaks it.")
+def delta_stream_first_seen_agg(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    tgt = _staged_stream_first_seen(spark, sf_dir)
+    return (read_delta_snapshot(spark, tgt)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"),
+                 F.sum("src_commit").alias("sum_first_commit"))
+            .select("event_type", "n", "sum_value", "sum_first_commit"))

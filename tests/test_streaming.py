@@ -483,3 +483,119 @@ def test_stream_psi_monitor_matches_batch_psi(spark, tmp_path):
     batch = {r.event_type: (r.n_ref_events, r.n_cur_events, r.psi)
              for r in events_psi_drift(spark, sf_dir).collect()}
     assert streamed == batch
+
+
+# ---------------------------------------------------------------------------
+# jar-less Delta STREAMING SOURCE (streaming/delta_source.py — the
+# readStream-shaped micro-batch consumer over a real commit log)
+
+
+def _mk_cdf_table(spark, path, lo, hi):
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        create_delta_table,
+    )
+
+    df = spark.range(lo, hi).selectExpr("id AS doc_id",
+                                        "CAST(id AS double) AS v")
+    create_delta_table(spark, df, path, cdf=True)
+
+
+def test_stream_delta_changes_micro_batches_and_resume(spark, tmp_path):
+    """availableNow-style drain: bounded micro-batches cover the commit
+    log exactly once and in order; a caught-up call fires nothing; new
+    commits after catch-up resume from the persisted offset."""
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        append_delta,
+        delete_where,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.delta_log import (
+        read_delta_changes,
+    )
+    from databricks_import_pyspark_scripts_spark.streaming.delta_source import (
+        stream_delta_changes,
+    )
+
+    src = str(tmp_path / "src")
+    mark = str(tmp_path / "mark")
+    _mk_cdf_table(spark, src, 0, 10)                       # v0
+    append_delta(spark, spark.range(10, 20).selectExpr(
+        "id AS doc_id", "CAST(id AS double) AS v"), src)   # v1
+    delete_where(spark, src, "doc_id % 4 = 0")             # v2
+    append_delta(spark, spark.range(20, 25).selectExpr(
+        "id AS doc_id", "CAST(id AS double) AS v"), src)   # v3
+
+    ranges, rows = [], []
+
+    def collect(df, lo, hi):
+        ranges.append((lo, hi))
+        rows.extend((r.doc_id, r._change_type, r._commit_version)
+                    for r in df.collect())
+
+    hwm = stream_delta_changes(spark, src, mark, collect,
+                               max_versions_per_batch=2)
+    assert hwm == 3
+    assert ranges == [(-1, 1), (1, 3)]       # bounded, ordered, disjoint
+    # union of micro-batches == one full batch CDF pull
+    full = sorted((r.doc_id, r._change_type, r._commit_version)
+                  for r in read_delta_changes(spark, src, -1, 3).collect())
+    assert sorted(rows) == full
+
+    # caught up: no batch fires
+    ranges.clear()
+    assert stream_delta_changes(spark, src, mark, collect) == 3
+    assert ranges == []
+
+    # new commit -> exactly the new range, resumed from the mark
+    append_delta(spark, spark.range(25, 28).selectExpr(
+        "id AS doc_id", "CAST(id AS double) AS v"), src)   # v4
+    rows.clear()
+    assert stream_delta_changes(spark, src, mark, collect) == 4
+    assert ranges == [(3, 4)]
+    assert sorted(r[0] for r in rows) == [25, 26, 27]
+
+
+def test_stream_delta_first_seen_exactly_once_redelivery(spark, tmp_path):
+    """End-to-end first-seen dedup from a REAL Delta source into a REAL
+    Delta target: duplicate ids across commits keep only their first
+    occurrence; a crash-before-mark redelivery (mark rolled back by
+    hand) appends NOTHING new (anti-join + txn identifier); later
+    genuinely-new ids still land."""
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        append_delta,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.delta_log import (
+        read_delta_snapshot,
+        write_ingest_mark,
+    )
+    from databricks_import_pyspark_scripts_spark.streaming.delta_source import (
+        stream_delta_first_seen,
+    )
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    mark = str(tmp_path / "mark")
+    _mk_cdf_table(spark, src, 0, 6)                        # v0: 0..5
+    append_delta(spark, spark.range(3, 9).selectExpr(
+        "id AS doc_id", "CAST(id AS double) AS v"), src)   # v1: 3..8 (3 dup)
+    append_delta(spark, spark.range(6, 12).selectExpr(
+        "id AS doc_id", "CAST(id AS double) AS v"), src)   # v2: 6..11
+
+    hwm = stream_delta_first_seen(spark, src, tgt, mark,
+                                  max_versions_per_batch=1)
+    assert hwm == 2
+    got = sorted(r.doc_id for r in read_delta_snapshot(spark, tgt).collect())
+    assert got == list(range(12))            # each id exactly once
+
+    # crash-before-mark: roll the offset back and re-drain — redelivered
+    # batches must not duplicate anything
+    write_ingest_mark(spark, mark, 0)
+    assert stream_delta_first_seen(spark, src, tgt, mark) == 2
+    got = sorted(r.doc_id for r in read_delta_snapshot(spark, tgt).collect())
+    assert got == list(range(12))
+
+    # fresh ids (plus one stale) after catch-up
+    append_delta(spark, spark.range(11, 15).selectExpr(
+        "id AS doc_id", "CAST(id AS double) AS v"), src)   # v3
+    assert stream_delta_first_seen(spark, src, tgt, mark) == 3
+    got = sorted(r.doc_id for r in read_delta_snapshot(spark, tgt).collect())
+    assert got == list(range(15))
