@@ -1402,3 +1402,97 @@ def iceberg_delete_where_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"),
                  F.round(F.sum("value"), 4).alias("sum_value"))
             .select("event_type", "n", "sum_value"))
+
+
+_UT_V0, _UT_V1 = "event_id % 3 = 0", "event_id % 3 = 1"
+# canonical uuid string from an integer, identical in Spark and DuckDB:
+# 32 zero-padded hex digits of event_id*7, dashed 8-4-4-4-12
+_UT_HEX_SPARK = "format_string('%032x', event_id * CAST(7 AS BIGINT))"
+_UT_HEX_DUCK = "printf('%032x', event_id * 7)"
+
+
+def _ut_uuid(hex_expr: str) -> str:
+    return ("substr({h},1,8) || '-' || substr({h},9,4) || '-' || "
+            "substr({h},13,4) || '-' || substr({h},17,4) || '-' || "
+            "substr({h},21,12)").format(h=hex_expr)
+
+
+_UT_TM = "(event_id % 86400) * 1000000"      # micros from midnight
+_UT_LO, _UT_HI = 1_000 * 1_000_000, 7_000 * 1_000_000
+
+
+def _staged_uuid_time(spark: SparkSession, sf_dir: str) -> str:
+    """Two-era table with uuid + time columns (VERDICT r11 #6): era 1
+    written under string/long physical types, the schema then RETYPED to
+    uuid/time (so era-1 manifest bounds are undecodable under the new
+    types — the superset-safe keep path), era 2 appended THROUGH the
+    retyped schema (its bounds spec-encoded: 16-byte big-endian uuid,
+    8-byte LE micros)."""
+    import json as _json
+
+    from ..sources.iceberg import append_iceberg
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_iceberg_ut_gate_{tag}_v1")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        e = (load_table(spark, sf_dir, "events")
+             .select("event_id", "event_type", "value",
+                     F.expr(_ut_uuid(_UT_HEX_SPARK)).alias("u"),
+                     F.expr(_UT_TM).cast("long").alias("tm")))
+        write_iceberg_table(spark, [e.filter(F.expr(_UT_V0))], path)
+        mdir = os.path.join(path, "metadata")
+        cur = int(open(os.path.join(mdir, "version-hint.text")).read())
+        mp = os.path.join(mdir, f"v{cur}.metadata.json")
+        meta = _json.load(open(mp))
+        for f in meta["schemas"][0]["fields"]:
+            if f["name"] == "u":
+                f["type"] = "uuid"
+            elif f["name"] == "tm":
+                f["type"] = "time"
+        _json.dump(meta, open(mp, "w"))
+        append_iceberg(spark, e.filter(F.expr(_UT_V1)), path)
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "iceberg_uuid_time_read_agg",
+    f"""
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS sum_value,
+           MIN({_ut_uuid(_UT_HEX_DUCK)}) AS min_uuid,
+           CAST(SUM({_UT_TM}) AS BIGINT) AS sum_time_us
+    FROM events
+    WHERE (({_UT_V0}) OR ({_UT_V1}))
+      AND {_UT_TM} BETWEEN {_UT_LO} AND {_UT_HI}
+    GROUP BY event_type
+    """,
+    doc="Iceberg uuid/time column types (sources/iceberg.py _spark_type/"
+        "_bound_value/_encode_bound — VERDICT r11 #6): uuid reads as the "
+        "canonical lowercase string, time as micros-from-midnight long. "
+        "The scan composes a time-range stats filter (era-2 bounds "
+        "spec-encoded and decodable; era-1 bounds stale string-typed -> "
+        "kept superset-safe) with the exact row predicate; the oracle "
+        "re-derives both columns arithmetically. A wrong uuid string, "
+        "mis-decoded time bound, or over-pruned era breaks the hash.")
+def iceberg_uuid_time_read_agg(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from ..sources.iceberg import iceberg_column_range_filter
+
+    path = _staged_uuid_time(spark, sf_dir)
+    return (read_iceberg_snapshot(
+                spark, path,
+                stats_filter=iceberg_column_range_filter(
+                    "tm", _UT_LO, _UT_HI))
+            .filter(F.col("tm").between(_UT_LO, _UT_HI))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"),
+                 F.min("u").alias("min_uuid"),
+                 F.sum("tm").alias("sum_time_us"))
+            .select("event_type", "n", "sum_value", "min_uuid",
+                    "sum_time_us"))

@@ -41,7 +41,9 @@ re-inserted after the delete survives) — one anti-join per
 equality-ids group with the sequence comparison in the join condition.
 
 Deliberately unsupported, rejected loudly BEFORE any read (never a
-wrong answer): non-parquet data files and the uuid/time column types.
+wrong answer): non-parquet/ORC data files. The uuid/time column types
+read as their spec logical values (canonical string / micros-long);
+foreign fixed[16]-uuid physical layouts fail loudly at the parquet scan.
 
 The Avro container decoding is ``avro_codec.py`` — a from-scratch
 implementation of the public Avro spec (no avro library exists here).
@@ -266,6 +268,15 @@ def _bound_value(raw: bytes, ice_type: str):
             return raw.decode("utf-8")
         if ice_type == "boolean":
             return raw == b"\x01"
+        if ice_type == "time":          # 8-byte LE micros from midnight
+            return _struct.unpack("<q", raw)[0]
+        if ice_type == "uuid":          # 16-byte big-endian (spec App. D)
+            import uuid as _uuid_mod
+            if len(raw) != 16:
+                return None
+            # canonical lowercase hex string: lexicographic order equals
+            # the big-endian byte order, so string comparisons are safe
+            return str(_uuid_mod.UUID(bytes=bytes(raw)))
     except Exception:  # noqa: BLE001 — undecodable bound: unskippable
         return None
     return None
@@ -808,7 +819,16 @@ def _spark_type(t) -> T.DataType:
               "double": T.DoubleType(), "date": T.DateType(),
               "string": T.StringType(), "binary": T.BinaryType(),
               "timestamptz": T.TimestampType(),
-              "timestamp": T.TimestampNTZType()}
+              "timestamp": T.TimestampNTZType(),
+              # Spark has no uuid/time types: serve the spec's logical
+              # values — canonical lowercase string for uuid,
+              # microseconds-from-midnight long for time (VERDICT r11
+              # #6). The jar-less write path stores them physically as
+              # parquet string/int64; a FOREIGN file storing uuid as
+              # annotated fixed[16] surfaces as a loud Spark parquet
+              # schema error, never silent corruption.
+              "uuid": T.StringType(),
+              "time": T.LongType()}
     if t in simple:
         return simple[t]
     raise IcebergProtocolError(f"unsupported Iceberg type {t!r}")
@@ -1478,6 +1498,14 @@ def _encode_bound(value, ice_type: str) -> bytes | None:
         return str(value).encode("utf-8")
     if ice_type == "boolean":
         return b"\x01" if value else b"\x00"
+    if ice_type == "time":
+        return _struct.pack("<q", int(value))
+    if ice_type == "uuid":
+        import uuid as _uuid_mod
+        try:
+            return _uuid_mod.UUID(str(value)).bytes
+        except ValueError:
+            return None
     return None
 
 
