@@ -17,7 +17,9 @@ this container's dependency budget).
 
 Byte-level parity with Apache Iceberg 1.8 puffin output is untested
 here (no real v3 tables reachable offline); layout follows the
-published spec and is pinned by round-trip + reader tests.
+published spec and is pinned three ways: round-trip tests, a frozen
+writer golden, and a reader check against a file HAND-ASSEMBLED from
+the spec with no project code (tests/test_iceberg.py puffin goldens).
 """
 
 from __future__ import annotations

@@ -2964,3 +2964,92 @@ def test_uuid_and_time_columns_read_and_skip(spark, tmp_path):
         stats_filter=iceberg_column_range_filter(
             "u", None, str(uuid_mod.UUID(int=133))))
     assert sorted(r.k for r in rows_back.collect()) == list(range(40))
+
+
+# ---------------------------------------------------------------------------
+# puffin golden bytes (VERDICT r11 #7, offline form): the reader checked
+# against a HAND-ASSEMBLED spec-layout file (independent of the writer),
+# and the writer pinned byte-for-byte against a frozen golden
+
+
+def _hand_built_puffin_dv() -> bytes:
+    """A puffin file assembled IN THE TEST from the published specs only
+    — every framing byte packed from literals, no project code: one
+    deletion-vector-v1 blob whose RoaringBitmapArray marks positions
+    {1, 3} (portable 64-bit layout: magic 1681511377, one 32-bit bitmap,
+    no-run cookie 12346, one array container with an offsets header)."""
+    import struct as s
+
+    rb = (s.pack("<iq", 1681511377, 1)         # array magic, n_bitmaps
+          + s.pack("<II", 12346, 1)            # no-run cookie, n_keys
+          + s.pack("<HH", 0, 1)                # key 0, cardinality-1
+          + s.pack("<I", 16)                   # container offset
+          + s.pack("<HH", 1, 3))               # array container {1, 3}
+    footer = (b'{"blobs": [{"type": "deletion-vector-v1", "properties": '
+              b'{"referenced-data-file": "data/f1.parquet", '
+              b'"cardinality": "2"}, "fields": [], "offset": 4, '
+              b'"length": 32}], "properties": {}}')
+    return (b"PFA1" + rb                       # magic | blob
+            + b"PFA1" + footer                 # magic | footer payload
+            + s.pack("<i", len(footer))        # payload size (LE)
+            + b"\x00\x00\x00\x00"              # flags: uncompressed
+            + b"PFA1")                         # trailing magic
+
+
+# frozen output of write_puffin_file + serialize_bitmap_array for the
+# same blob — regenerate ONLY for a deliberate, documented layout change
+_PUFFIN_GOLDEN_HEX = (
+    "50464131d1d3396401000000000000003a3000000100000000000100100000000100"
+    "0300504641317b22626c6f6273223a205b7b2274797065223a202264656c6574696f"
+    "6e2d766563746f722d7631222c202270726f70657274696573223a207b2272656665"
+    "72656e6365642d646174612d66696c65223a2022646174612f66312e706172717565"
+    "74222c202263617264696e616c697479223a202232227d2c20226669656c6473223a"
+    "205b5d2c20226f6666736574223a20342c20226c656e677468223a2033327d5d2c20"
+    "2270726f70657274696573223a207b7d7db50000000000000050464131")
+
+
+def test_puffin_reader_accepts_hand_assembled_spec_file():
+    """The reader must decode a file built straight from the puffin +
+    roaring specs with no project writer involved — the closest offline
+    stand-in for a foreign-engine (Apache Iceberg) produced file."""
+    from databricks_import_pyspark_scripts_spark.sources import delta_dv
+    from databricks_import_pyspark_scripts_spark.sources.puffin import (
+        read_puffin_blob,
+        read_puffin_footer,
+    )
+
+    raw = _hand_built_puffin_dv()
+    footer = read_puffin_footer(raw)
+    (d,) = footer["blobs"]
+    assert d["type"] == "deletion-vector-v1"
+    assert d["properties"]["referenced-data-file"] == "data/f1.parquet"
+    blob = read_puffin_blob(raw, d["offset"], d["length"])
+    assert list(delta_dv.deserialize_bitmap_array(blob)) == [1, 3]
+
+
+def test_puffin_writer_matches_frozen_golden_bytes(tmp_path):
+    """Byte-for-byte regression pin: the writer's output for a fixed DV
+    blob is frozen. A layout drift (framing, flags, footer shape, blob
+    encoding) fails here before it can corrupt interop; the hand-built
+    spec file above must ALSO decode identically, tying the golden to
+    the spec rather than to the writer."""
+    import os as _os
+
+    from databricks_import_pyspark_scripts_spark.sources import delta_dv
+    from databricks_import_pyspark_scripts_spark.sources.puffin import (
+        write_puffin_file,
+    )
+
+    p = str(tmp_path / "g.puffin")
+    write_puffin_file(p, [{
+        "type": "deletion-vector-v1",
+        "data": delta_dv.serialize_bitmap_array([1, 3]),
+        "properties": {"referenced-data-file": "data/f1.parquet",
+                       "cardinality": "2"}}])
+    raw = open(p, "rb").read()
+    assert raw.hex() == _PUFFIN_GOLDEN_HEX
+    _os.remove(p)
+    # the hand-assembled spec file and the writer agree on every byte
+    # except JSON key order artifacts — here they are constructed to
+    # agree EXACTLY, so the golden is spec-anchored
+    assert _hand_built_puffin_dv().hex() == _PUFFIN_GOLDEN_HEX
