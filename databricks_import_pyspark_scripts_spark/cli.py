@@ -38,7 +38,7 @@ def build_parser() -> argparse.ArgumentParser:
                             "iceberg-append", "iceberg-compact",
                             "iceberg-expire", "iceberg-set-ref",
                             "iceberg-drop-ref", "iceberg-rewrite-manifests",
-                            "iceberg-delete-where",
+                            "iceberg-delete-where", "iceberg-update-where",
                             "iceberg-enable-row-lineage", "uniform-sync",
                             "delta-clone",
                             "delta-optimize", "delta-vacuum",
@@ -101,9 +101,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="iceberg-append: parquet dir/file (or .json) of "
                         "rows to append")
     p.add_argument("--delete-predicate", default=None,
-                   help="iceberg-delete-where: SQL predicate selecting "
-                        "the rows to delete (one atomic merge-on-read "
-                        "commit; nothing matched -> no commit)")
+                   help="iceberg-delete-where / iceberg-update-where: "
+                        "SQL predicate selecting the rows (one atomic "
+                        "merge-on-read commit; nothing matched -> no "
+                        "commit)")
+    p.add_argument("--set-exprs", default=None,
+                   help='iceberg-update-where: JSON {column: SQL expr} '
+                        'evaluated on the PRE-update row, e.g. '
+                        '\'{"v": "v + 1"}\'')
     p.add_argument("--delete-mode", default="position",
                    choices=("position", "dv", "equality"),
                    help="iceberg-delete-where: physical delete layout "
@@ -347,6 +352,30 @@ def _run_maintenance(args) -> int:
         report = {"table": args.table, "snapshot_id": sid,
                   "deleted_any": sid != before,
                   "mode": args.delete_mode,
+                  "live_rows": read_iceberg_snapshot(spark,
+                                                     table_path).count()}
+    elif args.maintenance == "iceberg-update-where":
+        import json as _json
+
+        from .sources.iceberg import (
+            iceberg_snapshot_ids,
+            iceberg_update_where,
+            read_iceberg_snapshot,
+        )
+
+        if not args.delete_predicate or not args.set_exprs:
+            print("--delete-predicate and --set-exprs are required for "
+                  "iceberg-update-where", file=sys.stderr)
+            return 2
+        table_path = f"{args.source_root}/{args.table}"
+        before = iceberg_snapshot_ids(spark, table_path)[-1]["snapshot_id"]
+        sid = iceberg_update_where(
+            spark, table_path, args.delete_predicate,
+            _json.loads(args.set_exprs),
+            mode=args.delete_mode if args.delete_mode != "equality"
+            else "position")
+        report = {"table": args.table, "snapshot_id": sid,
+                  "updated_any": sid != before,
                   "live_rows": read_iceberg_snapshot(spark,
                                                      table_path).count()}
     elif args.maintenance == "iceberg-enable-row-lineage":

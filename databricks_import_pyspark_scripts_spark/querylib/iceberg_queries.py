@@ -1496,3 +1496,68 @@ def iceberg_uuid_time_read_agg(spark: SparkSession,
                  F.sum("tm").alias("sum_time_us"))
             .select("event_type", "n", "sum_value", "min_uuid",
                     "sum_time_us"))
+
+
+_UW_P1, _UW_P2 = "event_id % 5 = 2", "event_id % 7 = 3"
+
+
+def _staged_update_where(spark: SparkSession, sf_dir: str) -> str:
+    """Staged table driven through the UPDATE verb twice — a v2
+    position-delete-backed update, then a deletion-vector one (which
+    upgrades to format-version 3; its matched set overlaps the first,
+    so sequential semantics are load-bearing) — then compaction."""
+    from ..sources.iceberg import (
+        compact_iceberg_table, iceberg_update_where,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_iceberg_uw_gate_{tag}_v1")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        e = (load_table(spark, sf_dir, "events")
+             .select("event_id", "event_type", "value").repartition(4))
+        write_iceberg_table(spark, [e], path)
+        iceberg_update_where(spark, path, _UW_P1,
+                             {"value": "value + 1000"},
+                             mode="position")
+        iceberg_update_where(spark, path, _UW_P2,
+                             {"value": "value * 2"}, mode="dv")
+        assert compact_iceberg_table(spark, path) is not None
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "iceberg_update_where_agg",
+    f"""
+    WITH u1 AS (
+      SELECT event_id, event_type,
+             CASE WHEN {_UW_P1} THEN value + 1000 ELSE value END AS value
+      FROM events),
+    u2 AS (
+      SELECT event_id, event_type,
+             CASE WHEN {_UW_P2} THEN value * 2 ELSE value END AS value
+      FROM u1)
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM u2 GROUP BY event_type
+    """,
+    doc="First-class Iceberg UPDATE (sources/iceberg.py "
+        "iceberg_update_where): each update commits the old rows' "
+        "position deletes AND the post-image data files in ONE snapshot "
+        "(merge-on-read, no rewrite). Two sequential updates with "
+        "overlapping matched sets (the second in the v3 "
+        "deletion-vector layout, upgrading the table), then compaction "
+        "folding both. The oracle replays the updates as nested CASE "
+        "expressions: a lost post-image, resurrected pre-image, or "
+        "mis-sequenced second update breaks n and sum_value.")
+def iceberg_update_where_agg(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    path = _staged_update_where(spark, sf_dir)
+    return (read_iceberg_snapshot(spark, path)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select("event_type", "n", "sum_value"))

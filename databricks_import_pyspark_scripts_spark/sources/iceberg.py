@@ -2820,77 +2820,53 @@ def compact_iceberg_table(spark: SparkSession, table_path: str,
     return snap_id
 
 
-def write_iceberg_position_deletes(spark: SparkSession, table_path: str,
-                                   predicate_sql: str) -> int:
-    """Append one MERGE-ON-READ delete snapshot to a staged Iceberg
-    table: rows of the CURRENT snapshot matching ``predicate_sql`` become
-    ``(file_path, pos)`` records in a position-delete parquet file
-    (spec-reserved field ids 2147483546/2147483545), referenced by a
-    content=1 delete manifest in a new snapshot's manifest list. Returns
-    the new snapshot id. Same scope as ``write_iceberg_table``: a
-    single-writer, local-FS staging utility so the MoR read path can be
-    exercised against a REAL v2 layout — the delete-row collect is
-    gate-scale by design."""
-    if _is_metadata_handle(table_path):
-        raise NotImplementedError(
-            "catalog-managed (*.metadata.json) handles are READ-ONLY "
-            "here: commits must go through the owning catalog, not "
-            "the file layout")
-    if not _is_local(table_path):
-        raise NotImplementedError(
-            "write_iceberg_position_deletes is a local staging utility")
-    from urllib.parse import unquote
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+def _provenance_scan(spark: SparkSession, table_path: str, meta: dict,
+                     op: str):
+    """Current snapshot WITH ``(__ice_prov_f, __ice_prov_p)`` file/
+    position provenance and prior row deletes APPLIED — the shared scan
+    behind every position-addressed row op (position deletes, DV
+    deletes, UPDATE): rows already dead in an earlier delete snapshot
+    are never re-recorded. Returns ``(cur_df, files, deletes)``."""
     from pyspark.sql import functions as F
 
-    root = _strip_scheme(table_path)
-    meta = read_table_metadata(spark, table_path)
-    if int(meta.get("format-version", 1)) >= 3:
-        raise IcebergProtocolError(
-            "position-delete FILES are deprecated in format-version 3 "
-            "(writers must use deletion vectors) — use "
-            "write_iceberg_dv_deletes / iceberg_delete_where, which "
-            "picks the v3 layout automatically")
-
-    # current state WITH file/position provenance (read_iceberg_snapshot
-    # drops _metadata, so stack the scan by hand — deletes compose: rows
-    # already dead in an earlier delete snapshot are not re-recorded)
     deletes: list[dict] = []
     files = live_data_files(spark, table_path, meta, None,
                             deletes_out=deletes)
-    orc = [f for f in files
-           if (f.get("file_format") or "PARQUET").upper() == "ORC"]
-    if orc:
+    if any((f.get("file_format") or "PARQUET").upper() == "ORC"
+           for f in files):
         raise IcebergProtocolError(
-            "position deletes over ORC data files: row positions need "
-            "_metadata.row_index, which Spark's ORC reader does not "
-            "emit")
+            f"{op} over ORC data files: row positions need "
+            f"_metadata.row_index, which Spark's ORC reader does not "
+            f"emit")
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     # reserved provenance names — bare aliases like "f"/"p" collide
     # with same-named TABLE columns and make every reference ambiguous
-    _PF, _PP = "__ice_prov_f", "__ice_prov_p"
     cur = (spark.read.schema(iceberg_spark_schema(meta)).parquet(
         *[_resolve_path(table_path, f["file_path"]) for f in files])
-        .select("*", F.col("_metadata.file_path").alias(_PF),
-                F.col("_metadata.row_index").alias(_PP)))
+        .select("*", F.col("_metadata.file_path").alias(_PROV_F),
+                F.col("_metadata.row_index").alias(_PROV_P)))
     if deletes:
         keyed = cur.select(
-            "*", _file_key_expr(F.col(_PF)).alias(_POS_KEY),
-            F.col(_PP).alias(_POS_IDX))
+            "*", _file_key_expr(F.col(_PROV_F)).alias(_POS_KEY),
+            F.col(_PROV_P).alias(_POS_IDX))
         cur = _apply_row_deletes(spark, keyed, table_path, files,
                                  deletes, meta)
-    doomed = cur.filter(F.expr(predicate_sql)).select(_PF, _PP).collect()
-    pairs = sorted((re.sub(r"^file:/+", "/", unquote(r[_PF])), int(r[_PP]))
-                   for r in doomed)
-    if not pairs:
-        # DML semantics: nothing matched -> no commit (a 0-row delete
-        # snapshot would churn history and the change feed for nothing)
-        return int(meta["current-snapshot-id"])
+    return cur, files, deletes
 
-    new_snap = max(int(sn["snapshot-id"]) for sn in meta["snapshots"]) + 1
-    dpath = os.path.join(root, "data", f"delete-{new_snap}.parquet")
+
+_PROV_F, _PROV_P = "__ice_prov_f", "__ice_prov_p"
+
+
+def _position_delete_entry(root: str, pairs: list[tuple[str, int]],
+                           tag: str) -> dict:
+    """One content=1 manifest entry + its position-delete parquet (spec
+    field ids 2147483546/2147483545). The file name needs only
+    uniqueness, not the final snapshot id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dpath = os.path.join(root, "data", f"delete-{tag}.parquet")
     pq.write_table(pa.table(
         {"file_path": pa.array([f for f, _ in pairs], pa.string()),
          "pos": pa.array([p for _, p in pairs], pa.int64())},
@@ -2900,85 +2876,30 @@ def write_iceberg_position_deletes(spark: SparkSession, table_path: str,
             pa.field("pos", pa.int64(), metadata={
                 b"PARQUET:field_id": str(_DELETE_POS_FID).encode()})])),
         dpath)
-    # one shared commit path with the equality form (r9 review #5) —
-    # the delete parquet's name needs only uniqueness, not the final
-    # snapshot id
-    entry = {"status": STATUS_ADDED,
-             "data_file": {
-                 "content": 1, "file_path": dpath,
-                 "file_format": "PARQUET", "partition": {},
-                 "record_count": len(pairs),
-                 "file_size_in_bytes": os.path.getsize(dpath),
-                 "lower_bounds": None, "upper_bounds": None}}
-    return _commit_delete_snapshot(spark, table_path, entry, "delete")
+    return {"status": STATUS_ADDED,
+            "data_file": {
+                "content": 1, "file_path": dpath,
+                "file_format": "PARQUET", "partition": {},
+                "record_count": len(pairs),
+                "file_size_in_bytes": os.path.getsize(dpath),
+                "lower_bounds": None, "upper_bounds": None}}
 
 
-def write_iceberg_dv_deletes(spark: SparkSession, table_path: str,
-                             predicate_sql: str) -> int:
-    """Append one FORMAT-VERSION-3 delete snapshot whose row deletes are
-    PUFFIN DELETION VECTORS (``deletion-vector-v1`` blobs — the roaring
-    bitmap layout v3 standardized, shared with Delta DVs): matching
-    rows' positions group into one bitmap per data file, all bitmaps
-    land in ONE puffin file, and each file gets a content=1 manifest
-    entry carrying ``referenced_data_file`` + ``content_offset`` +
-    ``content_size_in_bytes`` (the v3 DV descriptor). The commit bumps
-    the table's format-version to 3. Same staging scope as the
-    position-delete writer (single-writer, local FS, driver-side
-    position collect — gate-scale by design); the READ path
-    (_apply_position_deletes) is the production surface."""
-    if _is_metadata_handle(table_path):
-        raise NotImplementedError(
-            "catalog-managed (*.metadata.json) handles are READ-ONLY "
-            "here: commits must go through the owning catalog, not "
-            "the file layout")
-    if not _is_local(table_path):
-        raise NotImplementedError(
-            "write_iceberg_dv_deletes is a local staging utility")
-    from urllib.parse import unquote
-
+def _dv_delete_entries(spark: SparkSession, table_path: str, root: str,
+                       meta: dict, by_file: dict[str, list[int]],
+                       deletes: list[dict], tag: str
+                       ) -> tuple[list[dict], set[str]]:
+    """Deletion-vector entries for ``by_file`` = {data file path:
+    [positions]}: v3 allows AT MOST ONE deletion vector per data file
+    and requires writers to REPLACE an existing one (spec "Deletion
+    Vectors") — any prior live DV on a re-referenced file is unioned
+    into the new bitmap and returned in the superseded-key set so the
+    commit retires it (ADVICE r10 #4). All bitmaps land in ONE puffin
+    file. Returns ``(manifest entries, superseded ref keys)``."""
     import numpy as np
-    from pyspark.sql import functions as F
 
     from . import delta_dv, puffin
 
-    root = _strip_scheme(table_path)
-    meta = read_table_metadata(spark, table_path)
-    deletes: list[dict] = []
-    files = live_data_files(spark, table_path, meta, None,
-                            deletes_out=deletes)
-    if any((f.get("file_format") or "PARQUET").upper() == "ORC"
-           for f in files):
-        raise IcebergProtocolError(
-            "deletion vectors over ORC data files: row positions need "
-            "_metadata.row_index, which Spark's ORC reader does not "
-            "emit")
-    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    _PF, _PP = "__ice_prov_f", "__ice_prov_p"
-    cur = (spark.read.schema(iceberg_spark_schema(meta)).parquet(
-        *[_resolve_path(table_path, f["file_path"]) for f in files])
-        .select("*", F.col("_metadata.file_path").alias(_PF),
-                F.col("_metadata.row_index").alias(_PP)))
-    if deletes:
-        keyed = cur.select(
-            "*", _file_key_expr(F.col(_PF)).alias(_POS_KEY),
-            F.col(_PP).alias(_POS_IDX))
-        cur = _apply_row_deletes(spark, keyed, table_path, files,
-                                 deletes, meta)
-    doomed = cur.filter(F.expr(predicate_sql)).select(_PF, _PP).collect()
-    by_file: dict[str, list[int]] = {}
-    for r in doomed:
-        by_file.setdefault(
-            re.sub(r"^file:/+", "/", unquote(r[_PF])), []).append(
-            int(r[_PP]))
-    if not by_file:
-        return int(meta["current-snapshot-id"])  # nothing matched
-
-    # v3 allows AT MOST ONE deletion vector per data file and requires
-    # writers to REPLACE an existing one (spec "Deletion Vectors"): any
-    # prior live DV on a re-referenced file is unioned into the new
-    # bitmap and its manifest entry retired in the same commit — leaving
-    # both live would let engines that apply only the newest DV
-    # resurrect the earlier deletes (ADVICE r10 #4)
     def _ref_key(p: str) -> str:
         return "/".join(_strip_scheme(p).rstrip("/").split("/")[-2:])
 
@@ -3002,8 +2923,7 @@ def write_iceberg_dv_deletes(spark: SparkSession, table_path: str,
             int(p) for p in delta_dv.deserialize_bitmap_array(blob))
         superseded.add(k)
 
-    new_snap = max(int(sn["snapshot-id"]) for sn in meta["snapshots"]) + 1
-    ppath = os.path.join(root, "data", f"dv-{new_snap}.puffin")
+    ppath = os.path.join(root, "data", f"dv-{tag}.puffin")
     blobs = []
     order = sorted(by_file)
     positions = {fp: np.unique(np.asarray(by_file[fp], dtype=np.int64))
@@ -3028,6 +2948,100 @@ def write_iceberg_dv_deletes(spark: SparkSession, table_path: str,
                 "referenced_data_file": fp,
                 "content_offset": int(d["offset"]),
                 "content_size_in_bytes": int(d["length"])}})
+    return entries, superseded
+
+
+def write_iceberg_position_deletes(spark: SparkSession, table_path: str,
+                                   predicate_sql: str) -> int:
+    """Append one MERGE-ON-READ delete snapshot to a staged Iceberg
+    table: rows of the CURRENT snapshot matching ``predicate_sql`` become
+    ``(file_path, pos)`` records in a position-delete parquet file
+    (spec-reserved field ids 2147483546/2147483545), referenced by a
+    content=1 delete manifest in a new snapshot's manifest list. Returns
+    the new snapshot id. Same scope as ``write_iceberg_table``: a
+    single-writer, local-FS staging utility so the MoR read path can be
+    exercised against a REAL v2 layout — the delete-row collect is
+    gate-scale by design."""
+    if _is_metadata_handle(table_path):
+        raise NotImplementedError(
+            "catalog-managed (*.metadata.json) handles are READ-ONLY "
+            "here: commits must go through the owning catalog, not "
+            "the file layout")
+    if not _is_local(table_path):
+        raise NotImplementedError(
+            "write_iceberg_position_deletes is a local staging utility")
+    import uuid as _uuid
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+
+    root = _strip_scheme(table_path)
+    meta = read_table_metadata(spark, table_path)
+    if int(meta.get("format-version", 1)) >= 3:
+        raise IcebergProtocolError(
+            "position-delete FILES are deprecated in format-version 3 "
+            "(writers must use deletion vectors) — use "
+            "write_iceberg_dv_deletes / iceberg_delete_where, which "
+            "picks the v3 layout automatically")
+
+    cur, _, _ = _provenance_scan(spark, table_path, meta,
+                                 "position deletes")
+    doomed = cur.filter(F.expr(predicate_sql)) \
+        .select(_PROV_F, _PROV_P).collect()
+    pairs = sorted((re.sub(r"^file:/+", "/", unquote(r[_PROV_F])),
+                    int(r[_PROV_P])) for r in doomed)
+    if not pairs:
+        # DML semantics: nothing matched -> no commit (a 0-row delete
+        # snapshot would churn history and the change feed for nothing)
+        return int(meta["current-snapshot-id"])
+    entry = _position_delete_entry(root, pairs,
+                                   f"d{_uuid.uuid4().hex[:12]}")
+    return _commit_delete_snapshot(spark, table_path, entry, "delete")
+
+
+def write_iceberg_dv_deletes(spark: SparkSession, table_path: str,
+                             predicate_sql: str) -> int:
+    """Append one FORMAT-VERSION-3 delete snapshot whose row deletes are
+    PUFFIN DELETION VECTORS (``deletion-vector-v1`` blobs — the roaring
+    bitmap layout v3 standardized, shared with Delta DVs): matching
+    rows' positions group into one bitmap per data file, all bitmaps
+    land in ONE puffin file, and each file gets a content=1 manifest
+    entry carrying ``referenced_data_file`` + ``content_offset`` +
+    ``content_size_in_bytes`` (the v3 DV descriptor). The commit bumps
+    the table's format-version to 3. Same staging scope as the
+    position-delete writer (single-writer, local FS, driver-side
+    position collect — gate-scale by design); the READ path
+    (_apply_position_deletes) is the production surface."""
+    if _is_metadata_handle(table_path):
+        raise NotImplementedError(
+            "catalog-managed (*.metadata.json) handles are READ-ONLY "
+            "here: commits must go through the owning catalog, not "
+            "the file layout")
+    if not _is_local(table_path):
+        raise NotImplementedError(
+            "write_iceberg_dv_deletes is a local staging utility")
+    import uuid as _uuid
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+
+    root = _strip_scheme(table_path)
+    meta = read_table_metadata(spark, table_path)
+    cur, _, deletes = _provenance_scan(spark, table_path, meta,
+                                       "deletion vectors")
+    doomed = cur.filter(F.expr(predicate_sql)) \
+        .select(_PROV_F, _PROV_P).collect()
+    by_file: dict[str, list[int]] = {}
+    for r in doomed:
+        by_file.setdefault(
+            re.sub(r"^file:/+", "/", unquote(r[_PROV_F])), []).append(
+            int(r[_PROV_P]))
+    if not by_file:
+        return int(meta["current-snapshot-id"])  # nothing matched
+
+    entries, superseded = _dv_delete_entries(
+        spark, table_path, root, meta, by_file,
+        deletes, f"v{_uuid.uuid4().hex[:12]}")
     return _commit_delete_snapshot(spark, table_path, entries, "delete",
                                    format_version=3,
                                    supersede_dv_keys=superseded)
@@ -3099,8 +3113,10 @@ def _retire_superseded_dvs(spark: SparkSession, table_path: str,
 def _commit_delete_snapshot(spark: SparkSession, table_path: str,
                             entry: dict | list[dict], op_summary: str,
                             format_version: int | None = None,
-                            supersede_dv_keys: set[str] | None = None
-                            ) -> int:
+                            supersede_dv_keys: set[str] | None = None,
+                            data_entries: list[dict] | None = None,
+                            data_part_fields: list | None = None,
+                            data_spec_id: int = 0) -> int:
     """Shared staging commit for row-delete snapshots: content=1
     manifest with ``entry``, new manifest list (prior manifests +
     this one, sequence-stamped), new metadata version claimed by
@@ -3113,7 +3129,14 @@ def _commit_delete_snapshot(spark: SparkSession, table_path: str,
     carried delete manifest holding a DV entry for one of them is
     rewritten without it (survivors keep their effective sequence
     numbers as EXISTING entries), enforcing v3's one-DV-per-data-file
-    rule."""
+    rule.
+
+    ``data_entries``: content=0 manifest entries (from ``_stage_commit``)
+    committed IN THE SAME SNAPSHOT — the UPDATE shape: the deletes kill
+    the old rows, the data manifest adds the post-image rows, and a
+    reader can never observe one without the other. Both manifests share
+    the snapshot's sequence number; the new data files are never
+    referenced by the delete files, so the deletes cannot touch them."""
     from ..sinks.delta_writer import _atomic_create
 
     root = _strip_scheme(table_path)
@@ -3141,6 +3164,19 @@ def _commit_delete_snapshot(spark: SparkSession, table_path: str,
         "partition_spec_id": 0, "content": 1,
         "added_snapshot_id": new_snap,
         "sequence_number": new_seq, "min_sequence_number": new_seq}]
+    if data_entries:
+        d_entries = [{**e, "snapshot_id": new_snap}
+                     for e in data_entries]
+        d_path = os.path.join(mdir, f"manifest-upd-{new_snap}.avro")
+        d_blob = write_container(
+            _manifest_entry_schema(data_part_fields or []), d_entries)
+        with open(d_path, "wb") as f:
+            f.write(d_blob)
+        all_manifests.append({
+            "manifest_path": d_path, "manifest_length": len(d_blob),
+            "partition_spec_id": int(data_spec_id), "content": 0,
+            "added_snapshot_id": new_snap,
+            "sequence_number": new_seq, "min_sequence_number": new_seq})
     with open(mlpath, "wb") as f:
         f.write(write_container(_MANIFEST_FILE_SCHEMA, all_manifests))
     meta = dict(meta)
@@ -3323,6 +3359,125 @@ def iceberg_delete_where(spark: SparkSession, table_path: str,
             last = exc  # head moved: loop re-scans and re-derives
     raise IcebergCommitConflict(
         f"DELETE WHERE on {table_path} lost {max_retries + 1} commit "
+        f"races") from last
+
+
+def iceberg_update_where(spark: SparkSession, table_path: str,
+                         predicate_sql: str, set_exprs: dict[str, str],
+                         mode: str = "position",
+                         max_retries: int = 5) -> int:
+    """First-class ``UPDATE <iceberg table> SET ... WHERE <predicate>``
+    as ONE atomic merge-on-read commit: the matched rows' positions
+    become row deletes (v2 position-delete parquet, or deletion vectors
+    when ``mode='dv'`` or the table is already format-version 3) and
+    their POST-IMAGE rows land as new data files — both referenced by
+    the SAME snapshot, so no reader can observe the delete without the
+    re-insert (the rewrite-free UPDATE a Flink/Spark MoR writer
+    produces; Delta-side template ``sinks/delta_writer.update_where``).
+
+    ``set_exprs`` maps column -> SQL expression evaluated on the
+    PRE-UPDATE row (so a self-referential ``{"v": "v + 1"}`` with ``v``
+    in the predicate binds to pre-update values — the exact trap the
+    r11 Delta UPDATE fix covered). NULL-predicate rows are kept
+    unchanged, SQL semantics. Nothing matched -> no commit. A lost
+    metadata CAS reloads, re-derives matches against the new head, and
+    retries (staged files from a lost round stay unreferenced orphans —
+    harmless, same as every optimistic Iceberg writer).
+
+    Scale shape: matched positions collect driver-side (gate-scale by
+    contract, same as the delete writers); the post-image write and the
+    MoR read path are distributed."""
+    import uuid as _uuid
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+
+    if _is_metadata_handle(table_path):
+        raise NotImplementedError(
+            "catalog-managed (*.metadata.json) handles are READ-ONLY "
+            "here: commits must go through the owning catalog, not "
+            "the file layout")
+    if not _is_local(table_path):
+        raise NotImplementedError(
+            "iceberg_update_where commits via local atomic create")
+    if mode not in ("position", "dv"):
+        raise ValueError(f"mode must be position|dv, got {mode!r}")
+
+    last: Exception | None = None
+    for _ in range(max_retries + 1):
+        meta = read_table_metadata(spark, table_path)
+        schema_fields = _current_schema(meta)["fields"]
+        for f in schema_fields:
+            if not isinstance(f["type"], str):
+                raise IcebergProtocolError(
+                    "update supports flat primitive schemas")
+        names = [f["name"] for f in schema_fields]
+        bad = [c for c in set_exprs if c not in names]
+        if bad:
+            raise ValueError(f"SET columns {bad} absent from the table "
+                             f"schema")
+        use_dv = mode == "dv" or int(meta.get("format-version", 1)) >= 3
+        root = _strip_scheme(table_path)
+
+        cur, _, deletes = _provenance_scan(spark, table_path, meta,
+                                           "UPDATE")
+        matched = cur.filter(F.expr(predicate_sql))
+        # post-image: every SET expression binds to the PRE-update row
+        post = matched.select(*[
+            F.expr(set_exprs.get(f["name"], f["name"]))
+            .cast(_spark_type(f["type"])).alias(f["name"])
+            for f in schema_fields])
+        doomed = matched.select(_PROV_F, _PROV_P).collect()
+        if not doomed:
+            return int(meta["current-snapshot-id"])
+
+        # partition machinery, identical to the append writers
+        sid = meta.get("default-spec-id", 0)
+        spec = next((sp for sp in (meta.get("partition-specs") or [])
+                     if sp.get("spec-id", 0) == sid), {"fields": []})
+        src_by_id = {int(f["id"]): f for f in schema_fields}
+        part_by, transforms = [], []
+        for f in spec.get("fields") or []:
+            src_name = src_by_id[int(f["source-id"])]["name"]
+            t = f.get("transform") or "identity"
+            if t == "identity":
+                part_by.append(src_name)
+            else:
+                transforms.append((f["name"], t, src_name))
+        part_fields = _part_avro_fields(schema_fields, part_by,
+                                        transforms)
+
+        tag = f"u{_uuid.uuid4().hex[:12]}"
+        snap_guess = max(int(sn["snapshot-id"])
+                         for sn in meta["snapshots"]) + 1
+        data_entries = _stage_commit(spark, post, root, schema_fields,
+                                     part_fields, snap_guess, tag)
+
+        if use_dv:
+            by_file: dict[str, list[int]] = {}
+            for r in doomed:
+                by_file.setdefault(
+                    re.sub(r"^file:/+", "/", unquote(r[_PROV_F])),
+                    []).append(int(r[_PROV_P]))
+            del_entries, superseded = _dv_delete_entries(
+                spark, table_path, root, meta, by_file, deletes, tag)
+            fv, keys = 3, superseded
+        else:
+            pairs = sorted((re.sub(r"^file:/+", "/",
+                                   unquote(r[_PROV_F])),
+                            int(r[_PROV_P])) for r in doomed)
+            del_entries = [_position_delete_entry(root, pairs, tag)]
+            fv, keys = None, None
+        try:
+            return _commit_delete_snapshot(
+                spark, table_path, del_entries, "overwrite",
+                format_version=fv, supersede_dv_keys=keys,
+                data_entries=data_entries,
+                data_part_fields=part_fields, data_spec_id=sid)
+        except IcebergCommitConflict as exc:
+            last = exc     # head moved: loop re-scans and re-derives
+    raise IcebergCommitConflict(
+        f"UPDATE WHERE on {table_path} lost {max_retries + 1} commit "
         f"races") from last
 
 

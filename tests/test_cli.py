@@ -535,3 +535,36 @@ def test_cli_uniform_sync_and_row_lineage(spark, tmp_path):
     ids = sorted(r._row_id for r in read_iceberg_snapshot_with_row_ids(
         spark, f"{root}/itbl").collect())
     assert ids == list(range(15))
+
+
+def test_cli_iceberg_update_where(spark, tmp_path):
+    """iceberg-update-where subprocess e2e: one atomic MoR commit
+    updates the matched rows in place."""
+    import os
+
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        read_iceberg_snapshot,
+        write_iceberg_table,
+    )
+
+    root = str(tmp_path / "root")
+    a = spark.range(0, 12).selectExpr("id AS k", "CAST(id AS double) AS v")
+    write_iceberg_table(spark, [a], f"{root}/tbl")
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "databricks_import_pyspark_scripts_spark.cli",
+         "--source-root", root, "--table", "tbl",
+         "--maintenance", "iceberg-update-where",
+         "--delete-predicate", "k % 3 = 0",
+         "--set-exprs", '{"v": "v + 100"}'],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        env={"SPARK_GRAFT_CPUS": "4", "PATH": "/usr/bin:/bin",
+             "HOME": "/root",
+             "JAVA_HOME": os.environ.get("JAVA_HOME", "")})
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rep = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert rep["updated_any"] and rep["live_rows"] == 12
+    got = {r.k: r.v for r in
+           read_iceberg_snapshot(spark, f"{root}/tbl").collect()}
+    assert got == {k: float(k) + (100 if k % 3 == 0 else 0)
+                   for k in range(12)}

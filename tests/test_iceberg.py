@@ -1330,6 +1330,7 @@ def test_iceberg_writer_random_histories_match_model(spark, tmp_path, seed):
         append_iceberg,
         iceberg_delete_where,
         iceberg_snapshot_ids,
+        iceberg_update_where,
     )
 
     rng = random.Random(seed)
@@ -1346,7 +1347,7 @@ def test_iceberg_writer_random_histories_match_model(spark, tmp_path, seed):
     next_k = 30
     last_sid = 1000
     for _ in range(6):
-        op = rng.choice(["append", "posdel", "eqdel", "dvdel"])
+        op = rng.choice(["append", "posdel", "eqdel", "dvdel", "upd"])
         if op == "append":
             n = rng.randrange(5, 15)
             last_sid = append_iceberg(spark, frame(next_k, next_k + n), t)
@@ -1364,6 +1365,21 @@ def test_iceberg_writer_random_histories_match_model(spark, tmp_path, seed):
                 continue
             last_sid = sid
             model = {k: g for k, g in model.items() if k % m != r}
+        elif op == "upd":
+            m = rng.choice([2, 3, 5])
+            r = rng.randrange(m)
+            inc = rng.randrange(1, 4) * 5
+            sid = iceberg_update_where(spark, t, f"k % {m} = {r}",
+                                       {"g": f"g + {inc}"},
+                                       mode=rng.choice(["position",
+                                                        "dv"]))
+            hit = [k for k in model if k % m == r]
+            if not hit:
+                assert sid == last_sid
+                continue
+            last_sid = sid
+            model = {k: (g + inc if k % m == r else g)
+                     for k, g in model.items()}
         else:
             g = rng.randrange(5)
             sid = iceberg_delete_where(spark, t, f"g = {g}",
@@ -3053,3 +3069,139 @@ def test_puffin_writer_matches_frozen_golden_bytes(tmp_path):
     # except JSON key order artifacts — here they are constructed to
     # agree EXACTLY, so the golden is spec-anchored
     assert _hand_built_puffin_dv().hex() == _PUFFIN_GOLDEN_HEX
+
+
+# ---------------------------------------------------------------------------
+# first-class UPDATE (iceberg_update_where): delete-old + add-new in ONE
+# atomic snapshot
+
+
+def test_iceberg_update_where_single_snapshot_and_semantics(spark,
+                                                            tmp_path):
+    """UPDATE SET v = v + 100 WHERE pred: exactly ONE new snapshot holds
+    both the row deletes and the post-image rows; unmatched rows are
+    byte-identical; time travel still serves the pre-update state; a
+    self-referential predicate binds to PRE-update values; no match ->
+    no commit."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        iceberg_snapshot_ids,
+        iceberg_update_where,
+    )
+
+    t = str(tmp_path / "upd")
+    df = spark.range(0, 30).selectExpr("id AS k", "CAST(id AS double) AS v")
+    write_iceberg_table(spark, [df.repartition(2)], t)
+
+    n0 = len(iceberg_snapshot_ids(spark, t))
+    s1 = iceberg_update_where(spark, t, "k % 3 = 0", {"v": "v + 100"})
+    assert len(iceberg_snapshot_ids(spark, t)) == n0 + 1   # atomic
+    got = {r.k: r.v for r in read_iceberg_snapshot(spark, t).collect()}
+    assert got == {k: float(k) + (100 if k % 3 == 0 else 0)
+                   for k in range(30)}
+
+    # time travel: the pre-update snapshot is intact
+    pre = {r.k: r.v for r in read_iceberg_snapshot(
+        spark, t, snapshot_id=1000).collect()}
+    assert pre == {k: float(k) for k in range(30)}
+
+    # self-referential: v in both SET and WHERE binds to pre-update
+    iceberg_update_where(spark, t, "v <= 4", {"v": "v + 1000"})
+    got = {r.k: r.v for r in read_iceberg_snapshot(spark, t).collect()}
+    # pre-state: v(k) = k + (100 if k%3==0); v<=4 -> k in {1,2,4}
+    expect = {}
+    for k in range(30):
+        v = float(k) + (100 if k % 3 == 0 else 0)
+        expect[k] = v + 1000 if v <= 4 else v
+    assert got == expect
+
+    # no match -> no commit
+    n1 = len(iceberg_snapshot_ids(spark, t))
+    assert iceberg_update_where(spark, t, "k < 0", {"v": "0.0"}) > 0
+    assert len(iceberg_snapshot_ids(spark, t)) == n1
+
+    # bad SET column rejects loudly
+    with pytest.raises(ValueError, match="absent"):
+        iceberg_update_where(spark, t, "k = 1", {"nope": "1"})
+
+
+def test_iceberg_update_where_dv_mode_and_one_dv_per_file(spark,
+                                                          tmp_path):
+    """mode='dv' upgrades to v3 and stores the update's row deletes as
+    deletion vectors; a second update touching the same files UNIONS
+    into one DV per file (the v3 invariant); compaction afterwards
+    folds everything with no resurrection."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        compact_iceberg_table,
+        iceberg_update_where,
+        live_data_files,
+        read_table_metadata,
+    )
+
+    t = str(tmp_path / "upddv")
+    df = spark.range(0, 40).selectExpr("id AS k", "CAST(id AS double) AS v")
+    write_iceberg_table(spark, [df.coalesce(1)], t)
+
+    iceberg_update_where(spark, t, "k % 4 = 1", {"v": "v * 10"},
+                         mode="dv")
+    assert int(read_table_metadata(spark, t)["format-version"]) == 3
+    iceberg_update_where(spark, t, "k % 4 = 2", {"v": "v * 100"},
+                         mode="dv")
+
+    def state():
+        return {r.k: r.v for r in
+                read_iceberg_snapshot(spark, t).collect()}
+
+    expect = {k: float(k) * (10 if k % 4 == 1 else
+                             100 if k % 4 == 2 else 1)
+              for k in range(40)}
+    assert state() == expect
+
+    deletes: list[dict] = []
+    live_data_files(spark, t, read_table_metadata(spark, t),
+                    None, deletes_out=deletes)
+    dv_refs = [d["referenced_data_file"] for d in deletes
+               if d.get("content_offset") is not None]
+    assert len(dv_refs) == len(set(dv_refs))   # one live DV per file
+
+    assert compact_iceberg_table(spark, t) is not None
+    assert state() == expect
+
+
+def test_iceberg_update_where_partitioned_and_race(spark, tmp_path,
+                                                   monkeypatch):
+    """Post-image rows of a PARTITIONED table land in correct partition
+    slices (manifest partition values match the rows), and a lost
+    metadata CAS rebases: re-derive + retry, final state exact."""
+    from databricks_import_pyspark_scripts_spark.sinks import delta_writer
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        iceberg_update_where,
+        live_data_files,
+        read_table_metadata,
+    )
+
+    t = str(tmp_path / "updpart")
+    df = spark.range(0, 30).selectExpr("id AS k", "id % 3 AS g",
+                                       "CAST(id AS double) AS v")
+    write_iceberg_table(spark, [df], t, partition_by=["g"])
+
+    real = delta_writer._atomic_create
+    state = {"failed": False}
+
+    def flaky(spark_, path, payload):
+        if not state["failed"] and "metadata.json" in path:
+            state["failed"] = True
+            return False
+        return real(spark_, path, payload)
+
+    monkeypatch.setattr(delta_writer, "_atomic_create", flaky)
+    iceberg_update_where(spark, t, "g = 1", {"v": "v + 0.5"})
+    assert state["failed"]
+    got = {r.k: r.v for r in read_iceberg_snapshot(spark, t).collect()}
+    assert got == {k: float(k) + (0.5 if k % 3 == 1 else 0)
+                   for k in range(30)}
+    # partition pruning still correct: only g=1 files carry updated rows
+    meta = read_table_metadata(spark, t)
+    g1 = read_iceberg_snapshot(
+        spark, t, partition_filter=lambda part: part.get("g") == 1)
+    assert sorted(r.k for r in g1.collect()) == \
+        [k for k in range(30) if k % 3 == 1]

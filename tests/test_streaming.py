@@ -599,3 +599,82 @@ def test_stream_delta_first_seen_exactly_once_redelivery(spark, tmp_path):
     assert stream_delta_first_seen(spark, src, tgt, mark) == 3
     got = sorted(r.doc_id for r in read_delta_snapshot(spark, tgt).collect())
     assert got == list(range(15))
+
+
+def test_readstream_format_delta_jarless(spark, tmp_path):
+    """REAL spark.readStream over the jar-less log via the Python Data
+    Source API: appends stream exactly-once into a checkpointed parquet
+    sink; a restart on the same checkpoint resumes from the persisted
+    offset (no replay, no loss); a delete commit fails the stream loudly
+    unless ignoreDeletes=true skips it."""
+    import pyspark
+
+    if tuple(int(x) for x in pyspark.__version__.split(".")[:2]) < (4, 0):
+        pytest.skip("Python Data Source API needs Spark 4")
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        append_delta,
+        create_delta_table,
+        delete_where,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.delta_stream_datasource import (
+        register_delta_stream_source,
+    )
+
+    register_delta_stream_source(spark)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # one file per commit so the later delete is FILE-ALIGNED: a
+    # remove-only commit, the shape ignoreDeletes exists for (a partial
+    # delete rewrites files, which a table-view stream cannot skip
+    # without re-serving the rewrite — Delta's own ignoreChanges caveat)
+    df0 = spark.range(0, 10).selectExpr(
+        "id AS k", "CAST(id AS double) AS v").coalesce(1)
+    create_delta_table(spark, df0, src)
+    append_delta(spark, spark.range(10, 15).selectExpr(
+        "id AS k", "CAST(id AS double) AS v").coalesce(1), src)
+
+    def drain(out_dir, ckpt_dir, **opts):
+        reader = (spark.readStream.format("delta_jarless")
+                  .option("path", src))
+        for key, val in opts.items():
+            reader = reader.option(key, val)
+        q = (reader.load().writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ckpt_dir)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        ks = [r.k for r in spark.read.parquet(out_dir)
+              .select("k").collect()]
+        assert len(ks) == len(set(ks)), "duplicate rows: not exactly-once"
+        return sorted(ks)
+
+    assert drain(out, ckpt) == list(range(15))
+
+    # restart on the SAME checkpoint: only the new commit streams
+    append_delta(spark, spark.range(15, 18).selectExpr(
+        "id AS k", "CAST(id AS double) AS v").coalesce(1), src)
+    assert drain(out, ckpt) == list(range(18))
+
+    # a delete commit must fail the stream loudly ...
+    delete_where(spark, src, "k < 10")      # drops file 1 whole
+    with pytest.raises(StreamingQueryException, match="removes data"):
+        drain(out, ckpt)
+    # ... and ignoreDeletes skips it. Engine caveat (Spark's
+    # AvailableNowDataStreamWrapper around Python sources): the first
+    # restart after a FAILED batch settles only the recovered batch,
+    # the following trigger continues with new data.
+    append_delta(spark, spark.range(18, 20).selectExpr(
+        "id AS k", "CAST(id AS double) AS v").coalesce(1), src)
+    assert drain(out, ckpt, ignoreDeletes="true") == list(range(18))
+    assert drain(out, ckpt, ignoreDeletes="true") == list(range(20))
+
+    # maxVersionsPerTrigger bounds each micro-batch's commit span; a
+    # fresh checkpoint replays the full append history (the deleted
+    # file's rows included — stream semantics, not table semantics)
+    out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    assert drain(out2, ckpt2, ignoreDeletes="true",
+                 maxVersionsPerTrigger="1") == list(range(20))
