@@ -39,6 +39,7 @@ def build_parser() -> argparse.ArgumentParser:
                             "iceberg-expire", "iceberg-set-ref",
                             "iceberg-drop-ref", "iceberg-rewrite-manifests",
                             "iceberg-delete-where", "iceberg-update-where",
+                            "iceberg-merge",
                             "iceberg-enable-row-lineage", "uniform-sync",
                             "delta-clone",
                             "delta-optimize", "delta-vacuum",
@@ -105,10 +106,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "SQL predicate selecting the rows (one atomic "
                         "merge-on-read commit; nothing matched -> no "
                         "commit)")
+    p.add_argument("--merge-on", default=None,
+                   help="iceberg-merge: comma-separated merge key "
+                        "columns (MERGE INTO ... ON)")
     p.add_argument("--set-exprs", default=None,
-                   help='iceberg-update-where: JSON {column: SQL expr} '
-                        'evaluated on the PRE-update row, e.g. '
-                        '\'{"v": "v + 1"}\'')
+                   help='iceberg-update-where / iceberg-merge (matched-'
+                        'update clause, t./s. qualified): JSON '
+                        '{column: SQL expr}')
     p.add_argument("--delete-mode", default="position",
                    choices=("position", "dv", "equality"),
                    help="iceberg-delete-where: physical delete layout "
@@ -352,6 +356,34 @@ def _run_maintenance(args) -> int:
         report = {"table": args.table, "snapshot_id": sid,
                   "deleted_any": sid != before,
                   "mode": args.delete_mode,
+                  "live_rows": read_iceberg_snapshot(spark,
+                                                     table_path).count()}
+    elif args.maintenance == "iceberg-merge":
+        import json as _json
+
+        from .sources.iceberg import (
+            iceberg_merge_into,
+            iceberg_snapshot_ids,
+            read_iceberg_snapshot,
+        )
+
+        if not args.append_input or not args.merge_on:
+            print("--append-input (source rows) and --merge-on are "
+                  "required for iceberg-merge", file=sys.stderr)
+            return 2
+        table_path = f"{args.source_root}/{args.table}"
+        reader = (spark.read.json if args.append_input.endswith(".json")
+                  else spark.read.parquet)
+        before = iceberg_snapshot_ids(spark, table_path)[-1]["snapshot_id"]
+        sid = iceberg_merge_into(
+            spark, table_path, reader(args.append_input),
+            args.merge_on.split(","),
+            when_matched_update=(_json.loads(args.set_exprs)
+                                 if args.set_exprs else None),
+            when_matched_delete=args.delete_predicate,
+            when_not_matched_insert=True)
+        report = {"table": args.table, "snapshot_id": sid,
+                  "merged_any": sid != before,
                   "live_rows": read_iceberg_snapshot(spark,
                                                      table_path).count()}
     elif args.maintenance == "iceberg-update-where":

@@ -1561,3 +1561,79 @@ def iceberg_update_where_agg(spark: SparkSession,
             .agg(F.count("*").alias("n"),
                  F.round(F.sum("value"), 4).alias("sum_value"))
             .select("event_type", "n", "sum_value"))
+
+
+_MI_T, _MI_S = "event_id % 2 = 0", "event_id % 3 = 0"
+_MI_DEL = "t.event_id % 30 = 0"
+
+
+def _staged_merge_into(spark: SparkSession, sf_dir: str) -> str:
+    """Staged table driven through MERGE INTO: target = even event_ids,
+    source = every third event_id with value+0.5 — so the matched set
+    (event_id%6=0) exercises update, the %30=0 subset the matched-delete
+    clause (clause order: delete wins), and the odd multiples of 3 the
+    insert clause; compaction folds the snapshot afterwards."""
+    from ..sources.iceberg import (
+        compact_iceberg_table, iceberg_merge_into,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_iceberg_mi_gate_{tag}_v1")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        e = (load_table(spark, sf_dir, "events")
+             .select("event_id", "event_type", "value"))
+        write_iceberg_table(spark, [e.filter(F.expr(_MI_T))
+                                    .repartition(4)], path)
+        src = (e.filter(F.expr(_MI_S))
+               .withColumn("value", F.col("value") + 0.5))
+        iceberg_merge_into(
+            spark, path, src, ["event_id"],
+            when_matched_update={"value": "t.value + s.value"},
+            when_matched_delete=_MI_DEL,
+            when_not_matched_insert=True)
+        assert compact_iceberg_table(spark, path) is not None
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "iceberg_merge_into_agg",
+    f"""
+    WITH t AS (SELECT event_id, event_type, value FROM events
+               WHERE {_MI_T}),
+    s AS (SELECT event_id, event_type, value + 0.5 AS value FROM events
+          WHERE {_MI_S}),
+    kept AS (
+      SELECT t.event_id, t.event_type,
+             CASE WHEN s.event_id IS NOT NULL THEN t.value + s.value
+                  ELSE t.value END AS value
+      FROM t LEFT JOIN s ON t.event_id = s.event_id
+      WHERE s.event_id IS NULL OR t.event_id % 30 <> 0),
+    ins AS (
+      SELECT s.event_id, s.event_type, s.value
+      FROM s LEFT JOIN t ON s.event_id = t.event_id
+      WHERE t.event_id IS NULL),
+    m AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM m GROUP BY event_type
+    """,
+    doc="First-class Iceberg MERGE INTO (sources/iceberg.py "
+        "iceberg_merge_into): all three clauses in ONE merge-on-read "
+        "snapshot — matched rows' old positions as position deletes, "
+        "update post-images (t./s. qualified SET exprs) and not-matched "
+        "inserts as new data files, matched-delete evaluated before "
+        "update (Delta clause order) — then compaction. The oracle "
+        "replays the merge as two outer joins: a doubled insert, "
+        "resurrected pre-image, or clause-order flip breaks n and "
+        "sum_value.")
+def iceberg_merge_into_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _staged_merge_into(spark, sf_dir)
+    return (read_iceberg_snapshot(spark, path)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select("event_type", "n", "sum_value"))

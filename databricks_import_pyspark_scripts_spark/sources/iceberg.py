@@ -3154,16 +3154,18 @@ def _commit_delete_snapshot(spark: SparkSession, table_path: str,
             new_snap)
     entries = [entry] if isinstance(entry, dict) else list(entry)
     entries = [{**e, "snapshot_id": new_snap} for e in entries]
-    mpath = os.path.join(mdir, f"manifest-del-{new_snap}.avro")
-    blob = write_container(_manifest_entry_schema(), entries)
-    with open(mpath, "wb") as f:
-        f.write(blob)
+    all_manifests = list(manifests)
+    if entries:    # a pure-insert MERGE commits no delete manifest
+        mpath = os.path.join(mdir, f"manifest-del-{new_snap}.avro")
+        blob = write_container(_manifest_entry_schema(), entries)
+        with open(mpath, "wb") as f:
+            f.write(blob)
+        all_manifests.append({
+            "manifest_path": mpath, "manifest_length": len(blob),
+            "partition_spec_id": 0, "content": 1,
+            "added_snapshot_id": new_snap,
+            "sequence_number": new_seq, "min_sequence_number": new_seq})
     mlpath = os.path.join(mdir, f"snap-{new_snap}.avro")
-    all_manifests = list(manifests) + [{
-        "manifest_path": mpath, "manifest_length": len(blob),
-        "partition_spec_id": 0, "content": 1,
-        "added_snapshot_id": new_snap,
-        "sequence_number": new_seq, "min_sequence_number": new_seq}]
     if data_entries:
         d_entries = [{**e, "snapshot_id": new_snap}
                      for e in data_entries]
@@ -3478,6 +3480,189 @@ def iceberg_update_where(spark: SparkSession, table_path: str,
             last = exc     # head moved: loop re-scans and re-derives
     raise IcebergCommitConflict(
         f"UPDATE WHERE on {table_path} lost {max_retries + 1} commit "
+        f"races") from last
+
+
+def iceberg_merge_into(spark: SparkSession, table_path: str,
+                       source: DataFrame, on: list[str],
+                       when_matched_update: dict[str, str] | None = None,
+                       when_matched_delete: str | None = None,
+                       when_not_matched_insert: bool = True,
+                       mode: str = "position",
+                       max_retries: int = 5) -> int:
+    """``MERGE INTO <iceberg table> t USING <source> s ON <keys>`` as ONE
+    atomic merge-on-read commit — the upsert verb a CDC consumer needs,
+    completing the DML trio with ``iceberg_delete_where`` /
+    ``iceberg_update_where``. Clause semantics mirror the Delta writer
+    (``sinks/delta_writer.merge_into``):
+
+    * ``when_matched_update``: ``{target_col: sql_expr}`` over the
+      joined row — QUALIFY columns as ``t.<col>`` / ``s.<col>`` (both
+      sides expose the same names; a bare name is ambiguous and Spark
+      rejects it).
+    * ``when_matched_delete``: SQL condition (same namespace) selecting
+      matched rows to DELETE instead; evaluated BEFORE update (Delta's
+      clause order) — a matched row failing it falls through to update.
+    * ``when_not_matched_insert``: insert source rows with no target
+      match (source must carry the full table schema).
+
+    Physical form (no rewrite, MoR): matched rows' old positions become
+    position deletes (or deletion vectors, ``mode='dv'`` / v3 tables);
+    update post-images and inserts stage as new data files; one snapshot
+    references all of it. Multiple source rows matching one target row
+    raise ``ValueError`` (nondeterministic-merge protection, bounded
+    |matched-positions| aggregate probed with limit(1), never a
+    collect). Nothing matched AND nothing to insert -> no commit. A lost
+    metadata CAS re-derives against the new head and retries."""
+    import uuid as _uuid
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+
+    if _is_metadata_handle(table_path):
+        raise NotImplementedError(
+            "catalog-managed (*.metadata.json) handles are READ-ONLY "
+            "here: commits must go through the owning catalog, not "
+            "the file layout")
+    if not _is_local(table_path):
+        raise NotImplementedError(
+            "iceberg_merge_into commits via local atomic create")
+    if mode not in ("position", "dv"):
+        raise ValueError(f"mode must be position|dv, got {mode!r}")
+
+    last: Exception | None = None
+    for _ in range(max_retries + 1):
+        meta = read_table_metadata(spark, table_path)
+        schema_fields = _current_schema(meta)["fields"]
+        for f in schema_fields:
+            if not isinstance(f["type"], str):
+                raise IcebergProtocolError(
+                    "merge supports flat primitive schemas")
+        names = [f["name"] for f in schema_fields]
+        bad_on = [c for c in on if c not in names]
+        if bad_on:
+            raise ValueError(f"merge keys {bad_on} are not table columns")
+        if when_matched_update:
+            bad = [c for c in when_matched_update if c not in names]
+            if bad:
+                raise ValueError(f"SET columns {bad} absent from the "
+                                 f"table schema")
+        missing_src = [c for c in names if c not in source.columns]
+        if when_not_matched_insert and missing_src:
+            raise ValueError(
+                f"insert clause needs the full table schema on the "
+                f"source; missing {missing_src}")
+        use_dv = mode == "dv" or int(meta.get("format-version", 1)) >= 3
+        root = _strip_scheme(table_path)
+
+        cur, _, deletes = _provenance_scan(spark, table_path, meta,
+                                           "MERGE")
+        t = cur.alias("t")
+        s = source.alias("s")
+        cond = None
+        for c in on:
+            eq = F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
+            cond = eq if cond is None else (cond & eq)
+        joined = t.join(s, cond, "inner")
+        pf, pp = f"t.{_PROV_F}", f"t.{_PROV_P}"
+        # nondeterministic-merge guard: >1 source row per target row
+        dup = (joined.groupBy(F.col(pf), F.col(pp)).count()
+               .filter(F.col("count") > 1).limit(1).count())
+        if dup:
+            raise ValueError(
+                "MERGE matched multiple source rows to one target row; "
+                "deduplicate the source on the merge keys first")
+
+        dead_cond = (F.expr(when_matched_delete)
+                     if when_matched_delete is not None else F.lit(False))
+        upd = joined.filter(~dead_cond) if when_matched_update else None
+
+        def _pos(df):
+            return df.select(F.col(pf).alias(_PROV_F),
+                             F.col(pp).alias(_PROV_P))
+
+        dead_pos = _pos(joined.filter(dead_cond))
+        if when_matched_update:
+            # updated rows' OLD positions die too (project provenance
+            # FIRST: the joined frame carries duplicate column names)
+            dead_pos = dead_pos.unionByName(_pos(upd))
+        doomed = dead_pos.collect()
+
+        pieces = []
+        if when_matched_update:
+            pieces.append(upd.select(*[
+                F.expr(when_matched_update.get(f["name"],
+                                               f't.{f["name"]}'))
+                .cast(_spark_type(f["type"])).alias(f["name"])
+                for f in schema_fields]))
+        if when_not_matched_insert:
+            anti = s.join(t, cond, "left_anti")
+            pieces.append(anti.select(*[
+                F.col(f's.{f["name"]}')
+                .cast(_spark_type(f["type"])).alias(f["name"])
+                for f in schema_fields]))
+        new_rows = None
+        for p_df in pieces:
+            new_rows = p_df if new_rows is None \
+                else new_rows.unionByName(p_df)
+
+        has_new = new_rows is not None and bool(new_rows.take(1))
+        if not doomed and not has_new:
+            return int(meta["current-snapshot-id"])
+
+        # partition machinery, identical to the append writers
+        sid = meta.get("default-spec-id", 0)
+        spec = next((sp for sp in (meta.get("partition-specs") or [])
+                     if sp.get("spec-id", 0) == sid), {"fields": []})
+        src_by_id = {int(f["id"]): f for f in schema_fields}
+        part_by, transforms = [], []
+        for f in spec.get("fields") or []:
+            src_name = src_by_id[int(f["source-id"])]["name"]
+            tr = f.get("transform") or "identity"
+            if tr == "identity":
+                part_by.append(src_name)
+            else:
+                transforms.append((f["name"], tr, src_name))
+        part_fields = _part_avro_fields(schema_fields, part_by,
+                                        transforms)
+
+        tag = f"m{_uuid.uuid4().hex[:12]}"
+        snap_guess = max(int(sn["snapshot-id"])
+                         for sn in meta["snapshots"]) + 1
+        data_entries = []
+        if has_new:
+            data_entries = _stage_commit(spark, new_rows, root,
+                                         schema_fields, part_fields,
+                                         snap_guess, tag)
+
+        del_entries: list[dict] = []
+        fv = keys = None
+        if doomed:
+            if use_dv:
+                by_file: dict[str, list[int]] = {}
+                for r in doomed:
+                    by_file.setdefault(
+                        re.sub(r"^file:/+", "/", unquote(r[_PROV_F])),
+                        []).append(int(r[_PROV_P]))
+                del_entries, keys = _dv_delete_entries(
+                    spark, table_path, root, meta, by_file, deletes,
+                    tag)
+                fv = 3
+            else:
+                pairs = sorted((re.sub(r"^file:/+", "/",
+                                       unquote(r[_PROV_F])),
+                                int(r[_PROV_P])) for r in doomed)
+                del_entries = [_position_delete_entry(root, pairs, tag)]
+        try:
+            return _commit_delete_snapshot(
+                spark, table_path, del_entries, "overwrite",
+                format_version=fv, supersede_dv_keys=keys,
+                data_entries=data_entries,
+                data_part_fields=part_fields, data_spec_id=sid)
+        except IcebergCommitConflict as exc:
+            last = exc     # head moved: loop re-scans and re-derives
+    raise IcebergCommitConflict(
+        f"MERGE INTO {table_path} lost {max_retries + 1} commit "
         f"races") from last
 
 

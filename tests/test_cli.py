@@ -568,3 +568,41 @@ def test_cli_iceberg_update_where(spark, tmp_path):
            read_iceberg_snapshot(spark, f"{root}/tbl").collect()}
     assert got == {k: float(k) + (100 if k % 3 == 0 else 0)
                    for k in range(12)}
+
+
+def test_cli_iceberg_merge(spark, tmp_path):
+    """iceberg-merge subprocess e2e: upsert source rows from a parquet
+    input through the MERGE verb — matched keys update, fresh keys
+    insert, one atomic snapshot."""
+    import os
+
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        read_iceberg_snapshot,
+        write_iceberg_table,
+    )
+
+    root = str(tmp_path / "root")
+    a = spark.range(0, 10).selectExpr("id AS k", "CAST(id AS double) AS v")
+    write_iceberg_table(spark, [a], f"{root}/tbl")
+    srcdir = str(tmp_path / "src_rows")
+    spark.createDataFrame([(3, 30.0), (12, 12.0)], "k long, v double") \
+        .coalesce(1).write.parquet(srcdir)
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "databricks_import_pyspark_scripts_spark.cli",
+         "--source-root", root, "--table", "tbl",
+         "--maintenance", "iceberg-merge",
+         "--append-input", srcdir, "--merge-on", "k",
+         "--set-exprs", '{"v": "s.v"}'],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        env={"SPARK_GRAFT_CPUS": "4", "PATH": "/usr/bin:/bin",
+             "HOME": "/root",
+             "JAVA_HOME": os.environ.get("JAVA_HOME", "")})
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rep = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert rep["merged_any"] and rep["live_rows"] == 11
+    got = {r.k: r.v for r in
+           read_iceberg_snapshot(spark, f"{root}/tbl").collect()}
+    expect = {k: float(k) for k in range(10)}
+    expect[3], expect[12] = 30.0, 12.0
+    assert got == expect

@@ -1329,6 +1329,7 @@ def test_iceberg_writer_random_histories_match_model(spark, tmp_path, seed):
     from databricks_import_pyspark_scripts_spark.sources.iceberg import (
         append_iceberg,
         iceberg_delete_where,
+        iceberg_merge_into,
         iceberg_snapshot_ids,
         iceberg_update_where,
     )
@@ -1347,7 +1348,8 @@ def test_iceberg_writer_random_histories_match_model(spark, tmp_path, seed):
     next_k = 30
     last_sid = 1000
     for _ in range(6):
-        op = rng.choice(["append", "posdel", "eqdel", "dvdel", "upd"])
+        op = rng.choice(["append", "posdel", "eqdel", "dvdel", "upd",
+                         "merge"])
         if op == "append":
             n = rng.randrange(5, 15)
             last_sid = append_iceberg(spark, frame(next_k, next_k + n), t)
@@ -1365,6 +1367,23 @@ def test_iceberg_writer_random_histories_match_model(spark, tmp_path, seed):
                 continue
             last_sid = sid
             model = {k: g for k, g in model.items() if k % m != r}
+        elif op == "merge":
+            # upsert: half existing keys (update g = s.g), half fresh
+            ex = rng.sample(sorted(model), min(len(model), 3))
+            fresh = list(range(next_k, next_k + rng.randrange(0, 4)))
+            next_k += len(fresh)
+            rows = [(k, k % 7 + 50) for k in ex + fresh]
+            if not rows:
+                continue
+            sdf = spark.createDataFrame(rows, "k long, g long")
+            sid = iceberg_merge_into(
+                spark, t, sdf, ["k"],
+                when_matched_update={"g": "s.g"},
+                when_not_matched_insert=True,
+                mode=rng.choice(["position", "dv"]))
+            last_sid = sid
+            for k, g in rows:
+                model[k] = g
         elif op == "upd":
             m = rng.choice([2, 3, 5])
             r = rng.randrange(m)
@@ -3205,3 +3224,98 @@ def test_iceberg_update_where_partitioned_and_race(spark, tmp_path,
         spark, t, partition_filter=lambda part: part.get("g") == 1)
     assert sorted(r.k for r in g1.collect()) == \
         [k for k in range(30) if k % 3 == 1]
+
+
+def test_iceberg_merge_into_three_clauses_one_commit(spark, tmp_path):
+    """MERGE with all three clauses lands as ONE snapshot: matched-delete
+    wins over update (clause order), updates bind t./s. sides, inserts
+    carry source rows, untouched rows stay byte-identical, time travel
+    serves the pre-merge state, and a duplicate-match source rejects."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        iceberg_merge_into,
+        iceberg_snapshot_ids,
+    )
+
+    t = str(tmp_path / "mrg")
+    df = spark.range(0, 20).selectExpr("id AS k", "CAST(id AS double) AS v")
+    write_iceberg_table(spark, [df.repartition(2)], t)
+
+    src = spark.createDataFrame(
+        [(5, 0.5), (10, 1.0), (15, 1.5), (20, 2.0), (25, 2.5)],
+        "k long, v double")
+    n0 = len(iceberg_snapshot_ids(spark, t))
+    iceberg_merge_into(
+        spark, t, src, ["k"],
+        when_matched_update={"v": "t.v + s.v"},
+        when_matched_delete="t.k = 10",
+        when_not_matched_insert=True)
+    assert len(iceberg_snapshot_ids(spark, t)) == n0 + 1   # atomic
+
+    got = {r.k: r.v for r in read_iceberg_snapshot(spark, t).collect()}
+    expect = {k: float(k) for k in range(20) if k != 10}
+    expect[5] = 5.5
+    expect[15] = 16.5
+    expect[20] = 2.0
+    expect[25] = 2.5
+    assert got == expect
+
+    pre = {r.k: r.v for r in read_iceberg_snapshot(
+        spark, t, snapshot_id=1000).collect()}
+    assert pre == {k: float(k) for k in range(20)}
+
+    # duplicate source match -> loud rejection, nothing committed
+    dup = spark.createDataFrame([(5, 1.0), (5, 2.0)], "k long, v double")
+    n1 = len(iceberg_snapshot_ids(spark, t))
+    with pytest.raises(ValueError, match="multiple source rows"):
+        iceberg_merge_into(spark, t, dup, ["k"],
+                           when_matched_update={"v": "s.v"})
+    assert len(iceberg_snapshot_ids(spark, t)) == n1
+
+    # nothing matched, nothing to insert -> no commit
+    empty = spark.createDataFrame([], "k long, v double")
+    iceberg_merge_into(spark, t, empty, ["k"],
+                       when_matched_update={"v": "s.v"})
+    assert len(iceberg_snapshot_ids(spark, t)) == n1
+
+
+def test_iceberg_merge_into_pure_insert_and_dv_mode(spark, tmp_path):
+    """A merge with no matches commits a data-only snapshot (no empty
+    delete manifest); dv mode stores matched deletes as deletion vectors
+    and upgrades to v3; compaction after the merge folds everything."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        _snapshot,
+        compact_iceberg_table,
+        iceberg_merge_into,
+        read_table_metadata,
+    )
+
+    t = str(tmp_path / "mrgdv")
+    df = spark.range(0, 10).selectExpr("id AS k", "CAST(id AS double) AS v")
+    write_iceberg_table(spark, [df], t)
+
+    # pure insert
+    ins = spark.createDataFrame([(100, 1.0), (101, 2.0)],
+                                "k long, v double")
+    iceberg_merge_into(spark, t, ins, ["k"])
+    assert _ks(read_iceberg_snapshot(spark, t)) == \
+        list(range(10)) + [100, 101]
+    meta = read_table_metadata(spark, t)
+    _, manifests = read_container(open(_snapshot(
+        meta, None)["manifest-list"], "rb").read())
+    assert all(int(m.get("content") or 0) == 0 for m in manifests), \
+        "pure-insert merge must not write a delete manifest"
+
+    # upsert in dv mode
+    up = spark.createDataFrame([(3, 30.0), (100, 0.0), (200, 9.0)],
+                               "k long, v double")
+    iceberg_merge_into(spark, t, up, ["k"],
+                       when_matched_update={"v": "s.v"}, mode="dv")
+    assert int(read_table_metadata(spark, t)["format-version"]) == 3
+    got = {r.k: r.v for r in read_iceberg_snapshot(spark, t).collect()}
+    expect = {k: float(k) for k in range(10)}
+    expect[3], expect[100], expect[101], expect[200] = 30.0, 0.0, 2.0, 9.0
+    assert got == expect
+
+    assert compact_iceberg_table(spark, t) is not None
+    assert {r.k: r.v for r in
+            read_iceberg_snapshot(spark, t).collect()} == expect
