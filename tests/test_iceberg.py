@@ -1425,6 +1425,27 @@ def test_iceberg_writer_random_histories_match_model(spark, tmp_path, seed):
             spark, t, snapshot_id=sn["snapshot_id"]).collect()}
         assert got == history[ordinal], (seed, ordinal)
 
+    # CDC-RECONSTRUCTION invariant (the Iceberg twin of the Delta
+    # writer model's r11 invariant): replaying every ordinal step's
+    # synthesized change feed onto the prior state must reproduce the
+    # snapshot exactly — over whatever mix of appends, position/
+    # equality/DV deletes, UPDATEs, and MERGEs the seed produced.
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        read_iceberg_changes,
+    )
+
+    state: dict[int, int] = {}
+    for ordinal in range(len(snaps)):
+        rows = read_iceberg_changes(spark, t, ordinal - 1,
+                                    ordinal).collect()
+        for r in rows:                       # deletes first, then inserts
+            if r._change_type == "delete":
+                assert state.pop(r.k, None) is not None,                     (seed, ordinal, "delete of a row not in state")
+        for r in rows:
+            if r._change_type == "insert":
+                state[r.k] = r.g
+        assert state == history[ordinal], (seed, ordinal, "cdc replay")
+
 
 # ---------------------------------------------------------------------------
 # r10 review fixes: hint atomicity/tolerance, stored-path decoding,
