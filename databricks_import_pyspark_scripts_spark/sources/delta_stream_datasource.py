@@ -41,6 +41,7 @@ from typing import TYPE_CHECKING, Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -68,13 +69,16 @@ def _actions(table_path: str, version: int) -> list[dict]:
         return [json.loads(line) for line in f if line.strip()]
 
 
-def _snapshot_meta(table_path: str, versions: list[int]) -> dict:
+def _snapshot_meta(table_path: str, versions: list[int],
+                   up_to: int | None = None) -> dict:
     """Latest metaData action (schema + configuration) by forward scan —
     the stream planner needs only the schema and reader-feature guards,
     not full state reconstruction."""
     meta: dict = {}
     protocol: dict = {}
     for v in versions:
+        if up_to is not None and v > up_to:
+            break
         for a in _actions(table_path, v):
             if "metaData" in a:
                 meta = a["metaData"]
@@ -174,10 +178,60 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         checkpoint, and the log itself is append-only input."""
 
 
+def _live_files(table_path: str, version: int | None = None
+                ) -> list[str]:
+    """Snapshot live-file set by forward log replay (adds minus removes
+    by path), optionally as of ``version`` — the batch reader's planner.
+    Compaction's dataChange=false adds/removes are layout changes and
+    replay identically."""
+    versions = _log_versions(table_path)
+    if version is not None:
+        if version not in versions:
+            raise ValueError(
+                f"version {version} not in the log of {table_path} "
+                f"(have {versions[0]}..{versions[-1]})")
+        versions = [v for v in versions if v <= version]
+    live: dict[str, str] = {}
+    for v in versions:
+        for a in _actions(table_path, v):
+            if "add" in a:
+                live[a["add"]["path"]] = a["add"]["path"]
+            elif "remove" in a:
+                live.pop(a["remove"]["path"], None)
+    return [os.path.join(table_path, p) for p in sorted(live)]
+
+
+class DeltaLogBatchReader(DataSourceReader):
+    """Batch half of the format: one InputPartition per live file at the
+    requested version (``versionAsOf`` option), pyarrow-read with column
+    pruning. Same plan-time guards as the stream (DV/column-mapping
+    tables reject loudly — ``sources/delta_log.read_delta_snapshot`` is
+    the full-semantics reader)."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self._path = options["path"]
+        self._schema = schema
+        v = options.get("versionasof")
+        self._version = int(v) if v is not None else None
+
+    def partitions(self) -> list[InputPartition]:
+        cols = [f.name for f in self._schema.fields]
+        return [_FilePartition(p, cols)
+                for p in _live_files(self._path, self._version)]
+
+    def read(self, partition: InputPartition
+             ) -> Iterator["pa.RecordBatch"]:
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.path, columns=partition.columns)
+        yield from table.to_batches()
+
+
 class DeltaJarlessDataSource(DataSource):
     """``spark.dataSource.register(DeltaJarlessDataSource)`` then
-    ``spark.readStream.format("delta_jarless").option("path", t).load()``.
-    """
+    ``spark.read.format("delta_jarless").option("path", t).load()`` for a
+    snapshot (``versionAsOf`` optional) or ``spark.readStream`` for the
+    commit stream."""
 
     @classmethod
     def name(cls) -> str:
@@ -187,9 +241,17 @@ class DeltaJarlessDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("delta_jarless requires .option('path', ...)")
-        versions = _log_versions(path)
-        meta = _snapshot_meta(path, versions)
+        v = self.options.get("versionasof")
+        meta = _snapshot_meta(path, _log_versions(path),
+                              up_to=int(v) if v is not None else None)
         return StructType.fromJson(json.loads(meta["schemaString"]))
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        v = self.options.get("versionasof")
+        _snapshot_meta(self.options["path"],
+                       _log_versions(self.options["path"]),
+                       up_to=int(v) if v is not None else None)
+        return DeltaLogBatchReader(schema, dict(self.options))
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         # re-run the guards with the resolved schema (schema() may be

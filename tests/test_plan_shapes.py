@@ -341,3 +341,26 @@ def test_psi_quantile_two_scans_edges_broadcast(spark, sf_dir):
     plan = _plan(df)
     assert _scans(plan, "events") == 2
     assert _nodes(plan, "BroadcastHashJoin") >= 1
+
+
+def test_phash_decode_executes_once_and_stays_arrow(spark, sf_dir):
+    """The real-PNG pHash pipeline decodes each image EXACTLY once (one
+    MapInPandas stage feeding the single banded groupBy — bucket_pairs'
+    no-self-join shape) and keeps hamming verification JVM-side: a
+    second decode stage or a row-at-a-time BatchEvalPython is a scale
+    regression (decode is the expensive step at 100 TB of media)."""
+    df = all_queries()["multimodal_phash_near_dup"](spark, sf_dir)
+    plan = _plan(df)
+    assert _nodes(plan, "MapInPandas") == 1
+    assert _nodes(plan, "BatchEvalPython") == 0
+
+
+def test_update_where_gate_reads_plain_scan(spark, sf_dir):
+    """After DELETE/UPDATE/MERGE + compaction, the gate's read plan is a
+    plain parquet aggregate — no python stages, no joins: compaction
+    folded every merge-on-read structure back into data files."""
+    df = all_queries()["iceberg_update_where_agg"](spark, sf_dir)
+    plan = _plan(df)
+    assert _nodes(plan, "MapInPandas") == 0
+    assert _nodes(plan, "BatchEvalPython") == 0
+    assert "Join" not in plan

@@ -678,3 +678,56 @@ def test_readstream_format_delta_jarless(spark, tmp_path):
     out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
     assert drain(out2, ckpt2, ignoreDeletes="true",
                  maxVersionsPerTrigger="1") == list(range(20))
+
+
+def test_batch_read_format_delta_jarless(spark, tmp_path):
+    """spark.read.format("delta_jarless"): the batch half of the format —
+    live-file snapshot at head or versionAsOf, file-aligned deletes
+    reflected, DV tables rejected loudly at plan time."""
+    import pyspark
+
+    if tuple(int(x) for x in pyspark.__version__.split(".")[:2]) < (4, 0):
+        pytest.skip("Python Data Source API needs Spark 4")
+
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        append_delta,
+        create_delta_table,
+        delete_where,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.delta_stream_datasource import (
+        register_delta_stream_source,
+    )
+
+    register_delta_stream_source(spark)
+    src = str(tmp_path / "t")
+    create_delta_table(spark, spark.range(0, 10).selectExpr(
+        "id AS k", "CAST(id AS double) AS v").coalesce(1), src)   # v0
+    append_delta(spark, spark.range(10, 15).selectExpr(
+        "id AS k", "CAST(id AS double) AS v").coalesce(1), src)   # v1
+    delete_where(spark, src, "k < 10")                            # v2
+
+    def rd(**opts):
+        r = spark.read.format("delta_jarless").option("path", src)
+        for key, val in opts.items():
+            r = r.option(key, val)
+        return sorted(x.k for x in r.load().select("k").collect())
+
+    assert rd() == list(range(10, 15))                  # head: post-delete
+    assert rd(versionAsOf="1") == list(range(15))       # time travel
+    assert rd(versionAsOf="0") == list(range(10))
+    with pytest.raises(Exception, match="not in the log"):
+        rd(versionAsOf="9")
+
+    # column pruning reaches the pyarrow read: a projected load works
+    one_col = (spark.read.format("delta_jarless").option("path", src)
+               .load().select("v"))
+    assert len(one_col.collect()) == 5
+
+    # DV-bearing table -> loud plan-time rejection
+    dv = str(tmp_path / "dv")
+    create_delta_table(spark, spark.range(0, 10).selectExpr(
+        "id AS k", "CAST(id AS double) AS v"), dv)
+    delete_where(spark, dv, "k = 3", use_dv=True)
+    with pytest.raises(Exception, match="deletion vectors"):
+        (spark.read.format("delta_jarless").option("path", dv)
+         .load().collect())
