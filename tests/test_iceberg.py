@@ -1328,6 +1328,7 @@ def test_iceberg_writer_random_histories_match_model(spark, tmp_path, seed):
 
     from databricks_import_pyspark_scripts_spark.sources.iceberg import (
         append_iceberg,
+        compact_iceberg_table,
         iceberg_delete_where,
         iceberg_merge_into,
         iceberg_snapshot_ids,
@@ -1349,7 +1350,7 @@ def test_iceberg_writer_random_histories_match_model(spark, tmp_path, seed):
     last_sid = 1000
     for _ in range(6):
         op = rng.choice(["append", "posdel", "eqdel", "dvdel", "upd",
-                         "merge"])
+                         "merge", "compact"])
         if op == "append":
             n = rng.randrange(5, 15)
             last_sid = append_iceberg(spark, frame(next_k, next_k + n), t)
@@ -1367,6 +1368,12 @@ def test_iceberg_writer_random_histories_match_model(spark, tmp_path, seed):
                 continue
             last_sid = sid
             model = {k: g for k, g in model.items() if k % m != r}
+        elif op == "compact":
+            sid = compact_iceberg_table(spark, t)
+            if sid is None:
+                continue               # <=1 data manifest: no-op
+            last_sid = sid
+            # content unchanged; the replace snapshot is its own ordinal
         elif op == "merge":
             # upsert: half existing keys (update g = s.g), half fresh
             ex = rng.sample(sorted(model), min(len(model), 3))
