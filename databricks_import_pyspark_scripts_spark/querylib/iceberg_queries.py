@@ -1637,3 +1637,83 @@ def iceberg_merge_into_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"),
                  F.round(F.sum("value"), 4).alias("sum_value"))
             .select("event_type", "n", "sum_value"))
+
+
+_DML_BASE = "event_id % 2 = 0"
+
+
+def _staged_dml_cdf(spark: SparkSession, sf_dir: str) -> str:
+    """Four-ordinal DML history for the change feed: base insert, a
+    DELETE WHERE, an UPDATE WHERE, and a MERGE (update + insert clauses)
+    — every row-level verb the engine exposes, so the synthesized feed's
+    effective-set diffs are exercised over real delete manifests and
+    same-snapshot delete+data commits."""
+    from ..sources.iceberg import (
+        iceberg_delete_where, iceberg_merge_into, iceberg_update_where,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_iceberg_dmlcdf_gate_{tag}_v1")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        e = (load_table(spark, sf_dir, "events")
+             .select("event_id", "event_type", "value"))
+        write_iceberg_table(spark, [e.filter(F.expr(_DML_BASE))
+                                    .repartition(3)], path)
+        iceberg_delete_where(spark, path, "event_id % 10 = 4")
+        iceberg_update_where(spark, path, "event_id % 10 = 6",
+                             {"value": "value + 1000"})
+        src = e.filter(F.expr("event_id % 10 IN (8, 1)"))
+        iceberg_merge_into(spark, path, src, ["event_id"],
+                           when_matched_update={"value": "t.value + 1"},
+                           when_not_matched_insert=True)
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "iceberg_dml_cdf_feed_agg",
+    f"""
+    WITH base AS (SELECT event_id, event_type, value FROM events
+                  WHERE {_DML_BASE}),
+    steps AS (
+      SELECT 0 AS v, 'insert' AS ct, event_type, value FROM base
+      UNION ALL SELECT 1, 'delete', event_type, value FROM base
+        WHERE event_id % 10 = 4
+      UNION ALL SELECT 2, 'delete', event_type, value FROM base
+        WHERE event_id % 10 = 6
+      UNION ALL SELECT 2, 'insert', event_type, value + 1000 FROM base
+        WHERE event_id % 10 = 6
+      UNION ALL SELECT 3, 'delete', event_type, value FROM base
+        WHERE event_id % 10 = 8
+      UNION ALL SELECT 3, 'insert', event_type, value + 1 FROM base
+        WHERE event_id % 10 = 8
+      UNION ALL SELECT 3, 'insert', event_type, value FROM events
+        WHERE event_id % 10 = 1)
+    SELECT CAST(v AS BIGINT) AS _commit_version, ct AS _change_type,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM steps GROUP BY 1, 2, 3
+    """,
+    doc="Change feed over the DML trio (read_iceberg_changes vs "
+        "delete_where/update_where/merge_into): per (ordinal, "
+        "change_type, event_type) row counts + value sums of the "
+        "SYNTHESIZED feed — the UPDATE and MERGE ordinals must emit "
+        "delete(old)+insert(new) pairs from the same-snapshot delete+"
+        "data commits, the DELETE ordinal only deletes, and no ordinal "
+        "re-reports rows already dead. The oracle enumerates every "
+        "step's expected change rows arithmetically.")
+def iceberg_dml_cdf_feed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.iceberg import read_iceberg_changes
+
+    path = _staged_dml_cdf(spark, sf_dir)
+    return (read_iceberg_changes(spark, path, -1, 3)
+            .groupBy(F.col("_commit_version").cast("long")
+                     .alias("_commit_version"),
+                     "_change_type", "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select("_commit_version", "_change_type", "event_type",
+                    "n", "sum_value"))
