@@ -3347,3 +3347,37 @@ def test_iceberg_merge_into_pure_insert_and_dv_mode(spark, tmp_path):
     assert compact_iceberg_table(spark, t) is not None
     assert {r.k: r.v for r in
             read_iceberg_snapshot(spark, t).collect()} == expect
+
+
+def test_expire_after_dml_keeps_live_delete_files(spark, tmp_path):
+    """Snapshot expiration over a DML history: the puffin DV and the
+    update's post-image files are referenced by the CURRENT snapshot, so
+    expiring every older snapshot must not delete them — the read after
+    expire is unchanged and nothing resurrects."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        expire_iceberg_snapshots,
+        iceberg_delete_where,
+        iceberg_snapshot_ids,
+        iceberg_update_where,
+    )
+
+    t = str(tmp_path / "expdml")
+    df = spark.range(0, 30).selectExpr("id AS k", "CAST(id AS double) AS v")
+    write_iceberg_table(spark, [df.coalesce(1)], t)
+    iceberg_delete_where(spark, t, "k % 5 = 0", mode="dv")
+    iceberg_update_where(spark, t, "k % 7 = 1", {"v": "v + 100"})
+
+    expect = {k: float(k) + (100 if k % 7 == 1 else 0)
+              for k in range(30) if k % 5 != 0}
+    assert {r.k: r.v for r in
+            read_iceberg_snapshot(spark, t).collect()} == expect
+
+    rep = expire_iceberg_snapshots(spark, t, keep_last=1)
+    assert len(rep["expired"]) == 2
+    assert len(iceberg_snapshot_ids(spark, t)) == 1
+    # live DV puffin + post-image files survived; dead rows stay dead
+    assert {r.k: r.v for r in
+            read_iceberg_snapshot(spark, t).collect()} == expect
+    ddir = os.path.join(t, "data")
+    assert any(n.endswith(".puffin") for n in os.listdir(ddir)), \
+        "live deletion vector was deleted by expire"
