@@ -181,6 +181,7 @@ HEADLINE = [
     "iceberg_update_where_agg",
     "iceberg_merge_into_agg",
     "iceberg_dml_cdf_feed_agg",
+    "iceberg_rest_catalog_delete_agg",
 ]
 
 R11_ROWS = {"uniform_dv_iceberg_read_agg", "delta_identity_merge_agg",
@@ -190,7 +191,7 @@ R11_ROWS = {"uniform_dv_iceberg_read_agg", "delta_identity_merge_agg",
 R12_ROWS = {"iceberg_delete_where_agg", "multimodal_phash_near_dup",
             "delta_stream_first_seen_agg", "iceberg_uuid_time_read_agg",
             "iceberg_update_where_agg", "iceberg_merge_into_agg",
-            "iceberg_dml_cdf_feed_agg"}
+            "iceberg_dml_cdf_feed_agg", "iceberg_rest_catalog_delete_agg"}
 
 EXTENSION_ROWS = {
     "cluster_kmeans_assign", "similarity_topk_pq", "similarity_topk_ivfpq",

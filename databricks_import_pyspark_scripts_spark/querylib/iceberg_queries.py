@@ -1717,3 +1717,62 @@ def iceberg_dml_cdf_feed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("value"), 4).alias("sum_value"))
             .select("_commit_version", "_change_type", "event_type",
                     "n", "sum_value"))
+
+
+_RCD_DEAD = "event_id % 5 = 2"
+
+
+def _staged_rest_catalog_delete(spark: SparkSession, sf_dir: str) -> str:
+    """The catalog-append gate's table, extended with a row-level DELETE
+    committed THROUGH the catalog protocol (delete_where_via_catalog):
+    the staged delete manifest lands via CommitTableRequest
+    (assert-ref-snapshot-id + add-snapshot/set-snapshot-ref), not a file
+    CAS — catalog-managed tables are no longer DML-read-only."""
+    from ..sources.rest_catalog import (
+        FileRestCatalog, delete_where_via_catalog,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_iceberg_rcd_gate_{tag}_v1")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        root = os.path.join(path, "t")
+        e = (load_table(spark, sf_dir, "events")
+             .select("event_id", "event_type", "value"))
+        write_iceberg_table(
+            spark, [e.filter(F.expr(f"({_RC_V0}) OR ({_RC_V1})"))
+                    .repartition(3)], root)
+        cat = FileRestCatalog(os.path.join(path, "wh"))
+        cat.register_table("db", "events", root)
+        delete_where_via_catalog(spark, cat, "db", "events", _RCD_DEAD)
+        open(marker, "w").close()
+    return os.path.join(path, "t")
+
+
+@register(
+    "iceberg_rest_catalog_delete_agg",
+    f"""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    WHERE (({_RC_V0}) OR ({_RC_V1})) AND NOT ({_RCD_DEAD})
+    GROUP BY event_type
+    """,
+    doc="Row-level DELETE through the REST-catalog commit protocol "
+        "(sources/rest_catalog.py delete_where_via_catalog): the delete "
+        "manifest is staged to storage but the SNAPSHOT lands via "
+        "CommitTableRequest — assert-ref-snapshot-id guard, "
+        "add-snapshot + set-snapshot-ref updates — with 409-rebase "
+        "re-derivation. The oracle restates the delete as a row "
+        "predicate: a dropped or double-applied delete breaks n and "
+        "sum_value.")
+def iceberg_rest_catalog_delete_agg(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    path = _staged_rest_catalog_delete(spark, sf_dir)
+    return (read_iceberg_snapshot(spark, path)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select("event_type", "n", "sum_value"))

@@ -14,8 +14,10 @@ Spec derivation (public): the REST catalog OpenAPI document
 ``TableRequirement`` (assert-create, assert-table-uuid,
 assert-ref-snapshot-id, assert-current-schema-id,
 assert-default-spec-id) and ``TableUpdate`` (add-snapshot,
-set-snapshot-ref, set-properties, remove-properties, ...) — the subset
-implemented here covers the append + WAP publish flows.
+set-snapshot-ref, set-properties, remove-properties,
+upgrade-format-version, ...) — the subset implemented here covers the
+append, WAP publish, and row-level DELETE flows
+(``delete_where_via_catalog``).
 
 Reference parity: none — the reference has no catalog layer; extension
 surface closing SURVEY gap "catalog-managed Iceberg commits".
@@ -212,6 +214,12 @@ class FileRestCatalog:
                                 ref_name: ref}
                 if ref_name == "main":
                     _advance_head(meta, int(u["snapshot-id"]))
+            elif t == "upgrade-format-version":
+                fv = int(u["format-version"])
+                if fv < int(meta.get("format-version", 1)):
+                    raise RestBadRequest(
+                        f"cannot downgrade format-version to {fv}")
+                meta["format-version"] = fv
             elif t == "set-properties":
                 meta["properties"] = {
                     **(meta.get("properties") or {}),
@@ -349,3 +357,126 @@ def append_iceberg_via_catalog(spark, df, catalog: FileRestCatalog,
                           default=999) + 1
     raise IcebergCommitConflict(
         f"append to {ns}.{name} lost {max_retries + 1} commit races")
+
+
+def delete_where_via_catalog(spark, catalog: FileRestCatalog, ns: str,
+                             name: str, predicate_sql: str,
+                             mode: str = "position",
+                             max_retries: int = 10) -> int:
+    """Row-level ``DELETE WHERE`` THROUGH the catalog commit protocol —
+    the operation a REST-catalog-managed table (where the file layout is
+    read-only by contract) needs for GDPR erasure / CDC correction:
+    derive the matched rows' position deletes (or deletion vectors;
+    ``mode='position'`` auto-upgrades on v3 tables), stage the delete
+    files + manifests into the table's storage, and commit ONE snapshot
+    via ``CommitTableRequest`` — assert-table-uuid +
+    assert-ref-snapshot-id guarding the head, add-snapshot +
+    set-snapshot-ref (+ upgrade-format-version for the DV layout)
+    applying it. A 409 reloads and RE-DERIVES the matches against the
+    new head, the same optimistic loop as ``append_iceberg_via_catalog``.
+    Returns the committed snapshot id (unchanged head id when nothing
+    matched)."""
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+
+    from .iceberg import (
+        _PROV_F,
+        _PROV_P,
+        _dv_delete_entries,
+        _position_delete_entry,
+        _provenance_scan,
+        _retire_superseded_dvs,
+        _strip_scheme,
+    )
+
+    if mode not in ("position", "dv"):
+        raise ValueError(f"mode must be position|dv, got {mode!r}")
+    import re as _re
+
+    for _ in range(max_retries + 1):
+        loaded = catalog.load_table(ns, name)
+        meta = loaded["metadata"]
+        root = _strip_scheme(os.path.dirname(
+            os.path.dirname(loaded["metadata-location"])))
+        mdir = os.path.join(root, METADATA_DIR)
+        use_dv = mode == "dv" or int(meta.get("format-version", 1)) >= 3
+
+        cur, _, deletes = _provenance_scan(spark, root, meta,
+                                           "catalog DELETE WHERE")
+        doomed = cur.filter(F.expr(predicate_sql)) \
+            .select(_PROV_F, _PROV_P).collect()
+        if not doomed:
+            return int(meta["current-snapshot-id"])
+
+        tag = f"cd{uuid.uuid4().hex[:12]}"
+        keys: set[str] | None = None
+        if use_dv:
+            by_file: dict[str, list[int]] = {}
+            for r in doomed:
+                by_file.setdefault(
+                    _re.sub(r"^file:/+", "/", unquote(r[_PROV_F])),
+                    []).append(int(r[_PROV_P]))
+            entries, keys = _dv_delete_entries(
+                spark, root, root, meta, by_file, deletes, tag)
+        else:
+            pairs = sorted((_re.sub(r"^file:/+", "/",
+                                    unquote(r[_PROV_F])),
+                            int(r[_PROV_P])) for r in doomed)
+            entries = [_position_delete_entry(root, pairs, tag)]
+
+        base_snap = meta.get("current-snapshot-id")
+        snap_id = max((int(sn["snapshot-id"])
+                       for sn in meta.get("snapshots") or []),
+                      default=999) + 1
+        new_seq = int(meta.get("last-sequence-number") or 0) + 1
+        ts = int(meta.get("last-updated-ms") or 0) + 1
+
+        cur_snap = _snapshot(meta, None)
+        _, manifests = read_container(open(_resolve_path(
+            root, cur_snap["manifest-list"]), "rb").read())
+        if keys:
+            manifests = _retire_superseded_dvs(
+                spark, root, mdir, manifests, keys, snap_id)
+        stamped = [{**e, "snapshot_id": snap_id} for e in entries]
+        mpath = os.path.join(mdir, f"manifest-del-{tag}.avro")
+        blob = write_container(_manifest_entry_schema(), stamped)
+        with open(mpath, "wb") as f:
+            f.write(blob)
+        mlpath = os.path.join(mdir, f"snap-{snap_id}-{tag}.avro")
+        with open(mlpath, "wb") as f:
+            f.write(write_container(_MANIFEST_FILE_SCHEMA,
+                                    list(manifests) + [{
+                "manifest_path": mpath, "manifest_length": len(blob),
+                "partition_spec_id": 0, "content": 1,
+                "added_snapshot_id": snap_id,
+                "sequence_number": new_seq,
+                "min_sequence_number": new_seq}]))
+        snapshot = {"snapshot-id": snap_id, "timestamp-ms": ts,
+                    "sequence-number": new_seq, "manifest-list": mlpath,
+                    "summary": {"operation": "delete"}}
+        updates = []
+        if use_dv and int(meta.get("format-version", 1)) < 3:
+            updates.append({"action": "upgrade-format-version",
+                            "format-version": 3})
+        updates += [
+            {"action": "add-snapshot", "snapshot": snapshot},
+            {"action": "set-snapshot-ref", "ref-name": "main",
+             "type": "branch", "snapshot-id": snap_id},
+        ]
+        try:
+            catalog.commit_table(
+                ns, name,
+                requirements=[
+                    {"type": "assert-table-uuid",
+                     "uuid": meta.get("table-uuid")},
+                    {"type": "assert-ref-snapshot-id", "ref": "main",
+                     "snapshot-id": base_snap},
+                ],
+                updates=updates)
+            return snap_id
+        except RestCommitConflict:
+            continue    # head moved: reload, re-derive, recommit
+    raise IcebergCommitConflict(
+        f"catalog DELETE WHERE on {ns}.{name} lost "
+        f"{max_retries + 1} commit races")

@@ -3381,3 +3381,84 @@ def test_expire_after_dml_keeps_live_delete_files(spark, tmp_path):
     ddir = os.path.join(t, "data")
     assert any(n.endswith(".puffin") for n in os.listdir(ddir)), \
         "live deletion vector was deleted by expire"
+
+
+def test_rest_catalog_delete_where(spark, ice):
+    """Row-level DELETE THROUGH the catalog protocol: position deletes
+    commit via CommitTableRequest; a ref-moving racer forces a 409 and
+    the delete re-derives and rebases; dv mode rides an
+    upgrade-format-version update; no-match commits nothing."""
+    from databricks_import_pyspark_scripts_spark.sources.rest_catalog import (
+        FileRestCatalog,
+        delete_where_via_catalog,
+    )
+
+    wh = os.path.join(os.path.dirname(ice), "whdel")
+    cat = FileRestCatalog(wh)
+    cat.register_table("db", "t", ice)
+
+    sid = delete_where_via_catalog(spark, cat, "db", "t", "k % 4 = 0")
+    assert _ks(read_iceberg_snapshot(spark, ice)) == \
+        [k for k in range(40) if k % 4 != 0]
+    assert cat.load_table("db", "t")["metadata"][
+        "current-snapshot-id"] == sid
+
+    # no match -> no commit
+    assert delete_where_via_catalog(spark, cat, "db", "t",
+                                    "k < 0") == sid
+
+    # racer moves main between load and commit -> 409 -> re-derive
+    real_commit = cat.commit_table
+    state = {"raced": False, "conflicts": 0}
+
+    def racing_commit(ns, name, requirements, updates):
+        from databricks_import_pyspark_scripts_spark.sources.rest_catalog import (
+            RestCommitConflict,
+        )
+
+        if not state["raced"]:
+            state["raced"] = True
+            head = cat.load_table(ns, name)["metadata"]
+            cur = head["current-snapshot-id"]
+            cur_snap = next(s for s in head["snapshots"]
+                            if int(s["snapshot-id"]) == int(cur))
+            rid = max(int(s["snapshot-id"])
+                      for s in head["snapshots"]) + 1
+            real_commit(
+                ns, name,
+                requirements=[{"type": "assert-ref-snapshot-id",
+                               "ref": "main", "snapshot-id": cur}],
+                updates=[
+                    {"action": "add-snapshot", "snapshot": {
+                        "snapshot-id": rid,
+                        "timestamp-ms":
+                            int(head.get("last-updated-ms") or 0) + 1,
+                        "sequence-number":
+                            int(head.get("last-sequence-number") or 0)
+                            + 1,
+                        "manifest-list": cur_snap["manifest-list"],
+                        "summary": {"operation": "append"}}},
+                    {"action": "set-snapshot-ref", "ref-name": "main",
+                     "type": "branch", "snapshot-id": rid}])
+        try:
+            return real_commit(ns, name, requirements=requirements,
+                               updates=updates)
+        except RestCommitConflict:
+            state["conflicts"] += 1
+            raise
+
+    cat.commit_table = racing_commit
+    delete_where_via_catalog(spark, cat, "db", "t", "k % 4 = 1",
+                             mode="dv")
+    cat.commit_table = real_commit
+    assert state["raced"] and state["conflicts"] >= 1
+    meta = cat.load_table("db", "t")["metadata"]
+    assert int(meta["format-version"]) == 3    # dv rode the upgrade
+    assert _ks(read_iceberg_snapshot(spark, ice)) == \
+        [k for k in range(40) if k % 4 not in (0, 1)]
+
+    # and once v3, a 'position' request auto-upgrades to DVs
+    delete_where_via_catalog(spark, cat, "db", "t", "k % 4 = 2",
+                             mode="position")
+    assert _ks(read_iceberg_snapshot(spark, ice)) == \
+        [k for k in range(40) if k % 4 == 3]
