@@ -425,58 +425,207 @@ def delete_where_via_catalog(spark, catalog: FileRestCatalog, ns: str,
                             int(r[_PROV_P])) for r in doomed)
             entries = [_position_delete_entry(root, pairs, tag)]
 
-        base_snap = meta.get("current-snapshot-id")
-        snap_id = max((int(sn["snapshot-id"])
-                       for sn in meta.get("snapshots") or []),
-                      default=999) + 1
-        new_seq = int(meta.get("last-sequence-number") or 0) + 1
-        ts = int(meta.get("last-updated-ms") or 0) + 1
+        committed = _commit_row_ops_via_catalog(
+            spark, catalog, ns, name, meta, root, mdir, tag,
+            del_entries=entries, supersede_keys=keys,
+            data_entries=None, data_part_fields=None, data_spec_id=0,
+            op_summary="delete",
+            upgrade_v3=use_dv and int(meta.get("format-version", 1)) < 3)
+        if committed is not None:
+            return committed
+        # head moved: reload, re-derive, recommit
+    raise IcebergCommitConflict(
+        f"catalog DELETE WHERE on {ns}.{name} lost "
+        f"{max_retries + 1} commit races")
 
-        cur_snap = _snapshot(meta, None)
-        _, manifests = read_container(open(_resolve_path(
-            root, cur_snap["manifest-list"]), "rb").read())
-        if keys:
-            manifests = _retire_superseded_dvs(
-                spark, root, mdir, manifests, keys, snap_id)
-        stamped = [{**e, "snapshot_id": snap_id} for e in entries]
+
+def _commit_row_ops_via_catalog(spark, catalog: FileRestCatalog,
+                                ns: str, name: str, meta: dict,
+                                root: str, mdir: str, tag: str,
+                                del_entries: list[dict],
+                                supersede_keys: set[str] | None,
+                                data_entries: list[dict] | None,
+                                data_part_fields: list | None,
+                                data_spec_id: int,
+                                op_summary: str,
+                                upgrade_v3: bool) -> int | None:
+    """Stage delete/data manifests + the new manifest list into the
+    table's storage and commit the snapshot via ``CommitTableRequest``
+    (assert-table-uuid + assert-ref-snapshot-id on main; add-snapshot +
+    set-snapshot-ref, with upgrade-format-version when the DV layout
+    needs v3). Returns the snapshot id, or None on a 409 (the caller's
+    optimistic loop reloads and re-derives)."""
+    from .iceberg import _retire_superseded_dvs
+
+    base_snap = meta.get("current-snapshot-id")
+    snap_id = max((int(sn["snapshot-id"])
+                   for sn in meta.get("snapshots") or []),
+                  default=999) + 1
+    new_seq = int(meta.get("last-sequence-number") or 0) + 1
+    ts = int(meta.get("last-updated-ms") or 0) + 1
+
+    cur_snap = _snapshot(meta, None)
+    _, manifests = read_container(open(_resolve_path(
+        root, cur_snap["manifest-list"]), "rb").read())
+    if supersede_keys:
+        manifests = _retire_superseded_dvs(
+            spark, root, mdir, manifests, supersede_keys, snap_id)
+    all_manifests = list(manifests)
+    if del_entries:
+        stamped = [{**e, "snapshot_id": snap_id} for e in del_entries]
         mpath = os.path.join(mdir, f"manifest-del-{tag}.avro")
         blob = write_container(_manifest_entry_schema(), stamped)
         with open(mpath, "wb") as f:
             f.write(blob)
-        mlpath = os.path.join(mdir, f"snap-{snap_id}-{tag}.avro")
-        with open(mlpath, "wb") as f:
-            f.write(write_container(_MANIFEST_FILE_SCHEMA,
-                                    list(manifests) + [{
-                "manifest_path": mpath, "manifest_length": len(blob),
-                "partition_spec_id": 0, "content": 1,
-                "added_snapshot_id": snap_id,
-                "sequence_number": new_seq,
-                "min_sequence_number": new_seq}]))
-        snapshot = {"snapshot-id": snap_id, "timestamp-ms": ts,
-                    "sequence-number": new_seq, "manifest-list": mlpath,
-                    "summary": {"operation": "delete"}}
-        updates = []
-        if use_dv and int(meta.get("format-version", 1)) < 3:
-            updates.append({"action": "upgrade-format-version",
-                            "format-version": 3})
-        updates += [
-            {"action": "add-snapshot", "snapshot": snapshot},
-            {"action": "set-snapshot-ref", "ref-name": "main",
-             "type": "branch", "snapshot-id": snap_id},
-        ]
-        try:
-            catalog.commit_table(
-                ns, name,
-                requirements=[
-                    {"type": "assert-table-uuid",
-                     "uuid": meta.get("table-uuid")},
-                    {"type": "assert-ref-snapshot-id", "ref": "main",
-                     "snapshot-id": base_snap},
-                ],
-                updates=updates)
-            return snap_id
-        except RestCommitConflict:
-            continue    # head moved: reload, re-derive, recommit
+        all_manifests.append({
+            "manifest_path": mpath, "manifest_length": len(blob),
+            "partition_spec_id": 0, "content": 1,
+            "added_snapshot_id": snap_id,
+            "sequence_number": new_seq, "min_sequence_number": new_seq})
+    if data_entries:
+        stamped = [{**e, "snapshot_id": snap_id} for e in data_entries]
+        dpath = os.path.join(mdir, f"manifest-upd-{tag}.avro")
+        dblob = write_container(
+            _manifest_entry_schema(data_part_fields or []), stamped)
+        with open(dpath, "wb") as f:
+            f.write(dblob)
+        all_manifests.append({
+            "manifest_path": dpath, "manifest_length": len(dblob),
+            "partition_spec_id": int(data_spec_id), "content": 0,
+            "added_snapshot_id": snap_id,
+            "sequence_number": new_seq, "min_sequence_number": new_seq})
+    mlpath = os.path.join(mdir, f"snap-{snap_id}-{tag}.avro")
+    with open(mlpath, "wb") as f:
+        f.write(write_container(_MANIFEST_FILE_SCHEMA, all_manifests))
+    snapshot = {"snapshot-id": snap_id, "timestamp-ms": ts,
+                "sequence-number": new_seq, "manifest-list": mlpath,
+                "summary": {"operation": op_summary}}
+    updates = []
+    if upgrade_v3:
+        updates.append({"action": "upgrade-format-version",
+                        "format-version": 3})
+    updates += [
+        {"action": "add-snapshot", "snapshot": snapshot},
+        {"action": "set-snapshot-ref", "ref-name": "main",
+         "type": "branch", "snapshot-id": snap_id},
+    ]
+    try:
+        catalog.commit_table(
+            ns, name,
+            requirements=[
+                {"type": "assert-table-uuid",
+                 "uuid": meta.get("table-uuid")},
+                {"type": "assert-ref-snapshot-id", "ref": "main",
+                 "snapshot-id": base_snap},
+            ],
+            updates=updates)
+        return snap_id
+    except RestCommitConflict:
+        return None
+
+
+def update_where_via_catalog(spark, catalog: FileRestCatalog, ns: str,
+                             name: str, predicate_sql: str,
+                             set_exprs: dict[str, str],
+                             mode: str = "position",
+                             max_retries: int = 10) -> int:
+    """``UPDATE ... SET ... WHERE`` through the catalog protocol: the
+    matched rows' position deletes (or DVs) AND their post-image data
+    files commit in ONE CommitTableRequest snapshot — the
+    catalog-managed twin of ``sources.iceberg.iceberg_update_where``.
+    SET expressions bind to PRE-update values; nothing matched -> no
+    commit; 409 -> reload + re-derive."""
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+
+    from .iceberg import (
+        _PROV_F,
+        _PROV_P,
+        _dv_delete_entries,
+        _position_delete_entry,
+        _provenance_scan,
+        _strip_scheme,
+    )
+
+    if mode not in ("position", "dv"):
+        raise ValueError(f"mode must be position|dv, got {mode!r}")
+    import re as _re
+
+    for _ in range(max_retries + 1):
+        loaded = catalog.load_table(ns, name)
+        meta = loaded["metadata"]
+        root = _strip_scheme(os.path.dirname(
+            os.path.dirname(loaded["metadata-location"])))
+        mdir = os.path.join(root, METADATA_DIR)
+        schema_fields = _current_schema(meta)["fields"]
+        for f in schema_fields:
+            if not isinstance(f["type"], str):
+                raise IcebergProtocolError(
+                    "update supports flat primitive schemas")
+        names = [f["name"] for f in schema_fields]
+        bad = [c for c in set_exprs if c not in names]
+        if bad:
+            raise ValueError(f"SET columns {bad} absent from the table "
+                             f"schema")
+        use_dv = mode == "dv" or int(meta.get("format-version", 1)) >= 3
+
+        cur, _, deletes = _provenance_scan(spark, root, meta,
+                                           "catalog UPDATE")
+        matched = cur.filter(F.expr(predicate_sql))
+        post = matched.select(*[
+            F.expr(set_exprs.get(f["name"], f["name"]))
+            .cast(_spark_type(f["type"])).alias(f["name"])
+            for f in schema_fields])
+        doomed = matched.select(_PROV_F, _PROV_P).collect()
+        if not doomed:
+            return int(meta["current-snapshot-id"])
+
+        sid = meta.get("default-spec-id", 0)
+        spec = next((sp for sp in (meta.get("partition-specs") or [])
+                     if sp.get("spec-id", 0) == sid), {"fields": []})
+        src_by_id = {int(f["id"]): f for f in schema_fields}
+        part_by, transforms = [], []
+        for f in spec.get("fields") or []:
+            src_name = src_by_id[int(f["source-id"])]["name"]
+            tr = f.get("transform") or "identity"
+            if tr == "identity":
+                part_by.append(src_name)
+            else:
+                transforms.append((f["name"], tr, src_name))
+        part_fields = _part_avro_fields(schema_fields, part_by,
+                                        transforms)
+
+        tag = f"cu{uuid.uuid4().hex[:12]}"
+        snap_guess = max((int(sn["snapshot-id"])
+                          for sn in meta.get("snapshots") or []),
+                         default=999) + 1
+        data_entries = _stage_commit(spark, post, root, schema_fields,
+                                     part_fields, snap_guess, tag)
+
+        keys: set[str] | None = None
+        if use_dv:
+            by_file: dict[str, list[int]] = {}
+            for r in doomed:
+                by_file.setdefault(
+                    _re.sub(r"^file:/+", "/", unquote(r[_PROV_F])),
+                    []).append(int(r[_PROV_P]))
+            del_entries, keys = _dv_delete_entries(
+                spark, root, root, meta, by_file, deletes, tag)
+        else:
+            pairs = sorted((_re.sub(r"^file:/+", "/",
+                                    unquote(r[_PROV_F])),
+                            int(r[_PROV_P])) for r in doomed)
+            del_entries = [_position_delete_entry(root, pairs, tag)]
+
+        committed = _commit_row_ops_via_catalog(
+            spark, catalog, ns, name, meta, root, mdir, tag,
+            del_entries=del_entries, supersede_keys=keys,
+            data_entries=data_entries, data_part_fields=part_fields,
+            data_spec_id=sid, op_summary="overwrite",
+            upgrade_v3=use_dv and int(meta.get("format-version", 1)) < 3)
+        if committed is not None:
+            return committed
     raise IcebergCommitConflict(
-        f"catalog DELETE WHERE on {ns}.{name} lost "
+        f"catalog UPDATE WHERE on {ns}.{name} lost "
         f"{max_retries + 1} commit races")

@@ -3462,3 +3462,46 @@ def test_rest_catalog_delete_where(spark, ice):
                              mode="position")
     assert _ks(read_iceberg_snapshot(spark, ice)) == \
         [k for k in range(40) if k % 4 == 3]
+
+
+def test_rest_catalog_update_where(spark, ice):
+    """UPDATE through the catalog protocol: one CommitTableRequest
+    snapshot carries the matched rows' deletes AND post-images; SET
+    binds to pre-update values; a second DV-mode update rides the v3
+    upgrade; no match -> no commit."""
+    from databricks_import_pyspark_scripts_spark.sources.rest_catalog import (
+        FileRestCatalog,
+        update_where_via_catalog,
+    )
+
+    wh = os.path.join(os.path.dirname(ice), "whupd")
+    cat = FileRestCatalog(wh)
+    cat.register_table("db", "t", ice)
+
+    base = cat.load_table("db", "t")["metadata"]["current-snapshot-id"]
+    sid = update_where_via_catalog(spark, cat, "db", "t", "k % 4 = 0",
+                                   {"v": "v + 100"})
+    meta = cat.load_table("db", "t")["metadata"]
+    assert meta["current-snapshot-id"] == sid != base
+    assert len(meta["snapshots"]) == 3          # 2 base + 1 update
+    got = {r.k: r.v for r in read_iceberg_snapshot(spark, ice).collect()}
+    assert got == {k: float(k) + (100 if k % 4 == 0 else 0)
+                   for k in range(40)}
+
+    # DV mode: v3 upgrade rides the same commit
+    update_where_via_catalog(spark, cat, "db", "t", "v <= 2",
+                             {"v": "v + 1000"}, mode="dv")
+    meta = cat.load_table("db", "t")["metadata"]
+    assert int(meta["format-version"]) == 3
+    got = {r.k: r.v for r in read_iceberg_snapshot(spark, ice).collect()}
+    expect = {}
+    for k in range(40):
+        v = float(k) + (100 if k % 4 == 0 else 0)
+        expect[k] = v + 1000 if v <= 2 else v   # pre-update binding
+    assert got == expect
+
+    # no match -> no commit
+    n = len(meta["snapshots"])
+    update_where_via_catalog(spark, cat, "db", "t", "k < 0",
+                             {"v": "0.0"})
+    assert len(cat.load_table("db", "t")["metadata"]["snapshots"]) == n
