@@ -2885,26 +2885,42 @@ def _position_delete_entry(root: str, pairs: list[tuple[str, int]],
                 "lower_bounds": None, "upper_bounds": None}}
 
 
-def _dv_delete_entries(spark: SparkSession, table_path: str, root: str,
-                       meta: dict, by_file: dict[str, list[int]],
-                       deletes: list[dict], tag: str
-                       ) -> tuple[list[dict], set[str]]:
-    """Deletion-vector entries for ``by_file`` = {data file path:
-    [positions]}: v3 allows AT MOST ONE deletion vector per data file
-    and requires writers to REPLACE an existing one (spec "Deletion
-    Vectors") — any prior live DV on a re-referenced file is unioned
-    into the new bitmap and returned in the superseded-key set so the
-    commit retires it (ADVICE r10 #4). All bitmaps land in ONE puffin
-    file. Returns ``(manifest entries, superseded ref keys)``."""
-    import numpy as np
+def _dv_delete_entries_distributed(spark: SparkSession, table_path: str,
+                                   root: str, meta: dict, pos_df,
+                                   deletes: list[dict], tag: str
+                                   ) -> tuple[list[dict], set[str]]:
+    """Scale form of ``_dv_delete_entries``: ``pos_df`` is a DataFrame of
+    ``(_PROV_F, _PROV_P)`` doomed positions; each affected file's roaring
+    bitmap builds EXECUTOR-side (``groupBy(file).applyInPandas``, prior
+    DVs broadcast for the union) and the driver receives ONE
+    (path, blob, cardinality) row per affected file — never the doomed
+    rows themselves. Mirrors the Delta writer's ``_dv_stamp_actions``
+    engine; the v3 one-DV-per-file supersede set is computed from the
+    affected-file list (itself O(files))."""
+    from urllib.parse import unquote as _unq
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
 
     from . import delta_dv, puffin
+
+    @pandas_udf("string")
+    def _norm(s):
+        return s.map(lambda p: re.sub(r"^file:/+", "/", _unq(p)))
+
+    keyed = pos_df.select(_norm(F.col(_PROV_F)).alias("fp"),
+                          F.col(_PROV_P).cast("long").alias("pos"))
+    affected = sorted(r.fp for r in keyed.select("fp")
+                      .distinct().collect())       # O(affected files)
+    if not affected:
+        return [], set()
 
     def _ref_key(p: str) -> str:
         return "/".join(_strip_scheme(p).rstrip("/").split("/")[-2:])
 
-    new_keys = {_ref_key(fp): fp for fp in by_file}
+    new_keys = {_ref_key(fp): fp for fp in affected}
     superseded: set[str] = set()
+    prior_by_fp: dict[str, bytes] = {}
     raw_cache: dict[str, bytes] = {}
     for d in deletes:
         if d.get("content_offset") is None:
@@ -2917,23 +2933,40 @@ def _dv_delete_entries(spark: SparkSession, table_path: str, root: str,
         if raw is None:
             raw = _read_bytes(spark, old_ppath)
             raw_cache[old_ppath] = raw
-        blob = puffin.read_puffin_blob(raw, int(d["content_offset"]),
-                                       int(d["content_size_in_bytes"]))
-        by_file[new_keys[k]].extend(
-            int(p) for p in delta_dv.deserialize_bitmap_array(blob))
+        prior_by_fp[new_keys[k]] = puffin.read_puffin_blob(
+            raw, int(d["content_offset"]),
+            int(d["content_size_in_bytes"]))
         superseded.add(k)
+    bc_prior = spark.sparkContext.broadcast(prior_by_fp)
+
+    def _build(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from databricks_import_pyspark_scripts_spark.sources import (
+            delta_dv as dv_mod,
+        )
+
+        fp = str(pdf["fp"].iloc[0])
+        rows = np.unique(pdf["pos"].to_numpy(dtype=np.int64))
+        old = bc_prior.value.get(fp)
+        if old is not None:
+            rows = np.union1d(
+                dv_mod.deserialize_bitmap_array(old), rows)
+        return pd.DataFrame({"fp": [fp],
+                             "blob": [dv_mod.serialize_bitmap_array(rows)],
+                             "card": [int(rows.size)]})
+
+    built = {r.fp: (bytes(r.blob), int(r.card))
+             for r in keyed.groupBy("fp").applyInPandas(
+                 _build, "fp string, blob binary, card long").collect()}
 
     ppath = os.path.join(root, "data", f"dv-{tag}.puffin")
-    blobs = []
-    order = sorted(by_file)
-    positions = {fp: np.unique(np.asarray(by_file[fp], dtype=np.int64))
-                 for fp in order}
-    for fp in order:
-        blobs.append({
-            "type": "deletion-vector-v1",
-            "data": delta_dv.serialize_bitmap_array(positions[fp]),
-            "properties": {"referenced-data-file": fp,
-                           "cardinality": str(len(positions[fp]))}})
+    order = sorted(built)
+    blobs = [{"type": "deletion-vector-v1", "data": built[fp][0],
+              "properties": {"referenced-data-file": fp,
+                             "cardinality": str(built[fp][1])}}
+             for fp in order]
     descs = puffin.write_puffin_file(ppath, blobs)
     entries = []
     for fp, d in zip(order, descs):
@@ -2942,7 +2975,7 @@ def _dv_delete_entries(spark: SparkSession, table_path: str, root: str,
             "data_file": {
                 "content": 1, "file_path": ppath,
                 "file_format": "PUFFIN", "partition": {},
-                "record_count": len(positions[fp]),
+                "record_count": built[fp][1],
                 "file_size_in_bytes": os.path.getsize(ppath),
                 "lower_bounds": None, "upper_bounds": None,
                 "referenced_data_file": fp,
@@ -3021,7 +3054,6 @@ def write_iceberg_dv_deletes(spark: SparkSession, table_path: str,
         raise NotImplementedError(
             "write_iceberg_dv_deletes is a local staging utility")
     import uuid as _uuid
-    from urllib.parse import unquote
 
     from pyspark.sql import functions as F
 
@@ -3029,19 +3061,14 @@ def write_iceberg_dv_deletes(spark: SparkSession, table_path: str,
     meta = read_table_metadata(spark, table_path)
     cur, _, deletes = _provenance_scan(spark, table_path, meta,
                                        "deletion vectors")
-    doomed = cur.filter(F.expr(predicate_sql)) \
-        .select(_PROV_F, _PROV_P).collect()
-    by_file: dict[str, list[int]] = {}
-    for r in doomed:
-        by_file.setdefault(
-            re.sub(r"^file:/+", "/", unquote(r[_PROV_F])), []).append(
-            int(r[_PROV_P]))
-    if not by_file:
-        return int(meta["current-snapshot-id"])  # nothing matched
-
-    entries, superseded = _dv_delete_entries(
-        spark, table_path, root, meta, by_file,
+    pos_df = cur.filter(F.expr(predicate_sql)).select(_PROV_F, _PROV_P)
+    # executor-side bitmap build: the driver never receives doomed ROWS,
+    # only one (path, blob, cardinality) per affected file
+    entries, superseded = _dv_delete_entries_distributed(
+        spark, table_path, root, meta, pos_df,
         deletes, f"v{_uuid.uuid4().hex[:12]}")
+    if not entries:
+        return int(meta["current-snapshot-id"])  # nothing matched
     return _commit_delete_snapshot(spark, table_path, entries, "delete",
                                    format_version=3,
                                    supersede_dv_keys=superseded)
@@ -3429,8 +3456,8 @@ def iceberg_update_where(spark: SparkSession, table_path: str,
             F.expr(set_exprs.get(f["name"], f["name"]))
             .cast(_spark_type(f["type"])).alias(f["name"])
             for f in schema_fields])
-        doomed = matched.select(_PROV_F, _PROV_P).collect()
-        if not doomed:
+        dead_df = matched.select(_PROV_F, _PROV_P)
+        if not dead_df.take(1):
             return int(meta["current-snapshot-id"])
 
         # partition machinery, identical to the append writers
@@ -3456,15 +3483,12 @@ def iceberg_update_where(spark: SparkSession, table_path: str,
                                      part_fields, snap_guess, tag)
 
         if use_dv:
-            by_file: dict[str, list[int]] = {}
-            for r in doomed:
-                by_file.setdefault(
-                    re.sub(r"^file:/+", "/", unquote(r[_PROV_F])),
-                    []).append(int(r[_PROV_P]))
-            del_entries, superseded = _dv_delete_entries(
-                spark, table_path, root, meta, by_file, deletes, tag)
+            del_entries, superseded = _dv_delete_entries_distributed(
+                spark, table_path, root, meta, dead_df, deletes, tag)
             fv, keys = 3, superseded
         else:
+            # staging-scale collect (v2 layout); v3/DV is the scale path
+            doomed = dead_df.collect()
             pairs = sorted((re.sub(r"^file:/+", "/",
                                    unquote(r[_PROV_F])),
                             int(r[_PROV_P])) for r in doomed)
@@ -3586,7 +3610,7 @@ def iceberg_merge_into(spark: SparkSession, table_path: str,
             # updated rows' OLD positions die too (project provenance
             # FIRST: the joined frame carries duplicate column names)
             dead_pos = dead_pos.unionByName(_pos(upd))
-        doomed = dead_pos.collect()
+        doomed_any = bool(dead_pos.take(1))
 
         pieces = []
         if when_matched_update:
@@ -3607,7 +3631,7 @@ def iceberg_merge_into(spark: SparkSession, table_path: str,
                 else new_rows.unionByName(p_df)
 
         has_new = new_rows is not None and bool(new_rows.take(1))
-        if not doomed and not has_new:
+        if not doomed_any and not has_new:
             return int(meta["current-snapshot-id"])
 
         # partition machinery, identical to the append writers
@@ -3637,18 +3661,15 @@ def iceberg_merge_into(spark: SparkSession, table_path: str,
 
         del_entries: list[dict] = []
         fv = keys = None
-        if doomed:
+        if doomed_any:
             if use_dv:
-                by_file: dict[str, list[int]] = {}
-                for r in doomed:
-                    by_file.setdefault(
-                        re.sub(r"^file:/+", "/", unquote(r[_PROV_F])),
-                        []).append(int(r[_PROV_P]))
-                del_entries, keys = _dv_delete_entries(
-                    spark, table_path, root, meta, by_file, deletes,
+                del_entries, keys = _dv_delete_entries_distributed(
+                    spark, table_path, root, meta, dead_pos, deletes,
                     tag)
                 fv = 3
             else:
+                # staging-scale collect (v2); v3/DV is the scale path
+                doomed = dead_pos.collect()
                 pairs = sorted((re.sub(r"^file:/+", "/",
                                        unquote(r[_PROV_F])),
                                 int(r[_PROV_P])) for r in doomed)

@@ -383,10 +383,9 @@ def delete_where_via_catalog(spark, catalog: FileRestCatalog, ns: str,
     from .iceberg import (
         _PROV_F,
         _PROV_P,
-        _dv_delete_entries,
+        _dv_delete_entries_distributed,
         _position_delete_entry,
         _provenance_scan,
-        _retire_superseded_dvs,
         _strip_scheme,
     )
 
@@ -404,22 +403,19 @@ def delete_where_via_catalog(spark, catalog: FileRestCatalog, ns: str,
 
         cur, _, deletes = _provenance_scan(spark, root, meta,
                                            "catalog DELETE WHERE")
-        doomed = cur.filter(F.expr(predicate_sql)) \
-            .select(_PROV_F, _PROV_P).collect()
-        if not doomed:
+        dead_df = cur.filter(F.expr(predicate_sql)) \
+            .select(_PROV_F, _PROV_P)
+        if not dead_df.take(1):
             return int(meta["current-snapshot-id"])
 
         tag = f"cd{uuid.uuid4().hex[:12]}"
         keys: set[str] | None = None
         if use_dv:
-            by_file: dict[str, list[int]] = {}
-            for r in doomed:
-                by_file.setdefault(
-                    _re.sub(r"^file:/+", "/", unquote(r[_PROV_F])),
-                    []).append(int(r[_PROV_P]))
-            entries, keys = _dv_delete_entries(
-                spark, root, root, meta, by_file, deletes, tag)
+            entries, keys = _dv_delete_entries_distributed(
+                spark, root, root, meta, dead_df, deletes, tag)
         else:
+            # staging-scale collect (v2); v3/DV is the scale path
+            doomed = dead_df.collect()
             pairs = sorted((_re.sub(r"^file:/+", "/",
                                     unquote(r[_PROV_F])),
                             int(r[_PROV_P])) for r in doomed)
@@ -542,7 +538,7 @@ def update_where_via_catalog(spark, catalog: FileRestCatalog, ns: str,
     from .iceberg import (
         _PROV_F,
         _PROV_P,
-        _dv_delete_entries,
+        _dv_delete_entries_distributed,
         _position_delete_entry,
         _provenance_scan,
         _strip_scheme,
@@ -577,8 +573,8 @@ def update_where_via_catalog(spark, catalog: FileRestCatalog, ns: str,
             F.expr(set_exprs.get(f["name"], f["name"]))
             .cast(_spark_type(f["type"])).alias(f["name"])
             for f in schema_fields])
-        doomed = matched.select(_PROV_F, _PROV_P).collect()
-        if not doomed:
+        dead_df = matched.select(_PROV_F, _PROV_P)
+        if not dead_df.take(1):
             return int(meta["current-snapshot-id"])
 
         sid = meta.get("default-spec-id", 0)
@@ -605,14 +601,11 @@ def update_where_via_catalog(spark, catalog: FileRestCatalog, ns: str,
 
         keys: set[str] | None = None
         if use_dv:
-            by_file: dict[str, list[int]] = {}
-            for r in doomed:
-                by_file.setdefault(
-                    _re.sub(r"^file:/+", "/", unquote(r[_PROV_F])),
-                    []).append(int(r[_PROV_P]))
-            del_entries, keys = _dv_delete_entries(
-                spark, root, root, meta, by_file, deletes, tag)
+            del_entries, keys = _dv_delete_entries_distributed(
+                spark, root, root, meta, dead_df, deletes, tag)
         else:
+            # staging-scale collect (v2); v3/DV is the scale path
+            doomed = dead_df.collect()
             pairs = sorted((_re.sub(r"^file:/+", "/",
                                     unquote(r[_PROV_F])),
                             int(r[_PROV_P])) for r in doomed)

@@ -3505,3 +3505,56 @@ def test_rest_catalog_update_where(spark, ice):
     update_where_via_catalog(spark, cat, "db", "t", "k < 0",
                              {"v": "0.0"})
     assert len(cat.load_table("db", "t")["metadata"]["snapshots"]) == n
+
+
+def test_dv_entries_distributed_builds_executor_side(spark, tmp_path):
+    """The distributed DV builder: a doomed-position frame spread over
+    many partitions reduces to ONE (path, blob, cardinality) row per
+    affected file via grouped Arrow build — prior DVs union in, the
+    superseded key set is exact, and the written puffin decodes to the
+    precise position set."""
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.sources import (
+        delta_dv,
+        puffin,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        _PROV_F,
+        _PROV_P,
+        _dv_delete_entries_distributed,
+        read_table_metadata,
+        write_iceberg_dv_deletes,
+    )
+
+    t = str(tmp_path / "dvd")
+    df = spark.range(0, 40).selectExpr("id AS k", "CAST(id AS double) AS v")
+    write_iceberg_table(spark, [df.coalesce(1)], t)
+    # a prior DV on the single data file (positions 0,1)
+    write_iceberg_dv_deletes(spark, t, "k IN (0, 1)")
+    meta = read_table_metadata(spark, t)
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        live_data_files,
+    )
+
+    deletes: list[dict] = []
+    (fobj,) = live_data_files(spark, t, meta, None, deletes_out=deletes)
+    fpath = fobj["file_path"]
+
+    # doomed positions 5..14 of that file, deliberately spread over 50
+    # partitions — the builder must still return ONE entry
+    pos = (spark.range(5, 15)
+           .select(F.lit("file:" + fpath).alias(_PROV_F),
+                   F.col("id").alias(_PROV_P))
+           .repartition(50))
+    entries, superseded = _dv_delete_entries_distributed(
+        spark, t, t, meta, pos, deletes, "t1")
+    assert len(entries) == 1
+    e = entries[0]["data_file"]
+    assert e["record_count"] == 12        # {0,1} unioned with 5..14
+    assert len(superseded) == 1           # the prior DV retires
+    blob = puffin.read_puffin_blob(
+        open(e["file_path"], "rb").read(),
+        int(e["content_offset"]), int(e["content_size_in_bytes"]))
+    assert list(delta_dv.deserialize_bitmap_array(blob)) == \
+        [0, 1] + list(range(5, 15))
