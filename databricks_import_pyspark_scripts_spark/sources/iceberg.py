@@ -3196,6 +3196,20 @@ def _commit_delete_snapshot(spark: SparkSession, table_path: str,
     if data_entries:
         d_entries = [{**e, "snapshot_id": new_snap}
                      for e in data_entries]
+        if meta.get("next-row-id") is not None:
+            # v3 row lineage: DML-added post-image/insert files claim
+            # FRESH first_row_id ranges and advance next-row-id in the
+            # same commit — updated rows get NEW row ids (this engine
+            # does not materialize preserved ids through MoR updates;
+            # readers that need stable pre/post linkage join on business
+            # keys, and _with_row_ids reads stay well-defined instead of
+            # raising on id-less files)
+            nri = int(meta["next-row-id"])
+            for e in sorted(d_entries,
+                            key=lambda e: e["data_file"]["file_path"]):
+                e["data_file"]["first_row_id"] = nri
+                nri += int(e["data_file"].get("record_count") or 0)
+            meta = {**meta, "next-row-id": nri}
         d_path = os.path.join(mdir, f"manifest-upd-{new_snap}.avro")
         d_blob = write_container(
             _manifest_entry_schema(data_part_fields or []), d_entries)

@@ -478,8 +478,18 @@ def _commit_row_ops_via_catalog(spark, catalog: FileRestCatalog,
             "partition_spec_id": 0, "content": 1,
             "added_snapshot_id": snap_id,
             "sequence_number": new_seq, "min_sequence_number": new_seq})
+    next_row_id = None
     if data_entries:
         stamped = [{**e, "snapshot_id": snap_id} for e in data_entries]
+        if meta.get("next-row-id") is not None:
+            # v3 row lineage: fresh ranges for DML-added files; the
+            # add-snapshot update carries the advanced next-row-id
+            next_row_id = int(meta["next-row-id"])
+            for e in sorted(stamped,
+                            key=lambda e: e["data_file"]["file_path"]):
+                e["data_file"]["first_row_id"] = next_row_id
+                next_row_id += int(e["data_file"].get("record_count")
+                                   or 0)
         dpath = os.path.join(mdir, f"manifest-upd-{tag}.avro")
         dblob = write_container(
             _manifest_entry_schema(data_part_fields or []), stamped)
@@ -496,6 +506,8 @@ def _commit_row_ops_via_catalog(spark, catalog: FileRestCatalog,
     snapshot = {"snapshot-id": snap_id, "timestamp-ms": ts,
                 "sequence-number": new_seq, "manifest-list": mlpath,
                 "summary": {"operation": op_summary}}
+    if next_row_id is not None:
+        snapshot["next-row-id"] = next_row_id
     updates = []
     if upgrade_v3:
         updates.append({"action": "upgrade-format-version",

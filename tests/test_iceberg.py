@@ -3558,3 +3558,38 @@ def test_dv_entries_distributed_builds_executor_side(spark, tmp_path):
         int(e["content_offset"]), int(e["content_size_in_bytes"]))
     assert list(delta_dv.deserialize_bitmap_array(blob)) == \
         [0, 1] + list(range(5, 15))
+
+
+def test_update_where_on_row_lineage_table_assigns_fresh_ids(spark,
+                                                             tmp_path):
+    """DML on a v3 row-lineage table: post-image files claim fresh
+    first_row_id ranges in the same commit (next-row-id advances), so
+    _with_row_ids reads stay well-defined — untouched rows keep their
+    ids, updated rows get NEW ids above the old counter (this engine
+    assigns rather than preserves through MoR updates, documented)."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        enable_iceberg_row_lineage,
+        iceberg_update_where,
+        read_iceberg_snapshot_with_row_ids,
+        read_table_metadata,
+    )
+
+    t = str(tmp_path / "rlupd")
+    df = spark.range(0, 20).selectExpr("id AS k", "CAST(id AS double) AS v")
+    write_iceberg_table(spark, [df.coalesce(1)], t)
+    enable_iceberg_row_lineage(spark, t)
+    before = {r.k: r._row_id for r in
+              read_iceberg_snapshot_with_row_ids(spark, t).collect()}
+    hwm = int(read_table_metadata(spark, t)["next-row-id"])
+
+    iceberg_update_where(spark, t, "k % 4 = 2", {"v": "v + 100"})
+    got = {r.k: (r.v, r._row_id) for r in
+           read_iceberg_snapshot_with_row_ids(spark, t).collect()}
+    assert len(got) == 20
+    for k in range(20):
+        v, rid = got[k]
+        if k % 4 == 2:
+            assert v == k + 100 and rid >= hwm       # fresh id
+        else:
+            assert v == float(k) and rid == before[k]  # stable id
+    assert int(read_table_metadata(spark, t)["next-row-id"]) == hwm + 5
