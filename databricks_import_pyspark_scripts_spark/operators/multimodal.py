@@ -239,19 +239,26 @@ def phash_col(feature, dim: int = IMAGE_FEATURE_DIM):
     set iff feature[i] >= the vector's mean — the classic aHash
     binarization, robust to uniform brightness/contrast shifts (any
     monotone per-vector affine transform preserves the comparisons). A
-    ``dim``-bit non-negative integer column."""
-    avg = F.aggregate(feature, F.lit(0.0), lambda a, x: a + x) / F.lit(dim)
+    ``dim``-bit non-negative integer column.
+
+    The mean divides by the ACTUAL array size (not ``dim``), and a
+    feature whose length differs from ``dim`` raises at execution rather
+    than silently dropping its top bits (ADVICE r12: the 16-dim default
+    PNG decoder vs the historical dim=8 default)."""
+    avg = F.aggregate(feature, F.lit(0.0), lambda a, x: a + x) / F.size(feature)
     out = F.lit(0).cast("long")
     for i in range(dim):
         out = out + (F.when(F.element_at(feature, i + 1) >= avg,
                             F.lit(2 ** i)).otherwise(F.lit(0))).cast("long")
-    return out
+    return F.when(F.size(feature) == F.lit(dim), out).otherwise(F.raise_error(
+        F.concat(F.lit(f"phash dim mismatch: expected {dim} features, got "),
+                 F.size(feature).cast("string"))))
 
 
 def phash_pairs(media_df: DataFrame, id_col: str = "media_id",
                 media_col: str = "media",
                 decoder: Callable[[pd.Series], pd.Series] | None = None,
-                dim: int = IMAGE_FEATURE_DIM,
+                dim: int | None = None,
                 num_bands: int = 2, max_hamming: int = 1,
                 max_bucket: int | None = None) -> DataFrame:
     """(id_a, id_b, hamming): near-duplicate IMAGE pairs by perceptual hash
@@ -269,6 +276,11 @@ def phash_pairs(media_df: DataFrame, id_col: str = "media_id",
     """
     from .dedup import bucket_pairs, simhash_bands_df
 
+    if dim is None:
+        # the default decoder (decode_image_batch -> png_block_decoder)
+        # emits PHASH_DIM block means; injected decoders keep the
+        # historical IMAGE_FEATURE_DIM default (ADVICE r12)
+        dim = PHASH_DIM if decoder is None else IMAGE_FEATURE_DIM
     feats = image_features(media_df, id_col, media_col, decoder)
     codes = feats.select(F.col("media_id"),
                          phash_col(F.col("feature"), dim).alias("phash"))

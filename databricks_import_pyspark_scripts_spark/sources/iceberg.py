@@ -3029,7 +3029,9 @@ def write_iceberg_position_deletes(spark: SparkSession, table_path: str,
         return int(meta["current-snapshot-id"])
     entry = _position_delete_entry(root, pairs,
                                    f"d{_uuid.uuid4().hex[:12]}")
-    return _commit_delete_snapshot(spark, table_path, entry, "delete")
+    return _commit_delete_snapshot(
+        spark, table_path, entry, "delete",
+        scanned_snapshot_id=int(meta["current-snapshot-id"]))
 
 
 def write_iceberg_dv_deletes(spark: SparkSession, table_path: str,
@@ -3069,9 +3071,10 @@ def write_iceberg_dv_deletes(spark: SparkSession, table_path: str,
         deletes, f"v{_uuid.uuid4().hex[:12]}")
     if not entries:
         return int(meta["current-snapshot-id"])  # nothing matched
-    return _commit_delete_snapshot(spark, table_path, entries, "delete",
-                                   format_version=3,
-                                   supersede_dv_keys=superseded)
+    return _commit_delete_snapshot(
+        spark, table_path, entries, "delete", format_version=3,
+        supersede_dv_keys=superseded,
+        scanned_snapshot_id=int(meta["current-snapshot-id"]))
 
 
 def _retire_superseded_dvs(spark: SparkSession, table_path: str,
@@ -3143,7 +3146,8 @@ def _commit_delete_snapshot(spark: SparkSession, table_path: str,
                             supersede_dv_keys: set[str] | None = None,
                             data_entries: list[dict] | None = None,
                             data_part_fields: list | None = None,
-                            data_spec_id: int = 0) -> int:
+                            data_spec_id: int = 0,
+                            scanned_snapshot_id: int | None = None) -> int:
     """Shared staging commit for row-delete snapshots: content=1
     manifest with ``entry``, new manifest list (prior manifests +
     this one, sequence-stamped), new metadata version claimed by
@@ -3163,12 +3167,29 @@ def _commit_delete_snapshot(spark: SparkSession, table_path: str,
     the old rows, the data manifest adds the post-image rows, and a
     reader can never observe one without the other. Both manifests share
     the snapshot's sequence number; the new data files are never
-    referenced by the delete files, so the deletes cannot touch them."""
+    referenced by the delete files, so the deletes cannot touch them.
+
+    ``scanned_snapshot_id``: the head the CALLER derived its positions
+    against. Position deletes reference (file, pos) pairs of a specific
+    snapshot — if another commit (compaction, delete, update) lands
+    between the caller's scan and this commit, those pairs point at
+    retired files and pre-image rows silently survive. The metadata CAS
+    below only covers THIS function's read-to-create window, so the
+    caller's scan head must be re-checked here and a drift raised as
+    ``IcebergCommitConflict`` for the caller's rebase loop (ADVICE r12;
+    the catalog path's assert-ref-snapshot-id guard is the template)."""
     from ..sinks.delta_writer import _atomic_create
 
     root = _strip_scheme(table_path)
     mdir = os.path.join(root, METADATA_DIR)
     meta = read_table_metadata(spark, table_path)
+    if scanned_snapshot_id is not None and \
+            int(meta.get("current-snapshot-id") or -1) != \
+            int(scanned_snapshot_id):
+        raise IcebergCommitConflict(
+            f"head of {table_path} moved from snapshot "
+            f"{scanned_snapshot_id} to {meta.get('current-snapshot-id')} "
+            f"between position scan and commit; re-derive and retry")
     snap = _snapshot(meta, None)
     _, manifests = read_container(_read_bytes(
         spark, _resolve_path(table_path, snap["manifest-list"])))
@@ -3316,6 +3337,9 @@ def write_iceberg_equality_deletes(spark: SparkSession, table_path: str,
                  "file_size_in_bytes": os.path.getsize(dpath),
                  "lower_bounds": None, "upper_bounds": None,
                  "equality_ids": eq_ids}}
+    # no scanned_snapshot_id guard: equality deletes reference KEYS, not
+    # (file, pos) pairs — the strictly-older sequence rule makes them
+    # correct against whatever head the commit lands on
     return _commit_delete_snapshot(spark, table_path, entry,
                                    "overwrite")
 
@@ -3513,7 +3537,8 @@ def iceberg_update_where(spark: SparkSession, table_path: str,
                 spark, table_path, del_entries, "overwrite",
                 format_version=fv, supersede_dv_keys=keys,
                 data_entries=data_entries,
-                data_part_fields=part_fields, data_spec_id=sid)
+                data_part_fields=part_fields, data_spec_id=sid,
+                scanned_snapshot_id=int(meta["current-snapshot-id"]))
         except IcebergCommitConflict as exc:
             last = exc     # head moved: loop re-scans and re-derives
     raise IcebergCommitConflict(
@@ -3613,6 +3638,10 @@ def iceberg_merge_into(spark: SparkSession, table_path: str,
 
         dead_cond = (F.expr(when_matched_delete)
                      if when_matched_delete is not None else F.lit(False))
+        # NULL delete conditions fall through to the UPDATE clause
+        # (Delta clause semantics; three-valued ~NULL would drop the row
+        # from BOTH branches — ADVICE r12)
+        dead_cond = F.coalesce(dead_cond, F.lit(False))
         upd = joined.filter(~dead_cond) if when_matched_update else None
 
         def _pos(df):
@@ -3693,7 +3722,8 @@ def iceberg_merge_into(spark: SparkSession, table_path: str,
                 spark, table_path, del_entries, "overwrite",
                 format_version=fv, supersede_dv_keys=keys,
                 data_entries=data_entries,
-                data_part_fields=part_fields, data_spec_id=sid)
+                data_part_fields=part_fields, data_spec_id=sid,
+                scanned_snapshot_id=int(meta["current-snapshot-id"]))
         except IcebergCommitConflict as exc:
             last = exc     # head moved: loop re-scans and re-derives
     raise IcebergCommitConflict(

@@ -195,14 +195,18 @@ def test_unsupported_data_format_rejected(spark, ice):
 
 
 def test_unsupported_type_rejected(spark, ice):
+    """uuid/time became SUPPORTED logical types in r12
+    (sources/iceberg.py `_spark_type`), so the loud-rejection contract
+    now pins a genuinely unknown type string: the v3 `geometry` type we
+    do not map must raise, never silently coerce."""
     mdir = os.path.join(ice, "metadata")
     cur = int(open(os.path.join(mdir, "version-hint.text")).read())
     p = os.path.join(mdir, f"v{cur}.metadata.json")
     meta = json.load(open(p))
-    meta["schemas"][0]["fields"][0]["type"] = "uuid"
+    meta["schemas"][0]["fields"][0]["type"] = "geometry"
     with open(p, "w") as f:
         json.dump(meta, f)
-    with pytest.raises(IcebergProtocolError, match="uuid"):
+    with pytest.raises(IcebergProtocolError, match="geometry"):
         read_iceberg_snapshot(spark, ice)
 
 
@@ -2515,6 +2519,58 @@ def test_iceberg_delete_where_rebases_on_commit_race(spark, tmp_path,
     assert sid > 1000
     assert _ks(read_iceberg_snapshot(spark, t)) == \
         [k for k in range(30) if k % 3 != 0]
+
+
+def test_delete_where_detects_scan_to_commit_head_drift(spark, tmp_path,
+                                                        monkeypatch):
+    """ADVICE r12 #1: the metadata CAS only covers _commit_delete_snapshot's
+    own read-to-create window. A concurrent commit landing between the
+    CALLER's position scan and the commit's metadata reload would make the
+    staged (file, pos) pairs reference a retired head — the commit must
+    raise IcebergCommitConflict (scanned_snapshot_id guard), and the DML
+    verb's rebase loop must re-derive against the new head, deleting the
+    racer's matching rows too."""
+    from databricks_import_pyspark_scripts_spark.sources import iceberg
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        IcebergCommitConflict,
+        append_iceberg,
+        iceberg_delete_where,
+    )
+
+    t = str(tmp_path / "driftrace")
+    df = spark.range(0, 30).selectExpr("id AS k", "CAST(id AS double) AS v")
+    write_iceberg_table(spark, [df], t)
+
+    racer = spark.range(100, 105).selectExpr("id AS k",
+                                             "CAST(id AS double) AS v")
+    state = {"raced": False, "conflicts": 0}
+    real_entry = iceberg._position_delete_entry
+
+    def race_then_stage(root, pairs, tag):
+        # positions are already derived at this point; land a racer
+        # append BEFORE the commit reloads metadata
+        if not state["raced"]:
+            state["raced"] = True
+            append_iceberg(spark, racer, t)
+        return real_entry(root, pairs, tag)
+
+    real_commit = iceberg._commit_delete_snapshot
+
+    def counting_commit(*a, **k):
+        try:
+            return real_commit(*a, **k)
+        except IcebergCommitConflict:
+            state["conflicts"] += 1
+            raise
+
+    monkeypatch.setattr(iceberg, "_position_delete_entry", race_then_stage)
+    monkeypatch.setattr(iceberg, "_commit_delete_snapshot", counting_commit)
+
+    iceberg_delete_where(spark, t, "k % 3 = 0", mode="position")
+    assert state["raced"]
+    assert state["conflicts"] >= 1   # the guard fired, not a silent commit
+    assert _ks(read_iceberg_snapshot(spark, t)) == \
+        [k for k in list(range(30)) + list(range(100, 105)) if k % 3 != 0]
 
 
 def test_retired_dv_survivors_keep_original_snapshot_id(spark, ice):

@@ -109,6 +109,34 @@ def test_phash_col_bit_math(spark):
     assert df2.select(phash_col(F.col("feature"), dim=4).alias("h")).head().h == 0b1111
 
 
+def test_phash_dim_mismatch_raises_and_defaults(spark):
+    """ADVICE r12: a feature vector whose length differs from ``dim`` must
+    raise loudly (historically it silently dropped the top bits and used a
+    wrong mean), and phash_pairs with the DEFAULT decoder must default dim
+    to PHASH_DIM=16 (the PNG block-mean width), not IMAGE_FEATURE_DIM=8."""
+    import inspect
+
+    from databricks_import_pyspark_scripts_spark.operators.multimodal import (
+        PHASH_DIM,
+        phash_col,
+        phash_pairs,
+        synthesize_png_corpus,
+    )
+
+    df = spark.createDataFrame([([0.1] * 16,)], "feature array<double>")
+    with pytest.raises(Exception, match="phash dim mismatch"):
+        df.select(phash_col(F.col("feature"), dim=8).alias("h")).collect()
+
+    # default-decoder path end-to-end at the defaulted dim: 16-bit codes
+    media = synthesize_png_corpus(spark, list(range(4)), variants_per_cluster=2)
+    pairs = phash_pairs(media)  # no dim, no decoder -> PHASH_DIM default
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert {(0, 1), (2, 3)} <= {(min(a, b), max(a, b)) for a, b in got}
+    assert phash_pairs.__defaults__[2] is None and PHASH_DIM == 16
+    src = inspect.getsource(phash_pairs)
+    assert "dim = PHASH_DIM if decoder is None" in src
+
+
 def test_phash_pairs_find_duplicate_payloads(spark):
     """Byte-identical image payloads hash identically (hamming 0) through
     the full decode->hash->band->verify pipeline; distinct payloads under
