@@ -15,16 +15,26 @@ Division of labor, stated up front:
   stream loudly (Delta's own ``DELTA_SOURCE_TABLE_IGNORE_CHANGES``
   behavior) unless ``ignoreDeletes=true`` / ``ignoreChanges=true`` skip
   them, with the same caveat as Delta: skipped rewrites are NOT
-  re-served. Reader-protocol features that change row visibility
-  (deletion vectors, column mapping) reject at plan time — a wrong
-  answer is never an option.
-* ``streaming/delta_source.py`` remains the full-semantics path (real
-  CDF change rows incl. DVs/column mapping, via the batch reader).
+  re-served.
+* Reader-protocol features that change row visibility or physical
+  layout — DELETION VECTORS, COLUMN MAPPING (name and id modes), and
+  PARTITIONED tables — are handled IN the partition planner (VERDICT
+  r12 #4; ADVICE r12 #4): each ``InputPartition`` carries its file's
+  resolved physical column names / parquet field ids, its compressed DV
+  bitmap bytes (KB-scale, the same ship-the-bitmap-to-the-task model
+  Delta's own scan uses), and its typed partition values from
+  ``add.partitionValues`` (this repo's writer — like Delta itself —
+  never materializes partition columns in the data files). The one
+  remaining plan-time rejection is NESTED column-mapped schemas, where
+  per-field physical renames recurse into struct/array/map types — the
+  full-semantics consumer ``streaming/delta_source.py`` (over the batch
+  reader ``sources/delta_log.py``) handles those.
 
 Scale shape: the log scan is driver-side metadata (KB-MB of JSON); data
 moves only in executors, one parquet file per partition via pyarrow with
-column pruning from the read schema. Backpressure:
-``maxVersionsPerTrigger`` bounds each micro-batch's commit span (under
+column pruning from the read schema (partition columns are synthesized
+from the log, never read). Backpressure: ``maxVersionsPerTrigger``
+bounds each micro-batch's commit span (under
 ``trigger(availableNow=True)`` Spark latches the end offset once at
 start — the wrapper it puts around Python sources — so the bound shapes
 ``processingTime`` runs; availableNow drains in one batch). Same-wrapper
@@ -55,6 +65,18 @@ _JSON_RE = re.compile(r"^(\d{20})\.json$")
 FORMAT_NAME = "delta_jarless"
 
 
+def _resolve(table_path: str, rel_or_abs: str) -> str:
+    """add/remove paths are URL-encoded, relative to the table root
+    (absolute paths allowed for shallow clones) — the batch reader's
+    ``sources/delta_log._resolve`` rule."""
+    import urllib.parse
+
+    decoded = urllib.parse.unquote(rel_or_abs)
+    if "://" in decoded or decoded.startswith("/"):
+        return re.sub(r"^file:/+", "/", decoded)
+    return os.path.join(table_path, decoded)
+
+
 def _log_versions(table_path: str) -> list[int]:
     log = os.path.join(table_path, "_delta_log")
     if not os.path.isdir(log):
@@ -72,18 +94,15 @@ def _actions(table_path: str, version: int) -> list[dict]:
 def _snapshot_meta(table_path: str, versions: list[int],
                    up_to: int | None = None) -> dict:
     """Latest metaData action (schema + configuration) by forward scan —
-    the stream planner needs only the schema and reader-feature guards,
-    not full state reconstruction."""
+    the planners need only the schema, mapping mode, and partition
+    columns, not full state reconstruction."""
     meta: dict = {}
-    protocol: dict = {}
     for v in versions:
         if up_to is not None and v > up_to:
             break
         for a in _actions(table_path, v):
             if "metaData" in a:
                 meta = a["metaData"]
-            if "protocol" in a:
-                protocol = a["protocol"]
     if not meta:
         raise ValueError(f"{table_path}: no metaData action in the log "
                          f"(checkpoint-only logs are not supported by "
@@ -91,27 +110,175 @@ def _snapshot_meta(table_path: str, versions: list[int],
                          f"delta_source.py)")
     conf = meta.get("configuration") or {}
     if conf.get("delta.columnMapping.mode", "none") != "none":
-        raise ValueError(
-            "delta_jarless streaming source: column mapping changes "
-            "physical names; use streaming/delta_source.py")
-    feats = set(protocol.get("readerFeatures") or [])
-    if "deletionVectors" in feats:
-        raise ValueError(
-            "delta_jarless streaming source: deletion vectors change row "
-            "visibility; use streaming/delta_source.py")
+        fields = json.loads(meta["schemaString"])["fields"]
+        if any(not isinstance(f["type"], str) for f in fields):
+            raise ValueError(
+                "delta_jarless: column mapping over NESTED types renames "
+                "fields recursively; use streaming/delta_source.py")
     return meta
 
 
+def _dv_raw(table_path: str, d: dict) -> bytes:
+    """Compressed RoaringBitmapArray bytes for one DV descriptor, resolved
+    DRIVER-side at plan time (local-FS planner; KBs per file) so the
+    partition payload ships only the bitmap, like Delta's own scan."""
+    from . import delta_dv
+
+    st = d["storageType"]
+    if st == "i":
+        return delta_dv.decode_inline_dv(d["pathOrInlineDv"],
+                                         int(d["sizeInBytes"]))
+    if st == "u":
+        path = os.path.join(
+            table_path, delta_dv.dv_relative_path(d["pathOrInlineDv"]))
+    elif st == "p":
+        path = d["pathOrInlineDv"]
+    else:
+        raise ValueError(f"unknown DV storage type {st!r}")
+    raw = open(path, "rb").read()
+    from .delta_dv import read_dv_from_file_bytes
+    return read_dv_from_file_bytes(raw, int(d["offset"]),
+                                   int(d["sizeInBytes"]))
+
+
+class _ColumnPlan:
+    """Driver-side resolution of the logical->physical column story for
+    one table snapshot: physical names + parquet field ids per logical
+    field, and the logical partition column list with Delta type names."""
+
+    def __init__(self, meta: dict):
+        fields = json.loads(meta["schemaString"])["fields"]
+        md = {f["name"]: (f.get("metadata") or {}) for f in fields}
+        self.types = {f["name"]: f["type"] for f in fields}
+        self.physical = {
+            n: m.get("delta.columnMapping.physicalName", n)
+            for n, m in md.items()}
+        self.fids = {n: m.get("delta.columnMapping.id")
+                     for n, m in md.items()}
+        to_logical = {v: k for k, v in self.physical.items()}
+        # metaData.partitionColumns may carry either naming under column
+        # mapping (writers differ); normalize to logical
+        self.part_cols = [to_logical.get(c, c)
+                          for c in (meta.get("partitionColumns") or [])]
+        self.to_logical_pv = to_logical
+        self.field_order = [f["name"] for f in fields]
+
+    def file_partition(self, table_path: str, add: dict) -> "_FilePartition":
+        pv_raw = add.get("partitionValues") or {}
+        pv = {self.to_logical_pv.get(k, k): v for k, v in pv_raw.items()}
+        dv = add.get("deletionVector")
+        data_cols = [(n, self.physical[n], self.fids[n])
+                     for n in self.field_order if n not in self.part_cols]
+        return _FilePartition(
+            path=_resolve(table_path, add["path"]),
+            data_cols=data_cols,
+            part_vals=[(c, pv.get(c), self.types[c])
+                       for c in self.part_cols],
+            dv_blob=_dv_raw(table_path, dv) if dv else None,
+            field_order=list(self.field_order))
+
+
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, columns: list[str]):
+    def __init__(self, path: str, data_cols: list[tuple],
+                 part_vals: list[tuple], dv_blob: bytes | None,
+                 field_order: list[str]):
         self.path = path
-        self.columns = columns
+        self.data_cols = data_cols        # (logical, physical, field_id)
+        self.part_vals = part_vals        # (logical, str value, delta type)
+        self.dv_blob = dv_blob
+        self.field_order = field_order
+
+
+_PV_ARROW = {
+    "string": "string", "integer": "int32", "int": "int32",
+    "long": "int64", "short": "int16", "byte": "int8",
+    "double": "float64", "float": "float32", "boolean": "bool",
+    "date": "date32", "timestamp": "timestamp[us]",
+}
+
+
+def _pv_python(value: str | None, t: str):
+    """Delta partition-value string -> typed Python value (the
+    serialization rules of the Delta protocol's partitionValues map)."""
+    if value is None:
+        return None
+    if t == "string":
+        return value
+    if t in ("integer", "int", "long", "short", "byte"):
+        return int(value)
+    if t in ("double", "float"):
+        return float(value)
+    if t == "boolean":
+        return value.lower() == "true"
+    if t == "date":
+        import datetime
+        return datetime.date.fromisoformat(value)
+    if t == "timestamp":
+        import datetime
+        return datetime.datetime.fromisoformat(value)
+    raise ValueError(f"unsupported partition column type {t!r} in the "
+                     f"delta_jarless planner; use streaming/delta_source.py")
+
+
+def _read_file_partition(partition: _FilePartition
+                         ) -> Iterator["pa.RecordBatch"]:
+    """Executor-side read of one planned file: column-pruned parquet read
+    under the file's PHYSICAL names (parquet field-id fallback for
+    foreign id-mode files), DV row filter by in-file position, partition
+    columns synthesized from the log's typed values, output reordered to
+    the logical schema."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(partition.path)
+    in_file = pf.schema_arrow
+    names = set(in_file.names)
+    by_fid = {}
+    for f in in_file:
+        fid = (f.metadata or {}).get(b"PARQUET:field_id")
+        if fid is not None:
+            by_fid[int(fid)] = f.name
+    resolved: list[tuple[str, str]] = []   # (logical, column-in-file)
+    for logical, physical, fid in partition.data_cols:
+        if physical in names:
+            resolved.append((logical, physical))
+        elif fid is not None and int(fid) in by_fid:
+            resolved.append((logical, by_fid[int(fid)]))
+        else:
+            raise ValueError(
+                f"{partition.path}: column {logical!r} (physical "
+                f"{physical!r}, field id {fid}) absent from the file")
+    table = pf.read(columns=[c for _, c in resolved])
+    if partition.dv_blob is not None:
+        from databricks_import_pyspark_scripts_spark.sources.delta_dv import (
+            deserialize_bitmap_array,
+        )
+        dead = deserialize_bitmap_array(partition.dv_blob)
+        mask = np.ones(table.num_rows, dtype=bool)
+        mask[dead[dead < table.num_rows]] = False
+        table = table.filter(pa.array(mask))
+    cols = {logical: table.column(i)
+            for i, (logical, _) in enumerate(resolved)}
+    n = table.num_rows
+    for logical, value, t in partition.part_vals:
+        cols[logical] = pa.array(
+            [_pv_python(value, t)] * n, type=pa.type_for_alias(
+                _PV_ARROW.get(t) or _pv_fail(t)))
+    out = pa.table({name: cols[name] for name in partition.field_order})
+    yield from out.to_batches()
+
+
+def _pv_fail(t: str):
+    raise ValueError(f"unsupported partition column type {t!r} in the "
+                     f"delta_jarless planner; use streaming/delta_source.py")
 
 
 class DeltaLogStreamReader(DataSourceStreamReader):
     """Offsets are ``{"version": N}`` = 'everything through commit N has
     been served'; a micro-batch (start, end] serves the add-actions of
-    commits start+1..end, one file per InputPartition."""
+    commits start+1..end, one file per InputPartition — each planned
+    with its DV bitmap / physical column names / partition values."""
 
     def __init__(self, schema: StructType, options: dict):
         self._path = options["path"]
@@ -145,14 +312,13 @@ class DeltaLogStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         lo, hi = int(start["version"]), int(end["version"])
         self._last_end = hi
-        cols = [f.name for f in self._schema.fields]
+        versions = _log_versions(self._path)
+        plan = _ColumnPlan(_snapshot_meta(self._path, versions, up_to=hi))
         parts: list[InputPartition] = []
         for v in range(lo + 1, hi + 1):
             for a in _actions(self._path, v):
                 if "add" in a and a["add"].get("dataChange", True):
-                    parts.append(_FilePartition(
-                        os.path.join(self._path, a["add"]["path"]),
-                        cols))
+                    parts.append(plan.file_partition(self._path, a["add"]))
                 elif "remove" in a and a["remove"].get("dataChange",
                                                        True):
                     if not (self._ignore_deletes or self._ignore_changes):
@@ -168,20 +334,17 @@ class DeltaLogStreamReader(DataSourceStreamReader):
 
     def read(self, partition: InputPartition
              ) -> Iterator["pa.RecordBatch"]:
-        import pyarrow.parquet as pq
-
-        table = pq.read_table(partition.path, columns=partition.columns)
-        yield from table.to_batches()
+        yield from _read_file_partition(partition)
 
     def commit(self, end: dict) -> None:
         """No source-side bookkeeping: offsets live in Spark's streaming
         checkpoint, and the log itself is append-only input."""
 
 
-def _live_files(table_path: str, version: int | None = None
-                ) -> list[str]:
-    """Snapshot live-file set by forward log replay (adds minus removes
-    by path), optionally as of ``version`` — the batch reader's planner.
+def _live_adds(table_path: str, version: int | None = None) -> list[dict]:
+    """Snapshot live ADD actions by forward log replay (adds minus
+    removes by path; the last add for a path carries its current DV
+    descriptor and partition values), optionally as of ``version``.
     Compaction's dataChange=false adds/removes are layout changes and
     replay identically."""
     versions = _log_versions(table_path)
@@ -191,22 +354,21 @@ def _live_files(table_path: str, version: int | None = None
                 f"version {version} not in the log of {table_path} "
                 f"(have {versions[0]}..{versions[-1]})")
         versions = [v for v in versions if v <= version]
-    live: dict[str, str] = {}
+    live: dict[str, dict] = {}
     for v in versions:
         for a in _actions(table_path, v):
             if "add" in a:
-                live[a["add"]["path"]] = a["add"]["path"]
+                live[a["add"]["path"]] = a["add"]
             elif "remove" in a:
                 live.pop(a["remove"]["path"], None)
-    return [os.path.join(table_path, p) for p in sorted(live)]
+    return [live[p] for p in sorted(live)]
 
 
 class DeltaLogBatchReader(DataSourceReader):
     """Batch half of the format: one InputPartition per live file at the
     requested version (``versionAsOf`` option), pyarrow-read with column
-    pruning. Same plan-time guards as the stream (DV/column-mapping
-    tables reject loudly — ``sources/delta_log.read_delta_snapshot`` is
-    the full-semantics reader)."""
+    pruning, DV filtering, column-mapping resolution, and partition-value
+    re-attachment — the same per-file planner as the stream."""
 
     def __init__(self, schema: StructType, options: dict):
         self._path = options["path"]
@@ -215,16 +377,14 @@ class DeltaLogBatchReader(DataSourceReader):
         self._version = int(v) if v is not None else None
 
     def partitions(self) -> list[InputPartition]:
-        cols = [f.name for f in self._schema.fields]
-        return [_FilePartition(p, cols)
-                for p in _live_files(self._path, self._version)]
+        plan = _ColumnPlan(_snapshot_meta(
+            self._path, _log_versions(self._path), up_to=self._version))
+        return [plan.file_partition(self._path, add)
+                for add in _live_adds(self._path, self._version)]
 
     def read(self, partition: InputPartition
              ) -> Iterator["pa.RecordBatch"]:
-        import pyarrow.parquet as pq
-
-        table = pq.read_table(partition.path, columns=partition.columns)
-        yield from table.to_batches()
+        yield from _read_file_partition(partition)
 
 
 class DeltaJarlessDataSource(DataSource):

@@ -2885,6 +2885,87 @@ def _position_delete_entry(root: str, pairs: list[tuple[str, int]],
                 "lower_bounds": None, "upper_bounds": None}}
 
 
+def _pos_norm_udf():
+    """pandas_udf normalizing provenance file paths to bare local paths
+    (the form data-file manifests store in this staging layout)."""
+    from urllib.parse import unquote as _unq
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s):
+        return s.map(lambda p: re.sub(r"^file:/+", "/", _unq(p)))
+    return _norm
+
+
+def _position_delete_entries_distributed(spark: SparkSession, root: str,
+                                         pos_df, tag: str,
+                                         num_files: int = 1) -> list[dict]:
+    """Scale form of ``_position_delete_entry`` (VERDICT r12 #2): the
+    doomed ``(_PROV_F, _PROV_P)`` positions NEVER reach the driver.
+    The frame is hash-routed by file path into ``num_files`` tasks,
+    sorted ``(file_path, pos)`` WITHIN each task (the v2 spec's required
+    position-delete sort order — global order across files is not
+    required, per-file contiguity + ascending pos is), and each task
+    streams its Arrow batches through a ``pyarrow.ParquetWriter`` into
+    its own delete parquet — footer stats (record_count, size) come back
+    as ONE summary row per task, the ``_dv_delete_entries_distributed``
+    shape. A 100M-row DELETE on a v2 table therefore costs the driver
+    O(num_files), not O(matched rows).
+
+    Same single-writer local-FS staging scope as every writer in this
+    module (executors share the driver's filesystem on local[*]; a
+    cluster deployment would route these writes through the Hadoop FS
+    API exactly like the sidecar writers in ``sinks/writers.py``)."""
+    from pyspark import TaskContext
+    from pyspark.sql import functions as F
+
+    keyed = (pos_df
+             .select(_pos_norm_udf()(F.col(_PROV_F)).alias("file_path"),
+                     F.col(_PROV_P).cast("long").alias("pos"))
+             .repartition(max(1, int(num_files)), "file_path")
+             .sortWithinPartitions("file_path", "pos"))
+
+    def _write(batches):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pa.schema([
+            pa.field("file_path", pa.string(), metadata={
+                b"PARQUET:field_id": str(_DELETE_FILE_PATH_FID).encode()}),
+            pa.field("pos", pa.int64(), metadata={
+                b"PARQUET:field_id": str(_DELETE_POS_FID).encode()})])
+        pid = TaskContext.get().partitionId()
+        dpath = os.path.join(root, "data", f"delete-{tag}-{pid}.parquet")
+        writer = None
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if writer is None:
+                writer = pq.ParquetWriter(dpath, schema)
+            writer.write_table(pa.Table.from_pandas(
+                pdf, schema=schema, preserve_index=False))
+            n += len(pdf)
+        if writer is None:
+            return
+        writer.close()
+        yield pd.DataFrame({"path": [dpath], "record_count": [n],
+                            "file_size": [os.path.getsize(dpath)]})
+
+    rows = keyed.mapInPandas(
+        _write, "path string, record_count long, file_size long").collect()
+    return [{"status": STATUS_ADDED,
+             "data_file": {
+                 "content": 1, "file_path": r.path,
+                 "file_format": "PARQUET", "partition": {},
+                 "record_count": int(r.record_count),
+                 "file_size_in_bytes": int(r.file_size),
+                 "lower_bounds": None, "upper_bounds": None}}
+            for r in sorted(rows, key=lambda r: r.path)]
+
+
 def _dv_delete_entries_distributed(spark: SparkSession, table_path: str,
                                    root: str, meta: dict, pos_df,
                                    deletes: list[dict], tag: str
@@ -3004,7 +3085,6 @@ def write_iceberg_position_deletes(spark: SparkSession, table_path: str,
         raise NotImplementedError(
             "write_iceberg_position_deletes is a local staging utility")
     import uuid as _uuid
-    from urllib.parse import unquote
 
     from pyspark.sql import functions as F
 
@@ -3019,18 +3099,17 @@ def write_iceberg_position_deletes(spark: SparkSession, table_path: str,
 
     cur, _, _ = _provenance_scan(spark, table_path, meta,
                                  "position deletes")
-    doomed = cur.filter(F.expr(predicate_sql)) \
-        .select(_PROV_F, _PROV_P).collect()
-    pairs = sorted((re.sub(r"^file:/+", "/", unquote(r[_PROV_F])),
-                    int(r[_PROV_P])) for r in doomed)
-    if not pairs:
+    pos_df = cur.filter(F.expr(predicate_sql)).select(_PROV_F, _PROV_P)
+    # executor-side staging (VERDICT r12 #2): doomed (file, pos) pairs
+    # sort + write inside tasks; the driver sees one row per delete file
+    entries = _position_delete_entries_distributed(
+        spark, root, pos_df, f"d{_uuid.uuid4().hex[:12]}")
+    if not entries:
         # DML semantics: nothing matched -> no commit (a 0-row delete
         # snapshot would churn history and the change feed for nothing)
         return int(meta["current-snapshot-id"])
-    entry = _position_delete_entry(root, pairs,
-                                   f"d{_uuid.uuid4().hex[:12]}")
     return _commit_delete_snapshot(
-        spark, table_path, entry, "delete",
+        spark, table_path, entries, "delete",
         scanned_snapshot_id=int(meta["current-snapshot-id"]))
 
 
@@ -3275,8 +3354,9 @@ def write_iceberg_equality_deletes(spark: SparkSession, table_path: str,
     content=1 delete manifest with ``equality_ids``. The snapshot's
     sequence number scopes it: data files committed at or after it are
     NOT affected (the v2 strictly-older rule a CDC upsert relies on).
-    Same staging scope as ``write_iceberg_position_deletes`` — the
-    delete frame collects driver-side (CDC-key-sized by contract)."""
+    Same staging scope as ``write_iceberg_position_deletes``; the delete
+    keys stream executor-side through one task's ParquetWriter — the
+    driver never receives them (VERDICT r12 #2)."""
     if _is_metadata_handle(table_path):
         raise NotImplementedError(
             "catalog-managed (*.metadata.json) handles are READ-ONLY "
@@ -3286,7 +3366,6 @@ def write_iceberg_equality_deletes(spark: SparkSession, table_path: str,
         raise NotImplementedError(
             "write_iceberg_equality_deletes is a local staging utility")
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     root = _strip_scheme(table_path)
     meta = read_table_metadata(spark, table_path)
@@ -3307,10 +3386,6 @@ def write_iceberg_equality_deletes(spark: SparkSession, table_path: str,
         raise ValueError("delete_rows columns must be exactly "
                          "equality_cols")
     eq_ids = [int(fields[c]["id"]) for c in equality_cols]
-    pdf = delete_rows.select(*equality_cols).distinct().toPandas()
-    if len(pdf) == 0:
-        # DML semantics: no keys -> no commit
-        return int(meta["current-snapshot-id"])
     new_snap = max(int(sn["snapshot-id"])
                    for sn in meta["snapshots"]) + 1
     dpath = os.path.join(root, "data", f"eq-delete-{new_snap}.parquet")
@@ -3327,14 +3402,43 @@ def write_iceberg_equality_deletes(spark: SparkSession, table_path: str,
                  metadata={b"PARQUET:field_id":
                            str(fields[c]["id"]).encode()})
         for c in equality_cols])
-    pq.write_table(pa.Table.from_pandas(pdf, schema=arrow_schema,
-                                        preserve_index=False), dpath)
+
+    # executor-side staging (VERDICT r12 #2): the distinct key set
+    # streams through a single task's ParquetWriter — the driver never
+    # receives the keys, only the footer stats row
+    def _write(batches):
+        import pandas as _pd
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        writer = None
+        n = 0
+        for kdf in batches:
+            if len(kdf) == 0:
+                continue
+            if writer is None:
+                writer = _pq.ParquetWriter(dpath, arrow_schema)
+            writer.write_table(_pa.Table.from_pandas(
+                kdf, schema=arrow_schema, preserve_index=False))
+            n += len(kdf)
+        if writer is None:
+            return
+        writer.close()
+        yield _pd.DataFrame({"record_count": [n],
+                             "file_size": [os.path.getsize(dpath)]})
+
+    stats = (delete_rows.select(*equality_cols).distinct().coalesce(1)
+             .mapInPandas(_write, "record_count long, file_size long")
+             .collect())
+    if not stats:
+        # DML semantics: no keys -> no commit
+        return int(meta["current-snapshot-id"])
     entry = {"status": STATUS_ADDED,
              "data_file": {
                  "content": 2, "file_path": dpath,
                  "file_format": "PARQUET", "partition": {},
-                 "record_count": len(pdf),
-                 "file_size_in_bytes": os.path.getsize(dpath),
+                 "record_count": int(stats[0].record_count),
+                 "file_size_in_bytes": int(stats[0].file_size),
                  "lower_bounds": None, "upper_bounds": None,
                  "equality_ids": eq_ids}}
     # no scanned_snapshot_id guard: equality deletes reference KEYS, not
@@ -3455,7 +3559,6 @@ def iceberg_update_where(spark: SparkSession, table_path: str,
     contract, same as the delete writers); the post-image write and the
     MoR read path are distributed."""
     import uuid as _uuid
-    from urllib.parse import unquote
 
     from pyspark.sql import functions as F
 
@@ -3525,12 +3628,9 @@ def iceberg_update_where(spark: SparkSession, table_path: str,
                 spark, table_path, root, meta, dead_df, deletes, tag)
             fv, keys = 3, superseded
         else:
-            # staging-scale collect (v2 layout); v3/DV is the scale path
-            doomed = dead_df.collect()
-            pairs = sorted((re.sub(r"^file:/+", "/",
-                                   unquote(r[_PROV_F])),
-                            int(r[_PROV_P])) for r in doomed)
-            del_entries = [_position_delete_entry(root, pairs, tag)]
+            # executor-side v2 position-delete staging (VERDICT r12 #2)
+            del_entries = _position_delete_entries_distributed(
+                spark, root, dead_df, tag)
             fv, keys = None, None
         try:
             return _commit_delete_snapshot(
@@ -3578,7 +3678,6 @@ def iceberg_merge_into(spark: SparkSession, table_path: str,
     collect). Nothing matched AND nothing to insert -> no commit. A lost
     metadata CAS re-derives against the new head and retries."""
     import uuid as _uuid
-    from urllib.parse import unquote
 
     from pyspark.sql import functions as F
 
@@ -3711,12 +3810,9 @@ def iceberg_merge_into(spark: SparkSession, table_path: str,
                     tag)
                 fv = 3
             else:
-                # staging-scale collect (v2); v3/DV is the scale path
-                doomed = dead_pos.collect()
-                pairs = sorted((re.sub(r"^file:/+", "/",
-                                       unquote(r[_PROV_F])),
-                                int(r[_PROV_P])) for r in doomed)
-                del_entries = [_position_delete_entry(root, pairs, tag)]
+                # executor-side v2 position-delete staging (VERDICT r12 #2)
+                del_entries = _position_delete_entries_distributed(
+                    spark, root, dead_pos, tag)
         try:
             return _commit_delete_snapshot(
                 spark, table_path, del_entries, "overwrite",

@@ -376,22 +376,19 @@ def delete_where_via_catalog(spark, catalog: FileRestCatalog, ns: str,
     new head, the same optimistic loop as ``append_iceberg_via_catalog``.
     Returns the committed snapshot id (unchanged head id when nothing
     matched)."""
-    from urllib.parse import unquote
-
     from pyspark.sql import functions as F
 
     from .iceberg import (
         _PROV_F,
         _PROV_P,
         _dv_delete_entries_distributed,
-        _position_delete_entry,
+        _position_delete_entries_distributed,
         _provenance_scan,
         _strip_scheme,
     )
 
     if mode not in ("position", "dv"):
         raise ValueError(f"mode must be position|dv, got {mode!r}")
-    import re as _re
 
     for _ in range(max_retries + 1):
         loaded = catalog.load_table(ns, name)
@@ -414,12 +411,9 @@ def delete_where_via_catalog(spark, catalog: FileRestCatalog, ns: str,
             entries, keys = _dv_delete_entries_distributed(
                 spark, root, root, meta, dead_df, deletes, tag)
         else:
-            # staging-scale collect (v2); v3/DV is the scale path
-            doomed = dead_df.collect()
-            pairs = sorted((_re.sub(r"^file:/+", "/",
-                                    unquote(r[_PROV_F])),
-                            int(r[_PROV_P])) for r in doomed)
-            entries = [_position_delete_entry(root, pairs, tag)]
+            # executor-side v2 position-delete staging (VERDICT r12 #2)
+            entries = _position_delete_entries_distributed(
+                spark, root, dead_df, tag)
 
         committed = _commit_row_ops_via_catalog(
             spark, catalog, ns, name, meta, root, mdir, tag,
@@ -543,22 +537,19 @@ def update_where_via_catalog(spark, catalog: FileRestCatalog, ns: str,
     catalog-managed twin of ``sources.iceberg.iceberg_update_where``.
     SET expressions bind to PRE-update values; nothing matched -> no
     commit; 409 -> reload + re-derive."""
-    from urllib.parse import unquote
-
     from pyspark.sql import functions as F
 
     from .iceberg import (
         _PROV_F,
         _PROV_P,
         _dv_delete_entries_distributed,
-        _position_delete_entry,
+        _position_delete_entries_distributed,
         _provenance_scan,
         _strip_scheme,
     )
 
     if mode not in ("position", "dv"):
         raise ValueError(f"mode must be position|dv, got {mode!r}")
-    import re as _re
 
     for _ in range(max_retries + 1):
         loaded = catalog.load_table(ns, name)
@@ -616,12 +607,9 @@ def update_where_via_catalog(spark, catalog: FileRestCatalog, ns: str,
             del_entries, keys = _dv_delete_entries_distributed(
                 spark, root, root, meta, dead_df, deletes, tag)
         else:
-            # staging-scale collect (v2); v3/DV is the scale path
-            doomed = dead_df.collect()
-            pairs = sorted((_re.sub(r"^file:/+", "/",
-                                    unquote(r[_PROV_F])),
-                            int(r[_PROV_P])) for r in doomed)
-            del_entries = [_position_delete_entry(root, pairs, tag)]
+            # executor-side v2 position-delete staging (VERDICT r12 #2)
+            del_entries = _position_delete_entries_distributed(
+                spark, root, dead_df, tag)
 
         committed = _commit_row_ops_via_catalog(
             spark, catalog, ns, name, meta, root, mdir, tag,

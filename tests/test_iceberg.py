@@ -2544,15 +2544,16 @@ def test_delete_where_detects_scan_to_commit_head_drift(spark, tmp_path,
     racer = spark.range(100, 105).selectExpr("id AS k",
                                              "CAST(id AS double) AS v")
     state = {"raced": False, "conflicts": 0}
-    real_entry = iceberg._position_delete_entry
+    real_stage = iceberg._position_delete_entries_distributed
 
-    def race_then_stage(root, pairs, tag):
+    def race_then_stage(spark_, root, pos_df, tag, **kw):
         # positions are already derived at this point; land a racer
         # append BEFORE the commit reloads metadata
+        entries = real_stage(spark_, root, pos_df, tag, **kw)
         if not state["raced"]:
             state["raced"] = True
             append_iceberg(spark, racer, t)
-        return real_entry(root, pairs, tag)
+        return entries
 
     real_commit = iceberg._commit_delete_snapshot
 
@@ -2563,7 +2564,8 @@ def test_delete_where_detects_scan_to_commit_head_drift(spark, tmp_path,
             state["conflicts"] += 1
             raise
 
-    monkeypatch.setattr(iceberg, "_position_delete_entry", race_then_stage)
+    monkeypatch.setattr(iceberg, "_position_delete_entries_distributed",
+                        race_then_stage)
     monkeypatch.setattr(iceberg, "_commit_delete_snapshot", counting_commit)
 
     iceberg_delete_where(spark, t, "k % 3 = 0", mode="position")
@@ -2571,6 +2573,65 @@ def test_delete_where_detects_scan_to_commit_head_drift(spark, tmp_path,
     assert state["conflicts"] >= 1   # the guard fired, not a silent commit
     assert _ks(read_iceberg_snapshot(spark, t)) == \
         [k for k in list(range(30)) + list(range(100, 105)) if k % 3 != 0]
+
+
+def test_v2_dml_stages_position_deletes_executor_side(spark, tmp_path,
+                                                      monkeypatch):
+    """VERDICT r12 #2: the v2 position-delete layout must never collect
+    the matched (file, pos) pairs — or the equality key set — on the
+    driver. Staging streams executor-side (sortWithinPartitions +
+    task-side ParquetWriter); the driver receives only footer-stats
+    summary rows. Pin it by banning toPandas outright and banning any
+    UNBOUNDED collect of a provenance/position-shaped frame (bounded
+    take(1) emptiness probes keep their Limit node and stay allowed)
+    across DELETE, UPDATE, MERGE, and equality-delete in v2 mode."""
+    from pyspark.sql import DataFrame
+
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        _PROV_F,
+        _PROV_P,
+        iceberg_delete_where,
+        iceberg_merge_into,
+        iceberg_update_where,
+    )
+
+    t = str(tmp_path / "v2scale")
+    df = spark.range(0, 60).selectExpr("id AS k", "CAST(id AS double) AS v")
+    write_iceberg_table(spark, [df], t)
+
+    real_collect = DataFrame.collect
+
+    def _boom_pandas(self):
+        raise AssertionError("driver toPandas during v2 DML staging")
+
+    def guarded_collect(self):
+        cols = set(self.columns)
+        if {_PROV_F, _PROV_P} <= cols or {"file_path", "pos"} <= cols:
+            plan = self._jdf.queryExecution().logical().toString()
+            if "GlobalLimit" not in plan:
+                raise AssertionError(
+                    "unbounded driver collect of doomed positions: "
+                    + plan.splitlines()[0])
+        return real_collect(self)
+
+    monkeypatch.setattr(DataFrame, "toPandas", _boom_pandas)
+    monkeypatch.setattr(DataFrame, "collect", guarded_collect)
+    iceberg_delete_where(spark, t, "k % 10 = 3", mode="position")
+    iceberg_update_where(spark, t, "k % 10 = 4", {"v": "v + 1000.0"},
+                         mode="position")
+    src = spark.range(0, 6).selectExpr("id * 10 AS k",
+                                       "CAST(9999 AS double) AS v")
+    iceberg_merge_into(spark, t, src, on=["k"],
+                       when_matched_update={"v": "s.v"},
+                       mode="position")
+    iceberg_delete_where(spark, t, "k = 59", mode="equality",
+                         equality_cols=["k"])
+    monkeypatch.undo()
+
+    got = {r.k: r.v for r in read_iceberg_snapshot(spark, t).collect()}
+    assert sorted(got) == [k for k in range(60) if k % 10 != 3 and k != 59]
+    assert got[14] == 1014.0 and got[44] == 1044.0   # UPDATE post-image
+    assert got[20] == 9999.0 and got[50] == 9999.0   # MERGE update
 
 
 def test_retired_dv_survivors_keep_original_snapshot_id(spark, ice):
