@@ -39,7 +39,7 @@ def build_parser() -> argparse.ArgumentParser:
                             "iceberg-expire", "iceberg-set-ref",
                             "iceberg-drop-ref", "iceberg-rewrite-manifests",
                             "iceberg-delete-where", "iceberg-update-where",
-                            "iceberg-merge",
+                            "iceberg-merge", "iceberg-merge-catalog",
                             "iceberg-enable-row-lineage", "uniform-sync",
                             "delta-clone",
                             "delta-optimize", "delta-vacuum",
@@ -107,8 +107,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "merge-on-read commit; nothing matched -> no "
                         "commit)")
     p.add_argument("--merge-on", default=None,
-                   help="iceberg-merge: comma-separated merge key "
-                        "columns (MERGE INTO ... ON)")
+                   help="iceberg-merge / iceberg-merge-catalog: "
+                        "comma-separated merge key columns "
+                        "(MERGE INTO ... ON)")
+    p.add_argument("--warehouse", default=None,
+                   help="iceberg-merge-catalog: FileRestCatalog "
+                        "warehouse directory; --table takes the form "
+                        "namespace.table")
     p.add_argument("--set-exprs", default=None,
                    help='iceberg-update-where / iceberg-merge (matched-'
                         'update clause, t./s. qualified): JSON '
@@ -386,6 +391,35 @@ def _run_maintenance(args) -> int:
                   "merged_any": sid != before,
                   "live_rows": read_iceberg_snapshot(spark,
                                                      table_path).count()}
+    elif args.maintenance == "iceberg-merge-catalog":
+        import json as _json
+
+        from .sources.rest_catalog import (
+            FileRestCatalog,
+            merge_into_via_catalog,
+        )
+
+        if not (args.append_input and args.merge_on and args.warehouse
+                and args.table and "." in args.table):
+            print("--append-input, --merge-on, --warehouse, and "
+                  "--table namespace.table are required for "
+                  "iceberg-merge-catalog", file=sys.stderr)
+            return 2
+        ns, _, name = args.table.partition(".")
+        cat = FileRestCatalog(args.warehouse)
+        reader = (spark.read.json if args.append_input.endswith(".json")
+                  else spark.read.parquet)
+        before = cat.load_table(ns, name)["metadata"][
+            "current-snapshot-id"]
+        sid = merge_into_via_catalog(
+            spark, cat, ns, name, reader(args.append_input),
+            args.merge_on.split(","),
+            when_matched_update=(_json.loads(args.set_exprs)
+                                 if args.set_exprs else None),
+            when_matched_delete=args.delete_predicate,
+            when_not_matched_insert=True)
+        report = {"table": args.table, "snapshot_id": sid,
+                  "merged_any": sid != before}
     elif args.maintenance == "iceberg-update-where":
         import json as _json
 
@@ -509,6 +543,12 @@ def _run_maintenance(args) -> int:
 
 
 def main(argv: list[str] | None = None) -> int:
+    # pin executor Python workers to the DRIVER's interpreter: in a bare
+    # subprocess environment Spark otherwise resolves `python3` from
+    # PATH, which may be a different install missing pyarrow/pandas —
+    # and every DML verb now runs Arrow-batched executor-side staging
+    import os as _os
+    _os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
     args = build_parser().parse_args(argv)
     if args.maintenance:
         if not args.table:

@@ -3646,6 +3646,108 @@ def iceberg_update_where(spark: SparkSession, table_path: str,
         f"races") from last
 
 
+def _default_spec_part_fields(meta: dict, schema_fields: list[dict]):
+    """(spec-id, partition avro fields) of the table's default partition
+    spec — the staging machinery every DML writer shares."""
+    sid = meta.get("default-spec-id", 0)
+    spec = next((sp for sp in (meta.get("partition-specs") or [])
+                 if sp.get("spec-id", 0) == sid), {"fields": []})
+    src_by_id = {int(f["id"]): f for f in schema_fields}
+    part_by, transforms = [], []
+    for f in spec.get("fields") or []:
+        src_name = src_by_id[int(f["source-id"])]["name"]
+        tr = f.get("transform") or "identity"
+        if tr == "identity":
+            part_by.append(src_name)
+        else:
+            transforms.append((f["name"], tr, src_name))
+    return sid, _part_avro_fields(schema_fields, part_by, transforms)
+
+
+def _derive_merge(source: DataFrame, on: list[str],
+                  when_matched_update: dict[str, str] | None,
+                  when_matched_delete: str | None,
+                  when_not_matched_insert: bool,
+                  schema_fields: list[dict], cur: DataFrame):
+    """Shared MERGE derivation over a provenance-scanned target ``cur``:
+    validates clause arguments, joins target and source on the merge
+    keys, applies the nondeterministic-match guard, and returns
+    ``(dead_pos, new_rows, doomed_any, has_new)`` — the doomed-position
+    frame, the post-image/insert frame (or None), and their emptiness
+    probes. Used by the local ``iceberg_merge_into`` and the
+    catalog-managed ``rest_catalog.merge_into_via_catalog``."""
+    from pyspark.sql import functions as F
+
+    names = [f["name"] for f in schema_fields]
+    bad_on = [c for c in on if c not in names]
+    if bad_on:
+        raise ValueError(f"merge keys {bad_on} are not table columns")
+    if when_matched_update:
+        bad = [c for c in when_matched_update if c not in names]
+        if bad:
+            raise ValueError(f"SET columns {bad} absent from the "
+                             f"table schema")
+    missing_src = [c for c in names if c not in source.columns]
+    if when_not_matched_insert and missing_src:
+        raise ValueError(
+            f"insert clause needs the full table schema on the "
+            f"source; missing {missing_src}")
+
+    t = cur.alias("t")
+    s = source.alias("s")
+    cond = None
+    for c in on:
+        eq = F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
+        cond = eq if cond is None else (cond & eq)
+    joined = t.join(s, cond, "inner")
+    pf, pp = f"t.{_PROV_F}", f"t.{_PROV_P}"
+    # nondeterministic-merge guard: >1 source row per target row
+    dup = (joined.groupBy(F.col(pf), F.col(pp)).count()
+           .filter(F.col("count") > 1).limit(1).count())
+    if dup:
+        raise ValueError(
+            "MERGE matched multiple source rows to one target row; "
+            "deduplicate the source on the merge keys first")
+
+    dead_cond = (F.expr(when_matched_delete)
+                 if when_matched_delete is not None else F.lit(False))
+    # NULL delete conditions fall through to the UPDATE clause
+    # (Delta clause semantics; three-valued ~NULL would drop the row
+    # from BOTH branches — ADVICE r12)
+    dead_cond = F.coalesce(dead_cond, F.lit(False))
+    upd = joined.filter(~dead_cond) if when_matched_update else None
+
+    def _pos(df):
+        return df.select(F.col(pf).alias(_PROV_F),
+                         F.col(pp).alias(_PROV_P))
+
+    dead_pos = _pos(joined.filter(dead_cond))
+    if when_matched_update:
+        # updated rows' OLD positions die too (project provenance
+        # FIRST: the joined frame carries duplicate column names)
+        dead_pos = dead_pos.unionByName(_pos(upd))
+    doomed_any = bool(dead_pos.take(1))
+
+    pieces = []
+    if when_matched_update:
+        pieces.append(upd.select(*[
+            F.expr(when_matched_update.get(f["name"], f't.{f["name"]}'))
+            .cast(_spark_type(f["type"])).alias(f["name"])
+            for f in schema_fields]))
+    if when_not_matched_insert:
+        anti = s.join(t, cond, "left_anti")
+        pieces.append(anti.select(*[
+            F.col(f's.{f["name"]}')
+            .cast(_spark_type(f["type"])).alias(f["name"])
+            for f in schema_fields]))
+    new_rows = None
+    for p_df in pieces:
+        new_rows = p_df if new_rows is None \
+            else new_rows.unionByName(p_df)
+    has_new = new_rows is not None and bool(new_rows.take(1))
+    return dead_pos, new_rows, doomed_any, has_new
+
+
 def iceberg_merge_into(spark: SparkSession, table_path: str,
                        source: DataFrame, on: list[str],
                        when_matched_update: dict[str, str] | None = None,
@@ -3700,97 +3802,19 @@ def iceberg_merge_into(spark: SparkSession, table_path: str,
             if not isinstance(f["type"], str):
                 raise IcebergProtocolError(
                     "merge supports flat primitive schemas")
-        names = [f["name"] for f in schema_fields]
-        bad_on = [c for c in on if c not in names]
-        if bad_on:
-            raise ValueError(f"merge keys {bad_on} are not table columns")
-        if when_matched_update:
-            bad = [c for c in when_matched_update if c not in names]
-            if bad:
-                raise ValueError(f"SET columns {bad} absent from the "
-                                 f"table schema")
-        missing_src = [c for c in names if c not in source.columns]
-        if when_not_matched_insert and missing_src:
-            raise ValueError(
-                f"insert clause needs the full table schema on the "
-                f"source; missing {missing_src}")
         use_dv = mode == "dv" or int(meta.get("format-version", 1)) >= 3
         root = _strip_scheme(table_path)
 
         cur, _, deletes = _provenance_scan(spark, table_path, meta,
                                            "MERGE")
-        t = cur.alias("t")
-        s = source.alias("s")
-        cond = None
-        for c in on:
-            eq = F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
-            cond = eq if cond is None else (cond & eq)
-        joined = t.join(s, cond, "inner")
-        pf, pp = f"t.{_PROV_F}", f"t.{_PROV_P}"
-        # nondeterministic-merge guard: >1 source row per target row
-        dup = (joined.groupBy(F.col(pf), F.col(pp)).count()
-               .filter(F.col("count") > 1).limit(1).count())
-        if dup:
-            raise ValueError(
-                "MERGE matched multiple source rows to one target row; "
-                "deduplicate the source on the merge keys first")
-
-        dead_cond = (F.expr(when_matched_delete)
-                     if when_matched_delete is not None else F.lit(False))
-        # NULL delete conditions fall through to the UPDATE clause
-        # (Delta clause semantics; three-valued ~NULL would drop the row
-        # from BOTH branches — ADVICE r12)
-        dead_cond = F.coalesce(dead_cond, F.lit(False))
-        upd = joined.filter(~dead_cond) if when_matched_update else None
-
-        def _pos(df):
-            return df.select(F.col(pf).alias(_PROV_F),
-                             F.col(pp).alias(_PROV_P))
-
-        dead_pos = _pos(joined.filter(dead_cond))
-        if when_matched_update:
-            # updated rows' OLD positions die too (project provenance
-            # FIRST: the joined frame carries duplicate column names)
-            dead_pos = dead_pos.unionByName(_pos(upd))
-        doomed_any = bool(dead_pos.take(1))
-
-        pieces = []
-        if when_matched_update:
-            pieces.append(upd.select(*[
-                F.expr(when_matched_update.get(f["name"],
-                                               f't.{f["name"]}'))
-                .cast(_spark_type(f["type"])).alias(f["name"])
-                for f in schema_fields]))
-        if when_not_matched_insert:
-            anti = s.join(t, cond, "left_anti")
-            pieces.append(anti.select(*[
-                F.col(f's.{f["name"]}')
-                .cast(_spark_type(f["type"])).alias(f["name"])
-                for f in schema_fields]))
-        new_rows = None
-        for p_df in pieces:
-            new_rows = p_df if new_rows is None \
-                else new_rows.unionByName(p_df)
-
-        has_new = new_rows is not None and bool(new_rows.take(1))
+        dead_pos, new_rows, doomed_any, has_new = _derive_merge(
+            source, on, when_matched_update, when_matched_delete,
+            when_not_matched_insert, schema_fields, cur)
         if not doomed_any and not has_new:
             return int(meta["current-snapshot-id"])
 
         # partition machinery, identical to the append writers
-        sid = meta.get("default-spec-id", 0)
-        spec = next((sp for sp in (meta.get("partition-specs") or [])
-                     if sp.get("spec-id", 0) == sid), {"fields": []})
-        src_by_id = {int(f["id"]): f for f in schema_fields}
-        part_by, transforms = [], []
-        for f in spec.get("fields") or []:
-            src_name = src_by_id[int(f["source-id"])]["name"]
-            tr = f.get("transform") or "identity"
-            if tr == "identity":
-                part_by.append(src_name)
-            else:
-                transforms.append((f["name"], tr, src_name))
-        part_fields = _part_avro_fields(schema_fields, part_by,
-                                        transforms)
+        sid, part_fields = _default_spec_part_fields(meta, schema_fields)
 
         tag = f"m{_uuid.uuid4().hex[:12]}"
         snap_guess = max(int(sn["snapshot-id"])

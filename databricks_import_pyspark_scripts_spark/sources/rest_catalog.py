@@ -622,3 +622,91 @@ def update_where_via_catalog(spark, catalog: FileRestCatalog, ns: str,
     raise IcebergCommitConflict(
         f"catalog UPDATE WHERE on {ns}.{name} lost "
         f"{max_retries + 1} commit races")
+
+
+def merge_into_via_catalog(spark, catalog: FileRestCatalog, ns: str,
+                           name: str, source, on: list[str],
+                           when_matched_update: dict[str, str] | None = None,
+                           when_matched_delete: str | None = None,
+                           when_not_matched_insert: bool = True,
+                           mode: str = "position",
+                           max_retries: int = 10) -> int:
+    """``MERGE INTO`` through the catalog protocol (VERDICT r12 #5 —
+    completing the catalog DML trio): clause derivation is the shared
+    ``sources.iceberg._derive_merge`` (matched-delete evaluated first,
+    NULL delete conditions falling through to update, nondeterministic-
+    match guard), and the old positions' deletes (position parquet or
+    DVs) plus the post-image/insert data files commit as ONE
+    CommitTableRequest snapshot via ``_commit_row_ops_via_catalog``
+    (assert-ref-snapshot-id on main; upgrade-format-version rides the
+    same commit when the DV layout needs v3). A 409 reloads the head and
+    RE-DERIVES every clause against the new state — the same optimistic
+    loop as the catalog DELETE/UPDATE. Pure-insert merges commit no
+    delete manifest; nothing matched and nothing to insert -> no commit."""
+    from .iceberg import (
+        _default_spec_part_fields,
+        _derive_merge,
+        _dv_delete_entries_distributed,
+        _position_delete_entries_distributed,
+        _provenance_scan,
+        _strip_scheme,
+    )
+
+    if mode not in ("position", "dv"):
+        raise ValueError(f"mode must be position|dv, got {mode!r}")
+
+    for _ in range(max_retries + 1):
+        loaded = catalog.load_table(ns, name)
+        meta = loaded["metadata"]
+        root = _strip_scheme(os.path.dirname(
+            os.path.dirname(loaded["metadata-location"])))
+        mdir = os.path.join(root, METADATA_DIR)
+        schema_fields = _current_schema(meta)["fields"]
+        for f in schema_fields:
+            if not isinstance(f["type"], str):
+                raise IcebergProtocolError(
+                    "merge supports flat primitive schemas")
+        use_dv = mode == "dv" or int(meta.get("format-version", 1)) >= 3
+
+        cur, _, deletes = _provenance_scan(spark, root, meta,
+                                           "catalog MERGE")
+        dead_pos, new_rows, doomed_any, has_new = _derive_merge(
+            source, on, when_matched_update, when_matched_delete,
+            when_not_matched_insert, schema_fields, cur)
+        if not doomed_any and not has_new:
+            return int(meta["current-snapshot-id"])
+
+        sid, part_fields = _default_spec_part_fields(meta, schema_fields)
+        tag = f"cm{uuid.uuid4().hex[:12]}"
+        snap_guess = max((int(sn["snapshot-id"])
+                          for sn in meta.get("snapshots") or []),
+                         default=999) + 1
+        data_entries = None
+        if has_new:
+            data_entries = _stage_commit(spark, new_rows, root,
+                                         schema_fields, part_fields,
+                                         snap_guess, tag)
+
+        del_entries: list[dict] = []
+        keys: set[str] | None = None
+        if doomed_any:
+            if use_dv:
+                del_entries, keys = _dv_delete_entries_distributed(
+                    spark, root, root, meta, dead_pos, deletes, tag)
+            else:
+                # executor-side v2 staging (VERDICT r12 #2)
+                del_entries = _position_delete_entries_distributed(
+                    spark, root, dead_pos, tag)
+
+        committed = _commit_row_ops_via_catalog(
+            spark, catalog, ns, name, meta, root, mdir, tag,
+            del_entries=del_entries, supersede_keys=keys,
+            data_entries=data_entries, data_part_fields=part_fields,
+            data_spec_id=sid, op_summary="overwrite",
+            upgrade_v3=bool(del_entries) and use_dv
+            and int(meta.get("format-version", 1)) < 3)
+        if committed is not None:
+            return committed
+    raise IcebergCommitConflict(
+        f"catalog MERGE INTO on {ns}.{name} lost "
+        f"{max_retries + 1} commit races")

@@ -570,6 +570,53 @@ def test_cli_iceberg_update_where(spark, tmp_path):
                    for k in range(12)}
 
 
+def test_cli_iceberg_merge_catalog(spark, tmp_path):
+    """iceberg-merge-catalog subprocess e2e: the MERGE commits through
+    the FileRestCatalog CommitTableRequest path — matched keys update,
+    fresh keys insert, the catalog head advances to the new snapshot."""
+    import os
+
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        read_iceberg_snapshot,
+        write_iceberg_table,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.rest_catalog import (
+        FileRestCatalog,
+    )
+
+    root = str(tmp_path / "root")
+    wh = str(tmp_path / "wh")
+    a = spark.range(0, 10).selectExpr("id AS k", "CAST(id AS double) AS v")
+    write_iceberg_table(spark, [a], f"{root}/tbl")
+    FileRestCatalog(wh).register_table("db", "tbl", f"{root}/tbl")
+    srcdir = str(tmp_path / "src_rows")
+    spark.createDataFrame([(3, 30.0), (12, 12.0)], "k long, v double") \
+        .coalesce(1).write.parquet(srcdir)
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "databricks_import_pyspark_scripts_spark.cli",
+         "--source-root", root, "--table", "db.tbl",
+         "--maintenance", "iceberg-merge-catalog",
+         "--warehouse", wh,
+         "--append-input", srcdir, "--merge-on", "k",
+         "--set-exprs", '{"v": "s.v"}'],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        env={"SPARK_GRAFT_CPUS": "4", "PATH": "/usr/bin:/bin",
+             "HOME": "/root",
+             "JAVA_HOME": os.environ.get("JAVA_HOME", "")})
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rep = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert rep["merged_any"]
+    cat = FileRestCatalog(wh)
+    meta = cat.load_table("db", "tbl")["metadata"]
+    assert meta["current-snapshot-id"] == rep["snapshot_id"]
+    got = {r.k: r.v for r in
+           read_iceberg_snapshot(spark, f"{root}/tbl").collect()}
+    expect = {k: float(k) for k in range(10)}
+    expect[3], expect[12] = 30.0, 12.0
+    assert got == expect
+
+
 def test_cli_iceberg_merge(spark, tmp_path):
     """iceberg-merge subprocess e2e: upsert source rows from a parquet
     input through the MERGE verb — matched keys update, fresh keys
