@@ -1752,6 +1752,82 @@ def _staged_rest_catalog_delete(spark: SparkSession, sf_dir: str) -> str:
     return os.path.join(path, "t")
 
 
+def _staged_iceberg_stream_first_seen(spark: SparkSession,
+                                      sf_dir: str) -> str:
+    """Real Iceberg SOURCE of three overlapping insert snapshots
+    (ordinal c inserts every event with event_id % 3 <= c, payload
+    column stamped c), drained by ``stream_iceberg_first_seen`` in
+    single-ordinal micro-batches into a real Iceberg TARGET — plus one
+    deliberate crash-before-mark REDELIVERY (the offset rolled back to
+    0 and the stream re-drained) that must append nothing (the
+    snapshot-summary txn watermark). The target then holds each
+    event_id exactly once, carrying the payload of its FIRST snapshot
+    (= event_id % 3)."""
+    from ..sources.delta_log import write_ingest_mark
+    from ..sources.iceberg import append_iceberg
+    from ..streaming.iceberg_source import stream_iceberg_first_seen
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_iceberg_stream_fs_gate_{tag}_v1")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        src = os.path.join(path, "src")
+        e = (load_table(spark, sf_dir, "events")
+             .select("event_id", "event_type", "value"))
+        for c in range(3):
+            batch = (e.filter(F.expr(f"event_id % 3 <= {c}"))
+                     .withColumn("src_commit", F.lit(c).cast("long")))
+            if c == 0:
+                write_iceberg_table(spark, [batch], src)
+            else:
+                append_iceberg(spark, batch, src)
+        tgt = os.path.join(path, "tgt")
+        mark = os.path.join(path, "mark")
+        stream_iceberg_first_seen(spark, src, tgt, mark,
+                                  id_col="event_id",
+                                  max_snapshots_per_batch=1)
+        # crash-before-mark redelivery: nothing may duplicate
+        write_ingest_mark(spark, mark, 0)
+        stream_iceberg_first_seen(spark, src, tgt, mark,
+                                  id_col="event_id")
+        open(marker, "w").close()
+    return os.path.join(path, "tgt")
+
+
+@register(
+    "iceberg_stream_first_seen_agg",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS sum_value,
+           CAST(SUM(event_id % 3) AS BIGINT) AS sum_first_commit
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Jar-less Iceberg STREAMING SOURCE end-to-end (streaming/"
+        "iceberg_source.py — VERDICT r12 #6, the delta_source twin "
+        "over snapshot ordinals): a real snapshot history is drained "
+        "in offset-checkpointed micro-batches through the first-seen-"
+        "dedup transform into a snapshot-summary-txn exactly-once "
+        "Iceberg sink, INCLUDING a forced crash-before-mark "
+        "redelivery. The oracle is the batch twin: each event_id "
+        "exactly once (n, sum_value) carrying its first snapshot's "
+        "payload (sum_first_commit = SUM(event_id % 3)); a dropped "
+        "batch, duplicated redelivery, or later-snapshot overwrite "
+        "breaks it.")
+def iceberg_stream_first_seen_agg(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    tgt = _staged_iceberg_stream_first_seen(spark, sf_dir)
+    return (read_iceberg_snapshot(spark, tgt)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"),
+                 F.sum("src_commit").alias("sum_first_commit"))
+            .select("event_type", "n", "sum_value", "sum_first_commit"))
+
+
 _RCM_SRC = "event_id % 4 = 0"
 
 

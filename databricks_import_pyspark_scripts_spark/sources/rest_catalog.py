@@ -204,7 +204,18 @@ class FileRestCatalog:
                 meta["last-updated-ms"] = max(
                     int(meta.get("last-updated-ms") or 0),
                     int(sn.get("timestamp-ms") or 0))
-                if sn.get("next-row-id") is not None:
+                if sn.get("first-row-id") is not None:
+                    # v3 spec: the SERVER advances next-row-id to
+                    # first-row-id + the snapshot's assigned rows
+                    # (summary added-records) — ADVICE r12 #5; a real
+                    # REST catalog ignores any client next-row-id
+                    added = int((sn.get("summary") or {})
+                                .get("added-records") or 0)
+                    meta["next-row-id"] = max(
+                        int(meta.get("next-row-id") or 0),
+                        int(sn["first-row-id"]) + added)
+                elif sn.get("next-row-id") is not None:
+                    # legacy fallback for clients predating first-row-id
                     meta["next-row-id"] = int(sn["next-row-id"])
             elif t == "set-snapshot-ref":
                 ref_name = u["ref-name"]
@@ -472,13 +483,13 @@ def _commit_row_ops_via_catalog(spark, catalog: FileRestCatalog,
             "partition_spec_id": 0, "content": 1,
             "added_snapshot_id": snap_id,
             "sequence_number": new_seq, "min_sequence_number": new_seq})
-    next_row_id = None
+    next_row_id = first_row_id = None
     if data_entries:
         stamped = [{**e, "snapshot_id": snap_id} for e in data_entries]
         if meta.get("next-row-id") is not None:
-            # v3 row lineage: fresh ranges for DML-added files; the
-            # add-snapshot update carries the advanced next-row-id
-            next_row_id = int(meta["next-row-id"])
+            # v3 row lineage: fresh ranges for DML-added files
+            first_row_id = int(meta["next-row-id"])
+            next_row_id = first_row_id
             for e in sorted(stamped,
                             key=lambda e: e["data_file"]["file_path"]):
                 e["data_file"]["first_row_id"] = next_row_id
@@ -500,7 +511,15 @@ def _commit_row_ops_via_catalog(spark, catalog: FileRestCatalog,
     snapshot = {"snapshot-id": snap_id, "timestamp-ms": ts,
                 "sequence-number": new_seq, "manifest-list": mlpath,
                 "summary": {"operation": op_summary}}
-    if next_row_id is not None:
+    if first_row_id is not None:
+        # the v3 spec's wire shape (ADVICE r12 #5): the SNAPSHOT carries
+        # first-row-id and the catalog advances table-level next-row-id
+        # to first-row-id + assigned rows (summary added-records); the
+        # custom next-row-id key stays only as a fallback for catalogs
+        # that don't implement the computation
+        snapshot["first-row-id"] = first_row_id
+        snapshot["summary"]["added-records"] = str(
+            next_row_id - first_row_id)
         snapshot["next-row-id"] = next_row_id
     updates = []
     if upgrade_v3:

@@ -3805,6 +3805,66 @@ def test_dv_entries_distributed_builds_executor_side(spark, tmp_path):
         [0, 1] + list(range(5, 15))
 
 
+def test_catalog_dml_emits_spec_first_row_id(spark, tmp_path):
+    """ADVICE r12 #5: catalog DML carries the v3 SPEC's wire shape —
+    the snapshot's ``first-row-id`` plus summary ``added-records`` —
+    and the SERVER computes next-row-id = first-row-id + added rows
+    (a real REST catalog ignores any client-side next-row-id). The
+    custom key remains only as a fallback for snapshots that predate
+    first-row-id."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        enable_iceberg_row_lineage,
+        read_table_metadata,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.rest_catalog import (
+        FileRestCatalog,
+        update_where_via_catalog,
+    )
+
+    t = str(tmp_path / "rlcat")
+    df = spark.range(0, 20).selectExpr("id AS k", "CAST(id AS double) AS v")
+    write_iceberg_table(spark, [df.coalesce(1)], t)
+    enable_iceberg_row_lineage(spark, t)
+    hwm = int(read_table_metadata(spark, t)["next-row-id"])
+
+    cat = FileRestCatalog(str(tmp_path / "wh"))
+    cat.register_table("db", "t", t)
+    sid = update_where_via_catalog(spark, cat, "db", "t", "k % 4 = 2",
+                                   {"v": "v + 100"})
+    meta = cat.load_table("db", "t")["metadata"]
+    head = next(s for s in meta["snapshots"]
+                if int(s["snapshot-id"]) == sid)
+    assert int(head["first-row-id"]) == hwm
+    assert int(head["summary"]["added-records"]) == 5
+    assert int(meta["next-row-id"]) == hwm + 5
+
+    # server-side computation: a spec-pure client sending ONLY
+    # first-row-id + added-records (no custom next-row-id) still
+    # advances the table counter
+    cur = meta["current-snapshot-id"]
+    cur_snap = next(s for s in meta["snapshots"]
+                    if int(s["snapshot-id"]) == int(cur))
+    rid = max(int(s["snapshot-id"]) for s in meta["snapshots"]) + 1
+    cat.commit_table(
+        "db", "t",
+        requirements=[{"type": "assert-ref-snapshot-id", "ref": "main",
+                       "snapshot-id": cur}],
+        updates=[
+            {"action": "add-snapshot", "snapshot": {
+                "snapshot-id": rid,
+                "timestamp-ms": int(meta["last-updated-ms"]) + 1,
+                "sequence-number":
+                    int(meta["last-sequence-number"]) + 1,
+                "manifest-list": cur_snap["manifest-list"],
+                "first-row-id": hwm + 5,
+                "summary": {"operation": "append",
+                            "added-records": "7"}}},
+            {"action": "set-snapshot-ref", "ref-name": "main",
+             "type": "branch", "snapshot-id": rid}])
+    meta = cat.load_table("db", "t")["metadata"]
+    assert int(meta["next-row-id"]) == hwm + 12
+
+
 def test_update_where_on_row_lineage_table_assigns_fresh_ids(spark,
                                                              tmp_path):
     """DML on a v3 row-lineage table: post-image files claim fresh

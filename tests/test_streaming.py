@@ -601,6 +601,120 @@ def test_stream_delta_first_seen_exactly_once_redelivery(spark, tmp_path):
     assert got == list(range(15))
 
 
+def test_stream_iceberg_changes_micro_batches_and_resume(spark, tmp_path):
+    """The Iceberg twin of stream_delta_changes (VERDICT r12 #6):
+    bounded micro-batches over snapshot ORDINALS cover the history
+    exactly once and in order — including a MoR DELETE ordinal's change
+    rows; a caught-up call fires nothing; new snapshots after catch-up
+    resume from the persisted offset."""
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        append_iceberg,
+        iceberg_delete_where,
+        read_iceberg_changes,
+        write_iceberg_table,
+    )
+    from databricks_import_pyspark_scripts_spark.streaming.iceberg_source import (
+        stream_iceberg_changes,
+    )
+
+    src = str(tmp_path / "src")
+    mark = str(tmp_path / "mark")
+
+    def frame(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id AS doc_id", "CAST(id AS double) AS v")
+
+    write_iceberg_table(spark, [frame(0, 10)], src)          # ord 0
+    append_iceberg(spark, frame(10, 20), src)                # ord 1
+    iceberg_delete_where(spark, src, "doc_id % 4 = 0")       # ord 2
+    append_iceberg(spark, frame(20, 25), src)                # ord 3
+
+    ranges, rows = [], []
+
+    def collect(df, lo, hi):
+        ranges.append((lo, hi))
+        rows.extend((r.doc_id, r._change_type, r._commit_version)
+                    for r in df.collect())
+
+    hwm = stream_iceberg_changes(spark, src, mark, collect,
+                                 max_snapshots_per_batch=2)
+    assert hwm == 3
+    assert ranges == [(-1, 1), (1, 3)]       # bounded, ordered, disjoint
+    # union of micro-batches == one full batch change pull
+    full = sorted((r.doc_id, r._change_type, r._commit_version)
+                  for r in read_iceberg_changes(spark, src, -1, 3)
+                  .collect())
+    assert sorted(rows) == full
+    assert any(ct == "delete" for _, ct, _ in rows)   # the MoR ordinal
+
+    # caught up: no batch fires
+    ranges.clear()
+    assert stream_iceberg_changes(spark, src, mark, collect) == 3
+    assert ranges == []
+
+    # new snapshot -> exactly the new range, resumed from the mark
+    append_iceberg(spark, frame(25, 28), src)                # ord 4
+    rows.clear()
+    assert stream_iceberg_changes(spark, src, mark, collect) == 4
+    assert ranges == [(3, 4)]
+    assert sorted(r[0] for r in rows) == [25, 26, 27]
+
+
+def test_stream_iceberg_first_seen_exactly_once_redelivery(spark,
+                                                           tmp_path):
+    """End-to-end first-seen dedup from a REAL Iceberg source into a
+    REAL Iceberg target (VERDICT r12 #6): duplicate ids across
+    snapshots keep only their first occurrence; a crash-before-mark
+    redelivery (mark rolled back by hand) appends NOTHING new
+    (anti-join + snapshot-summary txn watermark); later genuinely-new
+    ids still land."""
+    from databricks_import_pyspark_scripts_spark.sources.delta_log import (
+        write_ingest_mark,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        append_iceberg,
+        read_iceberg_snapshot,
+        write_iceberg_table,
+    )
+    from databricks_import_pyspark_scripts_spark.streaming.iceberg_source import (
+        stream_iceberg_first_seen,
+    )
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    mark = str(tmp_path / "mark")
+
+    def frame(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id AS doc_id", "CAST(id AS double) AS v")
+
+    write_iceberg_table(spark, [frame(0, 6)], src)       # ord 0: 0..5
+    append_iceberg(spark, frame(3, 9), src)              # ord 1: 3..8
+    append_iceberg(spark, frame(6, 12), src)             # ord 2: 6..11
+
+    hwm = stream_iceberg_first_seen(spark, src, tgt, mark,
+                                    max_snapshots_per_batch=1)
+    assert hwm == 2
+    got = sorted(r.doc_id for r in
+                 read_iceberg_snapshot(spark, tgt).collect())
+    assert got == list(range(12))            # each id exactly once
+
+    # crash-before-mark: roll the offset back and re-drain — redelivered
+    # batches must not duplicate anything
+    write_ingest_mark(spark, mark, 0)
+    assert stream_iceberg_first_seen(spark, src, tgt, mark) == 2
+    got = sorted(r.doc_id for r in
+                 read_iceberg_snapshot(spark, tgt).collect())
+    assert got == list(range(12))
+
+    # fresh ids (plus one stale) after catch-up
+    append_iceberg(spark, frame(11, 15), src)            # ord 3
+    assert stream_iceberg_first_seen(spark, src, tgt, mark) == 3
+    got = sorted(r.doc_id for r in
+                 read_iceberg_snapshot(spark, tgt).collect())
+    assert got == list(range(15))
+
+
 def test_readstream_format_delta_jarless(spark, tmp_path):
     """REAL spark.readStream over the jar-less log via the Python Data
     Source API: appends stream exactly-once into a checkpointed parquet
