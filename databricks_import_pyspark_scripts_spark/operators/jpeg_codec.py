@@ -1,0 +1,467 @@
+"""Pure-stdlib baseline JPEG codec: marker parse + huffman entropy
+decode + dequantize + numpy IDCT — no imaging libraries (VERDICT r12 #7:
+JPEG is the dominant real-corpus image format; the pHash tier should
+cover it through the same decode seam PNG uses).
+
+Derived entirely from the public JPEG specification (ITU-T T.81 /
+ISO 10918-1) and the JFIF convention. Supported surface — the baseline
+a corpus pipeline actually meets, everything else rejects LOUDLY rather
+than decoding garbage:
+
+* SOF0 baseline sequential DCT, 8-bit precision, 1 (grayscale) or
+  3 (YCbCr) components, sampling factors 1-2 (4:4:4 / 4:2:2 / 4:2:0)
+* DQT 8-bit tables, DHT baseline huffman, DRI restart intervals
+* PROGRESSIVE (SOF2) and every other SOF variant reject with the frame
+  type named; arithmetic coding (DAC), 12-bit precision, and 16-bit
+  quantization tables reject likewise.
+
+The encoder exists to synthesize deterministic fixtures: grayscale
+4:4:4 baseline with the spec's Annex K luminance huffman tables and a
+caller-chosen quantization table (all-ones by default, so fixture block
+means survive the round trip to within IDCT rounding — what the aHash
+gate construction needs).
+
+Scale shape: identical to the PNG codec — decode runs inside
+Arrow-batched ``mapInPandas`` (``operators.multimodal.image_features``),
+one task streams batches, the driver never sees pixel data. The
+per-block Python loop is fine at thumbnail scale; genuinely large media
+would ship a native codec through the same seam.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class JpegFormatError(ValueError):
+    """Malformed or out-of-scope JPEG payload."""
+
+
+_SOI = b"\xff\xd8"
+
+# zigzag scan order: index i of the scan -> (row, col) flat index
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# orthonormal 8x8 DCT-II matrix: block = _DCT.T @ coeff @ _DCT
+_DCT = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _DCT[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16) * \
+            (np.sqrt(1 / 8) if _k == 0 else np.sqrt(2 / 8))
+
+# Annex K (T.81 tables K.3/K.5) luminance huffman specs: (bits, values)
+_DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUM_VALS = list(range(12))
+_AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+_SOF_NAMES = {
+    0xC1: "extended sequential", 0xC2: "progressive", 0xC3: "lossless",
+    0xC5: "differential sequential", 0xC6: "differential progressive",
+    0xC7: "differential lossless", 0xC9: "arithmetic sequential",
+    0xCA: "arithmetic progressive", 0xCB: "arithmetic lossless",
+    0xCD: "differential arithmetic sequential",
+    0xCE: "differential arithmetic progressive",
+    0xCF: "differential arithmetic lossless",
+}
+
+
+def _build_huffman(bits: list[int], vals: list[int]) -> dict:
+    """(lengths histogram, symbols) -> {(length, code): symbol}, canonical
+    code assignment per T.81 C.2."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _encode_lengths(bits: list[int], vals: list[int]) -> dict:
+    """Inverse of _build_huffman: {symbol: (length, code)} for encoding."""
+    return {sym: lc for lc, sym in _build_huffman(bits, vals).items()}
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 byte unstuffing and
+    restart-marker awareness."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _next_byte(self) -> int:
+        if self.pos >= len(self.data):
+            raise JpegFormatError("truncated entropy-coded segment")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise JpegFormatError("truncated after 0xFF")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1                 # stuffed byte
+            else:
+                # a real marker inside entropy data: rewind and pad with
+                # 1-bits (T.81 F.2.2.5 allows padding at segment end)
+                self.pos -= 1
+                return -1
+        return b
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            b = self._next_byte()
+            if b < 0:
+                return 1                      # pad past segment end
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_and_expect_rst(self, n: int) -> None:
+        """Byte-align and consume the RSTn marker at a restart boundary."""
+        self.nbits = 0
+        if self.pos + 2 > len(self.data) or \
+                self.data[self.pos] != 0xFF or \
+                self.data[self.pos + 1] != 0xD0 + (n & 7):
+            raise JpegFormatError(
+                f"expected RST{n & 7} marker at restart boundary")
+        self.pos += 2
+
+    def decode_symbol(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise JpegFormatError("invalid huffman code (>16 bits)")
+
+
+def _extend(v: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> uint8 pixel array: (H, W) for grayscale,
+    (H, W, 3) RGB for YCbCr. Progressive / arithmetic / 12-bit inputs
+    raise ``JpegFormatError`` naming the unsupported frame type."""
+    if data[:2] != _SOI:
+        raise JpegFormatError("missing SOI marker")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise JpegFormatError(f"expected marker at byte {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:                                   # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        if pos + seglen > len(data):
+            raise JpegFormatError(
+                f"truncated marker segment 0x{marker:02X}")
+        seg = data[pos + 2:pos + seglen]
+        if marker == 0xDB:                                   # DQT
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0xF
+                if pq != 0:
+                    raise JpegFormatError(
+                        "16-bit quantization tables not supported")
+                tbl = np.zeros(64, np.int32)
+                tbl[_ZIGZAG] = np.frombuffer(seg, np.uint8, 64, off + 1)
+                qt[tq] = tbl.reshape(8, 8)
+                off += 65
+        elif marker == 0xC4:                                 # DHT
+            off = 0
+            while off < len(seg):
+                tc, th = seg[off] >> 4, seg[off] & 0xF
+                bits = list(seg[off + 1:off + 17])
+                n = sum(bits)
+                vals = list(seg[off + 17:off + 17 + n])
+                (huff_dc if tc == 0 else huff_ac)[th] = \
+                    _build_huffman(bits, vals)
+                off += 17 + n
+        elif marker == 0xC0:                                 # SOF0
+            precision = seg[0]
+            if precision != 8:
+                raise JpegFormatError(
+                    f"{precision}-bit precision not supported (8 only)")
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            if ncomp not in (1, 3):
+                raise JpegFormatError(
+                    f"{ncomp}-component frames not supported (1 or 3)")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                              "tq": tq})
+            for c in comps:
+                if not (1 <= c["h"] <= 2 and 1 <= c["v"] <= 2):
+                    raise JpegFormatError(
+                        f"sampling factor {c['h']}x{c['v']} out of the "
+                        f"supported 1-2 range")
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in _SOF_NAMES:
+            raise JpegFormatError(
+                f"unsupported frame type: {_SOF_NAMES[marker]} "
+                f"(SOF{marker - 0xC0}) — baseline sequential (SOF0) only")
+        elif marker == 0xCC:
+            raise JpegFormatError("arithmetic coding (DAC) not supported")
+        elif marker == 0xDD:                                 # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:                                 # SOS
+            if frame is None:
+                raise JpegFormatError("SOS before SOF0")
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i:3 + 2 * i]
+                comp = next((c for c in frame["comps"]
+                             if c["id"] == cs), None)
+                if comp is None:
+                    raise JpegFormatError(f"scan component {cs} not in "
+                                          f"the frame")
+                scan.append({**comp, "td": tdta >> 4, "ta": tdta & 0xF})
+            return _decode_scan(data, pos + seglen, frame, scan, qt,
+                                huff_dc, huff_ac, restart_interval)
+        pos += seglen
+    raise JpegFormatError("no SOS marker (empty scan)")
+
+
+def _decode_scan(data: bytes, pos: int, frame: dict, scan: list[dict],
+                 qt: dict, huff_dc: dict, huff_ac: dict,
+                 restart_interval: int) -> np.ndarray:
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8),
+                                np.float64) for c in scan}
+    pred = {c["id"]: 0 for c in scan}
+    r = _BitReader(data, pos)
+    mcu_count = 0
+    rst_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                r.align_and_expect_rst(rst_n)
+                rst_n = (rst_n + 1) & 7
+                for c in scan:
+                    pred[c["id"]] = 0
+            for c in scan:
+                dc_tbl = huff_dc.get(c["td"])
+                ac_tbl = huff_ac.get(c["ta"])
+                q = qt.get(c["tq"])
+                if dc_tbl is None or ac_tbl is None or q is None:
+                    raise JpegFormatError(
+                        f"scan references undefined table "
+                        f"(dc {c['td']}, ac {c['ta']}, q {c['tq']})")
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, np.int32)
+                        size = r.decode_symbol(dc_tbl)
+                        diff = _extend(r.receive(size), size)
+                        pred[c["id"]] += diff
+                        zz[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = r.decode_symbol(ac_tbl)
+                            run, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if run == 15:        # ZRL
+                                    k += 16
+                                    continue
+                                break                # EOB
+                            k += run
+                            if k > 63:
+                                raise JpegFormatError(
+                                    "AC run past block end")
+                            zz[k] = _extend(r.receive(size), size)
+                            k += 1
+                        coeff = np.zeros(64, np.float64)
+                        coeff[_ZIGZAG] = zz
+                        block = _DCT.T @ (coeff.reshape(8, 8)
+                                          * qt[c["tq"]]) @ _DCT
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = block
+            mcu_count += 1
+
+    out_planes = []
+    for c in scan:
+        p = planes[c["id"]] + 128.0
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                      hmax // c["h"], axis=1)
+        out_planes.append(np.clip(p[:h, :w], 0, 255))
+    if len(out_planes) == 1:
+        return np.rint(out_planes[0]).astype(np.uint8)
+    y, cb, cr = out_planes
+    r_ = y + 1.402 * (cr - 128.0)
+    g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b_ = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r_, g_, b_], axis=2)
+    return np.rint(np.clip(rgb, 0, 255)).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)       # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def encode_jpeg_gray(arr: np.ndarray,
+                     quant: np.ndarray | None = None) -> bytes:
+    """uint8 (H, W) grayscale -> baseline JFIF bytes (one component,
+    4:4:4, Annex K luminance huffman tables). ``quant`` is the 8x8
+    quantization table in natural order; the all-ones default keeps
+    fixture block means exact to IDCT rounding. Dimensions pad to
+    multiples of 8 by edge replication (decoders crop back via SOF0's
+    true height/width)."""
+    a = np.asarray(arr, np.uint8)
+    if a.ndim != 2:
+        raise ValueError("encode_jpeg_gray takes a (H, W) grayscale array")
+    h, w = a.shape
+    q = (np.ones((8, 8), np.int32) if quant is None
+         else np.asarray(quant, np.int32).reshape(8, 8))
+    if (q < 1).any() or (q > 255).any():
+        raise ValueError("quantization entries must be in 1..255")
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(a, ((0, ph - h), (0, pw - w)), mode="edge") \
+        .astype(np.float64) - 128.0
+
+    dc_codes = _encode_lengths(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _encode_lengths(_AC_LUM_BITS, _AC_LUM_VALS)
+    bw = _BitWriter()
+    pred = 0
+    for y0 in range(0, ph, 8):
+        for x0 in range(0, pw, 8):
+            block = padded[y0:y0 + 8, x0:x0 + 8]
+            coeff = _DCT @ block @ _DCT.T
+            zq = np.rint(coeff / q).astype(np.int64)
+            zz = zq.reshape(-1)[_ZIGZAG]
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            size = _category(diff)
+            ln, code = dc_codes[size]
+            bw.write(code, ln)
+            if size:
+                bw.write(diff if diff > 0 else diff + (1 << size) - 1,
+                         size)
+            run = 0
+            last_nz = int(np.max(np.nonzero(zz)[0])) if zz[1:].any() \
+                else 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if k > last_nz:
+                    ln, code = ac_codes[0x00]        # EOB
+                    bw.write(code, ln)
+                    break
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = ac_codes[0xF0]        # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                size = _category(v)
+                ln, code = ac_codes[(run << 4) | size]
+                bw.write(code, ln)
+                bw.write(v if v > 0 else v + (1 << size) - 1, size)
+                run = 0
+    entropy = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2) + payload
+
+    zz_q = np.zeros(64, np.uint8)
+    zz_q[np.arange(64)] = q.reshape(-1)[_ZIGZAG]
+    dht_dc = bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)
+    dht_ac = bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS)
+    return (_SOI
+            + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+            + seg(0xDB, bytes([0x00]) + zz_q.tobytes())
+            + seg(0xC0, struct.pack(">BHHB", 8, h, w, 1)
+                  + bytes([1, 0x11, 0]))
+            + seg(0xC4, dht_dc) + seg(0xC4, dht_ac)
+            + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            + entropy + b"\xff\xd9")
+
+
+def jpeg_block_decoder(grid: tuple[int, int] = (4, 4)):
+    """Real-bytes JPEG decoder for ``operators.multimodal``'s decode
+    seam: pd.Series[bytes] -> pd.Series[list[float]] of grid block
+    means — the PNG codec's twin."""
+    from .png_codec import block_mean_features
+
+    def decode(contents):
+        return contents.map(
+            lambda b: block_mean_features(decode_jpeg(bytes(b)), grid))
+    return decode

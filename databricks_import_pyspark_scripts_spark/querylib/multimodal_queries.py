@@ -144,3 +144,41 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (phash_pairs(media, dim=PHASH_DIM, num_bands=2, max_hamming=1)
             .select("id_a", "id_b",
                     F.col("hamming").cast("long").alias("hamming")))
+
+
+@register(
+    "multimodal_phash_near_dup_jpeg",
+    f"""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(0 AS BIGINT) AS hamming
+    FROM documents a JOIN documents b
+      ON a.doc_id < b.doc_id
+     AND a.doc_id // {_PHASH_VARIANTS} = b.doc_id // {_PHASH_VARIANTS}
+    WHERE a.doc_id < {_PHASH_N} AND b.doc_id < {_PHASH_N}
+    """,
+    doc="Perceptual-hash near-dup over REAL baseline JPEG bytes "
+        "(operators/jpeg_codec.py — VERDICT r12 #7, the dominant real-"
+        "corpus format): the PNG gate's 60-image construction encoded "
+        "through the stdlib huffman+FDCT encoder with per-variant "
+        "uniform quantization steps, decoded by the stdlib huffman+IDCT "
+        "decoder inside Arrow-batched mapInPandas, block-mean aHashed "
+        "(16-bit), LSH-banded, hamming-verified. Quantization shifts "
+        "block means by < q/2 against a 150-step margin, so the exact "
+        "expected pair set is still the oracle's id arithmetic: any "
+        "marker-parse, huffman, dequantize, IDCT, hash, banding, or "
+        "pairing defect changes the pairs.")
+def multimodal_phash_near_dup_jpeg(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import PHASH_DIM, phash_pairs, \
+        synthesize_jpeg_corpus
+    from ..sources.registry import load_table
+
+    ids = [r.doc_id for r in
+           load_table(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < _PHASH_N)
+           .select("doc_id").collect()]          # gate-scale fixture ids
+    media = synthesize_jpeg_corpus(spark, ids,
+                                   variants_per_cluster=_PHASH_VARIANTS)
+    return (phash_pairs(media, dim=PHASH_DIM, num_bands=2, max_hamming=1)
+            .select("id_a", "id_b",
+                    F.col("hamming").cast("long").alias("hamming")))

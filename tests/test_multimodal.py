@@ -259,14 +259,20 @@ def test_png_rejects_malformed_and_out_of_scope():
         decode_png(rebuild(24, 16))
 
 
-def test_default_decoder_decodes_real_png_and_rejects_others():
-    """decode_image_batch: PNG payloads decode to 16-dim block means via
-    the stdlib codec; any non-PNG payload in the batch raises the loud
-    injection hint."""
+def test_default_decoder_decodes_real_png_jpeg_and_rejects_others():
+    """decode_image_batch: PNG and JPEG payloads decode to 16-dim block
+    means via the stdlib codecs (per-payload signature dispatch,
+    VERDICT r12 #7); any other payload raises the loud injection hint;
+    a corrupt JPEG body surfaces the codec's named error instead of
+    garbage features."""
     import numpy as np
     import pandas as pd
     import pytest as _pytest
 
+    from databricks_import_pyspark_scripts_spark.operators.jpeg_codec import (
+        JpegFormatError,
+        encode_jpeg_gray,
+    )
     from databricks_import_pyspark_scripts_spark.operators.multimodal import (
         decode_image_batch,
     )
@@ -276,10 +282,14 @@ def test_default_decoder_decodes_real_png_and_rejects_others():
 
     img = np.full((32, 32), 7, np.uint8)
     img[:8, :8] = 200
-    feats = decode_image_batch(pd.Series([encode_png(img)]))
-    assert len(feats.iloc[0]) == 16
-    assert feats.iloc[0][0] == 200.0 and feats.iloc[0][1] == 7.0
-    with _pytest.raises(NotImplementedError, match="non-PNG"):
+    feats = decode_image_batch(pd.Series([encode_png(img),
+                                          encode_jpeg_gray(img)]))
+    for i in range(2):
+        assert len(feats.iloc[i]) == 16
+        assert feats.iloc[i][0] == 200.0 and abs(feats.iloc[i][1] - 7.0) <= 0.5
+    with _pytest.raises(NotImplementedError, match="neither PNG nor JPEG"):
+        decode_image_batch(pd.Series([b"RIFF fake webp"]))
+    with _pytest.raises(JpegFormatError):
         decode_image_batch(pd.Series([b"\xff\xd8\xff\xe0 fake jpeg"]))
 
 
@@ -301,3 +311,148 @@ def test_phash_pairs_on_real_png_bytes(spark):
             if a < b and a // 3 == b // 3}
     assert set(got) == must
     assert all(h == 0 for h in got.values())
+
+
+# stdlib baseline JPEG codec (operators/jpeg_codec.py) — VERDICT r12 #7
+
+
+def test_jpeg_roundtrip_and_quantization():
+    """encode->decode with the all-ones table is exact to IDCT rounding
+    (<= 1 intensity step) for even and odd dimensions; a uniform-q table
+    shifts FLAT block means by < q/2; the spec's Annex K luminance table
+    decodes without error (lossy but bounded on smooth content)."""
+    import numpy as np
+
+    from databricks_import_pyspark_scripts_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(42)
+    for shape in [(32, 32), (8, 8), (21, 13), (1, 1), (16, 40)]:
+        a = rng.integers(0, 256, shape, dtype=np.uint8)
+        got = decode_jpeg(encode_jpeg_gray(a))
+        assert got.shape == a.shape
+        assert int(np.abs(got.astype(int) - a.astype(int)).max()) <= 1
+
+    flat = np.full((32, 32), 200, np.uint8)
+    for q in (1, 2, 4):
+        o = decode_jpeg(encode_jpeg_gray(
+            flat, quant=np.full((8, 8), q, np.int32)))
+        assert abs(float(o.mean()) - 200.0) < q / 2 + 0.01
+
+    # smooth gradient through the Annex K luminance table: decodes, and
+    # the global mean survives (DC quant 16 -> < 1 step of mean drift)
+    grad = np.clip(np.add.outer(np.arange(32) * 4, np.arange(32) * 3),
+                   0, 255).astype(np.uint8)
+    k = np.array([16, 11, 10, 16, 24, 40, 51, 61,
+                  12, 12, 14, 19, 26, 58, 60, 55,
+                  14, 13, 16, 24, 40, 57, 69, 56,
+                  14, 17, 22, 29, 51, 87, 80, 62,
+                  18, 22, 37, 56, 68, 109, 103, 77,
+                  24, 35, 55, 64, 81, 104, 113, 92,
+                  49, 64, 78, 87, 103, 121, 120, 101,
+                  72, 92, 95, 98, 112, 100, 103, 99]).reshape(8, 8)
+    o = decode_jpeg(encode_jpeg_gray(grad, quant=k))
+    assert abs(float(o.mean()) - float(grad.mean())) < 2.0
+
+
+def test_jpeg_rejects_out_of_scope_loudly():
+    """Progressive (SOF2), arithmetic (DAC), 12-bit precision, 16-bit
+    quant tables, missing SOI, and truncation all reject with named
+    errors — never silent garbage pixels."""
+    import numpy as np
+    import pytest as _pytest
+
+    from databricks_import_pyspark_scripts_spark.operators.jpeg_codec import (
+        JpegFormatError,
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    good = encode_jpeg_gray(np.zeros((8, 8), np.uint8))
+    with _pytest.raises(JpegFormatError, match="SOI"):
+        decode_jpeg(b"\x89PNG" + good)
+    with _pytest.raises(JpegFormatError):
+        decode_jpeg(good[:40])
+
+    def swap_marker(src: bytes, old: int, new: int) -> bytes:
+        i = src.index(bytes([0xFF, old]))
+        return src[:i + 1] + bytes([new]) + src[i + 2:]
+
+    with _pytest.raises(JpegFormatError, match="progressive"):
+        decode_jpeg(swap_marker(good, 0xC0, 0xC2))
+    with _pytest.raises(JpegFormatError, match="lossless"):
+        decode_jpeg(swap_marker(good, 0xC0, 0xC3))
+    with _pytest.raises(JpegFormatError, match="arithmetic"):
+        decode_jpeg(swap_marker(good, 0xC0, 0xC9))
+
+    # 16-bit DQT: flip the Pq nibble of the (known-offset) DQT header
+    i = good.index(bytes([0xFF, 0xDB]))
+    bad = bytearray(good)
+    bad[i + 4] |= 0x10
+    with _pytest.raises(JpegFormatError, match="16-bit"):
+        decode_jpeg(bytes(bad))
+
+    # 12-bit precision: SOF0 payload's first byte
+    i = good.index(bytes([0xFF, 0xC0]))
+    bad = bytearray(good)
+    bad[i + 4] = 12
+    with _pytest.raises(JpegFormatError, match="12-bit"):
+        decode_jpeg(bytes(bad))
+
+
+def test_phash_pairs_on_real_jpeg_bytes(spark):
+    """The default decode seam dispatches JPEG payloads to the stdlib
+    baseline decoder: the 4-cluster JPEG corpus (per-variant uniform
+    quantization) pairs exactly within clusters at hamming 0, through
+    decode -> aHash -> banding -> verify."""
+    from databricks_import_pyspark_scripts_spark.operators.multimodal import (
+        PHASH_DIM,
+        phash_pairs,
+        synthesize_jpeg_corpus,
+    )
+
+    media = synthesize_jpeg_corpus(spark, list(range(12)),
+                                   variants_per_cluster=3)
+    pairs = phash_pairs(media, dim=PHASH_DIM, num_bands=2, max_hamming=1)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    must = {(a, b) for a in range(12) for b in range(12)
+            if a < b and a // 3 == b // 3}
+    assert set(got) == must
+    assert all(h == 0 for h in got.values())
+
+
+def test_mixed_png_jpeg_batch_through_default_decoder(spark):
+    """One media frame mixing PNG and JPEG payloads of the SAME pattern
+    image decodes through per-payload signature dispatch and hashes to
+    the same perceptual code (a cross-format near-dup pair)."""
+    from databricks_import_pyspark_scripts_spark.operators.jpeg_codec import (
+        encode_jpeg_gray,
+    )
+    from databricks_import_pyspark_scripts_spark.operators.multimodal import (
+        PHASH_DIM,
+        _cluster_pattern_image,
+        phash_pairs,
+    )
+    from databricks_import_pyspark_scripts_spark.operators.png_codec import (
+        encode_png,
+    )
+
+    img0 = _cluster_pattern_image(0, 1)
+    img1 = _cluster_pattern_image(1, 1)   # different cluster
+    rows = [(0, (bytearray(encode_png(img0)), "image/png", 32, 32,
+                 None, None, None)),
+            (1, (bytearray(encode_jpeg_gray(img0)), "image/jpeg", 32, 32,
+                 None, None, None)),
+            (2, (bytearray(encode_jpeg_gray(img1)), "image/jpeg", 32, 32,
+                 None, None, None))]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, media struct<content:binary, mime:string, "
+        "width:int, height:int, sample_rate:int, channels:int, "
+        "duration_ms:bigint>")
+    pairs = phash_pairs(media, dim=PHASH_DIM, max_hamming=0)
+    got = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+           for r in pairs.collect()}
+    assert got == {(0, 1)}   # cross-format dup found; cluster 1 apart
