@@ -182,6 +182,12 @@ HEADLINE = [
     "iceberg_merge_into_agg",
     "iceberg_dml_cdf_feed_agg",
     "iceberg_rest_catalog_delete_agg",
+    # r13 additions: catalog-managed MERGE INTO, the Iceberg streaming
+    # source's first-seen pipeline, and pHash over real baseline JPEG
+    # bytes (fixture staging absorbed by the untimed warm-up)
+    "iceberg_rest_catalog_merge_agg",
+    "iceberg_stream_first_seen_agg",
+    "multimodal_phash_near_dup_jpeg",
 ]
 
 R11_ROWS = {"uniform_dv_iceberg_read_agg", "delta_identity_merge_agg",
@@ -192,6 +198,9 @@ R12_ROWS = {"iceberg_delete_where_agg", "multimodal_phash_near_dup",
             "delta_stream_first_seen_agg", "iceberg_uuid_time_read_agg",
             "iceberg_update_where_agg", "iceberg_merge_into_agg",
             "iceberg_dml_cdf_feed_agg", "iceberg_rest_catalog_delete_agg"}
+R13_ROWS = {"iceberg_rest_catalog_merge_agg",
+            "iceberg_stream_first_seen_agg",
+            "multimodal_phash_near_dup_jpeg"}
 
 EXTENSION_ROWS = {
     "cluster_kmeans_assign", "similarity_topk_pq", "similarity_topk_ivfpq",
@@ -701,6 +710,8 @@ def main() -> int:
                                       for k in R11_ROWS), 3),
         "r12_new_rows_sec": round(sum(timings.get(k, 0.0)
                                       for k in R12_ROWS), 3),
+        "r13_new_rows_sec": round(sum(timings.get(k, 0.0)
+                                      for k in R13_ROWS), 3),
         # per-tier medians-of-samples alongside the min-of-N totals: a
         # min-vs-min drift with stable medians is host noise, not a plan
         # regression (bench hygiene, VERDICT r5 #5)
