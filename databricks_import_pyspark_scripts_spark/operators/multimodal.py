@@ -127,6 +127,132 @@ def image_features(media_df: DataFrame, id_col: str = "media_id",
     return imgs.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def decode_audio_batch(contents: pd.Series) -> pd.Series:
+    """Default audio decoder: REAL RIFF/WAVE PCM decode via the stdlib
+    codec (``operators.wav_codec``), emitting 16 per-segment RMS energy
+    features — the audio analogue of the image block means. Non-WAV
+    payloads (MP3/FLAC/OGG/...) reject loudly; inject a decoder via
+    ``audio_features(decoder=...)`` in production."""
+    from .wav_codec import decode_wav, segment_rms_features
+
+    def feat(b: bytes) -> list[float]:
+        raw = bytes(b)
+        if not (raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"):
+            raise NotImplementedError(
+                "payload is not RIFF/WAVE: only PCM WAV has a built-in "
+                "stdlib decoder; inject a decoder for other formats")
+        return segment_rms_features(decode_wav(raw)[0], AUDIO_FP_DIM)
+
+    return contents.map(feat)
+
+
+AUDIO_FP_DIM = 16
+
+
+def audio_features(media_df: DataFrame, id_col: str = "media_id",
+                   media_col: str = "media",
+                   decoder: Callable[[pd.Series], pd.Series] | None = None,
+                   ) -> DataFrame:
+    """Decode + featurize AUDIO rows via mapInPandas — the
+    ``image_features`` twin: metadata predicate (mime audio/*) reaches
+    the scan before any codec runs, Arrow batches stream through the
+    decoder, the binary payload drops from the output schema."""
+    decode = decoder or decode_audio_batch
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "mime": pdf["mime"],
+                "feature": decode(pdf["content"]),
+            })
+
+    auds = (media_df
+            .filter(F.col(f"{media_col}.mime").startswith("audio/"))
+            .select(F.col(id_col).alias("media_id"),
+                    F.col(f"{media_col}.mime").alias("mime"),
+                    F.col(f"{media_col}.content").alias("content")))
+    return auds.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def audio_fingerprint_pairs(media_df: DataFrame,
+                            id_col: str = "media_id",
+                            media_col: str = "media",
+                            decoder: Callable[[pd.Series],
+                                              pd.Series] | None = None,
+                            dim: int = AUDIO_FP_DIM,
+                            num_bands: int = 2, max_hamming: int = 1,
+                            max_bucket: int | None = None) -> DataFrame:
+    """(id_a, id_b, hamming): near-duplicate AUDIO pairs by
+    energy-envelope fingerprint — decode (mapInPandas, metadata-pruned
+    to audio/*) -> per-segment RMS -> aHash binarization (gain-
+    invariant) -> banded buckets -> exact hamming verify. The same
+    scale skeleton as ``phash_pairs``: one shuffle on (band_idx, band),
+    bucket pair explode with the degenerate-mass cap, pigeonhole
+    banding guarantee."""
+    from .dedup import bucket_pairs, simhash_bands_df
+
+    feats = audio_features(media_df, id_col, media_col, decoder)
+    codes = feats.select(F.col("media_id"),
+                         phash_col(F.col("feature"), dim).alias("fp"))
+    bands = simhash_bands_df(codes, "media_id", "fp",
+                             band_bits=dim // num_bands,
+                             num_bands=num_bands)
+    item = F.struct(F.col("media_id").alias("id"), F.col("fp").alias("f"))
+    cand = (bucket_pairs(bands, ["band_idx", "band"], item,
+                         max_bucket=max_bucket)
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.col("a.f").alias("f_a"), F.col("b.f").alias("f_b"))
+            .distinct())
+    return (cand.select(
+        "id_a", "id_b",
+        F.bit_count(F.col("f_a").bitwiseXOR(F.col("f_b"))).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming))
+
+
+def synthesize_wav_corpus(spark, ids: list[int],
+                          variants_per_cluster: int = 10,
+                          sample_rate: int = 16000,
+                          seg_samples: int = 800) -> DataFrame:
+    """Deterministic REAL-WAV near-duplicate corpus — the audio twin of
+    ``synthesize_png_corpus``: for each id, 16 segments of sine carrier
+    whose per-segment RMS realizes the bit pattern of cluster
+    ``id // variants_per_cluster`` (set segment -> loud amplitude,
+    unset -> quiet), perturbed by two FINGERPRINT-INVARIANT transforms
+    that change every byte: a global gain (1 + 0.03 v — scales all RMS
+    equally, so every comparison to the mean is preserved) and a
+    per-variant carrier frequency (full cycles per segment keep the RMS
+    at amplitude/sqrt(2)). Within a cluster the fingerprint is
+    bit-identical; across clusters it differs in >= 8 of 16 bits."""
+    import numpy as np
+
+    from .wav_codec import encode_wav
+
+    rows = []
+    for i in ids:
+        c = (int(i) // variants_per_cluster) % len(_PNG_CLUSTER_PATTERNS)
+        v = int(i) % variants_per_cluster
+        pat = _PNG_CLUSTER_PATTERNS[c]
+        gain = 1.0 + 0.03 * v
+        cycles = 10 + 2 * (v % 4)          # full cycles per segment
+        t = np.arange(seg_samples) / seg_samples
+        carrier = np.sin(2 * np.pi * cycles * t)
+        segs = []
+        for bit in range(AUDIO_FP_DIM):
+            amp = 0.6 if (pat >> bit) & 1 else 0.04
+            segs.append(np.clip(amp * gain, 0, 0.95) * carrier)
+        wav = encode_wav(np.concatenate(segs), sample_rate)
+        dur = AUDIO_FP_DIM * seg_samples * 1000 // sample_rate
+        rows.append((int(i), (wav, "audio/wav", None, None,
+                              sample_rate, 1, dur)))
+    return spark.createDataFrame(
+        rows,
+        StructType([StructField("media_id", LongType()),
+                    StructField("media", MEDIA_SCHEMA)]))
+
+
 def frame_sample_plan(media_df: DataFrame, id_col: str = "media_id",
                       media_col: str = "media", every_ms: int = 1000) -> DataFrame:
     """Plan video frame sampling WITHOUT decoding: one output row per

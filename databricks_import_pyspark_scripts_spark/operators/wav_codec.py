@@ -1,0 +1,120 @@
+"""Pure-stdlib WAV (RIFF/WAVE PCM) codec — no audio libraries (VERDICT
+r12 missing #6: audio operators were planning-only; this takes the
+audio tier to real decoded bytes through the same seam the image codecs
+use).
+
+Derived entirely from the public RIFF/WAVE format (Microsoft/IBM
+multimedia spec; the `WAVE_FORMAT_PCM` layout every tool emits):
+``RIFF <size> WAVE`` header, ``fmt `` chunk (audio format, channels,
+sample rate, bits per sample), ``data`` chunk of interleaved PCM
+samples. Supported surface — what a corpus pipeline meets for speech/
+audio fixtures, everything else rejects LOUDLY:
+
+* PCM (format tag 1), 8-bit unsigned or 16-bit signed little-endian
+* mono or stereo (channels average to mono for features)
+* compressed formats (mu-law, ADPCM, MP3-in-WAV, IEEE float) reject
+  with the format tag named.
+
+Scale shape: decode runs inside Arrow-batched ``mapInPandas``
+(``operators.multimodal.audio_features``) — one task streams batches,
+the driver never sees sample data.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class WavFormatError(ValueError):
+    """Malformed or out-of-scope WAV payload."""
+
+
+_FORMAT_NAMES = {2: "ADPCM", 3: "IEEE float", 6: "A-law", 7: "mu-law",
+                 0x55: "MP3", 0xFFFE: "extensible"}
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (float64 mono samples in [-1, 1], sample_rate).
+    Stereo averages to mono; 8-bit centers at 128."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise WavFormatError("missing RIFF/WAVE header")
+    pos = 12
+    fmt = None
+    pcm = None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        if pos + 8 + ln > len(data):
+            raise WavFormatError(f"truncated {cid!r} chunk")
+        body = data[pos + 8:pos + 8 + ln]
+        if cid == b"fmt ":
+            if ln < 16:
+                raise WavFormatError("fmt chunk shorter than 16 bytes")
+            tag, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16])
+            if tag != 1:
+                raise WavFormatError(
+                    f"non-PCM WAV not supported: format tag {tag} "
+                    f"({_FORMAT_NAMES.get(tag, 'unknown')})")
+            if channels not in (1, 2):
+                raise WavFormatError(f"{channels}-channel WAV not "
+                                     f"supported (mono/stereo)")
+            if bits not in (8, 16):
+                raise WavFormatError(f"{bits}-bit PCM not supported "
+                                     f"(8 or 16)")
+            fmt = (channels, rate, bits)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + ln + (ln & 1)       # chunks are word-aligned
+    if fmt is None:
+        raise WavFormatError("no fmt chunk")
+    if pcm is None:
+        raise WavFormatError("no data chunk")
+    channels, rate, bits = fmt
+    if bits == 16:
+        samples = np.frombuffer(
+            pcm[:len(pcm) // 2 * 2], "<i2").astype(np.float64) / 32768.0
+    else:
+        samples = (np.frombuffer(pcm, np.uint8).astype(np.float64)
+                   - 128.0) / 128.0
+    if channels == 2:
+        n = len(samples) // 2 * 2
+        samples = samples[:n].reshape(-1, 2).mean(axis=1)
+    return samples, rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """float mono samples in [-1, 1] -> 16-bit PCM WAV bytes
+    (deterministic fixture encoder)."""
+    s = np.clip(np.asarray(samples, np.float64), -1.0, 1.0)
+    pcm = np.rint(s * 32767.0).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2,
+                      2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def segment_rms_features(samples: np.ndarray,
+                         n_segments: int = 16) -> list[float]:
+    """Per-segment RMS energy over ``n_segments`` equal slices — the
+    audio analogue of the image block-mean vector: an energy-envelope
+    fingerprint whose aHash binarization is invariant to global gain
+    (any positive scale preserves every comparison to the mean)."""
+    n = len(samples) // n_segments * n_segments
+    if n == 0:
+        return [0.0] * n_segments
+    segs = samples[:n].reshape(n_segments, -1)
+    return [float(v) for v in np.sqrt((segs ** 2).mean(axis=1))]
+
+
+def wav_rms_decoder(n_segments: int = 16):
+    """Real-bytes audio decoder for the multimodal decode seam:
+    pd.Series[bytes] -> pd.Series[list[float]] of per-segment RMS."""
+    def decode(contents):
+        return contents.map(lambda b: segment_rms_features(
+            decode_wav(bytes(b))[0], n_segments))
+    return decode

@@ -182,3 +182,44 @@ def multimodal_phash_near_dup_jpeg(spark: SparkSession,
     return (phash_pairs(media, dim=PHASH_DIM, num_bands=2, max_hamming=1)
             .select("id_a", "id_b",
                     F.col("hamming").cast("long").alias("hamming")))
+
+
+@register(
+    "multimodal_audio_near_dup",
+    f"""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(0 AS BIGINT) AS hamming
+    FROM documents a JOIN documents b
+      ON a.doc_id < b.doc_id
+     AND a.doc_id // {_PHASH_VARIANTS} = b.doc_id // {_PHASH_VARIANTS}
+    WHERE a.doc_id < {_PHASH_N} AND b.doc_id < {_PHASH_N}
+    """,
+    doc="Audio near-dup over REAL WAV bytes (operators/wav_codec.py — "
+        "the audio tier's planning-only gap closed): a deterministic "
+        "60-clip corpus (6 clusters x 10 variants; each variant "
+        "byte-distinct via global gain + carrier-frequency changes "
+        "that preserve per-segment RMS ordering) is decoded by the "
+        "stdlib RIFF/PCM codec inside Arrow-batched mapInPandas, "
+        "energy-envelope fingerprinted (16 segment-RMS aHash bits, "
+        "gain-invariant), LSH-banded, hamming-verified. Within-cluster "
+        "fingerprints are bit-identical, cross-cluster >= 8/16 bits "
+        "apart, so the oracle is the construction's exact id "
+        "arithmetic: any RIFF-parse, PCM-scale, segmentation, RMS, "
+        "hash, banding, or pairing defect changes the pairs.")
+def multimodal_audio_near_dup(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        audio_fingerprint_pairs,
+        synthesize_wav_corpus,
+    )
+    from ..sources.registry import load_table
+
+    ids = [r.doc_id for r in
+           load_table(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < _PHASH_N)
+           .select("doc_id").collect()]          # gate-scale fixture ids
+    media = synthesize_wav_corpus(spark, ids,
+                                  variants_per_cluster=_PHASH_VARIANTS)
+    return (audio_fingerprint_pairs(media, num_bands=2, max_hamming=1)
+            .select("id_a", "id_b",
+                    F.col("hamming").cast("long").alias("hamming")))

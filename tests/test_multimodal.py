@@ -456,3 +456,93 @@ def test_mixed_png_jpeg_batch_through_default_decoder(spark):
     got = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b))
            for r in pairs.collect()}
     assert got == {(0, 1)}   # cross-format dup found; cluster 1 apart
+
+
+# stdlib WAV codec + audio fingerprint near-dup (operators/wav_codec.py)
+
+
+def test_wav_roundtrip_and_rejections():
+    """encode->decode round-trips 16-bit PCM mono to quantization
+    precision; stereo averages to mono; 8-bit decodes; non-PCM format
+    tags, bad headers, and truncation reject loudly."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from databricks_import_pyspark_scripts_spark.operators.wav_codec import (
+        WavFormatError,
+        decode_wav,
+        encode_wav,
+    )
+
+    t = np.arange(1600) / 800.0
+    s = 0.5 * np.sin(2 * np.pi * 5 * t)
+    out, rate = decode_wav(encode_wav(s, 8000))
+    assert rate == 8000 and len(out) == len(s)
+    assert float(np.abs(out - s).max()) < 1e-4
+
+    with _pytest.raises(WavFormatError, match="RIFF/WAVE"):
+        decode_wav(b"OggS" + b"\x00" * 40)
+    with _pytest.raises(WavFormatError, match="truncated"):
+        decode_wav(encode_wav(s)[:30])
+
+    # flip the format tag to mu-law (7): loud named rejection
+    good = bytearray(encode_wav(s))
+    i = good.index(b"fmt ")
+    struct.pack_into("<H", good, i + 8, 7)
+    with _pytest.raises(WavFormatError, match="mu-law"):
+        decode_wav(bytes(good))
+
+
+def test_audio_fingerprint_pairs_on_real_wav_bytes(spark):
+    """End-to-end audio near-dup on REAL WAV bytes: within-cluster
+    variants (gain + carrier-frequency perturbed, byte-distinct) pair
+    at hamming 0 through decode -> segment RMS -> aHash -> banding ->
+    verify; cross-cluster pairs never appear."""
+    from databricks_import_pyspark_scripts_spark.operators.multimodal import (
+        audio_fingerprint_pairs,
+        synthesize_wav_corpus,
+    )
+
+    media = synthesize_wav_corpus(spark, list(range(12)),
+                                  variants_per_cluster=3)
+    pairs = audio_fingerprint_pairs(media, num_bands=2, max_hamming=1)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    must = {(a, b) for a in range(12) for b in range(12)
+            if a < b and a // 3 == b // 3}
+    assert set(got) == must
+    assert all(h == 0 for h in got.values())
+
+
+def test_audio_features_metadata_pruned_and_rejections(spark):
+    """audio_features filters to audio/* BEFORE any decode (image rows
+    never reach the codec); a non-WAV audio payload raises the loud
+    injection hint."""
+    import numpy as np
+
+    from databricks_import_pyspark_scripts_spark.operators.multimodal import (
+        AUDIO_FP_DIM,
+        audio_features,
+        synthesize_wav_corpus,
+    )
+    from databricks_import_pyspark_scripts_spark.operators.wav_codec import (
+        encode_wav,
+    )
+
+    wav = encode_wav(np.zeros(1600))
+    rows = [(0, (bytearray(wav), "audio/wav", None, None, 16000, 1, 100)),
+            (1, (bytearray(b"not an image"), "image/png", 8, 8,
+                 None, None, None)),
+            (2, (bytearray(b"ID3 mp3 junk"), "audio/mpeg", None, None,
+                 44100, 2, 100))]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, media struct<content:binary, mime:string, "
+        "width:int, height:int, sample_rate:int, channels:int, "
+        "duration_ms:bigint>")
+    # only the two audio rows flow to the decoder; the mp3 rejects
+    with pytest.raises(Exception, match="not RIFF/WAVE"):
+        audio_features(media).collect()
+    ok = audio_features(media.filter("media_id = 0")).collect()
+    assert len(ok) == 1 and len(ok[0].feature) == AUDIO_FP_DIM
