@@ -188,6 +188,8 @@ HEADLINE = [
     "iceberg_rest_catalog_merge_agg",
     "iceberg_stream_first_seen_agg",
     "multimodal_phash_near_dup_jpeg",
+    "multimodal_audio_near_dup",
+    "multimodal_video_frame_phash",
 ]
 
 R11_ROWS = {"uniform_dv_iceberg_read_agg", "delta_identity_merge_agg",
@@ -200,7 +202,9 @@ R12_ROWS = {"iceberg_delete_where_agg", "multimodal_phash_near_dup",
             "iceberg_dml_cdf_feed_agg", "iceberg_rest_catalog_delete_agg"}
 R13_ROWS = {"iceberg_rest_catalog_merge_agg",
             "iceberg_stream_first_seen_agg",
-            "multimodal_phash_near_dup_jpeg"}
+            "multimodal_phash_near_dup_jpeg",
+            "multimodal_audio_near_dup",
+            "multimodal_video_frame_phash"}
 
 EXTENSION_ROWS = {
     "cluster_kmeans_assign", "similarity_topk_pq", "similarity_topk_ivfpq",

@@ -223,3 +223,49 @@ def multimodal_audio_near_dup(spark: SparkSession,
     return (audio_fingerprint_pairs(media, num_bands=2, max_hamming=1)
             .select("id_a", "id_b",
                     F.col("hamming").cast("long").alias("hamming")))
+
+
+@register(
+    "multimodal_video_frame_phash",
+    f"""
+    SELECT d.doc_id AS media_id, u.frame_ts_ms,
+           CAST(CASE d.doc_id // {_PHASH_VARIANTS}
+                WHEN 0 THEN 255 WHEN 1 THEN 65280 WHEN 2 THEN 3855
+                WHEN 3 THEN 61680 WHEN 4 THEN 15420 ELSE 50115
+                END AS BIGINT) AS phash
+    FROM documents d,
+         LATERAL unnest(generate_series(0, 599, 200)) AS u(frame_ts_ms)
+    WHERE d.doc_id < {_PHASH_N}
+    """,
+    doc="REAL video frame sampling + decode (operators/avi_codec.py + "
+        "frame_sample_features — the planning-only frame tier closed): "
+        "60 MJPEG-AVI clips (6 clusters x 10 variants, 6 frames each, "
+        "every frame byte-distinct via brightness shifts) are container-"
+        "parsed, sampled every 200 ms, and ONLY the sampled frames "
+        "JPEG-decoded to block means inside Arrow-batched mapInPandas; "
+        "each frame's aHash equals its cluster's 16-bit pattern integer "
+        "EXACTLY by construction, so the oracle enumerates "
+        "(media_id, ts, pattern) arithmetically: any container-parse, "
+        "frame-index, sampling-cadence, JPEG-decode, or hash defect "
+        "changes rows or values.")
+def multimodal_video_frame_phash(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        PHASH_DIM,
+        frame_sample_features,
+        phash_col,
+        synthesize_avi_corpus,
+    )
+    from ..sources.registry import load_table
+
+    ids = [r.doc_id for r in
+           load_table(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < _PHASH_N)
+           .select("doc_id").collect()]          # gate-scale fixture ids
+    media = synthesize_avi_corpus(spark, ids,
+                                  variants_per_cluster=_PHASH_VARIANTS,
+                                  frames_per_video=6, fps=10)
+    feats = frame_sample_features(media, every_ms=200)
+    return feats.select(
+        "media_id", "frame_ts_ms",
+        phash_col(F.col("feature"), PHASH_DIM).alias("phash"))

@@ -546,3 +546,67 @@ def test_audio_features_metadata_pruned_and_rejections(spark):
         audio_features(media).collect()
     ok = audio_features(media.filter("media_id = 0")).collect()
     assert len(ok) == 1 and len(ok[0].feature) == AUDIO_FP_DIM
+
+
+# stdlib MJPEG-AVI container codec + real frame sampling
+# (operators/avi_codec.py + frame_sample_features)
+
+
+def test_avi_roundtrip_and_rejections():
+    """encode->parse round-trips frame bytes, fps, and geometry; a
+    non-MJPEG handler, missing headers, and truncation reject loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from databricks_import_pyspark_scripts_spark.operators.avi_codec import (
+        AviFormatError,
+        encode_avi_mjpeg,
+        parse_avi_mjpeg,
+    )
+    from databricks_import_pyspark_scripts_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    frames = [encode_jpeg_gray(np.full((16, 16), 40 + i, np.uint8))
+              for i in range(4)]
+    avi = encode_avi_mjpeg(frames, fps=5, width=16, height=16)
+    meta = parse_avi_mjpeg(avi)
+    assert meta["usec_per_frame"] == 200_000
+    assert meta["n_frames"] == 4 and meta["width"] == 16
+    assert [int(decode_jpeg(f).mean()) for f in meta["frames"]] == \
+        [40, 41, 42, 43]
+
+    with _pytest.raises(AviFormatError, match="RIFF/AVI"):
+        parse_avi_mjpeg(b"RIFFxxxxWAVE" + avi[12:])
+    with _pytest.raises(AviFormatError, match="truncated"):
+        parse_avi_mjpeg(avi[:60])
+    with _pytest.raises(AviFormatError, match="XVID"):
+        parse_avi_mjpeg(avi.replace(b"MJPG", b"XVID", 1))
+
+
+def test_frame_sample_features_real_decode(spark):
+    """frame_sample_features executes the sampling plan on REAL MJPEG
+    bytes: one row per every_ms timestamp, each feature the SAMPLED
+    frame's decoded block means — and the per-frame aHash equals the
+    cluster pattern exactly (the gate construction's invariant)."""
+    from databricks_import_pyspark_scripts_spark.operators.multimodal import (
+        _PNG_CLUSTER_PATTERNS,
+        PHASH_DIM,
+        frame_sample_features,
+        phash_col,
+        synthesize_avi_corpus,
+    )
+
+    media = synthesize_avi_corpus(spark, [0, 1, 10, 21],
+                                  variants_per_cluster=10,
+                                  frames_per_video=6, fps=10)
+    feats = frame_sample_features(media, every_ms=200)
+    got = feats.select("media_id", "frame_ts_ms",
+                       phash_col(F.col("feature"), PHASH_DIM)
+                       .alias("ph")).collect()
+    # 600 ms / 200 ms -> ts 0, 200, 400 for each of the 4 videos
+    assert sorted((r.media_id, r.frame_ts_ms) for r in got) == \
+        sorted((m, t) for m in (0, 1, 10, 21) for t in (0, 200, 400))
+    for r in got:
+        assert r.ph == _PNG_CLUSTER_PATTERNS[r.media_id // 10]
