@@ -190,6 +190,8 @@ HEADLINE = [
     "multimodal_phash_near_dup_jpeg",
     "multimodal_audio_near_dup",
     "multimodal_video_frame_phash",
+    "delta_jarless_datasource_agg",
+    "iceberg_jarless_datasource_agg",
 ]
 
 R11_ROWS = {"uniform_dv_iceberg_read_agg", "delta_identity_merge_agg",
@@ -204,7 +206,9 @@ R13_ROWS = {"iceberg_rest_catalog_merge_agg",
             "iceberg_stream_first_seen_agg",
             "multimodal_phash_near_dup_jpeg",
             "multimodal_audio_near_dup",
-            "multimodal_video_frame_phash"}
+            "multimodal_video_frame_phash",
+            "delta_jarless_datasource_agg",
+            "iceberg_jarless_datasource_agg"}
 
 EXTENSION_ROWS = {
     "cluster_kmeans_assign", "similarity_topk_pq", "similarity_topk_ivfpq",

@@ -1647,3 +1647,44 @@ def delta_stream_first_seen_agg(spark: SparkSession,
                  F.round(F.sum("value"), 4).alias("sum_value"),
                  F.sum("src_commit").alias("sum_first_commit"))
             .select("event_type", "n", "sum_value", "sum_first_commit"))
+
+
+@register(
+    "delta_jarless_datasource_agg",
+    f"""
+    SELECT 0 AS version, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events WHERE {_V0_PRED}
+    GROUP BY event_type
+    UNION ALL
+    SELECT 1 AS version, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events WHERE {_V0_PRED} OR {_V1_PRED}
+    GROUP BY event_type
+    """,
+    doc="spark.read.format('delta_jarless') — the Python Data Source "
+        "batch half (sources/delta_stream_datasource.py): the staged "
+        "two-commit Delta table is read through the REGISTERED format "
+        "at versionAsOf=0 and at head, per-file InputPartitions "
+        "pyarrow-read in executors with column pruning. Same oracle as "
+        "the log-replay snapshot gate — a planner, partition, or "
+        "version-resolution defect diverges the aggregates.")
+def delta_jarless_datasource_agg(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from ..sources.delta_stream_datasource import (
+        register_delta_stream_source,
+    )
+
+    path = _staged_table(spark, sf_dir)
+    register_delta_stream_source(spark)
+    parts = []
+    for v in (0, 1):
+        snap = (spark.read.format("delta_jarless").option("path", path)
+                .option("versionAsOf", str(v)).load())
+        parts.append(
+            snap.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .withColumn("version", F.lit(v).cast("int")))
+    return parts[0].unionByName(parts[1]).select(
+        "version", "event_type", "n", "sum_value")

@@ -1937,3 +1937,33 @@ def iceberg_rest_catalog_delete_agg(spark: SparkSession,
             .agg(F.count("*").alias("n"),
                  F.round(F.sum("value"), 4).alias("sum_value"))
             .select("event_type", "n", "sum_value"))
+
+
+@register(
+    "iceberg_jarless_datasource_agg",
+    f"""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events WHERE ({_S0_PRED}) OR ({_S1_PRED})
+    GROUP BY event_type
+    """,
+    doc="spark.read.format('iceberg_jarless') — the Python Data Source "
+        "batch half (sources/iceberg_stream_datasource.py): the staged "
+        "two-snapshot Iceberg table's CURRENT live files are read "
+        "through the REGISTERED format, columns resolved by parquet "
+        "FIELD ID in executors (rename-safe), column-pruned. Oracle "
+        "re-derives the head state; a manifest-walk, field-id, or "
+        "partition-planning defect diverges the aggregates.")
+def iceberg_jarless_datasource_agg(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    from ..sources.iceberg_stream_datasource import (
+        register_iceberg_stream_source,
+    )
+
+    path = _staged_iceberg(spark, sf_dir)
+    register_iceberg_stream_source(spark)
+    snap = (spark.read.format("iceberg_jarless").option("path", path)
+            .load())
+    return (snap.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select("event_type", "n", "sum_value"))
