@@ -623,7 +623,8 @@ def main() -> int:
             if k not in EXTENSION_ROWS and k not in stress
             and k not in new_rows and k not in r8_rows
             and k not in r9_rows and k not in r10_rows
-            and k not in R11_ROWS and k not in R12_ROWS]
+            and k not in R11_ROWS and k not in R12_ROWS
+            and k not in R13_ROWS]
     # bulky diagnostics go on their OWN earlier stdout line (and a sidecar
     # file): r6's final line grew past the driver's tail capture once
     # query_samples was added, so the round's headline totals were lost
@@ -702,7 +703,8 @@ def main() -> int:
                                         - sum(timings.get(k, 0.0)
                                               for k in new_rows | r8_rows
                                               | r9_rows | r10_rows
-                                              | R11_ROWS | R12_ROWS),
+                                              | R11_ROWS | R12_ROWS
+                                              | R13_ROWS),
                                         3),
         "skew_stress_sec": stress_sec,
         "r5_extension_sec": ext_sec,
