@@ -174,3 +174,73 @@ def test_dv_bitmap_roundtrip_large_positions(positions):
     got = delta_dv.deserialize_bitmap_array(
         delta_dv.serialize_bitmap_array(arr))
     assert (got == arr).all() and got.dtype == np.int64
+
+
+# r13 codecs: JPEG / WAV / AVI round-trip properties
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 6), st.integers(1, 6), st.integers(0, 2 ** 32 - 1),
+       st.sampled_from([1, 2, 8, 16]))
+def test_jpeg_roundtrip_bounded_error(bh, bw, seed, q):
+    """Baseline JPEG encode->decode with a uniform quantization table is
+    bounded by q/2 + IDCT rounding per pixel, at every geometry
+    (including non-multiple-of-8 crops via edge padding)."""
+    import numpy as np
+
+    from databricks_import_pyspark_scripts_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(seed)
+    h, w = bh * 8 - rng.integers(0, 7), bw * 8 - rng.integers(0, 7)
+    a = rng.integers(0, 256, (int(h), int(w)), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_gray(
+        a, quant=np.full((8, 8), q, np.int32)))
+    assert out.shape == a.shape
+    # worst case: 64 coefficients each off by q/2 through the
+    # orthonormal IDCT -> per-pixel bound 8 * (q/2) + rounding
+    bound = 4 * q + 2
+    assert int(np.abs(out.astype(int) - a.astype(int)).max()) <= bound
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 2000), st.integers(0, 2 ** 32 - 1),
+       st.sampled_from([8000, 16000, 44100]))
+def test_wav_roundtrip_exact_quantization(n, seed, rate):
+    """WAV 16-bit PCM encode->decode reproduces samples to one
+    quantization step and preserves the sample rate and count."""
+    import numpy as np
+
+    from databricks_import_pyspark_scripts_spark.operators.wav_codec import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(seed)
+    s = rng.uniform(-1, 1, n)
+    out, got_rate = decode_wav(encode_wav(s, rate))
+    assert got_rate == rate and len(out) == n
+    # decoded = round(s*32767)/32768: rounding (0.5/32768) plus the
+    # 32767-vs-32768 scale asymmetry (|s|/32768) -> 1.5/32768 bound
+    assert float(np.abs(out - s).max()) <= 1.5 / 32768 + 1e-12
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.binary(min_size=1, max_size=64), min_size=1,
+                max_size=8),
+       st.sampled_from([1, 5, 10, 30]))
+def test_avi_container_roundtrip_any_payloads(payloads, fps):
+    """The AVI container round-trips arbitrary frame payloads (the
+    container does not inspect JPEG bytes — parse yields them verbatim,
+    odd lengths word-aligned) and the frame cadence."""
+    from databricks_import_pyspark_scripts_spark.operators.avi_codec import (
+        encode_avi_mjpeg,
+        parse_avi_mjpeg,
+    )
+
+    avi = encode_avi_mjpeg(list(payloads), fps=fps)
+    meta = parse_avi_mjpeg(avi)
+    assert meta["frames"] == list(payloads)
+    assert meta["usec_per_frame"] == 1_000_000 // fps
