@@ -610,3 +610,119 @@ def test_frame_sample_features_real_decode(spark):
         sorted((m, t) for m in (0, 1, 10, 21) for t in (0, 200, 400))
     for r in got:
         assert r.ph == _PNG_CLUSTER_PATTERNS[r.media_id // 10]
+
+
+def _encode_color_jpeg(y_plane, cb_plane, cr_plane, h, w, sampling):
+    """Test-side 3-component baseline JPEG builder over the codec's own
+    primitives (the package encoder is grayscale-only): Annex-K
+    luminance huffman tables for ALL components (legal), all-ones
+    quantization, ``sampling`` = (h1, v1) for Y with 1x1 chroma —
+    (1, 1) is 4:4:4, (2, 2) is 4:2:0."""
+    import struct
+
+    import numpy as np
+
+    from databricks_import_pyspark_scripts_spark.operators import jpeg_codec as J
+
+    h1, v1 = sampling
+    q = np.ones((8, 8), np.int32)
+    dc_codes = J._encode_lengths(J._DC_LUM_BITS, J._DC_LUM_VALS)
+    ac_codes = J._encode_lengths(J._AC_LUM_BITS, J._AC_LUM_VALS)
+    bw = J._BitWriter()
+    pred = {1: 0, 2: 0, 3: 0}
+
+    def put_block(plane, y0, x0, cid):
+        block = plane[y0:y0 + 8, x0:x0 + 8].astype(np.float64) - 128.0
+        coeff = J._DCT @ block @ J._DCT.T
+        zz = np.rint(coeff / q).astype(np.int64).reshape(-1)[J._ZIGZAG]
+        diff = int(zz[0]) - pred[cid]
+        pred[cid] = int(zz[0])
+        size = J._category(diff)
+        ln, code = dc_codes[size]
+        bw.write(code, ln)
+        if size:
+            bw.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+        run = 0
+        last_nz = int(np.max(np.nonzero(zz)[0])) if zz[1:].any() else 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if k > last_nz:
+                ln, code = ac_codes[0x00]
+                bw.write(code, ln)
+                break
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_codes[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            size = J._category(v)
+            ln, code = ac_codes[(run << 4) | size]
+            bw.write(code, ln)
+            bw.write(v if v > 0 else v + (1 << size) - 1, size)
+            run = 0
+
+    mcux = -(-w // (8 * h1))
+    mcuy = -(-h // (8 * v1))
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for by in range(v1):
+                for bx in range(h1):
+                    put_block(y_plane, (my * v1 + by) * 8,
+                              (mx * h1 + bx) * 8, 1)
+            put_block(cb_plane, my * 8, mx * 8, 2)
+            put_block(cr_plane, my * 8, mx * 8, 3)
+    entropy = bw.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2) + payload
+
+    zz_q = np.zeros(64, np.uint8)
+    zz_q[np.arange(64)] = q.reshape(-1)[J._ZIGZAG]
+    dht_dc = bytes([0x00]) + bytes(J._DC_LUM_BITS) + bytes(J._DC_LUM_VALS)
+    dht_ac = bytes([0x10]) + bytes(J._AC_LUM_BITS) + bytes(J._AC_LUM_VALS)
+    sof = struct.pack(">BHHB", 8, h, w, 3) \
+        + bytes([1, (h1 << 4) | v1, 0, 2, 0x11, 0, 3, 0x11, 0])
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    return (b"\xff\xd8" + seg(0xDB, bytes([0x00]) + zz_q.tobytes())
+            + seg(0xC0, sof) + seg(0xC4, dht_dc) + seg(0xC4, dht_ac)
+            + seg(0xDA, sos) + entropy + b"\xff\xd9")
+
+
+def test_jpeg_color_decode_444_and_420():
+    """The decoder's 3-component path: YCbCr -> RGB conversion at 4:4:4,
+    and chroma upsampling at 4:2:0 — pure-red and pure-blue flats decode
+    to their RGB values within IDCT+transform rounding."""
+    import numpy as np
+
+    from databricks_import_pyspark_scripts_spark.operators.jpeg_codec import (
+        decode_jpeg,
+    )
+
+    # pure red (255,0,0): Y=76.2, Cb=85.0, Cr=255 via the standard
+    # forward transform; use the exact forward values so the inverse
+    # lands back on (255,0,0)
+    def ycbcr(r, g, b):
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        return y, cb, cr
+
+    for rgb, sampling, size in [((255, 0, 0), (1, 1), 8),
+                                ((0, 0, 255), (1, 1), 8),
+                                ((30, 200, 90), (2, 2), 16)]:
+        y, cb, cr = ycbcr(*rgb)
+        n = size
+        cn = size // sampling[0]
+
+        def flat(v, m):
+            return np.full((m, m), min(255, max(0, round(v))), np.uint8)
+
+        jpg = _encode_color_jpeg(flat(y, n), flat(cb, cn), flat(cr, cn),
+                                 n, n, sampling)
+        out = decode_jpeg(jpg)
+        assert out.shape == (n, n, 3)
+        got = out.reshape(-1, 3).mean(axis=0)
+        assert np.abs(got - np.array(rgb)).max() <= 2.0, (rgb, got)
