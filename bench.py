@@ -192,6 +192,7 @@ HEADLINE = [
     "multimodal_video_frame_phash",
     "delta_jarless_datasource_agg",
     "iceberg_jarless_datasource_agg",
+    "multimodal_audio_dominant_freq",
 ]
 
 R11_ROWS = {"uniform_dv_iceberg_read_agg", "delta_identity_merge_agg",
@@ -208,7 +209,8 @@ R13_ROWS = {"iceberg_rest_catalog_merge_agg",
             "multimodal_audio_near_dup",
             "multimodal_video_frame_phash",
             "delta_jarless_datasource_agg",
-            "iceberg_jarless_datasource_agg"}
+            "iceberg_jarless_datasource_agg",
+            "multimodal_audio_dominant_freq"}
 
 EXTENSION_ROWS = {
     "cluster_kmeans_assign", "similarity_topk_pq", "similarity_topk_ivfpq",

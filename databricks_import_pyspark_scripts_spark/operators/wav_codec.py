@@ -118,3 +118,33 @@ def wav_rms_decoder(n_segments: int = 16):
         return contents.map(lambda b: segment_rms_features(
             decode_wav(bytes(b))[0], n_segments))
     return decode
+
+
+def dominant_freq_features(samples: np.ndarray, sample_rate: int,
+                           n_segments: int = 16) -> list[float]:
+    """Per-segment DOMINANT FREQUENCY in Hz: the argmax magnitude bin of
+    each segment's real FFT, DC excluded — the simplest spectral
+    descriptor a speech/audio triage pipeline computes (pitch-class
+    bucketing, tone detection, silence discrimination). A pure sine of
+    k full cycles per segment lands EXACTLY on bin k, which is what the
+    oracle-checked gate construction exploits."""
+    n = len(samples) // n_segments * n_segments
+    if n == 0:
+        return [0.0] * n_segments
+    segs = samples[:n].reshape(n_segments, -1)
+    spec = np.abs(np.fft.rfft(segs, axis=1))
+    spec[:, 0] = 0.0                               # no DC "frequency"
+    idx = spec.argmax(axis=1)
+    seg_len = segs.shape[1]
+    return [float(i) * sample_rate / seg_len for i in idx]
+
+
+def wav_spectral_decoder(n_segments: int = 16):
+    """Spectral decoder for the multimodal seam: pd.Series[bytes] ->
+    pd.Series[list[float]] of per-segment dominant frequencies (Hz)."""
+    def decode(contents):
+        def feat(b: bytes) -> list[float]:
+            samples, rate = decode_wav(bytes(b))
+            return dominant_freq_features(samples, rate, n_segments)
+        return contents.map(feat)
+    return decode

@@ -269,3 +269,56 @@ def multimodal_video_frame_phash(spark: SparkSession,
     return feats.select(
         "media_id", "frame_ts_ms",
         phash_col(F.col("feature"), PHASH_DIM).alias("phash"))
+
+
+@register(
+    "multimodal_audio_dominant_freq",
+    f"""
+    SELECT d.doc_id AS media_id, u.segment,
+           CAST((5 + (d.doc_id * 7 + u.segment * 3) % 20) * 20 AS BIGINT)
+             AS freq_hz
+    FROM documents d,
+         LATERAL unnest(generate_series(0, 15, 1)) AS u(segment)
+    WHERE d.doc_id < {_PHASH_N}
+    """,
+    doc="Audio FREQUENCY analysis over real WAV bytes (operators/"
+        "wav_codec.py dominant_freq_features — numpy rFFT per segment, "
+        "DC excluded): 60 clips whose 16 segments each carry a pure "
+        "sine of 5 + (id*7 + seg*3) % 20 FULL cycles land exactly on "
+        "FFT bin k, i.e. k * sample_rate / seg_len = k*20 Hz. Decode + "
+        "spectral featurize run in Arrow-batched mapInPandas; the "
+        "posexplode to (media_id, segment, freq_hz) is JVM-side. The "
+        "oracle enumerates every expected bin arithmetically: a PCM "
+        "scaling, segmentation, FFT-windowing, or argmax defect moves "
+        "bins.")
+def multimodal_audio_dominant_freq(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators.multimodal import MEDIA_SCHEMA, audio_features
+    from ..operators.wav_codec import encode_wav, wav_spectral_decoder
+    from ..sources.registry import load_table
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ids = [r.doc_id for r in
+           load_table(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < _PHASH_N)
+           .select("doc_id").collect()]          # gate-scale fixture ids
+    seg = 800
+    t = np.arange(seg) / seg
+    rows = []
+    for i in ids:
+        parts = [0.5 * np.sin(2 * np.pi * (5 + (i * 7 + s * 3) % 20) * t)
+                 for s in range(16)]
+        wav = encode_wav(np.concatenate(parts), 16000)
+        rows.append((int(i), (wav, "audio/wav", None, None, 16000, 1,
+                              16 * seg * 1000 // 16000)))
+    media = spark.createDataFrame(
+        rows, StructType([StructField("media_id", LongType()),
+                          StructField("media", MEDIA_SCHEMA)]))
+    feats = audio_features(media, decoder=wav_spectral_decoder(16))
+    return (feats.select(
+        "media_id",
+        F.posexplode("feature").alias("segment", "hz"))
+        .select("media_id", F.col("segment").cast("int").alias("segment"),
+                F.col("hz").cast("long").alias("freq_hz")))
