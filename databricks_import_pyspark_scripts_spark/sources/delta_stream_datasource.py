@@ -368,19 +368,69 @@ class DeltaLogBatchReader(DataSourceReader):
     """Batch half of the format: one InputPartition per live file at the
     requested version (``versionAsOf`` option), pyarrow-read with column
     pruning, DV filtering, column-mapping resolution, and partition-value
-    re-attachment — the same per-file planner as the stream."""
+    re-attachment — the same per-file planner as the stream.
+    ``pushFilters`` enables DATA SKIPPING: pushed comparisons drop files
+    whose add-action stats (minValues/maxValues) or PARTITION VALUES
+    (exact per-file constants — partition pruning) prove no row can
+    match; every filter is returned for Spark to re-evaluate (inexact,
+    superset-safe — the split ``read_delta_snapshot(stats_filter=...)``
+    uses)."""
 
     def __init__(self, schema: StructType, options: dict):
         self._path = options["path"]
         self._schema = schema
         v = options.get("versionasof")
         self._version = int(v) if v is not None else None
+        self._preds: list[tuple] = []
+
+    def pushFilters(self, filters):
+        from .datasource_pruning import usable_predicates
+
+        self._preds = usable_predicates(filters)
+        return filters          # Spark re-applies everything post-scan
+
+    def _file_bounds(self, plan: _ColumnPlan, add: dict) -> dict:
+        """{logical column: (lo, hi)} from the add action's stats JSON
+        (keys are PHYSICAL under column mapping) plus degenerate
+        (v, v) bounds from typed partition values."""
+        out: dict[str, tuple] = {}
+        s = add.get("stats")
+        if isinstance(s, str):
+            try:
+                s = json.loads(s)
+            except ValueError:
+                s = None
+        if isinstance(s, dict):
+            mins = s.get("minValues") or {}
+            maxs = s.get("maxValues") or {}
+            for k, lo in mins.items():
+                name = plan.to_logical_pv.get(k, k)
+                hi = maxs.get(k)
+                if lo is not None and hi is not None:
+                    out[name] = (lo, hi)
+        for k, v in (add.get("partitionValues") or {}).items():
+            name = plan.to_logical_pv.get(k, k)
+            t = plan.types.get(name)
+            if isinstance(t, str):
+                try:
+                    pv = _pv_python(v, t)
+                except ValueError:
+                    continue
+                if pv is not None:
+                    out[name] = (pv, pv)
+        return out
 
     def partitions(self) -> list[InputPartition]:
+        from .datasource_pruning import bounds_may_match
+
         plan = _ColumnPlan(_snapshot_meta(
             self._path, _log_versions(self._path), up_to=self._version))
-        return [plan.file_partition(self._path, add)
-                for add in _live_adds(self._path, self._version)]
+        adds = _live_adds(self._path, self._version)
+        if self._preds:
+            adds = [a for a in adds
+                    if bounds_may_match(self._file_bounds(plan, a),
+                                        self._preds)]
+        return [plan.file_partition(self._path, add) for add in adds]
 
     def read(self, partition: InputPartition
              ) -> Iterator["pa.RecordBatch"]:
@@ -422,5 +472,10 @@ class DeltaJarlessDataSource(DataSource):
 
 
 def register_delta_stream_source(spark) -> None:
-    """Idempotent registration of the format for this session."""
+    """Idempotent registration of the format for this session. Also
+    enables Python data source filter pushdown (a runtime SQL conf that
+    defaults OFF in Spark 4.1) — with it off, Spark REFUSES to plan any
+    reader that implements pushFilters, so registration and the conf
+    must travel together."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(DeltaJarlessDataSource)

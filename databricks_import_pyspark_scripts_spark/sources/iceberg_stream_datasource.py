@@ -230,13 +230,28 @@ class IcebergLogStreamReader(DataSourceStreamReader):
 
 class IcebergLogBatchReader(DataSourceReader):
     """Batch half: the CURRENT snapshot's live data files (thin path —
-    MoR tables with live deletes reject toward read_iceberg_snapshot)."""
+    MoR tables with live deletes reject toward read_iceberg_snapshot).
+    ``pushFilters`` enables MANIFEST-STATS FILE PRUNING: pushed
+    comparisons drop files whose decoded lower/upper bounds prove no
+    row can match, and every filter is returned for Spark to
+    re-evaluate (inexact, superset-safe — the same split the
+    full-semantics reader's ``stats_filter`` uses)."""
 
     def __init__(self, schema: StructType, options: dict):
         self._path = options["path"]
         self._schema = schema
+        self._preds: list[tuple] = []
+
+    def pushFilters(self, filters):
+        from .datasource_pruning import usable_predicates
+
+        self._preds = usable_predicates(filters)
+        return filters          # Spark re-applies everything post-scan
 
     def partitions(self) -> list[InputPartition]:
+        from .datasource_pruning import bounds_may_match
+        from .iceberg import decoded_column_bounds
+
         meta = _load_meta(self._path)
         snaps = meta.get("snapshots") or []
         cur = meta.get("current-snapshot-id")
@@ -266,6 +281,10 @@ class IcebergLogBatchReader(DataSourceReader):
             for e in entries:
                 if int(e.get("status") or 0) == 2:       # DELETED
                     continue
+                if self._preds and not bounds_may_match(
+                        decoded_column_bounds(meta, e["data_file"]),
+                        self._preds):
+                    continue                 # stats prove no match
                 live.append(_resolve_path(
                     root, e["data_file"]["file_path"]))
         return [_IceFilePartition(p, cols) for p in sorted(live)]
@@ -306,5 +325,9 @@ class IcebergJarlessDataSource(DataSource):
 
 
 def register_iceberg_stream_source(spark) -> None:
-    """Idempotent registration of the format for this session."""
+    """Idempotent registration of the format for this session. Also
+    enables Python data source filter pushdown (see the delta twin:
+    with the conf off, Spark refuses readers that implement
+    pushFilters)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(IcebergJarlessDataSource)

@@ -1012,6 +1012,86 @@ def test_delta_jarless_dv_column_mapped_partitioned(spark, tmp_path):
     assert got2 == {**got, (10, "c"): 10.0, (11, "c"): 11.0}
 
 
+def test_jarless_datasources_push_filter_file_pruning(spark, tmp_path):
+    """pushFilters (Spark 4.1 Python Data Source): the batch readers
+    prune files whose stats/partition values prove no match — and the
+    filtered RESULTS stay exactly correct because every filter is
+    returned for Spark's re-evaluation (inexact pushdown). Checked at
+    the planner level (partitions() count) and e2e."""
+    import pyspark
+
+    if tuple(int(x) for x in pyspark.__version__.split(".")[:2]) < (4, 1):
+        pytest.skip("pushFilters needs Spark 4.1")
+
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        append_delta,
+        create_delta_table,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.delta_stream_datasource import (
+        DeltaLogBatchReader,
+        register_delta_stream_source,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        append_iceberg,
+        write_iceberg_table,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.iceberg_stream_datasource import (
+        IcebergLogBatchReader,
+        register_iceberg_stream_source,
+    )
+
+    register_delta_stream_source(spark)
+    register_iceberg_stream_source(spark)
+
+    def frame(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id AS k", "CAST(id AS double) AS v").coalesce(1)
+
+    # Delta: 3 single-file commits with disjoint k ranges + a partition
+    dsrc = str(tmp_path / "d")
+    create_delta_table(spark, frame(0, 10).withColumn(
+        "part", F.lit("a")), dsrc, partition_by=["part"])
+    append_delta(spark, frame(10, 20).withColumn("part", F.lit("b")),
+                 dsrc)
+    append_delta(spark, frame(20, 30).withColumn("part", F.lit("c")),
+                 dsrc)
+
+    r = DeltaLogBatchReader(
+        spark.read.format("delta_jarless").option("path", dsrc)
+        .load().schema, {"path": dsrc})
+    assert len(r.partitions()) == 3
+    r.pushFilters([GreaterThanOrEqual(("k",), 20)])
+    assert len(r.partitions()) == 1          # stats pruning
+    r.pushFilters([EqualTo(("part",), "b")])
+    assert len(r.partitions()) == 1          # partition pruning
+    r.pushFilters([EqualTo(("part",), "zzz")])
+    assert len(r.partitions()) == 0
+    # e2e: the pushed + re-evaluated filter returns exact rows
+    got = sorted(x.k for x in spark.read.format("delta_jarless")
+                 .option("path", dsrc).load()
+                 .filter("k >= 20 OR part = 'b'").select("k").collect())
+    assert got == list(range(10, 30))
+
+    # Iceberg: 2 append snapshots with disjoint k ranges
+    isrc = str(tmp_path / "i")
+    write_iceberg_table(spark, [frame(0, 10)], isrc)
+    append_iceberg(spark, frame(100, 110), isrc)
+    ri = IcebergLogBatchReader(
+        spark.read.format("iceberg_jarless").option("path", isrc)
+        .load().schema, {"path": isrc})
+    assert len(ri.partitions()) == 2
+    ri.pushFilters([GreaterThanOrEqual(("k",), 100)])
+    assert len(ri.partitions()) == 1         # manifest-bounds pruning
+    ri.pushFilters([EqualTo(("k",), 5)])
+    assert len(ri.partitions()) == 1
+    got = sorted(x.k for x in spark.read.format("iceberg_jarless")
+                 .option("path", isrc).load()
+                 .filter("k >= 100").select("k").collect())
+    assert got == list(range(100, 110))
+
+
 def test_delta_jarless_field_id_fallback_and_dv_filter(tmp_path):
     """Unit test of the executor-side file read (no Spark): a FOREIGN
     id-mode file whose column NAMES share nothing with the physical
