@@ -24,11 +24,12 @@ Division of labor, stated up front:
   bitmap bytes (KB-scale, the same ship-the-bitmap-to-the-task model
   Delta's own scan uses), and its typed partition values from
   ``add.partitionValues`` (this repo's writer — like Delta itself —
-  never materializes partition columns in the data files). The one
-  remaining plan-time rejection is NESTED column-mapped schemas, where
-  per-field physical renames recurse into struct/array/map types — the
-  full-semantics consumer ``streaming/delta_source.py`` (over the batch
-  reader ``sources/delta_log.py``) handles those.
+  never materializes partition columns in the data files). NESTED
+  column-mapped STRUCTS rename recursively in the executor read
+  (``_logicalize_arrow``); the one remaining plan-time rejection is
+  column mapping inside array/map element types — the full-semantics
+  consumer ``streaming/delta_source.py`` (over the batch reader
+  ``sources/delta_log.py``) handles those.
 
 Scale shape: the log scan is driver-side metadata (KB-MB of JSON); data
 moves only in executors, one parquet file per partition via pyarrow with
@@ -110,11 +111,16 @@ def _snapshot_meta(table_path: str, versions: list[int],
                          f"delta_source.py)")
     conf = meta.get("configuration") or {}
     if conf.get("delta.columnMapping.mode", "none") != "none":
-        fields = json.loads(meta["schemaString"])["fields"]
-        if any(not isinstance(f["type"], str) for f in fields):
-            raise ValueError(
-                "delta_jarless: column mapping over NESTED types renames "
-                "fields recursively; use streaming/delta_source.py")
+        # nested STRUCT renames are handled in the executor read
+        # (_logicalize_arrow); mapping inside array/map element types is
+        # the remaining loud plan-time rejection
+        for f in json.loads(meta["schemaString"])["fields"]:
+            t = f["type"]
+            if isinstance(t, dict) and t["type"] in ("array", "map") \
+                    and _contains_mapping(t):
+                raise ValueError(
+                    "delta_jarless: column mapping inside array/map "
+                    "element types; use streaming/delta_source.py")
     return meta
 
 
@@ -167,7 +173,7 @@ class _ColumnPlan:
         pv_raw = add.get("partitionValues") or {}
         pv = {self.to_logical_pv.get(k, k): v for k, v in pv_raw.items()}
         dv = add.get("deletionVector")
-        data_cols = [(n, self.physical[n], self.fids[n])
+        data_cols = [(n, self.physical[n], self.fids[n], self.types[n])
                      for n in self.field_order if n not in self.part_cols]
         return _FilePartition(
             path=_resolve(table_path, add["path"]),
@@ -183,10 +189,74 @@ class _FilePartition(InputPartition):
                  part_vals: list[tuple], dv_blob: bytes | None,
                  field_order: list[str]):
         self.path = path
-        self.data_cols = data_cols        # (logical, physical, field_id)
-        self.part_vals = part_vals        # (logical, str value, delta type)
+        self.data_cols = data_cols   # (logical, physical, field_id, type)
+        self.part_vals = part_vals   # (logical, str value, delta type)
         self.dv_blob = dv_blob
         self.field_order = field_order
+
+
+def _logicalize_arrow(arr, t):
+    """Rename an arrow array's NESTED fields to logical names per the
+    Delta columnMapping field metadata, recursively through structs —
+    the read-side half of nested column mapping. Arrays/maps whose
+    element types carry mapping metadata still reject loudly (the
+    full-semantics reader handles those); plain primitives pass
+    through."""
+    import pyarrow as pa
+
+    if not isinstance(t, dict):
+        return arr
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if t["type"] == "struct":
+        st = arr.type
+        children = []
+        fields = []
+        for f in t["fields"]:
+            md = f.get("metadata") or {}
+            phys = md.get("delta.columnMapping.physicalName", f["name"])
+            fid = md.get("delta.columnMapping.id")
+            idx = None
+            for i in range(st.num_fields):
+                fld = st.field(i)
+                m = fld.metadata or {}
+                if fld.name == phys or (
+                        fid is not None
+                        and m.get(b"PARQUET:field_id")
+                        == str(int(fid)).encode()):
+                    idx = i
+                    break
+            if idx is None:
+                raise ValueError(
+                    f"nested column {f['name']!r} (physical {phys!r}, "
+                    f"field id {fid}) absent from the file struct")
+            child = _logicalize_arrow(arr.field(idx), f["type"])
+            children.append(child)
+            fields.append(pa.field(f["name"], child.type))
+        return pa.StructArray.from_arrays(
+            children, fields=fields,
+            mask=arr.is_null() if arr.null_count else None)
+    if _contains_mapping(t):
+        raise ValueError(
+            f"column mapping inside {t['type']!r} types is beyond the "
+            f"delta_jarless reader; use streaming/delta_source.py / "
+            f"sources/delta_log.py")
+    return arr
+
+
+def _contains_mapping(t) -> bool:
+    if not isinstance(t, dict):
+        return False
+    if t["type"] == "struct":
+        return any("delta.columnMapping.physicalName"
+                   in (f.get("metadata") or {})
+                   or _contains_mapping(f["type"]) for f in t["fields"])
+    if t["type"] == "array":
+        return _contains_mapping(t.get("elementType"))
+    if t["type"] == "map":
+        return _contains_mapping(t.get("keyType")) \
+            or _contains_mapping(t.get("valueType"))
+    return False
 
 
 _PV_ARROW = {
@@ -239,17 +309,17 @@ def _read_file_partition(partition: _FilePartition
         fid = (f.metadata or {}).get(b"PARQUET:field_id")
         if fid is not None:
             by_fid[int(fid)] = f.name
-    resolved: list[tuple[str, str]] = []   # (logical, column-in-file)
-    for logical, physical, fid in partition.data_cols:
+    resolved: list[tuple] = []   # (logical, column-in-file, delta type)
+    for logical, physical, fid, dtype in partition.data_cols:
         if physical in names:
-            resolved.append((logical, physical))
+            resolved.append((logical, physical, dtype))
         elif fid is not None and int(fid) in by_fid:
-            resolved.append((logical, by_fid[int(fid)]))
+            resolved.append((logical, by_fid[int(fid)], dtype))
         else:
             raise ValueError(
                 f"{partition.path}: column {logical!r} (physical "
                 f"{physical!r}, field id {fid}) absent from the file")
-    table = pf.read(columns=[c for _, c in resolved])
+    table = pf.read(columns=[c for _, c, _ in resolved])
     if partition.dv_blob is not None:
         from databricks_import_pyspark_scripts_spark.sources.delta_dv import (
             deserialize_bitmap_array,
@@ -258,8 +328,8 @@ def _read_file_partition(partition: _FilePartition
         mask = np.ones(table.num_rows, dtype=bool)
         mask[dead[dead < table.num_rows]] = False
         table = table.filter(pa.array(mask))
-    cols = {logical: table.column(i)
-            for i, (logical, _) in enumerate(resolved)}
+    cols = {logical: _logicalize_arrow(table.column(i), dtype)
+            for i, (logical, _, dtype) in enumerate(resolved)}
     n = table.num_rows
     for logical, value, t in partition.part_vals:
         cols[logical] = pa.array(

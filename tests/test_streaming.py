@@ -1092,6 +1092,79 @@ def test_jarless_datasources_push_filter_file_pruning(spark, tmp_path):
     assert got == list(range(100, 110))
 
 
+def test_delta_jarless_nested_column_mapped_struct(spark, tmp_path):
+    """Nested column-mapped STRUCTS read through the datasource: the
+    legacy-protocol CM fixture (logical id/info<score,tag>/part stored
+    physically as col-aaa1..5, partitioned by part) batch-reads AND
+    streams with nested fields renamed to logical names in the executor
+    (_logicalize_arrow); results equal the full-semantics batch
+    reader's. Mapping inside array element types still rejects at plan
+    time."""
+    import pyspark
+
+    if tuple(int(x) for x in pyspark.__version__.split(".")[:2]) < (4, 0):
+        pytest.skip("Python Data Source API needs Spark 4")
+
+    import json
+    import os
+
+    from delta_fixture import make_column_mapped_table
+
+    from databricks_import_pyspark_scripts_spark.sources.delta_log import (
+        read_delta_snapshot,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.delta_stream_datasource import (
+        register_delta_stream_source,
+    )
+
+    register_delta_stream_source(spark)
+    src = str(tmp_path / "cmnested")
+    make_column_mapped_table(src)
+
+    expect = {(r.id, r.part): (r.info.score, r.info.tag)
+              for r in read_delta_snapshot(spark, src).collect()}
+    got = {(r.id, r.part): (r.info.score, r.info.tag)
+           for r in spark.read.format("delta_jarless")
+           .option("path", src).load().collect()}
+    assert got == expect and len(got) == 3
+
+    # streaming from the same table: full history = same rows
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (spark.readStream.format("delta_jarless").option("path", src)
+         .load().writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got_s = {(r.id, r.part): (r.info.score, r.info.tag)
+             for r in spark.read.parquet(out).collect()}
+    assert got_s == expect
+
+    # array-of-mapped-struct: still a loud plan-time rejection
+    mdir = os.path.join(src, "_delta_log")
+    meta_line = None
+    for line in open(os.path.join(mdir, f"{0:020d}.json")):
+        if '"metaData"' in line:
+            meta_line = json.loads(line)["metaData"]
+    schema = json.loads(meta_line["schemaString"])
+    schema["fields"].append({
+        "name": "arr", "nullable": True, "metadata": {
+            "delta.columnMapping.id": 9,
+            "delta.columnMapping.physicalName": "col-arr"},
+        "type": {"type": "array", "containsNull": True,
+                 "elementType": {"type": "struct", "fields": [
+                     {"name": "x", "type": "long", "nullable": True,
+                      "metadata": {
+                          "delta.columnMapping.id": 10,
+                          "delta.columnMapping.physicalName":
+                              "col-x"}}]}}})
+    meta_line["schemaString"] = json.dumps(schema)
+    with open(os.path.join(mdir, f"{2:020d}.json"), "w") as f:
+        f.write(json.dumps({"metaData": meta_line}) + "\n")
+    with pytest.raises(Exception, match="array/map"):
+        (spark.read.format("delta_jarless").option("path", src)
+         .load().collect())
+
+
 def test_delta_jarless_field_id_fallback_and_dv_filter(tmp_path):
     """Unit test of the executor-side file read (no Spark): a FOREIGN
     id-mode file whose column NAMES share nothing with the physical
@@ -1125,7 +1198,8 @@ def test_delta_jarless_field_id_fallback_and_dv_filter(tmp_path):
     import numpy as np
     part = _FilePartition(
         path=path,
-        data_cols=[("k", "col-p1", 1), ("v", "col-p2", 2)],
+        data_cols=[("k", "col-p1", 1, "long"),
+                   ("v", "col-p2", 2, "double")],
         part_vals=[("part", "x", "string"), ("d", "2024-03-05", "date")],
         dv_blob=serialize_bitmap_array(np.array([1, 3], np.int64)),
         field_order=["k", "v", "part", "d"])
@@ -1135,7 +1209,8 @@ def test_delta_jarless_field_id_fallback_and_dv_filter(tmp_path):
     assert out.column("part").to_pylist() == ["x", "x"]
     assert out.column("d").to_pylist() == [datetime.date(2024, 3, 5)] * 2
 
-    bad = _FilePartition(path=path, data_cols=[("w", "col-p9", None)],
+    bad = _FilePartition(path=path,
+                         data_cols=[("w", "col-p9", None, "long")],
                          part_vals=[], dv_blob=None, field_order=["w"])
     with pytest.raises(ValueError, match="absent from the file"):
         list(_read_file_partition(bad))
