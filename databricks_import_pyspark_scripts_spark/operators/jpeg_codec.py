@@ -377,13 +377,16 @@ def _category(v: int) -> int:
 
 
 def encode_jpeg_gray(arr: np.ndarray,
-                     quant: np.ndarray | None = None) -> bytes:
+                     quant: np.ndarray | None = None,
+                     restart_interval: int = 0) -> bytes:
     """uint8 (H, W) grayscale -> baseline JFIF bytes (one component,
     4:4:4, Annex K luminance huffman tables). ``quant`` is the 8x8
     quantization table in natural order; the all-ones default keeps
     fixture block means exact to IDCT rounding. Dimensions pad to
     multiples of 8 by edge replication (decoders crop back via SOF0's
-    true height/width)."""
+    true height/width). ``restart_interval`` > 0 emits a DRI segment
+    and an RSTn marker (byte-aligned, DC predictor reset) every that
+    many MCUs — the resync structure real camera JPEGs carry."""
     a = np.asarray(arr, np.uint8)
     if a.ndim != 2:
         raise ValueError("encode_jpeg_gray takes a (H, W) grayscale array")
@@ -400,8 +403,18 @@ def encode_jpeg_gray(arr: np.ndarray,
     ac_codes = _encode_lengths(_AC_LUM_BITS, _AC_LUM_VALS)
     bw = _BitWriter()
     pred = 0
+    mcu = 0
+    rst = 0
     for y0 in range(0, ph, 8):
         for x0 in range(0, pw, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # byte-align (1-padding), emit RSTn, reset the predictor
+                if bw.nbits:
+                    bw.write((1 << (8 - bw.nbits)) - 1, 8 - bw.nbits)
+                bw.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst = (rst + 1) & 7
+                pred = 0
+            mcu += 1
             block = padded[y0:y0 + 8, x0:x0 + 8]
             coeff = _DCT @ block @ _DCT.T
             zq = np.rint(coeff / q).astype(np.int64)
@@ -445,12 +458,14 @@ def encode_jpeg_gray(arr: np.ndarray,
     zz_q[np.arange(64)] = q.reshape(-1)[_ZIGZAG]
     dht_dc = bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)
     dht_ac = bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS)
+    dri = (seg(0xDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
     return (_SOI
             + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
             + seg(0xDB, bytes([0x00]) + zz_q.tobytes())
             + seg(0xC0, struct.pack(">BHHB", 8, h, w, 1)
                   + bytes([1, 0x11, 0]))
-            + seg(0xC4, dht_dc) + seg(0xC4, dht_ac)
+            + seg(0xC4, dht_dc) + seg(0xC4, dht_ac) + dri
             + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
             + entropy + b"\xff\xd9")
 

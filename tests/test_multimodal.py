@@ -357,6 +357,33 @@ def test_jpeg_roundtrip_and_quantization():
     assert abs(float(o.mean()) - float(grad.mean())) < 2.0
 
 
+def test_jpeg_restart_intervals_roundtrip_and_guard():
+    """DRI restart markers: the encoder emits RSTn every N MCUs
+    (byte-aligned, DC predictor reset) and the decoder resynchronizes —
+    round trip exact to IDCT rounding at several intervals; a CORRUPTED
+    restart marker rejects loudly (never silent desync)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from databricks_import_pyspark_scripts_spark.operators.jpeg_codec import (
+        JpegFormatError,
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (24, 48), dtype=np.uint8)  # 18 MCUs
+    for ri in (1, 2, 5, 9):
+        out = decode_jpeg(encode_jpeg_gray(img, restart_interval=ri))
+        assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+
+    good = encode_jpeg_gray(img, restart_interval=2)
+    i = good.index(b"\xff\xd0")              # first RST0 marker
+    bad = good[:i + 1] + bytes([0xD5]) + good[i + 2:]   # wrong RSTn
+    with _pytest.raises(JpegFormatError, match="RST"):
+        decode_jpeg(bad)
+
+
 def test_jpeg_rejects_out_of_scope_loudly():
     """Progressive (SOF2), arithmetic (DAC), 12-bit precision, 16-bit
     quant tables, missing SOI, and truncation all reject with named
