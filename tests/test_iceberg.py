@@ -3640,6 +3640,46 @@ def test_rest_catalog_update_where(spark, ice):
     assert len(cat.load_table("db", "t")["metadata"]["snapshots"]) == n
 
 
+def test_position_delete_staging_multi_file(spark, tmp_path):
+    """_position_delete_entries_distributed with num_files > 1: several
+    delete parquets, EACH internally sorted (file_path asc, pos asc —
+    the v2 spec's required order), all rows covered exactly once, and a
+    commit built from the multi-file entries reads correctly."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        _PROV_F,
+        _PROV_P,
+        _commit_delete_snapshot,
+        _position_delete_entries_distributed,
+        _provenance_scan,
+        read_table_metadata,
+    )
+
+    t = str(tmp_path / "multi")
+    df = spark.range(0, 90).selectExpr("id AS k", "CAST(id AS double) AS v")
+    write_iceberg_table(spark, [df.repartition(4)], t)
+    meta = read_table_metadata(spark, t)
+    cur, _, _ = _provenance_scan(spark, t, meta, "test")
+    pos_df = cur.filter("k % 3 = 0").select(_PROV_F, _PROV_P)
+    entries = _position_delete_entries_distributed(
+        spark, t, pos_df, "mf", num_files=3)
+    assert 1 <= len(entries) <= 3
+    assert sum(e["data_file"]["record_count"] for e in entries) == 30
+    for e in entries:
+        tb = pq.read_table(e["data_file"]["file_path"])
+        rows = list(zip(tb.column("file_path").to_pylist(),
+                        tb.column("pos").to_pylist()))
+        assert rows == sorted(rows)            # spec sort order per file
+        assert e["data_file"]["file_size_in_bytes"] > 0
+    _commit_delete_snapshot(
+        spark, t, entries, "delete",
+        scanned_snapshot_id=int(meta["current-snapshot-id"]))
+    assert _ks(read_iceberg_snapshot(spark, t)) == \
+        [k for k in range(90) if k % 3 != 0]
+
+
 def test_rest_catalog_merge_into(spark, ice):
     """MERGE INTO through the catalog protocol (VERDICT r12 #5): all
     three clauses in ONE CommitTableRequest snapshot; matched-delete
