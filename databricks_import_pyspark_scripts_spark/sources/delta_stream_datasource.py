@@ -25,11 +25,10 @@ Division of labor, stated up front:
   Delta's own scan uses), and its typed partition values from
   ``add.partitionValues`` (this repo's writer — like Delta itself —
   never materializes partition columns in the data files). NESTED
-  column-mapped STRUCTS rename recursively in the executor read
-  (``_logicalize_arrow``); the one remaining plan-time rejection is
-  column mapping inside array/map element types — the full-semantics
-  consumer ``streaming/delta_source.py`` (over the batch reader
-  ``sources/delta_log.py``) handles those.
+  column mapping renames recursively in the executor read
+  (``_logicalize_arrow``) through structs, arrays, and maps —
+  list/map arrays are rebuilt zero-copy from the original validity +
+  offset buffers around the renamed children.
 
 Scale shape: the log scan is driver-side metadata (KB-MB of JSON); data
 moves only in executors, one parquet file per partition via pyarrow with
@@ -109,18 +108,6 @@ def _snapshot_meta(table_path: str, versions: list[int],
                          f"(checkpoint-only logs are not supported by "
                          f"the streaming source; use streaming/"
                          f"delta_source.py)")
-    conf = meta.get("configuration") or {}
-    if conf.get("delta.columnMapping.mode", "none") != "none":
-        # nested STRUCT renames are handled in the executor read
-        # (_logicalize_arrow); mapping inside array/map element types is
-        # the remaining loud plan-time rejection
-        for f in json.loads(meta["schemaString"])["fields"]:
-            t = f["type"]
-            if isinstance(t, dict) and t["type"] in ("array", "map") \
-                    and _contains_mapping(t):
-                raise ValueError(
-                    "delta_jarless: column mapping inside array/map "
-                    "element types; use streaming/delta_source.py")
     return meta
 
 
@@ -197,11 +184,12 @@ class _FilePartition(InputPartition):
 
 def _logicalize_arrow(arr, t):
     """Rename an arrow array's NESTED fields to logical names per the
-    Delta columnMapping field metadata, recursively through structs —
-    the read-side half of nested column mapping. Arrays/maps whose
-    element types carry mapping metadata still reject loudly (the
-    full-semantics reader handles those); plain primitives pass
-    through."""
+    Delta columnMapping field metadata, recursively through structs,
+    arrays, and maps — the read-side half of nested column mapping.
+    Structs rebuild child-wise (field-id fallback for foreign id-mode
+    files); lists and maps rebuild zero-copy from the ORIGINAL validity
+    + offset buffers around the renamed raw child, so null slots and
+    slices survive. Plain primitives pass through."""
     import pyarrow as pa
 
     if not isinstance(t, dict):
@@ -236,27 +224,40 @@ def _logicalize_arrow(arr, t):
         return pa.StructArray.from_arrays(
             children, fields=fields,
             mask=arr.is_null() if arr.null_count else None)
-    if _contains_mapping(t):
-        raise ValueError(
-            f"column mapping inside {t['type']!r} types is beyond the "
-            f"delta_jarless reader; use streaming/delta_source.py / "
-            f"sources/delta_log.py")
+    if t["type"] == "array":
+        # ``arr.values`` is the RAW (unsliced) child; the list's offset
+        # buffer indexes the child's logical values, so a renamed
+        # rebuild of the child keeps the offsets valid as-is.
+        values = _logicalize_arrow(arr.values, t["elementType"])
+        lt = (pa.large_list(values.type)
+              if pa.types.is_large_list(arr.type)
+              else pa.list_(values.type))
+        out = pa.Array.from_buffers(
+            lt, len(arr), arr.buffers()[:2],
+            null_count=arr.null_count, offset=arr.offset,
+            children=[values])
+        out.validate()
+        return out
+    if t["type"] == "map":
+        entries = arr.values          # raw entries struct<key, value>
+        keys = _logicalize_arrow(entries.field(0), t["keyType"])
+        items = _logicalize_arrow(entries.field(1), t["valueType"])
+        # the rebuilt entries type must match the map type's child
+        # EXACTLY (incl. nullability) or arrow aborts downstream
+        key_f = pa.field("key", keys.type, nullable=False)
+        item_f = pa.field("value", items.type,
+                          nullable=arr.type.item_field.nullable)
+        new_entries = pa.StructArray.from_arrays(
+            [keys, items], fields=[key_f, item_f])
+        out = pa.Array.from_buffers(
+            pa.map_(key_f, item_f), len(arr), arr.buffers()[:2],
+            null_count=arr.null_count, offset=arr.offset,
+            children=[new_entries])
+        out.validate()
+        return out
     return arr
 
 
-def _contains_mapping(t) -> bool:
-    if not isinstance(t, dict):
-        return False
-    if t["type"] == "struct":
-        return any("delta.columnMapping.physicalName"
-                   in (f.get("metadata") or {})
-                   or _contains_mapping(f["type"]) for f in t["fields"])
-    if t["type"] == "array":
-        return _contains_mapping(t.get("elementType"))
-    if t["type"] == "map":
-        return _contains_mapping(t.get("keyType")) \
-            or _contains_mapping(t.get("valueType"))
-    return False
 
 
 _PV_ARROW = {

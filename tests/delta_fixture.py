@@ -285,6 +285,102 @@ def make_column_mapped_table(table_path: str) -> str:
     return table_path
 
 
+CM_COLLECTIONS_SCHEMA_STRING = json.dumps({
+    "type": "struct",
+    "fields": [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-c1"}},
+        {"name": "tags", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-c2"},
+         "type": {"type": "array", "containsNull": True,
+                  "elementType": {"type": "struct", "fields": [
+                      {"name": "score", "type": "double",
+                       "nullable": True, "metadata": {
+                           "delta.columnMapping.id": 3,
+                           "delta.columnMapping.physicalName": "col-c3"}},
+                      {"name": "label", "type": "string",
+                       "nullable": True, "metadata": {
+                           "delta.columnMapping.id": 4,
+                           "delta.columnMapping.physicalName": "col-c4"}},
+                  ]}}},
+        {"name": "props", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 5,
+                      "delta.columnMapping.physicalName": "col-c5"},
+         "type": {"type": "map", "keyType": "string",
+                  "valueContainsNull": True,
+                  "valueType": {"type": "struct", "fields": [
+                      {"name": "x", "type": "long", "nullable": True,
+                       "metadata": {
+                           "delta.columnMapping.id": 6,
+                           "delta.columnMapping.physicalName": "col-c6"}},
+                  ]}}},
+    ],
+})
+
+
+def _write_cm_collections_parquet(path: str, rows: list[tuple]) -> None:
+    """Data file for the collections column-mapped table: array/map
+    columns stored under PHYSICAL names at every nesting level.
+    ``rows`` = (id, tags-or-None, props-or-None) with tags a list of
+    (score, label) / None elements and props a dict name -> x."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    elem_t = pa.struct([("col-c3", pa.float64()),
+                        ("col-c4", pa.string())])
+    val_t = pa.struct([("col-c6", pa.int64())])
+    ids, tags, props = [], [], []
+    for rid, tg, pr in rows:
+        ids.append(rid)
+        tags.append(None if tg is None else [
+            None if e is None else {"col-c3": e[0], "col-c4": e[1]}
+            for e in tg])
+        props.append(None if pr is None else [
+            (k, None if v is None else {"col-c6": v})
+            for k, v in pr.items()])
+    pq.write_table(pa.table({
+        "col-c1": pa.array(ids, pa.int64()),
+        "col-c2": pa.array(tags, pa.list_(elem_t)),
+        "col-c5": pa.array(props, pa.map_(pa.string(), val_t)),
+    }), path)
+
+
+def make_column_mapped_collections_table(table_path: str) -> str:
+    """Column mapping ``name`` mode with mapped fields INSIDE collection
+    types: tags array<struct<score,label>> and props map<string,
+    struct<x>>, physical names col-c1..col-c6, nulls at every level
+    (null array, null element, empty map, null map value), two append
+    commits for streaming replay."""
+    log = os.path.join(table_path, "_delta_log")
+    meta = {"id": "aaaabbbb-cccc-dddd-eeee-ffff00001111",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": CM_COLLECTIONS_SCHEMA_STRING,
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "6"},
+            "createdTime": 1690000000000}
+    _write_cm_collections_parquet(
+        os.path.join(table_path, "c1.parquet"),
+        [(1, [(0.5, "a"), (1.5, "b")], {"k": 7}),
+         (2, None, None),
+         (3, [], {})])
+    _commit(log, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": meta},
+        {"add": {"path": "c1.parquet", "partitionValues": {}, "size": 1,
+                 "dataChange": True, "modificationTime": 1}},
+    ])
+    _write_cm_collections_parquet(
+        os.path.join(table_path, "c2.parquet"),
+        [(4, [None, (2.5, "c")], {"m": 9, "n": None})])
+    _commit(log, 1, [
+        {"commitInfo": {"timestamp": V2_TS_MS, "operation": "WRITE"}},
+        {"add": {"path": "c2.parquet", "partitionValues": {}, "size": 1,
+                 "dataChange": True, "modificationTime": 2}},
+    ])
+    return table_path
+
+
 def _write_idm_parquet(path: str, ids: list[int], scores: list[float],
                        tags: list[str]) -> None:
     """Data file for the id-mapped table: parquet FIELD IDS carry the

@@ -1098,15 +1098,11 @@ def test_delta_jarless_nested_column_mapped_struct(spark, tmp_path):
     physically as col-aaa1..5, partitioned by part) batch-reads AND
     streams with nested fields renamed to logical names in the executor
     (_logicalize_arrow); results equal the full-semantics batch
-    reader's. Mapping inside array element types still rejects at plan
-    time."""
+    reader's."""
     import pyspark
 
     if tuple(int(x) for x in pyspark.__version__.split(".")[:2]) < (4, 0):
         pytest.skip("Python Data Source API needs Spark 4")
-
-    import json
-    import os
 
     from delta_fixture import make_column_mapped_table
 
@@ -1139,30 +1135,60 @@ def test_delta_jarless_nested_column_mapped_struct(spark, tmp_path):
              for r in spark.read.parquet(out).collect()}
     assert got_s == expect
 
-    # array-of-mapped-struct: still a loud plan-time rejection
-    mdir = os.path.join(src, "_delta_log")
-    meta_line = None
-    for line in open(os.path.join(mdir, f"{0:020d}.json")):
-        if '"metaData"' in line:
-            meta_line = json.loads(line)["metaData"]
-    schema = json.loads(meta_line["schemaString"])
-    schema["fields"].append({
-        "name": "arr", "nullable": True, "metadata": {
-            "delta.columnMapping.id": 9,
-            "delta.columnMapping.physicalName": "col-arr"},
-        "type": {"type": "array", "containsNull": True,
-                 "elementType": {"type": "struct", "fields": [
-                     {"name": "x", "type": "long", "nullable": True,
-                      "metadata": {
-                          "delta.columnMapping.id": 10,
-                          "delta.columnMapping.physicalName":
-                              "col-x"}}]}}})
-    meta_line["schemaString"] = json.dumps(schema)
-    with open(os.path.join(mdir, f"{2:020d}.json"), "w") as f:
-        f.write(json.dumps({"metaData": meta_line}) + "\n")
-    with pytest.raises(Exception, match="array/map"):
-        (spark.read.format("delta_jarless").option("path", src)
-         .load().collect())
+
+def test_delta_jarless_column_mapped_collections(spark, tmp_path):
+    """Column mapping INSIDE array/map element types reads through the
+    datasource (batch + stream): tags array<struct<score,label>> and
+    props map<string,struct<x>> stored under physical names at every
+    level rebuild zero-copy in the executor (_logicalize_arrow list/map
+    branches) with nulls preserved at every level — null array, null
+    element, empty collections, null map value. Results equal the
+    full-semantics batch reader's."""
+    import pyspark
+
+    if tuple(int(x) for x in pyspark.__version__.split(".")[:2]) < (4, 0):
+        pytest.skip("Python Data Source API needs Spark 4")
+
+    from delta_fixture import make_column_mapped_collections_table
+
+    from databricks_import_pyspark_scripts_spark.sources.delta_log import (
+        read_delta_snapshot,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.delta_stream_datasource import (
+        register_delta_stream_source,
+    )
+
+    register_delta_stream_source(spark)
+    src = str(tmp_path / "cmcoll")
+    make_column_mapped_collections_table(src)
+
+    def canon(rows):
+        return {
+            r.id: (
+                None if r.tags is None else tuple(
+                    None if e is None else (e.score, e.label)
+                    for e in r.tags),
+                None if r.props is None else tuple(sorted(
+                    (k, None if v is None else v.x)
+                    for k, v in r.props.items())),
+            ) for r in rows}
+
+    expect = canon(read_delta_snapshot(spark, src).collect())
+    assert len(expect) == 4 and expect[2] == (None, None)
+    assert expect[1] == (((0.5, "a"), (1.5, "b")), (("k", 7),))
+    assert expect[4] == ((None, (2.5, "c")), (("m", 9), ("n", None)))
+
+    got = canon(spark.read.format("delta_jarless")
+                .option("path", src).load().collect())
+    assert got == expect
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (spark.readStream.format("delta_jarless").option("path", src)
+         .load().writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert canon(spark.read.parquet(out).collect()) == expect
 
 
 def test_delta_jarless_field_id_fallback_and_dv_filter(tmp_path):
