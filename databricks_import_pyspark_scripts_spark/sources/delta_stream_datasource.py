@@ -91,11 +91,88 @@ def _actions(table_path: str, version: int) -> list[dict]:
         return [json.loads(line) for line in f if line.strip()]
 
 
+_CP_SINGLE_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+_CP_PART_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
+_CP_V2_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.[0-9a-fA-F]{8}(?:-[0-9a-fA-F]{4}){3}"
+    r"-[0-9a-fA-F]{12}\.(?:json|parquet)$")
+
+
+def _best_checkpoint(table_path: str,
+                     up_to: int | None = None) -> tuple | None:
+    """``(version, [part file names])`` of the newest COMPLETE classic
+    checkpoint <= ``up_to`` (single-part or all N multi-parts present),
+    from the directory listing — the ``_last_checkpoint`` pointer is
+    advisory and a listing is already in hand. v2 uuid-named checkpoints
+    are ignored here; ``_require_commits`` names them when the json
+    prefix they cover is gone."""
+    log = os.path.join(table_path, "_delta_log")
+    cands: dict[int, list[str]] = {}
+    parts: dict[int, dict[int, tuple]] = {}
+    for n in os.listdir(log):
+        if m := _CP_SINGLE_RE.match(n):
+            cands[int(m.group(1))] = [n]
+        elif m := _CP_PART_RE.match(n):
+            parts.setdefault(int(m.group(1)), {})[int(m.group(2))] = \
+                (n, int(m.group(3)))
+    for v, d in parts.items():
+        n_total = next(iter(d.values()))[1]
+        if set(d) == set(range(1, n_total + 1)) \
+                and all(t == n_total for _, t in d.values()):
+            cands.setdefault(v, [d[i][0] for i in range(1, n_total + 1)])
+    best = max((v for v in cands if up_to is None or v <= up_to),
+               default=None)
+    return (best, cands[best]) if best is not None else None
+
+
+def _mapv(x) -> dict:
+    """pyarrow ``to_pylist`` renders parquet maps as (k, v) tuple lists;
+    the json-action shape is a plain dict."""
+    if x is None:
+        return {}
+    return dict(x) if isinstance(x, list) else x
+
+
+def _checkpoint_state(table_path: str, cp: tuple) -> tuple[dict, dict]:
+    """(latest metaData, {path: add}) from a classic checkpoint's parquet
+    part(s): one non-null action struct per row, normalized back to the
+    json-action dict shape (maps -> dicts, all-null DV struct -> absent).
+    Driver-side metadata-scale IO, like the json scan."""
+    import pyarrow.parquet as pq
+
+    version, files = cp
+    meta: dict = {}
+    live: dict[str, dict] = {}
+    for fn in files:
+        t = pq.read_table(os.path.join(table_path, "_delta_log", fn))
+        for row in t.to_pylist():
+            md = row.get("metaData")
+            if md and md.get("schemaString"):
+                md = dict(md)
+                md["configuration"] = _mapv(md.get("configuration"))
+                if md.get("format"):
+                    fmt = dict(md["format"])
+                    fmt["options"] = _mapv(fmt.get("options"))
+                    md["format"] = fmt
+                meta = md
+            a = row.get("add")
+            if a and a.get("path"):
+                a = dict(a)
+                a["partitionValues"] = _mapv(a.get("partitionValues"))
+                dv = a.get("deletionVector")
+                if not (dv and dv.get("storageType")):
+                    a.pop("deletionVector", None)
+                live[a["path"]] = a
+    return meta, live
+
+
 def _snapshot_meta(table_path: str, versions: list[int],
                    up_to: int | None = None) -> dict:
-    """Latest metaData action (schema + configuration) by forward scan —
-    the planners need only the schema, mapping mode, and partition
-    columns, not full state reconstruction."""
+    """Latest metaData action by forward scan of the json commits, with
+    classic-checkpoint fallback for logs whose json prefix was retired
+    by log cleanup — the planners need only the schema, mapping mode,
+    and partition columns, not full state reconstruction."""
     meta: dict = {}
     for v in versions:
         if up_to is not None and v > up_to:
@@ -104,11 +181,41 @@ def _snapshot_meta(table_path: str, versions: list[int],
             if "metaData" in a:
                 meta = a["metaData"]
     if not meta:
-        raise ValueError(f"{table_path}: no metaData action in the log "
-                         f"(checkpoint-only logs are not supported by "
-                         f"the streaming source; use streaming/"
+        cp = _best_checkpoint(table_path, up_to)
+        if cp is not None:
+            meta, _ = _checkpoint_state(table_path, cp)
+    if not meta:
+        if up_to is not None:
+            raise ValueError(
+                f"version {up_to} not in the log of {table_path}: no "
+                f"metaData at or below it in the json log and no "
+                f"classic checkpoint <= it (json prefix retired by log "
+                f"cleanup?)")
+        raise ValueError(f"{table_path}: no metaData action in the json "
+                         f"log and no classic checkpoint (v2 uuid-named "
+                         f"checkpoints are beyond delta_jarless; use "
+                         f"sources/delta_log.py / streaming/"
                          f"delta_source.py)")
     return meta
+
+
+def _require_commits(table_path: str, versions_present: set[int],
+                     lo: int, hi: int) -> None:
+    """Loud failure when json commits in (lo, hi] are missing — names a
+    v2 uuid-named checkpoint if one is what retired them."""
+    missing = [v for v in range(lo + 1, hi + 1)
+               if v not in versions_present]
+    if not missing:
+        return
+    log = os.path.join(table_path, "_delta_log")
+    hint = ""
+    if any(_CP_V2_RE.match(n) for n in os.listdir(log)):
+        hint = (" (a v2 uuid-named checkpoint covers them; that layout "
+                "is beyond delta_jarless — use sources/delta_log.py / "
+                "streaming/delta_source.py)")
+    raise ValueError(f"{table_path}: commits {missing} are missing from "
+                     f"the json log and no classic checkpoint covers "
+                     f"them{hint}")
 
 
 def _dv_raw(table_path: str, d: dict) -> bytes:
@@ -370,6 +477,12 @@ class DeltaLogStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         versions = _log_versions(self._path)
         head = versions[-1] if versions else -1
+        if not versions:
+            # fully retired json log: the newest classic checkpoint IS
+            # the head (its state gets served as the initial snapshot)
+            cp = _best_checkpoint(self._path)
+            if cp is not None:
+                head = cp[0]
         # bounded admission (maxFilesPerTrigger analogue at commit
         # granularity): clamp relative to the LAST PLANNED batch end,
         # which partitions() records from Spark's own offsets — never
@@ -386,7 +499,22 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         versions = _log_versions(self._path)
         plan = _ColumnPlan(_snapshot_meta(self._path, versions, up_to=hi))
         parts: list[InputPartition] = []
-        for v in range(lo + 1, hi + 1):
+        present = set(versions)
+        first = lo + 1
+        if any(v not in present for v in range(first, hi + 1)):
+            # json prefix retired by log cleanup: the newest classic
+            # checkpoint in the span seeds an INITIAL SNAPSHOT batch
+            # (Delta-source semantics — deletes inside the retired span
+            # are already netted out of the checkpoint's live set, so
+            # the ignoreDeletes/ignoreChanges guards don't apply to it)
+            cp = _best_checkpoint(self._path, up_to=hi)
+            if cp is not None and cp[0] >= first:
+                _, live = _checkpoint_state(self._path, cp)
+                parts.extend(plan.file_partition(self._path, live[p])
+                             for p in sorted(live))
+                first = cp[0] + 1
+            _require_commits(self._path, present, first - 1, hi)
+        for v in range(first, hi + 1):
             for a in _actions(self._path, v):
                 if "add" in a and a["add"].get("dataChange", True):
                     parts.append(plan.file_partition(self._path, a["add"]))
@@ -413,20 +541,36 @@ class DeltaLogStreamReader(DataSourceStreamReader):
 
 
 def _live_adds(table_path: str, version: int | None = None) -> list[dict]:
-    """Snapshot live ADD actions by forward log replay (adds minus
-    removes by path; the last add for a path carries its current DV
-    descriptor and partition values), optionally as of ``version``.
-    Compaction's dataChange=false adds/removes are layout changes and
-    replay identically."""
+    """Snapshot live ADD actions: the newest classic checkpoint <=
+    ``version`` seeds the state (its add rows ARE the live set; its
+    remove rows are expired-retention tombstones), then forward json
+    replay of the commits after it (adds minus removes by path; the last
+    add for a path carries its current DV descriptor and partition
+    values). Compaction's dataChange=false adds/removes are layout
+    changes and replay identically."""
     versions = _log_versions(table_path)
+    cp = _best_checkpoint(table_path, up_to=version)
+    base = cp[0] if cp is not None else -1
     if version is not None:
-        if version not in versions:
+        if version not in versions and version != base:
+            have = sorted(set(versions) | ({base} if cp else set()))
             raise ValueError(
                 f"version {version} not in the log of {table_path} "
+                f"(reconstructable: "
+                f"{have[0] if have else 'none'}.."
+                f"{have[-1] if have else 'none'}; json commits below "
+                f"checkpoint {base} may be retired)" if cp else
+                f"version {version} not in the log of {table_path} "
                 f"(have {versions[0]}..{versions[-1]})")
-        versions = [v for v in versions if v <= version]
     live: dict[str, dict] = {}
+    if cp is not None:
+        _, live = _checkpoint_state(table_path, cp)
+    target = version if version is not None \
+        else (versions[-1] if versions else base)
+    _require_commits(table_path, set(versions), base, target)
     for v in versions:
+        if v <= base or v > target:
+            continue
         for a in _actions(table_path, v):
             if "add" in a:
                 live[a["add"]["path"]] = a["add"]

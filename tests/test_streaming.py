@@ -1191,6 +1191,95 @@ def test_delta_jarless_column_mapped_collections(spark, tmp_path):
     assert canon(spark.read.parquet(out).collect()) == expect
 
 
+def test_delta_jarless_checkpointed_log(spark, tmp_path):
+    """Classic checkpoints in the jarless datasource: after log cleanup
+    retires the json prefix, the batch reader seeds live state from the
+    newest checkpoint <= versionAsOf, and the stream serves the
+    checkpoint's live set as one INITIAL SNAPSHOT batch (deletes in the
+    retired span already netted out — Delta-source semantics) before the
+    surviving json commits. Single-part, hand-split multi-part, and the
+    loud v2-uuid-named hint."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+    import pyspark
+
+    if tuple(int(x) for x in pyspark.__version__.split(".")[:2]) < (4, 0):
+        pytest.skip("Python Data Source API needs Spark 4")
+
+    from databricks_import_pyspark_scripts_spark.delta import DeltaTable
+    from databricks_import_pyspark_scripts_spark.sources.delta_stream_datasource import (
+        register_delta_stream_source,
+    )
+
+    register_delta_stream_source(spark)
+    src = str(tmp_path / "cpt")
+    t = DeltaTable.create(spark, spark.range(10).selectExpr("id AS k"),
+                          src)
+    t.append(spark.range(10, 15).selectExpr("id AS k"))      # v1
+    t.delete("k < 5")                                        # v2
+    assert t.checkpoint() == 2
+    t.append(spark.range(15, 20).selectExpr("id AS k"))      # v3
+
+    log = os.path.join(src, "_delta_log")
+    for v in range(3):                                 # log cleanup
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+
+    def ks(**opts):
+        r = spark.read.format("delta_jarless").option("path", src)
+        for key, val in opts.items():
+            r = r.option(key, val)
+        return sorted(x.k for x in r.load().select("k").collect())
+
+    assert ks() == list(range(5, 20))
+    assert ks(versionAsOf="2") == list(range(5, 15))   # cp state alone
+    with pytest.raises(Exception, match="not in the log"):
+        ks(versionAsOf="1")                            # retired json
+
+    # stream from scratch: initial snapshot (cp live set) + commit 3,
+    # no ignoreDeletes needed — the v2 delete predates the checkpoint
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def drain():
+        q = (spark.readStream.format("delta_jarless").option("path", src)
+             .load().writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        return sorted(x.k for x in spark.read.parquet(out).collect())
+
+    assert drain() == list(range(5, 20))
+    t.append(spark.range(20, 22).selectExpr("id AS k"))      # v4
+    assert drain() == list(range(5, 22))   # restart serves ONLY v4
+
+    # multi-part: split the single-part checkpoint into 2 parts
+    single = os.path.join(log, f"{2:020d}.checkpoint.parquet")
+    full = pq.read_table(single)
+    os.remove(single)
+    half = max(1, full.num_rows // 2)
+    pq.write_table(full.slice(0, half), os.path.join(
+        log, f"{2:020d}.checkpoint.{1:010d}.{2:010d}.parquet"))
+    pq.write_table(full.slice(half), os.path.join(
+        log, f"{2:020d}.checkpoint.{2:010d}.{2:010d}.parquet"))
+    assert ks(versionAsOf="2") == list(range(5, 15))
+    assert ks() == list(range(5, 22))
+
+    # v2 uuid-named checkpoint only: loud, named hint
+    src2 = str(tmp_path / "cpt2")
+    shutil.copytree(src, src2)
+    log2 = os.path.join(src2, "_delta_log")
+    for n in os.listdir(log2):
+        if ".checkpoint." in n:
+            os.remove(os.path.join(log2, n))
+    pq.write_table(full, os.path.join(
+        log2, f"{2:020d}.checkpoint."
+        f"12345678-1234-1234-1234-123456789abc.parquet"))
+    with pytest.raises(Exception, match="v2 uuid-named"):
+        (spark.read.format("delta_jarless").option("path", src2)
+         .load().collect())
+
+
 def test_delta_jarless_field_id_fallback_and_dv_filter(tmp_path):
     """Unit test of the executor-side file read (no Spark): a FOREIGN
     id-mode file whose column NAMES share nothing with the physical
