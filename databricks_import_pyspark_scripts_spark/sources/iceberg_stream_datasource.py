@@ -16,11 +16,17 @@ skipped — ``replace`` (compaction) snapshots are always skipped
 the standard caveat: skipped rewrites are NOT re-served as change rows;
 consume ``streaming/iceberg_source.py`` for the real change feed.
 
-The batch half serves the CURRENT snapshot's live data files and
-REJECTS tables with live row-level deletes (position/equality/DV) —
-applying merge-on-read inside this thin reader would duplicate
-``sources/iceberg.read_iceberg_snapshot``, which is the full-semantics
-batch surface.
+The batch half serves the CURRENT snapshot's live data files with
+MERGE-ON-READ for position deletes: v3 puffin DELETION VECTORS ship as
+per-file compressed bitmaps resolved at plan time (KB each — the
+delta_jarless ship-the-bitmap model), and v2 position-delete PARQUET
+files ship as paths that each task scans filtered to its OWN data file
+(the per-task applicable-delete scan Iceberg's own MoR readers do;
+delete files are partition-scoped in real layouts, bounding the
+re-read). EQUALITY deletes (content=2) reject loudly — applying value
+matching inside this thin reader would duplicate
+``sources/iceberg.read_iceberg_snapshot``, the full-semantics batch
+surface.
 
 Scale shape: planning is driver-side metadata (Avro manifest decode via
 the from-scratch codec — KBs per snapshot); data bytes move only in
@@ -115,16 +121,30 @@ def _op_of(sn: dict) -> str:
 
 
 class _IceFilePartition(InputPartition):
-    def __init__(self, path: str, cols: list[tuple]):
+    def __init__(self, path: str, cols: list[tuple],
+                 dv_blob: bytes | None = None,
+                 delete_paths: tuple = ()):
         self.path = path
         self.cols = cols        # (name, field_id)
+        self.dv_blob = dv_blob              # v3 DV bitmap, plan-resolved
+        self.delete_paths = delete_paths    # v2 position-delete parquet
+
+
+def _file_suffix_key(path: str) -> str:
+    """Last two path components — the join key the full reader uses
+    (``iceberg._file_key``); file names embed UUIDs, so the suffix is
+    collision-free across layouts/schemes."""
+    return "/".join(path.rstrip("/").split("/")[-2:])
 
 
 def _read_ice_partition(partition: _IceFilePartition
                         ) -> Iterator["pa.RecordBatch"]:
     """Executor-side read: resolve requested columns by parquet FIELD ID
     first (the Iceberg way — rename-safe), name as fallback for
-    id-less foreign files; loudly absent otherwise."""
+    id-less foreign files; loudly absent otherwise. Row-level position
+    deletes apply here: the plan-shipped DV bitmap and/or a scan of the
+    snapshot's position-delete parquet files filtered to THIS data
+    file's (file_path, pos) rows."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -147,6 +167,30 @@ def _read_ice_partition(partition: _IceFilePartition
                 f"{partition.path}: column {name!r} (field id {fid}) "
                 f"absent from the file")
     table = pf.read(columns=[c for _, c in resolved])
+    dead_parts = []
+    if partition.dv_blob is not None:
+        from .delta_dv import deserialize_bitmap_array
+
+        dead_parts.append(
+            deserialize_bitmap_array(partition.dv_blob).astype("i8"))
+    if partition.delete_paths:
+        import pyarrow.compute as pc
+
+        key = "/" + _file_suffix_key(partition.path)
+        for dp in partition.delete_paths:
+            dt = pq.read_table(dp, columns=["file_path", "pos"])
+            m = pc.ends_with(dt["file_path"], pattern=key)
+            dead_parts.append(
+                dt["pos"].filter(m).combine_chunks()
+                .to_numpy(zero_copy_only=False).astype("i8"))
+    if dead_parts:
+        import numpy as np
+
+        dead = np.concatenate(dead_parts)
+        if len(dead):
+            mask = np.ones(table.num_rows, dtype=bool)
+            mask[dead[dead < table.num_rows]] = False
+            table = table.filter(pa.array(mask))
     out = pa.table({name: table.column(i)
                     for i, (name, _) in enumerate(resolved)})
     yield from out.to_batches()
@@ -265,19 +309,47 @@ class IcebergLogBatchReader(DataSourceReader):
         cols = [(f["name"], int(f["id"])) for f in fields
                 if f["name"] in want]
         live: list[str] = []
+        pos_delete_paths: list[str] = []
+        dv_by_key: dict[str, bytes] = {}
+        puffin_cache: dict[str, bytes] = {}
         for m in _snapshot_manifests(self._path, sn):
-            if int(m.get("content") or 0) == 1:
-                # NOT IcebergProtocolError: that subclasses
-                # NotImplementedError, which the Python Data Source API
-                # reads as "partitions() unimplemented" and silently
-                # falls back to a single None partition
-                raise ValueError(
-                    "iceberg_jarless batch read: the table carries live "
-                    "row-level deletes (merge-on-read); use "
-                    "sources/iceberg.read_iceberg_snapshot, the "
-                    "full-semantics reader")
             _, entries = read_container(open(
                 _resolve_path(root, m["manifest_path"]), "rb").read())
+            if int(m.get("content") or 0) == 1:   # delete manifest
+                for e in entries:
+                    if int(e.get("status") or 0) == 2:   # DELETED
+                        continue
+                    df = e["data_file"]
+                    if int(df.get("content") or 0) == 2:
+                        # NOT IcebergProtocolError: that subclasses
+                        # NotImplementedError, which the Python Data
+                        # Source API reads as "partitions()
+                        # unimplemented" and silently falls back to a
+                        # single None partition
+                        raise ValueError(
+                            "iceberg_jarless batch read: the table "
+                            "carries live EQUALITY deletes; use "
+                            "sources/iceberg.read_iceberg_snapshot, "
+                            "the full-semantics reader")
+                    if df.get("content_offset") is not None:
+                        # v3 puffin DV: resolve the KB-scale bitmap at
+                        # plan time, ship it with its data file
+                        from .puffin import read_puffin_blob
+
+                        ppath = _resolve_path(root, df["file_path"])
+                        raw = puffin_cache.get(ppath)
+                        if raw is None:
+                            raw = open(ppath, "rb").read()
+                            puffin_cache[ppath] = raw
+                        key = _file_suffix_key(
+                            df["referenced_data_file"])
+                        dv_by_key[key] = read_puffin_blob(
+                            raw, int(df["content_offset"]),
+                            int(df["content_size_in_bytes"]))
+                    else:
+                        pos_delete_paths.append(
+                            _resolve_path(root, df["file_path"]))
+                continue
             for e in entries:
                 if int(e.get("status") or 0) == 2:       # DELETED
                     continue
@@ -287,7 +359,12 @@ class IcebergLogBatchReader(DataSourceReader):
                     continue                 # stats prove no match
                 live.append(_resolve_path(
                     root, e["data_file"]["file_path"]))
-        return [_IceFilePartition(p, cols) for p in sorted(live)]
+        pos_t = tuple(sorted(set(pos_delete_paths)))
+        return [_IceFilePartition(p, cols,
+                                  dv_blob=dv_by_key.get(
+                                      _file_suffix_key(p)),
+                                  delete_paths=pos_t)
+                for p in sorted(live)]
 
     def read(self, partition: InputPartition
              ) -> Iterator["pa.RecordBatch"]:

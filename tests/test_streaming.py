@@ -800,8 +800,8 @@ def test_readstream_format_iceberg_jarless(spark, tmp_path):
     exactly-once into a checkpointed parquet sink; a restart on the same
     checkpoint resumes from the persisted ordinal; compaction snapshots
     are transparently skipped; a DELETE snapshot fails the stream loudly
-    unless ignoreDeletes=true; the batch half serves live files and
-    rejects MoR tables toward the full-semantics reader."""
+    unless ignoreDeletes=true; the batch half serves live files with
+    merge-on-read position deletes applied."""
     import pyspark
 
     if tuple(int(x) for x in pyspark.__version__.split(".")[:2]) < (4, 0):
@@ -869,11 +869,11 @@ def test_readstream_format_iceberg_jarless(spark, tmp_path):
     assert drain(out2, ckpt2, ignoreDeletes="true",
                  maxSnapshotsPerTrigger="1") == list(range(20))
 
-    # batch half: the current snapshot carries live deletes -> loud
-    # rejection toward the full-semantics reader
-    with pytest.raises(Exception, match="row-level deletes"):
-        (spark.read.format("iceberg_jarless").option("path", src)
-         .load().collect())
+    # batch half: the current snapshot's live position deletes apply
+    # MERGE-ON-READ in the executor (per-task applicable-delete scan)
+    got_mor = sorted(r.k for r in spark.read.format("iceberg_jarless")
+                     .option("path", src).load().select("k").collect())
+    assert got_mor == list(range(5, 20))
     # a clean append-only table batch-reads its live files
     src2 = str(tmp_path / "clean")
     write_iceberg_table(spark, [frame(0, 6)], src2)
@@ -884,6 +884,65 @@ def test_readstream_format_iceberg_jarless(spark, tmp_path):
     # column pruning reaches the pyarrow read
     assert spark.read.format("iceberg_jarless").option("path", src2) \
         .load().select("v").count() == 9
+
+
+def test_iceberg_jarless_mor_batch_read(spark, tmp_path):
+    """Merge-on-read in the iceberg_jarless BATCH half: v2
+    position-delete parquet applies via the per-task applicable-delete
+    scan, v3 puffin DVs via plan-shipped bitmaps, the two layouts
+    compose on one table, pushed filters prune data files WITHOUT
+    breaking delete application, and results equal the full-semantics
+    reader's. Live EQUALITY deletes still reject loudly, named."""
+    import pyspark
+
+    if tuple(int(x) for x in pyspark.__version__.split(".")[:2]) < (4, 0):
+        pytest.skip("Python Data Source API needs Spark 4")
+
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        iceberg_delete_where,
+        read_iceberg_snapshot,
+        write_iceberg_table,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.iceberg_stream_datasource import (
+        register_iceberg_stream_source,
+    )
+
+    register_iceberg_stream_source(spark)
+    t = str(tmp_path / "mor")
+    df = spark.range(0, 60).selectExpr("id AS k", "id % 5 AS g")
+    write_iceberg_table(spark, [df.repartition(3)], t)
+
+    def jarless(filter_sql=None):
+        d = spark.read.format("iceberg_jarless").option("path", t).load()
+        if filter_sql:
+            d = d.filter(filter_sql)
+        return sorted(x.k for x in d.select("k").collect())
+
+    def oracle():
+        return sorted(x.k for x in
+                      read_iceberg_snapshot(spark, t).collect())
+
+    # v2 position-delete parquet across 3 data files
+    iceberg_delete_where(spark, t, "k % 7 = 0", mode="position")
+    expect = [k for k in range(60) if k % 7 != 0]
+    assert jarless() == expect == oracle()
+
+    # pushed filter composes with the delete scan (pruned files simply
+    # don't ship their partitions; survivors still subtract positions)
+    assert jarless("k >= 30") == [k for k in expect if k >= 30]
+
+    # v3 puffin DV layered on top (upgrades the table to v3); both
+    # layouts now live simultaneously
+    iceberg_delete_where(spark, t, "k % 11 = 3", mode="dv")
+    expect2 = [k for k in expect if k % 11 != 3]
+    assert jarless() == expect2 == oracle()
+
+    # equality deletes: loud, named rejection toward the full reader
+    iceberg_delete_where(spark, t, "g = 2", mode="equality",
+                         equality_cols=["g"])
+    with pytest.raises(Exception, match="EQUALITY"):
+        (spark.read.format("iceberg_jarless").option("path", t)
+         .load().collect())
 
 
 def test_delta_jarless_dv_column_mapped_partitioned(spark, tmp_path):
