@@ -273,17 +273,22 @@ class IcebergLogStreamReader(DataSourceStreamReader):
 
 
 class IcebergLogBatchReader(DataSourceReader):
-    """Batch half: the CURRENT snapshot's live data files (thin path —
-    MoR tables with live deletes reject toward read_iceberg_snapshot).
-    ``pushFilters`` enables MANIFEST-STATS FILE PRUNING: pushed
-    comparisons drop files whose decoded lower/upper bounds prove no
-    row can match, and every filter is returned for Spark to
-    re-evaluate (inexact, superset-safe — the same split the
-    full-semantics reader's ``stats_filter`` uses)."""
+    """Batch half: a snapshot's live data files with position-delete
+    merge-on-read (equality deletes reject toward
+    read_iceberg_snapshot). TIME TRAVEL via ``snapshotId`` (exact id)
+    or ``asOfOrdinal`` (index into the snapshot history) — columns
+    resolve by FIELD ID in the executor, so the current read schema is
+    rename-safe across the history. ``pushFilters`` enables
+    MANIFEST-STATS FILE PRUNING: pushed comparisons drop files whose
+    decoded lower/upper bounds prove no row can match, and every filter
+    is returned for Spark to re-evaluate (inexact, superset-safe — the
+    same split the full-semantics reader's ``stats_filter`` uses)."""
 
     def __init__(self, schema: StructType, options: dict):
         self._path = options["path"]
         self._schema = schema
+        self._snapshot_id = options.get("snapshotid")
+        self._as_of_ordinal = options.get("asofordinal")
         self._preds: list[tuple] = []
 
     def pushFilters(self, filters):
@@ -292,15 +297,35 @@ class IcebergLogBatchReader(DataSourceReader):
         self._preds = usable_predicates(filters)
         return filters          # Spark re-applies everything post-scan
 
+    def _pick_snapshot(self, meta: dict) -> dict | None:
+        snaps = meta.get("snapshots") or []
+        if self._snapshot_id is not None:
+            want = int(self._snapshot_id)
+            sn = next((s for s in snaps
+                       if int(s["snapshot-id"]) == want), None)
+            if sn is None:
+                raise ValueError(
+                    f"snapshot id {want} not in the history of "
+                    f"{self._path} (have "
+                    f"{[int(s['snapshot-id']) for s in snaps]})")
+            return sn
+        if self._as_of_ordinal is not None:
+            i = int(self._as_of_ordinal)
+            if not 0 <= i < len(snaps):
+                raise ValueError(
+                    f"ordinal {i} out of range for {self._path} "
+                    f"({len(snaps)} snapshots)")
+            return snaps[i]
+        cur = meta.get("current-snapshot-id")
+        return next((s for s in snaps
+                     if int(s["snapshot-id"]) == int(cur)), None)
+
     def partitions(self) -> list[InputPartition]:
         from .datasource_pruning import bounds_may_match
         from .iceberg import decoded_column_bounds
 
         meta = _load_meta(self._path)
-        snaps = meta.get("snapshots") or []
-        cur = meta.get("current-snapshot-id")
-        sn = next((s for s in snaps
-                   if int(s["snapshot-id"]) == int(cur)), None)
+        sn = self._pick_snapshot(meta)
         if sn is None:
             return []
         root = _strip_scheme(self._path)

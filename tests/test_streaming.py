@@ -937,6 +937,27 @@ def test_iceberg_jarless_mor_batch_read(spark, tmp_path):
     expect2 = [k for k in expect if k % 11 != 3]
     assert jarless() == expect2 == oracle()
 
+    # time travel: asOfOrdinal / snapshotId pick past snapshots —
+    # ordinal 0 predates both deletes; the position-delete snapshot's
+    # exact id reproduces its MoR state
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        iceberg_snapshot_ids,
+    )
+
+    def jarless_at(**opts):
+        d = spark.read.format("iceberg_jarless").option("path", t)
+        for key, val in opts.items():
+            d = d.option(key, str(val))
+        return sorted(x.k for x in d.load().select("k").collect())
+
+    assert jarless_at(asOfOrdinal=0) == list(range(60))
+    sids = [s["snapshot_id"] for s in iceberg_snapshot_ids(spark, t)]
+    assert jarless_at(snapshotId=sids[1]) == expect
+    with pytest.raises(Exception, match="not in the history"):
+        jarless_at(snapshotId=123456789)
+    with pytest.raises(Exception, match="out of range"):
+        jarless_at(asOfOrdinal=99)
+
     # equality deletes: loud, named rejection toward the full reader
     iceberg_delete_where(spark, t, "g = 2", mode="equality",
                          equality_cols=["g"])
