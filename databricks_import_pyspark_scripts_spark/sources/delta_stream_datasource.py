@@ -101,26 +101,34 @@ _CP_V2_RE = re.compile(
 
 def _best_checkpoint(table_path: str,
                      up_to: int | None = None) -> tuple | None:
-    """``(version, [part file names])`` of the newest COMPLETE classic
-    checkpoint <= ``up_to`` (single-part or all N multi-parts present),
-    from the directory listing — the ``_last_checkpoint`` pointer is
-    advisory and a listing is already in hand. v2 uuid-named checkpoints
-    are ignored here; ``_require_commits`` names them when the json
-    prefix they cover is gone."""
+    """``(version, [part file names])`` of the newest COMPLETE checkpoint
+    <= ``up_to``, from the directory listing — the ``_last_checkpoint``
+    pointer is advisory and a listing is already in hand. Classic
+    checkpoints qualify single-part or when all N multi-parts are
+    present; V2 uuid-named checkpoints (top-level json or parquet, file
+    actions possibly split into parquet sidecars) are self-contained —
+    several UUIDs for one version are interchangeable per the protocol,
+    so the lexicographically last is picked, and v2 wins over a classic
+    checkpoint at the same version (same state, newer-writer layout)."""
     log = os.path.join(table_path, "_delta_log")
     cands: dict[int, list[str]] = {}
     parts: dict[int, dict[int, tuple]] = {}
+    v2: dict[int, list[str]] = {}
     for n in os.listdir(log):
         if m := _CP_SINGLE_RE.match(n):
             cands[int(m.group(1))] = [n]
         elif m := _CP_PART_RE.match(n):
             parts.setdefault(int(m.group(1)), {})[int(m.group(2))] = \
                 (n, int(m.group(3)))
+        elif m := _CP_V2_RE.match(n):
+            v2.setdefault(int(m.group(1)), []).append(n)
     for v, d in parts.items():
         n_total = next(iter(d.values()))[1]
         if set(d) == set(range(1, n_total + 1)) \
                 and all(t == n_total for _, t in d.values()):
             cands.setdefault(v, [d[i][0] for i in range(1, n_total + 1)])
+    for v, names in v2.items():
+        cands[v] = [sorted(names)[-1]]
     best = max((v for v in cands if up_to is None or v <= up_to),
                default=None)
     return (best, cands[best]) if best is not None else None
@@ -134,36 +142,78 @@ def _mapv(x) -> dict:
     return dict(x) if isinstance(x, list) else x
 
 
+def _norm_meta(md: dict) -> dict:
+    """metaData action normalized to the json-action shape (arrow map
+    tuples -> dicts); no-op for json-sourced actions."""
+    md = dict(md)
+    md["configuration"] = _mapv(md.get("configuration"))
+    if md.get("format"):
+        fmt = dict(md["format"])
+        fmt["options"] = _mapv(fmt.get("options"))
+        md["format"] = fmt
+    return md
+
+
+def _norm_add(a: dict) -> dict:
+    """add action normalized to the json-action shape (maps -> dicts,
+    all-null DV struct from parquet nullable structs -> absent)."""
+    a = dict(a)
+    a["partitionValues"] = _mapv(a.get("partitionValues"))
+    dv = a.get("deletionVector")
+    if not (dv and dv.get("storageType")):
+        a.pop("deletionVector", None)
+    return a
+
+
+def _sidecar_path(table_path: str, side: str) -> str:
+    """v2 sidecar references are file names under _delta_log/_sidecars/
+    (absolute paths allowed, like add paths)."""
+    if "://" in side or side.startswith("/"):
+        return re.sub(r"^file:/+", "/", side)
+    return os.path.join(table_path, "_delta_log", "_sidecars", side)
+
+
 def _checkpoint_state(table_path: str, cp: tuple) -> tuple[dict, dict]:
-    """(latest metaData, {path: add}) from a classic checkpoint's parquet
-    part(s): one non-null action struct per row, normalized back to the
-    json-action dict shape (maps -> dicts, all-null DV struct -> absent).
+    """(latest metaData, {path: add}) from a checkpoint's file(s).
+    Classic parquet parts carry one non-null action struct per row; V2
+    uuid-named checkpoints (top-level json OR parquet — delta_log.py's
+    ``_checkpoint_actions`` layout, cited at ``sources/delta_log.py``)
+    may additionally split their file actions into parquet SIDECARS
+    under ``_delta_log/_sidecars/`` referenced by ``sidecar`` actions;
+    both resolve here so every layout seeds the same live set.
     Driver-side metadata-scale IO, like the json scan."""
     import pyarrow.parquet as pq
 
     version, files = cp
     meta: dict = {}
     live: dict[str, dict] = {}
+
+    def consume(action: dict) -> None:
+        nonlocal meta
+        md = action.get("metaData")
+        if md and md.get("schemaString"):
+            meta = _norm_meta(md)
+        a = action.get("add")
+        if a and a.get("path"):
+            live[a["path"]] = _norm_add(a)
+
     for fn in files:
-        t = pq.read_table(os.path.join(table_path, "_delta_log", fn))
-        for row in t.to_pylist():
-            md = row.get("metaData")
-            if md and md.get("schemaString"):
-                md = dict(md)
-                md["configuration"] = _mapv(md.get("configuration"))
-                if md.get("format"):
-                    fmt = dict(md["format"])
-                    fmt["options"] = _mapv(fmt.get("options"))
-                    md["format"] = fmt
-                meta = md
-            a = row.get("add")
-            if a and a.get("path"):
-                a = dict(a)
-                a["partitionValues"] = _mapv(a.get("partitionValues"))
-                dv = a.get("deletionVector")
-                if not (dv and dv.get("storageType")):
-                    a.pop("deletionVector", None)
-                live[a["path"]] = a
+        path = os.path.join(table_path, "_delta_log", fn)
+        if fn.endswith(".json"):          # v2 top-level json form
+            with open(path) as f:
+                actions = [json.loads(line) for line in f
+                           if line.strip()]
+        else:
+            actions = pq.read_table(path).to_pylist()
+        for action in actions:
+            side = action.get("sidecar")
+            if side and side.get("path"):
+                st = pq.read_table(_sidecar_path(table_path,
+                                                 side["path"]))
+                for row in st.to_pylist():
+                    consume(row)
+            else:
+                consume(action)
     return meta, live
 
 
@@ -189,33 +239,26 @@ def _snapshot_meta(table_path: str, versions: list[int],
             raise ValueError(
                 f"version {up_to} not in the log of {table_path}: no "
                 f"metaData at or below it in the json log and no "
-                f"classic checkpoint <= it (json prefix retired by log "
+                f"checkpoint <= it (json prefix retired by log "
                 f"cleanup?)")
         raise ValueError(f"{table_path}: no metaData action in the json "
-                         f"log and no classic checkpoint (v2 uuid-named "
-                         f"checkpoints are beyond delta_jarless; use "
-                         f"sources/delta_log.py / streaming/"
-                         f"delta_source.py)")
+                         f"log and no checkpoint (classic or v2 "
+                         f"uuid-named)")
     return meta
 
 
 def _require_commits(table_path: str, versions_present: set[int],
                      lo: int, hi: int) -> None:
-    """Loud failure when json commits in (lo, hi] are missing — names a
-    v2 uuid-named checkpoint if one is what retired them."""
+    """Loud failure when json commits in (lo, hi] are missing and no
+    checkpoint (classic or v2 uuid-named — both replay here) covered
+    them."""
     missing = [v for v in range(lo + 1, hi + 1)
                if v not in versions_present]
     if not missing:
         return
-    log = os.path.join(table_path, "_delta_log")
-    hint = ""
-    if any(_CP_V2_RE.match(n) for n in os.listdir(log)):
-        hint = (" (a v2 uuid-named checkpoint covers them; that layout "
-                "is beyond delta_jarless — use sources/delta_log.py / "
-                "streaming/delta_source.py)")
     raise ValueError(f"{table_path}: commits {missing} are missing from "
-                     f"the json log and no classic checkpoint covers "
-                     f"them{hint}")
+                     f"the json log and no checkpoint covers them "
+                     f"(log cleanup beyond the newest checkpoint?)")
 
 
 def _dv_raw(table_path: str, d: dict) -> bytes:
@@ -468,6 +511,8 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         mv = options.get("maxversionspertrigger")
         self._max_versions = int(mv) if mv else None
         self._starting = int(options.get("startingversion", 0))
+        self._fail_on_data_loss = str(
+            options.get("failondataloss", "true")).lower() != "false"
         self._last_end: int | None = None
 
     def initialOffset(self) -> dict:
@@ -478,8 +523,8 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         versions = _log_versions(self._path)
         head = versions[-1] if versions else -1
         if not versions:
-            # fully retired json log: the newest classic checkpoint IS
-            # the head (its state gets served as the initial snapshot)
+            # fully retired json log: the newest checkpoint IS the
+            # head (its state gets served as the initial snapshot)
             cp = _best_checkpoint(self._path)
             if cp is not None:
                 head = cp[0]
@@ -496,25 +541,54 @@ class DeltaLogStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         lo, hi = int(start["version"]), int(end["version"])
         self._last_end = hi
+        if hi <= lo:
+            # empty span: Spark also probes partitions(latest, latest)
+            # at restart (setLatestSeenOffset) — no metadata needed
+            return []
         versions = _log_versions(self._path)
-        plan = _ColumnPlan(_snapshot_meta(self._path, versions, up_to=hi))
-        parts: list[InputPartition] = []
         present = set(versions)
+        parts: list[InputPartition] = []
+        seed: dict[str, dict] | None = None
         first = lo + 1
         if any(v not in present for v in range(first, hi + 1)):
-            # json prefix retired by log cleanup: the newest classic
-            # checkpoint in the span seeds an INITIAL SNAPSHOT batch
-            # (Delta-source semantics — deletes inside the retired span
-            # are already netted out of the checkpoint's live set, so
-            # the ignoreDeletes/ignoreChanges guards don't apply to it)
-            cp = _best_checkpoint(self._path, up_to=hi)
-            if cp is not None and cp[0] >= first:
-                _, live = _checkpoint_state(self._path, cp)
-                parts.extend(plan.file_partition(self._path, live[p])
-                             for p in sorted(live))
-                first = cp[0] + 1
-            _require_commits(self._path, present, first - 1, hi)
+            if lo == self._starting - 1:
+                # FRESH stream start (the batch begins at the initial
+                # offset) over a log whose json prefix was retired by
+                # log cleanup: the newest checkpoint in the span seeds
+                # an INITIAL SNAPSHOT batch (Delta-source semantics —
+                # deletes inside the retired span are already netted
+                # out of the checkpoint's live set, so the
+                # ignoreDeletes/ignoreChanges guards don't apply to it)
+                cp = _best_checkpoint(self._path, up_to=hi)
+                if cp is not None and cp[0] >= first:
+                    _, seed = _checkpoint_state(self._path, cp)
+                    first = cp[0] + 1
+                _require_commits(self._path, present, first - 1, hi)
+            elif self._fail_on_data_loss:
+                # MID-STREAM offset inside a retired span (ADVICE r13
+                # #1): re-serving a checkpoint here would re-deliver
+                # rows already served in commits <= start, violating
+                # exactly-once — real Delta's source raises a data-loss
+                # error instead, and so does this one
+                missing = [v for v in range(first, hi + 1)
+                           if v not in present]
+                raise ValueError(
+                    f"{self._path}: commits {missing} were retired by "
+                    f"log cleanup after this stream already served "
+                    f"offset {lo}; replaying a checkpoint would "
+                    f"re-deliver rows from commits <= {lo}. Restart "
+                    f"the query from a fresh streaming checkpoint to "
+                    f"take an initial snapshot, or set "
+                    f"failOnDataLoss=false to skip the missing commits")
+            # failOnDataLoss=false: serve only the surviving commits
+        plan = _ColumnPlan(_snapshot_meta(self._path, versions,
+                                          up_to=hi))
+        if seed is not None:
+            parts.extend(plan.file_partition(self._path, seed[p])
+                         for p in sorted(seed))
         for v in range(first, hi + 1):
+            if v not in present:
+                continue    # reachable only under failOnDataLoss=false
             for a in _actions(self._path, v):
                 if "add" in a and a["add"].get("dataChange", True):
                     parts.append(plan.file_partition(self._path, a["add"]))

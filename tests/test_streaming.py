@@ -1277,8 +1277,8 @@ def test_delta_jarless_checkpointed_log(spark, tmp_path):
     newest checkpoint <= versionAsOf, and the stream serves the
     checkpoint's live set as one INITIAL SNAPSHOT batch (deletes in the
     retired span already netted out — Delta-source semantics) before the
-    surviving json commits. Single-part, hand-split multi-part, and the
-    loud v2-uuid-named hint."""
+    surviving json commits. Single-part, hand-split multi-part, and a
+    v2 uuid-named top-level parquet (VERDICT r13 #3)."""
     import os
     import shutil
 
@@ -1345,7 +1345,8 @@ def test_delta_jarless_checkpointed_log(spark, tmp_path):
     assert ks(versionAsOf="2") == list(range(5, 15))
     assert ks() == list(range(5, 22))
 
-    # v2 uuid-named checkpoint only: loud, named hint
+    # v2 uuid-named checkpoint only (top-level parquet form, no
+    # sidecars): resolved like a classic one (VERDICT r13 #3)
     src2 = str(tmp_path / "cpt2")
     shutil.copytree(src, src2)
     log2 = os.path.join(src2, "_delta_log")
@@ -1355,9 +1356,146 @@ def test_delta_jarless_checkpointed_log(spark, tmp_path):
     pq.write_table(full, os.path.join(
         log2, f"{2:020d}.checkpoint."
         f"12345678-1234-1234-1234-123456789abc.parquet"))
-    with pytest.raises(Exception, match="v2 uuid-named"):
-        (spark.read.format("delta_jarless").option("path", src2)
-         .load().collect())
+
+    def ks2(**opts):
+        r = spark.read.format("delta_jarless").option("path", src2)
+        for key, val in opts.items():
+            r = r.option(key, val)
+        return sorted(x.k for x in r.load().select("k").collect())
+
+    assert ks2() == list(range(5, 22))
+    assert ks2(versionAsOf="2") == list(range(5, 15))
+
+
+def test_delta_jarless_v2_checkpoint_sidecars(spark, tmp_path):
+    """VERDICT r13 #3: a REAL v2 uuid-named checkpoint (json top-level
+    with checkpointMetadata/protocol/metaData + parquet SIDECARS under
+    _delta_log/_sidecars/, written by write_v2_checkpoint) replays in
+    the jarless datasource after log cleanup retires the json prefix:
+    batch reads at and below the checkpoint version, and a fresh stream
+    serves the checkpoint live set as the INITIAL SNAPSHOT batch."""
+    import json as _json
+    import os
+
+    import pyspark
+
+    if tuple(int(x) for x in pyspark.__version__.split(".")[:2]) < (4, 0):
+        pytest.skip("Python Data Source API needs Spark 4")
+
+    from databricks_import_pyspark_scripts_spark.delta import DeltaTable
+    from databricks_import_pyspark_scripts_spark.sinks.delta_writer import (
+        replay_log,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.delta_stream_datasource import (
+        register_delta_stream_source,
+    )
+
+    register_delta_stream_source(spark)
+    src = str(tmp_path / "v2cpt")
+    t = DeltaTable.create(spark, spark.range(10).selectExpr("id AS k"),
+                          src)
+    t.append(spark.range(10, 15).selectExpr("id AS k"))      # v1
+    t.delete("k < 5")                                        # v2
+    # manual protocol upgrade declaring v2Checkpoint (v3 of the log)
+    rep = replay_log(spark, src)
+    feats = sorted(set((rep.protocol.get("writerFeatures") or []))
+                   | {"v2Checkpoint"})
+    rfeats = sorted(set((rep.protocol.get("readerFeatures") or []))
+                    | {"v2Checkpoint"})
+    log = os.path.join(src, "_delta_log")
+    with open(os.path.join(log, f"{rep.version + 1:020d}.json"),
+              "w") as f:
+        f.write(_json.dumps({"commitInfo": {
+            "timestamp": 3000, "operation": "UPGRADE"}}) + "\n")
+        f.write(_json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": rfeats, "writerFeatures": feats}}) + "\n")
+    assert t.checkpoint_v2() == 3
+    t.append(spark.range(15, 20).selectExpr("id AS k"))      # v4
+    names = os.listdir(log)
+    assert any(".checkpoint." in n and n.endswith(".json")
+               for n in names)
+    assert os.listdir(os.path.join(log, "_sidecars"))
+    for v in range(4):                                 # log cleanup
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+
+    def ks(**opts):
+        r = spark.read.format("delta_jarless").option("path", src)
+        for key, val in opts.items():
+            r = r.option(key, val)
+        return sorted(x.k for x in r.load().select("k").collect())
+
+    assert ks() == list(range(5, 20))
+    assert ks(versionAsOf="3") == list(range(5, 15))   # cp state alone
+    with pytest.raises(Exception, match="not in the log"):
+        ks(versionAsOf="1")                            # retired json
+
+    # fresh stream: initial snapshot from the v2 checkpoint + commit 4
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (spark.readStream.format("delta_jarless").option("path", src)
+         .load().writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = sorted(x.k for x in spark.read.parquet(out).collect())
+    assert got == list(range(5, 20))
+
+
+def test_delta_jarless_mid_stream_data_loss(spark, tmp_path):
+    """ADVICE r13 #1: a RESTART whose offset sits mid-history must NOT
+    re-serve the checkpoint live set when the commits after it were
+    retired — rows from commits <= the offset were already delivered.
+    The source raises a data-loss error (Delta-source behavior);
+    failOnDataLoss=false opts into skipping the missing commits."""
+    import os
+
+    import pyspark
+
+    if tuple(int(x) for x in pyspark.__version__.split(".")[:2]) < (4, 0):
+        pytest.skip("Python Data Source API needs Spark 4")
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from databricks_import_pyspark_scripts_spark.delta import DeltaTable
+    from databricks_import_pyspark_scripts_spark.sources.delta_stream_datasource import (
+        register_delta_stream_source,
+    )
+
+    register_delta_stream_source(spark)
+    src = str(tmp_path / "loss")
+    t = DeltaTable.create(spark, spark.range(10).selectExpr("id AS k"),
+                          src)
+    t.append(spark.range(10, 15).selectExpr("id AS k"))      # v1
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def drain(**opts):
+        reader = (spark.readStream.format("delta_jarless")
+                  .option("path", src))
+        for key, val in opts.items():
+            reader = reader.option(key, val)
+        q = (reader.load().writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        return sorted(x.k for x in spark.read.parquet(out).collect())
+
+    assert drain() == list(range(15))       # stream offset now 1
+    t.append(spark.range(15, 18).selectExpr("id AS k"))      # v2
+    assert t.checkpoint() == 2
+    log = os.path.join(src, "_delta_log")
+    for v in range(3):                      # cleanup retires 0..2
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    t.append(spark.range(18, 20).selectExpr("id AS k"))      # v3
+
+    # restart at offset 1: commit 2 is gone — loud data-loss error,
+    # NOT a checkpoint re-serve (which would duplicate 0..14)
+    with pytest.raises(StreamingQueryException,
+                       match="retired by log cleanup"):
+        drain()
+    # the opt-in skips commit 2 (its rows are lost) and serves v3 only
+    got = drain(failOnDataLoss="false")
+    assert got == list(range(15)) + list(range(18, 20))
 
 
 def test_delta_jarless_field_id_fallback_and_dv_filter(tmp_path):
