@@ -1247,8 +1247,10 @@ def read_ingest_mark(spark: SparkSession, state_path: str) -> int:
 
 
 def write_ingest_mark(spark: SparkSession, state_path: str,
-                      value: int) -> None:
-    """Persist the mark ATOMICALLY (temp + rename)."""
+                      value: int | str) -> None:
+    """Persist the mark ATOMICALLY (temp + rename). ``value`` is an
+    ordinal for plain marks; the Iceberg anchor sidecar writes an
+    ``ordinal:snapshot_id`` string through the same atomic path."""
     if _is_local(state_path):
         sp = _strip_scheme(state_path)
         os.makedirs(os.path.dirname(sp) or ".", exist_ok=True)

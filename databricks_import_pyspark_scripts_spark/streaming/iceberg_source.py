@@ -56,22 +56,89 @@ def stream_iceberg_changes(spark: SparkSession, table_path: str,
     offset — a crash between the two re-delivers ``(lo, hi]``, so the
     handler must be idempotent on the range (txn-keyed sinks below make
     it so). Returns the final high-water mark. A caught-up call costs
-    one metadata read, no Spark job."""
+    one metadata read, no Spark job.
+
+    The mark is a snapshot ORDINAL, but an ``ordinal:snapshot_id``
+    ANCHOR is persisted beside it (``<state_path>.snapid``, atomically,
+    BEFORE the mark advances) and validated on resume (ADVICE r13 #2):
+    snapshot expiration (the ``iceberg-expire`` maintenance verb)
+    removes entries from ``metadata['snapshots']`` and shifts ordinals,
+    so a bare ordinal would silently re-serve or skip snapshots after
+    expiry — a mismatch fails loudly instead. A crash between the two
+    writes leaves the anchor one batch AHEAD of the mark; the anchor's
+    own (ordinal, id) pair is what gets validated, so that tear is the
+    documented re-delivery, never a spurious failure. Marks written
+    before the anchor existed validate as unanchored."""
     last = read_ingest_mark(spark, state_path)
+    anchor_path = state_path + ".snapid"
     fired = 0
+    snaps = read_table_metadata(spark, table_path).get("snapshots") or []
+    if last >= 0:
+        if last >= len(snaps):
+            raise ValueError(
+                f"{table_path}: ingest mark ordinal {last} is beyond "
+                f"the snapshot history ({len(snaps)} snapshots) — "
+                f"snapshots were expired after the mark was written; "
+                f"reset the state at {state_path}")
+        anchor = _read_anchor(spark, anchor_path)
+        if anchor is not None:
+            ao, aid = anchor
+            if ao >= len(snaps):
+                raise ValueError(
+                    f"{table_path}: ingest anchor ordinal {ao} is "
+                    f"beyond the snapshot history ({len(snaps)} "
+                    f"snapshots) — snapshots were expired; reset the "
+                    f"state at {state_path}")
+            if int(snaps[ao]["snapshot-id"]) != aid:
+                raise ValueError(
+                    f"{table_path}: ingest anchor recorded snapshot id "
+                    f"{aid} at ordinal {ao}, but the history now holds "
+                    f"{snaps[ao]['snapshot-id']} there — snapshot "
+                    f"expiration shifted the ordinals; reset the state "
+                    f"at {state_path}")
     while max_batches is None or fired < max_batches:
         meta = read_table_metadata(spark, table_path)
-        head = len(meta.get("snapshots") or []) - 1
+        snaps = meta.get("snapshots") or []
+        head = len(snaps) - 1
         if head <= last:
             break
         hi = head if max_snapshots_per_batch is None else min(
             head, last + max_snapshots_per_batch)
         batch = read_iceberg_changes(spark, table_path, last, hi)
         process_batch(batch, last, hi)
+        write_ingest_mark(spark, anchor_path,
+                          f"{hi}:{int(snaps[hi]['snapshot-id'])}")
         write_ingest_mark(spark, state_path, hi)
         last = hi
         fired += 1
     return last
+
+
+def _read_anchor(spark: SparkSession, path: str) -> tuple[int, int] | None:
+    """(ordinal, snapshot_id) from the anchor sidecar; None when absent
+    or in a pre-anchor format."""
+    from ..sources.delta_log import (
+        _exists,
+        _is_local,
+        _read_bytes,
+        _strip_scheme,
+    )
+    import os
+
+    if _is_local(path):
+        sp = _strip_scheme(path)
+        if not os.path.exists(sp):
+            return None
+        with open(sp) as f:
+            txt = f.read().strip()
+    else:
+        if not _exists(spark, path):
+            return None
+        txt = _read_bytes(spark, path).decode().strip()
+    if ":" not in txt:
+        return None
+    o, s = txt.split(":", 1)
+    return int(o), int(s)
 
 
 def stream_iceberg_first_seen(spark: SparkSession, source_table: str,

@@ -889,10 +889,11 @@ def test_readstream_format_iceberg_jarless(spark, tmp_path):
 def test_iceberg_jarless_mor_batch_read(spark, tmp_path):
     """Merge-on-read in the iceberg_jarless BATCH half: v2
     position-delete parquet applies via the per-task applicable-delete
-    scan, v3 puffin DVs via plan-shipped bitmaps, the two layouts
-    compose on one table, pushed filters prune data files WITHOUT
-    breaking delete application, and results equal the full-semantics
-    reader's. Live EQUALITY deletes still reject loudly, named."""
+    scan, v3 puffin DVs via plan-shipped bitmaps, EQUALITY deletes via
+    the plan-time sequence-scoped per-task anti-join (VERDICT r13 #2),
+    all three layouts compose on one table, pushed filters prune data
+    files WITHOUT breaking delete application, and results equal the
+    full-semantics reader's."""
     import pyspark
 
     if tuple(int(x) for x in pyspark.__version__.split(".")[:2]) < (4, 0):
@@ -958,12 +959,167 @@ def test_iceberg_jarless_mor_batch_read(spark, tmp_path):
     with pytest.raises(Exception, match="out of range"):
         jarless_at(asOfOrdinal=99)
 
-    # equality deletes: loud, named rejection toward the full reader
+    # equality deletes (VERDICT r13 #2): applied with sequence scoping,
+    # composing with the position deletes and DVs already live; result
+    # equals the full-semantics reader
     iceberg_delete_where(spark, t, "g = 2", mode="equality",
                          equality_cols=["g"])
-    with pytest.raises(Exception, match="EQUALITY"):
-        (spark.read.format("iceberg_jarless").option("path", t)
-         .load().collect())
+    expect3 = [k for k in expect2 if k % 5 != 2]
+    assert jarless() == expect3 == oracle()
+    # the eq key column (g) is re-read for the match even when the
+    # projection prunes it out — "k"-only select above already proves
+    # it; a filtered projection composes too
+    assert jarless("k >= 30") == [k for k in expect3 if k >= 30]
+
+
+def test_iceberg_jarless_eq_delete_reinsert_and_nulls(spark, tmp_path):
+    """Datasource twin of the full reader's equality-delete semantics
+    (VERDICT r13 #2): the strictly-older sequence rule lets a row
+    re-inserted AFTER the delete survive (CDC upsert), delete rows with
+    NULL keys match NULL-keyed data rows null-safely, and both states
+    equal the full-semantics reader."""
+    import pyspark
+
+    if tuple(int(x) for x in pyspark.__version__.split(".")[:2]) < (4, 0):
+        pytest.skip("Python Data Source API needs Spark 4")
+
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        append_iceberg,
+        read_iceberg_snapshot,
+        write_iceberg_equality_deletes,
+        write_iceberg_table,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.iceberg_stream_datasource import (
+        register_iceberg_stream_source,
+    )
+
+    register_iceberg_stream_source(spark)
+    t = str(tmp_path / "eq")
+    base = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("g"))
+    write_iceberg_table(spark, [base], t)                   # seq 1
+    dels = spark.createDataFrame([(1,), (3,)], "g long")
+    write_iceberg_equality_deletes(spark, t, dels, ["g"])   # seq 2
+    reins = spark.range(100, 110).select(
+        F.col("id").alias("k"), F.lit(1).cast("long").alias("g"))
+    append_iceberg(spark, reins, t)                         # seq 3
+
+    def jarless():
+        return sorted(x.k for x in
+                      spark.read.format("iceberg_jarless")
+                      .option("path", t).load().select("k").collect())
+
+    expect = [k for k in range(40) if k % 4 in (0, 2)] + \
+        list(range(100, 110))
+    assert jarless() == expect
+    assert jarless() == sorted(
+        x.k for x in read_iceberg_snapshot(spark, t).collect())
+
+    # null-safe key matching
+    t2 = str(tmp_path / "eqnull")
+    base2 = spark.range(0, 12).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, F.lit(None))
+        .otherwise(F.col("id") % 3).cast("long").alias("g"))
+    write_iceberg_table(spark, [base2], t2)
+    write_iceberg_equality_deletes(
+        spark, t2, spark.createDataFrame([(None,)], "g long"), ["g"])
+    got2 = sorted(x.k for x in spark.read.format("iceberg_jarless")
+                  .option("path", t2).load().select("k").collect())
+    assert got2 == [k for k in range(12) if k % 3 != 0]
+
+
+def test_iceberg_jarless_offset_snapshot_anchor(spark, tmp_path):
+    """ADVICE r13 #2: streaming offsets anchor on SNAPSHOT ID, ordinal
+    as hint. After snapshot expiration shifts the ordinals, a restart
+    fails loudly instead of silently re-serving/skipping snapshots."""
+    import pyspark
+
+    if tuple(int(x) for x in pyspark.__version__.split(".")[:2]) < (4, 0):
+        pytest.skip("Python Data Source API needs Spark 4")
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        append_iceberg,
+        expire_iceberg_snapshots,
+        write_iceberg_table,
+    )
+    from databricks_import_pyspark_scripts_spark.sources.iceberg_stream_datasource import (
+        register_iceberg_stream_source,
+    )
+
+    register_iceberg_stream_source(spark)
+    t = str(tmp_path / "anchor")
+
+    def frame(lo, hi):
+        return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+    write_iceberg_table(spark, [frame(0, 5)], t)            # ordinal 0
+    append_iceberg(spark, frame(5, 10), t)                  # ordinal 1
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def drain():
+        q = (spark.readStream.format("iceberg_jarless")
+             .option("path", t).load()
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        return sorted(x.k for x in spark.read.parquet(out).collect())
+
+    assert drain() == list(range(10))       # offset ordinal 1 recorded
+    append_iceberg(spark, frame(10, 15), t)                 # ordinal 2
+    append_iceberg(spark, frame(15, 20), t)                 # ordinal 3
+    # expire the two oldest snapshots: ordinals shift down by two
+    res = expire_iceberg_snapshots(spark, t, keep_last=2)
+    assert len(res["expired"]) == 2
+    with pytest.raises(StreamingQueryException,
+                       match="expiration shifted the ordinals"):
+        drain()
+
+
+def test_stream_iceberg_changes_anchor(spark, tmp_path):
+    """ADVICE r13 #2 for the availableNow loop: the persisted ingest
+    mark carries an ordinal:snapshot_id anchor; resume after snapshot
+    expiration shifted the ordinals fails loudly."""
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.sources.iceberg import (
+        append_iceberg,
+        expire_iceberg_snapshots,
+        write_iceberg_table,
+    )
+    from databricks_import_pyspark_scripts_spark.streaming.iceberg_source import (
+        stream_iceberg_changes,
+    )
+
+    t = str(tmp_path / "loop")
+    state = str(tmp_path / "state" / "mark")
+
+    def frame(lo, hi):
+        return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+    write_iceberg_table(spark, [frame(0, 5)], t)            # ordinal 0
+    append_iceberg(spark, frame(5, 10), t)                  # ordinal 1
+    seen: list[tuple[int, int]] = []
+    mark = stream_iceberg_changes(
+        spark, t, state, lambda df, lo, hi: seen.append((lo, hi)))
+    assert mark == 1 and seen == [(-1, 1)]
+    # caught-up resume with an intact history: clean no-op
+    assert stream_iceberg_changes(
+        spark, t, state, lambda df, lo, hi: seen.append((lo, hi))) == 1
+    assert seen == [(-1, 1)]
+    append_iceberg(spark, frame(10, 15), t)                 # ordinal 2
+    append_iceberg(spark, frame(15, 20), t)                 # ordinal 3
+    expire_iceberg_snapshots(spark, t, keep_last=2)
+    with pytest.raises(ValueError,
+                       match="expiration shifted the ordinals"):
+        stream_iceberg_changes(
+            spark, t, state, lambda df, lo, hi: None)
 
 
 def test_delta_jarless_dv_column_mapped_partitioned(spark, tmp_path):
