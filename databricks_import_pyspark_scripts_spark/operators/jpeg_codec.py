@@ -10,10 +10,17 @@ than decoding garbage:
 
 * SOF0 baseline sequential DCT, 8-bit precision, 1 (grayscale) or
   3 (YCbCr) components, sampling factors 1-2 (4:4:4 / 4:2:2 / 4:2:0)
-* DQT 8-bit tables, DHT baseline huffman, DRI restart intervals
-* PROGRESSIVE (SOF2) and every other SOF variant reject with the frame
-  type named; arithmetic coding (DAC), 12-bit precision, and 16-bit
-  quantization tables reject likewise.
+* SOF2 PROGRESSIVE (huffman) — spectral selection AND successive
+  approximation, DC+AC refinement scans, EOB runs, interleaved DC /
+  non-interleaved AC scan shapes, per-scan restart intervals (the
+  Annex G decode path; VERDICT r13 #4 — a large share of web-corpus
+  JPEGs are progressive)
+* DQT 8-bit tables, DHT baseline huffman, DRI restart intervals,
+  0xFF fill bytes before markers and standalone TEM/RSTn markers
+  (T.81-legal streams some encoders emit; ADVICE r13 #3)
+* every other SOF variant rejects with the frame type named;
+  arithmetic coding (DAC), 12-bit precision, and 16-bit quantization
+  tables reject likewise.
 
 The encoder exists to synthesize deterministic fixtures: grayscale
 4:4:4 baseline with the spec's Annex K luminance huffman tables and a
@@ -180,24 +187,44 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> uint8 pixel array: (H, W) for grayscale,
-    (H, W, 3) RGB for YCbCr. Progressive / arithmetic / 12-bit inputs
-    raise ``JpegFormatError`` naming the unsupported frame type."""
+    """Baseline (SOF0) or progressive (SOF2, huffman) JPEG bytes ->
+    uint8 pixel array: (H, W) for grayscale, (H, W, 3) RGB for YCbCr.
+    Arithmetic / 12-bit / differential inputs raise ``JpegFormatError``
+    naming the unsupported frame type.
+
+    Architecture: every entropy scan decodes into a per-component
+    COEFFICIENT STORE (zigzag order, int32) — baseline's single scan
+    and progressive's DC/AC first+refinement scans all write the same
+    store — then one vectorized dequantize+IDCT reconstructs pixels."""
     if data[:2] != _SOI:
         raise JpegFormatError("missing SOI marker")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
-    frame = None
+    frame: dict | None = None
+    coefs: dict[int, np.ndarray] = {}
     restart_interval = 0
-    while pos + 4 <= len(data):
+    saw_scan = False
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise JpegFormatError(f"expected marker at byte {pos}")
+        # T.81-legal 0xFF FILL BYTES before a marker (ADVICE r13 #3):
+        # any number of 0xFF bytes may pad ahead of the marker byte
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(data):
+            break
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:                                   # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # standalone markers (TEM, stray RSTn): no length field
+            continue
+        if pos + 2 > len(data):
+            raise JpegFormatError(
+                f"truncated marker segment 0x{marker:02X}")
         (seglen,) = struct.unpack(">H", data[pos:pos + 2])
         if pos + seglen > len(data):
             raise JpegFormatError(
@@ -224,38 +251,25 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 (huff_dc if tc == 0 else huff_ac)[th] = \
                     _build_huffman(bits, vals)
                 off += 17 + n
-        elif marker == 0xC0:                                 # SOF0
-            precision = seg[0]
-            if precision != 8:
-                raise JpegFormatError(
-                    f"{precision}-bit precision not supported (8 only)")
-            h, w = struct.unpack(">HH", seg[1:5])
-            ncomp = seg[5]
-            if ncomp not in (1, 3):
-                raise JpegFormatError(
-                    f"{ncomp}-component frames not supported (1 or 3)")
-            comps = []
-            for i in range(ncomp):
-                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
-                              "tq": tq})
-            for c in comps:
-                if not (1 <= c["h"] <= 2 and 1 <= c["v"] <= 2):
-                    raise JpegFormatError(
-                        f"sampling factor {c['h']}x{c['v']} out of the "
-                        f"supported 1-2 range")
-            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC0, 0xC2):                   # SOF0 / SOF2
+            if frame is not None:
+                raise JpegFormatError("multiple SOF markers")
+            frame = _parse_sof(seg, progressive=(marker == 0xC2))
+            coefs = {c["id"]: np.zeros(
+                (frame["mcuy"] * c["v"], frame["mcux"] * c["h"], 64),
+                np.int32) for c in frame["comps"]}
         elif marker in _SOF_NAMES:
             raise JpegFormatError(
                 f"unsupported frame type: {_SOF_NAMES[marker]} "
-                f"(SOF{marker - 0xC0}) — baseline sequential (SOF0) only")
+                f"(SOF{marker - 0xC0}) — baseline sequential (SOF0) "
+                f"and huffman progressive (SOF2) only")
         elif marker == 0xCC:
             raise JpegFormatError("arithmetic coding (DAC) not supported")
         elif marker == 0xDD:                                 # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:                                 # SOS
             if frame is None:
-                raise JpegFormatError("SOS before SOF0")
+                raise JpegFormatError("SOS before SOF")
             ns = seg[0]
             scan = []
             for i in range(ns):
@@ -266,79 +280,256 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise JpegFormatError(f"scan component {cs} not in "
                                           f"the frame")
                 scan.append({**comp, "td": tdta >> 4, "ta": tdta & 0xF})
-            return _decode_scan(data, pos + seglen, frame, scan, qt,
-                                huff_dc, huff_ac, restart_interval)
+            ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+            spec = (ss, se, ahal >> 4, ahal & 0xF)
+            if not frame["progressive"] and spec != (0, 63, 0, 0):
+                raise JpegFormatError(
+                    f"sequential scan with progressive parameters "
+                    f"Ss={ss} Se={se} Ah={spec[2]} Al={spec[3]}")
+            pos = _decode_scan(data, pos + seglen, frame, scan, spec,
+                               coefs, huff_dc, huff_ac,
+                               restart_interval)
+            saw_scan = True
+            continue
         pos += seglen
-    raise JpegFormatError("no SOS marker (empty scan)")
+    if frame is None or not saw_scan:
+        raise JpegFormatError("no SOS marker (empty scan)")
+    return _reconstruct(frame, coefs, qt)
+
+
+def _parse_sof(seg: bytes, progressive: bool) -> dict:
+    precision = seg[0]
+    if precision != 8:
+        raise JpegFormatError(
+            f"{precision}-bit precision not supported (8 only)")
+    h, w = struct.unpack(">HH", seg[1:5])
+    ncomp = seg[5]
+    if ncomp not in (1, 3):
+        raise JpegFormatError(
+            f"{ncomp}-component frames not supported (1 or 3)")
+    comps = []
+    for i in range(ncomp):
+        cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+        comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                      "tq": tq})
+    for c in comps:
+        if not (1 <= c["h"] <= 2 and 1 <= c["v"] <= 2):
+            raise JpegFormatError(
+                f"sampling factor {c['h']}x{c['v']} out of the "
+                f"supported 1-2 range")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    frame = {"h": h, "w": w, "comps": comps, "hmax": hmax,
+             "vmax": vmax, "mcux": -(-w // (8 * hmax)),
+             "mcuy": -(-h // (8 * vmax)), "progressive": progressive}
+    for c in comps:
+        # non-interleaved (single-component) scans cover only the
+        # component's OWN block grid, not the MCU-padded one (T.81
+        # A.2.2) — precompute both extents
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        c["bw"] = -(-cw // 8)
+        c["bh"] = -(-ch // 8)
+    return frame
 
 
 def _decode_scan(data: bytes, pos: int, frame: dict, scan: list[dict],
-                 qt: dict, huff_dc: dict, huff_ac: dict,
-                 restart_interval: int) -> np.ndarray:
-    h, w = frame["h"], frame["w"]
-    hmax = max(c["h"] for c in scan)
-    vmax = max(c["v"] for c in scan)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    planes = {c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8),
-                                np.float64) for c in scan}
-    pred = {c["id"]: 0 for c in scan}
+                 spec: tuple, coefs: dict, huff_dc: dict, huff_ac: dict,
+                 restart_interval: int) -> int:
+    """Decode ONE entropy-coded scan into the coefficient store and
+    return the byte offset of the next marker. Handles all four
+    progressive scan shapes (DC/AC x first/refinement) plus the
+    sequential full-band scan, interleaved (ns > 1: MCU order) and
+    non-interleaved (ns == 1: the component's own block raster)."""
+    ss, se, ah, al = spec
+    if frame["progressive"]:
+        if ss == 0 and se != 0:
+            raise JpegFormatError("progressive DC scan must have Se=0")
+        if ss > 0 and len(scan) != 1:
+            raise JpegFormatError(
+                "progressive AC scan must be single-component")
+        if se > 63 or ss > se:
+            raise JpegFormatError(f"bad spectral band {ss}..{se}")
+    dc_scan = ss == 0
+    refine = ah != 0
     r = _BitReader(data, pos)
-    mcu_count = 0
+    pred = {c["id"]: 0 for c in scan}
+    state = {"eobrun": 0}
+
+    def check_tables(c: dict) -> tuple:
+        dc_tbl = huff_dc.get(c["td"]) if dc_scan and not refine else None
+        ac_tbl = huff_ac.get(c["ta"]) if not dc_scan else None
+        if dc_scan and not refine and dc_tbl is None:
+            raise JpegFormatError(
+                f"scan references undefined DC table {c['td']}")
+        if not dc_scan and ac_tbl is None:
+            raise JpegFormatError(
+                f"scan references undefined AC table {c['ta']}")
+        return dc_tbl, ac_tbl
+
+    tables = {c["id"]: check_tables(c) for c in scan}
+
+    def decode_block(c: dict, zz: np.ndarray) -> None:
+        dc_tbl, ac_tbl = tables[c["id"]]
+        if dc_scan:
+            if not refine:
+                size = r.decode_symbol(dc_tbl)
+                diff = _extend(r.receive(size), size)
+                pred[c["id"]] += diff
+                zz[0] = pred[c["id"]] << al
+            elif r.read_bit():
+                zz[0] |= 1 << al
+            if not frame["progressive"]:
+                _ac_first(r, ac_tbl, zz, 1, 63, 0, state)
+        else:
+            if not refine:
+                _ac_first(r, ac_tbl, zz, ss, se, al, state)
+            else:
+                _ac_refine(r, ac_tbl, zz, ss, se, al, state)
+
+    if not frame["progressive"]:
+        # sequential: DC+AC per block, needs both tables
+        for c in scan:
+            if huff_ac.get(c["ta"]) is None:
+                raise JpegFormatError(
+                    f"scan references undefined AC table {c['ta']}")
+            tables[c["id"]] = (tables[c["id"]][0], huff_ac[c["ta"]])
+
+    # a single-component scan is NON-INTERLEAVED: it covers the
+    # component's own block grid in raster order, one block per MCU
+    # (T.81 A.2.2) — sequential and progressive alike
+    interleaved = len(scan) > 1
+    n_units = (frame["mcux"] * frame["mcuy"] if interleaved
+               else scan[0]["bh"] * scan[0]["bw"])
     rst_n = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and \
-                    mcu_count % restart_interval == 0:
-                r.align_and_expect_rst(rst_n)
-                rst_n = (rst_n + 1) & 7
-                for c in scan:
-                    pred[c["id"]] = 0
+    for unit in range(n_units):
+        if restart_interval and unit and unit % restart_interval == 0:
+            r.align_and_expect_rst(rst_n)
+            rst_n = (rst_n + 1) & 7
             for c in scan:
-                dc_tbl = huff_dc.get(c["td"])
-                ac_tbl = huff_ac.get(c["ta"])
-                q = qt.get(c["tq"])
-                if dc_tbl is None or ac_tbl is None or q is None:
-                    raise JpegFormatError(
-                        f"scan references undefined table "
-                        f"(dc {c['td']}, ac {c['ta']}, q {c['tq']})")
+                pred[c["id"]] = 0
+            state["eobrun"] = 0
+        if interleaved:
+            my, mx = divmod(unit, frame["mcux"])
+            for c in scan:
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        zz = np.zeros(64, np.int32)
-                        size = r.decode_symbol(dc_tbl)
-                        diff = _extend(r.receive(size), size)
-                        pred[c["id"]] += diff
-                        zz[0] = pred[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = r.decode_symbol(ac_tbl)
-                            run, size = rs >> 4, rs & 0xF
-                            if size == 0:
-                                if run == 15:        # ZRL
-                                    k += 16
-                                    continue
-                                break                # EOB
-                            k += run
-                            if k > 63:
-                                raise JpegFormatError(
-                                    "AC run past block end")
-                            zz[k] = _extend(r.receive(size), size)
-                            k += 1
-                        coeff = np.zeros(64, np.float64)
-                        coeff[_ZIGZAG] = zz
-                        block = _DCT.T @ (coeff.reshape(8, 8)
-                                          * qt[c["tq"]]) @ _DCT
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = block
-            mcu_count += 1
+                        decode_block(
+                            c, coefs[c["id"]][my * c["v"] + by,
+                                              mx * c["h"] + bx])
+        else:
+            c = scan[0]
+            by, bx = divmod(unit, c["bw"])
+            decode_block(c, coefs[c["id"]][by, bx])
+    # skip to the next marker (possible 1-bit padding, then 0xFF xx
+    # with stuffed 0xFF00 and RSTn belonging to the entropy stream)
+    p = r.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00 \
+                and not 0xD0 <= data[p + 1] <= 0xD7:
+            break
+        p += 1
+    return p
 
+
+def _ac_first(r: _BitReader, ac_tbl: dict, zz: np.ndarray,
+              ss: int, se: int, al: int, state: dict) -> None:
+    """AC coefficients of one block, first pass (Ah=0): baseline's EOB
+    is the degenerate EOBRUN (run=0 -> 1 block); progressive EOB runs
+    span blocks via ``state['eobrun']``."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = r.decode_symbol(ac_tbl)
+        run, size = rs >> 4, rs & 0xF
+        if size == 0:
+            if run == 15:                    # ZRL
+                k += 16
+                continue
+            eobrun = (1 << run) - 1
+            if run:
+                eobrun += r.receive(run)
+            state["eobrun"] = eobrun
+            break                            # EOBn
+        k += run
+        if k > se:
+            raise JpegFormatError("AC run past band end")
+        zz[k] = _extend(r.receive(size), size) << al
+        k += 1
+
+
+def _ac_refine(r: _BitReader, ac_tbl: dict, zz: np.ndarray,
+               ss: int, se: int, al: int, state: dict) -> None:
+    """AC successive-approximation refinement (T.81 G.1.2.3): already
+    nonzero coefficients receive a correction bit; newly nonzero ones
+    arrive as +-1 << Al; EOB runs still correct the nonzero history."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = r.decode_symbol(ac_tbl)
+            run, size = rs >> 4, rs & 0xF
+            newval = 0
+            if size == 0:
+                if run < 15:
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += r.receive(run)
+                    state["eobrun"] = eobrun
+                    break
+                # run == 15: skip 16 zero-history positions
+            else:
+                if size != 1:
+                    raise JpegFormatError(
+                        "invalid AC refinement magnitude (must be 1)")
+                newval = p1 if r.read_bit() else m1
+            while k <= se:
+                c = int(zz[k])
+                if c != 0:
+                    if r.read_bit() and (c & p1) == 0:
+                        zz[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if k <= se and newval != 0:
+                zz[k] = newval
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            c = int(zz[k])
+            if c != 0 and r.read_bit() and (c & p1) == 0:
+                zz[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _reconstruct(frame: dict, coefs: dict, qt: dict) -> np.ndarray:
+    """Coefficient store -> pixels: vectorized dequantize + IDCT per
+    component (einsum over all blocks at once), chroma upsample, crop,
+    YCbCr->RGB for 3-component frames."""
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     out_planes = []
-    for c in scan:
-        p = planes[c["id"]] + 128.0
-        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
-                      hmax // c["h"], axis=1)
-        out_planes.append(np.clip(p[:h, :w], 0, 255))
+    for c in frame["comps"]:
+        q = qt.get(c["tq"])
+        if q is None:
+            raise JpegFormatError(
+                f"frame references undefined quantization table "
+                f"{c['tq']}")
+        zzs = coefs[c["id"]]                     # (bh, bw, 64) zigzag
+        bh, bw = zzs.shape[:2]
+        nat = np.zeros((bh, bw, 64), np.float64)
+        nat[..., _ZIGZAG] = zzs
+        blocks = nat.reshape(bh, bw, 8, 8) * q
+        px = np.einsum("ij,abjk,kl->abil", _DCT.T, blocks, _DCT)
+        plane = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        out_planes.append(np.clip(plane[:h, :w], 0, 255))
     if len(out_planes) == 1:
         return np.rint(out_planes[0]).astype(np.uint8)
     y, cb, cr = out_planes
@@ -468,6 +659,184 @@ def encode_jpeg_gray(arr: np.ndarray,
             + seg(0xC4, dht_dc) + seg(0xC4, dht_ac) + dri
             + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
             + entropy + b"\xff\xd9")
+
+
+# progressive AC entropy coding needs EOBn symbols (run<<4, size=0 for
+# run 1..14) that the baseline Annex K AC table does not define; the
+# fixture encoder uses a FLAT custom table instead: 255 symbols, all
+# 9 bits (valid canonical huffman — the all-ones code never occurs),
+# covering every (run, size) pair progressive scans can emit
+_AC_PROG_BITS = [0] * 8 + [255] + [0] * 7
+_AC_PROG_VALS = list(range(255))
+
+
+class _ProgScanWriter:
+    """Entropy state for ONE progressive scan: EOB-run accumulation
+    with buffered correction bits (the T.81 G.1.2.3 encoder shape)."""
+
+    def __init__(self, bw: _BitWriter, ac_codes: dict):
+        self.bw = bw
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.corr: list[int] = []
+
+    def sym(self, s: int) -> None:
+        ln, code = self.ac[s]
+        self.bw.write(code, ln)
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.sym(nbits << 4)
+            if nbits:
+                self.bw.write(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+        for b in self.corr:
+            self.bw.write(b, 1)
+        self.corr = []
+
+    def bump_eobrun(self) -> None:
+        self.eobrun += 1
+        if self.eobrun == 0x7FFF:
+            self.flush_eobrun()
+
+
+def encode_jpeg_gray_progressive(
+        arr: np.ndarray, quant: np.ndarray | None = None,
+        scans: tuple = ((0, 0, 0, 1), (0, 0, 1, 0), (1, 5, 0, 2),
+                        (6, 63, 0, 2), (1, 63, 2, 1), (1, 63, 1, 0)),
+        ) -> bytes:
+    """uint8 (H, W) grayscale -> PROGRESSIVE (SOF2) JFIF bytes. The
+    default scan script exercises every progressive decode shape:
+    DC first at Al=1, DC refinement, spectral-selection AC first scans
+    (two bands) at Al=2, then two successive-approximation AC
+    refinement scans down to Al=0 — so with the all-ones default
+    ``quant`` the decode equals the baseline encoding of the same
+    pixels exactly. ``scans`` entries are (Ss, Se, Ah, Al)."""
+    a = np.asarray(arr, np.uint8)
+    if a.ndim != 2:
+        raise ValueError(
+            "encode_jpeg_gray_progressive takes a (H, W) array")
+    h, w = a.shape
+    q = (np.ones((8, 8), np.int32) if quant is None
+         else np.asarray(quant, np.int32).reshape(8, 8))
+    if (q < 1).any() or (q > 255).any():
+        raise ValueError("quantization entries must be in 1..255")
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(a, ((0, ph - h), (0, pw - w)), mode="edge") \
+        .astype(np.float64) - 128.0
+    # all blocks' zigzag coefficients, raster order
+    blocks: list[np.ndarray] = []
+    for y0 in range(0, ph, 8):
+        for x0 in range(0, pw, 8):
+            coeff = _DCT @ padded[y0:y0 + 8, x0:x0 + 8] @ _DCT.T
+            zq = np.rint(coeff / q).astype(np.int64)
+            blocks.append(zq.reshape(-1)[_ZIGZAG])
+
+    dc_codes = _encode_lengths(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _encode_lengths(_AC_PROG_BITS, _AC_PROG_VALS)
+    scan_payloads: list[bytes] = []
+    for ss, se, ah, al in scans:
+        bw = _BitWriter()
+        if ss == 0:                                   # DC scan
+            if se != 0:
+                raise ValueError("DC scan needs Se=0")
+            if ah == 0:                               # first pass
+                pred = 0
+                for zz in blocks:
+                    v = int(zz[0]) >> al
+                    diff = v - pred
+                    pred = v
+                    size = _category(diff)
+                    ln, code = dc_codes[size]
+                    bw.write(code, ln)
+                    if size:
+                        bw.write(diff if diff > 0
+                                 else diff + (1 << size) - 1, size)
+            else:                                     # refinement
+                for zz in blocks:
+                    bw.write((int(zz[0]) >> al) & 1, 1)
+        elif ah == 0:                                 # AC first pass
+            ps = _ProgScanWriter(bw, ac_codes)
+            for zz in blocks:
+                run = 0
+                emitted = False
+                for k in range(ss, se + 1):
+                    c = int(zz[k])
+                    t = (abs(c) >> al) * (1 if c >= 0 else -1)
+                    if t == 0:
+                        run += 1
+                        continue
+                    ps.flush_eobrun()
+                    while run > 15:
+                        ps.sym(0xF0)                  # ZRL
+                        run -= 16
+                    size = _category(t)
+                    ps.sym((run << 4) | size)
+                    bw.write(t if t > 0 else t + (1 << size) - 1, size)
+                    run = 0
+                    emitted = True
+                if run > 0 or not emitted:
+                    ps.bump_eobrun()
+            ps.flush_eobrun()
+        else:                                         # AC refinement
+            ps = _ProgScanWriter(bw, ac_codes)
+            for zz in blocks:
+                absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+                eob = 0                # 1 past the last newly-nonzero
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eob = i + 1
+                run = 0
+                pend: list[int] = []
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15 and i < eob:
+                        ps.flush_eobrun()
+                        ps.sym(0xF0)
+                        for b in pend:
+                            bw.write(b, 1)
+                        pend = []
+                        run -= 16
+                    if t > 1:          # history-nonzero: correction bit
+                        pend.append(t & 1)
+                        continue
+                    ps.flush_eobrun()  # newly nonzero: (run, 1) + sign
+                    ps.sym((run << 4) | 1)
+                    bw.write(0 if int(zz[ss + i]) < 0 else 1, 1)
+                    for b in pend:
+                        bw.write(b, 1)
+                    pend = []
+                    run = 0
+                if run > 0 or pend:
+                    ps.eobrun += 1
+                    ps.corr.extend(pend)
+                    if ps.eobrun == 0x7FFF:
+                        ps.flush_eobrun()
+            ps.flush_eobrun()
+        scan_payloads.append(bw.flush())
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2) + payload
+
+    zz_q = np.zeros(64, np.uint8)
+    zz_q[np.arange(64)] = q.reshape(-1)[_ZIGZAG]
+    dht_dc = bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)
+    dht_ac = bytes([0x10]) + bytes(_AC_PROG_BITS) + bytes(_AC_PROG_VALS)
+    out = bytearray(_SOI)
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + zz_q.tobytes())
+    out += seg(0xC2, struct.pack(">BHHB", 8, h, w, 1)
+               + bytes([1, 0x11, 0]))
+    out += seg(0xC4, dht_dc) + seg(0xC4, dht_ac)
+    for (ss, se, ah, al), payload in zip(scans, scan_payloads):
+        out += seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        out += payload
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def jpeg_block_decoder(grid: tuple[int, int] = (4, 4)):

@@ -485,21 +485,28 @@ def synthesize_jpeg_corpus(spark, ids: list[int],
     aHash-invariant per-variant perturbations, pushed through the
     stdlib huffman+FDCT encoder with a per-variant UNIFORM quantization
     step (v % 3 + 1) so decoding the corpus exercises dequantization,
-    not just the q=1 path. Uniform quantization shifts each block mean
-    by < q/2 intensity steps — three orders of magnitude under the
-    150-step set/unset margin — so within-cluster perceptual hashes
-    stay bit-identical and cross-cluster hashes keep >= 8/16 differing
-    bits, exactly the PNG corpus' contract."""
+    not just the q=1 path. Every THIRD variant is encoded PROGRESSIVE
+    (SOF2, the default spectral-selection + successive-approximation
+    scan script — VERDICT r13 #4): same pixels, same quantization, so
+    within-cluster hashes stay bit-identical ONLY if the Annex G
+    decode path reconstructs the identical coefficients. Uniform
+    quantization shifts each block mean by < q/2 intensity steps —
+    three orders of magnitude under the 150-step set/unset margin — so
+    within-cluster perceptual hashes stay bit-identical and
+    cross-cluster hashes keep >= 8/16 differing bits, exactly the PNG
+    corpus' contract."""
     import numpy as np
 
-    from .jpeg_codec import encode_jpeg_gray
+    from .jpeg_codec import encode_jpeg_gray, encode_jpeg_gray_progressive
 
     rows = []
     for i in ids:
         img = _cluster_pattern_image(int(i), variants_per_cluster)
-        q = int(i) % variants_per_cluster % 3 + 1
-        rows.append((int(i), encode_jpeg_gray(
-            img, quant=np.full((8, 8), q, np.int32))))
+        v = int(i) % variants_per_cluster
+        quant = np.full((8, 8), v % 3 + 1, np.int32)
+        enc = (encode_jpeg_gray_progressive if v % 3 == 2
+               else encode_jpeg_gray)
+        rows.append((int(i), enc(img, quant=quant)))
     return spark.createDataFrame(
         [(i, (b, "image/jpeg", 32, 32, None, None, None)) for i, b in rows],
         StructType([StructField("media_id", LongType()),
