@@ -357,6 +357,55 @@ def frame_sample_features(media_df: DataFrame, id_col: str = "media_id",
     return vids.mapInPandas(run, FRAME_FEATURE_SCHEMA)
 
 
+MP4_PLAN_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("sample_idx", LongType()),
+    StructField("frame_ts_ms", LongType()),
+    StructField("codec", StringType()),
+])
+
+
+def mp4_frame_plan(media_df: DataFrame, id_col: str = "media_id",
+                   media_col: str = "media") -> DataFrame:
+    """CONTAINER-METADATA-ONLY frame plan for ISO-BMFF payloads
+    (VERDICT r13 #5): parse moov/trak/stbl (stts/stsc/stsz/stco) and
+    emit one row per video sample — (media_id, sample_idx,
+    frame_ts_ms, codec) — with ZERO codec decodes, so it works for
+    avc1/hvc1/mp4v tracks just as for jpeg ones. The decode half
+    (``frame_sample_features`` with ``parse_mp4_mjpeg``) stays
+    jpeg-only by design.
+
+    Scale shape: sample tables are KB-scale metadata at the head/tail
+    of the file; the parse runs inside Arrow-batched mapInPandas where
+    the payload bytes already live — the driver never sees them."""
+    from .mp4_codec import parse_mp4
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mids, idxs, tss, codecs = [], [], [], []
+            for mid, raw in zip(pdf["media_id"], pdf["content"]):
+                meta = parse_mp4(bytes(raw))
+                for tr in meta["tracks"]:
+                    if tr["handler"] != "vide":
+                        continue
+                    for idx, (_off, _sz, ts) in enumerate(
+                            tr["samples"]):
+                        mids.append(mid)
+                        idxs.append(idx)
+                        tss.append(ts)
+                        codecs.append(tr["codec"])
+            yield pd.DataFrame({"media_id": mids, "sample_idx": idxs,
+                                "frame_ts_ms": tss, "codec": codecs})
+
+    vids = (media_df
+            .filter(F.col(f"{media_col}.mime") == "video/mp4")
+            .select(F.col(id_col).alias("media_id"),
+                    F.col(f"{media_col}.content").alias("content")))
+    return vids.mapInPandas(run, MP4_PLAN_SCHEMA)
+
+
 def synthesize_avi_corpus(spark, ids: list[int],
                           variants_per_cluster: int = 10,
                           frames_per_video: int = 6,
@@ -386,6 +435,41 @@ def synthesize_avi_corpus(spark, ids: list[int],
         avi = encode_avi_mjpeg(frames, fps=fps)
         dur = frames_per_video * 1000 // fps
         rows.append((int(i), (avi, "video/avi", 32, 32, None, None, dur)))
+    return spark.createDataFrame(
+        rows,
+        StructType([StructField("media_id", LongType()),
+                    StructField("media", MEDIA_SCHEMA)]))
+
+
+def synthesize_mp4_corpus(spark, ids: list[int],
+                          variants_per_cluster: int = 10,
+                          frames_per_video: int = 6,
+                          fps: int = 10) -> DataFrame:
+    """The ``synthesize_avi_corpus`` construction wrapped in a REAL
+    ISO-BMFF container (VERDICT r13 #5): same per-frame cluster
+    patterns and byte-distinct brightness shifts, JPEG samples laid
+    out multi-chunk (stsc-exercising) with full stbl sample tables.
+    The mime is video/mp4; ``frame_sample_features(parser=
+    parse_mp4_mjpeg)`` samples and decodes identically to the AVI
+    corpus, so the same arithmetic oracle pins the MP4 path."""
+    import numpy as np
+
+    from .jpeg_codec import encode_jpeg_gray
+    from .mp4_codec import encode_mp4_jpeg
+
+    rows = []
+    for i in ids:
+        v = int(i) % variants_per_cluster
+        frames = []
+        for f in range(frames_per_video):
+            img = _cluster_pattern_image(
+                (int(i) // variants_per_cluster) * variants_per_cluster,
+                variants_per_cluster).astype(np.int32)
+            img = np.clip(img + v + f, 0, 255).astype(np.uint8)
+            frames.append(encode_jpeg_gray(img))
+        mp4 = encode_mp4_jpeg(frames, fps=fps, width=32, height=32)
+        dur = frames_per_video * 1000 // fps
+        rows.append((int(i), (mp4, "video/mp4", 32, 32, None, None, dur)))
     return spark.createDataFrame(
         rows,
         StructType([StructField("media_id", LongType()),

@@ -819,3 +819,125 @@ def test_jpeg_color_decode_444_and_420():
         assert out.shape == (n, n, 3)
         got = out.reshape(-1, 3).mean(axis=0)
         assert np.abs(got - np.array(rgb)).max() <= 2.0, (rgb, got)
+
+
+# ---------------------------------------------------------------------------
+# stdlib ISO-BMFF (MP4) container parsing (operators/mp4_codec.py) — r14
+
+
+def test_mp4_golden_bytes_sample_tables():
+    """Golden-bytes fixture (the puffin-codec test model): the
+    hand-assembled MP4's expanded sample plan places every sample at
+    its EXACT byte offset/size (multi-chunk stsc layout with a ragged
+    tail), timestamps follow stts at the media timescale, and the
+    sliced bytes round-trip through the JPEG decoder."""
+    import numpy as np
+
+    from databricks_import_pyspark_scripts_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+    from databricks_import_pyspark_scripts_spark.operators.mp4_codec import (
+        encode_mp4_jpeg,
+        parse_mp4,
+        parse_mp4_mjpeg,
+    )
+
+    frames = [encode_jpeg_gray(
+        (np.full((16, 16), 30 * i) % 256).astype(np.uint8))
+        for i in range(7)]
+    mp4 = encode_mp4_jpeg(frames, fps=10, width=16, height=16,
+                          samples_per_chunk=3)
+    meta = parse_mp4(mp4)
+    assert meta["duration_ms"] == 700
+    tr = meta["tracks"][0]
+    assert (tr["handler"], tr["codec"]) == ("vide", "jpeg")
+    assert (tr["n_samples"], tr["fps"]) == (7, 10.0)
+    assert (tr["width"], tr["height"]) == (16, 16)
+    for i, f in enumerate(frames):
+        off, size, ts = tr["samples"][i]
+        assert mp4[off:off + size] == f
+        assert ts == i * 100
+
+    # the frame_sample_features bridge: lazy slices, exact cadence
+    m = parse_mp4_mjpeg(mp4)
+    assert (m["usec_per_frame"], m["n_frames"]) == (100000, 7)
+    assert bytes(m["frames"][4]) == frames[4]
+    assert decode_jpeg(m["frames"][2]).shape == (16, 16)
+
+
+def test_mp4_rejections_are_loud_and_named():
+    """avc1-track decode rejects naming the codec (its PLAN stays
+    available), fragmented MP4 rejects, missing boxes reject."""
+    import numpy as np
+    import pytest as _pytest
+
+    from databricks_import_pyspark_scripts_spark.operators.jpeg_codec import (
+        encode_jpeg_gray,
+    )
+    from databricks_import_pyspark_scripts_spark.operators.mp4_codec import (
+        Mp4FormatError,
+        encode_mp4_jpeg,
+        parse_mp4,
+        parse_mp4_mjpeg,
+    )
+
+    frames = [encode_jpeg_gray(np.zeros((8, 8), np.uint8))
+              for _ in range(3)]
+    avc = encode_mp4_jpeg(frames, fps=10, codec=b"avc1")
+    plan = parse_mp4(avc)                  # planning needs no decoder
+    assert plan["tracks"][0]["codec"] == "avc1"
+    assert plan["tracks"][0]["n_samples"] == 3
+    with _pytest.raises(Mp4FormatError, match="avc1"):
+        parse_mp4_mjpeg(avc)
+
+    good = encode_mp4_jpeg(frames, fps=10)
+    # a moof box makes it fragmented: loud
+    import struct as _struct
+
+    moof = _struct.pack(">I", 8) + b"moof"
+    with _pytest.raises(Mp4FormatError, match="moof"):
+        parse_mp4(good + moof)
+    with _pytest.raises(Mp4FormatError, match="ftyp"):
+        parse_mp4(b"\x00\x00\x00\x08free")
+    with _pytest.raises(Mp4FormatError, match="moov"):
+        parse_mp4(good[:good.find(b"moov") - 4])
+
+
+def test_mp4_frame_plan_and_phash_spark(spark):
+    """mp4_frame_plan emits one metadata-only row per video sample;
+    frame_sample_features with the MP4 parser samples + decodes only
+    the planned frames — cluster aHash codes exact (the AVI path's
+    contract on the ISO-BMFF container)."""
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.operators.mp4_codec import (
+        parse_mp4_mjpeg,
+    )
+    from databricks_import_pyspark_scripts_spark.operators.multimodal import (
+        PHASH_DIM,
+        frame_sample_features,
+        mp4_frame_plan,
+        phash_col,
+        synthesize_mp4_corpus,
+    )
+
+    ids = list(range(20))                # 2 clusters x 10 variants
+    media = synthesize_mp4_corpus(spark, ids, variants_per_cluster=10,
+                                  frames_per_video=4, fps=10)
+    plan = mp4_frame_plan(media).collect()
+    assert len(plan) == 20 * 4
+    assert {(r.media_id, r.sample_idx, r.frame_ts_ms, r.codec)
+            for r in plan} == {(i, s, s * 100, "jpeg")
+                               for i in ids for s in range(4)}
+
+    feats = frame_sample_features(media, every_ms=200,
+                                  parser=lambda b: parse_mp4_mjpeg(b))
+    got = (feats.select("media_id", "frame_ts_ms",
+                        phash_col(F.col("feature"),
+                                  PHASH_DIM).alias("phash"))
+           .collect())
+    assert len(got) == 20 * 2            # 400ms clip sampled at 0, 200
+    expect_hash = {0: 255, 1: 65280}
+    for r in got:
+        assert r.phash == expect_hash[r.media_id // 10]
