@@ -225,7 +225,10 @@ def synthesize_wav_corpus(spark, ids: list[int],
     equally, so every comparison to the mean is preserved) and a
     per-variant carrier frequency (full cycles per segment keep the RMS
     at amplitude/sqrt(2)). Within a cluster the fingerprint is
-    bit-identical; across clusters it differs in >= 8 of 16 bits."""
+    bit-identical; across clusters it differs in >= 8 of 16 bits.
+    Every THIRD variant is written as IEEE-FLOAT WAV (format tag 3,
+    the soundfile/librosa default — VERDICT r13 #7), so the corpus
+    pins the float decode path through the same oracle."""
     import numpy as np
 
     from .wav_codec import encode_wav
@@ -243,7 +246,8 @@ def synthesize_wav_corpus(spark, ids: list[int],
         for bit in range(AUDIO_FP_DIM):
             amp = 0.6 if (pat >> bit) & 1 else 0.04
             segs.append(np.clip(amp * gain, 0, 0.95) * carrier)
-        wav = encode_wav(np.concatenate(segs), sample_rate)
+        wav = encode_wav(np.concatenate(segs), sample_rate,
+                         fmt_tag=3 if v % 3 == 2 else 1)
         dur = AUDIO_FP_DIM * seg_samples * 1000 // sample_rate
         rows.append((int(i), (wav, "audio/wav", None, None,
                               sample_rate, 1, dur)))

@@ -11,9 +11,12 @@ samples. Supported surface — what a corpus pipeline meets for speech/
 audio fixtures, everything else rejects LOUDLY:
 
 * PCM (format tag 1), 8-bit unsigned or 16-bit signed little-endian
+* IEEE FLOAT (format tag 3), 32- or 64-bit — what librosa/soundfile
+  emit by default, i.e. the most common ML-preprocessing output
+  (VERDICT r13 #7)
 * mono or stereo (channels average to mono for features)
-* compressed formats (mu-law, ADPCM, MP3-in-WAV, IEEE float) reject
-  with the format tag named.
+* compressed formats (mu-law, A-law, ADPCM, MP3-in-WAV) reject with
+  the format tag named.
 
 Scale shape: decode runs inside Arrow-batched ``mapInPandas``
 (``operators.multimodal.audio_features``) — one task streams batches,
@@ -31,13 +34,14 @@ class WavFormatError(ValueError):
     """Malformed or out-of-scope WAV payload."""
 
 
-_FORMAT_NAMES = {2: "ADPCM", 3: "IEEE float", 6: "A-law", 7: "mu-law",
+_FORMAT_NAMES = {2: "ADPCM", 6: "A-law", 7: "mu-law",
                  0x55: "MP3", 0xFFFE: "extensible"}
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes -> (float64 mono samples in [-1, 1], sample_rate).
-    Stereo averages to mono; 8-bit centers at 128."""
+    PCM (tag 1, 8/16-bit) or IEEE float (tag 3, 32/64-bit); stereo
+    averages to mono; 8-bit centers at 128."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise WavFormatError("missing RIFF/WAVE header")
     pos = 12
@@ -54,17 +58,20 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
                 raise WavFormatError("fmt chunk shorter than 16 bytes")
             tag, channels, rate, _, _, bits = struct.unpack(
                 "<HHIIHH", body[:16])
-            if tag != 1:
+            if tag not in (1, 3):
                 raise WavFormatError(
                     f"non-PCM WAV not supported: format tag {tag} "
                     f"({_FORMAT_NAMES.get(tag, 'unknown')})")
             if channels not in (1, 2):
                 raise WavFormatError(f"{channels}-channel WAV not "
                                      f"supported (mono/stereo)")
-            if bits not in (8, 16):
+            if tag == 1 and bits not in (8, 16):
                 raise WavFormatError(f"{bits}-bit PCM not supported "
                                      f"(8 or 16)")
-            fmt = (channels, rate, bits)
+            if tag == 3 and bits not in (32, 64):
+                raise WavFormatError(f"{bits}-bit IEEE-float WAV not "
+                                     f"supported (32 or 64)")
+            fmt = (tag, channels, rate, bits)
         elif cid == b"data":
             pcm = body
         pos += 8 + ln + (ln & 1)       # chunks are word-aligned
@@ -72,8 +79,13 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         raise WavFormatError("no fmt chunk")
     if pcm is None:
         raise WavFormatError("no data chunk")
-    channels, rate, bits = fmt
-    if bits == 16:
+    tag, channels, rate, bits = fmt
+    if tag == 3:
+        width = bits // 8
+        samples = np.frombuffer(
+            pcm[:len(pcm) // width * width],
+            "<f4" if bits == 32 else "<f8").astype(np.float64)
+    elif bits == 16:
         samples = np.frombuffer(
             pcm[:len(pcm) // 2 * 2], "<i2").astype(np.float64) / 32768.0
     else:
@@ -85,13 +97,29 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     return samples, rate
 
 
-def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
-    """float mono samples in [-1, 1] -> 16-bit PCM WAV bytes
-    (deterministic fixture encoder)."""
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000,
+               fmt_tag: int = 1, bits: int | None = None) -> bytes:
+    """float mono samples in [-1, 1] -> WAV bytes (deterministic
+    fixture encoder): 16-bit PCM by default; ``fmt_tag=3`` writes
+    IEEE-float frames (32-bit default, 64 via ``bits``) — the
+    soundfile/librosa default output layout."""
     s = np.clip(np.asarray(samples, np.float64), -1.0, 1.0)
-    pcm = np.rint(s * 32767.0).astype("<i2").tobytes()
-    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2,
-                      2, 16)
+    if fmt_tag == 1:
+        bits = 16 if bits is None else bits
+        if bits != 16:
+            raise ValueError("PCM fixture encoder writes 16-bit only")
+        pcm = np.rint(s * 32767.0).astype("<i2").tobytes()
+    elif fmt_tag == 3:
+        bits = 32 if bits is None else bits
+        if bits not in (32, 64):
+            raise ValueError("IEEE-float WAV is 32- or 64-bit")
+        pcm = s.astype("<f4" if bits == 32 else "<f8").tobytes()
+    else:
+        raise ValueError(f"fixture encoder supports format tags 1 "
+                         f"(PCM) and 3 (IEEE float), not {fmt_tag}")
+    width = bits // 8
+    fmt = struct.pack("<HHIIHH", fmt_tag, 1, sample_rate,
+                      sample_rate * width, width, bits)
     body = (b"WAVE"
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(pcm)) + pcm)

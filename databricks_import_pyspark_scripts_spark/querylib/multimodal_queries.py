@@ -310,7 +310,10 @@ def multimodal_audio_dominant_freq(spark: SparkSession,
     for i in ids:
         parts = [0.5 * np.sin(2 * np.pi * (5 + (i * 7 + s * 3) % 20) * t)
                  for s in range(16)]
-        wav = encode_wav(np.concatenate(parts), 16000)
+        # every third clip is IEEE-float WAV (format tag 3 — VERDICT
+        # r13 #7): same spectra, so the oracle pins the float decode
+        wav = encode_wav(np.concatenate(parts), 16000,
+                         fmt_tag=3 if i % 3 == 2 else 1)
         rows.append((int(i), (wav, "audio/wav", None, None, 16000, 1,
                               16 * seg * 1000 // 16000)))
     media = spark.createDataFrame(

@@ -227,6 +227,30 @@ def test_wav_roundtrip_exact_quantization(n, seed, rate):
     assert float(np.abs(out - s).max()) <= 1.5 / 32768 + 1e-12
 
 
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 2000), st.integers(0, 2 ** 32 - 1),
+       st.sampled_from([8000, 16000, 44100]),
+       st.sampled_from([32, 64]))
+def test_wav_ieee_float_roundtrip(n, seed, rate, bits):
+    """IEEE-float WAV (format tag 3, 32/64-bit — VERDICT r13 #7)
+    round-trips to float32 precision (exactly at 64-bit) and
+    preserves rate and count."""
+    import numpy as np
+
+    from databricks_import_pyspark_scripts_spark.operators.wav_codec import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(seed)
+    s = rng.uniform(-1, 1, n)
+    out, got_rate = decode_wav(encode_wav(s, rate, fmt_tag=3,
+                                          bits=bits))
+    assert got_rate == rate and len(out) == n
+    tol = 0.0 if bits == 64 else 1e-7
+    assert float(np.abs(out - s).max()) <= tol
+
+
 @settings(max_examples=20, deadline=None)
 @given(st.lists(st.binary(min_size=1, max_size=64), min_size=1,
                 max_size=8),
