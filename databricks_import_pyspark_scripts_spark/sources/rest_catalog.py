@@ -182,6 +182,42 @@ class FileRestCatalog:
                 raise RestBadRequest(f"unsupported requirement {t!r}")
 
     # -- update application (TableUpdate) -----------------------------
+    def _added_records_from_list(self, meta: dict,
+                                 sn: dict) -> int | None:
+        """Actual data rows the snapshot added (ADVICE r13 #4 — the
+        server-side truth a client summary can't spoof): open the
+        manifests the snapshot CONTRIBUTED (added_snapshot_id matches,
+        data content) from its manifest list and sum the record counts
+        of their ADDED entries. None when the list or a manifest is
+        absent/unreadable."""
+        ml = sn.get("manifest-list")
+        if not ml:
+            return None
+        root = meta.get("location") or ""
+        try:
+            _, manifests = read_container(
+                open(_resolve_path(root, ml), "rb").read())
+        except (OSError, ValueError):
+            return None
+        total = 0
+        for mf in manifests:
+            if int(mf.get("added_snapshot_id") or -1) != \
+                    int(sn["snapshot-id"]):
+                continue
+            if int(mf.get("content") or 0) != 0:
+                continue               # delete manifests add no rows
+            try:
+                _, entries = read_container(open(_resolve_path(
+                    root, mf["manifest_path"]), "rb").read())
+            except (OSError, ValueError):
+                return None
+            for e in entries:
+                if int(e.get("status") or 0) != 1:     # ADDED only
+                    continue
+                total += int((e.get("data_file") or {})
+                             .get("record_count") or 0)
+        return total
+
     def _apply_updates(self, meta: dict, updates: list[dict]) -> dict:
         for u in updates or []:
             t = u.get("action")
@@ -209,11 +245,37 @@ class FileRestCatalog:
                     # first-row-id + the snapshot's assigned rows
                     # (summary added-records) — ADVICE r12 #5; a real
                     # REST catalog ignores any client next-row-id
-                    added = int((sn.get("summary") or {})
-                                .get("added-records") or 0)
-                    meta["next-row-id"] = max(
-                        int(meta.get("next-row-id") or 0),
-                        int(sn["first-row-id"]) + added)
+                    frid = int(sn["first-row-id"])
+                    cur = int(meta.get("next-row-id") or 0)
+                    if frid < cur:
+                        raise RestBadRequest(
+                            f"add-snapshot first-row-id {frid} is "
+                            f"below the table's next-row-id {cur}: "
+                            f"overlapping row-lineage id ranges")
+                    raw = (sn.get("summary") or {}).get("added-records")
+                    added = None if raw is None else int(raw)
+                    if not added:
+                        # ADVICE r13 #4: don't trust an absent (or
+                        # suspicious zero) client summary — the
+                        # snapshot's own manifest list records the
+                        # actual added row counts; client next-row-id
+                        # is the last-resort legacy fallback
+                        verified = self._added_records_from_list(
+                            meta, sn)
+                        if verified is not None:
+                            added = verified
+                        elif added is None:
+                            if sn.get("next-row-id") is not None:
+                                added = max(
+                                    0, int(sn["next-row-id"]) - frid)
+                            else:
+                                raise RestBadRequest(
+                                    "add-snapshot with first-row-id "
+                                    "needs summary added-records, a "
+                                    "readable manifest list, or "
+                                    "next-row-id to advance the "
+                                    "row-lineage watermark")
+                    meta["next-row-id"] = max(cur, frid + added)
                 elif sn.get("next-row-id") is not None:
                     # legacy fallback for clients predating first-row-id
                     meta["next-row-id"] = int(sn["next-row-id"])

@@ -3904,6 +3904,56 @@ def test_catalog_dml_emits_spec_first_row_id(spark, tmp_path):
     meta = cat.load_table("db", "t")["metadata"]
     assert int(meta["next-row-id"]) == hwm + 12
 
+    # ADVICE r13 #4 (1): a first-row-id BELOW the table's next-row-id
+    # would hand out overlapping row-lineage ranges — rejected
+    from databricks_import_pyspark_scripts_spark.sources.rest_catalog import (
+        RestBadRequest,
+    )
+
+    cur = meta["current-snapshot-id"]
+    with pytest.raises(RestBadRequest, match="below the table's"):
+        cat.commit_table(
+            "db", "t",
+            requirements=[{"type": "assert-ref-snapshot-id",
+                           "ref": "main", "snapshot-id": cur}],
+            updates=[{"action": "add-snapshot", "snapshot": {
+                "snapshot-id": rid + 1,
+                "timestamp-ms": int(meta["last-updated-ms"]) + 1,
+                "sequence-number":
+                    int(meta["last-sequence-number"]) + 1,
+                "manifest-list": cur_snap["manifest-list"],
+                "first-row-id": hwm,          # < next-row-id hwm+12
+                "summary": {"operation": "append",
+                            "added-records": "3"}}}])
+
+    # ADVICE r13 #4 (2): the server verifies against the snapshot's
+    # ACTUAL manifest counts — the DML head's own manifest list sums
+    # to its real added rows, not whatever the summary claims
+    head_dml = next(s for s in meta["snapshots"]
+                    if int(s["snapshot-id"]) == sid)
+    assert cat._added_records_from_list(meta, head_dml) == 5
+
+    # ...and a commit with NO added-records still lands, advanced by
+    # the manifest-list truth (0 here: the reused list contributes no
+    # manifests under the new snapshot id)
+    cat.commit_table(
+        "db", "t",
+        requirements=[{"type": "assert-ref-snapshot-id",
+                       "ref": "main", "snapshot-id": cur}],
+        updates=[
+            {"action": "add-snapshot", "snapshot": {
+                "snapshot-id": rid + 2,
+                "timestamp-ms": int(meta["last-updated-ms"]) + 1,
+                "sequence-number":
+                    int(meta["last-sequence-number"]) + 1,
+                "manifest-list": cur_snap["manifest-list"],
+                "first-row-id": hwm + 12,
+                "summary": {"operation": "append"}}},
+            {"action": "set-snapshot-ref", "ref-name": "main",
+             "type": "branch", "snapshot-id": rid + 2}])
+    assert int(cat.load_table("db", "t")["metadata"]
+               ["next-row-id"]) == hwm + 12
+
 
 def test_update_where_on_row_lineage_table_assigns_fresh_ids(spark,
                                                              tmp_path):
