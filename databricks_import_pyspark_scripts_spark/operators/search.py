@@ -426,16 +426,21 @@ def containment_pairs(docs: DataFrame, id_col: str, text_col: str,
     shingles. The ``min_shared`` HAVING collapses the long tail before the
     size join. Returns (a, b, n_shared, n_a, containment_a) with a < b.
     """
-    # Arrow shingles, not the expression form: this projection has THREE
-    # consumers (per-doc sizes, the DF guard, the guarded pair explode), so
-    # it executes three times — and the expression form's nested
+    # Arrow shingles, not the expression form: the expression form's nested
     # transform/slice lambdas run interpreted (same sets, pinned by
     # test_impl_consistency; measured 16.6 s -> ~5 s for the sf0.1 gate
-    # query from this swap alone).
+    # query from this swap alone). This projection has THREE consumers
+    # (per-doc sizes, the DF guard, the guarded pair explode), so it is
+    # localCheckpointed to execute ONCE — unmaterialized, each reference
+    # replays the whole tokenize+shingle Arrow pass (no exchange reuse
+    # across self-references; r14, same policy as bm25_index/semdedup).
+    # The checkpoint holds (id, shingle) rows — O(corpus tokens) smallish
+    # strings on executor storage, the same class as the BM25 postings.
     from .dedup import shingles_pd_df
 
     sh = (shingles_pd_df(docs, id_col, text_col, k)
-          .select(F.col(id_col), F.explode("sh").alias("s")))
+          .select(F.col(id_col), F.explode("sh").alias("s"))
+          .localCheckpoint(eager=True))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     # document frequency per shingle: sh is distinct per (doc, shingle)
     # (shingles_col array_distincts), so COUNT(*) == #docs containing s.

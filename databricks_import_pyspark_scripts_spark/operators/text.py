@@ -521,13 +521,29 @@ def dsir_logweights(df, id_col: str, text_col: str, target_col: str,
     broadcast back onto the exploded features, one per-doc sum — the
     corpus shuffles once on the bucket id and once on the doc id;
     nothing is quadratic, no vocabulary is ever materialized (hashing
-    IS the point of DSIR: B stays driver-sized at any corpus size)."""
-    feats = (df.select(F.col(id_col),
-                       F.col(target_col).cast("boolean").alias("__tgt"),
-                       F.explode(shingles_col(F.col(text_col), ngram))
-                       .alias("__f"))
+    IS the point of DSIR: B stays driver-sized at any corpus size).
+
+    The (id, tgt, bucket) feature projection has TWO consumers (the
+    bucket-distribution count and the per-doc score join), so it is
+    computed ONCE — Arrow-batched shingles (``shingles_pd_df``, the same
+    set-identical fast path the containment/LSH family uses instead of
+    the interpreted transform/slice lambda chain) with the md5 bucket
+    still a codegen'd JVM expression, then localCheckpointed so the
+    second consumer never replays the tokenize+shingle+hash pipeline.
+    The checkpoint holds only (id, bool, int) rows — O(distinct features)
+    of a few bytes each, executor-storage-scale at any corpus size."""
+    from .dedup import shingles_pd_df  # local: dedup imports this module
+
+    sh = shingles_pd_df(
+        df.select(F.col(id_col),
+                  F.col(target_col).cast("boolean").alias("__tgt"),
+                  F.col(text_col)),
+        id_col, text_col, ngram, extra_cols=["__tgt"])
+    feats = (sh.select(F.col(id_col), F.col("__tgt"),
+                       F.explode("sh").alias("__f"))
              .withColumn("__b", dsir_bucket_col(F.col("__f"), n_buckets))
-             .drop("__f"))
+             .drop("__f")
+             .localCheckpoint(eager=True))
     cnt = (feats.groupBy("__b")
            .agg(F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("pc"),
                 F.sum(F.when(~F.col("__tgt"), 1).otherwise(0)).alias("qc")))

@@ -397,8 +397,19 @@ def _zipf_groupmap_input(spark: SparkSession, sf_dir: str) -> DataFrame:
                              (F.col("l_orderkey") % 97).cast("string")))
          .alias("k"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
-        F.concat_ws(",", "l_orderkey", "l_linenumber").alias("_uid"),
+        F.col("l_orderkey").alias("_okey"),
+        F.col("l_linenumber").alias("_lno"),
         F.explode(F.sequence(F.lit(1), F.lit(_GROUPMAP_MULT))).alias("rep"))
+
+
+# grouped-map inputs are projected to EXACTLY the columns the pandas
+# function reads (+ grouping keys) before applyInPandas: a grouped map
+# ships every column of the frame through the Arrow boundary whether the
+# function touches it or not (Spark cannot see inside the function), and
+# the row-id/salt plumbing columns (_okey, _lno, rep) roughly double the per-row
+# Arrow bytes at 9.6M exploded rows. The straggler demonstration is
+# untouched — the hot key still streams through one Python worker
+# unsalted; only dead columns stop crossing the boundary.
 
 
 def _groupmap_stats(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -420,7 +431,7 @@ _GROUPMAP_SCHEMA = "k string, n_rows long, sum_cents long, max_cents long"
         "one Python worker serially — the grouped-map straggler this bench "
         "row makes visible (compare the salted twin's time in BENCH).")
 def skew_groupmap_hot_key_unsalted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    keyed = _zipf_groupmap_input(spark, sf_dir)
+    keyed = _zipf_groupmap_input(spark, sf_dir).select("k", "c")
     return keyed.groupBy("k").applyInPandas(_groupmap_stats, _GROUPMAP_SCHEMA)
 
 
@@ -436,8 +447,14 @@ def skew_groupmap_hot_key_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import salted
 
     keyed = _zipf_groupmap_input(spark, sf_dir)
+    # salt basis: numeric xxhash64 over the raw unique row id, not a
+    # per-row concat string — the salt only has to be deterministic and
+    # unique-ish per row, and the merged output (sum/sum/max) is
+    # salt-assignment-invariant, so the cheaper basis cannot change the
+    # result (r14; the string build cost 9.6M allocations pre-shuffle).
     keyed = salted(keyed, "_salt", num_salts=32,
-                   by=F.concat_ws("#", "_uid", "rep"))
+                   by=F.xxhash64("_okey", "_lno", "rep")
+                   ).select("k", "_salt", "c")
     partial = keyed.groupBy("k", "_salt").applyInPandas(
         _groupmap_stats, _GROUPMAP_SCHEMA)
     return (partial.groupBy("k")

@@ -18,7 +18,7 @@ from ..operators.clustering import (
     KMEANS_ITERS,
     KMEANS_SCALE,
     cluster_balanced_sample,
-    kmeans_assign,
+    kmeans_assign_arrow,
 )
 from ..sources.registry import load_table
 from . import register
@@ -95,7 +95,14 @@ def _kmeans_ctes() -> str:
         "sums.")
 def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    return kmeans_assign(e, "vec_id", "embedding", dim=EMB_DIM)
+    # Arrow-GEMM form, not the lazy expression chain: assignment distance
+    # is k interpreted zip_with/aggregate lambda evaluations per vector per
+    # round in the expression form vs one int64 matmul per Arrow batch
+    # here. Bit-identical output (argmin tiebreak to smallest cid) pinned
+    # on this exact table by tests/test_clustering.py::
+    # test_arrow_kmeans_on_real_embeddings (r14 optimization; evidence in
+    # OPTIMIZATION_r14.md).
+    return kmeans_assign_arrow(e, "vec_id", "embedding", dim=EMB_DIM)
 
 
 @register(
@@ -117,11 +124,11 @@ def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     # materialize the assignment before the window: the sampler's
-    # cluster_id shuffle sits ON TOP of the unrolled Lloyd chain, and the
-    # combined plan measured 7.5-14.3 s warm vs 6.2-7.2 s with the chain
+    # cluster_id shuffle sits ON TOP of the Lloyd chain, and the combined
+    # plan measured 7.5-14.3 s warm vs 6.2-7.2 s with the chain
     # checkpointed once (sf0.1; the SCALE.md lineage decision rule's
-    # "consumer adds its own exchange" case). cluster_kmeans_assign itself
-    # stays lazy — measured faster without the checkpoint barrier.
-    asg = (kmeans_assign(e, "vec_id", "embedding", dim=EMB_DIM)
+    # "consumer adds its own exchange" case). Arrow-GEMM form as in
+    # cluster_kmeans_assign (r14).
+    asg = (kmeans_assign_arrow(e, "vec_id", "embedding", dim=EMB_DIM)
            .localCheckpoint(eager=True))
     return cluster_balanced_sample(asg, "vec_id", cap=SAMPLE_CAP)

@@ -123,3 +123,29 @@ def test_arrow_kmeans_on_real_embeddings(spark, sf_dir):
     expr = kmeans_assign(emb, "vec_id", "embedding", dim=64)
     arrow = kmeans_assign_arrow(emb, "vec_id", "embedding", dim=64)
     assert sorted(map(tuple, expr.collect())) == sorted(map(tuple, arrow.collect()))
+
+
+def test_quantize_np_half_up_matches_expression_on_dyadic_halves(spark):
+    """quantize_np must implement HALF_UP (Spark round()), not numpy's
+    half-to-even: dyadic-rational coordinates scale to EXACT .5 values
+    (0.0625 * 1000 = 62.5 exactly in float64) where the two rules diverge.
+    Both paths multiply the same float64 by the same scale, so agreement
+    on these values pins the rounding rule itself (r14 fused-arrow k-means
+    quantizes in numpy instead of shipping expression-quantized arrays)."""
+    import numpy as np
+
+    from databricks_import_pyspark_scripts_spark.operators.clustering import (
+        quantize_np,
+        quantize_vec,
+    )
+
+    vals = [0.0625, -0.0625, 5.0625, -5.0625, 0.1875, -0.1875,
+            0.5, -0.5, 1.5, -1.5, 0.0, -0.0, 2.25, -2.25,
+            0.123456, -9.87654, 3.0, -3.0]
+    df = spark.createDataFrame([(0, vals)],
+                               "vec_id long, embedding array<double>")
+    expr = df.select(quantize_vec(F.col("embedding")).alias("qv")).collect()
+    got = quantize_np(np.array([vals], dtype=np.float64))
+    assert list(expr[0].qv) == got[0].tolist()
+    # and the divergence is real: banker's rounding would disagree on 62.5
+    assert got[0][0] == 63 and got[0][1] == -63

@@ -170,11 +170,15 @@ def test_containment_guard_precedes_pair_explode(spark, sf_dir):
     plan = _plan(df)
     assert plan.count("Join LeftSemi") >= 1
     assert "CartesianProduct" not in plan
-    # EXACTLY 4 documents scans: sizes, the df-guard aggregate, the guarded
-    # pair explode, and the 1-row n_docs scalar (count-only, column-pruned).
-    # A 5th means a join side re-runs the tokenize+shingle pipeline again
-    # (the pre-r6 self-join shape); 3 means a consumer silently vanished.
-    assert _scans(plan, "documents") == 4
+    # r14: the (id, shingle) projection is localCheckpointed, so the
+    # tokenize+shingle Arrow pass executes ONCE; its three consumers
+    # (sizes, df-guard aggregate, guarded pair explode) read the
+    # checkpoint RDD, and EXACTLY ONE documents parquet scan remains —
+    # the 1-row n_docs scalar (count-only, column-pruned). A 2nd parquet
+    # scan means a consumer bypassed the checkpoint and re-runs the
+    # tokenize+shingle pipeline; 0 means the scalar vanished.
+    assert _scans(plan, "documents") == 1
+    assert plan.count("Scan ExistingRDD") >= 3
 
 
 def test_triangle_wedge_join_is_equi_join(spark, sf_dir):
