@@ -379,17 +379,30 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     cand = (bucket_pairs(bands, ["band_idx", "band_hash"], F.col(id_col),
                          max_bucket=max_bucket)
             .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
-            .distinct())
-    # melt-join verify: the corpus-wide shingle projection executes ONCE.
-    # The earlier two-sided form joined `sh` as both sh_a and sh_b, which
-    # re-ran the Arrow shingle stage per side (2 corpus scans just for
-    # verify). Here each candidate pair melts into two (pair, id) rows, the
-    # single `sh` joins by id (candidates broadcast — the corpus side
-    # streams map-side and never shuffles), and a groupBy on the pair
-    # reassembles (sh_a, sh_b) via max_by on the role flag — shuffling only
-    # the MATCHED shingle arrays, which are candidate-bounded, not
-    # corpus-bounded.
-    sh = shingles_pd_df(df, id_col, text_col, k)
+            .distinct()
+            # materialize the (LSH-bounded, tiny) pair list: it now has TWO
+            # consumers — the melt below and the candidate-id semi-join that
+            # bounds the verify shingle pass — and an unmaterialized second
+            # reference would re-run the whole signature+band+pair pipeline
+            # (r14; same policy as incremental_neardup's candidate list)
+            .localCheckpoint(eager=True))
+    # melt-join verify: the shingle projection executes ONCE, and ONLY over
+    # candidate documents. The earlier two-sided form joined `sh` as both
+    # sh_a and sh_b, which re-ran the Arrow shingle stage per side (2 corpus
+    # scans just for verify); the r10 melt form ran it once but still over
+    # the WHOLE corpus even though only candidate docs' shingles survive
+    # the join. The broadcast semi-join on candidate ids prunes the corpus
+    # BEFORE the Python boundary (guide §4.1: ship only what the function
+    # needs), so at 100 TB verify tokenizes O(candidates), not O(corpus).
+    # Each candidate pair melts into two (pair, id) rows, the single `sh`
+    # joins by id (candidates broadcast — the pruned corpus side streams
+    # map-side), and a groupBy on the pair reassembles (sh_a, sh_b) via
+    # max_by on the role flag — shuffling only matched shingle arrays.
+    cand_ids = (cand.select(F.explode(F.array(F.col("id_a"), F.col("id_b")))
+                            .alias(id_col))
+                .distinct())
+    docs_cand = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+    sh = shingles_pd_df(docs_cand, id_col, text_col, k)
     melted = cand.select(
         "id_a", "id_b",
         F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col))
@@ -670,8 +683,18 @@ def incremental_neardup(history: DataFrame, new_batch: DataFrame,
     ``has_near_dup = false``. ``history`` supplies candidate TEXTS for
     the verify either way (the index carries only band hashes).
     """
-    hb = index if index is not None else build_neardup_index(
-        history, id_col, text_col, num_hashes, num_bands, k)
+    if index is not None:
+        hb = index
+    else:
+        # recomputed-from-text band table (the at-scale anti-shape testdata
+        # forces) feeds TWO consumers below — the degenerate-bucket
+        # aggregate and the probe join — so materialize it once rather than
+        # running the Arrow minhash pass over all of history twice (r14).
+        # A STORED index is left as-is: re-scanning a band table twice is
+        # cheap, and the checkpoint would only copy it.
+        hb = build_neardup_index(
+            history, id_col, text_col, num_hashes, num_bands,
+            k).localCheckpoint(eager=True)
     nb = minhash_bands(new_batch, id_col, text_col, num_hashes, num_bands, k)
     if max_bucket is not None:
         ok = (hb.groupBy("band_idx", "band_hash")

@@ -31,17 +31,37 @@ def _scans(plan: str, table: str) -> int:
 
 
 def test_minhash_signature_pipeline_executes_once(spark, sf_dir):
-    """Documents must scan exactly 3 times — 1 fingerprint projection for
-    the exact-collapse pre-pass, 1 signature pipeline behind its rep-id
-    semi-join (the semi-join shape keeps corpus TEXTS out of the collapse
-    shuffle: only (fp, id) pairs shuffle, texts re-enter via a column-
-    pruned scan), 1 melt-join Arrow-shingle verify — with 2 Arrow stages.
-    A 4th scan means a band consumer or per-join-side verify crept back;
-    2 scans means the collapse went back to shuffling texts."""
+    """r14: the candidate pair list is localCheckpointed, so the final
+    (verify) plan holds EXACTLY 1 documents scan — the candidate-id
+    semi-joined text scan feeding the single melt-join Arrow-shingle
+    verify stage — plus the checkpoint RDD reads. A 2nd parquet scan
+    means a verify join side bypassed the checkpoint and re-runs the
+    signature pipeline; a 2nd Arrow stage means per-join-side shingling
+    crept back. The signature/collapse pipeline itself (2 scans: the
+    fingerprint projection and the rep-id semi-joined text scan, 1 Arrow
+    signature stage) is pinned on the pre-checkpoint candidate subplan."""
     df = all_queries()["dedup_minhash_lsh"](spark, sf_dir)
     plan = _plan(df)
-    assert _nodes(plan, "ArrowEvalPython") == 2
-    assert _scans(plan, "documents") == 3
+    assert _nodes(plan, "ArrowEvalPython") == 1
+    assert _scans(plan, "documents") == 1
+    assert plan.count("Scan ExistingRDD") >= 1
+
+    from databricks_import_pyspark_scripts_spark.operators.dedup import (
+        MAX_BUCKET,
+        bucket_pairs,
+        collapse_exact_reps,
+        minhash_bands,
+    )
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bands = minhash_bands(collapse_exact_reps(d, "doc_id", "text"),
+                          "doc_id", "text")
+    cand = bucket_pairs(bands, ["band_idx", "band_hash"], F.col("doc_id"),
+                        max_bucket=MAX_BUCKET)
+    cplan = _plan(cand)
+    assert _nodes(cplan, "ArrowEvalPython") == 1
+    assert _scans(cplan, "documents") == 2
 
 
 def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
