@@ -60,10 +60,8 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
 
     ``edges`` are undirected (symmetrized internally).
     """
-    sym = (edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-           .unionByName(
-               edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
-           .distinct())
+    sym = _both_directions(edges, src_col, dst_col,
+                           "a", "b").distinct()
     # materialize once: the edge list may be an expensive pipeline
     # (e.g. the MinHash candidate join) and is reused every round
     sym = _truncate(sym, reliable_checkpoints)
@@ -100,10 +98,26 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
         f"large-star/small-star variant for high-diameter graphs")
 
 
+def _both_directions(edges: DataFrame, src_col: str, dst_col: str,
+                     out_a: str, out_b: str) -> DataFrame:
+    """Emit each edge in both orientations in ONE pass over ``edges``.
+
+    The union-of-two-projections form references ``edges`` twice, and when
+    the edge list is an expensive pipeline (the ER candidate join, the
+    MinHash pair join) the whole pipeline EXECUTES twice — exchange reuse
+    only dedups identical exchange subtrees, not the post-shuffle
+    projection/verify work above them. ``explode`` of the two orientations
+    is row-identical to the union and scans the input once (r14,
+    guide §2.4: remove duplicate passes outright)."""
+    return edges.select(
+        F.explode(F.array(
+            F.struct(F.col(src_col).alias(out_a), F.col(dst_col).alias(out_b)),
+            F.struct(F.col(dst_col).alias(out_a), F.col(src_col).alias(out_b)),
+        )).alias("_e")).select("_e.*")
+
+
 def _symmetric(edges: DataFrame) -> DataFrame:
-    return (edges.select("a", "b")
-            .unionByName(edges.select(F.col("b").alias("a"),
-                                      F.col("a").alias("b")))
+    return (_both_directions(edges, "a", "b", "a", "b")
             .filter(F.col("a") != F.col("b")))
 
 
@@ -228,9 +242,7 @@ def pagerank_exact(vertices: DataFrame, edges: DataFrame,
     # here. Contrast the round-LOOP operators (connected_components,
     # kcore_peel): their per-round convergence probes are separate jobs,
     # reuse cannot span jobs, so they genuinely need the checkpoint.
-    sym = (edges.select("src", "dst")
-           .unionByName(edges.select(F.col("dst").alias("src"),
-                                     F.col("src").alias("dst")))
+    sym = (_both_directions(edges, "src", "dst", "src", "dst")
            .filter(F.col("src") != F.col("dst")))
     deg = sym.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("deg"))
@@ -356,10 +368,7 @@ def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 4,
     and de-duplicated here.
     """
     sym = _truncate(
-        edges.select(F.col(src_col).alias("node"),
-                     F.col(dst_col).alias("nbr"))
-        .unionByName(edges.select(F.col(dst_col).alias("node"),
-                                  F.col(src_col).alias("nbr")))
+        _both_directions(edges, src_col, dst_col, "node", "nbr")
         .filter(F.col("node") != F.col("nbr"))
         .distinct(), reliable_checkpoints)
     alive = sym
