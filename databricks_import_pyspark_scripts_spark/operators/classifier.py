@@ -105,6 +105,14 @@ def logreg_train_newton(df: DataFrame, feature_col: str, label_col: str,
     decreasing; the caller's convergence evidence). ``ridge`` keeps the
     Hessian invertible on separable data."""
     d1 = dim + 1
+    # Each Newton iteration is its own collect() job, so exchange reuse
+    # cannot span iterations: an unmaterialized ``df`` re-executes its whole
+    # feature pipeline (typically interpreted token/regexp expressions over
+    # the corpus) once per iteration — iters+0 extra full corpus passes.
+    # Materialize the (features, label) projection ONCE (guide §2.4/§5):
+    # d+1 doubles per row, far narrower than the corpus text it derives
+    # from, pinned MEMORY_AND_DISK for the few seconds the loop runs.
+    df = df.select(feature_col, label_col).localCheckpoint(eager=True)
     w = np.zeros(d1)
     losses: list[float] = []
     for _ in range(iters):

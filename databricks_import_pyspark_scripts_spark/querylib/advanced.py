@@ -438,25 +438,32 @@ def skew_groupmap_hot_key_unsalted(spark: SparkSession, sf_dir: str) -> DataFram
 @register(
     "skew_groupmap_hot_key_salted",
     _ZIPF_GROUPMAP_ORACLE,
-    doc="The same grouped-map stats with two-phase salting "
-        "(operators.skew.salted): per-(key, salt) pandas partials run on "
-        "32 workers in parallel, merged by mergeable builtin aggregates "
-        "(sum/sum/max). Identical exact-integer result; the BENCH pair "
-        "salted <= unsalted is the skew-handling evidence SCALE.md cites.")
+    doc="The same grouped-map stats via MAP-SIDE pandas partials — salting "
+        "taken to its limit (every input partition is its own salt, so the "
+        "salt column and the 9.6M-row shuffle it fed both disappear): "
+        "mapInPandas computes per-key pandas partials per Arrow batch "
+        "where the rows already are, and ONLY the tiny (key, partial) rows "
+        "shuffle into the mergeable builtin aggregates (sum/sum/max) — "
+        "guide-§2.3 'aggregate before you shuffle' applied to the Python "
+        "boundary. Identical exact-integer result (the merge is partition-"
+        "assignment-invariant); the BENCH pair salted <= unsalted is the "
+        "skew-handling evidence SCALE.md cites. r14: replaced the "
+        "per-(key, salt) shuffled applyInPandas — that shape still paid a "
+        "full exchange of every exploded row before any reduction.")
 def skew_groupmap_hot_key_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.skew import salted
+    keyed = _zipf_groupmap_input(spark, sf_dir).select("k", "c")
 
-    keyed = _zipf_groupmap_input(spark, sf_dir)
-    # salt basis: numeric xxhash64 over the raw unique row id, not a
-    # per-row concat string — the salt only has to be deterministic and
-    # unique-ish per row, and the merged output (sum/sum/max) is
-    # salt-assignment-invariant, so the cheaper basis cannot change the
-    # result (r14; the string build cost 9.6M allocations pre-shuffle).
-    keyed = salted(keyed, "_salt", num_salts=32,
-                   by=F.xxhash64("_okey", "_lno", "rep")
-                   ).select("k", "_salt", "c")
-    partial = keyed.groupBy("k", "_salt").applyInPandas(
-        _groupmap_stats, _GROUPMAP_SCHEMA)
+    def _partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            g = pdf.groupby("k", sort=False)["c"]
+            out = pd.DataFrame({"n_rows": g.size(),
+                                "sum_cents": g.sum(),
+                                "max_cents": g.max()}).reset_index()
+            yield out[["k", "n_rows", "sum_cents", "max_cents"]]
+
+    partial = keyed.mapInPandas(_partials, _GROUPMAP_SCHEMA)
     return (partial.groupBy("k")
             .agg(F.sum("n_rows").alias("n_rows"),
                  F.sum("sum_cents").alias("sum_cents"),

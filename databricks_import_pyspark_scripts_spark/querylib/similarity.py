@@ -631,24 +631,38 @@ def similarity_topk_rp_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine_col
 
     planes = _rp_planes()
-    e = (load_table(spark, sf_dir, "embeddings")
-         .withColumn("r", rp_reduce_col(F.col("embedding"), planes,
-                                        quant_scale=QUANT_SCALE)))
-    q = (e.filter(F.col("vec_id") % QUERY_MOD == 0)
-         .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("q_embedding"),
-                 F.col("r").alias("qr")))
-    pairs = (e.select("vec_id", "embedding", "r")
-             .crossJoin(F.broadcast(q))
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Shortlist on the REDUCED vectors only (r14, guide §2.3/§8: decide
+    # with small rows, attach the payload after): the candidate window
+    # previously carried BOTH full 64-dim embedding arrays per (vector,
+    # query) pair through the rank exchange — ~16x the bytes of the
+    # (query_id, vec_id, l2) triple actually needed to pick the top 25.
+    # The exact-cosine re-rank re-attaches embeddings to the 25*|Q|
+    # surviving pairs via broadcast joins (no corpus shuffle at all).
+    red = emb.select("vec_id",
+                     rp_reduce_col(F.col("embedding"), planes,
+                                   quant_scale=QUANT_SCALE).alias("r"))
+    qred = (red.filter(F.col("vec_id") % QUERY_MOD == 0)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("r").alias("qr")))
+    pairs = (red.crossJoin(F.broadcast(qred))
              .filter(F.col("vec_id") != F.col("query_id"))
-             .withColumn("l2", rp_l2_col(F.col("r"), F.col("qr"))))
+             .select("query_id", "vec_id",
+                     rp_l2_col(F.col("r"), F.col("qr")).alias("l2")))
     w1 = Window.partitionBy("query_id").orderBy("l2", "vec_id")
     cand = (pairs.withColumn("rn", F.row_number().over(w1))
-            .filter(F.col("rn") <= _RP_CANDIDATES))
-    scored = cand.select(
-        "query_id", "vec_id",
-        F.round(cosine_col(F.col("embedding"), F.col("q_embedding")),
-                4).alias("cosine"))
+            .filter(F.col("rn") <= _RP_CANDIDATES)
+            .select("query_id", "vec_id"))
+    qemb = (emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("q_embedding")))
+    scored = (cand
+              .join(F.broadcast(emb.select("vec_id", "embedding")), "vec_id")
+              .join(F.broadcast(qemb), "query_id")
+              .select("query_id", "vec_id",
+                      F.round(cosine_col(F.col("embedding"),
+                                         F.col("q_embedding")),
+                              4).alias("cosine")))
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), "vec_id")
     return (scored.withColumn("rank", F.row_number().over(w2))

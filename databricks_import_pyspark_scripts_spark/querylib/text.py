@@ -1377,16 +1377,25 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.count()
+    # tf feeds FOUR subplans (dfreq, the idf-weight join, and both sides of
+    # the rare-token candidate self-join) and w feeds three (norms + both
+    # dot-product sides); each is its own exchange subtree, and the
+    # tokenize+explode+aggregate pipeline re-executes per consumer (r14,
+    # guide §2.4: exchange reuse only dedups identical subtrees, and the
+    # aggregate keys differ). Both projections are token-postings-narrow
+    # (id, token, number), so materialize each once.
     tf = (d.select("doc_id",
                    F.explode(tokens_col(F.col("text"))).alias("token"))
           .groupBy("doc_id", "token")
-          .agg(F.count(F.lit(1)).alias("tf")))
+          .agg(F.count(F.lit(1)).alias("tf"))
+          .localCheckpoint(eager=True))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     w = (tf.join(dfreq, "token")
          .select("doc_id", "token",
                  (F.col("tf") * (F.log((F.lit(n_docs) + 1.0)
                                        / (F.col("df") + 1.0)) + 1.0))
-                 .alias("w")))
+                 .alias("w"))
+         .localCheckpoint(eager=True))
     nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w")))
                                   .alias("nrm"))
     rare = dfreq.filter(F.col("df") <= _TFIDF_DF_FRAC * n_docs)\
