@@ -34,16 +34,20 @@ from pyspark.sql import functions as F
 
 BPE_ITERS = 4
 
-# Beyond this many iterations the initial vocabulary is localCheckpointed:
-# the unrolled-lazy merge chain re-embeds the corpus-collapsing aggregate in
-# every iteration's best-pair subtree, so lineage alone re-executes the
-# corpus scan O(iters) times and the vocab replace chain O(iters^2) times.
-# The checkpoint (executor-local, no HDFS dir needed) cuts lineage at the
-# |vocab|-row frame: ONE corpus scan total, iterations run on materialized
-# vocab rows. Below the threshold the fully-lazy chain is kept — it is the
-# oracle-checkable shape the gate queries (iters=4) attest, and at tiny
-# iteration counts lineage re-execution is cheaper than a materialization.
-BPE_MATERIALIZE_ITERS = 5
+# At or beyond this many iterations the initial vocabulary is
+# localCheckpointed: the unrolled-lazy merge chain re-embeds the
+# corpus-collapsing aggregate in every iteration's best-pair subtree, so
+# lineage alone re-executes the corpus scan O(iters) times and the vocab
+# replace chain O(iters^2) times. The checkpoint (executor-local, no HDFS
+# dir needed) cuts lineage at the |vocab|-row frame: ONE corpus scan total,
+# iterations run on materialized vocab rows. r14: threshold dropped 5 -> 1
+# (always materialize) — the "lazy is cheaper at tiny iteration counts"
+# assumption measured FALSE at the gate's iters=4 (same-host min-of-3 at
+# sf0.1: encode 2.28 -> 1.81 s, merges 1.92 -> 1.16 s); the corpus
+# aggregate dominates the chain even at 4 iterations, and at 100 TB each
+# avoided re-aggregation is a full corpus scan. Values are unchanged
+# (checkpointing only truncates lineage); the gates stay oracle-checked.
+BPE_MATERIALIZE_ITERS = 1
 
 
 def _vocab_seqs(docs: DataFrame, text_col: str, iters: int) -> DataFrame:

@@ -344,15 +344,19 @@ def cross_group_passage_overlap(docs: DataFrame, id_col: str, text_col: str,
     ONE shuffle; the within-passage pair explode is bounded per hash by
     the number of GROUPS sharing it (``bucket_pairs`` on ``h``), never by
     document count — output is at most |groups|^2 matrix cells. The
-    per-group size aggregate re-executes the projection once more (two
-    corpus passes total, the duplicate_passage_stats precedent — nothing
-    is pinned in session storage).
+    deduped ``(group, h)`` set is localCheckpointed (r14, guide §2.4):
+    it feeds both the pair mining and the size aggregate, and exchange
+    reuse only shared the pre-Arrow repartition — the window-hash Python
+    pass and the distinct agg still re-executed per consumer. The pin is
+    narrow (group tag + 32-char hash) and reclaimed by
+    ``checkpoint_scope`` in long-lived sessions.
     """
     from .dedup import bucket_pairs
 
     gset = (passage_hashes_pd_df(docs, id_col, text_col, w,
                                  carry_cols=(group_col,))
-            .select(group_col, "h").distinct())
+            .select(group_col, "h").distinct()
+            .localCheckpoint(eager=True))
     pairs = (bucket_pairs(gset, ["h"], F.col(group_col),
                           max_bucket=max_groups)
              .groupBy("a", "b")

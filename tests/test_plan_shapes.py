@@ -308,20 +308,21 @@ def test_psi_drift_single_corpus_scan(spark, sf_dir):
 
 
 def test_cross_group_overlap_single_size_build(spark, sf_dir):
-    """The overlap matrix declares 3 corpus passes (pair pipeline + the
-    two aliased size-join sides) but must EXECUTE fewer: the size table
-    is one subplan aliased onto both join sides, so at runtime the
-    broadcast build is reused for the second side (1 ReusedExchange) and
-    the doc-id repartition ahead of the Arrow window-hash map is shared
-    between the pair pipeline and the size build (2nd ReusedExchange) —
-    the corpus is READ once. Both reuses disappearing means a
-    re-projected (non-aliased) size side crept back and each join side
-    re-runs the whole corpus pass."""
+    """The overlap matrix's deduped (group, h) set is localCheckpointed
+    (r14): exchange reuse only shared the pre-Arrow repartition, so the
+    window-hash Python pass and the distinct agg still re-executed per
+    consumer (pair mining + size build). With the checkpoint the corpus
+    is read and window-hashed exactly ONCE — a second documents scan or
+    a second MapInPandas in the plan means the checkpoint was dropped
+    and per-consumer re-execution crept back."""
     df = all_queries()["dedup_cross_source_overlap"](spark, sf_dir)
-    assert _scans(_plan(df), "documents") == 3  # declared passes
-    df.collect()
-    executed = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
-    assert executed.count("ReusedExchange") >= 2
+    plan = _plan(df)
+    # the eager checkpoint ran scan + window-hash ONCE at build time; the
+    # final plan must read the checkpoint RDD only — any documents scan or
+    # MapInPandas here means a consumer bypasses the materialized set
+    assert _scans(plan, "documents") == 0
+    assert plan.count("MapInPandas") == 0
+    assert "Scan ExistingRDD" in plan
 
 
 def test_brand_affinity_single_marginal_build(spark, sf_dir):
