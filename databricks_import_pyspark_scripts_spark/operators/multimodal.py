@@ -410,6 +410,56 @@ def mp4_frame_plan(media_df: DataFrame, id_col: str = "media_id",
     return vids.mapInPandas(run, MP4_PLAN_SCHEMA)
 
 
+def _synthesize_video_corpus(spark, ids: list[int], container: str,
+                             variants_per_cluster: int,
+                             frames_per_video: int, fps: int) -> DataFrame:
+    """Shared distributed builder for the AVI/MP4 fixture corpora: the
+    pure-Python JPEG encode of every frame runs in executor mapInPandas
+    batches instead of a single-threaded driver loop (r14, guide §4.2 —
+    measured 1.65 s of driver CPU per 60-video corpus, re-paid every
+    bench run). Row content is byte-identical to the old driver loop:
+    the per-id construction is deterministic and shared."""
+    import pandas as pd
+
+    vpc, fpv = variants_per_cluster, frames_per_video
+    out_schema = StructType([StructField("media_id", LongType()),
+                             StructField("media", MEDIA_SCHEMA)])
+
+    def _mk(batches):
+        import numpy as np
+
+        from .avi_codec import encode_avi_mjpeg
+        from .jpeg_codec import encode_jpeg_gray
+        from .mp4_codec import encode_mp4_jpeg
+
+        for pdf in batches:
+            recs = []
+            for i in pdf["media_id"]:
+                i = int(i)
+                v = i % vpc
+                frames = []
+                for f in range(fpv):
+                    img = _cluster_pattern_image((i // vpc) * vpc,
+                                                 vpc).astype(np.int32)
+                    img = np.clip(img + v + f, 0, 255).astype(np.uint8)
+                    frames.append(encode_jpeg_gray(img))
+                if container == "avi":
+                    blob, mime = encode_avi_mjpeg(frames, fps=fps), "video/avi"
+                else:
+                    blob = encode_mp4_jpeg(frames, fps=fps, width=32,
+                                           height=32)
+                    mime = "video/mp4"
+                recs.append((i, {"content": blob, "mime": mime,
+                                 "width": 32, "height": 32,
+                                 "sample_rate": None, "channels": None,
+                                 "duration_ms": fpv * 1000 // fps}))
+            yield pd.DataFrame(recs, columns=["media_id", "media"])
+
+    base = spark.createDataFrame([(int(i),) for i in ids], "media_id long")
+    base = base.repartition(spark.sparkContext.defaultParallelism)
+    return base.mapInPandas(_mk, out_schema)
+
+
 def synthesize_avi_corpus(spark, ids: list[int],
                           variants_per_cluster: int = 10,
                           frames_per_video: int = 6,
@@ -420,29 +470,10 @@ def synthesize_avi_corpus(spark, ids: list[int],
     variant and frame index), JPEG-encoded at q=1, wrapped in the
     stdlib AVI container. Every sampled frame's aHash code therefore
     equals the cluster pattern integer exactly — the construction the
-    frame-phash gate's oracle restates arithmetically."""
-    import numpy as np
-
-    from .avi_codec import encode_avi_mjpeg
-    from .jpeg_codec import encode_jpeg_gray
-
-    rows = []
-    for i in ids:
-        v = int(i) % variants_per_cluster
-        frames = []
-        for f in range(frames_per_video):
-            img = _cluster_pattern_image(
-                (int(i) // variants_per_cluster) * variants_per_cluster,
-                variants_per_cluster).astype(np.int32)
-            img = np.clip(img + v + f, 0, 255).astype(np.uint8)
-            frames.append(encode_jpeg_gray(img))
-        avi = encode_avi_mjpeg(frames, fps=fps)
-        dur = frames_per_video * 1000 // fps
-        rows.append((int(i), (avi, "video/avi", 32, 32, None, None, dur)))
-    return spark.createDataFrame(
-        rows,
-        StructType([StructField("media_id", LongType()),
-                    StructField("media", MEDIA_SCHEMA)]))
+    frame-phash gate's oracle restates arithmetically. Encoded
+    distributed (see ``_synthesize_video_corpus``)."""
+    return _synthesize_video_corpus(spark, ids, "avi", variants_per_cluster,
+                                    frames_per_video, fps)
 
 
 def synthesize_mp4_corpus(spark, ids: list[int],
@@ -455,29 +486,10 @@ def synthesize_mp4_corpus(spark, ids: list[int],
     out multi-chunk (stsc-exercising) with full stbl sample tables.
     The mime is video/mp4; ``frame_sample_features(parser=
     parse_mp4_mjpeg)`` samples and decodes identically to the AVI
-    corpus, so the same arithmetic oracle pins the MP4 path."""
-    import numpy as np
-
-    from .jpeg_codec import encode_jpeg_gray
-    from .mp4_codec import encode_mp4_jpeg
-
-    rows = []
-    for i in ids:
-        v = int(i) % variants_per_cluster
-        frames = []
-        for f in range(frames_per_video):
-            img = _cluster_pattern_image(
-                (int(i) // variants_per_cluster) * variants_per_cluster,
-                variants_per_cluster).astype(np.int32)
-            img = np.clip(img + v + f, 0, 255).astype(np.uint8)
-            frames.append(encode_jpeg_gray(img))
-        mp4 = encode_mp4_jpeg(frames, fps=fps, width=32, height=32)
-        dur = frames_per_video * 1000 // fps
-        rows.append((int(i), (mp4, "video/mp4", 32, 32, None, None, dur)))
-    return spark.createDataFrame(
-        rows,
-        StructType([StructField("media_id", LongType()),
-                    StructField("media", MEDIA_SCHEMA)]))
+    corpus, so the same arithmetic oracle pins the MP4 path. Encoded
+    distributed (see ``_synthesize_video_corpus``)."""
+    return _synthesize_video_corpus(spark, ids, "mp4", variants_per_cluster,
+                                    frames_per_video, fps)
 
 
 def synthesize_media_table(spark, n: int = 64) -> DataFrame:
