@@ -621,9 +621,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     O(n^2) — at 100 TB you block on cheap keys (lang, domain, length bucket)
     and let AQE handle block skew."""
     # Arrow shingles (identical sets, order-insensitive consumers): the
-    # projection executes once per join side, and the expression form's
-    # interpreted lambdas were ~6 s of this operator's 8 s at sf0.1
-    sh = shingles_pd_df(df, id_col, text_col, k, extra_cols=block_cols)
+    # expression form's interpreted lambdas were ~6 s of this operator's
+    # 8 s at sf0.1. localCheckpoint (r14, guide §2.4): the projection
+    # feeds BOTH self-join sides, and the block-keyed join exchanges hash
+    # on differently-aliased keys, so exchange reuse did not stop the
+    # Arrow pass running once per side.
+    sh = (shingles_pd_df(df, id_col, text_col, k, extra_cols=block_cols)
+          .localCheckpoint(eager=True))
     a = sh.select(F.col(id_col).alias("id_a"), *block_cols,
                   F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"),
