@@ -427,3 +427,24 @@ def test_null_text_conventions(spark):
     arr_p = {r.doc_id for r in
              passage_hashes_pd_df(d, "doc_id", "text", 3).collect()}
     assert arr_p == {2}
+
+
+def test_pq_encode_arrow_form_matches_expression(spark, sf_dir):
+    """pq_encode_pd (Arrow GEMM encode, r14) must emit the IDENTICAL
+    (id, m, code) set as the expression form on the real embeddings
+    table: distances are exact int64 in both, and np.argmin's
+    first-minimum over ascending-j codewords is the expression form's
+    (distance, j) min-struct tie-break."""
+    from databricks_import_pyspark_scripts_spark.operators.similarity import (
+        pq_codebook,
+        pq_encode,
+        pq_encode_pd,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, "vec_id", "embedding")
+    expr_form = {(r.vec_id, r.m): r.code for r in
+                 pq_encode(emb, cb, "vec_id", "embedding").collect()}
+    arrow_form = {(r.vec_id, r.m): r.code for r in
+                  pq_encode_pd(emb, cb, "vec_id", "embedding").collect()}
+    assert expr_form == arrow_form
