@@ -438,14 +438,20 @@ def containment_pairs(docs: DataFrame, id_col: str, text_col: str,
     # localCheckpointed to execute ONCE — unmaterialized, each reference
     # replays the whole tokenize+shingle Arrow pass (no exchange reuse
     # across self-references; r14, same policy as bm25_index/semdedup).
-    # The checkpoint holds (id, shingle) rows — O(corpus tokens) smallish
-    # strings on executor storage, the same class as the BM25 postings.
+    # The checkpoint holds the COMPACT (id, sh-array) rows, NOT the
+    # exploded (id, shingle) rows: materializing the explosion was a
+    # measured scale regression — the warm-session sf1 probe (the bench's
+    # in-context exponent tier) paid 39 s vs 14 s unmaterialized, because
+    # the exploded form multiplies block-storage rows ~|shingles|/|docs|x
+    # while the explode itself is cheap codegen the consumers can re-run.
+    # Per-doc sizes come straight off the array (shingle arrays are
+    # distinct by construction, so n == size(sh)) with no explode at all.
     from .dedup import shingles_pd_df
 
-    sh = (shingles_pd_df(docs, id_col, text_col, k)
-          .select(F.col(id_col), F.explode("sh").alias("s"))
-          .localCheckpoint(eager=True))
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    shc = (shingles_pd_df(docs, id_col, text_col, k)
+           .localCheckpoint(eager=True))
+    sh = shc.select(F.col(id_col), F.explode("sh").alias("s"))
+    sizes = shc.select(F.col(id_col), F.size("sh").alias("n"))
     # document frequency per shingle: sh is distinct per (doc, shingle)
     # (shingles_col array_distincts), so COUNT(*) == #docs containing s.
     # The 1-row n_docs aggregate broadcasts; the keep predicate is exact
