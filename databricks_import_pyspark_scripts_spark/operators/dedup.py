@@ -379,34 +379,49 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     cand = (bucket_pairs(bands, ["band_idx", "band_hash"], F.col(id_col),
                          max_bucket=max_bucket)
             .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
-            .distinct()
-            # materialize the (LSH-bounded, tiny) pair list: it now has TWO
-            # consumers — the melt below and the candidate-id semi-join that
-            # bounds the verify shingle pass — and an unmaterialized second
-            # reference would re-run the whole signature+band+pair pipeline
-            # (r14; same policy as incremental_neardup's candidate list)
-            .localCheckpoint(eager=True))
+            .distinct())
     # melt-join verify: the shingle projection executes ONCE, and ONLY over
     # candidate documents. The earlier two-sided form joined `sh` as both
     # sh_a and sh_b, which re-ran the Arrow shingle stage per side (2 corpus
     # scans just for verify); the r10 melt form ran it once but still over
     # the WHOLE corpus even though only candidate docs' shingles survive
-    # the join. The broadcast semi-join on candidate ids prunes the corpus
-    # BEFORE the Python boundary (guide §4.1: ship only what the function
-    # needs), so at 100 TB verify tokenizes O(candidates), not O(corpus).
-    # Each candidate pair melts into two (pair, id) rows, the single `sh`
-    # joins by id (candidates broadcast — the pruned corpus side streams
-    # map-side), and a groupBy on the pair reassembles (sh_a, sh_b) via
-    # max_by on the role flag — shuffling only matched shingle arrays.
-    cand_ids = (cand.select(F.explode(F.array(F.col("id_a"), F.col("id_b")))
-                            .alias(id_col))
-                .distinct())
-    docs_cand = df.join(F.broadcast(cand_ids), id_col, "left_semi")
-    sh = shingles_pd_df(docs_cand, id_col, text_col, k)
+    # the join — at 100 TB verify must tokenize O(candidates), not
+    # O(corpus) (guide §4.1: ship only what the function needs).
+    #
+    # The candidate bound is expressed as ONE dataflow reference to the
+    # pair list (r14 batch 10): each pair melts into two (pair, id) rows,
+    # a groupBy on the id collects every id's pair list (bounded by the
+    # id's bucket degrees — the max_bucket guard caps degeneracy), the
+    # corpus inner-joins that broadcast per-id list (pruning non-candidate
+    # docs BEFORE the Python boundary), the Arrow shingle projection rides
+    # the joined rows, and exploding the pair list back reassembles
+    # (sh_a, sh_b) per pair via max_by on the role flag — shuffling only
+    # matched shingle arrays. An earlier form bounded the verify with a
+    # SECOND reference to the pair list (a candidate-id broadcast
+    # semi-join) and localCheckpointed the list so that reference didn't
+    # re-run the signature+band+pair pipeline — but an RDD checkpoint is
+    # an opaque plan barrier (under AQE it executes the whole subplan even
+    # lazily, at DataFrame-BUILD time), so consumers whose final plan
+    # prunes the pair list away still paid for it: graph_pagerank_exact's
+    # count-shaped action went from ~3 to ~12 process-tree CPU-s. The
+    # single-reference melt keeps the plan transparent — Catalyst prunes
+    # or keeps the whole pipeline as the consumer's plan requires — and
+    # needs no pinned session storage at all.
     melted = cand.select(
         "id_a", "id_b",
         F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col))
-    pairs = (melted.join(sh, id_col)
+    need = (melted.groupBy(id_col)
+            .agg(F.collect_list(F.struct("id_a", "id_b")).alias("_prs")))
+    docs_cand = df.select(F.col(id_col), F.col(text_col)) \
+        .join(F.broadcast(need), id_col)
+    sh = shingles_pd_df(docs_cand, id_col, text_col, k,
+                        extra_cols=["_prs"])
+    rows = (sh.select(F.col(id_col), F.col("sh"),
+                      F.explode("_prs").alias("_p"))
+            .select(F.col("_p.id_a").alias("id_a"),
+                    F.col("_p.id_b").alias("id_b"),
+                    F.col(id_col), F.col("sh")))
+    pairs = (rows
              .groupBy("id_a", "id_b")
              .agg(F.max_by("sh", (F.col(id_col) == F.col("id_a")).cast("int"))
                   .alias("sh_a"),

@@ -289,23 +289,28 @@ def duplicate_passage_stats(docs: DataFrame, id_col: str, text_col: str,
 
     Returns (id, n_windows, n_dup_windows, dup_frac, has_dup_passage).
     """
+    from pyspark.sql import Window
+
     hashed = passage_hashes_pd_df(docs, id_col, text_col, w)
-    # windows appearing in >= 2 distinct docs; distinct-doc count is
-    # partial-agg friendly after the (h, id) dedup
-    multi = (hashed.distinct().groupBy("h")
-             .agg(F.count("*").alias("ndocs"))
-             .filter(F.col("ndocs") >= 2)
-             .select("h", F.lit(1).alias("_dup")))
-    # ONE pass over the window hashes serves both counters: left-join the
-    # multi-doc hash set and count total vs matched rows in a single
-    # per-doc aggregate. The earlier 3-scan form (separate n_windows
-    # aggregate + semi-join + n_dup aggregate) re-ran the explode+md5
-    # pipeline — a whole extra corpus pass at 100 TB — for the same
-    # numbers. The left join shuffles on h exactly like the semi-join did.
-    per_doc = (hashed.join(multi, "h", "left")
+    # ONE tokenize+md5 pass serves both counters (r14, guide §2.4): the
+    # earlier two-consumer form (multi-doc hash set built from
+    # hashed.distinct(), then hashed left-joined against it) re-ran the
+    # Arrow window-hash pipeline per consumer — a whole extra corpus pass
+    # at 100 TB — because exchange reuse only shares the pre-Arrow
+    # repartition, not the Python stage above it. Collapsing duplicate
+    # windows per (doc, hash) FIRST makes the per-h row count the exact
+    # distinct-doc count, so the multi-doc predicate is a window count
+    # over h on the already-aggregated (id, h, _c) rows — no second pass,
+    # no self-join, and nothing materialized in session storage. Three
+    # keyed exchanges total ((id,h) partial-agged, h, id), strictly fewer
+    # than the old distinct + groupBy(h) + join(h) + groupBy(id) chain.
+    cnt = hashed.groupBy(id_col, "h").agg(F.count("*").alias("_c"))
+    ndocs = F.count("*").over(Window.partitionBy("h"))
+    per_doc = (cnt.withColumn("_ndocs", ndocs)
                .groupBy(id_col)
-               .agg(F.count("*").alias("n_windows"),
-                    F.count("_dup").alias("n_dup_windows")))
+               .agg(F.sum("_c").alias("n_windows"),
+                    F.sum(F.when(F.col("_ndocs") >= 2, F.col("_c"))
+                          .otherwise(F.lit(0))).alias("n_dup_windows")))
     return per_doc.select(
         id_col, "n_windows", "n_dup_windows",
         F.round(F.col("n_dup_windows") * F.lit(1.0) / F.col("n_windows"), 4)

@@ -31,20 +31,24 @@ def _scans(plan: str, table: str) -> int:
 
 
 def test_minhash_signature_pipeline_executes_once(spark, sf_dir):
-    """r14: the candidate pair list is localCheckpointed, so the final
-    (verify) plan holds EXACTLY 1 documents scan — the candidate-id
-    semi-joined text scan feeding the single melt-join Arrow-shingle
-    verify stage — plus the checkpoint RDD reads. A 2nd parquet scan
-    means a verify join side bypassed the checkpoint and re-runs the
-    signature pipeline; a 2nd Arrow stage means per-join-side shingling
-    crept back. The signature/collapse pipeline itself (2 scans: the
-    fingerprint projection and the rep-id semi-joined text scan, 1 Arrow
-    signature stage) is pinned on the pre-checkpoint candidate subplan."""
+    """r14 batch 10: the verify's candidate bound is ONE dataflow
+    reference to the pair list (melt -> per-id pair-list collect ->
+    broadcast inner join pruning the corpus text scan -> Arrow shingles
+    -> explode back), so the WHOLE query is one transparent plan with
+    EXACTLY 2 Arrow stages (signature + verify shingles — a 3rd means
+    per-join-side shingling crept back) and EXACTLY 3 documents scans
+    (collapse fingerprint projection, rep-id semi-joined signature text
+    scan, pair-list-joined verify text scan — a 4th means a verify side
+    re-runs the signature pipeline). No checkpoint RDD: the earlier
+    localCheckpointed pair list was an opaque AQE barrier that executed
+    the candidate pipeline even for consumers whose plans prune it
+    (graph_pagerank_exact's count went ~3 -> ~12 process-tree CPU-s),
+    and it pinned session storage."""
     df = all_queries()["dedup_minhash_lsh"](spark, sf_dir)
     plan = _plan(df)
-    assert _nodes(plan, "ArrowEvalPython") == 1
-    assert _scans(plan, "documents") == 1
-    assert plan.count("Scan ExistingRDD") >= 1
+    assert _nodes(plan, "ArrowEvalPython") == 2
+    assert _scans(plan, "documents") == 3
+    assert plan.count("Scan ExistingRDD") == 0
 
     from databricks_import_pyspark_scripts_spark.operators.dedup import (
         MAX_BUCKET,
@@ -169,15 +173,21 @@ def test_incremental_neardup_broadcasts_new_batch(spark, sf_dir):
 
 
 def test_duplicate_passages_is_hash_join_only(spark, sf_dir):
-    """Exact-substring passage dedup: the 12-token window match is an
-    EQUI-join on the window hash — never a nested-loop/cartesian — so the
-    candidate volume is O(matching windows), not O(docs^2)."""
+    """Exact-substring passage dedup: the 12-token window match is keyed
+    on the window hash — never a nested-loop/cartesian — so the candidate
+    volume is O(matching windows), not O(docs^2). r14 batch 10: the match
+    is no longer even a join — duplicate windows collapse per (doc, hash)
+    first, a hash-partitioned window count over h IS the distinct-doc
+    count, and the old two-consumer form's second Arrow tokenize+md5 pass
+    (hashed.distinct() -> groupBy(h) -> join back) is gone: EXACTLY 1
+    Arrow stage and 1 documents scan, one Window keyed on h, no join."""
     df = all_queries()["text_duplicate_passages"](spark, sf_dir)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert (_nodes(plan, "SortMergeJoin") + _nodes(plan, "BroadcastHashJoin")
-            + _nodes(plan, "ShuffledHashJoin")) >= 1
+    assert _nodes(plan, "Window") == 1
+    assert _nodes(plan, "MapInPandas") == 1
+    assert _scans(plan, "documents") == 1
 
 
 def test_containment_guard_precedes_pair_explode(spark, sf_dir):
@@ -214,14 +224,16 @@ def test_triangle_wedge_join_is_equi_join(spark, sf_dir):
 
 
 def test_duplicate_passages_two_corpus_passes(spark, sf_dir):
-    """Passage dedup needs exactly two passes over the window-hash
-    pipeline (one to build the multi-doc hash set, one for the per-doc
-    counters — r6 folded the counters into a single left-join aggregate).
-    A third documents scan means the 3-pass shape crept back: a whole
-    extra corpus explode+md5 pass at 100 TB."""
+    """Passage dedup needs exactly ONE pass over the window-hash pipeline
+    (r14 batch 10; historically: r6 folded the 3-pass shape into a
+    left-join aggregate over two passes, and batch 10 collapsed the
+    remaining pair — per-(doc, hash) counts make the multi-doc predicate
+    a window count over h, no second tokenize+md5 pass). A second
+    documents scan means a whole extra corpus explode+md5 pass at
+    100 TB crept back."""
     df = all_queries()["text_duplicate_passages"](spark, sf_dir)
     plan = _plan(df)
-    assert _scans(plan, "documents") == 2
+    assert _scans(plan, "documents") == 1
 
 
 def test_simhash_pairs_single_signature_pass(spark, sf_dir):
