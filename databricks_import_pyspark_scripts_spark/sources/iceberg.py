@@ -3914,6 +3914,8 @@ def read_iceberg_changes(spark: SparkSession, table_path: str,
                                 deletes_out=deletes)
         return {f["file_path"]: f for f in files}, deletes
 
+    _exist_ok: set[str] = set()   # driver FS checks, once per file per feed
+
     def effective_keyed(files: dict[str, dict],
                         deletes: list[dict]) -> DataFrame | None:
         """Snapshot's effective rows WITH the (file key, row index)
@@ -3924,10 +3926,12 @@ def read_iceberg_changes(spark: SparkSession, table_path: str,
         paths = []
         for f in recs:
             rp = _resolve_path(table_path, f["file_path"])
-            if not _exists(spark, rp):
-                raise FileNotFoundError(
-                    f"DELTA_CHANGE_DATA_FILE_NOT_FOUND: {rp} referenced "
-                    f"by a past snapshot but absent (expired?)")
+            if rp not in _exist_ok:
+                if not _exists(spark, rp):
+                    raise FileNotFoundError(
+                        f"DELTA_CHANGE_DATA_FILE_NOT_FOUND: {rp} referenced "
+                        f"by a past snapshot but absent (expired?)")
+                _exist_ok.add(rp)
             paths.append(rp)
         keyed = (spark.read.schema(schema).parquet(*paths).select(
             "*",
@@ -3935,6 +3939,21 @@ def read_iceberg_changes(spark: SparkSession, table_path: str,
             F.col("_metadata.row_index").alias(_POS_IDX)))
         return _apply_row_deletes(spark, keyed, table_path, recs,
                                   deletes, meta, drop_helpers=False)
+
+    # adjacent MoR steps share a snapshot: step o's `cur` effective set IS
+    # step o+1's `prev`. Build the keyed DataFrame ONCE per ordinal and
+    # reuse the object — the shared subtree lets runtime exchange reuse
+    # serve all four anti-join references from one execution instead of
+    # re-deriving (file, pos) keys per step (r14 batch 11; the loud
+    # expired-snapshot path is untouched: the _exists probe above still
+    # runs for every file the feed touches, just once per feed).
+    _eff_cache: dict[int, DataFrame | None] = {}
+
+    def effective_keyed_at(ordinal: int, files: dict[str, dict],
+                           deletes: list[dict]) -> DataFrame | None:
+        if ordinal not in _eff_cache:
+            _eff_cache[ordinal] = effective_keyed(files, deletes)
+        return _eff_cache[ordinal]
 
     schema = iceberg_spark_schema(meta)
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
@@ -3963,8 +3982,8 @@ def read_iceberg_changes(spark: SparkSession, table_path: str,
                     raise IcebergProtocolError(
                         "file basename collision across a merge-on-read "
                         "ordinal step; row identities would alias")
-            cur_k = effective_keyed(cur, cur_dels)
-            prev_k = effective_keyed(prev, prev_dels)
+            cur_k = effective_keyed_at(o, cur, cur_dels)
+            prev_k = effective_keyed_at(o - 1, prev, prev_dels)
             ident = [_POS_KEY, _POS_IDX]
             for side, other, ctype in ((cur_k, prev_k, "insert"),
                                        (prev_k, cur_k, "delete")):
