@@ -236,12 +236,67 @@ def minhash_signatures_pd(df: DataFrame, id_col: str, text_col: str,
         F.col("sigs").getItem(j).alias(f"sig{j}") for j in range(num_hashes)])
 
 
-def minhash_bands(df: DataFrame, id_col: str, text_col: str,
-                  num_hashes: int = NUM_HASHES, num_bands: int = NUM_BANDS,
-                  k: int = SHINGLE_K, use_arrow: bool = True) -> DataFrame:
-    """(id, band_idx, band_hash): one row per band per document."""
-    sig_fn = minhash_signatures_pd if use_arrow else minhash_signatures
-    sigs = sig_fn(df, id_col, text_col, num_hashes, k)
+def shingle_sig_pd_df(df: DataFrame, id_col: str, text_col: str,
+                      num_hashes: int = NUM_HASHES,
+                      k: int = SHINGLE_K) -> DataFrame:
+    """(id, sh, sig0..sigN-1): shingle arrays AND minhash signatures from
+    ONE tokenize pass (r14 batch 12). ``minhash_signatures_pd`` already
+    runs ``_py_shingles`` per document to hash them — when a caller needs
+    BOTH the signatures and the shingle sets of the SAME rows (the
+    incremental near-dup's new batch: bands for the probe, shingles for
+    the verify), emitting the shingles alongside is free compute; the only
+    cost is the extra bytes, which is why this exists as a separate
+    function instead of replacing ``minhash_signatures_pd`` — corpus-scale
+    callers must keep shipping signatures only (guide §8: shuffle keys,
+    not payloads).
+
+    Same ``_py_shingles`` twin, same md5 memo, same affine minima as
+    ``minhash_signatures_pd``/``shingles_pd_df`` — sh and sig values are
+    bit-identical to the separate passes (pinned by
+    test_impl_consistency.test_fused_shingle_sig_matches_separate).
+    NULL text -> NULL sh and NULL signatures, exactly like both parents.
+    """
+    @pandas_udf("struct<sh:array<string>,sigs:array<long>>")
+    def _both(texts: pd.Series) -> pd.DataFrame:
+        js = np.arange(num_hashes, dtype=np.int64)
+        memo = _sigs_memo
+        shs: list = []
+        sigs: list = []
+        for t in texts:
+            if t is None:
+                shs.append(None)
+                sigs.append(None)
+                continue
+            sh = _py_shingles(t, k)
+            h1 = np.empty(len(sh), dtype=np.int64)
+            h2 = np.empty(len(sh), dtype=np.int64)
+            for ix, s in enumerate(sh):
+                v = memo.get(s)
+                if v is None:
+                    d = hashlib.md5(s.encode("utf-8")).hexdigest()  # noqa: S324
+                    v = (int(d[:13], 16), int(d[13:26], 16))
+                    if (len(memo) < _SIGS_MEMO_MAX
+                            and len(s) <= _SIGS_MEMO_MAX_KEY):
+                        memo[s] = v
+                h1[ix], h2[ix] = v
+            shs.append(sh)
+            sigs.append((h1[:, None] + js[None, :] * h2[:, None]).min(axis=0))
+        return pd.DataFrame({"sh": shs, "sigs": sigs})
+
+    base = df.select(F.col(id_col), F.col(text_col))
+    base = base.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    arr = base.select(F.col(id_col), _both(F.col(text_col)).alias("_f"))
+    return arr.select(F.col(id_col), F.col("_f.sh").alias("sh"), *[
+        F.col("_f.sigs").getItem(j).alias(f"sig{j}")
+        for j in range(num_hashes)])
+
+
+def _bands_from_sigs(sigs: DataFrame, id_col: str,
+                     num_hashes: int = NUM_HASHES,
+                     num_bands: int = NUM_BANDS) -> DataFrame:
+    """(id, band_idx, band_hash) from a (id, sig0..sigN-1) frame — the one
+    band derivation every LSH path shares."""
     rows = num_hashes // num_bands
     bands = F.array(*[
         F.struct(F.lit(b).alias("band_idx"),
@@ -252,6 +307,15 @@ def minhash_bands(df: DataFrame, id_col: str, text_col: str,
     ])
     return (sigs.select(F.col(id_col), F.explode(bands).alias("band"))
             .select(id_col, "band.band_idx", "band.band_hash"))
+
+
+def minhash_bands(df: DataFrame, id_col: str, text_col: str,
+                  num_hashes: int = NUM_HASHES, num_bands: int = NUM_BANDS,
+                  k: int = SHINGLE_K, use_arrow: bool = True) -> DataFrame:
+    """(id, band_idx, band_hash): one row per band per document."""
+    sig_fn = minhash_signatures_pd if use_arrow else minhash_signatures
+    sigs = sig_fn(df, id_col, text_col, num_hashes, k)
+    return _bands_from_sigs(sigs, id_col, num_hashes, num_bands)
 
 
 def jaccard_col(a: Column, b: Column) -> Column:
@@ -714,7 +778,17 @@ def incremental_neardup(history: DataFrame, new_batch: DataFrame,
         hb = build_neardup_index(
             history, id_col, text_col, num_hashes, num_bands,
             k).localCheckpoint(eager=True)
-    nb = minhash_bands(new_batch, id_col, text_col, num_hashes, num_bands, k)
+    # ONE tokenize pass over the new batch serves BOTH its band probe and
+    # its verify shingles (r14 batch 12): the signature UDF already builds
+    # every document's shingle set to hash it, so the fused projection
+    # emits (sh, sig0..15) together and the old separate shingles_pd_df
+    # pass over the same rows disappears. Checkpointing it is in-contract:
+    # the new batch is ingest-bounded (the history side is what must never
+    # materialize), and the cand checkpoint below re-reads it instead of
+    # re-running the Python stage.
+    nf = (shingle_sig_pd_df(new_batch, id_col, text_col, num_hashes, k)
+          .localCheckpoint(eager=True))
+    nb = _bands_from_sigs(nf, id_col, num_hashes, num_bands)
     if max_bucket is not None:
         ok = (hb.groupBy("band_idx", "band_hash")
               .agg(F.count(F.lit(1)).alias("_n"))
@@ -731,7 +805,7 @@ def incremental_neardup(history: DataFrame, new_batch: DataFrame,
             # the band pipelines — the classic double-execution trap any
             # second reference to `cand` would otherwise spring
             .localCheckpoint(eager=True))
-    sh_new = shingles_pd_df(new_batch, id_col, text_col, k)
+    sh_new = nf.select(F.col(id_col), F.col("sh"))
     # shingle ONLY candidate history docs: the verify stage must never run
     # a second corpus-wide Arrow pass over 100 TB of history when the
     # candidate set is new-batch-bounded

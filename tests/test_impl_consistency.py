@@ -448,3 +448,37 @@ def test_pq_encode_arrow_form_matches_expression(spark, sf_dir):
     arrow_form = {(r.vec_id, r.m): r.code for r in
                   pq_encode_pd(emb, cb, "vec_id", "embedding").collect()}
     assert expr_form == arrow_form
+
+
+def test_fused_shingle_sig_matches_separate(spark, sf_dir):
+    """shingle_sig_pd_df (r14 batch 12: one tokenize pass emitting BOTH
+    shingle arrays and minhash signatures) must agree with the separate
+    shingles_pd_df / minhash_signatures_pd passes on the real documents
+    table — same shingle SETS (order is free, consumers are
+    order-insensitive) and bit-identical signature columns. NULL-text
+    convention matches both parents: NULL sh, NULL signatures."""
+    from databricks_import_pyspark_scripts_spark.operators.dedup import (
+        minhash_signatures_pd,
+        shingle_sig_pd_df,
+        shingles_pd_df,
+    )
+
+    d = (load_table(spark, sf_dir, "documents")
+         .select("doc_id", "text").limit(300))
+    fused = shingle_sig_pd_df(d, "doc_id", "text").collect()
+    sep_sh = {r.doc_id: r.sh for r in
+              shingles_pd_df(d, "doc_id", "text").collect()}
+    sep_sig = {r.doc_id: tuple(r[f"sig{j}"] for j in range(16)) for r in
+               minhash_signatures_pd(d, "doc_id", "text").collect()}
+    assert len(fused) == len(sep_sh)
+    for r in fused:
+        a, b = r.sh, sep_sh[r.doc_id]
+        assert (a is None and b is None) or set(a) == set(b)
+        assert tuple(r[f"sig{j}"] for j in range(16)) == sep_sig[r.doc_id]
+
+    null_df = spark.createDataFrame([(1, None), (2, "a b c d")],
+                                    "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            shingle_sig_pd_df(null_df, "doc_id", "text").collect()}
+    assert rows[1].sh is None and rows[1].sig0 is None
+    assert rows[2].sh is not None and rows[2].sig0 is not None
