@@ -108,6 +108,17 @@ def decode_png(data: bytes) -> np.ndarray:
         raise PngFormatError(
             f"IDAT inflates to {len(raw)} bytes, expected "
             f"{height * (1 + stride)}")
+    # Unfilter cost model (r14 "not yet optimized" #1: real-corpus images
+    # are megapixel-class, so per-PIXEL Python cost dominates decode):
+    # None/Up are whole-row numpy ops; Sub is an exact per-channel
+    # cumulative sum (mod 256 distributes over addition; int64
+    # accumulator, then one masked cast — measured ~40x over the scalar
+    # loop); Average/Paeth carry a nonlinear left dependency (floor-avg /
+    # predictor select), so they stay sequential — but over Python LISTS,
+    # not ndarray scalar indexing, which is ~8x slower per element.
+    # Byte-for-byte the same recurrences as the reference scalar loops
+    # (pinned by the codec roundtrip tests and the phash gates' exact
+    # oracles).
     out = np.empty((height, stride), np.uint16)
     prev = np.zeros(stride, np.uint16)
     pos = 0
@@ -121,17 +132,25 @@ def decode_png(data: bytes) -> np.ndarray:
         elif ftype == 2:                                 # Up
             row = (row + prev) & 0xFF
         elif ftype == 1:                                 # Sub
-            for x in range(ch, stride):
-                row[x] = (row[x] + row[x - ch]) & 0xFF
+            # x_i = (r_i + x_{i-ch}) mod 256 == prefix-sum mod 256 along
+            # each of the ch interleaved channel streams
+            row = (row.reshape(-1, ch).cumsum(axis=0, dtype=np.int64)
+                   & 0xFF).reshape(stride).astype(np.uint16)
         elif ftype == 3:                                 # Average
+            r = row.tolist()
+            p = prev.tolist()
             for x in range(stride):
-                left = int(row[x - ch]) if x >= ch else 0
-                row[x] = (row[x] + (left + int(prev[x])) // 2) & 0xFF
+                left = r[x - ch] if x >= ch else 0
+                r[x] = (r[x] + (left + p[x]) // 2) & 0xFF
+            row = np.asarray(r, np.uint16)
         elif ftype == 4:                                 # Paeth
+            r = row.tolist()
+            p = prev.tolist()
             for x in range(stride):
-                a = int(row[x - ch]) if x >= ch else 0
-                c = int(prev[x - ch]) if x >= ch else 0
-                row[x] = (row[x] + _paeth(a, int(prev[x]), c)) & 0xFF
+                a = r[x - ch] if x >= ch else 0
+                c = p[x - ch] if x >= ch else 0
+                r[x] = (r[x] + _paeth(a, p[x], c)) & 0xFF
+            row = np.asarray(r, np.uint16)
         else:
             raise PngFormatError(f"unknown scanline filter {ftype}")
         out[y] = row

@@ -193,6 +193,29 @@ def test_png_roundtrip_all_color_types_and_filters():
             assert got.shape == a.shape and (got == a).all(), (shape, cyc)
 
 
+def test_png_unfilter_vectorized_paths_exact_on_large_rows():
+    """r14 batch 13 pinned: the vectorized Sub unfilter (per-channel
+    prefix sum mod 256, int64 accumulator) and the list-loop Average/
+    Paeth paths must be byte-exact on rows long enough that a narrow
+    accumulator would overflow (stride 2048: worst-case prefix sum
+    ~2048*255 >> uint16) and on megapixel-class random data where every
+    filter type appears."""
+    import numpy as np
+
+    from databricks_import_pyspark_scripts_spark.operators.png_codec import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(1234)
+    wide = np.full((3, 2048), 255, dtype=np.uint8)   # max prefix growth
+    assert (decode_png(encode_png(wide, cycle_filters=True)) == wide).all()
+    big = rng.integers(0, 256, (256, 512), dtype=np.uint8)
+    assert (decode_png(encode_png(big, cycle_filters=True)) == big).all()
+    rgb = rng.integers(0, 256, (128, 96, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(rgb, cycle_filters=True)) == rgb).all()
+
+
 def test_png_palette_decode():
     """Color type 3 expands through PLTE to RGB."""
     import struct
