@@ -116,15 +116,43 @@ def _encode_lengths(bits: list[int], vals: list[int]) -> dict:
     return {sym: lc for lc, sym in _build_huffman(bits, vals).items()}
 
 
+def _build_symbol_lut(table: dict) -> list:
+    """8-bit first-level decode table (r14 batch 13): entry ``w`` holds
+    ``(symbol, length)`` for the unique code of length <= 8 that prefixes
+    the 8-bit window ``w``, else None (code is 9-16 bits — slow path).
+    Canonical Huffman codes are prefix-free, so the fill is exact."""
+    lut: list = [None] * 256
+    for (length, code), sym in table.items():
+        if not isinstance(length, int) or length > 8:
+            continue
+        base = code << (8 - length)
+        for w in range(base, base + (1 << (8 - length))):
+            lut[w] = (sym, length)
+    return lut
+
+
 class _BitReader:
     """Entropy-segment bit reader with 0xFF00 byte unstuffing and
-    restart-marker awareness."""
+    restart-marker awareness.
+
+    Bulk-decode shape (r14 batch 13 — the "not yet optimized" media
+    kernel item): the accumulator buffers up to ~3 unstuffed bytes, so
+    ``decode_symbol`` resolves most symbols with ONE 8-bit table lookup
+    (plus a bounded 9-16-bit walk for long codes) and ``receive`` grabs
+    its bit-field in one shift/mask instead of a per-bit loop. The
+    original per-bit path remains and serves the segment tail, where
+    T.81 F.2.2.5 1-padding past the terminating marker applies — the
+    consumed bit sequence is IDENTICAL to the per-bit reader's in every
+    state (same unstuffing, same marker rewind, same padding), so
+    decoded coefficients are bit-for-bit unchanged (pinned by the exact
+    phash gate oracles and the codec roundtrip tests)."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
         self.pos = pos
         self.acc = 0
         self.nbits = 0
+        self.at_marker = False
 
     def _next_byte(self) -> int:
         if self.pos >= len(self.data):
@@ -144,25 +172,68 @@ class _BitReader:
                 return -1
         return b
 
+    def _refill(self) -> None:
+        """Buffer unstuffed bytes into the accumulator (low ``nbits``
+        bits = unconsumed) until >= 32 bits or the segment's marker —
+        the unstuffing loop is inlined (identical to ``_next_byte``) so
+        the amortized cost is one bounds check + one shift per byte."""
+        if self.at_marker:
+            return
+        data = self.data
+        n = len(data)
+        pos = self.pos
+        nbits = self.nbits
+        acc = self.acc & ((1 << nbits) - 1)   # machine-word invariant
+        while nbits < 32:
+            if pos >= n:
+                self.pos, self.acc, self.nbits = pos, acc, nbits
+                raise JpegFormatError("truncated entropy-coded segment")
+            b = data[pos]
+            if b == 0xFF:
+                if pos + 1 >= n:
+                    self.pos, self.acc, self.nbits = pos, acc, nbits
+                    raise JpegFormatError("truncated after 0xFF")
+                if data[pos + 1] != 0x00:
+                    self.at_marker = True     # real marker: stop, pad
+                    break
+                pos += 2                      # stuffed 0xFF00 -> 0xFF
+            else:
+                pos += 1
+            acc = (acc << 8) | b
+            nbits += 8
+        self.pos, self.acc, self.nbits = pos, acc, nbits
+
     def read_bit(self) -> int:
         if self.nbits == 0:
+            if self.at_marker:
+                return 1                      # pad past segment end
             b = self._next_byte()
             if b < 0:
-                return 1                      # pad past segment end
+                self.at_marker = True
+                return 1
             self.acc = b
             self.nbits = 8
         self.nbits -= 1
         return (self.acc >> self.nbits) & 1
 
     def receive(self, n: int) -> int:
+        if self.nbits < n and not self.at_marker:
+            self._refill()
+        if self.nbits >= n:
+            self.nbits -= n
+            return (self.acc >> self.nbits) & ((1 << n) - 1)
         v = 0
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
 
     def align_and_expect_rst(self, n: int) -> None:
-        """Byte-align and consume the RSTn marker at a restart boundary."""
+        """Byte-align and consume the RSTn marker at a restart boundary.
+        Any buffered bits are the interval's <= 7 pad bits (the reader
+        never buffers past a marker, and a conforming stream has no full
+        data bytes between the last symbol and its restart marker)."""
         self.nbits = 0
+        self.at_marker = False
         if self.pos + 2 > len(self.data) or \
                 self.data[self.pos] != 0xFF or \
                 self.data[self.pos + 1] != 0xD0 + (n & 7):
@@ -171,6 +242,27 @@ class _BitReader:
         self.pos += 2
 
     def decode_symbol(self, table: dict) -> int:
+        if self.nbits < 16 and not self.at_marker:
+            self._refill()
+        if self.nbits >= 16:
+            lut = table.get("_lut")
+            if lut is None:
+                lut = _build_symbol_lut(table)
+                table["_lut"] = lut
+            window = (self.acc >> (self.nbits - 16)) & 0xFFFF
+            hit = lut[window >> 8]
+            if hit is not None:
+                sym, length = hit
+                self.nbits -= length
+                return sym
+            code = window >> 8
+            for length in range(9, 17):
+                code = (code << 1) | ((window >> (16 - length)) & 1)
+                sym = table.get((length, code))
+                if sym is not None:
+                    self.nbits -= length
+                    return sym
+            raise JpegFormatError("invalid huffman code (>16 bits)")
         code = 0
         for length in range(1, 17):
             code = (code << 1) | self.read_bit()
