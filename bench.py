@@ -772,6 +772,27 @@ def main() -> int:
         # keep the flags, shed the full exponent map (sidecar has it)
         out["exponents"] = {k: exponents[k] for k in scale_flagged}
         final_line = json.dumps(out)
+    # per-query mins on the final line (r15, VERDICT r14 #4/#6): the
+    # driver's PERF keys per-query round-over-round comparison on this
+    # line's "queries" map, and its capture window is the LAST 2000
+    # chars of stdout (r06/r07 overflowed it and the whole artifact
+    # parsed null) — so entries are added LARGEST-first until the line
+    # reaches a 1950-char budget. "queries_omitted" counts the shed
+    # sub-second tail rows so the truncation is never silent; every
+    # row's raw samples stay in BENCH_samples.json.
+    out["queries"] = {}
+    out["queries_omitted"] = 0
+    for name in sorted(timings, key=timings.get, reverse=True):
+        out["queries"][name] = timings[name]
+        if len(json.dumps(out)) > 1950:
+            del out["queries"][name]
+            break
+    out["queries_omitted"] = len(timings) - len(out["queries"])
+    final_line = json.dumps(out)
+    if len(final_line) > 1999:  # absolute cap: the window is 2000 incl \n
+        out.pop("queries", None)
+        out.pop("queries_omitted", None)
+        final_line = json.dumps(out)
     print(final_line)
     # rc=0 even with per-query errors: a partial artifact beats none; the
     # "errors" field makes failures visible to the judge

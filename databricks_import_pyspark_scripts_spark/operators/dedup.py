@@ -476,6 +476,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col))
     need = (melted.groupBy(id_col)
             .agg(F.collect_list(F.struct("id_a", "id_b")).alias("_prs")))
+    # Broadcast bound (ADVICE r14): `need` holds one row per candidate id
+    # with its pair list — each pair contributes one struct to BOTH
+    # endpoints' lists, so the payload is <= 2 * |cand| structs, and
+    # |cand| is capped by the max_bucket degree guard at
+    # num_bands * C(max_bucket, 2) pairs per band bucket. The hint is
+    # deliberate: without it a misestimate makes AQE shuffle the corpus
+    # TEXT by id (the payload this shape exists to keep in place).
     docs_cand = df.select(F.col(id_col), F.col(text_col)) \
         .join(F.broadcast(need), id_col)
     sh = shingles_pd_df(docs_cand, id_col, text_col, k,

