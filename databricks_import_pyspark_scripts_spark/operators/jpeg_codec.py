@@ -134,6 +134,34 @@ def _build_symbol_lut(table: dict) -> list:
     return lut
 
 
+def _build_long_decode(table: dict) -> list:
+    """Canonical-range decode entries for the 9-16-bit codes (r15): the
+    T.81 F.16 DECODE shape — per length, canonical codes are CONSECUTIVE
+    integers, so membership is one range check and the symbol an indexed
+    list lookup. Replaces the per-length dict probe (tuple alloc + hash
+    per candidate length) on the LUT-miss path. Returns a sorted list of
+    ``(length, mincode, maxcode, symbols)``; prefix-freeness guarantees
+    at most one length matches a given window."""
+    per: dict[int, list] = {}
+    for key, sym in table.items():
+        if not isinstance(key, tuple):
+            continue
+        length, code = key
+        if not isinstance(length, int) or length <= 8:
+            continue
+        per.setdefault(length, []).append((code, sym))
+    out = []
+    for length in sorted(per):
+        items = sorted(per[length])
+        if items[-1][0] - items[0][0] + 1 != len(items):
+            # not canonical-consecutive (never produced by _build_huffman)
+            # — signal the caller to keep the exact dict-probe path
+            return None
+        out.append((length, items[0][0], items[-1][0],
+                    [s for _, s in items]))
+    return out
+
+
 class _BitReader:
     """Entropy-segment bit reader with 0xFF00 byte unstuffing and
     restart-marker awareness.
@@ -259,12 +287,24 @@ class _BitReader:
             if lut is None:
                 lut = _build_symbol_lut(table)
                 table["_lut"] = lut
+                table["_long"] = _build_long_decode(table)
             window = (self.acc >> (self.nbits - 16)) & 0xFFFF
             hit = lut[window >> 8]
             if hit is not None:
                 sym, length = hit
                 self.nbits -= length
                 return sym
+            longd = table.get("_long")
+            if longd is not None:
+                # canonical range decode (r15): prefix-freeness means at
+                # most one length's consecutive code range contains the
+                # window prefix — same symbol the dict probe returned
+                for length, lo, hi, syms in longd:
+                    code = window >> (16 - length)
+                    if lo <= code <= hi:
+                        self.nbits -= length
+                        return syms[code - lo]
+                raise JpegFormatError("invalid huffman code (>16 bits)")
             code = window >> 8
             for length in range(9, 17):
                 code = (code << 1) | ((window >> (16 - length)) & 1)
@@ -649,15 +689,21 @@ class _BitWriter:
         self.nbits = 0
 
     def write(self, value: int, length: int) -> None:
-        for i in range(length - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((value >> i) & 1)
-            self.nbits += 1
-            if self.nbits == 8:
-                self.out.append(self.acc)
-                if self.acc == 0xFF:
-                    self.out.append(0x00)       # byte stuffing
-                self.acc = 0
-                self.nbits = 0
+        # bulk form (r15): append the whole bit-field to the accumulator
+        # and emit complete bytes with 0xFF00 stuffing — the emitted BIT
+        # sequence is identical to the per-bit loop this replaces (the
+        # encoder's dominant cost at ~80k calls per 32x32 fixture).
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        nbits = self.nbits + length
+        out = self.out
+        while nbits >= 8:
+            nbits -= 8
+            b = (self.acc >> nbits) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)                # byte stuffing
+        self.nbits = nbits
+        self.acc &= (1 << nbits) - 1
 
     def flush(self) -> bytes:
         if self.nbits:
@@ -694,53 +740,64 @@ def encode_jpeg_gray(arr: np.ndarray,
 
     dc_codes = _encode_lengths(_DC_LUM_BITS, _DC_LUM_VALS)
     ac_codes = _encode_lengths(_AC_LUM_BITS, _AC_LUM_VALS)
+    # batched transform (r15): every block's DCT/quantize/zigzag in three
+    # stacked numpy ops instead of per-block matmuls inside the bit loop.
+    # np.matmul on a stacked (nb, 8, 8) operand runs the SAME per-slice
+    # dgemm as the per-block ``_DCT @ block @ _DCT.T`` it replaces, in the
+    # same association order, so every float — and hence every rint
+    # boundary — is bit-identical (pinned by the md5 roundtrip tests).
+    nby, nbx = ph // 8, pw // 8
+    blocks = (padded.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+              .reshape(nby * nbx, 8, 8))
+    coeff = (_DCT @ blocks) @ _DCT.T
+    zq = np.rint(coeff / q).astype(np.int64)
+    zzs = zq.reshape(-1, 64)[:, _ZIGZAG]
+    # last nonzero index per block, vectorized (0 when the tail is empty)
+    nz_tail = zzs[:, 1:] != 0
+    last_nzs = np.where(nz_tail.any(axis=1),
+                        63 - np.argmax(zzs[:, ::-1] != 0, axis=1), 0)
+    zz_rows = zzs.tolist()                  # plain ints for the bit loop
+    last_nz_row = last_nzs.tolist()
     bw = _BitWriter()
+    write = bw.write
     pred = 0
-    mcu = 0
     rst = 0
-    for y0 in range(0, ph, 8):
-        for x0 in range(0, pw, 8):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                # byte-align (1-padding), emit RSTn, reset the predictor
-                if bw.nbits:
-                    bw.write((1 << (8 - bw.nbits)) - 1, 8 - bw.nbits)
-                bw.out += bytes([0xFF, 0xD0 + (rst & 7)])
-                rst = (rst + 1) & 7
-                pred = 0
-            mcu += 1
-            block = padded[y0:y0 + 8, x0:x0 + 8]
-            coeff = _DCT @ block @ _DCT.T
-            zq = np.rint(coeff / q).astype(np.int64)
-            zz = zq.reshape(-1)[_ZIGZAG]
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
-            size = _category(diff)
-            ln, code = dc_codes[size]
-            bw.write(code, ln)
-            if size:
-                bw.write(diff if diff > 0 else diff + (1 << size) - 1,
-                         size)
+    for mcu, zz in enumerate(zz_rows):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            # byte-align (1-padding), emit RSTn, reset the predictor
+            if bw.nbits:
+                write((1 << (8 - bw.nbits)) - 1, 8 - bw.nbits)
+            bw.out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst = (rst + 1) & 7
+            pred = 0
+        diff = zz[0] - pred
+        pred = zz[0]
+        size = _category(diff)
+        ln, code = dc_codes[size]
+        write(code, ln)
+        if size:
+            write(diff if diff > 0 else diff + (1 << size) - 1,
+                  size)
+        run = 0
+        last_nz = last_nz_row[mcu]
+        for k in range(1, 64):
+            v = zz[k]
+            if k > last_nz:
+                ln, code = ac_codes[0x00]        # EOB
+                write(code, ln)
+                break
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_codes[0xF0]        # ZRL
+                write(code, ln)
+                run -= 16
+            size = _category(v)
+            ln, code = ac_codes[(run << 4) | size]
+            write(code, ln)
+            write(v if v > 0 else v + (1 << size) - 1, size)
             run = 0
-            last_nz = int(np.max(np.nonzero(zz)[0])) if zz[1:].any() \
-                else 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if k > last_nz:
-                    ln, code = ac_codes[0x00]        # EOB
-                    bw.write(code, ln)
-                    break
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    ln, code = ac_codes[0xF0]        # ZRL
-                    bw.write(code, ln)
-                    run -= 16
-                size = _category(v)
-                ln, code = ac_codes[(run << 4) | size]
-                bw.write(code, ln)
-                bw.write(v if v > 0 else v + (1 << size) - 1, size)
-                run = 0
     entropy = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:

@@ -186,30 +186,45 @@ def encode_png(arr: np.ndarray, cycle_filters: bool = True) -> bytes:
     height, stride = flat.shape
     width = stride // ch
 
-    lines = bytearray()
-    prev = np.zeros(stride, np.int32)
-    for y in range(height):
-        row = flat[y].astype(np.int32)
-        ftype = (y % 5) if cycle_filters else 0
+    # whole-image vectorized filtering (r15): unlike DECODE-side
+    # unfiltering, the ENCODE predictors read only RAW neighbor bytes
+    # (row above, raw left), so every row and every filter type is
+    # data-parallel — same integer arithmetic as the per-pixel loop this
+    # replaces, byte-identical output (pinned by the roundtrip tests).
+    rows32 = flat.astype(np.int32)
+    prevs = np.zeros_like(rows32)
+    prevs[1:] = rows32[:-1]
+    lefts = np.zeros_like(rows32)
+    lefts[:, ch:] = rows32[:, :-ch]
+    uls = np.zeros_like(rows32)
+    uls[:, ch:] = prevs[:, :-ch]
+    fts = (np.arange(height) % 5 if cycle_filters
+           else np.zeros(height, np.int64))
+    out = np.empty((height, stride + 1), np.uint8)
+    out[:, 0] = fts
+    for ftype in range(5):
+        idx = np.nonzero(fts == ftype)[0]
+        if not len(idx):
+            continue
+        r, le, pv, ul = rows32[idx], lefts[idx], prevs[idx], uls[idx]
         if ftype == 0:
-            enc = row
+            enc = r
         elif ftype == 1:
-            left = np.concatenate([np.zeros(ch, np.int32), row[:-ch]])
-            enc = (row - left) & 0xFF
+            enc = (r - le) & 0xFF
         elif ftype == 2:
-            enc = (row - prev) & 0xFF
+            enc = (r - pv) & 0xFF
         elif ftype == 3:
-            left = np.concatenate([np.zeros(ch, np.int32), row[:-ch]])
-            enc = (row - (left + prev) // 2) & 0xFF
+            enc = (r - (le + pv) // 2) & 0xFF
         else:
-            enc = np.empty(stride, np.int32)
-            for x in range(stride):
-                aa = int(row[x - ch]) if x >= ch else 0
-                cc = int(prev[x - ch]) if x >= ch else 0
-                enc[x] = (int(row[x]) - _paeth(aa, int(prev[x]), cc)) & 0xFF
-        lines.append(ftype)
-        lines += enc.astype(np.uint8).tobytes()
-        prev = row
+            # Paeth, vectorized with _paeth's exact tie-break
+            p = le + pv - ul
+            pa, pb, pc = (np.abs(p - le), np.abs(p - pv),
+                          np.abs(p - ul))
+            pred = np.where((pa <= pb) & (pa <= pc), le,
+                            np.where(pb <= pc, pv, ul))
+            enc = (r - pred) & 0xFF
+        out[idx, 1:] = enc
+    lines = out.tobytes()
 
     def chunk(typ: bytes, payload: bytes) -> bytes:
         return (struct.pack(">I", len(payload)) + typ + payload
