@@ -442,6 +442,92 @@ def kmeans_centroids(vectors: DataFrame, num_centroids: int,
         rows, "centroid_id long, embedding array<double>")
 
 
+def _seed_artifacts_local(vectors: DataFrame, centroid_mod: int | None,
+                          codebook_k: int | None,
+                          dim: int = EMBED_DIM, m: int | None = None,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding"):
+    """ONE metadata-scale collect serving the per-query-batch artifact
+    builds (r15, VERDICT r14 #7 — fuse the IVF/PQ artifact builds):
+    centroid seeds (``id % centroid_mod == 0``) and/or PQ codebook seeds
+    (``id < codebook_k``) gathered by a single small job and replayed as
+    LOCAL relations, so every downstream consumer (the assignment
+    collect, the query-cell broadcast, the encode collect, the ADC-table
+    broadcast) reads a LocalTableScan instead of re-deriving its own
+    id-filtered corpus scan — previously 2 collect jobs + 2 broadcast
+    subtree scans per query batch. Both artifact families are
+    metadata-scale BY CONTRACT (``pq_codebook`` / coarse-quantizer
+    docstrings), so the single collect moves no more driver bytes than
+    the collects it replaces.
+
+    Value-exactness vs the lazy subtrees this stands in for:
+    float32 -> float64 widening is exact (``dot_col`` casts every element
+    to double anyway); ``centroid_id`` floor division equals the
+    cast-truncation on non-negative ids; codebook ints come from
+    ``quantize_np``, the pinned HALF_UP twin of ``quantize_vec``
+    (tests/test_extensions.py pins frame equality of the fused and lazy
+    artifact forms on the real table). Returns ``(cents_df, cb_df)``,
+    ``None`` where not requested."""
+    import numpy as np
+
+    from .clustering import quantize_np
+
+    spark = vectors.sparkSession
+    cond = None
+    if centroid_mod is not None:
+        cond = F.col(id_col) % centroid_mod == 0
+    if codebook_k is not None:
+        c2 = F.col(id_col) < codebook_k
+        cond = c2 if cond is None else (cond | c2)
+    seed = vectors.filter(cond).select(id_col, vec_col).collect()
+
+    # VALUES, not createDataFrame: parallelized Python rows plan as an
+    # OPAQUE `Scan ExistingRDD` (no codegen, no pruning, a Python-RDD
+    # evaluation per reference — measured 2-3x the gates' tree-CPU);
+    # a VALUES clause is a true Catalyst LocalRelation. repr(float)
+    # round-trips exactly through the SQL double parser.
+    def _values_df(rows_sql: list[str], alias: str) -> DataFrame:
+        return spark.sql(
+            f"SELECT * FROM VALUES {', '.join(rows_sql)} AS {alias}")
+
+    cents_df = cb_df = None
+    if centroid_mod is not None:
+        rows = sorted((int(r[0]) // centroid_mod,
+                       [float(x) for x in r[1]])
+                      for r in seed if int(r[0]) % centroid_mod == 0)
+        if rows:
+            cents_df = _values_df(
+                ["(CAST(%d AS BIGINT), array(%s))"
+                 % (cid, ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vec))
+                 for cid, vec in rows],
+                "t(centroid_id, embedding)")
+        else:
+            cents_df = spark.createDataFrame(
+                [], "centroid_id bigint, embedding array<double>")
+    if codebook_k is not None:
+        m = PQ_M if m is None else m
+        d_sub = _pq_check_dim(dim, m)
+        cb_rows = []
+        for r in sorted(seed, key=lambda r: int(r[0])):
+            j = int(r[0])
+            if j >= codebook_k:
+                continue
+            qv = quantize_np(np.asarray([float(x) for x in r[1]],
+                                        dtype=np.float64)).tolist()
+            cb_rows.extend((mm, j, qv[mm * d_sub:(mm + 1) * d_sub])
+                           for mm in range(m))
+        if cb_rows:
+            cb_df = _values_df(
+                ["(%d, CAST(%d AS BIGINT), array(%s))"
+                 % (mm, j, ", ".join(f"CAST({v} AS BIGINT)" for v in sub))
+                 for mm, j, sub in cb_rows],
+                "t(m, j, cbv)")
+        else:
+            cb_df = spark.createDataFrame(
+                [], "m int, j bigint, cbv array<bigint>")
+    return cents_df, cb_df
+
+
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
              centroid_mod: int = CENTROID_MOD,
              nprobe: int = IVF_NPROBE,
@@ -462,6 +548,9 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     partition/bucket key) instead of recomputing the assignment per
     query batch; it must have been built against the SAME centroids
     (test_ivf_stored_assignments_roundtrip pins parity)."""
+    if centroids is None and assignments is None:
+        # recompute-per-batch shape: collect the seeds once (r15)
+        centroids, _ = _seed_artifacts_local(vectors, centroid_mod, None)
     cents = centroids if centroids is not None else (
         vectors.filter(F.col("vec_id") % centroid_mod == 0)
         .select((F.col("vec_id") / centroid_mod).cast("long").alias("centroid_id"),
@@ -861,6 +950,9 @@ def pq_adc_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     of PQ at 100 TB (test_pq_stored_codes_roundtrip pins parity). ADC
     score ties and rank ties both break deterministically (min code at
     encode, vec_id at rank)."""
+    if codebook is None and codes is None:
+        # recompute-per-batch shape: collect the seeds once (r15)
+        _, codebook = _seed_artifacts_local(vectors, None, PQ_K, dim, m)
     cb = codebook if codebook is not None else pq_codebook(
         vectors, "vec_id", "embedding", dim, m)
     if codes is None:
@@ -899,6 +991,12 @@ def ivf_pq_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     corpus vectors at all — the full production layout
     (test_ivf_pq_stored_layout_roundtrip pins parity).
     """
+    if (centroids is None and codebook is None and assignments is None
+            and codes is None):
+        # recompute-per-batch shape: ONE seed collect serves the
+        # centroid AND codebook artifacts (r15, VERDICT r14 #7)
+        centroids, codebook = _seed_artifacts_local(
+            vectors, centroid_mod, PQ_K, dim, m)
     cents = centroids if centroids is not None else (
         vectors.filter(F.col("vec_id") % centroid_mod == 0)
         .select((F.col("vec_id") / centroid_mod).cast("long").alias("centroid_id"),

@@ -1099,3 +1099,40 @@ def test_logreg_newton_matches_reference_and_separates(spark):
         ((F.col("p") >= 0.5) & (F.col("label") == 1))
         | ((F.col("p") < 0.5) & (F.col("label") == 0))).count() / n)
     assert acc > 0.95
+
+
+def test_seed_artifacts_local_match_lazy_subtrees(spark, sf_dir):
+    """r15 fused artifact collect: the single-collect local relations
+    (_seed_artifacts_local) are FRAME-EQUAL to the lazy id-filtered
+    subtrees they stand in for — centroid ids, exact float64-widened
+    centroid vectors, and quantize_vec-exact codebook ints — so the
+    ivf/pq gates' recompute-per-batch path computes identical artifacts
+    with one job instead of 2 collects + 2 broadcast subtree scans."""
+    from pyspark.sql import functions as F
+
+    from databricks_import_pyspark_scripts_spark.operators.similarity import (
+        CENTROID_MOD,
+        _seed_artifacts_local,
+        pq_codebook,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents_local, cb_local = _seed_artifacts_local(emb, CENTROID_MOD, 16)
+    cents_lazy = (emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
+                  .select((F.col("vec_id") / CENTROID_MOD).cast("long")
+                          .alias("centroid_id"),
+                          F.col("embedding").cast("array<double>")
+                          .alias("embedding")))
+    a = sorted(map(tuple, cents_local.collect()))
+    b = sorted(map(tuple, cents_lazy.collect()))
+    assert len(a) > 0
+    assert [(i, [float(x) for x in v]) for i, v in a] \
+        == [(i, [float(x) for x in v]) for i, v in b]
+
+    cb_lazy = pq_codebook(emb, "vec_id", "embedding")
+    la = sorted((int(r["m"]), int(r["j"]), tuple(int(x) for x in r["cbv"]))
+                for r in cb_local.collect())
+    lb = sorted((int(r["m"]), int(r["j"]), tuple(int(x) for x in r["cbv"]))
+                for r in cb_lazy.collect())
+    assert len(la) == 16 * 8
+    assert la == lb
