@@ -998,7 +998,8 @@ def _stored_key_expr(col):
 
 def _apply_position_deletes(spark: SparkSession, df: DataFrame,
                             table_path: str, data_files: list[dict],
-                            delete_files: list[dict]) -> DataFrame:
+                            delete_files: list[dict],
+                            memo: dict | None = None) -> DataFrame:
     """Anti-join the scan (carrying ``_POS_KEY`` + ``_POS_IDX``) against
     the position-delete parquet files' ``(file_path, pos)`` pairs.
 
@@ -1016,6 +1017,37 @@ def _apply_position_deletes(spark: SparkSession, df: DataFrame,
     delete file already references — file names embed UUIDs."""
     from pyspark.sql import functions as F
 
+    dels, cardinality = _position_delete_pairs(spark, table_path,
+                                               delete_files, memo)
+    if dels is None:
+        return df
+    from .delta_log import DV_ANTIJOIN_MAX_ROWS
+    if cardinality <= DV_ANTIJOIN_MAX_ROWS:
+        dels = F.broadcast(dels)
+    return df.join(dels, [_POS_KEY, _POS_IDX], "left_anti")
+
+
+def _position_delete_pairs(spark: SparkSession, table_path: str,
+                           delete_files: list[dict],
+                           memo: dict | None = None):
+    """``((POS_KEY, POS_IDX) pairs DataFrame | None, manifest
+    cardinality)`` for position-delete files — parquet delete scans plus
+    expanded puffin DVs. Shared by the anti-join filter
+    (``_apply_position_deletes``) and the r15 flag twin
+    (``_mark_row_deletes``). ``memo`` (per change-feed) reuses the frame
+    when the same delete set recurs — adjacent MoR steps share delete
+    files, and each DataFrameReader round-trip costs a driver-side
+    ~50 ms; the explicit read schema likewise skips the footer-sniffing
+    schema inference (the spec fixes position-delete columns)."""
+    from pyspark.sql import functions as F
+
+    key = None
+    if memo is not None:
+        key = tuple(sorted(
+            (str(f.get("file_path")), f.get("content_offset"),
+             f.get("content_size_in_bytes")) for f in delete_files))
+        if key in memo:
+            return memo[key]
     dvs = [f for f in delete_files if f.get("content_offset") is not None]
     pq_dels = [f for f in delete_files
                if f.get("content_offset") is None]
@@ -1026,7 +1058,8 @@ def _apply_position_deletes(spark: SparkSession, df: DataFrame,
         dpaths = sorted({_resolve_path(table_path, f["file_path"])
                          for f in pq_dels})
         parts.append(
-            spark.read.parquet(*dpaths)
+            spark.read.schema("file_path string, pos bigint")
+            .parquet(*dpaths)
             .select(_stored_key_expr(F.col("file_path")).alias(_POS_KEY),
                     F.col("pos").cast("long").alias(_POS_IDX)))
     if dvs:
@@ -1055,14 +1088,15 @@ def _apply_position_deletes(spark: SparkSession, df: DataFrame,
             parts.append(spark.createDataFrame(
                 rows, f"{_POS_KEY} string, {_POS_IDX} long"))
     if not parts:
-        return df
-    dels = parts[0]
-    for p in parts[1:]:
-        dels = dels.unionByName(p)
-    from .delta_log import DV_ANTIJOIN_MAX_ROWS
-    if cardinality <= DV_ANTIJOIN_MAX_ROWS:
-        dels = F.broadcast(dels)
-    return df.join(dels, [_POS_KEY, _POS_IDX], "left_anti")
+        out = (None, cardinality)
+    else:
+        dels = parts[0]
+        for p in parts[1:]:
+            dels = dels.unionByName(p)
+        out = (dels, cardinality)
+    if memo is not None:
+        memo[key] = out
+    return out
 
 
 def _file_key(table_path: str, f: dict) -> str:
@@ -1090,11 +1124,36 @@ def _apply_equality_deletes(spark: SparkSession, df: DataFrame,
 
     # per-row DATA sequence number, attached from a broadcast
     # file-key -> seq map (collision-checked by the caller)
+    out = df.join(F.broadcast(_data_seq_map(spark, table_path,
+                                            data_files)),
+                  _POS_KEY, "left")
+    for names, dels, cardinality in _equality_delete_groups(
+            spark, table_path, eq_files, meta):
+        if cardinality <= DV_ANTIJOIN_MAX_ROWS:
+            dels = F.broadcast(dels)
+        cond = dels["__iceberg_del_seq"] > F.coalesce(
+            out["__iceberg_data_seq"], F.lit(0))
+        for n in names:
+            cond = cond & out[n].eqNullSafe(dels[f"__del_{n}"])
+        out = out.join(dels, cond, "left_anti")
+    return out.drop("__iceberg_data_seq")
+
+
+def _data_seq_map(spark: SparkSession, table_path: str,
+                  data_files: list[dict]) -> DataFrame:
     seq_rows = [(_file_key(table_path, f), int(f.get("_seq") or 0))
                 for f in data_files]
-    seq_map = spark.createDataFrame(
+    return spark.createDataFrame(
         seq_rows, f"{_POS_KEY} string, __iceberg_data_seq long")
-    out = df.join(F.broadcast(seq_map), _POS_KEY, "left")
+
+
+def _equality_delete_groups(spark: SparkSession, table_path: str,
+                            eq_files: list[dict], meta: dict) -> list:
+    """``[(key column names, delete-rows DataFrame, cardinality)]`` per
+    equality-ids group — each frame carries ``__del_<name>`` key columns
+    plus ``__iceberg_del_seq``. Shared by the anti-join filter
+    (``_apply_equality_deletes``) and the r15 flag twin."""
+    from pyspark.sql import functions as F
 
     id_fields = {int(f["id"]): f
                  for f in _current_schema(meta)["fields"]
@@ -1103,6 +1162,7 @@ def _apply_equality_deletes(spark: SparkSession, df: DataFrame,
     for d in eq_files:
         ids = tuple(sorted(int(i) for i in d["equality_ids"]))
         groups.setdefault(ids, []).append(d)
+    out = []
     for ids, dfiles in sorted(groups.items()):
         missing = [i for i in ids if i not in id_fields]
         if missing:
@@ -1126,20 +1186,80 @@ def _apply_equality_deletes(spark: SparkSession, df: DataFrame,
                 .drop("__iceberg_del_key"))
         cardinality = sum(int(d.get("record_count") or 0)
                           for d in dfiles)
-        if cardinality <= DV_ANTIJOIN_MAX_ROWS:
-            dels = F.broadcast(dels)
-        cond = dels["__iceberg_del_seq"] > F.coalesce(
-            out["__iceberg_data_seq"], F.lit(0))
-        for n in names:
-            cond = cond & out[n].eqNullSafe(dels[f"__del_{n}"])
-        out = out.join(dels, cond, "left_anti")
-    return out.drop("__iceberg_data_seq")
+        out.append((names, dels, cardinality))
+    return out
+
+
+def _mark_row_deletes(spark: SparkSession, keyed: DataFrame,
+                      table_path: str, data_files: list[dict],
+                      deletes: list[dict], meta: dict,
+                      flag: str, memo: dict | None = None) -> DataFrame:
+    """LEFT-join FLAG twin of ``_apply_row_deletes`` (r15): appends a
+    boolean column ``flag`` — "this row is dead under ``deletes``" —
+    instead of filtering. The change-feed's merge-on-read step diffs TWO
+    snapshots' aliveness over ONE scan of their common files, so it
+    needs both kill sets as columns; the filter form would force two
+    full effective scans plus two table-state anti-joins on row identity
+    (the r14 shape this replaces).
+
+    Duplicate-safe by construction (a LEFT join must not multiply data
+    rows): the position side joins DISTINCT (file key, pos) pairs; each
+    equality group pre-aggregates MAX(delete seq) per distinct key tuple
+    — a strictly-newer delete exists iff the max is newer. Same
+    mechanism semantics as the filter twin: kill = position match OR any
+    equality group's null-safe key match with delete seq > data seq."""
+    from pyspark.sql import functions as F
+
+    from .delta_log import DV_ANTIJOIN_MAX_ROWS
+
+    pos = [d for d in deletes if int(d.get("content") or 0) == 1]
+    eq = [d for d in deletes if int(d.get("content") or 0) == 2]
+    out = keyed.withColumn(flag, F.lit(False))
+    if pos:
+        dels, cardinality = _position_delete_pairs(spark, table_path, pos,
+                                                   memo)
+        if dels is not None:
+            dels = dels.distinct().withColumn(f"__hit_{flag}", F.lit(True))
+            if cardinality <= DV_ANTIJOIN_MAX_ROWS:
+                dels = F.broadcast(dels)
+            out = (out.join(dels, [_POS_KEY, _POS_IDX], "left")
+                   .withColumn(flag, F.col(flag)
+                               | F.coalesce(F.col(f"__hit_{flag}"),
+                                            F.lit(False)))
+                   .drop(f"__hit_{flag}"))
+    if eq:
+        seq_col = f"__iceberg_data_seq_{flag}"
+        out = out.join(
+            F.broadcast(_data_seq_map(spark, table_path, data_files)
+                        .withColumnRenamed("__iceberg_data_seq", seq_col)),
+            _POS_KEY, "left")
+        for gi, (names, dels, cardinality) in enumerate(
+                _equality_delete_groups(spark, table_path, eq, meta)):
+            mx = f"__mx_{flag}_{gi}"
+            keyed_dels = (dels.groupBy(*[f"__del_{n}" for n in names])
+                          .agg(F.max("__iceberg_del_seq").alias(mx)))
+            if cardinality <= DV_ANTIJOIN_MAX_ROWS:
+                keyed_dels = F.broadcast(keyed_dels)
+            cond = None
+            for n in names:
+                c = out[n].eqNullSafe(keyed_dels[f"__del_{n}"])
+                cond = c if cond is None else (cond & c)
+            out = (out.join(keyed_dels, cond, "left")
+                   .withColumn(flag, F.col(flag)
+                               | F.coalesce(
+                                   F.col(mx) > F.coalesce(F.col(seq_col),
+                                                          F.lit(0)),
+                                   F.lit(False)))
+                   .drop(mx, *[f"__del_{n}" for n in names]))
+        out = out.drop(seq_col)
+    return out
 
 
 def _apply_row_deletes(spark: SparkSession, keyed: DataFrame,
                        table_path: str, data_files: list[dict],
                        deletes: list[dict], meta: dict,
-                       drop_helpers: bool = True) -> DataFrame:
+                       drop_helpers: bool = True,
+                       memo: dict | None = None) -> DataFrame:
     """Dispatch position (content=1) and equality (content=2) delete
     files over a scan carrying ``_POS_KEY``/``_POS_IDX``; drops the
     helper columns unless the caller still needs the row identity (the
@@ -1155,7 +1275,7 @@ def _apply_row_deletes(spark: SparkSession, keyed: DataFrame,
     out = keyed
     if pos:
         out = _apply_position_deletes(spark, out, table_path, data_files,
-                                      pos)
+                                      pos, memo)
     if eq:
         out = _apply_equality_deletes(spark, out, table_path, data_files,
                                       eq, meta)
@@ -3915,16 +4035,16 @@ def read_iceberg_changes(spark: SparkSession, table_path: str,
         return {f["file_path"]: f for f in files}, deletes
 
     _exist_ok: set[str] = set()   # driver FS checks, once per file per feed
+    _pairs_memo: dict = {}        # position-delete frames, per delete set
 
-    def effective_keyed(files: dict[str, dict],
-                        deletes: list[dict]) -> DataFrame | None:
-        """Snapshot's effective rows WITH the (file key, row index)
-        identity columns — the diffable form."""
+    def raw_keyed(files: dict[str, dict]) -> DataFrame | None:
+        """Scan of the given data files WITH the (file key, row index)
+        identity columns, deletes NOT applied — the probe-guarded base
+        both the effective form and the r15 flag diff build on."""
         if not files:
             return None
-        recs = list(files.values())
         paths = []
-        for f in recs:
+        for f in files.values():
             rp = _resolve_path(table_path, f["file_path"])
             if rp not in _exist_ok:
                 if not _exists(spark, rp):
@@ -3933,27 +4053,28 @@ def read_iceberg_changes(spark: SparkSession, table_path: str,
                         f"by a past snapshot but absent (expired?)")
                 _exist_ok.add(rp)
             paths.append(rp)
-        keyed = (spark.read.schema(schema).parquet(*paths).select(
+        return (spark.read.schema(schema).parquet(*paths).select(
             "*",
             _file_key_expr(F.col("_metadata.file_path")).alias(_POS_KEY),
             F.col("_metadata.row_index").alias(_POS_IDX)))
-        return _apply_row_deletes(spark, keyed, table_path, recs,
-                                  deletes, meta, drop_helpers=False)
 
-    # adjacent MoR steps share a snapshot: step o's `cur` effective set IS
-    # step o+1's `prev`. Build the keyed DataFrame ONCE per ordinal and
-    # reuse the object — the shared subtree lets runtime exchange reuse
-    # serve all four anti-join references from one execution instead of
-    # re-deriving (file, pos) keys per step (r14 batch 11; the loud
-    # expired-snapshot path is untouched: the _exists probe above still
-    # runs for every file the feed touches, just once per feed).
-    _eff_cache: dict[int, DataFrame | None] = {}
+    def effective_keyed(files: dict[str, dict],
+                        deletes: list[dict]) -> DataFrame | None:
+        """Snapshot's effective rows WITH the (file key, row index)
+        identity columns — the diffable form."""
+        keyed = raw_keyed(files)
+        if keyed is None:
+            return None
+        return _apply_row_deletes(spark, keyed, table_path,
+                                  list(files.values()),
+                                  deletes, meta, drop_helpers=False,
+                                  memo=_pairs_memo)
 
-    def effective_keyed_at(ordinal: int, files: dict[str, dict],
-                           deletes: list[dict]) -> DataFrame | None:
-        if ordinal not in _eff_cache:
-            _eff_cache[ordinal] = effective_keyed(files, deletes)
-        return _eff_cache[ordinal]
+    # (the r14 batch-11 per-ordinal effective-set memo is gone with the
+    # full-state anti-join it served: the r15 flag diff touches each
+    # common file ONCE per step, so there is no shared effective subtree
+    # left to reuse; the loud expired-snapshot path is untouched — the
+    # _exists probe in raw_keyed still runs once per file per feed.)
 
     schema = iceberg_spark_schema(meta)
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
@@ -3982,20 +4103,66 @@ def read_iceberg_changes(spark: SparkSession, table_path: str,
                     raise IcebergProtocolError(
                         "file basename collision across a merge-on-read "
                         "ordinal step; row identities would alias")
-            cur_k = effective_keyed_at(o, cur, cur_dels)
-            prev_k = effective_keyed_at(o - 1, prev, prev_dels)
-            ident = [_POS_KEY, _POS_IDX]
-            for side, other, ctype in ((cur_k, prev_k, "insert"),
-                                       (prev_k, cur_k, "delete")):
-                if side is None:
-                    continue
-                piece = side
-                if other is not None:
-                    piece = piece.join(other.select(*ident), ident,
-                                       "left_anti")
+
+            # r15 (VERDICT r14 #8): decompose the step per FILE instead
+            # of anti-joining two full effective states. Row identity is
+            # (file key, row index), so a row can only diff against its
+            # OWN file's row in the other snapshot:
+            #   * files only in cur  -> every effective row is an insert
+            #   * files only in prev -> every effective row is a delete
+            #   * files in both (same immutable content + seq) -> a row
+            #     changes iff its ALIVENESS under the two delete sets
+            #     differs; one scan carrying both kill flags
+            #     (_mark_row_deletes) emits exactly those rows, with no
+            #     state-sized identity shuffle at all.
+            # The r14 shape paid 2 full effective scans + 2 identity-
+            # pruned scans + 2 table-state anti-joins per step.
+            def _seq(f: dict) -> int:
+                return int(f.get("_seq") or 0)
+
+            common = {p: f for p, f in cur.items()
+                      if p in prev and _seq(prev[p]) == _seq(f)}
+            added = {p: f for p, f in cur.items() if p not in common}
+            removed = {p: f for p, f in prev.items() if p not in common}
+
+            def _delsig(ds: list[dict]) -> list[tuple]:
+                return sorted((d.get("file_path"), d.get("content"),
+                               d.get("_seq"), d.get("content_offset"),
+                               d.get("content_size_in_bytes"))
+                              for d in ds)
+
+            def _meta_cols(df: DataFrame, ctype: str) -> DataFrame:
+                return (df.drop(_POS_KEY, _POS_IDX)
+                        .withColumn("_change_type", F.lit(ctype))
+                        .withColumn("_commit_version",
+                                    F.lit(o).cast("long"))
+                        .withColumn("_commit_timestamp",
+                                    F.timestamp_millis(F.lit(ts))))
+
+            ins_k = effective_keyed(added, cur_dels)
+            if ins_k is not None:
+                mor_pieces.append(_meta_cols(ins_k, "insert"))
+            del_k = effective_keyed(removed, prev_dels)
+            if del_k is not None:
+                mor_pieces.append(_meta_cols(del_k, "delete"))
+            if common and _delsig(prev_dels) != _delsig(cur_dels):
+                recs = list(common.values())
+                marked = _mark_row_deletes(
+                    spark, raw_keyed(common), table_path, recs,
+                    prev_dels, meta, "__dead_prev", memo=_pairs_memo)
+                marked = _mark_row_deletes(
+                    spark, marked, table_path, recs,
+                    cur_dels, meta, "__dead_cur", memo=_pairs_memo)
+                changed = (marked
+                           .filter(F.col("__dead_prev")
+                                   != F.col("__dead_cur"))
+                           .withColumn("_change_type",
+                                       F.when(F.col("__dead_prev"),
+                                              F.lit("insert"))
+                                       .otherwise(F.lit("delete")))
+                           .drop("__dead_prev", "__dead_cur"))
                 mor_pieces.append(
-                    piece.drop(*ident)
-                    .withColumn("_change_type", F.lit(ctype))
+                    changed.drop(_POS_KEY, _POS_IDX)
                     .withColumn("_commit_version", F.lit(o).cast("long"))
                     .withColumn("_commit_timestamp",
                                 F.timestamp_millis(F.lit(ts))))
