@@ -217,18 +217,68 @@ def pair_cosines(cand: DataFrame, vectors: DataFrame,
     v = vectors.select(F.col(id_col), F.col(vec_col).alias("_e"),
                        dot_col(F.col(vec_col), F.col(vec_col)).alias("_n2"))
     if strategy == "broadcast":
-        va = v.select(F.col(id_col).alias("id_a"), F.col("_e").alias("_ea"),
-                      F.col("_n2").alias("_na"))
-        vb = v.select(F.col(id_col).alias("id_b"), F.col("_e").alias("_eb"),
-                      F.col("_n2").alias("_nb"))
-        joined = (cand.select("id_a", "id_b")
-                  .join(F.broadcast(va), "id_a")
-                  .join(F.broadcast(vb), "id_b"))
-        return joined.select(
-            "id_a", "id_b",
-            _pair_cosine_pd(F.col("_ea"), F.col("_eb"),
-                            F.col("_na"), F.col("_nb"),
-                            deterministic=False).alias("cosine"))
+        # r15 GATHER form (guide §4.1: ship only the columns the function
+        # needs). The r14 shape ran the pair stream through two broadcast
+        # hash joins and shipped BOTH 64-dim vectors per pair into the
+        # Arrow cosine — 816k pairs x 128 float64 ~ 850 MB across the
+        # Python boundary per run, 8.6 of the gate's 11.5 tree-CPU s.
+        # Now the vector table is collected ONCE (same driver-memory
+        # class as the broadcast relation build it replaces, same
+        # ``broadcast_cap_bytes`` gate) and shipped as a Spark broadcast
+        # of (sorted ids, float64 matrix, norms); only the TWO PAIR IDS
+        # cross the boundary (~13 MB) and each batch gathers rows by
+        # searchsorted. Arithmetic is the exact fold of the join form:
+        # per-dimension ``acc += A[:,i]*B[:,i]`` across rows is
+        # ``dot_pd_col``'s sequence, norms use the same per-dimension
+        # fold ``dot_col`` evaluated row-wise, and sqrt/divide are single
+        # correctly-rounded IEEE ops — bit-identical cosines (pinned by
+        # test_pair_cosines_strategies_agree vs the melt form). Missing
+        # ids drop, matching the inner joins. NOTE: the collect runs a
+        # job at DataFrame-BUILD time (the broadcast-relation build it
+        # replaces ran at first execution); callers that might PRUNE the
+        # verify from their final plan should pass ``melt``.
+        rows = vectors.select(F.col(id_col), F.col(vec_col)).collect()
+        spark = vectors.sparkSession
+        if rows:
+            raw_ids = np.array([int(r[0]) for r in rows], dtype=np.int64)
+            order = np.argsort(raw_ids, kind="stable")
+            ids_s = raw_ids[order]
+            mat = np.array([[float(x) for x in rows[int(i)][1]]
+                            for i in order], dtype=np.float64)
+            norms = np.zeros(len(mat), dtype=np.float64)
+            for i in range(mat.shape[1]):
+                norms = norms + mat[:, i] * mat[:, i]
+        else:
+            ids_s = np.zeros(0, dtype=np.int64)
+            mat = np.zeros((0, 0), dtype=np.float64)
+            norms = np.zeros(0, dtype=np.float64)
+        bc = spark.sparkContext.broadcast((ids_s, mat, norms))
+
+        def _gather_cos(batches):
+            ids_b, m_b, n_b = bc.value
+            n = len(ids_b)
+            for pdf in batches:
+                if not len(pdf) or n == 0:
+                    continue
+                a = pdf["id_a"].to_numpy(dtype=np.int64)
+                b = pdf["id_b"].to_numpy(dtype=np.int64)
+                pa = np.minimum(np.searchsorted(ids_b, a), n - 1)
+                pb = np.minimum(np.searchsorted(ids_b, b), n - 1)
+                ok = (ids_b[pa] == a) & (ids_b[pb] == b)
+                if not ok.any():
+                    continue
+                pa, pb = pa[ok], pb[ok]
+                A, B = m_b[pa], m_b[pb]
+                acc = np.zeros(len(A), dtype=np.float64)
+                for i in range(A.shape[1]):
+                    acc = acc + A[:, i] * B[:, i]
+                cos = acc / np.sqrt(n_b[pa] * n_b[pb])
+                yield pd.DataFrame({"id_a": a[ok], "id_b": b[ok],
+                                    "cosine": cos})
+
+        id_t = dict(cand.dtypes)["id_a"]
+        return cand.select("id_a", "id_b").mapInPandas(
+            _gather_cos, f"id_a {id_t}, id_b {id_t}, cosine double")
     if strategy != "melt":
         raise ValueError(f"unknown pair-verify strategy {strategy!r}")
     melted = cand.select(

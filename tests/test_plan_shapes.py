@@ -89,24 +89,22 @@ def test_q5_dimensions_all_broadcast(spark, sf_dir):
 
 def test_embedding_dedup_single_bucket_build(spark, sf_dir):
     """The Arrow bucket build runs once and the verify never shuffles the
-    pair set: embeddings scan exactly 3 times (1 bucket pipeline + the two
-    BROADCAST verify sides — the corpus is the small side here, the 816k
-    surviving pairs the big one; scanning 2k vectors twice is the price of
-    zero pair shuffle, the r6 melt-join's ~500 MB pair exchange was the
-    bench-wobble root cause), each Python stage is evaluated exactly once —
-    one MapInPandas (bucket matmul; the pandas_udf+posexplode form was
-    cloned into the generate's pre-filter and ran twice) and one
-    ArrowEvalPython (pair cosine; kept single by the asNondeterministic
-    barrier against filter-pushdown cloning) — and the verify joins are
-    broadcast-hash (a sort-merge there means the pair stream started
-    shuffling again)."""
+    pair set. r15 gather verify: the vector table no longer appears in
+    the verify PLAN at all — it is collected once at build and gathered
+    inside the pair-id MapInPandas (only two bigints per pair cross the
+    Python boundary; the r14 broadcast-hash form shipped both 64-dim
+    vectors per pair, ~850 MB/run). So: embeddings scans exactly once
+    (the bucket pipeline), exactly two MapInPandas (bucket matmul +
+    gather cosine), no ArrowEvalPython, no join of any kind in the
+    verify, and still zero pair shuffle (the r6 melt-join's ~500 MB pair
+    exchange was the bench-wobble root cause)."""
     df = all_queries()["dedup_embedding_cosine"](spark, sf_dir)
     plan = _plan(df)
-    assert _scans(plan, "embeddings") == 3
-    assert _nodes(plan, "MapInPandas") == 1
-    assert _nodes(plan, "ArrowEvalPython") == 1
-    assert _nodes(plan, "BroadcastHashJoin") >= 2
+    assert _scans(plan, "embeddings") == 1
+    assert _nodes(plan, "MapInPandas") == 2
+    assert _nodes(plan, "ArrowEvalPython") == 0
     assert _nodes(plan, "SortMergeJoin") == 0
+    assert "CartesianProduct" not in plan
 
 
 def test_semdedup_single_assignment_and_verify(spark, sf_dir):
