@@ -212,6 +212,19 @@ def audio_fingerprint_pairs(media_df: DataFrame,
         .filter(F.col("hamming") <= max_hamming))
 
 
+def _fixture_partitions(spark, n_rows: int, rows_per_task: int = 8) -> int:
+    """Scale-adaptive partition count for the synthesized media corpora
+    (r15; guide §2 — partitioning must derive from input size, not a
+    constant tuned for one host): full defaultParallelism once the corpus
+    is large enough to feed it, but never more tasks than ~n/8 — the
+    gate-scale 60-thumbnail corpora were parallelized into 32 one-or-two-
+    row Python tasks whose per-task Arrow/worker overhead (~0.25 CPU-s
+    each, measured) dwarfed the actual decode work, and every downstream
+    mapInPandas stage inherited the over-split."""
+    return max(1, min(spark.sparkContext.defaultParallelism,
+                      (n_rows + rows_per_task - 1) // rows_per_task))
+
+
 def synthesize_wav_corpus(spark, ids: list[int],
                           variants_per_cluster: int = 10,
                           sample_rate: int = 16000,
@@ -254,7 +267,8 @@ def synthesize_wav_corpus(spark, ids: list[int],
     return spark.createDataFrame(
         rows,
         StructType([StructField("media_id", LongType()),
-                    StructField("media", MEDIA_SCHEMA)]))
+                    StructField("media", MEDIA_SCHEMA)])) \
+        .coalesce(_fixture_partitions(spark, len(rows)))
 
 
 def frame_sample_plan(media_df: DataFrame, id_col: str = "media_id",
@@ -456,7 +470,7 @@ def _synthesize_video_corpus(spark, ids: list[int], container: str,
             yield pd.DataFrame(recs, columns=["media_id", "media"])
 
     base = spark.createDataFrame([(int(i),) for i in ids], "media_id long")
-    base = base.repartition(spark.sparkContext.defaultParallelism)
+    base = base.repartition(_fixture_partitions(spark, len(ids)))
     return base.mapInPandas(_mk, out_schema)
 
 
@@ -550,7 +564,8 @@ def synthesize_png_corpus(spark, ids: list[int],
     return spark.createDataFrame(
         [(i, (b, "image/png", 32, 32, None, None, None)) for i, b in rows],
         StructType([StructField("media_id", LongType()),
-                    StructField("media", MEDIA_SCHEMA)]))
+                    StructField("media", MEDIA_SCHEMA)])) \
+        .coalesce(_fixture_partitions(spark, len(rows)))
 
 
 def _cluster_pattern_image(i: int, variants_per_cluster: int):
@@ -610,7 +625,8 @@ def synthesize_jpeg_corpus(spark, ids: list[int],
     return spark.createDataFrame(
         [(i, (b, "image/jpeg", 32, 32, None, None, None)) for i, b in rows],
         StructType([StructField("media_id", LongType()),
-                    StructField("media", MEDIA_SCHEMA)]))
+                    StructField("media", MEDIA_SCHEMA)])) \
+        .coalesce(_fixture_partitions(spark, len(rows)))
 
 
 def phash_col(feature, dim: int = IMAGE_FEATURE_DIM):
